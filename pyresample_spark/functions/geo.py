@@ -1,0 +1,124 @@
+"""Geospatial scalar column library — pure built-in column expressions.
+
+Every function here compiles to JVM-side Catalyst expressions inside
+WholeStageCodegen (no Python in the hot path) and has an exact ANSI-SQL
+twin used by the DuckDB oracles.
+
+Reference parity:
+- lonlat2xyz: pyresample/future/resamplers/_transform_utils.py:1-33
+- haversine:  pyresample/spherical.py:80-98 (_haversine_matrix)
+- wrap_longitudes / check_and_wrap: pyresample/utils/__init__.py:186,202
+- round_to_resolution: pyresample/bucket/__init__.py:480-497
+- fwhm2sigma: pyresample/utils/__init__.py:161
+- eqc projection: the analytic plate-carrée CRS implemented natively
+  (general pyproj CRSs go through the pandas-UDF path in
+  operators/proj_udf.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mean earth radius used across the engine (same spherical model the
+# reference uses for geocentric math, pyresample/spherical.py docstring).
+R_EARTH = 6370997.0
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def wrap_longitude(lon) -> Column:
+    """Normalize longitudes to [-180, 180) (utils/__init__.py:186-199).
+
+    SQL twin: ``((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0``
+    (double-mod so negative inputs land in range under both Spark and
+    DuckDB remainder semantics).
+    """
+    lon = _c(lon)
+    return ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+
+
+def lonlat2xyz(lon, lat, radius: float = 1.0) -> tuple:
+    """lon/lat degrees → geocentric xyz on a sphere
+    (_transform_utils.py:1-33)."""
+    lon, lat = _c(lon), _c(lat)
+    lon_r, lat_r = F.radians(lon), F.radians(lat)
+    return (
+        F.cos(lat_r) * F.cos(lon_r) * radius,
+        F.cos(lat_r) * F.sin(lon_r) * radius,
+        F.sin(lat_r) * radius,
+    )
+
+
+def haversine_m(lon1, lat1, lon2, lat2, radius: float = R_EARTH) -> Column:
+    """Great-circle distance in meters (spherical.py:80-98).
+
+    SQL twin:
+    ``2*R*asin(sqrt( sin(radians(lat2-lat1)/2)^2 +
+    cos(radians(lat1))*cos(radians(lat2))*sin(radians(lon2-lon1)/2)^2 ))``
+    """
+    lon1, lat1, lon2, lat2 = _c(lon1), _c(lat1), _c(lon2), _c(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlon), 2)
+    return 2.0 * radius * F.asin(F.sqrt(a))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str, radius: float = R_EARTH) -> str:
+    """The DuckDB-compatible SQL string for :func:`haversine_m`."""
+    return (
+        f"2.0 * {radius!r} * asin(sqrt("
+        f"pow(sin(radians({lat2} - {lat1}) / 2.0), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians({lon2} - {lon1}) / 2.0), 2)))"
+    )
+
+
+def eqc_x(lon, radius: float = R_EARTH) -> Column:
+    """Equirectangular (plate carrée, +proj=eqc) forward x = R·radians(lon)."""
+    return F.radians(_c(lon)) * radius
+
+
+def eqc_y(lat, radius: float = R_EARTH) -> Column:
+    """Equirectangular forward y = R·radians(lat)."""
+    return F.radians(_c(lat)) * radius
+
+
+def round_to_resolution(x, resolution: float) -> Column:
+    """Snap to a resolution grid (bucket/__init__.py:480-497):
+    ``resolution * round(x / resolution)``."""
+    return F.lit(resolution) * F.round(_c(x) / F.lit(resolution), 0)
+
+
+def fwhm2sigma(fwhm) -> Column:
+    """Full-width-half-max → gaussian sigma (utils/__init__.py:161-176):
+    sigma = fwhm / (2*sqrt(ln(2)))."""
+    import math
+
+    return _c(fwhm) / (2.0 * math.sqrt(math.log(2)))
+
+
+# --- deterministic derived geolocation for the driver tables -------------
+# FIXTURES.md §3: geo columns are derived in-query from events columns so
+# Spark and the DuckDB oracle compute identical inputs.
+
+def derived_lon(user_id="user_id", event_id="event_id") -> Column:
+    return (
+        (_c(user_id) % 360 - 180).cast("double")
+        + (_c(event_id) % 100).cast("double") / 100.0
+    )
+
+
+def derived_lat(user_id="user_id", event_id="event_id") -> Column:
+    return (
+        (_c(user_id) % 180 - 90).cast("double")
+        + (_c(event_id) % 97).cast("double") / 97.0
+    )
+
+
+DERIVED_LON_SQL = "(CAST(user_id % 360 - 180 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE) / 100.0)"
+DERIVED_LAT_SQL = "(CAST(user_id % 180 - 90 AS DOUBLE) + CAST(event_id % 97 AS DOUBLE) / 97.0)"

@@ -1,0 +1,86 @@
+"""M0 queries: scan checksum + grid generation (SURVEY.md §2.1).
+
+Scale notes: the scan query is a straight parquet scan with column
+pruning + hash aggregation — at 100 TB this is the canonical map-side
+partial agg pattern, no shuffle beyond the tiny group key space. The grid
+query materializes an area lazily from ``range`` — no input IO at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.queries import register, table
+
+# Canonical areas used across the query suite (FIXTURES.md §2).
+TEST_AREA = AreaDefinition(
+    area_id="test_lonlat_80x85",
+    crs="longlat",
+    width=85,
+    height=80,
+    area_extent=(-20.0, 20.0, 20.0, 35.0),
+)
+
+WORLD_AREA = AreaDefinition(
+    area_id="world_lonlat_360x180",
+    crs="longlat",
+    width=360,
+    height=180,
+    area_extent=(-180.0, -90.0, 180.0, 90.0),
+)
+
+
+@register(
+    "q_scan_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_c
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("bench",),
+)
+def q_scan_lineitem(spark, sf_dir):
+    """Plain scan + group-agg checksum (TPC-H Q1 shape; SURVEY §2.1).
+
+    Money sums are per-row rounded to integer cents then summed as BIGINT
+    so the checksum is exact and order-insensitive on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100.0, 0).cast("bigint")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+        F.sum(
+            cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+        ).alias("sum_disc_price_c"),
+    )
+
+
+@register(
+    "q_grid_gen",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(row) AS BIGINT) AS sum_row,
+           CAST(SUM(col) AS BIGINT) AS sum_col,
+           CAST(SUM(CAST(ROUND(cx * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cx_u,
+           CAST(SUM(CAST(ROUND(cy * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cy_u
+    FROM ({TEST_AREA.grid_sql()})
+    """,
+)
+def q_grid_gen(spark, sf_dir):
+    """Generate the 80×85 test area pixel table and checksum coords
+    (grid/lonlat generation, pyresample geometry.py:2418-2524)."""
+    g = TEST_AREA.grid(spark)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("row").alias("sum_row"),
+        F.sum("col").alias("sum_col"),
+        F.sum(F.round(F.col("cx") * 1e6, 0).cast("bigint")).alias("sum_cx_u"),
+        F.sum(F.round(F.col("cy") * 1e6, 0).cast("bigint")).alias("sum_cy_u"),
+    )
