@@ -26,6 +26,19 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+def rnd(col, n: int = 6):
+    """Round a double for hash-stable output, normalizing -0.0 → +0.0
+    (DuckDB keeps the sign of a rounded negative underflow; Spark does
+    not — ``+ 0.0`` makes both engines emit +0.0)."""
+    from pyspark.sql import functions as F
+
+    return F.round(col, n) + F.lit(0.0)
+
+
+def rnd_sql(expr: str, n: int = 6) -> str:
+    return f"(ROUND({expr}, {n}) + 0.0)"
+
+
 @dataclass
 class QuerySpec:
     name: str

@@ -1,1 +1,291 @@
+"""M1 queries: scalar/geo column library (SURVEY.md §2.2, §2.8).
 
+All pure built-in column expressions — JVM-side, WholeStageCodegen, no
+Python in the data path. Inputs are the events table with FIXTURES.md §3
+derived lon/lat so Spark and DuckDB compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyresample_spark.functions.geo import (
+    DERIVED_LAT_SQL,
+    DERIVED_LON_SQL,
+    R_EARTH,
+    eqc_x,
+    eqc_y,
+    haversine_m,
+    haversine_sql,
+    lonlat2xyz,
+    round_to_resolution,
+    wrap_longitude,
+)
+from pyresample_spark.queries import register, rnd, rnd_sql, table
+from pyresample_spark.queries.core import TEST_AREA
+
+# Shared derived-point input (FIXTURES.md §3).
+PTS_SQL = (
+    "SELECT event_id, user_id, value, "
+    f"{DERIVED_LON_SQL} AS lon, {DERIVED_LAT_SQL} AS lat FROM events"
+)
+
+
+def _pts(spark, sf_dir):
+    from pyresample_spark.operators.bucket import events_points
+
+    return events_points(spark, sf_dir).select(
+        "event_id", "user_id", "value", "lon", "lat"
+    )
+
+
+@register(
+    "q_lonlat2xyz",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(cos(radians(lat)) * cos(radians(lon)), 6) + 0.0 AS gx,
+           ROUND(cos(radians(lat)) * sin(radians(lon)), 6) + 0.0 AS gy,
+           ROUND(sin(radians(lat)), 6) + 0.0 AS gz
+    FROM ({PTS_SQL})
+    """,
+)
+def q_lonlat2xyz(spark, sf_dir):
+    """lon/lat → unit-sphere geocentric xyz
+    (_transform_utils.py:1-33)."""
+    x, y, z = lonlat2xyz("lon", "lat")
+    return _pts(spark, sf_dir).select(
+        "event_id",
+        rnd(x, 6).alias("gx"),
+        rnd(y, 6).alias("gy"),
+        rnd(z, 6).alias("gz"),
+    )
+
+
+@register(
+    "q_haversine",
+    oracle=f"""
+    SELECT event_id,
+           ROUND({haversine_sql('lon', 'lat', '10.0', '55.0')}, 3) + 0.0 AS dist_m
+    FROM ({PTS_SQL})
+    """,
+)
+def q_haversine(spark, sf_dir):
+    """Great-circle distance to a fixed point (spherical.py:80-98)."""
+    d = haversine_m("lon", "lat", F.lit(10.0), F.lit(55.0))
+    return _pts(spark, sf_dir).select(
+        "event_id", rnd(d, 3).alias("dist_m")
+    )
+
+
+@register(
+    "q_proj_eqc",
+    oracle=f"""
+    SELECT event_id,
+           ROUND({R_EARTH!r} * radians(lon), 3) + 0.0 AS px,
+           ROUND({R_EARTH!r} * radians(lat), 3) + 0.0 AS py
+    FROM ({PTS_SQL})
+    """,
+)
+def q_proj_eqc(spark, sf_dir):
+    """Equirectangular forward projection as pure column math (the
+    analytic-CRS native path; general CRSs use the pandas-UDF wrapper)."""
+    return _pts(spark, sf_dir).select(
+        "event_id",
+        rnd(eqc_x("lon"), 3).alias("px"),
+        rnd(eqc_y("lat"), 3).alias("py"),
+    )
+
+
+@register(
+    "q_lonlat_to_cell",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN r BETWEEN 0 AND {TEST_AREA.height - 1}
+                 AND c BETWEEN 0 AND {TEST_AREA.width - 1}
+                THEN CAST(r AS BIGINT) END AS cell_row,
+           CASE WHEN r BETWEEN 0 AND {TEST_AREA.height - 1}
+                 AND c BETWEEN 0 AND {TEST_AREA.width - 1}
+                THEN CAST(c AS BIGINT) END AS cell_col,
+           CASE WHEN r BETWEEN 0 AND {TEST_AREA.height - 1}
+                 AND c BETWEEN 0 AND {TEST_AREA.width - 1}
+                THEN CAST(r * {TEST_AREA.width} + c AS BIGINT) END AS cell_id
+    FROM (
+      SELECT event_id,
+             CAST(FLOOR((lon - ({TEST_AREA.area_extent[0]!r})) / {TEST_AREA.pixel_size_x!r}) AS BIGINT) AS c,
+             CAST(FLOOR(({TEST_AREA.area_extent[3]!r} - lat) / {TEST_AREA.pixel_size_y!r}) AS BIGINT) AS r
+      FROM ({PTS_SQL})
+    )
+    """,
+)
+def q_lonlat_to_cell(spark, sf_dir):
+    """lonlat → array index affine math with out-of-bounds → NULL
+    (geometry.py:2195-2336, masked-int decorator geometry.py:1456-1482)."""
+    pts = _pts(spark, sf_dir)
+    r = TEST_AREA.row_from_y(F.col("lat"))
+    c = TEST_AREA.col_from_x(F.col("lon"))
+    ok = TEST_AREA.in_bounds(r, c)
+    return pts.select(
+        "event_id",
+        F.when(ok, r).alias("cell_row"),
+        F.when(ok, c).alias("cell_col"),
+        F.when(ok, r * TEST_AREA.width + c).alias("cell_id"),
+    )
+
+
+@register(
+    "q_wrap_lons",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(((lon * 3.0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, 6) + 0.0 AS wrapped_lon
+    FROM ({PTS_SQL})
+    WHERE lat BETWEEN -90.0 AND 90.0
+    """,
+)
+def q_wrap_lons(spark, sf_dir):
+    """wrap_longitudes + check_and_wrap validity filter
+    (utils/__init__.py:186-227); lon*3 manufactures out-of-range input."""
+    pts = _pts(spark, sf_dir)
+    return pts.filter((F.col("lat") >= -90.0) & (F.col("lat") <= 90.0)).select(
+        "event_id",
+        rnd(wrap_longitude(F.col("lon") * 3.0), 6).alias("wrapped_lon"),
+    )
+
+
+@register(
+    "q_round_resolution",
+    oracle="""
+    SELECT o_orderkey,
+           500.0 * ROUND(o_totalprice / 500.0) AS snapped
+    FROM orders
+    """,
+)
+def q_round_resolution(spark, sf_dir):
+    """Snap to resolution grid (bucket/__init__.py:480-497)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        round_to_resolution(F.col("o_totalprice"), 500.0).alias("snapped"),
+    )
+
+
+@register(
+    "q_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sin(l_discount) + cos(l_tax), 6) + 0.0 AS trig,
+           ROUND(atan2(l_discount, l_tax + 0.01), 6) + 0.0 AS at2,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS fl,
+           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS md,
+           ROUND(exp(l_discount) * ln(l_quantity + 1.0), 6) + 0.0 AS explog,
+           ROUND(pow(l_tax + 1.0, 2.5), 6) + 0.0 AS pw,
+           ROUND(sqrt(l_extendedprice), 6) + 0.0 AS sq,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
+           ROUND(least(l_discount, l_tax), 6) + 0.0 AS lst,
+           ROUND(greatest(l_discount, l_tax), 6) + 0.0 AS grt
+    FROM lineitem
+    """,
+)
+def q_math_suite(spark, sf_dir):
+    """One SELECT exercising the trig/floor/mod/exp/log scalar stack
+    (SURVEY §2.8)."""
+    li = table(spark, sf_dir, "lineitem")
+    d, t, q = F.col("l_discount"), F.col("l_tax"), F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.sin(d) + F.cos(t), 6).alias("trig"),
+        rnd(F.atan2(d, t + 0.01), 6).alias("at2"),
+        F.floor(q / 7.0).alias("fl"),
+        (q.cast("bigint") % 7).alias("md"),
+        rnd(F.exp(d) * F.log(q + 1.0), 6).alias("explog"),
+        rnd(F.pow(t + 1.0, 2.5), 6).alias("pw"),
+        rnd(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.signum(d - 0.05).cast("bigint").alias("sg"),
+        rnd(F.least(d, t), 6).alias("lst"),
+        rnd(F.greatest(d, t), 6).alias("grt"),
+    )
+
+
+@register(
+    "q_geocentric_res",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL}),
+    spacing AS (
+      SELECT event_id,
+             {haversine_sql('lon', 'lat', 'lead(lon) OVER w', 'lead(lat) OVER w')} AS d
+      FROM pts
+      WINDOW w AS (ORDER BY event_id)
+    ),
+    binned AS (
+      SELECT CAST(FLOOR(d / 100000.0) AS BIGINT) AS bin,
+             CAST(ROUND(d * 1000.0) AS BIGINT) AS d_mm
+      FROM spacing WHERE d IS NOT NULL
+    ),
+    hist AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d_mm) AS BIGINT) AS sum_mm
+      FROM binned GROUP BY bin
+    )
+    SELECT bin AS dominant_bin, n AS bin_count,
+           ROUND(sum_mm / n / 1000.0, 6) + 0.0 AS avg_dist_m
+    FROM hist
+    QUALIFY row_number() OVER (ORDER BY n DESC, bin ASC) = 1
+    """,
+)
+def q_geocentric_res(spark, sf_dir):
+    """Geocentric resolution estimate: histogram of consecutive point
+    spacing → dominant bin average (geometry.py:2691-2764).
+
+    The reference's np.histogram + argmax becomes groupBy(bin).count()
+    + row_number; the bin average uses exact integer-mm sums so the
+    result is order-insensitive."""
+    pts = _pts(spark, sf_dir)
+    w = W.orderBy("event_id")
+    d = haversine_m(
+        "lon", "lat", F.lead("lon").over(w), F.lead("lat").over(w)
+    ).alias("d")
+    spacing = pts.select(d).filter(F.col("d").isNotNull())
+    binned = spacing.select(
+        F.floor(F.col("d") / 100000.0).alias("bin"),
+        rnd(F.col("d") * 1000.0, 0).cast("bigint").alias("d_mm"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d_mm").alias("sum_mm")
+    )
+    top = hist.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("bin").asc())),
+    ).filter(F.col("rn") == 1)
+    return top.select(
+        F.col("bin").alias("dominant_bin"),
+        F.col("n").alias("bin_count"),
+        F.round(F.col("sum_mm") / F.col("n") / 1000.0, 6).alias("avg_dist_m"),
+    )
+
+
+@register(
+    "q_gradient_lead_lag",
+    oracle="""
+    SELECT event_id,
+           ROUND(
+             (COALESCE(lead(value) OVER w, value) - COALESCE(lag(value) OVER w, value))
+             / (CASE WHEN lead(value) OVER w IS NULL OR lag(value) OVER w IS NULL
+                     THEN 1.0 ELSE 2.0 END), 6) + 0.0 AS grad
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_gradient_lead_lag(spark, sf_dir):
+    """np.gradient as lead/lag central difference with one-sided edges
+    (gradient/__init__.py:357-358)."""
+    from pyresample_spark.operators.bucket import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    lead_v, lag_v = F.lead("value").over(w), F.lag("value").over(w)
+    denom = F.when(lead_v.isNull() | lag_v.isNull(), 1.0).otherwise(2.0)
+    grad = (
+        F.coalesce(lead_v, F.col("value")) - F.coalesce(lag_v, F.col("value"))
+    ) / denom
+    return ev.select("event_id", rnd(grad, 6).alias("grad"))
