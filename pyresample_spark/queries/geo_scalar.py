@@ -27,7 +27,7 @@ from pyresample_spark.queries.core import TEST_AREA
 
 # Shared derived-point input (FIXTURES.md §3).
 PTS_SQL = (
-    "SELECT event_id, user_id, value, "
+    "SELECT event_id, user_id, event_type, value, "
     f"{DERIVED_LON_SQL} AS lon, {DERIVED_LAT_SQL} AS lat FROM events"
 )
 
@@ -36,7 +36,7 @@ def _pts(spark, sf_dir):
     from pyresample_spark.operators.bucket import events_points
 
     return events_points(spark, sf_dir).select(
-        "event_id", "user_id", "value", "lon", "lat"
+        "event_id", "user_id", "event_type", "value", "lon", "lat"
     )
 
 
