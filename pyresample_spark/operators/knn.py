@@ -1,0 +1,221 @@
+"""k-nearest-neighbor radius join — the heart of every kd-tree resampler.
+
+Reference parity: pyresample/kd_tree.py —
+- build/probe: _create_resample_kdtree :464-489, _query_resample_kdtree
+  :492-550 (k neighbors within radius_of_influence)
+- gather with fill: get_sample_from_neighbour_info :566-652, :705-711
+- gauss/custom weighted combine + uncertainty: _resample_with_weights
+  :741-818, _calculate_uncertainty :821-859
+
+Spark-first replacement (SURVEY.md §2.4): the kd-tree disappears. Both
+sides are assigned **3-D geocentric cells** of side = the chord length
+of the search radius; candidates are found by equi-joining the probe
+side (exploded over its 27 neighboring cells) against the build side,
+then filtering on exact chord distance and ranking with row_number.
+
+Why 3-D cells instead of lon/lat cells: the chord bound is exact on the
+sphere — no pole or antimeridian special-casing (the reference needs
+explicit handling, _ll2cr.pyx:151-168, data_reduce.py:282-305), and two
+points within great-circle radius r are always within chord
+c = 2·R·sin(r/2R), hence always within one 3-D cell step of each other.
+
+Scale: the only shuffle is the equi-join on the cell key. The 27×
+explode is applied to the *probe* side before the join (worst case 27×
+row amplification of ids+coords only — a few dozen bytes/row); the
+build side shuffles once at 1× . Skewed cells (dense swath regions) are
+split by AQE skew-join; per-cell salting can be layered on the cell key
+if a single cell exceeds task memory. For a small build side
+(≤ ~10M points) prefer :func:`knn_join_broadcast`, which broadcasts the
+build side and avoids the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyresample_spark.functions.geo import R_EARTH, lonlat2xyz
+
+
+def chord_length(radius_m: float, r_earth: float = R_EARTH) -> float:
+    """Great-circle radius → chord length: 2·R·sin(r/2R)."""
+    return 2.0 * r_earth * math.sin(radius_m / (2.0 * r_earth))
+
+
+def with_geocentric(df: DataFrame, lon_col="lon", lat_col="lat") -> DataFrame:
+    gx, gy, gz = lonlat2xyz(lon_col, lat_col, radius=R_EARTH)
+    return (
+        df.withColumn("gx", gx).withColumn("gy", gy).withColumn("gz", gz)
+    )
+
+
+def with_cells(df: DataFrame, cell_m: float) -> DataFrame:
+    return (
+        df.withColumn("cx3", F.floor(F.col("gx") / cell_m))
+        .withColumn("cy3", F.floor(F.col("gy") / cell_m))
+        .withColumn("cz3", F.floor(F.col("gz") / cell_m))
+    )
+
+
+def chord_dist_m(a_prefix: str, b_prefix: str):
+    """Exact chord distance between two geocentric points (meters)."""
+    dx = F.col(f"{a_prefix}gx") - F.col(f"{b_prefix}gx")
+    dy = F.col(f"{a_prefix}gy") - F.col(f"{b_prefix}gy")
+    dz = F.col(f"{a_prefix}gz") - F.col(f"{b_prefix}gz")
+    return F.sqrt(dx * dx + dy * dy + dz * dz)
+
+
+def knn_join(
+    src: DataFrame,
+    tgt: DataFrame,
+    radius_m: float,
+    k: int = 1,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+    src_lon: str = "lon",
+    src_lat: str = "lat",
+    tgt_lon: str = "lon",
+    tgt_lat: str = "lat",
+) -> DataFrame:
+    """Cell-bucketed kNN radius join.
+
+    Returns (tgt_id, src_id, dist_m, nn_rank) with nn_rank ∈ [1, k],
+    only targets with ≥1 neighbor within ``radius_m``.
+
+    ``dist_m`` is the chord distance rounded to mm; ranking orders by
+    (dist_mm, src_id) so results are deterministic and reproducible
+    across engines (a last-ulp trig difference cannot flip a rank).
+    """
+    c = chord_length(radius_m)
+
+    s = with_cells(with_geocentric(src, src_lon, src_lat), c).select(
+        F.col(src_id).alias("src_id"),
+        F.col("gx").alias("s_gx"),
+        F.col("gy").alias("s_gy"),
+        F.col("gz").alias("s_gz"),
+        "cx3",
+        "cy3",
+        "cz3",
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dx -> "
+        "flatten(transform(sequence(-1,1), dy -> "
+        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))))"
+    )
+    t = (
+        with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), c)
+        .select(
+            F.col(tgt_id).alias("tgt_id"),
+            F.col("gx").alias("t_gx"),
+            F.col("gy").alias("t_gy"),
+            F.col("gz").alias("t_gz"),
+            "cx3",
+            "cy3",
+            "cz3",
+            offsets.alias("o"),
+        )
+        .withColumn("cx3", F.col("cx3") + F.col("o.dx"))
+        .withColumn("cy3", F.col("cy3") + F.col("o.dy"))
+        .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
+        .drop("o")
+    )
+    pairs = t.join(s, ["cx3", "cy3", "cz3"], "inner")
+    dist_mm = F.round(chord_dist_m("t_", "s_") * 1000.0, 0).cast("bigint")
+    pairs = pairs.withColumn("dist_mm", dist_mm).filter(
+        F.col("dist_mm") <= round(c * 1000.0)
+    )
+    if k is None:
+        # radius-only join (EWA footprint path) — no top-k, so no
+        # per-target sort at all: stays a pure shuffle-join + filter.
+        return pairs.select(
+            "tgt_id", "src_id", (F.col("dist_mm") / 1000.0).alias("dist_m")
+        )
+    w = W.partitionBy("tgt_id").orderBy(
+        F.col("dist_mm").asc(), F.col("src_id").asc()
+    )
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            "tgt_id",
+            "src_id",
+            (F.col("dist_mm") / 1000.0).alias("dist_m"),
+            "nn_rank",
+        )
+    )
+
+
+def knn_join_broadcast(
+    src: DataFrame,
+    tgt: DataFrame,
+    radius_m: float,
+    k: int = 1,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+) -> DataFrame:
+    """Broadcast-kNN for small build sides (kd_tree.py:464-489 analog).
+
+    Collects the source coords to the driver, broadcasts the array to
+    executors, and probes with a vectorized numpy kernel over Arrow
+    batches (``mapInPandas``) — the Spark analog of pykdtree-inside-
+    dask-blocks. Use when the source fits comfortably in executor
+    memory (≤ ~10M points); otherwise use :func:`knn_join`.
+
+    Expects both frames to already carry gx/gy/gz (``with_geocentric``).
+    Returns the same schema as :func:`knn_join`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src_pdf = src.select(src_id, "gx", "gy", "gz").toPandas()
+    sc = tgt.sparkSession.sparkContext
+    b_ids = sc.broadcast(src_pdf[src_id].to_numpy())
+    b_xyz = sc.broadcast(
+        src_pdf[["gx", "gy", "gz"]].to_numpy(dtype="float64")
+    )
+    chord = chord_length(radius_m)
+
+    def probe(batches):
+        ids = b_ids.value
+        xyz = b_xyz.value
+        for pdf in batches:
+            txyz = pdf[["gx", "gy", "gz"]].to_numpy(dtype="float64")
+            # (n_t, n_s) squared chord distances, blocked to bound memory
+            out_t, out_s, out_d, out_r = [], [], [], []
+            step = max(1, 4_000_000 // max(1, len(ids)))
+            for i0 in range(0, len(txyz), step):
+                blk = txyz[i0 : i0 + step]
+                d2 = ((blk[:, None, :] - xyz[None, :, :]) ** 2).sum(axis=2)
+                d_mm = np.round(np.sqrt(d2) * 1000.0)
+                for j in range(blk.shape[0]):
+                    row = d_mm[j]
+                    within = np.flatnonzero(row <= round(chord * 1000.0))
+                    if len(within) == 0:
+                        continue
+                    order = np.lexsort((ids[within], row[within]))[:k]
+                    sel = within[order]
+                    out_t.extend([pdf["tgt_id"].iloc[i0 + j]] * len(sel))
+                    out_s.extend(ids[sel])
+                    out_d.extend(row[sel] / 1000.0)
+                    out_r.extend(range(1, len(sel) + 1))
+            yield pd.DataFrame(
+                {
+                    "tgt_id": pd.Series(out_t, dtype="int64"),
+                    "src_id": pd.Series(out_s, dtype="int64"),
+                    "dist_m": pd.Series(out_d, dtype="float64"),
+                    "nn_rank": pd.Series(out_r, dtype="int32"),
+                }
+            )
+
+    t = tgt.select(F.col(tgt_id).alias("tgt_id"), "gx", "gy", "gz")
+    return t.mapInPandas(
+        probe, "tgt_id long, src_id long, dist_m double, nn_rank int"
+    )
+
+
+def gauss_weight(dist_col, sigma: float):
+    """Gaussian radial weight exp(-d²/σ²) (kd_tree.py:741-818)."""
+    return F.exp(-(dist_col * dist_col) / (sigma * sigma))

@@ -1,1 +1,240 @@
+"""M4 queries: kNN radius join + weighted resampling aggregations
+(SURVEY.md §2.4-2.5 join family).
 
+Source = events points (FIXTURES derived lon/lat), target = a 2° world
+grid. The kNN join is the engine-native cell-bucketed equi-join
+(operators/knn.py); the DuckDB oracle replicates the identical
+algorithm (27-neighborhood 3-D geocentric cells, mm-rounded chord
+distance, (dist, src_id) ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyresample_spark.functions.geo import R_EARTH
+from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.operators.bucket import events_points
+from pyresample_spark.operators.knn import chord_length, gauss_weight, knn_join
+from pyresample_spark.queries import register, rnd
+from pyresample_spark.queries.geo_scalar import PTS_SQL
+
+KNN_AREA = AreaDefinition(
+    "knn_tgt_2deg", "longlat", width=180, height=90,
+    area_extent=(-180.0, -90.0, 180.0, 90.0),
+)
+
+RADIUS_M = 250_000.0
+CHORD = chord_length(RADIUS_M)
+CHORD_MM = round(CHORD * 1000.0)
+SIGMA = 100_000.0
+
+
+def _geo_sql(lon: str, lat: str, px: str) -> str:
+    r = repr(R_EARTH)
+    return (
+        f"{r} * cos(radians({lat})) * cos(radians({lon})) AS {px}gx, "
+        f"{r} * cos(radians({lat})) * sin(radians({lon})) AS {px}gy, "
+        f"{r} * sin(radians({lat})) AS {px}gz"
+    )
+
+
+# Target grid as SQL with lon/lat + geocentric coords.
+TGT_SQL = f"""
+    SELECT cell_id AS tgt_id, cx AS lon, cy AS lat,
+           {_geo_sql('cx', 'cy', 't_')}
+    FROM ({KNN_AREA.grid_sql()})
+"""
+
+SRC_SQL = f"""
+    SELECT event_id AS src_id, value, {_geo_sql('lon', 'lat', 's_')}
+    FROM ({PTS_SQL})
+"""
+
+# The full kNN pair table (k unlimited; rank filtered per query).
+_C = repr(CHORD)
+PAIRS_SQL = f"""
+    WITH s AS (
+      SELECT *, CAST(FLOOR(s_gx / {_C}) AS BIGINT) AS cx3,
+                CAST(FLOOR(s_gy / {_C}) AS BIGINT) AS cy3,
+                CAST(FLOOR(s_gz / {_C}) AS BIGINT) AS cz3
+      FROM ({SRC_SQL})
+    ),
+    t AS (
+      SELECT tgt_id, t_gx, t_gy, t_gz,
+             CAST(FLOOR(t_gx / {_C}) AS BIGINT) + ox.dx AS cx3,
+             CAST(FLOOR(t_gy / {_C}) AS BIGINT) + oy.dy AS cy3,
+             CAST(FLOOR(t_gz / {_C}) AS BIGINT) + oz.dz AS cz3
+      FROM ({TGT_SQL})
+      CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oz(dz)
+    ),
+    pairs AS (
+      SELECT t.tgt_id, s.src_id, s.value,
+             CAST(ROUND(sqrt((t_gx - s_gx) * (t_gx - s_gx)
+                           + (t_gy - s_gy) * (t_gy - s_gy)
+                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0) AS BIGINT) AS dist_mm
+      FROM t JOIN s USING (cx3, cy3, cz3)
+    ),
+    ranked AS (
+      SELECT tgt_id, src_id, value, dist_mm,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY dist_mm ASC, src_id ASC) AS nn_rank
+      FROM pairs WHERE dist_mm <= {CHORD_MM}
+    )
+"""
+
+
+def _src(spark, sf_dir):
+    from pyresample_spark.queries.geo_scalar import _pts
+
+    return _pts(spark, sf_dir).select(
+        F.col("event_id").alias("src_id"), "value", "lon", "lat"
+    )
+
+
+def _tgt(spark):
+    return KNN_AREA.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"),
+        F.col("cx").alias("lon"),
+        F.col("cy").alias("lat"),
+    )
+
+
+def _knn_pairs(spark, sf_dir, k):
+    return knn_join(
+        _src(spark, sf_dir), _tgt(spark), RADIUS_M, k=k,
+        src_id="src_id", tgt_id="tgt_id",
+    )
+
+
+@register(
+    "q_knn_join",
+    oracle=PAIRS_SQL
+    + """
+    SELECT tgt_id, src_id, dist_mm / 1000.0 AS dist_m, CAST(nn_rank AS INT) AS nn_rank
+    FROM ranked WHERE nn_rank <= 1
+    """,
+    tags=("bench",),
+)
+def q_knn_join(spark, sf_dir):
+    """k=1 kNN radius join via 3-D geocentric cell bucketing + top-k
+    window (kd_tree.py:464-550 re-expressed; SURVEY §2.4)."""
+    return _knn_pairs(spark, sf_dir, k=1)
+
+
+@register(
+    "q_nn_gather",
+    oracle=PAIRS_SQL
+    + f"""
+    SELECT g.cell_id, r.src_id AS nn_event,
+           COALESCE(r.value, -999.0) AS nn_value
+    FROM ({KNN_AREA.grid_sql()}) g
+    LEFT JOIN (SELECT * FROM ranked WHERE nn_rank = 1) r
+      ON g.cell_id = r.tgt_id
+    """,
+)
+def q_nn_gather(spark, sf_dir):
+    """Nearest-neighbor gather with fill for unmatched targets
+    (kd_tree.py:566-652,705-711): LEFT JOIN + coalesce(fill)."""
+    nn = _knn_pairs(spark, sf_dir, k=1)
+    src_vals = _src(spark, sf_dir).select("src_id", "value")
+    nn_v = nn.join(F.broadcast(src_vals), "src_id", "left")
+    grid = KNN_AREA.grid(spark).select("cell_id")
+    return grid.join(
+        nn_v.select("tgt_id", "src_id", "value"),
+        grid.cell_id == nn_v.tgt_id,
+        "left",
+    ).select(
+        "cell_id",
+        F.col("src_id").alias("nn_event"),
+        F.coalesce(F.col("value"), F.lit(-999.0)).alias("nn_value"),
+    )
+
+
+@register(
+    "q_gauss_agg",
+    oracle=PAIRS_SQL
+    + f"""
+    , wp AS (
+      SELECT tgt_id, value,
+             exp(-(dist_mm / 1000.0) * (dist_mm / 1000.0) / ({SIGMA!r} * {SIGMA!r})) AS w
+      FROM ranked WHERE nn_rank <= 8
+    )
+    SELECT tgt_id,
+           ROUND(SUM(w * value) / SUM(w), 6) + 0.0 AS gauss_value,
+           ROUND(sqrt((SUM(w) / (SUM(w) * SUM(w) - SUM(w * w)))
+                      * (SUM(w * value * value) - SUM(w * value) * SUM(w * value) / SUM(w))), 6) + 0.0 AS gauss_stddev,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbours
+    FROM wp GROUP BY tgt_id HAVING COUNT(*) > 1
+    """,
+)
+def q_gauss_agg(spark, sf_dir):
+    """Gaussian-weighted resample with uncertainty (kd_tree.py:741-859):
+    over k=8 neighbors, result = Σwv/Σw with w = exp(-d²/σ²); stddev via
+    the v1/(v1²-v2)-unbiased weighted variance; plus neighbor count."""
+    nn = _knn_pairs(spark, sf_dir, k=8)
+    src_vals = _src(spark, sf_dir).select("src_id", "value")
+    wp = nn.join(F.broadcast(src_vals), "src_id", "inner").withColumn(
+        "w", gauss_weight(F.col("dist_m"), SIGMA)
+    )
+    v, w = F.col("value"), F.col("w")
+    v1, v2 = F.sum(w), F.sum(w * w)
+    swv, swv2 = F.sum(w * v), F.sum(w * v * v)
+    return (
+        wp.groupBy("tgt_id")
+        .agg(
+            rnd(swv / v1, 6).alias("gauss_value"),
+            rnd(
+                F.sqrt((v1 / (v1 * v1 - v2)) * (swv2 - swv * swv / v1)), 6
+            ).alias("gauss_stddev"),
+            F.count(F.lit(1)).alias("n_neighbours"),
+        )
+        .filter(F.col("n_neighbours") > 1)
+    )
+
+
+@register(
+    "q_weighted_avg",
+    oracle=PAIRS_SQL
+    + f"""
+    , wp AS (
+      SELECT tgt_id, src_id, value,
+             pow(1.0 - (dist_mm / 1000.0 / {RADIUS_M!r}) * (dist_mm / 1000.0 / {RADIUS_M!r}), 2) AS w
+      FROM ranked
+    ),
+    agg AS (
+      SELECT tgt_id,
+             ROUND(SUM(w * value) / SUM(w), 6) + 0.0 AS ewa_value,
+             ROUND(SUM(w), 6) + 0.0 AS weight_sum
+      FROM wp GROUP BY tgt_id
+    ),
+    best AS (
+      SELECT tgt_id, value AS maxw_value
+      FROM (SELECT tgt_id, value,
+                   row_number() OVER (PARTITION BY tgt_id
+                                      ORDER BY w DESC, src_id ASC) AS rn
+            FROM wp) WHERE rn = 1
+    )
+    SELECT agg.tgt_id, ewa_value, weight_sum, maxw_value
+    FROM agg JOIN best ON agg.tgt_id = best.tgt_id
+    """,
+)
+def q_weighted_avg(spark, sf_dir):
+    """EWA-style weighted average (ewa/_fornav.pyx:119-206 re-expressed):
+    all pairs within radius, polynomial kernel w=(1-(d/r)²)², per-cell
+    Σwv/Σw + Σw, plus maximum_weight_mode value (max_by w)."""
+    pairs = knn_join(_src(spark, sf_dir), _tgt(spark), RADIUS_M, k=None)
+    src_vals = _src(spark, sf_dir).select("src_id", "value")
+    dr = F.col("dist_m") / RADIUS_M
+    wp = pairs.join(F.broadcast(src_vals), "src_id", "inner").withColumn(
+        "w", F.pow(1.0 - dr * dr, 2)
+    )
+    v, w = F.col("value"), F.col("w")
+    return wp.groupBy("tgt_id").agg(
+        rnd(F.sum(w * v) / F.sum(w), 6).alias("ewa_value"),
+        rnd(F.sum(w), 6).alias("weight_sum"),
+        F.max_by(v, F.struct(w, -F.col("src_id"))).alias("maxw_value"),
+    ).select("tgt_id", "ewa_value", "weight_sum", "maxw_value")

@@ -1,1 +1,115 @@
+"""M4c queries: grid↔grid resampling joins (SURVEY.md §2.4 rows
+linesample / bilinear-regular / gradient-affine)."""
 
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyresample_spark.operators.resample_grid import (
+    affine_regrid_nn,
+    bilinear_regular,
+    eqc_area_world,
+    linesample,
+    synth_image,
+    synth_image_sql,
+)
+from pyresample_spark.queries import register, rnd
+from pyresample_spark.queries.core import TEST_AREA, WORLD_AREA
+
+EQC_AREA = eqc_area_world()
+
+_SRC_IMG_SQL = synth_image_sql(WORLD_AREA)
+_EQC_IMG_SQL = synth_image_sql(EQC_AREA)
+_TGT_SQL = TEST_AREA.grid_sql()
+
+
+@register(
+    "q_linesample_join",
+    oracle=f"""
+    WITH tgt AS ({_TGT_SQL}), src AS ({_SRC_IMG_SQL}),
+    t AS (
+      SELECT cell_id, cx, cy,
+             CAST(FLOOR(({WORLD_AREA.area_extent[3]!r} - cy) / {WORLD_AREA.pixel_size_y!r}) AS BIGINT) AS src_row,
+             CAST(FLOOR((cx - ({WORLD_AREA.area_extent[0]!r})) / {WORLD_AREA.pixel_size_x!r}) AS BIGINT) AS src_col
+      FROM tgt
+    )
+    SELECT t.cell_id, t.src_row, t.src_col, src.value AS src_value
+    FROM t LEFT JOIN src ON t.src_row = src.row AND t.src_col = src.col
+    WHERE t.src_row BETWEEN 0 AND {WORLD_AREA.height - 1}
+      AND t.src_col BETWEEN 0 AND {WORLD_AREA.width - 1}
+    """,
+)
+def q_linesample_join(spark, sf_dir):
+    """Quick grid→grid nn gather (grid.py:91-128): affine inverse →
+    equi-join on (row,col) — a broadcast hash join, no UDF."""
+    tgt = TEST_AREA.grid(spark)
+    src = synth_image(spark, WORLD_AREA)
+    out = linesample(tgt, WORLD_AREA, src)
+    return out.select("cell_id", "src_row", "src_col", "src_value")
+
+
+@register(
+    "q_bilinear_regular",
+    oracle=f"""
+    WITH tgt AS ({_TGT_SQL}), src AS ({_SRC_IMG_SQL}),
+    t AS (
+      SELECT cell_id,
+             (cx - ({WORLD_AREA.area_extent[0]!r})) / {WORLD_AREA.pixel_size_x!r} - 0.5 AS xf,
+             ({WORLD_AREA.area_extent[3]!r} - cy) / {WORLD_AREA.pixel_size_y!r} - 0.5 AS yf
+      FROM tgt
+    ),
+    tc AS (
+      SELECT cell_id, xf - FLOOR(xf) AS tx, yf - FLOOR(yf) AS ty,
+             GREATEST(0, LEAST({WORLD_AREA.width - 1}, CAST(FLOOR(xf) AS BIGINT))) AS c0c,
+             GREATEST(0, LEAST({WORLD_AREA.width - 1}, CAST(FLOOR(xf) AS BIGINT) + 1)) AS c1c,
+             GREATEST(0, LEAST({WORLD_AREA.height - 1}, CAST(FLOOR(yf) AS BIGINT))) AS r0c,
+             GREATEST(0, LEAST({WORLD_AREA.height - 1}, CAST(FLOOR(yf) AS BIGINT) + 1)) AS r1c
+      FROM t
+    )
+    SELECT tc.cell_id,
+           ROUND((1.0 - tx) * (1.0 - ty) * s00.value
+               + tx * (1.0 - ty) * s01.value
+               + (1.0 - tx) * ty * s10.value
+               + tx * ty * s11.value, 6) + 0.0 AS bilinear_value
+    FROM tc
+    JOIN src s00 ON tc.r0c = s00.row AND tc.c0c = s00.col
+    JOIN src s01 ON tc.r0c = s01.row AND tc.c1c = s01.col
+    JOIN src s10 ON tc.r1c = s10.row AND tc.c0c = s10.col
+    JOIN src s11 ON tc.r1c = s11.row AND tc.c1c = s11.col
+    """,
+)
+def q_bilinear_regular(spark, sf_dir):
+    """Regular-grid bilinear as column math + 4 corner joins
+    (gradient/__init__.py:362-380; bilinear/_base.py:635-642 weights)."""
+    tgt = TEST_AREA.grid(spark)
+    src = synth_image(spark, WORLD_AREA)
+    out = bilinear_regular(tgt, WORLD_AREA, src)
+    return out.select(
+        "cell_id", rnd(F.col("bilinear_value"), 6).alias("bilinear_value")
+    )
+
+
+@register(
+    "q_affine_regrid",
+    oracle=f"""
+    WITH tgt AS ({_TGT_SQL}), src AS ({_EQC_IMG_SQL}),
+    t AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({EQC_AREA.area_extent[3]!r} - radians(cy) * 6370997.0) / {EQC_AREA.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((radians(cx) * 6370997.0 - ({EQC_AREA.area_extent[0]!r})) / {EQC_AREA.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM tgt
+    )
+    SELECT t.cell_id, t.src_row, t.src_col, src.value AS src_value
+    FROM t LEFT JOIN src ON t.src_row = src.row AND t.src_col = src.col
+    WHERE t.src_row BETWEEN 0 AND {EQC_AREA.height - 1}
+      AND t.src_col BETWEEN 0 AND {EQC_AREA.width - 1}
+    """,
+)
+def q_affine_regrid(spark, sf_dir):
+    """Gradient-search replacement (gradient/__init__.py:236-336):
+    longlat target ← eqc source via analytic projection + affine inverse
+    feeding an equi-join; exact for projected uniform grids."""
+    tgt = TEST_AREA.grid(spark)
+    src = synth_image(spark, EQC_AREA)
+    out = affine_regrid_nn(tgt, EQC_AREA, src)
+    return out.select("cell_id", "src_row", "src_col", "src_value")
