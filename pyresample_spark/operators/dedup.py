@@ -1,0 +1,163 @@
+"""Deduplication operators for large-scale text pipelines (SURVEY.md
+§2.10 extension ops; built from the same join/agg primitives as the geo
+core — MinHash banding IS the cell-bucketed join pattern of
+operators/knn.py applied to hash space).
+
+Engine-portable hashing: every hash is ``bigint(first 15 hex chars of
+md5(...))`` — identical in Spark (``conv(substr(md5(x),1,15),16,10)``)
+and DuckDB (``cast('0x'||substr(md5(x),1,15) as bigint)``), unlike the
+engines' built-in ``hash()`` functions which differ. 60-bit positive.
+
+Scale notes:
+- Exact dedup: one shuffle on the text hash; at 100 TB hash first
+  (map-side) so the shuffle moves 8-byte keys, never full documents.
+- MinHash: explode to (doc, shingle, seed) rows → two-level min-agg →
+  band-signature equi-self-join. The self-join shuffles on
+  (band, signature); hot signatures (boilerplate dups) are exactly the
+  skewed-cell case — AQE skew-join splits them.
+- SimHash: one groupBy(doc) with 16 conditional sums — map-side partial
+  agg makes this a single cheap pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BAND_SIZE = 4  # → 4 bands of 4 rows
+SIMHASH_BITS = 16
+
+
+def md5_bigint(col):
+    """Portable 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_bigint_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def words_col(text_col="text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(df: DataFrame, n: int = 3, text_col="text") -> DataFrame:
+    """(doc_id, shingle) rows: word n-grams, distinct per doc."""
+    ws = words_col(text_col)
+    parts = [
+        f"element_at(ws, i + {k + 1})" if k == 0 else f"' ', element_at(ws, i + {k + 1})"
+        for k in range(n)
+    ]
+    concat_expr = "concat(" + ", ".join(
+        f"element_at(ws, i + {k + 1})" + (", ' '" if k < n - 1 else "")
+        for k in range(n)
+    ) + ")"
+    sh = (
+        df.withColumn("ws", ws)
+        .filter(F.size("ws") >= n)
+        .withColumn(
+            "shingle",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {n}), i -> {concat_expr})"
+                )
+            ),
+        )
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return sh
+
+
+def shingles_sql(n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` over the documents view."""
+    concat = " || ' ' || ".join(f"ws[i + {k + 1}]" for k in range(n))
+    return f"""
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(ws) - {n - 1}),
+                                     i -> {concat})) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        WHERE len(ws) >= {n}
+      )
+    """
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, j, minhash): min over shingles of hash_j(shingle)."""
+    seeded = sh.withColumn(
+        "j", F.explode(F.expr(f"sequence(0, {n_hashes - 1})"))
+    ).withColumn(
+        "h",
+        md5_bigint(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
+        ),
+    )
+    return seeded.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+
+
+def band_signatures(mh: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band, sig): ordered concat of the band's minhashes."""
+    banded = mh.withColumn("band", F.expr(f"j div {band_size}"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(j, "
+            "cast(mh as string) as m))), x -> x.m), ',')"
+        ).alias("sig")
+    )
+
+
+def minhash_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band signature."""
+    sh = shingles(docs, n)
+    sigs = band_signatures(minhash_signatures(sh))
+    a = sigs.select(
+        F.col("doc_id").alias("doc1"), "band", "sig"
+    )
+    b = sigs.select(F.col("doc_id").alias("doc2"), "band", "sig")
+    pairs = a.join(b, ["band", "sig"]).filter(F.col("doc1") < F.col("doc2"))
+    return pairs.groupBy("doc1", "doc2").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): sign-of-weighted-bit-sums fingerprint over the
+    document's words (with multiplicity)."""
+    w = (
+        docs.withColumn("word", F.explode(words_col()))
+        .withColumn("h", md5_bigint(F.col("word")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {k}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(bits)
+    ]
+    sums = w.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for k in range(bits):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    sum_cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(bits)
+    )
+    return f"""
+      SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
+        SELECT doc_id, {sum_cols}
+        FROM (
+          SELECT doc_id, {md5_bigint_sql('word')} AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+        ) GROUP BY doc_id
+      )
+    """

@@ -1,1 +1,160 @@
+"""Streaming-shaped queries over the events table (SURVEY.md §2.9),
+expressed as batch SQL so DuckDB can oracle them; the Structured
+Streaming wrappers over the same logic live in
+pyresample_spark/streaming/windows.py.
 
+Time base: events.parquet stores TIMESTAMP(NANOS). Spark reads int64
+nanoseconds (nanosAsLong), DuckDB truncates to µs on read — so every
+query converts to **epoch microseconds** (Spark: ``ts div 1000``,
+DuckDB: ``epoch_us(ts)``) and does exact integer window math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyresample_spark.operators.bucket import load_events
+from pyresample_spark.queries import register, rnd
+
+HOUR_US = 3_600_000_000
+GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
+DAY_US = 24 * HOUR_US
+
+
+def _ev_us(spark, sf_dir):
+    return load_events(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+
+
+EV_US_SQL = "SELECT *, epoch_us(ts) AS ts_us FROM events"
+
+
+@register(
+    "q_events_tumbling",
+    oracle=f"""
+    SELECT (ts_us // {HOUR_US}) * {HOUR_US} AS win_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM ({EV_US_SQL})
+    GROUP BY win_start_us, event_type
+    """,
+    tags=("bench",),
+)
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1h window aggregation (streaming groupBy(window(ts,1h))
+    batch twin; SURVEY §2.9 q_events_tumbling)."""
+    ev = _ev_us(spark, sf_dir)
+    return ev.groupBy(
+        (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("win_start_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint")).alias(
+            "sum_value_c"
+        ),
+    )
+
+
+@register(
+    "q_events_session",
+    oracle=f"""
+    WITH ev AS ({EV_US_SQL}),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > {GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us
+    FROM sessions GROUP BY user_id, session_num
+    """,
+)
+def q_events_session(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + cumulative sum
+    (batch formulation of session windows; SURVEY §2.9)."""
+    ev = _ev_us(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_ts = F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            lag_ts.isNull() | (F.col("ts_us") - lag_ts > GAP_US), 1
+        ).otherwise(0),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sessions = flagged.withColumn(
+        "session_num", F.sum("is_new").over(cum)
+    )
+    return sessions.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@register(
+    "q_events_late",
+    oracle=f"""
+    SELECT event_id, ts_us
+    FROM ({EV_US_SQL})
+    WHERE ts_us >= (SELECT MAX(ts_us) FROM ({EV_US_SQL})) - {DAY_US}
+    """,
+)
+def q_events_late(spark, sf_dir):
+    """Watermark-style late-data predicate: keep events within 1 day of
+    the max event time (SURVEY §2.9 q_events_late)."""
+    ev = _ev_us(spark, sf_dir).select("event_id", "ts_us")
+    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts_us") >= F.col("max_us") - DAY_US)
+        .select("event_id", "ts_us")
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Exact distinct aggregation twin of q_approx_distinct (hash-
+    verifiable; the approximate variant can't match across engines)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q_approx_distinct", oracle=None)
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) + approx quantiles per event_type
+    (SURVEY §2.10). No oracle: HLL/quantile-sketch implementations are
+    engine-specific — driver records rows-only; the exact twin
+    q_distinct_agg is hash-verified."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    )

@@ -1,1 +1,85 @@
+"""Set-operation queries (SURVEY.md §2.7): geometry concat/union,
+enclose_areas bounds algebra."""
 
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyresample_spark.queries import register, rnd
+from pyresample_spark.queries.core import TEST_AREA
+from pyresample_spark.queries.filters import REDUCE_AREA
+from pyresample_spark.queries.geo_scalar import PTS_SQL
+
+
+@register(
+    "q_union_swaths",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT event_id, 0 AS part, lon, lat FROM pts WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, 1 AS part, lon + 5.0 AS lon, lat FROM pts WHERE event_id % 2 = 1
+    """,
+)
+def q_union_swaths(spark, sf_dir):
+    """Swath concatenation (geometry.py:672-691, StackedAreaDefinition
+    append geometry.py:2948): unionByName of point frames — plan-level
+    concat, no shuffle."""
+    from pyresample_spark.queries.geo_scalar import _pts
+
+    pts = _pts(spark, sf_dir)
+    a = pts.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", F.lit(0).alias("part"), "lon", "lat"
+    )
+    b = pts.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        F.lit(1).alias("part"),
+        (F.col("lon") + 5.0).alias("lon"),
+        "lat",
+    )
+    return a.unionByName(b)
+
+
+def _corners_sql(area, tag):
+    llx, lly, urx, ury = area.area_extent
+    return (
+        f"SELECT '{tag}' AS area_id, {llx!r} AS x, {lly!r} AS y "
+        f"UNION ALL SELECT '{tag}', {urx!r}, {ury!r}"
+    )
+
+
+@register(
+    "q_enclose_areas",
+    oracle=f"""
+    WITH corners AS (
+      {_corners_sql(TEST_AREA, 'test')}
+      UNION ALL
+      {_corners_sql(REDUCE_AREA, 'reduce')}
+    )
+    SELECT MIN(x) AS llx, MIN(y) AS lly, MAX(x) AS urx, MAX(y) AS ury,
+           CAST(ROUND((MAX(x) - MIN(x)) / {TEST_AREA.pixel_size_x!r}) AS BIGINT) AS width,
+           CAST(ROUND((MAX(y) - MIN(y)) / {TEST_AREA.pixel_size_y!r}) AS BIGINT) AS height
+    FROM corners
+    """,
+)
+def q_enclose_areas(spark, sf_dir):
+    """enclose_areas (geometry.py:3106-3143): union of corner rows →
+    min/max agg → enclosing extent + shape at the first area's
+    resolution."""
+    rows = []
+    for tag, area in (("test", TEST_AREA), ("reduce", REDUCE_AREA)):
+        llx, lly, urx, ury = area.area_extent
+        rows.append((tag, float(llx), float(lly)))
+        rows.append((tag, float(urx), float(ury)))
+    corners = spark.createDataFrame(rows, "area_id string, x double, y double")
+    return corners.agg(
+        F.min("x").alias("llx"),
+        F.min("y").alias("lly"),
+        F.max("x").alias("urx"),
+        F.max("y").alias("ury"),
+        F.round((F.max("x") - F.min("x")) / TEST_AREA.pixel_size_x, 0)
+        .cast("bigint")
+        .alias("width"),
+        F.round((F.max("y") - F.min("y")) / TEST_AREA.pixel_size_y, 0)
+        .cast("bigint")
+        .alias("height"),
+    )

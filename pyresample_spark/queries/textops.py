@@ -1,1 +1,330 @@
+"""Text-pipeline queries (SURVEY.md §2.10): dedup family + text
+analysis over the documents table."""
 
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyresample_spark.operators.dedup import (
+    md5_bigint,
+    md5_bigint_sql,
+    minhash_candidates,
+    shingles_sql,
+    simhash,
+    simhash_sql,
+    words_col,
+)
+from pyresample_spark.queries import register, rnd, table
+
+N_HASHES = 16
+BAND = 4
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text_hash
+    """,
+    tags=("bench",),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: groupBy(sha256(text)) keeping the min doc_id as
+    representative. At 100 TB: hash map-side so the shuffle carries
+    8-byte keys, not documents."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("rep_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS ({shingles_sql(3)}),
+    seeded AS (
+      SELECT doc_id, j,
+             {md5_bigint_sql("concat(CAST(j AS VARCHAR), ':', shingle)")} AS h
+      FROM sh CROSS JOIN (SELECT unnest(range({N_HASHES})) AS j)
+    ),
+    mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, j // {BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc1, doc2
+"""
+
+
+@register("q_dedup_minhash", oracle=_MINHASH_ORACLE, tags=("bench",))
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dedup: word-3-shingles → 16 portable hashes →
+    min per seed → 4 banded signatures → band equi-self-join (the
+    cell-join pattern of the geo kNN, applied to hash space)."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_candidates(d, n=3)
+
+
+@register("q_dedup_simhash", oracle=simhash_sql())
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash document fingerprints: 16-bit sign-of-bit-sum over word
+    hashes — one groupBy with conditional sums (map-side combinable)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, lang, n_chars,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words
+              FROM dw GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM dw a JOIN dw b
+        ON a.word = b.word AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 4
+      GROUP BY doc1, doc2
+    )
+    SELECT doc1, doc2,
+           ROUND(CAST(n_common AS DOUBLE) / (s1.n_words + s2.n_words - n_common), 6) + 0.0 AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_common AS DOUBLE) / (s1.n_words + s2.n_words - n_common) >= 0.3
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram (word-set) Jaccard near-dup with cheap blocking (same
+    lang, |Δn_chars| ≤ 4) — block-join → intersection count → Jaccard
+    filter. At scale the blocking key bounds the quadratic self-join."""
+    d = table(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "doc_id", "lang", "n_chars", F.explode(words_col()).alias("word")
+        )
+        .distinct()
+    )
+    sizes = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = dw.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("lang").alias("lang1"),
+        F.col("n_chars").alias("nc1"),
+        "word",
+    )
+    b = dw.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("n_chars").alias("nc2"),
+        "word",
+    )
+    inter = (
+        a.join(b, "word")
+        .filter(
+            (F.col("lang1") == F.col("lang2"))
+            & (F.col("doc1") < F.col("doc2"))
+            & (F.abs(F.col("nc1") - F.col("nc2")) <= 4)
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_words").alias("nw1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_words").alias("nw2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("nw1") + F.col("nw2") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .filter(jac >= 0.3)
+        .select("doc1", "doc2", rnd(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_words,
+           ROUND(CAST(SUM(length(text)) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6) + 0.0 AS avg_len
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-language corpus stats: doc counts, char/word sums, exact
+    integer-sum average length (SURVEY §2.10 q_text_stats)."""
+    d = table(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(n_words).alias("sum_words"),
+        rnd(F.sum(F.length("text")) / F.count(F.lit(1)), 6).alias("avg_len"),
+    )
+
+
+_MARKERS = {
+    "en": (" the ", " and "),
+    "de": (" der ", " und "),
+    "es": (" el ", " la "),
+    "fr": (" le ", " et "),
+    "zh": (" zh ", " wu "),
+}
+
+
+def _marker_count_sql(m):
+    return (
+        f"CAST((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} AS BIGINT)"
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["en"])} AS s_en,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["de"])} AS s_de,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["es"])} AS s_es,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["fr"])} AS s_fr,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["zh"])} AS s_zh
+      FROM (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)
+    )
+    SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+           CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_zh, 1) THEN 'en'
+                WHEN s_de >= GREATEST(s_es, s_fr, s_zh, 1) THEN 'de'
+                WHEN s_es >= GREATEST(s_fr, s_zh, 1) THEN 'es'
+                WHEN s_fr >= GREATEST(s_zh, 1) THEN 'fr'
+                WHEN s_zh >= 1 THEN 'zh'
+                ELSE 'und' END AS lang_guess
+    FROM scored
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Language-ID by stopword-marker counting (n-gram heuristic,
+    SURVEY §2.10): substring-occurrence scores per language, ordered
+    CASE for a deterministic argmax."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "padded", F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    )
+
+    def count_m(m):
+        return (
+            (F.length("padded") - F.length(F.regexp_replace("padded", m, "")))
+            / len(m)
+        ).cast("bigint")
+
+    scores = {
+        lang: sum(
+            (count_m(m) for m in ms), F.lit(0).cast("bigint")
+        ).alias(f"s_{lang}")
+        for lang, ms in _MARKERS.items()
+    }
+    sc = d.select("doc_id", *scores.values())
+    s = {k: F.col(f"s_{k}") for k in _MARKERS}
+    guess = (
+        F.when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"], s["zh"], F.lit(1)), "en")
+        .when(s["de"] >= F.greatest(s["es"], s["fr"], s["zh"], F.lit(1)), "de")
+        .when(s["es"] >= F.greatest(s["fr"], s["zh"], F.lit(1)), "es")
+        .when(s["fr"] >= F.greatest(s["zh"], F.lit(1)), "fr")
+        .when(s["zh"] >= 1, "zh")
+        .otherwise("und")
+    )
+    return sc.select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", guess.alias("lang_guess"))
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1), 6) + 0.0 AS avg_word_len,
+           ROUND(CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', '')) AS DOUBLE) / 3.0
+                 / (length(text) - length(replace(text, ' ', '')) + 1), 6) + 0.0 AS stopword_ratio,
+           ROUND(LEAST(1.0, CAST(length(text) AS DOUBLE) / 400.0), 6) + 0.0 AS length_score
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Document quality features: word counts, avg word length,
+    stopword ratio, saturating length score (SURVEY §2.10) — all
+    length/replace column math, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    no_sp = F.regexp_replace("text", " ", "")
+    n_words = F.length(text) - F.length(no_sp) + 1
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    a_count = (
+        F.length(padded) - F.length(F.regexp_replace(padded, " a ", ""))
+    ).cast("double") / 3.0
+    return d.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars_actual"),
+        n_words.cast("bigint").alias("n_words"),
+        rnd(F.length(no_sp).cast("double") / n_words, 6).alias("avg_word_len"),
+        rnd(a_count / n_words, 6).alias("stopword_ratio"),
+        rnd(F.least(F.lit(1.0), F.length(text).cast("double") / 400.0), 6).alias(
+            "length_score"
+        ),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    count (SURVEY §2.10 q_token_count)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    bpe = F.expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+    return d.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {md5_bigint_sql('text')} AS fp64,
+           CAST({md5_bigint_sql('text')} % 1024 AS BIGINT) AS fp_bucket
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: portable 60-bit content hash + bucket
+    (rolling-hash analog, SURVEY §2.10 q_fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    fp = md5_bigint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fp64"),
+        (fp % 1024).cast("bigint").alias("fp_bucket"),
+    )
