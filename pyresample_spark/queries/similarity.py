@@ -1,1 +1,224 @@
+"""Embedding similarity queries (SURVEY.md §2.10): cosine top-k,
+embedding near-dup, IVF and sign-LSH approximate search."""
 
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyresample_spark.operators.similarity import (
+    cosine_topk,
+    dot,
+    ivf_assign,
+    sign_lsh_bucket,
+    sign_lsh_bucket_sql,
+    with_norm,
+)
+from pyresample_spark.queries import register, rnd, table
+
+# DuckDB: embeddings as double lists with norms.
+_VD_SQL = """
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS vn
+    FROM embeddings
+"""
+
+
+def _emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    probes AS (SELECT * FROM d WHERE vec_id % 100 = 0),
+    ranked AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_dot_product(c.v, p.v) / (c.vn * p.vn) AS cos,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY ROUND(list_dot_product(c.v, p.v) / (c.vn * p.vn), 9) DESC,
+                        c.vec_id ASC) AS rank
+      FROM d c CROSS JOIN probes p
+      WHERE c.vec_id != p.vec_id
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) + 0.0 AS cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("bench",),
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for probe vectors (vec_id % 100 = 0):
+    the exact ANN baseline; same top-k-per-group shape as the geo kNN
+    join (SURVEY §2.10 q_cosine_topk)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = cosine_topk(emb, probes, k=10)
+    return out.select(
+        "probe_id", "vec_id", rnd(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH d AS ({_VD_SQL})
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) + 0.0 AS cos
+    FROM d a JOIN d b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) >= 0.4
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: label-blocked self-join, keep pairs
+    with cosine ≥ 0.4 (SURVEY §2.10). The blocking key bounds the
+    quadratic join at scale (same role as the MinHash band)."""
+    emb = with_norm(_emb(spark, sf_dir))
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("l1"),
+        F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("l2"),
+        F.col("embedding").alias("e2"), F.col("vnorm").alias("n2"),
+    )
+    cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("v1", "v2", rnd(F.col("cos_raw"), 6).alias("cos"))
+    )
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv) / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT d.vec_id AS probe_id, d.v AS pv, d.vn AS pn, a.centroid_id
+      FROM d JOIN assign a ON d.vec_id = a.vec_id
+      WHERE d.vec_id % 100 = 0
+    ),
+    cand AS (
+      SELECT p.probe_id, d.vec_id,
+             list_dot_product(d.v, p.pv) / (d.vn * p.pn) AS cos
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN d ON d.vec_id = a.vec_id
+      WHERE d.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) + 0.0 AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY ROUND(cos, 9) DESC, vec_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate NN: deterministic seed centroids (vec_id % 50),
+    max-cosine cluster assignment, probe searches only its own cluster
+    → top-5. The scale path: the probe join touches one cluster's
+    partition instead of the corpus (SURVEY §2.10)."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
+    probes = (
+        embn.join(assign, "vec_id")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pv"),
+            F.col("vnorm").alias("pn"),
+            "centroid_id",
+        )
+    )
+    cluster = embn.join(assign, "vec_id")
+    cand = cluster.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = dot(F.col("embedding"), F.col("pv")) / (F.col("vnorm") * F.col("pn"))
+    ranked = cand.withColumn("cos_raw", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("probe_id").orderBy(
+                F.round(F.col("cos_raw"), 9).desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, label, v, vn, {sign_lsh_bucket_sql('v', 8)} AS bucket
+      FROM ({_VD_SQL})
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, vn AS pn, bucket
+               FROM d WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT p.probe_id, d.vec_id,
+             list_dot_product(d.v, p.pv) / (d.vn * p.pn) AS cos
+      FROM probes p JOIN d ON d.bucket = p.bucket
+      WHERE d.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) + 0.0 AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY ROUND(cos, 9) DESC, vec_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= 3
+    """,
+)
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed cosine search: bucket = sign bits of the first
+    8 components; candidates co-bucket only → top-3 (the hash-space
+    twin of the geo cell join; SURVEY §2.10)."""
+    emb = with_norm(_emb(spark, sf_dir)).withColumn(
+        "bucket", sign_lsh_bucket("embedding", 8)
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("vnorm").alias("pn"),
+        "bucket",
+    )
+    cand = emb.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = dot(F.col("embedding"), F.col("pv")) / (F.col("vnorm") * F.col("pn"))
+    ranked = cand.withColumn("cos_raw", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("probe_id").orderBy(
+                F.round(F.col("cos_raw"), 9).desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
