@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns + typed metadata, processed with Arrow-batched ``mapInPandas``.
+
+The decode kernels themselves are STUBBED (the image/audio libraries are
+not in this container — see :func:`decode_image`); everything Spark-side
+is real and tested: schemas, batch iteration, partitioning, and the
+deterministic fake feature extractor used by q_multimodal_meta.
+
+Scale notes: binary payloads ride the Arrow channel in batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory);
+heavy decode work should be partition-parallel (``repartition(n)``
+before ``mapInPandas`` if payload sizes are skewed). Frame sampling /
+resizing emit one row per frame via the iterator protocol — no
+collect, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, media_type string, "
+    "n_bytes long, fake_width long, fake_height long, checksum long"
+)
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to HxWxC pixels.
+
+    STUB: no imaging library is available in this environment. On a
+    real cluster, plug Pillow/torchvision here; the surrounding Spark
+    plumbing (schema, batching, partitioning) is unchanged.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library (e.g. Pillow); "
+        "not available in this environment"
+    )
+
+
+def sample_frames(payload: bytes, every_n: int = 10):
+    """Sample video frames. STUB — see :func:`decode_image`."""
+    raise NotImplementedError("video decode not available in this environment")
+
+
+def _fake_features(payload: bytes) -> tuple:
+    """Deterministic stand-in for feature extraction: derive metadata
+    purely from the bytes so tests (and the DuckDB oracle) can verify
+    the plumbing end-to-end."""
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    return n, (n * 7) % 640 + 1, (n * 13) % 480 + 1, checksum
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload, media_type).
+
+    Arrow-batched; one output row per input row. Swap
+    :func:`_fake_features` for a real decoder on a cluster with the
+    media libraries installed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_fake_features)
+            out = pdf[["doc_id", "payload", "media_type"]].copy()
+            out["n_bytes"] = [f[0] for f in feats]
+            out["fake_width"] = [f[1] for f in feats]
+            out["fake_height"] = [f[2] for f in feats]
+            out["checksum"] = [f[3] for f in feats]
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Treat document text bytes as an opaque payload column — the
+    schema/partitioning shape of a real image table."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )

@@ -76,6 +76,7 @@ def load_all() -> dict:
         events,
         textops,
         similarity,
+        multimodal,
     )
 
     return REGISTRY

@@ -10,6 +10,7 @@ distance, (dist, src_id) ranking).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -238,3 +239,39 @@ def q_weighted_avg(spark, sf_dir):
         rnd(F.sum(w), 6).alias("weight_sum"),
         F.max_by(v, F.struct(w, -F.col("src_id"))).alias("maxw_value"),
     ).select("tgt_id", "ewa_value", "weight_sum", "maxw_value")
+
+
+@register(
+    "q_custom_weight",
+    oracle=PAIRS_SQL
+    + f"""
+    , wp AS (
+      SELECT tgt_id, value,
+             1.0 / (1.0 + (dist_mm / 1000.0) / {RADIUS_M!r}) AS w
+      FROM ranked WHERE nn_rank <= 8
+    )
+    SELECT tgt_id,
+           ROUND(SUM(w * value) / SUM(w), 6) + 0.0 AS custom_value,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbours
+    FROM wp GROUP BY tgt_id
+    """,
+)
+def q_custom_weight(spark, sf_dir):
+    """resample_custom (kd_tree.py:192-253): user-supplied radial weight
+    function applied between join and aggregation — the reference's one
+    true user-code extension point, realized as an Arrow-vectorized
+    pandas UDF on the dist column (SURVEY §2.11)."""
+    @F.pandas_udf("double")
+    def inv_dist_weight(d: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + d / RADIUS_M)
+
+    nn = _knn_pairs(spark, sf_dir, k=8)
+    src_vals = _src(spark, sf_dir).select("src_id", "value")
+    wp = nn.join(F.broadcast(src_vals), "src_id", "inner").withColumn(
+        "w", inv_dist_weight(F.col("dist_m"))
+    )
+    v, w = F.col("value"), F.col("w")
+    return wp.groupBy("tgt_id").agg(
+        rnd(F.sum(w * v) / F.sum(w), 6).alias("custom_value"),
+        F.count(F.lit(1)).alias("n_neighbours"),
+    )
