@@ -1,0 +1,159 @@
+"""Resampler facade + join-strategy planner (SURVEY.md §3, §4).
+
+Mirrors the reference's entry-point shape — ``precompute`` / ``compute``
+/ ``resample`` (resampler.py:50-141) and the method registry
+(future/resamplers/registry.py:33-151) — as a plain plan builder: every
+method returns a DataFrame plan that Catalyst optimizes; no custom
+Catalyst rules are required (SURVEY §4 verdict).
+
+Strategy dispatch (the one real planner decision,
+cf. create_gradient_search_resampler gradient/__init__.py:54-60):
+
+  1. source == target            → no-op (resampler.py:121-122)
+  2. area ↔ area (analytic CRS)  → affine/projection inverse equi-join
+  3. small source (≤ broadcast)  → broadcast numpy probe (UDF kd-tree)
+  4. otherwise                   → 3-D cell-bucketed shuffle kNN join
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.plans.lut import LutCache
+
+BROADCAST_SOURCE_LIMIT = 5_000_000  # points; ~120 MB of xyz coords
+
+
+@dataclass
+class ResamplePlan:
+    strategy: str
+    lut: DataFrame | None
+
+
+class Resampler:
+    """Facade binding source + target geometry, with LUT caching.
+
+    resample(data) = precompute (build/load the LUT join) + compute
+    (gather/aggregate with the caller's combine), matching the
+    reference lifecycle (resampler.py:80-141).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_area_or_hash,
+        tgt_area: AreaDefinition,
+        cache_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.src = src_area_or_hash
+        self.tgt = tgt_area
+        self.cache = LutCache(cache_dir) if cache_dir else None
+
+    def _hash(self, geom) -> str:
+        if isinstance(geom, AreaDefinition):
+            return geom.geometry_hash()
+        return str(geom)
+
+    def choose_strategy(self, src_count: int | None = None) -> str:
+        if (
+            isinstance(self.src, AreaDefinition)
+            and self.src == self.tgt
+        ):
+            return "noop"
+        if isinstance(self.src, AreaDefinition) and self.src.crs in (
+            "longlat",
+            "eqc",
+        ):
+            return "analytic"
+        if src_count is not None and src_count <= BROADCAST_SOURCE_LIMIT:
+            return "broadcast_knn"
+        return "cell_knn"
+
+    def precompute(
+        self,
+        src_points: DataFrame,
+        tgt_points: DataFrame,
+        radius_m: float,
+        k: int | None = 1,
+        src_count: int | None = None,
+    ) -> ResamplePlan:
+        """Build (or load) the neighbour-info LUT."""
+        from pyresample_spark.operators.knn import (
+            knn_join,
+            knn_join_broadcast,
+            with_geocentric,
+        )
+
+        strategy = self.choose_strategy(src_count)
+        if strategy == "noop":
+            return ResamplePlan("noop", None)
+
+        def compute():
+            if strategy == "broadcast_knn":
+                return knn_join_broadcast(
+                    with_geocentric(src_points),
+                    with_geocentric(tgt_points),
+                    radius_m,
+                    k=k or 1,
+                )
+            return knn_join(src_points, tgt_points, radius_m, k=k)
+
+        if self.cache is not None:
+            lut = self.cache.get_or_compute(
+                self.spark,
+                self._hash(self.src),
+                self._hash(self.tgt),
+                radius_m,
+                k,
+                compute,
+            )
+        else:
+            lut = compute().persist()
+        return ResamplePlan(strategy, lut)
+
+    def compute(
+        self, plan: ResamplePlan, src_values: DataFrame, combine
+    ) -> DataFrame:
+        """Apply the LUT: join source values, run the caller's combine
+        (a function DataFrame→DataFrame over (tgt_id, src_id, dist_m,
+        value...) pair rows)."""
+        if plan.strategy == "noop":
+            return src_values
+        pairs = plan.lut.join(src_values, "src_id", "inner")
+        return combine(pairs)
+
+    def resample(
+        self,
+        src_points: DataFrame,
+        src_values: DataFrame,
+        tgt_points: DataFrame,
+        radius_m: float,
+        combine,
+        k: int | None = 1,
+    ) -> DataFrame:
+        plan = self.precompute(src_points, tgt_points, radius_m, k=k)
+        return self.compute(plan, src_values, combine)
+
+
+# --- method registry (future/resamplers/registry.py analog) -----------
+_RESAMPLERS: dict = {}
+
+
+def register_resampler(name: str):
+    def deco(fn):
+        _RESAMPLERS[name] = fn
+        return fn
+
+    return deco
+
+
+def create_resampler(name: str, *args, **kwargs):
+    if name not in _RESAMPLERS:
+        raise KeyError(
+            f"unknown resampler {name!r}; available: {sorted(_RESAMPLERS)}"
+        )
+    return _RESAMPLERS[name](*args, **kwargs)

@@ -1,0 +1,100 @@
+"""Structured Streaming wrappers over the engine's batch operators
+(SURVEY.md §2.9).
+
+pyresample is strictly batch; its scanline/segment micro-batching
+(ewa/_fornav.pyx:163-190, kd_tree.py:343-366) maps naturally onto
+Structured Streaming micro-batches. These wrappers expose the same
+aggregations as the batch queries (q_events_tumbling / q_events_session
+are the DuckDB-oracled batch twins) over a streaming source.
+
+Scale notes: watermarks bound state; the bucket aggregation keyed by
+(window, cell) is the streaming version of the bucket resampler — state
+store size = #active windows × #cells, independent of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch ns (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (file-source micro-batches;
+    on a real deployment this is the Kafka source with the same schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("path", f"{sf_dir}")
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — streaming twin of
+    q_events_tumbling."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_bucket_average(stream: DataFrame, area, window: str = "1 hour") -> DataFrame:
+    """Streaming bucket resampler: per-window per-cell average — the
+    bucket operator (operators/bucket.py) under a watermark."""
+    from pyresample_spark.functions.geo import derived_lat, derived_lon
+    from pyresample_spark.operators.bucket import assign_cells
+
+    pts = stream.withColumn("lon", derived_lon()).withColumn(
+        "lat", derived_lat()
+    )
+    assigned = assign_cells(pts, area, x_col="lon", y_col="lat")
+    return (
+        assigned.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", window), "cell_id")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"), "cell_id", "avg_value", "n"
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming query to completion on the static file source
+    (test harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

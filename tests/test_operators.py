@@ -1,0 +1,124 @@
+"""Cross-implementation equivalence + operator unit tests (mirrors the
+reference's dask-vs-legacy equivalence suites, test_dask_ewa.py:325)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.operators.knn import (
+    knn_join,
+    knn_join_broadcast,
+    with_geocentric,
+)
+from pyresample_spark.operators.multimodal import (
+    decode_image,
+    documents_as_media,
+    extract_media_meta,
+)
+from pyresample_spark.operators.reduce import slice_crop
+from pyresample_spark.plans.lut import LutCache
+from pyresample_spark.plans.planner import Resampler
+from pyresample_spark.sources.area_yaml import (
+    create_area_def,
+    dump_area,
+    load_area_from_string,
+)
+
+
+def _pts(spark, rows, id_col="src_id"):
+    return spark.createDataFrame(
+        rows, f"{id_col} long, lon double, lat double"
+    )
+
+
+def test_knn_cell_vs_broadcast_equivalence(spark):
+    """The two kNN strategies must return identical neighbour sets."""
+    src = _pts(
+        spark,
+        [(i, float(-170 + 3 * i), float(-50 + 2 * i)) for i in range(40)],
+    )
+    tgt = _pts(
+        spark,
+        [(j, float(-169 + 4 * j), float(-49 + 3 * j)) for j in range(25)],
+        id_col="tgt_id",
+    )
+    cell = knn_join(src, tgt, 500_000.0, k=2).orderBy("tgt_id", "nn_rank")
+    bc = knn_join_broadcast(
+        with_geocentric(src), with_geocentric(tgt), 500_000.0, k=2
+    ).orderBy("tgt_id", "nn_rank")
+    a = [(r.tgt_id, r.src_id, round(r.dist_m, 3)) for r in cell.collect()]
+    b = [(r.tgt_id, r.src_id, round(r.dist_m, 3)) for r in bc.collect()]
+    assert a == b
+    assert len(a) > 0
+
+
+def test_knn_respects_radius(spark):
+    src = _pts(spark, [(1, 0.0, 0.0)])
+    tgt = _pts(spark, [(1, 0.1, 0.0), (2, 10.0, 0.0)], id_col="tgt_id")
+    out = knn_join(src, tgt, 50_000.0, k=1).collect()
+    assert [r.tgt_id for r in out] == [1]  # 10° away is outside 50 km
+
+
+def test_slice_crop_bounds():
+    area = AreaDefinition("t", "longlat", 85, 80, (-20.0, 20.0, 20.0, 35.0))
+    r0, r1, c0, c1 = slice_crop(area, (-5.0, 25.0, 10.0, 32.0))
+    assert 0 <= r0 < r1 <= 80 and 0 <= c0 < c1 <= 85
+    with pytest.raises(ValueError):
+        slice_crop(area, (100.0, 50.0, 110.0, 60.0))
+
+
+def test_lut_cache_roundtrip(spark, tmp_path):
+    cache = LutCache(str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 1.5)], "tgt_id long, src_id long, dist_m double"
+    )
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return df
+
+    k = cache.key("a", "b", 1000.0, 1)
+    out1 = cache.get_or_compute(spark, "a", "b", 1000.0, 1, compute)
+    out2 = cache.get_or_compute(spark, "a", "b", 1000.0, 1, compute)
+    assert len(calls) == 1  # second call served from parquet
+    assert sorted(r.tgt_id for r in out2.collect()) == [1, 3]
+    assert cache.key("a", "b", 1000.0, 1) == k
+
+
+def test_resampler_noop_and_dispatch(spark):
+    area = AreaDefinition("t", "longlat", 85, 80, (-20.0, 20.0, 20.0, 35.0))
+    r = Resampler(spark, area, area)
+    assert r.choose_strategy() == "noop"
+    other = AreaDefinition("o", "stere", 10, 10, (0.0, 0.0, 1.0, 1.0))
+    r2 = Resampler(spark, other, area)
+    assert r2.choose_strategy(src_count=100) == "broadcast_knn"
+    assert r2.choose_strategy(src_count=10_000_000_000) == "cell_knn"
+
+
+def test_multimodal_stub_and_meta(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xxx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    out = extract_media_meta(documents_as_media(docs)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.n_bytes == len(r.payload)
+        assert r.checksum == sum(r.payload[:64])
+
+
+def test_area_yaml_roundtrip():
+    a = create_area_def(
+        "roundtrip", "longlat", shape=(80, 85), area_extent=(-20, 20, 20, 35)
+    )
+    text = dump_area(a)
+    [b] = load_area_from_string(text)
+    assert b.width == a.width and b.height == a.height
+    assert b.area_extent == a.area_extent
+
+
+def test_create_area_from_center():
+    a = create_area_def(
+        "c", "longlat", shape=(10, 20), resolution=1.0, center=(0.0, 0.0)
+    )
+    assert a.area_extent == (-10.0, -5.0, 10.0, 5.0)

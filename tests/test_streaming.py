@@ -1,0 +1,27 @@
+"""Structured Streaming wrappers: the streaming tumbling aggregation
+must agree with the DuckDB-oracled batch twin (q_events_tumbling)."""
+
+from pyspark.sql import functions as F
+
+from pyresample_spark.queries.events import HOUR_US, q_events_tumbling
+from pyresample_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    tumbling_counts,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    got = run_to_memory(agg, "stream_tumbling")
+    stream_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.event_type): r.n
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.win_start_us, r.event_type): r.n
+        for r in q_events_tumbling(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
