@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is fully materialized via the noop sink (no driver collect,
+no pandas conversion — measures the Spark plan only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_scan_lineitem",
+    "q_bucket_avg",
+    "q_knn_join",
+    "q_gauss_agg",
+    "q_weighted_avg",
+    "q_bilinear_regular",
+    "q_events_tumbling",
+    "q_events_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_cosine_topk",
+    "q_text_stats",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyresample_spark.queries import load_all
+    from pyresample_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench")
+    spark.range(10).count()  # JVM warmup
+
+    times = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.time()
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

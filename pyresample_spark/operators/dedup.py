@@ -42,13 +42,14 @@ def words_col(text_col="text"):
     return F.split(F.col(text_col), " ")
 
 
-def shingles(df: DataFrame, n: int = 3, text_col="text") -> DataFrame:
-    """(doc_id, shingle) rows: word n-grams, distinct per doc."""
+def shingles(df: DataFrame, n: int = 3, text_col="text", distinct: bool = False) -> DataFrame:
+    """(doc_id, shingle) rows: word n-grams.
+
+    ``distinct=False`` by default: MinHash takes a min over the shingle
+    multiset, so deduplicating first would only add a full shuffle of
+    shingle strings for identical results.
+    """
     ws = words_col(text_col)
-    parts = [
-        f"element_at(ws, i + {k + 1})" if k == 0 else f"' ', element_at(ws, i + {k + 1})"
-        for k in range(n)
-    ]
     concat_expr = "concat(" + ", ".join(
         f"element_at(ws, i + {k + 1})" + (", ' '" if k < n - 1 else "")
         for k in range(n)
@@ -65,16 +66,15 @@ def shingles(df: DataFrame, n: int = 3, text_col="text") -> DataFrame:
             ),
         )
         .select("doc_id", "shingle")
-        .distinct()
     )
-    return sh
+    return sh.distinct() if distinct else sh
 
 
 def shingles_sql(n: int = 3) -> str:
     """DuckDB twin of :func:`shingles` over the documents view."""
     concat = " || ' ' || ".join(f"ws[i + {k + 1}]" for k in range(n))
     return f"""
-      SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(range(0, len(ws) - {n - 1}),
                                      i -> {concat})) AS shingle
@@ -84,17 +84,43 @@ def shingles_sql(n: int = 3) -> str:
     """
 
 
+def _seed_constants(n: int) -> list:
+    """Deterministic 60-bit XOR mixers, one per hash function."""
+    import hashlib as _hl
+
+    return [
+        int(_hl.md5(f"seed{j}".encode()).hexdigest()[:15], 16)
+        for j in range(n)
+    ]
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, j, minhash): min over shingles of hash_j(shingle)."""
-    seeded = sh.withColumn(
-        "j", F.explode(F.expr(f"sequence(0, {n_hashes - 1})"))
-    ).withColumn(
-        "h",
-        md5_bigint(
-            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
-        ),
+    """(doc_id, j, minhash): min over shingles of hash_j(shingle).
+
+    One md5 per shingle; the per-seed family is h0 XOR C_j (XOR with a
+    fixed 60-bit constant is a bit permutation — the standard cheap
+    minhash family). 16× fewer md5 evaluations than hashing
+    (seed, shingle) pairs, and XOR never overflows (ANSI-safe).
+    """
+    consts = _seed_constants(n_hashes)
+    arr = F.array(*[F.lit(c) for c in consts])
+    seeded = (
+        sh.withColumn("h0", md5_bigint(F.col("shingle")))
+        .withColumn("cs", arr)
+        .select(
+            "doc_id",
+            "h0",
+            F.posexplode("cs").alias("j", "c"),
+        )
+        .withColumn("h", F.expr("h0 ^ c"))
     )
     return seeded.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+
+
+def seed_constants_sql(n: int = N_HASHES) -> str:
+    """DuckDB VALUES list of (j, c) seed constants."""
+    consts = _seed_constants(n)
+    return ", ".join(f"({j}, {c})" for j, c in enumerate(consts))
 
 
 def band_signatures(mh: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:

@@ -133,6 +133,37 @@ def knn_join(
         return pairs.select(
             "tgt_id", "src_id", (F.col("dist_mm") / 1000.0).alias("dist_m")
         )
+    if k == 1:
+        # Nearest neighbor as a single min() aggregation rather than a
+        # row_number window: no per-target sort, and the partial agg
+        # runs map-side so the shuffle moves one candidate per
+        # (task, target) instead of the whole pair table.
+        #
+        # min(struct(...)) would force SortAggregate (struct buffers
+        # aren't hash-aggregable), so (dist_mm, src_id) is packed into
+        # one BIGINT — min(bigint) is a HashAggregate. PACK is sized so
+        # dist_mm * PACK never overflows; if ids can exceed PACK we fall
+        # back to the struct (correct, just sort-based).
+        max_dist_mm = round(c * 1000.0)
+        pack = (1 << 62) // max(max_dist_mm + 1, 1)
+        if pack >= (1 << 33):
+            key = F.col("dist_mm") * pack + F.col("src_id")
+            best = pairs.groupBy("tgt_id").agg(F.min(key).alias("bk"))
+            return best.select(
+                "tgt_id",
+                (F.col("bk") % pack).alias("src_id"),
+                (F.expr(f"bk div {pack}") / 1000.0).alias("dist_m"),
+                F.lit(1).alias("nn_rank"),
+            )
+        best = pairs.groupBy("tgt_id").agg(
+            F.min(F.struct("dist_mm", "src_id")).alias("b")
+        )
+        return best.select(
+            "tgt_id",
+            F.col("b.src_id").alias("src_id"),
+            (F.col("b.dist_mm") / 1000.0).alias("dist_m"),
+            F.lit(1).alias("nn_rank"),
+        )
     w = W.partitionBy("tgt_id").orderBy(
         F.col("dist_mm").asc(), F.col("src_id").asc()
     )

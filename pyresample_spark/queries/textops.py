@@ -43,10 +43,10 @@ def q_dedup_exact(spark, sf_dir):
 
 _MINHASH_ORACLE = f"""
     WITH sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup', fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
     seeded AS (
-      SELECT doc_id, j,
-             {md5_bigint_sql("concat(CAST(j AS VARCHAR), ':', shingle)")} AS h
-      FROM sh CROSS JOIN (SELECT unnest(range({N_HASHES})) AS j)
+      SELECT doc_id, j, xor({md5_bigint_sql('shingle')}, c) AS h
+      FROM sh CROSS JOIN seeds
     ),
     mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
     sigs AS (
