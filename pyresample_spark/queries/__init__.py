@@ -77,6 +77,7 @@ def load_all() -> dict:
         textops,
         similarity,
         multimodal,
+        olap,
     )
 
     return REGISTRY

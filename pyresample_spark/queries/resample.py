@@ -113,3 +113,48 @@ def q_affine_regrid(spark, sf_dir):
     src = synth_image(spark, EQC_AREA)
     out = affine_regrid_nn(tgt, EQC_AREA, src)
     return out.select("cell_id", "src_row", "src_col", "src_value")
+
+
+from pyresample_spark.operators.ewa import ewa_fornav, ewa_fornav_sql  # noqa: E402
+from pyresample_spark.queries.geo_scalar import PTS_SQL  # noqa: E402
+from pyresample_spark.queries.joins import KNN_AREA  # noqa: E402
+
+
+@register(
+    "q_ewa_fornav",
+    oracle=ewa_fornav_sql(KNN_AREA, PTS_SQL),
+    tags=("bench",),
+)
+def q_ewa_fornav(spark, sf_dir):
+    """EWA fornav (ewa/_fornav.pyx:119-206 re-expressed): ll2cr column
+    math → footprint explode → gaussian-of-distance² weights → one
+    weighted hash aggregation with weight_sum_min finalize."""
+    from pyresample_spark.operators.bucket import events_points
+
+    pts = events_points(spark, sf_dir)
+    out = ewa_fornav(pts, KNN_AREA)
+    return out.select(
+        "cell_id",
+        rnd(F.col("ewa_value"), 6).alias("ewa_value"),
+        rnd(F.col("weight_sum"), 6).alias("weight_sum"),
+        "n_contrib",
+    )
+
+
+@register("q_bilinear_irregular", oracle=None)
+def q_bilinear_irregular(spark, sf_dir):
+    """Irregular-swath bilinear (bilinear/_base.py re-expressed): kNN
+    candidates → quadrant corner pick → Newton (t,s) solve in an
+    applyInPandas kernel. Non-SQL-expressible (iterative solve) →
+    rows-only driver check; golden-value parity with the analytic
+    regular-grid bilinear is pytest-verified (tests/test_bilinear.py)."""
+    from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
+    from pyresample_spark.queries.joins import _src, _tgt
+
+    out = bilinear_irregular(_src(spark, sf_dir), _tgt(spark), 400_000.0, k=16)
+    return out.select(
+        "tgt_id", "c00", "c01", "c10", "c11",
+        rnd(F.col("t"), 6).alias("t"),
+        rnd(F.col("s"), 6).alias("s"),
+        rnd(F.col("bilinear_value"), 6).alias("bilinear_value"),
+    )

@@ -1,0 +1,65 @@
+"""Golden-value test: the irregular-swath bilinear kernel must
+reproduce exact analytic bilinear interpolation when the 'swath' is a
+regular grid in disguise (the reference's cross-implementation
+equivalence idiom, test_dask_ewa.py:325 style)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
+
+
+def test_irregular_matches_analytic_on_regular_grid(spark):
+    # 'swath' = 1° regular lon/lat grid, value = closed form of (i, j)
+    src_rows = [
+        (i * 100 + j, float(j), float(i), float(i * 10 + j))
+        for i in range(10)
+        for j in range(10)
+    ]
+    src = spark.createDataFrame(
+        src_rows, "src_id long, lon double, lat double, value double"
+    )
+    # targets at known fractional positions: (lon=j+0.25, lat=i+0.75)
+    tgt_rows = [
+        (i * 100 + j, j + 0.25, i + 0.75)
+        for i in range(2, 7)
+        for j in range(2, 7)
+    ]
+    tgt = spark.createDataFrame(
+        tgt_rows, "tgt_id long, lon double, lat double"
+    )
+    out = {
+        r.tgt_id: r
+        for r in bilinear_irregular(src, tgt, 300_000.0, k=16).collect()
+    }
+    assert len(out) == 25
+    for (tid, lon, lat) in tgt_rows:
+        i0, j0 = int(lat), int(lon)
+        t, s = lon - j0, lat - i0  # fractions in x (t) and y (s)
+        exact = (
+            (1 - t) * (1 - s) * (i0 * 10 + j0)
+            + t * (1 - s) * (i0 * 10 + j0 + 1)
+            + (1 - t) * s * ((i0 + 1) * 10 + j0)
+            + t * s * ((i0 + 1) * 10 + j0 + 1)
+        )
+        assert out[tid].bilinear_value == pytest.approx(exact, abs=1e-6), tid
+
+
+def test_proj_columns_analytic(spark):
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.proj_udf import proj_columns
+
+    df = spark.createDataFrame([(10.0, 45.0)], "lon double, lat double")
+    out = proj_columns(df, "eqc").first()
+    import math
+
+    assert out.x == pytest.approx(math.radians(10.0) * R_EARTH)
+    assert out.y == pytest.approx(math.radians(45.0) * R_EARTH)
+    ll = proj_columns(df, "longlat").first()
+    assert ll.x == 10.0 and ll.y == 45.0
+
+    import pyresample_spark.operators.proj_udf as pu
+
+    if not pu.HAS_PYPROJ:
+        with pytest.raises(NotImplementedError):
+            proj_columns(df, "+proj=stere +lat_0=90")
