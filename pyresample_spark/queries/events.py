@@ -158,3 +158,22 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
     )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured props parsing: JSON path extraction as a column
+    expression (training-pipeline metadata access; no reference analog
+    — satellite attrs are opaque there)."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
