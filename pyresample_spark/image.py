@@ -1,0 +1,149 @@
+"""Fluent data+geometry facade — the ImageContainer analog
+(pyresample/image.py:29-299; SURVEY.md §1.1).
+
+A ``GeoImage`` binds a long-format point/pixel DataFrame to its
+geometry and exposes ``.resample(target, method=...)`` returning a new
+GeoImage over the target area, dispatching through the method registry
+(plans/planner.py, mirroring future/resamplers/registry.py:33-151).
+
+Usage::
+
+    img = GeoImage.from_swath(points_df)           # (lon, lat, value)
+    out = img.resample(area, method="bucket_avg")  # or nearest / gauss /
+                                                   # ewa / bilinear
+    out.df                                          # (cell_id, value...)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.plans.planner import create_resampler, register_resampler
+
+
+@dataclass
+class GeoImage:
+    df: DataFrame
+    area: AreaDefinition | None = None  # None for irregular swaths
+
+    @classmethod
+    def from_swath(cls, df: DataFrame) -> "GeoImage":
+        """df: (lon, lat, value[, ...]) irregular points."""
+        return cls(df=df, area=None)
+
+    @classmethod
+    def from_area(cls, df: DataFrame, area: AreaDefinition) -> "GeoImage":
+        """df: (row, col, value[, ...]) gridded pixels."""
+        return cls(df=df, area=area)
+
+    def resample(
+        self, target: AreaDefinition, method: str = "nearest", **kwargs
+    ) -> "GeoImage":
+        if self.area is not None and self.area == target:
+            return self  # no-op elimination (resampler.py:121-122)
+        out = create_resampler(method, self, target, **kwargs)
+        return GeoImage(df=out, area=target)
+
+
+def _tgt_points(spark, target: AreaDefinition) -> DataFrame:
+    return target.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"),
+        F.col("cx").alias("lon"),
+        F.col("cy").alias("lat"),
+    )
+
+
+@register_resampler("bucket_avg")
+def _bucket_avg(img: GeoImage, target: AreaDefinition, value_col="value"):
+    from pyresample_spark.operators.bucket import BucketResampler
+
+    r = BucketResampler(img.df, target, x_col="lon", y_col="lat")
+    return r.get_average(value_col).select(
+        "cell_id", F.col("avg_value").alias("value")
+    )
+
+
+@register_resampler("nearest")
+def _nearest(
+    img: GeoImage,
+    target: AreaDefinition,
+    radius_m: float = 50_000.0,
+    value_col="value",
+    fill=None,
+):
+    from pyresample_spark.operators.knn import knn_join
+
+    src = img.df.withColumn(
+        "src_id", F.monotonically_increasing_id()
+    ).persist()
+    nn = knn_join(src, _tgt_points(img.df.sparkSession, target), radius_m, k=1)
+    joined = nn.join(src.select("src_id", value_col), "src_id")
+    out = joined.select(
+        F.col("tgt_id").alias("cell_id"), F.col(value_col).alias("value")
+    )
+    if fill is not None:
+        grid = target.grid(img.df.sparkSession).select("cell_id")
+        out = grid.join(out, "cell_id", "left").select(
+            "cell_id", F.coalesce("value", F.lit(fill)).alias("value")
+        )
+    return out
+
+
+@register_resampler("gauss")
+def _gauss(
+    img: GeoImage,
+    target: AreaDefinition,
+    radius_m: float = 50_000.0,
+    sigma: float = 25_000.0,
+    k: int = 8,
+    value_col="value",
+):
+    from pyresample_spark.operators.knn import gauss_weight, knn_join
+
+    src = img.df.withColumn(
+        "src_id", F.monotonically_increasing_id()
+    ).persist()
+    nn = knn_join(src, _tgt_points(img.df.sparkSession, target), radius_m, k=k)
+    wp = nn.join(src.select("src_id", value_col), "src_id").withColumn(
+        "w", gauss_weight(F.col("dist_m"), sigma)
+    )
+    v, w = F.col(value_col), F.col("w")
+    return wp.groupBy(F.col("tgt_id").alias("cell_id")).agg(
+        (F.sum(w * v) / F.sum(w)).alias("value")
+    )
+
+
+@register_resampler("ewa")
+def _ewa(img: GeoImage, target: AreaDefinition, value_col="value", **kw):
+    from pyresample_spark.operators.ewa import ewa_fornav
+
+    return ewa_fornav(img.df, target, value_col=value_col, **kw).select(
+        "cell_id", F.col("ewa_value").alias("value")
+    )
+
+
+@register_resampler("bilinear")
+def _bilinear(
+    img: GeoImage,
+    target: AreaDefinition,
+    radius_m: float = 100_000.0,
+    value_col="value",
+):
+    from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
+
+    src = img.df.withColumn(
+        "src_id", F.monotonically_increasing_id()
+    ).persist()
+    out = bilinear_irregular(
+        src.select("src_id", "lon", "lat", F.col(value_col).alias("value")),
+        _tgt_points(img.df.sparkSession, target),
+        radius_m,
+    )
+    return out.select(
+        F.col("tgt_id").alias("cell_id"),
+        F.col("bilinear_value").alias("value"),
+    )
