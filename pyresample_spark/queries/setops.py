@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pyresample_spark.queries import register, rnd
+from pyresample_spark.queries import register, rnd, table
 from pyresample_spark.queries.core import TEST_AREA
 from pyresample_spark.queries.filters import REDUCE_AREA
 from pyresample_spark.queries.geo_scalar import PTS_SQL
@@ -83,3 +83,31 @@ def q_enclose_areas(spark, sf_dir):
         .cast("bigint")
         .alias("height"),
     )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0)
+    SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM rich)
+    UNION ALL
+    SELECT 'rich_only' AS tag, custkey FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """Set algebra (INTERSECT / EXCEPT) over key sets — the relational
+    face of geometry concat/difference (SURVEY §2.7)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    buyers = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000.0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = rich.intersect(buyers).select(
+        F.lit("both").alias("tag"), "custkey"
+    )
+    rich_only = rich.exceptAll(buyers).distinct().select(
+        F.lit("rich_only").alias("tag"), "custkey"
+    )
+    return both.unionByName(rich_only)

@@ -1,0 +1,105 @@
+"""Optional geospatial-format area readers (SURVEY.md §2.1):
+CF-NetCDF grid mappings and GeoTIFF transforms → AreaDefinition.
+
+Reference parity: load_cf_area (utils/cf.py:413),
+get_area_def_from_raster (utils/rasterio.py:77).
+
+xarray/netCDF4/rasterio are not in this container, so both readers are
+import-gated stubs with the translation logic factored so the
+struct-building path (:func:`area_from_cf_attrs`,
+:func:`area_from_geotransform`) is testable without the IO libraries.
+"""
+
+from __future__ import annotations
+
+from pyresample_spark.geometry import AreaDefinition
+
+
+def area_from_geotransform(
+    area_id: str,
+    crs: str,
+    width: int,
+    height: int,
+    geotransform: tuple,
+) -> AreaDefinition:
+    """GDAL-style geotransform (x0, psx, 0, y0, 0, -psy) → area.
+
+    (x0, y0) is the upper-left *corner*; rotation terms must be 0
+    (utils/rasterio.py:77-110 supports only axis-aligned transforms)."""
+    x0, psx, rot1, y0, rot2, npsy = geotransform
+    if rot1 != 0 or rot2 != 0:
+        raise ValueError("rotated geotransforms are not supported")
+    psy = -npsy
+    return AreaDefinition(
+        area_id=area_id,
+        crs=crs,
+        width=width,
+        height=height,
+        area_extent=(x0, y0 - height * psy, x0 + width * psx, y0),
+    )
+
+
+def area_from_cf_attrs(
+    area_id: str,
+    crs: str,
+    x_coords,
+    y_coords,
+) -> AreaDefinition:
+    """CF 1-D coordinate vectors (pixel centers, evenly spaced) → area
+    (the core translation inside load_cf_area, utils/cf.py:413-880)."""
+    if len(x_coords) < 2 or len(y_coords) < 2:
+        raise ValueError("need at least 2 coordinates per axis")
+    psx = x_coords[1] - x_coords[0]
+    psy = abs(y_coords[1] - y_coords[0])
+    y_desc = y_coords[1] < y_coords[0]
+    top = y_coords[0] if y_desc else y_coords[-1]
+    bottom = y_coords[-1] if y_desc else y_coords[0]
+    return AreaDefinition(
+        area_id=area_id,
+        crs=crs,
+        width=len(x_coords),
+        height=len(y_coords),
+        area_extent=(
+            x_coords[0] - psx / 2.0,
+            bottom - psy / 2.0,
+            x_coords[-1] + psx / 2.0,
+            top + psy / 2.0,
+        ),
+    )
+
+
+def load_cf_area(path: str, variable: str | None = None):  # pragma: no cover
+    """Read a CF-compliant NetCDF grid mapping → AreaDefinition.
+    Requires xarray + netCDF4 (not in this container)."""
+    try:
+        import xarray as xr  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "load_cf_area requires xarray/netCDF4; install them on the "
+            "cluster — the translation logic is area_from_cf_attrs()"
+        ) from e
+    ds = xr.open_dataset(path)
+    var = ds[variable] if variable else next(iter(ds.data_vars.values()))
+    return area_from_cf_attrs(
+        variable or var.name,
+        str(var.attrs.get("grid_mapping", "longlat")),
+        var["x"].values.tolist(),
+        var["y"].values.tolist(),
+    )
+
+
+def get_area_def_from_raster(path: str):  # pragma: no cover
+    """GeoTIFF → AreaDefinition. Requires rasterio (not in container)."""
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "get_area_def_from_raster requires rasterio; the translation "
+            "logic is area_from_geotransform()"
+        ) from e
+    with rasterio.open(path) as src:
+        t = src.transform
+        return area_from_geotransform(
+            path, str(src.crs), src.width, src.height,
+            (t.c, t.a, t.b, t.f, t.d, t.e),
+        )

@@ -98,3 +98,18 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-based) — streaming twin of the batch
+    lag+cumsum sessionization (queries/events.py q_events_session)."""
+    return (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the driver-side math — an
+upgrade over the reference's fixed-seed-only strategy (SURVEY §5:
+'no property-based testing' in the reference)."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.operators.reduce import bbox_bounds, slice_crop
+from pyresample_spark.operators.spherical import (
+    overlap_rate,
+    spherical_polygon_area,
+)
+from pyresample_spark.sources.cf_raster import (
+    area_from_cf_attrs,
+    area_from_geotransform,
+)
+
+lons = st.floats(-180.0, 180.0, allow_nan=False)
+lats = st.floats(-90.0, 90.0, allow_nan=False)
+
+
+@given(
+    llx=st.floats(-170, 160), w=st.floats(1, 20),
+    lly=st.floats(-80, 70), h=st.floats(1, 15),
+    radius=st.floats(0, 2_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_bbox_bounds_contains_area(llx, w, lly, h, radius):
+    area = AreaDefinition("a", "longlat", 10, 10, (llx, lly, llx + w, lly + h))
+    lon_min, lon_max, lat_min, lat_max = bbox_bounds(area, radius)
+    assert lon_min <= llx and lon_max >= min(180.0, llx + w)
+    assert lat_min <= lly and lat_max >= min(90.0, lly + h)
+    assert -180.0 <= lon_min and lon_max <= 180.0
+    assert -90.0 <= lat_min and lat_max <= 90.0
+
+
+@given(
+    cx0=st.floats(-170, 160), cw=st.floats(0.5, 15),
+    cy0=st.floats(-80, 70), ch=st.floats(0.5, 10),
+)
+@settings(max_examples=200, deadline=None)
+def test_slice_crop_encloses_crop(cx0, cw, cy0, ch):
+    area = AreaDefinition("a", "longlat", 360, 180, (-180.0, -90.0, 180.0, 90.0))
+    r0, r1, c0, c1 = slice_crop(area, (cx0, cy0, cx0 + cw, cy0 + ch))
+    sub = area[r0:r1, c0:c1]
+    assert sub.area_extent[0] <= cx0 + 1e-9
+    assert sub.area_extent[2] >= min(180.0, cx0 + cw) - 1e-9
+    assert sub.area_extent[1] <= cy0 + 1e-9
+    assert sub.area_extent[3] >= min(90.0, cy0 + ch) - 1e-9
+
+
+@given(
+    lon=st.floats(-60, 60), lat=st.floats(-60, 60),
+    size=st.floats(0.5, 20),
+)
+@settings(max_examples=100, deadline=None)
+def test_square_area_positive_and_bounded(lon, lat, size):
+    sq = [
+        (lon, lat), (lon + size, lat),
+        (lon + size, lat + size), (lon, lat + size),
+    ]
+    a = spherical_polygon_area(sq)
+    assert 0.0 <= a <= 4.0 * math.pi
+    # never larger than the planar bound at the equator-most latitude
+    planar = math.radians(size) ** 2
+    assert a <= planar * 1.01
+
+
+@given(
+    x0=st.floats(-1e6, 1e6), y0=st.floats(-1e6, 1e6),
+    psx=st.floats(1.0, 5000.0), psy=st.floats(1.0, 5000.0),
+    w=st.integers(1, 500), h=st.integers(1, 500),
+)
+@settings(max_examples=200, deadline=None)
+def test_geotransform_roundtrip(x0, y0, psx, psy, w, h):
+    area = area_from_geotransform("g", "crs", w, h, (x0, psx, 0, y0, 0, -psy))
+    assert area.width == w and area.height == h
+    assert area.pixel_size_x == pytest_approx(psx)
+    assert area.area_extent[3] == y0
+    assert area.area_extent[0] == x0
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, rel=1e-9)
+
+
+@given(n=st.integers(2, 50), x0=st.floats(-100, 100), step=st.floats(0.1, 5))
+@settings(max_examples=100, deadline=None)
+def test_cf_coords_roundtrip(n, x0, step):
+    xs = [x0 + i * step for i in range(n)]
+    ys = [50.0 - i * step for i in range(n)]  # descending (raster order)
+    area = area_from_cf_attrs("c", "longlat", xs, ys)
+    assert area.width == n and area.height == n
+    # first pixel center must round-trip
+    assert abs((area.area_extent[0] + area.pixel_size_x / 2) - xs[0]) < 1e-6
+    assert abs((area.area_extent[3] - area.pixel_size_y / 2) - ys[0]) < 1e-6
+
+
+@given(
+    ax=st.floats(-50, 40), ay=st.floats(-50, 40),
+    bx=st.floats(-50, 40), by=st.floats(-50, 40),
+)
+@settings(max_examples=100, deadline=None)
+def test_overlap_rate_bounds(ax, ay, bx, by):
+    a = AreaDefinition("a", "longlat", 5, 5, (ax, ay, ax + 10, ay + 10))
+    b = AreaDefinition("b", "longlat", 5, 5, (bx, by, bx + 10, by + 10))
+    r = overlap_rate(a, b)
+    assert 0.0 <= r <= 1.0 + 1e-9

@@ -25,3 +25,20 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    from pyresample_spark.queries.events import q_events_session
+    from pyresample_spark.streaming.windows import session_windows
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(session_windows(stream), "stream_sessions")
+    stream_rows = {
+        (r.user_id, int(r.session_start.timestamp() * 1_000_000)): r.n_events
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in q_events_session(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
