@@ -122,10 +122,20 @@ def knn_join(
         .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
         .drop("o")
     )
-    pairs = t.join(s, ["cx3", "cy3", "cz3"], "inner")
+    # shuffle_hash hint: static stats undervalue the exploded probe
+    # side (range-generated grids look tiny pre-explode) and would
+    # broadcast the 27×-amplified side. A hash shuffle on the cell key
+    # is the correct 100 TB plan — no sort of the pair input — and AQE
+    # still converts to broadcast at runtime when a side is truly small.
+    pairs = t.hint("shuffle_hash").join(s, ["cx3", "cy3", "cz3"], "inner")
     dist_mm = F.round(chord_dist_m("t_", "s_") * 1000.0, 0).cast("bigint")
-    pairs = pairs.withColumn("dist_mm", dist_mm).filter(
-        F.col("dist_mm") <= round(c * 1000.0)
+    # Project to (tgt, src, dist) immediately: the downstream top-k
+    # exchange (window sort or min-agg) should shuffle 24 bytes/row,
+    # not the six geocentric doubles used only for the distance.
+    pairs = (
+        pairs.withColumn("dist_mm", dist_mm)
+        .filter(F.col("dist_mm") <= round(c * 1000.0))
+        .select("tgt_id", "src_id", "dist_mm")
     )
     if k is None:
         # radius-only join (EWA footprint path) — no top-k, so no

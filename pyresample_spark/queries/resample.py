@@ -149,9 +149,20 @@ def q_bilinear_irregular(spark, sf_dir):
     rows-only driver check; golden-value parity with the analytic
     regular-grid bilinear is pytest-verified (tests/test_bilinear.py)."""
     from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
-    from pyresample_spark.queries.joins import _src, _tgt
+    from pyresample_spark.queries.joins import _src
 
-    out = bilinear_irregular(_src(spark, sf_dir), _tgt(spark), 400_000.0, k=16)
+    src = _src(spark, sf_dir)
+    # probe inside the swath clusters (offset event positions) so the
+    # 4-quadrant corner condition is satisfiable for many targets
+    tgt = (
+        src.filter(F.col("src_id") % 20 == 0)
+        .select(
+            F.col("src_id").alias("tgt_id"),
+            (F.col("lon") + 0.21).alias("lon"),
+            (F.col("lat") + 0.13).alias("lat"),
+        )
+    )
+    out = bilinear_irregular(src, tgt, 150_000.0, k=32)
     return out.select(
         "tgt_id", "c00", "c01", "c10", "c11",
         rnd(F.col("t"), 6).alias("t"),
