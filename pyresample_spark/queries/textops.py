@@ -309,22 +309,42 @@ def q_token_count(spark, sf_dir):
     )
 
 
+_FP_MOD = (1 << 31) - 1
+
+
 @register(
     "q_fingerprint",
     oracle=f"""
-    SELECT doc_id,
+    WITH rolled AS (
+      SELECT doc_id,
+             CAST(list_aggregate(
+               list_transform(range(len(string_split(text, ' '))),
+                 i -> (i + 1) * ({md5_bigint_sql("string_split(text, ' ')[i + 1]")} % 1048576)),
+               'sum') % {_FP_MOD} AS BIGINT) AS rolling_fp
+      FROM documents
+    )
+    SELECT d.doc_id,
            {md5_bigint_sql('text')} AS fp64,
-           CAST({md5_bigint_sql('text')} % 1024 AS BIGINT) AS fp_bucket
-    FROM documents
+           CAST({md5_bigint_sql('text')} % 1024 AS BIGINT) AS fp_bucket,
+           r.rolling_fp
+    FROM documents d JOIN rolled r ON d.doc_id = r.doc_id
     """,
 )
 def q_fingerprint(spark, sf_dir):
-    """Document fingerprinting: portable 60-bit content hash + bucket
-    (rolling-hash analog, SURVEY §2.10 q_fingerprint)."""
+    """Document fingerprinting (SURVEY §2.10): whole-content 60-bit md5
+    fingerprint + LSH bucket + an order-sensitive rolling hash
+    (position-weighted word-hash sum mod 2³¹−1 — unlike a bag-of-words
+    hash, word reordering changes it)."""
     d = table(spark, sf_dir, "documents")
     fp = md5_bigint(F.col("text"))
+    rolling = (
+        d.select("doc_id", F.posexplode(words_col()).alias("i", "word"))
+        .withColumn("h", (F.col("i") + 1) * (md5_bigint(F.col("word")) % 1048576))
+        .groupBy("doc_id")
+        .agg((F.sum("h") % _FP_MOD).cast("bigint").alias("rolling_fp"))
+    )
     return d.select(
         "doc_id",
         fp.alias("fp64"),
         (fp % 1024).cast("bigint").alias("fp_bucket"),
-    )
+    ).join(rolling, "doc_id")
