@@ -83,3 +83,97 @@ def q_rollup_agg(spark, sf_dir):
             "qty_c",
         )
     )
+
+
+from pyspark.sql.window import Window as W  # noqa: E402
+
+from pyresample_spark.queries import rnd  # noqa: E402
+
+
+@register(
+    "q_window_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS INT) AS qty_rank,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_price_c,
+           lag(l_orderkey) OVER w AS prev_order,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def q_window_suite(spark, sf_dir):
+    """Window-function surface (SURVEY §2.6): row_number / rank /
+    running integer-cents sum / lag / ntile over a fully tie-broken
+    ordering (shipdate, orderkey, linenumber is unique)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_qty = W.partitionBy("l_suppkey").orderBy(F.col("l_quantity").desc())
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_qty).alias("qty_rank"),
+        F.sum(cents).over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "running_price_c"
+        ),
+        F.lag("l_orderkey").over(w).alias("prev_order"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_exists_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.08)
+    """,
+)
+def q_exists_semi(spark, sf_dir):
+    """EXISTS / NOT EXISTS as left-semi + left-anti joins — the
+    relational form of the reference's mask-based inclusion filters."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45.0).select("l_orderkey")
+    disc = li.filter(F.col("l_discount") > 0.08).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(disc, o.o_orderkey == disc.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+           ROUND(MIN(value), 6) + 0.0 AS p0,
+           ROUND(MAX(value), 6) + 0.0 AS p100
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``); the sketch-based
+    approximate twin is q_approx_distinct (rows-only)."""
+    from pyresample_spark.operators.bucket import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        rnd(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        rnd(F.min("value"), 6).alias("p0"),
+        rnd(F.max("value"), 6).alias("p100"),
+    )
