@@ -79,6 +79,7 @@ def knn_join(
     src_lat: str = "lat",
     tgt_lon: str = "lon",
     tgt_lat: str = "lat",
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """Cell-bucketed kNN radius join.
 
@@ -88,6 +89,12 @@ def knn_join(
     ``dist_m`` is the chord distance rounded to mm; ranking orders by
     (dist_mm, src_id) so results are deterministic and reproducible
     across engines (a last-ulp trig difference cannot flip a rank).
+
+    ``salt_factor`` splits each build-side cell across N sub-keys
+    (src_id mod N) while the probe side joins all N — identical pair
+    set, but a pathologically hot cell (dense swath region) spreads
+    over N tasks. AQE skew-join usually makes this unnecessary; the
+    explicit salt is for single cells exceeding task memory.
     """
     c = chord_length(radius_m)
 
@@ -122,12 +129,19 @@ def knn_join(
         .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
         .drop("o")
     )
+    join_keys = ["cx3", "cy3", "cz3"]
+    if salt_factor and salt_factor > 1:
+        s = s.withColumn("salt", F.pmod(F.col("src_id"), F.lit(salt_factor)))
+        t = t.withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {salt_factor - 1})"))
+        )
+        join_keys = join_keys + ["salt"]
     # shuffle_hash hint: static stats undervalue the exploded probe
     # side (range-generated grids look tiny pre-explode) and would
     # broadcast the 27×-amplified side. A hash shuffle on the cell key
     # is the correct 100 TB plan — no sort of the pair input — and AQE
     # still converts to broadcast at runtime when a side is truly small.
-    pairs = t.hint("shuffle_hash").join(s, ["cx3", "cy3", "cz3"], "inner")
+    pairs = t.hint("shuffle_hash").join(s, join_keys, "inner")
     dist_mm = F.round(chord_dist_m("t_", "s_") * 1000.0, 0).cast("bigint")
     # Project to (tgt, src, dist) immediately: the downstream top-k
     # exchange (window sort or min-agg) should shuffle 24 bytes/row,

@@ -122,3 +122,20 @@ def test_create_area_from_center():
         "c", "longlat", shape=(10, 20), resolution=1.0, center=(0.0, 0.0)
     )
     assert a.area_extent == (-10.0, -5.0, 10.0, 5.0)
+
+
+def test_knn_salted_equals_unsalted(spark):
+    src = _pts(
+        spark,
+        [(i, float(-170 + 0.01 * i), float(-50 + 0.01 * i)) for i in range(200)],
+    )
+    tgt = _pts(
+        spark,
+        [(j, float(-169.5 + 0.02 * j), float(-49.5 + 0.02 * j)) for j in range(50)],
+        id_col="tgt_id",
+    )
+    plain = knn_join(src, tgt, 300_000.0, k=3)
+    salted = knn_join(src, tgt, 300_000.0, k=3, salt_factor=4)
+    a = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in plain.collect())
+    b = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in salted.collect())
+    assert a == b and len(a) > 0
