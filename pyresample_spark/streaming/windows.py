@@ -113,3 +113,33 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user event count + value sum across micro-batches — the
+    streaming analog of the reference's RowAppendableArray accumulation
+    (utils/row_appendable_array.py:23; SURVEY §2.9).
+
+    State = (n, total) per user_id; each batch emits the updated row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -42,3 +42,37 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
         for r in q_events_session(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyresample_spark.streaming.windows import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            "SELECT * FROM stateful_totals"
+        ).collect()
+    }
+    from pyresample_spark.operators.bucket import load_events
+
+    expect = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect
