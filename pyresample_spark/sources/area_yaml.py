@@ -131,3 +131,37 @@ def create_area_def(
         height=shape[0],
         area_extent=tuple(float(v) for v in area_extent),
     )
+
+
+def parse_legacy_cfg(text: str) -> list:
+    """Parse the legacy ``REGION: id { KEY: value; };`` area format
+    (area_config.py legacy path; test fixture areas.cfg shape)."""
+    import re
+
+    out = []
+    for m in re.finditer(r"REGION:\s*(\S+)\s*{([^}]*)}", text):
+        area_id, body = m.group(1), m.group(2)
+        kv = {}
+        for line in body.splitlines():
+            line = line.strip().rstrip(";")
+            if ":" in line:
+                k, v = line.split(":", 1)
+                kv[k.strip().upper()] = v.strip()
+        extent = tuple(
+            float(x)
+            for x in kv["AREA_EXTENT"].strip("()").replace(",", " ").split()
+        )
+        crs = kv.get("PCS_DEF", "longlat")
+        if "proj=" in crs and "+proj=" not in crs:
+            crs = " ".join(f"+{p.strip()}" for p in crs.split(","))
+        out.append(
+            AreaDefinition(
+                area_id=area_id,
+                crs=crs,
+                width=int(kv["XSIZE"]),
+                height=int(kv["YSIZE"]),
+                area_extent=extent,
+                description=kv.get("NAME", ""),
+            )
+        )
+    return out

@@ -139,3 +139,23 @@ def test_knn_salted_equals_unsalted(spark):
     a = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in plain.collect())
     b = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in salted.collect())
     assert a == b and len(a) > 0
+
+
+def test_parse_legacy_cfg():
+    from pyresample_spark.sources.area_yaml import parse_legacy_cfg
+
+    text = """
+REGION: ease_sh {
+    NAME:       Antarctic EASE grid
+    PCS_ID:     ease_sh
+    PCS_DEF:    proj=laea, lat_0=-90, lon_0=0, a=6371228.0
+    XSIZE:      425
+    YSIZE:      425
+    AREA_EXTENT: (-5326849.0625, -5326849.0625, 5326849.0625, 5326849.0625)
+};
+"""
+    [a] = parse_legacy_cfg(text)
+    assert a.area_id == "ease_sh"
+    assert a.width == 425 and a.height == 425
+    assert a.crs.startswith("+proj=laea")
+    assert a.area_extent[0] == -5326849.0625
