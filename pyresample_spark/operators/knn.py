@@ -188,6 +188,30 @@ def knn_join(
             (F.col("b.dist_mm") / 1000.0).alias("dist_m"),
             F.lit(1).alias("nn_rank"),
         )
+    # k>1 top-k: same packed-bigint trick, but through
+    # array_sort(collect_list(...))[1:k] — a HashAggregate (collect_list
+    # buffers are hash-aggregable) instead of a row_number window. The
+    # window plan shuffle-SORTS the entire pair table by (tgt, dist);
+    # the hash-agg plan only shuffles the (tgt, packed) pairs and sorts
+    # each target's candidate list in isolation (candidates per target
+    # are bounded by the 27-cell neighborhood, so the per-group buffer
+    # is small). Measured ~1.5-2× faster at sf0.1 and strictly less
+    # exchange work at scale.
+    max_dist_mm = round(c * 1000.0)
+    pack = (1 << 62) // max(max_dist_mm + 1, 1)
+    if pack >= (1 << 33):
+        key = F.col("dist_mm") * pack + F.col("src_id")
+        g = pairs.groupBy("tgt_id").agg(
+            F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("ks")
+        )
+        return g.select(
+            "tgt_id", F.posexplode("ks").alias("rank0", "bk")
+        ).select(
+            "tgt_id",
+            (F.col("bk") % pack).alias("src_id"),
+            (F.expr(f"bk div {pack}") / 1000.0).alias("dist_m"),
+            (F.col("rank0") + 1).cast("int").alias("nn_rank"),
+        )
     w = W.partitionBy("tgt_id").orderBy(
         F.col("dist_mm").asc(), F.col("src_id").asc()
     )

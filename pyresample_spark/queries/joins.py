@@ -275,3 +275,50 @@ def q_custom_weight(spark, sf_dir):
         rnd(F.sum(w * v) / F.sum(w), 6).alias("custom_value"),
         F.count(F.lit(1)).alias("n_neighbours"),
     )
+
+
+@register(
+    "q_multichannel_gauss",
+    oracle=PAIRS_SQL
+    + f"""
+    , chan AS (
+      SELECT event_id AS src_id, value AS ch1,
+             value * value / 100.0 AS ch2, lat AS ch3
+      FROM ({PTS_SQL})
+    ),
+    wp AS (
+      SELECT r.tgt_id, c.ch1, c.ch2, c.ch3,
+             exp(-(dist_mm / 1000.0) * (dist_mm / 1000.0) / ({SIGMA!r} * {SIGMA!r})) AS w
+      FROM ranked r JOIN chan c USING (src_id)
+      WHERE nn_rank <= 8
+    )
+    SELECT tgt_id,
+           ROUND(SUM(w * ch1) / SUM(w), 6) + 0.0 AS ch1,
+           ROUND(SUM(w * ch2) / SUM(w), 6) + 0.0 AS ch2,
+           ROUND(SUM(w * ch3) / SUM(w), 6) + 0.0 AS ch3
+    FROM wp GROUP BY tgt_id
+    """,
+)
+def q_multichannel_gauss(spark, sf_dir):
+    """Multi-channel resampling (kd_tree.py:79-81 trailing channel dim;
+    docs/concepts/resampling.rst:98-101 neighbour-info reuse): ONE kNN
+    join's neighbor/weight set applied to 3 data channels in a single
+    aggregation pass. This is the LUT-reuse story at the plan level —
+    resampling k channels costs one join + one agg, not k joins; adding
+    a channel adds two columns to the shuffle, not a stage."""
+    nn = _knn_pairs(spark, sf_dir, k=8)
+    chan = _src(spark, sf_dir).select(
+        "src_id",
+        F.col("value").alias("ch1"),
+        (F.col("value") * F.col("value") / 100.0).alias("ch2"),
+        F.col("lat").alias("ch3"),
+    )
+    wp = nn.join(F.broadcast(chan), "src_id", "inner").withColumn(
+        "w", gauss_weight(F.col("dist_m"), SIGMA)
+    )
+    w = F.col("w")
+    return wp.groupBy("tgt_id").agg(
+        rnd(F.sum(w * F.col("ch1")) / F.sum(w), 6).alias("ch1"),
+        rnd(F.sum(w * F.col("ch2")) / F.sum(w), 6).alias("ch2"),
+        rnd(F.sum(w * F.col("ch3")) / F.sum(w), 6).alias("ch3"),
+    )

@@ -111,3 +111,96 @@ def q_set_ops(spark, sf_dir):
         F.lit("rich_only").alias("tag"), "custkey"
     )
     return both.unionByName(rich_only)
+
+
+_BOXES_SQL = f"""
+    WITH RECURSIVE pts AS ({PTS_SQL}),
+    g AS (
+      SELECT user_id % 24 AS box_id,
+             CAST(SUM(CAST(ROUND(lon * 1000000) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * COUNT(*)) AS cx,
+             CAST(SUM(CAST(ROUND(lat * 1000000) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * COUNT(*)) AS cy
+      FROM pts GROUP BY 1
+    ),
+    centers AS (
+      SELECT box_id,
+             cx + (box_id % 6) * 17 - 42 AS mx,
+             cy + (box_id // 6) * 13 - 19 AS my
+      FROM g
+    ),
+    boxes AS (
+      SELECT box_id,
+             mx - (3 + box_id % 7) AS x0, mx + (3 + box_id % 7) AS x1,
+             my - (2 + box_id % 5) AS y0, my + (2 + box_id % 5) AS y1
+      FROM centers
+    ),
+    edges AS (
+      SELECT a.box_id AS src, b.box_id AS dst
+      FROM boxes a JOIN boxes b
+        ON NOT (a.x1 < b.x0 OR b.x1 < a.x0 OR a.y1 < b.y0 OR b.y1 < a.y0)
+    )
+"""
+
+
+@register(
+    "q_nonoverlap_unions",
+    oracle=_BOXES_SQL
+    + """
+    , reach(src, dst) AS (
+      SELECT box_id, box_id FROM boxes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM (SELECT src, MIN(dst) AS comp FROM reach GROUP BY src)
+    GROUP BY comp
+    """,
+)
+def q_nonoverlap_unions(spark, sf_dir):
+    """GetNonOverlapUnions (spherical_utils.py:28-131): merge mutually
+    overlapping polygons into disjoint groups. Boxes are derived
+    deterministically from per-user-group event centroids (integer-sum
+    exact so both engines build the identical overlap graph); grouping
+    is distributed connected components by min-label propagation
+    (operators/components.py) — one shuffle-join + hash-agg per round,
+    vs the reference's driver-side pairwise set merging. Oracle = the
+    same closure via DuckDB recursive CTE."""
+    from pyresample_spark.operators.components import connected_components
+    from pyresample_spark.queries.geo_scalar import _pts
+
+    pts = _pts(spark, sf_dir)
+    n = F.count(F.lit(1))
+    g = pts.groupBy(F.pmod("user_id", F.lit(24)).alias("box_id")).agg(
+        (
+            F.sum(F.round(F.col("lon") * 1e6, 0).cast("bigint")).cast("double")
+            / (1e6 * n)
+        ).alias("cx"),
+        (
+            F.sum(F.round(F.col("lat") * 1e6, 0).cast("bigint")).cast("double")
+            / (1e6 * n)
+        ).alias("cy"),
+    )
+    mx = F.col("cx") + F.pmod("box_id", F.lit(6)) * 17 - 42
+    my = F.col("cy") + F.expr("box_id div 6") * 13 - 19
+    sx = 3 + F.pmod("box_id", F.lit(7))
+    sy = 2 + F.pmod("box_id", F.lit(5))
+    boxes = g.select(
+        "box_id",
+        (mx - sx).alias("x0"),
+        (mx + sx).alias("x1"),
+        (my - sy).alias("y0"),
+        (my + sy).alias("y1"),
+    )
+    a, b = boxes.alias("a"), boxes.alias("b")
+    edges = a.join(
+        b,
+        ~(
+            (F.col("a.x1") < F.col("b.x0"))
+            | (F.col("b.x1") < F.col("a.x0"))
+            | (F.col("a.y1") < F.col("b.y0"))
+            | (F.col("b.y1") < F.col("a.y0"))
+        ),
+    ).select(F.col("a.box_id").alias("src"), F.col("b.box_id").alias("dst"))
+    labels = connected_components(edges)
+    return labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))

@@ -348,3 +348,121 @@ def q_fingerprint(spark, sf_dir):
         fp.alias("fp64"),
         (fp % 1024).cast("bigint").alias("fp_bucket"),
     ).join(rolling, "doc_id")
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, n_chars,
+             {md5_bigint_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/validation/test split by content-stable hash
+    (80/10/10): the standard held-out-split idiom for training-data
+    pipelines. Hash of the document id — not rand() — so the assignment
+    is reproducible across runs, engines, and re-partitionings; purely
+    map-side at any scale (the only shuffle is the final tiny agg)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_bigint(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q_domain_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_bigint_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling: keep at most N=20 documents per source
+    domain, chosen by deterministic hash order (an unbiased, reproducible
+    down-sample that caps over-represented domains — a core balancing op
+    in web-scale training pipelines). Top-k-per-group window; at scale
+    the partial ordering stays inside each source's hash partition."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        md5_bigint(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "rn")
+    )
+
+
+@register(
+    "q_seq_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok)
+                  // 2048 AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing for training shards: order documents
+    deterministically within each language, run a cumulative token count,
+    and assign each doc to bin = floor(preceding_tokens / 2048) — the
+    contiguous-fill packing used to build fixed-budget context shards.
+    Window cumulative sum; per-lang partitions keep the prefix-scan local
+    to one shuffle partition at scale."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("bigint")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    packed = t.withColumn(
+        "bin",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast("bigint"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )

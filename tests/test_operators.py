@@ -159,3 +159,54 @@ REGION: ease_sh {
     assert a.width == 425 and a.height == 425
     assert a.crs.startswith("+proj=laea")
     assert a.area_extent[0] == -5326849.0625
+
+
+def test_connected_components(spark):
+    from pyresample_spark.operators.components import connected_components
+
+    # two chains + an isolated self-loop node: {1,2,3}, {10,11}, {99}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (99, 99)], "src long, dst long"
+    )
+    got = {
+        r.id: r.comp for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain(spark):
+    """Propagation must cross a diameter-8 path (several iterations)."""
+    from pyresample_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8, 0, -1)], "src long, dst long"
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 9
+
+
+def test_knn_topk_hash_agg_matches_window(spark, sf_dir):
+    """k>1 collect_list top-k path returns exactly the window ranking."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pyresample_spark.queries.joins import RADIUS_M, _src, _tgt
+    from pyresample_spark.operators.knn import knn_join
+
+    got = knn_join(_src(spark, sf_dir), _tgt(spark), RADIUS_M, k=3)
+    # reference ranking: k=None pairs + row_number window
+    pairs = knn_join(_src(spark, sf_dir), _tgt(spark), RADIUS_M, k=None)
+    w = W.partitionBy("tgt_id").orderBy(
+        F.round(F.col("dist_m") * 1000).cast("bigint"), F.col("src_id")
+    )
+    want = (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 3)
+        .select("tgt_id", "src_id", "nn_rank")
+    )
+    diff = (
+        got.select("tgt_id", "src_id", "nn_rank").exceptAll(want).count()
+        + want.exceptAll(got.select("tgt_id", "src_id", "nn_rank")).count()
+    )
+    assert diff == 0
