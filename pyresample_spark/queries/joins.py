@@ -226,7 +226,14 @@ def q_gauss_agg(spark, sf_dir):
 def q_weighted_avg(spark, sf_dir):
     """EWA-style weighted average (ewa/_fornav.pyx:119-206 re-expressed):
     all pairs within radius, polynomial kernel w=(1-(d/r)²)², per-cell
-    Σwv/Σw + Σw, plus maximum_weight_mode value (max_by w)."""
+    Σwv/Σw + Σw, plus maximum_weight_mode value.
+
+    maximum_weight_mode: ``max_by(v, struct(w, -src_id))`` would force a
+    SortAggregate (struct ordering has no mutable agg buffer). The kernel
+    is strictly decreasing in distance on [0, r], so max-weight ⟺
+    min (dist_mm, src_id) — the same packed-bigint min() as the k=1 kNN
+    path, keeping the whole agg a map-side-partial HashAggregate; the
+    winner's value is fetched by one broadcast join on src_id."""
     pairs = knn_join(_src(spark, sf_dir), _tgt(spark), RADIUS_M, k=None)
     src_vals = _src(spark, sf_dir).select("src_id", "value")
     dr = F.col("dist_m") / RADIUS_M
@@ -234,11 +241,20 @@ def q_weighted_avg(spark, sf_dir):
         "w", F.pow(1.0 - dr * dr, 2)
     )
     v, w = F.col("value"), F.col("w")
-    return wp.groupBy("tgt_id").agg(
+    dist_mm = F.round(F.col("dist_m") * 1000.0, 0).cast("bigint")
+    pack = (1 << 62) // (CHORD_MM + 1)
+    agg = wp.groupBy("tgt_id").agg(
         rnd(F.sum(w * v) / F.sum(w), 6).alias("ewa_value"),
         rnd(F.sum(w), 6).alias("weight_sum"),
-        F.max_by(v, F.struct(w, -F.col("src_id"))).alias("maxw_value"),
-    ).select("tgt_id", "ewa_value", "weight_sum", "maxw_value")
+        F.min(dist_mm * pack + F.col("src_id")).alias("bk"),
+    )
+    best = agg.withColumn("best_src", F.col("bk") % pack)
+    return best.join(
+        F.broadcast(src_vals.withColumnRenamed("src_id", "best_src")),
+        "best_src",
+    ).select(
+        "tgt_id", "ewa_value", "weight_sum", F.col("value").alias("maxw_value")
+    )
 
 
 @register(
