@@ -133,6 +133,93 @@ class AreaDefinition:
             & (col_col < self.width)
         )
 
+    # --- constructor classmethods (geometry.py:1726-1890) ---
+    @classmethod
+    def from_extent(cls, area_id, crs, shape, area_extent, **kw):
+        """AreaDefinition.from_extent (geometry.py:1745): shape=(h, w)."""
+        h, w = shape
+        return cls(area_id, crs, width=w, height=h,
+                   area_extent=tuple(area_extent), **kw)
+
+    @classmethod
+    def from_ul_corner(cls, area_id, crs, shape, upper_left_extent,
+                       resolution, **kw):
+        """AreaDefinition.from_ul_corner (geometry.py:1890): extent from
+        the upper-left corner + per-pixel resolution."""
+        h, w = shape
+        rx, ry = (resolution if isinstance(resolution, (tuple, list))
+                  else (resolution, resolution))
+        ulx, uly = upper_left_extent
+        return cls(area_id, crs, width=w, height=h,
+                   area_extent=(ulx, uly - h * ry, ulx + w * rx, uly), **kw)
+
+    @classmethod
+    def from_area_of_interest(cls, area_id, crs, shape, center,
+                              resolution, **kw):
+        """AreaDefinition.from_area_of_interest (geometry.py:1844):
+        extent centered on ``center``."""
+        h, w = shape
+        rx, ry = (resolution if isinstance(resolution, (tuple, list))
+                  else (resolution, resolution))
+        cx, cy = center
+        return cls(
+            area_id, crs, width=w, height=h,
+            area_extent=(cx - w * rx / 2.0, cy - h * ry / 2.0,
+                         cx + w * rx / 2.0, cy + h * ry / 2.0), **kw)
+
+    @classmethod
+    def from_circle(cls, area_id, crs, center, radius, resolution=None,
+                    shape=None, **kw):
+        """AreaDefinition.from_circle (geometry.py:1788): square area of
+        half-width ``radius`` around ``center``; give ``resolution`` or
+        ``shape``."""
+        rx, ry = (radius if isinstance(radius, (tuple, list))
+                  else (radius, radius))
+        cx, cy = center
+        extent = (cx - rx, cy - ry, cx + rx, cy + ry)
+        if shape is not None:
+            h, w = shape
+            return cls(area_id, crs, width=w, height=h,
+                       area_extent=extent, **kw)
+        if resolution is None:
+            raise ValueError("from_circle needs resolution or shape")
+        px, py = (resolution if isinstance(resolution, (tuple, list))
+                  else (resolution, resolution))
+        return cls(area_id, crs, width=round(2 * rx / px),
+                   height=round(2 * ry / py), area_extent=extent, **kw)
+
+    @classmethod
+    def from_epsg(cls, code, resolution, **kw):
+        """AreaDefinition.from_epsg (geometry.py:1726): full area of use
+        of an EPSG CRS. Uses pyproj when importable; otherwise a small
+        builtin table of common geographic codes (this container has no
+        pyproj — SURVEY.md §2.2 pandas-UDF wrapper has the same
+        analytic fallback)."""
+        code = int(str(code).replace("EPSG:", ""))
+        try:  # pragma: no cover - pyproj absent in the build container
+            from pyproj import CRS
+
+            crs = CRS.from_epsg(code)
+            aou = crs.area_of_use
+            extent = (aou.west, aou.south, aou.east, aou.north)
+            crs_str = f"EPSG:{code}"
+        except ImportError:
+            builtin = {4326: (-180.0, -90.0, 180.0, 90.0),
+                       4258: (-16.1, 32.88, 40.18, 84.73)}
+            if code not in builtin:
+                raise NotImplementedError(
+                    f"EPSG:{code} needs pyproj (builtin: {sorted(builtin)})"
+                ) from None
+            extent = builtin[code]
+            crs_str = "longlat"
+        rx, ry = (resolution if isinstance(resolution, (tuple, list))
+                  else (resolution, resolution))
+        return cls(
+            f"epsg_{code}", crs_str,
+            width=round((extent[2] - extent[0]) / rx),
+            height=round((extent[3] - extent[1]) / ry),
+            area_extent=extent, **kw)
+
     def __getitem__(self, key):
         """Slice the area (geometry.py:2664-2689): area[rows, cols]."""
         rows, cols = key

@@ -169,3 +169,35 @@ def q_bilinear_irregular(spark, sf_dir):
         rnd(F.col("s"), 6).alias("s"),
         rnd(F.col("bilinear_value"), 6).alias("bilinear_value"),
     )
+
+
+@register("q_optimal_bb", oracle=None)
+def q_optimal_bb(spark, sf_dir):
+    """compute_optimal_bb_area (geometry.py:1019-1040): fit the
+    swath-following oblique (omerc) bounding area of the event swath —
+    moments HashAggregate → driver 3×3 eigendecomposition → rotated-
+    frame bounds (operators/optimal_bb.py). Non-SQL-expressible (the
+    eigenproblem), so no DuckDB oracle: the driver records the weaker
+    rows-only check; the contains-all-points property and tightness
+    are asserted in tests/test_geometry.py."""
+    from pyresample_spark.operators.optimal_bb import (
+        compute_optimal_bb_area,
+        rotated_coords,
+    )
+    from pyresample_spark.queries.geo_scalar import _pts
+
+    pts = _pts(spark, sf_dir).filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "lon", "lat"
+    )
+    area = compute_optimal_bb_area(pts, resolution_m=50_000.0)
+    rc = rotated_coords(pts, area)
+    llx, lly, urx, ury = area.area_extent
+    return rc.select(
+        "event_id",
+        rnd(F.col("bb_x"), 3).alias("bb_x"),
+        rnd(F.col("bb_y"), 3).alias("bb_y"),
+        (
+            (F.col("bb_x") >= llx) & (F.col("bb_x") <= urx)
+            & (F.col("bb_y") >= lly) & (F.col("bb_y") <= ury)
+        ).alias("inside"),
+    )

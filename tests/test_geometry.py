@@ -71,3 +71,68 @@ def test_enclose_areas():
     enc = enclose_areas(AREA, other)
     assert enc.area_extent == (-30.0, 10.0, 20.0, 35.0)
     assert enc.width == round(50.0 / AREA.pixel_size_x)
+
+
+def test_area_constructor_classmethods():
+    from pyresample_spark.geometry import AreaDefinition
+
+    a = AreaDefinition.from_extent("e", "longlat", (90, 180), (-180, -90, 180, 90))
+    assert a.shape == (90, 180) and a.pixel_size_x == 2.0
+
+    b = AreaDefinition.from_ul_corner("u", "eqc", (100, 200), (0.0, 50.0), 1000.0)
+    assert b.area_extent == (0.0, 50.0 - 100_000.0, 200_000.0, 50.0)
+
+    c = AreaDefinition.from_area_of_interest("c", "eqc", (10, 10), (500.0, 500.0), 100.0)
+    assert c.area_extent == (0.0, 0.0, 1000.0, 1000.0)
+
+    d = AreaDefinition.from_circle("s", "eqc", (0.0, 0.0), 5000.0, resolution=100.0)
+    assert d.shape == (100, 100) and d.area_extent == (-5000.0, -5000.0, 5000.0, 5000.0)
+
+    e = AreaDefinition.from_epsg(4326, 1.0)
+    assert e.shape == (180, 360) and e.crs in ("longlat", "EPSG:4326")
+
+    import pytest as _pytest
+    with _pytest.raises((NotImplementedError, Exception)):
+        AreaDefinition.from_epsg(32633, 1000.0)
+
+
+def test_optimal_bb_area_contains_swath(spark):
+    """Fitted oblique area must contain every swath point interior to
+    its extent, and be tighter than the naive lonlat bbox for a tilted
+    track."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.optimal_bb import (
+        compute_optimal_bb_area,
+        rotated_coords,
+    )
+
+    # synthetic tilted swath: great-circle track at 45° azimuth, ±1.5°
+    # cross-track — like an ascending polar orbit segment
+    rows = []
+    for i in range(200):
+        t = (i / 199.0) * 40.0 - 20.0  # along-track degrees
+        for j in range(5):
+            s = (j - 2) * 0.75  # cross-track degrees
+            lon = t * 0.7071 - s * 0.7071
+            lat = t * 0.7071 + s * 0.7071
+            rows.append((i * 5 + j, lon, lat))
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double")
+
+    area = compute_optimal_bb_area(df, resolution_m=20_000.0)
+    assert area.crs.startswith("+proj=omerc")
+    llx, lly, urx, ury = area.area_extent
+
+    rc = rotated_coords(df, area)
+    outside = rc.filter(
+        (F.col("bb_x") < llx) | (F.col("bb_x") > urx)
+        | (F.col("bb_y") < lly) | (F.col("bb_y") > ury)
+    ).count()
+    assert outside == 0
+
+    # tighter than naive: cross-track extent ≈ 2*1.5° of arc + margin,
+    # far less than the naive lat span (~43°)
+    naive_span_m = math.radians(43.0) * 6370997.0
+    assert (ury - lly) < 0.25 * naive_span_m
