@@ -26,6 +26,12 @@ def get_spark(app_name: str = "pyresample_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # managed-table machinery (bucketed tables) kept out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/pyresample_spark_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/pyresample_spark_derby",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

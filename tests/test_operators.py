@@ -210,3 +210,62 @@ def test_knn_topk_hash_agg_matches_window(spark, sf_dir):
         + want.exceptAll(got.select("tgt_id", "src_id", "nn_rank")).count()
     )
     assert diff == 0
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Tables written bucketed on the join key join with ZERO exchanges
+    (Spark trusts the on-disk hash partitioning); the same data as
+    plain parquet shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.bucketed import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d1 = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+        )
+        d2 = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+        )
+        write_bucketed(d1, "tb1", ["k"], 4, path=str(tmp_path / "b1"))
+        write_bucketed(d2, "tb2", ["k"], 4, path=str(tmp_path / "b2"))
+
+        j = spark.table("tb1").join(spark.table("tb2"), "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("Exchange") == 0
+        assert j.count() == 10_000
+
+        jp = spark.read.parquet(str(tmp_path / "b1")).join(
+            spark.read.parquet(str(tmp_path / "b2")), "k"
+        )
+        plan2 = jp._sc._jvm.PythonSQLUtils.explainString(
+            jp._jdf.queryExecution(), "formatted"
+        )
+        assert plan2.count("Exchange") > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS tb1")
+        spark.sql("DROP TABLE IF EXISTS tb2")
+
+
+def test_cell_bucketed_points_roundtrip(spark, sf_dir, tmp_path):
+    """Cell-key bucketed point table carries the knn cell scheme."""
+    from pyresample_spark.queries.joins import RADIUS_M, _src
+    from pyresample_spark.sources.bucketed import (
+        read_table,
+        write_cell_bucketed_points,
+    )
+
+    src = _src(spark, sf_dir)
+    write_cell_bucketed_points(
+        src, "tb_cells", RADIUS_M, 4, path=str(tmp_path / "cells")
+    )
+    try:
+        t = read_table(spark, "tb_cells")
+        assert {"cx3", "cy3", "cz3", "gx", "gy", "gz"} <= set(t.columns)
+        assert t.count() == src.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_cells")
