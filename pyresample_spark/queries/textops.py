@@ -466,3 +466,102 @@ def q_seq_pack(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("sum_tokens"),
     )
+
+
+_CAND_INNER = f"""
+    sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup', fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
+    seeded AS (
+      SELECT doc_id, j, xor({md5_bigint_sql('shingle')}, c) AS h
+      FROM sh CROSS JOIN seeds
+    ),
+    mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, j // {BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_INNER},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM cand
+      UNION ALL SELECT doc2, doc1 FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT comp AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT src, MIN(dst) AS comp FROM reach GROUP BY src)
+    GROUP BY comp
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assembly: MinHash/LSH candidate pairs form an
+    edge set; connected components (operators/components.py) merge them
+    into clusters, keeping min doc_id as the canonical representative —
+    the step real dedup pipelines need after pair generation (keep one
+    doc per cluster, drop the rest). At scale the CC rounds join only
+    the candidate-pair edges — orders of magnitude smaller than the
+    corpus."""
+    from pyresample_spark.operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d).select("doc1", "doc2")
+    labels = connected_components(pairs, src="doc1", dst="doc2")
+    return labels.groupBy(F.col("comp").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (ROUND(SUM(CAST(ROUND(ln(cnt / (1.0 * total)) * 1000000) AS BIGINT))
+                  / (1000000.0 * COUNT(*)), 6) + 0.0) AS avg_logprob
+    FROM w JOIN c USING (word) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-statistics quality scoring: unigram language-model average
+    log-probability per document (the perplexity-filter idiom of
+    training-data pipelines). Two aggregations — global word counts,
+    then per-doc mean log p(word) — with the count table broadcast back
+    onto the token stream. Per-token logprobs are 1e-6-quantized and
+    integer-summed so the cross-engine mean is order-independent."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_col()).alias("word"))
+    c = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (
+        w.join(F.broadcast(c), "word")
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "lp_q",
+            F.round(F.log(F.col("cnt") / (1.0 * F.col("total"))) * 1e6, 0)
+            .cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.sum("lp_q") / (1e6 * F.count(F.lit(1))), 6).alias("avg_logprob"),
+    )
