@@ -269,3 +269,39 @@ def test_cell_bucketed_points_roundtrip(spark, sf_dir, tmp_path):
         assert t.count() == src.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_cells")
+
+
+def test_partitioned_storage_prunes_cells(spark, sf_dir, tmp_path):
+    """Points written partitioned by a coarse cell key are scanned with
+    partition pruning: a filter on the key reaches PartitionFilters and
+    only matching directories are read — the storage-level twin of the
+    plan-time bbox reduction (data_reduce.py)."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.queries.joins import _src
+
+    src = _src(spark, sf_dir).withColumn(
+        "lat_band", (F.floor(F.col("lat") / 5) * 5).cast("int")
+    )
+    bands = sorted(r.lat_band for r in src.select("lat_band").distinct().collect())
+    assert len(bands) >= 2  # pruning needs something to prune
+    band = bands[-1]
+    path = str(tmp_path / "banded")
+    src.write.partitionBy("lat_band").parquet(path)
+
+    banded = spark.read.parquet(path)
+    q = banded.filter(F.col("lat_band") == band).select("src_id", "lat")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    # behavioral proof: only the one directory's rows come back
+    got = q.count()
+    want = src.filter(F.col("lat_band") == band).count()
+    assert got == want > 0
+    # and the pruned scan reads fewer files than the full scan
+    import glob
+
+    all_files = len(glob.glob(f"{path}/*/*.parquet"))
+    band_files = len(glob.glob(f"{path}/lat_band={band}/*.parquet"))
+    assert 0 < band_files < all_files
