@@ -244,24 +244,55 @@ class AreaDefinition:
 @dataclass(frozen=True)
 class DynamicAreaDefinition:
     """Area with unknown extent; freeze() computes it from data bounds
-    (pyresample geometry.py:1043,1127-1197 — antimeridian modes omitted
-    here live in operators/reduce.py bbox logic)."""
+    (pyresample geometry.py:1043,1127-1197), including the antimeridian
+    modes of geometry.py:1224-1294."""
 
     area_id: str
     crs: str
     resolution: tuple | None = None  # (resx, resy)
     shape: tuple | None = None  # (height, width)
 
-    def freeze(self, bounds_df: DataFrame, x_col: str = "x", y_col: str = "y") -> AreaDefinition:
+    def freeze(
+        self,
+        bounds_df: DataFrame,
+        x_col: str = "x",
+        y_col: str = "y",
+        antimeridian_mode: str | None = None,
+    ) -> AreaDefinition:
         """Compute extent from min/max of projected coords — one global agg
-        (map-side partial + single-row final; negligible at any scale)."""
+        (map-side partial + single-row final; negligible at any scale).
+
+        ``antimeridian_mode`` (geometry.py:1224-1294; lonlat x only):
+        - ``None``: plain min/max (a dateline-crossing swath degrades to
+          a near-global extent, like the reference default).
+        - ``"modify_extents"``: if the data crosses ±180°, express the
+          extent in a shifted frame — llx in (0, 180], urx in (180, 360)
+          — so the frozen area stays tight around the swath.
+        - ``"global_extents"``: if the data crosses, snap x to the full
+          [-180, 180] span.
+        Crossing is detected by comparing the x-span in the natural and
+        the [0, 360) frames (both computed in the same single agg).
+        """
+        shifted = (F.col(x_col) + 360.0) % 360.0
         row = bounds_df.agg(
             F.min(x_col).alias("minx"),
             F.max(x_col).alias("maxx"),
             F.min(y_col).alias("miny"),
             F.max(y_col).alias("maxy"),
+            F.min(shifted).alias("sminx"),
+            F.max(shifted).alias("smaxx"),
         ).collect()[0]
         minx, maxx, miny, maxy = row["minx"], row["maxx"], row["miny"], row["maxy"]
+        if antimeridian_mode is not None:
+            crosses = (row["smaxx"] - row["sminx"]) < (maxx - minx)
+            if crosses and antimeridian_mode == "modify_extents":
+                minx, maxx = row["sminx"], row["smaxx"]
+            elif crosses and antimeridian_mode == "global_extents":
+                minx, maxx = -180.0, 180.0
+            elif antimeridian_mode not in ("modify_extents", "global_extents"):
+                raise ValueError(
+                    f"unknown antimeridian_mode {antimeridian_mode!r}"
+                )
         if self.shape is not None:
             height, width = self.shape
         else:

@@ -290,3 +290,72 @@ def q_domain_bounds(spark, sf_dir):
         rnd(F.max("lat"), 6).alias("max_lat"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_freeze_antimeridian",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((lon / 10.0 + 190.5 + 540.0) % 360.0) - 180.0 AS x, lat AS y
+      FROM ({PTS_SQL})
+    ),
+    a AS (
+      SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy,
+             MIN((x + 360.0) % 360.0) AS sminx, MAX((x + 360.0) % 360.0) AS smaxx
+      FROM pts
+    ),
+    m AS (SELECT *, (smaxx - sminx) < (maxx - minx) AS crosses FROM a)
+    SELECT 'default' AS mode,
+           ROUND(minx, 6) + 0.0 AS llx, ROUND(miny, 6) + 0.0 AS lly,
+           ROUND(maxx, 6) + 0.0 AS urx, ROUND(maxy, 6) + 0.0 AS ury,
+           CAST(ROUND(maxx - minx) AS BIGINT) AS width
+    FROM m
+    UNION ALL
+    SELECT 'modify_extents',
+           ROUND(CASE WHEN crosses THEN sminx ELSE minx END, 6) + 0.0,
+           ROUND(miny, 6) + 0.0,
+           ROUND(CASE WHEN crosses THEN smaxx ELSE maxx END, 6) + 0.0,
+           ROUND(maxy, 6) + 0.0,
+           CAST(ROUND(CASE WHEN crosses THEN smaxx - sminx ELSE maxx - minx END) AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'global_extents',
+           ROUND(CASE WHEN crosses THEN -180.0 ELSE minx END, 6) + 0.0,
+           ROUND(miny, 6) + 0.0,
+           ROUND(CASE WHEN crosses THEN 180.0 ELSE maxx END, 6) + 0.0,
+           ROUND(maxy, 6) + 0.0,
+           CAST(ROUND(CASE WHEN crosses THEN 360.0 ELSE maxx - minx END) AS BIGINT)
+    FROM m
+    """,
+)
+def q_freeze_antimeridian(spark, sf_dir):
+    """DynamicAreaDefinition.freeze antimeridian modes
+    (geometry.py:1224-1294): a dateline-straddling swath (events lons
+    compressed and recentered on 180°) frozen under default /
+    modify_extents / global_extents. Crossing detection and both candidate
+    extents come from ONE aggregation (natural and [0,360)-shifted frames
+    in the same pass); the mode choice is driver-side planning."""
+    from pyresample_spark.geometry import DynamicAreaDefinition
+
+    pts = events_points(spark, sf_dir).select(
+        (((F.col("lon") / 10.0 + 190.5 + 540.0) % 360.0) - 180.0).alias("x"),
+        F.col("lat").alias("y"),
+    )
+    dyn = DynamicAreaDefinition("dyn", "longlat", resolution=(1.0, 1.0))
+    rows = []
+    for mode in (None, "modify_extents", "global_extents"):
+        a = dyn.freeze(pts, antimeridian_mode=mode)
+        llx, lly, urx, ury = a.area_extent
+        rows.append(
+            (
+                mode or "default",
+                round(llx, 6) + 0.0,
+                round(lly, 6) + 0.0,
+                round(urx, 6) + 0.0,
+                round(ury, 6) + 0.0,
+                a.width,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "mode string, llx double, lly double, urx double, ury double, width long"
+    )

@@ -136,3 +136,38 @@ def test_optimal_bb_area_contains_swath(spark):
     # far less than the naive lat span (~43°)
     naive_span_m = math.radians(43.0) * 6370997.0
     assert (ury - lly) < 0.25 * naive_span_m
+
+
+def test_freeze_antimeridian_modes(spark):
+    from pyresample_spark.geometry import DynamicAreaDefinition
+
+    import pytest as _pytest
+
+    # swath straddling the dateline: lons 175..180 and -180..-176
+    pts = spark.createDataFrame(
+        [(175.0 + i * 0.5 if i < 11 else -180.0 + (i - 11) * 0.5, 10.0 + i)
+         for i in range(20)],
+        "x double, y double",
+    )
+    dyn = DynamicAreaDefinition("d", "longlat", resolution=(0.5, 0.5))
+
+    plain = dyn.freeze(pts)
+    assert plain.area_extent[0] == -180.0 and plain.area_extent[2] == 180.0
+
+    tight = dyn.freeze(pts, antimeridian_mode="modify_extents")
+    assert tight.area_extent[0] == 175.0
+    assert tight.area_extent[2] == 184.0  # -176 in the [0,360) frame
+    assert tight.width == 18
+
+    glob = dyn.freeze(pts, antimeridian_mode="global_extents")
+    assert glob.area_extent[0] == -180.0 and glob.area_extent[2] == 180.0
+
+    # non-crossing data: all modes agree
+    pts2 = spark.createDataFrame(
+        [(10.0 + i, 0.0 + i) for i in range(5)], "x double, y double"
+    )
+    a = dyn.freeze(pts2, antimeridian_mode="modify_extents")
+    assert a.area_extent[0] == 10.0 and a.area_extent[2] == 14.0
+
+    with _pytest.raises(ValueError):
+        dyn.freeze(pts, antimeridian_mode="bogus")
