@@ -122,3 +122,112 @@ def derived_lat(user_id="user_id", event_id="event_id") -> Column:
 
 DERIVED_LON_SQL = "(CAST(user_id % 360 - 180 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE) / 100.0)"
 DERIVED_LAT_SQL = "(CAST(user_id % 180 - 90 AS DOUBLE) + CAST(event_id % 97 AS DOUBLE) / 97.0)"
+
+
+# --- polar stereographic (spherical, +proj=stere +lat_0=±90) ---------
+# Forward/inverse per Snyder (1987) eqs. 21-5..21-15, spherical form —
+# the projection family behind most polar satellite products
+# (reference: areas.yaml polar grids; used via pyproj in
+# bucket/__init__.py:165, grid.py:119). Pure column math: no UDF.
+
+def stere_polar_x(lon, lat, lat_ts: float = 90.0, lon_0: float = 0.0,
+                  north: bool = True, radius: float = R_EARTH) -> Column:
+    """Polar stereographic x (true scale at ``lat_ts``). Axis
+    conventions follow Snyder/proj4: north aspect x = ρ·sin(λ−λ₀),
+    y = −ρ·cos(λ−λ₀); south aspect x = ρ·sin(λ−λ₀), y = +ρ·cos(λ−λ₀)."""
+    import math as _m
+
+    k0 = (1.0 + _m.sin(_m.radians(abs(lat_ts)))) / 2.0
+    sign = 1.0 if north else -1.0
+    lat_e = F.radians(_c(lat)) * sign
+    lon_e = F.radians(_c(lon) - F.lit(lon_0))
+    rho = 2.0 * radius * k0 * F.tan(F.lit(_m.pi / 4) - lat_e / 2)
+    return rho * F.sin(lon_e)
+
+
+def stere_polar_y(lon, lat, lat_ts: float = 90.0, lon_0: float = 0.0,
+                  north: bool = True, radius: float = R_EARTH) -> Column:
+    import math as _m
+
+    k0 = (1.0 + _m.sin(_m.radians(abs(lat_ts)))) / 2.0
+    sign = 1.0 if north else -1.0
+    lat_e = F.radians(_c(lat)) * sign
+    lon_e = F.radians(_c(lon) - F.lit(lon_0))
+    rho = 2.0 * radius * k0 * F.tan(F.lit(_m.pi / 4) - lat_e / 2)
+    return -sign * rho * F.cos(lon_e)
+
+
+def stere_polar_inverse(x, y, lat_ts: float = 90.0, lon_0: float = 0.0,
+                        north: bool = True, radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns, the exact inverse of the above."""
+    import math as _m
+
+    k0 = (1.0 + _m.sin(_m.radians(abs(lat_ts)))) / 2.0
+    sign = 1.0 if north else -1.0
+    xs, ys = _c(x), _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    lat_e = F.lit(_m.pi / 2) - 2 * F.atan(rho / (2.0 * radius * k0))
+    lon = F.degrees(F.atan2(xs, -ys * sign)) + F.lit(lon_0)
+    return wrap_longitude(lon), F.degrees(lat_e) * sign
+
+
+def stere_polar_sql(lon: str, lat: str, lat_ts: float = 90.0,
+                    lon_0: float = 0.0, north: bool = True,
+                    radius: float = R_EARTH) -> tuple:
+    """DuckDB twins of the forward transform (for oracles)."""
+    import math as _m
+
+    k0 = (1.0 + _m.sin(_m.radians(abs(lat_ts)))) / 2.0
+    sign = 1.0 if north else -1.0
+    ysign = -sign  # interpolated as a value: "-\-1.0" would be a SQL comment
+    rho = (f"(2.0 * {radius!r} * {k0!r} * "
+           f"tan(pi() / 4 - radians({lat}) * {sign!r} / 2))")
+    lon_e = f"radians({lon} - {lon_0!r})"
+    return (
+        f"({rho} * sin({lon_e}))",
+        f"({ysign!r} * {rho} * cos({lon_e}))",
+    )
+
+
+# --- Lambert azimuthal equal-area (spherical, +proj=laea) ------------
+# Snyder eqs. 24-2..24-4 spherical; the EASE-grid projection family
+# (reference test areas: ease_sh/ease_nh in areas.cfg).
+
+def laea_x(lon, lat, lat_0: float = 90.0, lon_0: float = 0.0,
+           radius: float = R_EARTH) -> Column:
+    import math as _m
+
+    lat0, dlon = _m.radians(lat_0), F.radians(_c(lon) - F.lit(lon_0))
+    latr = F.radians(_c(lat))
+    kden = 1.0 + _m.sin(lat0) * F.sin(latr) + _m.cos(lat0) * F.cos(latr) * F.cos(dlon)
+    kp = F.sqrt(2.0 / kden)
+    return radius * kp * F.cos(latr) * F.sin(dlon)
+
+
+def laea_y(lon, lat, lat_0: float = 90.0, lon_0: float = 0.0,
+           radius: float = R_EARTH) -> Column:
+    import math as _m
+
+    lat0, dlon = _m.radians(lat_0), F.radians(_c(lon) - F.lit(lon_0))
+    latr = F.radians(_c(lat))
+    kden = 1.0 + _m.sin(lat0) * F.sin(latr) + _m.cos(lat0) * F.cos(latr) * F.cos(dlon)
+    kp = F.sqrt(2.0 / kden)
+    return radius * kp * (
+        F.sin(latr) * _m.cos(lat0) - F.cos(latr) * _m.sin(lat0) * F.cos(dlon)
+    )
+
+
+def laea_sql(lon: str, lat: str, lat_0: float = 90.0, lon_0: float = 0.0,
+             radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s0, c0 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    dlon = f"radians({lon} - {lon_0!r})"
+    kden = (f"(1.0 + {s0!r} * sin(radians({lat})) + {c0!r} * "
+            f"cos(radians({lat})) * cos({dlon}))")
+    kp = f"sqrt(2.0 / {kden})"
+    return (
+        f"({radius!r} * {kp} * cos(radians({lat})) * sin({dlon}))",
+        f"({radius!r} * {kp} * (sin(radians({lat})) * {c0!r} - "
+        f"cos(radians({lat})) * {s0!r} * cos({dlon})))",
+    )

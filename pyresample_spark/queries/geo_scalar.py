@@ -289,3 +289,56 @@ def q_gradient_lead_lag(spark, sf_dir):
         F.coalesce(lead_v, F.col("value")) - F.coalesce(lag_v, F.col("value"))
     ) / denom
     return ev.select("event_id", rnd(grad, 6).alias("grad"))
+
+
+@register(
+    "q_proj_stere",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS sx,
+           ROUND({_sx[1]}, 3) + 0.0 AS sy
+    FROM ({PTS_SQL}) WHERE lat < -30.0
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['stere_polar_sql']).stere_polar_sql('lon', 'lat', lat_ts=-70.0, lon_0=0.0, north=False)),
+)
+def q_proj_stere(spark, sf_dir):
+    """South polar stereographic forward projection (true scale −70°,
+    the EPSG:3976-style Antarctic grid) as pure column math — Snyder
+    spherical equations replace the pyproj C library for this CRS
+    family (SURVEY §2.2 pyproj row; no UDF, fully codegen'd)."""
+    from pyresample_spark.functions.geo import stere_polar_x, stere_polar_y
+
+    return (
+        _pts(spark, sf_dir)
+        .filter(F.col("lat") < -30.0)
+        .select(
+            "event_id",
+            rnd(stere_polar_x("lon", "lat", lat_ts=-70.0, north=False), 3).alias("sx"),
+            rnd(stere_polar_y("lon", "lat", lat_ts=-70.0, north=False), 3).alias("sy"),
+        )
+    )
+
+
+@register(
+    "q_proj_laea",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS lx,
+           ROUND({_sx[1]}, 3) + 0.0 AS ly
+    FROM ({PTS_SQL}) WHERE lat < -30.0
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['laea_sql']).laea_sql('lon', 'lat', lat_0=-90.0, lon_0=0.0)),
+)
+def q_proj_laea(spark, sf_dir):
+    """Lambert azimuthal equal-area forward projection (lat_0=−90: the
+    ease_sh EASE-grid of the reference's areas.cfg test fixtures) as
+    column math — Snyder 24-2..24-4 spherical."""
+    from pyresample_spark.functions.geo import laea_x, laea_y
+
+    return (
+        _pts(spark, sf_dir)
+        .filter(F.col("lat") < -30.0)
+        .select(
+            "event_id",
+            rnd(laea_x("lon", "lat", lat_0=-90.0), 3).alias("lx"),
+            rnd(laea_y("lon", "lat", lat_0=-90.0), 3).alias("ly"),
+        )
+    )

@@ -201,3 +201,89 @@ def q_optimal_bb(spark, sf_dir):
             & (F.col("bb_y") >= lly) & (F.col("bb_y") <= ury)
         ).alias("inside"),
     )
+
+
+def _stere_s_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    return AreaDefinition(
+        "stere_south", "+proj=stere +lat_0=-90 +lat_ts=-70", width=80,
+        height=80, area_extent=(-4.0e6, -4.0e6, 4.0e6, 4.0e6),
+    )
+
+
+_STERE_AREA = _stere_s_area()
+
+
+def _stere_inv_sql(x: str, y: str, lat_ts: float = -70.0) -> tuple:
+    import math as _m
+
+    from pyresample_spark.functions.geo import R_EARTH
+
+    k0 = (1.0 + _m.sin(_m.radians(abs(lat_ts)))) / 2.0
+    xs, ys = x, y  # south aspect: lon = atan2(x, +y)
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    lat = f"(-(90.0 - 2.0 * degrees(atan({rho} / (2.0 * {R_EARTH!r} * {k0!r})))))"
+    lon = f"(((degrees(atan2({xs}, {ys})) + 540.0) % 360.0) - 180.0)"
+    return lon, lat
+
+
+@register(
+    "q_regrid_stere",
+    oracle=(lambda lonlat: f"""
+    WITH tgt AS ({_STERE_AREA.grid_sql()}),
+    src AS ({_EQC_IMG_SQL}),
+    inv AS (
+      SELECT cell_id, {lonlat[0]} AS lon, {lonlat[1]} AS lat FROM tgt
+    ),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({EQC_AREA.area_extent[3]!r} - radians(lat) * {__import__('pyresample_spark.functions.geo', fromlist=['R_EARTH']).R_EARTH!r}) / {EQC_AREA.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((radians(lon) * {__import__('pyresample_spark.functions.geo', fromlist=['R_EARTH']).R_EARTH!r} - ({EQC_AREA.area_extent[0]!r})) / {EQC_AREA.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM inv
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {EQC_AREA.height - 1}
+      AND idx.src_col BETWEEN 0 AND {EQC_AREA.width - 1}
+    """)(_stere_inv_sql("cx", "cy")),
+)
+def q_regrid_stere(spark, sf_dir):
+    """Cross-projection regrid WITHOUT pyproj: an eqc world image
+    resampled onto a south-polar stereographic area. Each stere target
+    pixel's (x,y) inverts analytically to lon/lat (Snyder spherical,
+    functions/geo.py stere_polar_inverse — pure column math), maps
+    affinely into the eqc source grid, and gathers by equi-join
+    (grid.py:91-128 linesample generalized across CRS families). The
+    whole plan is codegen'd projection math + one broadcast hash join;
+    trig-fed floor boundaries snap via FLOOR(ROUND(·,9)) so both
+    engines pick identical source pixels."""
+    from pyresample_spark.functions.geo import (
+        R_EARTH,
+        eqc_x,
+        eqc_y,
+        stere_polar_inverse,
+    )
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    tgt = _STERE_AREA.grid(spark)
+    lon, lat = stere_polar_inverse("cx", "cy", lat_ts=-70.0, north=False)
+    t = tgt.select("cell_id", lon.alias("lon"), lat.alias("lat"))
+    xe, ye = eqc_x("lon"), eqc_y("lat")
+    t = t.select(
+        "cell_id",
+        F.floor(
+            F.round((F.lit(EQC_AREA.area_extent[3]) - ye) / EQC_AREA.pixel_size_y, 9)
+        ).alias("src_row"),
+        F.floor(
+            F.round((xe - F.lit(EQC_AREA.area_extent[0])) / EQC_AREA.pixel_size_x, 9)
+        ).alias("src_col"),
+    ).filter(
+        (F.col("src_row") >= 0) & (F.col("src_row") <= EQC_AREA.height - 1)
+        & (F.col("src_col") >= 0) & (F.col("src_col") <= EQC_AREA.width - 1)
+    )
+    src = synth_image(spark, EQC_AREA)
+    return t.join(
+        src.select("row", "col", "value"),
+        (t.src_row == src.row) & (t.src_col == src.col),
+    ).select("cell_id", "src_row", "src_col", F.col("value").alias("src_value"))

@@ -171,3 +171,59 @@ def test_freeze_antimeridian_modes(spark):
 
     with _pytest.raises(ValueError):
         dyn.freeze(pts, antimeridian_mode="bogus")
+
+
+def test_stere_laea_forward_inverse_roundtrip(spark):
+    """Analytic polar stereographic / LAEA projections: forward then
+    inverse returns the original lon/lat to sub-meter precision."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import (
+        laea_x,
+        laea_y,
+        stere_polar_inverse,
+        stere_polar_x,
+        stere_polar_y,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, -180.0 + i * 17.3, -85.0 + (i % 11) * 4.7) for i in range(20)],
+        "pid long, lon double, lat double",
+    )
+    p = pts.withColumn(
+        "sx", stere_polar_x("lon", "lat", lat_ts=-70.0, north=False)
+    ).withColumn("sy", stere_polar_y("lon", "lat", lat_ts=-70.0, north=False))
+    lon2, lat2 = stere_polar_inverse("sx", "sy", lat_ts=-70.0, north=False)
+    bad = (
+        p.withColumn("lon2", lon2)
+        .withColumn("lat2", lat2)
+        .filter(
+            (F.abs(F.col("lat2") - F.col("lat")) > 1e-9)
+            | (
+                (F.abs(F.col("lon2") - F.col("lon")) > 1e-9)
+                & (F.abs(F.abs(F.col("lon2") - F.col("lon")) - 360.0) > 1e-9)
+                & (F.col("lat") > -90.0 + 1e-9)  # lon undefined at pole
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+    # laea: equal-area property — projected radius² == 2R²(1 - sin|lat|)
+    # at the pole-centered aspect (Snyder 24-12 with lat_0 = -90)
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+
+    q = pts.withColumn("lx", laea_x("lon", "lat", lat_0=-90.0)).withColumn(
+        "ly", laea_y("lon", "lat", lat_0=-90.0)
+    )
+    chk = q.withColumn(
+        "rho2", F.col("lx") * F.col("lx") + F.col("ly") * F.col("ly")
+    ).withColumn(
+        "want", 2.0 * R_EARTH * R_EARTH * (1.0 + F.sin(F.radians("lat")))
+    )
+    off = chk.filter(
+        F.abs(F.col("rho2") - F.col("want")) / F.col("want") > 1e-12
+    ).count()
+    assert off == 0
