@@ -41,6 +41,14 @@ def main():
     registry = load_all()
     spark = get_spark("bench")
     spark.range(10).count()  # JVM warmup
+    # Initialize the parquet reader path (footer/schema reads only — no
+    # data pages) so the first timed query measures the query, not
+    # Hadoop FS + codec init.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).schema
 
     times = {}
     for name in HEADLINE:
