@@ -231,3 +231,36 @@ def laea_sql(lon: str, lat: str, lat_0: float = 90.0, lon_0: float = 0.0,
         f"({radius!r} * {kp} * (sin(radians({lat})) * {c0!r} - "
         f"cos(radians({lat})) * {s0!r} * cos({dlon})))",
     )
+
+
+def laea_inverse(x, y, lat_0: float = 90.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns — Snyder 20-14..20-17 spherical
+    inverse of the LAEA forward above."""
+    import math as _m
+
+    s0, c0 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs, ys = _c(x), _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    # c = 2·asin(ρ / 2R); guard the ρ=0 center point (lon undefined)
+    c = 2.0 * F.asin(
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0), rho / (2.0 * radius)))
+    )
+    lat = F.degrees(
+        F.asin(
+            F.greatest(
+                F.lit(-1.0),
+                F.least(
+                    F.lit(1.0),
+                    F.cos(c) * s0
+                    + F.when(rho == 0.0, F.lit(0.0)).otherwise(
+                        ys * F.sin(c) * c0 / rho
+                    ),
+                ),
+            )
+        )
+    )
+    den = rho * c0 * F.cos(c) - ys * s0 * F.sin(c)
+    lon = F.lit(lon_0) + F.degrees(F.atan2(xs * F.sin(c), den))
+    lon = F.when(rho == 0.0, F.lit(lon_0)).otherwise(lon)
+    return wrap_longitude(lon), lat

@@ -227,3 +227,33 @@ def test_stere_laea_forward_inverse_roundtrip(spark):
         F.abs(F.col("rho2") - F.col("want")) / F.col("want") > 1e-12
     ).count()
     assert off == 0
+
+
+def test_laea_forward_inverse_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import laea_inverse, laea_x, laea_y
+
+    pts = spark.createDataFrame(
+        [(i, -170.0 + i * 21.7, -80.0 + (i % 13) * 11.9) for i in range(16)],
+        "pid long, lon double, lat double",
+    )
+    for lat0 in (-90.0, 0.0, 47.5):
+        p = pts.withColumn("x", laea_x("lon", "lat", lat_0=lat0)).withColumn(
+            "y", laea_y("lon", "lat", lat_0=lat0)
+        )
+        lon2, lat2 = laea_inverse("x", "y", lat_0=lat0)
+        bad = (
+            p.withColumn("lon2", lon2)
+            .withColumn("lat2", lat2)
+            .filter(
+                (F.abs(F.col("lat2") - F.col("lat")) > 1e-8)
+                | (
+                    (F.abs(F.col("lon2") - F.col("lon")) > 1e-8)
+                    & (F.abs(F.abs(F.col("lon2") - F.col("lon")) - 360.0) > 1e-8)
+                    & (F.abs(F.col("lat")) < 90.0 - 1e-9)
+                )
+            )
+            .count()
+        )
+        assert bad == 0, f"lat_0={lat0}"

@@ -76,3 +76,49 @@ def test_stateful_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_bucket_average_matches_batch(spark, sf_dir):
+    """The streaming bucket resampler (watermarked window + cell agg)
+    must produce the same per-(window, cell) averages as the same
+    aggregation run in batch."""
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.operators.bucket import assign_cells, events_points
+    from pyresample_spark.streaming.windows import streaming_bucket_average
+
+    area = AreaDefinition(
+        "buck_s", "longlat", width=36, height=18,
+        area_extent=(-180.0, -90.0, 180.0, 90.0),
+    )
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        streaming_bucket_average(stream, area), "stream_bucket_avg"
+    )
+    stream_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.cell_id): (
+            round(r.avg_value, 9),
+            r.n,
+        )
+        for r in got.collect()
+    }
+
+    pts = events_points(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    assigned = assign_cells(pts, area, x_col="lon", y_col="lat")
+    batch = (
+        assigned.groupBy(
+            F.window("event_time", "1 hour"), F.col("cell_id")
+        )
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "cell_id", "avg_value", "n")
+    )
+    batch_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.cell_id): (
+            round(r.avg_value, 9),
+            r.n,
+        )
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 50
