@@ -147,3 +147,16 @@ def _bilinear(
         F.col("tgt_id").alias("cell_id"),
         F.col("bilinear_value").alias("value"),
     )
+
+
+@register_resampler("regrid")
+def _regrid(img: GeoImage, target: AreaDefinition, value_col="value", **kw):
+    """Analytic cross-CRS nearest regrid (operators/crs.py): both areas
+    in the analytic registry (longlat/eqc/polar stere/laea) → pure
+    column-math inverse∘forward + one equi-join. The gradient-search
+    replacement for projected grids (gradient/__init__.py:54-60)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+
+    if img.area is None:
+        raise ValueError("regrid needs a gridded source (from_area)")
+    return regrid_nearest(target, img.area, img.df, value_col=value_col)

@@ -41,3 +41,49 @@ def test_noop_elimination(spark, swath):
 def test_unknown_method(swath):
     with pytest.raises(KeyError):
         swath.resample(AREA, method="nope")
+
+
+def test_regrid_method_matches_bespoke_stere_query(spark, sf_dir):
+    """GeoImage.resample(method='regrid') through the CRS registry must
+    reproduce the hand-built q_regrid_stere plan's results."""
+    from pyresample_spark.image import GeoImage
+    from pyresample_spark.operators.resample_grid import synth_image
+    from pyresample_spark.queries.resample import EQC_AREA, _STERE_AREA
+    from pyresample_spark.queries import REGISTRY
+
+    src = synth_image(spark, EQC_AREA)
+    out = GeoImage.from_area(src, EQC_AREA).resample(
+        _STERE_AREA, method="regrid"
+    )
+    got = sorted(
+        (r.cell_id, r.src_row, r.src_col, r.src_value)
+        for r in out.df.collect()
+    )
+    want = sorted(
+        (r.cell_id, r.src_row, r.src_col, r.src_value)
+        for r in REGISTRY["q_regrid_stere"].builder(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) == _STERE_AREA.size
+
+
+def test_regrid_roundtrip_identity_same_crs(spark):
+    """Regrid of an area onto itself gathers every pixel from itself."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.image import GeoImage
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    area = AreaDefinition(
+        "laea_t", "+proj=laea +lat_0=-90", width=20, height=20,
+        area_extent=(-2e6, -2e6, 2e6, 2e6),
+    )
+    src = synth_image(spark, area)
+    # resample() no-op eliminates area==target, so call the op directly
+    from pyresample_spark.operators.crs import regrid_nearest
+
+    out = regrid_nearest(area, area, src)
+    mismatch = out.join(
+        src.select("cell_id", F.col("value").alias("want")), "cell_id"
+    ).filter(F.col("src_value") != F.col("want")).count()
+    assert mismatch == 0 and out.count() == area.size
