@@ -87,3 +87,43 @@ def test_regrid_roundtrip_identity_same_crs(spark):
         src.select("cell_id", F.col("value").alias("want")), "cell_id"
     ).filter(F.col("src_value") != F.col("want")).count()
     assert mismatch == 0 and out.count() == area.size
+
+
+def test_export_dense_parquet_roundtrip(spark, tmp_path):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.operators.resample_grid import synth_image
+    from pyresample_spark.sources.export import (
+        export_dense_parquet,
+        to_numpy_grid,
+    )
+
+    area = AreaDefinition(
+        "exp", "longlat", width=50, height=40,
+        area_extent=(-180.0, -90.0, 180.0, 90.0),
+    )
+    img = synth_image(spark, area)
+    # knock out some cells to exercise the fill path
+    sparse = img.filter(F.col("cell_id") % 7 != 0).select("cell_id", "value")
+
+    path = str(tmp_path / "dense")
+    export_dense_parquet(sparse, area, path, fill=-1.0)
+    back = spark.read.parquet(path)
+    assert back.count() == area.size  # every cell exactly once
+    assert back.filter("value = -1.0").count() == img.filter(
+        F.col("cell_id") % 7 == 0
+    ).count()
+    # raster order within a block
+    one = (
+        back.filter("row_block = 0").orderBy("cell_id").select("cell_id").collect()
+    )
+    ids = [r.cell_id for r in one]
+    assert ids == sorted(ids)
+
+    arr = to_numpy_grid(sparse, area, fill=float("nan"))
+    assert arr.shape == (40, 50)
+    assert math.isnan(arr[0, 0])  # cell 0 was knocked out
+    assert arr[0, 1] == 17.5  # (0*31 + 1*17) % 97 + 0.5
