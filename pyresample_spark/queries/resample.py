@@ -287,3 +287,61 @@ def q_regrid_stere(spark, sf_dir):
         src.select("row", "col", "value"),
         (t.src_row == src.row) & (t.src_col == src.col),
     ).select("cell_id", "src_row", "src_col", F.col("value").alias("src_value"))
+
+
+def _laea_s_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    return AreaDefinition(
+        "ease_south", "+proj=laea +lat_0=-90", width=60, height=60,
+        area_extent=(-3.0e6, -3.0e6, 3.0e6, 3.0e6),
+    )
+
+
+_LAEA_AREA = _laea_s_area()
+
+
+def _laea_s_inv_sql(x: str, y: str) -> tuple:
+    """South-pole LAEA inverse (Snyder 20-14..20-17 with lat_0=-90):
+    c = 2·asin(ρ/2R); lat = -degrees(acos-free form asin(-cos c));
+    lon = degrees(atan2(x, y))."""
+    from pyresample_spark.functions.geo import R_EARTH
+
+    rho = f"sqrt({x} * {x} + {y} * {y})"
+    c = f"(2.0 * asin(LEAST(1.0, {rho} / (2.0 * {R_EARTH!r}))))"
+    lat = f"degrees(asin(-cos({c})))"
+    lon = f"degrees(atan2({x}, {y}))"
+    return lon, lat
+
+
+@register(
+    "q_regrid_laea",
+    oracle=(lambda lonlat: f"""
+    WITH tgt AS ({_LAEA_AREA.grid_sql()}),
+    src AS ({_EQC_IMG_SQL}),
+    inv AS (
+      SELECT cell_id, {lonlat[0]} AS lon, {lonlat[1]} AS lat FROM tgt
+    ),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({EQC_AREA.area_extent[3]!r} - radians(lat) * {__import__('pyresample_spark.functions.geo', fromlist=['R_EARTH']).R_EARTH!r}) / {EQC_AREA.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((radians(lon) * {__import__('pyresample_spark.functions.geo', fromlist=['R_EARTH']).R_EARTH!r} - ({EQC_AREA.area_extent[0]!r})) / {EQC_AREA.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM inv
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {EQC_AREA.height - 1}
+      AND idx.src_col BETWEEN 0 AND {EQC_AREA.width - 1}
+    """)(_laea_s_inv_sql("cx", "cy")),
+)
+def q_regrid_laea(spark, sf_dir):
+    """EASE-grid regrid through the analytic CRS registry
+    (operators/crs.py): an eqc world image onto a south-polar Lambert
+    azimuthal equal-area grid — the reference's ease_sh target
+    (areas.cfg) without pyproj. Same generalized-linesample plan as
+    q_regrid_stere, dispatched purely from the proj strings."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_LAEA_AREA, EQC_AREA, src)

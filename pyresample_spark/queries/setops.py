@@ -204,3 +204,63 @@ def q_nonoverlap_unions(spark, sf_dir):
     ).select(F.col("a.box_id").alias("src"), F.col("b.box_id").alias("dst"))
     labels = connected_components(edges)
     return labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+_SW_W, _SW_H = 50, 20  # swath shape for the boundary query
+
+
+@register(
+    "q_swath_boundary",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL}),
+    sw AS (
+      SELECT event_id, lon, lat,
+             event_id // {_SW_W} AS y, event_id % {_SW_W} AS x
+      FROM pts WHERE event_id < {_SW_W * _SW_H}
+    )
+    SELECT 1 AS side, x AS seq, lon, lat FROM sw WHERE y = 0
+    UNION ALL
+    SELECT 2, y, lon, lat FROM sw WHERE x = {_SW_W - 1}
+    UNION ALL
+    SELECT 3, {_SW_W - 1} - x, lon, lat FROM sw WHERE y = {_SW_H - 1}
+    UNION ALL
+    SELECT 4, {_SW_H - 1} - y, lon, lat FROM sw WHERE x = 0
+    """,
+)
+def q_swath_boundary(spark, sf_dir):
+    """Swath boundary extraction (BaseDefinition.get_bbox_lonlats
+    geometry.py:293, side build/reversal geometry.py:341-423): the four
+    clockwise sides of a (scanline, pixel)-indexed swath — top row,
+    right column, bottom row reversed, left column reversed — each with
+    a sequence index. Pure filters + column math on the long-format
+    swath; no shuffle until the (tiny) result."""
+    from pyresample_spark.queries.geo_scalar import _pts
+
+    sw = (
+        _pts(spark, sf_dir)
+        .filter(F.col("event_id") < _SW_W * _SW_H)
+        .select(
+            "event_id", "lon", "lat",
+            F.expr(f"event_id div {_SW_W}").alias("y"),
+            (F.col("event_id") % _SW_W).alias("x"),
+        )
+    )
+    top = sw.filter(F.col("y") == 0).select(
+        F.lit(1).alias("side"), F.col("x").alias("seq"), "lon", "lat"
+    )
+    right = sw.filter(F.col("x") == _SW_W - 1).select(
+        F.lit(2).alias("side"), F.col("y").alias("seq"), "lon", "lat"
+    )
+    bottom = sw.filter(F.col("y") == _SW_H - 1).select(
+        F.lit(3).alias("side"),
+        (F.lit(_SW_W - 1) - F.col("x")).alias("seq"),
+        "lon",
+        "lat",
+    )
+    left = sw.filter(F.col("x") == 0).select(
+        F.lit(4).alias("side"),
+        (F.lit(_SW_H - 1) - F.col("y")).alias("seq"),
+        "lon",
+        "lat",
+    )
+    return top.unionByName(right).unionByName(bottom).unionByName(left)
