@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -293,18 +294,37 @@ class DynamicAreaDefinition:
                 raise ValueError(
                     f"unknown antimeridian_mode {antimeridian_mode!r}"
                 )
+        # Data min/max are pixel CENTERS, not edges (reference
+        # compute_domain, geometry.py:1167-1197): pad the extent by half
+        # a resolution so boundary points stay strictly inside, and —
+        # in resolution mode — floor/ceil-align the extent to resolution
+        # multiples so pixel size equals the requested resolution exactly.
         if self.shape is not None:
             height, width = self.shape
+            resx = (maxx - minx) * 1.0 / max(width - 1, 1)
+            resy = (maxy - miny) * 1.0 / max(height - 1, 1)
+            extent = (
+                minx - resx / 2.0,
+                miny - resy / 2.0,
+                maxx + resx / 2.0,
+                maxy + resy / 2.0,
+            )
         else:
             resx, resy = self.resolution
-            width = max(1, int(round((maxx - minx) / resx)))
-            height = max(1, int(round((maxy - miny) / resy)))
+            extent = (
+                math.floor((minx - resx / 2.0) / resx) * resx,
+                math.floor((miny - resy / 2.0) / resy) * resy,
+                math.ceil((maxx + resx / 2.0) / resx) * resx,
+                math.ceil((maxy + resy / 2.0) / resy) * resy,
+            )
+            width = int(round((extent[2] - extent[0]) / resx))
+            height = int(round((extent[3] - extent[1]) / resy))
         return AreaDefinition(
             area_id=self.area_id,
             crs=self.crs,
             width=width,
             height=height,
-            area_extent=(minx, miny, maxx, maxy),
+            area_extent=extent,
         )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyresample_spark.geometry import AreaDefinition
+from pyresample_spark.operators.ids import with_compact_id
 from pyresample_spark.plans.planner import create_resampler, register_resampler
 
 
@@ -77,9 +78,7 @@ def _nearest(
 ):
     from pyresample_spark.operators.knn import knn_join
 
-    src = img.df.withColumn(
-        "src_id", F.monotonically_increasing_id()
-    ).persist()
+    src = with_compact_id(img.df, "src_id")
     nn = knn_join(src, _tgt_points(img.df.sparkSession, target), radius_m, k=1)
     joined = nn.join(src.select("src_id", value_col), "src_id")
     out = joined.select(
@@ -104,9 +103,7 @@ def _gauss(
 ):
     from pyresample_spark.operators.knn import gauss_weight, knn_join
 
-    src = img.df.withColumn(
-        "src_id", F.monotonically_increasing_id()
-    ).persist()
+    src = with_compact_id(img.df, "src_id")
     nn = knn_join(src, _tgt_points(img.df.sparkSession, target), radius_m, k=k)
     wp = nn.join(src.select("src_id", value_col), "src_id").withColumn(
         "w", gauss_weight(F.col("dist_m"), sigma)
@@ -135,9 +132,7 @@ def _bilinear(
 ):
     from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
 
-    src = img.df.withColumn(
-        "src_id", F.monotonically_increasing_id()
-    ).persist()
+    src = with_compact_id(img.df, "src_id")
     out = bilinear_irregular(
         src.select("src_id", "lon", "lat", F.col(value_col).alias("value")),
         _tgt_points(img.df.sparkSession, target),

@@ -83,12 +83,17 @@ class BucketResampler:
             ).otherwise(F.sum(v)).alias("sum_value")
         return self._group().agg(agg)
 
-    def get_average(self, value_col: str) -> DataFrame:
-        # sum / count-of-non-null (bucket/__init__.py:394-429)
+    def get_average(self, value_col: str, skipna: bool = True) -> DataFrame:
+        # sum / count-of-non-null (bucket/__init__.py:394-429);
+        # skipna=False poisons a bucket containing any missing value,
+        # matching reference get_average(skipna=False).
         v = F.col(value_col)
-        return self._group().agg(
-            (F.sum(v) / F.count(v)).alias("avg_value")
-        )
+        avg = F.sum(v) / F.count(v)
+        if not skipna:
+            avg = F.when(
+                F.max(v.isNull().cast("int")) > 0, F.lit(None)
+            ).otherwise(avg)
+        return self._group().agg(avg.alias("avg_value"))
 
     def get_min(self, value_col: str) -> DataFrame:
         return self._group().agg(F.min(value_col).alias("min_value"))

@@ -80,6 +80,7 @@ def knn_join(
     tgt_lon: str = "lon",
     tgt_lat: str = "lat",
     salt_factor: int | None = None,
+    packed: bool = True,
 ) -> DataFrame:
     """Cell-bucketed kNN radius join.
 
@@ -95,6 +96,16 @@ def knn_join(
     set, but a pathologically hot cell (dense swath region) spreads
     over N tasks. AQE skew-join usually makes this unnecessary; the
     explicit salt is for single cells exceeding task memory.
+
+    ``packed=True`` (default) ranks candidates via a packed-bigint
+    HashAggregate (no per-target sort). The packing requires
+    ``0 <= src_id < pack`` (pack ≈ 2^62 / max_dist_mm); this is now
+    VERIFIED per group inside the same aggregate — out-of-range ids
+    (e.g. raw ``monotonically_increasing_id`` = pid·2^33 + n) raise a
+    clear error instead of silently corrupting results. Pass
+    ``packed=False`` to force the sort-based min(struct)/window path,
+    which is correct for arbitrary 64-bit ids, or remap ids with
+    :func:`pyresample_spark.operators.ids.with_compact_id`.
     """
     c = chord_length(radius_m)
 
@@ -157,6 +168,10 @@ def knn_join(
         return pairs.select(
             "tgt_id", "src_id", (F.col("dist_mm") / 1000.0).alias("dist_m")
         )
+    _PACK_ERR = (
+        "knn_join: src_id outside the packable range [0, pack) — pass "
+        "packed=False or remap ids with operators.ids.with_compact_id"
+    )
     if k == 1:
         # Nearest neighbor as a single min() aggregation rather than a
         # row_number window: no per-target sort, and the partial agg
@@ -166,16 +181,24 @@ def knn_join(
         # min(struct(...)) would force SortAggregate (struct buffers
         # aren't hash-aggregable), so (dist_mm, src_id) is packed into
         # one BIGINT — min(bigint) is a HashAggregate. PACK is sized so
-        # dist_mm * PACK never overflows; if ids can exceed PACK we fall
-        # back to the struct (correct, just sort-based).
+        # dist_mm * PACK never overflows. The id-range precondition
+        # (0 <= src_id < pack) is verified per group by min/max ids
+        # carried through the SAME HashAggregate (two extra bigint
+        # buffer slots — no extra shuffle); violation raises.
         max_dist_mm = round(c * 1000.0)
         pack = (1 << 62) // max(max_dist_mm + 1, 1)
-        if pack >= (1 << 33):
+        if packed and pack >= (1 << 33):
             key = F.col("dist_mm") * pack + F.col("src_id")
-            best = pairs.groupBy("tgt_id").agg(F.min(key).alias("bk"))
+            best = pairs.groupBy("tgt_id").agg(
+                F.min(key).alias("bk"),
+                F.min("src_id").alias("_id_lo"),
+                F.max("src_id").alias("_id_hi"),
+            )
+            ok = (F.col("_id_lo") >= 0) & (F.col("_id_hi") < F.lit(pack))
+            guard = F.assert_true(ok, F.lit(_PACK_ERR))
             return best.select(
                 "tgt_id",
-                (F.col("bk") % pack).alias("src_id"),
+                F.when(guard.isNull(), F.col("bk") % pack).alias("src_id"),
                 (F.expr(f"bk div {pack}") / 1000.0).alias("dist_m"),
                 F.lit(1).alias("nn_rank"),
             )
@@ -199,16 +222,20 @@ def knn_join(
     # exchange work at scale.
     max_dist_mm = round(c * 1000.0)
     pack = (1 << 62) // max(max_dist_mm + 1, 1)
-    if pack >= (1 << 33):
+    if packed and pack >= (1 << 33):
         key = F.col("dist_mm") * pack + F.col("src_id")
         g = pairs.groupBy("tgt_id").agg(
-            F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("ks")
+            F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("ks"),
+            F.min("src_id").alias("_id_lo"),
+            F.max("src_id").alias("_id_hi"),
         )
+        ok = (F.col("_id_lo") >= 0) & (F.col("_id_hi") < F.lit(pack))
+        guard = F.assert_true(ok, F.lit(_PACK_ERR))
         return g.select(
-            "tgt_id", F.posexplode("ks").alias("rank0", "bk")
+            "tgt_id", F.posexplode("ks").alias("rank0", "bk"), guard.alias("_g")
         ).select(
             "tgt_id",
-            (F.col("bk") % pack).alias("src_id"),
+            F.when(F.col("_g").isNull(), F.col("bk") % pack).alias("src_id"),
             (F.expr(f"bk div {pack}") / 1000.0).alias("dist_m"),
             (F.col("rank0") + 1).cast("int").alias("nn_rank"),
         )

@@ -122,6 +122,26 @@ def q_bucket_avg(spark, sf_dir):
 
 
 @register(
+    "q_get_average_skipna",
+    oracle=f"""
+    SELECT cell_id,
+           CASE WHEN MAX(CASE WHEN value IS NULL THEN 1 ELSE 0 END) > 0
+                THEN NULL
+                ELSE ROUND(SUM(value) / COUNT(value), 6) + 0.0
+           END AS avg_strict
+    FROM ({ASSIGNED_SQL}) GROUP BY cell_id
+    """,
+)
+def q_get_average_skipna(spark, sf_dir):
+    """Bucket get_average(skipna=False): NaN-poisoned mean — any missing
+    contributor nulls the bucket (bucket/__init__.py:394-429, the
+    reference's skipna=False mode; same poisoning pattern as get_sum)."""
+    r = _assigned(spark, sf_dir)
+    out = r.get_average("value", skipna=False)
+    return out.select("cell_id", rnd(F.col("avg_value"), 6).alias("avg_strict"))
+
+
+@register(
     "q_bucket_min",
     oracle=f"""
     SELECT cell_id, MIN(value) AS min_value
@@ -304,28 +324,28 @@ def q_domain_bounds(spark, sf_dir):
              MIN((x + 360.0) % 360.0) AS sminx, MAX((x + 360.0) % 360.0) AS smaxx
       FROM pts
     ),
-    m AS (SELECT *, (smaxx - sminx) < (maxx - minx) AS crosses FROM a)
-    SELECT 'default' AS mode,
-           ROUND(minx, 6) + 0.0 AS llx, ROUND(miny, 6) + 0.0 AS lly,
-           ROUND(maxx, 6) + 0.0 AS urx, ROUND(maxy, 6) + 0.0 AS ury,
-           CAST(ROUND(maxx - minx) AS BIGINT) AS width
-    FROM m
-    UNION ALL
-    SELECT 'modify_extents',
-           ROUND(CASE WHEN crosses THEN sminx ELSE minx END, 6) + 0.0,
-           ROUND(miny, 6) + 0.0,
-           ROUND(CASE WHEN crosses THEN smaxx ELSE maxx END, 6) + 0.0,
-           ROUND(maxy, 6) + 0.0,
-           CAST(ROUND(CASE WHEN crosses THEN smaxx - sminx ELSE maxx - minx END) AS BIGINT)
-    FROM m
-    UNION ALL
-    SELECT 'global_extents',
-           ROUND(CASE WHEN crosses THEN -180.0 ELSE minx END, 6) + 0.0,
-           ROUND(miny, 6) + 0.0,
-           ROUND(CASE WHEN crosses THEN 180.0 ELSE maxx END, 6) + 0.0,
-           ROUND(maxy, 6) + 0.0,
-           CAST(ROUND(CASE WHEN crosses THEN 360.0 ELSE maxx - minx END) AS BIGINT)
-    FROM m
+    m AS (SELECT *, (smaxx - sminx) < (maxx - minx) AS crosses FROM a),
+    -- one row per mode with that mode's pixel-CENTER corners
+    c AS (
+      SELECT 'default' AS mode, minx AS cx0, miny AS cy0, maxx AS cx1, maxy AS cy1 FROM m
+      UNION ALL
+      SELECT 'modify_extents',
+             CASE WHEN crosses THEN sminx ELSE minx END, miny,
+             CASE WHEN crosses THEN smaxx ELSE maxx END, maxy FROM m
+      UNION ALL
+      SELECT 'global_extents',
+             CASE WHEN crosses THEN -180.0 ELSE minx END, miny,
+             CASE WHEN crosses THEN 180.0 ELSE maxx END, maxy FROM m
+    )
+    -- compute_domain padding: corners are pixel centers; pad by half a
+    -- resolution (1.0 here) and floor/ceil-align to resolution multiples
+    SELECT mode,
+           ROUND(FLOOR(cx0 - 0.5), 6) + 0.0 AS llx,
+           ROUND(FLOOR(cy0 - 0.5), 6) + 0.0 AS lly,
+           ROUND(CEIL(cx1 + 0.5), 6) + 0.0 AS urx,
+           ROUND(CEIL(cy1 + 0.5), 6) + 0.0 AS ury,
+           CAST(ROUND(CEIL(cx1 + 0.5) - FLOOR(cx0 - 0.5)) AS BIGINT) AS width
+    FROM c
     """,
 )
 def q_freeze_antimeridian(spark, sf_dir):

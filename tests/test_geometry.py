@@ -51,8 +51,11 @@ def test_dynamic_freeze(spark):
     )
     dyn = DynamicAreaDefinition("d", "longlat", resolution=(1.0, 1.0))
     frozen = dyn.freeze(pts)
-    assert frozen.area_extent == (-3.0, 0.0, 10.0, 8.0)
-    assert frozen.width == 13 and frozen.height == 8
+    # data min/max are pixel centers: padded by half a res and aligned
+    # to resolution multiples (reference compute_domain convention)
+    assert frozen.area_extent == (-4.0, -1.0, 11.0, 9.0)
+    assert frozen.width == 15 and frozen.height == 10
+    assert frozen.pixel_size_x == 1.0 and frozen.pixel_size_y == 1.0
 
 
 def test_stacked_append_merges_adjacent(spark):
@@ -152,22 +155,22 @@ def test_freeze_antimeridian_modes(spark):
     dyn = DynamicAreaDefinition("d", "longlat", resolution=(0.5, 0.5))
 
     plain = dyn.freeze(pts)
-    assert plain.area_extent[0] == -180.0 and plain.area_extent[2] == 180.0
+    assert plain.area_extent[0] == -180.5 and plain.area_extent[2] == 180.5
 
     tight = dyn.freeze(pts, antimeridian_mode="modify_extents")
-    assert tight.area_extent[0] == 175.0
-    assert tight.area_extent[2] == 184.0  # -176 in the [0,360) frame
-    assert tight.width == 18
+    assert tight.area_extent[0] == 174.5
+    assert tight.area_extent[2] == 184.5  # -176 in the [0,360) frame
+    assert tight.width == 20
 
     glob = dyn.freeze(pts, antimeridian_mode="global_extents")
-    assert glob.area_extent[0] == -180.0 and glob.area_extent[2] == 180.0
+    assert glob.area_extent[0] == -180.5 and glob.area_extent[2] == 180.5
 
     # non-crossing data: all modes agree
     pts2 = spark.createDataFrame(
         [(10.0 + i, 0.0 + i) for i in range(5)], "x double, y double"
     )
     a = dyn.freeze(pts2, antimeridian_mode="modify_extents")
-    assert a.area_extent[0] == 10.0 and a.area_extent[2] == 14.0
+    assert a.area_extent[0] == 9.5 and a.area_extent[2] == 14.5
 
     with _pytest.raises(ValueError):
         dyn.freeze(pts, antimeridian_mode="bogus")

@@ -305,3 +305,61 @@ def test_partitioned_storage_prunes_cells(spark, sf_dir, tmp_path):
     all_files = len(glob.glob(f"{path}/*/*.parquet"))
     band_files = len(glob.glob(f"{path}/lat_band={band}/*.parquet"))
     assert 0 < band_files < all_files
+
+
+def test_knn_packed_guard_rejects_sparse_ids(spark):
+    """Packed-bigint top-k requires 0 <= src_id < pack; a sparse id
+    (e.g. raw monotonically_increasing_id = pid*2^33 + n) must raise a
+    clear error, not silently corrupt src_id/dist_m (ADVICE r1, high)."""
+    big = 1 << 60  # unambiguously above any pack value
+    src = _pts(spark, [(big, 0.0, 0.0), (1, 0.05, 0.0)])
+    tgt = _pts(spark, [(7, 0.0, 0.01)], id_col="tgt_id")
+    with pytest.raises(Exception, match="packable|ASSERT"):
+        knn_join(src, tgt, 50_000.0, k=1).collect()
+    with pytest.raises(Exception, match="packable|ASSERT"):
+        knn_join(src, tgt, 50_000.0, k=2).collect()
+    # packed=False falls back to the sort-based path and is correct
+    out = knn_join(src, tgt, 50_000.0, k=2, packed=False).orderBy(
+        "nn_rank"
+    ).collect()
+    assert [r.src_id for r in out] == [big, 1]
+
+
+def test_with_compact_id_dense_and_stable(spark):
+    from pyresample_spark.operators.ids import with_compact_id
+
+    df = spark.range(0, 1000, 1, 7).select(
+        (F.col("id") * 3.7).alias("v")
+    )
+    out = with_compact_id(df, "rid")
+    ids = sorted(r.rid for r in out.select("rid").collect())
+    assert ids == list(range(1000))  # dense [0, N)
+    # deterministic across re-evaluation (localCheckpoint pins lineage)
+    pairs1 = {(r.rid, r.v) for r in out.collect()}
+    pairs2 = {(r.rid, r.v) for r in out.collect()}
+    assert pairs1 == pairs2
+
+
+def test_get_average_skipna_poisons(spark):
+    from pyresample_spark.operators.bucket import BucketResampler
+    from pyresample_spark.geometry import AreaDefinition as AD
+
+    area = AD("t", "longlat", 4, 4, (-2.0, -2.0, 2.0, 2.0))
+    df = spark.createDataFrame(
+        [(0.5, 0.5, 1.0), (0.6, 0.6, 3.0), (-1.5, 0.5, 2.0), (-1.4, 0.4, None)],
+        "x double, y double, value double",
+    )
+    r = BucketResampler(df, area)
+    strict = {
+        r2.cell_id: r2.avg_value
+        for r2 in r.get_average("value", skipna=False).collect()
+    }
+    loose = {
+        r2.cell_id: r2.avg_value
+        for r2 in r.get_average("value").collect()
+    }
+    poisoned = [cid for cid, v in strict.items() if v is None]
+    assert len(poisoned) == 1  # the cell containing the NULL
+    assert loose[poisoned[0]] == 2.0  # skipna mean ignores the NULL
+    clean = [cid for cid in strict if strict[cid] is not None][0]
+    assert strict[clean] == loose[clean] == 2.0
