@@ -264,3 +264,239 @@ def laea_inverse(x, y, lat_0: float = 90.0, lon_0: float = 0.0,
     lon = F.lit(lon_0) + F.degrees(F.atan2(xs * F.sin(c), den))
     lon = F.when(rho == 0.0, F.lit(lon_0)).otherwise(lon)
     return wrap_longitude(lon), lat
+
+
+# --- Mercator (spherical, +proj=merc [+lat_ts=..] [+lon_0=..]) --------
+# Snyder (1987) eqs. 7-1..7-5. k0 = cos(lat_ts) for a secant cylinder.
+
+def merc_x(lon, lat_ts: float = 0.0, lon_0: float = 0.0,
+           radius: float = R_EARTH) -> Column:
+    import math as _m
+
+    k0 = _m.cos(_m.radians(lat_ts))
+    return radius * k0 * F.radians(_c(lon) - F.lit(lon_0))
+
+
+def merc_y(lat, lat_ts: float = 0.0, radius: float = R_EARTH) -> Column:
+    import math as _m
+
+    k0 = _m.cos(_m.radians(lat_ts))
+    latr = F.radians(_c(lat))
+    return radius * k0 * F.log(F.tan(F.lit(_m.pi / 4) + latr / 2))
+
+
+def merc_inverse(x, y, lat_ts: float = 0.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns — Snyder 7-4/7-5 spherical."""
+    import math as _m
+
+    k0 = _m.cos(_m.radians(lat_ts))
+    xs, ys = _c(x), _c(y)
+    lon = F.degrees(xs / (radius * k0)) + F.lit(lon_0)
+    lat = 90.0 - 2.0 * F.degrees(F.atan(F.exp(-ys / (radius * k0))))
+    return wrap_longitude(lon), lat
+
+
+def merc_sql(lon: str, lat: str, lat_ts: float = 0.0, lon_0: float = 0.0,
+             radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    rk = radius * _m.cos(_m.radians(lat_ts))  # pre-multiplied: DuckDB
+    # parses literal*literal as DECIMAL and overflows before cast
+    return (
+        f"({rk!r} * radians({lon} - {lon_0!r}))",
+        f"({rk!r} * ln(tan(pi() / 4 + radians({lat}) / 2)))",
+    )
+
+
+def merc_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    rk = radius * _m.cos(_m.radians(lat_ts))
+    lon = (f"((((degrees({x} / {rk!r}) + {lon_0!r}) + 540.0)"
+           f" % 360.0) - 180.0)")
+    lat = f"(90.0 - 2.0 * degrees(atan(exp(-({y}) / {rk!r}))))"
+    return lon, lat
+
+
+# --- Lambert conformal conic (spherical, +proj=lcc) -------------------
+# Snyder eqs. 15-1..15-5 with one or two standard parallels — the CONUS
+# workhorse CRS (the reference's own LCC test fixture,
+# pyresample/test/conftest.py:194-254, goes through pyproj).
+
+def lcc_constants(lat_0: float, lat_1: float, lat_2: float | None = None,
+                  radius: float = R_EARTH) -> tuple:
+    """Driver-side cone constants (n, R·F, ρ0) shared by fwd/inv/SQL."""
+    import math as _m
+
+    p1 = _m.radians(lat_1)
+    p2 = _m.radians(lat_2 if lat_2 is not None else lat_1)
+    if abs(p1 - p2) < 1e-12:
+        n = _m.sin(p1)
+    else:
+        n = _m.log(_m.cos(p1) / _m.cos(p2)) / _m.log(
+            _m.tan(_m.pi / 4 + p2 / 2) / _m.tan(_m.pi / 4 + p1 / 2)
+        )
+    rf = radius * _m.cos(p1) * _m.tan(_m.pi / 4 + p1 / 2) ** n / n
+    rho0 = rf / _m.tan(_m.pi / 4 + _m.radians(lat_0) / 2) ** n
+    return n, rf, rho0
+
+
+def lcc_x(lon, lat, lat_0: float, lat_1: float, lat_2: float | None = None,
+          lon_0: float = 0.0, radius: float = R_EARTH) -> Column:
+    n, rf, rho0 = lcc_constants(lat_0, lat_1, lat_2, radius)
+    rho = rf / F.pow(F.tan(F.lit(3.141592653589793 / 4) + F.radians(_c(lat)) / 2), n)
+    return rho * F.sin(n * F.radians(_c(lon) - F.lit(lon_0)))
+
+
+def lcc_y(lon, lat, lat_0: float, lat_1: float, lat_2: float | None = None,
+          lon_0: float = 0.0, radius: float = R_EARTH) -> Column:
+    n, rf, rho0 = lcc_constants(lat_0, lat_1, lat_2, radius)
+    rho = rf / F.pow(F.tan(F.lit(3.141592653589793 / 4) + F.radians(_c(lat)) / 2), n)
+    return rho0 - rho * F.cos(n * F.radians(_c(lon) - F.lit(lon_0)))
+
+
+def lcc_inverse(x, y, lat_0: float, lat_1: float, lat_2: float | None = None,
+                lon_0: float = 0.0, radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns — Snyder 15-5/14-9..14-11 spherical.
+    Northern cones (n > 0) only; the sign flip for southern cones is a
+    driver-side negation of (x, ρ0−y)."""
+    import math as _m
+
+    n, rf, rho0 = lcc_constants(lat_0, lat_1, lat_2, radius)
+    sgn = 1.0 if n >= 0 else -1.0
+    xs, ys = _c(x) * sgn, (F.lit(rho0) - _c(y)) * sgn
+    rho = sgn * F.sqrt(xs * xs + ys * ys)
+    theta = F.atan2(xs, ys)
+    lat = 2.0 * F.degrees(F.atan(F.pow(F.lit(rf) / rho, 1.0 / n))) - 90.0
+    lon = F.degrees(theta) / n + F.lit(lon_0)
+    return wrap_longitude(lon), lat
+
+
+def lcc_sql(lon: str, lat: str, lat_0: float, lat_1: float,
+            lat_2: float | None = None, lon_0: float = 0.0,
+            radius: float = R_EARTH) -> tuple:
+    n, rf, rho0 = lcc_constants(lat_0, lat_1, lat_2, radius)
+    rho = f"({rf!r} / pow(tan(pi() / 4 + radians({lat}) / 2), {n!r}))"
+    th = f"({n!r} * radians({lon} - {lon_0!r}))"
+    return (
+        f"({rho} * sin({th}))",
+        f"({rho0!r} - {rho} * cos({th}))",
+    )
+
+
+def lcc_inv_sql(x: str, y: str, lat_0: float, lat_1: float,
+                lat_2: float | None = None, lon_0: float = 0.0,
+                radius: float = R_EARTH) -> tuple:
+    n, rf, rho0 = lcc_constants(lat_0, lat_1, lat_2, radius)
+    sgn = 1.0 if n >= 0 else -1.0
+    xs = f"({x} * {sgn!r})"
+    ys = f"(({rho0!r} - {y}) * {sgn!r})"
+    rho = f"({sgn!r} * sqrt({xs} * {xs} + {ys} * {ys}))"
+    lat = f"(2.0 * degrees(atan(pow({rf!r} / {rho}, {1.0 / n!r}))) - 90.0)"
+    lon = (f"((((degrees(atan2({xs}, {ys})) / {n!r} + {lon_0!r}) + 540.0)"
+           f" % 360.0) - 180.0)")
+    return lon, lat
+
+
+# --- Geostationary (spherical, +proj=geos +h=.. [+sweep=x|y]) ---------
+# The dominant real-world satellite CRS (GOES sweep=x, MSG/SEVIRI
+# sweep=y). Spherical form of the PROJ geos projection: the view vector
+# from a satellite at radius R+h intersected with the sphere. Off-disc
+# points (behind the horizon) are NULL, mirroring PROJ's F_ERROR.
+
+def _geos_v(lon, lat, lon_0: float):
+    lam = F.radians(_c(lon) - F.lit(lon_0))
+    phi = F.radians(_c(lat))
+    return F.cos(phi) * F.cos(lam), F.cos(phi) * F.sin(lam), F.sin(phi)
+
+
+def geos_xy(lon, lat, h: float, lon_0: float = 0.0, sweep: str = "y",
+            radius: float = R_EARTH) -> tuple:
+    """Forward geostationary (x, y) columns in meters; NULL off-disc."""
+    rg = 1.0 + h / radius  # satellite distance in earth radii
+    vx, vy, vz = _geos_v(lon, lat, lon_0)
+    visible = (F.lit(rg) - vx) * vx - vy * vy - vz * vz >= 0.0
+    tmp = F.lit(rg) - vx
+    if sweep == "x":
+        xx = h * F.atan(vy / F.sqrt(vz * vz + tmp * tmp))
+        yy = h * F.atan(vz / tmp)
+    else:
+        xx = h * F.atan(vy / tmp)
+        yy = h * F.atan(vz / F.sqrt(vy * vy + tmp * tmp))
+    return (
+        F.when(visible, xx).otherwise(F.lit(None)),
+        F.when(visible, yy).otherwise(F.lit(None)),
+    )
+
+
+def geos_inverse(x, y, h: float, lon_0: float = 0.0, sweep: str = "y",
+                 radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns; NULL where the view ray misses the
+    sphere (negative discriminant)."""
+    rg = 1.0 + h / radius
+    xs, ys = _c(x), _c(y)
+    if sweep == "x":
+        vz = F.tan(ys / h)
+        vy = F.tan(xs / h) * F.sqrt(1.0 + vz * vz)
+    else:
+        vy = F.tan(xs / h)
+        vz = F.tan(ys / h) * F.sqrt(1.0 + vy * vy)
+    a = vy * vy + vz * vz + 1.0
+    b = F.lit(2.0 * rg) * F.lit(-1.0)  # 2·rg·Vx with Vx = −1
+    det = b * b - 4.0 * a * F.lit(rg * rg - 1.0)
+    k = (-b - F.sqrt(det)) / (2.0 * a)
+    wx = F.lit(rg) - k
+    wy, wz = vy * k, vz * k
+    lam = F.atan2(wy, wx)
+    lon = F.degrees(lam) + F.lit(lon_0)
+    lat = F.degrees(F.atan(wz * F.cos(lam) / wx))
+    null = F.lit(None).cast("double")
+    return (
+        F.when(det >= 0.0, wrap_longitude(lon)).otherwise(null),
+        F.when(det >= 0.0, lat).otherwise(null),
+    )
+
+
+def geos_sql(lon: str, lat: str, h: float, lon_0: float = 0.0,
+             sweep: str = "y", radius: float = R_EARTH) -> tuple:
+    rg = 1.0 + h / radius
+    vx = f"(cos(radians({lat})) * cos(radians({lon} - {lon_0!r})))"
+    vy = f"(cos(radians({lat})) * sin(radians({lon} - {lon_0!r})))"
+    vz = f"(sin(radians({lat})))"
+    vis = f"(({rg!r} - {vx}) * {vx} - {vy} * {vy} - {vz} * {vz} >= 0.0)"
+    tmp = f"({rg!r} - {vx})"
+    if sweep == "x":
+        xx = f"({h!r} * atan({vy} / sqrt({vz} * {vz} + {tmp} * {tmp})))"
+        yy = f"({h!r} * atan({vz} / {tmp}))"
+    else:
+        xx = f"({h!r} * atan({vy} / {tmp}))"
+        yy = f"({h!r} * atan({vz} / sqrt({vy} * {vy} + {tmp} * {tmp})))"
+    return (
+        f"(CASE WHEN {vis} THEN {xx} END)",
+        f"(CASE WHEN {vis} THEN {yy} END)",
+    )
+
+
+def geos_inv_sql(x: str, y: str, h: float, lon_0: float = 0.0,
+                 sweep: str = "y", radius: float = R_EARTH) -> tuple:
+    rg = 1.0 + h / radius
+    if sweep == "x":
+        vz = f"(tan({y} / {h!r}))"
+        vy = f"(tan({x} / {h!r}) * sqrt(1.0 + {vz} * {vz}))"
+    else:
+        vy = f"(tan({x} / {h!r}))"
+        vz = f"(tan({y} / {h!r}) * sqrt(1.0 + {vy} * {vy}))"
+    a = f"({vy} * {vy} + {vz} * {vz} + 1.0)"
+    b = f"({-2.0 * rg!r})"
+    det = f"({b} * {b} - 4.0 * {a} * {rg * rg - 1.0!r})"
+    k = f"((-({b}) - sqrt({det})) / (2.0 * {a}))"
+    wx = f"({rg!r} - {k})"
+    lam = f"atan2({vy} * {k}, {wx})"
+    lon = (f"(((degrees({lam}) + {lon_0!r} + 540.0) % 360.0) - 180.0)")
+    lat = f"(degrees(atan({vz} * {k} * cos({lam}) / {wx})))"
+    return (
+        f"(CASE WHEN {det} >= 0.0 THEN {lon} END)",
+        f"(CASE WHEN {det} >= 0.0 THEN {lat} END)",
+    )

@@ -15,6 +15,10 @@ Supported proj strings (whitespace-separated key=value, order-free):
 - ``eqc`` / ``+proj=eqc``
 - ``+proj=stere +lat_0=±90 [+lat_ts=..] [+lon_0=..]`` (polar aspects)
 - ``+proj=laea [+lat_0=..] [+lon_0=..]``
+- ``+proj=merc [+lat_ts=..] [+lon_0=..]``
+- ``+proj=lcc +lat_1=.. [+lat_2=..] [+lat_0=..] [+lon_0=..]``
+- ``+proj=geos [+h=..] [+lon_0=..] [+sweep=x|y]`` (full-disc; off-disc
+  pixels are NULL-masked by the horizon condition)
 """
 
 from __future__ import annotations
@@ -25,9 +29,17 @@ from pyresample_spark.functions.geo import (
     R_EARTH,
     eqc_x,
     eqc_y,
+    geos_inverse,
+    geos_xy,
     laea_inverse,
     laea_x,
     laea_y,
+    lcc_inverse,
+    lcc_x,
+    lcc_y,
+    merc_inverse,
+    merc_x,
+    merc_y,
     stere_polar_inverse,
     stere_polar_x,
     stere_polar_y,
@@ -63,6 +75,12 @@ def _family(crs: str) -> str:
         return "stere"
     if proj == "laea":
         return "laea"
+    if proj == "merc":
+        return "merc"
+    if proj == "lcc":
+        return "lcc"
+    if proj == "geos":
+        return "geos"
     raise NotImplementedError(
         f"no analytic transform for CRS {crs!r} (pyproj UDF fallback "
         "in operators/proj_udf.py)"
@@ -86,12 +104,34 @@ def forward(crs: str):
             stere_polar_x(lon, lat, lat_ts=lat_ts, lon_0=lon_0, north=north),
             stere_polar_y(lon, lat, lat_ts=lat_ts, lon_0=lon_0, north=north),
         )
-    lat0 = float(p.get("lat_0", "90"))
+    if fam == "laea":
+        lat0 = float(p.get("lat_0", "90"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: (
+            laea_x(lon, lat, lat_0=lat0, lon_0=lon_0),
+            laea_y(lon, lat, lat_0=lat0, lon_0=lon_0),
+        )
+    if fam == "merc":
+        lat_ts = float(p.get("lat_ts", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: (
+            merc_x(lon, lat_ts=lat_ts, lon_0=lon_0),
+            merc_y(lat, lat_ts=lat_ts),
+        )
+    if fam == "lcc":
+        lat0 = float(p.get("lat_0", "0"))
+        lat1 = float(p.get("lat_1", p.get("lat_0", "33")))
+        lat2 = float(p["lat_2"]) if "lat_2" in p else None
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: (
+            lcc_x(lon, lat, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0),
+            lcc_y(lon, lat, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0),
+        )
+    # geos
+    h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
-    return lambda lon, lat: (
-        laea_x(lon, lat, lat_0=lat0, lon_0=lon_0),
-        laea_y(lon, lat, lat_0=lat0, lon_0=lon_0),
-    )
+    sweep = p.get("sweep", "y")
+    return lambda lon, lat: geos_xy(lon, lat, h=h, lon_0=lon_0, sweep=sweep)
 
 
 def inverse(crs: str):
@@ -113,9 +153,27 @@ def inverse(crs: str):
         return lambda x, y: stere_polar_inverse(
             x, y, lat_ts=lat_ts, lon_0=lon_0, north=north
         )
-    lat0 = float(p.get("lat_0", "90"))
+    if fam == "laea":
+        lat0 = float(p.get("lat_0", "90"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: laea_inverse(x, y, lat_0=lat0, lon_0=lon_0)
+    if fam == "merc":
+        lat_ts = float(p.get("lat_ts", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: merc_inverse(x, y, lat_ts=lat_ts, lon_0=lon_0)
+    if fam == "lcc":
+        lat0 = float(p.get("lat_0", "0"))
+        lat1 = float(p.get("lat_1", p.get("lat_0", "33")))
+        lat2 = float(p["lat_2"]) if "lat_2" in p else None
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: lcc_inverse(
+            x, y, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0
+        )
+    # geos
+    h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
-    return lambda x, y: laea_inverse(x, y, lat_0=lat0, lon_0=lon_0)
+    sweep = p.get("sweep", "y")
+    return lambda x, y: geos_inverse(x, y, h=h, lon_0=lon_0, sweep=sweep)
 
 
 def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):

@@ -342,3 +342,30 @@ def q_proj_laea(spark, sf_dir):
             rnd(laea_y("lon", "lat", lat_0=-90.0), 3).alias("ly"),
         )
     )
+
+
+@register(
+    "q_proj_merc",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS mx,
+           ROUND({_sx[1]}, 3) + 0.0 AS my
+    FROM ({PTS_SQL}) WHERE lat > -85.0 AND lat < 85.0
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['merc_sql']).merc_sql('lon', 'lat', lat_ts=20.0, lon_0=0.0)),
+)
+def q_proj_merc(spark, sf_dir):
+    """Mercator forward projection (secant at lat_ts=20°) as pure column
+    math — Snyder 7-1..7-5 spherical replaces pyproj for the merc family
+    (reference delegates via utils/proj4.py:108-165; analytic registry
+    operators/crs.py dispatches '+proj=merc'). Poles excluded: y → ∞."""
+    from pyresample_spark.functions.geo import merc_x, merc_y
+
+    return (
+        _pts(spark, sf_dir)
+        .filter((F.col("lat") > -85.0) & (F.col("lat") < 85.0))
+        .select(
+            "event_id",
+            rnd(merc_x("lon", lat_ts=20.0), 3).alias("mx"),
+            rnd(merc_y("lat", lat_ts=20.0), 3).alias("my"),
+        )
+    )

@@ -345,3 +345,108 @@ def q_regrid_laea(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_LAEA_AREA, EQC_AREA, src)
+
+
+def _eqc_idx_sql(lon: str, lat: str) -> str:
+    """Shared oracle fragment: lon/lat → EQC source (row, col) indices."""
+    from pyresample_spark.functions.geo import R_EARTH
+
+    return f"""
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({EQC_AREA.area_extent[3]!r} - radians({lat}) * {R_EARTH!r}) / {EQC_AREA.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((radians({lon}) * {R_EARTH!r} - ({EQC_AREA.area_extent[0]!r})) / {EQC_AREA.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+    """
+
+
+def _regrid_oracle(tgt_area, inv_lonlat: tuple) -> str:
+    """Generalized-linesample oracle: target grid → analytic inverse →
+    EQC source pixel gather (same skeleton as q_regrid_stere/_laea)."""
+    return f"""
+    WITH tgt AS ({tgt_area.grid_sql()}),
+    src AS ({_EQC_IMG_SQL}),
+    inv AS (
+      SELECT cell_id, {inv_lonlat[0]} AS lon, {inv_lonlat[1]} AS lat FROM tgt
+    ),
+    idx AS ({_eqc_idx_sql("lon", "lat")} FROM inv)
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {EQC_AREA.height - 1}
+      AND idx.src_col BETWEEN 0 AND {EQC_AREA.width - 1}
+    """
+
+
+def _geos_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # MSG/SEVIRI-style full disc at 0° (sweep=y); the extent overshoots
+    # the horizon disc (radius h·atan ≈ 5.43e6 m) so corner pixels are
+    # off-disc and exercise the NULL horizon mask.
+    return AreaDefinition(
+        "geos_fd", "+proj=geos +h=35785831 +lon_0=0 +sweep=y", width=64,
+        height=64, area_extent=(-5.5e6, -5.5e6, 5.5e6, 5.5e6),
+    )
+
+
+_GEOS_AREA = _geos_area()
+
+
+@register(
+    "q_regrid_geos",
+    oracle=(lambda lonlat: _regrid_oracle(_GEOS_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["geos_inv_sql"]
+        ).geos_inv_sql("cx", "cy", h=35785831.0, lon_0=0.0, sweep="y")
+    ),
+)
+def q_regrid_geos(spark, sf_dir):
+    """Geostationary full-disc regrid WITHOUT pyproj: an eqc world image
+    onto an MSG-style geos grid. Each target (x, y) scan angle inverts
+    to lon/lat by intersecting the satellite view ray with the sphere
+    (PROJ geos spherical form, functions/geo.py geos_inverse — pure
+    column math, quadratic discriminant NULL-masks off-disc pixels),
+    then gathers from the eqc source by equi-join. Reference parity:
+    geos areas resampled via pyproj in geometry.py:627-650 + kd_tree;
+    here the horizon mask falls out of the projection algebra."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_GEOS_AREA, EQC_AREA, src)
+
+
+def _lcc_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # CONUS LCC mirroring the reference's own test fixture
+    # (test/conftest.py:194-202: +proj=lcc +lon_0=-95 +lat_1=35 +lat_2=35,
+    # extent ±750 km), lat_0=35 to center the spherical cone.
+    return AreaDefinition(
+        "lcc_conus",
+        "+proj=lcc +lat_0=35 +lat_1=35 +lat_2=35 +lon_0=-95",
+        width=60, height=60,
+        area_extent=(-750000.0, -750000.0, 750000.0, 750000.0),
+    )
+
+
+_LCC_AREA = _lcc_area()
+
+
+@register(
+    "q_regrid_lcc",
+    oracle=(lambda lonlat: _regrid_oracle(_LCC_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["lcc_inv_sql"]
+        ).lcc_inv_sql("cx", "cy", lat_0=35.0, lat_1=35.0, lat_2=35.0, lon_0=-95.0)
+    ),
+)
+def q_regrid_lcc(spark, sf_dir):
+    """Lambert conformal conic regrid WITHOUT pyproj: an eqc world image
+    onto the reference's CONUS LCC fixture (test/conftest.py:194-202).
+    Snyder 15-1..15-5 spherical inverse as column math through the
+    analytic registry (operators/crs.py '+proj=lcc'); same generalized
+    linesample plan — inverse∘forward + one equi-join, fully codegen'd."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_LCC_AREA, EQC_AREA, src)

@@ -260,3 +260,88 @@ def test_laea_forward_inverse_roundtrip(spark):
             .count()
         )
         assert bad == 0, f"lat_0={lat0}"
+
+
+def test_merc_lcc_geos_forward_inverse_roundtrip(spark):
+    """New analytic families (merc/lcc/geos): forward∘inverse ≈ identity
+    to sub-meter precision on in-domain points."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import (
+        geos_inverse,
+        geos_xy,
+        lcc_inverse,
+        lcc_x,
+        lcc_y,
+        merc_inverse,
+        merc_x,
+        merc_y,
+    )
+
+    pts = spark.createDataFrame(
+        [(float(lon), float(lat)) for lon in range(-150, 151, 30)
+         for lat in range(-75, 76, 15)],
+        "lon double, lat double",
+    )
+    # mercator (secant at 20°)
+    m = pts.select(
+        "lon", "lat",
+        merc_x("lon", lat_ts=20.0).alias("x"),
+        merc_y("lat", lat_ts=20.0).alias("y"),
+    )
+    ml, mlat = merc_inverse("x", "y", lat_ts=20.0)
+    bad = m.select(
+        (F.abs(ml - F.col("lon")) + F.abs(mlat - F.col("lat"))).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert bad < 1e-9
+
+    # LCC CONUS cone (lat_1=lat_2=35, lon_0=-95) on nearby points
+    us = pts.filter((F.col("lat") > 15) & (F.col("lat") < 60)
+                    & (F.col("lon") > -130) & (F.col("lon") < -60))
+    lc = us.select(
+        "lon", "lat",
+        lcc_x("lon", "lat", lat_0=35.0, lat_1=35.0, lon_0=-95.0).alias("x"),
+        lcc_y("lon", "lat", lat_0=35.0, lat_1=35.0, lon_0=-95.0).alias("y"),
+    )
+    ll, llat = lcc_inverse("x", "y", lat_0=35.0, lat_1=35.0, lon_0=-95.0)
+    bad = lc.select(
+        (F.abs(ll - F.col("lon")) + F.abs(llat - F.col("lat"))).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert bad < 1e-9
+
+    # geos full disc: near-side points roundtrip; far side is NULL
+    h = 35785831.0
+    gx, gy = geos_xy("lon", "lat", h=h, lon_0=0.0)
+    gg = pts.select("lon", "lat", gx.alias("x"), gy.alias("y"))
+    near = gg.filter(F.col("x").isNotNull())
+    glon, glat = geos_inverse("x", "y", h=h, lon_0=0.0)
+    bad = near.select(
+        (F.abs(glon - F.col("lon")) + F.abs(glat - F.col("lat"))).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert bad < 1e-6
+    # the far hemisphere must be masked
+    far = gg.filter(F.abs(F.col("lon")) > 100).agg(
+        F.count("x").alias("n")).collect()[0][0]
+    assert far == 0
+
+
+def test_geos_horizon_edge(spark):
+    """The visibility mask flips exactly at the horizon longitude
+    acos(1/rg) on the equator (PROJ geos spherical semantics)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import R_EARTH, geos_xy
+
+    h = 35785831.0
+    rg = 1.0 + h / R_EARTH
+    edge = math.degrees(math.acos(1.0 / rg))
+    pts = spark.createDataFrame(
+        [(edge - 0.1, 0.0), (edge + 0.1, 0.0)], "lon double, lat double"
+    )
+    gx, _ = geos_xy("lon", "lat", h=h, lon_0=0.0)
+    vals = [r[0] for r in pts.select(gx).orderBy("lon").collect()]
+    assert vals[0] is not None and vals[1] is None
+    # edge scan distance = h·atan(1/sqrt(rg²−1)) ≈ 5.43e6 m
+    assert abs(vals[0] - h * math.atan(1.0 / math.sqrt(rg * rg - 1.0))) < 20_000
