@@ -4,7 +4,6 @@ embedding near-dup, IVF and sign-LSH approximate search."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from pyresample_spark.operators.similarity import (
     cosine_topk,
@@ -12,6 +11,7 @@ from pyresample_spark.operators.similarity import (
     ivf_assign,
     sign_lsh_bucket,
     sign_lsh_bucket_sql,
+    topk_by_cosine,
     with_norm,
 )
 from pyresample_spark.queries import register, rnd, table
@@ -156,17 +156,11 @@ def q_ann_ivf(spark, sf_dir):
         F.col("vec_id") != F.col("probe_id")
     )
     cos = dot(F.col("embedding"), F.col("pv")) / (F.col("vnorm") * F.col("pn"))
-    ranked = cand.withColumn("cos_raw", cos).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("probe_id").orderBy(
-                F.round(F.col("cos_raw"), 9).desc(), F.col("vec_id").asc()
-            )
-        ),
+    ranked = topk_by_cosine(
+        cand.withColumn("cos_raw", cos), 5, cos_col="cos_raw"
     )
-    return ranked.filter(F.col("rank") <= 5).select(
-        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"),
-        F.col("rank").cast("int").alias("rank"),
+    return ranked.select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"), "rank"
     )
 
 
@@ -210,15 +204,9 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id") != F.col("probe_id")
     )
     cos = dot(F.col("embedding"), F.col("pv")) / (F.col("vnorm") * F.col("pn"))
-    ranked = cand.withColumn("cos_raw", cos).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("probe_id").orderBy(
-                F.round(F.col("cos_raw"), 9).desc(), F.col("vec_id").asc()
-            )
-        ),
+    ranked = topk_by_cosine(
+        cand.withColumn("cos_raw", cos), 3, cos_col="cos_raw"
     )
-    return ranked.filter(F.col("rank") <= 3).select(
-        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"),
-        F.col("rank").cast("int").alias("rank"),
+    return ranked.select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"), "rank"
     )
