@@ -81,6 +81,198 @@ def ewa_fornav(
     return out
 
 
+def ewa_ellipse_coeffs(
+    swath: DataFrame,
+    rows_per_scan: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    weight_distance_max: float = 1.0,
+    weight_delta_max: float = 10.0,
+) -> DataFrame:
+    """Per-(scan, column) EWA ellipse coefficient table — the Spark twin
+    of compute_ewa_parameters (ewa/_fornav_templates.cpp:109-196).
+
+    For each scan block (``rows_per_scan`` swath rows) and each interior
+    column, the local swath→grid Jacobian is estimated from the scan's
+    middle row (cross-track central difference → ux, vx) and the scan's
+    first/last rows (along-track mean derivative → uy, vy); the ellipse
+    q(u,v) = a·u² + b·uv + c·v² < qmax then bounds each pixel's
+    footprint, with u_del/v_del its axis-aligned half-extents (clamped
+    to ``weight_delta_max``).
+
+    Input must carry ``scan`` (= swath_row div rows_per_scan), ``ris``
+    (= swath_row mod rows_per_scan), ``col`` and fractional grid coords
+    ``u``/``v``. Edge columns mirror their interior neighbor exactly as
+    the reference copies param structs (callers clamp the join column to
+    [1, W−2]); bad geolocation (NULL derivative) degrades to the
+    circular default (a=b=c=0, f=qmax, dels=distance_max), matching the
+    NaN branch at _fornav_templates.cpp:148-156.
+
+    Scale: the table is swath_size / (rows_per_scan · swath_cols) ×
+    swath_cols rows ≈ swath/rows_per_scan — the lag/lead window is
+    partitioned per scan (≤ swath_cols rows per partition), so no
+    global sort; the downstream join is a plain equi-join on
+    (scan, col) that AQE broadcasts when small.
+    """
+    EPS = 1e-8
+    qmax = weight_distance_max * weight_distance_max
+    mid = rows_per_scan // 2
+    last = rows_per_scan - 1
+    per_col = swath.groupBy("scan", "col").agg(
+        F.max(F.when(F.col("ris") == mid, F.col(u_col))).alias("umid"),
+        F.max(F.when(F.col("ris") == mid, F.col(v_col))).alias("vmid"),
+        F.max(F.when(F.col("ris") == 0, F.col(u_col))).alias("u_first"),
+        F.max(F.when(F.col("ris") == 0, F.col(v_col))).alias("v_first"),
+        F.max(F.when(F.col("ris") == last, F.col(u_col))).alias("u_last"),
+        F.max(F.when(F.col("ris") == last, F.col(v_col))).alias("v_last"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("scan").orderBy("col")
+    dmax = F.lit(weight_distance_max)
+    ux = (F.lead("umid").over(w) - F.lag("umid").over(w)) / 2.0 * dmax
+    vx = (F.lead("vmid").over(w) - F.lag("vmid").over(w)) / 2.0 * dmax
+    uy = (F.col("u_last") - F.col("u_first")) / float(last) * dmax
+    vy = (F.col("v_last") - F.col("v_first")) / float(last) * dmax
+    c0 = per_col.select(
+        "scan", "col",
+        ux.alias("ux"), vx.alias("vx"), uy.alias("uy"), vy.alias("vy"),
+    )
+    bad = (
+        F.col("ux").isNull() | F.col("vx").isNull()
+        | F.col("uy").isNull() | F.col("vy").isNull()
+        | F.isnan("ux") | F.isnan("vx") | F.isnan("uy") | F.isnan("vy")
+    )
+    det = F.col("ux") * F.col("vy") - F.col("uy") * F.col("vx")
+    f_scale = F.lit(qmax) / F.greatest(det * det, F.lit(EPS))
+    a = (F.col("vx") * F.col("vx") + F.col("vy") * F.col("vy")) * f_scale
+    b = -2.0 * (F.col("ux") * F.col("vx") + F.col("uy") * F.col("vy")) * f_scale
+    c = (F.col("ux") * F.col("ux") + F.col("uy") * F.col("uy")) * f_scale
+    d = F.lit(4.0 * qmax) / F.greatest(4.0 * a * c - b * b, F.lit(EPS))
+    u_del = F.least(F.sqrt(c * d), F.lit(weight_delta_max))
+    v_del = F.least(F.sqrt(a * d), F.lit(weight_delta_max))
+    return c0.select(
+        "scan", "col",
+        F.when(bad, F.lit(0.0)).otherwise(a).alias("ea"),
+        F.when(bad, F.lit(0.0)).otherwise(b).alias("eb"),
+        F.when(bad, F.lit(0.0)).otherwise(c).alias("ec"),
+        F.when(bad, F.lit(weight_distance_max)).otherwise(u_del).alias("u_del"),
+        F.when(bad, F.lit(weight_distance_max)).otherwise(v_del).alias("v_del"),
+    )
+
+
+def ewa_fornav_elliptical(
+    swath: DataFrame,
+    area: AreaDefinition,
+    rows_per_scan: int,
+    value_col: str = "value",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_count: int = 10000,
+    weight_min: float = 0.01,
+    weight_distance_max: float = 1.0,
+    weight_delta_max: float = 10.0,
+    weight_sum_min: float = -1.0,
+    swath_cols: int | None = None,
+) -> DataFrame:
+    """Elliptical per-scanline fornav (ewa/ewa.py:83-188 semantics,
+    kernels _fornav.pyx:119-206 / _fornav_templates.cpp:198-319).
+
+    Pipeline (all built-in column math; one window over tiny per-scan
+    coefficient rows, one equi-join, one hash aggregation):
+
+    1. ll2cr: fractional grid coords u, v (column math).
+    2. :func:`ewa_ellipse_coeffs` per (scan, clamped col).
+    3. Explode each pixel over its clamped integer cell window
+       [⌊u0−u_del⌋, ⌊u0+u_del⌋] × [⌊v0−v_del⌋, ⌊v0+v_del⌋] — the
+       explode factor is bounded by weight_delta_max², carrying only
+       (value, u0, v0, coeffs).
+    4. q = a·du² + b·du·dv + c·dv² filtered to [0, qmax); weight from
+       the reference's QUANTIZED exponential table
+       wtab[iw] = exp(−alpha·qmax·iw/(count−1)), iw = ⌊q·count/qmax⌋
+       (exactly reproducible in SQL — the quantization also absorbs
+       cross-engine libm ulps in q).
+    5. groupBy(cell) Σw·val / Σw with Σw ≥ weight_sum_min
+       (write_grid_image, _fornav_templates.cpp:323+).
+
+    ``swath`` needs (swath_row, col, lon, lat, value) with contiguous
+    0-based swath_row; rows_per_scan ≥ 2.
+    """
+    if rows_per_scan < 2:
+        raise ValueError("rows_per_scan must be ≥ 2 for ellipse estimation")
+    if weight_sum_min == -1.0:
+        weight_sum_min = weight_min
+    qmax = weight_distance_max * weight_distance_max
+    alpha = -__import__("math").log(weight_min) / qmax
+    beta = alpha * qmax / (weight_count - 1)
+
+    llx, lly, urx, ury = area.area_extent
+    u0 = (F.col(lon_col) - llx) / area.pixel_size_x
+    v0 = (ury - F.col(lat_col)) / area.pixel_size_y
+    pix = swath.select(
+        (F.col("swath_row") / rows_per_scan).cast("bigint").alias("scan"),
+        (F.col("swath_row") % rows_per_scan).alias("ris"),
+        "col",
+        u0.alias("u"),
+        v0.alias("v"),
+        F.col(value_col).alias("value"),
+    )
+    # swath width: pass it when known (avoids a driver-side pre-scan)
+    max_col = (
+        swath_cols - 1
+        if swath_cols is not None
+        else pix.agg(F.max("col")).collect()[0][0]
+    )
+    coeffs = ewa_ellipse_coeffs(
+        pix, rows_per_scan,
+        weight_distance_max=weight_distance_max,
+        weight_delta_max=weight_delta_max,
+    )
+    # edge columns copy their interior neighbor's params (cpp:189-193):
+    # clamp the pixel's join column into [1, W−2]
+    j = pix.withColumn(
+        "jcol", F.greatest(F.lit(1), F.least(F.col("col"), F.lit(max_col - 1)))
+    ).join(
+        coeffs.withColumnRenamed("col", "jcol"), ["scan", "jcol"]
+    )
+    # early skip (cpp:207-209) + clamped cell window
+    j = j.filter(
+        (F.col("u") >= -F.col("u_del")) & (F.col("v") >= -F.col("v_del"))
+        & ~F.isnan("u") & ~F.isnan("v")
+    )
+    iu1 = F.greatest(F.lit(0), F.floor(F.col("u") - F.col("u_del")))
+    iu2 = F.least(F.lit(area.width - 1), F.floor(F.col("u") + F.col("u_del")))
+    iv1 = F.greatest(F.lit(0), F.floor(F.col("v") - F.col("v_del")))
+    iv2 = F.least(F.lit(area.height - 1), F.floor(F.col("v") + F.col("v_del")))
+    j = (
+        j.withColumn("iu1", iu1).withColumn("iu2", iu2)
+        .withColumn("iv1", iv1).withColumn("iv2", iv2)
+        .filter((F.col("iu1") <= F.col("iu2")) & (F.col("iv1") <= F.col("iv2")))
+        .withColumn("iu", F.explode(F.sequence("iu1", "iu2")))
+        .withColumn("iv", F.explode(F.sequence("iv1", "iv2")))
+    )
+    du = F.col("iu") - F.col("u")
+    dv = F.col("iv") - F.col("v")
+    q = F.col("ea") * du * du + F.col("eb") * du * dv + F.col("ec") * dv * dv
+    j = j.withColumn("q", q).filter((F.col("q") >= 0.0) & (F.col("q") < qmax))
+    iw = F.least(
+        F.floor(F.col("q") * (weight_count / qmax)), F.lit(weight_count - 1)
+    )
+    w = F.exp(-F.lit(beta) * iw)
+    out = (
+        j.withColumn("w", w)
+        .withColumn("cell_id", F.col("iv") * area.width + F.col("iu"))
+        .groupBy("cell_id")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("ewa_value"),
+            F.sum("w").alias("weight_sum"),
+            F.count(F.lit(1)).alias("n_contrib"),
+        )
+        .filter(F.col("weight_sum") >= weight_sum_min)
+    )
+    return out
+
+
 def ewa_fornav_sql(
     area: AreaDefinition,
     pts_sql: str,

@@ -450,3 +450,155 @@ def q_regrid_lcc(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_LCC_AREA, EQC_AREA, src)
+
+
+# --- elliptical EWA (q_ewa_ellipse) -----------------------------------
+# Synthetic sheared swath: 12 rows × 21 cols, rows_per_scan=4, over a
+# 40×30 1°-longlat grid. Shear makes the per-scanline ellipses genuinely
+# anisotropic; a small deterministic jitter de-rationalizes the swath
+# against the grid so ellipse q values stay away from the q<qmax and
+# weight-quantization knife edges (a lattice-aligned swath puts q
+# exactly on 1.0 ± ulps, where engines may disagree).
+# Every arithmetic op in both engines is correctly-rounded
+# IEEE (+,-,*,/,sqrt,floor,least/greatest), so the quantized weight
+# index iw is bitwise identical cross-engine; the single libm exp()
+# differs ≤ 1 ulp, absorbed by ROUND(...,6).
+_EWA_ROWS, _EWA_COLS, _EWA_RPS = 12, 21, 4
+_EWA_W, _EWA_H = 40, 30
+_EWA_ALPHA = 4.605170185988091  # -ln(0.01) / qmax, qmax = 1.0
+_EWA_BETA = _EWA_ALPHA * 1.0 / 9999.0  # alpha·qmax/(count−1), count=10⁴
+
+
+def _ewa_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    return AreaDefinition(
+        "ewa_ell", "longlat", _EWA_W, _EWA_H, (-25.0, 5.0, 15.0, 35.0)
+    )
+
+
+_EWA_ORACLE = f"""
+    WITH swath AS (
+      SELECT CAST(i // {_EWA_COLS} AS BIGINT) AS swath_row,
+             CAST(i % {_EWA_COLS} AS BIGINT) AS col,
+             -20.0 + 0.8 * (i % {_EWA_COLS}) + 0.15 * (i // {_EWA_COLS})
+                   + 0.0017 * (((i // {_EWA_COLS}) * 13 + (i % {_EWA_COLS}) * 7) % 11) AS lon,
+             30.0 - 0.6 * (i // {_EWA_COLS}) + 0.05 * (i % {_EWA_COLS})
+                  + 0.0013 * (((i // {_EWA_COLS}) * 5 + (i % {_EWA_COLS}) * 11) % 7) AS lat,
+             CAST(((i // {_EWA_COLS}) * 7 + (i % {_EWA_COLS}) * 3) % 13 AS DOUBLE) + 0.25 AS value
+      FROM range({_EWA_ROWS * _EWA_COLS}) t(i)
+    ),
+    pix AS (
+      SELECT CAST(swath_row // {_EWA_RPS} AS BIGINT) AS scan,
+             swath_row % {_EWA_RPS} AS ris, col,
+             (lon - (-25.0)) / 1.0 AS u, (35.0 - lat) / 1.0 AS v, value
+      FROM swath
+    ),
+    per_col AS (
+      SELECT scan, col,
+             MAX(CASE WHEN ris = {_EWA_RPS // 2} THEN u END) AS umid,
+             MAX(CASE WHEN ris = {_EWA_RPS // 2} THEN v END) AS vmid,
+             MAX(CASE WHEN ris = 0 THEN u END) AS u_first,
+             MAX(CASE WHEN ris = 0 THEN v END) AS v_first,
+             MAX(CASE WHEN ris = {_EWA_RPS - 1} THEN u END) AS u_last,
+             MAX(CASE WHEN ris = {_EWA_RPS - 1} THEN v END) AS v_last
+      FROM pix GROUP BY scan, col
+    ),
+    c1 AS (
+      SELECT scan, col,
+             (LEAD(umid) OVER w - LAG(umid) OVER w) / 2.0 * 1.0 AS ux,
+             (LEAD(vmid) OVER w - LAG(vmid) OVER w) / 2.0 * 1.0 AS vx,
+             (u_last - u_first) / {float(_EWA_RPS - 1)!r} * 1.0 AS uy,
+             (v_last - v_first) / {float(_EWA_RPS - 1)!r} * 1.0 AS vy
+      FROM per_col WINDOW w AS (PARTITION BY scan ORDER BY col)
+    ),
+    c2 AS (
+      SELECT scan, col, ux, vx, uy, vy,
+             1.0 / GREATEST((ux * vy - uy * vx) * (ux * vy - uy * vx), 1e-8) AS fs
+      FROM c1 WHERE col BETWEEN 1 AND {_EWA_COLS - 2}
+    ),
+    c3 AS (
+      SELECT scan, col,
+             (vx * vx + vy * vy) * fs AS a,
+             -2.0 * (ux * vx + uy * vy) * fs AS b,
+             (ux * ux + uy * uy) * fs AS c
+      FROM c2
+    ),
+    coef AS (
+      SELECT scan, col, a, b, c,
+             LEAST(sqrt(c * (4.0 * 1.0 / GREATEST(4.0 * a * c - b * b, 1e-8))), 10.0) AS u_del,
+             LEAST(sqrt(a * (4.0 * 1.0 / GREATEST(4.0 * a * c - b * b, 1e-8))), 10.0) AS v_del
+      FROM c3
+    ),
+    j AS (
+      SELECT p.value, p.u, p.v, k.a, k.b, k.c, k.u_del, k.v_del
+      FROM pix p JOIN coef k
+        ON k.scan = p.scan AND k.col = LEAST(GREATEST(p.col, 1), {_EWA_COLS - 2})
+      WHERE p.u >= -k.u_del AND p.v >= -k.v_del
+    ),
+    eu AS (
+      SELECT *, unnest(range(GREATEST(0, CAST(FLOOR(u - u_del) AS BIGINT)),
+                             LEAST({_EWA_W - 1}, CAST(FLOOR(u + u_del) AS BIGINT)) + 1)) AS iu
+      FROM j
+    ),
+    ev AS (
+      SELECT *, unnest(range(GREATEST(0, CAST(FLOOR(v - v_del) AS BIGINT)),
+                             LEAST({_EWA_H - 1}, CAST(FLOOR(v + v_del) AS BIGINT)) + 1)) AS iv
+      FROM eu
+    ),
+    qq AS (
+      SELECT iv * {_EWA_W} + iu AS cell_id, value,
+             a * (iu - u) * (iu - u) + b * (iu - u) * (iv - v) + c * (iv - v) * (iv - v) AS q
+      FROM ev
+    ),
+    wts AS (
+      SELECT cell_id, value,
+             exp(-{_EWA_BETA!r} * LEAST(CAST(FLOOR(q * 10000.0) AS BIGINT), 9999)) AS w
+      FROM qq WHERE q >= 0.0 AND q < 1.0
+    )
+    SELECT cell_id,
+           ROUND(SUM(w * value) / SUM(w), 6) + 0.0 AS ewa_value,
+           ROUND(SUM(w), 6) + 0.0 AS weight_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_contrib
+    FROM wts GROUP BY cell_id
+    HAVING SUM(w) >= 0.01
+"""
+
+
+@register("q_ewa_ellipse", oracle=_EWA_ORACLE, tags=("bench",))
+def q_ewa_ellipse(spark, sf_dir):
+    """Elliptical per-scanline EWA fornav (ewa/_fornav.pyx:119-206,
+    _fornav_templates.cpp:109-319): per-(scan, column) ellipse
+    coefficients from the scan's Jacobian, quantized exponential weight
+    table, Σwv/Σw ≥ weight_sum_min — re-expressed as window-over-
+    coefficient-rows + equi-join + footprint explode + one hash
+    aggregation (operators/ewa.py ewa_fornav_elliptical; golden-tested
+    against an independent scalar port of the reference loop in
+    tests/test_operators.py)."""
+    from pyresample_spark.operators.ewa import ewa_fornav_elliptical
+
+    i = F.col("id")
+    swath = spark.range(_EWA_ROWS * _EWA_COLS).select(
+        (i / _EWA_COLS).cast("bigint").alias("swath_row"),
+        (i % _EWA_COLS).alias("col"),
+        (
+            F.lit(-20.0) + 0.8 * (i % _EWA_COLS)
+            + 0.15 * (i / _EWA_COLS).cast("bigint")
+            + 0.0017 * (((i / _EWA_COLS).cast("bigint") * 13 + (i % _EWA_COLS) * 7) % 11)
+        ).alias("lon"),
+        (
+            F.lit(30.0) - 0.6 * (i / _EWA_COLS).cast("bigint")
+            + 0.05 * (i % _EWA_COLS)
+            + 0.0013 * (((i / _EWA_COLS).cast("bigint") * 5 + (i % _EWA_COLS) * 11) % 7)
+        ).alias("lat"),
+        (((i / _EWA_COLS).cast("bigint") * 7 + (i % _EWA_COLS) * 3) % 13).cast("double").alias("value"),
+    ).withColumn("value", F.col("value") + 0.25)
+    out = ewa_fornav_elliptical(
+        swath, _ewa_area(), _EWA_RPS, swath_cols=_EWA_COLS
+    )
+    return out.select(
+        "cell_id",
+        rnd(F.col("ewa_value"), 6).alias("ewa_value"),
+        rnd(F.col("weight_sum"), 6).alias("weight_sum"),
+        "n_contrib",
+    )
