@@ -213,3 +213,107 @@ def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):
         src_img.select("row", "col", F.col(value_col).alias("src_value")),
         (t.src_row == F.col("row")) & (t.src_col == F.col("col")),
     ).select("cell_id", "src_row", "src_col", "src_value")
+
+
+def inverse_scalar(crs: str):
+    """Driver-side scalar twin of :func:`inverse` — (x, y) floats →
+    (lon, lat) floats — for plan-time geometry (boundary polygons,
+    overlap tests; tens of points). Mirrors functions/geo.py formulas
+    exactly; returns None for points outside the projection domain
+    (e.g. off-disc geos pixels)."""
+    import math
+
+    fam, p = _family(crs), _params(crs)
+    R = R_EARTH
+    if fam == "longlat":
+        return lambda x, y: (x, y)
+    if fam == "eqc":
+        return lambda x, y: (math.degrees(x / R), math.degrees(y / R))
+    if fam == "stere":
+        lat0 = float(p.get("lat_0", "90"))
+        lat_ts = float(p.get("lat_ts", lat0))
+        lon_0 = float(p.get("lon_0", "0"))
+        sign = 1.0 if lat0 > 0 else -1.0
+        k0 = (1.0 + math.sin(math.radians(abs(lat_ts)))) / 2.0
+
+        def _stere_inv(x, y):
+            rho = math.hypot(x, y)
+            lat_e = math.pi / 2 - 2.0 * math.atan(rho / (2.0 * R * k0))
+            lon = math.degrees(math.atan2(x, -y * sign)) + lon_0
+            return ((lon + 540.0) % 360.0) - 180.0, math.degrees(lat_e) * sign
+
+        return _stere_inv
+    if fam == "laea":
+        lat0 = math.radians(float(p.get("lat_0", "90")))
+        lon_0 = float(p.get("lon_0", "0"))
+        s0, c0 = math.sin(lat0), math.cos(lat0)
+
+        def _laea_inv(x, y):
+            rho = math.hypot(x, y)
+            if rho == 0.0:
+                return lon_0, math.degrees(lat0)
+            c = 2.0 * math.asin(max(-1.0, min(1.0, rho / (2.0 * R))))
+            lat = math.degrees(
+                math.asin(max(-1.0, min(1.0,
+                    math.cos(c) * s0 + y * math.sin(c) * c0 / rho)))
+            )
+            lon = lon_0 + math.degrees(
+                math.atan2(x * math.sin(c),
+                           rho * c0 * math.cos(c) - y * s0 * math.sin(c))
+            )
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _laea_inv
+    if fam == "merc":
+        lat_ts = float(p.get("lat_ts", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        rk = R * math.cos(math.radians(lat_ts))
+        return lambda x, y: (
+            ((math.degrees(x / rk) + lon_0 + 540.0) % 360.0) - 180.0,
+            90.0 - 2.0 * math.degrees(math.atan(math.exp(-y / rk))),
+        )
+    if fam == "lcc":
+        from pyresample_spark.functions.geo import lcc_constants
+
+        lat0 = float(p.get("lat_0", "0"))
+        lat1 = float(p.get("lat_1", p.get("lat_0", "33")))
+        lat2 = float(p["lat_2"]) if "lat_2" in p else None
+        lon_0 = float(p.get("lon_0", "0"))
+        n, rf, rho0 = lcc_constants(lat0, lat1, lat2, R)
+        sgn = 1.0 if n >= 0 else -1.0
+
+        def _lcc_inv(x, y):
+            xs, ys = x * sgn, (rho0 - y) * sgn
+            rho = sgn * math.hypot(xs, ys)
+            if rho == 0.0:
+                return None
+            lat = 2.0 * math.degrees(math.atan((rf / rho) ** (1.0 / n))) - 90.0
+            lon = math.degrees(math.atan2(xs, ys)) / n + lon_0
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _lcc_inv
+    # geos
+    h = float(p.get("h", "35785831"))
+    lon_0 = float(p.get("lon_0", "0"))
+    sweep = p.get("sweep", "y")
+    rg = 1.0 + h / R
+
+    def _geos_inv(x, y):
+        if sweep == "x":
+            vz = math.tan(y / h)
+            vy = math.tan(x / h) * math.hypot(1.0, vz)
+        else:
+            vy = math.tan(x / h)
+            vz = math.tan(y / h) * math.hypot(1.0, vy)
+        a = vy * vy + vz * vz + 1.0
+        b = -2.0 * rg
+        det = b * b - 4.0 * a * (rg * rg - 1.0)
+        if det < 0.0:
+            return None
+        k = (-b - math.sqrt(det)) / (2.0 * a)
+        wx, wy, wz = rg - k, vy * k, vz * k
+        lam = math.atan2(wy, wx)
+        lon = ((math.degrees(lam) + lon_0 + 540.0) % 360.0) - 180.0
+        return lon, math.degrees(math.atan(wz * math.cos(lam) / wx))
+
+    return _geos_inv

@@ -264,3 +264,139 @@ def q_swath_boundary(spark, sf_dir):
         "lat",
     )
     return top.unionByName(right).unionByName(bottom).unionByName(left)
+
+
+# --- q_overlap_rate: spherical polygon containment at scale ----------
+# A (south stere) boundary polygon vs B (EASE south laea) grid: the
+# VERDICT r1 "missing #3" gap. The boundary polygon + its xyz edge
+# literals come from the driver (plan-time geometry, tens of points);
+# the per-sample winding-number containment — the part that scales with
+# data — is ONE shared SQL text both engines run: 64-edge VALUES table
+# × sample points, signed tangent-plane angles summed per point,
+# inside ⇔ total < −π (clockwise-interior convention,
+# operators/spherical.py point_in_spherical_polygon). The builder also
+# cross-checks the Greiner–Hormann intersection-area overlap_rate
+# (operators/spherical.py sph_intersection) against the sampled rate.
+
+def _ovr_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    a = AreaDefinition(
+        "ovr_stere", "+proj=stere +lat_0=-90 +lat_ts=-70", 40, 40,
+        (1.1e5, 2.3e5, 4.1e6, 3.9e6),
+    )
+    b = AreaDefinition(
+        "ovr_ease", "+proj=laea +lat_0=-90", 60, 60,
+        (-3.0e6, -3.0e6, 3.0e6, 3.0e6),
+    )
+    return a, b
+
+
+def _ovr_edges_sql() -> str:
+    """Boundary polygon of A as an xyz edge VALUES table (driver-side
+    plan geometry; literals rounded to 12 dp so both engines parse the
+    identical doubles)."""
+    import math
+
+    from pyresample_spark.operators.spherical import area_boundary_vertices
+
+    a, _ = _ovr_areas()
+    verts = area_boundary_vertices(a, 16)
+    xyz = []
+    for lon, lat in verts:
+        lo, la = math.radians(lon), math.radians(lat)
+        xyz.append((
+            round(math.cos(la) * math.cos(lo), 12),
+            round(math.cos(la) * math.sin(lo), 12),
+            round(math.sin(la), 12),
+        ))
+    rows = []
+    for i, p in enumerate(xyz):
+        q = xyz[(i + 1) % len(xyz)]
+        rows.append(
+            f"({p[0]!r}, {p[1]!r}, {p[2]!r}, {q[0]!r}, {q[1]!r}, {q[2]!r})"
+        )
+    return "(VALUES " + ", ".join(rows) + ") AS e(ax, ay, az, bx, by, bz)"
+
+
+def _ovr_winding_sql(pts_ref: str) -> str:
+    """Shared winding-number SQL: pts_ref must provide
+    (cell_id, px, py, pz) unit vectors."""
+    return f"""
+    WITH tp AS (
+      SELECT cell_id, px, py, pz,
+             ax - px * (ax*px + ay*py + az*pz) AS tax,
+             ay - py * (ax*px + ay*py + az*pz) AS tay,
+             az - pz * (ax*px + ay*py + az*pz) AS taz,
+             bx - px * (bx*px + by*py + bz*pz) AS tbx,
+             by - py * (bx*px + by*py + bz*pz) AS tby,
+             bz - pz * (bx*px + by*py + bz*pz) AS tbz
+      FROM {pts_ref} CROSS JOIN {_ovr_edges_sql()}
+    ),
+    ang AS (
+      SELECT cell_id,
+             CASE WHEN (tay*tbz - taz*tby) * px
+                       + (taz*tbx - tax*tbz) * py
+                       + (tax*tby - tay*tbx) * pz >= 0.0
+                  THEN 1.0 ELSE -1.0 END
+             * acos(least(1.0, greatest(-1.0,
+                 (tax*tbx + tay*tby + taz*tbz)
+                 / (sqrt(tax*tax + tay*tay + taz*taz)
+                    * sqrt(tbx*tbx + tby*tby + tbz*tbz))))) AS a
+      FROM tp
+    )
+    SELECT cell_id, (sum(a) < -3.141592653589793) AS inside
+    FROM ang GROUP BY cell_id
+    """
+
+
+def _ovr_oracle() -> str:
+    from pyresample_spark.queries.resample import _laea_s_inv_sql
+
+    _, b = _ovr_areas()
+    lon, lat = _laea_s_inv_sql("cx", "cy")
+    return _ovr_winding_sql(f"""(
+      SELECT cell_id,
+             cos(radians(lat)) * cos(radians(lon)) AS px,
+             cos(radians(lat)) * sin(radians(lon)) AS py,
+             sin(radians(lat)) AS pz
+      FROM (SELECT cell_id, {lon} AS lon, {lat} AS lat
+            FROM ({b.grid_sql()}))
+    ) p""")
+
+
+@register("q_overlap_rate", oracle=_ovr_oracle())
+def q_overlap_rate(spark, sf_dir):
+    """Per-grid-cell spherical containment of the EASE-south grid in a
+    stereographic swath boundary polygon (geometry.py:527-620
+    overlap/overlap_rate semantics, distributed form): the plan is one
+    broadcast-able 64-row edge table × grid cross join + hash agg —
+    the 100 TB shape for 'which cells of this grid does that granule
+    cover'. Driver cross-check asserts the Greiner–Hormann
+    area(∩)/area(B) rate (spherical.py:630-717 parity) agrees with the
+    sampled fraction."""
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.spherical import overlap_rate
+
+    a, b = _ovr_areas()
+    inv = inverse(b.crs)
+    lon, lat = inv("cx", "cy")
+    grid = b.grid(spark).select(
+        "cell_id", lon.alias("lon"), lat.alias("lat")
+    )
+    lo, la = F.radians(F.col("lon")), F.radians(F.col("lat"))
+    pts = grid.select(
+        "cell_id",
+        (F.cos(la) * F.cos(lo)).alias("px"),
+        (F.cos(la) * F.sin(lo)).alias("py"),
+        F.sin(la).alias("pz"),
+    )
+    pts.createOrReplaceTempView("ovr_pts")
+    out = spark.sql(_ovr_winding_sql("ovr_pts"))
+
+    sampled = out.agg(
+        F.avg(F.col("inside").cast("double"))
+    ).collect()[0][0]
+    gh = overlap_rate(a, b)
+    assert abs(gh - sampled) < 0.03, (gh, sampled)
+    return out
