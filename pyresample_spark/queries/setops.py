@@ -400,3 +400,65 @@ def q_overlap_rate(spark, sf_dir):
     gh = overlap_rate(a, b)
     assert abs(gh - sampled) < 0.03, (gh, sampled)
     return out
+
+
+# --- q_geos_boundary: geostationary valid-pixel boundary -------------
+
+def _geos_sector_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # a sector extent that CUTS the full disc (upper-right quadrant plus
+    # some off-disc margin) so the clip genuinely mixes horizon arcs and
+    # extent edges (geometry.py:2811-2830 behavior)
+    return AreaDefinition(
+        "geos_sector", "+proj=geos +h=35785831 +lon_0=0 +sweep=y",
+        width=32, height=32,
+        area_extent=(-1.0e6, -2.0e6, 5.6e6, 5.6e6),
+    )
+
+
+def _geos_boundary_rows():
+    import math as _m
+
+    from pyresample_spark.operators.geos_boundary import geos_boundary_proj
+
+    poly = geos_boundary_proj(_geos_sector_area(), nb_points=50)
+    # round the proj-coord literals so both engines parse identical
+    # doubles; 3 dp = millimeters
+    return [
+        (i, round(x, 3), round(y, 3)) for i, (x, y) in enumerate(poly)
+    ]
+
+
+@register(
+    "q_geos_boundary",
+    oracle=(lambda rows, lonlat: f"""
+    WITH b(idx, bx, by) AS (VALUES {", ".join(f"({i}, {x!r}, {y!r})" for i, x, y in rows)})
+    SELECT CAST(idx AS BIGINT) AS idx,
+           ROUND({lonlat[0]}, 6) + 0.0 AS lon,
+           ROUND({lonlat[1]}, 6) + 0.0 AS lat
+    FROM b
+    """)(
+        _geos_boundary_rows(),
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["geos_inv_sql"]
+        ).geos_inv_sql("bx", "by", h=35785831.0, lon_0=0.0, sweep="y"),
+    ),
+)
+def q_geos_boundary(spark, sf_dir):
+    """Geostationary valid-pixel boundary (geometry.py:627-650,
+    2793-2870): the horizon disc polygon in scan-angle space clipped to
+    the area extent (driver-side Sutherland–Hodgman replacing shapely,
+    operators/geos_boundary.py), inverse-projected to lon/lat as pure
+    column math (functions/geo.py geos_inverse). The boundary feeds
+    data_reduce/swath-filter plans for full-disc GOES/MSG imagery where
+    the horizon — not the extent — bounds validity."""
+    from pyresample_spark.functions.geo import geos_inverse
+    from pyresample_spark.queries import rnd
+
+    rows = _geos_boundary_rows()
+    b = spark.createDataFrame(rows, "idx long, bx double, by double")
+    lon, lat = geos_inverse("bx", "by", h=35785831.0, lon_0=0.0, sweep="y")
+    return b.select(
+        "idx", rnd(lon, 6).alias("lon"), rnd(lat, 6).alias("lat")
+    )

@@ -345,3 +345,45 @@ def test_geos_horizon_edge(spark):
     assert vals[0] is not None and vals[1] is None
     # edge scan distance = h·atan(1/sqrt(rg²−1)) ≈ 5.43e6 m
     assert abs(vals[0] - h * math.atan(1.0 / math.sqrt(rg * rg - 1.0))) < 20_000
+
+
+def test_geos_boundary_clip():
+    """Geostationary valid-pixel boundary: horizon disc ∩ extent
+    (reference geometry.py:2793-2870 semantics)."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.geos_boundary import (
+        full_disc_boundary_proj,
+        geos_boundary_proj,
+        geostationary_angle_extent,
+    )
+
+    h = 35785831.0
+    ang = geostationary_angle_extent(h)
+    # spherical angle extent: acos(R/(R+h)) complement — edge scan angle
+    assert abs(ang - math.atan(1.0 / math.sqrt((1 + h / R_EARTH) ** 2 - 1))) < 1e-9
+    disc = full_disc_boundary_proj(h, 50)
+    assert len(disc) == 50
+    r_edge = (ang - 1e-4) * h
+    for x, y in disc:
+        assert abs(math.hypot(x, y) - r_edge) < 1.0
+
+    full = AreaDefinition(
+        "fd", "+proj=geos +h=35785831", 10, 10, (-5.6e6, -5.6e6, 5.6e6, 5.6e6)
+    )
+    assert len(geos_boundary_proj(full, 50)) == 50  # extent beyond disc
+
+    sector = AreaDefinition(
+        "sec", "+proj=geos +h=35785831", 10, 10, (0.0, 0.0, 5.6e6, 5.6e6)
+    )
+    clipped = geos_boundary_proj(sector, 50)
+    assert 0 < len(clipped)
+    for x, y in clipped:
+        assert -1e-6 <= x <= 5.6e6 and -1e-6 <= y <= 5.6e6
+        assert math.hypot(x, y) <= r_edge + 1.0
+    # disjoint extent → empty boundary
+    off = AreaDefinition(
+        "off", "+proj=geos +h=35785831", 10, 10, (6.0e6, 6.0e6, 7.0e6, 7.0e6)
+    )
+    assert geos_boundary_proj(off, 50) == []
