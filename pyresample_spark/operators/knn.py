@@ -261,6 +261,7 @@ def knn_join_broadcast(
     k: int = 1,
     src_id: str = "src_id",
     tgt_id: str = "tgt_id",
+    max_src_rows: int | None = None,
 ) -> DataFrame:
     """Broadcast-kNN for small build sides (kd_tree.py:464-489 analog).
 
@@ -268,14 +269,30 @@ def knn_join_broadcast(
     executors, and probes with a vectorized numpy kernel over Arrow
     batches (``mapInPandas``) — the Spark analog of pykdtree-inside-
     dask-blocks. Use when the source fits comfortably in executor
-    memory (≤ ~10M points); otherwise use :func:`knn_join`.
+    memory; otherwise use :func:`knn_join`.
 
-    Expects both frames to already carry gx/gy/gz (``with_geocentric``).
+    The planner threshold is ENFORCED here (ADVICE r1 / VERDICT #8):
+    the source is counted first (one cheap column scan — trivial next
+    to the O(N·P) probe this function implies), and a source larger
+    than ``max_src_rows`` (default planner BROADCAST_SOURCE_LIMIT)
+    silently falls back to the cell-join :func:`knn_join` instead of
+    OOMing the driver on ``toPandas``.
+
+    Expects both frames to already carry gx/gy/gz (``with_geocentric``);
+    lon/lat columns must also be present for the fallback path.
     Returns the same schema as :func:`knn_join`.
     """
     import numpy as np
     import pandas as pd
 
+    if max_src_rows is None:
+        from pyresample_spark.plans.planner import BROADCAST_SOURCE_LIMIT
+
+        max_src_rows = BROADCAST_SOURCE_LIMIT
+    if src.count() > max_src_rows:
+        return knn_join(
+            src, tgt, radius_m, k=k, src_id=src_id, tgt_id=tgt_id
+        )
     src_pdf = src.select(src_id, "gx", "gy", "gz").toPandas()
     sc = tgt.sparkSession.sparkContext
     b_ids = sc.broadcast(src_pdf[src_id].to_numpy())

@@ -693,3 +693,58 @@ def q_ewa_ellipse(spark, sf_dir):
         rnd(F.col("weight_sum"), 6).alias("weight_sum"),
         "n_contrib",
     )
+
+
+# --- q_multiband_resample: (bands, y, x) array-column regrid ---------
+
+_MB_BANDS = 3
+_MB_BAND_SQL = [
+    f"(CAST((row * 31 + col * 17) * {k + 1} % 97 AS DOUBLE) + {k}.5)"
+    for k in range(_MB_BANDS)
+]
+
+
+@register(
+    "q_multiband_resample",
+    oracle=(lambda lonlat: f"""
+    WITH tgt AS ({_STERE_AREA.grid_sql()}),
+    src AS (SELECT row, col,
+                   {", ".join(f"{e} AS v{k}" for k, e in enumerate(_MB_BAND_SQL))}
+            FROM ({EQC_AREA.grid_sql()})),
+    inv AS (
+      SELECT cell_id, {lonlat[0]} AS lon, {lonlat[1]} AS lat FROM tgt
+    ),
+    idx AS ({_eqc_idx_sql("lon", "lat")} FROM inv),
+    g AS (
+      SELECT idx.cell_id, src.v0, src.v1, src.v2
+      FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+      WHERE idx.src_row BETWEEN 0 AND {EQC_AREA.height - 1}
+        AND idx.src_col BETWEEN 0 AND {EQC_AREA.width - 1}
+    )
+    SELECT cell_id, CAST(b.band AS INT) AS band,
+           CASE b.band WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END AS value
+    FROM g CROSS JOIN (VALUES (0), (1), (2)) AS b(band)
+    """)(_stere_inv_sql("cx", "cy")),
+)
+def q_multiband_resample(spark, sf_dir):
+    """Multi-band (3-D (bands, y, x)) regrid: k channels ride ONE
+    resample LUT as a single ArrayType value column — the array-column
+    twin of q_multichannel_gauss and the Spark form of the reference's
+    3-D dask block resample (gradient/__init__.py:88). The LUT join
+    moves each source pixel's k-vector once (k× less join traffic than
+    per-band joins); bands unnest only after the gather."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA).withColumn(
+        "bands",
+        F.array(*[
+            ((F.col("row") * 31 + F.col("col") * 17) * (k + 1) % 97)
+            .cast("double") + F.lit(k + 0.5)
+            for k in range(_MB_BANDS)
+        ]),
+    )
+    out = regrid_nearest(_STERE_AREA, EQC_AREA, src, value_col="bands")
+    return out.select(
+        "cell_id", F.posexplode("src_value").alias("band", "value")
+    ).select("cell_id", F.col("band").cast("int").alias("band"), "value")
