@@ -1,25 +1,38 @@
 """Irregular-swath bilinear resampling (SURVEY.md §2.4 M6).
 
 Reference parity: pyresample/bilinear/_base.py — 32 knn candidates →
-4 bounding corners by quadrant (:316-335, :523), fractional distances
-(t, s) from the inverse bilinear mapping (:367-521), interpolation
-(:635-642).
+4 bounding corners by quadrant (:523-537 strict-sign quadrants,
+:316-335 nearest-valid pick), fractional distances (t, s) from the
+CLOSED-FORM quadratic (_calc_abc :423-443, _solve_quadratic :382-413
+with the x1 → x2 → −c/b fallback chain, _solve_another_fractional_
+distance :452-470), interpolation (_resample :634-642:
+p1(1−s)(1−t) + p2·s(1−t) + p3(1−s)t + p4·s·t, corners UL,UR,LL,LR).
 
 Spark-first: candidates come from the cell-bucketed kNN join
-(operators/knn.py); corner selection + the (t, s) solve are genuinely
-numeric-iterative, so they run in an Arrow-batched ``applyInPandas``
-kernel per target group — the engine's designated slow path (SURVEY
-§2.11 port rule: dask-chunk callable → pandas UDF). The solve is a
-plain 2-D Newton iteration on the bilinear surface (standard published
-method), not a port of the reference's quadratic special-casing.
+(operators/knn.py); corner selection + the (t, s) solve run in an
+Arrow-batched ``applyInPandas`` kernel per target group — the engine's
+designated slow path (SURVEY §2.11 port rule). Since round 2 the solve
+is the reference's closed-form quadratic (replacing the earlier Newton
+iteration), which makes the whole pipeline SQL-expressible — the
+q_bilinear_irregular oracle replays candidates → quadrants → corners →
+quadratic → interpolation in DuckDB, turning the r1 weak row into a
+hash-checked one. Determinism: corner pick tie-breaks by
+(dist_mm, src_id); every division is guarded (Spark yields NULL and
+DuckDB ±inf on x/0 — the guards make both engines drop the same rows).
+The reference's uprights-parallel / parallelogram fallbacks for
+degenerate quadrilaterals are intentionally omitted (measure-zero for
+swath geometry): such targets are dropped identically in both engines.
 
 Scale: the expensive part is the kNN join (shuffle on 3-D cells); the
-Newton kernel is O(k) per target over Arrow batches. The resulting LUT
-(tgt_id, 4 corner ids, t, s) is exactly what LutCache persists — apply
-to any number of channels as 4 equi-joins + a weighted-sum expression.
+closed-form kernel is O(k) per target over Arrow batches. The
+resulting LUT (tgt_id, 4 corner ids, t, s) is exactly what LutCache
+persists — apply to any number of channels as 4 equi-joins + a
+weighted-sum expression.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -35,26 +48,78 @@ OUT_SCHEMA = (
 )
 
 
-def _solve_ts(corners_xy: np.ndarray, p: np.ndarray, iters: int = 12):
-    """Newton solve for (t, s) with P(t,s) = (1-t)(1-s)P00 + t(1-s)P01
-    + (1-t)s P10 + t s P11 = p. corners_xy: (4, 2) [P00,P01,P10,P11]."""
-    p00, p01, p10, p11 = corners_xy
-    t, s = 0.5, 0.5
-    for _ in range(iters):
-        one_t, one_s = 1.0 - t, 1.0 - s
-        cur = one_t * one_s * p00 + t * one_s * p01 + one_t * s * p10 + t * s * p11
-        r = cur - p
-        dt = one_s * (p01 - p00) + s * (p11 - p10)
-        ds = one_t * (p10 - p00) + t * (p11 - p01)
-        j = np.array([[dt[0], ds[0]], [dt[1], ds[1]]])
-        det = j[0, 0] * j[1, 1] - j[0, 1] * j[1, 0]
-        if abs(det) < 1e-14:
-            return None
-        step = np.linalg.solve(j, r)
-        t, s = t - step[0], s - step[1]
-    if -0.2 <= t <= 1.2 and -0.2 <= s <= 1.2:
-        return float(t), float(s)
+def _quad_root(p1, p2, p3, p4, X, Y):
+    """Valid root in [0,1] of the bilinear quadratic — _calc_abc
+    (bilinear/_base.py:423-443) + _solve_quadratic (:382-413) with the
+    reference's x1 → x2 → −c/b fallback chain. Divisions are guarded
+    (the reference relies on inf/NaN falling out of [0,1])."""
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = p1, p2, p3, p4
+    x21, x31, x42 = x2 - x1, x3 - x1, x4 - x2
+    y21, y31, y42 = y2 - y1, y3 - y1, y4 - y2
+    a = x31 * y42 - y31 * x42
+    b = (
+        Y * (x42 - x31) - X * (y42 - y31)
+        + x31 * y2 - y31 * x2 + y42 * x1 - x42 * y1
+    )
+    c = Y * x21 - X * y21 + x1 * y2 - x2 * y1
+    d = b * b - 4.0 * a * c
+    if a != 0.0 and d >= 0.0:
+        sq = math.sqrt(d)
+        for cand in ((-b + sq) / (2.0 * a), (-b - sq) / (2.0 * a)):
+            if 0.0 <= cand <= 1.0:
+                return cand
+    if b != 0.0:
+        cand = -c / b
+        if 0.0 <= cand <= 1.0:
+            return cand
     return None
+
+
+def _lin_other(f, ya, yb, yc, yd, Y):
+    """_solve_another_fractional_distance (bilinear/_base.py:452-470):
+    g = (Y − ya − (yb−ya)f) / (yc + (yd−yc)f − ya − (yb−ya)f),
+    valid in [0,1]."""
+    den = yc + (yd - yc) * f - ya - (yb - ya) * f
+    if den == 0.0:
+        return None
+    g = (Y - ya - (yb - ya) * f) / den
+    return g if 0.0 <= g <= 1.0 else None
+
+
+def _solve_ts_quadratic(corners_xy, X, Y):
+    """Closed-form (t, s) with the reference's full fallback chain
+    (_get_fractional_distances, bilinear/_base.py:336-521):
+    irregular → uprights-parallel → parallelogram. corners_xy rows:
+    p1=UL, p2=UR, p3=LL, p4=LR (the reference corner order)."""
+    p1, p2, p3, p4 = [tuple(c) for c in corners_xy]
+    # 1. irregular quadrilateral: t from the quadratic, s linear from t
+    t = _quad_root(p1, p2, p3, p4, X, Y)
+    if t is not None:
+        s = _lin_other(t, p1[1], p3[1], p2[1], p4[1], Y)
+        if s is not None:
+            return t, s
+    # 2. uprights parallel: s from the quadratic on reordered corners,
+    #    t linear from s (axis-aligned grids land here: the irregular
+    #    s-denominator degenerates to 0)
+    s = _quad_root(p1, p3, p2, p4, X, Y)
+    if s is not None:
+        t = _lin_other(s, p1[1], p2[1], p3[1], p4[1], Y)
+        if t is not None:
+            return t, s
+    # 3. parallelogram (reference formula verbatim, incl. its
+    #    '+ x31·t' term, for parity)
+    x21, y21 = p2[0] - p1[0], p2[1] - p1[1]
+    x31, y31 = p3[0] - p1[0], p3[1] - p1[1]
+    den = x21 * y31 - y21 * x31
+    if den == 0.0 or x21 == 0.0:
+        return None
+    t = (x21 * (Y - p1[1]) - y21 * (X - p1[0])) / den
+    if not (0.0 <= t <= 1.0):
+        return None
+    s = (X - p1[0] + x31 * t) / x21
+    if not (0.0 <= s <= 1.0):
+        return None
+    return t, s
 
 
 def _per_target(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -63,45 +128,49 @@ def _per_target(pdf: pd.DataFrame) -> pd.DataFrame:
     dlon = pdf["s_lon"].to_numpy() - tx
     dlat = pdf["s_lat"].to_numpy() - ty
     dist = pdf["dist_m"].to_numpy()
-    # one corner per quadrant: nearest candidate with the right signs
+    sid = pdf["src_id"].to_numpy()
+    # strict-sign quadrants, reference order (x_diff = out − in):
+    # p1 UL: in left (dlon<0), in above (dlat>0); p2 UR; p3 LL; p4 LR
     quads = {
-        "c00": (dlon <= 0) & (dlat <= 0),  # lower-left
-        "c01": (dlon > 0) & (dlat <= 0),   # lower-right
-        "c10": (dlon <= 0) & (dlat > 0),   # upper-left
-        "c11": (dlon > 0) & (dlat > 0),    # upper-right
+        "p1": (dlon < 0) & (dlat > 0),
+        "p2": (dlon > 0) & (dlat > 0),
+        "p3": (dlon < 0) & (dlat < 0),
+        "p4": (dlon > 0) & (dlat < 0),
     }
     idx = {}
     for name, mask in quads.items():
         if not mask.any():
             return pd.DataFrame(columns=pdf.columns[:0])
         cand = np.flatnonzero(mask)
-        idx[name] = cand[np.argmin(dist[cand])]
-    corners_xy = np.array(
-        [
-            [pdf["s_lon"].iloc[idx[n]], pdf["s_lat"].iloc[idx[n]]]
-            for n in ("c00", "c01", "c10", "c11")
-        ]
-    )
-    ts = _solve_ts(corners_xy, np.array([tx, ty]))
+        # nearest valid, ties by src_id — deterministic across engines
+        best = cand[np.lexsort((sid[cand], dist[cand]))[0]]
+        idx[name] = best
+    corners_xy = [
+        (pdf["s_lon"].iloc[idx[n]], pdf["s_lat"].iloc[idx[n]])
+        for n in ("p1", "p2", "p3", "p4")
+    ]
+    ts = _solve_ts_quadratic(corners_xy, tx, ty)
     if ts is None:
         return pd.DataFrame(columns=pdf.columns[:0])
     t, s = ts
-    vals = np.array(
-        [pdf["value"].iloc[idx[n]] for n in ("c00", "c01", "c10", "c11")]
+    v1, v2, v3, v4 = (
+        pdf["value"].iloc[idx[n]] for n in ("p1", "p2", "p3", "p4")
     )
     v = (
-        (1 - t) * (1 - s) * vals[0]
-        + t * (1 - s) * vals[1]
-        + (1 - t) * s * vals[2]
-        + t * s * vals[3]
+        v1 * (1.0 - s) * (1.0 - t)
+        + v2 * s * (1.0 - t)
+        + v3 * (1.0 - s) * t
+        + v4 * s * t
     )
+    # output columns keep the grid naming: c00=LL(p3), c01=LR(p4),
+    # c10=UL(p1), c11=UR(p2)
     return pd.DataFrame(
         {
             "tgt_id": [tgt_id],
-            "c00": [pdf["src_id"].iloc[idx["c00"]]],
-            "c01": [pdf["src_id"].iloc[idx["c01"]]],
-            "c10": [pdf["src_id"].iloc[idx["c10"]]],
-            "c11": [pdf["src_id"].iloc[idx["c11"]]],
+            "c00": [sid[idx["p3"]]],
+            "c01": [sid[idx["p4"]]],
+            "c10": [sid[idx["p1"]]],
+            "c11": [sid[idx["p2"]]],
             "t": [t],
             "s": [s],
             "bilinear_value": [v],

@@ -141,13 +141,217 @@ def q_ewa_fornav(spark, sf_dir):
     )
 
 
-@register("q_bilinear_irregular", oracle=None)
+def _bilinear_irregular_oracle() -> str:
+    """DuckDB replay of the whole irregular-bilinear pipeline
+    (operators/bilinear_irregular.py): cell-bucketed kNN-32 candidates
+    (same 3-D geocentric cells + mm-rounded chord as PAIRS_SQL),
+    strict-sign quadrant corner pick with (dist_mm, src_id) tie-break,
+    then the reference's closed-form quadratic fallback chain
+    (irregular → uprights-parallel → parallelogram,
+    bilinear/_base.py:336-521) as nested CASE. All post-candidate
+    arithmetic is +,−,*,/,sqrt on bitwise-identical inputs (derived
+    lon/lat are trig-free), so both engines take the same branch at
+    every 0 ≤ · ≤ 1 gate; divisions are NULL-guarded (both engines
+    yield NULL on x/0, dropping the same rows)."""
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.knn import chord_length
+    from pyresample_spark.queries.geo_scalar import PTS_SQL
+
+    radius = 150_000.0
+    c = repr(chord_length(radius))
+    chord_mm = round(chord_length(radius) * 1000.0)
+    r = repr(R_EARTH)
+    geo = (
+        lambda lon, lat, px: f"""
+             {r} * cos(radians({lat})) * cos(radians({lon})) AS {px}gx,
+             {r} * cos(radians({lat})) * sin(radians({lon})) AS {px}gy,
+             {r} * sin(radians({lat})) AS {px}gz"""
+    )
+    # stage-1 / stage-2 quadratic roots share this CASE skeleton
+    root = (
+        lambda qa, qb, qc, qd: f"""
+      CASE WHEN {qa} <> 0.0 AND {qd} >= 0.0
+                AND (-({qb}) + sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) >= 0.0
+                AND (-({qb}) + sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) <= 1.0
+           THEN (-({qb}) + sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa})
+           WHEN {qa} <> 0.0 AND {qd} >= 0.0
+                AND (-({qb}) - sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) >= 0.0
+                AND (-({qb}) - sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) <= 1.0
+           THEN (-({qb}) - sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa})
+           WHEN {qb} <> 0.0 AND -({qc}) / ({qb}) >= 0.0
+                AND -({qc}) / ({qb}) <= 1.0
+           THEN -({qc}) / ({qb})
+      END"""
+    )
+    lin = (
+        lambda f, ya, yb, yc, yd: f"""
+      CASE WHEN {f} IS NOT NULL
+                AND ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}) <> 0.0
+                AND (yy - {ya} - ({yb} - {ya}) * {f})
+                    / ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}) >= 0.0
+                AND (yy - {ya} - ({yb} - {ya}) * {f})
+                    / ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}) <= 1.0
+           THEN (yy - {ya} - ({yb} - {ya}) * {f})
+                / ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f})
+      END"""
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_id AS src_id, value, lon AS s_lon, lat AS s_lat,
+             {geo('lon', 'lat', 's_')}
+      FROM ({PTS_SQL})
+    ),
+    sc AS (
+      SELECT *, CAST(FLOOR(s_gx / {c}) AS BIGINT) AS cx3,
+                CAST(FLOOR(s_gy / {c}) AS BIGINT) AS cy3,
+                CAST(FLOOR(s_gz / {c}) AS BIGINT) AS cz3
+      FROM s
+    ),
+    tb AS (
+      SELECT event_id AS tgt_id, lon + 0.21 AS t_lon, lat + 0.13 AS t_lat
+      FROM ({PTS_SQL}) WHERE event_id % 20 = 0
+    ),
+    tg AS (
+      SELECT tgt_id, t_lon, t_lat, {geo('t_lon', 't_lat', 't_')}
+      FROM tb
+    ),
+    t AS (
+      SELECT tgt_id, t_lon, t_lat, t_gx, t_gy, t_gz,
+             CAST(FLOOR(t_gx / {c}) AS BIGINT) + ox.dx AS cx3,
+             CAST(FLOOR(t_gy / {c}) AS BIGINT) + oy.dy AS cy3,
+             CAST(FLOOR(t_gz / {c}) AS BIGINT) + oz.dz AS cz3
+      FROM tg
+      CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oz(dz)
+    ),
+    pairs AS (
+      SELECT t.tgt_id, t.t_lon, t.t_lat, sc.src_id, sc.value,
+             sc.s_lon, sc.s_lat,
+             CAST(ROUND(sqrt((t_gx - s_gx) * (t_gx - s_gx)
+                           + (t_gy - s_gy) * (t_gy - s_gy)
+                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0) AS BIGINT) AS dist_mm
+      FROM t JOIN sc USING (cx3, cy3, cz3)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                   ORDER BY dist_mm ASC, src_id ASC) AS nn_rank
+      FROM pairs WHERE dist_mm <= {chord_mm}
+    ),
+    quads AS (
+      SELECT *, CASE WHEN s_lon < t_lon AND s_lat > t_lat THEN 1
+                     WHEN s_lon > t_lon AND s_lat > t_lat THEN 2
+                     WHEN s_lon < t_lon AND s_lat < t_lat THEN 3
+                     WHEN s_lon > t_lon AND s_lat < t_lat THEN 4 END AS quad
+      FROM ranked WHERE nn_rank <= 32
+    ),
+    qpick AS (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id, quad
+                                   ORDER BY dist_mm ASC, src_id ASC) AS qr
+      FROM quads WHERE quad IS NOT NULL
+    ),
+    corners AS (
+      SELECT tgt_id, MAX(t_lon) AS xx, MAX(t_lat) AS yy,
+             MAX(CASE WHEN quad = 1 THEN s_lon END) AS x1,
+             MAX(CASE WHEN quad = 1 THEN s_lat END) AS y1,
+             MAX(CASE WHEN quad = 1 THEN value END) AS v1,
+             MAX(CASE WHEN quad = 1 THEN src_id END) AS id1,
+             MAX(CASE WHEN quad = 2 THEN s_lon END) AS x2,
+             MAX(CASE WHEN quad = 2 THEN s_lat END) AS y2,
+             MAX(CASE WHEN quad = 2 THEN value END) AS v2,
+             MAX(CASE WHEN quad = 2 THEN src_id END) AS id2,
+             MAX(CASE WHEN quad = 3 THEN s_lon END) AS x3,
+             MAX(CASE WHEN quad = 3 THEN s_lat END) AS y3,
+             MAX(CASE WHEN quad = 3 THEN value END) AS v3,
+             MAX(CASE WHEN quad = 3 THEN src_id END) AS id3,
+             MAX(CASE WHEN quad = 4 THEN s_lon END) AS x4,
+             MAX(CASE WHEN quad = 4 THEN s_lat END) AS y4,
+             MAX(CASE WHEN quad = 4 THEN value END) AS v4,
+             MAX(CASE WHEN quad = 4 THEN src_id END) AS id4
+      FROM qpick WHERE qr = 1 GROUP BY tgt_id HAVING COUNT(*) = 4
+    ),
+    g1 AS (
+      SELECT *,
+             (x3 - x1) * (y4 - y2) - (y3 - y1) * (x4 - x2) AS qa1,
+             yy * ((x4 - x2) - (x3 - x1)) - xx * ((y4 - y2) - (y3 - y1))
+               + (x3 - x1) * y2 - (y3 - y1) * x2
+               + (y4 - y2) * x1 - (x4 - x2) * y1 AS qb1,
+             yy * (x2 - x1) - xx * (y2 - y1) + x1 * y2 - x2 * y1 AS qc1,
+             (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3) AS qa2,
+             yy * ((x4 - x3) - (x2 - x1)) - xx * ((y4 - y3) - (y2 - y1))
+               + (x2 - x1) * y3 - (y2 - y1) * x3
+               + (y4 - y3) * x1 - (x4 - x3) * y1 AS qb2,
+             yy * (x3 - x1) - xx * (y3 - y1) + x1 * y3 - x3 * y1 AS qc2
+      FROM corners
+    ),
+    g2 AS (SELECT *, qb1 * qb1 - 4.0 * qa1 * qc1 AS qd1,
+                  qb2 * qb2 - 4.0 * qa2 * qc2 AS qd2 FROM g1),
+    g3 AS (
+      SELECT *, {root('qa1', 'qb1', 'qc1', 'qd1')} AS t_irr,
+                {root('qa2', 'qb2', 'qc2', 'qd2')} AS s_up
+      FROM g2
+    ),
+    g4 AS (
+      SELECT *, {lin('t_irr', 'y1', 'y3', 'y2', 'y4')} AS s_irr,
+                {lin('s_up', 'y1', 'y2', 'y3', 'y4')} AS t_up
+      FROM g3
+    ),
+    g5 AS (
+      SELECT *,
+        CASE WHEN ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) <> 0.0
+                  AND (x2 - x1) <> 0.0
+                  AND ((x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1))
+                      / ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) >= 0.0
+                  AND ((x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1))
+                      / ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) <= 1.0
+             THEN ((x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1))
+                  / ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))
+        END AS t_par0
+      FROM g4
+    ),
+    g6 AS (
+      SELECT *,
+        CASE WHEN t_par0 IS NOT NULL
+                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) >= 0.0
+                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) <= 1.0
+             THEN t_par0 END AS t_par,
+        CASE WHEN t_par0 IS NOT NULL
+                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) >= 0.0
+                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) <= 1.0
+             THEN (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) END AS s_par
+      FROM g5
+    ),
+    fin AS (
+      SELECT *,
+        CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr
+             WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up
+             ELSE t_par END AS tf,
+        CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN s_irr
+             WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN s_up
+             ELSE s_par END AS sf
+      FROM g6
+    )
+    SELECT tgt_id,
+           CAST(id3 AS BIGINT) AS c00, CAST(id4 AS BIGINT) AS c01,
+           CAST(id1 AS BIGINT) AS c10, CAST(id2 AS BIGINT) AS c11,
+           ROUND(tf, 6) + 0.0 AS t, ROUND(sf, 6) + 0.0 AS s,
+           ROUND(v1 * (1.0 - sf) * (1.0 - tf) + v2 * sf * (1.0 - tf)
+               + v3 * (1.0 - sf) * tf + v4 * sf * tf, 6) + 0.0 AS bilinear_value
+    FROM fin WHERE tf IS NOT NULL AND sf IS NOT NULL
+    """
+
+
+@register("q_bilinear_irregular", oracle=_bilinear_irregular_oracle())
 def q_bilinear_irregular(spark, sf_dir):
     """Irregular-swath bilinear (bilinear/_base.py re-expressed): kNN
-    candidates → quadrant corner pick → Newton (t,s) solve in an
-    applyInPandas kernel. Non-SQL-expressible (iterative solve) →
-    rows-only driver check; golden-value parity with the analytic
-    regular-grid bilinear is pytest-verified (tests/test_bilinear.py)."""
+    candidates → strict-sign quadrant corner pick → the reference's
+    closed-form quadratic (t, s) solve with its irregular →
+    uprights-parallel → parallelogram fallback chain, in an
+    applyInPandas kernel. Since round 2 the solve is closed-form
+    (no iteration), so the FULL pipeline is replayed as a DuckDB
+    oracle — upgrading the r1 rows-only weak row to a hash-checked
+    one. Golden-value parity with analytic regular-grid bilinear is
+    additionally pytest-verified (tests/test_bilinear.py)."""
     from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
     from pyresample_spark.queries.joins import _src
 
