@@ -320,6 +320,91 @@ def merc_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Transverse Mercator (spherical, +proj=tmerc / +proj=utm) ---------
+# Snyder eqs. 8-5..8-8. UTM zone z ⇒ tmerc with lon_0 = 6z − 183,
+# k = 0.9996, x_0 = 500 km (+ y_0 = 10 000 km when +south). The
+# reference reads UTM areas through pyproj (utils/proj4.py); here the
+# zone maps to closed-form column math. atanh/sinh/cosh are spelled as
+# exp/ln so the Spark and DuckDB texts share one op sequence.
+
+def tmerc_xy(lon, lat, lat_0: float = 0.0, lon_0: float = 0.0,
+             k: float = 1.0, x_0: float = 0.0, y_0: float = 0.0,
+             radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    rk = radius * k
+    dlon = F.radians(_c(lon) - F.lit(lon_0))
+    latr = F.radians(_c(lat))
+    b = F.cos(latr) * F.sin(dlon)
+    x = rk * (F.lit(0.5) * F.log((1.0 + b) / (1.0 - b))) + F.lit(x_0)
+    y = (
+        rk * (F.atan2(F.tan(latr), F.cos(dlon)) - F.lit(_m.radians(lat_0)))
+        + F.lit(y_0)
+    )
+    return x, y
+
+
+def tmerc_inverse(x, y, lat_0: float = 0.0, lon_0: float = 0.0,
+                  k: float = 1.0, x_0: float = 0.0, y_0: float = 0.0,
+                  radius: float = R_EARTH) -> tuple:
+    """(x, y) → (lon, lat) columns — Snyder 8-6..8-8 spherical:
+    D = y/(kR) + lat_0; lat = asin(sin D / cosh x'); lon = lon_0 +
+    atan2(sinh x', cos D)."""
+    import math as _m
+
+    rk = radius * k
+    xp = (_c(x) - F.lit(x_0)) / rk
+    d = (_c(y) - F.lit(y_0)) / rk + F.lit(_m.radians(lat_0))
+    cosh_x = (F.exp(xp) + F.exp(-xp)) / 2.0
+    sinh_x = (F.exp(xp) - F.exp(-xp)) / 2.0
+    lat = F.degrees(F.asin(F.sin(d) / cosh_x))
+    lon = F.lit(lon_0) + F.degrees(F.atan2(sinh_x, F.cos(d)))
+    return wrap_longitude(lon), lat
+
+
+def tmerc_sql(lon: str, lat: str, lat_0: float = 0.0, lon_0: float = 0.0,
+              k: float = 1.0, x_0: float = 0.0, y_0: float = 0.0,
+              radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    rk = radius * k
+    b = f"(cos(radians({lat})) * sin(radians({lon} - {lon_0!r})))"
+    return (
+        f"({rk!r} * (0.5 * ln((1.0 + {b}) / (1.0 - {b}))) + {x_0!r})",
+        f"({rk!r} * (atan2(tan(radians({lat})), cos(radians({lon} - {lon_0!r})))"
+        f" - {_m.radians(lat_0)!r}) + {y_0!r})",
+    )
+
+
+def tmerc_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
+                  k: float = 1.0, x_0: float = 0.0, y_0: float = 0.0,
+                  radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    rk = radius * k
+    xp = f"(({x} - {x_0!r}) / {rk!r})"
+    d = f"(({y} - {y_0!r}) / {rk!r} + {_m.radians(lat_0)!r})"
+    cosh_x = f"((exp({xp}) + exp(-{xp})) / 2.0)"
+    sinh_x = f"((exp({xp}) - exp(-{xp})) / 2.0)"
+    lon = (f"((({lon_0!r} + degrees(atan2({sinh_x}, cos({d}))) + 540.0)"
+           f" % 360.0) - 180.0)")
+    lat = f"degrees(asin(sin({d}) / {cosh_x}))"
+    return lon, lat
+
+
+def utm_params(zone: int, south: bool = False) -> dict:
+    """UTM zone → tmerc parameters (spherical; the standard zone
+    layout: central meridian 6·zone − 183, k0 = 0.9996, FE 500 km,
+    FN 10 000 km in the south)."""
+    return {
+        "lat_0": 0.0,
+        "lon_0": 6.0 * zone - 183.0,
+        "k": 0.9996,
+        "x_0": 500_000.0,
+        "y_0": 10_000_000.0 if south else 0.0,
+    }
+
+
 # --- Lambert conformal conic (spherical, +proj=lcc) -------------------
 # Snyder eqs. 15-1..15-5 with one or two standard parallels — the CONUS
 # workhorse CRS (the reference's own LCC test fixture,

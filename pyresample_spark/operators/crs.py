@@ -19,6 +19,8 @@ Supported proj strings (whitespace-separated key=value, order-free):
 - ``+proj=lcc +lat_1=.. [+lat_2=..] [+lat_0=..] [+lon_0=..]``
 - ``+proj=geos [+h=..] [+lon_0=..] [+sweep=x|y]`` (full-disc; off-disc
   pixels are NULL-masked by the horizon condition)
+- ``+proj=tmerc [+lat_0=..] [+lon_0=..] [+k=..] [+x_0=..] [+y_0=..]``
+  and ``+proj=utm +zone=N [+south]`` (Snyder 8-5..8-8 spherical)
 """
 
 from __future__ import annotations
@@ -43,6 +45,9 @@ from pyresample_spark.functions.geo import (
     stere_polar_inverse,
     stere_polar_x,
     stere_polar_y,
+    tmerc_inverse,
+    tmerc_xy,
+    utm_params,
 )
 
 
@@ -54,7 +59,10 @@ def _params(crs: str) -> dict:
             k, v = tok.split("=", 1)
             out[k] = v
         else:
+            # bare token: the proj name in plain strings ("longlat"),
+            # or a valueless flag (+south, +over, +no_defs)
             out.setdefault("proj", tok)
+            out.setdefault(tok, "")
     return out
 
 
@@ -81,10 +89,28 @@ def _family(crs: str) -> str:
         return "lcc"
     if proj == "geos":
         return "geos"
+    if proj in ("tmerc", "utm"):
+        return "tmerc"
     raise NotImplementedError(
         f"no analytic transform for CRS {crs!r} (pyproj UDF fallback "
         "in operators/proj_udf.py)"
     )
+
+
+def tmerc_crs_params(crs: str) -> dict:
+    """+proj=tmerc / +proj=utm token dict → tmerc keyword params
+    (shared by the column builders, the scalar inverse, and the
+    oracle SQL twins)."""
+    p = _params(crs)
+    if p.get("proj") == "utm":
+        return utm_params(int(p["zone"]), south="south" in p)
+    return {
+        "lat_0": float(p.get("lat_0", "0")),
+        "lon_0": float(p.get("lon_0", "0")),
+        "k": float(p.get("k", p.get("k_0", "1"))),
+        "x_0": float(p.get("x_0", "0")),
+        "y_0": float(p.get("y_0", "0")),
+    }
 
 
 def forward(crs: str):
@@ -127,6 +153,9 @@ def forward(crs: str):
             lcc_x(lon, lat, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0),
             lcc_y(lon, lat, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0),
         )
+    if fam == "tmerc":
+        kw = tmerc_crs_params(crs)
+        return lambda lon, lat: tmerc_xy(lon, lat, **kw)
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -169,6 +198,9 @@ def inverse(crs: str):
         return lambda x, y: lcc_inverse(
             x, y, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0
         )
+    if fam == "tmerc":
+        kw = tmerc_crs_params(crs)
+        return lambda x, y: tmerc_inverse(x, y, **kw)
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -292,6 +324,21 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _lcc_inv
+    if fam == "tmerc":
+        kw = tmerc_crs_params(crs)
+        rk = R * kw["k"]
+        lat0r = math.radians(kw["lat_0"])
+
+        def _tmerc_inv(x, y):
+            xp = (x - kw["x_0"]) / rk
+            d = (y - kw["y_0"]) / rk + lat0r
+            lat = math.degrees(math.asin(math.sin(d) / math.cosh(xp)))
+            lon = kw["lon_0"] + math.degrees(
+                math.atan2(math.sinh(xp), math.cos(d))
+            )
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _tmerc_inv
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))

@@ -83,6 +83,8 @@ _PRIORITY = [
     "q_multiband_resample",
     "q_overlap_rate",
     "q_get_average_skipna",
+    "q_proj_utm",
+    "q_regrid_utm",
     # round-1 driver-unchecked (positions 50..79 in the r1 registry)
     "q_events_session",
     "q_events_late",

@@ -899,6 +899,88 @@ def q_ewa_ellipse(spark, sf_dir):
     )
 
 
+# --- UTM / transverse Mercator (q_proj_utm, q_regrid_utm) -------------
+
+def _utm_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # UTM zone 33N (central Europe, lon_0 = 15°E): the standard zone
+    # grid the reference reads through pyproj (+proj=utm appears in
+    # utils/proj4.py handling); here it is closed-form Snyder 8-5..8-8.
+    return AreaDefinition(
+        "utm33n", "+proj=utm +zone=33", width=60, height=60,
+        area_extent=(200000.0, 4600000.0, 800000.0, 6400000.0),
+    )
+
+
+_UTM_AREA = _utm_area()
+
+
+def _utm_kw() -> dict:
+    from pyresample_spark.operators.crs import tmerc_crs_params
+
+    return tmerc_crs_params(_UTM_AREA.crs)
+
+
+@register(
+    "q_proj_utm",
+    oracle=(lambda xy: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS px,
+           ROUND({xy[1]}, 3) + 0.0 AS py
+    FROM ({__import__('pyresample_spark.queries.geo_scalar',
+                      fromlist=['PTS_SQL']).PTS_SQL})
+    WHERE lon BETWEEN -45.0 AND 75.0 AND lat BETWEEN -84.0 AND 84.0
+    """)(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["tmerc_sql"]
+        ).tmerc_sql(
+            "lon", "lat", lat_0=0.0, lon_0=15.0, k=0.9996, x_0=500000.0
+        )
+    ),
+)
+def q_proj_utm(spark, sf_dir):
+    """UTM zone-33 forward projection as pure column math (Snyder
+    8-5/8-6 spherical transverse Mercator; zone → tmerc params via
+    operators/crs.py tmerc_crs_params). Points clamped to ±60° of the
+    central meridian — the zone's meaningful domain (B → ±1 blows up
+    the atanh at Δlon = 90°)."""
+    from pyresample_spark.functions.geo import tmerc_xy
+    from pyresample_spark.queries.geo_scalar import _pts
+
+    pts = _pts(spark, sf_dir).filter(
+        F.col("lon").between(-45.0, 75.0) & F.col("lat").between(-84.0, 84.0)
+    )
+    x, y = tmerc_xy("lon", "lat", **_utm_kw())
+    return pts.select(
+        "event_id", rnd(x, 3).alias("px"), rnd(y, 3).alias("py")
+    )
+
+
+@register(
+    "q_regrid_utm",
+    oracle=(lambda lonlat: _regrid_oracle(_UTM_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["tmerc_inv_sql"]
+        ).tmerc_inv_sql(
+            "cx", "cy", lat_0=0.0, lon_0=15.0, k=0.9996, x_0=500000.0
+        )
+    ),
+)
+def q_regrid_utm(spark, sf_dir):
+    """UTM regrid WITHOUT pyproj: an eqc world image onto UTM zone 33N.
+    Each target (x, y) inverts by the closed-form spherical transverse
+    Mercator (Snyder 8-6..8-8, functions/geo.py tmerc_inverse — pure
+    column math through the analytic registry '+proj=utm +zone=33'),
+    then gathers from the eqc source by equi-join — the same
+    generalized-linesample plan as every other analytic regrid."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_UTM_AREA, EQC_AREA, src)
+
+
 # --- q_multiband_resample: (bands, y, x) array-column regrid ---------
 
 _MB_BANDS = 3

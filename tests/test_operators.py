@@ -496,3 +496,53 @@ def test_knn_broadcast_guard_falls_back_to_cell_join(spark):
     a = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in guarded.collect())
     b = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in cell.collect())
     assert a == b and len(a) > 0
+
+
+def test_tmerc_utm_roundtrip_and_dispatch(spark):
+    """Spherical transverse Mercator (Snyder 8-5..8-8): column fwd∘inv
+    is identity, matches the driver-side scalar inverse, and the
+    '+proj=utm +zone=N [+south]' registry dispatch maps the zone to
+    the right central meridian and false northing."""
+    import math
+
+    from pyresample_spark.operators.crs import (
+        forward,
+        inverse,
+        inverse_scalar,
+        tmerc_crs_params,
+    )
+
+    kw = tmerc_crs_params("+proj=utm +zone=33")
+    assert kw["lon_0"] == 15.0 and kw["k"] == 0.9996
+    assert kw["x_0"] == 500000.0 and kw["y_0"] == 0.0
+    assert tmerc_crs_params("+proj=utm +zone=33 +south")["y_0"] == 1e7
+
+    pts = [(15.0, 0.0), (12.0, 48.0), (18.7, 59.3), (9.0, -40.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fx, fy = forward("+proj=utm +zone=33")("lon", "lat")
+    proj = df.select("lon", "lat", fx.alias("x"), fy.alias("y"))
+    ilon, ilat = inverse("+proj=utm +zone=33")("x", "y")
+    back = proj.select(
+        "lon", "lat", "x", "y", ilon.alias("rlon"), ilat.alias("rlat")
+    ).collect()
+    inv_s = inverse_scalar("+proj=utm +zone=33")
+    for r in back:
+        assert r.rlon == pytest.approx(r.lon, abs=1e-9)
+        assert r.rlat == pytest.approx(r.lat, abs=1e-9)
+        slon, slat = inv_s(r.x, r.y)
+        assert slon == pytest.approx(r.lon, abs=1e-9)
+        assert slat == pytest.approx(r.lat, abs=1e-9)
+    # central meridian → x = FE exactly; equator → y = 0
+    cm = {(r.lon, r.lat): r for r in back}
+    assert cm[(15.0, 0.0)].x == pytest.approx(500000.0, abs=1e-6)
+    assert cm[(15.0, 0.0)].y == pytest.approx(0.0, abs=1e-6)
+    # independent scalar ground truth (Snyder 8-5/8-6 via math.atanh)
+    R, k0 = 6370997.0, 0.9996
+    for lon, lat in pts[1:]:
+        b = math.cos(math.radians(lat)) * math.sin(math.radians(lon - 15.0))
+        gx = k0 * R * math.atanh(b) + 500000.0
+        gy = k0 * R * math.atan2(
+            math.tan(math.radians(lat)), math.cos(math.radians(lon - 15.0))
+        )
+        assert cm[(lon, lat)].x == pytest.approx(gx, abs=1e-6)
+        assert cm[(lon, lat)].y == pytest.approx(gy, abs=1e-6)
