@@ -485,6 +485,99 @@ def lcc_inv_sql(x: str, y: str, lat_0: float, lat_1: float,
     return lon, lat
 
 
+# --- Oblique swath-following frame (+proj=omerc analog) ---------------
+# The engine's fitted-frame convention (operators/optimal_bb.py, the
+# Spark form of compute_optimal_bb_area, reference geometry.py:
+# 1019-1040): an orthonormal frame (e1, e2, e3) whose equator follows
+# the swath; x = R·u with u = atan2(p·e2, p·e1) (along-track angle),
+# y = R·v with v = asin(p·e3) (cross-track angle — equidistant, NOT
+# PROJ omerc's Mercator atanh; for a bounding area the difference is
+# O(v³) and absorbed by the fit margin — documented deviation). The
+# frame is fully determined by (lat_0, lonc, alpha): center point
+# (lat_0, lonc) = e1, along-track azimuth alpha (degrees clockwise
+# from north at the center) = e2, pole e3 = e1 × e2.
+
+def omerc_frame(lat_0: float, lonc: float, alpha: float) -> tuple:
+    """(lat_0, lonc, alpha) → orthonormal frame rows (e1, e2, e3)."""
+    import math as _m
+
+    p0, l0, a = _m.radians(lat_0), _m.radians(lonc), _m.radians(alpha)
+    c = (_m.cos(p0) * _m.cos(l0), _m.cos(p0) * _m.sin(l0), _m.sin(p0))
+    north = (-_m.sin(p0) * _m.cos(l0), -_m.sin(p0) * _m.sin(l0), _m.cos(p0))
+    east = (-_m.sin(l0), _m.cos(l0), 0.0)
+    t = tuple(_m.cos(a) * n + _m.sin(a) * e for n, e in zip(north, east))
+    pole = (
+        c[1] * t[2] - c[2] * t[1],
+        c[2] * t[0] - c[0] * t[2],
+        c[0] * t[1] - c[1] * t[0],
+    )
+    return c, t, pole
+
+
+def omerc_azimuth(e1, e2) -> float:
+    """Along-track azimuth (degrees, clockwise from north at the frame
+    center e1) of the tangent e2 — the +alpha that lets
+    :func:`omerc_frame` reconstruct the frame exactly."""
+    import math as _m
+
+    lat0 = _m.asin(max(-1.0, min(1.0, e1[2])))
+    lonc = _m.atan2(e1[1], e1[0])
+    north = (
+        -_m.sin(lat0) * _m.cos(lonc),
+        -_m.sin(lat0) * _m.sin(lonc),
+        _m.cos(lat0),
+    )
+    east = (-_m.sin(lonc), _m.cos(lonc), 0.0)
+    tn = sum(a * b for a, b in zip(e2, north))
+    te = sum(a * b for a, b in zip(e2, east))
+    return _m.degrees(_m.atan2(te, tn))
+
+
+def _dot3(xc, yc, zc, v):
+    return xc * float(v[0]) + yc * float(v[1]) + zc * float(v[2])
+
+
+def omerc_xy(lon, lat, frame, radius: float = R_EARTH) -> tuple:
+    e1, e2, e3 = frame
+    lonr, latr = F.radians(_c(lon)), F.radians(_c(lat))
+    xc = F.cos(latr) * F.cos(lonr)
+    yc = F.cos(latr) * F.sin(lonr)
+    zc = F.sin(latr)
+    u = F.atan2(_dot3(xc, yc, zc, e2), _dot3(xc, yc, zc, e1))
+    v = F.asin(
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0), _dot3(xc, yc, zc, e3)))
+    )
+    return u * radius, v * radius
+
+
+def omerc_inverse(x, y, frame, radius: float = R_EARTH) -> tuple:
+    """(x, y) → (lon, lat): p = cos v (cos u e1 + sin u e2) + sin v e3."""
+    e1, e2, e3 = frame
+    u = _c(x) / radius
+    v = _c(y) / radius
+    cu, su, cv, sv = F.cos(u), F.sin(u), F.cos(v), F.sin(v)
+    px = cv * (cu * e1[0] + su * e2[0]) + sv * e3[0]
+    py = cv * (cu * e1[1] + su * e2[1]) + sv * e3[1]
+    pz = cv * (cu * e1[2] + su * e2[2]) + sv * e3[2]
+    lon = F.degrees(F.atan2(py, px))
+    lat = F.degrees(F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), pz))))
+    return wrap_longitude(lon), lat
+
+
+def omerc_inv_sql(x: str, y: str, frame, radius: float = R_EARTH) -> tuple:
+    e1, e2, e3 = frame
+    u, v = f"(({x}) / {radius!r})", f"(({y}) / {radius!r})"
+    px = (f"(cos({v}) * (cos({u}) * {e1[0]!r} + sin({u}) * {e2[0]!r})"
+          f" + sin({v}) * {e3[0]!r})")
+    py = (f"(cos({v}) * (cos({u}) * {e1[1]!r} + sin({u}) * {e2[1]!r})"
+          f" + sin({v}) * {e3[1]!r})")
+    pz = (f"(cos({v}) * (cos({u}) * {e1[2]!r} + sin({u}) * {e2[2]!r})"
+          f" + sin({v}) * {e3[2]!r})")
+    lon = f"(((degrees(atan2({py}, {px})) + 540.0) % 360.0) - 180.0)"
+    lat = f"degrees(asin(LEAST(1.0, GREATEST(-1.0, {pz}))))"
+    return lon, lat
+
+
 # --- Geostationary (spherical, +proj=geos +h=.. [+sweep=x|y]) ---------
 # The dominant real-world satellite CRS (GOES sweep=x, MSG/SEVIRI
 # sweep=y). Spherical form of the PROJ geos projection: the view vector

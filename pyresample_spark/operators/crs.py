@@ -21,6 +21,10 @@ Supported proj strings (whitespace-separated key=value, order-free):
   pixels are NULL-masked by the horizon condition)
 - ``+proj=tmerc [+lat_0=..] [+lon_0=..] [+k=..] [+x_0=..] [+y_0=..]``
   and ``+proj=utm +zone=N [+south]`` (Snyder 8-5..8-8 spherical)
+- ``+proj=omerc +lat_0=.. +lonc=.. +alpha=..`` — the fitted
+  swath-following frame produced by ``compute_optimal_bb_area``
+  (equidistant cross-track; see functions/geo.py omerc_frame for the
+  documented deviation from PROJ's Mercator cross-track)
 """
 
 from __future__ import annotations
@@ -42,6 +46,9 @@ from pyresample_spark.functions.geo import (
     merc_inverse,
     merc_x,
     merc_y,
+    omerc_frame,
+    omerc_inverse,
+    omerc_xy,
     stere_polar_inverse,
     stere_polar_x,
     stere_polar_y,
@@ -91,6 +98,8 @@ def _family(crs: str) -> str:
         return "geos"
     if proj in ("tmerc", "utm"):
         return "tmerc"
+    if proj == "omerc":
+        return "omerc"
     raise NotImplementedError(
         f"no analytic transform for CRS {crs!r} (pyproj UDF fallback "
         "in operators/proj_udf.py)"
@@ -156,6 +165,12 @@ def forward(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: tmerc_xy(lon, lat, **kw)
+    if fam == "omerc":
+        frame = omerc_frame(
+            float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
+            float(p.get("alpha", "0")),
+        )
+        return lambda lon, lat: omerc_xy(lon, lat, frame)
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -201,6 +216,12 @@ def inverse(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda x, y: tmerc_inverse(x, y, **kw)
+    if fam == "omerc":
+        frame = omerc_frame(
+            float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
+            float(p.get("alpha", "0")),
+        )
+        return lambda x, y: omerc_inverse(x, y, frame)
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -324,6 +345,25 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _lcc_inv
+    if fam == "omerc":
+        e1, e2, e3 = omerc_frame(
+            float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
+            float(p.get("alpha", "0")),
+        )
+
+        def _omerc_inv(x, y):
+            u, v = x / R, y / R
+            cu, su, cv, sv = (
+                math.cos(u), math.sin(u), math.cos(v), math.sin(v),
+            )
+            px = cv * (cu * e1[0] + su * e2[0]) + sv * e3[0]
+            py = cv * (cu * e1[1] + su * e2[1]) + sv * e3[1]
+            pz = cv * (cu * e1[2] + su * e2[2]) + sv * e3[2]
+            lon = math.degrees(math.atan2(py, px))
+            lat = math.degrees(math.asin(max(-1.0, min(1.0, pz))))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _omerc_inv
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         rk = R * kw["k"]

@@ -94,15 +94,21 @@ def compute_optimal_bb_area(
         F.min(v).alias("v0"), F.max(v).alias("v1"),
     ).collect()[0]
 
-    # omerc parameters of the fitted frame: the rotated equator's pole
-    # is e3; lonc/lat_0 locate the track center, alpha its azimuth.
+    # omerc parameters of the fitted frame: lonc/lat_0 locate the track
+    # center (= e1), alpha is the along-track azimuth of e2 there
+    # (degrees clockwise from north) — together they reconstruct the
+    # frame EXACTLY (functions/geo.py omerc_frame), so the CRS string
+    # alone round-trips through the analytic registry's 'omerc' family
+    # without needing the attrs. Full float precision (repr, not a
+    # 6-decimal format) so the rebuilt frame is bit-identical.
+    from pyresample_spark.functions.geo import omerc_azimuth
+
     lonc = math.degrees(math.atan2(e1[1], e1[0]))
     lat0 = math.degrees(math.asin(max(-1.0, min(1.0, e1[2]))))
-    pole_lat = math.degrees(math.asin(max(-1.0, min(1.0, e3[2]))))
-    alpha = 90.0 - pole_lat
+    alpha = omerc_azimuth(e1, e2)
     crs = (
-        f"+proj=omerc +lat_0={lat0:.6f} +lonc={lonc:.6f} "
-        f"+alpha={alpha:.6f} +gamma=0 +ellps=sphere +R={R_EARTH:.1f}"
+        f"+proj=omerc +lat_0={lat0!r} +lonc={lonc!r} "
+        f"+alpha={alpha!r} +gamma=0 +ellps=sphere +R={R_EARTH:.1f}"
     )
 
     du, dv = b.u1 - b.u0, b.v1 - b.v0

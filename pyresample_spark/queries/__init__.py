@@ -85,6 +85,7 @@ _PRIORITY = [
     "q_get_average_skipna",
     "q_proj_utm",
     "q_regrid_utm",
+    "q_regrid_omerc",
     # round-1 driver-unchecked (positions 50..79 in the r1 registry)
     "q_events_session",
     "q_events_late",

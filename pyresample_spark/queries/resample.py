@@ -981,6 +981,57 @@ def q_regrid_utm(spark, sf_dir):
     return regrid_nearest(_UTM_AREA, EQC_AREA, src)
 
 
+# --- q_regrid_omerc: swath-following oblique frame as a target -------
+
+def _omerc_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # an optimal_bb-style fitted frame, as literals: track center
+    # (10°E, 25°N), along-track azimuth 40° — the shape
+    # compute_optimal_bb_area emits (operators/optimal_bb.py), fixed
+    # here so the oracle can bake the same frame into SQL.
+    return AreaDefinition(
+        "omerc_track",
+        "+proj=omerc +lat_0=25.0 +lonc=10.0 +alpha=40.0 +gamma=0",
+        width=70, height=40,
+        area_extent=(-3.5e6, -2.0e6, 3.5e6, 2.0e6),
+    )
+
+
+_OMERC_AREA = _omerc_area()
+
+
+@register(
+    "q_regrid_omerc",
+    oracle=(lambda lonlat: _regrid_oracle(_OMERC_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["omerc_frame", "omerc_inv_sql"],
+        ).omerc_inv_sql(
+            "cx", "cy",
+            __import__(
+                "pyresample_spark.functions.geo", fromlist=["omerc_frame"]
+            ).omerc_frame(25.0, 10.0, 40.0),
+        )
+    ),
+)
+def q_regrid_omerc(spark, sf_dir):
+    """Oblique swath-following regrid: an eqc world image onto an
+    omerc-analog track frame (the area family compute_optimal_bb_area
+    fits, reference geometry.py:1019-1040). The frame is rebuilt from
+    the CRS string alone (functions/geo.py omerc_frame), each target
+    (x, y) inverts by rotating the along/cross-track angles back to
+    the sphere — pure column math — and gathers from the eqc source by
+    equi-join. Closes the loop: a fitted optimal-bb area is a
+    first-class regrid target (pytest-verified end-to-end on a fitted
+    area; this query pins the fixed-literal twin under the oracle)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_OMERC_AREA, EQC_AREA, src)
+
+
 # --- q_multiband_resample: (bands, y, x) array-column regrid ---------
 
 _MB_BANDS = 3

@@ -546,3 +546,48 @@ def test_tmerc_utm_roundtrip_and_dispatch(spark):
         )
         assert cm[(lon, lat)].x == pytest.approx(gx, abs=1e-6)
         assert cm[(lon, lat)].y == pytest.approx(gy, abs=1e-6)
+
+
+def test_omerc_fitted_frame_roundtrip_and_regrid(spark):
+    """Closing the optimal-bb loop: the fitted area's CRS string alone
+    (lat_0/lonc/alpha) reconstructs the rotated frame exactly — the
+    registry's omerc forward matches rotated_coords, fwd∘inv is the
+    identity, and the fitted area is directly regriddable."""
+    from pyresample_spark.operators.crs import forward, inverse, regrid_nearest
+    from pyresample_spark.operators.optimal_bb import (
+        compute_optimal_bb_area,
+        rotated_coords,
+    )
+    from pyresample_spark.operators.resample_grid import (
+        eqc_area_world,
+        synth_image,
+    )
+
+    # an oblique synthetic "swath" crossing mid-latitudes
+    pts = [
+        (float(-40 + 2 * i + 0.3 * (i % 5)), float(-10 + 1.1 * i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    area = compute_optimal_bb_area(df, resolution_m=100_000.0)
+    assert "+proj=omerc" in area.crs
+
+    fx, fy = forward(area.crs)("lon", "lat")
+    both = rotated_coords(df, area).select(
+        "lon", "lat", "bb_x", "bb_y", fx.alias("cx"), fy.alias("cy")
+    )
+    ilon, ilat = inverse(area.crs)("cx", "cy")
+    back = both.select(
+        "*", ilon.alias("rlon"), ilat.alias("rlat")
+    ).collect()
+    for r in back:
+        # registry forward (from the CRS string) == fitted-frame op
+        assert r.cx == pytest.approx(r.bb_x, abs=1e-6)
+        assert r.cy == pytest.approx(r.bb_y, abs=1e-6)
+        # fwd∘inv identity
+        assert r.rlon == pytest.approx(r.lon, abs=1e-9)
+        assert r.rlat == pytest.approx(r.lat, abs=1e-9)
+    # the fitted area is a first-class regrid target
+    out = regrid_nearest(area, eqc_area_world(), synth_image(spark, eqc_area_world()))
+    n = out.count()
+    assert n > 0.5 * area.width * area.height  # most pixels land on-globe
