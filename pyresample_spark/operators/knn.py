@@ -97,6 +97,12 @@ def knn_join(
     over N tasks. AQE skew-join usually makes this unnecessary; the
     explicit salt is for single cells exceeding task memory.
 
+    No ``epsilon`` approximation knob (kd_tree.py:86-88,545-548 trades
+    accuracy for tree-descent speed): the cell join has no tree to
+    prune — candidate count is bounded by the 27-cell neighborhood
+    regardless, so the exact join is both stricter and not slower.
+    Deliberately absent rather than unimplemented.
+
     ``packed=True`` (default) ranks candidates via a packed-bigint
     HashAggregate (no per-target sort). The packing requires
     ``0 <= src_id < pack`` (pack ≈ 2^62 / max_dist_mm); this is now
