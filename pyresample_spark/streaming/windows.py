@@ -143,3 +143,24 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple = ("event_id",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion-time twin of the
+    batch ``q_dedup_exact`` (queries/textops.py): keep the FIRST
+    occurrence of each key, where "ever seen" is bounded by the event-
+    time watermark (``dropDuplicatesWithinWatermark``).
+
+    Scale: state = one entry per distinct key inside the watermark
+    horizon — the horizon, not total ingest volume, bounds the state
+    store, which is what makes continuous dedup feasible on a
+    100 TB/day feed (an unbounded ``dropDuplicates`` would grow state
+    forever). Exactly the pattern a training-data ingestion pipeline
+    needs in front of the batch dedup family."""
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

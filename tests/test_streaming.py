@@ -122,3 +122,55 @@ def test_streaming_bucket_average_matches_batch(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 50
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: a re-delivered (duplicated) feed split
+    across micro-batches must come out with every key exactly once —
+    identical to batch distinct-by-key on the same input."""
+    import os
+    import shutil
+
+    from pyresample_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        streaming_dedup,
+    )
+
+    # simulate at-least-once redelivery: the same events file twice,
+    # consumed one file per micro-batch so dedup must work ACROSS
+    # micro-batch boundaries through the state store
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, feed / "a.parquet")
+    shutil.copy(src, feed / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed))
+    )
+    stream = raw.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    deduped = streaming_dedup(stream, key_cols=("event_id",))
+
+    q = (
+        deduped.selectExpr("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM stream_dedup"
+    ).first()
+    n_batch = spark.read.parquet(src).select("event_id").distinct().count()
+    assert got.d == n_batch          # every key survives
+    assert got.n == n_batch          # and exactly once, despite 2× delivery
