@@ -86,6 +86,8 @@ _PRIORITY = [
     "q_proj_utm",
     "q_regrid_utm",
     "q_regrid_omerc",
+    "q_events_sliding",
+    "q_stratified_sample",
     # round-1 driver-unchecked (positions 50..79 in the r1 registry)
     "q_events_session",
     "q_events_late",

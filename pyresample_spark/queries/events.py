@@ -177,3 +177,44 @@ def q_json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
     )
+
+
+@register(
+    "q_events_sliding",
+    oracle=f"""
+    SELECT ((ts_us // {HOUR_US}) - k.k) * {HOUR_US} AS win_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM ({EV_US_SQL}) CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY win_start_us, event_type
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding (hopping) window aggregation — 2 h windows every 1 h,
+    the batch twin of streaming ``window(ts, '2 hours', '1 hour')``.
+    Expressed exactly as Spark's own physical expansion: each event
+    explodes into size/hop = 2 hop-offsets, then one hash aggregation
+    on (win_start, type) — map-side-combined, no window function, no
+    sort. At 100 TB the 2× explode carries three small columns and the
+    partial agg collapses it before the only shuffle (same amplify-
+    then-combine shape as the EWA footprint explode)."""
+    ev = _ev_us(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type", "value", "ts_us",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+        )
+        .groupBy(
+            ((F.expr(f"ts_us div {HOUR_US}") - F.col("k")) * HOUR_US).alias(
+                "win_start_us"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint")).alias(
+                "sum_value_c"
+            ),
+        )
+    )

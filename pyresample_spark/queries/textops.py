@@ -565,3 +565,37 @@ def q_unigram_logprob(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         rnd(F.sum("lp_q") / (1e6 * F.count(F.lit(1))), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE lang WHEN 'en' THEN 15 WHEN 'de' THEN 40
+                       WHEN 'fr' THEN 40 ELSE 75 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM rated
+    WHERE {md5_bigint_sql("CAST(doc_id AS VARCHAR)")} % 100 < rate
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling — the corpus-rebalancing op of
+    a training-data pipeline (downsample the dominant language,
+    upsample the rare ones). Per-stratum keep-rates live in a tiny
+    dimension broadcast onto the scan; the keep decision is a
+    content-stable hash threshold (NOT rand(): reproducible across
+    runs, engines, partitionings — same idiom as q_hash_split). Purely
+    map-side at 100 TB: broadcast join + filter, no shuffle at all."""
+    rates = spark.createDataFrame(
+        [("en", 15), ("de", 40), ("fr", 40)], "lang string, rate int"
+    )
+    d = table(spark, sf_dir, "documents")
+    keyed = d.join(F.broadcast(rates), "lang", "left").withColumn(
+        "rate", F.coalesce(F.col("rate"), F.lit(75))
+    )
+    return keyed.filter(
+        md5_bigint(F.col("doc_id").cast("string")) % 100 < F.col("rate")
+    ).select("doc_id", "lang", "source", F.col("n_chars").cast("bigint"))
