@@ -85,3 +85,48 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit("text/plain").alias("media_type"),
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_bytes long, frame_checksum long"
+)
+
+
+def sample_frames_df(
+    media: DataFrame, every_n: int = 10, frame_size: int = 256
+) -> DataFrame:
+    """Frame-sampling plumbing: each payload emits ONE ROW PER SAMPLED
+    FRAME (1→N through the mapInPandas iterator — the shape a real
+    video decoder needs; :func:`sample_frames` is where ffmpeg/pyav
+    would plug in). The deterministic fake treats the payload as
+    fixed-size byte frames and keeps every ``every_n``-th, so the
+    whole 1→N pipeline — batching, row amplification, per-frame
+    metadata — is verifiable end-to-end by the q_frame_sample oracle.
+
+    Scale: amplification happens executor-side inside Arrow batches
+    (never on the driver); a downstream ``repartition`` can rebalance
+    if per-payload frame counts are skewed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                total = (n + frame_size - 1) // frame_size
+                for f in range(0, total, every_n):
+                    chunk = payload[f * frame_size : (f + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk[:16]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
