@@ -89,6 +89,7 @@ _PRIORITY = [
     "q_events_sliding",
     "q_stratified_sample",
     "q_frame_sample",
+    "q_repetition_ratio",
     # round-1 driver-unchecked (positions 50..79 in the r1 registry)
     "q_events_session",
     "q_events_late",

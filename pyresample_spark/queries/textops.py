@@ -599,3 +599,49 @@ def q_stratified_sample(spark, sf_dir):
     return keyed.filter(
         md5_bigint(F.col("doc_id").cast("string")) % 100 < F.col("rate")
     ).select("doc_id", "lang", "source", F.col("n_chars").cast("bigint"))
+
+
+@register(
+    "q_repetition_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    pw AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) + 0.0
+             AS dup_word_ratio,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) + 0.0
+             AS top_word_frac
+    FROM pw GROUP BY doc_id
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher-rules family the
+    length/stopword features of q_quality_score don't capture):
+    duplicate-word fraction 1 − distinct/total and top-word dominance
+    max(count)/total per document. Two stacked hash aggregations —
+    (doc, word) then doc — both map-side-combinable; with documents
+    hash-partitioned by doc_id the first agg is shuffle-free, so the
+    op costs one scan + one tiny shuffle at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    pw = (
+        d.select("doc_id", F.explode(words_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_words = F.sum("c")
+    n_distinct = F.count(F.lit(1))
+    return pw.groupBy("doc_id").agg(
+        n_words.cast("bigint").alias("n_words"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        rnd(
+            1.0 - n_distinct.cast("double") / n_words.cast("double"), 6
+        ).alias("dup_word_ratio"),
+        rnd(F.max("c").cast("double") / n_words.cast("double"), 6).alias(
+            "top_word_frac"
+        ),
+    )
