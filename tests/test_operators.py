@@ -591,3 +591,35 @@ def test_omerc_fitted_frame_roundtrip_and_regrid(spark):
     out = regrid_nearest(area, eqc_area_world(), synth_image(spark, eqc_area_world()))
     n = out.count()
     assert n > 0.5 * area.width * area.height  # most pixels land on-globe
+
+
+def test_operator_edge_cases_empty_and_degenerate(spark):
+    """Degenerate-input probes: operators must return EMPTY results,
+    never raise, when the geometry yields no matches — the contract
+    that lets 100 TB jobs survive sparse regions without task
+    failures."""
+    from pyresample_spark.operators.bilinear_irregular import (
+        bilinear_irregular,
+    )
+
+    src = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0), (1, 1.0, 0.0, 2.0), (2, 0.0, 1.0, 3.0)],
+        "src_id long, lon double, lat double, value double",
+    )
+    tgt = spark.createDataFrame(
+        [(0, 0.4, 0.4)], "tgt_id long, lon double, lat double"
+    )
+    # radius so small no candidate pairs exist -> empty, not an error
+    tiny = knn_join(src, tgt, radius_m=1.0, k=4)
+    assert tiny.count() == 0
+    # k larger than the candidate count -> all candidates, ranked
+    few = knn_join(src, tgt, radius_m=500_000.0, k=50).collect()
+    assert len(few) == 3
+    assert sorted(r.nn_rank for r in few) == [1, 2, 3]
+    # only 3 quadrant-distinct sources -> no 4-corner quadrilateral ->
+    # bilinear drops the target instead of raising
+    bl = bilinear_irregular(src, tgt, 500_000.0, k=8)
+    assert bl.count() == 0
+    # empty source frame propagates to an empty join
+    empty_src = src.filter(F.col("src_id") < 0)
+    assert knn_join(empty_src, tgt, 500_000.0, k=2).count() == 0
