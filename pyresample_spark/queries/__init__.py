@@ -90,6 +90,7 @@ _PRIORITY = [
     "q_stratified_sample",
     "q_frame_sample",
     "q_repetition_ratio",
+    "q_dedup_canonical",
     # round-1 driver-unchecked (positions 50..79 in the r1 registry)
     "q_events_session",
     "q_events_late",

@@ -210,3 +210,68 @@ def q_ann_lsh(spark, sf_dir):
     return ranked.select(
         "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"), "rank"
     )
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_VD_SQL}),
+    cand AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM d a JOIN d b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) >= 0.4
+    ),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM cand
+      UNION ALL SELECT v2, v1 FROM cand
+      UNION ALL SELECT vec_id, vec_id FROM d
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id, MIN(dst) AS canonical_id,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_kept
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dup REMOVAL over embeddings — the composition a
+    real pipeline runs: label-blocked cosine candidates (≥ 0.4, the
+    q_dedup_embedding pair stage) → distributed connected components →
+    canonical doc per cluster = min vec_id; every vector maps to its
+    canonical representative and ``is_kept`` marks the survivor set.
+    Isolated vectors are their own canonical (self-loop edges). At
+    scale the CC rounds touch only candidate edges (≪ corpus); the
+    survivor filter is then one broadcast-able semi-join."""
+    from pyresample_spark.operators.components import connected_components
+
+    emb = with_norm(_emb(spark, sf_dir))
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("l1"),
+        F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("l2"),
+        F.col("embedding").alias("e2"), F.col("vnorm").alias("n2"),
+    )
+    cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    pairs = (
+        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
+        .filter(cos >= 0.4)
+        .select("v1", "v2")
+    )
+    # self-loops keep isolated vectors as their own cluster
+    all_ids = emb.select(
+        F.col("vec_id").alias("v1"), F.col("vec_id").alias("v2")
+    )
+    labels = connected_components(
+        pairs.union(all_ids), src="v1", dst="v2"
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("canonical_id"),
+        (F.col("id") == F.col("comp")).alias("is_kept"),
+    )
