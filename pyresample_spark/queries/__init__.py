@@ -91,6 +91,11 @@ _PRIORITY = [
     "q_frame_sample",
     "q_repetition_ratio",
     "q_dedup_canonical",
+    "q_decontaminate",
+    "q_tfidf",
+    "q_mix_weights",
+    "q_pii_scrub",
+    "q_vocab_stats",
     # round-1 driver-unchecked (positions 50..79 in the r1 registry)
     "q_events_session",
     "q_events_late",

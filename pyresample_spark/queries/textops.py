@@ -645,3 +645,226 @@ def q_repetition_ratio(spark, sf_dir):
             "top_word_frac"
         ),
     )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
+    SELECT s.doc_id, CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared_ngrams
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 37 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the held-out eval set (here doc_id % 37 == 0; in a
+    real pipeline, the benchmark suite). Production uses 13-grams — the
+    synthetic docs are short, so 3-grams keep the check non-vacuous.
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    KBs against a 100 TB corpus), so its distinct n-gram set is
+    BROADCAST — the training corpus is never shuffled; the only
+    exchange is the per-doc count-distinct over surviving (doc, gram)
+    pairs, a vanishing fraction of the corpus."""
+    from pyresample_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, 3)
+    ev = (
+        sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 37 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, word, tf, df, ROUND(tf * n / df, 6) + 0.0 AS tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf * n / df DESC, word) AS BIGINT) AS rank
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    QUALIFY rank <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·idf. idf is kept
+    as the exact rational tf·N/df (no log): the ranking is identical
+    and the score is a single IEEE division, so both engines compute
+    bit-equal doubles — a log-based idf could flip ranks at the last
+    ulp (FIXTURES.md §4 discipline).
+
+    Scale shape: tf is a (doc, word) hash agg (map-side combinable);
+    df is a word-keyed agg whose result — the vocabulary — is orders of
+    magnitude smaller than the corpus and is BROADCAST back; N is a
+    scalar. The final per-doc top-3 ranks only each doc's own distinct
+    words (bounded by doc length), never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_col()).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = d.count()  # scalar, folded into the plan as a literal
+    score = F.col("tf") * F.lit(n) / F.col("df")
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        tf.join(F.broadcast(dfreq), "word")
+        .withColumn("tfidf", rnd(score, 6))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy(score.desc(), F.col("word")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    return ranked.select("doc_id", "word", "tf", "df", "tfidf", "rank")
+
+
+@register(
+    "q_mix_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source, toks,
+             CAST(ROUND(sqrt(CAST(toks AS DOUBLE)) * 1000000, 0) AS BIGINT) AS r6
+      FROM tok
+    ),
+    t AS (SELECT CAST(SUM(r6) AS BIGINT) AS tot, CAST(SUM(toks) AS BIGINT) AS tot_toks FROM r)
+    SELECT source, toks,
+           ROUND(CAST(toks AS DOUBLE) / tot_toks, 6) + 0.0 AS share_proportional,
+           ROUND(CAST(r6 AS DOUBLE) / tot, 6) + 0.0 AS share_sqrt,
+           CAST(ROUND(1000000000 * CAST(r6 AS DOUBLE) / tot, 0) AS BIGINT) AS epoch_tokens
+    FROM r CROSS JOIN t
+    """,
+)
+def q_mix_weights(spark, sf_dir):
+    """Source-mixing weights for training-data sampling: per-source
+    token totals → proportional share and temperature-flattened share
+    ∝ tokens^0.5 (the standard alpha-sampling that up-weights small
+    sources), plus the per-source token budget of a 1B-token epoch.
+
+    Hash-stability: sqrt is correctly-rounded IEEE so both engines get
+    the same double; it is then fixed-pointed to integer micro-units so
+    the normalizing SUM is order-insensitive; each share is a single
+    integer division. One map-side-combinable agg over the corpus, then
+    arithmetic on a #sources-row table."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    tok = d.groupBy("source").agg(F.sum(ws).cast("bigint").alias("toks"))
+    r = tok.withColumn(
+        "r6",
+        F.round(F.sqrt(F.col("toks").cast("double")) * 1e6, 0).cast("bigint"),
+    )
+    t = r.agg(
+        F.sum("r6").cast("bigint").alias("tot"),
+        F.sum("toks").cast("bigint").alias("tot_toks"),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "source",
+        "toks",
+        rnd(F.col("toks").cast("double") / F.col("tot_toks"), 6).alias(
+            "share_proportional"
+        ),
+        rnd(F.col("r6").cast("double") / F.col("tot"), 6).alias("share_sqrt"),
+        F.round(1e9 * F.col("r6").cast("double") / F.col("tot"), 0)
+        .cast("bigint")
+        .alias("epoch_tokens"),
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'customer', ''))) / 8 AS BIGINT) AS hits_customer,
+           CAST((length(text) - length(replace(text, 'vector', ''))) / 6 AS BIGINT) AS hits_vector,
+           CAST(length(replace(replace(text, 'customer', '<PII>'), 'vector', '<PII>')) AS BIGINT) AS scrubbed_len,
+           (length(text) <> length(replace(replace(text, 'customer', ''), 'vector', ''))) AS was_scrubbed
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII-style scrub: replace every occurrence of target terms with a
+    redaction token, reporting per-document hit counts, scrubbed length,
+    and a was-scrubbed flag. In production the term list is the PII
+    lexicon/regex set (emails, phones, SSNs); the synthetic corpus has
+    no digit runs, so two lexicon words stand in — the plumbing
+    (pure map-side string kernel, no shuffle, no UDF) is identical.
+    Counts are derived from length deltas so the scrub itself is the
+    only string scan."""
+    d = table(spark, sf_dir, "documents")
+    hits = lambda term: (
+        (F.length("text") - F.length(F.regexp_replace("text", term, "")))
+        / len(term)
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", "customer", "<PII>"), "vector", "<PII>"
+    )
+    return d.select(
+        "doc_id",
+        hits("customer").alias("hits_customer"),
+        hits("vector").alias("hits_vector"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        ((hits("customer") + hits("vector")) > 0).alias("was_scrubbed"),
+    )
+
+
+@register(
+    "q_vocab_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tf_total FROM w GROUP BY word),
+    dw AS (SELECT DISTINCT doc_id, word FROM w)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS df, ANY_VALUE(t.tf_total) AS tf_total,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS sample_postings
+    FROM dw JOIN tot t USING (word)
+    GROUP BY word
+    """,
+)
+def q_vocab_stats(spark, sf_dir):
+    """Inverted-index vocabulary statistics: per word, document
+    frequency, total term frequency, and the first 10 postings (sorted
+    doc_ids, comma-joined so the column hash-compares across engines).
+
+    Scale shape: both aggs are word-keyed and map-side combinable; the
+    postings sample is capped so no group buffer grows with corpus
+    size (a full postings list for a stopword would be corpus-sized —
+    real index builds shard postings by (word, doc-range), which is
+    this same agg with a composite key)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_col()).alias("word"))
+    tot = w.groupBy("word").agg(F.count(F.lit(1)).alias("tf_total"))
+    dw = w.distinct()
+    return (
+        dw.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10), ","
+            ).alias("sample_postings"),
+        )
+        .join(tot, "word")
+        .select("word", "df", "tf_total", "sample_postings")
+    )
