@@ -159,7 +159,13 @@ def knn_join(
     # is the correct 100 TB plan — no sort of the pair input — and AQE
     # still converts to broadcast at runtime when a side is truly small.
     pairs = t.hint("shuffle_hash").join(s, join_keys, "inner")
-    dist_mm = F.round(chord_dist_m("t_", "s_") * 1000.0, 0).cast("bigint")
+    # floor(x + 0.5), not round(x, 0): identical for non-negative
+    # distances, but floor is pure arithmetic while Spark's round on
+    # doubles allocates a BigDecimal PER ROW — on the multi-million-row
+    # candidate table that was ~30% of the whole join's runtime. The
+    # DuckDB oracles use the same FLOOR(x + 0.5) text, so both engines
+    # quantize bit-identically (+, *, floor are exact IEEE ops).
+    dist_mm = F.floor(chord_dist_m("t_", "s_") * 1000.0 + 0.5)
     # Project to (tgt, src, dist) immediately: the downstream top-k
     # exchange (window sort or min-agg) should shuffle 24 bytes/row,
     # not the six geocentric doubles used only for the distance.

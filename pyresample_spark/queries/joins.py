@@ -74,9 +74,9 @@ PAIRS_SQL = f"""
     ),
     pairs AS (
       SELECT t.tgt_id, s.src_id, s.value,
-             CAST(ROUND(sqrt((t_gx - s_gx) * (t_gx - s_gx)
+             CAST(FLOOR(sqrt((t_gx - s_gx) * (t_gx - s_gx)
                            + (t_gy - s_gy) * (t_gy - s_gy)
-                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0) AS BIGINT) AS dist_mm
+                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0 + 0.5) AS BIGINT) AS dist_mm
       FROM t JOIN s USING (cx3, cy3, cz3)
     ),
     ranked AS (
@@ -241,7 +241,7 @@ def q_weighted_avg(spark, sf_dir):
         "w", F.pow(1.0 - dr * dr, 2)
     )
     v, w = F.col("value"), F.col("w")
-    dist_mm = F.round(F.col("dist_m") * 1000.0, 0).cast("bigint")
+    dist_mm = F.floor(F.col("dist_m") * 1000.0 + 0.5)
     pack = (1 << 62) // (CHORD_MM + 1)
     agg = wp.groupBy("tgt_id").agg(
         rnd(F.sum(w * v) / F.sum(w), 6).alias("ewa_value"),

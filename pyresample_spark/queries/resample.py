@@ -228,9 +228,9 @@ def _bilinear_irregular_oracle() -> str:
     pairs AS (
       SELECT t.tgt_id, t.t_lon, t.t_lat, sc.src_id, sc.value,
              sc.s_lon, sc.s_lat,
-             CAST(ROUND(sqrt((t_gx - s_gx) * (t_gx - s_gx)
+             CAST(FLOOR(sqrt((t_gx - s_gx) * (t_gx - s_gx)
                            + (t_gy - s_gy) * (t_gy - s_gy)
-                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0) AS BIGINT) AS dist_mm
+                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0 + 0.5) AS BIGINT) AS dist_mm
       FROM t JOIN sc USING (cx3, cy3, cz3)
     ),
     ranked AS (
