@@ -134,10 +134,51 @@ def band_signatures(mh: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
     )
 
 
+def minhash_bands_wide(
+    sh: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, band, sig) via ONE wide aggregation: 16 ``min(h0 ^ Cj)``
+    columns in a single groupBy(doc_id), then band signatures by direct
+    ``concat_ws`` over each band's 4 columns, unpivoted with ``stack``.
+
+    Same output as band_signatures(minhash_signatures(sh)) but without
+    the 16× seed explode and the second (doc, j) aggregation — the
+    shingle table is scanned once and the only shuffle carries one row
+    per document with 16 bigints. At corpus scale that is the difference
+    between shuffling 16·|shingles| rows and |docs| rows."""
+    consts = _seed_constants(n_hashes)
+    wide = (
+        sh.withColumn("h0", md5_bigint(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(f"h0 ^ {c}")).alias(f"mh{j}")
+                for j, c in enumerate(consts)
+            ]
+        )
+    )
+    n_bands = n_hashes // band_size
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(
+            f"cast(mh{b * band_size + k} as string)"
+            for k in range(band_size)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+    )
+
+
 def minhash_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band signature."""
     sh = shingles(docs, n)
-    sigs = band_signatures(minhash_signatures(sh))
+    sigs = minhash_bands_wide(sh)
     a = sigs.select(
         F.col("doc_id").alias("doc1"), "band", "sig"
     )
