@@ -213,6 +213,72 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "q_kmeans_iter",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv) / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    pts AS (
+      SELECT a.centroid_id, CAST(t.i AS INT) AS dim,
+             CAST(FLOOR(d.v[t.i + 1] * 1e6 + 0.5) AS BIGINT) AS val_q
+      FROM d JOIN assign a ON d.vec_id = a.vec_id
+      CROSS JOIN range(64) t(i)
+    )
+    SELECT centroid_id, dim,
+           FLOOR(CAST(SUM(val_q) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 + 0.0 AS mean_val,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM pts GROUP BY centroid_id, dim
+    """,
+)
+def q_kmeans_iter(spark, sf_dir):
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    building block of IVF index training and embedding-space corpus
+    clustering: seed centroids (vec_id % 50) → max-cosine assignment
+    (:func:`ivf_assign`, packed-key hash agg, no window sort) → new
+    centroid = per-dimension member mean. The mean is summed in integer
+    micro-units (``floor(v*1e6 + 0.5)``) so the aggregate is
+    summation-order independent — bit-identical across engines and
+    across partitionings, which is what makes the oracle (and any
+    re-run at different parallelism) exact. At scale: the explode
+    carries (centroid_id, dim, bigint) only and partial-aggregates
+    map-side, so the shuffle is bounded by k·d rows, not N·d."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    pts = (
+        emb.join(assign, "vec_id")
+        .select("centroid_id", F.posexplode("embedding").alias("dim", "val"))
+        .withColumn(
+            "val_q",
+            F.floor(F.col("val").cast("double") * 1e6 + 0.5).cast("bigint"),
+        )
+    )
+    out = pts.groupBy("centroid_id", "dim").agg(
+        F.sum("val_q").alias("s"), F.count(F.lit(1)).alias("n_members")
+    )
+    return out.select(
+        "centroid_id",
+        F.col("dim").cast("int").alias("dim"),
+        (
+            F.floor(
+                F.col("s").cast("double") / F.col("n_members") + 0.5
+            ).cast("double")
+            / 1e6
+        ).alias("mean_val"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
+@register(
     "q_dedup_canonical",
     oracle=f"""
     WITH RECURSIVE d AS ({_VD_SQL}),
