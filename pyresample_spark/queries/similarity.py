@@ -213,6 +213,56 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    probes AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv, vn AS pn
+               FROM d WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT p.probe_id, d.vec_id,
+             list_dot_product(d.v, p.pv) / (d.vn * p.pn) AS cos
+      FROM d CROSS JOIN probes p
+      WHERE d.label != p.plabel
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) + 0.0 AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY ROUND(cos, 9) DESC, vec_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= 3
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: for
+    each probe, the top-3 highest-cosine vectors carrying a DIFFERENT
+    label — the near-miss negatives a trainer pairs with each anchor.
+    Same broadcast-probes × corpus-scan shape as the exact cosine
+    baseline; the label inequality filters inside the scan task, and
+    top-k is the packed-key hash aggregate (no window sort)."""
+    emb = with_norm(_emb(spark, sf_dir))
+    c = emb.select(
+        "vec_id", "label",
+        F.col("embedding").alias("cv"), F.col("vnorm").alias("cn"),
+    )
+    p = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("plabel"),
+        F.col("embedding").alias("pv"),
+        F.col("vnorm").alias("pn"),
+    )
+    cand = c.crossJoin(F.broadcast(p)).filter(
+        F.col("label") != F.col("plabel")
+    )
+    cos = dot(F.col("cv"), F.col("pv")) / (F.col("cn") * F.col("pn"))
+    ranked = topk_by_cosine(
+        cand.withColumn("cos_raw", cos), 3, cos_col="cos_raw"
+    )
+    return ranked.select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"), "rank"
+    )
+
+
+@register(
     "q_kmeans_iter",
     oracle=f"""
     WITH d AS ({_VD_SQL}),
