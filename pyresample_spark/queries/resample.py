@@ -250,7 +250,7 @@ def _bilinear_irregular_oracle() -> str:
                                    ORDER BY dist_mm ASC, src_id ASC) AS qr
       FROM quads WHERE quad IS NOT NULL
     ),
-    corners AS (
+    corners AS MATERIALIZED (
       SELECT tgt_id, MAX(t_lon) AS xx, MAX(t_lat) AS yy,
              MAX(CASE WHEN quad = 1 THEN s_lon END) AS x1,
              MAX(CASE WHEN quad = 1 THEN s_lat END) AS y1,
@@ -270,7 +270,7 @@ def _bilinear_irregular_oracle() -> str:
              MAX(CASE WHEN quad = 4 THEN src_id END) AS id4
       FROM qpick WHERE qr = 1 GROUP BY tgt_id HAVING COUNT(*) = 4
     ),
-    g1 AS (
+    g1 AS MATERIALIZED (
       SELECT *,
              (x3 - x1) * (y4 - y2) - (y3 - y1) * (x4 - x2) AS qa1,
              yy * ((x4 - x2) - (x3 - x1)) - xx * ((y4 - y2) - (y3 - y1))
@@ -284,19 +284,19 @@ def _bilinear_irregular_oracle() -> str:
              yy * (x3 - x1) - xx * (y3 - y1) + x1 * y3 - x3 * y1 AS qc2
       FROM corners
     ),
-    g2 AS (SELECT *, qb1 * qb1 - 4.0 * qa1 * qc1 AS qd1,
+    g2 AS MATERIALIZED (SELECT *, qb1 * qb1 - 4.0 * qa1 * qc1 AS qd1,
                   qb2 * qb2 - 4.0 * qa2 * qc2 AS qd2 FROM g1),
-    g3 AS (
+    g3 AS MATERIALIZED (
       SELECT *, {root('qa1', 'qb1', 'qc1', 'qd1')} AS t_irr,
                 {root('qa2', 'qb2', 'qc2', 'qd2')} AS s_up
       FROM g2
     ),
-    g4 AS (
+    g4 AS MATERIALIZED (
       SELECT *, {lin('t_irr', 'y1', 'y3', 'y2', 'y4')} AS s_irr,
                 {lin('s_up', 'y1', 'y2', 'y3', 'y4')} AS t_up
       FROM g3
     ),
-    g5 AS (
+    g5 AS MATERIALIZED (
       SELECT *,
         CASE WHEN ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) <> 0.0
                   AND (x2 - x1) <> 0.0
@@ -309,7 +309,7 @@ def _bilinear_irregular_oracle() -> str:
         END AS t_par0
       FROM g4
     ),
-    g6 AS (
+    g6 AS MATERIALIZED (
       SELECT *,
         CASE WHEN t_par0 IS NOT NULL
                   AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) >= 0.0
@@ -321,7 +321,7 @@ def _bilinear_irregular_oracle() -> str:
              THEN (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) END AS s_par
       FROM g5
     ),
-    fin AS (
+    fin AS MATERIALIZED (
       SELECT *,
         CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr
              WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up
