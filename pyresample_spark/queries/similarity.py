@@ -213,6 +213,76 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "q_dup_inflation",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_VD_SQL}),
+    cand AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM d a JOIN d b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) >= 0.4
+    ),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM cand
+      UNION ALL SELECT v2, v1 FROM cand
+      UNION ALL SELECT vec_id, vec_id FROM d
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS vec_id, MIN(dst) AS comp FROM reach GROUP BY src),
+    sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_vecs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dup_inflation(spark, sf_dir):
+    """Duplication-inflation histogram — the number a dedup operator
+    actually reports: near-dup clusters (label-blocked cosine ≥ 0.4 →
+    connected components, the q_dedup_canonical composition) bucketed
+    by cluster size. n_vecs/Σ tells what fraction of the corpus is
+    redundant; survivors after dedup = Σ n_clusters. At scale every
+    stage is the already-bounded CC pipeline plus two k-row hash
+    aggs."""
+    from pyresample_spark.operators.components import connected_components
+
+    emb = with_norm(_emb(spark, sf_dir))
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("l1"),
+        F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("l2"),
+        F.col("embedding").alias("e2"), F.col("vnorm").alias("n2"),
+    )
+    cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    pairs = (
+        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
+        .filter(cos >= 0.4)
+        .select("v1", "v2")
+    )
+    all_ids = emb.select(
+        F.col("vec_id").alias("v1"), F.col("vec_id").alias("v2")
+    )
+    labels = connected_components(pairs.union(all_ids), src="v1", dst="v2")
+    sizes = labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_vecs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+    )
+
+
+@register(
     "q_hard_negatives",
     oracle=f"""
     WITH d AS ({_VD_SQL}),
