@@ -568,6 +568,72 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "q_bigram_logprob",
+    oracle="""
+    WITH l AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(wl)),
+                                   i -> wl[i] || ' ' || wl[i + 1])) AS bg
+      FROM l
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS cnt2 FROM b GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cnt1
+           FROM b GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (ROUND(SUM(CAST(ROUND(ln(cnt2 / (1.0 * cnt1)) * 1000000) AS BIGINT))
+                  / (1000000.0 * COUNT(*)), 6) + 0.0) AS avg_logprob
+    FROM b JOIN c2 USING (bg)
+    JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram language-model quality score: per-doc mean
+    ``log P(w_i | w_{i-1})`` with conditional probabilities estimated
+    from the corpus itself (c(w1 w2) / c(w1·) over bigram prefixes) —
+    the conditional-LM step beyond :func:`q_unigram_logprob` in a
+    perplexity-filter ladder. Bigrams are built in-row with
+    ``zip_with(slice, slice)`` (no positional self-join); the two count
+    tables broadcast back onto the bigram stream; per-bigram logprobs
+    are 1e-6-quantized and integer-summed so the mean is
+    order-independent across engines and partitionings."""
+    d = table(spark, sf_dir, "documents")
+    wl = words_col()
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(wl, 1, F.greatest(F.size(wl) - 1, F.lit(0))),
+                F.slice(wl, 2, F.greatest(F.size(wl) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = (
+        bg.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    scored = (
+        bg.join(F.broadcast(c2), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c1), "w1")
+        .withColumn(
+            "lp_q",
+            F.round(F.log(F.col("cnt2") / (1.0 * F.col("cnt1"))) * 1e6, 0)
+            .cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(F.sum("lp_q") / (1e6 * F.count(F.lit(1))), 6).alias("avg_logprob"),
+    )
+
+
+@register(
     "q_stratified_sample",
     oracle=f"""
     WITH rated AS (
