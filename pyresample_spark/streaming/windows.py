@@ -145,6 +145,56 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def streaming_cosine_topk(
+    probe_stream: DataFrame, corpus: DataFrame, k: int = 10
+) -> DataFrame:
+    """Stream-static similarity scoring: each arriving probe vector is
+    scored against the STATIC corpus (the broadcast side of a
+    stream-static join) and its exact top-k neighbours are emitted —
+    the online twin of the batch ``q_cosine_topk`` and the shape of a
+    production retrieval/online-dedup front end (query stream × frozen
+    index snapshot).
+
+    Scale: stateless between micro-batches — every probe completes
+    within its own batch, so there is no state store growth at all; the
+    corpus rides the broadcast (swap in the IVF/LSH bucketed variants
+    for corpora beyond broadcast size). Top-k per probe is the same
+    packed-key hash aggregate as batch (no window sort), legal in
+    ``update`` output mode."""
+    from pyresample_spark.operators.similarity import (
+        dot,
+        topk_by_cosine,
+        with_norm,
+    )
+
+    c = with_norm(corpus).select(
+        F.col("vec_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    p = with_norm(probe_stream).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_vec"),
+        F.col("vnorm").alias("p_norm"),
+    )
+    pairs = p.join(F.broadcast(c), F.col("vec_id") != F.col("probe_id"))
+    cos = dot(F.col("c_vec"), F.col("p_vec")) / (
+        F.col("c_norm") * F.col("p_norm")
+    )
+    return topk_by_cosine(
+        pairs.withColumn("cos_raw", cos), k, cos_col="cos_raw"
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: tuple = ("event_id",),

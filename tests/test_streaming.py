@@ -174,3 +174,55 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     n_batch = spark.read.parquet(src).select("event_id").distinct().count()
     assert got.d == n_batch          # every key survives
     assert got.n == n_batch          # and exactly once, despite 2× delivery
+
+
+def test_streaming_cosine_topk_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static similarity: probes arriving across two
+    micro-batches against a static corpus must produce exactly the
+    batch cosine_topk result for the same probe set."""
+    import os
+
+    from pyresample_spark.operators.similarity import cosine_topk
+    from pyresample_spark.streaming.windows import (
+        EMBEDDINGS_SCHEMA,
+        streaming_cosine_topk,
+    )
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = corpus.filter(F.col("vec_id") % 100 == 0)
+    # two micro-batches: split the probe set by parity
+    feed = tmp_path / "probes"
+    feed.mkdir()
+    probes.filter((F.col("vec_id") / 100 % 2) == 0).write.parquet(
+        str(feed / "a")
+    )
+    probes.filter((F.col("vec_id") / 100 % 2) == 1).write.parquet(
+        str(feed / "b")
+    )
+
+    pstream = (
+        spark.readStream.format("parquet")
+        .schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed) + "/*")
+    )
+    out = streaming_cosine_topk(pstream, corpus, k=5)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_topk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.cos_raw, 9))
+        for r in spark.sql("SELECT * FROM stream_topk").collect()
+    }
+    want = {
+        (r.probe_id, r.rank): (r.vec_id, round(r.cos, 9))
+        for r in cosine_topk(corpus, probes, k=5).collect()
+    }
+    assert got == want
