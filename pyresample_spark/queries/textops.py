@@ -9,6 +9,7 @@ from pyresample_spark.operators.dedup import (
     md5_bigint,
     md5_bigint_sql,
     minhash_candidates,
+    shingles,
     shingles_sql,
     simhash,
     simhash_sql,
@@ -564,6 +565,58 @@ def q_unigram_logprob(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         rnd(F.sum("lp_q") / (1e6 * F.count(F.lit(1))), 6).alias("avg_logprob"),
+    )
+
+
+@register(
+    "q_dup_span",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {md5_bigint_sql('shingle')} AS h
+      FROM ({shingles_sql(5)})
+    ),
+    c AS (SELECT h, COUNT(*) AS cnt FROM sh GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_shingles,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_shingles,
+           (ROUND(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+                  / (1.0 * COUNT(*)), 6) + 0.0) AS dup_fraction
+    FROM sh JOIN c USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_dup_span(spark, sf_dir):
+    """Cross-document duplicated-span fraction — the token-level
+    approximation of exact-substring dedup (Lee et al. suffix-array
+    style): fraction of each doc's 5-gram shingles that occur ≥2 times
+    in the whole corpus. Complements q_repetition_ratio (intra-doc) —
+    this one catches boilerplate shared ACROSS documents. Shingles are
+    md5-hashed before the count join, so both shuffles carry 8-byte
+    keys, never the n-gram strings (at 100 TB the string shuffle is
+    the cost; the hash collision rate at 60 bits is negligible for
+    counting)."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, 5).select(
+        "doc_id", md5_bigint(F.col("shingle")).alias("h")
+    )
+    c = sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.when(F.col("cnt") >= 2, 1).otherwise(0)
+    return (
+        sh.join(c, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum(dup).cast("long").alias("dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "total_shingles",
+            "dup_shingles",
+            rnd(
+                F.col("dup_shingles") / (1.0 * F.col("total_shingles")), 6
+            ).alias("dup_fraction"),
+        )
     )
 
 
