@@ -569,6 +569,96 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "q_curation_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+      FROM documents
+    ),
+    filt AS (
+      SELECT * FROM base
+      WHERE lang = 'en' AND doc_id % 37 <> 0
+        AND n_words >= 10 AND length(text) >= 120
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY sha256(text)
+    ),
+    kept AS (SELECT f.* FROM filt f JOIN survivors USING (doc_id)),
+    sh_kept AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(ws) - 2),
+                    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM kept)
+      WHERE len(ws) >= 3
+    ),
+    ev AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(0, len(ws) - 2),
+                    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 37 = 0)
+      WHERE len(ws) >= 3
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh_kept s JOIN ev USING (shingle)
+    ),
+    final AS (
+      SELECT k.* FROM kept k LEFT JOIN contaminated c USING (doc_id)
+      WHERE c.doc_id IS NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM final GROUP BY source
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually ships, as ONE declarative plan: language filter →
+    quality gate (min words, min length) → exact-dedup survivors (min
+    doc_id per content hash) → benchmark decontamination (anti-join on
+    shared 3-grams with the held-out set) → per-source yield report
+    (docs and tokens kept). Every stage is a previously-oracled
+    operator; composing them costs no new shuffle classes: content
+    hashes shuffle as 8-byte keys, the eval n-gram set broadcasts, and
+    the final report is one k-row hash agg. Catalyst pipelines the
+    filters into the scan."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.length(text) - F.length(F.regexp_replace("text", " ", "")) + 1
+    filt = (
+        d.withColumn("n_words", n_words)
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("doc_id") % 37 != 0)
+            & (F.col("n_words") >= 10)
+            & (F.length(text) >= 120)
+        )
+    )
+    survivors = filt.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kept = filt.join(survivors, "doc_id")
+    sh_kept = shingles(kept, 3).select("doc_id", "shingle")
+    ev = (
+        shingles(d.filter(F.col("doc_id") % 37 == 0), 3)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        sh_kept.join(F.broadcast(ev), "shingle").select("doc_id").distinct()
+    )
+    final = kept.join(contaminated, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
     "q_dup_span",
     oracle=f"""
     WITH sh AS (
