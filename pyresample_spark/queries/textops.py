@@ -641,7 +641,10 @@ def q_curation_pipeline(spark, sf_dir):
     survivors = filt.groupBy(F.sha2("text", 256).alias("_h")).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    kept = filt.join(survivors, "doc_id")
+    # shuffle_hash: both sides derive from the same scan and survivors
+    # is ~corpus-sized at scale (one row per distinct content), so
+    # neither broadcasts — but nothing needs a sort either
+    kept = filt.join(survivors.hint("shuffle_hash"), "doc_id")
     sh_kept = shingles(kept, 3).select("doc_id", "shingle")
     ev = (
         shingles(d.filter(F.col("doc_id") % 37 == 0), 3)
@@ -651,7 +654,9 @@ def q_curation_pipeline(spark, sf_dir):
     contaminated = (
         sh_kept.join(F.broadcast(ev), "shingle").select("doc_id").distinct()
     )
-    final = kept.join(contaminated, "doc_id", "left_anti")
+    final = kept.join(
+        contaminated.hint("shuffle_hash"), "doc_id", "left_anti"
+    )
     return final.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_tokens"),
