@@ -569,6 +569,87 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "q_bm25",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    q AS (SELECT DISTINCT word FROM w WHERE doc_id = 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+    ad AS (SELECT SUM(dl) / (1.0 * COUNT(*)) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w JOIN q USING (word) GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w GROUP BY 1
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               * 1000000 + 0.5) AS BIGINT) AS c_q
+      FROM tf t JOIN dfreq USING (word)
+      JOIN dl ON dl.doc_id = t.doc_id
+      CROSS JOIN stats CROSS JOIN ad
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           (CAST(SUM(c_q) AS DOUBLE) / 1000000.0) + 0.0 AS bm25
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    deterministic query term set (doc 1's vocabulary) — the lexical
+    retrieval rung between raw tf·idf and the embedding scorers, and
+    the standard relevance filter for targeted corpus selection.
+    Per-(doc, term) contributions are 1e-6 floor(x+0.5)-quantized and
+    integer-summed so the document score is summation-order independent
+    across engines and partitionings. Scale shape: the query vocabulary
+    broadcasts (it's a query, not a corpus), df/idf is the broadcast
+    vocabulary agg of q_tfidf, doc lengths are a map-side count, and
+    the score is one hash agg over (doc, hit-term) rows — the corpus
+    token stream is filtered to query hits inside its scan task."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_col()).alias("word"))
+    q = w.filter(F.col("doc_id") == 1).select("word").distinct()
+    n_docs = d.count()
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = w.count()
+    avgdl = tot / n_docs  # IEEE double, identical to SQL SUM/COUNT
+    tf = (
+        w.join(F.broadcast(q), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    norm_tf = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .withColumn(
+            "c_q",
+            F.floor(idf * norm_tf * 1e6 + 0.5).cast("bigint"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        (F.sum("c_q").cast("double") / 1e6).alias("bm25"),
+    )
+
+
+@register(
     "q_curation_pipeline",
     oracle="""
     WITH base AS (
