@@ -165,6 +165,97 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "q_ann_ivf_probe2",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv) / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv, vn AS pn FROM d WHERE vec_id % 100 = 0),
+    ptop AS (
+      SELECT probe_id, centroid_id FROM (
+        SELECT p.probe_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_dot_product(p.pv, cen.cv) / (p.pn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM p CROSS JOIN cen
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.probe_id, d.vec_id,
+             list_dot_product(d.v, p.pv) / (d.vn * p.pn) AS cos
+      FROM p JOIN ptop USING (probe_id)
+      JOIN assign a ON a.centroid_id = ptop.centroid_id
+      JOIN d ON d.vec_id = a.vec_id
+      WHERE d.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) + 0.0 AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY ROUND(cos, 9) DESC, vec_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_probe2(spark, sf_dir):
+    """Multiprobe IVF (nprobe=2): each query searches its TWO
+    nearest centroids' clusters instead of one — the standard IVF
+    recall knob (recall rises with nprobe, cost stays
+    nprobe/k_clusters of the corpus). Probe→centroid top-2 is the
+    packed-key hash agg (:func:`topk_by_cosine` over the broadcast
+    centroid table); corpus assignment stays top-1, so the two probed
+    clusters are disjoint and no candidate dedup is needed."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    embn = with_norm(emb)
+    probes = embn.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("vnorm").alias("pn"),
+    )
+    cen = with_norm(centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("vnorm").alias("cvn"),
+    )
+    pc = probes.crossJoin(F.broadcast(cen))
+    cos_pc = dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cvn"))
+    ptop = topk_by_cosine(
+        pc.withColumn("cos_pc", cos_pc),
+        2,
+        group_col="probe_id",
+        id_col="centroid_id",
+        cos_col="cos_pc",
+    ).select("probe_id", "centroid_id")
+    probe_side = ptop.join(probes, "probe_id")
+    cluster = embn.select("vec_id", "embedding", "vnorm").join(
+        assign, "vec_id"
+    )
+    cand = cluster.join(F.broadcast(probe_side), "centroid_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = dot(F.col("embedding"), F.col("pv")) / (
+        F.col("vnorm") * F.col("pn")
+    )
+    ranked = topk_by_cosine(
+        cand.withColumn("cos_raw", cos), 5, cos_col="cos_raw"
+    )
+    return ranked.select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"), "rank"
+    )
+
+
+@register(
     "q_ann_lsh",
     oracle=f"""
     WITH d AS (
