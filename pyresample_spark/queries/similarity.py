@@ -304,6 +304,108 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, vn AS pn FROM d WHERE vec_id % 100 = 0),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_dot_product(c.v, p.pv) / (c.vn * p.pn), 9) DESC,
+                          c.vec_id ASC) AS rank
+        FROM d c CROSS JOIN probes p
+        WHERE c.vec_id != p.probe_id
+      ) WHERE rank <= 5
+    ),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv) / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, d.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_dot_product(d.v, p.pv) / (d.vn * p.pn), 9) DESC,
+                          d.vec_id ASC) AS rank
+        FROM probes p
+        JOIN assign pa ON pa.vec_id = p.probe_id
+        JOIN assign a ON a.centroid_id = pa.centroid_id
+        JOIN d ON d.vec_id = a.vec_id
+        WHERE d.vec_id != p.probe_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           (ROUND(COUNT(a.vec_id) / (1.0 * COUNT(*)), 6) + 0.0) AS recall
+    FROM exact e
+    LEFT JOIN approx a USING (probe_id, vec_id)
+    GROUP BY e.probe_id
+    """,
+)
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF index against the exact scorer, per probe —
+    the approximation-quality diagnostic an ANN deployment monitors
+    (and the acceptance test for any nprobe/centroid-count change).
+    Both sides are the already-verified building blocks; the recall
+    join touches only 2·k rows per probe."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, probes, k=5).select("probe_id", "vec_id")
+
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
+    p = (
+        embn.join(assign, "vec_id")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pv"),
+            F.col("vnorm").alias("pn"),
+            "centroid_id",
+        )
+    )
+    cluster = embn.join(assign, "vec_id")
+    cand = cluster.join(F.broadcast(p), "centroid_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = dot(F.col("embedding"), F.col("pv")) / (
+        F.col("vnorm") * F.col("pn")
+    )
+    approx = topk_by_cosine(
+        cand.withColumn("cos_raw", cos), 5, cos_col="cos_raw"
+    ).select("probe_id", "vec_id", F.lit(1).alias("hit"))
+
+    return (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "probe_id",
+            "n_exact",
+            "n_hit",
+            rnd(F.col("n_hit") / (1.0 * F.col("n_exact")), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@register(
     "q_dup_inflation",
     oracle=f"""
     WITH RECURSIVE d AS ({_VD_SQL}),
