@@ -218,3 +218,86 @@ def q_events_sliding(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+    WITH ev AS ({EV_US_SQL}),
+    v AS (SELECT user_id, MIN(ts_us) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(ts_us) AS t_click
+          FROM ev e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts_us > t_view
+            AND ts_us <= t_view + {HOUR_US} GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(ts_us) AS t_purchase
+          FROM ev e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts_us > t_click
+            AND ts_us <= t_click + {HOUR_US} GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM ev),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM u
+      LEFT JOIN v USING (user_id)
+      LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY stage
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Strict-order conversion funnel (view → click → purchase): the
+    first click must follow the user's first view within a 1 h
+    attribution window, and the first purchase must follow that click
+    within 1 h — the sessionized product-analytics
+    staple that a loose min-per-type comparison gets wrong. Three
+    user-keyed aggregations re-use one shuffle partitioning (Catalyst
+    reuses the user_id exchange); every value is an integer epoch-µs or
+    a count, so the result is exactly deterministic."""
+    ev = _ev_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") > F.col("t_view"))
+            & (F.col("ts_us") <= F.col("t_view") + HOUR_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t_click"))
+            & (F.col("ts_us") <= F.col("t_click") + HOUR_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    u = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    staged = (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.alias("stage"))
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
