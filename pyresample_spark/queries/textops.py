@@ -1163,3 +1163,41 @@ def q_vocab_stats(spark, sf_dir):
         .join(tot, "word")
         .select("word", "df", "tf_total", "sample_postings")
     )
+
+
+@register(
+    "q_token_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(FLOOR(ln(n_tokens) / ln(2)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY log2_bucket
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Document-length distribution in power-of-two buckets — the
+    planning input for sequence packing and curriculum phases (how many
+    docs and tokens land in each length class). One map-side-combined
+    hash agg over a pure column expression; the bucket key is
+    ``floor(log2(n_tokens))`` computed as ln/ln(2) identically in both
+    engines (n_tokens ≥ 1 always: split('') yields one token)."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = (
+        F.length(text) - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    t = d.select(n_tokens.alias("n_tokens"))
+    bucket = F.floor(F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0)))
+    return t.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
