@@ -654,3 +654,93 @@ def q_dedup_canonical(spark, sf_dir):
         F.col("comp").alias("canonical_id"),
         (F.col("id") == F.col("comp")).alias("is_kept"),
     )
+
+
+@register(
+    "q_embedding_stats",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    persq AS (
+      SELECT label,
+             CAST(FLOOR(list_dot_product(v, v) * 1e6 + 0.5) AS BIGINT) AS sq_q
+      FROM d
+    ),
+    a AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(sq_q) AS DOUBLE) / COUNT(*) / 1e6 AS mean_sq_norm
+      FROM persq GROUP BY label
+    ),
+    dims AS (
+      SELECT label, CAST(t.i AS INT) AS dim,
+             CAST(SUM(CAST(FLOOR(d.v[t.i + 1] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS s_qd,
+             COUNT(*) AS n
+      FROM d CROSS JOIN range(64) t(i)
+      GROUP BY label, dim
+    ),
+    cen AS (
+      SELECT label,
+             CAST(SUM(CAST(FLOOR(
+               (s_qd / (n * 1e6)) * (s_qd / (n * 1e6)) * 1e6 + 0.5)
+               AS BIGINT)) AS DOUBLE) / 1e6 AS centroid_sq_norm
+      FROM dims GROUP BY label
+    )
+    SELECT a.label, a.n_vecs,
+           ROUND(a.mean_sq_norm, 6) + 0.0 AS mean_sq_norm,
+           ROUND(cen.centroid_sq_norm, 6) + 0.0 AS centroid_sq_norm,
+           ROUND(a.mean_sq_norm - cen.centroid_sq_norm, 6) + 0.0 AS dispersion
+    FROM a JOIN cen USING (label)
+    """,
+)
+def q_embedding_stats(spark, sf_dir):
+    """Per-label embedding-space health metrics — the monitoring query
+    an embedding pipeline runs after every model or corpus change:
+    cluster size, mean squared norm, squared centroid norm, and
+    dispersion = E|x|² − |E x|² (the variance identity, so dispersion
+    needs no second pass over pairs). Every aggregate is quantized to
+    integer micro-units before summation (floor(x·1e6 + 0.5)), so all
+    three statistics are bit-identical across engines and
+    partitionings. Scale: one scan feeding two hash aggs — per-label
+    (k rows) and per-(label, dim) (k·d rows) — both map-side
+    combinable."""
+    emb = _emb(spark, sf_dir)
+    sq = dot(F.col("embedding"), F.col("embedding"))
+    persq = emb.select(
+        "label", F.floor(sq * 1e6 + 0.5).cast("bigint").alias("sq_q")
+    )
+    a = persq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("sq_q").cast("double") / F.count(F.lit(1)) / 1e6).alias(
+            "mean_sq_norm"
+        ),
+    )
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .withColumn(
+            "val_q",
+            F.floor(F.col("val").cast("double") * 1e6 + 0.5).cast("bigint"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("val_q").cast("double").alias("s_qd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mean_d = F.col("s_qd") / (F.col("n") * 1e6)
+    cen = (
+        dims.withColumn(
+            "c_q",
+            F.floor(mean_d * mean_d * 1e6 + 0.5).cast("bigint"),
+        )
+        .groupBy("label")
+        .agg((F.sum("c_q").cast("double") / 1e6).alias("centroid_sq_norm"))
+    )
+    return a.join(cen, "label").select(
+        "label",
+        "n_vecs",
+        rnd(F.col("mean_sq_norm"), 6).alias("mean_sq_norm"),
+        rnd(F.col("centroid_sq_norm"), 6).alias("centroid_sq_norm"),
+        rnd(F.col("mean_sq_norm") - F.col("centroid_sq_norm"), 6).alias(
+            "dispersion"
+        ),
+    )
