@@ -320,6 +320,36 @@ def merc_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Sinusoidal (+proj=sinu — the MODIS L3 tiling grid) ---------------
+# Snyder eqs. 30-1/30-2 (spherical): x = R·radians(lon−lon_0)·cos(lat),
+# y = R·radians(lat); equal-area, pseudocylindrical.
+
+def sinu_xy(lon, lat, lon_0: float = 0.0, radius: float = R_EARTH):
+    latr = F.radians(_c(lat))
+    return (
+        radius * F.radians(_c(lon) - F.lit(lon_0)) * F.cos(latr),
+        radius * latr,
+    )
+
+
+def sinu_inverse(x, y, lon_0: float = 0.0, radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns — Snyder 30-5/30-6 spherical."""
+    xs, ys = _c(x), _c(y)
+    lat = F.degrees(ys / radius)
+    lon = F.degrees(xs / (radius * F.cos(ys / F.lit(radius)))) + F.lit(lon_0)
+    return wrap_longitude(lon), lat
+
+
+def sinu_inv_sql(x: str, y: str, lon_0: float = 0.0,
+                 radius: float = R_EARTH) -> tuple:
+    lat = f"(degrees(({y}) / {radius!r}))"
+    lon = (
+        f"((((degrees(({x}) / ({radius!r} * cos(({y}) / {radius!r})))"
+        f" + {lon_0!r}) + 540.0) % 360.0) - 180.0)"
+    )
+    return lon, lat
+
+
 # --- Transverse Mercator (spherical, +proj=tmerc / +proj=utm) ---------
 # Snyder eqs. 8-5..8-8. UTM zone z ⇒ tmerc with lon_0 = 6z − 183,
 # k = 0.9996, x_0 = 500 km (+ y_0 = 10 000 km when +south). The

@@ -49,6 +49,8 @@ from pyresample_spark.functions.geo import (
     omerc_frame,
     omerc_inverse,
     omerc_xy,
+    sinu_inverse,
+    sinu_xy,
     stere_polar_inverse,
     stere_polar_x,
     stere_polar_y,
@@ -96,6 +98,8 @@ def _family(crs: str) -> str:
         return "lcc"
     if proj == "geos":
         return "geos"
+    if proj == "sinu":
+        return "sinu"
     if proj in ("tmerc", "utm"):
         return "tmerc"
     if proj == "omerc":
@@ -162,6 +166,9 @@ def forward(crs: str):
             lcc_x(lon, lat, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0),
             lcc_y(lon, lat, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0),
         )
+    if fam == "sinu":
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: sinu_xy(lon, lat, lon_0=lon_0)
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: tmerc_xy(lon, lat, **kw)
@@ -213,6 +220,9 @@ def inverse(crs: str):
         return lambda x, y: lcc_inverse(
             x, y, lat_0=lat0, lat_1=lat1, lat_2=lat2, lon_0=lon_0
         )
+    if fam == "sinu":
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: sinu_inverse(x, y, lon_0=lon_0)
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda x, y: tmerc_inverse(x, y, **kw)
@@ -282,6 +292,18 @@ def inverse_scalar(crs: str):
         return lambda x, y: (x, y)
     if fam == "eqc":
         return lambda x, y: (math.degrees(x / R), math.degrees(y / R))
+    if fam == "sinu":
+        lon_0 = float(p.get("lon_0", "0"))
+
+        def _sinu_inv(x, y):
+            latr = y / R
+            c = math.cos(latr)
+            if c == 0.0:
+                return None
+            lon = lon_0 + math.degrees(x / (R * c))
+            return ((lon + 540.0) % 360.0) - 180.0, math.degrees(latr)
+
+        return _sinu_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

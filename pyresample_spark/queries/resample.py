@@ -726,6 +726,46 @@ def _lcc_area():
 _LCC_AREA = _lcc_area()
 
 
+def _sinu_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # MODIS-L3-style sinusoidal mid-latitude window (the MODIS land
+    # grid is +proj=sinu on a sphere; tiles are 1111950.5 m squares).
+    # Mid-latitudes keep cos(lat) well away from 0 (no pole edge).
+    return AreaDefinition(
+        "sinu_midlat",
+        "+proj=sinu +lon_0=0",
+        width=60, height=50,
+        area_extent=(-2.0e6, 3.0e6, 2.0e6, 6.0e6),
+    )
+
+
+_SINU_AREA = _sinu_area()
+
+
+@register(
+    "q_regrid_sinu",
+    oracle=(lambda lonlat: _regrid_oracle(_SINU_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["sinu_inv_sql"]
+        ).sinu_inv_sql("cx", "cy", lon_0=0.0)
+    ),
+)
+def q_regrid_sinu(spark, sf_dir):
+    """Sinusoidal (MODIS L3 grid) regrid WITHOUT pyproj: an eqc world
+    image onto a mid-latitude sinusoidal window. Snyder 30-1..30-6
+    spherical forward/inverse as pure column math through the analytic
+    registry (operators/crs.py '+proj=sinu'); same generalized
+    linesample plan — inverse∘forward + one equi-join, fully codegen'd.
+    Reference parity: pyresample reads MODIS sinusoidal areas through
+    pyproj (utils/proj4.py:108-165); here the family is closed-form."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_SINU_AREA, EQC_AREA, src)
+
+
 @register(
     "q_regrid_lcc",
     oracle=(lambda lonlat: _regrid_oracle(_LCC_AREA, lonlat))(
