@@ -320,6 +320,50 @@ def merc_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Cylindrical equal-area (+proj=cea — EASE-Grid 2.0) ---------------
+# Snyder eqs. 10-1/10-2 (spherical): x = R·radians(lon−lon_0)·cos(lat_ts),
+# y = R·sin(lat)/cos(lat_ts). EASE-2 global grids use lat_ts=30.
+
+def cea_xy(lon, lat, lat_ts: float = 0.0, lon_0: float = 0.0,
+           radius: float = R_EARTH):
+    import math as _m
+
+    k0 = _m.cos(_m.radians(lat_ts))
+    return (
+        radius * k0 * F.radians(_c(lon) - F.lit(lon_0)),
+        radius * F.sin(F.radians(_c(lat))) / k0,
+    )
+
+
+def cea_inverse(x, y, lat_ts: float = 0.0, lon_0: float = 0.0,
+                radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns — Snyder 10-6/10-7 spherical."""
+    import math as _m
+
+    k0 = _m.cos(_m.radians(lat_ts))
+    xs, ys = _c(x), _c(y)
+    lat = F.degrees(F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+                                      ys * k0 / radius))))
+    lon = F.degrees(xs / (radius * k0)) + F.lit(lon_0)
+    return wrap_longitude(lon), lat
+
+
+def cea_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
+                radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    k0 = _m.cos(_m.radians(lat_ts))
+    # constants pre-multiplied in Python: DuckDB parses literal*literal
+    # as DECIMAL and overflows before the cast (same as merc_sql)
+    k0_over_r = k0 / radius
+    rk = radius * k0
+    lat = (f"(degrees(asin(greatest(-1.0, least(1.0,"
+           f" ({y}) * {k0_over_r!r})))))")
+    lon = (f"((((degrees(({x}) / {rk!r})"
+           f" + {lon_0!r}) + 540.0) % 360.0) - 180.0)")
+    return lon, lat
+
+
 # --- Sinusoidal (+proj=sinu — the MODIS L3 tiling grid) ---------------
 # Snyder eqs. 30-1/30-2 (spherical): x = R·radians(lon−lon_0)·cos(lat),
 # y = R·radians(lat); equal-area, pseudocylindrical.

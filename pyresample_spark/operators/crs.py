@@ -49,6 +49,8 @@ from pyresample_spark.functions.geo import (
     omerc_frame,
     omerc_inverse,
     omerc_xy,
+    cea_inverse,
+    cea_xy,
     sinu_inverse,
     sinu_xy,
     stere_polar_inverse,
@@ -100,6 +102,8 @@ def _family(crs: str) -> str:
         return "geos"
     if proj == "sinu":
         return "sinu"
+    if proj == "cea":
+        return "cea"
     if proj in ("tmerc", "utm"):
         return "tmerc"
     if proj == "omerc":
@@ -169,6 +173,10 @@ def forward(crs: str):
     if fam == "sinu":
         lon_0 = float(p.get("lon_0", "0"))
         return lambda lon, lat: sinu_xy(lon, lat, lon_0=lon_0)
+    if fam == "cea":
+        lat_ts = float(p.get("lat_ts", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: cea_xy(lon, lat, lat_ts=lat_ts, lon_0=lon_0)
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: tmerc_xy(lon, lat, **kw)
@@ -223,6 +231,10 @@ def inverse(crs: str):
     if fam == "sinu":
         lon_0 = float(p.get("lon_0", "0"))
         return lambda x, y: sinu_inverse(x, y, lon_0=lon_0)
+    if fam == "cea":
+        lat_ts = float(p.get("lat_ts", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: cea_inverse(x, y, lat_ts=lat_ts, lon_0=lon_0)
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda x, y: tmerc_inverse(x, y, **kw)
@@ -304,6 +316,19 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, math.degrees(latr)
 
         return _sinu_inv
+    if fam == "cea":
+        lat_ts = float(p.get("lat_ts", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        k0 = math.cos(math.radians(lat_ts))
+
+        def _cea_inv(x, y):
+            lat = math.degrees(
+                math.asin(max(-1.0, min(1.0, y * k0 / R)))
+            )
+            lon = lon_0 + math.degrees(x / (R * k0))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _cea_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

@@ -726,6 +726,44 @@ def _lcc_area():
 _LCC_AREA = _lcc_area()
 
 
+def _cea_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # EASE-Grid-2.0-style global cylindrical equal-area (+proj=cea
+    # +lat_ts=30 — the EASE2 M-grid projection), mid/low-latitude window.
+    return AreaDefinition(
+        "cea_ease2",
+        "+proj=cea +lat_ts=30 +lon_0=0",
+        width=60, height=50,
+        area_extent=(-3.0e6, -2.5e6, 3.0e6, 2.5e6),
+    )
+
+
+_CEA_AREA = _cea_area()
+
+
+@register(
+    "q_regrid_cea",
+    oracle=(lambda lonlat: _regrid_oracle(_CEA_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["cea_inv_sql"]
+        ).cea_inv_sql("cx", "cy", lat_ts=30.0, lon_0=0.0)
+    ),
+)
+def q_regrid_cea(spark, sf_dir):
+    """Cylindrical equal-area (EASE-Grid 2.0) regrid WITHOUT pyproj:
+    an eqc world image onto an EASE2-M-style cea window (lat_ts=30).
+    Snyder 10-1..10-7 spherical forward/inverse as pure column math
+    (operators/crs.py '+proj=cea'); same generalized linesample plan.
+    Reference parity: the reference's EASE areas go through pyproj
+    (areas.cfg ease_* fixtures, utils/proj4.py); here closed-form."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_CEA_AREA, EQC_AREA, src)
+
+
 def _sinu_area():
     from pyresample_spark.geometry import AreaDefinition
 
