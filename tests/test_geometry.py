@@ -387,3 +387,75 @@ def test_geos_boundary_clip():
         "off", "+proj=geos +h=35785831", 10, 10, (6.0e6, 6.0e6, 7.0e6, 7.0e6)
     )
     assert geos_boundary_proj(off, 50) == []
+
+
+def test_sinu_cea_forward_inverse_and_invariants(spark):
+    """Sinusoidal + cylindrical equal-area: forward∘inverse identity,
+    plus INDEPENDENT invariants that oracle parity can't check (the
+    oracle mirrors the same formulas): east/north sign conventions,
+    the equal-area Jacobian |∂(x,y)/∂(λ,φ)| = R²·cosφ (finite
+    difference), and closed values from the defining geometry."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import (
+        R_EARTH,
+        cea_inverse,
+        cea_xy,
+        sinu_inverse,
+        sinu_xy,
+    )
+
+    pts = spark.createDataFrame(
+        [(float(lon), float(lat)) for lon in range(-150, 151, 30)
+         for lat in range(-75, 76, 15)],
+        "lon double, lat double",
+    )
+
+    for fwd, inv, kw in (
+        (sinu_xy, sinu_inverse, {"lon_0": 10.0}),
+        (cea_xy, cea_inverse, {"lat_ts": 30.0, "lon_0": 10.0}),
+    ):
+        x, y = fwd("lon", "lat", **kw)
+        d = pts.select("lon", "lat", x.alias("x"), y.alias("y"))
+        il, ilat = inv("x", "y", **kw)
+        bad = d.select(
+            (F.abs(il - F.col("lon")) + F.abs(ilat - F.col("lat"))).alias("e")
+        ).agg(F.max("e")).collect()[0][0]
+        assert bad < 1e-9
+
+        # sign conventions: x grows eastward of lon_0, y grows northward
+        row = d.filter((F.col("lon") == 30.0) & (F.col("lat") == 45.0)).first()
+        assert row.x > 0 and row.y > 0
+        row = d.filter((F.col("lon") == -30.0) & (F.col("lat") == -45.0)).first()
+        assert row.x < 0 and row.y < 0
+
+    # equal-area Jacobian at (20°E, 40°N), finite differences (1e-4 deg)
+    eps = 1e-4
+    probe = spark.createDataFrame(
+        [(20.0, 40.0), (20.0 + eps, 40.0), (20.0, 40.0 + eps)],
+        "lon double, lat double",
+    )
+    for fwd, kw in ((sinu_xy, {}), (cea_xy, {"lat_ts": 30.0})):
+        x, y = fwd("lon", "lat", **kw)
+        rows = {(r.lon, r.lat): (r.x, r.y)
+                for r in probe.select("lon", "lat", x.alias("x"), y.alias("y")).collect()}
+        x0, y0 = rows[(20.0, 40.0)]
+        xl, yl = rows[(20.0 + eps, 40.0)]
+        xp, yp = rows[(20.0, 40.0 + eps)]
+        de = math.radians(eps)
+        jac = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (de * de)
+        want = R_EARTH ** 2 * math.cos(math.radians(40.0))
+        assert abs(jac - want) / want < 1e-3
+
+    # closed values from the defining geometry (independent math calls)
+    one = spark.createDataFrame([(0.0, 40.0)], "lon double, lat double")
+    sx, sy = sinu_xy("lon", "lat")
+    r = one.select(sx.alias("x"), sy.alias("y")).first()
+    assert abs(r.x) < 1e-6                                   # central meridian
+    assert abs(r.y - R_EARTH * math.radians(40.0)) < 1e-6    # y = R·φ
+    cx, cy = cea_xy("lon", "lat", lat_ts=30.0)
+    r = one.select(cx.alias("x"), cy.alias("y")).first()
+    k0 = math.cos(math.radians(30.0))
+    assert abs(r.y - R_EARTH * math.sin(math.radians(40.0)) / k0) < 1e-6
