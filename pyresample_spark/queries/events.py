@@ -301,3 +301,53 @@ def q_funnel(spark, sf_dir):
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_events_retention",
+    oracle=f"""
+    WITH ev AS ({EV_US_SQL}),
+    act AS (
+      SELECT DISTINCT user_id, ts_us // {HOUR_US} AS hour_id FROM ev
+    )
+    SELECT a.hour_id,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(b.user_id) AS BIGINT) AS n_retained,
+           (ROUND(COUNT(b.user_id) / (1.0 * COUNT(*)), 6) + 0.0) AS retention
+    FROM act a
+    LEFT JOIN act b
+      ON b.user_id = a.user_id AND b.hour_id = a.hour_id + 1
+    GROUP BY a.hour_id
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Hour-over-hour cohort retention: of the users active in hour H,
+    the fraction also active in H+1 — the product-analytics retention
+    curve, here at hourly grain. One distinct-activity set, self-joined
+    on (user, hour+1): both sides share the same shuffle key family and
+    every value is an integer count, so the result is exactly
+    deterministic."""
+    ev = _ev_us(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.expr(f"ts_us div {HOUR_US}").alias("hour_id")
+    ).distinct()
+    nxt = act.select(
+        "user_id", (F.col("hour_id") - 1).alias("hour_id"),
+        F.lit(1).alias("ret"),
+    )
+    return (
+        act.join(nxt, ["user_id", "hour_id"], "left")
+        .groupBy("hour_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("ret").alias("n_retained"),
+        )
+        .select(
+            "hour_id",
+            "n_active",
+            "n_retained",
+            rnd(F.col("n_retained") / (1.0 * F.col("n_active")), 6).alias(
+                "retention"
+            ),
+        )
+    )
