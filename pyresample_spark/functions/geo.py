@@ -320,6 +320,81 @@ def merc_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Orthographic (+proj=ortho — satellite-view hemisphere) -----------
+# Snyder eqs. 20-3..20-17 (spherical, general oblique aspect). The far
+# hemisphere (cos_c < 0) is NULL-masked, same contract as geos.
+
+def ortho_xy(lon, lat, lat_0: float = 0.0, lon_0: float = 0.0,
+             radius: float = R_EARTH):
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    latr = F.radians(_c(lat))
+    dlon = F.radians(_c(lon) - F.lit(lon_0))
+    cos_c = s1 * F.sin(latr) + c1 * F.cos(latr) * F.cos(dlon)
+    vis = cos_c >= 0.0
+    x = radius * F.cos(latr) * F.sin(dlon)
+    y = radius * (c1 * F.sin(latr) - s1 * F.cos(latr) * F.cos(dlon))
+    return F.when(vis, x), F.when(vis, y)
+
+
+def ortho_inverse(x, y, lat_0: float = 0.0, lon_0: float = 0.0,
+                  radius: float = R_EARTH):
+    """(x, y) → (lon, lat) columns — Snyder 20-14..20-17 spherical."""
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs, ys = _c(x), _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    on_disc = rho <= F.lit(float(radius))
+    sin_c = rho / radius            # sin(asin(rho/R))
+    cos_c = F.sqrt(F.greatest(F.lit(0.0), 1.0 - sin_c * sin_c))
+    lat = F.when(
+        rho == 0.0, F.lit(_m.degrees(_m.asin(s1)))
+    ).otherwise(
+        F.degrees(F.asin(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+                       cos_c * s1 + ys * sin_c * c1 / rho))
+        ))
+    )
+    lon = F.when(rho == 0.0, F.lit(float(lon_0))).otherwise(
+        F.lit(float(lon_0)) + F.degrees(F.atan2(
+            xs * sin_c, rho * cos_c * c1 - ys * sin_c * s1
+        ))
+    )
+    return (
+        F.when(on_disc, wrap_longitude(lon)),
+        F.when(on_disc, lat),
+    )
+
+
+def ortho_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
+                  radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    rho = f"sqrt(({x}) * ({x}) + ({y}) * ({y}))"
+    sin_c = f"({rho} / {radius!r})"
+    cos_c = f"sqrt(greatest(0.0, 1.0 - {sin_c} * {sin_c}))"
+    lat = (
+        f"(CASE WHEN {rho} > {radius!r} THEN NULL"
+        f" WHEN {rho} = 0.0 THEN {_m.degrees(_m.asin(s1))!r}"
+        f" ELSE degrees(asin(greatest(-1.0, least(1.0,"
+        f" {cos_c} * {s1!r} + ({y}) * {sin_c} * {c1!r} / {rho}))))"
+        f" END)"
+    )
+    lon_raw = (
+        f"({lon_0!r} + degrees(atan2(({x}) * {sin_c},"
+        f" {rho} * {cos_c} * {c1!r} - ({y}) * {sin_c} * {s1!r})))"
+    )
+    lon = (
+        f"(CASE WHEN {rho} > {radius!r} THEN NULL"
+        f" WHEN {rho} = 0.0 THEN {float(lon_0)!r}"
+        f" ELSE ((({lon_raw} + 540.0) % 360.0) - 180.0) END)"
+    )
+    return lon, lat
+
+
 # --- Cylindrical equal-area (+proj=cea — EASE-Grid 2.0) ---------------
 # Snyder eqs. 10-1/10-2 (spherical): x = R·radians(lon−lon_0)·cos(lat_ts),
 # y = R·sin(lat)/cos(lat_ts). EASE-2 global grids use lat_ts=30.

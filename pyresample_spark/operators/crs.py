@@ -51,6 +51,8 @@ from pyresample_spark.functions.geo import (
     omerc_xy,
     cea_inverse,
     cea_xy,
+    ortho_inverse,
+    ortho_xy,
     sinu_inverse,
     sinu_xy,
     stere_polar_inverse,
@@ -104,6 +106,8 @@ def _family(crs: str) -> str:
         return "sinu"
     if proj == "cea":
         return "cea"
+    if proj == "ortho":
+        return "ortho"
     if proj in ("tmerc", "utm"):
         return "tmerc"
     if proj == "omerc":
@@ -177,6 +181,10 @@ def forward(crs: str):
         lat_ts = float(p.get("lat_ts", "0"))
         lon_0 = float(p.get("lon_0", "0"))
         return lambda lon, lat: cea_xy(lon, lat, lat_ts=lat_ts, lon_0=lon_0)
+    if fam == "ortho":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: ortho_xy(lon, lat, lat_0=lat_0, lon_0=lon_0)
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: tmerc_xy(lon, lat, **kw)
@@ -235,6 +243,10 @@ def inverse(crs: str):
         lat_ts = float(p.get("lat_ts", "0"))
         lon_0 = float(p.get("lon_0", "0"))
         return lambda x, y: cea_inverse(x, y, lat_ts=lat_ts, lon_0=lon_0)
+    if fam == "ortho":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: ortho_inverse(x, y, lat_0=lat_0, lon_0=lon_0)
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda x, y: tmerc_inverse(x, y, **kw)
@@ -329,6 +341,29 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _cea_inv
+    if fam == "ortho":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        s1 = math.sin(math.radians(lat_0))
+        c1 = math.cos(math.radians(lat_0))
+
+        def _ortho_inv(x, y):
+            rho = math.hypot(x, y)
+            if rho > R:
+                return None
+            if rho == 0.0:
+                return lon_0, lat_0
+            sin_c = rho / R
+            cos_c = math.sqrt(max(0.0, 1.0 - sin_c * sin_c))
+            lat = math.degrees(math.asin(
+                max(-1.0, min(1.0, cos_c * s1 + y * sin_c * c1 / rho))
+            ))
+            lon = lon_0 + math.degrees(math.atan2(
+                x * sin_c, rho * cos_c * c1 - y * sin_c * s1
+            ))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _ortho_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

@@ -726,6 +726,44 @@ def _lcc_area():
 _LCC_AREA = _lcc_area()
 
 
+def _ortho_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # Oblique orthographic centered on Europe: the satellite-view
+    # hemisphere projection of pyresample's own plotting examples.
+    # Extent well inside the R-disc keeps every cell center on-disc.
+    return AreaDefinition(
+        "ortho_europe",
+        "+proj=ortho +lat_0=45 +lon_0=10",
+        width=60, height=50,
+        area_extent=(-3.0e6, -2.5e6, 3.0e6, 2.5e6),
+    )
+
+
+_ORTHO_AREA = _ortho_area()
+
+
+@register(
+    "q_regrid_ortho",
+    oracle=(lambda lonlat: _regrid_oracle(_ORTHO_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["ortho_inv_sql"]
+        ).ortho_inv_sql("cx", "cy", lat_0=45.0, lon_0=10.0)
+    ),
+)
+def q_regrid_ortho(spark, sf_dir):
+    """Oblique orthographic (satellite-view) regrid WITHOUT pyproj: an
+    eqc world image onto a Europe-centered ortho window. Snyder
+    20-3..20-17 spherical forward/inverse as pure column math with the
+    off-disc NULL mask (operators/crs.py '+proj=ortho', same horizon
+    contract as geos); generalized linesample plan."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_ORTHO_AREA, EQC_AREA, src)
+
+
 def _cea_area():
     from pyresample_spark.geometry import AreaDefinition
 

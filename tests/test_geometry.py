@@ -459,3 +459,36 @@ def test_sinu_cea_forward_inverse_and_invariants(spark):
     r = one.select(cx.alias("x"), cy.alias("y")).first()
     k0 = math.cos(math.radians(30.0))
     assert abs(r.y - R_EARTH * math.sin(math.radians(40.0)) / k0) < 1e-6
+
+
+def test_ortho_forward_inverse_and_mask(spark):
+    """Orthographic: forward∘inverse identity on the near hemisphere,
+    far hemisphere NULL-masked (same contract as geos), and the east/
+    north sign conventions hold for an oblique center."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import ortho_inverse, ortho_xy
+
+    pts = spark.createDataFrame(
+        [(float(lon), float(lat)) for lon in range(-150, 151, 30)
+         for lat in range(-75, 76, 15)] + [(10.0, 60.0)],
+        "lon double, lat double",
+    )
+    x, y = ortho_xy("lon", "lat", lat_0=45.0, lon_0=10.0)
+    d = pts.select("lon", "lat", x.alias("x"), y.alias("y"))
+    near = d.filter(F.col("x").isNotNull())
+    il, ilat = ortho_inverse("x", "y", lat_0=45.0, lon_0=10.0)
+    bad = near.select(
+        (F.abs(il - F.col("lon")) + F.abs(ilat - F.col("lat"))).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert bad < 1e-6
+    # antipode region is masked
+    far = d.filter((F.abs(F.col("lon") - (-170.0)) < 1)
+                   & (F.col("lat") < -30)).agg(
+        F.count("x").alias("n")).collect()[0][0]
+    assert far == 0
+    # sign conventions around the (10E, 45N) center
+    r = d.filter((F.col("lon") == 30.0) & (F.col("lat") == 45.0)).first()
+    assert r.x > 0
+    r = d.filter((F.col("lon") == 10.0) & (F.col("lat") == 60.0)).first()
+    assert abs(r.x) < 1e-6 and r.y > 0
