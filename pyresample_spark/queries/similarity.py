@@ -744,3 +744,65 @@ def q_embedding_stats(spark, sf_dir):
             "dispersion"
         ),
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, e -> abs(e))) / 127.0 AS scale
+      FROM q
+    )
+    SELECT vec_id,
+           FLOOR(scale * 1e9 + 0.5) / 1e9 + 0.0 AS scale_q,
+           CAST(list_max(list_transform(v,
+                e -> abs(FLOOR(e / scale + 0.5)))) AS BIGINT) AS max_code,
+           FLOOR(list_sum(list_transform(v,
+                e -> (e - FLOOR(e / scale + 0.5) * scale)
+                   * (e - FLOOR(e / scale + 0.5) * scale))) / 64.0
+                 * 1e12 + 0.5) / 1e12 + 0.0 AS mse_q
+    FROM s WHERE scale > 0.0
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus — the storage
+    op every 100 TB vector deployment runs (4× smaller than float32,
+    distance error ~mse): per-vector scale = max|v|/127, codes =
+    floor(v/scale + 0.5), plus the reconstruction MSE the deployment
+    monitors. Everything is an IN-ROW array fold (`transform` /
+    `aggregate` — left-fold, so summation order is fixed and identical
+    in both engines); no shuffle at all, the op is embarrassingly
+    map-side. Quantized outputs use the floor(x+0.5) idiom — no ROUND
+    half-case can diverge cross-engine."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda e: e.cast("double"))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, e: F.greatest(a, F.abs(e))
+    )
+    d = emb.select("vec_id", v.alias("v"), (amax / 127.0).alias("scale"))
+    code = lambda e: F.floor(e / F.col("scale") + 0.5)  # noqa: E731
+    sqerr = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda e: (e - code(e) * F.col("scale"))
+            * (e - code(e) * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, e: a + e,
+    )
+    return d.filter(F.col("scale") > 0.0).select(
+        "vec_id",
+        (F.floor(F.col("scale") * 1e9 + 0.5) / 1e9).alias("scale_q"),
+        F.aggregate(
+            F.transform(F.col("v"), lambda e: F.abs(code(e))),
+            F.lit(0.0),
+            lambda a, e: F.greatest(a, e),
+        ).cast("bigint").alias("max_code"),
+        (F.floor(sqerr / 64.0 * 1e12 + 0.5) / 1e12).alias("mse_q"),
+    )
