@@ -177,3 +177,39 @@ def q_percentiles(spark, sf_dir):
         rnd(F.min("value"), 6).alias("p0"),
         rnd(F.max("value"), 6).alias("p100"),
     )
+
+
+@register(
+    "q_cube_agg",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS rf,
+           COALESCE(CAST(l_linenumber AS VARCHAR), '<all>') AS ln,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS price_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linenumber)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregation (every grouping-set combination, incl. each
+    single-dimension margin) — the pivot-table twin of q_rollup_agg;
+    one expand+hash-agg pass, money summed in integer cents."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+            ).alias("price_c"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rf"),
+            F.coalesce(
+                F.col("l_linenumber").cast("string"), F.lit("<all>")
+            ).alias("ln"),
+            "n",
+            "price_c",
+        )
+    )
