@@ -351,3 +351,38 @@ def q_events_retention(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_asof_join",
+    oracle=f"""
+    WITH ev AS ({EV_US_SQL}),
+    l AS (SELECT user_id, ts_us, event_id AS l_id FROM ev
+          WHERE event_type = 'purchase'),
+    r0 AS (SELECT user_id, ts_us, MAX(event_id) AS r_id FROM ev
+           WHERE event_type = 'click' GROUP BY user_id, ts_us)
+    SELECT l.user_id, l.l_id, l.ts_us,
+           r0.r_id, r0.ts_us AS matched_ts
+    FROM l ASOF LEFT JOIN r0
+      ON l.user_id = r0.user_id AND r0.ts_us <= l.ts_us
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (the kdb/pandas merge_asof / Flink
+    temporal-join operator — the charter's canonical Spark-missing
+    custom op). Implemented as a tagged union + one window pass
+    (operators/asof.py): O(|L|+|R|) shuffle, no pair explosion. The
+    DuckDB oracle is the engine's NATIVE ``ASOF LEFT JOIN`` — an
+    independent implementation, so the parity check validates the
+    operator's semantics, not a mirrored formula."""
+    from pyresample_spark.operators.asof import asof_join
+
+    ev = _ev_us(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("event_id").alias("l_id")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("r_id")
+    )
+    return asof_join(left, right)

@@ -623,3 +623,27 @@ def test_operator_edge_cases_empty_and_degenerate(spark):
     # empty source frame propagates to an empty join
     empty_src = src.filter(F.col("src_id") < 0)
     assert knn_join(empty_src, tgt, 500_000.0, k=2).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """As-of join edge cases: equal-timestamp match (closed interval),
+    no-prior-right NULL, tie at same (key, ts) resolved to max id, and
+    carry-forward across multiple lefts."""
+    from pyresample_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (1, 50, 12), (2, 100, 20)],
+        "user_id long, ts_us long, l_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 90), (1, 100, 91), (1, 150, 92), (3, 10, 93)],
+        "user_id long, ts_us long, r_id long",
+    )
+    got = {
+        r.l_id: (r.r_id, r.matched_ts)
+        for r in asof_join(left, right).collect()
+    }
+    assert got[10] == (91, 100)   # equal ts matches; tie -> max r_id
+    assert got[11] == (92, 150)   # latest prior right carries forward
+    assert got[12] == (None, None)  # before any right
+    assert got[20] == (None, None)  # key with no right rows at all
