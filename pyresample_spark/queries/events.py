@@ -386,3 +386,53 @@ def q_asof_join(spark, sf_dir):
         "user_id", "ts_us", F.col("event_id").alias("r_id")
     )
     return asof_join(left, right)
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    WITH ev AS ({EV_US_SQL}),
+    bands AS (
+      SELECT CAST(i AS BIGINT) AS band_id,
+             CAST(i * i AS DOUBLE) * 5.0 AS lo,
+             CAST((i + 1) * (i + 1) AS DOUBLE) * 5.0 AS hi
+      FROM range(10) t(i)
+    )
+    SELECT b.band_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM bands b
+    LEFT JOIN ev e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range (interval) join — the second custom-join operator the
+    charter names alongside as-of: events banded into quadratically
+    widening [lo, hi) value intervals from a generated dimension.
+    Spark executes the inequality join as BroadcastNestedLoop with the
+    10-row band table broadcast — which IS the right plan: at 100 TB
+    the fact side streams through each task and never shuffles, and
+    band count (not fact count) bounds the per-row comparison cost.
+    (Equal-width bands would be a map-side `floor(value/w)` — the
+    range-join formulation is for genuinely irregular intervals.)"""
+    ev = _ev_us(spark, sf_dir)
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id") * 5.0).cast("double").alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * 5.0)
+        .cast("double")
+        .alias("hi"),
+    )
+    joined = F.broadcast(bands).join(
+        ev,
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "left",
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("event_id").alias("n"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint")).alias(
+            "sum_value_c"
+        ),
+    )
