@@ -1201,3 +1201,89 @@ def q_token_histogram(spark, sf_dir):
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+_CMS_SEEDS = __import__(
+    "pyresample_spark.operators.dedup", fromlist=["seed_constants_sql"]
+).seed_constants_sql(4)
+
+
+@register(
+    "q_countmin",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    seeds(j, c) AS (VALUES {_CMS_SEEDS}),
+    cells AS (
+      SELECT j, xor({md5_bigint_sql('word')}, c) % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w CROSS JOIN seeds GROUP BY j, bucket
+    ),
+    probes AS (SELECT DISTINCT word FROM w WHERE doc_id = 2),
+    truth AS (
+      SELECT p.word, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM w JOIN probes p USING (word) GROUP BY p.word
+    ),
+    est AS (
+      SELECT p.word, MIN(cells.cnt) AS est_cnt
+      FROM probes p CROSS JOIN seeds s
+      JOIN cells ON cells.j = s.j
+       AND cells.bucket = xor({md5_bigint_sql('p.word')}, s.c) % 64
+      GROUP BY p.word
+    )
+    SELECT t.word, t.true_cnt, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overcount
+    FROM truth t JOIN est e USING (word)
+    """,
+)
+def q_countmin(spark, sf_dir):
+    """Count-Min sketch (d=4 hash rows × w=64 buckets) over the corpus
+    word stream, with the estimate-vs-truth audit for a probe
+    vocabulary — the charter's "novel sketch" slot, built EXPLICITLY
+    (portable md5⊕seed hashes, plain hash aggs) so, unlike HLL, the
+    sketch itself is bit-identical across engines and fully
+    oracle-checkable. The sketch build is one 4×-amplified map-side
+    hash agg to 256 cells; estimates never exceed d lookups per probe.
+    CMS guarantees est ≥ truth — the ``overcount`` column exposes the
+    collision error a deployment monitors."""
+    from pyresample_spark.operators.dedup import _seed_constants
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_col()).alias("word"))
+    seeds = [(j, c) for j, c in enumerate(_seed_constants(4))]
+    sdf = F.broadcast(
+        spark.createDataFrame(seeds, "j int, c long")
+    )
+    h = md5_bigint(F.col("word"))
+    cells = (
+        w.withColumn("h0", h)
+        .crossJoin(sdf)
+        .select("j", F.expr("(h0 ^ c) % 64").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        w.filter(F.col("doc_id") == 2).select("word").distinct()
+    )
+    truth = (
+        w.join(F.broadcast(probes), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    est = (
+        probes.withColumn("h0", h)
+        .crossJoin(sdf)
+        .select("word", "j", F.expr("(h0 ^ c) % 64").alias("bucket"))
+        .join(cells, ["j", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return truth.join(est, "word").select(
+        "word",
+        "true_cnt",
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias(
+            "overcount"
+        ),
+    )
