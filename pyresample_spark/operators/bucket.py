@@ -133,17 +133,29 @@ class BucketResampler:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table.
+    """Load the events table with ``ts`` normalized to BIGINT epoch-ns.
 
-    events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
-    default; read it as raw int64 nanoseconds (``nanosAsLong``) and keep
-    ``ts`` as BIGINT epoch-ns — all downstream time math is integer
-    arithmetic, exact on both Spark and the DuckDB oracle (which uses
-    ``epoch_ns(ts)``)."""
+    The generated events.parquet has shipped with two timestamp
+    flavors: TIMESTAMP(NANOS) (Spark 4 rejects by default — read as raw
+    int64 via ``nanosAsLong``) and TIMESTAMP(MICROS) (reads natively as
+    TIMESTAMP_NTZ). Either way the contract downstream is the same:
+    ``ts`` is BIGINT epoch-nanoseconds, so all window math is integer
+    arithmetic, exact on both Spark and the DuckDB oracle
+    (``epoch_us(ts)`` there, ``ts div 1000`` here). The NTZ→epoch
+    conversion is exact because the session timezone is pinned to UTC
+    (session.py)."""
     import os
 
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return ev
 
 
 def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
