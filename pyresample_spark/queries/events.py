@@ -3,10 +3,12 @@ expressed as batch SQL so DuckDB can oracle them; the Structured
 Streaming wrappers over the same logic live in
 pyresample_spark/streaming/windows.py.
 
-Time base: events.parquet stores TIMESTAMP(NANOS). Spark reads int64
-nanoseconds (nanosAsLong), DuckDB truncates to µs on read — so every
-query converts to **epoch microseconds** (Spark: ``ts div 1000``,
-DuckDB: ``epoch_us(ts)``) and does exact integer window math.
+Time base: events.parquet has shipped in two timestamp flavors
+(TIMESTAMP(NANOS) and TIMESTAMP(MICROS)); ``load_events``
+(operators/bucket.py) normalizes ``ts`` to BIGINT epoch-nanoseconds
+regardless of flavor. Every query then converts to **epoch
+microseconds** (Spark: ``ts div 1000``, DuckDB: ``epoch_us(ts)``)
+and does exact integer window math.
 """
 
 from __future__ import annotations

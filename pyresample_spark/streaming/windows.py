@@ -18,32 +18,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch ns (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Flavor-aware streaming scan of events parquet files.
+
+    The generated events.parquet has shipped with two timestamp flavors
+    (TIMESTAMP(NANOS) and TIMESTAMP(MICROS)); streaming sources need an
+    explicit schema, so probe the footer with a one-file batch read and
+    declare ``ts`` accordingly — the same flavor contract as the batch
+    loader (operators/bucket.py load_events). Downstream the stream
+    always carries ``ts`` = BIGINT epoch-ns and ``event_time`` =
+    timestamp, identical across flavors.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = path if glob is None else f"{path.rstrip('/')}/{glob}"
+    probe_type = spark.read.parquet(probe).schema["ts"].dataType
+    reader = spark.readStream.format("parquet").schema(
+        _events_schema(probe_type)
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path)
+    if isinstance(probe_type, (T.TimestampType, T.TimestampNTZType)):
+        # MICROS flavor: native timestamp column; ns = µs × 1000 exactly
+        # (session timezone pinned to UTC makes the NTZ cast exact).
+        raw = raw.withColumn(
+            "event_time", F.col("ts").cast("timestamp")
+        ).withColumn("ts", F.unix_micros(F.col("event_time")) * F.lit(1000))
+    else:
+        # NANOS flavor read as raw int64 (nanosAsLong).
+        raw = raw.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events parquet (file-source micro-batches;
     on a real deployment this is the Kafka source with the same schema)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
-        .option("path", f"{sf_dir}")
-        .option("pathGlobFilter", "events.parquet")
-        .load()
-    )
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return events_stream(spark, sf_dir, glob="events.parquet")
 
 
 def tumbling_counts(

@@ -132,7 +132,7 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     import shutil
 
     from pyresample_spark.streaming.windows import (
-        EVENTS_SCHEMA,
+        events_stream,
         streaming_dedup,
     )
 
@@ -145,16 +145,7 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     shutil.copy(src, feed / "a.parquet")
     shutil.copy(src, feed / "b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .load(str(feed))
-    )
-    stream = raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = events_stream(spark, str(feed), max_files_per_trigger=1)
     deduped = streaming_dedup(stream, key_cols=("event_id",))
 
     q = (
