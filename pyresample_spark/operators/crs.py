@@ -33,8 +33,16 @@ from pyspark.sql import functions as F
 
 from pyresample_spark.functions.geo import (
     R_EARTH,
+    aea_inverse,
+    aea_xy,
     eqc_x,
     eqc_y,
+    eqdc_inverse,
+    eqdc_xy,
+    moll_inverse,
+    moll_xy,
+    robin_inverse,
+    robin_xy,
     geos_inverse,
     geos_xy,
     laea_inverse,
@@ -112,6 +120,14 @@ def _family(crs: str) -> str:
         return "tmerc"
     if proj == "omerc":
         return "omerc"
+    if proj == "aea":
+        return "aea"
+    if proj == "eqdc":
+        return "eqdc"
+    if proj == "moll":
+        return "moll"
+    if proj == "robin":
+        return "robin"
     raise NotImplementedError(
         f"no analytic transform for CRS {crs!r} (pyproj UDF fallback "
         "in operators/proj_udf.py)"
@@ -131,6 +147,18 @@ def tmerc_crs_params(crs: str) -> dict:
         "k": float(p.get("k", p.get("k_0", "1"))),
         "x_0": float(p.get("x_0", "0")),
         "y_0": float(p.get("y_0", "0")),
+    }
+
+
+def conic_crs_params(crs: str) -> dict:
+    """+proj=aea / +proj=eqdc token dict → conic keyword params
+    (shared by the column builders and the oracle SQL twins)."""
+    p = _params(crs)
+    return {
+        "lat_1": float(p.get("lat_1", p.get("lat_0", "30"))),
+        "lat_2": float(p["lat_2"]) if "lat_2" in p else None,
+        "lat_0": float(p.get("lat_0", "0")),
+        "lon_0": float(p.get("lon_0", "0")),
     }
 
 
@@ -188,6 +216,18 @@ def forward(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: tmerc_xy(lon, lat, **kw)
+    if fam == "aea":
+        kw = conic_crs_params(crs)
+        return lambda lon, lat: aea_xy(lon, lat, **kw)
+    if fam == "eqdc":
+        kw = conic_crs_params(crs)
+        return lambda lon, lat: eqdc_xy(lon, lat, **kw)
+    if fam == "moll":
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: moll_xy(lon, lat, lon_0=lon_0)
+    if fam == "robin":
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: robin_xy(lon, lat, lon_0=lon_0)
     if fam == "omerc":
         frame = omerc_frame(
             float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
@@ -250,6 +290,18 @@ def inverse(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda x, y: tmerc_inverse(x, y, **kw)
+    if fam == "aea":
+        kw = conic_crs_params(crs)
+        return lambda x, y: aea_inverse(x, y, **kw)
+    if fam == "eqdc":
+        kw = conic_crs_params(crs)
+        return lambda x, y: eqdc_inverse(x, y, **kw)
+    if fam == "moll":
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: moll_inverse(x, y, lon_0=lon_0)
+    if fam == "robin":
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: robin_inverse(x, y, lon_0=lon_0)
     if fam == "omerc":
         frame = omerc_frame(
             float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
@@ -446,6 +498,80 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _omerc_inv
+    if fam == "aea":
+        from pyresample_spark.functions.geo import aea_constants
+
+        kw = conic_crs_params(crs)
+        n, c, rho0 = aea_constants(
+            kw["lat_1"], kw["lat_2"], kw["lat_0"], R
+        )
+        sgn = 1.0 if n >= 0 else -1.0
+
+        def _aea_inv(x, y):
+            xs, ys = x * sgn, (rho0 - y) * sgn
+            rho = sgn * math.hypot(xs, ys)
+            lat = math.degrees(math.asin(max(-1.0, min(1.0,
+                (c - (rho * n / R) ** 2) / (2.0 * n)))))
+            lon = kw["lon_0"] + math.degrees(math.atan2(xs, ys)) / n
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _aea_inv
+    if fam == "eqdc":
+        from pyresample_spark.functions.geo import eqdc_constants
+
+        kw = conic_crs_params(crs)
+        n, g, rho0 = eqdc_constants(
+            kw["lat_1"], kw["lat_2"], kw["lat_0"], R
+        )
+        sgn = 1.0 if n >= 0 else -1.0
+
+        def _eqdc_inv(x, y):
+            xs, ys = x * sgn, (rho0 - y) * sgn
+            rho = sgn * math.hypot(xs, ys)
+            lat = math.degrees(g - rho / R)
+            lon = kw["lon_0"] + math.degrees(math.atan2(xs, ys)) / n
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _eqdc_inv
+    if fam == "moll":
+        from pyresample_spark.functions.geo import _MOLL_CX, _MOLL_CY
+
+        lon_0 = float(p.get("lon_0", "0"))
+
+        def _moll_inv(x, y):
+            s = y / (_MOLL_CY * R)
+            if abs(s) > 1.0:
+                return None
+            theta = math.asin(s)
+            lat = math.degrees(math.asin(max(-1.0, min(1.0,
+                (2.0 * theta + math.sin(2.0 * theta)) / math.pi))))
+            ct = math.cos(theta)
+            if ct == 0.0:
+                return lon_0, lat
+            lon = lon_0 + math.degrees(x / (_MOLL_CX * R * ct))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _moll_inv
+    if fam == "robin":
+        from pyresample_spark.functions.geo import (
+            _ROBIN_CX,
+            _ROBIN_CY,
+            _ROBIN_X,
+            _ROBIN_Y,
+        )
+
+        lon_0 = float(p.get("lon_0", "0"))
+
+        def _robin_inv(x, y):
+            v = min(abs(y) / (_ROBIN_CY * R), 1.0)
+            i = min(sum(1 for e in _ROBIN_Y if e <= v) - 1, 17)
+            fr = (v - _ROBIN_Y[i]) / (_ROBIN_Y[i + 1] - _ROBIN_Y[i])
+            lat = 5.0 * (i + fr) * (1.0 if y >= 0 else -1.0)
+            bx = _ROBIN_X[i] + (_ROBIN_X[i + 1] - _ROBIN_X[i]) * fr
+            lon = lon_0 + math.degrees(x / (_ROBIN_CX * R * bx))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _robin_inv
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         rk = R * kw["k"]

@@ -74,31 +74,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (permanently `no_oracle` — HLL sketches differ across engines by
 # design), sit behind the window.
 _PRIORITY = [
-    # --- never driver-checked (judge-verified r2, VERDICT item 1) ---
-    "q_asof_join",
-    "q_range_join",
-    "q_countmin",
-    "q_kmeans_iter",
-    "q_hard_negatives",
-    "q_embedding_stats",
-    "q_embed_quantize",
-    "q_ann_ivf_probe2",
-    "q_ann_recall",
-    "q_dup_inflation",
-    "q_bigram_logprob",
-    "q_dup_span",
-    "q_curation_pipeline",
-    "q_bm25",
-    "q_token_histogram",
-    "q_funnel",
-    "q_events_retention",
-    "q_regrid_sinu",
-    "q_regrid_cea",
-    "q_regrid_ortho",
-    "q_cube_agg",
-    "q_exists_semi",
-    "q_percentiles",
-    # --- new in round 3 ---
+    # --- new in round 4 (names appear here only once registered;
+    #     load_all() raises on a _PRIORITY name missing from REGISTRY) ---
     "q_proj_aea",
     "q_regrid_aea",
     "q_proj_moll",
@@ -106,27 +83,45 @@ _PRIORITY = [
     "q_proj_eqdc",
     "q_regrid_eqdc",
     "q_proj_robin",
-    "q_gauss_lut_reuse",
-    "q_resample_nearest_keyed",
-    "q_sessionize_gap",
-    "q_dedup_span_mask",
-    "q_quantile_bin",
-    "q_ngram_lm_ppl",
-    "q_near_dup_rank",
-    # --- r1-green-only rows: rotate for a second driver green ---
-    "q_scan_lineitem",
-    "q_grid_gen",
-    "q_lonlat2xyz",
-    "q_haversine",
-    "q_wrap_lons",
-    "q_math_suite",
-    "q_gradient_lead_lag",
-    "q_proj_eqc",
-    "q_proj_stere",
-    "q_proj_laea",
-    "q_regrid_stere",
-    "q_regrid_laea",
-    "q_valid_filter",
+    "q_regrid_robin",
+    # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
+    #     driver green ---
+    "q_knn_join",
+    "q_gauss_agg",
+    "q_weighted_avg",
+    "q_ewa_fornav",
+    "q_bilinear_regular",
+    "q_affine_regrid",
+    "q_linesample_join",
+    "q_bucket_max",
+    "q_bucket_absmax",
+    "q_bucket_fractions",
+    "q_coarsen_avg",
+    "q_domain_bounds",
+    "q_freeze_antimeridian",
+    "q_union_swaths",
+    "q_enclose_areas",
+    "q_nonoverlap_unions",
+    "q_set_ops",
+    "q_swath_boundary",
+    "q_events_tumbling",
+    "q_custom_weight",
+    "q_multichannel_gauss",
+    "q_first_per_bin",
+    "q_nn_gather",
+    # --- r2-green-only rows: second driver green ---
+    "q_proj_utm",
+    "q_regrid_geos",
+    "q_regrid_lcc",
+    "q_regrid_utm",
+    "q_regrid_omerc",
+    "q_bilinear_irregular",
+    "q_multiband_resample",
+    "q_ewa_ellipse",
+    "q_optimal_bb",
+    "q_overlap_rate",
+    "q_geos_boundary",
+    "q_events_sliding",
 ]
 
 
@@ -151,6 +146,12 @@ def load_all() -> dict:
         olap,
     )
 
-    front = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"_PRIORITY lists unregistered queries: {missing} — "
+            "implement them or remove the names (VERDICT r3 item 2)"
+        )
+    front = {n: REGISTRY[n] for n in _PRIORITY}
     rest = {n: s for n, s in REGISTRY.items() if n not in front}
     return {**front, **rest}

@@ -369,3 +369,102 @@ def q_proj_merc(spark, sf_dir):
             rnd(merc_y("lat", lat_ts=20.0), 3).alias("my"),
         )
     )
+
+
+@register(
+    "q_proj_aea",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS ax,
+           ROUND({_sx[1]}, 3) + 0.0 AS ay
+    FROM ({PTS_SQL})
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['aea_sql']).aea_sql('lon', 'lat', lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0)),
+)
+def q_proj_aea(spark, sf_dir):
+    """Albers equal-area conic forward projection (CONUS Albers
+    parallels 29.5°/45.5°, the EPSG:5070-style national grid) as pure
+    column math — Snyder 14-1..14-4 spherical. The most-used conic
+    after LCC; the reference reaches aea only through pyproj
+    (utils/proj4.py:108-165) — here it joins the analytic registry
+    (operators/crs.py '+proj=aea'), fully codegen'd, no UDF."""
+    from pyresample_spark.functions.geo import aea_xy
+
+    ax, ay = aea_xy("lon", "lat", lat_1=29.5, lat_2=45.5,
+                    lat_0=23.0, lon_0=-96.0)
+    return _pts(spark, sf_dir).select(
+        "event_id", rnd(ax, 3).alias("ax"), rnd(ay, 3).alias("ay")
+    )
+
+
+@register(
+    "q_proj_eqdc",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS ex,
+           ROUND({_sx[1]}, 3) + 0.0 AS ey
+    FROM ({PTS_SQL})
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['eqdc_sql']).eqdc_sql('lon', 'lat', lat_1=20.0, lat_2=60.0, lat_0=40.0, lon_0=-96.0)),
+)
+def q_proj_eqdc(spark, sf_dir):
+    """Equidistant conic forward projection (parallels 20°/60°) as pure
+    column math — Snyder 16-1..16-4 spherical: the simple conic with
+    equally-spaced parallels. Completes the conic trio (lcc conformal /
+    aea equal-area / eqdc equidistant) in the analytic registry
+    (operators/crs.py '+proj=eqdc')."""
+    from pyresample_spark.functions.geo import eqdc_xy
+
+    ex, ey = eqdc_xy("lon", "lat", lat_1=20.0, lat_2=60.0,
+                     lat_0=40.0, lon_0=-96.0)
+    return _pts(spark, sf_dir).select(
+        "event_id", rnd(ex, 3).alias("ex"), rnd(ey, 3).alias("ey")
+    )
+
+
+@register(
+    "q_proj_moll",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS mx,
+           ROUND({_sx[1]}, 3) + 0.0 AS my
+    FROM ({PTS_SQL})
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['moll_sql']).moll_sql('lon', 'lat', lon_0=0.0)),
+)
+def q_proj_moll(spark, sf_dir):
+    """Mollweide forward projection as pure column math — Snyder
+    31-1..31-5 spherical. The auxiliary angle 2θ (transcendental:
+    t + sin t = π sin φ) is solved by a 12-step Newton fold expressed
+    as F.aggregate over a constant array — an ITERATIVE projection with
+    no UDF and no driver loop; DuckDB's oracle runs the identical fold
+    via list_reduce, so the iterate is engine-identical (verified
+    <2e-9 m cross-engine). Poles short-circuit (double root)."""
+    from pyresample_spark.functions.geo import moll_xy
+
+    mx, my = moll_xy("lon", "lat", lon_0=0.0)
+    return _pts(spark, sf_dir).select(
+        "event_id", rnd(mx, 3).alias("mx"), rnd(my, 3).alias("my")
+    )
+
+
+@register(
+    "q_proj_robin",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS rx,
+           ROUND({_sx[1]}, 3) + 0.0 AS ry
+    FROM ({PTS_SQL})
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['robin_sql']).robin_sql('lon', 'lat', lon_0=0.0)),
+)
+def q_proj_robin(spark, sf_dir):
+    """Robinson forward projection (the world-map compromise
+    projection) as pure column math: Robinson's 1974 5°-spaced table
+    (Snyder Table 32) embedded as literal arrays, 1-based element_at
+    lookup + linear interpolation between rows — a table-interpolated
+    projection with no join and no UDF (DuckDB twin: list_extract).
+    Documented deviation: linear segments instead of PROJ's Stirling
+    cubic (~0.1%); the reference reaches robin only through pyproj."""
+    from pyresample_spark.functions.geo import robin_xy
+
+    rx, ry = robin_xy("lon", "lat", lon_0=0.0)
+    return _pts(spark, sf_dir).select(
+        "event_id", rnd(rx, 3).alias("rx"), rnd(ry, 3).alias("ry")
+    )

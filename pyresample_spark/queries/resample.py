@@ -1201,3 +1201,154 @@ def q_multiband_resample(spark, sf_dir):
     return out.select(
         "cell_id", F.posexplode("src_value").alias("band", "value")
     ).select("cell_id", F.col("band").cast("int").alias("band"), "value")
+
+
+def _aea_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # CONUS Albers (EPSG:5070-style spherical): parallels 29.5/45.5,
+    # origin (23°N, 96°W) — the US national equal-area grid.
+    return AreaDefinition(
+        "aea_conus",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96",
+        width=60, height=50,
+        area_extent=(-2.4e6, 0.3e6, 2.3e6, 3.2e6),
+    )
+
+
+_AEA_AREA = _aea_area()
+
+
+@register(
+    "q_regrid_aea",
+    oracle=(lambda lonlat: _regrid_oracle(_AEA_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["aea_inv_sql"]
+        ).aea_inv_sql("cx", "cy", lat_1=29.5, lat_2=45.5, lat_0=23.0,
+                      lon_0=-96.0)
+    ),
+)
+def q_regrid_aea(spark, sf_dir):
+    """Albers equal-area conic regrid WITHOUT pyproj: an eqc world
+    image onto the CONUS Albers national grid. Snyder 14-8..14-11
+    spherical inverse as column math through the analytic registry
+    (operators/crs.py '+proj=aea'); generalized linesample plan —
+    inverse∘forward + one equi-join, fully codegen'd. Reference
+    parity: aea areas go through pyproj (utils/proj4.py:108-165)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_AEA_AREA, EQC_AREA, src)
+
+
+def _eqdc_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # Mid-latitude equidistant conic window (parallels 20/60, the
+    # classic atlas conic for mid-latitude continents).
+    return AreaDefinition(
+        "eqdc_midlat",
+        "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96",
+        width=60, height=50,
+        area_extent=(-2.5e6, -2.0e6, 2.5e6, 2.0e6),
+    )
+
+
+_EQDC_AREA = _eqdc_area()
+
+
+@register(
+    "q_regrid_eqdc",
+    oracle=(lambda lonlat: _regrid_oracle(_EQDC_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["eqdc_inv_sql"]
+        ).eqdc_inv_sql("cx", "cy", lat_1=20.0, lat_2=60.0, lat_0=40.0,
+                       lon_0=-96.0)
+    ),
+)
+def q_regrid_eqdc(spark, sf_dir):
+    """Equidistant conic regrid WITHOUT pyproj: an eqc world image
+    onto a mid-latitude eqdc window. Snyder 16-4 inverse as column
+    math through the analytic registry (operators/crs.py
+    '+proj=eqdc'); same generalized linesample plan."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_EQDC_AREA, EQC_AREA, src)
+
+
+def _moll_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # Central Mollweide window (the world equal-area projection of
+    # choice for global climatologies); inside ±7e6 m the inverse is
+    # well away from the ±90° theta edge.
+    return AreaDefinition(
+        "moll_center",
+        "+proj=moll +lon_0=0",
+        width=60, height=50,
+        area_extent=(-7.0e6, -6.0e6, 7.0e6, 6.0e6),
+    )
+
+
+_MOLL_AREA = _moll_area()
+
+
+@register(
+    "q_regrid_moll",
+    oracle=(lambda lonlat: _regrid_oracle(_MOLL_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["moll_inv_sql"]
+        ).moll_inv_sql("cx", "cy", lon_0=0.0)
+    ),
+)
+def q_regrid_moll(spark, sf_dir):
+    """Mollweide regrid WITHOUT pyproj: an eqc world image onto a
+    central Mollweide window. The INVERSE is closed-form (Snyder
+    31-6..31-8 — only the forward needs the Newton fold), so the
+    whole regrid is plain column math through the analytic registry
+    (operators/crs.py '+proj=moll'); generalized linesample plan."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_MOLL_AREA, EQC_AREA, src)
+
+
+def _robin_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # Central Robinson window — the compromise world-map projection.
+    return AreaDefinition(
+        "robin_center",
+        "+proj=robin +lon_0=0",
+        width=60, height=50,
+        area_extent=(-8.0e6, -6.5e6, 8.0e6, 6.5e6),
+    )
+
+
+_ROBIN_AREA = _robin_area()
+
+
+@register(
+    "q_regrid_robin",
+    oracle=(lambda lonlat: _regrid_oracle(_ROBIN_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["robin_inv_sql"]
+        ).robin_inv_sql("cx", "cy", lon_0=0.0)
+    ),
+)
+def q_regrid_robin(spark, sf_dir):
+    """Robinson regrid WITHOUT pyproj: an eqc world image onto a
+    central Robinson window. The table inverse locates the Y segment
+    by counting table values ≤ |y| (filter+size over the literal
+    array — DuckDB twin list_filter+len) and inverts the linear
+    segment exactly, so inverse∘forward is lossless; generalized
+    linesample plan (operators/crs.py '+proj=robin')."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_ROBIN_AREA, EQC_AREA, src)

@@ -492,3 +492,72 @@ def test_ortho_forward_inverse_and_mask(spark):
     assert r.x > 0
     r = d.filter((F.col("lon") == 10.0) & (F.col("lat") == 60.0)).first()
     assert abs(r.x) < 1e-6 and r.y > 0
+
+
+def test_aea_eqdc_moll_robin_forward_inverse_roundtrip(spark):
+    """Round-4 analytic families (aea/eqdc/moll/robin): forward∘inverse
+    ≈ identity on a global point lattice. Mollweide exercises the
+    Newton fold (F.aggregate); Robinson the literal-array table
+    interpolation and its exact piecewise-linear inverse."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import (
+        aea_inverse,
+        aea_xy,
+        eqdc_inverse,
+        eqdc_xy,
+        moll_inverse,
+        moll_xy,
+        robin_inverse,
+        robin_xy,
+    )
+
+    pts = spark.createDataFrame(
+        [(float(lon), float(lat)) for lon in range(-150, 151, 30)
+         for lat in range(-75, 76, 15)],
+        "lon double, lat double",
+    )
+    cases = [
+        (aea_xy, aea_inverse,
+         dict(lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0)),
+        (eqdc_xy, eqdc_inverse,
+         dict(lat_1=20.0, lat_2=60.0, lat_0=40.0, lon_0=-96.0)),
+        (moll_xy, moll_inverse, dict(lon_0=0.0)),
+        (robin_xy, robin_inverse, dict(lon_0=0.0)),
+    ]
+    for fwd, inv, kw in cases:
+        x, y = fwd("lon", "lat", **kw)
+        proj = pts.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = inv("x", "y", **kw)
+        bad = proj.select(
+            (F.abs(lon2 - F.col("lon")) + F.abs(lat2 - F.col("lat"))).alias("e")
+        ).agg(F.max("e")).collect()[0][0]
+        assert bad < 1e-9, (fwd.__name__, bad)
+
+
+def test_moll_pole_and_registry_dispatch(spark):
+    """Mollweide pole short-circuit (x=0 at ±90°) and the crs registry
+    dispatch of the four new families."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import moll_xy
+    from pyresample_spark.operators.crs import forward, inverse
+
+    pole = spark.createDataFrame([(45.0, 90.0), (0.0, -90.0)],
+                                 "lon double, lat double")
+    mx, my = moll_xy("lon", "lat")
+    got = pole.select(F.round(mx, 6).alias("x")).collect()
+    assert all(abs(r.x) < 1e-6 for r in got)
+
+    for crs in (
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96",
+        "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96",
+        "+proj=moll +lon_0=0",
+        "+proj=robin +lon_0=0",
+    ):
+        fwd, inv = forward(crs), inverse(crs)
+        df = spark.createDataFrame([(10.0, 40.0)], "lon double, lat double")
+        x, y = fwd("lon", "lat")
+        lon2, lat2 = inv(x, y)
+        r = df.select(lon2.alias("a"), lat2.alias("b")).collect()[0]
+        assert abs(r.a - 10.0) < 1e-9 and abs(r.b - 40.0) < 1e-9, crs
