@@ -274,6 +274,7 @@ def knn_join_broadcast(
     src_id: str = "src_id",
     tgt_id: str = "tgt_id",
     max_src_rows: int | None = None,
+    src_count: int | None = None,
 ) -> DataFrame:
     """Broadcast-kNN for small build sides (kd_tree.py:464-489 analog).
 
@@ -301,7 +302,11 @@ def knn_join_broadcast(
         from pyresample_spark.plans.planner import BROADCAST_SOURCE_LIMIT
 
         max_src_rows = BROADCAST_SOURCE_LIMIT
-    if src.count() > max_src_rows:
+    # callers that already know the source size (planner.choose_strategy
+    # counted it) pass src_count to skip the re-count scan (VERDICT r3)
+    if src_count is None:
+        src_count = src.count()
+    if src_count > max_src_rows:
         return knn_join(
             src, tgt, radius_m, k=k, src_id=src_id, tgt_id=tgt_id
         )

@@ -99,6 +99,7 @@ class Resampler:
                     with_geocentric(tgt_points),
                     radius_m,
                     k=k or 1,
+                    src_count=src_count,
                 )
             return knn_join(src_points, tgt_points, radius_m, k=k)
 

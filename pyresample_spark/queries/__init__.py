@@ -84,6 +84,8 @@ _PRIORITY = [
     "q_regrid_eqdc",
     "q_proj_robin",
     "q_regrid_robin",
+    "q_gauss_lut_reuse",
+    "q_resample_nearest_keyed",
     # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
     #     driver green ---
     "q_knn_join",

@@ -10,6 +10,9 @@ distance, (dist, src_id) ranking).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -42,32 +45,42 @@ def _geo_sql(lon: str, lat: str, px: str) -> str:
 
 
 # Target grid as SQL with lon/lat + geocentric coords.
-TGT_SQL = f"""
+def tgt_sql(area) -> str:
+    return f"""
     SELECT cell_id AS tgt_id, cx AS lon, cy AS lat,
            {_geo_sql('cx', 'cy', 't_')}
-    FROM ({KNN_AREA.grid_sql()})
+    FROM ({area.grid_sql()})
 """
+
+
+TGT_SQL = tgt_sql(KNN_AREA)
 
 SRC_SQL = f"""
     SELECT event_id AS src_id, value, {_geo_sql('lon', 'lat', 's_')}
     FROM ({PTS_SQL})
 """
 
-# The full kNN pair table (k unlimited; rank filtered per query).
-_C = repr(CHORD)
-PAIRS_SQL = f"""
+
+def pairs_sql(area, radius_m: float) -> str:
+    """The full kNN pair table for any (target area, radius) — the
+    DuckDB twin of operators/knn.py knn_join (27-neighborhood 3-D
+    geocentric cells, mm-rounded chord, (dist, src_id) ranking);
+    k unlimited, rank filtered per query."""
+    c = repr(chord_length(radius_m))
+    chord_mm = round(chord_length(radius_m) * 1000.0)
+    return f"""
     WITH s AS (
-      SELECT *, CAST(FLOOR(s_gx / {_C}) AS BIGINT) AS cx3,
-                CAST(FLOOR(s_gy / {_C}) AS BIGINT) AS cy3,
-                CAST(FLOOR(s_gz / {_C}) AS BIGINT) AS cz3
+      SELECT *, CAST(FLOOR(s_gx / {c}) AS BIGINT) AS cx3,
+                CAST(FLOOR(s_gy / {c}) AS BIGINT) AS cy3,
+                CAST(FLOOR(s_gz / {c}) AS BIGINT) AS cz3
       FROM ({SRC_SQL})
     ),
     t AS (
       SELECT tgt_id, t_gx, t_gy, t_gz,
-             CAST(FLOOR(t_gx / {_C}) AS BIGINT) + ox.dx AS cx3,
-             CAST(FLOOR(t_gy / {_C}) AS BIGINT) + oy.dy AS cy3,
-             CAST(FLOOR(t_gz / {_C}) AS BIGINT) + oz.dz AS cz3
-      FROM ({TGT_SQL})
+             CAST(FLOOR(t_gx / {c}) AS BIGINT) + ox.dx AS cx3,
+             CAST(FLOOR(t_gy / {c}) AS BIGINT) + oy.dy AS cy3,
+             CAST(FLOOR(t_gz / {c}) AS BIGINT) + oz.dz AS cz3
+      FROM ({tgt_sql(area)})
       CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
       CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
       CROSS JOIN (VALUES (-1), (0), (1)) AS oz(dz)
@@ -83,9 +96,12 @@ PAIRS_SQL = f"""
       SELECT tgt_id, src_id, value, dist_mm,
              row_number() OVER (PARTITION BY tgt_id
                                 ORDER BY dist_mm ASC, src_id ASC) AS nn_rank
-      FROM pairs WHERE dist_mm <= {CHORD_MM}
+      FROM pairs WHERE dist_mm <= {chord_mm}
     )
 """
+
+
+PAIRS_SQL = pairs_sql(KNN_AREA, RADIUS_M)
 
 
 def _src(spark, sf_dir):
@@ -338,3 +354,121 @@ def q_multichannel_gauss(spark, sf_dir):
         rnd(F.sum(w * F.col("ch2")) / F.sum(w), 6).alias("ch2"),
         rnd(F.sum(w * F.col("ch3")) / F.sum(w), 6).alias("ch3"),
     )
+
+
+def gauss_lut(spark, sf_dir, cache_dir: str | None = None):
+    """The persisted kNN neighbour/weight LUT for (events points →
+    2° world grid, r=250 km, k=8): computed once, stored as parquet
+    keyed by (source identity, target geometry hash, radius, k), and
+    loaded — not re-joined — on every later call (plans/lut.py).
+
+    Reference parity: BaseResampler.precompute caching
+    (resampler.py:69-88) and the bilinear zarr LUT save/load
+    (bilinear/xarr.py:198-219) — "can increase performance greatly"
+    (docs/concepts/resampling.rst:98-101). At 100 TB the one expensive
+    spatial join amortizes over every channel/dataset gather, which
+    becomes a plain equi-join on src_id."""
+    import tempfile
+
+    from pyresample_spark.plans.lut import LutCache
+
+    cache = LutCache(
+        cache_dir
+        or os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts")
+    )
+    src_hash = hashlib.sha1(
+        f"events-points|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    tgt_hash = hashlib.sha1(repr(KNN_AREA).encode()).hexdigest()[:16]
+    return cache.get_or_compute(
+        spark, src_hash, tgt_hash, RADIUS_M, 8,
+        lambda: _knn_pairs(spark, sf_dir, k=8).select(
+            "tgt_id", "src_id", "dist_m"
+        ),
+    )
+
+
+@register(
+    "q_gauss_lut_reuse",
+    oracle=PAIRS_SQL
+    + f"""
+    , chan AS (
+      SELECT event_id AS src_id,
+             value * 0.5 + 10.0 AS ch2
+      FROM ({PTS_SQL})
+    ),
+    wp AS (
+      SELECT r.tgt_id, c.ch2,
+             exp(-(dist_mm / 1000.0) * (dist_mm / 1000.0) / ({SIGMA!r} * {SIGMA!r})) AS w
+      FROM ranked r JOIN chan c USING (src_id)
+      WHERE nn_rank <= 8
+    )
+    SELECT tgt_id,
+           ROUND(SUM(w * ch2) / SUM(w), 6) + 0.0 AS gauss_ch2,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbours
+    FROM wp GROUP BY tgt_id
+    """,
+)
+def q_gauss_lut_reuse(spark, sf_dir):
+    """Gaussian resample of a SECOND channel through the PERSISTED
+    neighbour LUT: the kNN join runs only if the parquet LUT keyed by
+    (geometry, radius, k) is absent; otherwise the plan is a parquet
+    scan of (tgt_id, src_id, dist_m) + one equi-join + one hash agg —
+    no spatial join at all. This is the reference's headline
+    performance feature (precompute/apply split, resampler.py:69-88,
+    bilinear/xarr.py:198-219) in Spark terms; the DuckDB oracle
+    recomputes the same pairs from scratch, proving the persisted LUT
+    is byte-equivalent to a fresh join."""
+    lut = gauss_lut(spark, sf_dir)
+    ch2 = _src(spark, sf_dir).select(
+        "src_id", (F.col("value") * 0.5 + 10.0).alias("ch2")
+    )
+    wp = lut.join(F.broadcast(ch2), "src_id", "inner").withColumn(
+        "w", gauss_weight(F.col("dist_m"), SIGMA)
+    )
+    w = F.col("w")
+    return wp.groupBy("tgt_id").agg(
+        rnd(F.sum(w * F.col("ch2")) / F.sum(w), 6).alias("gauss_ch2"),
+        F.count(F.lit(1)).alias("n_neighbours"),
+    )
+
+
+_KEYED_AREA = AreaDefinition(
+    "knn_tgt_4deg", "longlat", width=90, height=45,
+    area_extent=(-180.0, -90.0, 180.0, 90.0),
+)
+_KEYED_RADIUS = 200_000.0
+
+
+@register(
+    "q_resample_nearest_keyed",
+    oracle=pairs_sql(_KEYED_AREA, _KEYED_RADIUS)
+    + """
+    SELECT t.cell_id, COALESCE(r.value, -999.0) AS value
+    FROM (SELECT cell_id FROM ({grid})) t
+    LEFT JOIN (SELECT tgt_id, value FROM ranked WHERE nn_rank = 1) r
+      ON t.cell_id = r.tgt_id
+    """.format(grid=_KEYED_AREA.grid_sql()),
+)
+def q_resample_nearest_keyed(spark, sf_dir):
+    """Nearest-neighbour resample through the ImageContainer facade
+    with a CALLER-SUPPLIED natural key (``key_col='event_id'``): no
+    ``with_compact_id``, no ``localCheckpoint``, no materialization —
+    the id column rides the scan (VERDICT r3 item 6; reference analog:
+    image.py ImageContainer where the source index is free because
+    numpy arrays are positional). Gap cells fill with −999
+    (kd_tree.py fill_value). At 100 TB this is the difference between
+    resampling streaming straight off parquet and checkpointing the
+    whole source first."""
+    from pyresample_spark.image import GeoImage
+
+    pts = events_points(spark, sf_dir).select(
+        "event_id", "lon", "lat", "value"
+    )
+    img = GeoImage.from_swath(pts)
+    out = img.resample(
+        _KEYED_AREA, method="nearest", radius_m=_KEYED_RADIUS,
+        fill=-999.0, key_col="event_id",
+    )
+    return out.df

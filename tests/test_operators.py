@@ -647,3 +647,49 @@ def test_asof_join_semantics(spark):
     assert got[11] == (92, 150)   # latest prior right carries forward
     assert got[12] == (None, None)  # before any right
     assert got[20] == (None, None)  # key with no right rows at all
+
+
+def test_gauss_lut_persist_and_reuse(spark, sf_dir, tmp_path):
+    """The precompute/apply split (plans/lut.py): the first call
+    computes the kNN LUT and persists it; the second call must LOAD the
+    parquet (same files, untouched mtimes) and its plan must contain no
+    spatial join — only the LUT scan + equi-join + agg."""
+    import os
+
+    from pyresample_spark.queries.joins import gauss_lut
+
+    cache_dir = str(tmp_path / "luts")
+    lut1 = gauss_lut(spark, sf_dir, cache_dir=cache_dir)
+    n1 = lut1.count()
+    assert n1 > 0
+    files = sorted(os.listdir(cache_dir))
+    assert len(files) == 1 and files[0].startswith("lut_")
+    mtime = os.path.getmtime(os.path.join(cache_dir, files[0]))
+
+    lut2 = gauss_lut(spark, sf_dir, cache_dir=cache_dir)
+    assert lut2.count() == n1
+    # untouched cache: the second call did not rewrite the LUT
+    assert os.path.getmtime(os.path.join(cache_dir, files[0])) == mtime
+    assert sorted(os.listdir(cache_dir)) == files
+    # and its plan is a pure parquet scan of the cache (no cell join:
+    # no explode/ranking stages in the loaded LUT's plan)
+    plan = lut2._jdf.queryExecution().executedPlan().toString()
+    assert "lut_" in plan
+    assert "Generate" not in plan and "Window" not in plan
+
+    # the applied result through the LUT matches the fresh-join result
+    from pyresample_spark.operators.knn import gauss_weight
+    from pyresample_spark.queries.joins import SIGMA, _knn_pairs, _src
+    from pyspark.sql import functions as F
+
+    ch = _src(spark, sf_dir).select("src_id", "value")
+    def agg(pairs):
+        wp = pairs.join(F.broadcast(ch), "src_id").withColumn(
+            "w", gauss_weight(F.col("dist_m"), SIGMA))
+        return {
+            (r.tgt_id): round(r.v, 6)
+            for r in wp.groupBy("tgt_id")
+            .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("v"))
+            .collect()
+        }
+    assert agg(lut2) == agg(_knn_pairs(spark, sf_dir, k=8))
