@@ -86,6 +86,11 @@ _PRIORITY = [
     "q_regrid_robin",
     "q_gauss_lut_reuse",
     "q_resample_nearest_keyed",
+    "q_sessionize_gap",
+    "q_quantile_bin",
+    "q_ngram_lm_ppl",
+    "q_dedup_span_mask",
+    "q_near_dup_rank",
     # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
     #     driver green ---
     "q_knn_join",

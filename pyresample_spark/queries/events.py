@@ -438,3 +438,67 @@ def q_range_join(spark, sf_dir):
             "sum_value_c"
         ),
     )
+
+
+@register(
+    "q_sessionize_gap",
+    oracle=f"""
+    WITH ev AS ({EV_US_SQL}),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > {GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_num,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS duration_us
+      FROM sessions GROUP BY user_id, session_num
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(AVG(duration_us), 6) + 0.0 AS avg_duration_us,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q_sessionize_gap(spark, sf_dir):
+    """Per-user session SUMMARY over 30-min-gap sessions (the analytics
+    layer above q_events_session's per-session rows): session count,
+    event total, mean session duration, busiest session. Same
+    lag+cumsum sessionization — one extra tiny aggregation over the
+    per-session table, so the 100 TB cost profile is unchanged (two
+    hash aggs after one user-partitioned sort window)."""
+    ev = _ev_us(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_ts = F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            lag_ts.isNull() | (F.col("ts_us") - lag_ts > GAP_US), 1
+        ).otherwise(0),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sessions = flagged.withColumn("session_num", F.sum("is_new").over(cum))
+    per_session = sessions.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        rnd(F.avg("duration_us"), 6).alias("avg_duration_us"),
+        F.max("n_events").alias("max_session_events"),
+    )

@@ -1287,3 +1287,330 @@ def q_countmin(spark, sf_dir):
             "overcount"
         ),
     )
+
+
+@register(
+    "q_quantile_bin",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    h AS (SELECT n_tokens, COUNT(*) AS cnt FROM t GROUP BY n_tokens),
+    c AS (SELECT n_tokens,
+                 SUM(cnt) OVER (ORDER BY n_tokens) AS cum,
+                 SUM(cnt) OVER () AS total
+          FROM h),
+    b AS (SELECT n_tokens,
+                 LEAST(CAST((cum * 10) // total AS BIGINT), 9) AS bin
+          FROM c)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(t.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(t.n_tokens) AS BIGINT) AS max_tokens,
+           ROUND(AVG(t.n_tokens), 6) + 0.0 AS avg_tokens
+    FROM t JOIN b USING (n_tokens)
+    GROUP BY bin
+    """,
+)
+def q_quantile_bin(spark, sf_dir):
+    """Exact decile binning by token count WITHOUT a global sort: the
+    quantile assignment runs on the tiny (n_tokens → count) histogram
+    — cumulative count over a few hundred aggregated rows, integer
+    ``cum·10 div total`` (cume_dist in exact integer arithmetic, ties
+    share a bin) — then broadcast-joins back onto the documents. The
+    usual ntile(10) OVER (ORDER BY …) forces every row through ONE
+    sorted partition; this plan's only per-doc work is a hash agg and
+    a broadcast equi-join, so it survives 100 TB unchanged. Per-bin
+    output: doc count, token min/max/mean (curation length-balance
+    diagnostics)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(words_col()).alias("n_tokens"))
+    h = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    b = h.select(
+        "n_tokens",
+        F.least(
+            F.expr(
+                "(sum(cnt) over (order by n_tokens "
+                "rows unbounded preceding) * 10) div "
+                "(sum(cnt) over ())"
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    return (
+        t.join(F.broadcast(b), "n_tokens")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            rnd(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "q_ngram_lm_ppl",
+    oracle="""
+    WITH l AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(wl)),
+                                   i -> wl[i] || ' ' || wl[i + 1])) AS bg
+      FROM l
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS cnt2 FROM b GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cnt1
+           FROM b GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT word) AS vsize
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)),
+    lp AS (
+      SELECT doc_id,
+             CAST(ROUND(ln((cnt2 + 1.0) / (1.0 * cnt1 + vsize)) * 1000000)
+                  AS BIGINT) AS lp_q
+      FROM b JOIN c2 USING (bg)
+      JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (ROUND(exp(-SUM(lp_q) / (1000000.0 * COUNT(*))), 4) + 0.0) AS ppl
+    FROM lp GROUP BY doc_id
+    """,
+)
+def q_ngram_lm_ppl(spark, sf_dir):
+    """Per-document bigram-LM PERPLEXITY with add-one (Laplace)
+    smoothing over the corpus vocabulary — the actual filter statistic
+    of perplexity-based curation ladders (CCNet-style): ppl =
+    exp(−mean ln P(w_i|w_{i−1})), P = (c(w1w2)+1)/(c(w1·)+|V|).
+    Distinct from q_bigram_logprob (unsmoothed MLE mean): smoothing
+    makes unseen continuations finite, so the score works as a
+    THRESHOLD on out-of-domain docs. Per-bigram logprobs are
+    1e-6-quantized and integer-summed before the exp, so the mean is
+    order-independent across engines; |V| is one broadcast scalar.
+    At 100 TB: two count tables (bigram, prefix) broadcast back onto
+    the bigram stream — same shuffle profile as q_bigram_logprob."""
+    d = table(spark, sf_dir, "documents")
+    wl = words_col()
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(wl, 1, F.greatest(F.size(wl) - 1, F.lit(0))),
+                F.slice(wl, 2, F.greatest(F.size(wl) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = (
+        bg.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    v = (
+        d.select(F.explode(wl).alias("word"))
+        .agg(F.countDistinct("word").alias("vsize"))
+    )
+    scored = (
+        bg.join(F.broadcast(c2), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp_q",
+            F.round(
+                F.log(
+                    (F.col("cnt2") + 1.0)
+                    / (1.0 * F.col("cnt1") + F.col("vsize"))
+                )
+                * 1e6,
+                0,
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(
+            F.exp(-F.sum("lp_q") / (1e6 * F.count(F.lit(1)))), 4
+        ).alias("ppl"),
+    )
+
+
+@register(
+    "q_dedup_span_mask",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    tok AS (SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_tokens FROM ws),
+    sh AS (
+      SELECT doc_id, unnest(range(0, len(wl) - 4)) AS s, wl
+      FROM ws WHERE len(wl) >= 5
+    ),
+    shh AS (
+      SELECT doc_id, s,
+             {md5_bigint_sql("wl[s + 1] || ' ' || wl[s + 2] || ' ' || wl[s + 3] || ' ' || wl[s + 4] || ' ' || wl[s + 5]")} AS h
+      FROM sh
+    ),
+    c AS (SELECT h, COUNT(*) AS cnt FROM shh GROUP BY h),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(s, s + 5)) AS pos
+      FROM shh JOIN c USING (h) WHERE cnt >= 2
+    ),
+    masked AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+               FROM covered GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           COALESCE(m.n_masked, 0) AS n_masked,
+           (ROUND(1.0 - COALESCE(m.n_masked, 0) / (1.0 * t.n_tokens), 6)
+            + 0.0) AS keep_fraction
+    FROM tok t LEFT JOIN masked m ON t.doc_id = m.doc_id
+    """,
+)
+def q_dedup_span_mask(spark, sf_dir):
+    """Token-level duplicated-SPAN MASK — the removal step of exact-
+    substring dedup (Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better': drop the duplicated span, keep the
+    rest of the doc): a token is masked iff ANY corpus-duplicated
+    5-gram covers it. Where q_dup_span reports the per-doc duplicated
+    fraction, this query materializes which tokens go — shingle starts
+    explode to their 5 covered positions, distinct per (doc, pos),
+    count vs doc length. Shuffles carry only (8-byte hash) and
+    (doc_id, pos) ints — never text; the positions explode is 5× rows
+    of ints, collapsed by the distinct's map-side partial."""
+    d = table(spark, sf_dir, "documents")
+    wl = words_col()
+    base = d.select("doc_id", wl.alias("wl"))
+    tok = base.select(
+        "doc_id", F.size("wl").cast("long").alias("n_tokens")
+    )
+    sh = (
+        base.filter(F.size("wl") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(wl) - 5), i -> "
+                    "concat(element_at(wl, i + 1), ' ', element_at(wl, i + 2),"
+                    " ' ', element_at(wl, i + 3), ' ', element_at(wl, i + 4),"
+                    " ' ', element_at(wl, i + 5)))"
+                )
+            ).alias("s", "shingle"),
+        )
+        .select("doc_id", "s", md5_bigint(F.col("shingle")).alias("h"))
+    )
+    c = sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    covered = (
+        sh.join(c, "h")
+        .filter(F.col("cnt") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + 4)).alias("pos"),
+        )
+        .distinct()
+    )
+    masked = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_masked")
+    )
+    return (
+        tok.join(masked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            rnd(
+                1.0
+                - F.coalesce("n_masked", F.lit(0))
+                / (1.0 * F.col("n_tokens")),
+                6,
+            ).alias("keep_fraction"),
+        )
+    )
+
+
+@register(
+    "q_near_dup_rank",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup', fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
+    seeded AS (
+      SELECT doc_id, j, xor({md5_bigint_sql('shingle')}, c) AS h
+      FROM sh CROSS JOIN seeds
+    ),
+    mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, j // {BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    shs AS (SELECT DISTINCT doc_id, {md5_bigint_sql('shingle')} AS h FROM sh),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+           FROM shs GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc1, c.doc2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN shs a ON a.doc_id = c.doc1
+      JOIN shs b ON b.doc_id = c.doc2 AND b.h = a.h
+      GROUP BY c.doc1, c.doc2
+    ),
+    scored AS (
+      SELECT doc1, doc2,
+             CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jac
+      FROM inter
+      JOIN sz s1 ON s1.doc_id = doc1
+      JOIN sz s2 ON s2.doc_id = doc2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY jac DESC, doc1, doc2) AS BIGINT)
+             AS rank,
+           doc1, doc2, ROUND(jac, 6) + 0.0 AS jaccard
+    FROM scored ORDER BY jac DESC, doc1, doc2 LIMIT 20
+    """,
+)
+def q_near_dup_rank(spark, sf_dir):
+    """RANKED near-duplicate pairs: MinHash-LSH band candidates
+    (never all-pairs) re-scored with EXACT 3-shingle-set Jaccard,
+    global top-20 by (jaccard desc, ids). The triage view a curation
+    operator reviews before choosing a dedup threshold — q_dedup_*
+    apply a fixed τ; this query shows the similarity SPECTRUM around
+    it. Scale: the candidate table is band-join-pruned (tiny vs
+    corpus), the exact re-rank joins 8-byte shingle hashes only, and
+    the final row_number orders just the scored candidates, not the
+    corpus — same layering as the ANN recall diagnostics."""
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, n=3).select("doc1", "doc2")
+    shs = shingles(d, 3).select(
+        "doc_id", md5_bigint(F.col("shingle")).alias("h")
+    ).distinct()
+    sz = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shs.select(F.col("doc_id").alias("doc1"), "h")
+    b = shs.select(F.col("doc_id").alias("doc2"), "h")
+    inter = (
+        cand.join(a, "doc1")
+        .join(b, ["doc2", "h"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        inter.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .select("doc1", "doc2", jac.alias("jac"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("jac").desc(), "doc1", "doc2")
+        ).cast("long"),
+    ).filter(F.col("rank") <= 20)
+    return ranked.select(
+        "rank", "doc1", "doc2", rnd(F.col("jac"), 6).alias("jaccard")
+    )

@@ -693,3 +693,26 @@ def test_gauss_lut_persist_and_reuse(spark, sf_dir, tmp_path):
             .collect()
         }
     assert agg(lut2) == agg(_knn_pairs(spark, sf_dir, k=8))
+
+
+def test_approx_distinct_bounded_error(spark, sf_dir):
+    """q_approx_distinct can never be oracle-hashed (HLL sketches are
+    engine-specific by design) — this is its local accuracy gate
+    (VERDICT r3 item 7): per event_type, |HLL − exact| / exact ≤ 5%."""
+    from pyresample_spark.queries import load_all
+
+    reg = load_all()
+    approx = {
+        r.event_type: r
+        for r in reg["q_approx_distinct"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in reg["q_distinct_agg"].builder(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        got = approx[et].approx_users
+        assert abs(got - ex.n_users) / ex.n_users <= 0.05, (
+            et, got, ex.n_users
+        )
