@@ -112,7 +112,11 @@ def _nearest(
     )
     if fill is not None:
         grid = target.grid(img.df.sparkSession).select("cell_id")
-        out = grid.join(out, "cell_id", "left").select(
+        # shuffle_hash on the values side: the fill join would otherwise
+        # plan SortMergeJoin (sorting BOTH sides); hash-building on the
+        # ≤1-row-per-cell values side needs no sort at any grid scale,
+        # and AQE still broadcasts it when truly small.
+        out = grid.join(out.hint("shuffle_hash"), "cell_id", "left").select(
             "cell_id", F.coalesce("value", F.lit(fill)).alias("value")
         )
     return out
