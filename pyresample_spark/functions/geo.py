@@ -1150,3 +1150,84 @@ def robin_inv_sql(x: str, y: str, lon_0: float = 0.0,
     lon = (f"(((({lon_0!r} + degrees(({x}) / ({_ROBIN_CX * radius!r}"
            f" * {bx}))) + 540.0) % 360.0) - 180.0)")
     return lon, lat
+
+
+# --- Oblique/equatorial stereographic (spherical, any lat_0) ----------
+# Snyder eqs. 21-2..21-4 forward, 20-14..20-18 inverse — removes the
+# polar-aspect-only restriction of stere_polar_* (the reference reaches
+# oblique stere through pyproj; closed-form spherical here).
+
+def stere_oblique_xy(lon, lat, lat_0: float = 0.0, lon_0: float = 0.0,
+                     k0: float = 1.0, radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    latr = F.radians(_c(lat))
+    dlon = F.radians(_c(lon) - F.lit(lon_0))
+    kden = 1.0 + s1 * F.sin(latr) + c1 * F.cos(latr) * F.cos(dlon)
+    k = 2.0 * k0 / kden
+    x = radius * k * F.cos(latr) * F.sin(dlon)
+    y = radius * k * (
+        c1 * F.sin(latr) - s1 * F.cos(latr) * F.cos(dlon)
+    )
+    return x, y
+
+
+def stere_oblique_inverse(x, y, lat_0: float = 0.0, lon_0: float = 0.0,
+                          k0: float = 1.0, radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs, ys = _c(x), _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    cc = 2.0 * F.atan(rho / (2.0 * radius * k0))
+    sin_c, cos_c = F.sin(cc), F.cos(cc)
+    # rho == 0 → the projection center exactly
+    lat = F.when(rho == 0.0, F.lit(float(lat_0))).otherwise(
+        F.degrees(F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+            cos_c * s1 + ys * sin_c * c1 / rho))))
+    )
+    lon = F.when(rho == 0.0, F.lit(float(lon_0))).otherwise(
+        F.lit(lon_0) + F.degrees(F.atan2(
+            xs * sin_c, rho * c1 * cos_c - ys * s1 * sin_c
+        ))
+    )
+    return wrap_longitude(lon), lat
+
+
+def stere_oblique_sql(lon: str, lat: str, lat_0: float = 0.0,
+                      lon_0: float = 0.0, k0: float = 1.0,
+                      radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    dlon = f"radians({lon} - {lon_0!r})"
+    latr = f"radians({lat})"
+    kden = (f"(1.0 + {s1!r} * sin({latr})"
+            f" + {c1!r} * cos({latr}) * cos({dlon}))")
+    k = f"({2.0 * k0!r} / {kden})"
+    return (
+        f"({radius!r} * {k} * cos({latr}) * sin({dlon}))",
+        f"({radius!r} * {k} * ({c1!r} * sin({latr})"
+        f" - {s1!r} * cos({latr}) * cos({dlon})))",
+    )
+
+
+def stere_oblique_inv_sql(x: str, y: str, lat_0: float = 0.0,
+                          lon_0: float = 0.0, k0: float = 1.0,
+                          radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs = f"CAST({x} AS DOUBLE)"
+    ys = f"CAST({y} AS DOUBLE)"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    cc = f"(2.0 * atan({rho} / {2.0 * radius * k0!r}))"
+    lat = (f"(CASE WHEN {rho} = 0.0 THEN {float(lat_0)!r} ELSE "
+           f"degrees(asin(greatest(-1.0, least(1.0, cos({cc}) * {s1!r}"
+           f" + {ys} * sin({cc}) * {c1!r} / {rho})))) END)")
+    lon_raw = (f"({lon_0!r} + degrees(atan2({xs} * sin({cc}),"
+               f" {rho} * {c1!r} * cos({cc}) - {ys} * {s1!r} * sin({cc}))))")
+    lon = (f"(CASE WHEN {rho} = 0.0 THEN {float(lon_0)!r} ELSE "
+           f"((({lon_raw} + 540.0) % 360.0) - 180.0) END)")
+    return lon, lat

@@ -13,7 +13,12 @@ equal-area — and falls back to the Arrow-batched pyproj UDF
 Supported proj strings (whitespace-separated key=value, order-free):
 - ``longlat`` (degrees pass-through)
 - ``eqc`` / ``+proj=eqc``
-- ``+proj=stere +lat_0=±90 [+lat_ts=..] [+lon_0=..]`` (polar aspects)
+- ``+proj=stere`` — polar aspects (lat_0=±90, lat_ts secant form) AND
+  oblique/equatorial aspects (any lat_0, Snyder 21-2..21-4 k0 form)
+- ``+proj=aea +lat_1=.. [+lat_2=..]`` / ``+proj=eqdc +lat_1=..
+  [+lat_2=..]`` (Snyder 14/16 conics)
+- ``+proj=moll`` (Newton-fold forward, closed-form inverse)
+- ``+proj=robin`` (Robinson 1974 table, linear interpolation)
 - ``+proj=laea [+lat_0=..] [+lon_0=..]``
 - ``+proj=merc [+lat_ts=..] [+lon_0=..]``
 - ``+proj=lcc +lat_1=.. [+lat_2=..] [+lat_0=..] [+lon_0=..]``
@@ -35,6 +40,8 @@ from pyresample_spark.functions.geo import (
     R_EARTH,
     aea_inverse,
     aea_xy,
+    stere_oblique_inverse,
+    stere_oblique_xy,
     eqc_x,
     eqc_y,
     eqdc_inverse,
@@ -96,12 +103,9 @@ def _family(crs: str) -> str:
         return "eqc"
     if proj == "stere":
         lat0 = float(p.get("lat_0", "90"))
-        if abs(lat0) != 90.0:
-            raise NotImplementedError(
-                "only polar stereographic aspects are analytic; "
-                "oblique stere needs pyproj"
-            )
-        return "stere"
+        # polar aspects keep the lat_ts secant form (stere_polar_*);
+        # oblique/equatorial aspects use Snyder 21-2..21-4 (k0 scale)
+        return "stere" if abs(lat0) == 90.0 else "stere_oblique"
     if proj == "laea":
         return "laea"
     if proj == "merc":
@@ -178,6 +182,13 @@ def forward(crs: str):
         return lambda lon, lat: (
             stere_polar_x(lon, lat, lat_ts=lat_ts, lon_0=lon_0, north=north),
             stere_polar_y(lon, lat, lat_ts=lat_ts, lon_0=lon_0, north=north),
+        )
+    if fam == "stere_oblique":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        k0 = float(p.get("k_0", p.get("k", "1")))
+        return lambda lon, lat: stere_oblique_xy(
+            lon, lat, lat_0=lat_0, lon_0=lon_0, k0=k0
         )
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
@@ -259,6 +270,13 @@ def inverse(crs: str):
         north = lat0 > 0
         return lambda x, y: stere_polar_inverse(
             x, y, lat_ts=lat_ts, lon_0=lon_0, north=north
+        )
+    if fam == "stere_oblique":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        k0 = float(p.get("k_0", p.get("k", "1")))
+        return lambda x, y: stere_oblique_inverse(
+            x, y, lat_0=lat_0, lon_0=lon_0, k0=k0
         )
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
@@ -416,6 +434,25 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _ortho_inv
+    if fam == "stere_oblique":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        k0 = float(p.get("k_0", p.get("k", "1")))
+        s1, c1 = math.sin(math.radians(lat_0)), math.cos(math.radians(lat_0))
+
+        def _stere_ob_inv(x, y):
+            rho = math.hypot(x, y)
+            if rho == 0.0:
+                return lon_0, lat_0
+            cc = 2.0 * math.atan(rho / (2.0 * R * k0))
+            lat = math.degrees(math.asin(max(-1.0, min(1.0,
+                math.cos(cc) * s1 + y * math.sin(cc) * c1 / rho))))
+            lon = lon_0 + math.degrees(math.atan2(
+                x * math.sin(cc),
+                rho * c1 * math.cos(cc) - y * s1 * math.sin(cc)))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _stere_ob_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

@@ -86,6 +86,8 @@ _PRIORITY = [
     "q_regrid_robin",
     "q_gauss_lut_reuse",
     "q_resample_nearest_keyed",
+    "q_proj_stere_oblique",
+    "q_regrid_stere_oblique",
     "q_sessionize_gap",
     "q_quantile_bin",
     "q_ngram_lm_ppl",

@@ -468,3 +468,32 @@ def q_proj_robin(spark, sf_dir):
     return _pts(spark, sf_dir).select(
         "event_id", rnd(rx, 3).alias("rx"), rnd(ry, 3).alias("ry")
     )
+
+
+@register(
+    "q_proj_stere_oblique",
+    oracle=(lambda _sx: f"""
+    SELECT event_id,
+           ROUND({_sx[0]}, 3) + 0.0 AS ox,
+           ROUND({_sx[1]}, 3) + 0.0 AS oy
+    FROM ({PTS_SQL}) WHERE lat > -60.0 AND lat < 80.0
+    """)(__import__('pyresample_spark.functions.geo', fromlist=['stere_oblique_sql']).stere_oblique_sql('lon', 'lat', lat_0=52.0, lon_0=10.0, k0=0.9999)),
+)
+def q_proj_stere_oblique(spark, sf_dir):
+    """OBLIQUE stereographic forward projection (center 52°N 10°E,
+    k0=0.9999 — the RD/Europe-style oblique aspect) as pure column
+    math — Snyder 21-2..21-4 spherical. Removes the polar-aspect-only
+    restriction the round-3 registry had (operators/crs.py raised
+    NotImplementedError for |lat_0| ≠ 90; the reference reaches these
+    through pyproj). Antipode band excluded: k → ∞ there."""
+    from pyresample_spark.functions.geo import stere_oblique_xy
+
+    ox, oy = stere_oblique_xy("lon", "lat", lat_0=52.0, lon_0=10.0,
+                              k0=0.9999)
+    return (
+        _pts(spark, sf_dir)
+        .filter((F.col("lat") > -60.0) & (F.col("lat") < 80.0))
+        .select(
+            "event_id", rnd(ox, 3).alias("ox"), rnd(oy, 3).alias("oy")
+        )
+    )

@@ -1352,3 +1352,43 @@ def q_regrid_robin(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_ROBIN_AREA, EQC_AREA, src)
+
+
+def _stere_ob_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # Oblique stereographic window centered on Europe (52°N 10°E) —
+    # the RD-style oblique aspect the polar-only registry couldn't
+    # reach before round 4.
+    return AreaDefinition(
+        "stere_ob_europe",
+        "+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999",
+        width=60, height=50,
+        area_extent=(-2.0e6, -1.6e6, 2.0e6, 1.6e6),
+    )
+
+
+_STERE_OB_AREA = _stere_ob_area()
+
+
+@register(
+    "q_regrid_stere_oblique",
+    oracle=(lambda lonlat: _regrid_oracle(_STERE_OB_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["stere_oblique_inv_sql"],
+        ).stere_oblique_inv_sql("cx", "cy", lat_0=52.0, lon_0=10.0,
+                                k0=0.9999)
+    ),
+)
+def q_regrid_stere_oblique(spark, sf_dir):
+    """Oblique stereographic regrid WITHOUT pyproj: an eqc world image
+    onto a Europe-centered oblique-stere window. Snyder 20-14..20-18
+    spherical inverse as column math through the analytic registry
+    (operators/crs.py 'stere_oblique' family); generalized linesample
+    plan — inverse∘forward + one equi-join, fully codegen'd."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_STERE_OB_AREA, EQC_AREA, src)

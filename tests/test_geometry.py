@@ -561,3 +561,38 @@ def test_moll_pole_and_registry_dispatch(spark):
         lon2, lat2 = inv(x, y)
         r = df.select(lon2.alias("a"), lat2.alias("b")).collect()[0]
         assert abs(r.a - 10.0) < 1e-9 and abs(r.b - 40.0) < 1e-9, crs
+
+
+def test_stere_oblique_roundtrip_and_dispatch(spark):
+    """Oblique stereographic (any lat_0): forward∘inverse ≈ identity;
+    the crs registry routes non-polar stere to the oblique family and
+    polar stere stays on the lat_ts secant form."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import (
+        stere_oblique_inverse,
+        stere_oblique_xy,
+    )
+    from pyresample_spark.operators.crs import _family
+
+    assert _family("+proj=stere +lat_0=90 +lat_ts=70") == "stere"
+    assert _family("+proj=stere +lat_0=52 +lon_0=10") == "stere_oblique"
+
+    pts = spark.createDataFrame(
+        [(float(lon), float(lat)) for lon in range(-60, 81, 20)
+         for lat in range(-20, 81, 10)],
+        "lon double, lat double",
+    )
+    x, y = stere_oblique_xy("lon", "lat", lat_0=52.0, lon_0=10.0, k0=0.9999)
+    proj = pts.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = stere_oblique_inverse("x", "y", lat_0=52.0, lon_0=10.0,
+                                       k0=0.9999)
+    bad = proj.select(
+        (F.abs(lon2 - F.col("lon")) + F.abs(lat2 - F.col("lat"))).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert bad < 1e-9
+
+    # center point maps to the origin and inverts exactly
+    ctr = spark.createDataFrame([(10.0, 52.0)], "lon double, lat double")
+    r = ctr.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(r.x) < 1e-6 and abs(r.y) < 1e-6
