@@ -93,6 +93,7 @@ _PRIORITY = [
     "q_ngram_lm_ppl",
     "q_dedup_span_mask",
     "q_near_dup_rank",
+    "q_vincenty",
     # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
     #     driver green ---
     "q_knn_join",

@@ -497,3 +497,55 @@ def q_proj_stere_oblique(spark, sf_dir):
             "event_id", rnd(ox, 3).alias("ox"), rnd(oy, 3).alias("oy")
         )
     )
+
+
+@register(
+    "q_vincenty",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM ({PTS_SQL})
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT event_id,
+           ROUND({R_EARTH!r} * atan2(
+             sqrt(pow(cos(radians(lat)) * sin(radians(lon - plon)), 2)
+                + pow(cos(radians(plat)) * sin(radians(lat))
+                    - sin(radians(plat)) * cos(radians(lat))
+                      * cos(radians(lon - plon)), 2)),
+             sin(radians(plat)) * sin(radians(lat))
+             + cos(radians(plat)) * cos(radians(lat))
+               * cos(radians(lon - plon))
+           ), 3) + 0.0 AS step_m
+    FROM p WHERE plon IS NOT NULL
+    """,
+)
+def q_vincenty(spark, sf_dir):
+    """Vincenty (spherical) great-circle distance between each user's
+    CONSECUTIVE points — the atan2 form that stays numerically exact at
+    antipodal and near-zero separations where haversine's asin
+    saturates (reference: `_vincenty_matrix` spherical.py:57-78; the
+    haversine twin is q_haversine). lag() pairs the track points; the
+    distance itself is pure column math, codegen'd."""
+    pts = _pts(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    p = (
+        pts.withColumn("plon", F.lag("lon").over(w))
+        .withColumn("plat", F.lag("lat").over(w))
+        .filter(F.col("plon").isNotNull())
+    )
+    lat1, lat2 = F.radians(F.col("plat")), F.radians(F.col("lat"))
+    dlon = F.radians(F.col("lon") - F.col("plon"))
+    num = F.sqrt(
+        F.pow(F.cos(lat2) * F.sin(dlon), 2)
+        + F.pow(
+            F.cos(lat1) * F.sin(lat2)
+            - F.sin(lat1) * F.cos(lat2) * F.cos(dlon),
+            2,
+        )
+    )
+    den = F.sin(lat1) * F.sin(lat2) + F.cos(lat1) * F.cos(lat2) * F.cos(dlon)
+    return p.select(
+        "event_id", rnd(R_EARTH * F.atan2(num, den), 3).alias("step_m")
+    )
