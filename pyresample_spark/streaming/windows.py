@@ -246,3 +246,59 @@ def streaming_dedup(
     return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join — the attribution shape (each
+    'click' event joined to the same user's preceding 'view' within
+    ``max_delay``): the one §2.9 streaming operator family the batch
+    twins don't cover. Both sides are watermarked so Spark can bound
+    the join state: a buffered view row is dropped once the click-side
+    watermark passes view_time + max_delay — state is O(events inside
+    the delay horizon), independent of stream length, which is what
+    makes the join runnable on an unbounded feed.
+
+    Returns (click_id, view_id, user_id, gap_us). The batch twin is a
+    plain self-join with the same predicate (see
+    test_stream_stream_join_matches_batch)."""
+    c = (
+        clicks.withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("click_time"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    v = (
+        views.withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("event_time").alias("view_time"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = c.join(
+        v,
+        F.expr(
+            f"""
+            c_user = v_user AND
+            view_time <= click_time AND
+            view_time >= click_time - INTERVAL {max_delay}
+            """
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        ((F.col("c_ts") - F.col("v_ts")) / F.lit(1000)).cast("long").alias(
+            "gap_us"
+        ),
+    )

@@ -217,3 +217,58 @@ def test_streaming_cosine_topk_matches_batch(spark, sf_dir, tmp_path):
         for r in cosine_topk(corpus, probes, k=5).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (attribution shape): clicks joined
+    to the same user's preceding views within 1 h, both sides
+    watermarked. Driving the static file through micro-batches must
+    produce exactly the batch self-join's pairs."""
+    from pyresample_spark.operators.bucket import load_events
+    from pyresample_spark.streaming.windows import (
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    st = read_events_stream(spark, sf_dir)
+    clicks = st.filter(F.col("event_type") == "click")
+    views = st.filter(F.col("event_type") == "view")
+    joined = stream_stream_interval_join(clicks, views, max_delay="1 hour")
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.click_id, r.view_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_us").alias("v_us"),
+    )
+    batch = c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_us") <= F.col("c_us"))
+        & (F.col("v_us") >= F.col("c_us") - 3_600_000_000),
+    ).select("click_id", "view_id", (F.col("c_us") - F.col("v_us")).alias("gap_us"))
+    want = sorted((r.click_id, r.view_id, r.gap_us) for r in batch.collect())
+    assert len(got) > 0
+    assert got == want
