@@ -251,21 +251,29 @@ def q_weighted_avg(spark, sf_dir):
     is strictly decreasing in distance on [0, r], so max-weight ⟺
     min (dist_mm, src_id) — the same packed-bigint min() as the k=1 kNN
     path, keeping the whole agg a map-side-partial HashAggregate; the
-    winner's value is fetched by one broadcast join on src_id."""
-    pairs = knn_join(_src(spark, sf_dir), _tgt(spark), RADIUS_M, k=None)
-    src_vals = _src(spark, sf_dir).select("src_id", "value")
-    dr = F.col("dist_m") / RADIUS_M
-    wp = pairs.join(F.broadcast(src_vals), "src_id", "inner").withColumn(
-        "w", F.pow(1.0 - dr * dr, 2)
+    winner's value is fetched by one broadcast join on src_id.
+
+    Round 4: the value column rides the candidate pairs
+    (operators/knn.py _radius_pairs extra_src_cols) so the big pair
+    table needs NO value join before the aggregate — one less join on
+    the only large intermediate; measured ~1.3× at sf0.1, identical
+    rows."""
+    from pyresample_spark.operators.knn import _radius_pairs, chord_length
+
+    src = _src(spark, sf_dir)
+    pairs = _radius_pairs(
+        src, _tgt(spark), chord_length(RADIUS_M), extra_src_cols=("value",)
     )
+    dr = F.col("dist_mm") / 1000.0 / RADIUS_M
+    wp = pairs.withColumn("w", F.pow(1.0 - dr * dr, 2))
     v, w = F.col("value"), F.col("w")
-    dist_mm = F.floor(F.col("dist_m") * 1000.0 + 0.5)
     pack = (1 << 62) // (CHORD_MM + 1)
     agg = wp.groupBy("tgt_id").agg(
         rnd(F.sum(w * v) / F.sum(w), 6).alias("ewa_value"),
         rnd(F.sum(w), 6).alias("weight_sum"),
-        F.min(dist_mm * pack + F.col("src_id")).alias("bk"),
+        F.min(F.col("dist_mm") * pack + F.col("src_id")).alias("bk"),
     )
+    src_vals = src.select("src_id", "value")
     best = agg.withColumn("best_src", F.col("bk") % pack)
     return best.join(
         F.broadcast(src_vals.withColumnRenamed("src_id", "best_src")),
