@@ -132,16 +132,19 @@ def _gauss(
     value_col="value",
     key_col: str | None = None,
 ):
-    from pyresample_spark.operators.knn import gauss_weight, knn_join
+    from pyresample_spark.operators.knn import knn_gauss_fold
 
+    # fused top-k + weighted sums (one HashAggregate, no value re-join);
+    # the struct-sort top-k has no packed-id range precondition, so any
+    # caller-supplied natural key works unchanged
     src = _src_keyed(img, key_col)
-    nn = knn_join(src, _tgt_points(img.df.sparkSession, target), radius_m, k=k)
-    wp = nn.join(src.select("src_id", value_col), "src_id").withColumn(
-        "w", gauss_weight(F.col("dist_m"), sigma)
+    sums = knn_gauss_fold(
+        src, _tgt_points(img.df.sparkSession, target), radius_m,
+        k=k, sigma=sigma, value_col=value_col,
     )
-    v, w = F.col(value_col), F.col("w")
-    return wp.groupBy(F.col("tgt_id").alias("cell_id")).agg(
-        (F.sum(w * v) / F.sum(w)).alias("value")
+    return sums.select(
+        F.col("tgt_id").alias("cell_id"),
+        (F.col("swv") / F.col("v1")).alias("value"),
     )
 
 
