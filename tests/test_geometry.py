@@ -596,3 +596,62 @@ def test_stere_oblique_roundtrip_and_dispatch(spark):
     ctr = spark.createDataFrame([(10.0, 52.0)], "lon double, lat double")
     r = ctr.select(x.alias("x"), y.alias("y")).collect()[0]
     assert abs(r.x) < 1e-6 and abs(r.y) < 1e-6
+
+
+def test_inverse_scalar_matches_column_inverse_all_families(spark):
+    """The driver-side scalar inverse (plan-time geometry: boundaries,
+    overlap tests) and the executor-side column inverse are two
+    implementations of the same math — they must agree to ~1e-9° for
+    every analytic family, on-domain and (as NULL/None) off-domain."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.crs import inverse, inverse_scalar
+
+    cases = {
+        "+proj=eqc": (-3e6, 3e6),
+        "+proj=stere +lat_0=90 +lat_ts=70": (-2e6, 2e6),
+        "+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999": (-2e6, 2e6),
+        "+proj=laea +lat_0=-90": (-2e6, 2e6),
+        "+proj=merc +lat_ts=20": (-4e6, 4e6),
+        "+proj=lcc +lat_0=35 +lat_1=33 +lat_2=45 +lon_0=-95": (-2e6, 2e6),
+        "+proj=geos +h=35785831 +lon_0=0": (-4e6, 4e6),
+        "+proj=tmerc +lon_0=9 +k=0.9996": (-2e6, 2e6),
+        "+proj=utm +zone=33": (-3e5, 3e5),
+        "+proj=sinu +lon_0=0": (-4e6, 4e6),
+        "+proj=cea +lat_ts=30": (-4e6, 4e6),
+        "+proj=ortho +lat_0=45 +lon_0=10": (-3e6, 3e6),
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96": (-2e6, 2e6),
+        "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96": (-2e6, 2e6),
+        "+proj=moll +lon_0=0": (-6e6, 6e6),
+        "+proj=robin +lon_0=0": (-6e6, 6e6),
+    }
+    pts = [(dx, dy) for dx in (-1.0, -0.37, 0.0, 0.41, 1.0)
+           for dy in (-1.0, -0.53, 0.0, 0.29, 1.0)]
+    for crs, (lo, hi) in cases.items():
+        xy = [(lo + (dx + 1) / 2 * (hi - lo), lo + (dy + 1) / 2 * (hi - lo))
+              for dx, dy in pts]
+        df = spark.createDataFrame(xy, "x double, y double")
+        lon_c, lat_c = inverse(crs)("x", "y")
+        got = df.select(
+            "x", "y", lon_c.alias("lon"), lat_c.alias("lat")
+        ).collect()
+        scalar = inverse_scalar(crs)
+
+        def xyz(lon, lat):
+            import math
+
+            lo, la = math.radians(lon), math.radians(lat)
+            return (math.cos(la) * math.cos(lo),
+                    math.cos(la) * math.sin(lo), math.sin(la))
+
+        for r in got:
+            sv = scalar(r.x, r.y)
+            if r.lon is None or r.lat is None:
+                assert sv is None, (crs, r.x, r.y, sv)
+                continue
+            assert sv is not None, (crs, r.x, r.y)
+            # compare unit-sphere positions: at the exact pole the
+            # longitude is undefined and implementations may differ
+            a, b = xyz(sv[0], sv[1]), xyz(r.lon, r.lat)
+            d = sum((u - v) ** 2 for u, v in zip(a, b)) ** 0.5
+            assert d < 1e-9, (crs, r.x, r.y, sv, (r.lon, r.lat), d)
