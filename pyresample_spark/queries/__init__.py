@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_dedup_span_mask",
     "q_near_dup_rank",
     "q_vincenty",
+    "q_minhash_jaccard_est",
     # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
     #     driver green ---
     "q_knn_join",

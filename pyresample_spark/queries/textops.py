@@ -1614,3 +1614,109 @@ def q_near_dup_rank(spark, sf_dir):
     return ranked.select(
         "rank", "doc1", "doc2", rnd(F.col("jac"), 6).alias("jaccard")
     )
+
+
+@register(
+    "q_minhash_jaccard_est",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup', fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
+    seeded AS (
+      SELECT doc_id, j, xor({md5_bigint_sql('shingle')}, c) AS h
+      FROM sh CROSS JOIN seeds
+    ),
+    mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, j // {BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc1, c.doc2,
+             CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cand c
+      JOIN mh a ON a.doc_id = c.doc1
+      JOIN mh b ON b.doc_id = c.doc2 AND b.j = a.j
+      GROUP BY c.doc1, c.doc2
+    ),
+    shs AS (SELECT DISTINCT doc_id, {md5_bigint_sql('shingle')} AS h FROM sh),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+           FROM shs GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc1, c.doc2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN shs a ON a.doc_id = c.doc1
+      JOIN shs b ON b.doc_id = c.doc2 AND b.h = a.h
+      GROUP BY c.doc1, c.doc2
+    )
+    SELECT e.doc1, e.doc2,
+           (ROUND(e.n_agree / {float(N_HASHES)!r}, 6) + 0.0) AS est_jaccard,
+           (ROUND(CAST(i.n_common AS DOUBLE)
+                  / (s1.n_sh + s2.n_sh - i.n_common), 6) + 0.0)
+             AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.doc1 = e.doc1 AND i.doc2 = e.doc2
+    JOIN sz s1 ON s1.doc_id = e.doc1
+    JOIN sz s2 ON s2.doc_id = e.doc2
+    """,
+)
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash ACCURACY diagnostic: for every LSH candidate pair, the
+    sketch's Jaccard estimate (fraction of agreeing minhash components,
+    an unbiased estimator with σ = √(J(1−J)/16)) side-by-side with the
+    exact shingle-set Jaccard — the dedup family's analog of
+    q_ann_recall (how much does the 16-permutation sketch distort the
+    similarity a threshold is applied to?). Scale: the estimate costs
+    one (doc, j) equi-join over candidates only; the exact column is
+    the audit, computed on the band-pruned candidate set, never
+    all-pairs."""
+    from pyresample_spark.operators.dedup import minhash_signatures
+
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, n=3).select("doc1", "doc2")
+    sh = shingles(d, 3)
+    mh = minhash_signatures(sh, N_HASHES)
+    a = mh.select(F.col("doc_id").alias("doc1"), "j", F.col("mh").alias("mh1"))
+    b = mh.select(F.col("doc_id").alias("doc2"), "j", F.col("mh").alias("mh2"))
+    est = (
+        cand.join(a, "doc1")
+        .join(b, ["doc2", "j"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.sum(
+                F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0)
+            ).cast("long").alias("n_agree")
+        )
+    )
+    shs = sh.select("doc_id", md5_bigint(F.col("shingle")).alias("h")).distinct()
+    sz = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = shs.select(F.col("doc_id").alias("doc1"), "h")
+    ib = shs.select(F.col("doc_id").alias("doc2"), "h")
+    inter = (
+        cand.join(ia, "doc1")
+        .join(ib, ["doc2", "h"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    exact = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        est.join(inter, ["doc1", "doc2"])
+        .join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            rnd(F.col("n_agree") / float(N_HASHES), 6).alias("est_jaccard"),
+            rnd(exact, 6).alias("exact_jaccard"),
+        )
+    )
