@@ -716,3 +716,47 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
         assert abs(got - ex.n_users) / ex.n_users <= 0.05, (
             et, got, ex.n_users
         )
+
+
+def test_round4_operator_edge_cases(spark):
+    """Degenerate inputs for the round-4 operators: empty source into
+    the fused gaussian fold; Mollweide inverse clamped beyond the
+    projection envelope; Robinson inverse at the equator/origin;
+    distinct LUT cache keys for distinct parameters."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.knn import knn_gauss_fold
+    from pyresample_spark.plans.lut import LutCache
+
+    # empty source → empty aggregate, not an error
+    empty = spark.createDataFrame(
+        [], "src_id long, value double, lon double, lat double"
+    )
+    tgt = spark.createDataFrame(
+        [(0, 0.0, 0.0)], "tgt_id long, lon double, lat double"
+    )
+    assert knn_gauss_fold(empty, tgt, 100_000.0, k=8, sigma=5e4).count() == 0
+
+    # Mollweide inverse: |y| beyond sqrt(2)·R clamps to the pole row
+    # instead of NaN
+    from pyresample_spark.functions.geo import moll_inverse
+
+    df = spark.createDataFrame([(0.0, 1.0e7)], "x double, y double")
+    lon, lat = moll_inverse("x", "y")
+    r = df.select(lon.alias("a"), lat.alias("b")).collect()[0]
+    assert abs(r.b - 90.0) < 1e-9 and not (r.a != r.a)
+
+    # Robinson inverse at the origin is exactly (lon_0, 0)
+    from pyresample_spark.functions.geo import robin_inverse
+
+    df0 = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+    lon0, lat0 = robin_inverse("x", "y", lon_0=10.0)
+    r0 = df0.select(lon0.alias("a"), lat0.alias("b")).collect()[0]
+    assert abs(r0.a - 10.0) < 1e-12 and abs(r0.b) < 1e-12
+
+    # LUT cache: different radius/k → different key (no false sharing)
+    cache = LutCache("/tmp/unused")
+    k1 = cache.key("s", "t", 250_000.0, 8)
+    assert k1 != cache.key("s", "t", 250_000.0, 4)
+    assert k1 != cache.key("s", "t", 100_000.0, 8)
+    assert k1 != cache.key("s", "other", 250_000.0, 8)
