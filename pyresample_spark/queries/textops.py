@@ -1710,7 +1710,9 @@ def q_minhash_jaccard_est(spark, sf_dir):
         F.col("n1") + F.col("n2") - F.col("n_common")
     )
     return (
-        est.join(inter, ["doc1", "doc2"])
+        # shuffle_hash: both sides are candidate-bounded aggregates;
+        # hash-building one avoids SortMergeJoin's two sorts
+        est.join(inter.hint("shuffle_hash"), ["doc1", "doc2"])
         .join(F.broadcast(s1), "doc1")
         .join(F.broadcast(s2), "doc2")
         .select(
