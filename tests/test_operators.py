@@ -760,3 +760,65 @@ def test_round4_operator_edge_cases(spark):
     assert k1 != cache.key("s", "t", 250_000.0, 4)
     assert k1 != cache.key("s", "t", 100_000.0, 8)
     assert k1 != cache.key("s", "other", 250_000.0, 8)
+
+
+def test_reference_golden_kd_tree_fixture(spark):
+    """PARITY against the reference's own published expected values
+    (pyresample/test/test_kd_tree.py:51-99 fixture: 3 swath points,
+    data [1,2,3], one target at (12.562036, 55.715613)):
+
+    - resample_nearest r=100 km → 2
+    - resample_gauss r=50 km σ=25 km → 2.2020729 (±1e-5)
+    - resample_custom w=1−d/1e5, r=50 km → 2.4356757 (±1e-5)
+    - resample_gauss r=100 km σ=fwhm2sigma(41627.7306) with_uncert →
+      (2.20206560694, 0.707115076173, n=3)
+
+    Only the fixture CONSTANTS come from the reference; the engine path
+    is this repo's cell join + fused fold. Both engines embed lon/lat
+    on the R=6370997 sphere and weight by chord distance, so the
+    numbers must agree to the reference's own 1e-5 assertion tolerance.
+    """
+    import math
+
+    from pyresample_spark.operators.knn import knn_gauss_fold, knn_join
+
+    src = spark.createDataFrame(
+        [
+            (0, 1.0, 11.280789, 56.011037),
+            (1, 2.0, 12.649354, 55.629675),
+            (2, 3.0, 12.080402, 55.641535),
+        ],
+        "src_id long, value double, lon double, lat double",
+    )
+    tgt = spark.createDataFrame(
+        [(0, 12.562036, 55.715613)], "tgt_id long, lon double, lat double"
+    )
+
+    # nearest within 100 km → the value-2 point
+    nn = knn_join(src, tgt, 100_000.0, k=1).collect()
+    assert len(nn) == 1 and nn[0].src_id == 1
+
+    # gauss r=50 km σ=25 km
+    g = knn_gauss_fold(src, tgt, 50_000.0, k=8, sigma=25_000.0).collect()[0]
+    assert abs(g.swv / g.v1 - 2.2020729) < 1e-5
+
+    # custom weight 1 − d/100000 within 50 km
+    from pyspark.sql import functions as F
+
+    pairs = knn_join(src, tgt, 50_000.0, k=None)
+    w = 1.0 - F.col("dist_m") / 100_000.0
+    joined = pairs.join(src.select("src_id", "value"), "src_id")
+    c = joined.groupBy("tgt_id").agg(
+        (F.sum(w * F.col("value")) / F.sum(w)).alias("v")
+    ).collect()[0]
+    assert abs(c.v - 2.4356757) < 1e-5
+
+    # gauss with uncertainty, r=100 km, σ = fwhm2sigma(41627.7306)
+    sigma = 41627.730557884883 / (2.0 * math.sqrt(math.log(2)))
+    u = knn_gauss_fold(src, tgt, 100_000.0, k=8, sigma=sigma).collect()[0]
+    v1, v2, swv, swv2 = u.v1, u.v2, u.swv, u.swv2
+    res = swv / v1
+    stddev = math.sqrt((v1 / (v1 * v1 - v2)) * (swv2 - swv * swv / v1))
+    assert u.n_neighbours == 3
+    assert abs(res - 2.20206560694) < 1e-5
+    assert abs(stddev - 0.707115076173) < 1e-5
