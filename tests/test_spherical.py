@@ -162,3 +162,30 @@ def test_overlap_rate_projected_areas():
     north = AreaDefinition("n", "+proj=laea +lat_0=90", 10, 10,
                            (-2e6, -2e6, 2e6, 2e6))
     assert overlap_rate(north, la) == 0.0
+
+
+def test_reference_golden_polygon_areas():
+    """PARITY against the reference's own published polygon areas
+    (pyresample/test/test_spherical.py:386-440): the same vertex lists
+    must produce the same steradian areas to its assertAlmostEqual
+    tolerance (1e-7), even though this engine triangulates with
+    L'Huilier where the reference integrates Bevis-Cambareri — the
+    VALUES must agree, the algorithms deliberately don't."""
+    from pyresample_spark.operators.spherical import spherical_polygon_area
+
+    cases = [
+        ([(1, 3), (2, 4), (3, 3), (4, 2), (3, 1), (2, 2)], 0.00121732523118),
+        ([(1, 3), (2, 4), (3, 3), (2, 2)], 0.000608430665842),
+        ([(0, 0), (0, 1), (1, 1), (1, 0)], 0.000304609684862),
+        # across the dateline
+        ([(179.5, 1), (-179.5, 1), (-179.5, 0), (179.5, 0)],
+         0.000304609684862),
+        ([(0, 1), (90, 1), (90, 0), (0, 0)], 0.0349012696772),
+        ([(90, 0), (0, 0), (0, 90)], 1.5707963267948966),
+        # around the poles
+        ([(0, 89), (-90, 89), (180, 89), (90, 89)], 0.000609265770322),
+        ([(0, -89), (90, -89), (180, -89), (-90, -89)], 0.000609265770322),
+    ]
+    for verts, want in cases:
+        got = spherical_polygon_area([(float(a), float(b)) for a, b in verts])
+        assert abs(got - want) < 1e-7, (verts, got, want)
