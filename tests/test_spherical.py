@@ -189,3 +189,39 @@ def test_reference_golden_polygon_areas():
     for verts, want in cases:
         got = spherical_polygon_area([(float(a), float(b)) for a, b in verts])
         assert abs(got - want) < 1e-7, (verts, got, want)
+
+
+def test_reference_golden_polygon_intersection():
+    """PARITY against the reference's intersection fixtures
+    (test_spherical.py:591-638): two 4-vertex rings around the north
+    pole rotated 45° apart intersect in the 8-vertex ring at
+    lat 89.23460094 / lons ±22.5 ±67.5 ±112.5 ±157.5; two polygons
+    sharing contiguous edges intersect in the shared sub-polygon.
+    Vertex ORDER may differ between implementations — compare as
+    sets of rounded (lon, lat) pairs and by area."""
+    from pyresample_spark.operators.spherical import (
+        spherical_polygon_area,
+        sph_intersection,
+    )
+
+    p1 = [(180.0, 89.0), (90.0, 89.0), (0.0, 89.0), (-90.0, 89.0)]
+    p2 = [(-45.0, 89.0), (-135.0, 89.0), (135.0, 89.0), (45.0, 89.0)]
+    got = sph_intersection(p1, p2)
+    want = {
+        (157.5, 89.23460094), (112.5, 89.23460094), (67.5, 89.23460094),
+        (22.5, 89.23460094), (-22.5, 89.23460094), (-67.5, 89.23460094),
+        (-112.5, 89.23460094), (-157.5, 89.23460094),
+    }
+    got_set = {(round(lo, 6), round(la, 6)) for lo, la in got}
+    want_set = {(round(lo, 6), round(la, 6)) for lo, la in want}
+    assert got_set == want_set
+
+    # polygons sharing two contiguous edges → the shared sub-polygon
+    v1 = [(-10.0, 10.0), (-5.0, 10.0), (0.0, 10.0), (5.0, 10.0),
+          (10.0, 10.0), (10.0, -10.0), (-10.0, -10.0)]
+    v2 = [(-5.0, 10.0), (0.0, 10.0), (5.0, 10.0), (5.0, -5.0),
+          (-5.0, -5.0)]
+    got2 = sph_intersection(v1, v2)
+    a_got = spherical_polygon_area(got2)
+    a_want = spherical_polygon_area(v2)
+    assert abs(a_got - a_want) < 1e-9
