@@ -718,6 +718,36 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
         )
 
 
+def test_approx_median_within_exact_band(spark, sf_dir):
+    """The percentile_approx half of q_approx_distinct: the sketch
+    median must land within the exact P45–P55 band of value per
+    event_type (percentile_approx's accuracy is rank-based, so the
+    right gate is a rank band, not a value epsilon)."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.bucket import load_events
+    from pyresample_spark.queries import load_all
+
+    reg = load_all()
+    approx = {
+        r.event_type: r.approx_median_value
+        for r in reg["q_approx_distinct"].builder(spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    bands = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+        )
+        .collect()
+    }
+    for et, med in approx.items():
+        lo, hi = bands[et]
+        assert lo <= med <= hi, (et, med, lo, hi)
+
+
 def test_round4_operator_edge_cases(spark):
     """Degenerate inputs for the round-4 operators: empty source into
     the fused gaussian fold; Mollweide inverse clamped beyond the
