@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_near_dup_rank",
     "q_vincenty",
     "q_minhash_jaccard_est",
+    "q_bpe_pairs",
     # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
     #     driver green ---
     "q_knn_join",

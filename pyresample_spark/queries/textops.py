@@ -1722,3 +1722,58 @@ def q_minhash_jaccard_est(spark, sf_dir):
             rnd(exact, 6).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "q_bpe_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, CAST(i AS INT), 2)))
+               AS pair
+      FROM w WHERE length(word) >= 2
+    ),
+    counts AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pairs GROUP BY pair)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+             AS rank,
+           pair, n
+    FROM counts ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training inner loop at corpus scale: the top
+    merge candidates = most frequent ADJACENT SYMBOL PAIRS within
+    whitespace-pretokenized words (Sennrich et al. 2016 iteration 0 —
+    production tokenizer training is this count-rank-merge loop run to
+    vocab size). Pairs are built IN-ROW with
+    ``transform(sequence(…), i -> substr(word, i, 2))`` — no character
+    explode, no self-join; the only shuffle is the map-side-combined
+    pair count (distinct pairs ≤ alphabet², a few KB of state no matter
+    the corpus size), and the final rank orders that tiny table. This
+    is the plan shape that makes tokenizer training feasible on the
+    full 100 TB corpus rather than a sample."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    w = d.select(F.explode(words_col()).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("pair").asc()))
+        .cast("long"),
+    ).filter(F.col("rank") <= 20)
+    return ranked.select("rank", "pair", "n")
