@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_vincenty",
     "q_minhash_jaccard_est",
     "q_bpe_pairs",
+    "q_langid_confusion",
     # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
     #     driver green ---
     "q_knn_join",

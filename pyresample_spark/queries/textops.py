@@ -1777,3 +1777,49 @@ def q_bpe_pairs(spark, sf_dir):
         .cast("long"),
     ).filter(F.col("rank") <= 20)
     return ranked.select("rank", "pair", "n")
+
+
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["en"])} AS s_en,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["de"])} AS s_de,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["es"])} AS s_es,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["fr"])} AS s_fr,
+             {" + ".join(_marker_count_sql(m) for m in _MARKERS["zh"])} AS s_zh
+      FROM (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)
+    ),
+    guesses AS (
+      SELECT doc_id,
+             CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_zh, 1) THEN 'en'
+                  WHEN s_de >= GREATEST(s_es, s_fr, s_zh, 1) THEN 'de'
+                  WHEN s_es >= GREATEST(s_fr, s_zh, 1) THEN 'es'
+                  WHEN s_fr >= GREATEST(s_zh, 1) THEN 'fr'
+                  WHEN s_zh >= 1 THEN 'zh'
+                  ELSE 'und' END AS lang_guess
+      FROM scored
+    )
+    SELECT d.lang AS true_lang, g.lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN guesses g USING (doc_id)
+    GROUP BY true_lang, lang_guess
+    """,
+)
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID CONFUSION MATRIX: the heuristic classifier's guess
+    (q_lang_id) against the stored ground-truth ``lang`` column —
+    (true, guess, count) cells. The accuracy diagnostic of the curation
+    filter family (same layering as q_ann_recall / q_minhash_jaccard_est:
+    every approximate operator ships with the query that measures its
+    error). Scale: classification is per-row column math; the matrix
+    agg has ≤ |langs|² groups — pure map-side combine."""
+    d = table(spark, sf_dir, "documents")
+    guesses = q_lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    return (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(guesses, "doc_id")
+        .groupBy("true_lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
