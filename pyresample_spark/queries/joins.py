@@ -387,8 +387,16 @@ def gauss_lut(spark, sf_dir, cache_dir: str | None = None):
         or os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
         or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts")
     )
+    # the source identity includes the parquet file's (size, mtime)
+    # fingerprint: the driver has regenerated events.parquet in place
+    # across rounds (e.g. the TIMESTAMP(NANOS)→MICROS flavor change),
+    # and a path-only key would silently serve a stale LUT for the
+    # new data
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
     src_hash = hashlib.sha1(
-        f"events-points|{os.path.abspath(sf_dir)}".encode()
+        f"events-points|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     tgt_hash = hashlib.sha1(repr(KNN_AREA).encode()).hexdigest()[:16]
     return cache.get_or_compute(
