@@ -207,24 +207,32 @@ def q_bucket_absmax(spark, sf_dir):
     "q_bucket_fractions",
     oracle=f"""
     SELECT cell_id,
-           ROUND(AVG(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS frac_click,
-           ROUND(AVG(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS frac_view,
-           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS frac_purchase
+           CAST((SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS frac_click_q6,
+           CAST((SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS frac_view_q6,
+           CAST((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS frac_purchase_q6
     FROM ({ASSIGNED_SQL}) GROUP BY cell_id
     """,
 )
 def q_bucket_fractions(spark, sf_dir):
     """Bucket get_fractions: per-cell categorical fractions
-    (bucket/__init__.py:431-469) — pivot-style conditional averages."""
+    (bucket/__init__.py:431-469) — pivot-style conditional counts.
+
+    Fractions are emitted as EXACT 1e-6-quantized integers
+    (count·10⁶ div n): AVG of 0/1 is a small-denominator rational that
+    can land exactly on a ROUND half-way boundary where Spark's and
+    DuckDB's double→decimal rounding disagree (observed on the
+    sibling q_sessionize_gap at sf0.1); integer division is
+    bit-identical on both engines at any scale."""
     r = _assigned(spark, sf_dir)
     aggs = [
-        rnd(
-            F.avg(F.when(F.col("event_type") == c, 1.0).otherwise(0.0)), 6
-        ).alias(f"frac_{c}")
+        F.expr(
+            f"sum(case when event_type = '{c}' then 1 else 0 end)"
+            f" * 1000000 div count(*)"
+        ).alias(f"frac_{c}_q6")
         for c in ["click", "view", "purchase"]
     ]
     return r._group().agg(*aggs).select(
-        "cell_id", "frac_click", "frac_view", "frac_purchase"
+        "cell_id", "frac_click_q6", "frac_view_q6", "frac_purchase_q6"
     )
 
 

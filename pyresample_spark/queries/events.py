@@ -467,7 +467,7 @@ def q_range_join(spark, sf_dir):
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
            CAST(SUM(n_events) AS BIGINT) AS n_events,
-           ROUND(AVG(duration_us), 6) + 0.0 AS avg_duration_us,
+           CAST(SUM(duration_us) // COUNT(*) AS BIGINT) AS avg_duration_us,
            CAST(MAX(n_events) AS BIGINT) AS max_session_events
     FROM per_session GROUP BY user_id
     """,
@@ -496,9 +496,14 @@ def q_sessionize_gap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+    # mean duration as EXACT integer division (floor µs): AVG + ROUND
+    # landed on a half-way rounding boundary at sf0.1 (the mean is a
+    # small-denominator rational, which hits boundaries often) and the
+    # engines' double→decimal rounding disagreed in the last digit —
+    # integer div is bit-identical everywhere and loses < 1 µs.
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
-        rnd(F.avg("duration_us"), 6).alias("avg_duration_us"),
+        F.expr("sum(duration_us) div count(*)").alias("avg_duration_us"),
         F.max("n_events").alias("max_session_events"),
     )

@@ -1306,7 +1306,7 @@ def q_countmin(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(t.n_tokens) AS BIGINT) AS min_tokens,
            CAST(MAX(t.n_tokens) AS BIGINT) AS max_tokens,
-           ROUND(AVG(t.n_tokens), 6) + 0.0 AS avg_tokens
+           CAST((SUM(t.n_tokens) * 1000) // COUNT(*) AS BIGINT) AS avg_tokens_milli
     FROM t JOIN b USING (n_tokens)
     GROUP BY bin
     """,
@@ -1343,7 +1343,13 @@ def q_quantile_bin(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_tokens").cast("long").alias("min_tokens"),
             F.max("n_tokens").cast("long").alias("max_tokens"),
-            rnd(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            # exact integer milli-tokens: AVG+ROUND of an integer
+            # column can land on a half-way boundary where engines'
+            # double→decimal rounding disagrees (bit us at sf0.1 in
+            # q_sessionize_gap); integer div is bit-identical
+            F.expr("sum(n_tokens) * 1000 div count(*)").alias(
+                "avg_tokens_milli"
+            ),
         )
     )
 
