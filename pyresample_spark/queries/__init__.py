@@ -74,67 +74,68 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (permanently `no_oracle` — HLL sketches differ across engines by
 # design), sit behind the window.
 _PRIORITY = [
-    # --- new in round 4 (names appear here only once registered;
-    #     load_all() raises on a _PRIORITY name missing from REGISTRY) ---
-    "q_proj_aea",
-    "q_regrid_aea",
-    "q_proj_moll",
-    "q_regrid_moll",
-    "q_proj_eqdc",
-    "q_regrid_eqdc",
-    "q_proj_robin",
-    "q_regrid_robin",
-    "q_gauss_lut_reuse",
-    "q_resample_nearest_keyed",
-    "q_proj_stere_oblique",
-    "q_regrid_stere_oblique",
-    "q_sessionize_gap",
-    "q_quantile_bin",
-    "q_ngram_lm_ppl",
-    "q_dedup_span_mask",
-    "q_near_dup_rank",
-    "q_vincenty",
-    "q_minhash_jaccard_est",
-    "q_bpe_pairs",
-    "q_langid_confusion",
-    # --- r1-green-only rows (VERDICT r3 item 4): rotate for a second
-    #     driver green ---
-    "q_knn_join",
-    "q_gauss_agg",
-    "q_weighted_avg",
-    "q_ewa_fornav",
-    "q_bilinear_regular",
-    "q_affine_regrid",
-    "q_linesample_join",
-    "q_bucket_max",
-    "q_bucket_absmax",
-    "q_bucket_fractions",
-    "q_coarsen_avg",
-    "q_domain_bounds",
-    "q_freeze_antimeridian",
-    "q_union_swaths",
-    "q_enclose_areas",
-    "q_nonoverlap_unions",
-    "q_set_ops",
-    "q_swath_boundary",
-    "q_events_tumbling",
-    "q_custom_weight",
-    "q_multichannel_gauss",
-    "q_first_per_bin",
-    "q_nn_gather",
-    # --- r2-green-only rows: second driver green ---
-    "q_proj_utm",
-    "q_regrid_geos",
-    "q_regrid_lcc",
-    "q_regrid_utm",
-    "q_regrid_omerc",
-    "q_bilinear_irregular",
+    # --- round-5 rotation (VERDICT r4 item 1): the 41 queries whose
+    #     latest driver row is from r1/r2 — every one re-validated for a
+    #     post-flavor-change green. (q_approx_distinct is also r2-latest
+    #     but permanently `no_oracle`; it stays behind the window.) ---
+    # dedup / similarity family (r2-latest)
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_canonical",
+    "q_dedup_embedding",
+    "q_cosine_topk",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    # text-analysis family (r1/r2-latest)
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_repetition_ratio",
+    "q_fingerprint",
+    "q_hash_split",
+    "q_unigram_logprob",
+    "q_vocab_stats",
+    "q_tfidf",
+    "q_json_extract",
+    # curation / sampling family
+    "q_stratified_sample",
+    "q_domain_quota",
+    "q_seq_pack",
+    "q_mix_weights",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q_distinct_agg",
+    # multimodal
+    "q_frame_sample",
+    "q_multimodal_meta",
+    # geo / resample stragglers
     "q_multiband_resample",
     "q_ewa_ellipse",
     "q_optimal_bb",
     "q_overlap_rate",
     "q_geos_boundary",
+    # events + OLAP extras
     "q_events_sliding",
+    "q_events_late",
+    "q_events_session",
+    "q_rollup_agg",
+    "q_star_join",
+    "q_window_suite",
+    # --- fill the 50-slot window with the oldest r3-latest rows; the
+    #     remaining 41 r3 rows rotate in round 6 ---
+    "q_ann_ivf_probe2",
+    "q_ann_recall",
+    "q_asof_join",
+    "q_bbox_reduce",
+    "q_bigram_logprob",
+    "q_bm25",
+    "q_bucket_assign",
+    "q_bucket_avg",
+    "q_bucket_count",
 ]
 
 
