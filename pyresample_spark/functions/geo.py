@@ -845,6 +845,12 @@ def aea_constants(lat_1: float, lat_2: float | None = None,
         if lat_2 is not None and lat_2 != lat_1
         else _m.sin(p1)
     )
+    if abs(n) < 1e-12:
+        raise NotImplementedError(
+            f"aea with lat_1={lat_1}, lat_2={lat_2} degenerates to a "
+            "cylinder (cone constant n = 0); use cea/eqc for "
+            "symmetric-about-equator parallels"
+        )
     c = _m.cos(p1) ** 2 + 2.0 * n * _m.sin(p1)
     rho0 = radius * _m.sqrt(c - 2.0 * n * _m.sin(_m.radians(lat_0))) / n
     return n, c, rho0
@@ -900,8 +906,12 @@ def aea_inv_sql(x: str, y: str, lat_1: float, lat_2: float | None = None,
     lat = (f"degrees(asin(greatest(-1.0, least(1.0, ({c!r}"
            f" - ({rho} * {n_over_r!r}) * ({rho} * {n_over_r!r}))"
            f" / {2.0 * n!r}))))")
+    # Double-mod wrap (wrap_longitude's SQL twin): the conic lon term
+    # degrees(atan2)/n can exceed 540-|lon_0| when n is small (lat_1
+    # below ~24°), where the single-mod form under DuckDB's fmod yields
+    # lon < -180 (ADVICE r4).
     lon = (f"(((({lon_0!r} + degrees(atan2({xs}, {ys})) / {n!r})"
-           f" + 540.0) % 360.0) - 180.0)")
+           f" + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)")
     return lon, lat
 
 
@@ -920,6 +930,12 @@ def eqdc_constants(lat_1: float, lat_2: float | None = None,
         n = (_m.cos(p1) - _m.cos(p2)) / (p2 - p1)
     else:
         n = _m.sin(p1)
+    if abs(n) < 1e-12:
+        raise NotImplementedError(
+            f"eqdc with lat_1={lat_1}, lat_2={lat_2} degenerates to a "
+            "cylinder (cone constant n = 0, e.g. lat_2 = -lat_1 or a "
+            "single equatorial parallel); use eqc for that geometry"
+        )
     g = _m.cos(p1) / n + p1
     rho0 = radius * (g - _m.radians(lat_0))
     return n, g, rho0
@@ -970,8 +986,9 @@ def eqdc_inv_sql(x: str, y: str, lat_1: float, lat_2: float | None = None,
     ys = f"(({rho0!r} - CAST({y} AS DOUBLE)) * {sgn!r})"
     rho = f"({sgn!r} * sqrt({xs} * {xs} + {ys} * {ys}))"
     lat = f"degrees({g!r} - {rho} / {radius!r})"
+    # Double-mod wrap — same rationale as aea_inv_sql (ADVICE r4).
     lon = (f"(((({lon_0!r} + degrees(atan2({xs}, {ys})) / {n!r})"
-           f" + 540.0) % 360.0) - 180.0)")
+           f" + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)")
     return lon, lat
 
 

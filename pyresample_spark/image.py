@@ -74,7 +74,26 @@ def _src_keyed(img: GeoImage, key_col: str | None = None) -> DataFrame:
     if key_col is not None:
         if key_col == "src_id":
             return df
-        return df.withColumn("src_id", F.col(key_col).cast("long"))
+        # Cheap distributed guard (ADVICE r4): a NULL or non-integer key
+        # would become a NULL src_id and silently corrupt the value
+        # re-join in _nearest/_bilinear; raise in the first offending
+        # task instead (try_cast so ANSI string-cast errors also route
+        # through this one message). Uniqueness stays documented-only —
+        # a full check would cost a shuffle per resample.
+        key = F.col(key_col).try_cast("long")
+        return df.withColumn(
+            "src_id",
+            F.when(key.isNotNull(), key).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"key_col {key_col!r} is not "
+                              "integer-castable: "),
+                        F.coalesce(F.col(key_col).cast("string"),
+                                   F.lit("NULL")),
+                    )
+                )
+            ),
+        )
     if img.area is not None and {"row", "col"}.issubset(df.columns):
         return df.withColumn(
             "src_id",

@@ -477,6 +477,9 @@ def q_proj_robin(spark, sf_dir):
            ROUND({_sx[0]}, 3) + 0.0 AS ox,
            ROUND({_sx[1]}, 3) + 0.0 AS oy
     FROM ({PTS_SQL}) WHERE lat > -60.0 AND lat < 80.0
+      AND sin(radians(52.0)) * sin(radians(lat))
+        + cos(radians(52.0)) * cos(radians(lat))
+          * cos(radians(lon - 10.0)) > -0.99
     """)(__import__('pyresample_spark.functions.geo', fromlist=['stere_oblique_sql']).stere_oblique_sql('lon', 'lat', lat_0=52.0, lon_0=10.0, k0=0.9999)),
 )
 def q_proj_stere_oblique(spark, sf_dir):
@@ -485,14 +488,25 @@ def q_proj_stere_oblique(spark, sf_dir):
     math — Snyder 21-2..21-4 spherical. Removes the polar-aspect-only
     restriction the round-3 registry had (operators/crs.py raised
     NotImplementedError for |lat_0| ≠ 90; the reference reaches these
-    through pyproj). Antipode band excluded: k → ∞ there."""
+    through pyproj). Points within ~8.1° of the antipode (52°S 170°W)
+    are excluded by an angular-distance filter cos(c) > -0.99 (i.e.
+    kden > 0.01) in BOTH engines: near the antipode kden → 0 and x,y
+    scale as 1/kden, so last-ulp libm differences blow past the
+    ROUND(,3) hash quantization (the lat band alone does NOT exclude
+    the antipode — ADVICE r4)."""
     from pyresample_spark.functions.geo import stere_oblique_xy
 
     ox, oy = stere_oblique_xy("lon", "lat", lat_0=52.0, lon_0=10.0,
                               k0=0.9999)
+    cos_c = (
+        F.sin(F.radians(F.lit(52.0))) * F.sin(F.radians("lat"))
+        + F.cos(F.radians(F.lit(52.0))) * F.cos(F.radians("lat"))
+          * F.cos(F.radians(F.col("lon") - F.lit(10.0)))
+    )
     return (
         _pts(spark, sf_dir)
         .filter((F.col("lat") > -60.0) & (F.col("lat") < 80.0))
+        .filter(cos_c > F.lit(-0.99))
         .select(
             "event_id", rnd(ox, 3).alias("ox"), rnd(oy, 3).alias("oy")
         )

@@ -852,3 +852,82 @@ def test_reference_golden_kd_tree_fixture(spark):
     assert u.n_neighbours == 3
     assert abs(res - 2.20206560694) < 1e-5
     assert abs(stddev - 0.707115076173) < 1e-5
+
+
+def test_round5_advice_fixes(spark, duck):
+    """Round-4 ADVICE regressions: conic n=0 guard, conic inverse SQL
+    double-mod lon wrap at small n, oblique-stere antipode exclusion,
+    and the GeoImage key_col integer-cast guard."""
+    import pytest as _pt
+
+    from pyresample_spark.functions.geo import (
+        aea_constants,
+        aea_inv_sql,
+        eqdc_constants,
+        eqdc_inv_sql,
+        eqdc_inverse,
+        eqdc_xy,
+    )
+
+    # 1. degenerate cones raise a clear error, not ZeroDivisionError
+    with _pt.raises(NotImplementedError, match="eqdc"):
+        eqdc_constants(30.0, -30.0)
+    with _pt.raises(NotImplementedError, match="eqdc"):
+        eqdc_constants(0.0)
+    with _pt.raises(NotImplementedError, match="aea"):
+        aea_constants(20.0, -20.0)
+
+    # 2. small-n conic inverse: SQL twin must agree with the Column
+    #    path where degrees(atan2)/n exceeds 540-|lon_0| (the single-mod
+    #    wrap bug). lat_1=10,lat_2=15 gives n≈0.215 → lon term up to
+    #    ±837°.
+    from pyspark.sql import functions as F
+
+    kw = dict(lat_1=10.0, lat_2=15.0, lat_0=0.0, lon_0=0.0)
+    pts = spark.range(1).select(
+        F.lit(-179.0).alias("lon"), F.lit(60.0).alias("lat")
+    )
+    fx, fy = eqdc_xy("lon", "lat", **kw)
+    ilon, ilat = eqdc_inverse(fx, fy, **kw)
+    got = pts.select(ilon.alias("lon2"), ilat.alias("lat2")).collect()[0]
+    xy = pts.select(fx.alias("x"), fy.alias("y")).collect()[0]
+    slon, slat = eqdc_inv_sql(repr(xy.x), repr(xy.y), **kw)
+    srow = duck.execute(f"SELECT {slon} AS lon2, {slat} AS lat2").fetchone()
+    assert abs(got.lon2 - srow[0]) < 1e-6 and -180.0 <= srow[0] < 180.0
+    assert abs(got.lat2 - srow[1]) < 1e-6
+    # aea twin: same wrap form, just confirm in-range at small n
+    ax, ay = 1.0e6, -2.0e6
+    aslon, _ = aea_inv_sql(repr(ax), repr(ay), lat_1=10.0, lat_2=15.0)
+    arow = duck.execute(f"SELECT {aslon}").fetchone()
+    assert -180.0 <= arow[0] < 180.0
+
+    # 3. oblique stereographic: no kept point is within the unstable
+    #    antipode cap (kden <= 0.01) — in Spark AND the oracle's WHERE
+    import math as _m
+
+    from pyresample_spark.queries import load_all
+
+    reg = load_all()
+    spec = reg["q_proj_stere_oblique"]
+    assert "-0.99" in spec.oracle  # antipode cap present in the oracle
+    # Spark and oracle keep the same row set under the new filter (at
+    # sf0.001 the derived lat band is [-90,-75] so both keep 0 rows;
+    # the sf0.01 parity test exercises the non-empty case)
+    df = spec.builder(spark, "/root/testdata/sf0.001")
+    assert df.count() == duck.execute(
+        f"SELECT count(*) FROM ({spec.oracle})"
+    ).fetchone()[0]
+
+    # 4. GeoImage key_col guard: non-integer keys fail loudly
+    from pyresample_spark.image import GeoImage, _src_keyed
+
+    bad = spark.createDataFrame(
+        [("a1", 1.0, 2.0, 3.0)], "k string, lon double, lat double, value double"
+    )
+    img = GeoImage(df=bad, area=None)
+    with _pt.raises(Exception, match="integer-castable"):
+        _src_keyed(img, "k").collect()
+    ok = spark.createDataFrame(
+        [(7, 1.0, 2.0, 3.0)], "k long, lon double, lat double, value double"
+    )
+    assert _src_keyed(GeoImage(df=ok, area=None), "k").collect()[0].src_id == 7
