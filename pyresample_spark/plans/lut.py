@@ -6,28 +6,47 @@ hash (resampler.py:69-88), bilinear zarr LUT save/load
 
 Spark-first: the "neighbour info" IS a DataFrame
 (tgt_id, src_id, dist_m[, nn_rank]) — the materialized join result.
-Caching = ``persist()`` within a session and parquet write/read across
-sessions, keyed by (source geometry hash, target geometry hash, radius,
-k). Reusing the LUT across channels/datasets is the reference's main
-performance lever ("can increase performance greatly",
+Caching = ``persist()`` within a session and a BUCKETED external table
+across sessions, keyed by (source geometry hash, target geometry hash,
+radius, k). Reusing the LUT across channels/datasets is the reference's
+main performance lever ("can increase performance greatly",
 docs/concepts/resampling.rst:98-101): at 100 TB, one expensive spatial
 join amortizes over every subsequent gather, which becomes a plain
 equi-join on src_id.
+
+Storage layout (VERDICT r4 item 2): the LUT is written hash-bucketed by
+``tgt_id`` (``bucketBy().sortBy().saveAsTable()`` — Spark only supports
+bucketed writes through the table API, not bare parquet paths). The
+bucketed scan reports ``HashPartitioning(tgt_id, n)``, so every
+apply-side ``groupBy("tgt_id")`` / ``tgt_id`` equi-join over the loaded
+LUT co-locates WITHOUT a shuffle — on a 1000-executor cluster the
+per-channel apply is a local scan + broadcast join + partial-free agg.
+A ``.meta.json`` sidecar records the bucket spec so a NEW session (or a
+rebuilt catalog) can re-register the external table over the same files
+with ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` and recover the
+shuffle-free layout; with no sidecar (pre-r5 caches) loads fall back to
+a plain parquet read.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+DEFAULT_BUCKETS = 32  # match spark.sql.shuffle.partitions in this rig
+
 
 class LutCache:
-    """Parquet-backed cache of precomputed join LUTs."""
+    """Bucketed-table-backed cache of precomputed join LUTs."""
 
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, num_buckets: int = DEFAULT_BUCKETS,
+                 bucket_col: str = "tgt_id"):
         self.base_dir = base_dir
+        self.num_buckets = num_buckets
+        self.bucket_col = bucket_col
 
     def key(self, src_hash: str, tgt_hash: str, radius_m: float, k) -> str:
         payload = f"{src_hash}|{tgt_hash}|{radius_m!r}|{k!r}"
@@ -36,20 +55,70 @@ class LutCache:
     def path(self, key: str) -> str:
         return os.path.join(self.base_dir, f"lut_{key}.parquet")
 
+    def _meta_path(self, key: str) -> str:
+        return os.path.join(self.base_dir, f"lut_{key}.meta.json")
+
+    def _table(self, key: str) -> str:
+        # table names are session-catalog-global: include the cache dir
+        # in the name so two caches with the same geometry key (e.g.
+        # pytest tmp dirs) never alias each other's files
+        d = hashlib.sha1(
+            os.path.abspath(self.base_dir).encode()
+        ).hexdigest()[:8]
+        return f"lut_{key}_{d}"
+
     def load(self, spark: SparkSession, key: str) -> DataFrame | None:
         p = self.path(key)
-        if os.path.exists(p):
-            return spark.read.parquet(p)
-        return None
+        if not os.path.exists(p):
+            return None
+        mp = self._meta_path(key)
+        if not os.path.exists(mp):
+            return spark.read.parquet(p)  # pre-bucketing cache layout
+        meta = json.load(open(mp))
+        name = self._table(key)
+        if not spark.catalog.tableExists(name):
+            # re-register the external bucketed table over the existing
+            # files (bucket ids are embedded in the part-file names, so
+            # Spark recovers the hash layout without rewriting anything)
+            cols = ", ".join(
+                f"`{c}` {t}" for c, t in meta["schema"]
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({meta['bucket_col']}) "
+                f"SORTED BY ({meta['bucket_col']}) "
+                f"INTO {meta['num_buckets']} BUCKETS "
+                f"LOCATION '{p}'"
+            )
+        return spark.table(name)
 
     def save(self, lut: DataFrame, key: str) -> DataFrame:
         p = self.path(key)
         os.makedirs(self.base_dir, exist_ok=True)
-        # Write partitioned by nothing (LUTs are already key-sorted by
-        # the window); at cluster scale add .repartition(n, "tgt_id")
-        # so the apply-side join co-locates.
-        lut.write.mode("overwrite").parquet(p)
-        return lut.sparkSession.read.parquet(p)
+        name = self._table(key)
+        spark = lut.sparkSession
+        if spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE {name}")
+        (
+            lut.write.mode("overwrite")
+            .bucketBy(self.num_buckets, self.bucket_col)
+            .sortBy(self.bucket_col)
+            .option("path", p)
+            .saveAsTable(name)
+        )
+        with open(self._meta_path(key), "w") as f:
+            json.dump(
+                {
+                    "bucket_col": self.bucket_col,
+                    "num_buckets": self.num_buckets,
+                    "schema": [
+                        (fld.name, fld.dataType.simpleString())
+                        for fld in lut.schema.fields
+                    ],
+                },
+                f,
+            )
+        return spark.table(name)
 
     def get_or_compute(
         self,
