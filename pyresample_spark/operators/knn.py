@@ -176,11 +176,12 @@ def knn_join(
     over N tasks. AQE skew-join usually makes this unnecessary; the
     explicit salt is for single cells exceeding task memory.
 
-    No ``epsilon`` approximation knob (kd_tree.py:86-88,545-548 trades
-    accuracy for tree-descent speed): the cell join has no tree to
-    prune — candidate count is bounded by the 27-cell neighborhood
+    No ``epsilon`` approximation knob HERE (kd_tree.py:86-88,545-548
+    trades accuracy for tree-descent speed): the cell join has no tree
+    to prune — candidate count is bounded by the 27-cell neighborhood
     regardless, so the exact join is both stricter and not slower.
-    Deliberately absent rather than unimplemented.
+    Deliberately exact; the reference's ``epsilon`` semantics live in
+    :func:`knn_join_broadcast`'s block-pruned probe.
 
     ``packed=True`` (default) ranks candidates via a packed-bigint
     HashAggregate (no per-target sort). The packing requires
@@ -298,6 +299,7 @@ def knn_join_broadcast(
     tgt_id: str = "tgt_id",
     max_src_rows: int | None = None,
     src_count: int | None = None,
+    epsilon: float = 0.0,
 ) -> DataFrame:
     """Broadcast-kNN for small build sides (kd_tree.py:464-489 analog).
 
@@ -306,6 +308,19 @@ def knn_join_broadcast(
     batches (``mapInPandas``) — the Spark analog of pykdtree-inside-
     dask-blocks. Use when the source fits comfortably in executor
     memory; otherwise use :func:`knn_join`.
+
+    ``epsilon`` is the reference's approximation knob
+    (kd_tree.py:86-88,545-548 → scipy/pykdtree ``eps``): the returned
+    k-th neighbour is guaranteed within ``(1+epsilon)`` of the true
+    k-th distance. ``epsilon=0`` (default) runs the exact fully
+    vectorized probe; ``epsilon>0`` switches to a block-pruned probe —
+    the broadcast source is sorted into spatial blocks with
+    precomputed bounding balls, and per target, blocks whose nearest
+    possible point exceeds ``d_k/(1+epsilon)`` (d_k = current k-th
+    best) are skipped, the numpy analog of kd-tree branch pruning.
+    The cell-join path (:func:`knn_join`) stays EXACT regardless: its
+    candidate set is already bounded by the 27-cell neighbourhood, so
+    there is no tree to prune and nothing to trade.
 
     The planner threshold is ENFORCED here (ADVICE r1 / VERDICT #8):
     the source is counted first (one cheap column scan — trivial next
@@ -334,12 +349,20 @@ def knn_join_broadcast(
             src, tgt, radius_m, k=k, src_id=src_id, tgt_id=tgt_id
         )
     src_pdf = src.select(src_id, "gx", "gy", "gz").toPandas()
+    chord = chord_length(radius_m)
+    if epsilon and epsilon > 0.0:
+        # sort the broadcast side into spatial blocks (quantized-cell
+        # lexsort ≈ a shallow kd-tree) so the probe can prune whole
+        # blocks by their bounding balls
+        xyz_all = src_pdf[["gx", "gy", "gz"]].to_numpy(dtype="float64")
+        q = np.floor(xyz_all / max(chord, 1e-9)).astype("int64")
+        order = np.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+        src_pdf = src_pdf.iloc[order].reset_index(drop=True)
     sc = tgt.sparkSession.sparkContext
     b_ids = sc.broadcast(src_pdf[src_id].to_numpy())
     b_xyz = sc.broadcast(
         src_pdf[["gx", "gy", "gz"]].to_numpy(dtype="float64")
     )
-    chord = chord_length(radius_m)
 
     def probe(batches):
         ids = b_ids.value
@@ -372,6 +395,80 @@ def knn_join_broadcast(
                     "nn_rank": pd.Series(out_r, dtype="int32"),
                 }
             )
+
+    if epsilon and epsilon > 0.0:
+        # block bounding balls, computed once on the driver
+        B = 256
+        xyz_s = src_pdf[["gx", "gy", "gz"]].to_numpy(dtype="float64")
+        n = len(xyz_s)
+        starts = np.arange(0, n + B, B)
+        starts[-1] = min(starts[-1], n)
+        starts = np.unique(starts)
+        centers = np.stack(
+            [xyz_s[s:e].mean(axis=0) for s, e in zip(starts, starts[1:])]
+        )
+        radii_mm = np.array(
+            [
+                np.sqrt(((xyz_s[s:e] - c) ** 2).sum(axis=1)).max() * 1000.0
+                for (s, e), c in zip(zip(starts, starts[1:]), centers)
+            ]
+        )
+        b_blocks = sc.broadcast((centers, radii_mm, starts))
+        thresh_mm = round(chord * 1000.0)
+        eps = float(epsilon)
+
+        def probe_approx(batches):
+            ids = b_ids.value
+            xyz = b_xyz.value
+            ctr, rad, st = b_blocks.value
+            rmax = rad.max() if len(rad) else 0.0
+            for pdf in batches:
+                txyz = pdf[["gx", "gy", "gz"]].to_numpy(dtype="float64")
+                out_t, out_s, out_d, out_r = [], [], [], []
+                for j in range(len(txyz)):
+                    t = txyz[j]
+                    cd = np.sqrt(((ctr - t) ** 2).sum(axis=1)) * 1000.0
+                    ob = np.argsort(cd)
+                    cand_d, cand_i = [], []
+                    dk = np.inf
+                    for b in ob:
+                        bound = min(thresh_mm, dk / (1.0 + eps))
+                        if cd[b] - rad[b] > bound:
+                            if cd[b] - rmax > bound:
+                                break  # cd ascending: no block can win
+                            continue
+                        s, e = st[b], st[b + 1]
+                        d = np.round(
+                            np.sqrt(((xyz[s:e] - t) ** 2).sum(axis=1))
+                            * 1000.0
+                        )
+                        w = d <= thresh_mm
+                        if w.any():
+                            cand_d.append(d[w])
+                            cand_i.append(ids[s:e][w])
+                            if k is not None:
+                                alld = np.concatenate(cand_d)
+                                if len(alld) >= k:
+                                    dk = np.partition(alld, k - 1)[k - 1]
+                    if not cand_d:
+                        continue
+                    alld = np.concatenate(cand_d)
+                    alli = np.concatenate(cand_i)
+                    sel = np.lexsort((alli, alld))[:k]
+                    out_t.extend([pdf["tgt_id"].iloc[j]] * len(sel))
+                    out_s.extend(alli[sel])
+                    out_d.extend(alld[sel] / 1000.0)
+                    out_r.extend(range(1, len(sel) + 1))
+                yield pd.DataFrame(
+                    {
+                        "tgt_id": pd.Series(out_t, dtype="int64"),
+                        "src_id": pd.Series(out_s, dtype="int64"),
+                        "dist_m": pd.Series(out_d, dtype="float64"),
+                        "nn_rank": pd.Series(out_r, dtype="int32"),
+                    }
+                )
+
+        probe = probe_approx
 
     t = tgt.select(F.col(tgt_id).alias("tgt_id"), "gx", "gy", "gz")
     return t.mapInPandas(

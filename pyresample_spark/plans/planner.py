@@ -80,8 +80,15 @@ class Resampler:
         radius_m: float,
         k: int | None = 1,
         src_count: int | None = None,
+        epsilon: float = 0.0,
     ) -> ResamplePlan:
-        """Build (or load) the neighbour-info LUT."""
+        """Build (or load) the neighbour-info LUT.
+
+        ``epsilon`` (reference kd_tree.py:86-88 ``epsilon=0`` default)
+        only applies on the broadcast strategy — the cell join is
+        exact by construction (see knn_join's docstring) and ignores
+        it.
+        """
         from pyresample_spark.operators.knn import (
             knn_join,
             knn_join_broadcast,
@@ -100,6 +107,7 @@ class Resampler:
                     radius_m,
                     k=k or 1,
                     src_count=src_count,
+                    epsilon=epsilon,
                 )
             return knn_join(src_points, tgt_points, radius_m, k=k)
 
@@ -109,7 +117,9 @@ class Resampler:
                 self._hash(self.src),
                 self._hash(self.tgt),
                 radius_m,
-                k,
+                # an approximate LUT must never be served for an exact
+                # request (or vice versa): epsilon joins the cache key
+                k if not epsilon else (k, epsilon),
                 compute,
             )
         else:

@@ -966,3 +966,66 @@ def test_round5_advice_fixes(spark, duck):
         [(7, 1.0, 2.0, 3.0)], "k long, lon double, lat double, value double"
     )
     assert _src_keyed(GeoImage(df=ok, area=None), "k").collect()[0].src_id == 7
+
+
+def test_knn_broadcast_epsilon_knob(spark):
+    """The reference's `epsilon` approximation knob
+    (kd_tree.py:86-88,545-548 → scipy eps semantics) on the broadcast
+    probe: epsilon=0 is bit-identical to the exact probe; epsilon>0
+    returns, per target, a k-th neighbour within (1+eps) of the true
+    k-th distance, every pair still inside the radius."""
+    import random
+
+    from pyresample_spark.operators.knn import (
+        knn_join_broadcast,
+        with_geocentric,
+    )
+
+    rng = random.Random(7)
+    src_rows = [
+        (i, rng.uniform(-30.0, 30.0), rng.uniform(30.0, 60.0))
+        for i in range(400)
+    ]
+    tgt_rows = [
+        (i, rng.uniform(-30.0, 30.0), rng.uniform(30.0, 60.0))
+        for i in range(60)
+    ]
+    src = with_geocentric(
+        spark.createDataFrame(src_rows, "src_id long, lon double, lat double")
+    )
+    tgt = with_geocentric(
+        spark.createDataFrame(tgt_rows, "tgt_id long, lon double, lat double")
+    ).withColumnRenamed("tgt_id", "cell_id").withColumnRenamed(
+        "cell_id", "tgt_id"
+    )
+    R, K = 800_000.0, 4
+
+    def as_map(df):
+        m = {}
+        for r in df.collect():
+            m.setdefault(r.tgt_id, []).append(
+                (r.nn_rank, r.src_id, r.dist_m)
+            )
+        return {t: sorted(v) for t, v in m.items()}
+
+    exact = as_map(knn_join_broadcast(src, tgt, R, k=K))
+    e0 = as_map(knn_join_broadcast(src, tgt, R, k=K, epsilon=0.0))
+    assert e0 == exact  # epsilon=0 ≡ exact, same path
+
+    for eps in (0.1, 0.5):
+        approx = as_map(knn_join_broadcast(src, tgt, R, k=K, epsilon=eps))
+        assert set(approx) == set(exact)  # same matched target set
+        for t, pairs in approx.items():
+            dists = [d for _, _, d in pairs]
+            assert all(d <= R for d in dists)
+            true_k = [d for _, _, d in exact[t]]
+            # (1+eps) guarantee on the k-th returned distance
+            assert dists[-1] <= (1.0 + eps) * true_k[-1] + 1e-6
+            # and each rank's distance is never better than truth
+            for (got, tru) in zip(dists, true_k):
+                assert got + 1e-9 >= tru
+    # pruning really engages at tight epsilon=0-like bound: approx with
+    # a huge epsilon still returns only in-radius pairs
+    big = as_map(knn_join_broadcast(src, tgt, R, k=K, epsilon=10.0))
+    for t, pairs in big.items():
+        assert all(d <= R for _, _, d in pairs)
