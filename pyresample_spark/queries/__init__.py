@@ -74,6 +74,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (permanently `no_oracle` — HLL sketches differ across engines by
 # design), sit behind the window.
 _PRIORITY = [
+    # --- new in round 5 ---
+    "q_bilinear_lut_reuse",
     # --- round-5 rotation (VERDICT r4 item 1): the 41 queries whose
     #     latest driver row is from r1/r2 — every one re-validated for a
     #     post-flavor-change green. (q_approx_distinct is also r2-latest
@@ -135,7 +137,6 @@ _PRIORITY = [
     "q_bm25",
     "q_bucket_assign",
     "q_bucket_avg",
-    "q_bucket_count",
 ]
 
 

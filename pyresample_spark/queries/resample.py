@@ -141,7 +141,9 @@ def q_ewa_fornav(spark, sf_dir):
     )
 
 
-def _bilinear_irregular_oracle() -> str:
+def _bilinear_irregular_oracle(
+    value_expr: str = "value", slim: bool = False
+) -> str:
     """DuckDB replay of the whole irregular-bilinear pipeline
     (operators/bilinear_irregular.py): cell-bucketed kNN-32 candidates
     (same 3-D geocentric cells + mm-rounded chord as PAIRS_SQL),
@@ -152,7 +154,12 @@ def _bilinear_irregular_oracle() -> str:
     arithmetic is +,−,*,/,sqrt on bitwise-identical inputs (derived
     lon/lat are trig-free), so both engines take the same branch at
     every 0 ≤ · ≤ 1 gate; divisions are NULL-guarded (both engines
-    yield NULL on x/0, dropping the same rows)."""
+    yield NULL on x/0, dropping the same rows).
+
+    ``value_expr`` substitutes the gathered channel (the LUT-reuse twin
+    applies a derived second channel through the SAME corner/weight
+    pipeline); ``slim=True`` emits only (tgt_id, t, s, bilinear_value)
+    — the bilinear_apply output shape."""
     from pyresample_spark.functions.geo import R_EARTH
     from pyresample_spark.operators.knn import chord_length
     from pyresample_spark.queries.geo_scalar import PTS_SQL
@@ -197,7 +204,8 @@ def _bilinear_irregular_oracle() -> str:
     )
     return f"""
     WITH s AS (
-      SELECT event_id AS src_id, value, lon AS s_lon, lat AS s_lat,
+      SELECT event_id AS src_id, ({value_expr}) AS value,
+             lon AS s_lon, lat AS s_lat,
              {geo('lon', 'lat', 's_')}
       FROM ({PTS_SQL})
     ),
@@ -331,9 +339,9 @@ def _bilinear_irregular_oracle() -> str:
              ELSE s_par END AS sf
       FROM g6
     )
-    SELECT tgt_id,
+    SELECT tgt_id,{'' if slim else '''
            CAST(id3 AS BIGINT) AS c00, CAST(id4 AS BIGINT) AS c01,
-           CAST(id1 AS BIGINT) AS c10, CAST(id2 AS BIGINT) AS c11,
+           CAST(id1 AS BIGINT) AS c10, CAST(id2 AS BIGINT) AS c11,'''}
            ROUND(tf, 6) + 0.0 AS t, ROUND(sf, 6) + 0.0 AS s,
            ROUND(v1 * (1.0 - sf) * (1.0 - tf) + v2 * sf * (1.0 - tf)
                + v3 * (1.0 - sf) * tf + v4 * sf * tf, 6) + 0.0 AS bilinear_value
@@ -369,6 +377,69 @@ def q_bilinear_irregular(spark, sf_dir):
     out = bilinear_irregular(src, tgt, 150_000.0, k=32)
     return out.select(
         "tgt_id", "c00", "c01", "c10", "c11",
+        rnd(F.col("t"), 6).alias("t"),
+        rnd(F.col("s"), 6).alias("s"),
+        rnd(F.col("bilinear_value"), 6).alias("bilinear_value"),
+    )
+
+
+@register(
+    "q_bilinear_lut_reuse",
+    oracle=_bilinear_irregular_oracle(
+        value_expr="value * 0.5 + 10.0", slim=True
+    ),
+)
+def q_bilinear_lut_reuse(spark, sf_dir):
+    """Bilinear resample of a SECOND channel through the PERSISTED
+    corner/weight LUT (VERDICT r4 item 6; reference
+    bilinear/xarr.py:198-219 zarr LUT save/load): the 32-NN join +
+    quadrant pick + quadratic solve run only when the bucketed LUT
+    table keyed by (data fingerprint, target recipe, radius, k) is
+    absent; otherwise the plan is a LUT scan + one corner unpivot +
+    one broadcast value join + a shuffle-free tgt_id fold — no kNN
+    join, no applyInPandas. The DuckDB oracle replays the WHOLE
+    pipeline from scratch on the derived channel, proving the
+    persisted LUT applies a new channel byte-identically to a fresh
+    solve."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyresample_spark.operators.bilinear_irregular import (
+        bilinear_apply,
+        bilinear_lut,
+    )
+    from pyresample_spark.plans.lut import LutCache
+    from pyresample_spark.queries.joins import _src
+
+    src = _src(spark, sf_dir)
+    tgt = src.filter(F.col("src_id") % 20 == 0).select(
+        F.col("src_id").alias("tgt_id"),
+        (F.col("lon") + 0.21).alias("lon"),
+        (F.col("lat") + 0.13).alias("lat"),
+    )
+    cache = LutCache(
+        os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts")
+    )
+    # fingerprint the source file (size+mtime) — same staleness guard
+    # as gauss_lut (joins.py): the driver regenerates parquet in place
+    ev = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev)
+    src_hash = hashlib.sha1(
+        f"bilinear-src|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    lut = bilinear_lut(
+        src, tgt, 150_000.0, k=32, cache=cache,
+        src_hash=src_hash, tgt_hash="evt-offset-0.21-0.13",
+    )
+    ch2 = src.select(
+        "src_id", (F.col("value") * 0.5 + 10.0).alias("ch2")
+    )
+    out = bilinear_apply(lut, ch2, value_col="ch2")
+    return out.select(
+        "tgt_id",
         rnd(F.col("t"), 6).alias("t"),
         rnd(F.col("s"), 6).alias("s"),
         rnd(F.col("bilinear_value"), 6).alias("bilinear_value"),
