@@ -76,6 +76,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PRIORITY = [
     # --- new in round 5 ---
     "q_bilinear_lut_reuse",
+    "q_ppm_decode",
     # --- round-5 rotation (VERDICT r4 item 1): the 41 queries whose
     #     latest driver row is from r1/r2 — every one re-validated for a
     #     post-flavor-change green. (q_approx_distinct is also r2-latest
@@ -136,7 +137,6 @@ _PRIORITY = [
     "q_bigram_logprob",
     "q_bm25",
     "q_bucket_assign",
-    "q_bucket_avg",
 ]
 
 

