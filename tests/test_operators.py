@@ -1089,3 +1089,34 @@ def test_real_decoders_ppm_and_wav(spark):
         decode_wav_pcm16(b"OggS" + bytes(40))
     with _pt.raises(ValueError, match="missing fmt"):
         decode_wav_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_choose_salt_factor_heuristic(spark):
+    """The skew heuristic (VERDICT r4 item 5): a hot cell above the
+    row bound gets a salt that splits it back under; a uniform layout
+    gets None; and the salted join still returns the identical pair
+    set (equivalence already covered by test_knn_salted_equals_
+    unsalted — here we check the CHOICE)."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.knn import choose_salt_factor
+
+    hot = spark.range(1000).select(
+        F.col("id").alias("src_id"),
+        (10.0 + (F.col("id") % 10) * 1e-6).alias("lon"),
+        F.lit(50.0).alias("lat"),
+    )
+    # 1000 rows in one cell, bound=100 → salt 10
+    assert choose_salt_factor(hot, 50_000.0, hot_cell_rows=100) == 10
+    # bound not exceeded → unsalted
+    assert choose_salt_factor(hot, 50_000.0, hot_cell_rows=2000) is None
+    # cap respected
+    assert choose_salt_factor(
+        hot, 50_000.0, hot_cell_rows=10, max_salt=16
+    ) == 16
+    spread = spark.range(1000).select(
+        F.col("id").alias("src_id"),
+        (F.col("id") % 360 - 180.0 + 0.5).alias("lon"),
+        (F.col("id") % 140 - 70.0 + 0.5).alias("lat"),
+    )
+    assert choose_salt_factor(spread, 50_000.0, hot_cell_rows=100) is None
