@@ -629,8 +629,10 @@ def lcc_inv_sql(x: str, y: str, lat_0: float, lat_1: float,
     ys = f"(({rho0!r} - {y}) * {sgn!r})"
     rho = f"({sgn!r} * sqrt({xs} * {xs} + {ys} * {ys}))"
     lat = f"(2.0 * degrees(atan(pow({rf!r} / {rho}, {1.0 / n!r}))) - 90.0)"
-    lon = (f"((((degrees(atan2({xs}, {ys})) / {n!r} + {lon_0!r}) + 540.0)"
-           f" % 360.0) - 180.0)")
+    # Double-mod wrap — same conic /n amplification as aea_inv_sql
+    # (ADVICE r4): degrees(atan2)/n can exceed 540-|lon_0| for small n.
+    lon = (f"(((({lon_0!r} + degrees(atan2({xs}, {ys})) / {n!r})"
+           f" + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)")
     return lon, lat
 
 

@@ -287,4 +287,41 @@ def decode_wav_pcm16(payload: bytes) -> dict:
         "n_samples": len(samples) // n_channels,
         "peak": int(np.abs(samples).max()) if len(samples) else 0,
         "mean_abs": float(np.abs(samples).mean()) if len(samples) else 0.0,
+        "sum_abs": int(np.abs(samples).sum()),
     }
+
+
+WAV_META_SCHEMA = (
+    "doc_id long, n_channels long, sample_rate long, n_frames long, "
+    "peak long, sum_abs long, payload_bytes long"
+)
+
+
+def decode_wav_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas over (doc_id, payload): parse each RIFF/WAVE payload
+    with the real chunk-walking parser and emit typed audio metadata.
+    The kernel sees only bytes — fmt fields and sample statistics all
+    come out of the binary container (the audio twin of
+    :func:`decode_ppm_meta`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_wav_pcm16(bytes(payload))
+                rows.append(
+                    (
+                        doc_id, m["n_channels"], m["sample_rate"],
+                        m["n_samples"], m["peak"], m["sum_abs"],
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "n_frames",
+                    "peak", "sum_abs", "payload_bytes",
+                ],
+            )
+
+    return media.mapInPandas(run, WAV_META_SCHEMA)

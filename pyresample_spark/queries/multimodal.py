@@ -138,3 +138,80 @@ def q_ppm_decode(spark, sf_dir):
 
     media = d.mapInPandas(build, "doc_id long, payload binary")
     return decode_ppm_meta(media)
+
+
+@register(
+    "q_wav_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             1 + L % 2 AS nch,
+             8000 * (1 + L % 3) AS sr,
+             2 * (L % 25 + 5) AS nframes,
+             abs((L * 5) % 2048 - 1024) AS aa,
+             abs((L * 11) % 2048 - 1024) AS ab
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(nch AS BIGINT) AS n_channels,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(nframes AS BIGINT) AS n_frames,
+           CAST(greatest(aa, ab) AS BIGINT) AS peak,
+           CAST((nframes * nch * (aa + ab)) // 2 AS BIGINT) AS sum_abs,
+           CAST(44 + nframes * nch * 2 AS BIGINT) AS payload_bytes
+    FROM d
+    """,
+)
+def q_wav_decode(spark, sf_dir):
+    """REAL audio decode end-to-end (the WAV twin of q_ppm_decode):
+    each document is rendered into a genuine RIFF/WAVE 16-bit PCM
+    payload executor-side (an interleaved two-value signal a,b,a,b…
+    derived from the text's byte length; channel count, sample rate
+    and frame count also byte-length-derived), then a second
+    mapInPandas stage parses the BYTES with the real chunk-walking
+    parser — RIFF magic, fmt block, word-aligned chunk list, int16
+    frombuffer (operators/multimodal.py decode_wav_pcm16). The DuckDB
+    oracle recomputes every extracted field from the synthesis
+    arithmetic (frame count is even, so sum|s| = n/2·(|a|+|b|)
+    exactly), so a parser bug — wrong fmt offset, channel/frame
+    confusion, int16 abs overflow — hash-fails. librosa/torchaudio
+    drop into the same decode seam on a real cluster; WAV proves the
+    plumbing without the dep."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyresample_spark.operators.multimodal import (
+        decode_wav_meta,
+        encode_wav_pcm16,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                L = len(text.encode("utf-8"))
+                nch = 1 + L % 2
+                sr = 8000 * (1 + L % 3)
+                nframes = 2 * (L % 25 + 5)
+                a = (L * 5) % 2048 - 1024
+                b = (L * 11) % 2048 - 1024
+                total = nframes * nch
+                samples = np.empty(total, dtype=np.int16)
+                samples[0::2] = a
+                samples[1::2] = b
+                payloads.append(
+                    encode_wav_pcm16(sr, samples, n_channels=nch)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(build, "doc_id long, payload binary")
+    return decode_wav_meta(media)
