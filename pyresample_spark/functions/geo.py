@@ -641,12 +641,19 @@ def lcc_inv_sql(x: str, y: str, lat_0: float, lat_1: float,
 # Spark form of compute_optimal_bb_area, reference geometry.py:
 # 1019-1040): an orthonormal frame (e1, e2, e3) whose equator follows
 # the swath; x = R·u with u = atan2(p·e2, p·e1) (along-track angle),
-# y = R·v with v = asin(p·e3) (cross-track angle — equidistant, NOT
-# PROJ omerc's Mercator atanh; for a bounding area the difference is
-# O(v³) and absorbed by the fit margin — documented deviation). The
-# frame is fully determined by (lat_0, lonc, alpha): center point
+# y = R·v with v = asin(p·e3) (cross-track angle). Two cross-track
+# geometries are supported via ``cross_track``:
+#   "equidistant" (default) — y = R·v; the fitted-bb convention (a
+#     bounding area wants equally spaced cross-track rows).
+#   "mercator" — y = R·atanh(sin v), PROJ omerc's spherical aposphere
+#     geometry (conformal: cross-track stretch matches along-track at
+#     each v), so round-trips against PROJ agree to spherical terms.
+#     The two agree to O(v³) near the track.
+# The frame is fully determined by (lat_0, lonc, alpha): center point
 # (lat_0, lonc) = e1, along-track azimuth alpha (degrees clockwise
 # from north at the center) = e2, pole e3 = e1 × e2.
+# atanh/tanh/sech are spelled as exp/ln on BOTH engines (the tmerc
+# idiom above) so Spark and DuckDB run identical floating ops.
 
 def omerc_frame(lat_0: float, lonc: float, alpha: float) -> tuple:
     """(lat_0, lonc, alpha) → orthonormal frame rows (e1, e2, e3)."""
@@ -688,25 +695,38 @@ def _dot3(xc, yc, zc, v):
     return xc * float(v[0]) + yc * float(v[1]) + zc * float(v[2])
 
 
-def omerc_xy(lon, lat, frame, radius: float = R_EARTH) -> tuple:
+def omerc_xy(lon, lat, frame, radius: float = R_EARTH,
+             cross_track: str = "equidistant") -> tuple:
     e1, e2, e3 = frame
     lonr, latr = F.radians(_c(lon)), F.radians(_c(lat))
     xc = F.cos(latr) * F.cos(lonr)
     yc = F.cos(latr) * F.sin(lonr)
     zc = F.sin(latr)
     u = F.atan2(_dot3(xc, yc, zc, e2), _dot3(xc, yc, zc, e1))
-    v = F.asin(
-        F.greatest(F.lit(-1.0), F.least(F.lit(1.0), _dot3(xc, yc, zc, e3)))
-    )
-    return u * radius, v * radius
+    lim = 1.0 - 1e-15  # atanh(±1) = ±inf: clamp strictly inside
+    sv = F.greatest(F.lit(-lim), F.least(F.lit(lim), _dot3(xc, yc, zc, e3)))
+    if cross_track == "mercator":
+        yy = 0.5 * F.log((1.0 + sv) / (1.0 - sv))
+    else:
+        yy = F.asin(sv)
+    return u * radius, yy * radius
 
 
-def omerc_inverse(x, y, frame, radius: float = R_EARTH) -> tuple:
-    """(x, y) → (lon, lat): p = cos v (cos u e1 + sin u e2) + sin v e3."""
+def omerc_inverse(x, y, frame, radius: float = R_EARTH,
+                  cross_track: str = "equidistant") -> tuple:
+    """(x, y) → (lon, lat): p = cos v (cos u e1 + sin u e2) + sin v e3,
+    with (cos v, sin v) = (sech t, tanh t), t = y/R in mercator mode."""
     e1, e2, e3 = frame
     u = _c(x) / radius
-    v = _c(y) / radius
-    cu, su, cv, sv = F.cos(u), F.sin(u), F.cos(v), F.sin(v)
+    t = _c(y) / radius
+    cu, su = F.cos(u), F.sin(u)
+    if cross_track == "mercator":
+        e = F.exp(t)
+        den = e + 1.0 / e
+        sv = (e - 1.0 / e) / den
+        cv = F.lit(2.0) / den
+    else:
+        cv, sv = F.cos(t), F.sin(t)
     px = cv * (cu * e1[0] + su * e2[0]) + sv * e3[0]
     py = cv * (cu * e1[1] + su * e2[1]) + sv * e3[1]
     pz = cv * (cu * e1[2] + su * e2[2]) + sv * e3[2]
@@ -715,15 +735,43 @@ def omerc_inverse(x, y, frame, radius: float = R_EARTH) -> tuple:
     return wrap_longitude(lon), lat
 
 
-def omerc_inv_sql(x: str, y: str, frame, radius: float = R_EARTH) -> tuple:
+def omerc_sql(lon: str, lat: str, frame, radius: float = R_EARTH,
+              cross_track: str = "equidistant") -> tuple:
     e1, e2, e3 = frame
-    u, v = f"(({x}) / {radius!r})", f"(({y}) / {radius!r})"
-    px = (f"(cos({v}) * (cos({u}) * {e1[0]!r} + sin({u}) * {e2[0]!r})"
-          f" + sin({v}) * {e3[0]!r})")
-    py = (f"(cos({v}) * (cos({u}) * {e1[1]!r} + sin({u}) * {e2[1]!r})"
-          f" + sin({v}) * {e3[1]!r})")
-    pz = (f"(cos({v}) * (cos({u}) * {e1[2]!r} + sin({u}) * {e2[2]!r})"
-          f" + sin({v}) * {e3[2]!r})")
+    xc = f"(cos(radians({lat})) * cos(radians({lon})))"
+    yc = f"(cos(radians({lat})) * sin(radians({lon})))"
+    zc = f"(sin(radians({lat})))"
+    d1 = f"({xc} * {e1[0]!r} + {yc} * {e1[1]!r} + {zc} * {e1[2]!r})"
+    d2 = f"({xc} * {e2[0]!r} + {yc} * {e2[1]!r} + {zc} * {e2[2]!r})"
+    lim = 1.0 - 1e-15
+    sv = (f"(GREATEST({-lim!r}, LEAST({lim!r}, "
+          f"{xc} * {e3[0]!r} + {yc} * {e3[1]!r} + {zc} * {e3[2]!r})))")
+    if cross_track == "mercator":
+        yy = f"(0.5 * ln((1.0 + {sv}) / (1.0 - {sv})))"
+    else:
+        yy = f"asin({sv})"
+    return (
+        f"(atan2({d2}, {d1}) * {radius!r})",
+        f"({yy} * {radius!r})",
+    )
+
+
+def omerc_inv_sql(x: str, y: str, frame, radius: float = R_EARTH,
+                  cross_track: str = "equidistant") -> tuple:
+    e1, e2, e3 = frame
+    u, t = f"(({x}) / {radius!r})", f"(({y}) / {radius!r})"
+    if cross_track == "mercator":
+        den = f"(exp({t}) + 1.0 / exp({t}))"
+        sv = f"((exp({t}) - 1.0 / exp({t})) / {den})"
+        cv = f"(2.0 / {den})"
+    else:
+        cv, sv = f"cos({t})", f"sin({t})"
+    px = (f"({cv} * (cos({u}) * {e1[0]!r} + sin({u}) * {e2[0]!r})"
+          f" + {sv} * {e3[0]!r})")
+    py = (f"({cv} * (cos({u}) * {e1[1]!r} + sin({u}) * {e2[1]!r})"
+          f" + {sv} * {e3[1]!r})")
+    pz = (f"({cv} * (cos({u}) * {e1[2]!r} + sin({u}) * {e2[2]!r})"
+          f" + {sv} * {e3[2]!r})")
     lon = f"(((degrees(atan2({py}, {px})) + 540.0) % 360.0) - 180.0)"
     lat = f"degrees(asin(LEAST(1.0, GREATEST(-1.0, {pz}))))"
     return lon, lat

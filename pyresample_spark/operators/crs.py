@@ -26,10 +26,12 @@ Supported proj strings (whitespace-separated key=value, order-free):
   pixels are NULL-masked by the horizon condition)
 - ``+proj=tmerc [+lat_0=..] [+lon_0=..] [+k=..] [+x_0=..] [+y_0=..]``
   and ``+proj=utm +zone=N [+south]`` (Snyder 8-5..8-8 spherical)
-- ``+proj=omerc +lat_0=.. +lonc=.. +alpha=..`` — the fitted
-  swath-following frame produced by ``compute_optimal_bb_area``
-  (equidistant cross-track; see functions/geo.py omerc_frame for the
-  documented deviation from PROJ's Mercator cross-track)
+- ``+proj=omerc +lat_0=.. +lonc=.. +alpha=.. [+ctrack=merc]`` — the
+  fitted swath-following frame produced by ``compute_optimal_bb_area``.
+  Default cross-track is equidistant (the fitted-bb convention);
+  ``+ctrack=merc`` (engine extension flag) switches to PROJ omerc's
+  spherical Mercator (atanh) cross-track — see functions/geo.py
+  omerc_xy for both geometries.
 """
 
 from __future__ import annotations
@@ -244,7 +246,8 @@ def forward(crs: str):
             float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
             float(p.get("alpha", "0")),
         )
-        return lambda lon, lat: omerc_xy(lon, lat, frame)
+        ct = "mercator" if p.get("ctrack") == "merc" else "equidistant"
+        return lambda lon, lat: omerc_xy(lon, lat, frame, cross_track=ct)
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -325,7 +328,8 @@ def inverse(crs: str):
             float(p.get("lat_0", "0")), float(p.get("lonc", "0")),
             float(p.get("alpha", "0")),
         )
-        return lambda x, y: omerc_inverse(x, y, frame)
+        ct = "mercator" if p.get("ctrack") == "merc" else "equidistant"
+        return lambda x, y: omerc_inverse(x, y, frame, cross_track=ct)
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -522,11 +526,17 @@ def inverse_scalar(crs: str):
             float(p.get("alpha", "0")),
         )
 
+        ct_merc = p.get("ctrack") == "merc"
+
         def _omerc_inv(x, y):
-            u, v = x / R, y / R
-            cu, su, cv, sv = (
-                math.cos(u), math.sin(u), math.cos(v), math.sin(v),
-            )
+            u, t = x / R, y / R
+            cu, su = math.cos(u), math.sin(u)
+            if ct_merc:
+                e = math.exp(t)
+                den = e + 1.0 / e
+                cv, sv = 2.0 / den, (e - 1.0 / e) / den
+            else:
+                cv, sv = math.cos(t), math.sin(t)
             px = cv * (cu * e1[0] + su * e2[0]) + sv * e3[0]
             py = cv * (cu * e1[1] + su * e2[1]) + sv * e3[1]
             pz = cv * (cu * e1[2] + su * e2[2]) + sv * e3[2]

@@ -563,3 +563,70 @@ def q_vincenty(spark, sf_dir):
     return p.select(
         "event_id", rnd(R_EARTH * F.atan2(num, den), 3).alias("step_m")
     )
+
+
+# --- q_proj_omerc: PROJ-exact oblique Mercator forward ----------------
+# The same fitted track frame q_regrid_omerc uses (center 25°N 10°E,
+# azimuth 40°), but with PROJ omerc's spherical MERCATOR cross-track
+# y = R·atanh(p·e3) instead of the fitted-bb equidistant R·asin —
+# closing the last documented deviation from PROJ's omerc geometry
+# (reference geometry.py:1019-1040 emits these CRS strings for pyproj
+# to evaluate; here both cross-track modes are native column math).
+
+def _omerc_q_frame():
+    from pyresample_spark.functions.geo import omerc_frame
+
+    return omerc_frame(25.0, 10.0, 40.0)
+
+
+@register(
+    "q_proj_omerc",
+    oracle=(lambda xy, e3: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS mx,
+           ROUND({xy[1]}, 3) + 0.0 AS my
+    FROM ({PTS_SQL})
+    WHERE abs(cos(radians(lat)) * cos(radians(lon)) * {e3[0]!r}
+            + cos(radians(lat)) * sin(radians(lon)) * {e3[1]!r}
+            + sin(radians(lat)) * {e3[2]!r}) < 0.98
+    """)(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["omerc_sql"]
+        ).omerc_sql(
+            "lon", "lat",
+            __import__(
+                "pyresample_spark.functions.geo", fromlist=["omerc_frame"]
+            ).omerc_frame(25.0, 10.0, 40.0),
+            cross_track="mercator",
+        ),
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["omerc_frame"]
+        ).omerc_frame(25.0, 10.0, 40.0)[2],
+    ),
+)
+def q_proj_omerc(spark, sf_dir):
+    """Oblique Mercator forward with PROJ's EXACT spherical cross-track
+    geometry: along-track x = R·atan2(p·e2, p·e1), cross-track
+    y = R·atanh(p·e3) (conformal aposphere — functions/geo.py omerc_xy
+    cross_track='mercator'; atanh spelled as ln on both engines).
+    Points within ~11.5° of the frame poles (|p·e3| ≥ 0.98) are
+    excluded in BOTH engines: d atanh/dz = 1/(1−z²) amplifies last-ulp
+    libm differences without bound toward |z| → 1 (the same guard
+    family as q_proj_stere_oblique's antipode cap)."""
+    from pyresample_spark.functions.geo import omerc_xy
+
+    frame = _omerc_q_frame()
+    e3 = frame[2]
+    mx, my = omerc_xy("lon", "lat", frame, cross_track="mercator")
+    dot3 = (
+        F.cos(F.radians("lat")) * F.cos(F.radians("lon")) * F.lit(e3[0])
+        + F.cos(F.radians("lat")) * F.sin(F.radians("lon")) * F.lit(e3[1])
+        + F.sin(F.radians("lat")) * F.lit(e3[2])
+    )
+    return (
+        _pts(spark, sf_dir)
+        .filter(F.abs(dot3) < 0.98)
+        .select(
+            "event_id", rnd(mx, 3).alias("mx"), rnd(my, 3).alias("my")
+        )
+    )

@@ -1219,6 +1219,58 @@ def q_regrid_omerc(spark, sf_dir):
     return regrid_nearest(_OMERC_AREA, EQC_AREA, src)
 
 
+def _omerc_merc_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # the SAME fitted frame as _OMERC_AREA but with PROJ omerc's
+    # Mercator (atanh) cross-track — the engine-extension flag
+    # +ctrack=merc selects it in the analytic registry
+    # (operators/crs.py); extent unchanged (±2.0e6 m cross-track is
+    # v ≈ ±17.5° equidistant vs ±17.2° mercator — both on-sphere).
+    return AreaDefinition(
+        "omerc_track_merc",
+        "+proj=omerc +lat_0=25.0 +lonc=10.0 +alpha=40.0 +gamma=0 "
+        "+ctrack=merc",
+        width=70, height=40,
+        area_extent=(-3.5e6, -2.0e6, 3.5e6, 2.0e6),
+    )
+
+
+_OMERC_MERC_AREA = _omerc_merc_area()
+
+
+@register(
+    "q_regrid_omerc_exact",
+    oracle=(lambda lonlat: _regrid_oracle(_OMERC_MERC_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["omerc_frame", "omerc_inv_sql"],
+        ).omerc_inv_sql(
+            "cx", "cy",
+            __import__(
+                "pyresample_spark.functions.geo", fromlist=["omerc_frame"]
+            ).omerc_frame(25.0, 10.0, 40.0),
+            cross_track="mercator",
+        )
+    ),
+)
+def q_regrid_omerc_exact(spark, sf_dir):
+    """Oblique Mercator regrid with PROJ's EXACT spherical cross-track:
+    each target (x, y) inverts by (cos v, sin v) = (sech, tanh)(y/R) —
+    the conformal aposphere geometry PROJ's omerc uses — then rotates
+    back to the sphere and gathers from the eqc source by equi-join
+    (same plan as q_regrid_omerc; only the cross-track mapping
+    differs). Closes the last documented deviation from the
+    reference's omerc areas (geometry.py:1019-1040): both the fitted
+    equidistant convention AND the PROJ-exact Mercator cross-track are
+    now native, selected by the +ctrack=merc CRS flag."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_OMERC_MERC_AREA, EQC_AREA, src)
+
+
 # --- q_multiband_resample: (bands, y, x) array-column regrid ---------
 
 _MB_BANDS = 3

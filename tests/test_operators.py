@@ -593,6 +593,70 @@ def test_omerc_fitted_frame_roundtrip_and_regrid(spark):
     assert n > 0.5 * area.width * area.height  # most pixels land on-globe
 
 
+def test_omerc_mercator_cross_track(spark):
+    """PROJ-exact omerc geometry (+ctrack=merc): fwd∘inv is the
+    identity, the two cross-track modes agree to O(v³) near the track
+    and diverge off it, and y_merc = R·atanh(sin v) exactly."""
+    import math
+
+    from pyresample_spark.functions.geo import (
+        R_EARTH,
+        omerc_frame,
+        omerc_inverse,
+        omerc_xy,
+    )
+    from pyresample_spark.operators.crs import forward, inverse
+
+    frame = omerc_frame(25.0, 10.0, 40.0)
+    pts = [
+        (10.0, 25.0),          # frame center: (0, 0) in both modes
+        (14.0, 29.0), (0.0, 20.0), (30.0, 10.0), (-20.0, 45.0),
+        (60.0, -5.0), (120.0, 40.0),
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    ex, ey = omerc_xy("lon", "lat", frame)  # equidistant
+    mx, my = omerc_xy("lon", "lat", frame, cross_track="mercator")
+    ilon, ilat = omerc_inverse(
+        mx.alias("x"), my.alias("y"), frame, cross_track="mercator"
+    )
+    rows = df.select(
+        "lon", "lat", ex.alias("ex"), ey.alias("ey"),
+        mx.alias("mx"), my.alias("my"),
+        ilon.alias("rlon"), ilat.alias("rlat"),
+    ).collect()
+    for r in rows:
+        # along-track x identical in both modes
+        assert r.mx == pytest.approx(r.ex, abs=1e-6)
+        # y_merc = R·atanh(sin(y_eqd/R)) exactly
+        v = r.ey / R_EARTH
+        assert r.my == pytest.approx(R_EARTH * math.atanh(math.sin(v)),
+                                     rel=1e-12)
+        # mercator stretches AWAY from the track: |y_m| ≥ |y_e|,
+        # agreeing to O(v³) near it
+        assert abs(r.my) >= abs(r.ey) - 1e-6
+        if abs(v) < 0.1:
+            assert r.my == pytest.approx(r.ey, abs=R_EARTH * abs(v) ** 3)
+        # fwd∘inv identity through the mercator pair
+        assert r.rlon == pytest.approx(r.lon, abs=1e-9)
+        assert r.rlat == pytest.approx(r.lat, abs=1e-9)
+    # center maps to the origin in both modes
+    c = rows[0]
+    assert abs(c.ex) < 1e-6 and abs(c.ey) < 1e-6 and abs(c.my) < 1e-6
+
+    # registry dispatch: +ctrack=merc selects the mercator pair
+    crs = "+proj=omerc +lat_0=25.0 +lonc=10.0 +alpha=40.0 +ctrack=merc"
+    fx, fy = forward(crs)("lon", "lat")
+    glon, glat = inverse(crs)(fx.alias("gx"), fy.alias("gy"))
+    g = df.select(
+        "lon", "lat", fy.alias("gy"), glon.alias("glon"),
+        glat.alias("glat"),
+    ).collect()
+    for r, m in zip(g, rows):
+        assert r.gy == pytest.approx(m.my, abs=1e-6)
+        assert r.glon == pytest.approx(r.lon, abs=1e-9)
+        assert r.glat == pytest.approx(r.lat, abs=1e-9)
+
+
 def test_operator_edge_cases_empty_and_degenerate(spark):
     """Degenerate-input probes: operators must return EMPTY results,
     never raise, when the geometry yields no matches — the contract
