@@ -213,3 +213,87 @@ def q_cube_agg(spark, sf_dir):
             "price_c",
         )
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag AS rf,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS f_price_c,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS o_price_c,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+             AS f_n,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+             AS o_n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT (long → wide): line-status categories become columns of
+    integer-cents revenue + counts per return flag. Values are listed
+    explicitly (``pivot(col, values)``) so Catalyst skips the extra
+    distinct-values job and the plan is ONE map-side-combined hash agg
+    — at 100 TB an unpinned pivot would pay a full scan just to learn
+    the column set. Spark's pivot compiles to the same
+    CASE-WHEN-per-category aggregate the oracle spells out."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    wide = (
+        li.withColumn("cents", cents)
+        .groupBy(F.col("l_returnflag").alias("rf"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum("cents").alias("price_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "rf",
+        F.coalesce(F.col("F_price_c"), F.lit(0)).alias("f_price_c"),
+        F.coalesce(F.col("O_price_c"), F.lit(0)).alias("o_price_c"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS st,
+           COALESCE(o_orderpriority, '<all>') AS pri,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_c
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — an asymmetric set list (detail,
+    priority margin, grand total) that neither ROLLUP nor CUBE
+    expresses, plus GROUPING() markers to tell a margin row from a
+    genuine NULL group. Catalyst expands to one Expand + hash agg —
+    the same single-pass shape as q_rollup_agg/q_cube_agg; both
+    source columns are non-null so COALESCE sentinels are
+    unambiguous."""
+    li = table(spark, sf_dir, "orders")
+    li.createOrReplaceTempView("q_gsets_orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, '<all>') AS st,
+               COALESCE(o_orderpriority, '<all>') AS pri,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS total_c
+        FROM q_gsets_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+    """)
