@@ -272,3 +272,53 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     want = sorted((r.click_id, r.view_id, r.gap_us) for r in batch.collect())
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_gauss_resample_matches_batch(spark, sf_dir):
+    """The stream-static gaussian resampler (broadcast exploded grid +
+    watermarked window agg) must reproduce the identical radius-bounded
+    weighted means computed in batch — the weighted sums are
+    associative, so incremental micro-batch accumulation is exact up
+    to summation-order ulps (absorbed by ROUND 6)."""
+    from pyresample_spark.functions.geo import derived_lat, derived_lon
+    from pyresample_spark.operators.bucket import events_points
+    from pyresample_spark.streaming.windows import streaming_gauss_resample
+
+    # coarse 3°-step target grid over the sf0.001 swath's footprint
+    # (events_points lon ∈ [-180, -165], lat ∈ [-90, -75] at this SF)
+    tgt = spark.range(0, 6 * 6).select(
+        F.col("id").alias("tgt_id"),
+        ((F.col("id") % 6) * 3.0 - 178.5).alias("lon"),
+        ((F.col("id") / 6).cast("int") * 3.0 - 88.5).alias("lat"),
+    )
+    radius_m, sigma = 600_000.0, 300_000.0
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        streaming_gauss_resample(stream, tgt, radius_m, sigma),
+        "stream_gauss",
+    )
+    stream_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.tgt_id): (
+            round(r.gauss_value, 6),
+            r.n,
+        )
+        for r in got.collect()
+    }
+
+    # batch twin: the SAME builder over the static points table
+    # (withWatermark is a no-op on a batch DataFrame)
+    pts = events_points(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    ).drop("lon", "lat")
+    batch = streaming_gauss_resample(pts, tgt, radius_m, sigma)
+    batch_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.tgt_id): (
+            round(r.gauss_value, 6),
+            r.n,
+        )
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 50
+    _ = derived_lat, derived_lon  # imported for doc-parity reference
