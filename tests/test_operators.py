@@ -1184,3 +1184,75 @@ def test_choose_salt_factor_heuristic(spark):
         (F.col("id") % 140 - 70.0 + 0.5).alias("lat"),
     )
     assert choose_salt_factor(spread, 50_000.0, hot_cell_rows=100) is None
+
+
+def test_crs_roundtrip_sweep_all_families(spark):
+    """fwd∘inv identity sweep across EVERY analytic CRS family in the
+    registry, on one shared pseudo-random point cloud (hash-derived,
+    deterministic). The oracle-parity tests check each family against
+    DuckDB twins that share the formula text; this sweep checks the
+    INTERNAL consistency the twins cannot — a forward and inverse that
+    drifted apart (sign convention, false easting, wrap) fail here
+    even if both SQL twins drifted identically."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from pyresample_spark.operators.crs import forward, inverse
+
+    pts = spark.range(0, 3000).select(
+        (F.pmod(F.hash(F.col("id") * 2654435761), F.lit(36000)) / 100.0
+         - 180.0).alias("lon"),
+        (F.pmod(F.hash(F.col("id") * 40503 + 7), F.lit(17800)) / 100.0
+         - 89.0).alias("lat"),
+    )
+    # domain guard per family: keep points where the projection is
+    # well-conditioned (away from antipodes / horizons / cone limits)
+    lat, lon = F.col("lat"), F.col("lon")
+
+    def cos_c(lat0, lon0):
+        return (
+            F.sin(F.radians(F.lit(lat0))) * F.sin(F.radians(lat))
+            + F.cos(F.radians(F.lit(lat0))) * F.cos(F.radians(lat))
+              * F.cos(F.radians(lon - F.lit(lon0)))
+        )
+
+    cases = [
+        ("+proj=eqc", F.lit(True)),
+        ("+proj=stere +lat_0=90 +lat_ts=70", lat > -60.0),
+        ("+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999", cos_c(52.0, 10.0) > -0.9),
+        ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
+        ("+proj=merc +lat_ts=20", F.abs(lat) < 85.0),
+        ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
+         (lat > 0.0) & (lat < 85.0)),
+        ("+proj=sinu +lon_0=0", F.lit(True)),
+        ("+proj=cea +lat_ts=30", F.abs(lat) < 89.0),
+        ("+proj=ortho +lat_0=0 +lon_0=0", cos_c(0.0, 0.0) > 0.1),
+        ("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996",
+         (F.abs(lon - 15.0) < 45.0) & (F.abs(lat) < 84.0)),
+        ("+proj=utm +zone=33", (F.abs(lon - 15.0) < 45.0) & (F.abs(lat) < 84.0)),
+        ("+proj=omerc +lat_0=25 +lonc=10 +alpha=40", cos_c(-22.4, 131.7) > -0.9),
+        ("+proj=omerc +lat_0=25 +lonc=10 +alpha=40 +ctrack=merc",
+         cos_c(-22.4, 131.7) > -0.9),
+        ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=37.5 +lon_0=-96",
+         (lat > -60.0) & (lat < 89.0)),
+        ("+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=0",
+         (lat > -60.0) & (lat < 89.0)),
+        ("+proj=moll +lon_0=0", F.abs(lat) < 89.0),
+        ("+proj=robin +lon_0=0", F.abs(lat) < 85.0),
+        ("+proj=geos +h=35785831 +lon_0=0", cos_c(0.0, 0.0) > 0.25),
+    ]
+    for crs, guard in cases:
+        fx, fy = forward(crs)("lon", "lat")
+        d = pts.filter(guard).select("lon", "lat", fx.alias("x"), fy.alias("y"))
+        ilon, ilat = inverse(crs)("x", "y")
+        # wrap-aware lon error
+        dlon = F.abs(
+            ((ilon - F.col("lon") + 540.0) % 360.0) - 180.0
+        )
+        err = d.select(
+            F.count(F.lit(1)).alias("n"),
+            F.max(dlon).alias("e_lon"),
+            F.max(F.abs(ilat - F.col("lat"))).alias("e_lat"),
+        ).first()
+        assert err.n > 100, f"{crs}: domain guard left only {err.n} points"
+        assert err.e_lon < 1e-6, f"{crs}: max lon roundtrip err {err.e_lon}"
+        assert err.e_lat < 1e-6, f"{crs}: max lat roundtrip err {err.e_lat}"
