@@ -156,16 +156,17 @@ def encode_ppm(width: int, height: int, rgb: tuple) -> bytes:
     return header + bytes(rgb) * (width * height)
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Parse a binary PPM (P6): magic, whitespace/comment-tolerant
-    header tokens (width, height, maxval), then the pixel buffer as a
-    (height, width, 3) uint8 array. Raises ValueError on malformed
-    input — a real parser, not a length heuristic."""
+def _parse_ppm_at(payload: bytes, pos: int) -> tuple:
+    """Parse ONE P6 image starting at ``pos``: magic, whitespace/
+    comment-tolerant header tokens (width, height, maxval), then the
+    pixel buffer as a (height, width, 3) uint8 array. Returns
+    (meta dict, next position). Raises ValueError on malformed input —
+    a real parser, not a length heuristic."""
     import numpy as np
 
-    if payload[:2] != b"P6":
+    if payload[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos, tokens = 2, []
+    pos, tokens = pos + 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -191,15 +192,42 @@ def decode_ppm(payload: bytes) -> dict:
         )
     px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
     means = px.reshape(-1, 3).mean(axis=0)
-    return {
-        "width": width,
-        "height": height,
-        "maxval": maxval,
-        "n_pixels": width * height,
-        "mean_r": float(means[0]),
-        "mean_g": float(means[1]),
-        "mean_b": float(means[2]),
-    }
+    return (
+        {
+            "width": width,
+            "height": height,
+            "maxval": maxval,
+            "n_pixels": width * height,
+            "mean_r": float(means[0]),
+            "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        },
+        pos + need,
+    )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a single binary PPM (P6) payload (see _parse_ppm_at)."""
+    meta, _end = _parse_ppm_at(payload, 0)
+    return meta
+
+
+def decode_ppm_container(payload: bytes) -> list:
+    """Walk a multi-frame container of back-to-back P6 images (the
+    dependency-free stand-in for a video container: each frame is a
+    complete PPM, concatenated). Returns one meta dict per frame, each
+    annotated with frame_idx and frame_bytes. Trailing garbage raises
+    — the walker must consume the buffer exactly."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        meta, nxt = _parse_ppm_at(payload, pos)
+        meta["frame_idx"] = len(frames)
+        meta["frame_bytes"] = nxt - pos
+        frames.append(meta)
+        pos = nxt
+    if not frames:
+        raise ValueError("empty container")
+    return frames
 
 
 def decode_ppm_meta(media: DataFrame) -> DataFrame:
@@ -229,6 +257,43 @@ def decode_ppm_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, PPM_META_SCHEMA)
+
+
+PPM_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, "
+    "mean_r long, mean_g long, mean_b long, frame_bytes long"
+)
+
+
+def decode_ppm_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas over (doc_id, payload): walk each multi-frame PPM
+    container with the real parser and emit ONE ROW PER FRAME — the
+    genuine-binary-parsing form of the 1→N frame-sampling
+    amplification (sample_frames_df uses fake frame arithmetic; this
+    path parses actual headers and pixel buffers per frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for m in decode_ppm_container(bytes(payload)):
+                    rows.append(
+                        (
+                            doc_id, m["frame_idx"], m["width"],
+                            m["height"], int(round(m["mean_r"])),
+                            int(round(m["mean_g"])),
+                            int(round(m["mean_b"])), m["frame_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "frame_bytes",
+                ],
+            )
+
+    return media.mapInPandas(run, PPM_FRAMES_SCHEMA)
 
 
 def encode_wav_pcm16(

@@ -215,3 +215,84 @@ def q_wav_decode(spark, sf_dir):
 
     media = d.mapInPandas(build, "doc_id long, payload binary")
     return decode_wav_meta(media)
+
+
+@register(
+    "q_ppm_video",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+    ),
+    d AS (
+      SELECT doc_id, L,
+             L % 7 + 1 AS w, L % 5 + 1 AS h,
+             L % 4 + 2 AS nf
+      FROM m
+    ),
+    f AS (
+      SELECT doc_id, L, w, h,
+             unnest(range(0, nf)) AS fi
+      FROM d
+    )
+    SELECT doc_id,
+           fi AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((L + 31 * fi) % 256 AS BIGINT) AS mean_r,
+           CAST((L * 3 + 17 * fi) % 256 AS BIGINT) AS mean_g,
+           CAST((L * 7 + 11 * fi) % 256 AS BIGINT) AS mean_b,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 3 * w * h AS BIGINT) AS frame_bytes
+    FROM f
+    """,
+)
+def q_ppm_video(spark, sf_dir):
+    """Multi-frame container decode — the video twin of q_ppm_decode:
+    each document renders into a container of 2–5 back-to-back
+    complete P6 frames (uniform per-frame RGB derived from byte
+    length and frame index), and a second mapInPandas stage WALKS the
+    container with the real parser (operators/multimodal.py
+    decode_ppm_container: repeated header grammar + pixel-buffer
+    slicing, trailing-garbage rejection), emitting one row per frame —
+    the genuine 1→N frame-sampling amplification. The DuckDB oracle
+    unnests the same frame arithmetic, so a walker bug (wrong frame
+    boundary, off-by-one frame count, channel mix-up in any frame)
+    hash-fails. An ffmpeg/torchvision frame sampler drops into the
+    same seam on a real cluster."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyresample_spark.operators.multimodal import (
+        decode_ppm_frames,
+        encode_ppm,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                L = len(text.encode("utf-8"))
+                w, h = L % 7 + 1, L % 5 + 1
+                nf = L % 4 + 2
+                payloads.append(
+                    b"".join(
+                        encode_ppm(
+                            w, h,
+                            (
+                                (L + 31 * f) % 256,
+                                (L * 3 + 17 * f) % 256,
+                                (L * 7 + 11 * f) % 256,
+                            ),
+                        )
+                        for f in range(nf)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(build, "doc_id long, payload binary")
+    return decode_ppm_frames(media)

@@ -655,3 +655,28 @@ def test_inverse_scalar_matches_column_inverse_all_families(spark):
             a, b = xyz(sv[0], sv[1]), xyz(r.lon, r.lat)
             d = sum((u - v) ** 2 for u, v in zip(a, b)) ** 0.5
             assert d < 1e-9, (crs, r.x, r.y, sv, (r.lon, r.lat), d)
+
+
+def test_area_yaml_preserves_ctrack_flag():
+    """The +ctrack=merc engine-extension flag (PROJ-exact omerc
+    cross-track) must survive the YAML dump/load round-trip so a
+    persisted area file selects the same cross-track geometry when
+    re-registered."""
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.sources.area_yaml import (
+        dump_area,
+        load_area_from_string,
+    )
+
+    a = AreaDefinition(
+        "omerc_m",
+        "+proj=omerc +lat_0=25.0 +lonc=10.0 +alpha=40.0 +gamma=0 "
+        "+ctrack=merc",
+        width=70, height=40,
+        area_extent=(-3.5e6, -2.0e6, 3.5e6, 2.0e6),
+    )
+    [b] = load_area_from_string(dump_area(a))
+    assert "ctrack=merc" in b.crs
+    assert (b.width, b.height, b.area_extent) == (
+        a.width, a.height, a.area_extent
+    )

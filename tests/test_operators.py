@@ -1256,3 +1256,30 @@ def test_crs_roundtrip_sweep_all_families(spark):
         assert err.n > 100, f"{crs}: domain guard left only {err.n} points"
         assert err.e_lon < 1e-6, f"{crs}: max lon roundtrip err {err.e_lon}"
         assert err.e_lat < 1e-6, f"{crs}: max lat roundtrip err {err.e_lat}"
+
+
+def test_ppm_container_walker():
+    """The multi-frame walker must consume frame boundaries exactly:
+    frames parse in order, comments inside any frame header are
+    tolerated, and trailing garbage / empty input raise."""
+    import pytest as _pt
+
+    from pyresample_spark.operators.multimodal import (
+        decode_ppm_container,
+        encode_ppm,
+    )
+
+    f0 = encode_ppm(3, 2, (10, 20, 30))
+    f1 = b"P6\n# inter-frame comment\n2 2\n255\n" + bytes((5, 6, 7)) * 4
+    f2 = encode_ppm(1, 1, (255, 0, 128))
+    frames = decode_ppm_container(f0 + f1 + f2)
+    assert [m["frame_idx"] for m in frames] == [0, 1, 2]
+    assert [(m["width"], m["height"]) for m in frames] == [
+        (3, 2), (2, 2), (1, 1)
+    ]
+    assert frames[1]["mean_g"] == 6.0 and frames[2]["mean_r"] == 255.0
+    assert sum(m["frame_bytes"] for m in frames) == len(f0 + f1 + f2)
+    with _pt.raises(ValueError, match="P6"):
+        decode_ppm_container(f0 + b"JUNK")
+    with _pt.raises(ValueError, match="empty"):
+        decode_ppm_container(b"")
