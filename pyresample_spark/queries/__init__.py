@@ -83,6 +83,7 @@ _PRIORITY = [
     "q_pivot",
     "q_grouping_sets",
     "q_ppm_video",
+    "q_bloom_filter",
     # --- round-5 rotation (VERDICT r4 item 1): the 41 queries whose
     #     latest driver row is from r1/r2 — every one re-validated for a
     #     post-flavor-change green. (q_approx_distinct is also r2-latest

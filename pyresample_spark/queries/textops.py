@@ -1829,3 +1829,107 @@ def q_langid_confusion(spark, sf_dir):
         .groupBy("true_lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- q_bloom_filter: portable Bloom membership sketch ----------------
+
+_BLOOM_K = 4        # hash functions (partitioned rows)
+_BLOOM_M = 1024     # buckets per row (sized to EXPOSE collisions: the
+                    # eval bigram set fills ~50% of each row, so the
+                    # false-positive audit below exercises real FPs)
+
+
+@register(
+    "q_bloom_filter",
+    oracle=f"""
+    WITH s AS ({shingles_sql(2)}),
+    seeds(j, c) AS (VALUES {{seeds}}),
+    members AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 20 = 0),
+    bits AS (
+      SELECT DISTINCT j, xor({md5_bigint_sql('shingle')}, c) % {_BLOOM_M} AS bucket
+      FROM members CROSS JOIN seeds
+    ),
+    probes AS (SELECT DISTINCT shingle FROM s),
+    hits AS (
+      SELECT p.shingle,
+             CAST(COUNT(bits.bucket) AS BIGINT) = {_BLOOM_K} AS bloom_hit
+      FROM probes p CROSS JOIN seeds sd
+      LEFT JOIN bits ON bits.j = sd.j
+       AND bits.bucket = xor({md5_bigint_sql('p.shingle')}, sd.c) % {_BLOOM_M}
+      GROUP BY p.shingle
+    ),
+    flagged AS (
+      SELECT h.shingle, h.bloom_hit,
+             m.shingle IS NOT NULL AS is_member
+      FROM hits h LEFT JOIN members m USING (shingle)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(CASE WHEN is_member THEN 1 END) AS BIGINT) AS n_members,
+           CAST(COUNT(CASE WHEN is_member AND bloom_hit THEN 1 END) AS BIGINT)
+             AS n_member_hits,
+           CAST(COUNT(CASE WHEN bloom_hit AND NOT is_member THEN 1 END)
+                AS BIGINT) AS n_false_positives
+    FROM flagged
+    """.replace("{seeds}", _CMS_SEEDS),
+)
+def q_bloom_filter(spark, sf_dir):
+    """Partitioned Bloom filter (k=4 hash rows × m=1024 buckets) over
+    the eval set's word-bigram vocabulary, audited against exact
+    membership — the sketch-based form of q_decontaminate's anti-join:
+    at 100 TB the eval vocabulary's Bloom bits (k·m booleans, here
+    4 KiB) broadcast to every task and the corpus n-gram stream is
+    filtered map-side with NO join or shuffle; only flagged candidates
+    go to the exact verification join. Like q_countmin (and unlike
+    HLL), the hashes are portable md5⊕seed, so the sketch is
+    bit-identical across engines and fully oracle-checked: the output
+    row asserts the Bloom guarantee (n_member_hits == n_members — zero
+    false negatives) and exposes the real false-positive count a
+    deployment monitors (m is deliberately small enough that FPs
+    occur)."""
+    from pyresample_spark.operators.dedup import _seed_constants
+
+    d = table(spark, sf_dir, "documents")
+    s = shingles(d, n=2)
+    seeds = [(j, c) for j, c in enumerate(_seed_constants(_BLOOM_K))]
+    sdf = F.broadcast(spark.createDataFrame(seeds, "j int, c long"))
+    h = md5_bigint(F.col("shingle"))
+
+    members = (
+        s.filter(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+    )
+    bits = (
+        members.withColumn("h0", h)
+        .crossJoin(sdf)
+        .select("j", F.expr(f"(h0 ^ c) % {_BLOOM_M}").alias("bucket"))
+        .distinct()
+    )
+    probes = s.select("shingle").distinct()
+    hits = (
+        probes.withColumn("h0", h)
+        .crossJoin(sdf)
+        .select(
+            "shingle", "j", F.expr(f"(h0 ^ c) % {_BLOOM_M}").alias("bucket")
+        )
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))),
+            ["j", "bucket"],
+            "left",
+        )
+        .groupBy("shingle")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_hit"))
+    )
+    flagged = hits.join(
+        F.broadcast(members.withColumn("is_member", F.lit(True))),
+        "shingle",
+        "left",
+    ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_members"),
+        F.count(F.when(F.col("is_member") & F.col("bloom_hit"), 1)).alias(
+            "n_member_hits"
+        ),
+        F.count(
+            F.when(F.col("bloom_hit") & ~F.col("is_member"), 1)
+        ).alias("n_false_positives"),
+    )
