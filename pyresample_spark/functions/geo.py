@@ -1298,3 +1298,90 @@ def stere_oblique_inv_sql(x: str, y: str, lat_0: float = 0.0,
     lon = (f"(CASE WHEN {rho} = 0.0 THEN {float(lon_0)!r} ELSE "
            f"((({lon_raw} + 540.0) % 360.0) - 180.0) END)")
     return lon, lat
+
+
+# --- Azimuthal equidistant (spherical, +proj=aeqd) --------------------
+# Snyder eqs. 25-1..25-4 (oblique aspect): distances FROM THE CENTER
+# are true — the local-area / swath-station CRS (the reference reaches
+# aeqd through pyproj; common for ground-station footprints). k' =
+# c/sin c with the removable c → 0 singularity handled by an explicit
+# CASE on BOTH engines (identical floating ops, same branch point).
+
+def aeqd_xy(lon, lat, lat_0: float = 0.0, lon_0: float = 0.0,
+            radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    latr = F.radians(_c(lat))
+    dlon = F.radians(_c(lon) - F.lit(lon_0))
+    cos_c = F.greatest(
+        F.lit(-1.0),
+        F.least(
+            F.lit(1.0), s1 * F.sin(latr) + c1 * F.cos(latr) * F.cos(dlon)
+        ),
+    )
+    c = F.acos(cos_c)
+    k = F.when(c == 0.0, F.lit(1.0)).otherwise(c / F.sin(c))
+    x = radius * k * F.cos(latr) * F.sin(dlon)
+    y = radius * k * (c1 * F.sin(latr) - s1 * F.cos(latr) * F.cos(dlon))
+    return x, y
+
+
+def aeqd_inverse(x, y, lat_0: float = 0.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH) -> tuple:
+    """Snyder 25-15/25-16: c = rho/R exactly (equidistant), then the
+    same oblique rotation back as the stereographic inverse."""
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs, ys = _c(x), _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    cc = rho / radius
+    sin_c, cos_c = F.sin(cc), F.cos(cc)
+    lat = F.when(rho == 0.0, F.lit(float(lat_0))).otherwise(
+        F.degrees(F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+            cos_c * s1 + ys * sin_c * c1 / rho))))
+    )
+    lon = F.when(rho == 0.0, F.lit(float(lon_0))).otherwise(
+        F.lit(lon_0) + F.degrees(F.atan2(
+            xs * sin_c, rho * c1 * cos_c - ys * s1 * sin_c
+        ))
+    )
+    return wrap_longitude(lon), lat
+
+
+def aeqd_sql(lon: str, lat: str, lat_0: float = 0.0, lon_0: float = 0.0,
+             radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    dlon = f"radians({lon} - {lon_0!r})"
+    latr = f"radians({lat})"
+    cos_c = (f"(GREATEST(-1.0, LEAST(1.0, {s1!r} * sin({latr})"
+             f" + {c1!r} * cos({latr}) * cos({dlon}))))")
+    c = f"acos({cos_c})"
+    k = f"(CASE WHEN {c} = 0.0 THEN 1.0 ELSE {c} / sin({c}) END)"
+    return (
+        f"({radius!r} * {k} * cos({latr}) * sin({dlon}))",
+        f"({radius!r} * {k} * ({c1!r} * sin({latr})"
+        f" - {s1!r} * cos({latr}) * cos({dlon})))",
+    )
+
+
+def aeqd_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs = f"CAST({x} AS DOUBLE)"
+    ys = f"CAST({y} AS DOUBLE)"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    cc = f"({rho} / {radius!r})"
+    lat = (f"(CASE WHEN {rho} = 0.0 THEN {float(lat_0)!r} ELSE "
+           f"degrees(asin(greatest(-1.0, least(1.0, cos({cc}) * {s1!r}"
+           f" + {ys} * sin({cc}) * {c1!r} / {rho})))) END)")
+    lon_raw = (f"({lon_0!r} + degrees(atan2({xs} * sin({cc}),"
+               f" {rho} * {c1!r} * cos({cc}) - {ys} * {s1!r} * sin({cc}))))")
+    lon = (f"(CASE WHEN {rho} = 0.0 THEN {float(lon_0)!r} ELSE "
+           f"((({lon_raw} + 540.0) % 360.0) - 180.0) END)")
+    return lon, lat

@@ -19,6 +19,8 @@ Supported proj strings (whitespace-separated key=value, order-free):
   [+lat_2=..]`` (Snyder 14/16 conics)
 - ``+proj=moll`` (Newton-fold forward, closed-form inverse)
 - ``+proj=robin`` (Robinson 1974 table, linear interpolation)
+- ``+proj=aeqd [+lat_0=..] [+lon_0=..]`` (Snyder 25-1..25-4 oblique
+  azimuthal equidistant — true distances from the center)
 - ``+proj=laea [+lat_0=..] [+lon_0=..]``
 - ``+proj=merc [+lat_ts=..] [+lon_0=..]``
 - ``+proj=lcc +lat_1=.. [+lat_2=..] [+lat_0=..] [+lon_0=..]``
@@ -40,6 +42,8 @@ from pyspark.sql import functions as F
 
 from pyresample_spark.functions.geo import (
     R_EARTH,
+    aeqd_inverse,
+    aeqd_xy,
     aea_inverse,
     aea_xy,
     stere_oblique_inverse,
@@ -108,6 +112,8 @@ def _family(crs: str) -> str:
         # polar aspects keep the lat_ts secant form (stere_polar_*);
         # oblique/equatorial aspects use Snyder 21-2..21-4 (k0 scale)
         return "stere" if abs(lat0) == 90.0 else "stere_oblique"
+    if proj == "aeqd":
+        return "aeqd"
     if proj == "laea":
         return "laea"
     if proj == "merc":
@@ -192,6 +198,10 @@ def forward(crs: str):
         return lambda lon, lat: stere_oblique_xy(
             lon, lat, lat_0=lat_0, lon_0=lon_0, k0=k0
         )
+    if fam == "aeqd":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: aeqd_xy(lon, lat, lat_0=lat_0, lon_0=lon_0)
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -281,6 +291,10 @@ def inverse(crs: str):
         return lambda x, y: stere_oblique_inverse(
             x, y, lat_0=lat_0, lon_0=lon_0, k0=k0
         )
+    if fam == "aeqd":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: aeqd_inverse(x, y, lat_0=lat_0, lon_0=lon_0)
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -457,6 +471,24 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _stere_ob_inv
+    if fam == "aeqd":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        s1, c1 = math.sin(math.radians(lat_0)), math.cos(math.radians(lat_0))
+
+        def _aeqd_inv(x, y):
+            rho = math.hypot(x, y)
+            if rho == 0.0:
+                return lon_0, lat_0
+            cc = rho / R
+            lat = math.degrees(math.asin(max(-1.0, min(1.0,
+                math.cos(cc) * s1 + y * math.sin(cc) * c1 / rho))))
+            lon = lon_0 + math.degrees(math.atan2(
+                x * math.sin(cc),
+                rho * c1 * math.cos(cc) - y * s1 * math.sin(cc)))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _aeqd_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

@@ -135,6 +135,11 @@ _PRIORITY = [
     "q_rollup_agg",
     "q_star_join",
     "q_window_suite",
+    # --- late-round-5 additions: BEHIND the rotation block (the r4
+    #     verdict's top ask is re-greening the 41 stale rows; these are
+    #     locally oracle-verified and rotate into the r6 window) ---
+    "q_proj_aeqd",
+    "q_regrid_aeqd",
     # --- fill the 50-slot window with the oldest r3-latest rows; the
     #     remaining 41 r3 rows rotate in round 6 ---
     "q_ann_ivf_probe2",

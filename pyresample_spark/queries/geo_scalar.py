@@ -630,3 +630,44 @@ def q_proj_omerc(spark, sf_dir):
             "event_id", rnd(mx, 3).alias("mx"), rnd(my, 3).alias("my")
         )
     )
+
+
+@register(
+    "q_proj_aeqd",
+    oracle=(lambda xy: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS ax,
+           ROUND({xy[1]}, 3) + 0.0 AS ay
+    FROM ({PTS_SQL})
+    WHERE sin(radians(48.0)) * sin(radians(lat))
+        + cos(radians(48.0)) * cos(radians(lat))
+          * cos(radians(lon - 2.0)) > -0.99
+    """)(__import__('pyresample_spark.functions.geo',
+                    fromlist=['aeqd_sql']).aeqd_sql(
+        'lon', 'lat', lat_0=48.0, lon_0=2.0)),
+)
+def q_proj_aeqd(spark, sf_dir):
+    """Azimuthal equidistant forward projection (center 48°N 2°E — the
+    ground-station/local-area aspect; Snyder 25-1..25-4 spherical) as
+    pure column math, with the removable c→0 singularity of
+    k' = c/sin c handled by an identical CASE branch on both engines.
+    Points within ~8.1° of the antipode (48°S 178°W) are excluded by
+    the same cos(c) > -0.99 angular-distance cap as
+    q_proj_stere_oblique: k' ~ π/(π−c) amplifies last-ulp libm
+    differences toward the antipode (the reference reaches aeqd only
+    through pyproj)."""
+    from pyresample_spark.functions.geo import aeqd_xy
+
+    ax, ay = aeqd_xy("lon", "lat", lat_0=48.0, lon_0=2.0)
+    cos_c = (
+        F.sin(F.radians(F.lit(48.0))) * F.sin(F.radians("lat"))
+        + F.cos(F.radians(F.lit(48.0))) * F.cos(F.radians("lat"))
+          * F.cos(F.radians(F.col("lon") - F.lit(2.0)))
+    )
+    return (
+        _pts(spark, sf_dir)
+        .filter(cos_c > F.lit(-0.99))
+        .select(
+            "event_id", rnd(ax, 3).alias("ax"), rnd(ay, 3).alias("ay")
+        )
+    )

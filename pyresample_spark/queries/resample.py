@@ -1515,3 +1515,41 @@ def q_regrid_stere_oblique(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_STERE_OB_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_aeqd: local-area azimuthal equidistant target ----------
+
+def _aeqd_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # a ground-station footprint: 3000 km square centered 48°N 2°E
+    return AreaDefinition(
+        "aeqd_station", "+proj=aeqd +lat_0=48.0 +lon_0=2.0",
+        width=60, height=60,
+        area_extent=(-1.5e6, -1.5e6, 1.5e6, 1.5e6),
+    )
+
+
+_AEQD_AREA = _aeqd_area()
+
+
+@register(
+    "q_regrid_aeqd",
+    oracle=(lambda lonlat: _regrid_oracle(_AEQD_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["aeqd_inv_sql"]
+        ).aeqd_inv_sql("cx", "cy", lat_0=48.0, lon_0=2.0)
+    ),
+)
+def q_regrid_aeqd(spark, sf_dir):
+    """Azimuthal equidistant regrid WITHOUT pyproj: an eqc world image
+    onto a 3000 km station footprint. Each target (x, y) inverts by
+    c = rho/R exactly (true center distances — Snyder 25-15/25-16,
+    functions/geo.py aeqd_inverse, registered as the analytic family
+    '+proj=aeqd') and gathers from the eqc source by equi-join — the
+    same generalized-linesample plan as every other analytic regrid."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_AEQD_AREA, EQC_AREA, src)
