@@ -1385,3 +1385,89 @@ def aeqd_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
     lon = (f"(CASE WHEN {rho} = 0.0 THEN {float(lon_0)!r} ELSE "
            f"((({lon_raw} + 540.0) % 360.0) - 180.0) END)")
     return lon, lat
+
+
+# --- Gnomonic (spherical, +proj=gnom) ---------------------------------
+# Snyder eqs. 22-1..22-5 (oblique): every great circle maps to a
+# straight line — the navigation / line-of-sight CRS. Defined only on
+# the near hemisphere (cos c > 0); k' = 1/cos c grows without bound
+# toward the horizon, so forwards NULL-mask beyond it (the same
+# horizon-mask contract as the geostationary family).
+
+def gnom_xy(lon, lat, lat_0: float = 0.0, lon_0: float = 0.0,
+            radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    latr = F.radians(_c(lat))
+    dlon = F.radians(_c(lon) - F.lit(lon_0))
+    cos_c = s1 * F.sin(latr) + c1 * F.cos(latr) * F.cos(dlon)
+    k = F.lit(1.0) / cos_c
+    x = radius * k * F.cos(latr) * F.sin(dlon)
+    y = radius * k * (c1 * F.sin(latr) - s1 * F.cos(latr) * F.cos(dlon))
+    null = F.lit(None).cast("double")
+    return (
+        F.when(cos_c > 0.0, x).otherwise(null),
+        F.when(cos_c > 0.0, y).otherwise(null),
+    )
+
+
+def gnom_inverse(x, y, lat_0: float = 0.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH) -> tuple:
+    """Snyder 22-14..22-17: c = atan(rho/R), then the standard oblique
+    rotation back (always lands on the near hemisphere)."""
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs, ys = _c(x), _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    cc = F.atan(rho / radius)
+    sin_c, cos_c = F.sin(cc), F.cos(cc)
+    lat = F.when(rho == 0.0, F.lit(float(lat_0))).otherwise(
+        F.degrees(F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+            cos_c * s1 + ys * sin_c * c1 / rho))))
+    )
+    lon = F.when(rho == 0.0, F.lit(float(lon_0))).otherwise(
+        F.lit(lon_0) + F.degrees(F.atan2(
+            xs * sin_c, rho * c1 * cos_c - ys * s1 * sin_c
+        ))
+    )
+    return wrap_longitude(lon), lat
+
+
+def gnom_sql(lon: str, lat: str, lat_0: float = 0.0, lon_0: float = 0.0,
+             radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    dlon = f"radians({lon} - {lon_0!r})"
+    latr = f"radians({lat})"
+    cos_c = (f"({s1!r} * sin({latr})"
+             f" + {c1!r} * cos({latr}) * cos({dlon}))")
+    k = f"(1.0 / {cos_c})"
+    x = f"({radius!r} * {k} * cos({latr}) * sin({dlon}))"
+    y = (f"({radius!r} * {k} * ({c1!r} * sin({latr})"
+         f" - {s1!r} * cos({latr}) * cos({dlon})))")
+    return (
+        f"(CASE WHEN {cos_c} > 0.0 THEN {x} ELSE NULL END)",
+        f"(CASE WHEN {cos_c} > 0.0 THEN {y} ELSE NULL END)",
+    )
+
+
+def gnom_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
+                 radius: float = R_EARTH) -> tuple:
+    import math as _m
+
+    s1, c1 = _m.sin(_m.radians(lat_0)), _m.cos(_m.radians(lat_0))
+    xs = f"CAST({x} AS DOUBLE)"
+    ys = f"CAST({y} AS DOUBLE)"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    cc = f"atan({rho} / {radius!r})"
+    lat = (f"(CASE WHEN {rho} = 0.0 THEN {float(lat_0)!r} ELSE "
+           f"degrees(asin(greatest(-1.0, least(1.0, cos({cc}) * {s1!r}"
+           f" + {ys} * sin({cc}) * {c1!r} / {rho})))) END)")
+    lon_raw = (f"({lon_0!r} + degrees(atan2({xs} * sin({cc}),"
+               f" {rho} * {c1!r} * cos({cc}) - {ys} * {s1!r} * sin({cc}))))")
+    lon = (f"(CASE WHEN {rho} = 0.0 THEN {float(lon_0)!r} ELSE "
+           f"((({lon_raw} + 540.0) % 360.0) - 180.0) END)")
+    return lon, lat

@@ -21,6 +21,8 @@ Supported proj strings (whitespace-separated key=value, order-free):
 - ``+proj=robin`` (Robinson 1974 table, linear interpolation)
 - ``+proj=aeqd [+lat_0=..] [+lon_0=..]`` (Snyder 25-1..25-4 oblique
   azimuthal equidistant — true distances from the center)
+- ``+proj=gnom [+lat_0=..] [+lon_0=..]`` (Snyder 22 gnomonic — great
+  circles map to straight lines; beyond-horizon pixels NULL-masked)
 - ``+proj=laea [+lat_0=..] [+lon_0=..]``
 - ``+proj=merc [+lat_ts=..] [+lon_0=..]``
 - ``+proj=lcc +lat_1=.. [+lat_2=..] [+lat_0=..] [+lon_0=..]``
@@ -44,6 +46,8 @@ from pyresample_spark.functions.geo import (
     R_EARTH,
     aeqd_inverse,
     aeqd_xy,
+    gnom_inverse,
+    gnom_xy,
     aea_inverse,
     aea_xy,
     stere_oblique_inverse,
@@ -114,6 +118,8 @@ def _family(crs: str) -> str:
         return "stere" if abs(lat0) == 90.0 else "stere_oblique"
     if proj == "aeqd":
         return "aeqd"
+    if proj == "gnom":
+        return "gnom"
     if proj == "laea":
         return "laea"
     if proj == "merc":
@@ -202,6 +208,10 @@ def forward(crs: str):
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
         return lambda lon, lat: aeqd_xy(lon, lat, lat_0=lat_0, lon_0=lon_0)
+    if fam == "gnom":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda lon, lat: gnom_xy(lon, lat, lat_0=lat_0, lon_0=lon_0)
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -295,6 +305,10 @@ def inverse(crs: str):
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
         return lambda x, y: aeqd_inverse(x, y, lat_0=lat_0, lon_0=lon_0)
+    if fam == "gnom":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        return lambda x, y: gnom_inverse(x, y, lat_0=lat_0, lon_0=lon_0)
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -489,6 +503,24 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _aeqd_inv
+    if fam == "gnom":
+        lat_0 = float(p.get("lat_0", "0"))
+        lon_0 = float(p.get("lon_0", "0"))
+        s1, c1 = math.sin(math.radians(lat_0)), math.cos(math.radians(lat_0))
+
+        def _gnom_inv(x, y):
+            rho = math.hypot(x, y)
+            if rho == 0.0:
+                return lon_0, lat_0
+            cc = math.atan(rho / R)
+            lat = math.degrees(math.asin(max(-1.0, min(1.0,
+                math.cos(cc) * s1 + y * math.sin(cc) * c1 / rho))))
+            lon = lon_0 + math.degrees(math.atan2(
+                x * math.sin(cc),
+                rho * c1 * math.cos(cc) - y * s1 * math.sin(cc)))
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _gnom_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

@@ -140,6 +140,8 @@ _PRIORITY = [
     #     locally oracle-verified and rotate into the r6 window) ---
     "q_proj_aeqd",
     "q_regrid_aeqd",
+    "q_proj_gnom",
+    "q_regrid_gnom",
     # --- fill the 50-slot window with the oldest r3-latest rows; the
     #     remaining 41 r3 rows rotate in round 6 ---
     "q_ann_ivf_probe2",

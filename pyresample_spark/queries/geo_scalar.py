@@ -671,3 +671,42 @@ def q_proj_aeqd(spark, sf_dir):
             "event_id", rnd(ax, 3).alias("ax"), rnd(ay, 3).alias("ay")
         )
     )
+
+
+@register(
+    "q_proj_gnom",
+    oracle=(lambda xy: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS gx,
+           ROUND({xy[1]}, 3) + 0.0 AS gy
+    FROM ({PTS_SQL})
+    WHERE sin(radians(30.0)) * sin(radians(lat))
+        + cos(radians(30.0)) * cos(radians(lat))
+          * cos(radians(lon - (-100.0))) > 0.15
+    """)(__import__('pyresample_spark.functions.geo',
+                    fromlist=['gnom_sql']).gnom_sql(
+        'lon', 'lat', lat_0=30.0, lon_0=-100.0)),
+)
+def q_proj_gnom(spark, sf_dir):
+    """Gnomonic forward projection (center 30°N 100°W; Snyder
+    22-1..22-5 spherical — great circles map to straight lines, the
+    navigation/line-of-sight aspect) as pure column math. The family
+    NULL-masks beyond the horizon (cos c ≤ 0, the geos contract); the
+    query keeps cos(c) > 0.15 in BOTH engines because k' = 1/cos c
+    amplifies last-ulp libm differences without bound toward the
+    horizon (the reference reaches gnom only through pyproj)."""
+    from pyresample_spark.functions.geo import gnom_xy
+
+    gx, gy = gnom_xy("lon", "lat", lat_0=30.0, lon_0=-100.0)
+    cos_c = (
+        F.sin(F.radians(F.lit(30.0))) * F.sin(F.radians("lat"))
+        + F.cos(F.radians(F.lit(30.0))) * F.cos(F.radians("lat"))
+          * F.cos(F.radians(F.col("lon") - F.lit(-100.0)))
+    )
+    return (
+        _pts(spark, sf_dir)
+        .filter(cos_c > F.lit(0.15))
+        .select(
+            "event_id", rnd(gx, 3).alias("gx"), rnd(gy, 3).alias("gy")
+        )
+    )

@@ -1553,3 +1553,41 @@ def q_regrid_aeqd(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_AEQD_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_gnom: line-of-sight gnomonic target --------------------
+
+def _gnom_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # a 4000 km navigation chart centered 30°N 100°W (cos c ≥ ~0.81
+    # across the extent — well inside the horizon)
+    return AreaDefinition(
+        "gnom_chart", "+proj=gnom +lat_0=30.0 +lon_0=-100.0",
+        width=50, height=50,
+        area_extent=(-2.0e6, -2.0e6, 2.0e6, 2.0e6),
+    )
+
+
+_GNOM_AREA = _gnom_area()
+
+
+@register(
+    "q_regrid_gnom",
+    oracle=(lambda lonlat: _regrid_oracle(_GNOM_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["gnom_inv_sql"]
+        ).gnom_inv_sql("cx", "cy", lat_0=30.0, lon_0=-100.0)
+    ),
+)
+def q_regrid_gnom(spark, sf_dir):
+    """Gnomonic regrid WITHOUT pyproj: an eqc world image onto a
+    4000 km navigation chart. Each target (x, y) inverts by
+    c = atan(rho/R) (Snyder 22-14..22-17, functions/geo.py
+    gnom_inverse, analytic family '+proj=gnom') and gathers from the
+    eqc source by equi-join — the generalized-linesample plan."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_GNOM_AREA, EQC_AREA, src)

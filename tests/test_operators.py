@@ -1220,6 +1220,7 @@ def test_crs_roundtrip_sweep_all_families(spark):
         ("+proj=stere +lat_0=90 +lat_ts=70", lat > -60.0),
         ("+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999", cos_c(52.0, 10.0) > -0.9),
         ("+proj=aeqd +lat_0=48 +lon_0=2", cos_c(48.0, 2.0) > -0.9),
+        ("+proj=gnom +lat_0=30 +lon_0=-100", cos_c(30.0, -100.0) > 0.15),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
         ("+proj=merc +lat_ts=20", F.abs(lat) < 85.0),
         ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
