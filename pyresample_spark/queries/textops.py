@@ -1933,3 +1933,79 @@ def q_bloom_filter(spark, sf_dir):
             F.when(F.col("bloom_hit") & ~F.col("is_member"), 1)
         ).alias("n_false_positives"),
     )
+
+
+@register(
+    "q_edit_distance_rank",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup', fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
+    seeded AS (
+      SELECT doc_id, j, xor({md5_bigint_sql('shingle')}, c) AS h
+      FROM sh CROSS JOIN seeds
+    ),
+    mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, j // {BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc1, c.doc2,
+             CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS edit_dist,
+             1.0 - CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
+                 / GREATEST(length(t1.text), length(t2.text)) AS sim
+      FROM cand c
+      JOIN documents t1 ON t1.doc_id = c.doc1
+      JOIN documents t2 ON t2.doc_id = c.doc2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sim DESC, doc1, doc2) AS BIGINT)
+             AS rank,
+           doc1, doc2, edit_dist, ROUND(sim, 6) + 0.0 AS edit_sim
+    FROM scored ORDER BY sim DESC, doc1, doc2 LIMIT 20
+    """,
+)
+def q_edit_distance_rank(spark, sf_dir):
+    """Edit-distance re-scoring of LSH candidates — the
+    character-level twin of q_near_dup_rank's set-Jaccard re-rank
+    (fuzzy dedup's second stage: shingle Jaccard is blind to
+    within-shingle typo edits; Levenshtein counts them exactly). Both
+    engines use their BUILT-IN classic Levenshtein
+    (insert/delete/substitute, cost 1 — Spark `levenshtein` ≡ DuckDB
+    `levenshtein`), so the integer distances hash-match exactly.
+    Scale: O(|a|·|b|) dynamic programming runs ONLY on the
+    band-pruned candidate pairs (hundreds, never the corpus
+    cross-product), and document text moves once per pair via the
+    two dimension joins — the layering every fuzzy-dedup deployment
+    uses."""
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, n=3).select("doc1", "doc2")
+    t1 = d.select(F.col("doc_id").alias("doc1"), F.col("text").alias("ta"))
+    t2 = d.select(F.col("doc_id").alias("doc2"), F.col("text").alias("tb"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    sim = 1.0 - lev.cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    )
+    scored = (
+        cand.join(t1, "doc1")
+        .join(t2, "doc2")
+        .select(
+            "doc1", "doc2",
+            lev.cast("long").alias("edit_dist"),
+            sim.alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("sim").desc(), "doc1", "doc2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc1", "doc2", "edit_dist",
+                rnd(F.col("sim"), 6).alias("edit_sim"))
+    )
