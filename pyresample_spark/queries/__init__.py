@@ -143,6 +143,7 @@ _PRIORITY = [
     "q_proj_gnom",
     "q_regrid_gnom",
     "q_edit_distance_rank",
+    "q_embed_covariance",
     # --- fill the 50-slot window with the oldest r3-latest rows; the
     #     remaining 41 r3 rows rotate in round 6 ---
     "q_ann_ivf_probe2",

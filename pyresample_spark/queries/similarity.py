@@ -806,3 +806,84 @@ def q_embed_quantize(spark, sf_dir):
         ).cast("bigint").alias("max_code"),
         (F.floor(sqerr / 64.0 * 1e12 + 0.5) / 1e12).alias("mse_q"),
     )
+
+
+@register(
+    "q_embed_covariance",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    cells AS (
+      SELECT ti.i AS i, tj.j AS j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(d.v[ti.i + 1] * d.v[tj.j + 1] * 1e6 + 0.5)
+                      AS BIGINT)) AS sxy_u
+      FROM d CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(j)
+      WHERE tj.j >= ti.i
+      GROUP BY i, j
+    ),
+    dims AS (
+      SELECT t.i AS i,
+             SUM(CAST(FLOOR(d.v[t.i + 1] * 1e6 + 0.5) AS BIGINT)) AS s_u
+      FROM d CROSS JOIN range(64) t(i) GROUP BY i
+    )
+    SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j, c.n,
+           ROUND(CAST(c.sxy_u AS DOUBLE) / 1e6 / c.n
+                 - (CAST(di.s_u AS DOUBLE) / 1e6 / c.n)
+                   * (CAST(dj.s_u AS DOUBLE) / 1e6 / c.n), 6) + 0.0 AS cov
+    FROM cells c
+    JOIN dims di ON di.i = c.i
+    JOIN dims dj ON dj.i = c.j
+    """,
+)
+def q_embed_covariance(spark, sf_dir):
+    """Full 64×64 embedding covariance (upper triangle, 2080 cells) —
+    the gram-matrix aggregation behind PCA/whitening of an embedding
+    corpus: cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]. The d² unpivot (two
+    posexplodes) amplifies rows 4096× BEFORE the aggregation, but
+    map-side combine collapses everything to d(d+1)/2 cells — at
+    100 TB the shuffle carries 2080 rows per task, independent of
+    corpus size, and the eigendecomposition of the collected d×d
+    matrix is a driver-side 64×64 numpy call (the optimal_bb 3×3
+    pattern scaled up). Products are quantized to integer micro-units
+    BEFORE summation (the q_embedding_stats idiom), so the sums are
+    order-free exact and the derived covariances bit-match the
+    oracle."""
+    e = _emb(spark, sf_dir).select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    a = e.select(F.posexplode("v").alias("i", "vi"), F.col("v"))
+    b = a.select(
+        "i", "vi", F.posexplode("v").alias("j", "vj")
+    ).filter(F.col("j") >= F.col("i"))
+    cells = (
+        b.select(
+            "i", "j",
+            F.floor(F.col("vi") * F.col("vj") * 1e6 + 0.5)
+             .cast("bigint").alias("u"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("u").alias("sxy_u"))
+    )
+    dims = (
+        a.select("i", F.floor(F.col("vi") * 1e6 + 0.5).cast("bigint").alias("u"))
+        .groupBy("i")
+        .agg(F.sum("u").alias("s_u"))
+    )
+    di = dims.select(F.col("i"), F.col("s_u").alias("si_u"))
+    dj = dims.select(F.col("i").alias("j"), F.col("s_u").alias("sj_u"))
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("sxy_u").cast("double") / 1e6 / n
+        - (F.col("si_u").cast("double") / 1e6 / n)
+          * (F.col("sj_u").cast("double") / 1e6 / n)
+    )
+    return (
+        cells.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "n",
+            rnd(cov, 6).alias("cov"),
+        )
+    )
