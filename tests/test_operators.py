@@ -1285,3 +1285,95 @@ def test_ppm_container_walker():
         decode_ppm_container(f0 + b"JUNK")
     with _pt.raises(ValueError, match="empty"):
         decode_ppm_container(b"")
+
+
+def test_reference_golden_bucket_indices_latlong(spark):
+    """PARITY against the reference's own published bucket-index
+    expectations on a latlong grid (test_bucket.py:138-152
+    test_get_bucket_indices_on_latlong): a 2×2 latlong area centered
+    (0,0) at 10° resolution, nine probe points straddling every edge.
+    Only the fixture constants come from the reference; the engine
+    path is create_area_def → assign_cells column math. The reference
+    marks a point −1/−1 when EITHER axis is out of bounds — the same
+    classification in_bounds makes."""
+    from pyresample_spark.operators.bucket import assign_cells
+    from pyresample_spark.sources.area_yaml import create_area_def
+
+    area = create_area_def(
+        "test", "longlat", shape=(2, 2), resolution=10.0, center=(0.0, 0.0)
+    )
+    assert area.area_extent == (-10.0, -10.0, 10.0, 10.0)
+    pts = [
+        (-10.0, -10.0), (-9.9, -9.9), (-0.1, -0.1), (0.0, 0.0),
+        (0.1, 0.1), (9.9, 9.9), (10.0, 10.0), (-10.1, 0.0), (0.0, 10.1),
+    ]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "id long, lon double, lat double",
+    )
+    assigned = assign_cells(
+        df, area, x_col="lon", y_col="lat", keep_out_of_bounds=True
+    )
+    ok = area.in_bounds(F.col("cell_row"), F.col("cell_col"))
+    rows = (
+        assigned.select(
+            "id",
+            F.when(ok, F.col("cell_col")).otherwise(F.lit(-1)).alias("x"),
+            F.when(ok, F.col("cell_row")).otherwise(F.lit(-1)).alias("y"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.x for r in rows] == [-1, 0, 0, 1, 1, 1, -1, -1, -1]
+    assert [r.y for r in rows] == [-1, 1, 1, 1, 0, 0, -1, -1, -1]
+
+
+def test_reference_golden_round_to_resolution(spark):
+    """Reference round_to_resolution goldens (test_bucket.py:97-108):
+    5.5 @ 2 → 6; 5.5 @ 1.7 → 5.1; [4.2, 5.6] @ 2 → [4, 6]."""
+    from pyresample_spark.functions.geo import round_to_resolution
+
+    df = spark.createDataFrame(
+        [(5.5, 2.0), (5.5, 1.7), (4.2, 2.0), (5.6, 2.0)], "v double, r double"
+    )
+    got = [
+        round(r.s, 9)
+        for r in df.select(
+            round_to_resolution(F.col("v"), F.col("r")).alias("s")
+        ).collect()
+    ]
+    assert got == [6.0, 5.1, 4.0, 6.0]
+
+
+def test_reference_golden_linesample_gather(spark):
+    """Reference get_image_from_linesample goldens (test_grid.py:72-95
+    test_linesample / test_linesample_multi): data(y,x) = y·x on a
+    40×40 grid, gathered at rows [[1,2],[3,4]] × cols [[25,26],
+    [27,28]] → [[25,52],[81,112]]; the 3-band variant scales each
+    channel (1×, 2×, 3×). The engine form of the index gather is the
+    (row, col) equi-join every linesample/regrid plan uses."""
+    img = spark.range(0, 40 * 40).select(
+        (F.col("id") / 40).cast("long").alias("row"),
+        (F.col("id") % 40).alias("col"),
+        ((F.col("id") / 40).cast("long") * (F.col("id") % 40))
+        .cast("double").alias("value"),
+    )
+    req = spark.createDataFrame(
+        [(0, 1, 25), (1, 2, 26), (2, 3, 27), (3, 4, 28)],
+        "i long, row long, col long",
+    )
+    got = req.join(F.broadcast(img), ["row", "col"]).orderBy("i").collect()
+    assert [r.value for r in got] == [25.0, 52.0, 81.0, 112.0]
+
+    # multiband: channels 1×/2×/3× gathered through ONE join
+    mb = img.select(
+        "row", "col",
+        F.array(
+            F.col("value"), F.col("value") * 2.0, F.col("value") * 3.0
+        ).alias("bands"),
+    )
+    gotm = req.join(F.broadcast(mb), ["row", "col"]).orderBy("i").collect()
+    assert [list(r.bands) for r in gotm] == [
+        [25.0, 50.0, 75.0], [52.0, 104.0, 156.0],
+        [81.0, 162.0, 243.0], [112.0, 224.0, 336.0],
+    ]
