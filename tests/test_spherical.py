@@ -225,3 +225,56 @@ def test_reference_golden_polygon_intersection():
     a_got = spherical_polygon_area(got2)
     a_want = spherical_polygon_area(v2)
     assert abs(a_got - a_want) < 1e-9
+
+
+def test_overlap_rate_reference_swath_goldens():
+    """Reference SwathDefinition.overlap_rate goldens
+    (test_spherical_geometry.py:123-164): three swath corner-polygon
+    pairs with published rates — a.overlap_rate(b) =
+    area(a ∩ b) / area(b) (geometry.py:605-620). Only the corner
+    constants and expected rates come from the reference; intersection
+    and area run through this engine's Greiner–Hormann + L'Huilier
+    path."""
+    from pyresample_spark.operators.spherical import (
+        sph_intersection,
+        spherical_polygon_area,
+    )
+
+    def rate(va, vb):
+        inter = sph_intersection(va, vb)
+        if inter is None:
+            return 0.0
+        return abs(spherical_polygon_area(inter)) / abs(
+            spherical_polygon_area(vb)
+        )
+
+    sq1 = [(-1.0, 1.0), (1.0, 1.0), (1.0, -1.0), (-1.0, -1.0)]
+    sq2 = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+    assert rate(sq1, sq2) == pytest.approx(0.25, abs=1e-3)
+    assert rate(sq2, sq1) == pytest.approx(0.25, abs=1e-3)
+
+    # the reference's Greenland-swath pair (corner walk of the 2×2
+    # lon/lat grids: (0,0) → (0,1) → (1,1) → (1,0))
+    swath = [
+        (82.829699999999974, 60.5944),
+        (36.888300000000001, 52.859999999999999),
+        (2.8773, 66.7547),
+        (98.145499999999984, 80.395899999999997),
+    ]
+    box1 = [
+        (7.8098183315148422, 62.953206630716465),
+        (26.189349044600252, 62.953206630716465),
+        (26.189349044600252, 53.301561187195546),
+        (7.8098183315148422, 53.301561187195546),
+    ]
+    assert rate(swath, box1) == pytest.approx(0.07, abs=5e-3)
+    assert rate(box1, swath) == pytest.approx(0.012, abs=1e-3)
+
+    box2 = [
+        (12.108984194981202, 65.98228561983025),
+        (30.490647126520301, 65.98228561983025),
+        (30.490647126520301, 57.304862819933433),
+        (12.108984194981202, 57.304862819933433),
+    ]
+    assert rate(swath, box2) == pytest.approx(0.509, abs=5e-3)
+    assert rate(box2, swath) == pytest.approx(0.0685, abs=1e-3)
