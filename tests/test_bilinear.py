@@ -123,3 +123,40 @@ def test_bilinear_lut_persist_and_reuse(spark, sf_dir, tmp_path):
         for r in bilinear_irregular(src2, tgt, 150_000.0, k=32).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_reference_golden_fractional_distances():
+    """Reference _get_fractional_distances goldens
+    (test_bilinear.py:178-207): the irregular quadrilateral gives
+    (t, s) = (0.375, 0.5); the uprights-parallel and parallelogram
+    fixtures give (0.5, 0.5) through the fallback chain; and the
+    published division-by-zero corner set solves to
+    (0.30769689, 0.74616628). Only the corner constants come from the
+    reference; the solver is this engine's closed-form chain
+    (operators/bilinear_irregular.py _solve_ts_quadratic)."""
+    from pyresample_spark.operators.bilinear_irregular import (
+        _solve_ts_quadratic,
+    )
+
+    irregular = [(-1.0, 1.0), (1.0, 2.0), (-2.0, -1.0), (2.0, -4.0)]
+    t, s = _solve_ts_quadratic(irregular, 0.0, 0.0)
+    assert t == pytest.approx(0.375, abs=1e-12)
+    assert s == pytest.approx(0.5, abs=1e-12)
+
+    both_parallel = [(-1.0, 1.0), (1.0, 1.0), (-1.0, -1.0), (1.0, -1.0)]
+    t, s = _solve_ts_quadratic(both_parallel, 0.0, 0.0)
+    assert (t, s) == (pytest.approx(0.5), pytest.approx(0.5))
+
+    vert_parallel = [(-1.0, 1.0), (1.0, 2.0), (-1.0, -1.0), (1.0, -2.0)]
+    t, s = _solve_ts_quadratic(vert_parallel, 0.0, 0.0)
+    assert (t, s) == (pytest.approx(0.5), pytest.approx(0.5))
+
+    div_zero = [
+        (-64.9936752319336, -5.140199184417725),
+        (-64.98487091064453, -5.142156600952148),
+        (-64.98683166503906, -5.151054859161377),
+        (-64.97802734375, -5.153012275695801),
+    ]
+    t, s = _solve_ts_quadratic(div_zero, -64.985, -5.145)
+    assert t == pytest.approx(0.30769689, abs=1e-7)
+    assert s == pytest.approx(0.74616628, abs=1e-7)
