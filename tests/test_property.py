@@ -4,6 +4,7 @@ upgrade over the reference's fixed-seed-only strategy (SURVEY §5:
 
 import math
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -111,3 +112,35 @@ def test_overlap_rate_bounds(ax, ay, bx, by):
     b = AreaDefinition("b", "longlat", 5, 5, (bx, by, bx + 10, by + 10))
     r = overlap_rate(a, b)
     assert 0.0 <= r <= 1.0 + 1e-9
+
+
+@given(lon=lons, lat=st.floats(-89.0, 89.0, allow_nan=False))
+@settings(max_examples=60, deadline=None)
+def test_aeqd_preserves_center_distance(lon, lat):
+    """The DEFINING property of the azimuthal equidistant projection:
+    the projected radius sqrt(x² + y²) equals the great-circle
+    distance from the projection center — verified against the
+    independent haversine formula (not the projection's own math),
+    via the DuckDB SQL twin so the property run is engine-cheap."""
+    import duckdb
+
+    from pyresample_spark.functions.geo import R_EARTH, aeqd_sql
+
+    lat_0, lon_0 = 48.0, 2.0
+    # skip the antipode neighbourhood where c/sin c is ill-conditioned
+    cos_c = (
+        math.sin(math.radians(lat_0)) * math.sin(math.radians(lat))
+        + math.cos(math.radians(lat_0)) * math.cos(math.radians(lat))
+        * math.cos(math.radians(lon - lon_0))
+    )
+    if cos_c < -0.999:
+        return
+    x_sql, y_sql = aeqd_sql(repr(lon), repr(lat), lat_0=lat_0, lon_0=lon_0)
+    x, y = duckdb.sql(f"SELECT {x_sql}, {y_sql}").fetchone()
+    hav = (
+        math.sin(math.radians(lat - lat_0) / 2.0) ** 2
+        + math.cos(math.radians(lat_0)) * math.cos(math.radians(lat))
+        * math.sin(math.radians(lon - lon_0) / 2.0) ** 2
+    )
+    dist = 2.0 * R_EARTH * math.asin(min(1.0, math.sqrt(hav)))
+    assert math.hypot(x, y) == pytest.approx(dist, abs=1e-3)
