@@ -143,6 +143,7 @@ _PRIORITY = [
     "q_regrid_gnom",
     "q_edit_distance_rank",
     "q_embed_covariance",
+    "q_bloom_decontaminate",
     # --- fill the 50-slot window with the oldest r3-latest rows; the
     #     remaining 41 r3 rows rotate in round 6 ---
     "q_ann_ivf_probe2",

@@ -2009,3 +2009,74 @@ def q_edit_distance_rank(spark, sf_dir):
         .select("rank", "doc1", "doc2", "edit_dist",
                 rnd(F.col("sim"), 6).alias("edit_sim"))
     )
+
+
+@register(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
+    SELECT s.doc_id, CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared_ngrams
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 37 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """The PRODUCTION decontamination plan: q_decontaminate's exact
+    semantics (same oracle — the result must be IDENTICAL) but with
+    the Bloom front end from q_bloom_filter actually wired in. The
+    eval set's n-gram Bloom bits (k=4 × m=1024, packed into 4×16
+    bigint words) are collected once — benchmarks are KBs against a
+    100 TB corpus — and embedded as plan literals, so the corpus
+    n-gram stream is prefiltered MAP-SIDE with no join at all; only
+    Bloom-flagged shingles (true matches + the filter's false
+    positives) reach the broadcast verification join that removes the
+    FPs. Zero false negatives (the Bloom guarantee) + exact verify ⇒
+    cell-for-cell equality with the plain anti-join plan, which the
+    shared oracle enforces."""
+    from pyresample_spark.operators.dedup import _seed_constants, shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, 3)
+    ev = (
+        sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
+    )
+    seeds = _seed_constants(4)
+    m, words = 1024, 16  # m bits packed into m/64 bigint words per row
+    # plan-time: collect the eval set's portable hashes (tiny by
+    # construction) and pack the k bucket rows into bit words
+    hashes = [
+        r.h0 for r in ev.select(md5_bigint(F.col("shingle")).alias("h0"))
+        .collect()
+    ]
+    masks = []
+    for c in seeds:
+        mask = [0] * words
+        for h0 in hashes:
+            b = (h0 ^ c) % m
+            mask[b >> 6] |= 1 << (b & 63)
+        masks.append(mask)
+    flag = None
+    for c, mask in zip(seeds, masks):
+        # two's-complement: bigint literals must be signed
+        signed = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
+        arr = "array(" + ", ".join(f"{w}L" for w in signed) + ")"
+        bkt = f"((h0 ^ {c}L) % {m})"
+        probe = (
+            f"(shiftright(element_at({arr},"
+            f" CAST(shiftright({bkt}, 6) AS INT) + 1),"
+            f" CAST(({bkt} & 63) AS INT)) & 1) = 1"
+        )
+        e = F.expr(probe)
+        flag = e if flag is None else (flag & e)
+    flagged = (
+        sh.filter(F.col("doc_id") % 37 != 0)
+        .withColumn("h0", md5_bigint(F.col("shingle")))
+        .filter(flag)  # map-side Bloom prefilter: no join for the rest
+    )
+    return (
+        flagged.join(F.broadcast(ev), "shingle")  # exact verify: drop FPs
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_ngrams"))
+    )
