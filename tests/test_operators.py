@@ -1377,3 +1377,41 @@ def test_reference_golden_linesample_gather(spark):
         [25.0, 50.0, 75.0], [52.0, 104.0, 156.0],
         [81.0, 162.0, 243.0], [112.0, 224.0, 336.0],
     ]
+
+
+def test_reference_golden_masked_swath_self_resample(spark):
+    """Reference masked-swath golden (test_kd_tree.py
+    test_nearest_masked_swath_target, expected 12000): a 50×10 swath
+    with data y·x where only the [::2, ::2] points are valid,
+    resampled onto itself within 50 km. Masked points are excluded on
+    BOTH sides (the engine form of mask handling is filtering the
+    point tables — q_valid_filter's contract), every valid target
+    matches itself at distance 0, and the value sum is exactly
+    Σ(even y)·Σ(even x) = 600 · 20 = 12000 — the reference's own
+    expected value, which it contrasts against 12716 when masks leak
+    through."""
+    from pyresample_spark.operators.knn import knn_join
+
+    rows = [
+        (y * 10 + x, float(3 + x), float(75 - y), float(y * x))
+        for y in range(50)
+        for x in range(10)
+        if y % 2 == 0 and x % 2 == 0  # the unmasked points
+    ]
+    src = spark.createDataFrame(
+        rows, "src_id long, lon double, lat double, value double"
+    )
+    tgt = src.select("src_id", "lon", "lat").withColumnRenamed(
+        "src_id", "tgt_id"
+    )
+    nn = knn_join(src, tgt, 50_000.0, k=1)
+    got = (
+        nn.join(src.select("src_id", "value"), "src_id")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert got.n == 125  # every valid target matched (itself)
+    assert got.s == 12000.0
+    # and each match is the point itself at distance ~0
+    self_matches = nn.filter(F.col("src_id") == F.col("tgt_id")).count()
+    assert self_matches == 125
