@@ -1471,3 +1471,141 @@ def gnom_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
     lon = (f"(CASE WHEN {rho} = 0.0 THEN {float(lon_0)!r} ELSE "
            f"((({lon_raw} + 540.0) % 360.0) - 180.0) END)")
     return lon, lat
+
+
+# --- Ellipsoidal oblique/equatorial stereographic (+proj=stere +a +b) -
+# PROJ's conformal-latitude form (src/projections/stere.cpp, OBLIQ
+# ellipsoid branch; Snyder ch. 21 ellipsoid): geodetic lat maps to the
+# conformal latitude X = 2·atan(ssfn(φ)) − π/2 with
+# ssfn(φ) = tan(π/4 + φ/2)·[(1 − e·sinφ)/(1 + e·sinφ)]^(e/2), then the
+# SPHERICAL oblique stereographic runs on X with the scale constant
+# akm1 = 2·k0·cosφ0/√(1 − e²sin²φ0). The inverse recovers X in closed
+# form and iterates φ = 2·atan(tp·[(1+e·sinφ)/(1−e·sinφ)]^(e/2)) − π/2
+# (tp = tan(π/4 + X/2)) — PROJ's exact fixed-point loop, run as the
+# SAME 8-step fold on both engines (the Mollweide fold idiom), so the
+# iterate is engine-identical and converges < 1e-12 for |φ| ≤ 89°.
+# +lat_ts is a polar-aspect-only parameter in PROJ — ignored here,
+# matching PROJ's behaviour for oblique aspects.
+
+_STERE_ELL_ITERS = 8
+
+
+def stere_ell_constants(lat_0: float, a: float, b: float,
+                        k0: float = 1.0) -> tuple:
+    """(e, sinX1, cosX1, akm1, es) for the oblique ellipsoidal form."""
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    e = _m.sqrt(es)
+    phi0 = _m.radians(lat_0)
+    ssfn0 = _m.tan(_m.pi / 4.0 + phi0 / 2.0) * (
+        (1.0 - e * _m.sin(phi0)) / (1.0 + e * _m.sin(phi0))
+    ) ** (e / 2.0)
+    x0 = 2.0 * _m.atan(ssfn0) - _m.pi / 2.0
+    akm1 = 2.0 * k0 * _m.cos(phi0) / _m.sqrt(1.0 - es * _m.sin(phi0) ** 2)
+    return e, _m.sin(x0), _m.cos(x0), akm1, es
+
+
+def stere_ell_xy(lon, lat, lat_0: float, a: float, b: float,
+                 lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    import math
+
+    e, sinx1, cosx1, akm1, _es = stere_ell_constants(lat_0, a, b, k0)
+    phi = F.radians(_c(lat))
+    lam = F.radians(_c(lon) - F.lit(lon_0))
+    esin = e * F.sin(phi)
+    ssfn = F.tan(F.lit(math.pi / 4.0) + phi / 2.0) * F.pow(
+        (1.0 - esin) / (1.0 + esin), e / 2.0
+    )
+    x_conf = 2.0 * F.atan(ssfn) - F.lit(math.pi / 2.0)
+    sinx, cosx = F.sin(x_conf), F.cos(x_conf)
+    big_a = (a * akm1) / (
+        cosx1 * (1.0 + sinx1 * sinx + cosx1 * cosx * F.cos(lam))
+    )
+    return (
+        big_a * cosx * F.sin(lam),
+        big_a * (cosx1 * sinx - sinx1 * cosx * F.cos(lam)),
+    )
+
+
+def stere_ell_inverse(x, y, lat_0: float, a: float, b: float,
+                      lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    import math
+
+    e, sinx1, cosx1, akm1, _es = stere_ell_constants(lat_0, a, b, k0)
+    xs, ys = _c(x) / a, _c(y) / a
+    rho = F.sqrt(xs * xs + ys * ys)
+    cc = 2.0 * F.atan2(rho * cosx1, F.lit(akm1))
+    sin_c, cos_c = F.sin(cc), F.cos(cc)
+    chi = F.when(rho == 0.0, F.lit(2.0 * math.atan(
+        math.tan(math.pi / 4.0 + math.radians(lat_0) / 2.0)
+        * ((1.0 - e * math.sin(math.radians(lat_0)))
+           / (1.0 + e * math.sin(math.radians(lat_0)))) ** (e / 2.0)
+    ) - math.pi / 2.0)).otherwise(
+        F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+            cos_c * sinx1 + ys * sin_c * cosx1 / rho)))
+    )
+    lam = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+        F.atan2(xs * sin_c, rho * cosx1 * cos_c - ys * sinx1 * sin_c)
+    )
+    tp = F.tan(F.lit(math.pi / 4.0) + chi / 2.0)
+    steps = F.array([F.lit(0.0)] * _STERE_ELL_ITERS)
+    phi = F.aggregate(
+        steps,
+        chi.cast("double"),
+        lambda acc, _: 2.0 * F.atan(
+            tp * F.pow(
+                (1.0 + e * F.sin(acc)) / (1.0 - e * F.sin(acc)), e / 2.0
+            )
+        ) - F.lit(math.pi / 2.0),
+    )
+    lon = F.degrees(lam) + F.lit(lon_0)
+    return wrap_longitude(lon), F.degrees(phi)
+
+
+def stere_ell_sql(lon: str, lat: str, lat_0: float, a: float, b: float,
+                  lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    e, sinx1, cosx1, akm1, _es = stere_ell_constants(lat_0, a, b, k0)
+    phi = f"radians({lat})"
+    lam = f"radians({lon} - {lon_0!r})"
+    esin = f"({e!r} * sin({phi}))"
+    ssfn = (f"(tan(pi() / 4.0 + {phi} / 2.0)"
+            f" * pow((1.0 - {esin}) / (1.0 + {esin}), {e / 2.0!r}))")
+    xc = f"(2.0 * atan({ssfn}) - pi() / 2.0)"
+    big_a = (f"({a * akm1!r} / ({cosx1!r} * (1.0 + {sinx1!r} * sin({xc})"
+             f" + {cosx1!r} * cos({xc}) * cos({lam}))))")
+    return (
+        f"({big_a} * cos({xc}) * sin({lam}))",
+        f"({big_a} * ({cosx1!r} * sin({xc})"
+        f" - {sinx1!r} * cos({xc}) * cos({lam})))",
+    )
+
+
+def stere_ell_inv_sql(x: str, y: str, lat_0: float, a: float, b: float,
+                      lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    import math as _m
+
+    e, sinx1, cosx1, akm1, _es = stere_ell_constants(lat_0, a, b, k0)
+    xs = f"(CAST({x} AS DOUBLE) / {a!r})"
+    ys = f"(CAST({y} AS DOUBLE) / {a!r})"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    cc = f"(2.0 * atan2({rho} * {cosx1!r}, {akm1!r}))"
+    chi0 = 2.0 * _m.atan(
+        _m.tan(_m.pi / 4.0 + _m.radians(lat_0) / 2.0)
+        * ((1.0 - e * _m.sin(_m.radians(lat_0)))
+           / (1.0 + e * _m.sin(_m.radians(lat_0)))) ** (e / 2.0)
+    ) - _m.pi / 2.0
+    chi = (f"(CASE WHEN {rho} = 0.0 THEN {chi0!r} ELSE "
+           f"asin(greatest(-1.0, least(1.0, cos({cc}) * {sinx1!r}"
+           f" + {ys} * sin({cc}) * {cosx1!r} / {rho}))) END)")
+    lam = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE "
+           f"atan2({xs} * sin({cc}), {rho} * {cosx1!r} * cos({cc})"
+           f" - {ys} * {sinx1!r} * sin({cc})) END)")
+    tp = f"tan(pi() / 4.0 + {chi} / 2.0)"
+    zeros = ", ".join(["0.0"] * _STERE_ELL_ITERS)
+    phi = (f"list_reduce(list_prepend({chi}, [{zeros}]),"
+           f" (acc, s) -> 2.0 * atan({tp}"
+           f" * pow((1.0 + {e!r} * sin(acc)) / (1.0 - {e!r} * sin(acc)),"
+           f" {e / 2.0!r})) - pi() / 2.0)")
+    lon = (f"((({lon_0!r} + degrees({lam})) + 540.0) % 360.0 - 180.0)")
+    return lon, f"degrees({phi})"

@@ -14,7 +14,10 @@ Supported proj strings (whitespace-separated key=value, order-free):
 - ``longlat`` (degrees pass-through)
 - ``eqc`` / ``+proj=eqc``
 - ``+proj=stere`` — polar aspects (lat_0=±90, lat_ts secant form) AND
-  oblique/equatorial aspects (any lat_0, Snyder 21-2..21-4 k0 form)
+  oblique/equatorial aspects (any lat_0, Snyder 21-2..21-4 k0 form);
+  with an explicit ``+a=.. +b=..`` ellipsoid the oblique aspect runs
+  PROJ's conformal-latitude ellipsoidal form (stere.cpp OBLIQ branch,
+  8-step fixed-point inverse)
 - ``+proj=aea +lat_1=.. [+lat_2=..]`` / ``+proj=eqdc +lat_1=..
   [+lat_2=..]`` (Snyder 14/16 conics)
 - ``+proj=moll`` (Newton-fold forward, closed-form inverse)
@@ -48,6 +51,8 @@ from pyresample_spark.functions.geo import (
     aeqd_xy,
     gnom_inverse,
     gnom_xy,
+    stere_ell_inverse,
+    stere_ell_xy,
     aea_inverse,
     aea_xy,
     stere_oblique_inverse,
@@ -114,8 +119,14 @@ def _family(crs: str) -> str:
     if proj == "stere":
         lat0 = float(p.get("lat_0", "90"))
         # polar aspects keep the lat_ts secant form (stere_polar_*);
-        # oblique/equatorial aspects use Snyder 21-2..21-4 (k0 scale)
-        return "stere" if abs(lat0) == 90.0 else "stere_oblique"
+        # oblique/equatorial aspects use Snyder 21-2..21-4 (k0 scale),
+        # or PROJ's conformal-latitude ellipsoidal form when the CRS
+        # carries an explicit +a/+b ellipsoid
+        if abs(lat0) == 90.0:
+            return "stere"
+        if "a" in p and "b" in p and float(p["a"]) != float(p["b"]):
+            return "stere_ell"
+        return "stere_oblique"
     if proj == "aeqd":
         return "aeqd"
     if proj == "gnom":
@@ -168,6 +179,19 @@ def tmerc_crs_params(crs: str) -> dict:
     }
 
 
+def stere_ell_crs_params(crs: str) -> dict:
+    """+proj=stere +a=.. +b=.. oblique token dict → keyword params
+    (+lat_ts is polar-only in PROJ and deliberately ignored here)."""
+    p = _params(crs)
+    return {
+        "lat_0": float(p.get("lat_0", "0")),
+        "lon_0": float(p.get("lon_0", "0")),
+        "a": float(p["a"]),
+        "b": float(p["b"]),
+        "k0": float(p.get("k_0", p.get("k", "1"))),
+    }
+
+
 def conic_crs_params(crs: str) -> dict:
     """+proj=aea / +proj=eqdc token dict → conic keyword params
     (shared by the column builders and the oracle SQL twins)."""
@@ -204,6 +228,9 @@ def forward(crs: str):
         return lambda lon, lat: stere_oblique_xy(
             lon, lat, lat_0=lat_0, lon_0=lon_0, k0=k0
         )
+    if fam == "stere_ell":
+        kw = stere_ell_crs_params(crs)
+        return lambda lon, lat: stere_ell_xy(lon, lat, **kw)
     if fam == "aeqd":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -301,6 +328,9 @@ def inverse(crs: str):
         return lambda x, y: stere_oblique_inverse(
             x, y, lat_0=lat_0, lon_0=lon_0, k0=k0
         )
+    if fam == "stere_ell":
+        kw = stere_ell_crs_params(crs)
+        return lambda x, y: stere_ell_inverse(x, y, **kw)
     if fam == "aeqd":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

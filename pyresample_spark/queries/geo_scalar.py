@@ -710,3 +710,43 @@ def q_proj_gnom(spark, sf_dir):
             "event_id", rnd(gx, 3).alias("gx"), rnd(gy, 3).alias("gy")
         )
     )
+
+
+@register(
+    "q_proj_stere_ell",
+    oracle=(lambda xy: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS ex,
+           ROUND({xy[1]}, 3) + 0.0 AS ey
+    FROM ({PTS_SQL})
+    WHERE sin(radians(50.0)) * sin(radians(lat))
+        + cos(radians(50.0)) * cos(radians(lat))
+          * cos(radians(lon - 8.0)) > -0.99
+    """)(__import__('pyresample_spark.functions.geo',
+                    fromlist=['stere_ell_sql']).stere_ell_sql(
+        'lon', 'lat', lat_0=50.0, a=6378144.0, b=6356759.0, lon_0=8.0)),
+)
+def q_proj_stere_ell(spark, sf_dir):
+    """ELLIPSOIDAL oblique stereographic forward (the reference's own
+    areaD CRS: +a=6378144 +b=6356759 lat_0=50 lon_0=8 — test fixtures
+    reach it through pyproj; here it is PROJ's conformal-latitude form
+    as pure column math, functions/geo.py stere_ell_xy). Same antipode
+    cap as the spherical oblique aspect: the stereographic denominator
+    vanishes toward the antipode of the conformal center."""
+    from pyresample_spark.functions.geo import stere_ell_xy
+
+    ex, ey = stere_ell_xy(
+        "lon", "lat", lat_0=50.0, a=6378144.0, b=6356759.0, lon_0=8.0
+    )
+    cos_c = (
+        F.sin(F.radians(F.lit(50.0))) * F.sin(F.radians("lat"))
+        + F.cos(F.radians(F.lit(50.0))) * F.cos(F.radians("lat"))
+          * F.cos(F.radians(F.col("lon") - F.lit(8.0)))
+    )
+    return (
+        _pts(spark, sf_dir)
+        .filter(cos_c > F.lit(-0.99))
+        .select(
+            "event_id", rnd(ex, 3).alias("ex"), rnd(ey, 3).alias("ey")
+        )
+    )

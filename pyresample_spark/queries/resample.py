@@ -1591,3 +1591,50 @@ def q_regrid_gnom(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_GNOM_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_stere_ell: the reference's areaD ellipsoidal CRS -------
+
+def _stere_ell_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # the reference's 'areaD' Europe window (test_kd_tree.py:35-49)
+    # at 60×60 for the oracle query; the full 800×800 grid runs in
+    # the golden cross-sum pytest
+    return AreaDefinition(
+        "areaD_small",
+        "+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+        "+lat_ts=50.0 +lon_0=8.0",
+        width=60, height=60,
+        area_extent=(-1370912.72, -909968.64, 1029087.28, 1490031.36),
+    )
+
+
+_STERE_ELL_AREA = _stere_ell_area()
+
+
+@register(
+    "q_regrid_stere_ell",
+    oracle=(lambda lonlat: _regrid_oracle(_STERE_ELL_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["stere_ell_inv_sql"],
+        ).stere_ell_inv_sql(
+            "cx", "cy", lat_0=50.0, a=6378144.0, b=6356759.0, lon_0=8.0
+        )
+    ),
+)
+def q_regrid_stere_ell(spark, sf_dir):
+    """Regrid onto the reference's areaD ELLIPSOIDAL stereographic CRS
+    WITHOUT pyproj: each target (x, y) inverts through PROJ's
+    conformal-latitude form — closed-form χ recovery + the 8-step
+    fixed-point geodetic-latitude fold run identically on both engines
+    (the Mollweide fold idiom) — then gathers from the eqc source by
+    equi-join. The same inverse reproduces the reference's 800×800
+    kd-tree cross-sum goldens exactly
+    (test_reference_golden_kd_tree_cross_sums_ellipsoidal)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_STERE_ELL_AREA, EQC_AREA, src)

@@ -1221,6 +1221,8 @@ def test_crs_roundtrip_sweep_all_families(spark):
         ("+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999", cos_c(52.0, 10.0) > -0.9),
         ("+proj=aeqd +lat_0=48 +lon_0=2", cos_c(48.0, 2.0) > -0.9),
         ("+proj=gnom +lat_0=30 +lon_0=-100", cos_c(30.0, -100.0) > 0.15),
+        ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50 +lon_0=8",
+         (cos_c(50.0, 8.0) > -0.9) & (F.abs(lat) < 89.0)),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
         ("+proj=merc +lat_ts=20", F.abs(lat) < 85.0),
         ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
@@ -1415,3 +1417,54 @@ def test_reference_golden_masked_swath_self_resample(spark):
     # and each match is the point itself at distance ~0
     self_matches = nn.filter(F.col("src_id") == F.col("tgt_id")).count()
     assert self_matches == 125
+
+
+def test_reference_golden_kd_tree_cross_sums_ellipsoidal(spark):
+    """FLAGSHIP parity: the reference's whole-grid kd-tree cross-sum
+    checksums (test_kd_tree.py test_nearest = 15874591.0 and
+    test_nearest_complex = 3530219 + 688723j) reproduce EXACTLY
+    through this engine: the areaD target (ellipsoidal oblique
+    stereographic, +a=6378144 +b=6356759 lat_0=50) inverts through
+    the PROJ-form conformal-latitude path (functions/geo.py
+    stere_ell_inverse), and the 50×10 swath resamples by the cell kNN
+    join. radius_of_influence is a CHORD cutoff in the reference
+    (kd-tree query on geocentric xyz), so the great-circle radius is
+    chord-inverted first — one boundary pixel distinguishes the two
+    conventions on this very fixture. data y·x / y + j·x sums over
+    153102 matched pixels match to the integer."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_join
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    il, ia = inverse(crs)("cx", "cy")
+    tgt = area.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"), il.alias("lon"), ia.alias("lat")
+    )
+    src = spark.range(0, 500).select(
+        F.col("id").alias("src_id"),
+        (3.0 + (F.col("id") % 10)).alias("lon"),
+        (75.0 - (F.col("id") / 10).cast("long")).alias("lat"),
+    )
+    r_gc = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    nn = knn_join(src, tgt, r_gc, k=1)
+    got = nn.select(
+        ((F.col("src_id") / 10).cast("long") * (F.col("src_id") % 10))
+        .alias("v"),
+        (F.col("src_id") / 10).cast("long").alias("yy"),
+        (F.col("src_id") % 10).alias("xx"),
+    ).agg(
+        F.sum("v").alias("sv"), F.sum("yy").alias("sy"),
+        F.sum("xx").alias("sx"), F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert got.sv == 15874591
+    assert got.sy == 3530219 and got.sx == 688723
+    assert got.n == 153102
