@@ -1468,3 +1468,106 @@ def test_reference_golden_kd_tree_cross_sums_ellipsoidal(spark):
     assert got.sv == 15874591
     assert got.sy == 3530219 and got.sx == 688723
     assert got.n == 153102
+
+
+_FROM_LATLON_EXPECTED = [
+    129276., 141032., 153370., 165804., 178334., 190575., 202864.,
+    214768., 226176., 238080.,
+    133056., 146016., 158808., 171696., 184320., 196992., 209712.,
+    222480., 234840., 247715.,
+    137026., 150150., 163370., 177215., 190629., 203756., 217464.,
+    230256., 243048., 256373.,
+    140660., 154496., 168714., 182484., 196542., 210650., 224257.,
+    238464., 251712., 265512.,
+    144480., 158484., 173148., 187912., 202776., 217358., 231990.,
+    246240., 259920., 274170.,
+    147968., 163261., 178398., 193635., 208616., 223647., 238728.,
+    253859., 268584., 283898.,
+    151638., 167121., 182704., 198990., 214775., 230280., 246442.,
+    261617., 276792., 292574.,
+    154980., 171186., 187860., 204016., 220542., 237120., 253125.,
+    269806., 285456., 301732.,
+    158500., 175536., 192038., 209280., 226626., 243697., 260820.,
+    277564., 293664., 310408.,
+    161696., 179470., 197100., 214834., 232320., 250236., 267448.,
+    285090., 302328., 320229.,
+]
+
+
+def test_reference_golden_image_from_lonlats(spark):
+    """Reference get_image_from_lonlats golden (test_grid.py
+    test_from_latlon): a 10×10 lon/lat grid sampled from the areaD
+    800×800 image (data y·x) — ALL 100 published values must match.
+    The engine path is the ellipsoidal stereographic FORWARD
+    (stere_ell_xy) + the affine pixel-index floor + the (row, col)
+    equi-join gather — the exact plan q_linesample_join uses, on the
+    reference's own ellipsoidal CRS."""
+    from pyresample_spark.operators.crs import forward
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    tgt = spark.range(0, 100).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 10).cast("double").alias("lon"),
+        (50.0 - 0.5 * (F.col("id") / 10).cast("long")).alias("lat"),
+    )
+    fx, fy = forward(crs)("lon", "lat")
+    idx = tgt.select(
+        "i",
+        area.row_from_y(fy).alias("row"),
+        area.col_from_x(fx).alias("col"),
+    )
+    img = spark.range(0, 800 * 800).select(
+        (F.col("id") / 800).cast("long").alias("row"),
+        (F.col("id") % 800).alias("col"),
+        ((F.col("id") / 800).cast("long") * (F.col("id") % 800))
+        .cast("double").alias("value"),
+    )
+    got = idx.join(img, ["row", "col"]).orderBy("i").collect()
+    assert len(got) == 100
+    assert [r.value for r in got] == _FROM_LATLON_EXPECTED
+
+
+def test_reference_golden_nearest_area_to_swath(spark):
+    """Reference area→swath kd-tree checksum (test_kd_tree.py
+    test_nearest_1d, expected 35821299.0): the 800×800 areaD image
+    (data row·col) resampled to a 500-point 1-D swath within a 50 km
+    chord radius. Source lon/lats come from this engine's ellipsoidal
+    stereographic inverse; the NN is the cell kNN join with 640k
+    source points — the big-source direction of the golden fixtures."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_join
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    il, ia = inverse(crs)("cx", "cy")
+    src = area.grid(spark).select(
+        F.col("cell_id").alias("src_id"), il.alias("lon"), ia.alias("lat"),
+        (F.col("row") * F.col("col")).cast("double").alias("value"),
+    )
+    tgt = spark.range(0, 500).select(
+        F.col("id").alias("tgt_id"),
+        (3.0 + F.col("id") / 100.0).alias("lon"),
+        (75.0 - F.col("id") / 10.0).alias("lat"),
+    )
+    r_gc = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    nn = knn_join(src, tgt, r_gc, k=1)
+    got = (
+        nn.join(src.select("src_id", "value"), "src_id")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert got.s == 35821299.0
