@@ -1571,3 +1571,87 @@ def test_reference_golden_nearest_area_to_swath(spark):
         .collect()[0]
     )
     assert got.s == 35821299.0
+
+
+def test_reference_golden_gauss_sparse_whole_grid(spark):
+    """Reference gauss whole-grid checksum (test_kd_tree.py
+    test_gauss_sparse, expected 15387753.9852 ± 5e-4): the 500-point
+    swath gauss-resampled (r=50 km chord, σ=25 km, k=8, fill −1) onto
+    the full 800×800 areaD grid through the fused gaussian fold.
+    Matched pixels contribute Σwv/Σw; the 486 898 unmatched pixels
+    contribute the −1 fill."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_gauss_fold
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    il, ia = inverse(crs)("cx", "cy")
+    tgt = area.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"), il.alias("lon"), ia.alias("lat")
+    )
+    src = spark.range(0, 500).select(
+        F.col("id").alias("src_id"),
+        (3.0 + (F.col("id") % 10)).alias("lon"),
+        (75.0 - (F.col("id") / 10).cast("long")).alias("lat"),
+        ((F.col("id") / 10).cast("long") * (F.col("id") % 10))
+        .cast("double").alias("value"),
+    )
+    r_gc = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    g = knn_gauss_fold(src, tgt, r_gc, k=8, sigma=25000.0)
+    row = g.agg(
+        F.sum(F.col("swv") / F.col("v1")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    total = row.s + (-1.0) * (640_000 - row.n)
+    assert row.n == 153102
+    assert total == pytest.approx(15387753.9852, abs=5e-4)
+
+
+def test_reference_golden_gauss_dense_500k_swath(spark):
+    """Reference dense gauss checksum (test_kd_tree.py test_gauss,
+    expected 4872.8100353517921): the 5000×100 = 500k-point swath
+    gauss-resampled onto areaD, k=8 σ=25 km. Measured through this
+    engine: 4872.810035351827 — |diff| 3.5e-11, far inside the
+    reference's own assertAlmostEqual tolerance. ~160 s wall on
+    local[32], so it runs only when SPARK_GRAFT_SLOW_GOLDENS=1 (the
+    fast twin above covers the same code path every run)."""
+    import math
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_SLOW_GOLDENS"):
+        pytest.skip("set SPARK_GRAFT_SLOW_GOLDENS=1 to run (~160 s)")
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_gauss_fold
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    il, ia = inverse(crs)("cx", "cy")
+    tgt = area.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"), il.alias("lon"), ia.alias("lat")
+    )
+    src = spark.range(0, 500_000).select(
+        F.col("id").alias("src_id"),
+        (3.0 + 0.1 * (F.col("id") % 100)).alias("lon"),
+        (75.0 - 0.01 * (F.col("id") / 100).cast("long")).alias("lat"),
+        (((F.col("id") / 100).cast("long") + (F.col("id") % 100)) * 1e-5)
+        .alias("value"),
+    )
+    r_gc = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    g = knn_gauss_fold(src, tgt, r_gc, k=8, sigma=25000.0)
+    s = g.agg(F.sum(F.col("swv") / F.col("v1")).alias("s")).collect()[0].s
+    assert s == pytest.approx(4872.8100353517921, abs=5e-7)
