@@ -1655,3 +1655,63 @@ def test_reference_golden_gauss_dense_500k_swath(spark):
     g = knn_gauss_fold(src, tgt, r_gc, k=8, sigma=25000.0)
     s = g.agg(F.sum(F.col("swv") / F.col("v1")).alias("s")).collect()[0].s
     assert s == pytest.approx(4872.8100353517921, abs=5e-7)
+
+
+def test_reference_golden_nearest_remap_roundtrip(spark):
+    """Reference round-trip remap checksum (test_kd_tree.py
+    test_nearest_remap, expected 22275.0): swath → areaD nearest
+    (r=50 km chord, fill 0 for the 486 898 unmatched pixels), then the
+    FULL filled image — fill pixels included as sources — remaps back
+    to the swath within 5 km. 220 of the 500 swath points sit within
+    5 km of a pixel center; their gathered values sum exactly to the
+    reference's expectation. Exercises fill semantics and
+    area-as-source in one fixture."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_join
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    il, ia = inverse(crs)("cx", "cy")
+    grid = area.grid(spark).select(
+        F.col("cell_id"), il.alias("lon"), ia.alias("lat")
+    )
+    src = spark.range(0, 500).select(
+        F.col("id").alias("src_id"),
+        (3.0 + (F.col("id") % 10)).alias("lon"),
+        (75.0 - (F.col("id") / 10).cast("long")).alias("lat"),
+        ((F.col("id") / 10).cast("long") * (F.col("id") % 10))
+        .cast("double").alias("value"),
+    )
+    r50 = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    r5 = 2.0 * R_EARTH * math.asin(5000.0 / (2.0 * R_EARTH))
+    tgt1 = grid.select(F.col("cell_id").alias("tgt_id"), "lon", "lat")
+    nn1 = knn_join(src, tgt1, r50, k=1).join(
+        src.select("src_id", "value"), "src_id"
+    )
+    img = grid.join(
+        nn1.select(F.col("tgt_id").alias("cell_id"), "value"),
+        "cell_id", "left",
+    ).select(
+        "cell_id", "lon", "lat",
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+    )
+    tgt2 = src.select(F.col("src_id").alias("tgt_id"), "lon", "lat")
+    src2 = img.select(
+        F.col("cell_id").alias("src_id"), "lon", "lat", "value"
+    )
+    nn2 = knn_join(src2, tgt2, r5, k=1).join(
+        src2.select("src_id", "value"), "src_id"
+    )
+    got = nn2.agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got.n == 220
+    assert got.s == 22275.0
