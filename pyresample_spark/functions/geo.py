@@ -1609,3 +1609,113 @@ def stere_ell_inv_sql(x: str, y: str, lat_0: float, a: float, b: float,
            f" {e / 2.0!r})) - pi() / 2.0)")
     lon = (f"((({lon_0!r} + degrees({lam})) + 540.0) % 360.0 - 180.0)")
     return lon, f"degrees({phi})"
+
+
+# --- Ellipsoidal POLAR stereographic (+proj=stere +lat_0=±90 +a +b) ---
+# Snyder eqs. 21-33..21-41 / PROJ stere.cpp polar ellipsoid branch:
+# t(φ) = tan(π/4 − φ/2)·[(1 + e·sinφ)/(1 − e·sinφ)]^(e/2), true scale
+# at +lat_ts (which overrides k0, as in PROJ):
+# ρ = a·m(φc)·t(φ)/t(φc) with m(φ) = cosφ/√(1 − e²sin²φ); x = ρ·sinλ,
+# y = −ρ·cosλ (north; the south aspect mirrors φ and λ). The inverse
+# iterates φ = π/2 − 2·atan(t·[(1 − e·sinφ)/(1 + e·sinφ)]^(e/2)) from
+# the conformal latitude — the same 8-step fold as the oblique form.
+
+def stere_ell_polar_constants(lat_ts: float, a: float, b: float,
+                              k0: float = 1.0) -> tuple:
+    """(e, f) with ρ = a·f·t(φ): f = m(φc)/t(φc) for a true-scale
+    parallel, or PROJ's 2·k0/√((1+e)^(1+e)·(1−e)^(1−e)) secant form
+    when lat_ts = ±90 (no true-scale parallel)."""
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    e = _m.sqrt(es)
+    phic = _m.radians(abs(lat_ts))
+    if abs(lat_ts) >= 90.0:
+        f = 2.0 * k0 / _m.sqrt(
+            (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)
+        )
+        return e, f
+    tc = _m.tan(_m.pi / 4.0 - phic / 2.0) * (
+        (1.0 + e * _m.sin(phic)) / (1.0 - e * _m.sin(phic))
+    ) ** (e / 2.0)
+    mc = _m.cos(phic) / _m.sqrt(1.0 - es * _m.sin(phic) ** 2)
+    return e, mc / tc
+
+
+def stere_ell_polar_xy(lon, lat, lat_ts: float, a: float, b: float,
+                       lon_0: float = 0.0, north: bool = True) -> tuple:
+    import math
+
+    e, f = stere_ell_polar_constants(lat_ts, a, b)
+    sgn = 1.0 if north else -1.0
+    phi = F.radians(_c(lat)) * sgn
+    lam = F.radians(_c(lon) - F.lit(lon_0)) * sgn
+    esin = e * F.sin(phi)
+    t = F.tan(F.lit(math.pi / 4.0) - phi / 2.0) * F.pow(
+        (1.0 + esin) / (1.0 - esin), e / 2.0
+    )
+    rho = a * f * t
+    return rho * F.sin(lam), -sgn * rho * F.cos(lam)
+
+
+def stere_ell_polar_inverse(x, y, lat_ts: float, a: float, b: float,
+                            lon_0: float = 0.0,
+                            north: bool = True) -> tuple:
+    import math
+
+    e, f = stere_ell_polar_constants(lat_ts, a, b)
+    sgn = 1.0 if north else -1.0
+    xs, ys = _c(x), _c(y) * (-sgn)
+    rho = F.sqrt(xs * xs + ys * ys)
+    t = rho / (a * f)
+    chi = F.lit(math.pi / 2.0) - 2.0 * F.atan(t)
+    steps = F.array([F.lit(0.0)] * _STERE_ELL_ITERS)
+    phi = F.aggregate(
+        steps,
+        chi.cast("double"),
+        lambda acc, _: F.lit(math.pi / 2.0) - 2.0 * F.atan(
+            t * F.pow(
+                (1.0 - e * F.sin(acc)) / (1.0 + e * F.sin(acc)), e / 2.0
+            )
+        ),
+    )
+    lam = F.atan2(xs, ys)
+    lon = F.degrees(lam) * sgn + F.lit(lon_0)
+    return wrap_longitude(lon), F.degrees(phi) * sgn
+
+
+def stere_ell_polar_sql(lon: str, lat: str, lat_ts: float, a: float,
+                        b: float, lon_0: float = 0.0,
+                        north: bool = True) -> tuple:
+    e, fk = stere_ell_polar_constants(lat_ts, a, b)
+    sgn = 1.0 if north else -1.0
+    phi = f"({sgn!r} * radians({lat}))"
+    lam = f"({sgn!r} * radians({lon} - {lon_0!r}))"
+    esin = f"({e!r} * sin({phi}))"
+    t = (f"(tan(pi() / 4.0 - {phi} / 2.0)"
+         f" * pow((1.0 + {esin}) / (1.0 - {esin}), {e / 2.0!r}))")
+    rho = f"({a * fk!r} * {t})"
+    return (
+        f"({rho} * sin({lam}))",
+        f"({-sgn!r} * {rho} * cos({lam}))",
+    )
+
+
+def stere_ell_polar_inv_sql(x: str, y: str, lat_ts: float, a: float,
+                            b: float, lon_0: float = 0.0,
+                            north: bool = True) -> tuple:
+    e, fk = stere_ell_polar_constants(lat_ts, a, b)
+    sgn = 1.0 if north else -1.0
+    xs = f"CAST({x} AS DOUBLE)"
+    ys = f"({-sgn!r} * CAST({y} AS DOUBLE))"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    t = f"({rho} * {1.0 / (a * fk)!r})"
+    chi = f"(pi() / 2.0 - 2.0 * atan({t}))"
+    zeros = ", ".join(["0.0"] * _STERE_ELL_ITERS)
+    phi = (f"list_reduce(list_prepend({chi}, [{zeros}]),"
+           f" (acc, s) -> pi() / 2.0 - 2.0 * atan({t}"
+           f" * pow((1.0 - {e!r} * sin(acc)) / (1.0 + {e!r} * sin(acc)),"
+           f" {e / 2.0!r})))")
+    lon = (f"((({lon_0!r} + {sgn!r} * degrees(atan2({xs}, {ys})))"
+           f" + 540.0) % 360.0 - 180.0)")
+    return lon, f"({sgn!r} * degrees({phi}))"

@@ -15,9 +15,11 @@ Supported proj strings (whitespace-separated key=value, order-free):
 - ``eqc`` / ``+proj=eqc``
 - ``+proj=stere`` — polar aspects (lat_0=±90, lat_ts secant form) AND
   oblique/equatorial aspects (any lat_0, Snyder 21-2..21-4 k0 form);
-  with an explicit ``+a=.. +b=..`` ellipsoid the oblique aspect runs
-  PROJ's conformal-latitude ellipsoidal form (stere.cpp OBLIQ branch,
-  8-step fixed-point inverse)
+  with an explicit ``+a=.. +b=..`` (or ``+ellps=WGS84/GRS80``)
+  ellipsoid the oblique aspect runs PROJ's conformal-latitude form
+  (stere.cpp OBLIQ branch, 8-step fixed-point inverse) and the polar
+  aspects run Snyder 21-33..21-41 (+lat_ts true-scale or the
+  (1±e)-secant k0 form; same fixed-point inverse)
 - ``+proj=aea +lat_1=.. [+lat_2=..]`` / ``+proj=eqdc +lat_1=..
   [+lat_2=..]`` (Snyder 14/16 conics)
 - ``+proj=moll`` (Newton-fold forward, closed-form inverse)
@@ -52,6 +54,8 @@ from pyresample_spark.functions.geo import (
     gnom_inverse,
     gnom_xy,
     stere_ell_inverse,
+    stere_ell_polar_inverse,
+    stere_ell_polar_xy,
     stere_ell_xy,
     aea_inverse,
     aea_xy,
@@ -122,11 +126,10 @@ def _family(crs: str) -> str:
         # oblique/equatorial aspects use Snyder 21-2..21-4 (k0 scale),
         # or PROJ's conformal-latitude ellipsoidal form when the CRS
         # carries an explicit +a/+b ellipsoid
+        ell = _ellipsoid_ab(p)
         if abs(lat0) == 90.0:
-            return "stere"
-        if "a" in p and "b" in p and float(p["a"]) != float(p["b"]):
-            return "stere_ell"
-        return "stere_oblique"
+            return "stere_ell_polar" if ell else "stere"
+        return "stere_ell" if ell else "stere_oblique"
     if proj == "aeqd":
         return "aeqd"
     if proj == "gnom":
@@ -179,15 +182,46 @@ def tmerc_crs_params(crs: str) -> dict:
     }
 
 
+# named ellipsoids the registry recognizes (+ellps=..); explicit
+# +a/+b always win
+_ELLPS = {
+    "WGS84": (6378137.0, 6356752.3142451793),
+    "GRS80": (6378137.0, 6356752.3141403561),
+}
+
+
+def _ellipsoid_ab(p: dict):
+    """(a, b) if the token dict declares a non-spherical ellipsoid."""
+    if "a" in p and "b" in p and float(p["a"]) != float(p["b"]):
+        return float(p["a"]), float(p["b"])
+    if p.get("ellps") in _ELLPS:
+        return _ELLPS[p["ellps"]]
+    return None
+
+
+def stere_ell_polar_crs_params(crs: str) -> dict:
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    lat0 = float(p.get("lat_0", "90"))
+    return {
+        "lat_ts": float(p.get("lat_ts", "90")),
+        "a": a,
+        "b": b,
+        "lon_0": float(p.get("lon_0", "0")),
+        "north": lat0 > 0,
+    }
+
+
 def stere_ell_crs_params(crs: str) -> dict:
     """+proj=stere +a=.. +b=.. oblique token dict → keyword params
     (+lat_ts is polar-only in PROJ and deliberately ignored here)."""
     p = _params(crs)
+    a, b = _ellipsoid_ab(p)
     return {
         "lat_0": float(p.get("lat_0", "0")),
         "lon_0": float(p.get("lon_0", "0")),
-        "a": float(p["a"]),
-        "b": float(p["b"]),
+        "a": a,
+        "b": b,
         "k0": float(p.get("k_0", p.get("k", "1"))),
     }
 
@@ -231,6 +265,9 @@ def forward(crs: str):
     if fam == "stere_ell":
         kw = stere_ell_crs_params(crs)
         return lambda lon, lat: stere_ell_xy(lon, lat, **kw)
+    if fam == "stere_ell_polar":
+        kw = stere_ell_polar_crs_params(crs)
+        return lambda lon, lat: stere_ell_polar_xy(lon, lat, **kw)
     if fam == "aeqd":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -331,6 +368,9 @@ def inverse(crs: str):
     if fam == "stere_ell":
         kw = stere_ell_crs_params(crs)
         return lambda x, y: stere_ell_inverse(x, y, **kw)
+    if fam == "stere_ell_polar":
+        kw = stere_ell_polar_crs_params(crs)
+        return lambda x, y: stere_ell_polar_inverse(x, y, **kw)
     if fam == "aeqd":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

@@ -1638,3 +1638,51 @@ def q_regrid_stere_ell(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_STERE_ELL_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_stere_wgs84: the eurol WGS84 polar stereographic -------
+
+def _eurol_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # the reference's 'eurol' WGS84 polar-stereographic window
+    # (test_bucket.py:40-52) at 64×64 for the oracle query; the
+    # fixture's published pixel indices replay in
+    # test_reference_golden_eurol_bucket_indices
+    return AreaDefinition(
+        "eurol_small",
+        "+proj=stere +ellps=WGS84 +lat_0=90.0 +lat_ts=60.0 +lon_0=0.0",
+        width=64, height=64,
+        area_extent=(-3780000.0, -7644000.0, 3900000.0, -1500000.0),
+    )
+
+
+_EUROL_AREA = _eurol_area()
+
+
+@register(
+    "q_regrid_stere_wgs84",
+    oracle=(lambda lonlat: _regrid_oracle(_EUROL_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["stere_ell_polar_inv_sql"],
+        ).stere_ell_polar_inv_sql(
+            "cx", "cy", lat_ts=60.0,
+            a=6378137.0, b=6356752.3142451793, lon_0=0.0,
+        )
+    ),
+)
+def q_regrid_stere_wgs84(spark, sf_dir):
+    """Regrid onto the reference's eurol WGS84 POLAR stereographic CRS
+    WITHOUT pyproj: each target (x, y) inverts through the Snyder
+    21-33..21-41 ellipsoidal polar form — closed-form conformal
+    latitude + the 8-step fixed-point geodetic fold run identically on
+    both engines — then gathers from the eqc source by equi-join. The
+    registry resolves +ellps=WGS84 to its semi-axes; the same forward
+    reproduces the reference's published eurol bucket indices
+    (test_reference_golden_eurol_bucket_indices)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_EUROL_AREA, EQC_AREA, src)

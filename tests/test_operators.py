@@ -1223,6 +1223,8 @@ def test_crs_roundtrip_sweep_all_families(spark):
         ("+proj=gnom +lat_0=30 +lon_0=-100", cos_c(30.0, -100.0) > 0.15),
         ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50 +lon_0=8",
          (cos_c(50.0, 8.0) > -0.9) & (F.abs(lat) < 89.0)),
+        ("+proj=stere +ellps=WGS84 +lat_0=90 +lat_ts=60", lat > -60.0),
+        ("+proj=stere +ellps=WGS84 +lat_0=-90 +lat_ts=-70", lat < 60.0),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
         ("+proj=merc +lat_ts=20", F.abs(lat) < 85.0),
         ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
@@ -1715,3 +1717,34 @@ def test_reference_golden_nearest_remap_roundtrip(spark):
     ).collect()[0]
     assert got.n == 220
     assert got.s == 22275.0
+
+
+def test_reference_golden_eurol_bucket_indices(spark):
+    """Reference eurol bucket-index golden (test_bucket.py:128-135
+    test_get_bucket_indices): the WGS84 POLAR ellipsoidal
+    stereographic area ('eurol', lat_ts=60) with the fixture's four
+    points at lon 25 / lat 60..60.3 must land in exactly the published
+    pixel indices x=[1710, 1710, 1707, 1705], y=[465, 465, 459, 455].
+    The forward runs this engine's Snyder 21-33..21-41 polar
+    ellipsoidal form (+ellps=WGS84 resolved by the registry); the
+    index math is the same affine floor every bucket plan uses."""
+    from pyresample_spark.operators.crs import forward
+
+    crs = "+proj=stere +ellps=WGS84 +lat_0=90.0 +lat_ts=60.0 +lon_0=0.0"
+    area = AreaDefinition(
+        "eurol", crs, 2560, 2048,
+        (-3780000.0, -7644000.0, 3900000.0, -1500000.0),
+    )
+    df = spark.createDataFrame(
+        [(0, 25.0, 60.0), (1, 25.0, 60.00001),
+         (2, 25.0, 60.2), (3, 25.0, 60.3)],
+        "i long, lon double, lat double",
+    )
+    fx, fy = forward(crs)("lon", "lat")
+    rows = df.select(
+        "i",
+        area.col_from_x(fx).alias("x"),
+        area.row_from_y(fy).alias("y"),
+    ).orderBy("i").collect()
+    assert [r.x for r in rows] == [1710, 1710, 1707, 1705]
+    assert [r.y for r in rows] == [465, 465, 459, 455]
