@@ -53,7 +53,9 @@ from pyresample_spark.functions.geo import (
     aeqd_xy,
     gnom_inverse,
     gnom_xy,
+    stere_ell_constants,
     stere_ell_inverse,
+    stere_ell_polar_constants,
     stere_ell_polar_inverse,
     stere_ell_polar_xy,
     stere_ell_xy,
@@ -591,6 +593,59 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _gnom_inv
+    if fam == "stere_ell":
+        kw = stere_ell_crs_params(crs)
+        e, sinx1, cosx1, akm1, _es = stere_ell_constants(
+            kw["lat_0"], kw["a"], kw["b"], kw["k0"]
+        )
+        a_, lon_0 = kw["a"], kw["lon_0"]
+
+        def _stere_ell_inv(x, y):
+            xs, ys = x / a_, y / a_
+            rho = math.hypot(xs, ys)
+            cc = 2.0 * math.atan2(rho * cosx1, akm1)
+            if rho == 0.0:
+                chi = math.asin(max(-1.0, min(1.0, sinx1)))
+                lam = 0.0
+            else:
+                chi = math.asin(max(-1.0, min(1.0,
+                    math.cos(cc) * sinx1
+                    + ys * math.sin(cc) * cosx1 / rho)))
+                lam = math.atan2(
+                    xs * math.sin(cc),
+                    rho * cosx1 * math.cos(cc)
+                    - ys * sinx1 * math.sin(cc))
+            tp = math.tan(math.pi / 4.0 + chi / 2.0)
+            phi = chi
+            for _ in range(8):
+                es_ = e * math.sin(phi)
+                phi = 2.0 * math.atan(
+                    tp * ((1.0 + es_) / (1.0 - es_)) ** (e / 2.0)
+                ) - math.pi / 2.0
+            lon = lon_0 + math.degrees(lam)
+            return ((lon + 540.0) % 360.0) - 180.0, math.degrees(phi)
+
+        return _stere_ell_inv
+    if fam == "stere_ell_polar":
+        kw = stere_ell_polar_crs_params(crs)
+        e, fk = stere_ell_polar_constants(kw["lat_ts"], kw["a"], kw["b"])
+        a_, lon_0 = kw["a"], kw["lon_0"]
+        sgn = 1.0 if kw["north"] else -1.0
+
+        def _stere_ell_polar_inv(x, y):
+            xs, ys = x, -sgn * y
+            rho = math.hypot(xs, ys)
+            t = rho / (a_ * fk)
+            phi = math.pi / 2.0 - 2.0 * math.atan(t)
+            for _ in range(8):
+                es_ = e * math.sin(phi)
+                phi = math.pi / 2.0 - 2.0 * math.atan(
+                    t * ((1.0 - es_) / (1.0 + es_)) ** (e / 2.0)
+                )
+            lon = lon_0 + sgn * math.degrees(math.atan2(xs, ys))
+            return ((lon + 540.0) % 360.0) - 180.0, sgn * math.degrees(phi)
+
+        return _stere_ell_polar_inv
     if fam == "stere":
         lat0 = float(p.get("lat_0", "90"))
         lat_ts = float(p.get("lat_ts", lat0))

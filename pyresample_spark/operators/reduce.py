@@ -127,3 +127,98 @@ def slice_crop(area: AreaDefinition, crop_extent: tuple) -> tuple:
     if c0 >= c1 or r0 >= r1:
         raise ValueError("IncompatibleAreas: crop does not overlap area")
     return r0, r1, c0, c1
+
+
+def area_reduce_info(area: AreaDefinition, radius_of_influence: float,
+                     r_earth: float = 6370997.0) -> dict:
+    """PROJECTED-area data reduction bounds — the general form of
+    :func:`bbox_bounds` (reference data_reduce.py:174-307
+    get_valid_index_from_lonlat_grid): walk the target grid's four
+    boundary edges (pixel centers) through the area's analytic
+    inverse, detect pole coverage by the winding-number angle sum, and
+    buffer the lon/lat window by the radius (lon buffered with the
+    1/sin(max|lat|) convergence factor of the respective side, exactly
+    as the reference does). Driver-side planning: O(perimeter) scalar
+    inversions, runs once per query.
+
+    Returns {"mode": "np"|"sp"|"window"|"all", "lat_min", "lat_max",
+    "lon_min", "lon_max", "dateline": bool}.
+    """
+    import math as _m
+
+    from pyresample_spark.operators.crs import inverse_scalar
+
+    inv = inverse_scalar(area.crs)
+    w, h = area.width, area.height
+    llx, lly, urx, ury = area.area_extent
+    psx, psy = (urx - llx) / w, (ury - lly) / h
+
+    def _pt(row, col):
+        return inv(llx + (col + 0.5) * psx, ury - (row + 0.5) * psy)
+
+    side1 = [_pt(0, c) for c in range(w)]            # top
+    side2 = [_pt(r, w - 1) for r in range(h)]        # right
+    side3 = [_pt(h - 1, c) for c in range(w)]        # bottom
+    side4 = [_pt(r, 0) for r in range(h)]            # left
+    sides = [side1, side2, side3, side4]
+    if any(p is None for s in sides for p in s):
+        return {"mode": "all"}  # boundary leaves the projection domain
+
+    angle_sum = 0.0
+    for s in (side1, side2, list(reversed(side3)), list(reversed(side4))):
+        prev = None
+        for lon, _lat in s:
+            if prev is not None:
+                delta = lon - prev
+                if abs(delta) > 180.0:
+                    delta = (abs(delta) - 360.0) * (delta // abs(delta))
+                angle_sum += delta
+            prev = lon
+
+    lats_all = [la for s in sides for _lo, la in s]
+    buf = _m.degrees(radius_of_influence / r_earth)
+    lat_min_b = min(lats_all) - buf
+    lat_max_b = max(lats_all) + buf
+    if round(angle_sum) == -360:
+        return {"mode": "np", "lat_min": lat_min_b}
+    if round(angle_sum) == 360:
+        return {"mode": "sp", "lat_max": lat_max_b}
+    if round(angle_sum) != 0:
+        return {"mode": "all"}
+
+    max_s2 = max(abs(la) for _lo, la in side2)
+    max_s4 = max(abs(la) for _lo, la in side4)
+    lon_min_b = min(lo for lo, _la in side4) - _m.degrees(
+        radius_of_influence / (_m.sin(_m.radians(max_s4)) * r_earth)
+    )
+    lon_max_b = max(lo for lo, _la in side2) + _m.degrees(
+        radius_of_influence / (_m.sin(_m.radians(max_s2)) * r_earth)
+    )
+    dateline = min(lo for lo, _la in side2) <= max(lo for lo, _la in side4)
+    return {
+        "mode": "window", "lat_min": lat_min_b, "lat_max": lat_max_b,
+        "lon_min": lon_min_b, "lon_max": lon_max_b, "dateline": dateline,
+    }
+
+
+def area_reduce_predicate(area: AreaDefinition, radius_of_influence: float,
+                          lon_col: str = "lon", lat_col: str = "lat",
+                          r_earth: float = 6370997.0) -> Column:
+    """The projected-area reduce window as a pushable Column
+    (data_reduce.py:282-307 branch semantics verbatim)."""
+    info = area_reduce_info(area, radius_of_influence, r_earth)
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    if info["mode"] == "np":
+        return lat >= info["lat_min"]
+    if info["mode"] == "sp":
+        return lat <= info["lat_max"]
+    if info["mode"] == "all":
+        return F.lit(True)
+    lat_pred = (lat >= info["lat_min"]) & (lat <= info["lat_max"])
+    if not info["dateline"]:
+        lon_pred = (lon >= info["lon_min"]) & (lon <= info["lon_max"])
+    else:
+        lon_pred = ((lon >= info["lon_min"]) & (lon <= 180.0)) | (
+            (lon <= info["lon_max"]) & (lon >= -180.0)
+        )
+    return lat_pred & lon_pred

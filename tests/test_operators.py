@@ -1748,3 +1748,40 @@ def test_reference_golden_eurol_bucket_indices(spark):
     ).orderBy("i").collect()
     assert [r.x for r in rows] == [1710, 1710, 1707, 1705]
     assert [r.y for r in rows] == [465, 465, 459, 455]
+
+
+def test_reference_golden_data_reduce_cross_sum(spark):
+    """Reference data-reduce checksum (test_data_reduce.py
+    test_reduce, expected 20685125.0): the 1000×1000 global swath
+    (data y + x) coarsely reduced against the areaD grid with a 7 km
+    radius. The reduction window comes from area_reduce_info
+    (operators/reduce.py): the grid's four boundary edges invert
+    through the ellipsoidal stereographic scalar inverse, pole
+    coverage is detected by the winding angle sum, and the lon window
+    is buffered with the reference's 1/sin(max|lat|) convergence
+    factor — the predicate then filters the swath map-side and the
+    kept data sums exactly to the reference's expectation (15875 of
+    1M points survive)."""
+    from pyresample_spark.operators.reduce import area_reduce_predicate
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    sw = spark.range(0, 1_000_000).select(
+        (F.col("id") / 1000).cast("long").alias("y"),
+        (F.col("id") % 1000).alias("x"),
+    ).select(
+        (-180.0 + 0.36 * F.col("x")).alias("lon"),
+        (-90.0 + 0.18 * F.col("y")).alias("lat"),
+        (F.col("y") + F.col("x")).cast("double").alias("data"),
+    )
+    kept = sw.filter(area_reduce_predicate(area, 7000.0))
+    got = kept.agg(
+        F.sum("data").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got.n == 15875
+    assert got.s == 20685125.0
