@@ -281,9 +281,10 @@ def forward(crs: str):
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
+        r = float(p.get("a", repr(R_EARTH)))  # EASE grids set +a
         return lambda lon, lat: (
-            laea_x(lon, lat, lat_0=lat0, lon_0=lon_0),
-            laea_y(lon, lat, lat_0=lat0, lon_0=lon_0),
+            laea_x(lon, lat, lat_0=lat0, lon_0=lon_0, radius=r),
+            laea_y(lon, lat, lat_0=lat0, lon_0=lon_0, radius=r),
         )
     if fam == "merc":
         lat_ts = float(p.get("lat_ts", "0"))
@@ -384,7 +385,10 @@ def inverse(crs: str):
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
-        return lambda x, y: laea_inverse(x, y, lat_0=lat0, lon_0=lon_0)
+        r = float(p.get("a", repr(R_EARTH)))
+        return lambda x, y: laea_inverse(
+            x, y, lat_0=lat0, lon_0=lon_0, radius=r
+        )
     if fam == "merc":
         lat_ts = float(p.get("lat_ts", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -663,13 +667,14 @@ def inverse_scalar(crs: str):
     if fam == "laea":
         lat0 = math.radians(float(p.get("lat_0", "90")))
         lon_0 = float(p.get("lon_0", "0"))
+        r_laea = float(p.get("a", repr(R_EARTH)))  # EASE grids set +a
         s0, c0 = math.sin(lat0), math.cos(lat0)
 
         def _laea_inv(x, y):
             rho = math.hypot(x, y)
             if rho == 0.0:
                 return lon_0, math.degrees(lat0)
-            c = 2.0 * math.asin(max(-1.0, min(1.0, rho / (2.0 * R))))
+            c = 2.0 * math.asin(max(-1.0, min(1.0, rho / (2.0 * r_laea))))
             lat = math.degrees(
                 math.asin(max(-1.0, min(1.0,
                     math.cos(c) * s0 + y * math.sin(c) * c0 / rho)))

@@ -1785,3 +1785,41 @@ def test_reference_golden_data_reduce_cross_sum(spark):
     ).collect()[0]
     assert got.n == 15875
     assert got.s == 20685125.0
+
+
+def test_reference_golden_data_reduce_pole_coverage(spark):
+    """Reference pole-coverage reduce checksum (test_data_reduce.py
+    test_reduce_north_pole, expected 999000000.0): the Antarctic
+    EASE grid (laea lat_0=−90, +a=6371228 sphere) COVERS the south
+    pole, so the winding angle sum selects the lat-only branch and the
+    entire inner-EASE swath survives — Σ(y + x) over 1000×1000 =
+    999 000 000 exactly. Validates the winding-number pole detection
+    on a boundary that wraps the full longitude range (and the +a
+    custom-sphere radius now flows through the laea registry)."""
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.reduce import (
+        area_reduce_info,
+        area_reduce_predicate,
+    )
+
+    crs = "+proj=laea +lat_0=-90 +lon_0=0 +a=6371228.0 +units=m"
+    big = AreaDefinition(
+        "ease_sh", crs, 425, 425,
+        (-5326849.0625, -5326849.0625, 5326849.0625, 5326849.0625),
+    )
+    small = AreaDefinition(
+        "ease_sh_inner", crs, 1000, 1000,
+        (-532684.0625, -532684.0625, 532684.0625, 532684.0625),
+    )
+    assert area_reduce_info(big, 7000.0)["mode"] == "sp"
+    il, ia = inverse(crs)("cx", "cy")
+    sw = small.grid(spark).select(
+        il.alias("lon"), ia.alias("lat"),
+        (F.col("row") + F.col("col")).cast("double").alias("data"),
+    )
+    kept = sw.filter(area_reduce_predicate(big, 7000.0))
+    got = kept.agg(
+        F.sum("data").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got.n == 1_000_000
+    assert got.s == 999_000_000.0
