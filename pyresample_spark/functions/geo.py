@@ -1719,3 +1719,126 @@ def stere_ell_polar_inv_sql(x: str, y: str, lat_ts: float, a: float,
     lon = (f"((({lon_0!r} + {sgn!r} * degrees(atan2({xs}, {ys})))"
            f" + 540.0) % 360.0 - 180.0)")
     return lon, f"({sgn!r} * degrees({phi}))"
+
+
+# --- Ellipsoidal geostationary (+proj=geos +a +b) ---------------------
+# PROJ src/projections/geos.cpp ellipsoid branch — the REAL MSG/SEVIRI
+# full-disc CRS (a=6378169, b=6356584, h=35785831). Differences from
+# the spherical form above: the view vector targets the GEOCENTRIC
+# latitude φ' = atan((b/a)²·tanφ) at the ellipsoid radius
+# r = rp/hypot(rp·cosφ', sinφ'), and the visibility condition carries
+# the 1/rp² flattening factor. All lengths normalized by a (PROJ's
+# internal convention), so x,y = a·(h/a)·atan(...) = h·atan(...).
+
+def geos_ell_constants(h: float, a: float, b: float) -> tuple:
+    rp = b / a                 # radius_p
+    rp2 = rp * rp              # radius_p2
+    rpi2 = 1.0 / rp2           # radius_p_inv2
+    rg = 1.0 + h / a           # radius_g
+    rg1 = h / a                # radius_g_1
+    c = rg * rg - 1.0          # C
+    return rp, rp2, rpi2, rg, rg1, c
+
+
+def geos_ell_xy(lon, lat, h: float, a: float, b: float,
+                lon_0: float = 0.0, sweep: str = "y") -> tuple:
+    rp, rp2, rpi2, rg, rg1, _cc = geos_ell_constants(h, a, b)
+    lam = F.radians(_c(lon) - F.lit(lon_0))
+    phi = F.atan(rp2 * F.tan(F.radians(_c(lat))))
+    r = rp / F.sqrt(
+        (rp * F.cos(phi)) * (rp * F.cos(phi)) + F.sin(phi) * F.sin(phi)
+    )
+    vx = r * F.cos(lam) * F.cos(phi)
+    vy = r * F.sin(lam) * F.cos(phi)
+    vz = r * F.sin(phi)
+    visible = (F.lit(rg) - vx) * vx - vy * vy - vz * vz * rpi2 >= 0.0
+    tmp = F.lit(rg) - vx
+    if sweep == "x":
+        xx = a * rg1 * F.atan(vy / F.sqrt(vz * vz + tmp * tmp))
+        yy = a * rg1 * F.atan(vz / tmp)
+    else:
+        xx = a * rg1 * F.atan(vy / tmp)
+        yy = a * rg1 * F.atan(vz / F.sqrt(vy * vy + tmp * tmp))
+    null = F.lit(None).cast("double")
+    return (
+        F.when(visible, xx).otherwise(null),
+        F.when(visible, yy).otherwise(null),
+    )
+
+
+def geos_ell_inverse(x, y, h: float, a: float, b: float,
+                     lon_0: float = 0.0, sweep: str = "y") -> tuple:
+    rp, rp2, rpi2, rg, rg1, cc = geos_ell_constants(h, a, b)
+    xs, ys = _c(x) / (a * rg1), _c(y) / (a * rg1)
+    if sweep == "x":
+        vz = F.tan(ys)
+        vy = F.tan(xs) * F.sqrt(1.0 + vz * vz)
+    else:
+        vy = F.tan(xs)
+        vz = F.tan(ys) * F.sqrt(1.0 + vy * vy)
+    az = vz / rp
+    aa = vy * vy + az * az + 1.0     # Vx = −1
+    bb = F.lit(2.0 * rg) * F.lit(-1.0)
+    det = bb * bb - 4.0 * aa * F.lit(cc)
+    k = (-bb - F.sqrt(det)) / (2.0 * aa)
+    wx = F.lit(rg) - k               # radius_g + k·Vx, Vx = −1
+    wy, wz = vy * k, vz * k
+    lam = F.atan2(wy, wx)
+    phi = F.atan(wz * F.cos(lam) / wx)
+    lat = F.degrees(F.atan(F.lit(rpi2) * F.tan(phi)))
+    null = F.lit(None).cast("double")
+    lon = F.degrees(lam) + F.lit(lon_0)
+    return (
+        F.when(det >= 0.0, wrap_longitude(lon)).otherwise(null),
+        F.when(det >= 0.0, lat).otherwise(null),
+    )
+
+
+def geos_ell_sql(lon: str, lat: str, h: float, a: float, b: float,
+                 lon_0: float = 0.0, sweep: str = "y") -> tuple:
+    rp, rp2, rpi2, rg, rg1, _cc = geos_ell_constants(h, a, b)
+    lam = f"radians({lon} - {lon_0!r})"
+    phi = f"atan({rp2!r} * tan(radians({lat})))"
+    r = (f"({rp!r} / sqrt(({rp!r} * cos({phi})) * ({rp!r} * cos({phi}))"
+         f" + sin({phi}) * sin({phi})))")
+    vx = f"({r} * cos({lam}) * cos({phi}))"
+    vy = f"({r} * sin({lam}) * cos({phi}))"
+    vz = f"({r} * sin({phi}))"
+    vis = (f"((({rg!r} - {vx}) * {vx} - {vy} * {vy}"
+           f" - {vz} * {vz} * {rpi2!r}) >= 0.0)")
+    tmp = f"({rg!r} - {vx})"
+    if sweep == "x":
+        xx = f"({a * rg1!r} * atan({vy} / sqrt({vz} * {vz} + {tmp} * {tmp})))"
+        yy = f"({a * rg1!r} * atan({vz} / {tmp}))"
+    else:
+        xx = f"({a * rg1!r} * atan({vy} / {tmp}))"
+        yy = f"({a * rg1!r} * atan({vz} / sqrt({vy} * {vy} + {tmp} * {tmp})))"
+    return (
+        f"(CASE WHEN {vis} THEN {xx} ELSE NULL END)",
+        f"(CASE WHEN {vis} THEN {yy} ELSE NULL END)",
+    )
+
+
+def geos_ell_inv_sql(x: str, y: str, h: float, a: float, b: float,
+                     lon_0: float = 0.0, sweep: str = "y") -> tuple:
+    rp, rp2, rpi2, rg, rg1, cc = geos_ell_constants(h, a, b)
+    xs = f"(CAST({x} AS DOUBLE) / {a * rg1!r})"
+    ys = f"(CAST({y} AS DOUBLE) / {a * rg1!r})"
+    if sweep == "x":
+        vz = f"tan({ys})"
+        vy = f"(tan({xs}) * sqrt(1.0 + {vz} * {vz}))"
+    else:
+        vy = f"tan({xs})"
+        vz = f"(tan({ys}) * sqrt(1.0 + {vy} * {vy}))"
+    aa = f"({vy} * {vy} + ({vz} / {rp!r}) * ({vz} / {rp!r}) + 1.0)"
+    det = f"({4.0 * rg * rg!r} - 4.0 * {aa} * {cc!r})"
+    k = f"(({2.0 * rg!r} - sqrt({det})) / (2.0 * {aa}))"
+    wx = f"({rg!r} - {k})"
+    lam = f"atan2({vy} * {k}, {wx})"
+    phi = f"atan({vz} * {k} * cos({lam}) / {wx})"
+    lat = f"degrees(atan({rpi2!r} * tan({phi})))"
+    lon = f"((({lon_0!r} + degrees({lam})) + 540.0) % 360.0 - 180.0)"
+    return (
+        f"(CASE WHEN {det} >= 0.0 THEN {lon} ELSE NULL END)",
+        f"(CASE WHEN {det} >= 0.0 THEN {lat} ELSE NULL END)",
+    )

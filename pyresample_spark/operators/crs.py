@@ -32,7 +32,9 @@ Supported proj strings (whitespace-separated key=value, order-free):
 - ``+proj=merc [+lat_ts=..] [+lon_0=..]``
 - ``+proj=lcc +lat_1=.. [+lat_2=..] [+lat_0=..] [+lon_0=..]``
 - ``+proj=geos [+h=..] [+lon_0=..] [+sweep=x|y]`` (full-disc; off-disc
-  pixels are NULL-masked by the horizon condition)
+  pixels are NULL-masked by the horizon condition); with +a/+b the
+  ELLIPSOIDAL form (PROJ geos.cpp: geocentric-latitude view vector,
+  flattened visibility) — the real MSG/SEVIRI CRS
 - ``+proj=tmerc [+lat_0=..] [+lon_0=..] [+k=..] [+x_0=..] [+y_0=..]``
   and ``+proj=utm +zone=N [+south]`` (Snyder 8-5..8-8 spherical)
 - ``+proj=omerc +lat_0=.. +lonc=.. +alpha=.. [+ctrack=merc]`` — the
@@ -71,6 +73,8 @@ from pyresample_spark.functions.geo import (
     moll_xy,
     robin_inverse,
     robin_xy,
+    geos_ell_inverse,
+    geos_ell_xy,
     geos_inverse,
     geos_xy,
     laea_inverse,
@@ -143,7 +147,7 @@ def _family(crs: str) -> str:
     if proj == "lcc":
         return "lcc"
     if proj == "geos":
-        return "geos"
+        return "geos_ell" if _ellipsoid_ab(p) else "geos"
     if proj == "sinu":
         return "sinu"
     if proj == "cea":
@@ -335,6 +339,14 @@ def forward(crs: str):
         )
         ct = "mercator" if p.get("ctrack") == "merc" else "equidistant"
         return lambda lon, lat: omerc_xy(lon, lat, frame, cross_track=ct)
+    if fam == "geos_ell":
+        a, b = _ellipsoid_ab(p)
+        h = float(p.get("h", "35785831"))
+        lon_0 = float(p.get("lon_0", "0"))
+        sweep = p.get("sweep", "y")
+        return lambda lon, lat: geos_ell_xy(
+            lon, lat, h=h, a=a, b=b, lon_0=lon_0, sweep=sweep
+        )
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -434,6 +446,14 @@ def inverse(crs: str):
         )
         ct = "mercator" if p.get("ctrack") == "merc" else "equidistant"
         return lambda x, y: omerc_inverse(x, y, frame, cross_track=ct)
+    if fam == "geos_ell":
+        a, b = _ellipsoid_ab(p)
+        h = float(p.get("h", "35785831"))
+        lon_0 = float(p.get("lon_0", "0"))
+        sweep = p.get("sweep", "y")
+        return lambda x, y: geos_ell_inverse(
+            x, y, h=h, a=a, b=b, lon_0=lon_0, sweep=sweep
+        )
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
@@ -828,6 +848,36 @@ def inverse_scalar(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _tmerc_inv
+    if fam == "geos_ell":
+        from pyresample_spark.functions.geo import geos_ell_constants
+
+        a_, b_ = _ellipsoid_ab(p)
+        h = float(p.get("h", "35785831"))
+        lon_0 = float(p.get("lon_0", "0"))
+        sweep = p.get("sweep", "y")
+        rp, _rp2, rpi2, rg, rg1, cc = geos_ell_constants(h, a_, b_)
+
+        def _geos_ell_inv(x, y):
+            xs, ys = x / (a_ * rg1), y / (a_ * rg1)
+            if sweep == "x":
+                vz = math.tan(ys)
+                vy = math.tan(xs) * math.hypot(1.0, vz)
+            else:
+                vy = math.tan(xs)
+                vz = math.tan(ys) * math.hypot(1.0, vy)
+            az = vz / rp
+            aa = vy * vy + az * az + 1.0
+            det = 4.0 * rg * rg - 4.0 * aa * cc
+            if det < 0.0:
+                return None
+            k = (2.0 * rg - math.sqrt(det)) / (2.0 * aa)
+            wx, wy, wz = rg - k, vy * k, vz * k
+            lam = math.atan2(wy, wx)
+            phi = math.atan(wz * math.cos(lam) / wx)
+            lon = ((math.degrees(lam) + lon_0 + 540.0) % 360.0) - 180.0
+            return lon, math.degrees(math.atan(rpi2 * math.tan(phi)))
+
+        return _geos_ell_inv
     # geos
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))

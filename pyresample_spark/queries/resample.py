@@ -1686,3 +1686,48 @@ def q_regrid_stere_wgs84(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_EUROL_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_geos_ell: the real MSG/SEVIRI ellipsoidal full disc ----
+
+def _msg_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # the reference's 'msg_full' SEVIRI CRS (test_image.py:47-60) at
+    # 56×56; Europe-quadrant extent keeps every pixel on-disc
+    return AreaDefinition(
+        "msg_win",
+        "+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 +lon_0=0",
+        width=56, height=56,
+        area_extent=(-2784371.2, 1113748.48, 2784371.2, 5011867.16),
+    )
+
+
+_MSG_AREA = _msg_area()
+
+
+@register(
+    "q_regrid_geos_ell",
+    oracle=(lambda lonlat: _regrid_oracle(_MSG_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["geos_ell_inv_sql"],
+        ).geos_ell_inv_sql(
+            "cx", "cy", h=35785831.0, a=6378169.0, b=6356584.0, lon_0=0.0
+        )
+    ),
+)
+def q_regrid_geos_ell(spark, sf_dir):
+    """Regrid onto the REAL MSG/SEVIRI CRS WITHOUT pyproj — the
+    ellipsoidal geostationary (PROJ geos.cpp ellipsoid branch:
+    geocentric-latitude view vector, 1/rp² flattened visibility,
+    quadratic ray–ellipsoid intersection on the inverse; functions/
+    geo.py geos_ell_inverse) — then gathers from the eqc source by
+    equi-join. The same family's forward reproduces the reference's
+    full-disc quick-resample checksum 399936.39392500359
+    (test_reference_golden_msg_quick_resample)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_MSG_AREA, EQC_AREA, src)

@@ -1225,6 +1225,8 @@ def test_crs_roundtrip_sweep_all_families(spark):
          (cos_c(50.0, 8.0) > -0.9) & (F.abs(lat) < 89.0)),
         ("+proj=stere +ellps=WGS84 +lat_0=90 +lat_ts=60", lat > -60.0),
         ("+proj=stere +ellps=WGS84 +lat_0=-90 +lat_ts=-70", lat < 60.0),
+        ("+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 +lon_0=0",
+         cos_c(0.0, 0.0) > 0.25),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
         ("+proj=merc +lat_ts=20", F.abs(lat) < 85.0),
         ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
@@ -1823,3 +1825,46 @@ def test_reference_golden_data_reduce_pole_coverage(spark):
     ).collect()[0]
     assert got.n == 1_000_000
     assert got.s == 999_000_000.0
+
+
+def test_reference_golden_msg_quick_resample(spark):
+    """Reference MSG full-disc quick-resample checksum (test_image.py
+    test_image / test_image_segments, expected 399936.39392500359):
+    the 3712×3712 SEVIRI image (data y·x·10⁻⁶, the ELLIPSOIDAL geos
+    CRS a=6378169 b=6356584 h=35785831) quick-resampled onto areaD.
+    The engine path: areaD pixel centers invert through the
+    ellipsoidal stereographic, forward through the ellipsoidal
+    geostationary (functions/geo.py geos_ell_xy — PROJ's
+    geocentric-latitude view vector), floor to MSG (row, col), and the
+    value is the index arithmetic — matches the published sum to
+    ~4e-9, inside the reference's own assertAlmostEqual."""
+    from pyresample_spark.operators.crs import forward, inverse
+
+    crs_d = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+             "+lat_ts=50.0 +lon_0=8.0")
+    areaD = AreaDefinition(
+        "areaD", crs_d, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    crs_m = ("+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 "
+             "+lon_0=0")
+    msg = AreaDefinition(
+        "msg_full", crs_m, 3712, 3712,
+        (-5568742.4000000004, -5568742.4000000004,
+         5568742.4000000004, 5568742.4000000004),
+    )
+    il, ia = inverse(crs_d)("cx", "cy")
+    tgt = areaD.grid(spark).select(il.alias("lon"), ia.alias("lat"))
+    gx, gy = forward(crs_m)("lon", "lat")
+    col = msg.col_from_x(gx)
+    row = msg.row_from_y(gy)
+    ok = (
+        col.isNotNull() & (col >= 0) & (col <= 3711)
+        & (row >= 0) & (row <= 3711)
+    )
+    val = (row * col).cast("double") * 1e-6
+    got = tgt.select(F.when(ok, val).otherwise(0.0).alias("v")).agg(
+        F.sum("v").alias("s")
+    ).collect()[0]
+    assert got.s == pytest.approx(399936.39392500359, abs=5e-8)
