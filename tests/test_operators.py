@@ -1868,3 +1868,52 @@ def test_reference_golden_msg_quick_resample(spark):
         F.sum("v").alias("s")
     ).collect()[0]
     assert got.s == pytest.approx(399936.39392500359, abs=5e-8)
+
+
+def test_reference_golden_msg_nearest_resample(spark):
+    """Reference MSG nearest-resample checksum (test_image.py
+    test_nearest_neighbour, expected 399936.70287099993): the full
+    3712×3712 SEVIRI disc (ellipsoidal geos; ~10.2M on-disc pixels,
+    data y·x·10⁻⁶) nearest-resampled onto areaD within a 50 km chord
+    radius through the cell kNN join — the largest-source golden in
+    the reference suite, matched to 5e-10 with every one of the 640k
+    target pixels assigned. Source lon/lats come from the ellipsoidal
+    geos inverse (off-disc pixels NULL out before the join)."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_join
+
+    crs_d = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+             "+lat_ts=50.0 +lon_0=8.0")
+    areaD = AreaDefinition(
+        "areaD", crs_d, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    crs_m = ("+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 "
+             "+lon_0=0")
+    msg = AreaDefinition(
+        "msg_full", crs_m, 3712, 3712,
+        (-5568742.4000000004, -5568742.4000000004,
+         5568742.4000000004, 5568742.4000000004),
+    )
+    ild, iad = inverse(crs_d)("cx", "cy")
+    tgt = areaD.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"), ild.alias("lon"), iad.alias("lat")
+    )
+    ilm, iam = inverse(crs_m)("cx", "cy")
+    src = msg.grid(spark).select(
+        F.col("cell_id").alias("src_id"), ilm.alias("lon"), iam.alias("lat"),
+        ((F.col("row") * F.col("col")).cast("double") * 1e-6).alias("value"),
+    ).filter(F.col("lon").isNotNull())
+    r_gc = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    nn = knn_join(src, tgt, r_gc, k=1).join(
+        src.select("src_id", "value"), "src_id"
+    )
+    got = nn.agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got.n == 640_000
+    assert got.s == pytest.approx(399936.70287099993, abs=5e-8)
