@@ -1917,3 +1917,30 @@ def test_reference_golden_msg_nearest_resample(spark):
     ).collect()[0]
     assert got.n == 640_000
     assert got.s == pytest.approx(399936.70287099993, abs=5e-8)
+
+
+def test_reference_golden_proj_coords_and_latlons(spark):
+    """Reference areaD2 coordinate checksums (test_grid.py
+    test_proj_coords = 2977965.9999999963 and test_latlons =
+    1440.8280578215431): the 5×5 ellipsoidal-stereographic area's
+    projected pixel-center sum is pure affine arithmetic, and the
+    lon+lat sum exercises the ellipsoidal inverse directly against
+    PROJ's published value — a 25-point, 7-decimal-place check of
+    stere_ell_inverse with no resampling in between."""
+    from pyresample_spark.operators.crs import inverse
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD2", crs, 5, 5,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    g = area.grid(spark)
+    pc = g.agg((F.sum("cx") + F.sum("cy")).alias("s")).collect()[0]
+    assert pc.s == pytest.approx(2977965.9999999963, abs=5e-7)
+    il, ia = inverse(crs)("cx", "cy")
+    ll = g.select(il.alias("lon"), ia.alias("lat")).agg(
+        (F.sum("lon") + F.sum("lat")).alias("s")
+    ).collect()[0]
+    assert ll.s == pytest.approx(1440.8280578215431, abs=5e-8)
