@@ -1944,3 +1944,45 @@ def test_reference_golden_proj_coords_and_latlons(spark):
         (F.sum("lon") + F.sum("lat")).alias("s")
     ).collect()[0]
     assert ll.s == pytest.approx(1440.8280578215431, abs=5e-8)
+
+
+def test_reference_golden_custom_uncert(spark):
+    """Reference custom-weight uncertainty golden (test_kd_tree.py
+    test_custom_uncert): wf(d) = 1 − d/100000 over the 3-point fixture
+    within 100 km → result 2.32193149, stddev 0.81817972, count 3
+    (±1e-5). Same v1/(v1²−v2) unbiased weighted variance as the gauss
+    path, with a user weight function instead of the gaussian
+    kernel."""
+    import math
+
+    from pyresample_spark.operators.knn import knn_join
+
+    src = spark.createDataFrame(
+        [
+            (0, 1.0, 11.280789, 56.011037),
+            (1, 2.0, 12.649354, 55.629675),
+            (2, 3.0, 12.080402, 55.641535),
+        ],
+        "src_id long, value double, lon double, lat double",
+    )
+    tgt = spark.createDataFrame(
+        [(0, 12.562036, 55.715613)], "tgt_id long, lon double, lat double"
+    )
+    pairs = knn_join(src, tgt, 100_000.0, k=None).join(
+        src.select("src_id", "value"), "src_id"
+    )
+    w = 1.0 - F.col("dist_m") / 100_000.0
+    g = pairs.groupBy("tgt_id").agg(
+        F.sum(w).alias("v1"),
+        F.sum(w * w).alias("v2"),
+        F.sum(w * F.col("value")).alias("swv"),
+        F.sum(w * F.col("value") * F.col("value")).alias("swv2"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    res = g.swv / g.v1
+    stddev = math.sqrt(
+        (g.v1 / (g.v1 * g.v1 - g.v2)) * (g.swv2 - g.swv * g.swv / g.v1)
+    )
+    assert g.n == 3
+    assert abs(res - 2.32193149) < 1e-5
+    assert abs(stddev - 0.81817972) < 1e-5
