@@ -750,3 +750,46 @@ def q_proj_stere_ell(spark, sf_dir):
             "event_id", rnd(ex, 3).alias("ex"), rnd(ey, 3).alias("ey")
         )
     )
+
+
+@register(
+    "q_proj_geos_ell",
+    oracle=(lambda xy: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS gx,
+           ROUND({xy[1]}, 3) + 0.0 AS gy
+    FROM ({PTS_SQL})
+    WHERE {xy[0]} IS NOT NULL
+      AND sqrt({xy[0]} * {xy[0]} + {xy[1]} * {xy[1]}) < 5400000.0
+    """)(__import__('pyresample_spark.functions.geo',
+                    fromlist=['geos_ell_sql']).geos_ell_sql(
+        'lon', 'lat', h=35785831.0, a=6378169.0, b=6356584.0, lon_0=0.0)),
+)
+def q_proj_geos_ell(spark, sf_dir):
+    """ELLIPSOIDAL geostationary forward — the real MSG/SEVIRI view
+    (a=6378169, b=6356584, h=35785831): geocentric-latitude view
+    vector + flattened visibility (functions/geo.py geos_ell_xy;
+    PROJ geos.cpp ellipsoid branch). Off-disc points NULL out and are
+    excluded in BOTH engines; a 5400 km radius cap additionally trims
+    the extreme limb, where the view geometry amplifies last-ulp
+    differences (same rationale as the antipode caps on the azimuthal
+    families)."""
+    from pyresample_spark.functions.geo import geos_ell_xy
+
+    gx, gy = geos_ell_xy(
+        "lon", "lat", h=35785831.0, a=6378169.0, b=6356584.0, lon_0=0.0
+    )
+    return (
+        _pts(spark, sf_dir)
+        .select("event_id", gx.alias("_gx"), gy.alias("_gy"))
+        .filter(
+            F.col("_gx").isNotNull()
+            & (F.sqrt(F.col("_gx") * F.col("_gx")
+                      + F.col("_gy") * F.col("_gy")) < 5400000.0)
+        )
+        .select(
+            "event_id",
+            rnd(F.col("_gx"), 3).alias("gx"),
+            rnd(F.col("_gy"), 3).alias("gy"),
+        )
+    )
