@@ -1986,3 +1986,60 @@ def test_reference_golden_custom_uncert(spark):
     assert g.n == 3
     assert abs(res - 2.32193149) < 1e-5
     assert abs(stddev - 0.81817972) < 1e-5
+
+
+def test_reference_golden_gauss_multi_sigma_500k_swath(spark):
+    """Reference multi-channel gauss checksum (test_kd_tree.py
+    test_gauss_multi, expected 1461.8429990248171): the 500k-point
+    swath with per-channel sigmas [25, 15, 10] km. The top-8 neighbour
+    set is sigma-independent, so ONE cell kNN pass feeds all three
+    channel folds — the LUT-reuse shape q_multichannel_gauss runs in
+    production. Measured through this engine: matches to 3.7e-11
+    (~110 s wall), so like the dense single-sigma golden it runs only
+    with SPARK_GRAFT_SLOW_GOLDENS=1."""
+    import math
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_SLOW_GOLDENS"):
+        pytest.skip("set SPARK_GRAFT_SLOW_GOLDENS=1 to run (~110 s)")
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse
+    from pyresample_spark.operators.knn import knn_join
+
+    crs = ("+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+           "+lat_ts=50.0 +lon_0=8.0")
+    area = AreaDefinition(
+        "areaD", crs, 800, 800,
+        (-1370912.72, -909968.64000000001,
+         1029087.28, 1490031.3600000001),
+    )
+    il, ia = inverse(crs)("cx", "cy")
+    tgt = area.grid(spark).select(
+        F.col("cell_id").alias("tgt_id"), il.alias("lon"), ia.alias("lat")
+    )
+    src = spark.range(0, 500_000).select(
+        F.col("id").alias("src_id"),
+        (3.0 + 0.1 * (F.col("id") % 100)).alias("lon"),
+        (75.0 - 0.01 * (F.col("id") / 100).cast("long")).alias("lat"),
+        (((F.col("id") / 100).cast("long") + (F.col("id") % 100)) * 1e-6)
+        .alias("value"),
+    )
+    r_gc = 2.0 * R_EARTH * math.asin(50000.0 / (2.0 * R_EARTH))
+    pairs = knn_join(src, tgt, r_gc, k=8).join(
+        src.select("src_id", "value"), "src_id"
+    )
+    aggs = []
+    for s_ in (25000.0, 15000.0, 10000.0):
+        w = F.exp(-(F.col("dist_m") * F.col("dist_m")) / (s_ * s_))
+        aggs += [
+            F.sum(w * F.col("value")).alias(f"swv_{int(s_)}"),
+            F.sum(w).alias(f"v1_{int(s_)}"),
+        ]
+    g = pairs.groupBy("tgt_id").agg(*aggs)
+    total = g.select(
+        (F.col("swv_25000") / F.col("v1_25000")
+         + F.col("swv_15000") / F.col("v1_15000")
+         + F.col("swv_10000") / F.col("v1_10000")).alias("v")
+    ).agg(F.sum("v")).collect()[0][0]
+    assert total == pytest.approx(1461.8429990248171, abs=5e-7)
