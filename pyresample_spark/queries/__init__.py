@@ -149,6 +149,7 @@ _PRIORITY = [
     "q_regrid_stere_wgs84",
     "q_regrid_geos_ell",
     "q_proj_geos_ell",
+    "q_token_entropy",
     # --- fill the 50-slot window with the oldest r3-latest rows; the
     #     remaining 41 r3 rows rotate in round 6 ---
     "q_ann_ivf_probe2",

@@ -2080,3 +2080,56 @@ def q_bloom_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_shared_ngrams"))
     )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY doc_id, word
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM tf GROUP BY doc_id
+    )
+    SELECT t.doc_id, tot.n AS n_tokens, tot.n_distinct,
+           ROUND(-SUM((CAST(t.c AS DOUBLE) / tot.n)
+                      * ln(CAST(t.c AS DOUBLE) / tot.n)), 6) + 0.0
+             AS entropy_nats
+    FROM tf t JOIN tot USING (doc_id)
+    GROUP BY t.doc_id, tot.n, tot.n_distinct
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram token entropy H = −Σ p·ln p — the
+    information-density quality signal (low-entropy docs are
+    repetitive/templated; the Shannon rung above
+    q_repetition_ratio's duplicate-word fraction). Two stacked
+    map-side-combinable hash aggs — (doc, word) counts then the
+    per-doc fold — no window, no join beyond the per-doc total
+    broadcast-sized rollup; identical double math on both engines,
+    ROUND(6) absorbing aggregation-order ulps."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(words_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(rnd(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+        .select(
+            "doc_id", F.col("n").alias("n_tokens"), "n_distinct",
+            "entropy_nats",
+        )
+    )
