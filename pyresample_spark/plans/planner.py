@@ -168,3 +168,66 @@ def create_resampler(name: str, *args, **kwargs):
             f"unknown resampler {name!r}; available: {sorted(_RESAMPLERS)}"
         )
     return _RESAMPLERS[name](*args, **kwargs)
+
+
+def area_geocentric_resolution(area: AreaDefinition) -> float | None:
+    """Typical on-sphere pixel spacing (meters) of a regular area —
+    the planner's form of geocentric_resolution (reference
+    geometry.py:2691-2764): a regular grid needs no histogram, so the
+    mid-row and mid-column neighbour spacings (through the area's
+    analytic scalar inverse + haversine) stand in for the dominant
+    bin. Returns None when the area's CRS has no analytic inverse or
+    its mid-grid pixels leave the projection domain (off-disc geos)."""
+    import math
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators.crs import inverse_scalar
+
+    try:
+        inv = inverse_scalar(area.crs)
+    except NotImplementedError:
+        return None
+    llx, lly, urx, ury = area.area_extent
+    psx = (urx - llx) / area.width
+    psy = (ury - lly) / area.height
+    r0, c0 = area.height // 2, area.width // 2
+
+    def _pt(row, col):
+        return inv(llx + (col + 0.5) * psx, ury - (row + 0.5) * psy)
+
+    def _hav(p, q):
+        if p is None or q is None:
+            return None
+        (lo1, la1), (lo2, la2) = p, q
+        h = (
+            math.sin(math.radians(la2 - la1) / 2.0) ** 2
+            + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+            * math.sin(math.radians(lo2 - lo1) / 2.0) ** 2
+        )
+        return 2.0 * R_EARTH * math.asin(min(1.0, math.sqrt(h)))
+
+    dx = _hav(_pt(r0, c0), _pt(r0, min(c0 + 1, area.width - 1)))
+    dy = _hav(_pt(r0, c0), _pt(min(r0 + 1, area.height - 1), c0))
+    vals = [v for v in (dx, dy) if v is not None and v > 0.0]
+    return max(vals) if vals else None
+
+
+RADIUS_FALLBACK_M = 10_000.0  # reference kd_tree.py:963-967
+
+
+def estimate_radius_of_influence(
+    src_area: AreaDefinition | None = None,
+    tgt_area: AreaDefinition | None = None,
+) -> float:
+    """Default search radius when the caller gives none (reference
+    kd_tree.py:950-968): the max of the source and target geocentric
+    resolutions, falling back to 10 000 m when neither can be
+    estimated — the reference's exact nanmax-then-fallback
+    semantics."""
+    vals = [
+        area_geocentric_resolution(a)
+        for a in (src_area, tgt_area)
+        if isinstance(a, AreaDefinition)
+    ]
+    vals = [v for v in vals if v is not None]
+    return max(vals) if vals else RADIUS_FALLBACK_M

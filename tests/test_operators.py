@@ -2043,3 +2043,41 @@ def test_reference_golden_gauss_multi_sigma_500k_swath(spark):
          + F.col("swv_10000") / F.col("v1_10000")).alias("v")
     ).agg(F.sum("v")).collect()[0][0]
     assert total == pytest.approx(1461.8429990248171, abs=5e-7)
+
+
+def test_estimate_radius_of_influence():
+    """The reference's default-radius estimation (kd_tree.py:950-968):
+    max of source/target geocentric pixel spacings, 10 km fallback
+    when nothing is estimable. The 2° world grid spacing is ~222 km at
+    the equator-adjacent mid-row; an unknown CRS yields the fallback."""
+    from pyresample_spark.plans.planner import (
+        RADIUS_FALLBACK_M,
+        area_geocentric_resolution,
+        estimate_radius_of_influence,
+    )
+
+    world = AreaDefinition(
+        "w", "longlat", 180, 90, (-180.0, -90.0, 180.0, 90.0)
+    )
+    fine = AreaDefinition(
+        "f", "longlat", 3600, 1800, (-180.0, -90.0, 180.0, 90.0)
+    )
+    r_world = area_geocentric_resolution(world)
+    r_fine = area_geocentric_resolution(fine)
+    assert 180_000 < r_world < 250_000          # ~2° pixels
+    assert 9_000 < r_fine < 13_000              # ~0.1° pixels
+    # nanmax semantics: the coarser side dominates
+    assert estimate_radius_of_influence(fine, world) == r_world
+    # nothing estimable → the reference's 10 km fallback
+    bogus = AreaDefinition("b", "+proj=bogus", 10, 10, (0.0, 0.0, 1.0, 1.0))
+    assert estimate_radius_of_influence(bogus, None) == RADIUS_FALLBACK_M
+    # ellipsoidal stere area estimates through the scalar inverse
+    areaD = AreaDefinition(
+        "areaD",
+        "+proj=stere +a=6378144.0 +b=6356759.0 +lat_0=50.0 "
+        "+lat_ts=50.0 +lon_0=8.0",
+        800, 800,
+        (-1370912.72, -909968.64, 1029087.28, 1490031.36),
+    )
+    rd = area_geocentric_resolution(areaD)
+    assert 2_500 < rd < 3_500                   # ~3 km pixels
