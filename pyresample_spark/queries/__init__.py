@@ -65,100 +65,76 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Names listed here are moved to the FRONT of the registry, in this order.
 # The per-round driver correctness gate checks the first 50 entries only
-# (observed rounds 1-2: CORRECTNESS_r0N.json == list(load_all())[:50]).
-# Round-5 window composition: 9 early-round-5 queries + the 41 stale
-# r1/r2-latest rotation queries = exactly 50. Late-round-5 additions
-# sit just BEHIND the window (locally oracle-verified; they rotate into
-# the r6 window together with the remaining r3-latest rows).
-# q_approx_distinct (permanently `no_oracle` — HLL sketches differ
-# across engines by design) stays behind the window.
+# (observed rounds 1-5: CORRECTNESS_r0N.json == list(load_all())[:50]).
+#
+# Round-6 window (VERDICT r5 item 1): the 13 round-5 queries that have
+# never had a driver row, followed by 37 of the 50 queries whose latest
+# driver row is r3. q_approx_distinct (permanently `no_oracle` — HLL
+# sketches differ across engines by design) stays behind the window.
+#
+# ROUND-7 WINDOW PLAN (VERDICT r5 item 5 — keep the rotation cadence
+# alive across builder context resets): the 13 r3-latest rows that did
+# NOT fit in this window, then the oldest r4-latest rows to fill 50:
+#   r3 leftovers (13): q_bigram_logprob q_dup_span q_curation_pipeline
+#     q_bm25 q_token_histogram q_funnel q_events_retention q_regrid_sinu
+#     q_regrid_cea q_regrid_ortho q_cube_agg q_exists_semi q_percentiles
+#   then 37 r4-latest rows (CORRECTNESS_r04.json keys minus any re-run
+#   since), e.g. q_gauss_agg q_weighted_avg q_ewa_fornav q_coarsen_avg
+#   q_bucket_max q_bucket_absmax q_bucket_fractions q_first_per_bin ...
+#   (recompute with: latest-round-per-query over CORRECTNESS_r0*.json).
 _PRIORITY = [
-    # --- new in round 5 ---
-    "q_bilinear_lut_reuse",
-    "q_ppm_decode",
-    "q_wav_decode",
-    "q_proj_omerc",
-    "q_regrid_omerc_exact",
-    "q_pivot",
-    "q_grouping_sets",
-    "q_ppm_video",
-    "q_bloom_filter",
-    # --- round-5 rotation (VERDICT r4 item 1): the 41 queries whose
-    #     latest driver row is from r1/r2 — every one re-validated for a
-    #     post-flavor-change green. (q_approx_distinct is also r2-latest
-    #     but permanently `no_oracle`; it stays behind the window.) ---
-    # dedup / similarity family (r2-latest)
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_dedup_canonical",
-    "q_dedup_embedding",
-    "q_cosine_topk",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    # text-analysis family (r1/r2-latest)
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_repetition_ratio",
-    "q_fingerprint",
-    "q_hash_split",
-    "q_unigram_logprob",
-    "q_vocab_stats",
-    "q_tfidf",
-    "q_json_extract",
-    # curation / sampling family
-    "q_stratified_sample",
-    "q_domain_quota",
-    "q_seq_pack",
-    "q_mix_weights",
-    "q_decontaminate",
-    "q_pii_scrub",
-    "q_distinct_agg",
-    # multimodal
-    "q_frame_sample",
-    "q_multimodal_meta",
-    # geo / resample stragglers
-    "q_multiband_resample",
-    "q_ewa_ellipse",
-    "q_optimal_bb",
-    "q_overlap_rate",
-    "q_geos_boundary",
-    # events + OLAP extras
-    "q_events_sliding",
-    "q_events_late",
-    "q_events_session",
-    "q_rollup_agg",
-    "q_star_join",
-    "q_window_suite",
-    # --- late-round-5 additions: BEHIND the rotation block (the r4
-    #     verdict's top ask is re-greening the 41 stale rows; these are
-    #     locally oracle-verified and rotate into the r6 window) ---
+    # --- 13 round-5 queries with no driver row yet ---
     "q_proj_aeqd",
     "q_regrid_aeqd",
     "q_proj_gnom",
     "q_regrid_gnom",
-    "q_edit_distance_rank",
-    "q_embed_covariance",
-    "q_bloom_decontaminate",
     "q_proj_stere_ell",
     "q_regrid_stere_ell",
     "q_regrid_stere_wgs84",
-    "q_regrid_geos_ell",
     "q_proj_geos_ell",
+    "q_regrid_geos_ell",
+    "q_edit_distance_rank",
+    "q_embed_covariance",
+    "q_bloom_decontaminate",
     "q_token_entropy",
-    # --- fill the 50-slot window with the oldest r3-latest rows; the
-    #     remaining 41 r3 rows rotate in round 6 ---
+    # --- 37 r3-latest rows (oldest driver evidence), registry order ---
+    "q_scan_lineitem",
+    "q_grid_gen",
+    "q_lonlat2xyz",
+    "q_haversine",
+    "q_proj_eqc",
+    "q_lonlat_to_cell",
+    "q_wrap_lons",
+    "q_round_resolution",
+    "q_math_suite",
+    "q_geocentric_res",
+    "q_gradient_lead_lag",
+    "q_proj_stere",
+    "q_proj_laea",
+    "q_valid_filter",
+    "q_bbox_reduce",
+    "q_grid_filter",
+    "q_slice_crop",
+    "q_mask_filter",
+    "q_bucket_assign",
+    "q_bucket_sum",
+    "q_bucket_count",
+    "q_bucket_avg",
+    "q_bucket_min",
+    "q_regrid_stere",
+    "q_regrid_laea",
+    "q_proj_merc",
+    "q_get_average_skipna",
+    "q_asof_join",
+    "q_range_join",
+    "q_countmin",
+    "q_kmeans_iter",
+    "q_hard_negatives",
+    "q_embedding_stats",
+    "q_embed_quantize",
     "q_ann_ivf_probe2",
     "q_ann_recall",
-    "q_asof_join",
-    "q_bbox_reduce",
-    "q_bigram_logprob",
-    "q_bm25",
-    "q_bucket_assign",
+    "q_dup_inflation",
 ]
 
 
