@@ -31,6 +31,9 @@ BROADCAST_SOURCE_LIMIT = 5_000_000  # points; ~120 MB of xyz coords
 class ResamplePlan:
     strategy: str
     lut: DataFrame | None
+    # salt chosen for the cell join (None = unsalted); recorded so
+    # callers/tests can audit the skew decision without re-probing
+    salt_factor: int | None = None
 
 
 class Resampler:
@@ -52,6 +55,11 @@ class Resampler:
         self.src = src_area_or_hash
         self.tgt = tgt_area
         self.cache = LutCache(cache_dir) if cache_dir else None
+        # (src_hash, radius) → chosen salt. The skew probe is one
+        # aggregation scan over the source; its answer depends only on
+        # the source layout + radius, so it is computed at most once
+        # per key per Resampler (VERDICT r5 item 2).
+        self._salt_cache: dict = {}
 
     def _hash(self, geom) -> str:
         if isinstance(geom, AreaDefinition):
@@ -73,6 +81,33 @@ class Resampler:
             return "broadcast_knn"
         return "cell_knn"
 
+    def _choose_salt(
+        self,
+        src_points: DataFrame,
+        radius_m: float,
+        hot_cell_rows: int | None = None,
+    ) -> int | None:
+        """Run (memoized) the one-scan skew heuristic for the cell
+        join (operators/knn.py choose_salt_factor): if any 3-D cell of
+        the source exceeds ``hot_cell_rows`` (default HOT_CELL_ROWS),
+        return the salt that splits it back under the bound.
+
+        Reference analog: the engine picks the strategy, not the
+        caller (gradient/__init__.py:54-60-style dispatch)."""
+        from pyresample_spark.operators.knn import (
+            HOT_CELL_ROWS,
+            choose_salt_factor,
+        )
+
+        key = (self._hash(self.src), float(radius_m))
+        if key not in self._salt_cache:
+            self._salt_cache[key] = choose_salt_factor(
+                src_points,
+                radius_m,
+                hot_cell_rows=hot_cell_rows or HOT_CELL_ROWS,
+            )
+        return self._salt_cache[key]
+
     def precompute(
         self,
         src_points: DataFrame,
@@ -81,6 +116,8 @@ class Resampler:
         k: int | None = 1,
         src_count: int | None = None,
         epsilon: float = 0.0,
+        salt_factor: int | None = None,
+        hot_cell_rows: int | None = None,
     ) -> ResamplePlan:
         """Build (or load) the neighbour-info LUT.
 
@@ -88,6 +125,12 @@ class Resampler:
         only applies on the broadcast strategy — the cell join is
         exact by construction (see knn_join's docstring) and ignores
         it.
+
+        ``salt_factor``: explicit skew salt for the cell join; when
+        None (the default) the planner probes the source with the
+        one-scan heuristic and salts automatically if any cell is
+        hotter than ``hot_cell_rows`` (default HOT_CELL_ROWS). Pass
+        ``salt_factor=1`` to force the unsalted plan.
         """
         from pyresample_spark.operators.knn import (
             knn_join,
@@ -98,6 +141,10 @@ class Resampler:
         strategy = self.choose_strategy(src_count)
         if strategy == "noop":
             return ResamplePlan("noop", None)
+        if strategy == "cell_knn" and salt_factor is None:
+            salt_factor = self._choose_salt(
+                src_points, radius_m, hot_cell_rows
+            )
 
         def compute():
             if strategy == "broadcast_knn":
@@ -109,7 +156,10 @@ class Resampler:
                     src_count=src_count,
                     epsilon=epsilon,
                 )
-            return knn_join(src_points, tgt_points, radius_m, k=k)
+            return knn_join(
+                src_points, tgt_points, radius_m, k=k,
+                salt_factor=salt_factor,
+            )
 
         if self.cache is not None:
             lut = self.cache.get_or_compute(
@@ -118,13 +168,16 @@ class Resampler:
                 self._hash(self.tgt),
                 radius_m,
                 # an approximate LUT must never be served for an exact
-                # request (or vice versa): epsilon joins the cache key
+                # request (or vice versa): epsilon joins the cache key.
+                # The salt does NOT join the key — salted and unsalted
+                # joins produce the identical pair set, so a cached LUT
+                # is valid for any salt.
                 k if not epsilon else (k, epsilon),
                 compute,
             )
         else:
             lut = compute().persist()
-        return ResamplePlan(strategy, lut)
+        return ResamplePlan(strategy, lut, salt_factor=salt_factor)
 
     def compute(
         self, plan: ResamplePlan, src_values: DataFrame, combine
@@ -145,8 +198,11 @@ class Resampler:
         radius_m: float,
         combine,
         k: int | None = 1,
+        salt_factor: int | None = None,
     ) -> DataFrame:
-        plan = self.precompute(src_points, tgt_points, radius_m, k=k)
+        plan = self.precompute(
+            src_points, tgt_points, radius_m, k=k, salt_factor=salt_factor
+        )
         return self.compute(plan, src_values, combine)
 
 
