@@ -1643,10 +1643,11 @@ def stere_ell_polar_constants(lat_ts: float, a: float, b: float,
 
 
 def stere_ell_polar_xy(lon, lat, lat_ts: float, a: float, b: float,
-                       lon_0: float = 0.0, north: bool = True) -> tuple:
+                       lon_0: float = 0.0, north: bool = True,
+                       k0: float = 1.0) -> tuple:
     import math
 
-    e, f = stere_ell_polar_constants(lat_ts, a, b)
+    e, f = stere_ell_polar_constants(lat_ts, a, b, k0)
     sgn = 1.0 if north else -1.0
     phi = F.radians(_c(lat)) * sgn
     lam = F.radians(_c(lon) - F.lit(lon_0)) * sgn
@@ -1660,10 +1661,11 @@ def stere_ell_polar_xy(lon, lat, lat_ts: float, a: float, b: float,
 
 def stere_ell_polar_inverse(x, y, lat_ts: float, a: float, b: float,
                             lon_0: float = 0.0,
-                            north: bool = True) -> tuple:
+                            north: bool = True,
+                            k0: float = 1.0) -> tuple:
     import math
 
-    e, f = stere_ell_polar_constants(lat_ts, a, b)
+    e, f = stere_ell_polar_constants(lat_ts, a, b, k0)
     sgn = 1.0 if north else -1.0
     xs, ys = _c(x), _c(y) * (-sgn)
     rho = F.sqrt(xs * xs + ys * ys)
@@ -1686,8 +1688,8 @@ def stere_ell_polar_inverse(x, y, lat_ts: float, a: float, b: float,
 
 def stere_ell_polar_sql(lon: str, lat: str, lat_ts: float, a: float,
                         b: float, lon_0: float = 0.0,
-                        north: bool = True) -> tuple:
-    e, fk = stere_ell_polar_constants(lat_ts, a, b)
+                        north: bool = True, k0: float = 1.0) -> tuple:
+    e, fk = stere_ell_polar_constants(lat_ts, a, b, k0)
     sgn = 1.0 if north else -1.0
     phi = f"({sgn!r} * radians({lat}))"
     lam = f"({sgn!r} * radians({lon} - {lon_0!r}))"
@@ -1703,8 +1705,9 @@ def stere_ell_polar_sql(lon: str, lat: str, lat_ts: float, a: float,
 
 def stere_ell_polar_inv_sql(x: str, y: str, lat_ts: float, a: float,
                             b: float, lon_0: float = 0.0,
-                            north: bool = True) -> tuple:
-    e, fk = stere_ell_polar_constants(lat_ts, a, b)
+                            north: bool = True,
+                            k0: float = 1.0) -> tuple:
+    e, fk = stere_ell_polar_constants(lat_ts, a, b, k0)
     sgn = 1.0 if north else -1.0
     xs = f"CAST({x} AS DOUBLE)"
     ys = f"({-sgn!r} * CAST({y} AS DOUBLE))"

@@ -189,20 +189,51 @@ def tmerc_crs_params(crs: str) -> dict:
 
 
 # named ellipsoids the registry recognizes (+ellps=..); explicit
-# +a/+b always win
-_ELLPS = {
-    "WGS84": (6378137.0, 6356752.3142451793),
-    "GRS80": (6378137.0, 6356752.3141403561),
+# +a/+b always win. Semi-major + inverse flattening from PROJ's
+# public ellps table (proj -le); b = a·(1 − 1/rf), except clrk66
+# which PROJ defines by b directly.
+_ELLPS_RF = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "WGS72": (6378135.0, 298.26),
+    "WGS66": (6378145.0, 298.25),
+    "WGS60": (6378165.0, 298.3),
+    "intl": (6378388.0, 297.0),
+    "bessel": (6377397.155, 299.1528128),
+    "clrk80": (6378249.145, 293.4663),
+    "clrk80ign": (6378249.2, 293.4660212936269),
+    "krass": (6378245.0, 298.3),
+    "helmert": (6378200.0, 298.3),
+    "airy": (6377563.396, 299.3249646),
+    "GRS67": (6378160.0, 298.2471674270),
+    "aust_SA": (6378160.0, 298.25),
+    "evrst30": (6377276.345, 300.8017),
+    "IAU76": (6378140.0, 298.257),
 }
+_ELLPS = {
+    name: (a, a * (1.0 - 1.0 / rf)) for name, (a, rf) in _ELLPS_RF.items()
+}
+_ELLPS["clrk66"] = (6378206.4, 6356583.8)
 
 
 def _ellipsoid_ab(p: dict):
-    """(a, b) if the token dict declares a non-spherical ellipsoid."""
+    """(a, b) if the token dict declares a non-spherical ellipsoid.
+
+    An unrecognized +ellps token RAISES (ADVICE r5) instead of
+    silently projecting through the spherical family with R=6370997 —
+    a km-scale deviation from PROJ with no warning. +ellps=sphere is
+    PROJ's explicit spherical earth and legitimately returns None."""
     if "a" in p and "b" in p and float(p["a"]) != float(p["b"]):
         return float(p["a"]), float(p["b"])
-    if p.get("ellps") in _ELLPS:
-        return _ELLPS[p["ellps"]]
-    return None
+    tok = p.get("ellps")
+    if tok is None or tok == "sphere" or ("a" in p and "b" in p):
+        return None
+    if tok in _ELLPS:
+        return _ELLPS[tok]
+    raise NotImplementedError(
+        f"unrecognized +ellps={tok!r}; known: sphere, "
+        f"{', '.join(sorted(_ELLPS))} (or give explicit +a/+b)"
+    )
 
 
 def stere_ell_polar_crs_params(crs: str) -> dict:
@@ -215,6 +246,10 @@ def stere_ell_polar_crs_params(crs: str) -> dict:
         "b": b,
         "lon_0": float(p.get("lon_0", "0")),
         "north": lat0 > 0,
+        # +k/+k_0 only matters without a true-scale parallel (PROJ: an
+        # explicit +lat_ts takes precedence and k0 is ignored) — e.g.
+        # UPS, +proj=stere +lat_0=90 +k=0.994 +ellps=WGS84
+        "k0": float(p.get("k_0", p.get("k", "1"))),
     }
 
 
@@ -652,7 +687,9 @@ def inverse_scalar(crs: str):
         return _stere_ell_inv
     if fam == "stere_ell_polar":
         kw = stere_ell_polar_crs_params(crs)
-        e, fk = stere_ell_polar_constants(kw["lat_ts"], kw["a"], kw["b"])
+        e, fk = stere_ell_polar_constants(
+            kw["lat_ts"], kw["a"], kw["b"], kw["k0"]
+        )
         a_, lon_0 = kw["a"], kw["lon_0"]
         sgn = 1.0 if kw["north"] else -1.0
 

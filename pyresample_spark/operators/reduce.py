@@ -188,6 +188,12 @@ def area_reduce_info(area: AreaDefinition, radius_of_influence: float,
 
     max_s2 = max(abs(la) for _lo, la in side2)
     max_s4 = max(abs(la) for _lo, la in side4)
+    if max_s2 == 0.0 or max_s4 == 0.0:
+        # a lateral side entirely at lat 0 (e.g. a height-1 equatorial
+        # grid): the reference's numpy 1/sin degrades to an inf lon
+        # buffer and keeps everything — match that instead of raising
+        # ZeroDivisionError (ADVICE r5)
+        return {"mode": "all"}
     lon_min_b = min(lo for lo, _la in side4) - _m.degrees(
         radius_of_influence / (_m.sin(_m.radians(max_s4)) * r_earth)
     )

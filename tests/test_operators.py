@@ -1272,6 +1272,8 @@ def test_crs_roundtrip_sweep_all_families(spark):
          (cos_c(50.0, 8.0) > -0.9) & (F.abs(lat) < 89.0)),
         ("+proj=stere +ellps=WGS84 +lat_0=90 +lat_ts=60", lat > -60.0),
         ("+proj=stere +ellps=WGS84 +lat_0=-90 +lat_ts=-70", lat < 60.0),
+        # UPS: polar ellipsoidal with +k and NO +lat_ts (ADVICE r5)
+        ("+proj=stere +ellps=WGS84 +lat_0=90 +k=0.994", lat > -60.0),
         ("+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 +lon_0=0",
          cos_c(0.0, 0.0) > 0.25),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
@@ -1311,6 +1313,107 @@ def test_crs_roundtrip_sweep_all_families(spark):
         assert err.n > 100, f"{crs}: domain guard left only {err.n} points"
         assert err.e_lon < 1e-6, f"{crs}: max lon roundtrip err {err.e_lon}"
         assert err.e_lat < 1e-6, f"{crs}: max lat roundtrip err {err.e_lat}"
+
+
+def test_stere_ell_polar_k0_ups(spark):
+    """ADVICE r5 (medium): a polar ellipsoidal stereographic CRS with
+    an explicit scale factor and no +lat_ts (UPS: +proj=stere
+    +lat_0=90 +k=0.994 +ellps=WGS84) must project with k0=0.994, not
+    silently with 1. Roundtrip can't catch this (forward and inverse
+    share the constant), so assert the two k0-sensitive properties
+    directly: (1) coordinates scale EXACTLY linearly in k0 — the UPS
+    forward equals the k0=1 forward × 0.994; (2) the point scale at
+    the pole limit is k0: k = ρ/(a·m(φ)) → 0.994 as φ→90°, the
+    defining property of PROJ's secant form 2k0/√((1+e)^(1+e)
+    (1−e)^(1−e)). An explicit +lat_ts still takes precedence over +k
+    (PROJ semantics)."""
+    import math
+
+    from pyresample_spark.operators.crs import (
+        _family,
+        forward,
+        stere_ell_polar_crs_params,
+    )
+
+    ups = "+proj=stere +lat_0=90 +k=0.994 +ellps=WGS84"
+    assert _family(ups) == "stere_ell_polar"
+    assert stere_ell_polar_crs_params(ups)["k0"] == 0.994
+    # +lat_ts wins over +k when both are present (PROJ precedence:
+    # the constants only consult k0 without a true-scale parallel)
+    both = "+proj=stere +lat_0=90 +lat_ts=60 +k=0.5 +ellps=WGS84"
+    bx, _ = forward(both)("lon", "lat")
+    tx, _ = forward(
+        "+proj=stere +lat_0=90 +lat_ts=60 +ellps=WGS84"
+    )("lon", "lat")
+    pts = spark.createDataFrame(
+        [(75.0, 81.0), (-130.0, 85.5), (0.0, 70.0), (44.0, 89.99999)],
+        "lon double, lat double",
+    )
+    assert pts.select(
+        F.max(F.abs(bx - tx)).alias("e")
+    ).first().e < 1e-9
+    fx, fy = forward(ups)("lon", "lat")
+    ux, uy = forward(
+        "+proj=stere +lat_0=90 +k=1.0 +ellps=WGS84"
+    )("lon", "lat")
+    rows = pts.select(
+        "lon", "lat", fx.alias("x"), fy.alias("y"),
+        (ux * 0.994).alias("sx"), (uy * 0.994).alias("sy"),
+    ).collect()
+    for r in rows:
+        assert r.x == pytest.approx(r.sx, rel=1e-12, abs=1e-9)
+        assert r.y == pytest.approx(r.sy, rel=1e-12, abs=1e-9)
+    # pole-limit point scale: k = rho / (a * m(phi)) → k0
+    a, b = 6378137.0, 6356752.3142451793
+    es = 1.0 - (b / a) ** 2
+    near = [r for r in rows if r.lat > 89.9][0]
+    rho = math.hypot(near.x, near.y)
+    phi = math.radians(near.lat)
+    m = math.cos(phi) / math.sqrt(1.0 - es * math.sin(phi) ** 2)
+    assert rho / (a * m) == pytest.approx(0.994, abs=1e-6)
+
+
+def test_ellps_registry_and_unknown_raise():
+    """ADVICE r5 (low): named PROJ ellipsoids resolve to (a, b) from
+    the public ellps table; an unrecognized token raises instead of
+    silently projecting through the spherical family with R=6370997
+    (km-scale deviation, no warning). +ellps=sphere stays spherical
+    by definition, and explicit +a/+b always win."""
+    from pyresample_spark.operators.crs import _family, _ellipsoid_ab
+
+    assert _family("+proj=stere +lat_0=52 +ellps=bessel") == "stere_ell"
+    a, b = _ellipsoid_ab({"ellps": "bessel"})
+    assert (a, b) == (6377397.155, pytest.approx(6356078.962818189))
+    assert _ellipsoid_ab({"ellps": "intl"})[1] == pytest.approx(
+        6356911.9461279465
+    )
+    assert _ellipsoid_ab({"ellps": "clrk66"}) == (6378206.4, 6356583.8)
+    assert _ellipsoid_ab({"ellps": "sphere"}) is None
+    assert _ellipsoid_ab({"ellps": "krass", "a": "2.0", "b": "1.0"}) == (
+        2.0, 1.0
+    )
+    with pytest.raises(NotImplementedError, match="mars2000"):
+        _family("+proj=stere +lat_0=52 +ellps=mars2000")
+    with pytest.raises(NotImplementedError, match="ellps"):
+        _ellipsoid_ab({"ellps": "WGS-84"})
+
+
+def test_area_reduce_equatorial_side_degrades_to_all():
+    """ADVICE r5 (low): a lateral boundary side whose pixel-center
+    latitudes are all exactly 0 (height-1 equatorial grid) must
+    degrade to the keep-everything window like the reference's
+    1/sin → inf lon buffer, not raise ZeroDivisionError."""
+    from pyresample_spark.operators.reduce import area_reduce_info
+
+    eq = AreaDefinition(
+        "eq1", "longlat", 360, 1, (-180.0, -0.5, 180.0, 0.5)
+    )
+    assert area_reduce_info(eq, 7000.0)["mode"] == "all"
+    # a normal window area is unaffected by the guard
+    win = AreaDefinition(
+        "w", "longlat", 40, 20, (0.0, 20.0, 40.0, 40.0)
+    )
+    assert area_reduce_info(win, 7000.0)["mode"] == "window"
 
 
 def test_ppm_container_walker():
