@@ -33,10 +33,16 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 32  # match spark.sql.shuffle.partitions in this rig
+
+# Writer-lock bounds (VERDICT r5 item 4). A lock older than
+# LOCK_STALE_S is presumed abandoned (crashed writer) and broken.
+LOCK_STALE_S = 600.0
+LOCK_POLL_S = 0.25
 
 
 class LutCache:
@@ -67,7 +73,16 @@ class LutCache:
         ).hexdigest()[:8]
         return f"lut_{key}_{d}"
 
+    def _lock_path(self, key: str) -> str:
+        return os.path.join(self.base_dir, f"lut_{key}.lock")
+
     def load(self, spark: SparkSession, key: str) -> DataFrame | None:
+        if os.path.exists(self._lock_path(key)):
+            # a writer (possibly another session sharing this cache
+            # dir) is materializing this key: the parquet dir may be
+            # partial, so report a miss — get_or_compute's save() will
+            # queue on the lock and load the finished result instead
+            return None
         p = self.path(key)
         if not os.path.exists(p):
             return None
@@ -76,49 +91,107 @@ class LutCache:
             return spark.read.parquet(p)  # pre-bucketing cache layout
         meta = json.load(open(mp))
         name = self._table(key)
-        if not spark.catalog.tableExists(name):
-            # re-register the external bucketed table over the existing
-            # files (bucket ids are embedded in the part-file names, so
-            # Spark recovers the hash layout without rewriting anything)
-            cols = ", ".join(
-                f"`{c}` {t}" for c, t in meta["schema"]
-            )
-            spark.sql(
-                f"CREATE TABLE {name} ({cols}) USING PARQUET "
-                f"CLUSTERED BY ({meta['bucket_col']}) "
-                f"SORTED BY ({meta['bucket_col']}) "
-                f"INTO {meta['num_buckets']} BUCKETS "
-                f"LOCATION '{p}'"
-            )
+        # IF NOT EXISTS: two threads of one session may race the
+        # tableExists probe; the registration is idempotent (same DDL
+        # over the same files) so first-wins is correct
+        cols = ", ".join(
+            f"`{c}` {t}" for c, t in meta["schema"]
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({meta['bucket_col']}) "
+            f"SORTED BY ({meta['bucket_col']}) "
+            f"INTO {meta['num_buckets']} BUCKETS "
+            f"LOCATION '{p}'"
+        )
         return spark.table(name)
 
+    def _await_writer(self, spark: SparkSession, key: str) -> DataFrame:
+        """Another writer holds the lock for ``key``: poll until it
+        releases (or its lock goes stale and is broken), then load the
+        finished LUT. Raises if the writer vanished without
+        publishing (crashed mid-write: lock gone, no meta)."""
+        lock = self._lock_path(key)
+        deadline = time.monotonic() + LOCK_STALE_S
+        while os.path.exists(lock):
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                break  # released between exists() and getmtime()
+            if age > LOCK_STALE_S:
+                # abandoned by a crashed writer — break it and let the
+                # caller's save() retry take over
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                break
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"LutCache: writer lock {lock!r} not released "
+                    f"within {LOCK_STALE_S}s — delete it if the "
+                    "owning session is gone"
+                )
+            time.sleep(LOCK_POLL_S)
+        out = self.load(spark, key)
+        if out is None:
+            raise RuntimeError(
+                f"LutCache: concurrent writer for key {key!r} "
+                "disappeared without publishing a LUT (crashed "
+                "mid-write?) — retry to recompute"
+            )
+        return out
+
     def save(self, lut: DataFrame, key: str) -> DataFrame:
+        """Materialize + publish the LUT for ``key``.
+
+        Concurrency semantics (VERDICT r5 item 4): a POSIX
+        O_CREAT|O_EXCL lockfile serializes writers of the same key
+        across sessions sharing a cache dir. The loser of the race
+        does NOT rewrite — it waits for the winner and loads its
+        result. The ``.meta.json`` sidecar is written LAST, after the
+        parquet + table commit, so any reader that sees the sidecar
+        sees complete data; readers never take the lock (load()
+        treats a locked key as a miss). Locks older than
+        ``LOCK_STALE_S`` are presumed crashed and broken."""
         p = self.path(key)
         os.makedirs(self.base_dir, exist_ok=True)
-        name = self._table(key)
         spark = lut.sparkSession
-        if spark.catalog.tableExists(name):
-            spark.sql(f"DROP TABLE {name}")
-        (
-            lut.write.mode("overwrite")
-            .bucketBy(self.num_buckets, self.bucket_col)
-            .sortBy(self.bucket_col)
-            .option("path", p)
-            .saveAsTable(name)
-        )
-        with open(self._meta_path(key), "w") as f:
-            json.dump(
-                {
-                    "bucket_col": self.bucket_col,
-                    "num_buckets": self.num_buckets,
-                    "schema": [
-                        (fld.name, fld.dataType.simpleString())
-                        for fld in lut.schema.fields
-                    ],
-                },
-                f,
+        lock = self._lock_path(key)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return self._await_writer(spark, key)
+        try:
+            os.write(fd, f"{os.getpid()}@{time.time()}".encode())
+            os.close(fd)
+            name = self._table(key)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                lut.write.mode("overwrite")
+                .bucketBy(self.num_buckets, self.bucket_col)
+                .sortBy(self.bucket_col)
+                .option("path", p)
+                .saveAsTable(name)
             )
-        return spark.table(name)
+            with open(self._meta_path(key), "w") as f:
+                json.dump(
+                    {
+                        "bucket_col": self.bucket_col,
+                        "num_buckets": self.num_buckets,
+                        "schema": [
+                            (fld.name, fld.dataType.simpleString())
+                            for fld in lut.schema.fields
+                        ],
+                    },
+                    f,
+                )
+            return spark.table(name)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def get_or_compute(
         self,

@@ -86,6 +86,60 @@ def test_lut_cache_roundtrip(spark, tmp_path):
     assert cache.key("a", "b", 1000.0, 1) == k
 
 
+def test_lut_cache_concurrency(spark, tmp_path):
+    """VERDICT r5 item 4: the writer lockfile + IF-NOT-EXISTS
+    registration make a shared cache dir safe across sessions —
+    (a) a second session (fresh catalog) re-registers the same key
+    over the existing files without rewriting; (b) a reader treats a
+    locked (in-flight) key as a miss; (c) a save that loses the race
+    waits for the winner and loads its result instead of clobbering;
+    (d) a stale lock from a crashed writer is broken."""
+    import os
+    import time
+
+    cache = LutCache(str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 1.5)], "tgt_id long, src_id long, dist_m double"
+    )
+    key = cache.key("a", "b", 1000.0, 1)
+    cache.get_or_compute(spark, "a", "b", 1000.0, 1, lambda: df)
+    # (a) simulate a brand-new session: drop the catalog entry, keep
+    # the files; load() must CREATE TABLE IF NOT EXISTS over them and
+    # recover the bucketed layout
+    spark.sql(f"DROP TABLE IF EXISTS {cache._table(key)}")
+    reloaded = cache.load(spark, key)
+    assert sorted(r.tgt_id for r in reloaded.collect()) == [1, 3]
+    agg_plan = (
+        reloaded.groupBy("tgt_id").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan, agg_plan  # bucketing recovered
+    # ...and a second load with the table already registered is a hit
+    assert cache.load(spark, key) is not None
+    # (b) a lock in flight = miss for readers
+    lock = cache._lock_path(key)
+    open(lock, "w").write("123@0")
+    assert cache.load(spark, key) is None
+    # (c) a losing save() queues on the lock: release it from a timer
+    # thread; the loser must LOAD the winner's rows, not write its own
+    import threading
+
+    other = spark.createDataFrame(
+        [(9, 9, 9.0)], "tgt_id long, src_id long, dist_m double"
+    )
+    threading.Timer(1.0, os.unlink, args=(lock,)).start()
+    t0 = time.monotonic()
+    out = cache.save(other, key)
+    assert time.monotonic() - t0 >= 0.9  # actually waited
+    assert sorted(r.tgt_id for r in out.collect()) == [1, 3]
+    # (d) stale lock (crashed writer) is broken by a waiting save
+    open(lock, "w").write("123@0")
+    os.utime(lock, (time.time() - 10_000, time.time() - 10_000))
+    out = cache.save(other, key)
+    assert not os.path.exists(lock)
+    assert sorted(r.tgt_id for r in out.collect()) == [1, 3]
+
+
 def test_resampler_noop_and_dispatch(spark):
     area = AreaDefinition("t", "longlat", 85, 80, (-20.0, 20.0, 20.0, 35.0))
     r = Resampler(spark, area, area)
