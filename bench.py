@@ -40,6 +40,10 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_cosine_topk",
     "q_text_stats",
+    # VERDICT r5 item 7: the two most expensive newer families, so the
+    # driver bench tracks the plans that matter at scale
+    "q_bilinear_irregular",
+    "q_dedup_span_mask",
 ]
 
 
