@@ -1731,3 +1731,95 @@ def q_regrid_geos_ell(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_MSG_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_ups: UPS north (polar ellipsoidal stere, +k no lat_ts) -
+
+def _ups_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # Universal Polar Stereographic north zone (the +k=0.994 secant
+    # form with NO true-scale parallel — the k0 path the round-5
+    # advice flagged; EPSG:5041 without the 2e6 m false origin)
+    return AreaDefinition(
+        "ups_north",
+        "+proj=stere +lat_0=90.0 +k=0.994 +ellps=WGS84 +lon_0=0.0",
+        width=64, height=64,
+        area_extent=(-2400000.0, -2400000.0, 2400000.0, 2400000.0),
+    )
+
+
+_UPS_AREA = _ups_area()
+
+
+@register(
+    "q_regrid_ups",
+    oracle=(lambda lonlat: _regrid_oracle(_UPS_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["stere_ell_polar_inv_sql"],
+        ).stere_ell_polar_inv_sql(
+            "cx", "cy", lat_ts=90.0,
+            a=6378137.0, b=6356752.3142451793, lon_0=0.0, k0=0.994,
+        )
+    ),
+)
+def q_regrid_ups(spark, sf_dir):
+    """Regrid onto UPS north (+proj=stere +lat_0=90 +k=0.994
+    +ellps=WGS84) WITHOUT pyproj: the polar ellipsoidal stereographic
+    inverse with PROJ's 2·k0/√((1+e)^(1+e)·(1−e)^(1−e)) secant
+    constant — the scale-factor branch with no true-scale parallel —
+    then the eqc source gather by equi-join. Column-math end-to-end;
+    k0 linearity + pole point scale are asserted in
+    test_stere_ell_polar_k0_ups."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_UPS_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_bessel: named-ellipsoid resolution (+ellps=bessel) -----
+
+def _bessel_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # an oblique ellipsoidal stereographic on the Bessel 1841
+    # ellipsoid resolved from the NAMED +ellps table (proj -le), not
+    # explicit +a/+b — the registry path the round-5 advice hardened
+    return AreaDefinition(
+        "bessel_win",
+        "+proj=stere +lat_0=52.0 +lon_0=10.0 +ellps=bessel",
+        width=60, height=60,
+        area_extent=(-1200000.0, -1000000.0, 1200000.0, 1000000.0),
+    )
+
+
+_BESSEL_AREA = _bessel_area()
+
+
+@register(
+    "q_regrid_bessel",
+    oracle=(lambda lonlat: _regrid_oracle(_BESSEL_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["stere_ell_inv_sql"],
+        ).stere_ell_inv_sql(
+            "cx", "cy", lat_0=52.0,
+            a=6377397.155, b=6356078.962818189, lon_0=10.0,
+        )
+    ),
+)
+def q_regrid_bessel(spark, sf_dir):
+    """Regrid onto an oblique ellipsoidal stereographic whose
+    ellipsoid comes from the NAMED +ellps registry (bessel: a =
+    6377397.155, b = a·(1 − 1/299.1528128)) rather than explicit
+    +a/+b — exercising the PROJ ellps table added in round 6 (an
+    unrecognized name now raises instead of silently going
+    spherical). Same conformal-latitude inverse + eqc gather as
+    q_regrid_stere_ell."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_BESSEL_AREA, EQC_AREA, src)

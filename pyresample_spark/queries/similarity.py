@@ -887,3 +887,76 @@ def q_embed_covariance(spark, sf_dir):
             rnd(cov, 6).alias("cov"),
         )
     )
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d
+            WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv)
+                                / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT a2.vec_id
+      FROM assign a2
+      JOIN d d2 ON d2.vec_id = a2.vec_id
+      JOIN assign a1 ON a1.centroid_id = a2.centroid_id
+                    AND a1.vec_id < a2.vec_id
+      JOIN d d1 ON d1.vec_id = a1.vec_id
+      WHERE list_dot_product(d1.v, d2.v) / (d1.vn * d2.vn) >= 0.4
+    )
+    SELECT a.vec_id, a.centroid_id, (dup.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus (deterministic IVF seed centroids, max-cosine assignment),
+    then WITHIN each cluster drop every vector whose cosine to a
+    lower-id cluster-mate is ≥ 0.4 — the lowest id stays canonical.
+    Output = every vector with its cluster and keep/drop verdict.
+
+    Scale shape: this is the whole point of clustering first — the
+    quadratic pair search runs per-cluster (vs q_dedup_embedding's
+    label blocking, which needs a label), so the pair count is
+    Σ|cluster|², never N². The centroid set broadcasts (k·d floats);
+    the cluster self-join shuffles on centroid_id; the drop set is a
+    distinct stream of bare ids joined back broadcast-style. At
+    100 TB: k scales with corpus size to bound Σ|cluster|², exactly
+    the paper's pre-clustering recipe."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
+    cl = embn.join(assign, "vec_id")
+    a = cl.select(
+        F.col("vec_id").alias("v1"), F.col("centroid_id").alias("c1"),
+        F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
+    )
+    b = cl.select(
+        F.col("vec_id").alias("v2"), F.col("centroid_id").alias("c2"),
+        F.col("embedding").alias("e2"), F.col("vnorm").alias("n2"),
+    )
+    cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    dup = (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("v1") < F.col("v2")))
+        .filter(cos >= 0.4)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            F.broadcast(dup.withColumn("_d", F.lit(1))), "vec_id", "left"
+        )
+        .select("vec_id", "centroid_id", F.col("_d").isNull().alias("keep"))
+    )

@@ -2133,3 +2133,56 @@ def q_token_entropy(spark, sf_dir):
             "entropy_nats",
         )
     )
+
+
+@register(
+    "q_contamination_frac",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 37 <> 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(ev.shingle) AS BIGINT) AS n_shared,
+           ROUND(CAST(COUNT(ev.shingle) AS DOUBLE) / COUNT(*), 6) + 0.0
+             AS contamination_frac,
+           (COUNT(ev.shingle) * 10 >= COUNT(*)) AS contaminated
+    FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc_id
+    """,
+)
+def q_contamination_frac(spark, sf_dir):
+    """Graded benchmark contamination (the GPT-3-appendix refinement
+    of q_decontaminate's binary flag): per training document, the
+    FRACTION of its distinct word n-grams that appear in the held-out
+    eval set (doc_id % 37 here; 13-grams in production — the
+    synthetic docs are short so 3-grams keep it non-vacuous), plus a
+    ≥10% contamination flag. The flag compares integers
+    (n_shared·10 ≥ n_ngrams) so the cut is exact on both engines.
+
+    Scale shape: identical to q_decontaminate — the eval n-gram set is
+    KBs against a 100 TB corpus, so it broadcasts and the corpus never
+    shuffles; the per-doc fraction is one map-side-combinable hash agg
+    over the (doc, gram) stream. The left join keeps UNcontaminated
+    docs in the output (fraction 0), which the anti-join form of
+    q_decontaminate cannot report."""
+    from pyresample_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, 3).select("doc_id", "shingle").distinct()
+    ev = sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
+    tr = sh.filter(F.col("doc_id") % 37 != 0)
+    n_tot = F.count(F.lit(1))
+    n_hit = F.count("_hit")
+    return (
+        tr.join(
+            F.broadcast(ev.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            n_tot.alias("n_ngrams"),
+            n_hit.alias("n_shared"),
+            rnd(n_hit.cast("double") / n_tot, 6).alias("contamination_frac"),
+            (n_hit * 10 >= n_tot).alias("contaminated"),
+        )
+    )
