@@ -938,7 +938,11 @@ def q_semdedup(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     assign = ivf_assign(emb, centroids)
     embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
-    cl = embn.join(assign, "vec_id")
+    # shuffle_hash: both sides are corpus-sized and the join is pure
+    # equi — a hash join on vec_id / centroid_id needs no sort of
+    # either stream (SortMergeJoin would sort both); AQE still
+    # broadcasts at runtime when a side turns out small
+    cl = embn.join(assign.hint("shuffle_hash"), "vec_id")
     a = cl.select(
         F.col("vec_id").alias("v1"), F.col("centroid_id").alias("c1"),
         F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
@@ -949,7 +953,10 @@ def q_semdedup(spark, sf_dir):
     )
     cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     dup = (
-        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("v1") < F.col("v2")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("c1") == F.col("c2")) & (F.col("v1") < F.col("v2")),
+        )
         .filter(cos >= 0.4)
         .select(F.col("v2").alias("vec_id"))
         .distinct()
