@@ -967,3 +967,59 @@ def q_semdedup(spark, sf_dir):
         )
         .select("vec_id", "centroid_id", F.col("_d").isNull().alias("keep"))
     )
+
+
+@register(
+    "q_cluster_balance",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d
+            WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv)
+                                / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign)
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) + 0.0
+             AS member_share,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS pair_load
+    FROM assign CROSS JOIN tot
+    GROUP BY centroid_id, tot.n
+    """,
+)
+def q_cluster_balance(spark, sf_dir):
+    """Cluster-balance diagnostic for the IVF / SemDeDup family: per
+    centroid, member count, corpus share, and the within-cluster pair
+    load n·(n−1)/2 — the term whose SUM bounds q_semdedup's quadratic
+    pair search and q_ann_ivf's probe cost. The acceptance metric for
+    any centroid-count change: a skewed cluster shows up here as a
+    pair_load spike before it shows up as a straggler task.
+
+    Scale shape: the assignment is the broadcast-centroid packed-key
+    hash agg (ivf_assign, shuffle = N assignment rows); the balance
+    itself is a k-row hash agg plus a 1-row broadcast total."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    total = assign.agg(F.count(F.lit(1)).alias("n"))
+    sizes = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.crossJoin(F.broadcast(total)).select(
+        "centroid_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        rnd(F.col("n_members").cast("double") / F.col("n"), 6).alias(
+            "member_share"
+        ),
+        (F.col("n_members") * (F.col("n_members") - 1) / 2)
+        .cast("bigint").alias("pair_load"),
+    )

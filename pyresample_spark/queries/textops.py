@@ -2186,3 +2186,83 @@ def q_contamination_frac(spark, sf_dir):
             (n_hit * 10 >= n_tot).alias("contaminated"),
         )
     )
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ') AS line
+      FROM ws, UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)
+    ),
+    firsts AS (
+      SELECT line, MIN(doc_id) AS min_doc FROM lines GROUP BY line
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             (l.doc_id = f.min_doc) AS keep
+      FROM lines l JOIN firsts f ON l.line = f.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS kept_frac,
+           COALESCE(string_agg(line, ' ' ORDER BY line_no)
+                      FILTER (WHERE keep), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide span dedup at fixed 8-word line
+    granularity (Raffel et al. discard duplicated three-sentence
+    spans; the synthetic docs carry no sentence punctuation, so fixed
+    word windows stand in): every line that appears anywhere else in
+    the corpus survives ONLY in its lowest-doc_id document; each doc
+    reports kept-line count/fraction and its reconstructed kept text
+    in original line order.
+
+    Scale shape: the global first-occurrence pass groups the line
+    stream by the line itself (at 100 TB: by a 64-bit line hash, the
+    q_dedup_exact trick) — one map-side-combinable agg whose shuffle
+    carries one row per DISTINCT line; the verdict joins back on the
+    same key (co-partitioned with the agg, no extra exchange under
+    AQE) and the per-doc rebuild is one hash agg over (doc, line_no)
+    rows. Nothing quadratic, no window over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),"
+                " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"
+            )
+        ).alias("line_no", "line"),
+    )
+    firsts = lines.groupBy("line").agg(F.min("doc_id").alias("min_doc"))
+    flagged = lines.join(firsts, "line").withColumn(
+        "keep", F.col("doc_id") == F.col("min_doc")
+    )
+    n_kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    kept_struct = F.when(
+        F.col("keep"), F.struct("line_no", "line")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept"),
+        rnd(n_kept.cast("double") / F.count(F.lit(1)), 6).alias("kept_frac"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "  CASE WHEN keep THEN struct(line_no, line) END)),"
+                " x -> x.line)"
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
