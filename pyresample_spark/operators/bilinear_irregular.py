@@ -8,26 +8,26 @@ with the x1 → x2 → −c/b fallback chain, _solve_another_fractional_
 distance :452-470), interpolation (_resample :634-642:
 p1(1−s)(1−t) + p2·s(1−t) + p3(1−s)t + p4·s·t, corners UL,UR,LL,LR).
 
-Spark-first: candidates come from the cell-bucketed kNN join
-(operators/knn.py); corner selection + the (t, s) solve run in an
-Arrow-batched ``applyInPandas`` kernel per target group — the engine's
-designated slow path (SURVEY §2.11 port rule). Since round 2 the solve
-is the reference's closed-form quadratic (replacing the earlier Newton
-iteration), which makes the whole pipeline SQL-expressible — the
-q_bilinear_irregular oracle replays candidates → quadrants → corners →
-quadratic → interpolation in DuckDB, turning the r1 weak row into a
-hash-checked one. Determinism: corner pick tie-breaks by
-(dist_mm, src_id); every division is guarded (Spark yields NULL and
-DuckDB ±inf on x/0 — the guards make both engines drop the same rows).
-The reference's uprights-parallel / parallelogram fallbacks for
-degenerate quadrilaterals are intentionally omitted (measure-zero for
-swath geometry): such targets are dropped identically in both engines.
+Spark-first (round 6 plan): candidates come from the cell-bucketed
+join core (operators/knn.py _radius_pairs) with the source lon/lat/
+value riding the build side; the top-k set is a sorted collect_list
+slice; the per-quadrant corner pick is a ``filter()`` over that
+in-row array; and the closed-form (t, s) solve — the reference's full
+irregular → uprights-parallel → parallelogram fallback chain — is ONE
+let-bound column expression (``_ts_chain_expr``). No Python anywhere
+in the production plan; the original reference-shaped Arrow kernel is
+kept as :func:`bilinear_irregular_pandas` and row-for-row equality is
+pytest-enforced. The DuckDB oracle replays candidates → quadrants →
+corners → quadratic → interpolation from the same formula texts.
+Determinism: corner pick tie-breaks by (dist_mm, src_id); divisions
+are try_divide on Spark (NULL on zero) and bare ``/`` on DuckDB
+(inf/NaN) — the shared [0, 1] gates exclude both identically.
 
-Scale: the expensive part is the kNN join (shuffle on 3-D cells); the
-closed-form kernel is O(k) per target over Arrow batches. The
-resulting LUT (tgt_id, 4 corner ids, t, s) is exactly what LutCache
-persists — apply to any number of channels as 4 equi-joins + a
-weighted-sum expression.
+Scale: the expensive part is the cell join (one shuffle); the solve
+is O(k) per target in-row. The resulting LUT (tgt_id, 4 corner ids,
+t, s) is exactly what LutCache persists — apply to any number of
+channels as 4 equi-joins + a weighted-sum expression, and no
+per-group Python invocation cost exists at any target count.
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyresample_spark.operators.knn import knn_join
+from pyresample_spark.operators.knn import chord_length, knn_join
 
 OUT_SCHEMA = (
     "tgt_id long, c00 long, c01 long, c10 long, c11 long, "
@@ -178,6 +178,236 @@ def _per_target(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _plain_div(a: str, b: str) -> str:
+    """DuckDB division: x/0 → ±inf (NaN for 0/0), which every range
+    gate ``0 ≤ · ≤ 1`` excludes (NaN compares high in DuckDB)."""
+    return f"(({a}) / ({b}))"
+
+
+def _try_div(a: str, b: str) -> str:
+    """Spark ANSI division: plain ``/`` THROWS on zero even inside a
+    guarded CASE (common-subexpression elimination hoists the division
+    out of the guard), so the fused plan divides with try_divide —
+    NULL on zero, excluded by the same gates that exclude DuckDB's
+    inf/NaN. Both engines therefore drop exactly the guarded rows."""
+    return f"try_divide({a}, {b})"
+
+
+def quad_root_case(qa: str, qb: str, qc: str, qd: str, div=_plain_div) -> str:
+    """Valid-root CASE for the bilinear quadratic — the SQL text twin
+    of :func:`_quad_root` (x1 → x2 → −c/b fallback chain). SHARED
+    between the Spark fused plan (div=_try_div) and the DuckDB oracle
+    (div=_plain_div) so both engines take the same branch at every
+    gate; the ``<> 0`` guards in front of each division make the two
+    division semantics coincide."""
+    r1 = div(f"-({qb}) + sqrt(GREATEST({qd}, 0.0))", f"2.0 * {qa}")
+    r2 = div(f"-({qb}) - sqrt(GREATEST({qd}, 0.0))", f"2.0 * {qa}")
+    r3 = div(f"-({qc})", qb)
+    return f"""
+      CASE WHEN {qa} <> 0.0 AND {qd} >= 0.0
+                AND {r1} >= 0.0 AND {r1} <= 1.0
+           THEN {r1}
+           WHEN {qa} <> 0.0 AND {qd} >= 0.0
+                AND {r2} >= 0.0 AND {r2} <= 1.0
+           THEN {r2}
+           WHEN {qb} <> 0.0 AND {r3} >= 0.0 AND {r3} <= 1.0
+           THEN {r3}
+      END"""
+
+
+def lin_other_case(f: str, ya: str, yb: str, yc: str, yd: str,
+                   div=_plain_div) -> str:
+    """SQL twin of :func:`_lin_other` (the other fractional distance,
+    linear in the first); references the in-scope target ``yy``."""
+    den = f"{yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}"
+    g = div(f"yy - {ya} - ({yb} - {ya}) * {f}", den)
+    return f"""
+      CASE WHEN {f} IS NOT NULL
+                AND ({den}) <> 0.0
+                AND {g} >= 0.0 AND {g} <= 1.0
+           THEN {g}
+      END"""
+
+
+# stage texts for the abc coefficients (shared Spark/DuckDB; operate on
+# the wide corner columns x1..y4, v1..v4 and the target xx/yy)
+ABC_SQL = (
+    ("qa1", "(x3 - x1) * (y4 - y2) - (y3 - y1) * (x4 - x2)"),
+    ("qb1", "yy * ((x4 - x2) - (x3 - x1)) - xx * ((y4 - y2) - (y3 - y1))"
+            " + (x3 - x1) * y2 - (y3 - y1) * x2"
+            " + (y4 - y2) * x1 - (x4 - x2) * y1"),
+    ("qc1", "yy * (x2 - x1) - xx * (y2 - y1) + x1 * y2 - x2 * y1"),
+    ("qa2", "(x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)"),
+    ("qb2", "yy * ((x4 - x3) - (x2 - x1)) - xx * ((y4 - y3) - (y2 - y1))"
+            " + (x2 - x1) * y3 - (y2 - y1) * x3"
+            " + (y4 - y3) * x1 - (x4 - x3) * y1"),
+    ("qc2", "yy * (x3 - x1) - xx * (y3 - y1) + x1 * y3 - x3 * y1"),
+)
+
+
+def par_t0_case(div=_plain_div) -> str:
+    """Parallelogram t candidate (reference formula verbatim)."""
+    num = "(x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1)"
+    den = "(x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)"
+    q = div(num, den)
+    return f"""
+      CASE WHEN ({den}) <> 0.0
+                AND (x2 - x1) <> 0.0
+                AND {q} >= 0.0 AND {q} <= 1.0
+           THEN {q}
+      END"""
+
+
+def par_ts_case(which: str, div=_plain_div) -> str:
+    """Parallelogram (t, s) gate: s = (xx − x1 + (x3 − x1)·t)/(x2 − x1)
+    must land in [0, 1]; ``which`` selects the emitted column."""
+    sq = div("xx - x1 + (x3 - x1) * t_par0", "x2 - x1")
+    out = "t_par0" if which == "t" else sq
+    return f"""
+      CASE WHEN t_par0 IS NOT NULL
+                AND {sq} >= 0.0 AND {sq} <= 1.0
+           THEN {out} END"""
+
+
+FIN_T_SQL = """
+      CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr
+           WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up
+           ELSE t_par END"""
+
+FIN_S_SQL = """
+      CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN s_irr
+           WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN s_up
+           ELSE s_par END"""
+
+
+# strict-sign quadrants in reference order (p1 UL, p2 UR, p3 LL, p4 LR)
+QUAD_CONDS = (
+    ("p1", "x.s_lon < xx AND x.s_lat > yy"),
+    ("p2", "x.s_lon > xx AND x.s_lat > yy"),
+    ("p3", "x.s_lon < xx AND x.s_lat < yy"),
+    ("p4", "x.s_lon > xx AND x.s_lat < yy"),
+)
+
+
+def _let(bindings, var: str, body: str) -> str:
+    """Emulate a let-binding in Spark SQL: bind each (name, expr) once
+    inside a single-element ``transform`` lambda; ``body`` references
+    them as ``var.name`` — leaf variable reads, NOT inline copies.
+    This is what keeps the (t, s) chain's expression tree LINEAR in
+    the number of formulas: plain staged Projects get merged by
+    CollapseProject, which substitutes every alias into each of its
+    (3-4×) consumers and makes the tree — and every optimizer pass
+    over it, re-run per AQE stage — grow multiplicatively (~90 s for
+    27 rows, measured)."""
+    pairs = ", ".join(f"'{n}', {e}" for n, e in bindings)
+    return (
+        f"element_at(transform(array(named_struct({pairs})), "
+        f"{var} -> {body}), 1)"
+    )
+
+
+def _ts_chain_expr() -> str:
+    """The whole closed-form (t, s, value) chain as ONE let-bound
+    column expression over the wide corner columns (x1..y4, v1..v4,
+    xx, yy). Formula-for-formula the same arithmetic and gate
+    structure as the DuckDB oracle text (quad_root_case /
+    lin_other_case / par_* with div=plain) — cell-for-cell equality is
+    enforced by the oracle parity suite; divisions are try_divide
+    (NULL on zero) where DuckDB's plain ``/`` yields inf/NaN, and the
+    identical [0, 1] gates exclude both."""
+    dv = _try_div
+    ands = " AND ".join
+    root_case = lambda qa, qd, qb, r1, r2, r3: (  # noqa: E731
+        f"CASE WHEN {qa} <> 0.0 AND {qd} >= 0.0"
+        f" AND {r1} >= 0.0 AND {r1} <= 1.0 THEN {r1}"
+        f" WHEN {qa} <> 0.0 AND {qd} >= 0.0"
+        f" AND {r2} >= 0.0 AND {r2} <= 1.0 THEN {r2}"
+        f" WHEN {qb} <> 0.0 AND {r3} >= 0.0 AND {r3} <= 1.0 THEN {r3}"
+        f" END"
+    )
+    body = _let(
+        [("tf", "CASE WHEN d.t_irr IS NOT NULL AND g.s_irr IS NOT NULL"
+                " THEN d.t_irr"
+                " WHEN d.s_up IS NOT NULL AND g.t_up IS NOT NULL"
+                " THEN g.t_up ELSE k.t_par END"),
+         ("sf", "CASE WHEN d.t_irr IS NOT NULL AND g.s_irr IS NOT NULL"
+                " THEN g.s_irr"
+                " WHEN d.s_up IS NOT NULL AND g.t_up IS NOT NULL"
+                " THEN d.s_up ELSE k.s_par END")],
+        "l",
+        "named_struct('t', l.tf, 's', l.sf, 'v',"
+        " v1 * (1.0 - l.sf) * (1.0 - l.tf) + v2 * l.sf * (1.0 - l.tf)"
+        " + v3 * (1.0 - l.sf) * l.tf + v4 * l.sf * l.tf)",
+    )
+    body = _let(
+        [("t_par", "CASE WHEN i.t_par0 IS NOT NULL"
+                   " AND j.sq >= 0.0 AND j.sq <= 1.0 THEN i.t_par0 END"),
+         ("s_par", "CASE WHEN i.t_par0 IS NOT NULL"
+                   " AND j.sq >= 0.0 AND j.sq <= 1.0 THEN j.sq END")],
+        "k", body,
+    )
+    body = _let(
+        [("sq", dv("xx - x1 + (x3 - x1) * i.t_par0", "x2 - x1"))],
+        "j", body,
+    )
+    body = _let(
+        [("t_par0",
+          "CASE WHEN ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) <> 0.0"
+          " AND (x2 - x1) <> 0.0"
+          " AND h.pt0 >= 0.0 AND h.pt0 <= 1.0 THEN h.pt0 END")],
+        "i", body,
+    )
+    body = _let(
+        [("pt0", dv("(x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1)",
+                    "(x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)"))],
+        "h", body,
+    )
+    body = _let(
+        [("s_irr", "CASE WHEN d.t_irr IS NOT NULL AND e.den_si <> 0.0"
+                   " AND f.g_si >= 0.0 AND f.g_si <= 1.0 THEN f.g_si END"),
+         ("t_up", "CASE WHEN d.s_up IS NOT NULL AND e.den_tu <> 0.0"
+                  " AND f.g_tu >= 0.0 AND f.g_tu <= 1.0 THEN f.g_tu END")],
+        "g", body,
+    )
+    body = _let(
+        [("g_si", dv("yy - y1 - (y3 - y1) * d.t_irr", "e.den_si")),
+         ("g_tu", dv("yy - y1 - (y2 - y1) * d.s_up", "e.den_tu"))],
+        "f", body,
+    )
+    # lin(t_irr; ya=y1, yb=y3, yc=y2, yd=y4) / lin(s_up; y1, y2, y3, y4)
+    body = _let(
+        [("den_si",
+          "y2 + (y4 - y2) * d.t_irr - y1 - (y3 - y1) * d.t_irr"),
+         ("den_tu",
+          "y3 + (y4 - y3) * d.s_up - y1 - (y2 - y1) * d.s_up")],
+        "e", body,
+    )
+    body = _let(
+        [("t_irr", root_case("a.qa1", "b.qd1", "a.qb1",
+                             "c.r1a", "c.r2a", "c.r3a")),
+         ("s_up", root_case("a.qa2", "b.qd2", "a.qb2",
+                            "c.r1b", "c.r2b", "c.r3b"))],
+        "d", body,
+    )
+    body = _let(
+        [("r1a", dv("-(a.qb1) + sqrt(GREATEST(b.qd1, 0.0))", "2.0 * a.qa1")),
+         ("r2a", dv("-(a.qb1) - sqrt(GREATEST(b.qd1, 0.0))", "2.0 * a.qa1")),
+         ("r3a", dv("-(a.qc1)", "a.qb1")),
+         ("r1b", dv("-(a.qb2) + sqrt(GREATEST(b.qd2, 0.0))", "2.0 * a.qa2")),
+         ("r2b", dv("-(a.qb2) - sqrt(GREATEST(b.qd2, 0.0))", "2.0 * a.qa2")),
+         ("r3b", dv("-(a.qc2)", "a.qb2"))],
+        "c", body,
+    )
+    body = _let(
+        [("qd1", "a.qb1 * a.qb1 - 4.0 * a.qa1 * a.qc1"),
+         ("qd2", "a.qb2 * a.qb2 - 4.0 * a.qa2 * a.qc2")],
+        "b", body,
+    )
+    body = _let(list(ABC_SQL), "a", body)
+    assert ands  # keep helper referenced for future gates
+    return body
+
+
 def bilinear_irregular(
     src: DataFrame,
     tgt: DataFrame,
@@ -185,7 +415,94 @@ def bilinear_irregular(
     k: int = 16,
 ) -> DataFrame:
     """src: (src_id, lon, lat, value); tgt: (tgt_id, lon, lat) →
-    (tgt_id, 4 corner ids, t, s, bilinear_value)."""
+    (tgt_id, 4 corner ids, t, s, bilinear_value).
+
+    FUSED plan (round 6; replaces the per-target ``applyInPandas``
+    kernel, kept as :func:`bilinear_irregular_pandas`): the value and
+    lon/lat columns ride the cell-join candidates, the top-k set is
+    one sorted collect_list slice (the knn_join k>1 idiom — an
+    ObjectHashAggregate, no window sort), the per-quadrant corner pick
+    is ``filter(ks, quadrant)[1]`` over the already-sorted in-row
+    array, and the closed-form (t, s) chain runs as ONE let-bound
+    column expression (:func:`_ts_chain_expr`). One shuffle (the cell
+    equi-join) + one aggregation exchange; no Python anywhere in the
+    plan — row-for-row equal to the pandas kernel (tested) and the
+    DuckDB oracle (parity suite)."""
+    c = chord_length(radius_m)
+    src2 = src.select(
+        "src_id", "lon", "lat",
+        F.col("lon").alias("s_lon"), F.col("lat").alias("s_lat"), "value",
+    )
+    tgt2 = tgt.select(
+        "tgt_id", "lon", "lat",
+        F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
+    )
+    from pyresample_spark.operators.knn import _radius_pairs
+
+    pairs = _radius_pairs(
+        src2, tgt2, c,
+        extra_src_cols=("s_lon", "s_lat", "value"),
+        extra_tgt_cols=("t_lon", "t_lat"),
+    )
+    g = pairs.groupBy("tgt_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("dist_mm", "src_id", "s_lon", "s_lat", "value")
+                )
+            ),
+            1, k,
+        ).alias("ks"),
+        F.first("t_lon").alias("xx"),
+        F.first("t_lat").alias("yy"),
+    )
+    corners = g.selectExpr(
+        "tgt_id", "xx", "yy",
+        *[
+            f"try_element_at(filter(ks, x -> {cond}), 1) AS {name}"
+            for name, cond in QUAD_CONDS
+        ],
+    ).filter(
+        "p1 IS NOT NULL AND p2 IS NOT NULL "
+        "AND p3 IS NOT NULL AND p4 IS NOT NULL"
+    )
+    wide = corners.selectExpr(
+        "tgt_id", "xx", "yy",
+        *[
+            e
+            for i in (1, 2, 3, 4)
+            for e in (
+                f"p{i}.s_lon AS x{i}", f"p{i}.s_lat AS y{i}",
+                f"p{i}.value AS v{i}", f"p{i}.src_id AS id{i}",
+            )
+        ],
+    )
+    solved = wide.selectExpr(
+        "tgt_id", "id1", "id2", "id3", "id4",
+        _ts_chain_expr() + " AS r",
+    ).filter("r.t IS NOT NULL AND r.s IS NOT NULL")
+    return solved.selectExpr(
+        "tgt_id",
+        "CAST(id3 AS LONG) AS c00",
+        "CAST(id4 AS LONG) AS c01",
+        "CAST(id1 AS LONG) AS c10",
+        "CAST(id2 AS LONG) AS c11",
+        "r.t AS t",
+        "r.s AS s",
+        "r.v AS bilinear_value",
+    )
+
+
+def bilinear_irregular_pandas(
+    src: DataFrame,
+    tgt: DataFrame,
+    radius_m: float,
+    k: int = 16,
+) -> DataFrame:
+    """The original per-target Arrow kernel (reference-shaped NumPy
+    code, bilinear/_base.py one-to-one). Kept as the independent
+    cross-check for the fused column plan — same output contract;
+    tests assert row-for-row equality."""
     pairs = knn_join(src, tgt, radius_m, k=k)
     enriched = (
         pairs.join(

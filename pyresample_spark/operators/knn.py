@@ -80,11 +80,15 @@ def _radius_pairs(
     tgt_lat: str = "lat",
     salt_factor: int | None = None,
     extra_src_cols: tuple = (),
+    extra_tgt_cols: tuple = (),
 ) -> DataFrame:
     """(tgt_id, src_id, dist_mm[, extra…]) candidate pairs within chord
     ``c`` — the shared cell-join core of knn_join and the fused
     aggregate variants. ``extra_src_cols`` ride the build side (e.g.
-    the value column for the fused gaussian fold)."""
+    the value column for the fused gaussian fold); ``extra_tgt_cols``
+    ride the probe side THROUGH the 27× explode (bytes, not rows — use
+    for a few scalars like the target's own lon/lat, cf. the fused
+    bilinear corner pick)."""
     s = with_cells(with_geocentric(src, src_lon, src_lat), c).select(
         F.col(src_id).alias("src_id"),
         F.col("gx").alias("s_gx"),
@@ -110,6 +114,7 @@ def _radius_pairs(
             "cx3",
             "cy3",
             "cz3",
+            *extra_tgt_cols,
             offsets.alias("o"),
         )
         .withColumn("cx3", F.col("cx3") + F.col("o.dx"))
@@ -143,7 +148,10 @@ def _radius_pairs(
     return (
         pairs.withColumn("dist_mm", dist_mm)
         .filter(F.col("dist_mm") <= round(c * 1000.0))
-        .select("tgt_id", "src_id", "dist_mm", *extra_src_cols)
+        .select(
+            "tgt_id", "src_id", "dist_mm",
+            *extra_src_cols, *extra_tgt_cols,
+        )
     )
 
 

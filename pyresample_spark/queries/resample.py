@@ -174,34 +174,22 @@ def _bilinear_irregular_oracle(
              {r} * cos(radians({lat})) * sin(radians({lon})) AS {px}gy,
              {r} * sin(radians({lat})) AS {px}gz"""
     )
-    # stage-1 / stage-2 quadratic roots share this CASE skeleton
-    root = (
-        lambda qa, qb, qc, qd: f"""
-      CASE WHEN {qa} <> 0.0 AND {qd} >= 0.0
-                AND (-({qb}) + sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) >= 0.0
-                AND (-({qb}) + sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) <= 1.0
-           THEN (-({qb}) + sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa})
-           WHEN {qa} <> 0.0 AND {qd} >= 0.0
-                AND (-({qb}) - sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) >= 0.0
-                AND (-({qb}) - sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa}) <= 1.0
-           THEN (-({qb}) - sqrt(GREATEST({qd}, 0.0))) / (2.0 * {qa})
-           WHEN {qb} <> 0.0 AND -({qc}) / ({qb}) >= 0.0
-                AND -({qc}) / ({qb}) <= 1.0
-           THEN -({qc}) / ({qb})
-      END"""
+    # the quadratic-root / linear-other CASE texts and every stage
+    # formula are SHARED with the Spark fused plan
+    # (operators/bilinear_irregular.py) — one source of truth, both
+    # engines execute the identical text
+    from pyresample_spark.operators.bilinear_irregular import (
+        ABC_SQL,
+        FIN_S_SQL,
+        FIN_T_SQL,
+        lin_other_case as lin,
+        par_t0_case,
+        par_ts_case,
+        quad_root_case as root,
     )
-    lin = (
-        lambda f, ya, yb, yc, yd: f"""
-      CASE WHEN {f} IS NOT NULL
-                AND ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}) <> 0.0
-                AND (yy - {ya} - ({yb} - {ya}) * {f})
-                    / ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}) >= 0.0
-                AND (yy - {ya} - ({yb} - {ya}) * {f})
-                    / ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f}) <= 1.0
-           THEN (yy - {ya} - ({yb} - {ya}) * {f})
-                / ({yc} + ({yd} - {yc}) * {f} - {ya} - ({yb} - {ya}) * {f})
-      END"""
-    )
+    PAR_T0_SQL = par_t0_case()
+    PAR_T_SQL = par_ts_case("t")
+    PAR_S_SQL = par_ts_case("s")
     return f"""
     WITH s AS (
       SELECT event_id AS src_id, ({value_expr}) AS value,
@@ -279,17 +267,7 @@ def _bilinear_irregular_oracle(
       FROM qpick WHERE qr = 1 GROUP BY tgt_id HAVING COUNT(*) = 4
     ),
     g1 AS MATERIALIZED (
-      SELECT *,
-             (x3 - x1) * (y4 - y2) - (y3 - y1) * (x4 - x2) AS qa1,
-             yy * ((x4 - x2) - (x3 - x1)) - xx * ((y4 - y2) - (y3 - y1))
-               + (x3 - x1) * y2 - (y3 - y1) * x2
-               + (y4 - y2) * x1 - (x4 - x2) * y1 AS qb1,
-             yy * (x2 - x1) - xx * (y2 - y1) + x1 * y2 - x2 * y1 AS qc1,
-             (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3) AS qa2,
-             yy * ((x4 - x3) - (x2 - x1)) - xx * ((y4 - y3) - (y2 - y1))
-               + (x2 - x1) * y3 - (y2 - y1) * x3
-               + (y4 - y3) * x1 - (x4 - x3) * y1 AS qb2,
-             yy * (x3 - x1) - xx * (y3 - y1) + x1 * y3 - x3 * y1 AS qc2
+      SELECT *, {", ".join(f"{t} AS {n}" for n, t in ABC_SQL)}
       FROM corners
     ),
     g2 AS MATERIALIZED (SELECT *, qb1 * qb1 - 4.0 * qa1 * qc1 AS qd1,
@@ -305,38 +283,15 @@ def _bilinear_irregular_oracle(
       FROM g3
     ),
     g5 AS MATERIALIZED (
-      SELECT *,
-        CASE WHEN ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) <> 0.0
-                  AND (x2 - x1) <> 0.0
-                  AND ((x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1))
-                      / ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) >= 0.0
-                  AND ((x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1))
-                      / ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) <= 1.0
-             THEN ((x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1))
-                  / ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))
-        END AS t_par0
+      SELECT *, {PAR_T0_SQL} AS t_par0
       FROM g4
     ),
     g6 AS MATERIALIZED (
-      SELECT *,
-        CASE WHEN t_par0 IS NOT NULL
-                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) >= 0.0
-                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) <= 1.0
-             THEN t_par0 END AS t_par,
-        CASE WHEN t_par0 IS NOT NULL
-                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) >= 0.0
-                  AND (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) <= 1.0
-             THEN (xx - x1 + (x3 - x1) * t_par0) / (x2 - x1) END AS s_par
+      SELECT *, {PAR_T_SQL} AS t_par, {PAR_S_SQL} AS s_par
       FROM g5
     ),
     fin AS MATERIALIZED (
-      SELECT *,
-        CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr
-             WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up
-             ELSE t_par END AS tf,
-        CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN s_irr
-             WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN s_up
-             ELSE s_par END AS sf
+      SELECT *, {FIN_T_SQL} AS tf, {FIN_S_SQL} AS sf
       FROM g6
     )
     SELECT tgt_id,{'' if slim else '''

@@ -160,3 +160,27 @@ def test_reference_golden_fractional_distances():
     t, s = _solve_ts_quadratic(div_zero, -64.985, -5.145)
     assert t == pytest.approx(0.30769689, abs=1e-7)
     assert s == pytest.approx(0.74616628, abs=1e-7)
+
+
+def test_fused_plan_matches_pandas_kernel(spark, sf_dir):
+    """Round 6: the let-bound column-expression plan (the production
+    path — no Python in the plan) must reproduce the reference-shaped
+    per-target Arrow kernel row-for-row on the real swath fixture,
+    including corner ids and the (t, s) fallback-chain branches."""
+    from pyresample_spark.operators.bilinear_irregular import (
+        bilinear_irregular_pandas,
+    )
+    from pyresample_spark.queries.joins import _src
+
+    src = _src(spark, sf_dir)
+    tgt = src.filter(F.col("src_id") % 20 == 0).select(
+        F.col("src_id").alias("tgt_id"),
+        (F.col("lon") + 0.21).alias("lon"),
+        (F.col("lat") + 0.13).alias("lat"),
+    )
+    a = bilinear_irregular(src, tgt, 150_000.0, k=32).toPandas()
+    b = bilinear_irregular_pandas(src, tgt, 150_000.0, k=32).toPandas()
+    assert len(a) == len(b) > 0
+    ka = sorted(map(tuple, a.round(9).values.tolist()))
+    kb = sorted(map(tuple, b.round(9).values.tolist()))
+    assert ka == kb
