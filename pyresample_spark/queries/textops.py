@@ -1511,10 +1511,12 @@ def q_dedup_span_mask(spark, sf_dir):
             "doc_id",
             F.explode(F.sequence(F.col("s"), F.col("s") + 4)).alias("pos"),
         )
-        .distinct()
     )
+    # count_distinct folds the overlap dedup and the per-doc count into
+    # ONE aggregation (partial distinct runs map-side) — the separate
+    # .distinct() + groupBy spent an extra exchange on (doc_id, pos)
     masked = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_masked")
+        F.count_distinct("pos").cast("long").alias("n_masked")
     )
     return (
         tok.join(masked, "doc_id", "left")
