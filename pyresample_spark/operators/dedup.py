@@ -228,3 +228,35 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
         ) GROUP BY doc_id
       )
     """
+
+
+def bloom_literal_flag(hashes, k: int = 4, m: int = 1024,
+                       h_col: str = "h0"):
+    """Pack ``hashes`` (portable 60-bit md5 bigints, e.g. an eval
+    set's n-gram hashes) into a k×(m/64)-bigint-word Bloom filter
+    embedded as PLAN LITERALS, and return the membership predicate
+    Column over ``h_col`` — a pure map-side prefilter with NO join
+    (zero false negatives by the Bloom guarantee; follow with a
+    broadcast exact verify to drop false positives). Shared by the
+    batch q_bloom_decontaminate and the streaming twin
+    (streaming/windows.py streaming_decontaminate)."""
+    words = m // 64
+    seeds = _seed_constants(k)
+    flag = None
+    for c in seeds:
+        mask = [0] * words
+        for h0 in hashes:
+            b = (h0 ^ c) % m
+            mask[b >> 6] |= 1 << (b & 63)
+        # two's-complement: bigint literals must be signed
+        signed = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
+        arr = "array(" + ", ".join(f"{w}L" for w in signed) + ")"
+        bkt = f"(({h_col} ^ {c}L) % {m})"
+        probe = (
+            f"(shiftright(element_at({arr},"
+            f" CAST(shiftright({bkt}, 6) AS INT) + 1),"
+            f" CAST(({bkt} & 63) AS INT)) & 1) = 1"
+        )
+        e = F.expr(probe)
+        flag = e if flag is None else (flag & e)
+    return flag

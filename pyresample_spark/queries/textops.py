@@ -2037,45 +2037,23 @@ def q_bloom_decontaminate(spark, sf_dir):
     FPs. Zero false negatives (the Bloom guarantee) + exact verify ⇒
     cell-for-cell equality with the plain anti-join plan, which the
     shared oracle enforces."""
-    from pyresample_spark.operators.dedup import _seed_constants, shingles
+    from pyresample_spark.operators.dedup import bloom_literal_flag, shingles
 
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, 3)
     ev = (
         sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
     )
-    seeds = _seed_constants(4)
-    m, words = 1024, 16  # m bits packed into m/64 bigint words per row
     # plan-time: collect the eval set's portable hashes (tiny by
-    # construction) and pack the k bucket rows into bit words
+    # construction) and embed the packed Bloom words as plan literals
     hashes = [
         r.h0 for r in ev.select(md5_bigint(F.col("shingle")).alias("h0"))
         .collect()
     ]
-    masks = []
-    for c in seeds:
-        mask = [0] * words
-        for h0 in hashes:
-            b = (h0 ^ c) % m
-            mask[b >> 6] |= 1 << (b & 63)
-        masks.append(mask)
-    flag = None
-    for c, mask in zip(seeds, masks):
-        # two's-complement: bigint literals must be signed
-        signed = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
-        arr = "array(" + ", ".join(f"{w}L" for w in signed) + ")"
-        bkt = f"((h0 ^ {c}L) % {m})"
-        probe = (
-            f"(shiftright(element_at({arr},"
-            f" CAST(shiftright({bkt}, 6) AS INT) + 1),"
-            f" CAST(({bkt} & 63) AS INT)) & 1) = 1"
-        )
-        e = F.expr(probe)
-        flag = e if flag is None else (flag & e)
     flagged = (
         sh.filter(F.col("doc_id") % 37 != 0)
         .withColumn("h0", md5_bigint(F.col("shingle")))
-        .filter(flag)  # map-side Bloom prefilter: no join for the rest
+        .filter(bloom_literal_flag(hashes))  # map-side: no join here
     )
     return (
         flagged.join(F.broadcast(ev), "shingle")  # exact verify: drop FPs

@@ -401,3 +401,55 @@ def streaming_gauss_resample(
             "n",
         )
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def streaming_decontaminate(
+    doc_stream: DataFrame, eval_ngrams: DataFrame, n: int = 3
+) -> DataFrame:
+    """Online benchmark decontamination — the INGESTION-time twin of
+    the batch ``q_bloom_decontaminate``: every arriving training
+    document's n-grams are prefiltered MAP-SIDE by the eval set's
+    Bloom bits embedded as plan literals (no join for clean shingles,
+    which at 100 TB/day is almost all of them), and only Bloom hits
+    reach the broadcast exact-verify join that drops false positives.
+    Emits the verified distinct (doc_id, shingle) contamination hits;
+    count per doc downstream (or per micro-batch).
+
+    Scale: the eval set is static and KBs (benchmarks vs a corpus);
+    its literals ship inside the serialized plan to every executor —
+    the stream side never shuffles. The only stateful operator is the
+    (doc_id, shingle) dropDuplicates, whose state is bounded by the
+    TRUE contamination volume (tiny by construction), not ingest
+    volume."""
+    from pyresample_spark.operators.dedup import (
+        bloom_literal_flag,
+        md5_bigint,
+        shingles,
+    )
+
+    hashes = [
+        r.h0
+        for r in eval_ngrams.select(
+            md5_bigint(F.col("shingle")).alias("h0")
+        ).collect()
+    ]
+    sh = shingles(doc_stream, n)
+    flagged = sh.withColumn("h0", md5_bigint(F.col("shingle"))).filter(
+        bloom_literal_flag(hashes)
+    )
+    return (
+        flagged.join(F.broadcast(eval_ngrams), "shingle")
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )

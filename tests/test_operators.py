@@ -1328,6 +1328,9 @@ def test_crs_roundtrip_sweep_all_families(spark):
         ("+proj=stere +ellps=WGS84 +lat_0=-90 +lat_ts=-70", lat < 60.0),
         # UPS: polar ellipsoidal with +k and NO +lat_ts (ADVICE r5)
         ("+proj=stere +ellps=WGS84 +lat_0=90 +k=0.994", lat > -60.0),
+        # named non-WGS84 ellipsoid through the +ellps registry
+        ("+proj=stere +ellps=bessel +lat_0=52 +lon_0=10",
+         (cos_c(52.0, 10.0) > -0.9) & (F.abs(lat) < 89.0)),
         ("+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 +lon_0=0",
          cos_c(0.0, 0.0) > 0.25),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),

@@ -322,3 +322,61 @@ def test_streaming_gauss_resample_matches_batch(spark, sf_dir):
     assert stream_rows == batch_rows
     assert len(stream_rows) > 50
     _ = derived_lat, derived_lon  # imported for doc-parity reference
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static Bloom decontamination: training docs arriving
+    across two micro-batches against the static eval n-gram set must
+    reproduce the batch q_bloom_decontaminate per-doc shared-ngram
+    counts exactly (Bloom zero-false-negative + exact verify)."""
+    import os
+
+    from pyresample_spark.operators.dedup import shingles
+    from pyresample_spark.queries import load_all
+    from pyresample_spark.streaming.windows import (
+        DOCUMENTS_SCHEMA,
+        streaming_decontaminate,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev = (
+        shingles(docs.filter(F.col("doc_id") % 37 == 0), 3)
+        .select("shingle")
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    train.filter(F.col("doc_id") % 2 == 0).write.parquet(str(feed / "a"))
+    train.filter(F.col("doc_id") % 2 == 1).write.parquet(str(feed / "b"))
+    dstream = (
+        spark.readStream.format("parquet")
+        .schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed) + "/*")
+    )
+    out = streaming_decontaminate(dstream, ev)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_decon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.n): None
+        for r in spark.sql(
+            "SELECT doc_id, COUNT(DISTINCT shingle) AS n "
+            "FROM stream_decon GROUP BY doc_id"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n_shared_ngrams): None
+        for r in load_all()["q_bloom_decontaminate"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and len(got) > 0
