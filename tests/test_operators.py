@@ -2439,3 +2439,33 @@ def test_estimate_radius_of_influence():
     )
     rd = area_geocentric_resolution(areaD)
     assert 2_500 < rd < 3_500                   # ~3 km pixels
+
+
+def test_bloom_literal_flag_no_false_negatives(spark):
+    """The extracted Bloom builder (operators/dedup.py
+    bloom_literal_flag, shared by q_bloom_decontaminate and the
+    streaming twin): every member hash MUST pass the plan-literal
+    predicate (the zero-false-negative guarantee the decontamination
+    equality proof rests on), and the false-positive rate over a
+    disjoint probe set stays within a loose k=4/m=1024 bound."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.dedup import (
+        bloom_literal_flag,
+        md5_bigint,
+    )
+
+    members = (
+        spark.range(200)
+        .select(md5_bigint(F.concat(F.lit("m"), F.col("id"))).alias("h0"))
+    )
+    hashes = [r.h0 for r in members.collect()]
+    flag = bloom_literal_flag(hashes)
+    assert members.filter(~flag).count() == 0  # no false negatives
+    probes = (
+        spark.range(5000)
+        .select(md5_bigint(F.concat(F.lit("x"), F.col("id"))).alias("h0"))
+    )
+    fp = probes.filter(flag).count()
+    # k=4, m=1024, n=200 → p_fp = (1 - e^(-kn/m))^k ≈ 0.088; allow 2×
+    assert fp / 5000.0 < 0.2
