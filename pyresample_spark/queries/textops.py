@@ -2246,3 +2246,146 @@ def q_line_dedup(spark, sf_dir):
             " ",
         ).alias("kept_text"),
     )
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n_chars,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w))
+               AS mean_word_len,
+             (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS DOUBLE) / len(w)) AS frac_alpha,
+             CAST(len(list_intersect(list_distinct(w),
+                  ['the', 'a', 'and', 'of', 'to', 'in'])) AS BIGINT)
+               AS n_stopwords
+      FROM ws
+    ),
+    g2 AS (SELECT doc_id, shingle, COUNT(*) AS cnt
+           FROM ({shingles_sql(2)}) GROUP BY 1, 2),
+    mx2 AS (SELECT doc_id, MAX(cnt) AS mx FROM g2 GROUP BY 1),
+    top2 AS (SELECT g.doc_id, MIN(g.shingle) AS gram, MAX(g.cnt) AS cnt
+             FROM g2 g JOIN mx2 m ON g.doc_id = m.doc_id AND g.cnt = m.mx
+             GROUP BY g.doc_id),
+    g3 AS (SELECT doc_id, shingle, COUNT(*) AS cnt
+           FROM ({shingles_sql(3)}) GROUP BY 1, 2),
+    mx3 AS (SELECT doc_id, MAX(cnt) AS mx FROM g3 GROUP BY 1),
+    top3 AS (SELECT g.doc_id, MIN(g.shingle) AS gram, MAX(g.cnt) AS cnt
+             FROM g3 g JOIN mx3 m ON g.doc_id = m.doc_id AND g.cnt = m.mx
+             GROUP BY g.doc_id)
+    SELECT b.doc_id, b.n_words,
+           ROUND(b.mean_word_len, 6) + 0.0 AS mean_word_len,
+           ROUND(b.frac_alpha, 6) + 0.0 AS frac_alpha,
+           b.n_stopwords,
+           ROUND(COALESCE(t2.cnt * len(t2.gram), 0)
+                 / (1.0 * b.n_chars), 6) + 0.0 AS top2_frac,
+           ROUND(COALESCE(t3.cnt * len(t3.gram), 0)
+                 / (1.0 * b.n_chars), 6) + 0.0 AS top3_frac,
+           (b.n_words >= 50 AND b.n_words <= 100000
+            AND b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0
+            AND b.frac_alpha >= 0.8 AND b.n_stopwords >= 2
+            AND COALESCE(t2.cnt * len(t2.gram), 0)
+                / (1.0 * b.n_chars) <= 0.20
+            AND COALESCE(t3.cnt * len(t3.gram), 0)
+                / (1.0 * b.n_chars) <= 0.18) AS keep
+    FROM base b
+    LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
+    LEFT JOIN top3 t3 ON b.doc_id = t3.doc_id
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule battery (Rae et al. 2021, table A1) as
+    ONE per-document feature row + keep verdict: word count in
+    [50, 100k], mean word length in [3, 10], ≥80% of words contain an
+    alphabetic character, ≥2 distinct stopwords, and the top-2-gram /
+    top-3-gram character fractions under 0.20 / 0.18 (the repetition
+    rules; ties broken to the lexicographically smallest gram so both
+    engines pick the same one). Complements q_quality_score (composite
+    score) with the exact published-threshold rule set.
+
+    Scale shape: the base features are in-row array folds (zero
+    shuffle); each top-gram needs two stacked hash aggs — (doc, gram)
+    counts then per-doc max — and an equality join back to recover the
+    argmax gram, all keyed by doc_id/gram (at 100 TB: gram hashes).
+    No windows, no sorts, every aggregate map-side-combinable."""
+    from pyresample_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(w).cast("bigint").alias("n_words"),
+        w.alias("w"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        (
+            (F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words")
+        ).alias("mean_word_len"),
+        (
+            F.size(F.expr("filter(w, x -> x rlike '[a-zA-Z]')"))
+            .cast("double") / F.col("n_words")
+        ).alias("frac_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("w")),
+                F.array(*[F.lit(t) for t in
+                          ("the", "a", "and", "of", "to", "in")]),
+            )
+        ).cast("bigint").alias("n_stopwords"),
+    )
+
+    def top_gram(n, out):
+        g = shingles(d, n).groupBy("doc_id", "shingle").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        mx = g.select(
+            F.col("doc_id").alias("doc_id_m"), F.col("cnt").alias("cnt_m")
+        ).groupBy("doc_id_m").agg(F.max("cnt_m").alias("mx"))
+        return (
+            g.join(
+                mx,
+                (F.col("doc_id") == F.col("doc_id_m"))
+                & (F.col("cnt") == F.col("mx")),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.min("shingle").alias(f"{out}_gram"),
+                F.max("cnt").alias(f"{out}_cnt"),
+            )
+        )
+
+    out = (
+        base.join(top_gram(2, "t2"), "doc_id", "left")
+        .join(top_gram(3, "t3"), "doc_id", "left")
+    )
+    t2f = F.coalesce(
+        F.col("t2_cnt") * F.length("t2_gram"), F.lit(0)
+    ) / (1.0 * F.col("n_chars"))
+    t3f = F.coalesce(
+        F.col("t3_cnt") * F.length("t3_gram"), F.lit(0)
+    ) / (1.0 * F.col("n_chars"))
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("frac_alpha") >= 0.8) & (F.col("n_stopwords") >= 2)
+        & (t2f <= 0.20) & (t3f <= 0.18)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        rnd(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        rnd(F.col("frac_alpha"), 6).alias("frac_alpha"),
+        "n_stopwords",
+        rnd(t2f, 6).alias("top2_frac"),
+        rnd(t3f, 6).alias("top3_frac"),
+        keep.alias("keep"),
+    )
