@@ -96,9 +96,7 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
-@register(
-    "q_ann_ivf",
-    oracle=f"""
+_ANN_IVF_ORACLE = f"""
     WITH d AS ({_VD_SQL}),
     cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn FROM d WHERE vec_id % 50 = 0),
     assign AS (
@@ -130,8 +128,10 @@ def q_dedup_embedding(spark, sf_dir):
             ORDER BY ROUND(cos, 9) DESC, vec_id ASC) AS rank
           FROM cand)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("q_ann_ivf", oracle=_ANN_IVF_ORACLE)
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate NN: deterministic seed centroids (vec_id % 50),
     max-cosine cluster assignment, probe searches only its own cluster
@@ -1022,4 +1022,71 @@ def q_cluster_balance(spark, sf_dir):
         ),
         (F.col("n_members") * (F.col("n_members") - 1) / 2)
         .cast("bigint").alias("pair_load"),
+    )
+
+
+@register("q_ann_ivf_reuse", oracle=_ANN_IVF_ORACLE)
+def q_ann_ivf_reuse(spark, sf_dir):
+    """IVF search through a PERSISTED index — the similarity-search
+    twin of the gauss/bilinear LUT-reuse story: the centroid
+    assignment + norms table is built ONCE and saved as an external
+    table BUCKETED BY centroid_id (LutCache machinery); every later
+    search session re-registers the bucketed table and probes it with
+    a broadcast join that needs NO shuffle of the corpus side — the
+    scan itself is already hash-partitioned on the cluster key, so a
+    probe touches exactly its cluster's buckets.
+
+    The oracle is IDENTICAL to q_ann_ivf's: a search through the
+    persisted index must reproduce the fresh in-memory search
+    cell-for-cell (embedding floats and precomputed norms round-trip
+    parquet exactly). At 100 TB this is how ANN actually ships —
+    index build is a batch job, searches are cheap scans."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyresample_spark.plans.lut import LutCache
+
+    emb = _emb(spark, sf_dir)
+    cache = LutCache(
+        os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts"),
+        bucket_col="centroid_id",
+    )
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    src_hash = hashlib.sha1(
+        f"ivf-index|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+    def compute():
+        centroids = emb.filter(F.col("vec_id") % 50 == 0)
+        assign = ivf_assign(emb, centroids)
+        embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
+        return embn.join(assign.hint("shuffle_hash"), "vec_id").select(
+            "centroid_id", "vec_id", "embedding", "vnorm"
+        )
+
+    index = cache.get_or_compute(
+        spark, src_hash, "ivf-mod50-centroids", 0.0, ("ivf_index", 1),
+        compute,
+    )
+    probes = index.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("vnorm").alias("pn"),
+        "centroid_id",
+    )
+    cand = index.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = dot(F.col("embedding"), F.col("pv")) / (
+        F.col("vnorm") * F.col("pn")
+    )
+    ranked = topk_by_cosine(
+        cand.withColumn("cos_raw", cos), 5, cos_col="cos_raw"
+    )
+    return ranked.select(
+        "probe_id", "vec_id", rnd(F.col("cos_raw"), 6).alias("cos"), "rank"
     )

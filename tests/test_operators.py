@@ -2469,3 +2469,70 @@ def test_bloom_literal_flag_no_false_negatives(spark):
     fp = probes.filter(flag).count()
     # k=4, m=1024, n=200 → p_fp = (1 - e^(-kn/m))^k ≈ 0.088; allow 2×
     assert fp / 5000.0 < 0.2
+
+
+def test_ann_ivf_index_persist_and_reuse(spark, sf_dir, tmp_path):
+    """Round 6: the persisted IVF index (q_ann_ivf_reuse). Second
+    access must LOAD the bucketed table (no assignment recompute), the
+    probe join must not shuffle the index side (bucketed scan is
+    already hash-partitioned on centroid_id + broadcast probes), and
+    the search through the index must equal the fresh search."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        topk_by_cosine,
+        with_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def compute():
+        centroids = emb.filter(F.col("vec_id") % 50 == 0)
+        assign = ivf_assign(emb, centroids)
+        embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
+        return embn.join(assign, "vec_id").select(
+            "centroid_id", "vec_id", "embedding", "vnorm"
+        )
+
+    cache = LutCache(str(tmp_path / "ivf"), bucket_col="centroid_id")
+    cache.get_or_compute(spark, "e", "c", 0.0, 1, compute)
+
+    def boom():
+        raise AssertionError("index recomputed on second access")
+
+    idx = cache.get_or_compute(spark, "e", "c", 0.0, 1, boom)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "lut_" in plan
+
+    def search(index):
+        probes = index.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pv"),
+            F.col("vnorm").alias("pn"),
+            "centroid_id",
+        )
+        cand = index.join(F.broadcast(probes), "centroid_id").filter(
+            F.col("vec_id") != F.col("probe_id")
+        )
+        cos = dot(F.col("embedding"), F.col("pv")) / (
+            F.col("vnorm") * F.col("pn")
+        )
+        return topk_by_cosine(
+            cand.withColumn("cos_raw", cos), 5, cos_col="cos_raw"
+        )
+
+    got = search(idx)
+    # the candidate join must not re-shuffle the bucketed index side
+    cand_plan = (
+        idx.join(
+            F.broadcast(idx.limit(3).select("centroid_id")), "centroid_id"
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in cand_plan
+    key = lambda r: (r.probe_id, r.rank, r.vec_id,  # noqa: E731
+                     round(r.cos_raw, 9))
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, search(compute()).collect())
+    )
