@@ -1092,6 +1092,29 @@ def q_ann_ivf_reuse(spark, sf_dir):
     )
 
 
+def _pq_codebook(emb):
+    """Deterministic PQ codebook rows: vec_id % 50 == 0 below 2500 —
+    BOUNDED at ≤50 entries at every scale factor (a real PQ codebook
+    is fixed-size regardless of corpus)."""
+    return sorted(
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+
+
+def _pq_cb_lit(cb, j: int) -> str:
+    """Subspace ``j`` of the codebook as a nested array PLAN LITERAL
+    (the Bloom-literal trick applied to vector quantization)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(
+            f"{float(x)!r}D" for x in r.embedding[j * 8:(j + 1) * 8]
+        ) + ")"
+        for r in cb
+    ) + ")"
+
+
 @register(
     "q_pq_encode",
     oracle="""
@@ -1148,24 +1171,13 @@ def q_pq_encode(spark, sf_dir):
     from pyresample_spark.operators.bilinear_irregular import _let
 
     emb = _emb(spark, sf_dir)
-    cb = sorted(
-        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-
-    def chunk_lit(vals):
-        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+    cb = _pq_codebook(emb)
 
     def ds_expr(j):
-        cb_j = "array(" + ", ".join(
-            chunk_lit(r.embedding[j * 8:(j + 1) * 8]) for r in cb
-        ) + ")"
         x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
         return (
-            f"transform({cb_j}, c -> aggregate(sequence(1, 8), 0.0D,"
-            f" (a, d) -> a + ({x} - element_at(c, d))"
+            f"transform({_pq_cb_lit(cb, j)}, c -> aggregate(sequence(1, 8),"
+            f" 0.0D, (a, d) -> a + ({x} - element_at(c, d))"
             f" * ({x} - element_at(c, d))))"
         )
 
@@ -1188,4 +1200,159 @@ def q_pq_encode(spark, sf_dir):
         rnd(
             F.col("r.mse_nano").cast("double") / 64000000000.0, 6
         ).alias("mse"),
+    )
+
+
+@register(
+    "q_pq_search",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+      FROM d WHERE vec_id % 50 = 0 AND vec_id < 2500
+    ),
+    dist AS (
+      SELECT d.vec_id, t.j, cb.ci,
+             list_reduce(
+               list_transform(range(1, 9), dd ->
+                 (v[t.j * 8 + dd] - cv[t.j * 8 + dd])
+                 * (v[t.j * 8 + dd] - cv[t.j * 8 + dd])),
+               (a, b) -> a + b) AS dsq
+      FROM d CROSS JOIN cb CROSS JOIN UNNEST(range(0, 8)) AS t(j)
+    ),
+    best AS (SELECT vec_id, j, MIN(dsq) AS mn FROM dist GROUP BY 1, 2),
+    pick AS (
+      SELECT di.vec_id, di.j, MIN(di.ci) AS ci
+      FROM dist di
+      JOIN best b ON di.vec_id = b.vec_id AND di.j = b.j AND di.dsq = b.mn
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM d
+               WHERE vec_id % 100 = 0),
+    adc AS (
+      SELECT p.probe_id, pk.vec_id,
+             CAST(SUM(CAST(FLOOR(
+               list_reduce(
+                 list_transform(range(1, 9), dd ->
+                   (p.pv[pk.j * 8 + dd] - cb.cv[pk.j * 8 + dd])
+                   * (p.pv[pk.j * 8 + dd] - cb.cv[pk.j * 8 + dd])),
+                 (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS nano
+      FROM pick pk
+      JOIN cb ON cb.ci = pk.ci
+      CROSS JOIN probes p
+      WHERE pk.vec_id != p.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id,
+           ROUND(CAST(nano AS DOUBLE) / 1000000000.0, 6) + 0.0 AS adc,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY nano ASC, vec_id ASC) AS rank
+          FROM adc)
+    WHERE rank <= 5
+    """,
+)
+def q_pq_search(spark, sf_dir):
+    """Asymmetric-distance PQ search (the payoff of q_pq_encode): the
+    corpus side of the search carries ONLY (vec_id, pq_code) — 16
+    bytes a row instead of the 260-byte embedding — and each probe
+    scores a candidate by summing per-subspace distances between its
+    own chunks and the codebook entry the candidate's 6-bit code
+    selects (codebook = plan literals, so no codebook join either).
+    Per-subspace distances are integer-nano quantized before the sum
+    so the ranking key is a pure BIGINT; top-5 per probe via the
+    packed-key hash aggregate (no window sort).
+
+    Scale shape: encode and search fuse into one scan — the corpus is
+    read once, encoded in-row, joined to the broadcast probe set, and
+    reduced map-side; the ONLY exchange is the per-probe top-k
+    aggregation over packed bigints. This is the 100 TB ANN topology:
+    codes in memory, vectors cold."""
+    from pyresample_spark.operators.bilinear_irregular import _let
+
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+
+    def ds_expr(j):
+        x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
+        return (
+            f"transform({_pq_cb_lit(cb, j)}, c -> aggregate(sequence(1, 8),"
+            f" 0.0D, (a, d) -> a + ({x} - element_at(c, d))"
+            f" * ({x} - element_at(c, d))))"
+        )
+
+    code = " + ".join(
+        f"(array_position(q.d{j}, array_min(q.d{j})) - 1L) * {64 ** j}L"
+        for j in range(8)
+    )
+    enc_expr = _let(
+        [(f"d{j}", ds_expr(j)) for j in range(8)], "q", f"({code})"
+    )
+    enc = emb.selectExpr("vec_id", enc_expr + " AS pq_code")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    pairs = enc.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    )
+    # per-pair ADC: decode each 6-bit code into its codebook chunk
+    # (let-bound so the literal array is referenced once), then the
+    # integer-nano distance sum
+    codes = [
+        (f"c{j}", f"CAST((pq_code div {64 ** j}L) % 64 AS INT)")
+        for j in range(8)
+    ]
+    chunks = [
+        (f"e{j}", f"element_at({_pq_cb_lit(cb, j)}, w.c{j} + 1)")
+        for j in range(8)
+    ]
+    px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
+    nanos = [
+        (
+            f"n{j}",
+            f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
+            f" + ({px(j)} - element_at(z.e{j}, d))"
+            f" * ({px(j)} - element_at(z.e{j}, d))) * 1000000000.0D"
+            f" + 0.5D) AS BIGINT)",
+        )
+        for j in range(8)
+    ]
+    nano_expr = _let(
+        codes, "w",
+        _let(chunks, "z",
+             _let(nanos, "y",
+                  "(" + " + ".join(f"y.n{j}" for j in range(8)) + ")")),
+    )
+    cand = pairs.selectExpr("probe_id", "vec_id", nano_expr + " AS nano")
+    # packed top-5 per probe: nano ASC then vec_id ASC, one bigint key
+    pack = 1 << 20
+    key = F.col("nano") * pack + F.col("vec_id")
+    g = cand.groupBy("probe_id").agg(
+        F.slice(F.array_sort(F.collect_list(key)), 1, 5).alias("ks"),
+        F.min("vec_id").alias("_id_lo"),
+        F.max("vec_id").alias("_id_hi"),
+        F.max("nano").alias("_n_hi"),
+    )
+    ok = (
+        (F.col("_id_lo") >= 0)
+        & (F.col("_id_hi") < F.lit(pack))
+        & (F.col("_n_hi") < F.lit((1 << 62) // pack))
+    )
+    guard = F.assert_true(ok, F.lit(
+        "q_pq_search: id or distance outside the packable range"
+    ))
+    return g.select(
+        "probe_id", F.posexplode("ks").alias("rank0", "bk"),
+        guard.alias("_g"),
+    ).select(
+        "probe_id",
+        F.when(F.col("_g").isNull(), F.col("bk") % pack).alias("vec_id"),
+        rnd(
+            F.expr(f"bk div {pack}").cast("double") / 1000000000.0, 6
+        ).alias("adc"),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
     )
