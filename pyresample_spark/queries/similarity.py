@@ -1203,6 +1203,37 @@ def q_pq_encode(spark, sf_dir):
     )
 
 
+def _nano_top5(cand, group: str = "probe_id",
+               id_col: str = "vec_id", nano_col: str = "nano"):
+    """Packed integer top-5 per group: (nano ASC, id ASC) as ONE
+    ascending bigint key through the hash-agg collect/sort/slice idiom
+    (no window sort); range-guarded like every packed key."""
+    pack = 1 << 20
+    key = F.col(nano_col) * pack + F.col(id_col)
+    g = cand.groupBy(group).agg(
+        F.slice(F.array_sort(F.collect_list(key)), 1, 5).alias("ks"),
+        F.min(id_col).alias("_id_lo"),
+        F.max(id_col).alias("_id_hi"),
+        F.max(nano_col).alias("_n_hi"),
+    )
+    ok = (
+        (F.col("_id_lo") >= 0)
+        & (F.col("_id_hi") < F.lit(pack))
+        & (F.col("_n_hi") < F.lit((1 << 62) // pack))
+    )
+    guard = F.assert_true(ok, F.lit(
+        "packed nano top-5: id or distance outside the packable range"
+    ))
+    return g.select(
+        group, F.posexplode("ks").alias("rank0", "bk"), guard.alias("_g")
+    ).select(
+        group,
+        F.when(F.col("_g").isNull(), F.col("bk") % pack).alias(id_col),
+        F.expr(f"bk div {pack}").alias(nano_col),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+    )
+
+
 @register(
     "q_pq_search",
     oracle="""
@@ -1328,31 +1359,182 @@ def q_pq_search(spark, sf_dir):
                   "(" + " + ".join(f"y.n{j}" for j in range(8)) + ")")),
     )
     cand = pairs.selectExpr("probe_id", "vec_id", nano_expr + " AS nano")
-    # packed top-5 per probe: nano ASC then vec_id ASC, one bigint key
-    pack = 1 << 20
-    key = F.col("nano") * pack + F.col("vec_id")
-    g = cand.groupBy("probe_id").agg(
-        F.slice(F.array_sort(F.collect_list(key)), 1, 5).alias("ks"),
-        F.min("vec_id").alias("_id_lo"),
-        F.max("vec_id").alias("_id_hi"),
-        F.max("nano").alias("_n_hi"),
+    return _nano_top5(cand).select(
+        "probe_id", "vec_id",
+        rnd(F.col("nano").cast("double") / 1000000000.0, 6).alias("adc"),
+        "rank",
     )
-    ok = (
-        (F.col("_id_lo") >= 0)
-        & (F.col("_id_hi") < F.lit(pack))
-        & (F.col("_n_hi") < F.lit((1 << 62) // pack))
+
+
+@register(
+    "q_pq_recall",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+      FROM d WHERE vec_id % 50 = 0 AND vec_id < 2500
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM d
+               WHERE vec_id % 100 = 0),
+    exact_nano AS (
+      SELECT p.probe_id, c.vec_id,
+             CAST(SUM(CAST(FLOOR(
+               list_reduce(
+                 list_transform(range(1, 9), dd ->
+                   (p.pv[t.j * 8 + dd] - c.v[t.j * 8 + dd])
+                   * (p.pv[t.j * 8 + dd] - c.v[t.j * 8 + dd])),
+                 (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS nano
+      FROM d c CROSS JOIN probes p CROSS JOIN UNNEST(range(0, 8)) AS t(j)
+      WHERE c.vec_id != p.probe_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY nano ASC, vec_id ASC) AS rank
+        FROM exact_nano) WHERE rank <= 5
+    ),
+    dist AS (
+      SELECT d.vec_id, t.j, cb.ci,
+             list_reduce(
+               list_transform(range(1, 9), dd ->
+                 (v[t.j * 8 + dd] - cv[t.j * 8 + dd])
+                 * (v[t.j * 8 + dd] - cv[t.j * 8 + dd])),
+               (a, b) -> a + b) AS dsq
+      FROM d CROSS JOIN cb CROSS JOIN UNNEST(range(0, 8)) AS t(j)
+    ),
+    best AS (SELECT vec_id, j, MIN(dsq) AS mn FROM dist GROUP BY 1, 2),
+    pick AS (
+      SELECT di.vec_id, di.j, MIN(di.ci) AS ci
+      FROM dist di
+      JOIN best b ON di.vec_id = b.vec_id AND di.j = b.j AND di.dsq = b.mn
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT p.probe_id, pk.vec_id,
+             CAST(SUM(CAST(FLOOR(
+               list_reduce(
+                 list_transform(range(1, 9), dd ->
+                   (p.pv[pk.j * 8 + dd] - cb.cv[pk.j * 8 + dd])
+                   * (p.pv[pk.j * 8 + dd] - cb.cv[pk.j * 8 + dd])),
+                 (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS nano
+      FROM pick pk JOIN cb ON cb.ci = pk.ci CROSS JOIN probes p
+      WHERE pk.vec_id != p.probe_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY nano ASC, vec_id ASC) AS rank
+        FROM adc) WHERE rank <= 5
     )
-    guard = F.assert_true(ok, F.lit(
-        "q_pq_search: id or distance outside the packable range"
-    ))
-    return g.select(
-        "probe_id", F.posexplode("ks").alias("rank0", "bk"),
-        guard.alias("_g"),
-    ).select(
-        "probe_id",
-        F.when(F.col("_g").isNull(), F.col("bk") % pack).alias("vec_id"),
-        rnd(
-            F.expr(f"bk div {pack}").cast("double") / 1000000000.0, 6
-        ).alias("adc"),
-        (F.col("rank0") + 1).cast("int").alias("rank"),
+    SELECT e.probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           (ROUND(COUNT(a.vec_id) / (1.0 * COUNT(*)), 6) + 0.0) AS recall
+    FROM exact e
+    LEFT JOIN approx a USING (probe_id, vec_id)
+    GROUP BY e.probe_id
+    """,
+)
+def q_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ-ADC search against the exact L2 scorer, per
+    probe — the quantization-quality diagnostic that gates any
+    codebook-size/subspace change (the PQ analog of q_ann_recall).
+    The exact side uses the same per-subspace integer-nano
+    quantization as the ADC side so the two rankings differ only by
+    the quantization error being measured. The recall join touches
+    2·k rows per probe."""
+    from pyresample_spark.operators.bilinear_irregular import _let
+
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+
+    # exact: true chunk distances (candidate's own embedding)
+    px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
+    cx = lambda j: (  # noqa: E731
+        f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
+    )
+    exact_nano = " + ".join(
+        f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
+        f" + ({px(j)} - {cx(j)}) * ({px(j)} - {cx(j)}))"
+        f" * 1000000000.0D + 0.5D) AS BIGINT)"
+        for j in range(8)
+    )
+    exact_pairs = emb.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).selectExpr("probe_id", "vec_id", f"({exact_nano}) AS nano")
+    exact = _nano_top5(exact_pairs).select("probe_id", "vec_id")
+
+    # approx: the q_pq_search ADC pipeline
+    def ds_expr(j):
+        x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
+        return (
+            f"transform({_pq_cb_lit(cb, j)}, c -> aggregate(sequence(1, 8),"
+            f" 0.0D, (a, d) -> a + ({x} - element_at(c, d))"
+            f" * ({x} - element_at(c, d))))"
+        )
+
+    code = " + ".join(
+        f"(array_position(q.d{j}, array_min(q.d{j})) - 1L) * {64 ** j}L"
+        for j in range(8)
+    )
+    enc = emb.selectExpr(
+        "vec_id",
+        _let([(f"d{j}", ds_expr(j)) for j in range(8)], "q", f"({code})")
+        + " AS pq_code",
+    )
+    codes = [
+        (f"c{j}", f"CAST((pq_code div {64 ** j}L) % 64 AS INT)")
+        for j in range(8)
+    ]
+    chunks = [
+        (f"e{j}", f"element_at({_pq_cb_lit(cb, j)}, w.c{j} + 1)")
+        for j in range(8)
+    ]
+    nanos = [
+        (
+            f"n{j}",
+            f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
+            f" + ({px(j)} - element_at(z.e{j}, d))"
+            f" * ({px(j)} - element_at(z.e{j}, d))) * 1000000000.0D"
+            f" + 0.5D) AS BIGINT)",
+        )
+        for j in range(8)
+    ]
+    nano_expr = _let(
+        codes, "w",
+        _let(chunks, "z",
+             _let(nanos, "y",
+                  "(" + " + ".join(f"y.n{j}" for j in range(8)) + ")")),
+    )
+    adc_pairs = enc.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).selectExpr("probe_id", "vec_id", nano_expr + " AS nano")
+    approx = _nano_top5(adc_pairs).select(
+        "probe_id", F.col("vec_id").alias("a_vec")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["probe_id"] == approx["probe_id"])
+            & (exact["vec_id"] == approx["a_vec"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vec").alias("n_hit"),
+            rnd(F.count("a_vec") / (1.0 * F.count(F.lit(1))), 6).alias(
+                "recall"
+            ),
+        )
     )
