@@ -1524,7 +1524,7 @@ def q_pq_recall(spark, sf_dir):
     )
     return (
         exact.join(
-            approx,
+            F.broadcast(approx),  # 5 rows per probe — always tiny
             (exact["probe_id"] == approx["probe_id"])
             & (exact["vec_id"] == approx["a_vec"]),
             "left",

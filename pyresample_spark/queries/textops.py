@@ -2269,29 +2269,29 @@ def q_line_dedup(spark, sf_dir):
     g2 AS (SELECT doc_id, shingle, COUNT(*) AS cnt
            FROM ({shingles_sql(2)}) GROUP BY 1, 2),
     mx2 AS (SELECT doc_id, MAX(cnt) AS mx FROM g2 GROUP BY 1),
-    top2 AS (SELECT g.doc_id, MIN(g.shingle) AS gram, MAX(g.cnt) AS cnt
+    top2 AS (SELECT g.doc_id, MIN(len(g.shingle)) AS glen, MAX(g.cnt) AS cnt
              FROM g2 g JOIN mx2 m ON g.doc_id = m.doc_id AND g.cnt = m.mx
              GROUP BY g.doc_id),
     g3 AS (SELECT doc_id, shingle, COUNT(*) AS cnt
            FROM ({shingles_sql(3)}) GROUP BY 1, 2),
     mx3 AS (SELECT doc_id, MAX(cnt) AS mx FROM g3 GROUP BY 1),
-    top3 AS (SELECT g.doc_id, MIN(g.shingle) AS gram, MAX(g.cnt) AS cnt
+    top3 AS (SELECT g.doc_id, MIN(len(g.shingle)) AS glen, MAX(g.cnt) AS cnt
              FROM g3 g JOIN mx3 m ON g.doc_id = m.doc_id AND g.cnt = m.mx
              GROUP BY g.doc_id)
     SELECT b.doc_id, b.n_words,
            ROUND(b.mean_word_len, 6) + 0.0 AS mean_word_len,
            ROUND(b.frac_alpha, 6) + 0.0 AS frac_alpha,
            b.n_stopwords,
-           ROUND(COALESCE(t2.cnt * len(t2.gram), 0)
+           ROUND(COALESCE(t2.cnt * t2.glen, 0)
                  / (1.0 * b.n_chars), 6) + 0.0 AS top2_frac,
-           ROUND(COALESCE(t3.cnt * len(t3.gram), 0)
+           ROUND(COALESCE(t3.cnt * t3.glen, 0)
                  / (1.0 * b.n_chars), 6) + 0.0 AS top3_frac,
            (b.n_words >= 50 AND b.n_words <= 100000
             AND b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0
             AND b.frac_alpha >= 0.8 AND b.n_stopwords >= 2
-            AND COALESCE(t2.cnt * len(t2.gram), 0)
+            AND COALESCE(t2.cnt * t2.glen, 0)
                 / (1.0 * b.n_chars) <= 0.20
-            AND COALESCE(t3.cnt * len(t3.gram), 0)
+            AND COALESCE(t3.cnt * t3.glen, 0)
                 / (1.0 * b.n_chars) <= 0.18) AS keep
     FROM base b
     LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
@@ -2358,7 +2358,11 @@ def q_gopher_rules(spark, sf_dir):
             )
             .groupBy("doc_id")
             .agg(
-                F.min("shingle").alias(f"{out}_gram"),
+                # ties resolved by MIN LENGTH, not min gram: only the
+                # length feeds the fraction, and an integer min keeps
+                # the aggregate a HashAggregate (a string min buffer
+                # would force SortAggregate)
+                F.min(F.length("shingle")).alias(f"{out}_glen"),
                 F.max("cnt").alias(f"{out}_cnt"),
             )
         )
@@ -2368,10 +2372,10 @@ def q_gopher_rules(spark, sf_dir):
         .join(top_gram(3, "t3"), "doc_id", "left")
     )
     t2f = F.coalesce(
-        F.col("t2_cnt") * F.length("t2_gram"), F.lit(0)
+        F.col("t2_cnt") * F.col("t2_glen"), F.lit(0)
     ) / (1.0 * F.col("n_chars"))
     t3f = F.coalesce(
-        F.col("t3_cnt") * F.length("t3_gram"), F.lit(0)
+        F.col("t3_cnt") * F.col("t3_glen"), F.lit(0)
     ) / (1.0 * F.col("n_chars"))
     keep = (
         (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
