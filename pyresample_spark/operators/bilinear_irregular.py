@@ -316,7 +316,6 @@ def _ts_chain_expr() -> str:
     (NULL on zero) where DuckDB's plain ``/`` yields inf/NaN, and the
     identical [0, 1] gates exclude both."""
     dv = _try_div
-    ands = " AND ".join
     root_case = lambda qa, qd, qb, r1, r2, r3: (  # noqa: E731
         f"CASE WHEN {qa} <> 0.0 AND {qd} >= 0.0"
         f" AND {r1} >= 0.0 AND {r1} <= 1.0 THEN {r1}"
@@ -404,7 +403,6 @@ def _ts_chain_expr() -> str:
         "b", body,
     )
     body = _let(list(ABC_SQL), "a", body)
-    assert ands  # keep helper referenced for future gates
     return body
 
 
