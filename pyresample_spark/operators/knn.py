@@ -81,15 +81,33 @@ def _radius_pairs(
     salt_factor: int | None = None,
     extra_src_cols: tuple = (),
     extra_tgt_cols: tuple = (),
+    neighbor_scheme: str = "c27",
 ) -> DataFrame:
     """(tgt_id, src_id, dist_mm[, extra…]) candidate pairs within chord
     ``c`` — the shared cell-join core of knn_join and the fused
     aggregate variants. ``extra_src_cols`` ride the build side (e.g.
     the value column for the fused gaussian fold); ``extra_tgt_cols``
-    ride the probe side THROUGH the 27× explode (bytes, not rows — use
+    ride the probe side THROUGH the explode (bytes, not rows — use
     for a few scalars like the target's own lon/lat, cf. the fused
-    bilinear corner pick)."""
-    s = with_cells(with_geocentric(src, src_lon, src_lat), c).select(
+    bilinear corner pick).
+
+    ``neighbor_scheme`` picks the cell/explode geometry (both EXACT —
+    identical pair sets; the difference is shuffle bytes vs filter
+    compute, measured in PERF.md):
+
+    - ``"c27"`` (default): cells of side c, probe explodes over its 27
+      neighbors. Candidate volume 27c³ per probe; probe shuffle 27×.
+    - ``"2c8"``: cells of side 2c, probe explodes over the 8 cells
+      nearest its position (per axis: its own cell + the one on the
+      side it sits closer to — any point within c lies in one of
+      them). Probe shuffle drops to 8× (3.4× fewer bytes) but each
+      cell holds 8× the volume, so candidate pairs grow ~2.4×
+      (64c³ vs 27c³) and the exact-distance filter does more work.
+    """
+    if neighbor_scheme not in ("c27", "2c8"):
+        raise ValueError(f"unknown neighbor_scheme {neighbor_scheme!r}")
+    cell = c if neighbor_scheme == "c27" else 2.0 * c
+    s = with_cells(with_geocentric(src, src_lon, src_lat), cell).select(
         F.col(src_id).alias("src_id"),
         F.col("gx").alias("s_gx"),
         F.col("gy").alias("s_gy"),
@@ -99,14 +117,33 @@ def _radius_pairs(
         "cz3",
         *extra_src_cols,
     )
-    offsets = F.expr(
-        "explode(flatten(transform(sequence(-1,1), dx -> "
-        "flatten(transform(sequence(-1,1), dy -> "
-        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))))"
-    )
+    if neighbor_scheme == "c27":
+        offsets = F.expr(
+            "explode(flatten(transform(sequence(-1,1), dx -> "
+            "flatten(transform(sequence(-1,1), dy -> "
+            "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))))"
+        )
+        tk = with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), cell)
+    else:
+        # per axis: 0 plus the signed step toward the nearer wall —
+        # g in cell C covers [C·2c, (C+1)·2c); if the offset within
+        # the cell is < c the ±c ball can only spill into C−1, else
+        # only into C+1
+        tk = with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), cell)
+        for ax, g in (("bx", "gx"), ("by", "gy"), ("bz", "gz")):
+            tk = tk.withColumn(
+                ax,
+                F.when(
+                    F.col(g) - F.col(f"c{ax[1]}3") * cell < c, F.lit(-1)
+                ).otherwise(F.lit(1)).cast("long"),
+            )
+        offsets = F.expr(
+            "explode(flatten(transform(array(0L, bx), dx -> "
+            "flatten(transform(array(0L, by), dy -> "
+            "transform(array(0L, bz), dz -> struct(dx, dy, dz)))))))"
+        )
     t = (
-        with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), c)
-        .select(
+        tk.select(
             F.col(tgt_id).alias("tgt_id"),
             F.col("gx").alias("t_gx"),
             F.col("gy").alias("t_gy"),
@@ -168,6 +205,7 @@ def knn_join(
     tgt_lat: str = "lat",
     salt_factor: int | None = None,
     packed: bool = True,
+    neighbor_scheme: str = "c27",
 ) -> DataFrame:
     """Cell-bucketed kNN radius join.
 
@@ -204,7 +242,7 @@ def knn_join(
     c = chord_length(radius_m)
     pairs = _radius_pairs(
         src, tgt, c, src_id, tgt_id, src_lon, src_lat, tgt_lon, tgt_lat,
-        salt_factor,
+        salt_factor, neighbor_scheme=neighbor_scheme,
     )
     if k is None:
         # radius-only join (EWA footprint path) — no top-k, so no
