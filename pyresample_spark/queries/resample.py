@@ -1778,3 +1778,50 @@ def q_regrid_bessel(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_BESSEL_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_abi: GOES-R ABI fixed grid (ellipsoidal geos, sweep=x) -
+
+def _abi_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # GOES-East ABI CONUS sector: the OTHER geostationary sweep axis
+    # (+sweep=x — GOES scans E-W first; MSG/SEVIRI is sweep=y) on the
+    # GRS80 ellipsoid at the GOES-R orbit height
+    return AreaDefinition(
+        "abi_conus",
+        "+proj=geos +sweep=x +lon_0=-75.0 +h=35786023.0 "
+        "+a=6378137.0 +b=6356752.31414",
+        width=60, height=60,
+        area_extent=(-3627271.29, 1583173.79, 1382771.92, 4589199.58),
+    )
+
+
+_ABI_AREA = _abi_area()
+
+
+@register(
+    "q_regrid_abi",
+    oracle=(lambda lonlat: _regrid_oracle(_ABI_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["geos_ell_inv_sql"],
+        ).geos_ell_inv_sql(
+            "cx", "cy", h=35786023.0, a=6378137.0, b=6356752.31414,
+            lon_0=-75.0, sweep="x",
+        )
+    ),
+)
+def q_regrid_abi(spark, sf_dir):
+    """Regrid onto the GOES-R ABI CONUS fixed grid WITHOUT pyproj —
+    the ellipsoidal geostationary inverse with the sweep=x axis order
+    (GOES scans the x angle first; the MSG query q_regrid_geos_ell
+    covers sweep=y), GRS80 semi-axes, h=35 786 023 m, lon_0=−75° —
+    then the eqc source gather by equi-join. Together the two queries
+    pin BOTH real-world geostationary scan conventions through the
+    same column-math family."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_ABI_AREA, EQC_AREA, src)
