@@ -793,3 +793,45 @@ def q_proj_geos_ell(spark, sf_dir):
             rnd(F.col("_gy"), 3).alias("gy"),
         )
     )
+
+
+@register(
+    "q_proj_abi",
+    oracle=(lambda xy: f"""
+    SELECT event_id,
+           ROUND({xy[0]}, 3) + 0.0 AS gx,
+           ROUND({xy[1]}, 3) + 0.0 AS gy
+    FROM ({PTS_SQL})
+    WHERE {xy[0]} IS NOT NULL
+      AND sqrt({xy[0]} * {xy[0]} + {xy[1]} * {xy[1]}) < 5400000.0
+    """)(__import__('pyresample_spark.functions.geo',
+                    fromlist=['geos_ell_sql']).geos_ell_sql(
+        'lon', 'lat', h=35786023.0, a=6378137.0, b=6356752.31414,
+        lon_0=-75.0, sweep='x')),
+)
+def q_proj_abi(spark, sf_dir):
+    """GOES-R ABI forward — ellipsoidal geostationary with the
+    sweep=x scan-axis order (x angle first; q_proj_geos_ell covers
+    MSG's sweep=y), GRS80 semi-axes, h=35 786 023 m, lon_0=−75°.
+    Off-disc points NULL out in BOTH engines; the 5400 km limb cap
+    matches the MSG twin's rationale."""
+    from pyresample_spark.functions.geo import geos_ell_xy
+
+    gx, gy = geos_ell_xy(
+        "lon", "lat", h=35786023.0, a=6378137.0, b=6356752.31414,
+        lon_0=-75.0, sweep="x",
+    )
+    return (
+        _pts(spark, sf_dir)
+        .select("event_id", gx.alias("_gx"), gy.alias("_gy"))
+        .filter(
+            F.col("_gx").isNotNull()
+            & (F.sqrt(F.col("_gx") * F.col("_gx")
+                      + F.col("_gy") * F.col("_gy")) < 5400000.0)
+        )
+        .select(
+            "event_id",
+            rnd(F.col("_gx"), 3).alias("gx"),
+            rnd(F.col("_gy"), 3).alias("gy"),
+        )
+    )
