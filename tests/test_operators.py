@@ -1333,6 +1333,10 @@ def test_crs_roundtrip_sweep_all_families(spark):
          (cos_c(52.0, 10.0) > -0.9) & (F.abs(lat) < 89.0)),
         ("+proj=geos +a=6378169.0 +b=6356584.0 +h=35785831.0 +lon_0=0",
          cos_c(0.0, 0.0) > 0.25),
+        # GOES-R ABI: the ellipsoidal geos sweep=x scan convention
+        ("+proj=geos +sweep=x +a=6378137.0 +b=6356752.31414 "
+         "+h=35786023.0 +lon_0=-75.0",
+         cos_c(0.0, -75.0) > 0.25),
         ("+proj=laea +lat_0=90 +lon_0=0", lat > -80.0),
         ("+proj=merc +lat_ts=20", F.abs(lat) < 85.0),
         ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
