@@ -118,6 +118,7 @@ class Resampler:
         epsilon: float = 0.0,
         salt_factor: int | None = None,
         hot_cell_rows: int | None = None,
+        neighbor_scheme: str = "c27",
     ) -> ResamplePlan:
         """Build (or load) the neighbour-info LUT.
 
@@ -131,6 +132,10 @@ class Resampler:
         one-scan heuristic and salts automatically if any cell is
         hotter than ``hot_cell_rows`` (default HOT_CELL_ROWS). Pass
         ``salt_factor=1`` to force the unsalted plan.
+
+        ``neighbor_scheme``: cell-join geometry — ``"c27"`` (default,
+        less filter compute) or ``"2c8"`` (3.4× less probe shuffle;
+        for network-bound clusters — both exact, PERF.md A/B).
         """
         from pyresample_spark.operators.knn import (
             knn_join,
@@ -159,6 +164,7 @@ class Resampler:
             return knn_join(
                 src_points, tgt_points, radius_m, k=k,
                 salt_factor=salt_factor,
+                neighbor_scheme=neighbor_scheme,
             )
 
         if self.cache is not None:
