@@ -289,21 +289,9 @@ QUAD_CONDS = (
 )
 
 
-def _let(bindings, var: str, body: str) -> str:
-    """Emulate a let-binding in Spark SQL: bind each (name, expr) once
-    inside a single-element ``transform`` lambda; ``body`` references
-    them as ``var.name`` — leaf variable reads, NOT inline copies.
-    This is what keeps the (t, s) chain's expression tree LINEAR in
-    the number of formulas: plain staged Projects get merged by
-    CollapseProject, which substitutes every alias into each of its
-    (3-4×) consumers and makes the tree — and every optimizer pass
-    over it, re-run per AQE stage — grow multiplicatively (~90 s for
-    27 rows, measured)."""
-    pairs = ", ".join(f"'{n}', {e}" for n, e in bindings)
-    return (
-        f"element_at(transform(array(named_struct({pairs})), "
-        f"{var} -> {body}), 1)"
-    )
+# let-binding emulation shared with the PQ expressions; see the
+# docstring there for why lambda bindings beat staged Projects here
+from pyresample_spark.functions.exprs import let_expr as _let  # noqa: E402
 
 
 def _ts_chain_expr() -> str:

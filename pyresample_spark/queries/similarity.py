@@ -1168,7 +1168,7 @@ def q_pq_encode(spark, sf_dir):
     Distances are evaluated once per subspace through a let-bound
     array (the bilinear let idiom) and reused by both the argmin and
     the MSE."""
-    from pyresample_spark.operators.bilinear_irregular import _let
+    from pyresample_spark.functions.exprs import let_expr as _let
 
     emb = _emb(spark, sf_dir)
     cb = _pq_codebook(emb)
@@ -1303,7 +1303,7 @@ def q_pq_search(spark, sf_dir):
     reduced map-side; the ONLY exchange is the per-probe top-k
     aggregation over packed bigints. This is the 100 TB ANN topology:
     codes in memory, vectors cold."""
-    from pyresample_spark.operators.bilinear_irregular import _let
+    from pyresample_spark.functions.exprs import let_expr as _let
 
     emb = _emb(spark, sf_dir)
     cb = _pq_codebook(emb)
@@ -1450,7 +1450,7 @@ def q_pq_recall(spark, sf_dir):
     quantization as the ADC side so the two rankings differ only by
     the quantization error being measured. The recall join touches
     2·k rows per probe."""
-    from pyresample_spark.operators.bilinear_irregular import _let
+    from pyresample_spark.functions.exprs import let_expr as _let
 
     emb = _emb(spark, sf_dir)
     cb = _pq_codebook(emb)
