@@ -2393,3 +2393,57 @@ def q_gopher_rules(spark, sf_dir):
         rnd(t3f, 6).alias("top3_frac"),
         keep.alias("keep"),
     )
+
+
+@register(
+    "q_doc_chunk",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_no,
+             array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+             CAST(len(w[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_tokens
+      FROM ws, UNNEST(range(0, GREATEST(
+        CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, chunk_text,
+           n_tokens
+    FROM chunks WHERE n_tokens > 0
+    """,
+)
+def q_doc_chunk(spark, sf_dir):
+    """Context-window chunking — how pretraining data actually gets
+    windowed: each document splits into chunks of 32 tokens with
+    stride 24 (8-token overlap so no span is ever cut without context
+    on one side). Output one row per (doc, chunk) with its text and
+    length; the final short tail chunk is kept (real pipelines pad
+    it). Chunk count = ceil((n − overlap) / stride), min 1.
+
+    Scale shape: a pure in-row transform + posexplode — ZERO shuffle,
+    no join; the ideal map-only plan. The 1→N amplification carries
+    only the chunk's own words (total output ≈ 1.33× input chars at
+    this stride), exactly like the multimodal frame explode."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    return (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(greatest("
+                    "ceil((size(w) - 8) / 24.0), 1.0)) - 1),"
+                    " i -> slice(w, i * 24 + 1, 32))"
+                )
+            ).alias("chunk_no", "chunk"),
+        )
+        .filter(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("bigint").alias("chunk_no"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+        )
+    )
