@@ -2447,3 +2447,104 @@ def q_doc_chunk(spark, sf_dir):
             F.size("chunk").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q_data_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id, text, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents WHERE doc_id % 37 <> 0
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+      FROM base GROUP BY source
+    ),
+    sh AS ({shingles_sql(3)}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    cont AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % 37 <> 0
+    ),
+    csrc AS (
+      SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_cont
+      FROM cont JOIN base b ON cont.doc_id = b.doc_id
+      GROUP BY b.source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_docs, 6) + 0.0
+             AS dup_rate,
+           ROUND(CAST(COALESCE(c.n_cont, 0) AS DOUBLE) / p.n_docs, 6) + 0.0
+             AS contam_rate,
+           ROUND(CAST(p.n_en AS DOUBLE) / p.n_docs, 6) + 0.0 AS en_frac
+    FROM per p LEFT JOIN csrc c ON p.source = c.source
+    """,
+)
+def q_data_card(spark, sf_dir):
+    """Per-source DATA CARD — the report a pipeline team publishes
+    with a training mix: training docs (eval split excluded) and
+    tokens per source, exact-duplicate rate (1 − distinct content
+    hashes / docs), benchmark-contamination rate (share of docs with
+    ≥1 shared 3-gram with the held-out set), and language purity.
+    Every metric is a previously-oracled operator's aggregate,
+    composed into one k-row report.
+
+    Scale shape: content hashes shuffle as digests, the eval n-gram
+    set broadcasts, the contaminated-doc set is a distinct stream of
+    bare ids re-joined map-side, and the final report is a few-row
+    join on the source key — nothing in the plan scales with corpus
+    size except the scans."""
+    from pyresample_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    base = d.filter(F.col("doc_id") % 37 != 0).select(
+        "source", "doc_id", "text", "lang",
+        F.size(w).cast("bigint").alias("n_words"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.count_distinct(F.sha2("text", 256)).alias("n_distinct"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint").alias("n_en"),
+    )
+    sh = shingles(d, 3)
+    ev = sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
+    cont = (
+        sh.filter(F.col("doc_id") % 37 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    csrc = (
+        cont.join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_cont"))
+    )
+    return (
+        per.join(F.broadcast(csrc), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rnd(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            rnd(
+                F.coalesce(F.col("n_cont"), F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("contam_rate"),
+            rnd(
+                F.col("n_en").cast("double") / F.col("n_docs"), 6
+            ).alias("en_frac"),
+        )
+    )
