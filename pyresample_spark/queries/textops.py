@@ -2548,3 +2548,93 @@ def q_data_card(spark, sf_dir):
             ).alias("en_frac"),
         )
     )
+
+
+@register(
+    "q_quality_logreg",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w))
+               AS mean_word_len,
+             (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS DOUBLE) / len(w)) AS frac_alpha,
+             (CAST(len(list_intersect(list_distinct(w),
+                  ['the', 'a', 'and', 'of', 'to', 'in'])) AS DOUBLE) / 6.0)
+               AS stop_cov,
+             (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) AS ttr
+      FROM ws
+    ),
+    z AS (
+      SELECT doc_id, n_words,
+             (-3.0 + 0.02 * n_words + 0.3 * mean_word_len
+              + 2.0 * frac_alpha + 1.5 * stop_cov + 2.5 * ttr) AS z
+      FROM feat
+    )
+    SELECT doc_id, n_words,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) + 0.0 AS p_quality,
+           (ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5) AS keep
+    FROM z
+    """,
+)
+def q_quality_logreg(spark, sf_dir):
+    """Learned quality filter — the fastText/logistic-regression shape
+    production pipelines apply after the rule battery: a FIXED linear
+    model over cheap per-doc features (token count, mean word length,
+    alphabetic fraction, stopword coverage, type-token ratio) through
+    a sigmoid, with the keep decision taken on the ROUNDED probability
+    so a last-ulp libm exp difference can never flip it cross-engine.
+    Weights ride the plan as literals (a real model's coefficients
+    would too — KBs against a 100 TB corpus).
+
+    Scale shape: features are in-row array folds, the score is a
+    scalar expression — a pure map with zero shuffle; the cheapest
+    possible 100 TB filter after the scan itself."""
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    feat = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(w).cast("bigint").alias("n_words"),
+        w.alias("w"),
+    ).select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words")
+        ).alias("mean_word_len"),
+        (
+            F.size(F.expr("filter(w, x -> x rlike '[a-zA-Z]')"))
+            .cast("double") / F.col("n_words")
+        ).alias("frac_alpha"),
+        (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.col("w")),
+                    F.array(*[F.lit(t) for t in
+                              ("the", "a", "and", "of", "to", "in")]),
+                )
+            ).cast("double") / 6.0
+        ).alias("stop_cov"),
+        (
+            F.size(F.array_distinct(F.col("w"))).cast("double")
+            / F.col("n_words")
+        ).alias("ttr"),
+    )
+    z = (
+        F.lit(-3.0) + 0.02 * F.col("n_words") + 0.3 * F.col("mean_word_len")
+        + 2.0 * F.col("frac_alpha") + 1.5 * F.col("stop_cov")
+        + 2.5 * F.col("ttr")
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return feat.select(
+        "doc_id",
+        "n_words",
+        (p + F.lit(0.0)).alias("p_quality"),
+        (p >= 0.5).alias("keep"),
+    )
