@@ -835,3 +835,73 @@ def q_proj_abi(spark, sf_dir):
             rnd(F.col("_gy"), 3).alias("gy"),
         )
     )
+
+
+@register(
+    "q_tile_assign",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, lon, GREATEST(-85.0511, LEAST(85.0511, lat)) AS lat,
+             value FROM ({PTS_SQL})
+    ),
+    t AS (
+      SELECT event_id, value,
+             CAST(FLOOR(ROUND((lon + 180.0) / 360.0 * 64.0, 9)) AS BIGINT)
+               AS tx,
+             CAST(FLOOR(ROUND((1.0 - ln(tan(radians(lat))
+                  + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0, 9))
+               AS BIGINT) AS ty
+      FROM p
+    ),
+    c AS (
+      SELECT LEAST(GREATEST(tx, 0), 63) AS tx,
+             LEAST(GREATEST(ty, 0), 63) AS ty,
+             value
+      FROM t
+    )
+    SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(AVG(ROUND(value, 6)), 6) + 0.0 AS avg_value
+    FROM c GROUP BY tx, ty
+    """,
+)
+def q_tile_assign(spark, sf_dir):
+    """Web-mercator slippy-tile assignment at zoom 6 (the OSM/XYZ
+    z/x/y convention): tx = (lon+180)/360·2^z, ty from the Mercator
+    latitude, lat clamped to ±85.0511 (the Mercator square), indices
+    clamped into [0, 2^z). The fractional index snaps to 9 decimals
+    BEFORE floor (the engine's grid-boundary idiom) so a last-ulp
+    tan/ln difference can't flip a point across a tile edge between
+    engines. Output: per-tile point count + mean value — the
+    tile-bucketed summary a serving layer builds.
+
+    Scale shape: assignment is a pure map (zero joins); the only
+    shuffle is the per-tile hash agg, map-side combined, bounded by
+    4^z rows. Tile ids are also the natural BUCKET BY key for
+    serving-layer storage — the geo analog of the LUT bucketing."""
+    import math
+
+    z = 64.0  # 2^6
+    pts = _pts(spark, sf_dir)
+    lat = F.greatest(F.lit(-85.0511), F.least(F.lit(85.0511), F.col("lat")))
+    txf = F.round((F.col("lon") + 180.0) / 360.0 * z, 9)
+    tyf = F.round(
+        (1.0 - F.log(
+            F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat))
+        ) / math.pi) / 2.0 * z,
+        9,
+    )
+    clamp = lambda c: F.least(  # noqa: E731
+        F.greatest(c, F.lit(0)), F.lit(63)
+    ).cast("bigint")
+    return (
+        pts.select(
+            clamp(F.floor(txf)).alias("tx"),
+            clamp(F.floor(tyf)).alias("ty"),
+            F.round(F.col("value"), 6).alias("v6"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            rnd(F.avg("v6"), 6).alias("avg_value"),
+        )
+    )
