@@ -905,3 +905,80 @@ def q_tile_assign(spark, sf_dir):
             rnd(F.avg("v6"), 6).alias("avg_value"),
         )
     )
+
+
+def _spread_sql(e: str) -> str:
+    """16-bit → even-bit spread (Morton interleave half), DuckDB text:
+    the classic magic-number shift-mask ladder."""
+    x = f"(({e}) & 65535)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"        # 0x00FF00FF
+    x = f"(({x} | ({x} << 4)) & 252645135)"       # 0x0F0F0F0F
+    x = f"(({x} | ({x} << 2)) & 858993459)"       # 0x33333333
+    x = f"(({x} | ({x} << 1)) & 1431655765)"      # 0x55555555
+    return x
+
+
+def _spread_col(c):
+    """Spark Column twin of :func:`_spread_sql` (same ladder). Python
+    ``&``/``|`` on Columns are LOGICAL operators — bitwise needs
+    ``bitwiseAND``/``bitwiseOR``; mask literals cast to bigint (ANSI
+    rejects mixed-width bitwise ops)."""
+    L = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    x = c.cast("bigint").bitwiseAND(L(65535))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(L(16711935))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(L(252645135))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(L(858993459))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(L(1431655765))
+    return x
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, lon, lat FROM ({{PTS}})
+    ),
+    cells AS (
+      SELECT event_id,
+             LEAST(GREATEST(CAST(FLOOR(ROUND((lon + 180.0) / 360.0 * 256.0,
+               9)) AS BIGINT), 0), 255) AS cx,
+             LEAST(GREATEST(CAST(FLOOR(ROUND((90.0 - lat) / 180.0 * 256.0,
+               9)) AS BIGINT), 0), 255) AS cy
+      FROM p
+    )
+    SELECT event_id, cx, cy,
+           ({_spread_sql('cx')} | ({_spread_sql('cy')} << 1)) AS morton,
+           (({_spread_sql('cx')} | ({_spread_sql('cy')} << 1)) >> 10)
+             AS file_bucket
+    FROM cells
+    """.replace("{{PTS}}", "{PTS}").format(PTS=PTS_SQL),
+)
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key — the data-layout op behind
+    spatial file-skipping (Delta/Iceberg Z-ORDER BY): 8-bit
+    equirectangular cell coords (fractional index 9-decimal-snapped
+    before floor, clamped to the grid) bit-interleave through the
+    classic magic-number spread ladder into one locality-preserving
+    bigint; ``file_bucket = morton >> 10`` groups ~1024 neighbouring
+    cells per target file. Sorting/bucketing 100 TB of points by this
+    key makes every later bbox scan prune most files — the storage
+    twin of the 3-D cell join's co-location argument.
+
+    Pure integer column math, zero shuffle, identical bit ladder on
+    both engines."""
+    pts = _pts(spark, sf_dir)
+    snap = lambda e: F.floor(F.round(e, 9))  # noqa: E731
+    clamp = lambda c: F.least(  # noqa: E731
+        F.greatest(c.cast("bigint"), F.lit(0)), F.lit(255)
+    )
+    cx = clamp(snap((F.col("lon") + 180.0) / 360.0 * 256.0))
+    cy = clamp(snap((90.0 - F.col("lat")) / 180.0 * 256.0))
+    out = pts.select("event_id", cx.alias("cx"), cy.alias("cy"))
+    morton = _spread_col(F.col("cx")).bitwiseOR(
+        F.shiftleft(_spread_col(F.col("cy")), 1)
+    )
+    return out.select(
+        "event_id", "cx", "cy",
+        morton.alias("morton"),
+        F.shiftright(morton, 10).alias("file_bucket"),
+    )
