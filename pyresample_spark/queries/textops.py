@@ -2638,3 +2638,89 @@ def q_quality_logreg(spark, sf_dir):
         (p + F.lit(0.0)).alias("p_quality"),
         (p >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "q_minhash_band_tuning",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup',
+        fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
+    mh AS (
+      SELECT doc_id, j, MIN(xor({md5_bigint_sql('shingle')}, c)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, j
+    ),
+    cfg(r) AS (VALUES (2), (4), (8)),
+    sigs AS (
+      SELECT cfg.r, doc_id, j // cfg.r AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh CROSS JOIN cfg GROUP BY cfg.r, doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.r, a.doc_id AS d1, b.doc_id AS d2
+      FROM sigs a JOIN sigs b
+        ON a.r = b.r AND a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT cfg.r AS rows_per_band,
+           CAST({N_HASHES} / cfg.r AS BIGINT) AS n_bands,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_candidate_pairs
+    FROM cfg LEFT JOIN (
+      SELECT r, COUNT(*) AS n FROM cand GROUP BY r
+    ) c ON cfg.r = c.r
+    """,
+)
+def q_minhash_band_tuning(spark, sf_dir):
+    """LSH band-tuning diagnostic — the candidate-volume curve an
+    index owner reads before changing the banding (the dedup analog
+    of q_ann_recall / q_cluster_balance / q_pq_recall): for rows-per-
+    band r ∈ {2, 4, 8} over the same 16 minhashes, the number of
+    distinct candidate pairs the banding emits. Small r → more bands →
+    higher recall and more candidates (the S-curve steers left);
+    the production config (r=4) sits between the extremes.
+
+    Scale shape: ONE minhash pass (the expensive part — shingle md5s)
+    feeds all three configs; per config the band self-join matches on
+    band signatures exactly as q_dedup_minhash does, and only the
+    k-row count survives. Nothing quadratic outside the banding's own
+    candidate generation."""
+    from pyresample_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mh = minhash_signatures(shingles(d, 3))
+    rows = []
+    for r in (2, 4, 8):
+        sigs = band_signatures(mh, r)
+        a = sigs.select(
+            F.col("doc_id").alias("d1"), "band", "sig"
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("d2"),
+            F.col("band").alias("band2"),
+            F.col("sig").alias("sig2"),
+        )
+        n = (
+            a.join(
+                b,
+                (F.col("band") == F.col("band2"))
+                & (F.col("sig") == F.col("sig2"))
+                & (F.col("d1") < F.col("d2")),
+            )
+            .select("d1", "d2")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(N_HASHES // r).cast("bigint").alias("n_bands"),
+                F.col("n").cast("bigint").alias("n_candidate_pairs"),
+            )
+        )
+        rows.append(n)
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionAll(x)
+    return out
