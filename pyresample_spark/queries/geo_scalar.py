@@ -982,3 +982,85 @@ def q_zorder_key(spark, sf_dir):
         morton.alias("morton"),
         F.shiftright(morton, 10).alias("file_bucket"),
     )
+
+
+@register(
+    "q_tile_pyramid",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, lon, GREATEST(-85.0511, LEAST(85.0511, lat)) AS lat,
+             value FROM ({{PTS}})
+    ),
+    t AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(ROUND((lon + 180.0) / 360.0 * 64.0,
+               9)) AS BIGINT), 0), 63) AS tx,
+             LEAST(GREATEST(CAST(FLOOR(ROUND((1.0 - ln(tan(radians(lat))
+               + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0, 9))
+               AS BIGINT), 0), 63) AS ty,
+             ROUND(value, 6) AS v6
+      FROM p
+    ),
+    lv(z, shift) AS (VALUES (6, 0), (4, 2), (2, 4))
+    SELECT lv.z AS zoom, tx >> lv.shift AS tx, ty >> lv.shift AS ty,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(FLOOR(v6 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM t CROSS JOIN lv
+    GROUP BY lv.z, tx >> lv.shift, ty >> lv.shift
+    """.replace("{{PTS}}", "{PTS}").format(PTS=PTS_SQL),
+)
+def q_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup — how a map-serving layer builds its
+    coarser zooms: zoom-6 web-mercator tiles aggregate to their zoom-4
+    and zoom-2 parents by integer right-shift of the tile coords (each
+    parent covers 4^Δz children exactly). Per (zoom, tx, ty): point
+    count and the micro-quantized value sum (order-insensitive integer
+    units, the engine's summation idiom).
+
+    Scale shape: assignment is the q_tile_assign map; the three levels
+    come from ONE scan via a 3-row literal cross join (no re-read per
+    zoom) and a single grouped aggregation — at 100 TB this is one
+    shuffle whose key count is Σ 4^z, not the point count."""
+    import math
+
+    z = 64.0
+    pts = _pts(spark, sf_dir)
+    lat = F.greatest(F.lit(-85.0511), F.least(F.lit(85.0511), F.col("lat")))
+    txf = F.round((F.col("lon") + 180.0) / 360.0 * z, 9)
+    tyf = F.round(
+        (1.0 - F.log(
+            F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat))
+        ) / math.pi) / 2.0 * z,
+        9,
+    )
+    clamp = lambda c: F.least(  # noqa: E731
+        F.greatest(c, F.lit(0)), F.lit(63)
+    ).cast("bigint")
+    t = pts.select(
+        clamp(F.floor(txf)).alias("tx"),
+        clamp(F.floor(tyf)).alias("ty"),
+        F.round(F.col("value"), 6).alias("v6"),
+    )
+    levels = F.explode(
+        F.array(
+            F.struct(F.lit(6).alias("z"), F.lit(0).alias("s")),
+            F.struct(F.lit(4).alias("z"), F.lit(2).alias("s")),
+            F.struct(F.lit(2).alias("z"), F.lit(4).alias("s")),
+        )
+    )
+    return (
+        t.select("tx", "ty", "v6", levels.alias("lv"))
+        .selectExpr(
+            "CAST(lv.z AS BIGINT) AS zoom",
+            "shiftright(tx, lv.s) AS tx",
+            "shiftright(ty, lv.s) AS ty",
+            "v6",
+        )
+        .groupBy("zoom", "tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(
+                F.floor(F.col("v6") * 1000000.0 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_micros"),
+        )
+    )
