@@ -380,3 +380,48 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_tile_counts_matches_batch(spark, sf_dir):
+    """The streaming tile aggregation (watermarked window + slippy
+    tile key) must produce the same per-(window, tile) counts and
+    means as the identical aggregation in batch."""
+    from pyresample_spark.operators.bucket import events_points
+    from pyresample_spark.streaming.windows import (
+        streaming_tile_counts,
+        tile_cols,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(streaming_tile_counts(stream), "stream_tiles")
+    stream_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.tx, r.ty): (
+            r.n_points, round(r.avg_value, 9)
+        )
+        for r in got.collect()
+    }
+
+    pts = events_points(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    tx, ty = tile_cols()
+    batch = (
+        pts.select("event_time", tx.alias("tx"), ty.alias("ty"), "value")
+        .groupBy(F.window("event_time", "1 hour"), "tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.avg(F.round(F.col("value"), 6)).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "tx", "ty", "n_points", "avg_value",
+        )
+    )
+    batch_rows = {
+        (int(r.win_start.timestamp() * 1_000_000), r.tx, r.ty): (
+            r.n_points, round(r.avg_value, 9)
+        )
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 50
