@@ -1845,3 +1845,28 @@ def geos_ell_inv_sql(x: str, y: str, h: float, a: float, b: float,
         f"(CASE WHEN {det} >= 0.0 THEN {lon} ELSE NULL END)",
         f"(CASE WHEN {det} >= 0.0 THEN {lat} ELSE NULL END)",
     )
+
+
+def tile_cols(lon_col="lon", lat_col="lat", zoom_cells: float = 64.0):
+    """Web-mercator slippy-tile coords as Columns (OSM z/x/y): lat
+    clamped to the Mercator square ±85.0511, fractional index snapped
+    to 9 decimals before floor (the grid-boundary idiom), ids clamped
+    into [0, zoom_cells). Shared by q_tile_assign / q_tile_pyramid /
+    the streaming tile aggregation."""
+    import math
+
+    lat = F.greatest(
+        F.lit(-85.0511), F.least(F.lit(85.0511), F.col(lat_col))
+    )
+    txf = F.round((F.col(lon_col) + 180.0) / 360.0 * zoom_cells, 9)
+    tyf = F.round(
+        (1.0 - F.log(
+            F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat))
+        ) / math.pi) / 2.0 * zoom_cells,
+        9,
+    )
+    hi = int(zoom_cells) - 1
+    clamp = lambda c: F.least(  # noqa: E731
+        F.greatest(c, F.lit(0)), F.lit(hi)
+    ).cast("bigint")
+    return clamp(F.floor(txf)), clamp(F.floor(tyf))

@@ -878,25 +878,14 @@ def q_tile_assign(spark, sf_dir):
     shuffle is the per-tile hash agg, map-side combined, bounded by
     4^z rows. Tile ids are also the natural BUCKET BY key for
     serving-layer storage — the geo analog of the LUT bucketing."""
-    import math
+    from pyresample_spark.functions.geo import tile_cols
 
-    z = 64.0  # 2^6
     pts = _pts(spark, sf_dir)
-    lat = F.greatest(F.lit(-85.0511), F.least(F.lit(85.0511), F.col("lat")))
-    txf = F.round((F.col("lon") + 180.0) / 360.0 * z, 9)
-    tyf = F.round(
-        (1.0 - F.log(
-            F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat))
-        ) / math.pi) / 2.0 * z,
-        9,
-    )
-    clamp = lambda c: F.least(  # noqa: E731
-        F.greatest(c, F.lit(0)), F.lit(63)
-    ).cast("bigint")
+    tx, ty = tile_cols()
     return (
         pts.select(
-            clamp(F.floor(txf)).alias("tx"),
-            clamp(F.floor(tyf)).alias("ty"),
+            tx.alias("tx"),
+            ty.alias("ty"),
             F.round(F.col("value"), 6).alias("v6"),
         )
         .groupBy("tx", "ty")
@@ -1021,24 +1010,13 @@ def q_tile_pyramid(spark, sf_dir):
     come from ONE scan via a 3-row literal cross join (no re-read per
     zoom) and a single grouped aggregation — at 100 TB this is one
     shuffle whose key count is Σ 4^z, not the point count."""
-    import math
+    from pyresample_spark.functions.geo import tile_cols
 
-    z = 64.0
     pts = _pts(spark, sf_dir)
-    lat = F.greatest(F.lit(-85.0511), F.least(F.lit(85.0511), F.col("lat")))
-    txf = F.round((F.col("lon") + 180.0) / 360.0 * z, 9)
-    tyf = F.round(
-        (1.0 - F.log(
-            F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat))
-        ) / math.pi) / 2.0 * z,
-        9,
-    )
-    clamp = lambda c: F.least(  # noqa: E731
-        F.greatest(c, F.lit(0)), F.lit(63)
-    ).cast("bigint")
+    tx, ty = tile_cols()
     t = pts.select(
-        clamp(F.floor(txf)).alias("tx"),
-        clamp(F.floor(tyf)).alias("ty"),
+        tx.alias("tx"),
+        ty.alias("ty"),
         F.round(F.col("value"), 6).alias("v6"),
     )
     levels = F.explode(

@@ -455,29 +455,6 @@ def streaming_decontaminate(
     )
 
 
-def tile_cols(lon_col="lon", lat_col="lat", zoom_cells: float = 64.0):
-    """Web-mercator slippy-tile coords as Columns (the q_tile_assign
-    math: lat clamped to the Mercator square, fractional index snapped
-    to 9 decimals before floor, ids clamped into the grid)."""
-    import math
-
-    lat = F.greatest(
-        F.lit(-85.0511), F.least(F.lit(85.0511), F.col(lat_col))
-    )
-    txf = F.round((F.col(lon_col) + 180.0) / 360.0 * zoom_cells, 9)
-    tyf = F.round(
-        (1.0 - F.log(
-            F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat))
-        ) / math.pi) / 2.0 * zoom_cells,
-        9,
-    )
-    hi = int(zoom_cells) - 1
-    clamp = lambda c: F.least(  # noqa: E731
-        F.greatest(c, F.lit(0)), F.lit(hi)
-    ).cast("bigint")
-    return clamp(F.floor(txf)), clamp(F.floor(tyf))
-
-
 def streaming_tile_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -488,7 +465,11 @@ def streaming_tile_counts(
     tiles (≤ 4^z), never by ingest volume — the same bounded-keys
     argument as the streaming bucket resampler, applied to the
     serving-layer key."""
-    from pyresample_spark.functions.geo import derived_lat, derived_lon
+    from pyresample_spark.functions.geo import (
+        derived_lat,
+        derived_lon,
+        tile_cols,
+    )
 
     pts = stream.withColumn("lon", derived_lon()).withColumn(
         "lat", derived_lat()

@@ -387,10 +387,8 @@ def test_streaming_tile_counts_matches_batch(spark, sf_dir):
     tile key) must produce the same per-(window, tile) counts and
     means as the identical aggregation in batch."""
     from pyresample_spark.operators.bucket import events_points
-    from pyresample_spark.streaming.windows import (
-        streaming_tile_counts,
-        tile_cols,
-    )
+    from pyresample_spark.functions.geo import tile_cols
+    from pyresample_spark.streaming.windows import streaming_tile_counts
 
     stream = read_events_stream(spark, sf_dir)
     got = run_to_memory(streaming_tile_counts(stream), "stream_tiles")
