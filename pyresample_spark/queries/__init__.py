@@ -78,12 +78,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   r3 leftovers (13): q_bigram_logprob q_dup_span q_curation_pipeline
 #     q_bm25 q_token_histogram q_funnel q_events_retention q_regrid_sinu
 #     q_regrid_cea q_regrid_ortho q_cube_agg q_exists_semi q_percentiles
-#   plus the 20 new round-6 queries with no driver row yet
+#   plus the 21 new round-6 queries with no driver row yet
 #   (q_regrid_ups q_regrid_bessel q_contamination_frac q_semdedup
 #   q_line_dedup q_cluster_balance q_gopher_rules q_ann_ivf_reuse
 #   q_pq_encode q_pq_search q_pq_recall q_proj_abi q_regrid_abi
 #   q_doc_chunk q_data_card q_quality_logreg q_tile_assign
-#   q_zorder_key q_minhash_band_tuning q_tile_pyramid),
+#   q_zorder_key q_minhash_band_tuning q_tile_pyramid
+#   q_mrl_recall),
 #   then the oldest r4-latest rows (CORRECTNESS_r04.json keys minus
 #   any re-run since), e.g. q_gauss_agg q_weighted_avg q_ewa_fornav
 #   q_coarsen_avg q_bucket_max q_bucket_absmax q_first_per_bin ...

@@ -1538,3 +1538,89 @@ def q_pq_recall(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_mrl_recall",
+    oracle=f"""
+    WITH d AS ({_VD_SQL}),
+    d16 AS (
+      SELECT vec_id, v[1:16] AS v,
+             sqrt(list_dot_product(v[1:16], v[1:16])) AS vn
+      FROM d
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, vn AS pn FROM d
+               WHERE vec_id % 100 = 0),
+    probes16 AS (SELECT vec_id AS probe_id, v AS pv, vn AS pn FROM d16
+                 WHERE vec_id % 100 = 0),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_dot_product(c.v, p.pv)
+                                / (c.vn * p.pn), 9) DESC,
+                          c.vec_id ASC) AS rank
+        FROM d c CROSS JOIN probes p
+        WHERE c.vec_id != p.probe_id
+      ) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_dot_product(c.v, p.pv)
+                                / (c.vn * p.pn), 9) DESC,
+                          c.vec_id ASC) AS rank
+        FROM d16 c CROSS JOIN probes16 p
+        WHERE c.vec_id != p.probe_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           (ROUND(COUNT(a.vec_id) / (1.0 * COUNT(*)), 6) + 0.0) AS recall
+    FROM exact e
+    LEFT JOIN approx a USING (probe_id, vec_id)
+    GROUP BY e.probe_id
+    """,
+)
+def q_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation recall — the third leg of the embedding
+    storage/compute-reduction trio (int8 q_embed_quantize, PQ
+    q_pq_encode/search): recall@5 when search uses only the FIRST 16
+    of 64 dimensions (4× cheaper dot products and storage, the MRL
+    deployment pattern) against the full-dimension exact ranking.
+    Both passes reuse the verified cosine_topk machinery — the
+    truncated corpus is just a sliced-embedding view.
+
+    Scale shape: two broadcast-probe brute-force scans (the exact
+    baseline's own cost model) and a 2·k-row-per-probe recall join;
+    the truncated pass's dot products cost 1/4 of the full pass."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, probes, k=5).select("probe_id", "vec_id")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    probes16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    approx = cosine_topk(emb16, probes16, k=5).select(
+        "probe_id", F.col("vec_id").alias("a_vec")
+    )
+    return (
+        exact.join(
+            F.broadcast(approx),  # 5 rows per probe — always tiny
+            (exact["probe_id"] == approx["probe_id"])
+            & (exact["vec_id"] == approx["a_vec"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vec").alias("n_hit"),
+            rnd(F.count("a_vec") / (1.0 * F.count(F.lit(1))), 6).alias(
+                "recall"
+            ),
+        )
+    )
