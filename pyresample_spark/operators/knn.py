@@ -45,6 +45,23 @@ def chord_length(radius_m: float, r_earth: float = R_EARTH) -> float:
     return 2.0 * r_earth * math.sin(radius_m / (2.0 * r_earth))
 
 
+def cell_side(c: float) -> float:
+    """Cell side that covers EVERY pair the mm-quantized distance
+    filter accepts (ADVICE r6).
+
+    The accepted set is ``floor(d·1000 + 0.5) <= round(c·1000)``, i.e.
+    ``d < c_eff = (round(c·1000) + 0.5) / 1000`` — up to ~1 mm beyond
+    ``c``. Cells of side exactly ``c`` do not cover that rounding band:
+    a source in (c, c_eff) whose per-axis offset falls just past a cell
+    wall is missed by the 2c8 one-neighbor-per-axis explode (and, when
+    the probe sits within the same slack of a wall, by c27's ±1-cell
+    explode too). Sizing cells by ``c_eff`` restores the coverage
+    invariant *including* the quantization slack, so both schemes'
+    "identical pair sets" exactness claim holds without changing the
+    accepted-distance semantics (the filter threshold is unchanged)."""
+    return (round(c * 1000.0) + 0.5) / 1000.0
+
+
 def with_geocentric(df: DataFrame, lon_col="lon", lat_col="lat") -> DataFrame:
     gx, gy, gz = lonlat2xyz(lon_col, lat_col, radius=R_EARTH)
     return (
@@ -106,7 +123,11 @@ def _radius_pairs(
     """
     if neighbor_scheme not in ("c27", "2c8"):
         raise ValueError(f"unknown neighbor_scheme {neighbor_scheme!r}")
-    cell = c if neighbor_scheme == "c27" else 2.0 * c
+    # cells sized by c_eff (= c + the mm-quantization slack), NOT c:
+    # see cell_side() — the exact filter admits d up to c_eff, and the
+    # explode geometry must cover everything the filter accepts.
+    eff = cell_side(c)
+    cell = eff if neighbor_scheme == "c27" else 2.0 * eff
     s = with_cells(with_geocentric(src, src_lon, src_lat), cell).select(
         F.col(src_id).alias("src_id"),
         F.col("gx").alias("s_gx"),
@@ -126,15 +147,16 @@ def _radius_pairs(
         tk = with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), cell)
     else:
         # per axis: 0 plus the signed step toward the nearer wall —
-        # g in cell C covers [C·2c, (C+1)·2c); if the offset within
-        # the cell is < c the ±c ball can only spill into C−1, else
-        # only into C+1
+        # g in cell C covers [C·2c_eff, (C+1)·2c_eff); if the offset
+        # within the cell is < c_eff the ±c_eff ball can only spill
+        # into C−1, else only into C+1 (c_eff bounds are what the mm
+        # filter accepts, see cell_side())
         tk = with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), cell)
         for ax, g in (("bx", "gx"), ("by", "gy"), ("bz", "gz")):
             tk = tk.withColumn(
                 ax,
                 F.when(
-                    F.col(g) - F.col(f"c{ax[1]}3") * cell < c, F.lit(-1)
+                    F.col(g) - F.col(f"c{ax[1]}3") * cell < eff, F.lit(-1)
                 ).otherwise(F.lit(1)).cast("long"),
             )
         offsets = F.expr(

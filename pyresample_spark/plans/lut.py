@@ -33,16 +33,23 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import socket
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 32  # match spark.sql.shuffle.partitions in this rig
 
-# Writer-lock bounds (VERDICT r5 item 4). A lock older than
-# LOCK_STALE_S is presumed abandoned (crashed writer) and broken.
+# Writer-lock bounds (VERDICT r5 item 4 / ADVICE r6). A live writer
+# heartbeats its lock (touches mtime every LOCK_HEARTBEAT_S), so a lock
+# whose mtime is older than LOCK_STALE_S means "no heartbeat for 10
+# minutes" — presumed crashed — not merely "materialization is slow".
+# Waiters therefore never time out on a live, progressing writer.
 LOCK_STALE_S = 600.0
 LOCK_POLL_S = 0.25
+LOCK_HEARTBEAT_S = 25.0
 
 
 class LutCache:
@@ -76,6 +83,39 @@ class LutCache:
     def _lock_path(self, key: str) -> str:
         return os.path.join(self.base_dir, f"lut_{key}.lock")
 
+    def _lock_owner_alive(self, lock: str) -> bool:
+        """True if the lock's recorded owner is a live process ON THIS
+        HOST. Cross-host owners (shared filesystem) are unknowable from
+        here — report alive and let the mtime heartbeat decide."""
+        try:
+            with open(lock) as f:
+                pid_s, host, _ = f.read().split("@", 2)
+        except (OSError, ValueError):
+            return False  # unreadable/legacy lock: fall back to mtime
+        if host != socket.gethostname():
+            return True
+        try:
+            os.kill(int(pid_s), 0)
+            return True
+        except (OSError, ValueError):
+            return False
+
+    def _break_stale_lock(self, key: str, lock: str) -> None:
+        """Unlink an abandoned lock and clean up the crashed writer's
+        partial output so it reads as a miss, never as truncated data
+        (ADVICE r6): if the sidecar was never published, the parquet
+        dir under the key is mid-write garbage — delete it."""
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+        if not os.path.exists(self._meta_path(key)):
+            p = self.path(key)
+            if os.path.isdir(p) and not os.path.exists(
+                os.path.join(p, "_SUCCESS")
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+
     def load(self, spark: SparkSession, key: str) -> DataFrame | None:
         if os.path.exists(self._lock_path(key)):
             # a writer (possibly another session sharing this cache
@@ -88,7 +128,15 @@ class LutCache:
             return None
         mp = self._meta_path(key)
         if not os.path.exists(mp):
-            return spark.read.parquet(p)  # pre-bucketing cache layout
+            # pre-bucketing cache layout — but only if the write
+            # COMMITTED (_SUCCESS present). A first-time writer killed
+            # hard mid-write (lock later broken as stale, meta never
+            # written) leaves a partial parquet dir here; serving it
+            # would return silently truncated neighbour info (ADVICE
+            # r6). No marker → miss, caller recomputes.
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                return spark.read.parquet(p)
+            return None
         meta = json.load(open(mp))
         name = self._table(key)
         # IF NOT EXISTS: two threads of one session may race the
@@ -106,41 +154,32 @@ class LutCache:
         )
         return spark.table(name)
 
-    def _await_writer(self, spark: SparkSession, key: str) -> DataFrame:
+    def _await_writer(self, spark: SparkSession, key: str):
         """Another writer holds the lock for ``key``: poll until it
         releases (or its lock goes stale and is broken), then load the
-        finished LUT. Raises if the writer vanished without
-        publishing (crashed mid-write: lock gone, no meta)."""
+        finished LUT. Returns ``None`` if the writer vanished without
+        publishing (crashed mid-write: lock gone, no complete data) —
+        the caller takes over and writes its own result."""
         lock = self._lock_path(key)
-        deadline = time.monotonic() + LOCK_STALE_S
         while os.path.exists(lock):
             try:
                 age = time.time() - os.path.getmtime(lock)
             except OSError:
                 break  # released between exists() and getmtime()
-            if age > LOCK_STALE_S:
-                # abandoned by a crashed writer — break it and let the
-                # caller's save() retry take over
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
+            # The writer heartbeats mtime every LOCK_HEARTBEAT_S, so a
+            # genuinely old mtime means no heartbeat — but double-check
+            # pid liveness (same-host) before breaking: a paused/
+            # clock-skewed but living writer must not have its output
+            # clobbered by a concurrent overwrite (ADVICE r6).
+            if age > LOCK_STALE_S and not self._lock_owner_alive(lock):
+                self._break_stale_lock(key, lock)
                 break
-            if time.monotonic() > deadline:
-                raise RuntimeError(
-                    f"LutCache: writer lock {lock!r} not released "
-                    f"within {LOCK_STALE_S}s — delete it if the "
-                    "owning session is gone"
-                )
+            # No overall deadline: as long as the heartbeat advances,
+            # the writer is alive and progressing — waiting is correct
+            # even past LOCK_STALE_S wall-clock (large bucketed LUTs
+            # legitimately take longer than 10 minutes to materialize).
             time.sleep(LOCK_POLL_S)
-        out = self.load(spark, key)
-        if out is None:
-            raise RuntimeError(
-                f"LutCache: concurrent writer for key {key!r} "
-                "disappeared without publishing a LUT (crashed "
-                "mid-write?) — retry to recompute"
-            )
-        return out
+        return self.load(spark, key)
 
     def save(self, lut: DataFrame, key: str) -> DataFrame:
         """Materialize + publish the LUT for ``key``.
@@ -161,10 +200,34 @@ class LutCache:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            return self._await_writer(spark, key)
+            waited = self._await_writer(spark, key)
+            if waited is not None:
+                return waited
+            # the concurrent writer crashed without publishing — take
+            # over: retry the lock and write our own result
+            return self.save(lut, key)
+        stop_beat = threading.Event()
+
+        def _heartbeat():
+            # Touch the lock's mtime while the materialization runs so
+            # waiters see "alive": staleness means no-heartbeat, not
+            # slow-write (ADVICE r6). Daemon thread: a hard kill stops
+            # the heartbeat too, which is exactly the stale signal.
+            while not stop_beat.wait(LOCK_HEARTBEAT_S):
+                try:
+                    os.utime(lock, None)
+                except OSError:
+                    return  # lock vanished (broken externally): stop
+
+        beat = threading.Thread(target=_heartbeat, daemon=True)
         try:
-            os.write(fd, f"{os.getpid()}@{time.time()}".encode())
+            os.write(
+                fd,
+                f"{os.getpid()}@{socket.gethostname()}@{time.time()}"
+                .encode(),
+            )
             os.close(fd)
+            beat.start()
             name = self._table(key)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             (
@@ -188,6 +251,9 @@ class LutCache:
                 )
             return spark.table(name)
         finally:
+            stop_beat.set()
+            if beat.is_alive():
+                beat.join(timeout=5.0)
             try:
                 os.unlink(lock)
             except OSError:

@@ -99,12 +99,14 @@ class Resampler:
             choose_salt_factor,
         )
 
-        key = (self._hash(self.src), float(radius_m))
+        # key includes the EFFECTIVE threshold (ADVICE r6): a second
+        # precompute() with a different hot_cell_rows must re-probe,
+        # not silently reuse the first call's salt decision
+        eff_hot = hot_cell_rows or HOT_CELL_ROWS
+        key = (self._hash(self.src), float(radius_m), int(eff_hot))
         if key not in self._salt_cache:
             self._salt_cache[key] = choose_salt_factor(
-                src_points,
-                radius_m,
-                hot_cell_rows=hot_cell_rows or HOT_CELL_ROWS,
+                src_points, radius_m, hot_cell_rows=eff_hot,
             )
         return self._salt_cache[key]
 

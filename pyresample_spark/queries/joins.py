@@ -66,7 +66,12 @@ def pairs_sql(area, radius_m: float) -> str:
     DuckDB twin of operators/knn.py knn_join (27-neighborhood 3-D
     geocentric cells, mm-rounded chord, (dist, src_id) ranking);
     k unlimited, rank filtered per query."""
-    c = repr(chord_length(radius_m))
+    # cells sized by cell_side(c) = c + mm-quantization slack, matching
+    # operators/knn.py _radius_pairs exactly (same double → same FLOOR
+    # bucketing in both engines)
+    from pyresample_spark.operators.knn import cell_side
+
+    c = repr(cell_side(chord_length(radius_m)))
     chord_mm = round(chord_length(radius_m) * 1000.0)
     return f"""
     WITH s AS (

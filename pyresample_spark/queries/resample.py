@@ -161,11 +161,13 @@ def _bilinear_irregular_oracle(
     pipeline); ``slim=True`` emits only (tgt_id, t, s, bilinear_value)
     — the bilinear_apply output shape."""
     from pyresample_spark.functions.geo import R_EARTH
-    from pyresample_spark.operators.knn import chord_length
+    from pyresample_spark.operators.knn import cell_side, chord_length
     from pyresample_spark.queries.geo_scalar import PTS_SQL
 
     radius = 150_000.0
-    c = repr(chord_length(radius))
+    # cell side includes the mm-quantization slack — must match
+    # operators/knn.py _radius_pairs (see cell_side docstring)
+    c = repr(cell_side(chord_length(radius)))
     chord_mm = round(chord_length(radius) * 1000.0)
     r = repr(R_EARTH)
     geo = (

@@ -140,6 +140,76 @@ def test_lut_cache_concurrency(spark, tmp_path):
     assert sorted(r.tgt_id for r in out.collect()) == [1, 3]
 
 
+def test_lut_cache_crash_safety(spark, tmp_path):
+    """ADVICE r6: (a) a partial parquet dir with neither sidecar nor
+    _SUCCESS marker (first-time writer killed hard) reads as a MISS,
+    never as truncated data; (b) breaking a stale lock deletes that
+    partial dir; (c) a live same-host writer's lock is NOT broken even
+    when its mtime is stale (pid-liveness guard), while a dead owner's
+    is; (d) save() heartbeats the lock mtime while materializing."""
+    import os
+    import socket
+    import time
+
+    from pyresample_spark.plans import lut as lut_mod
+
+    cache = LutCache(str(tmp_path))
+    key = cache.key("a", "b", 1000.0, 1)
+    # (a) fabricate a crashed first-time write: parquet dir with a
+    # part file but no _SUCCESS, no meta, no lock
+    p = cache.path(key)
+    os.makedirs(p)
+    open(os.path.join(p, "part-00000.parquet"), "wb").write(b"garbage")
+    assert cache.load(spark, key) is None
+    # (b) now with a stale lock from a DEAD pid: save() must break the
+    # lock, delete the partial dir, and write fresh data
+    lock = cache._lock_path(key)
+    open(lock, "w").write(f"999999@{socket.gethostname()}@0")
+    os.utime(lock, (time.time() - 10_000,) * 2)
+    df = spark.createDataFrame(
+        [(1, 2, 0.5)], "tgt_id long, src_id long, dist_m double"
+    )
+    out = cache.save(df, key)
+    assert [r.tgt_id for r in out.collect()] == [1]
+    assert os.path.exists(cache._meta_path(key))
+    # (c) a stale-mtime lock whose owner is THIS live process is left
+    # alone: the waiter keeps polling instead of clobbering
+    key2 = cache.key("c", "d", 1000.0, 1)
+    lock2 = cache._lock_path(key2)
+    open(lock2, "w").write(f"{os.getpid()}@{socket.gethostname()}@0")
+    os.utime(lock2, (time.time() - 10_000,) * 2)
+    assert cache._lock_owner_alive(lock2)
+    import threading
+
+    threading.Timer(1.0, os.unlink, args=(lock2,)).start()
+    t0 = time.monotonic()
+    df2 = spark.createDataFrame(
+        [(7, 7, 7.0)], "tgt_id long, src_id long, dist_m double"
+    )
+    out2 = cache.save(df2, key2)  # loses to the "live" lock, waits,
+    assert time.monotonic() - t0 >= 0.9  # then computes (no data yet)
+    assert [r.tgt_id for r in out2.collect()] == [7]
+    # (d) heartbeat: with a short interval, save() advances the lock
+    # mtime while the write runs
+    old_beat = lut_mod.LOCK_HEARTBEAT_S
+    lut_mod.LOCK_HEARTBEAT_S = 0.05
+    seen = []
+    orig_utime = os.utime
+
+    def spy_utime(path, *a, **kw):
+        if str(path) == cache._lock_path(cache.key("e", "f", 1.0, 1)):
+            seen.append(time.monotonic())
+        return orig_utime(path, *a, **kw)
+
+    try:
+        lut_mod.os.utime = spy_utime
+        cache.save(df, cache.key("e", "f", 1.0, 1))
+    finally:
+        lut_mod.os.utime = orig_utime
+        lut_mod.LOCK_HEARTBEAT_S = old_beat
+    assert seen, "heartbeat never touched the lock during save()"
+
+
 def test_resampler_noop_and_dispatch(spark):
     area = AreaDefinition("t", "longlat", 85, 80, (-20.0, 20.0, 20.0, 35.0))
     r = Resampler(spark, area, area)
@@ -1265,10 +1335,17 @@ def test_planner_auto_salts_hot_cell(spark):
     assert plan.salt_factor == 10
     # the physical join really carries the salt key
     assert "salt" in plan.lut._jdf.queryExecution().executedPlan().toString()
-    # probe memoized per (src hash, radius): second precompute reuses it
-    assert r._salt_cache == {("hot-swath", 50_000.0): 10}
+    # probe memoized per (src hash, radius, hot_cell_rows): second
+    # precompute with the SAME threshold reuses it …
+    assert r._salt_cache == {("hot-swath", 50_000.0, 100): 10}
     r.precompute(src, tgt, 50_000.0, k=1, hot_cell_rows=100)
     assert len(r._salt_cache) == 1
+    # … but a different threshold re-probes instead of silently
+    # reusing the first decision (ADVICE r6): 1000 rows in one cell
+    # is under a 2000-row bound → no salt for that key
+    r.precompute(src, tgt, 50_000.0, k=1, hot_cell_rows=2000)
+    assert r._salt_cache[("hot-swath", 50_000.0, 2000)] is None
+    assert len(r._salt_cache) == 2
     # salted result == forced-unsalted result
     unsalted = r.precompute(src, tgt, 50_000.0, k=1, salt_factor=1)
     assert unsalted.salt_factor == 1
