@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pyresample_spark.operators.bucket import load_events
-from pyresample_spark.queries import register, rnd
+from pyresample_spark.operators.dedup import md5_bigint
+from pyresample_spark.queries import register, rnd, rnd_sql
 
 HOUR_US = 3_600_000_000
 GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
@@ -149,16 +150,128 @@ def q_distinct_agg(spark, sf_dir):
     )
 
 
-@register("q_approx_distinct", oracle=None)
+# Portable HLL constants (q_approx_distinct). p=8 → m=256 registers;
+# md5_bigint is 60 bits → 52-bit register stream, max rho = 53.
+_HLL_M = 256
+_HLL_MAXRHO = 53
+# alpha_m · m² · 2^53 — the raw-estimate numerator, embedded as the
+# SAME literal text in both engines so the parsed double is identical.
+_HLL_NUM = repr(
+    0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(2 ** 53)
+)
+
+
+@register(
+    "q_approx_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h0
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, (h0 & 255) AS j,
+             MAX(CASE WHEN (h0 >> 8) = 0 THEN {_HLL_MAXRHO}
+                 ELSE bit_count(((h0 >> 8) & -(h0 >> 8)) - 1) + 1
+                 END) AS m_j
+      FROM h GROUP BY event_type, j
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m_j))
+                  + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_MAXRHO})
+                  AS BIGINT) AS z_int,
+             CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero
+      FROM regs GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, z_int, v_zero, n_exact,
+             CASE WHEN {_HLL_NUM} / z_int <= 2.5 * {_HLL_M} AND v_zero > 0
+                  THEN {_HLL_M} * ln({_HLL_M}.0 / v_zero)
+                  ELSE {_HLL_NUM} / z_int END AS e
+      FROM sk JOIN ex USING (event_type)
+    )
+    SELECT event_type, n_exact, z_int, v_zero,
+           {rnd_sql('e')} AS hll_est,
+           {rnd_sql('(e - n_exact) / n_exact')} AS rel_err
+    FROM est
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) + approx quantiles per event_type
-    (SURVEY §2.10). No oracle: HLL/quantile-sketch implementations are
-    engine-specific — driver records rows-only; the exact twin
-    q_distinct_agg is hash-verified."""
+    """Approximate distinct users per event_type via an EXPLICIT
+    portable HyperLogLog (SURVEY §2.10; replaces the engine-opaque
+    ``approx_count_distinct``, the registry's last un-oracle-able row —
+    VERDICT r6 item 2). Same design move as ``q_countmin``: build the
+    sketch from portable md5 hashes with pure integer arithmetic so it
+    is bit-identical across engines, then audit estimate vs exact.
+
+    m=256 registers; register index = low 8 hash bits, observable =
+    trailing-zero count of the remaining 52-bit stream (exact via
+    ``bit_count((w & -w) - 1)`` — no float log2 anywhere). The
+    indicator sum Σ 2^-M_j is kept as an INTEGER (Σ 2^(53-M_j), max
+    511·2^52 < 2^63) so it is order-insensitive and engine-exact; the
+    only floats are the final α·m²/Z division and the small-range
+    linear-counting branch m·ln(m/V), both single expressions rounded
+    to 6 decimals. ``rel_err`` exposes the sketch error a deployment
+    monitors (|rel_err| ≲ 1.04/√m ≈ 6.5%).
+
+    Scale: two stacked map-side-combined hash aggs — rows → (type,
+    256 registers) → (type); shuffle volume is types × 256 ints,
+    independent of corpus size. Exactly how a 100 TB cardinality
+    sweep should run. Reference analog: none (the reference has no
+    sketches); this is charter 'novel sketch' surface."""
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    h0 = md5_bigint(F.col("user_id").cast("string"))
+    regs = (
+        ev.select("event_type", h0.alias("h0"))
+        .select(
+            "event_type",
+            F.expr("h0 & 255").alias("j"),
+            F.expr("h0 >> 8").alias("w"),
+        )
+        .groupBy("event_type", "j")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(_HLL_MAXRHO)).otherwise(
+                    F.expr("bit_count((w & -w) - 1) + 1")
+                )
+            ).alias("m_j")
+        )
+    )
+    sk = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, CAST({_HLL_MAXRHO} - m_j AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(2 ** _HLL_MAXRHO)
+        ).cast("bigint").alias("z_int"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = F.expr(f"{_HLL_NUM} / z_int")
+    e = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return (
+        sk.join(ex, "event_type")
+        .withColumn("e", e)
+        .select(
+            "event_type",
+            "n_exact",
+            "z_int",
+            "v_zero",
+            rnd(F.col("e")).alias("hll_est"),
+            rnd((F.col("e") - F.col("n_exact")) / F.col("n_exact")).alias(
+                "rel_err"
+            ),
+        )
     )
 
 

@@ -919,9 +919,12 @@ def test_gauss_lut_persist_and_reuse(spark, sf_dir, tmp_path):
 
 
 def test_approx_distinct_bounded_error(spark, sf_dir):
-    """q_approx_distinct can never be oracle-hashed (HLL sketches are
-    engine-specific by design) — this is its local accuracy gate
-    (VERDICT r3 item 7): per event_type, |HLL − exact| / exact ≤ 5%."""
+    """q_approx_distinct is now an EXPLICIT portable HLL (VERDICT r6
+    item 2) — fully oracle-hashed by the driver; this is the local
+    ACCURACY gate on top: per event_type, |HLL − exact| / exact ≤ 5%,
+    the self-reported rel_err matches that ratio, and the sketch's
+    exact integer mass z_int is consistent with v_zero (every empty
+    register contributes exactly 2^53)."""
     from pyresample_spark.queries import load_all
 
     reg = load_all()
@@ -935,28 +938,36 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
     }
     assert set(approx) == set(exact)
     for et, ex in exact.items():
-        got = approx[et].approx_users
-        assert abs(got - ex.n_users) / ex.n_users <= 0.05, (
-            et, got, ex.n_users
-        )
+        a = approx[et]
+        rel = abs(a.hll_est - ex.n_users) / ex.n_users
+        assert rel <= 0.05, (et, a.hll_est, ex.n_users)
+        assert abs(a.rel_err) == round(rel, 6) or abs(
+            abs(a.rel_err) - rel
+        ) < 1e-6
+        # z_int ≥ empty-register mass, < total possible mass
+        assert a.v_zero * 2 ** 53 <= a.z_int < 256 * 2 ** 53
 
 
 def test_approx_median_within_exact_band(spark, sf_dir):
-    """The percentile_approx half of q_approx_distinct: the sketch
-    median must land within the exact P45–P55 band of value per
-    event_type (percentile_approx's accuracy is rank-based, so the
-    right gate is a rank band, not a value epsilon)."""
+    """percentile_approx (the engine's own rank sketch, exercised
+    directly — the registry query q_approx_distinct is now the
+    portable HLL): the sketch median must land within the exact
+    P45–P55 band of value per event_type (accuracy is rank-based, so
+    the right gate is a rank band, not a value epsilon)."""
     from pyspark.sql import functions as F
 
     from pyresample_spark.operators.bucket import load_events
-    from pyresample_spark.queries import load_all
 
-    reg = load_all()
+    ev0 = load_events(spark, sf_dir)
     approx = {
         r.event_type: r.approx_median_value
-        for r in reg["q_approx_distinct"].builder(spark, sf_dir).collect()
+        for r in ev0.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5).alias("approx_median_value")
+        )
+        .collect()
     }
-    ev = load_events(spark, sf_dir)
+    ev = ev0
     bands = {
         r.event_type: (r.lo, r.hi)
         for r in ev.groupBy("event_type")
