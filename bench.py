@@ -44,6 +44,9 @@ HEADLINE = [
     # driver bench tracks the plans that matter at scale
     "q_bilinear_irregular",
     "q_dedup_span_mask",
+    # VERDICT r6 item 6: one ANN-stack representative — PQ/ADC search is
+    # the scale path for embedding retrieval, now perf-visible per round
+    "q_pq_search",
 ]
 
 

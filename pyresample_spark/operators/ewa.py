@@ -81,6 +81,136 @@ def ewa_fornav(
     return out
 
 
+def ewa_fornav_multiband(
+    pts: DataFrame,
+    area: AreaDefinition,
+    value_cols: tuple,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    footprint_cells: float = 1.5,
+    weight_sum_min: float = 0.1,
+) -> DataFrame:
+    """Single-pass multi-band fornav (VERDICT r6 item 8; reference
+    ewa/_fornav.pyx:208 ``fornav_wrapper`` processes k channels in one
+    pass over the shared geolocation).
+
+    Spark twin: the footprint explode and gaussian weights are computed
+    ONCE; every channel is one more Σw·vᵢ expression in the SAME
+    groupBy(cell) — one shuffle, one HashAggregate, k+2 agg buffers.
+    This matches the reference's economics exactly: geometry work is
+    amortized across channels, only the per-channel accumulators scale
+    with k. Returns (cell_id, ewa_<col>…, weight_sum, n_contrib).
+
+    Scale: the exploded pair rows carry k doubles instead of 1 — for
+    wide stacks prefer a few calls of ~8 channels over one 100-channel
+    pass only if executor partial-agg memory is the constraint; the
+    shuffle stays one partial row per (task, cell) regardless of k.
+    """
+    llx, lly, urx, ury = area.area_extent
+    colf = (F.col(lon_col) - llx) / area.pixel_size_x
+    rowf = (ury - F.col(lat_col)) / area.pixel_size_y
+    r = int(footprint_cells) + 1
+    offsets = F.expr(
+        f"explode(flatten(transform(sequence({-r},{r}), dr -> "
+        f"transform(sequence({-r},{r}), dc -> struct(dr, dc)))))"
+    )
+    t = (
+        pts.withColumn("colf", colf)
+        .withColumn("rowf", rowf)
+        .withColumn("c0", F.floor("colf"))
+        .withColumn("r0", F.floor("rowf"))
+        .select(*value_cols, "colf", "rowf", "c0", "r0", offsets.alias("o"))
+        .withColumn("cell_col", F.col("c0") + F.col("o.dc"))
+        .withColumn("cell_row", F.col("r0") + F.col("o.dr"))
+        .drop("o")
+    )
+    t = t.filter(area.in_bounds(F.col("cell_row"), F.col("cell_col")))
+    dx = F.col("colf") - (F.col("cell_col") + 0.5)
+    dy = F.col("rowf") - (F.col("cell_row") + 0.5)
+    d2 = dx * dx + dy * dy
+    fp2 = footprint_cells * footprint_cells
+    t = t.withColumn("d2", d2).filter(F.col("d2") <= fp2).withColumn(
+        "w", F.exp(-F.col("d2"))
+    )
+    w = F.col("w")
+    aggs = [
+        (F.sum(w * F.col(vc)) / F.sum(w)).alias(f"ewa_{vc}")
+        for vc in value_cols
+    ]
+    return (
+        t.withColumn(
+            "cell_id", F.col("cell_row") * area.width + F.col("cell_col")
+        )
+        .groupBy("cell_id")
+        .agg(
+            *aggs,
+            F.sum(w).alias("weight_sum"),
+            F.count(F.lit(1)).alias("n_contrib"),
+        )
+        .filter(F.col("weight_sum") >= weight_sum_min)
+    )
+
+
+def ewa_fornav_multiband_sql(
+    area: AreaDefinition,
+    pts_sql: str,
+    channel_exprs: dict,
+    footprint_cells: float = 1.5,
+    weight_sum_min: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`ewa_fornav_multiband`. ``channel_exprs``
+    maps output channel name → SQL expression over the pts columns."""
+    llx, lly, urx, ury = area.area_extent
+    r = int(footprint_cells) + 1
+    vals = ", ".join(f"({i})" for i in range(-r, r + 1))
+    fp2 = footprint_cells * footprint_cells
+    chans = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in channel_exprs.items()
+    )
+    sums = ",\n           ".join(
+        f"ROUND(SUM(w * {name}) / SUM(w), 6) + 0.0 AS ewa_{name}"
+        for name in channel_exprs
+    )
+    return f"""
+    WITH pts0 AS (
+      SELECT *,
+             (lon - ({llx!r})) / {area.pixel_size_x!r} AS colf,
+             ({ury!r} - lat) / {area.pixel_size_y!r} AS rowf
+      FROM ({pts_sql})
+    ),
+    pts AS (
+      SELECT colf, rowf,
+             {chans}
+      FROM pts0
+    ),
+    fp AS (
+      SELECT pts.*,
+             CAST(FLOOR(colf) AS BIGINT) + oc.dc AS cell_col,
+             CAST(FLOOR(rowf) AS BIGINT) + orr.dr AS cell_row
+      FROM pts
+      CROSS JOIN (VALUES {vals}) AS oc(dc)
+      CROSS JOIN (VALUES {vals}) AS orr(dr)
+    ),
+    wp AS (
+      SELECT fp.*,
+             cell_row * {area.width} + cell_col AS cell_id,
+             exp(-((colf - (cell_col + 0.5)) * (colf - (cell_col + 0.5))
+                 + (rowf - (cell_row + 0.5)) * (rowf - (cell_row + 0.5)))) AS w
+      FROM fp
+      WHERE cell_row BETWEEN 0 AND {area.height - 1}
+        AND cell_col BETWEEN 0 AND {area.width - 1}
+        AND ((colf - (cell_col + 0.5)) * (colf - (cell_col + 0.5))
+           + (rowf - (cell_row + 0.5)) * (rowf - (cell_row + 0.5))) <= {fp2!r}
+    )
+    SELECT cell_id,
+           {sums},
+           ROUND(SUM(w), 6) + 0.0 AS weight_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_contrib
+    FROM wp GROUP BY cell_id
+    HAVING SUM(w) >= {weight_sum_min!r}
+    """
+
+
 def ewa_ellipse_coeffs(
     swath: DataFrame,
     rows_per_scan: int,

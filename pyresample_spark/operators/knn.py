@@ -558,6 +558,7 @@ def knn_gauss_fold(
     value_col: str = "value",
     src_id: str = "src_id",
     tgt_id: str = "tgt_id",
+    neighbor_scheme: str = "c27",
 ) -> DataFrame:
     """Fused top-k + gaussian-weighted statistics in ONE aggregation
     (VERDICT r3 item 5): instead of materializing the rank ≤ k pair
@@ -582,7 +583,8 @@ def knn_gauss_fold(
         "value", F.col(value_col)
     )
     pairs = _radius_pairs(
-        src_in, tgt, c, src_id, tgt_id, extra_src_cols=("value",)
+        src_in, tgt, c, src_id, tgt_id, extra_src_cols=("value",),
+        neighbor_scheme=neighbor_scheme,
     ).select("tgt_id", F.struct("dist_mm", "src_id", "value").alias("p"))
     g = pairs.groupBy("tgt_id").agg(
         F.slice(F.array_sort(F.collect_list("p")), 1, k).alias("ks")

@@ -65,84 +65,82 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Names listed here are moved to the FRONT of the registry, in this order.
 # The per-round driver correctness gate checks the first 50 entries only
-# (observed rounds 1-5: CORRECTNESS_r0N.json == list(load_all())[:50]).
+# (observed rounds 1-6: CORRECTNESS_r0N.json == list(load_all())[:50]).
 #
-# Round-6 window (VERDICT r5 item 1): the 13 round-5 queries that have
-# never had a driver row, followed by 37 of the 50 queries whose latest
-# driver row is r3. q_approx_distinct (permanently `no_oracle` — HLL
-# sketches differ across engines by design) stays behind the window.
+# Round-7 window (VERDICT r6 items 1+2): the 22 queries with NO driver
+# row yet (21 round-6 additions + the new q_gradient_walk), then
+# q_approx_distinct (its only driver row is the r2 no_oracle FAIL; this
+# round it became a portable 256-register HLL with an exact DuckDB
+# oracle), then the 13 r3-latest leftovers, then 14 oldest-r4 fills
+# biased toward headline/bench queries being touched this round.
 #
-# ROUND-7 WINDOW PLAN (VERDICT r5 item 5 — keep the rotation cadence
-# alive across builder context resets): the 13 r3-latest rows that did
-# NOT fit in this window, then the oldest r4-latest rows to fill 50:
-#   r3 leftovers (13): q_bigram_logprob q_dup_span q_curation_pipeline
-#     q_bm25 q_token_histogram q_funnel q_events_retention q_regrid_sinu
-#     q_regrid_cea q_regrid_ortho q_cube_agg q_exists_semi q_percentiles
-#   plus the 21 new round-6 queries with no driver row yet
-#   (q_regrid_ups q_regrid_bessel q_contamination_frac q_semdedup
-#   q_line_dedup q_cluster_balance q_gopher_rules q_ann_ivf_reuse
-#   q_pq_encode q_pq_search q_pq_recall q_proj_abi q_regrid_abi
-#   q_doc_chunk q_data_card q_quality_logreg q_tile_assign
-#   q_zorder_key q_minhash_band_tuning q_tile_pyramid
-#   q_mrl_recall),
-#   then the oldest r4-latest rows (CORRECTNESS_r04.json keys minus
-#   any re-run since), e.g. q_gauss_agg q_weighted_avg q_ewa_fornav
-#   q_coarsen_avg q_bucket_max q_bucket_absmax q_first_per_bin ...
-#   to fill 50 (recompute: latest-round-per-query over
-#   CORRECTNESS_r0*.json).
+# ROUND-8 WINDOW PLAN (keep the rotation cadence alive across builder
+# context resets): the remaining 36 r4-latest rows
+# (q_bucket_absmax q_bucket_fractions q_first_per_bin q_domain_bounds
+#  q_freeze_antimeridian q_union_swaths q_enclose_areas q_set_ops
+#  q_nonoverlap_unions q_swath_boundary q_events_tumbling q_regrid_geos
+#  q_regrid_lcc q_proj_utm q_regrid_utm q_regrid_omerc q_proj_aea
+#  q_regrid_aea q_proj_moll q_regrid_moll q_proj_eqdc q_regrid_eqdc
+#  q_proj_robin q_regrid_robin q_gauss_lut_reuse
+#  q_resample_nearest_keyed q_proj_stere_oblique q_regrid_stere_oblique
+#  q_sessionize_gap q_quantile_bin q_ngram_lm_ppl q_near_dup_rank
+#  q_vincenty q_minhash_jaccard_est q_bpe_pairs q_langid_confusion),
+# plus q_bucket_max (displaced from the r7 window by q_ewa_multiband)
+# and any new round-7/8 queries with no driver row, then oldest-r5
+# rows to fill 50 (recompute: latest-round-per-query over
+# CORRECTNESS_r0*.json).
 _PRIORITY = [
-    # --- 13 round-5 queries with no driver row yet ---
-    "q_proj_aeqd",
-    "q_regrid_aeqd",
-    "q_proj_gnom",
-    "q_regrid_gnom",
-    "q_proj_stere_ell",
-    "q_regrid_stere_ell",
-    "q_regrid_stere_wgs84",
-    "q_proj_geos_ell",
-    "q_regrid_geos_ell",
-    "q_edit_distance_rank",
-    "q_embed_covariance",
-    "q_bloom_decontaminate",
-    "q_token_entropy",
-    # --- 37 r3-latest rows (oldest driver evidence), registry order ---
-    "q_scan_lineitem",
-    "q_grid_gen",
-    "q_lonlat2xyz",
-    "q_haversine",
-    "q_proj_eqc",
-    "q_lonlat_to_cell",
-    "q_wrap_lons",
-    "q_round_resolution",
-    "q_math_suite",
-    "q_geocentric_res",
-    "q_gradient_lead_lag",
-    "q_proj_stere",
-    "q_proj_laea",
-    "q_valid_filter",
-    "q_bbox_reduce",
-    "q_grid_filter",
-    "q_slice_crop",
-    "q_mask_filter",
-    "q_bucket_assign",
-    "q_bucket_sum",
-    "q_bucket_count",
-    "q_bucket_avg",
-    "q_bucket_min",
-    "q_regrid_stere",
-    "q_regrid_laea",
-    "q_proj_merc",
-    "q_get_average_skipna",
-    "q_asof_join",
-    "q_range_join",
-    "q_countmin",
-    "q_kmeans_iter",
-    "q_hard_negatives",
-    "q_embedding_stats",
-    "q_embed_quantize",
-    "q_ann_ivf_probe2",
-    "q_ann_recall",
-    "q_dup_inflation",
+    "q_gradient_walk",
+    "q_proj_abi",
+    "q_regrid_abi",
+    "q_regrid_ups",
+    "q_regrid_bessel",
+    "q_tile_assign",
+    "q_zorder_key",
+    "q_tile_pyramid",
+    "q_contamination_frac",
+    "q_line_dedup",
+    "q_gopher_rules",
+    "q_doc_chunk",
+    "q_data_card",
+    "q_quality_logreg",
+    "q_minhash_band_tuning",
+    "q_semdedup",
+    "q_cluster_balance",
+    "q_ann_ivf_reuse",
+    "q_pq_encode",
+    "q_pq_search",
+    "q_pq_recall",
+    "q_mrl_recall",
+    "q_approx_distinct",
+    "q_bigram_logprob",
+    "q_dup_span",
+    "q_curation_pipeline",
+    "q_bm25",
+    "q_token_histogram",
+    "q_funnel",
+    "q_events_retention",
+    "q_regrid_sinu",
+    "q_regrid_cea",
+    "q_regrid_ortho",
+    "q_cube_agg",
+    "q_exists_semi",
+    "q_percentiles",
+    "q_gauss_agg",
+    "q_knn_join",
+    "q_weighted_avg",
+    "q_ewa_fornav",
+    "q_bilinear_irregular",
+    "q_dedup_span_mask",
+    "q_affine_regrid",
+    "q_linesample_join",
+    "q_bilinear_regular",
+    "q_nn_gather",
+    "q_custom_weight",
+    "q_multichannel_gauss",
+    "q_coarsen_avg",
+    # new this round (single-pass multi-band EWA, VERDICT r6 item 8)
+    "q_ewa_multiband",
 ]
 
 

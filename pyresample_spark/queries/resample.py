@@ -1827,3 +1827,79 @@ def q_regrid_abi(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_ABI_AREA, EQC_AREA, src)
+
+
+from pyresample_spark.operators.gradient_walk import (  # noqa: E402
+    SWATH_L,
+    SWATH_P,
+    demo_swath,
+    demo_target,
+    gradient_walk,
+    gradient_walk_oracle_sql,
+)
+
+
+@register("q_gradient_walk", oracle=gradient_walk_oracle_sql())
+def q_gradient_walk(spark, sf_dir):
+    """Iterative gradient-search walk (gradient/_gradient_search.pyx:
+    104-235) for swaths with NO analytic inverse: source coordinates
+    are pure data (a warped polynomial swath), per-pixel Newton
+    iteration unrolled to 8 bounded equi-joins against the forward-
+    difference gradient table, then the reference's nn + bil gathers.
+    Closes VERDICT r6 item 3 — the last reference algorithm family
+    without a direct twin. The DuckDB oracle replays the walk
+    operation-for-operation (operators/gradient_walk.py)."""
+    out = gradient_walk(
+        demo_target(spark), demo_swath(spark),
+        lmax=SWATH_L - 1, pmax=SWATH_P - 1, n_iters=8,
+    )
+    return out.select(
+        "tgt_id",
+        "l0",
+        "p0",
+        rnd(F.col("fl"), 9).alias("fl"),
+        rnd(F.col("fp"), 9).alias("fp"),
+        "it",
+        "nn_value",
+        rnd(F.col("bil_value"), 6).alias("bil_value"),
+    )
+
+
+from pyresample_spark.operators.ewa import (  # noqa: E402
+    ewa_fornav_multiband,
+    ewa_fornav_multiband_sql,
+)
+
+_MB_CHANNELS = {
+    "value": "value",
+    "ch2": "value * 0.5 + 3.0",
+    "ch3": "100.0 - value",
+}
+
+
+@register(
+    "q_ewa_multiband",
+    oracle=ewa_fornav_multiband_sql(KNN_AREA, PTS_SQL, _MB_CHANNELS),
+)
+def q_ewa_multiband(spark, sf_dir):
+    """Single-pass multi-band EWA (VERDICT r6 item 8; _fornav.pyx:208
+    fornav_wrapper): three channels share ONE footprint explode + ONE
+    gaussian weight computation + ONE HashAggregate — per-channel work
+    is just an extra Σw·vᵢ agg buffer, exactly the reference's k-channel
+    amortization (operators/ewa.py ewa_fornav_multiband)."""
+    from pyresample_spark.operators.bucket import events_points
+
+    pts = (
+        events_points(spark, sf_dir)
+        .withColumn("ch2", F.col("value") * F.lit(0.5) + F.lit(3.0))
+        .withColumn("ch3", F.lit(100.0) - F.col("value"))
+    )
+    out = ewa_fornav_multiband(pts, KNN_AREA, ("value", "ch2", "ch3"))
+    return out.select(
+        "cell_id",
+        rnd(F.col("ewa_value"), 6).alias("ewa_value"),
+        rnd(F.col("ewa_ch2"), 6).alias("ewa_ch2"),
+        rnd(F.col("ewa_ch3"), 6).alias("ewa_ch3"),
+        rnd(F.col("weight_sum"), 6).alias("weight_sum"),
+        "n_contrib",
+    )

@@ -2673,3 +2673,166 @@ def test_knn_neighbor_schemes_identical_pairs(spark):
     assert ka == kb
     with pytest.raises(ValueError, match="neighbor_scheme"):
         _radius_pairs(src, tgt, c, neighbor_scheme="c9")
+
+
+# --- gradient-search walk (operators/gradient_walk.py) ---
+
+
+def test_gradient_walk_affine_exact(spark):
+    """On a PURE affine swath the walk's fixed point is the affine
+    inverse: every pixel must converge (it small) with fl/fp equal to
+    the closed-form fractional index."""
+    from pyresample_spark.operators.gradient_walk import gradient_walk
+
+    L, P = 20, 25
+    # sx = 10 + 4p, sy = 5 + 3l  (axis-aligned affine)
+    src = (
+        spark.range(L * P)
+        .select(
+            (F.col("id") / P).cast("bigint").alias("l"),
+            (F.col("id") % P).cast("bigint").alias("p"),
+        )
+        .withColumn("sx", F.lit(10.0) + F.lit(4.0) * F.col("p"))
+        .withColumn("sy", F.lit(5.0) + F.lit(3.0) * F.col("l"))
+        .withColumn("value", (F.col("l") * 10 + F.col("p")).cast("double"))
+    )
+    tgt = spark.createDataFrame(
+        [(0, 30.0, 20.0), (1, 51.0, 35.5), (2, 10.0, 5.0),
+         (3, 100.4, 50.9)],
+        "tgt_id long, dstx double, dsty double",
+    )
+    out = {
+        r["tgt_id"]: r
+        for r in gradient_walk(tgt, src, lmax=L - 1, pmax=P - 1).collect()
+    }
+    for tid, (dstx, dsty) in {0: (30.0, 20.0), 1: (51.0, 35.5),
+                              2: (10.0, 5.0), 3: (100.4, 50.9)}.items():
+        r = out[tid]
+        assert r["fp"] == pytest.approx((dstx - 10.0) / 4.0, abs=1e-9)
+        assert r["fl"] == pytest.approx((dsty - 5.0) / 3.0, abs=1e-9)
+        assert r["it"] <= 3
+    # nn gather: tgt 1 → fp=10.25, fl=10.1666 → nearest (10, 10)
+    assert out[1]["nn_value"] == 110.0
+    # bil on a bilinear value surface reproduces it exactly
+    fl, fp = out[3]["fl"], out[3]["fp"]
+    assert out[3]["bil_value"] == pytest.approx(fl * 10 + fp, abs=1e-9)
+
+
+def test_gradient_walk_warped_converges(spark):
+    """The warped demo swath (cross-term, no affine inverse): all
+    in-span targets converge, fractional indices round-trip through
+    the FORWARD warp to the requested coordinates."""
+    from pyresample_spark.operators.gradient_walk import (
+        SWATH_L, SWATH_P, demo_swath, demo_target, gradient_walk,
+    )
+
+    out = gradient_walk(
+        demo_target(spark), demo_swath(spark),
+        lmax=SWATH_L - 1, pmax=SWATH_P - 1,
+    ).collect()
+    assert len(out) == 2000
+    for r in out[:200]:
+        # forward warp of (fl, fp) must return (dstx, dsty); the demo
+        # target grid: tgt_id = trow*50 + tcol
+        trow, tcol = r["tgt_id"] // 50, r["tgt_id"] % 50
+        dstx, dsty = 420.0 + 150.0 * tcol, 350.0 + 170.0 * trow
+        fl, fp = r["fl"], r["fp"]
+        sx = 50.0 + 100.0 * fp + 3.0 * fl + 0.05 * (fl * fp)
+        sy = 80.0 + 120.0 * fl + 2.0 * fp + 0.04 * (fl * fp)
+        # Newton linearizes the cross term → sub-pixel-quadratic error
+        assert abs(sx - dstx) < 0.5 and abs(sy - dsty) < 0.5
+        assert 1 <= r["it"] <= 8
+
+
+# --- general-CRS pandas-UDF path (operators/proj_udf.py) ---
+
+
+def test_proj_udf_mock_transformer(spark):
+    """VERDICT r6 item 9: drive _proj_udf_columns' real plumbing
+    (Arrow batching, struct-return schema, NULL/NaN handling, column
+    naming) with an injected pure-python transformer — the exact path
+    a cluster with pyproj takes, minus the C library."""
+    import math
+
+    from pyresample_spark.operators.proj_udf import proj_columns
+
+    # defined in-function so cloudpickle ships it BY VALUE to the
+    # worker (a test-module-level class would need `test_operators`
+    # importable executor-side)
+    class _ShiftTransformer:
+        """Plate-carrée-shift stand-in for a pyproj Transformer:
+        x = lon + 10, y = lat / 2; NaN passes through like PROJ inf."""
+
+        def transform(self, lons, lats):
+            return lons + 10.0, lats / 2.0
+
+    def _shift_factory():
+        return _ShiftTransformer()
+
+    df = spark.createDataFrame(
+        [(0, -170.0, -80.0), (1, 0.0, 0.0), (2, 179.5, 45.0),
+         (3, float("nan"), 10.0), (4, None, None)],
+        "id long, lon double, lat double",
+    )
+    out = proj_columns(
+        df, "+proj=anything_exotic", transformer_factory=_shift_factory
+    ).orderBy("id").collect()
+    assert [r["x"] for r in out[:3]] == [-160.0, 10.0, 189.5]
+    assert [r["y"] for r in out[:3]] == [-40.0, 0.0, 22.5]
+    # missing in → missing out (None or NaN: Arrow may round-trip a
+    # pandas NaN as SQL null), never a fabricated coordinate
+    def _missing(v):
+        return v is None or math.isnan(v)
+
+    assert _missing(out[3]["x"]) and out[3]["y"] == 5.0
+    assert _missing(out[4]["x"]) and _missing(out[4]["y"])
+    # schema: injected path yields plain double x/y columns
+    sch = dict(proj_columns(
+        df, "x", transformer_factory=_shift_factory
+    ).dtypes)
+    assert sch["x"] == "double" and sch["y"] == "double"
+
+
+def test_proj_udf_gated_without_pyproj(spark):
+    """Without pyproj and without an injected transformer, an exotic
+    CRS must raise NotImplementedError (never silently wrong)."""
+    from pyresample_spark.operators import proj_udf
+
+    if proj_udf.HAS_PYPROJ:  # pragma: no cover - env-dependent
+        pytest.skip("pyproj present in this environment")
+    df = spark.range(1).select(
+        F.lit(1.0).alias("lon"), F.lit(2.0).alias("lat")
+    )
+    with pytest.raises(NotImplementedError):
+        proj_udf.proj_columns(df, "+proj=igh")
+
+
+def test_ewa_multiband_matches_singleband(spark):
+    """Each channel of the single-pass multiband EWA must equal the
+    single-band operator run on that channel alone (same footprint,
+    same weights — fornav_wrapper parity)."""
+    from pyresample_spark.operators.ewa import (
+        ewa_fornav,
+        ewa_fornav_multiband,
+    )
+    from pyresample_spark.queries.joins import KNN_AREA
+
+    pts = spark.createDataFrame(
+        [(float(-20 + i), float(30 + 0.5 * i), float(i % 7) + 0.5)
+         for i in range(60)],
+        "lon double, lat double, value double",
+    ).withColumn("ch2", F.col("value") * 2.0 + 1.0)
+    mb = {
+        r["cell_id"]: r
+        for r in ewa_fornav_multiband(
+            pts, KNN_AREA, ("value", "ch2")
+        ).collect()
+    }
+    for vc in ("value", "ch2"):
+        sb = ewa_fornav(pts, KNN_AREA, value_col=vc).collect()
+        assert len(sb) == len(mb) > 0
+        for r in sb:
+            m = mb[r["cell_id"]]
+            assert m[f"ewa_{vc}"] == pytest.approx(r["ewa_value"], rel=1e-12)
+            assert m["weight_sum"] == pytest.approx(r["weight_sum"], rel=1e-12)
+            assert m["n_contrib"] == r["n_contrib"]
