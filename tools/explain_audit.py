@@ -99,6 +99,10 @@ HEADLINE = [
     "q_tile_pyramid",
     "q_minhash_band_tuning",
     "q_mrl_recall",
+    # round 7 additions
+    "q_gradient_walk",
+    "q_ewa_multiband",
+    "q_approx_distinct",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
