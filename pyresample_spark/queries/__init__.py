@@ -85,10 +85,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #  q_resample_nearest_keyed q_proj_stere_oblique q_regrid_stere_oblique
 #  q_sessionize_gap q_quantile_bin q_ngram_lm_ppl q_near_dup_rank
 #  q_vincenty q_minhash_jaccard_est q_bpe_pairs q_langid_confusion),
-# plus q_bucket_max (displaced from the r7 window by q_ewa_multiband)
-# and any new round-7/8 queries with no driver row, then oldest-r5
-# rows to fill 50 (recompute: latest-round-per-query over
-# CORRECTNESS_r0*.json).
+# plus q_bucket_max and q_coarsen_avg (displaced from the r7 window by
+# q_ewa_multiband and q_proj_udf) and any new round-7/8 queries with no
+# driver row, then oldest-r5 rows to fill 50 (recompute:
+# latest-round-per-query over CORRECTNESS_r0*.json).
 _PRIORITY = [
     "q_gradient_walk",
     "q_proj_abi",
@@ -138,9 +138,10 @@ _PRIORITY = [
     "q_nn_gather",
     "q_custom_weight",
     "q_multichannel_gauss",
-    "q_coarsen_avg",
-    # new this round (single-pass multi-band EWA, VERDICT r6 item 8)
+    # new this round: single-pass multi-band EWA (VERDICT r6 item 8)
+    # and the pandas-UDF CRS path under the gate (item 9)
     "q_ewa_multiband",
+    "q_proj_udf",
 ]
 
 

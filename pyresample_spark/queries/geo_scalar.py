@@ -1042,3 +1042,54 @@ def q_tile_pyramid(spark, sf_dir):
             ).cast("bigint").alias("value_micros"),
         )
     )
+
+
+class _EqcNumpyTransformer:
+    """Pure-python/numpy Transformer standing where pyproj would for
+    an analytic CRS — gives the general-CRS pandas-UDF path a DRIVER-
+    GATE twin (its output must match the column-math oracle exactly)."""
+
+    def transform(self, lons, lats):
+        import numpy as np
+
+        from pyresample_spark.functions.geo import R_EARTH
+
+        return np.radians(lons) * R_EARTH, np.radians(lats) * R_EARTH
+
+
+def _eqc_transformer_factory():
+    return _EqcNumpyTransformer()
+
+
+@register(
+    "q_proj_udf",
+    oracle=f"""
+    SELECT event_id,
+           ROUND({R_EARTH!r} * radians(lon), 3) + 0.0 AS px,
+           ROUND({R_EARTH!r} * radians(lat), 3) + 0.0 AS py
+    FROM ({PTS_SQL})
+    """,
+)
+def q_proj_udf(spark, sf_dir):
+    """The general-CRS transform path itself (proj_udf.py
+    _proj_udf_columns — Arrow-batched pandas UDF, per-worker lazy
+    transformer construction, struct return) under the driver
+    correctness gate: an injected numpy eqc transformer must reproduce
+    the analytic column-math projection (q_proj_eqc's oracle) cell for
+    cell. On a real cluster the SAME plumbing carries pyproj for CRSs
+    outside the analytic registry (reference: the ubiquitous
+    Proj(...)(lons, lats) — bucket/__init__.py:165, grid.py:119)."""
+    from pyresample_spark.operators.proj_udf import proj_columns
+
+    out = proj_columns(
+        _pts(spark, sf_dir),
+        "+proj=eqc-via-udf",
+        x_out="px",
+        y_out="py",
+        transformer_factory=_eqc_transformer_factory,
+    )
+    return out.select(
+        "event_id",
+        rnd(F.col("px"), 3).alias("px"),
+        rnd(F.col("py"), 3).alias("py"),
+    )
