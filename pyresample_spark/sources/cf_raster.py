@@ -4,10 +4,12 @@ CF-NetCDF grid mappings and GeoTIFF transforms → AreaDefinition.
 Reference parity: load_cf_area (utils/cf.py:413),
 get_area_def_from_raster (utils/rasterio.py:77).
 
-xarray/netCDF4/rasterio are not in this container, so both readers are
-import-gated stubs with the translation logic factored so the
-struct-building path (:func:`area_from_cf_attrs`,
-:func:`area_from_geotransform`) is testable without the IO libraries.
+Classic NetCDF (CDF-1/CDF-2) and baseline GeoTIFF parse NATIVELY via
+the pure-python readers in :mod:`binary_raster` — no IO library
+needed; only NetCDF4/HDF5 and exotic TIFF variants fall back to the
+import-gated xarray/rasterio paths. The extent/transform math lives in
+:func:`area_from_cf_attrs` / :func:`area_from_geotransform`, shared by
+both paths.
 """
 
 from __future__ import annotations
@@ -68,17 +70,31 @@ def area_from_cf_attrs(
     )
 
 
-def load_cf_area(path: str, variable: str | None = None):  # pragma: no cover
-    """Read a CF-compliant NetCDF grid mapping → AreaDefinition.
-    Requires xarray + netCDF4 (not in this container)."""
-    try:
+def load_cf_area(path: str, variable: str | None = None):
+    """Read a CF-compliant NetCDF grid mapping → AreaDefinition
+    (load_cf_area, utils/cf.py:413).
+
+    Classic NetCDF (CDF-1/CDF-2) parses with the built-in pure-python
+    reader (sources/binary_raster.py) — no IO library needed. NetCDF4/
+    HDF5 files fall back to xarray when installed."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head[:3] == b"CDF":
+            buf = head + f.read()
+            from pyresample_spark.sources.binary_raster import (
+                load_cf_area_nc3,
+            )
+
+            area, _ = load_cf_area_nc3(buf, variable)
+            return area
+    try:  # pragma: no cover - optional dependency
         import xarray as xr  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "load_cf_area requires xarray/netCDF4; install them on the "
-            "cluster — the translation logic is area_from_cf_attrs()"
+            "NetCDF4/HDF5 files need xarray/netCDF4 (classic CDF-1/2 "
+            "files parse natively); install them on the cluster"
         ) from e
-    ds = xr.open_dataset(path)
+    ds = xr.open_dataset(path)  # pragma: no cover
     var = ds[variable] if variable else next(iter(ds.data_vars.values()))
     return area_from_cf_attrs(
         variable or var.name,
@@ -88,16 +104,28 @@ def load_cf_area(path: str, variable: str | None = None):  # pragma: no cover
     )
 
 
-def get_area_def_from_raster(path: str):  # pragma: no cover
-    """GeoTIFF → AreaDefinition. Requires rasterio (not in container)."""
+def get_area_def_from_raster(path: str):
+    """GeoTIFF → AreaDefinition (get_area_def_from_raster,
+    utils/rasterio.py:77).
+
+    Classic baseline TIFFs parse with the built-in pure-python reader
+    (sources/binary_raster.py); anything it rejects (BigTIFF,
+    compressed, rotated) falls back to rasterio when installed."""
+    with open(path, "rb") as f:
+        buf = f.read()
     try:
-        import rasterio  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "get_area_def_from_raster requires rasterio; the translation "
-            "logic is area_from_geotransform()"
-        ) from e
-    with rasterio.open(path) as src:
+        from pyresample_spark.sources.binary_raster import area_from_geotiff
+
+        return area_from_geotiff(buf, area_id=path)
+    except ValueError as native_err:
+        try:  # pragma: no cover - optional dependency
+            import rasterio  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                f"native TIFF parser rejected the file ({native_err}); "
+                "the rasterio fallback is not installed"
+            ) from e
+    with rasterio.open(path) as src:  # pragma: no cover
         t = src.transform
         return area_from_geotransform(
             path, str(src.crs), src.width, src.height,

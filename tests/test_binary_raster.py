@@ -1,0 +1,286 @@
+"""Pure-python NetCDF3 / GeoTIFF readers (sources/binary_raster.py):
+files are built byte-by-byte here from the public format specs, then
+parsed back — reader and writer share no code, so agreement checks the
+grammar, not a tautology. Mirrors the reference's file-based tests for
+load_cf_area (test_utils.py) / get_area_def_from_raster."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pyresample_spark.sources.binary_raster import (
+    area_from_geotiff,
+    load_cf_area_nc3,
+    nc_var_data,
+    parse_netcdf3,
+    parse_tiff,
+    read_raster_pixels,
+    tiff_pixels,
+)
+from pyresample_spark.sources.cf_raster import (
+    get_area_def_from_raster,
+    load_cf_area,
+)
+
+# --- NetCDF3 classic writer (test-side; spec-driven, independent of
+# the reader) ---
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _ncname(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">I", len(b)) + _pad4(b)
+
+
+def _ncattrs(d: dict) -> bytes:
+    if not d:
+        return struct.pack(">II", 0, 0)
+    out = struct.pack(">II", 0x0C, len(d))
+    for k, v in d.items():
+        out += _ncname(k)
+        if isinstance(v, str):
+            vb = v.encode()
+            out += struct.pack(">II", 2, len(vb)) + _pad4(vb)
+        else:
+            vals = list(v) if isinstance(v, (list, tuple)) else [v]
+            out += struct.pack(">II", 6, len(vals))
+            out += struct.pack(">" + "d" * len(vals), *map(float, vals))
+    return out
+
+
+def nc3_bytes(dims, variables, gattrs=None, version=1):
+    """dims: [(name, size)]; variables: [(name, dimnames, attrs,
+    np_array | None)] — None data writes a scalar int 0 (grid-mapping
+    container variable)."""
+    dimidx = {n: i for i, (n, _) in enumerate(dims)}
+    typ = {np.dtype(">f8"): 6, np.dtype(">i4"): 4, np.dtype(">i2"): 3}
+    blobs, metas = [], []
+    for name, dimnames, attrs, arr in variables:
+        if arr is None:
+            nc_type, data = 4, struct.pack(">i", 0)
+        else:
+            arr = np.ascontiguousarray(arr)
+            be = arr.astype(arr.dtype.newbyteorder(">"))
+            nc_type, data = typ[be.dtype], be.tobytes()
+        blobs.append(_pad4(data))
+        metas.append((name, [dimidx[d] for d in dimnames], attrs, nc_type))
+
+    def header(begins):
+        out = b"CDF" + bytes([version]) + struct.pack(">I", 0)
+        out += struct.pack(">II", 0x0A, len(dims))
+        for n, sz in dims:
+            out += _ncname(n) + struct.pack(">I", sz)
+        out += _ncattrs(gattrs or {})
+        out += struct.pack(">II", 0x0B, len(metas))
+        for (name, dimids, attrs, nc_type), blob, bg in zip(
+            metas, blobs, begins
+        ):
+            out += _ncname(name) + struct.pack(">I", len(dimids))
+            out += struct.pack(">" + "I" * len(dimids), *dimids)
+            out += _ncattrs(attrs)
+            out += struct.pack(">II", nc_type, len(blob))
+            out += struct.pack(">Q" if version == 2 else ">I", bg)
+        return out
+
+    hlen = len(header([0] * len(metas)))
+    begins, o = [], hlen
+    for blob in blobs:
+        begins.append(o)
+        o += len(blob)
+    return header(begins) + b"".join(blobs)
+
+
+def _demo_nc(version=1):
+    """6×8 CF grid: x/y centers (x step 0.5 from 10.25, y descending
+    step 0.25 from 50.0), data = row*10 + col, eqc grid mapping."""
+    xs = np.array([10.25 + 0.5 * i for i in range(8)], dtype=">f8")
+    ys = np.array([50.0 - 0.25 * j for j in range(6)], dtype=">f8")
+    data = (np.arange(48, dtype=">f8").reshape(6, 8) // 8) * 10 + (
+        np.arange(48, dtype=">f8").reshape(6, 8) % 8
+    )
+    return nc3_bytes(
+        [("y", 6), ("x", 8)],
+        [
+            ("x", ["x"], {"standard_name": "projection_x_coordinate"}, xs),
+            ("y", ["y"], {"standard_name": "projection_y_coordinate"}, ys),
+            ("crs", [], {"proj4": "eqc", "grid_mapping_name": "eqc"}, None),
+            ("t2m", ["y", "x"], {"grid_mapping": "crs", "units": "K"}, data),
+        ],
+        gattrs={"Conventions": "CF-1.8"},
+        version=version,
+    )
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_netcdf3_parse_roundtrip(version):
+    buf = _demo_nc(version)
+    nc = parse_netcdf3(buf)
+    assert nc["dims"] == [("y", 6), ("x", 8)]
+    assert nc["gattrs"]["Conventions"] == "CF-1.8"
+    assert nc["vars"]["t2m"]["attrs"]["grid_mapping"] == "crs"
+    assert nc["vars"]["t2m"]["shape"] == (6, 8)
+    arr = nc_var_data(buf, nc["vars"]["t2m"])
+    assert arr[3, 5] == 35.0 and arr[0, 0] == 0.0
+    xs = nc_var_data(buf, nc["vars"]["x"])
+    assert xs.tolist() == [10.25 + 0.5 * i for i in range(8)]
+
+
+def test_netcdf3_cf_area():
+    area, var = load_cf_area_nc3(_demo_nc())
+    assert var == "t2m"
+    assert area.crs == "eqc"
+    assert area.width == 8 and area.height == 6
+    # centers → extent: half-pixel outward on each side
+    assert area.area_extent == (10.0, 48.625, 14.0, 50.125)
+
+
+def test_load_cf_area_path_dispatch(tmp_path):
+    p = tmp_path / "grid.nc"
+    p.write_bytes(_demo_nc())
+    area = load_cf_area(str(p))
+    assert area.width == 8 and area.crs == "eqc"
+
+
+def test_netcdf3_rejects_non_cdf():
+    with pytest.raises(ValueError, match="classic NetCDF"):
+        parse_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+
+
+# --- GeoTIFF writer (test-side) ---
+
+
+def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<"):
+    """Baseline single-strip float32 GeoTIFF. (x0, y0) = upper-left
+    CORNER; epsg None → geographic (longlat) keys."""
+    h, w = arr.shape
+    strip = arr.astype(endian + "f4").tobytes()
+    keys = [(1024, 2)] if epsg is None else [(1024, 1), (3072, epsg)]
+    geodir = [1, 1, 0, len(keys)]
+    for kid, val in keys:
+        geodir += [kid, 0, 1, val]
+    ext = {}  # tag -> bytes appended after the IFD
+    entries = []  # (tag, type, count, inline_int_or_ext_marker)
+
+    def add(tag, typ, count, inline=None, extbytes=None):
+        entries.append((tag, typ, count, inline, extbytes))
+
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    add(258, 3, 1, 32)
+    add(259, 3, 1, 1)
+    add(262, 3, 1, 1)
+    add(273, 4, 1, "STRIP")
+    add(277, 3, 1, 1)
+    add(278, 3, 1, h)
+    add(279, 4, 1, len(strip))
+    add(339, 3, 1, 3)
+    add(33550, 12, 3,
+        extbytes=struct.pack(endian + "3d", sx, sy, 0.0))
+    add(33922, 12, 6,
+        extbytes=struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0))
+    add(34735, 3, len(geodir),
+        extbytes=struct.pack(endian + f"{len(geodir)}H", *geodir))
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_len
+    blobs, offs = [], {}
+    o = ext_off
+    for tag, typ, count, inline, extbytes in entries:
+        if extbytes is not None:
+            offs[tag] = o
+            blobs.append(extbytes)
+            o += len(extbytes)
+    strip_off = o
+
+    out = (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "HI", 42, ifd_off)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, count, inline, extbytes in entries:
+        out += struct.pack(endian + "HHI", tag, typ, count)
+        if extbytes is not None:
+            out += struct.pack(endian + "I", offs[tag])
+        elif inline == "STRIP":
+            out += struct.pack(endian + "I", strip_off)
+        elif typ == 3:
+            out += struct.pack(endian + "HH", inline, 0)
+        else:
+            out += struct.pack(endian + "I", inline)
+    out += struct.pack(endian + "I", 0)  # next-IFD pointer
+    return out + b"".join(blobs) + strip
+
+
+def test_geotiff_area_and_pixels():
+    arr = np.arange(12, dtype="f4").reshape(3, 4) * 1.5
+    buf = geotiff_bytes(arr, sx=0.5, sy=0.25, x0=10.0, y0=50.0)
+    area = area_from_geotiff(buf, "t")
+    assert area.crs == "longlat"
+    assert (area.width, area.height) == (4, 3)
+    assert area.area_extent == (10.0, 49.25, 12.0, 50.0)
+    px = tiff_pixels(buf)
+    assert px.shape == (3, 4) and px[2, 3] == 11 * 1.5
+
+
+def test_geotiff_utm_and_big_endian():
+    arr = np.ones((2, 2), dtype="f4")
+    buf = geotiff_bytes(
+        arr, sx=30.0, sy=30.0, x0=500000.0, y0=6000000.0,
+        epsg=32633, endian=">",
+    )
+    area = area_from_geotiff(buf, "t")
+    assert area.crs == "+proj=utm +zone=33 +ellps=WGS84"
+    assert area.area_extent == (500000.0, 5999940.0, 500060.0, 6000000.0)
+    assert tiff_pixels(buf).sum() == 4.0
+
+
+def test_geotiff_path_dispatch(tmp_path):
+    p = tmp_path / "r.tif"
+    p.write_bytes(
+        geotiff_bytes(np.zeros((2, 3), dtype="f4"), 1.0, 1.0, 0.0, 2.0)
+    )
+    area = get_area_def_from_raster(str(p))
+    assert (area.width, area.height) == (3, 2)
+
+
+def test_tiff_rejects_unknowns():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        parse_tiff(b"PK\x03\x04")
+    arr = np.zeros((2, 2), dtype="f4")
+    buf = bytearray(geotiff_bytes(arr, 1, 1, 0, 0))
+    buf[2:4] = struct.pack("<H", 43)  # BigTIFF magic
+    with pytest.raises(ValueError, match="classic TIFF"):
+        parse_tiff(bytes(buf))
+
+
+def test_read_raster_pixels_distributed(spark, tmp_path):
+    """The 100 TB ingest shape: a binaryFile scan over a granule
+    directory + in-plan decode — every file's pixels come back
+    correct, keyed by file."""
+    (tmp_path / "a.nc").write_bytes(_demo_nc())
+    (tmp_path / "b.nc").write_bytes(_demo_nc(version=2))
+    df = read_raster_pixels(spark, str(tmp_path / "*.nc"), "netcdf3")
+    rows = df.collect()
+    assert len(rows) == 2 * 48
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], {})[
+            (r["row"], r["col"])
+        ] = r["value"]
+    for f in ("a.nc", "b.nc"):
+        assert by_file[f][(3, 5)] == 35.0
+        assert by_file[f][(0, 7)] == 7.0
+
+    t = tmp_path / "t.tif"
+    t.write_bytes(
+        geotiff_bytes(
+            np.arange(6, dtype="f4").reshape(2, 3), 1.0, 1.0, 0.0, 2.0
+        )
+    )
+    tdf = read_raster_pixels(spark, str(t), "geotiff")
+    got = {(r["row"], r["col"]): r["value"] for r in tdf.collect()}
+    assert got == {(i // 3, i % 3): float(i) for i in range(6)}
