@@ -45,8 +45,10 @@ HEADLINE = [
     "q_bilinear_irregular",
     "q_dedup_span_mask",
     # VERDICT r6 item 6: one ANN-stack representative — PQ/ADC search is
-    # the scale path for embedding retrieval, now perf-visible per round
+    # the scale path for embedding retrieval, now perf-visible per round.
+    # The _reuse twin shows the persisted-codes (encode-once) delta.
     "q_pq_search",
+    "q_pq_search_reuse",
 ]
 
 

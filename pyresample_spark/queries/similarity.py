@@ -1234,9 +1234,7 @@ def _nano_top5(cand, group: str = "probe_id",
     )
 
 
-@register(
-    "q_pq_search",
-    oracle="""
+_PQ_SEARCH_ORACLE = """
     WITH d AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -1285,28 +1283,13 @@ def _nano_top5(cand, group: str = "probe_id",
             PARTITION BY probe_id ORDER BY nano ASC, vec_id ASC) AS rank
           FROM adc)
     WHERE rank <= 5
-    """,
-)
-def q_pq_search(spark, sf_dir):
-    """Asymmetric-distance PQ search (the payoff of q_pq_encode): the
-    corpus side of the search carries ONLY (vec_id, pq_code) — 16
-    bytes a row instead of the 260-byte embedding — and each probe
-    scores a candidate by summing per-subspace distances between its
-    own chunks and the codebook entry the candidate's 6-bit code
-    selects (codebook = plan literals, so no codebook join either).
-    Per-subspace distances are integer-nano quantized before the sum
-    so the ranking key is a pure BIGINT; top-5 per probe via the
-    packed-key hash aggregate (no window sort).
+    """
 
-    Scale shape: encode and search fuse into one scan — the corpus is
-    read once, encoded in-row, joined to the broadcast probe set, and
-    reduced map-side; the ONLY exchange is the per-probe top-k
-    aggregation over packed bigints. This is the 100 TB ANN topology:
-    codes in memory, vectors cold."""
+
+def _pq_codes_df(emb, cb):
+    """(vec_id, pq_code): the in-row zero-shuffle encode (q_pq_encode's
+    code column only)."""
     from pyresample_spark.functions.exprs import let_expr as _let
-
-    emb = _emb(spark, sf_dir)
-    cb = _pq_codebook(emb)
 
     def ds_expr(j):
         x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
@@ -1323,7 +1306,14 @@ def q_pq_search(spark, sf_dir):
     enc_expr = _let(
         [(f"d{j}", ds_expr(j)) for j in range(8)], "q", f"({code})"
     )
-    enc = emb.selectExpr("vec_id", enc_expr + " AS pq_code")
+    return emb.selectExpr("vec_id", enc_expr + " AS pq_code")
+
+
+def _pq_adc_topk(enc, emb, cb):
+    """Probe-side ADC scoring + packed top-5 over a (vec_id, pq_code)
+    corpus table — shared by the fused and persisted-code searches."""
+    from pyresample_spark.functions.exprs import let_expr as _let
+
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
     )
@@ -1364,6 +1354,66 @@ def q_pq_search(spark, sf_dir):
         rnd(F.col("nano").cast("double") / 1000000000.0, 6).alias("adc"),
         "rank",
     )
+
+
+@register("q_pq_search", oracle=_PQ_SEARCH_ORACLE)
+def q_pq_search(spark, sf_dir):
+    """Asymmetric-distance PQ search (the payoff of q_pq_encode): the
+    corpus side of the search carries ONLY (vec_id, pq_code) — 16
+    bytes a row instead of the 260-byte embedding — and each probe
+    scores a candidate by summing per-subspace distances between its
+    own chunks and the codebook entry the candidate's 6-bit code
+    selects (codebook = plan literals, so no codebook join either).
+    Per-subspace distances are integer-nano quantized before the sum
+    so the ranking key is a pure BIGINT; top-5 per probe via the
+    packed-key hash aggregate (no window sort).
+
+    Scale shape: encode and search fuse into one scan — the corpus is
+    read once, encoded in-row, joined to the broadcast probe set, and
+    reduced map-side; the ONLY exchange is the per-probe top-k
+    aggregation over packed bigints (measured: 20 records / 0.32 MB at
+    sf0.1, tools/scale_probe_pq.py). This is the 100 TB ANN topology:
+    codes in memory, vectors cold. The encode-once production variant
+    is q_pq_search_reuse."""
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    return _pq_adc_topk(_pq_codes_df(emb, cb), emb, cb)
+
+
+@register("q_pq_search_reuse", oracle=_PQ_SEARCH_ORACLE)
+def q_pq_search_reuse(spark, sf_dir):
+    """PQ search over PERSISTED codes — how PQ actually ships: encode
+    is a one-time batch job (the 64× compression pass over the cold
+    corpus), searches scan the 16-byte (vec_id, pq_code) table. The
+    codes table is cached through LutCache keyed by the embeddings
+    file identity (the q_ann_ivf_reuse pattern); a search session that
+    finds the cache warm never reads an embedding for the corpus side
+    — only the (tiny) probe set. The oracle is IDENTICAL to
+    q_pq_search's: codes are integers, so persistence must be exact."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyresample_spark.plans.lut import LutCache
+
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    cache = LutCache(
+        os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts"),
+        bucket_col="vec_id",
+    )
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    src_hash = hashlib.sha1(
+        f"pq-codes|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    enc = cache.get_or_compute(
+        spark, src_hash, "pq-mod50-codebook", 0.0, ("pq_codes", 1),
+        lambda: _pq_codes_df(emb, cb),
+    )
+    return _pq_adc_topk(enc, emb, cb)
 
 
 @register(
