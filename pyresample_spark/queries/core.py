@@ -84,3 +84,44 @@ def q_grid_gen(spark, sf_dir):
         F.sum(F.round(F.col("cx") * 1e6, 0).cast("bigint")).alias("sum_cx_u"),
         F.sum(F.round(F.col("cy") * 1e6, 0).cast("bigint")).alias("sum_cy_u"),
     )
+
+
+@register(
+    "q_raster_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 31 + (r % 40) * 17) % 97 AS DOUBLE) + 0.5
+             AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_raster_ingest(spark, sf_dir):
+    """Distributed granule-file ingestion under the driver gate
+    (SURVEY §2.1; reference reads CF files via utils/cf.py:413): three
+    classic-NetCDF band granules — REAL files parsed by the pure-python
+    CDF grammar reader — land as ONE ``binaryFile`` scan decoded
+    in-plan by Arrow-batched ``mapInPandas`` (one file per task, no
+    driver loop), band-local rows mapped to absolute grid rows by the
+    band index in each granule's file name. The
+    oracle regenerates the synthetic grid the granules encode, so the
+    whole binary path (writer → bytes → scan → parse → pixels) must be
+    value-exact."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        demo_granule_dir,
+        read_raster_pixels,
+    )
+
+    d = demo_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )

@@ -339,3 +339,186 @@ def read_raster_pixels(spark, path: str, fmt: str):
     return files.select("path", "content").mapInPandas(
         decode, "file string, row long, col long, value double"
     )
+
+
+# ---------------------------------------------------------------------------
+# NetCDF3 classic WRITER — the CF export sink (reference users save
+# resampled grids to CF files; satpy's cf writer is the usual consumer)
+# and the fixture generator for the ingest query. The reader above is
+# additionally tested against files built independently in
+# tests/test_binary_raster.py, so reader/writer agreement here is not
+# the only evidence the grammar is right.
+
+def _w_pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _w_name(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">I", len(b)) + _w_pad4(b)
+
+
+def _w_attrs(d: dict) -> bytes:
+    if not d:
+        return struct.pack(">II", _ABSENT, 0)
+    out = struct.pack(">II", _NC_ATTRIBUTE, len(d))
+    for k, v in d.items():
+        out += _w_name(k)
+        if isinstance(v, str):
+            vb = v.encode()
+            out += struct.pack(">II", 2, len(vb)) + _w_pad4(vb)
+        else:
+            vals = list(v) if isinstance(v, (list, tuple)) else [v]
+            out += struct.pack(">II", 6, len(vals))
+            out += struct.pack(">" + "d" * len(vals), *map(float, vals))
+    return out
+
+
+def netcdf3_bytes(dims, variables, gattrs=None) -> bytes:
+    """Serialize a classic (CDF-1) NetCDF file.
+
+    ``dims``: [(name, size)]; ``variables``: [(name, dim_names, attrs,
+    numpy array | None)] — None writes a scalar int 0 (the CF
+    grid-mapping container-variable idiom). Doubles/int32/int16 only."""
+    dimidx = {n: i for i, (n, _) in enumerate(dims)}
+    blobs, metas = [], []
+    for name, dimnames, attrs, arr in variables:
+        if arr is None:
+            nc_type, data = 4, struct.pack(">i", 0)
+        else:
+            arr = np.ascontiguousarray(arr)
+            kind = arr.dtype.kind, arr.dtype.itemsize
+            nc_type = {("f", 8): 6, ("i", 4): 4, ("i", 2): 3}.get(kind)
+            if nc_type is None:
+                raise ValueError(f"unsupported dtype {arr.dtype}")
+            data = arr.astype(arr.dtype.newbyteorder(">")).tobytes()
+        blobs.append(_w_pad4(data))
+        metas.append((name, [dimidx[d] for d in dimnames], attrs, nc_type))
+
+    def header(begins):
+        out = b"CDF\x01" + struct.pack(">I", 0)
+        out += struct.pack(">II", _NC_DIMENSION, len(dims))
+        for n, sz in dims:
+            out += _w_name(n) + struct.pack(">I", sz)
+        out += _w_attrs(gattrs or {})
+        out += struct.pack(">II", _NC_VARIABLE, len(metas))
+        for (name, dimids, attrs, nc_type), blob, bg in zip(
+            metas, blobs, begins
+        ):
+            out += _w_name(name) + struct.pack(">I", len(dimids))
+            out += struct.pack(">" + "I" * len(dimids), *dimids)
+            out += _w_attrs(attrs)
+            out += struct.pack(">III", nc_type, len(blob), bg)
+        return out
+
+    hlen = len(header([0] * len(metas)))
+    begins, o = [], hlen
+    for blob in blobs:
+        begins.append(o)
+        o += len(blob)
+    return header(begins) + b"".join(blobs)
+
+
+def export_cf_grid(df, area, path: str, var_name: str = "data",
+                   max_cells: int = 4_000_000) -> None:
+    """Dense CF-NetCDF export of a resampled grid: (row, col, value)
+    DataFrame + AreaDefinition → one classic-NetCDF file with x/y
+    pixel-center coordinate vectors and a grid-mapping variable
+    carrying the CRS (the sink side of load_cf_area; reference writes
+    go through satpy's cf writer on top of utils/cf.py conventions).
+
+    Like sources/export.py, the dense materialization is size-guarded:
+    a file export is a DELIVERABLE, not a pipeline stage — at 100 TB
+    you export tiles/chips, never the whole grid."""
+    if area.size > max_cells:
+        raise ValueError(
+            f"grid {area.shape} = {area.size} cells > max_cells="
+            f"{max_cells}; export tiles instead"
+        )
+    arr = np.full((area.height, area.width), np.nan)
+    for r in df.select("row", "col", "value").collect():
+        arr[r["row"], r["col"]] = r["value"]
+    xs = np.array(
+        [area.area_extent[0] + (c + 0.5) * area.pixel_size_x
+         for c in range(area.width)]
+    )
+    ys = np.array(
+        [area.area_extent[3] - (r + 0.5) * area.pixel_size_y
+         for r in range(area.height)]
+    )
+    buf = netcdf3_bytes(
+        [("y", area.height), ("x", area.width)],
+        [
+            ("x", ["x"], {"standard_name": "projection_x_coordinate"}, xs),
+            ("y", ["y"], {"standard_name": "projection_y_coordinate"}, ys),
+            ("crs", [], {"proj4": area.crs,
+                         "grid_mapping_name": area.crs}, None),
+            (var_name, ["y", "x"], {"grid_mapping": "crs"}, arr),
+        ],
+        gattrs={"Conventions": "CF-1.8", "area_id": area.area_id},
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    import os
+
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic granule fixture for the driver-gated ingest query
+
+GRANULE_BANDS = 3
+GRANULE_ROWS = 8   # rows per granule file
+GRANULE_COLS = 40
+
+
+def demo_granule_dir() -> str:
+    """Write-once fixture: GRANULE_BANDS classic-NetCDF granules, each
+    one horizontal band of a (BANDS·ROWS)×COLS synthetic grid with
+    value = ((abs_row·31 + col·17) % 97) + 0.5 (the synth_image
+    formula). Returns the directory path; creation is atomic
+    (populate a temp dir, rename into place) and keyed by the layout
+    constants so concurrent driver runs converge on one copy."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pyresample_spark_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+    )
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        return base
+    tmp = tempfile.mkdtemp(prefix=base + ".tmp.")
+    xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+    for band in range(GRANULE_BANDS):
+        r0 = band * GRANULE_ROWS
+        ys = np.array([-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                      dtype=float)  # descending northing
+        rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+        cols = np.arange(GRANULE_COLS)[None, :]
+        data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
+        buf = netcdf3_bytes(
+            [("y", GRANULE_ROWS), ("x", GRANULE_COLS)],
+            [
+                ("x", ["x"],
+                 {"standard_name": "projection_x_coordinate"}, xs),
+                ("y", ["y"],
+                 {"standard_name": "projection_y_coordinate"}, ys),
+                ("crs", [], {"proj4": "eqc"}, None),
+                ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
+            ],
+            gattrs={"Conventions": "CF-1.8", "band_index": [float(band)]},
+        )
+        with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+            f.write(buf)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # another writer won the race; ours is redundant
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
