@@ -44,11 +44,11 @@ HEADLINE = [
     # driver bench tracks the plans that matter at scale
     "q_bilinear_irregular",
     "q_dedup_span_mask",
-    # VERDICT r6 item 6: one ANN-stack representative — PQ/ADC search is
-    # the scale path for embedding retrieval, now perf-visible per round.
-    # The _reuse twin shows the persisted-codes (encode-once) delta.
+    # VERDICT r6 item 6: ANN-stack representatives — the fused PQ/ADC
+    # search (worst case: encode inline + brute ADC) and the IVF-PQ
+    # composition over the cached bucketed index (the production path).
     "q_pq_search",
-    "q_pq_search_reuse",
+    "q_ivf_pq_search",
 ]
 
 

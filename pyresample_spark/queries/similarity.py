@@ -1311,44 +1311,39 @@ def _pq_codes_df(emb, cb):
 
 def _pq_adc_topk(enc, emb, cb):
     """Probe-side ADC scoring + packed top-5 over a (vec_id, pq_code)
-    corpus table — shared by the fused and persisted-code searches."""
-    from pyresample_spark.functions.exprs import let_expr as _let
+    corpus table — shared by the fused and persisted-code searches.
 
-    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
-    )
+    Textbook ADC lookup table (round 7): each probe precomputes its
+    integer-nano distance to EVERY codebook entry per subspace — an
+    array<bigint>[50] per (probe, subspace), built ONCE per probe on
+    the broadcast side — and a candidate's score is then 8 array
+    lookups indexed by its 6-bit codes instead of 8×8-dim distance
+    folds. Per-pair compute drops ~64× (128 fused mul-adds → 8
+    element_at); the nano value per (probe, code) is the SAME
+    expression evaluated once instead of per pair, so the result is
+    bit-identical and the DuckDB oracle is unchanged."""
+    px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
+    luts = [
+        f"transform({_pq_cb_lit(cb, j)}, c -> "
+        f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
+        f" + ({px(j)} - element_at(c, d))"
+        f" * ({px(j)} - element_at(c, d))) * 1000000000.0D"
+        f" + 0.5D) AS BIGINT)) AS lut{j}"
+        for j in range(8)
+    ]
+    probes = emb.filter(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS probe_id", "embedding AS pv"
+    ).selectExpr("probe_id", *luts)
     pairs = enc.join(
         F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
     )
-    # per-pair ADC: decode each 6-bit code into its codebook chunk
-    # (let-bound so the literal array is referenced once), then the
-    # integer-nano distance sum
-    codes = [
-        (f"c{j}", f"CAST((pq_code div {64 ** j}L) % 64 AS INT)")
+    nano_expr = " + ".join(
+        f"element_at(lut{j}, CAST((pq_code div {64 ** j}L) % 64 AS INT) + 1)"
         for j in range(8)
-    ]
-    chunks = [
-        (f"e{j}", f"element_at({_pq_cb_lit(cb, j)}, w.c{j} + 1)")
-        for j in range(8)
-    ]
-    px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
-    nanos = [
-        (
-            f"n{j}",
-            f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
-            f" + ({px(j)} - element_at(z.e{j}, d))"
-            f" * ({px(j)} - element_at(z.e{j}, d))) * 1000000000.0D"
-            f" + 0.5D) AS BIGINT)",
-        )
-        for j in range(8)
-    ]
-    nano_expr = _let(
-        codes, "w",
-        _let(chunks, "z",
-             _let(nanos, "y",
-                  "(" + " + ".join(f"y.n{j}" for j in range(8)) + ")")),
     )
-    cand = pairs.selectExpr("probe_id", "vec_id", nano_expr + " AS nano")
+    cand = pairs.selectExpr(
+        "probe_id", "vec_id", f"({nano_expr}) AS nano"
+    )
     return _nano_top5(cand).select(
         "probe_id", "vec_id",
         rnd(F.col("nano").cast("double") / 1000000000.0, 6).alias("adc"),
@@ -1673,4 +1668,153 @@ def q_mrl_recall(spark, sf_dir):
                 "recall"
             ),
         )
+    )
+
+
+_IVF_PQ_ORACLE = f"""
+    WITH d AS ({_VD_SQL}),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cvn
+            FROM d WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, cen.cv)
+                                / (d.vn * cen.cvn), 9) DESC,
+                          cen.centroid_id ASC) AS rn
+        FROM d CROSS JOIN cen
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+      FROM d WHERE vec_id % 50 = 0 AND vec_id < 2500
+    ),
+    dist AS (
+      SELECT d.vec_id, t.j, cb.ci,
+             list_reduce(
+               list_transform(range(1, 9), dd ->
+                 (v[t.j * 8 + dd] - cv[t.j * 8 + dd])
+                 * (v[t.j * 8 + dd] - cv[t.j * 8 + dd])),
+               (a, b) -> a + b) AS dsq
+      FROM d CROSS JOIN cb CROSS JOIN UNNEST(range(0, 8)) AS t(j)
+    ),
+    best AS (SELECT vec_id, j, MIN(dsq) AS mn FROM dist GROUP BY 1, 2),
+    pick AS (
+      SELECT di.vec_id, di.j, MIN(di.ci) AS ci
+      FROM dist di
+      JOIN best b ON di.vec_id = b.vec_id AND di.j = b.j AND di.dsq = b.mn
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT d.vec_id AS probe_id, d.v AS pv, a.centroid_id
+      FROM d JOIN assign a ON d.vec_id = a.vec_id
+      WHERE d.vec_id % 100 = 0
+    ),
+    adc AS (
+      SELECT p.probe_id, pk.vec_id,
+             CAST(SUM(CAST(FLOOR(
+               list_reduce(
+                 list_transform(range(1, 9), dd ->
+                   (p.pv[pk.j * 8 + dd] - cb.cv[pk.j * 8 + dd])
+                   * (p.pv[pk.j * 8 + dd] - cb.cv[pk.j * 8 + dd])),
+                 (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS nano
+      FROM pick pk
+      JOIN assign a ON a.vec_id = pk.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN cb ON cb.ci = pk.ci
+      WHERE pk.vec_id != p.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id,
+           ROUND(CAST(nano AS DOUBLE) / 1000000000.0, 6) + 0.0 AS adc,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY nano ASC, vec_id ASC) AS rank
+          FROM adc)
+    WHERE rank <= 5
+    """
+
+
+@register("q_ivf_pq_search", oracle=_IVF_PQ_ORACLE)
+def q_ivf_pq_search(spark, sf_dir):
+    """IVF-PQ (FAISS IVFADC) — the composition that actually runs at
+    100 TB: brute-force ADC is O(corpus × probes) no matter how cheap
+    the per-pair lookup is, so candidates are FIRST pruned to the
+    probe's IVF cluster (a hash equi-join on centroid_id — candidate
+    volume drops by ~the centroid count) and only then scored by the
+    per-probe ADC lookup table over 16-byte (id, code) rows. Every
+    stage reuses an already-oracled piece: ivf_assign's packed-argmax
+    hash agg, q_pq_encode's literal-codebook in-row codes, the ADC
+    LUT, the packed-key top-5. The shuffle carries assignments and
+    codes — ints, never vectors.
+
+    The (centroid_id, vec_id, pq_code) index is built once and cached
+    through LutCache BUCKETED BY centroid_id (the index build — one
+    corpus × centroids assignment pass + the in-row encode — is the
+    batch job; searches are cheap scans of the already-partitioned
+    17-byte rows)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyresample_spark.operators.similarity import ivf_assign
+    from pyresample_spark.plans.lut import LutCache
+
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    cache = LutCache(
+        os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts"),
+        bucket_col="centroid_id",
+    )
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    src_hash = hashlib.sha1(
+        f"ivfpq-index|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+    def build_index():
+        centroids = emb.filter(F.col("vec_id") % 50 == 0)
+        assign = ivf_assign(emb, centroids)
+        return _pq_codes_df(emb, cb).join(
+            assign.hint("shuffle_hash"), "vec_id"
+        ).select("centroid_id", "vec_id", "pq_code")
+
+    corpus = cache.get_or_compute(
+        spark, src_hash, "ivfpq-mod50", 0.0, ("ivfpq_index", 1),
+        build_index,
+    )
+    # the probe side still needs its own centroid: assignments ride
+    # the cached index (probes are corpus vectors), no recompute
+    assign = corpus.select("vec_id", "centroid_id")
+    px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
+    luts = [
+        f"transform({_pq_cb_lit(cb, j)}, c -> "
+        f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
+        f" + ({px(j)} - element_at(c, d))"
+        f" * ({px(j)} - element_at(c, d))) * 1000000000.0D"
+        f" + 0.5D) AS BIGINT)) AS lut{j}"
+        for j in range(8)
+    ]
+    probes = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .join(assign, "vec_id")
+        .selectExpr("vec_id AS probe_id", "embedding AS pv", "centroid_id")
+        .selectExpr("probe_id", "centroid_id", *luts)
+    )
+    cand = corpus.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    nano_expr = " + ".join(
+        f"element_at(lut{j}, CAST((pq_code div {64 ** j}L) % 64 AS INT) + 1)"
+        for j in range(8)
+    )
+    c = cand.selectExpr("probe_id", "vec_id", f"({nano_expr}) AS nano")
+    return _nano_top5(c).select(
+        "probe_id", "vec_id",
+        rnd(F.col("nano").cast("double") / 1000000000.0, 6).alias("adc"),
+        "rank",
     )
