@@ -336,3 +336,65 @@ def test_export_cf_grid_roundtrip(spark, tmp_path):
     assert px[(2, 3)] == 23.0 and px[(0, 0)] == 0.0
     with pytest.raises(ValueError, match="max_cells"):
         export_cf_grid(df, area, p, max_cells=5)
+
+
+# --- property-based roundtrips (hypothesis) ---
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 7),
+    w=st.integers(2, 9),
+    seed=st.integers(0, 2**31 - 1),
+    version=st.sampled_from([1, 2]),
+)
+def test_netcdf3_roundtrip_property(h, w, seed, version):
+    """Any small grid with arbitrary finite doubles round-trips
+    through the spec-built writer → package reader, both CDF versions."""
+    rng = np.random.RandomState(seed)
+    data = rng.uniform(-1e12, 1e12, size=(h, w)).astype(">f8")
+    xs = np.cumsum(rng.uniform(0.1, 5.0, size=w)).astype(">f8")
+    ys = -np.cumsum(rng.uniform(0.1, 5.0, size=h)).astype(">f8")
+    buf = nc3_bytes(
+        [("y", h), ("x", w)],
+        [
+            ("x", ["x"], {}, xs),
+            ("y", ["y"], {}, ys),
+            ("v", ["y", "x"], {"grid_mapping": "crs", "seed": [float(seed)]},
+             data),
+        ],
+        gattrs={"s": str(seed)},
+        version=version,
+    )
+    nc = parse_netcdf3(buf)
+    assert nc_var_data(buf, nc["vars"]["v"]).tolist() == data.tolist()
+    assert nc["vars"]["v"]["attrs"]["seed"] == [float(seed)]
+    if w >= 2 and h >= 2:
+        area, var = load_cf_area_nc3(buf)
+        assert var == "v" and (area.width, area.height) == (w, h)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 6),
+    w=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+    endian=st.sampled_from(["<", ">"]),
+)
+def test_geotiff_roundtrip_property(h, w, seed, endian):
+    """Arbitrary float32 rasters and scales survive the TIFF writer →
+    parser in both byte orders; the area math matches the inputs."""
+    rng = np.random.RandomState(seed)
+    arr = rng.uniform(-1e6, 1e6, size=(h, w)).astype("f4")
+    sx = float(rng.uniform(0.001, 100.0))
+    sy = float(rng.uniform(0.001, 100.0))
+    x0 = float(rng.uniform(-1e6, 1e6))
+    y0 = float(rng.uniform(-1e6, 1e6))
+    buf = geotiff_bytes(arr, sx, sy, x0, y0, endian=endian)
+    assert tiff_pixels(buf).astype("f4").tolist() == arr.tolist()
+    area = area_from_geotiff(buf, "p")
+    assert (area.width, area.height) == (w, h)
+    assert area.area_extent[0] == x0 and area.area_extent[3] == y0
+    assert abs(area.pixel_size_x - sx) < 1e-9 * max(1.0, sx)

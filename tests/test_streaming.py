@@ -423,3 +423,42 @@ def test_streaming_tile_counts_matches_batch(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 50
+
+
+def test_streaming_granule_ingest_matches_batch(spark):
+    """File-stream granule decode (binaryFile source + in-plan parse)
+    must reproduce the batch ingest's per-file summaries exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import (
+        demo_granule_dir,
+        read_raster_pixels,
+    )
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_granule_dir()
+    glob = os.path.join(d, "*.nc")
+    stream = streaming_granule_ingest(spark, glob)
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "granule_ingest").collect()
+    }
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "netcdf3")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == batch

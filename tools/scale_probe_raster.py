@@ -1,0 +1,86 @@
+"""Measured granule-ingest throughput (PERF.md evidence for the
+binaryFile + mapInPandas decode path, sources/binary_raster.py).
+
+Generates N classic-NetCDF granules of H×W float64 pixels in a temp
+dir (pure-python writer), then times the distributed decode at
+several N: wall-clock should scale with N/parallelism (one file per
+task), and per-file time should stay flat — the property that makes
+a 100 TB granule feed a directory listing plus one scan.
+
+Run: python tools/scale_probe_raster.py [N ...]   (default 4 16 64)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+H, W = 256, 512  # 1 MiB of float64 pixels per granule
+
+
+def make_granules(n: int) -> str:
+    from pyresample_spark.sources.binary_raster import netcdf3_bytes
+
+    d = tempfile.mkdtemp(prefix="pyresample_spark_probe_granules_")
+    xs = np.arange(W) + 0.5
+    for i in range(n):
+        ys = -(np.arange(H) + 0.5) - i * H
+        rows = np.arange(H)[:, None] + i * H
+        cols = np.arange(W)[None, :]
+        data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
+        buf = netcdf3_bytes(
+            [("y", H), ("x", W)],
+            [
+                ("x", ["x"], {}, xs.astype(float)),
+                ("y", ["y"], {}, ys.astype(float)),
+                ("crs", [], {"proj4": "eqc"}, None),
+                ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
+            ],
+        )
+        with open(os.path.join(d, f"g{i:04d}.nc"), "wb") as f:
+            f.write(buf)
+    return d
+
+
+def main():
+    ns = [int(a) for a in sys.argv[1:]] or [4, 16, 64]
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.session import get_spark
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+
+    spark = get_spark("scale-probe-raster")
+    spark.range(10).count()
+    for n in ns:
+        d = make_granules(n)
+        try:
+            px = read_raster_pixels(spark, os.path.join(d, "*.nc"),
+                                    "netcdf3")
+            agg = px.groupBy("file").agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                      .cast("bigint")).alias("s"),
+            )
+            t0 = time.time()
+            rows = agg.collect()
+            dt = time.time() - t0
+            assert len(rows) == n and all(r["c"] == H * W for r in rows)
+            mb = n * H * W * 8 / 1e6
+            print(
+                f"N={n:3d} files pixels={n * H * W / 1e6:.1f}M "
+                f"wall={dt:.2f}s {mb / dt:.0f} MB/s "
+                f"per_file={dt / n * 1000:.0f} ms"
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
