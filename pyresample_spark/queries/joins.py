@@ -495,3 +495,76 @@ def q_resample_nearest_keyed(spark, sf_dir):
         fill=-999.0, key_col="event_id",
     )
     return out.df
+
+
+_S50, _S100, _S200 = 50_000.0, 100_000.0, 200_000.0
+
+
+@register(
+    "q_gauss_multi_sigma",
+    oracle=PAIRS_SQL
+    + f"""
+    , wp AS (
+      SELECT tgt_id, value,
+             exp(-(dist_mm / 1000.0) * (dist_mm / 1000.0) / ({_S50!r} * {_S50!r})) AS w1,
+             exp(-(dist_mm / 1000.0) * (dist_mm / 1000.0) / ({_S100!r} * {_S100!r})) AS w2,
+             exp(-(dist_mm / 1000.0) * (dist_mm / 1000.0) / ({_S200!r} * {_S200!r})) AS w3
+      FROM ranked WHERE nn_rank <= 8
+    )
+    SELECT tgt_id,
+           ROUND(SUM(w1 * value) / SUM(w1), 6) + 0.0 AS gauss_s50,
+           ROUND(SUM(w2 * (2.0 * value + 1.0)) / SUM(w2), 6) + 0.0 AS gauss_s100,
+           ROUND(SUM(w3 * (100.0 - value)) / SUM(w3), 6) + 0.0 AS gauss_s200,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbours
+    FROM wp GROUP BY tgt_id HAVING COUNT(*) > 1
+    """,
+)
+def q_gauss_multi_sigma(spark, sf_dir):
+    """resample_gauss with a PER-CHANNEL sigma list (kd_tree.py:113-189
+    accepts ``sigmas=[...]`` — one Gaussian width per data channel;
+    the reference loops channels through the same neighbour arrays).
+    Spark twin: ONE cell-join + ONE top-8 selection shared by all
+    channels, then each channel is just two more in-row folds over the
+    same 8-element array (w = exp(−d²/σᵢ²), Σwᵢvᵢ and Σwᵢ) inside the
+    SAME HashAggregate — the neighbour search amortizes exactly like
+    the reference's, and like q_ewa_multiband's footprint explode.
+
+    Channels here are derived (v, 2v+1, 100−v) with σ = 50/100/200 km
+    so the three weight profiles genuinely differ."""
+    from pyresample_spark.operators.knn import _radius_pairs, chord_length
+
+    pairs = _radius_pairs(
+        _src(spark, sf_dir), _tgt(spark), chord_length(RADIUS_M),
+        extra_src_cols=("value",),
+    ).select("tgt_id", F.struct("dist_mm", "src_id", "value").alias("p"))
+    g = pairs.groupBy("tgt_id").agg(
+        F.slice(F.array_sort(F.collect_list("p")), 1, 8).alias("ks")
+    )
+
+    def w_of(sig):
+        ss = repr(sig * sig)
+        return (f"exp(-(x.dist_mm/1000.0D)*(x.dist_mm/1000.0D)/{ss}D)")
+
+    chans = [
+        ("gauss_s50", _S50, "x.value"),
+        ("gauss_s100", _S100, "(2.0D*x.value + 1.0D)"),
+        ("gauss_s200", _S200, "(100.0D - x.value)"),
+    ]
+    aggs = []
+    for name, sig, vx in chans:
+        w = w_of(sig)
+        aggs.append(F.expr(
+            f"aggregate(ks, 0.0D, (a, x) -> a + {w}*{vx})"
+        ).alias(f"swv_{name}"))
+        aggs.append(F.expr(
+            f"aggregate(ks, 0.0D, (a, x) -> a + {w})"
+        ).alias(f"sw_{name}"))
+    out = g.select("tgt_id", F.size("ks").alias("n_neighbours"), *aggs)
+    return out.filter(F.col("n_neighbours") > 1).select(
+        "tgt_id",
+        *[
+            rnd(F.col(f"swv_{n}") / F.col(f"sw_{n}"), 6).alias(n)
+            for n, _, _ in chans
+        ],
+        F.col("n_neighbours").cast("long").alias("n_neighbours"),
+    )
