@@ -103,6 +103,10 @@ HEADLINE = [
     "q_gradient_walk",
     "q_ewa_multiband",
     "q_approx_distinct",
+    "q_proj_udf",
+    "q_raster_ingest",
+    "q_pq_search_reuse",
+    "q_ivf_pq_search",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
