@@ -108,7 +108,7 @@ def source_gradients(
     )
 
 
-def gradient_walk(
+def gradient_walk_lut(
     tgt: DataFrame,
     src: DataFrame,
     lmax: int,
@@ -116,15 +116,16 @@ def gradient_walk(
     n_iters: int = 8,
     broadcast: bool = True,
 ) -> DataFrame:
-    """Newton-walk every target pixel to its fractional source index.
+    """Newton-walk every target pixel to its fractional source index
+    and derive the gather geometry — the REUSABLE artifact: (tgt_id,
+    l0, p0, fl, fp, it, nnl, nnp, l_a, l_b, w_l, p_a, p_b, w_p) for
+    CONVERGED pixels only. Persist this once per geometry pair
+    (LutCache citizen); every channel afterwards is pure gather joins
+    (:func:`gradient_gather`) — the same precompute/apply split as the
+    kNN and bilinear LUTs.
 
     ``tgt``: (tgt_id, dstx, dsty) — output pixels in the shared CRS.
-    ``src``: (l, p, sx, sy, value) — swath coords in the SAME CRS.
-
-    Returns (tgt_id, l0, p0, fl, fp, it, value…-gathers) for CONVERGED
-    pixels only, where (fl, fp) is the fractional (line, pixel) index,
-    ``it`` the 1-based iteration of convergence, ``nn_value`` /
-    ``bil_value`` the reference's nn/bil gathers (:40-56, :61-86)."""
+    ``src``: (l, p, sx, sy) — swath coords in the SAME CRS."""
     g = source_gradients(src, lmax, pmax, broadcast)
     gj = g.select(
         F.col("l").alias("g_l"), F.col("p").alias("g_p"),
@@ -268,15 +269,32 @@ def gradient_walk(
             ),
         )
     )
-    sv = src.select("l", "p", "value")
+    return fin.select(
+        "tgt_id", "l0", "p0", "fl", "fp", "it",
+        "nnl", "nnp", "l_a", "l_b", "w_l", "p_a", "p_b", "w_p",
+    )
+
+
+def gradient_gather(
+    lut: DataFrame,
+    src: DataFrame,
+    value_col: str = "value",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Apply a channel through a gradient-walk LUT: the reference's nn
+    (_gradient_search.pyx:40-56) and bil (:61-86) gathers as five
+    equi-joins + one weighted-sum expression. Zero walk work — this is
+    the per-channel apply side of the precompute/apply split."""
+    sv = src.select("l", "p", F.col(value_col).alias("_v"))
 
     def vtab(nm):
         return sv.select(
             F.col("l").alias(f"{nm}_l"),
             F.col("p").alias(f"{nm}_p"),
-            F.col("value").alias(f"{nm}_v"),
+            F.col("_v").alias(f"{nm}_v"),
         )
 
+    out = lut
     for nm, kl, kp in (
         ("nn", "nnl", "nnp"),
         ("aa", "l_a", "p_a"),
@@ -284,7 +302,7 @@ def gradient_walk(
         ("ba", "l_b", "p_a"),
         ("bb", "l_b", "p_b"),
     ):
-        fin = fin.join(
+        out = out.join(
             _maybe_b(vtab(nm), broadcast),
             (F.col(kl) == F.col(f"{nm}_l"))
             & (F.col(kp) == F.col(f"{nm}_p")),
@@ -296,7 +314,7 @@ def gradient_walk(
         + F.col("w_l") * (one - F.col("w_p")) * F.col("ba_v")
         + F.col("w_l") * F.col("w_p") * F.col("bb_v")
     )
-    return fin.select(
+    return out.select(
         "tgt_id",
         "l0",
         "p0",
@@ -306,6 +324,21 @@ def gradient_walk(
         F.col("nn_v").alias("nn_value"),
         bil.alias("bil_value"),
     )
+
+
+def gradient_walk(
+    tgt: DataFrame,
+    src: DataFrame,
+    lmax: int,
+    pmax: int,
+    n_iters: int = 8,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Walk + gather fused (one-shot use; ``src`` needs a ``value``
+    column). Returns (tgt_id, l0, p0, fl, fp, it, nn_value,
+    bil_value) — see :func:`gradient_walk_lut` for the split form."""
+    lut = gradient_walk_lut(tgt, src, lmax, pmax, n_iters, broadcast)
+    return gradient_gather(lut, src, broadcast=broadcast)
 
 
 # ---------------------------------------------------------------------------
@@ -363,18 +396,23 @@ def demo_target(spark) -> DataFrame:
     )
 
 
-def gradient_walk_oracle_sql(n_iters: int = 8) -> str:
+def gradient_walk_oracle_sql(n_iters: int = 8,
+                             value_sql: str | None = None) -> str:
     """DuckDB replay of demo_swath → gradient_walk, operation-for-
     operation: same generation arithmetic, same forward-difference
     gradient joins, the same ``n_iters``-step unrolled Newton walk
     (clamp → join → step/freeze CASE texts shared with the Spark
     column plan), then the identical nn / bil gathers. Every double op
     is +,−,*,/ in the same textual order, so the result is
-    bit-identical — the final ROUND(…, 9/6) is belt-and-braces only."""
+    bit-identical — the final ROUND(…, 9/6) is belt-and-braces only.
+
+    ``value_sql`` substitutes the gathered channel (the LUT-reuse twin
+    gathers a derived second channel through the SAME walk)."""
     lmax, pmax = SWATH_L - 1, SWATH_P - 1
     sql = f"""
     WITH src AS (
-      SELECT l, p, {_SX} AS sx, {_SY} AS sy, {_VAL} AS value
+      SELECT l, p, {_SX} AS sx, {_SY} AS sy,
+             {value_sql or _VAL} AS value
       FROM (SELECT CAST(range // {SWATH_P} AS BIGINT) AS l,
                    CAST(range % {SWATH_P} AS BIGINT) AS p
             FROM range({SWATH_L * SWATH_P}))

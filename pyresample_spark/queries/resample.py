@@ -1903,3 +1903,63 @@ def q_ewa_multiband(spark, sf_dir):
         rnd(F.col("weight_sum"), 6).alias("weight_sum"),
         "n_contrib",
     )
+
+
+from pyresample_spark.operators.gradient_walk import (  # noqa: E402
+    _VAL as _GW_VAL,
+    _d as _gw_d,
+    demo_swath as _gw_demo_swath,
+    gradient_gather,
+    gradient_walk_lut,
+)
+
+
+@register(
+    "q_gradient_lut_reuse",
+    oracle=gradient_walk_oracle_sql(
+        value_sql=f"{_gw_d('3.0')} * ({_GW_VAL}) - {_gw_d('7.0')}"
+    ),
+)
+def q_gradient_lut_reuse(spark, sf_dir):
+    """Second channel through the PERSISTED gradient-walk LUT — the
+    reusable artifact the walk produces (operators/gradient_walk.py
+    gradient_walk_lut): the 8-iteration Newton walk runs only when the
+    fractional-index LUT keyed by the geometry pair is absent;
+    otherwise the plan is a parquet scan + five gather joins + one
+    weighted-sum expression (the precompute/apply split of
+    resampler.py:69-88 applied to gradient search, exactly like the
+    kNN and bilinear LUTs). The oracle re-runs the walk from scratch
+    on the derived channel, proving the persisted LUT byte-equivalent
+    to a fresh walk."""
+    import os
+    import tempfile
+
+    from pyresample_spark.plans.lut import LutCache
+
+    cache = LutCache(
+        os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts"),
+        bucket_col="tgt_id",
+    )
+    lut = cache.get_or_compute(
+        spark, "demo-swath-v1", "gradient-walk-8", 0.0,
+        ("gradwalk", SWATH_L, SWATH_P),
+        lambda: gradient_walk_lut(
+            demo_target(spark), _gw_demo_swath(spark),
+            lmax=SWATH_L - 1, pmax=SWATH_P - 1, n_iters=8,
+        ),
+    )
+    ch2 = _gw_demo_swath(spark).withColumn(
+        "value", F.lit(3.0) * F.col("value") - F.lit(7.0)
+    )
+    out = gradient_gather(lut, ch2)
+    return out.select(
+        "tgt_id",
+        "l0",
+        "p0",
+        rnd(F.col("fl"), 9).alias("fl"),
+        rnd(F.col("fp"), 9).alias("fp"),
+        "it",
+        "nn_value",
+        rnd(F.col("bil_value"), 6).alias("bil_value"),
+    )
