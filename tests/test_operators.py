@@ -2836,3 +2836,36 @@ def test_ewa_multiband_matches_singleband(spark):
             assert m[f"ewa_{vc}"] == pytest.approx(r["ewa_value"], rel=1e-12)
             assert m["weight_sum"] == pytest.approx(r["weight_sum"], rel=1e-12)
             assert m["n_contrib"] == r["n_contrib"]
+
+
+def test_gradient_walk_out_of_span_excluded(spark):
+    """Targets whose coordinates lie outside the swath must NOT
+    converge to a fabricated index: the walk clamps at the grid edge,
+    the Newton step keeps pointing outward, and the final fl/fp bounds
+    filter drops the pixel (reference: unconverged stays NaN,
+    _gradient_search.pyx:199-205)."""
+    from pyresample_spark.operators.gradient_walk import gradient_walk
+
+    L, P = 10, 12
+    src = (
+        spark.range(L * P)
+        .select(
+            (F.col("id") / P).cast("bigint").alias("l"),
+            (F.col("id") % P).cast("bigint").alias("p"),
+        )
+        .withColumn("sx", F.lit(0.0) + F.lit(2.0) * F.col("p"))
+        .withColumn("sy", F.lit(0.0) + F.lit(3.0) * F.col("l"))
+        .withColumn("value", F.col("l").cast("double"))
+    )
+    tgt = spark.createDataFrame(
+        [(0, 5.0, 6.0),        # inside
+         (1, 500.0, 6.0),      # far outside +x
+         (2, 5.0, -400.0),     # far outside -y
+         (3, 22.0, 27.0)],     # inside (exact grid node)
+        "tgt_id long, dstx double, dsty double",
+    )
+    out = {r["tgt_id"]: r for r in
+           gradient_walk(tgt, src, lmax=L - 1, pmax=P - 1).collect()}
+    assert set(out) == {0, 3}
+    assert out[0]["fp"] == pytest.approx(2.5) and out[0]["fl"] == pytest.approx(2.0)
+    assert out[3]["fp"] == pytest.approx(11.0) and out[3]["fl"] == pytest.approx(9.0)
