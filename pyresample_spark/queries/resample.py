@@ -1941,8 +1941,20 @@ def q_gradient_lut_reuse(spark, sf_dir):
         or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts"),
         bucket_col="tgt_id",
     )
+    import hashlib as _hl
+
+    from pyresample_spark.operators import gradient_walk as _gw
+
+    # key includes the warp/target formulas so editing the demo
+    # constants can never serve a stale LUT
+    geom_hash = _hl.sha1(
+        "|".join(
+            (_gw._SX, _gw._SY, _gw._DSTX, _gw._DSTY,
+             str(SWATH_L), str(SWATH_P))
+        ).encode()
+    ).hexdigest()[:16]
     lut = cache.get_or_compute(
-        spark, "demo-swath-v1", "gradient-walk-8", 0.0,
+        spark, geom_hash, "gradient-walk-8", 0.0,
         ("gradwalk", SWATH_L, SWATH_P),
         lambda: gradient_walk_lut(
             demo_target(spark), _gw_demo_swath(spark),

@@ -162,8 +162,7 @@ def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<"):
     geodir = [1, 1, 0, len(keys)]
     for kid, val in keys:
         geodir += [kid, 0, 1, val]
-    ext = {}  # tag -> bytes appended after the IFD
-    entries = []  # (tag, type, count, inline_int_or_ext_marker)
+    entries = []  # (tag, type, count, inline_value, ext_bytes)
 
     def add(tag, typ, count, inline=None, extbytes=None):
         entries.append((tag, typ, count, inline, extbytes))
