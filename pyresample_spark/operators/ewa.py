@@ -304,9 +304,14 @@ def ewa_fornav_elliptical(
     weight_delta_max: float = 10.0,
     weight_sum_min: float = -1.0,
     swath_cols: int | None = None,
+    extra_value_cols: tuple = (),
 ) -> DataFrame:
     """Elliptical per-scanline fornav (ewa/ewa.py:83-188 semantics,
     kernels _fornav.pyx:119-206 / _fornav_templates.cpp:198-319).
+    ``extra_value_cols`` ride the SAME ellipse/footprint/weight work as
+    additional Σw·vᵢ buffers in the one HashAggregate (fornav_wrapper's
+    k-channel pass, _fornav.pyx:208 — the elliptical twin of
+    :func:`ewa_fornav_multiband`); outputs ``ewa_<col>`` per extra.
 
     Pipeline (all built-in column math; one window over tiny per-scan
     coefficient rows, one equi-join, one hash aggregation):
@@ -346,6 +351,7 @@ def ewa_fornav_elliptical(
         u0.alias("u"),
         v0.alias("v"),
         F.col(value_col).alias("value"),
+        *extra_value_cols,
     )
     # swath width: pass it when known (avoids a driver-side pre-scan)
     max_col = (
@@ -389,12 +395,17 @@ def ewa_fornav_elliptical(
         F.floor(F.col("q") * (weight_count / qmax)), F.lit(weight_count - 1)
     )
     w = F.exp(-F.lit(beta) * iw)
+    extra_aggs = [
+        (F.sum(F.col("w") * F.col(vc)) / F.sum("w")).alias(f"ewa_{vc}")
+        for vc in extra_value_cols
+    ]
     out = (
         j.withColumn("w", w)
         .withColumn("cell_id", F.col("iv") * area.width + F.col("iu"))
         .groupBy("cell_id")
         .agg(
             (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("ewa_value"),
+            *extra_aggs,
             F.sum("w").alias("weight_sum"),
             F.count(F.lit(1)).alias("n_contrib"),
         )

@@ -2869,3 +2869,42 @@ def test_gradient_walk_out_of_span_excluded(spark):
     assert set(out) == {0, 3}
     assert out[0]["fp"] == pytest.approx(2.5) and out[0]["fl"] == pytest.approx(2.0)
     assert out[3]["fp"] == pytest.approx(11.0) and out[3]["fl"] == pytest.approx(9.0)
+
+
+def test_ewa_elliptical_multiband_matches_singleband(spark):
+    """Elliptical fornav with extra channels: each extra channel must
+    equal a single-band run on that channel (shared ellipse, shared
+    quantized weights — the elliptical half of fornav_wrapper's
+    k-channel pass)."""
+    from pyresample_spark.operators.ewa import ewa_fornav_elliptical
+    from pyresample_spark.queries.joins import KNN_AREA
+
+    rows = []
+    for sr in range(8):
+        for c in range(12):
+            rows.append((
+                sr, c,
+                float(-30 + 2.1 * c + 0.3 * sr),
+                float(20 + 1.7 * sr + 0.1 * c),
+                float((sr * 12 + c) % 11) + 0.25,
+            ))
+    swath = spark.createDataFrame(
+        rows, "swath_row long, col long, lon double, lat double, value double"
+    ).withColumn("ch2", F.col("value") * 3.0 - 2.0)
+    mb = {
+        r["cell_id"]: r
+        for r in ewa_fornav_elliptical(
+            swath, KNN_AREA, rows_per_scan=4, swath_cols=12,
+            extra_value_cols=("ch2",),
+        ).collect()
+    }
+    sb = ewa_fornav_elliptical(
+        swath.withColumn("value", F.col("ch2")), KNN_AREA,
+        rows_per_scan=4, swath_cols=12,
+    ).collect()
+    assert len(sb) == len(mb) > 0
+    for r in sb:
+        m = mb[r["cell_id"]]
+        assert m["ewa_ch2"] == pytest.approx(r["ewa_value"], rel=1e-12)
+        assert m["weight_sum"] == pytest.approx(r["weight_sum"], rel=1e-12)
+        assert m["n_contrib"] == r["n_contrib"]
