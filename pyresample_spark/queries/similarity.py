@@ -1174,7 +1174,8 @@ def q_pq_encode(spark, sf_dir):
     cb = _pq_codebook(emb)
 
     def ds_expr(j):
-        x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
+        # embedding's float→double cast let-bound once per row (w.v)
+        x = f"element_at(w.v, {j * 8} + d)"
         return (
             f"transform({_pq_cb_lit(cb, j)}, c -> aggregate(sequence(1, 8),"
             f" 0.0D, (a, d) -> a + ({x} - element_at(c, d))"
@@ -1190,9 +1191,13 @@ def q_pq_encode(spark, sf_dir):
         for j in range(8)
     )
     expr = _let(
-        [(f"d{j}", ds_expr(j)) for j in range(8)],
-        "q",
-        f"named_struct('code', {code}, 'mse_nano', {mse_nano})",
+        [("v", "transform(embedding, x -> CAST(x AS DOUBLE))")],
+        "w",
+        _let(
+            [(f"d{j}", ds_expr(j)) for j in range(8)],
+            "q",
+            f"named_struct('code', {code}, 'mse_nano', {mse_nano})",
+        ),
     )
     return emb.selectExpr("vec_id", expr + " AS r").select(
         "vec_id",
@@ -1288,11 +1293,15 @@ _PQ_SEARCH_ORACLE = """
 
 def _pq_codes_df(emb, cb):
     """(vec_id, pq_code): the in-row zero-shuffle encode (q_pq_encode's
-    code column only)."""
+    code column only). The float→double cast of the embedding is
+    let-bound ONCE per row (``w.v``) instead of re-evaluated inside
+    every codebook-entry fold (50×8 element_at+cast per subspace →
+    64 casts total; identical IEEE values, so the oracle is
+    unchanged)."""
     from pyresample_spark.functions.exprs import let_expr as _let
 
     def ds_expr(j):
-        x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
+        x = f"element_at(w.v, {j * 8} + d)"
         return (
             f"transform({_pq_cb_lit(cb, j)}, c -> aggregate(sequence(1, 8),"
             f" 0.0D, (a, d) -> a + ({x} - element_at(c, d))"
@@ -1304,7 +1313,9 @@ def _pq_codes_df(emb, cb):
         for j in range(8)
     )
     enc_expr = _let(
-        [(f"d{j}", ds_expr(j)) for j in range(8)], "q", f"({code})"
+        [("v", "transform(embedding, x -> CAST(x AS DOUBLE))")],
+        "w",
+        _let([(f"d{j}", ds_expr(j)) for j in range(8)], "q", f"({code})"),
     )
     return emb.selectExpr("vec_id", enc_expr + " AS pq_code")
 
