@@ -1506,8 +1506,6 @@ def q_pq_recall(spark, sf_dir):
     quantization as the ADC side so the two rankings differ only by
     the quantization error being measured. The recall join touches
     2·k rows per probe."""
-    from pyresample_spark.functions.exprs import let_expr as _let
-
     emb = _emb(spark, sf_dir)
     cb = _pq_codebook(emb)
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -1530,52 +1528,9 @@ def q_pq_recall(spark, sf_dir):
     ).selectExpr("probe_id", "vec_id", f"({exact_nano}) AS nano")
     exact = _nano_top5(exact_pairs).select("probe_id", "vec_id")
 
-    # approx: the q_pq_search ADC pipeline
-    def ds_expr(j):
-        x = f"CAST(element_at(embedding, {j * 8} + d) AS DOUBLE)"
-        return (
-            f"transform({_pq_cb_lit(cb, j)}, c -> aggregate(sequence(1, 8),"
-            f" 0.0D, (a, d) -> a + ({x} - element_at(c, d))"
-            f" * ({x} - element_at(c, d))))"
-        )
-
-    code = " + ".join(
-        f"(array_position(q.d{j}, array_min(q.d{j})) - 1L) * {64 ** j}L"
-        for j in range(8)
-    )
-    enc = emb.selectExpr(
-        "vec_id",
-        _let([(f"d{j}", ds_expr(j)) for j in range(8)], "q", f"({code})")
-        + " AS pq_code",
-    )
-    codes = [
-        (f"c{j}", f"CAST((pq_code div {64 ** j}L) % 64 AS INT)")
-        for j in range(8)
-    ]
-    chunks = [
-        (f"e{j}", f"element_at({_pq_cb_lit(cb, j)}, w.c{j} + 1)")
-        for j in range(8)
-    ]
-    nanos = [
-        (
-            f"n{j}",
-            f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
-            f" + ({px(j)} - element_at(z.e{j}, d))"
-            f" * ({px(j)} - element_at(z.e{j}, d))) * 1000000000.0D"
-            f" + 0.5D) AS BIGINT)",
-        )
-        for j in range(8)
-    ]
-    nano_expr = _let(
-        codes, "w",
-        _let(chunks, "z",
-             _let(nanos, "y",
-                  "(" + " + ".join(f"y.n{j}" for j in range(8)) + ")")),
-    )
-    adc_pairs = enc.join(
-        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
-    ).selectExpr("probe_id", "vec_id", nano_expr + " AS nano")
-    approx = _nano_top5(adc_pairs).select(
+    # approx: the q_pq_search ADC pipeline, verbatim (shared helpers —
+    # encode with the let-bound cast, per-probe ADC lookup tables)
+    approx = _pq_adc_topk(_pq_codes_df(emb, cb), emb, cb).select(
         "probe_id", F.col("vec_id").alias("a_vec")
     )
     return (
