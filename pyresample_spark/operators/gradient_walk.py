@@ -115,6 +115,7 @@ def gradient_walk_lut(
     pmax: int,
     n_iters: int = 8,
     broadcast: bool = True,
+    check_dense: bool = False,
 ) -> DataFrame:
     """Newton-walk every target pixel to its fractional source index
     and derive the gather geometry — the REUSABLE artifact: (tgt_id,
@@ -125,7 +126,28 @@ def gradient_walk_lut(
     kNN and bilinear LUTs.
 
     ``tgt``: (tgt_id, dstx, dsty) — output pixels in the shared CRS.
-    ``src``: (l, p, sx, sy) — swath coords in the SAME CRS."""
+    ``src``: (l, p, sx, sy) — swath coords in the SAME CRS.
+
+    PRECONDITION: ``src`` must be DENSE — one row for every (l, p) in
+    [0, lmax]×[0, pmax] (swath arrays are dense by construction; this
+    is long format of a 2-D array, not a sparse point set). The walk's
+    per-step equi-joins drop any walker whose clamped position has no
+    gradient row — including already-converged walkers passing
+    through — exactly as the reference's array indexing would fault.
+    Represent bad geolocation as NaN sx/sy (the reference's
+    convention): a walker stepping onto NaN gradients never satisfies
+    the convergence predicate and is excluded as unconverged, matching
+    _gradient_search.pyx's NaN arithmetic. Pass ``check_dense=True``
+    to verify the row count up front (one cheap count; raises
+    ValueError on holes)."""
+    if check_dense:
+        n = src.count()
+        want = (lmax + 1) * (pmax + 1)
+        if n != want:
+            raise ValueError(
+                f"gradient_walk needs a dense (l, p) grid: got {n} "
+                f"rows, want {(lmax + 1)}x{(pmax + 1)} = {want}"
+            )
     g = source_gradients(src, lmax, pmax, broadcast)
     gj = g.select(
         F.col("l").alias("g_l"), F.col("p").alias("g_p"),

@@ -50,6 +50,9 @@ DEFAULT_BUCKETS = 32  # match spark.sql.shuffle.partitions in this rig
 LOCK_STALE_S = 600.0
 LOCK_POLL_S = 0.25
 LOCK_HEARTBEAT_S = 25.0
+# absolute ceiling on honoring a heartbeat-dead lock whose same-host
+# pid still exists (e.g. a SIGSTOPped writer): break past this
+LOCK_HARD_STALE_S = 3600.0
 
 
 class LutCache:
@@ -86,14 +89,17 @@ class LutCache:
     def _lock_owner_alive(self, lock: str) -> bool:
         """True if the lock's recorded owner is a live process ON THIS
         HOST. Cross-host owners (shared filesystem) are unknowable from
-        here — report alive and let the mtime heartbeat decide."""
+        here — report NOT-alive so the mtime heartbeat ALONE decides
+        (a live remote writer keeps its mtime fresh; reporting remote
+        owners alive would make their crashed locks unbreakable and
+        wedge every waiter forever)."""
         try:
             with open(lock) as f:
                 pid_s, host, _ = f.read().split("@", 2)
         except (OSError, ValueError):
             return False  # unreadable/legacy lock: fall back to mtime
         if host != socket.gethostname():
-            return True
+            return False
         try:
             os.kill(int(pid_s), 0)
             return True
@@ -174,10 +180,17 @@ class LutCache:
             if age > LOCK_STALE_S and not self._lock_owner_alive(lock):
                 self._break_stale_lock(key, lock)
                 break
-            # No overall deadline: as long as the heartbeat advances,
-            # the writer is alive and progressing — waiting is correct
-            # even past LOCK_STALE_S wall-clock (large bucketed LUTs
-            # legitimately take longer than 10 minutes to materialize).
+            # Hard backstop: a SIGSTOPped same-host writer keeps a live
+            # pid with a dead heartbeat and would otherwise wedge every
+            # waiter forever — past the hard limit, break regardless.
+            if age > LOCK_HARD_STALE_S:
+                self._break_stale_lock(key, lock)
+                break
+            # No overall deadline below the backstop: as long as the
+            # heartbeat advances, the writer is alive and progressing —
+            # waiting is correct even past LOCK_STALE_S wall-clock
+            # (large bucketed LUTs legitimately take longer than 10
+            # minutes to materialize).
             time.sleep(LOCK_POLL_S)
         return self.load(spark, key)
 

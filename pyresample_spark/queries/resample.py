@@ -1945,12 +1945,13 @@ def q_gradient_lut_reuse(spark, sf_dir):
 
     from pyresample_spark.operators import gradient_walk as _gw
 
-    # key includes the warp/target formulas so editing the demo
-    # constants can never serve a stale LUT
+    # key includes the warp/target formulas AND all four grid shapes
+    # so editing any demo constant can never serve a stale LUT
     geom_hash = _hl.sha1(
         "|".join(
             (_gw._SX, _gw._SY, _gw._DSTX, _gw._DSTY,
-             str(SWATH_L), str(SWATH_P))
+             str(SWATH_L), str(SWATH_P),
+             str(_gw.TGT_ROWS), str(_gw.TGT_COLS))
         ).encode()
     ).hexdigest()[:16]
     lut = cache.get_or_compute(

@@ -1320,21 +1320,15 @@ def _pq_codes_df(emb, cb):
     return emb.selectExpr("vec_id", enc_expr + " AS pq_code")
 
 
-def _pq_adc_topk(enc, emb, cb):
-    """Probe-side ADC scoring + packed top-5 over a (vec_id, pq_code)
-    corpus table — shared by the fused and persisted-code searches.
-
-    Textbook ADC lookup table (round 7): each probe precomputes its
-    integer-nano distance to EVERY codebook entry per subspace — an
-    array<bigint>[50] per (probe, subspace), built ONCE per probe on
-    the broadcast side — and a candidate's score is then 8 array
-    lookups indexed by its 6-bit codes instead of 8×8-dim distance
-    folds. Per-pair compute drops ~64× (128 fused mul-adds → 8
-    element_at); the nano value per (probe, code) is the SAME
-    expression evaluated once instead of per pair, so the result is
-    bit-identical and the DuckDB oracle is unchanged."""
+def _adc_lut_exprs(cb):
+    """Per-probe ADC lookup tables (one string per subspace): the
+    integer-nano distance from the probe's chunk (``pv``) to EVERY
+    codebook entry, as ``lut{j}`` array<bigint> columns — the textbook
+    ADC structure, built ONCE per probe on the broadcast side. Shared
+    by the brute and IVF-pruned searches so the quantization idiom
+    can never desynchronize between them."""
     px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
-    luts = [
+    return [
         f"transform({_pq_cb_lit(cb, j)}, c -> "
         f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
         f" + ({px(j)} - element_at(c, d))"
@@ -1342,18 +1336,34 @@ def _pq_adc_topk(enc, emb, cb):
         f" + 0.5D) AS BIGINT)) AS lut{j}"
         for j in range(8)
     ]
-    probes = emb.filter(F.col("vec_id") % 100 == 0).selectExpr(
-        "vec_id AS probe_id", "embedding AS pv"
-    ).selectExpr("probe_id", *luts)
-    pairs = enc.join(
-        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
-    )
-    nano_expr = " + ".join(
+
+
+def _adc_nano_expr() -> str:
+    """Candidate score: 8 LUT lookups indexed by the candidate's
+    6-bit codes, summed — the pair-side half of the ADC split."""
+    return " + ".join(
         f"element_at(lut{j}, CAST((pq_code div {64 ** j}L) % 64 AS INT) + 1)"
         for j in range(8)
     )
+
+
+def _pq_adc_topk(enc, emb, cb):
+    """Probe-side ADC scoring + packed top-5 over a (vec_id, pq_code)
+    corpus table — shared by the fused and persisted-code searches.
+
+    Textbook ADC lookup table (round 7): per-pair compute is 8 array
+    lookups instead of 8×8-dim distance folds (~64× less); the nano
+    value per (probe, code) is the SAME expression evaluated once
+    instead of per pair, so the result is bit-identical and the DuckDB
+    oracle is unchanged."""
+    probes = emb.filter(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS probe_id", "embedding AS pv"
+    ).selectExpr("probe_id", *_adc_lut_exprs(cb))
+    pairs = enc.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    )
     cand = pairs.selectExpr(
-        "probe_id", "vec_id", f"({nano_expr}) AS nano"
+        "probe_id", "vec_id", f"({_adc_nano_expr()}) AS nano"
     )
     return _nano_top5(cand).select(
         "probe_id", "vec_id",
@@ -1756,29 +1766,18 @@ def q_ivf_pq_search(spark, sf_dir):
     # the probe side still needs its own centroid: assignments ride
     # the cached index (probes are corpus vectors), no recompute
     assign = corpus.select("vec_id", "centroid_id")
-    px = lambda j: f"CAST(element_at(pv, {j * 8} + d) AS DOUBLE)"  # noqa: E731
-    luts = [
-        f"transform({_pq_cb_lit(cb, j)}, c -> "
-        f"CAST(FLOOR(aggregate(sequence(1, 8), 0.0D, (a, d) -> a"
-        f" + ({px(j)} - element_at(c, d))"
-        f" * ({px(j)} - element_at(c, d))) * 1000000000.0D"
-        f" + 0.5D) AS BIGINT)) AS lut{j}"
-        for j in range(8)
-    ]
     probes = (
         emb.filter(F.col("vec_id") % 100 == 0)
         .join(assign, "vec_id")
         .selectExpr("vec_id AS probe_id", "embedding AS pv", "centroid_id")
-        .selectExpr("probe_id", "centroid_id", *luts)
+        .selectExpr("probe_id", "centroid_id", *_adc_lut_exprs(cb))
     )
     cand = corpus.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != F.col("probe_id")
     )
-    nano_expr = " + ".join(
-        f"element_at(lut{j}, CAST((pq_code div {64 ** j}L) % 64 AS INT) + 1)"
-        for j in range(8)
+    c = cand.selectExpr(
+        "probe_id", "vec_id", f"({_adc_nano_expr()}) AS nano"
     )
-    c = cand.selectExpr("probe_id", "vec_id", f"({nano_expr}) AS nano")
     return _nano_top5(c).select(
         "probe_id", "vec_id",
         rnd(F.col("nano").cast("double") / 1000000000.0, 6).alias("adc"),

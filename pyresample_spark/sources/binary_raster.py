@@ -130,6 +130,17 @@ def parse_netcdf3(buf: bytes) -> dict:
         nc_type = cur.u32()
         cur.u32()  # vsize (may be rounded; recomputed from shape)
         begin = cur.u64() if version == 2 else cur.u32()
+        # classic NetCDF stores the UNLIMITED dimension with size 0 in
+        # the header (true length lives in numrecs) and interleaves
+        # record variables' data — a layout this fixed-offset reader
+        # cannot address. Silent shape-(0, …) decodes would ingest a
+        # granule as zero pixels; reject loudly instead.
+        if any(dims[d][1] == 0 for d in dimids):
+            raise ValueError(
+                f"variable {nm!r} uses the unlimited (record) "
+                "dimension — record variables are unsupported; "
+                "rewrite the file with fixed dimensions"
+            )
         shape = tuple(dims[d][1] for d in dimids)
         vars[nm] = {
             "dims": [dims[d][0] for d in dimids],
@@ -250,6 +261,12 @@ def area_from_geotiff(buf: bytes, area_id: str = "geotiff") -> AreaDefinition:
     ModelTiepointTag (33922) give the axis-aligned geotransform;
     GeoKeyDirectoryTag (34735) keys 1024/2048/3072 give the CRS."""
     t = parse_tiff(buf)
+    for tag, what in ((256, "ImageWidth"), (257, "ImageLength"),
+                      (33550, "ModelPixelScaleTag"),
+                      (33922, "ModelTiepointTag")):
+        if tag not in t:
+            raise ValueError(f"TIFF lacks {what} ({tag}) — not a "
+                             "pixel-scale georeferenced GeoTIFF")
     w = t[256][0]
     h = t[257][0]
     if 34264 in t:
@@ -301,14 +318,16 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Distributed ingest: binaryFile scan + Arrow-batched decode
 
-def read_raster_pixels(spark, path: str, fmt: str):
-    """Granule directory/glob → long-format pixel DataFrame
-    (file, row, col, value) via ``binaryFile`` + ``mapInPandas``.
+RASTER_PIXEL_SCHEMA = "file string, row long, col long, value double"
 
-    ``fmt``: "netcdf3" or "geotiff". One file decodes per task — the
-    scan parallelizes across executors and the decode never touches
-    the driver; downstream the pixels join straight into the bucket /
-    knn / regrid operators like any other point table."""
+
+def raster_decode_fn(fmt: str):
+    """The per-batch decode generator shared by the BATCH
+    (:func:`read_raster_pixels`) and STREAMING
+    (streaming/windows.py streaming_granule_ingest) ingest paths —
+    one definition, so a parser fix can never desynchronize the
+    batch/stream parity the tests assert. Input rows need (path,
+    content); output rows follow RASTER_PIXEL_SCHEMA."""
     if fmt not in ("netcdf3", "geotiff"):
         raise ValueError(f"unknown raster format {fmt!r}")
 
@@ -335,9 +354,20 @@ def read_raster_pixels(spark, path: str, fmt: str):
                     }
                 )
 
+    return decode
+
+
+def read_raster_pixels(spark, path: str, fmt: str):
+    """Granule directory/glob → long-format pixel DataFrame
+    (file, row, col, value) via ``binaryFile`` + ``mapInPandas``.
+
+    ``fmt``: "netcdf3" or "geotiff". One file decodes per task — the
+    scan parallelizes across executors and the decode never touches
+    the driver; downstream the pixels join straight into the bucket /
+    knn / regrid operators like any other point table."""
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        decode, "file string, row long, col long, value double"
+        raster_decode_fn(fmt), RASTER_PIXEL_SCHEMA
     )
 
 

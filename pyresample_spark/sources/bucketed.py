@@ -53,12 +53,17 @@ def write_cell_bucketed_points(
     cell key — the storage layout that makes every later kNN cell join
     against this table shuffle-free on the stored side."""
     from pyresample_spark.operators.knn import (
+        cell_side,
         chord_length,
         with_cells,
         with_geocentric,
     )
 
-    c = chord_length(radius_m)
+    # cells sized by cell_side (= chord + mm-quantization slack) so
+    # stored keys match exactly what _radius_pairs computes for the
+    # probe side — a raw-chord cell here would disagree near integer
+    # cell boundaries and silently miss those neighbour pairs
+    c = cell_side(chord_length(radius_m))
     keyed = with_cells(with_geocentric(df, lon_col, lat_col), c)
     write_bucketed(
         keyed, table, ["cx3", "cy3", "cz3"], num_buckets, path=path

@@ -14,6 +14,8 @@ both paths.
 
 from __future__ import annotations
 
+import struct
+
 from pyresample_spark.geometry import AreaDefinition
 
 
@@ -117,7 +119,10 @@ def get_area_def_from_raster(path: str):
         from pyresample_spark.sources.binary_raster import area_from_geotiff
 
         return area_from_geotiff(buf, area_id=path)
-    except ValueError as native_err:
+    # truncated/odd files can surface as struct/index errors from the
+    # byte walker, not just the parser's own ValueErrors — ALL native
+    # rejections must reach the rasterio fallback
+    except (ValueError, KeyError, IndexError, struct.error) as native_err:
         try:  # pragma: no cover - optional dependency
             import rasterio  # noqa: F401
         except ImportError as e:

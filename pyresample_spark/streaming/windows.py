@@ -507,35 +507,9 @@ def streaming_granule_ingest(
     processing loop — here it's the same declarative plan as batch
     with the source swapped."""
     from pyresample_spark.sources.binary_raster import (
-        load_cf_area_nc3,
-        nc_var_data,
-        parse_netcdf3,
-        tiff_pixels,
+        RASTER_PIXEL_SCHEMA,
+        raster_decode_fn,
     )
-
-    def decode(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                buf = bytes(r["content"])
-                if fmt == "netcdf3":
-                    nc = parse_netcdf3(buf)
-                    _, varname = load_cf_area_nc3(buf)
-                    arr = nc_var_data(buf, nc["vars"][varname]).astype("f8")
-                else:
-                    arr = tiff_pixels(buf)
-                hh, ww = arr.shape
-                rows, cols = np.divmod(np.arange(hh * ww), ww)
-                yield pd.DataFrame(
-                    {
-                        "file": r["path"],
-                        "row": rows.astype("int64"),
-                        "col": cols.astype("int64"),
-                        "value": arr.ravel(),
-                    }
-                )
 
     bin_schema = T.StructType(
         [
@@ -551,9 +525,7 @@ def streaming_granule_ingest(
         .load(path)
         .select("path", "content")
     )
-    px = src.mapInPandas(
-        decode, "file string, row long, col long, value double"
-    )
+    px = src.mapInPandas(raster_decode_fn(fmt), RASTER_PIXEL_SCHEMA)
     return px.groupBy("file").agg(
         F.count(F.lit(1)).alias("n_pixels"),
         F.sum(

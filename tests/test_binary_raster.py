@@ -397,3 +397,38 @@ def test_geotiff_roundtrip_property(h, w, seed, endian):
     assert (area.width, area.height) == (w, h)
     assert area.area_extent[0] == x0 and area.area_extent[3] == y0
     assert abs(area.pixel_size_x - sx) < 1e-9 * max(1.0, sx)
+
+
+def test_netcdf3_rejects_record_variables():
+    """A variable on the unlimited (size-0) dimension must raise, not
+    silently decode to zero pixels."""
+    buf = nc3_bytes(
+        [("time", 0), ("x", 4)],
+        [
+            ("x", ["x"], {}, np.array([0.5, 1.5, 2.5, 3.5])),
+            ("v", ["time", "x"], {}, np.zeros((0, 4), dtype=">f8")),
+        ],
+    )
+    with pytest.raises(ValueError, match="record"):
+        parse_netcdf3(buf)
+
+
+def test_geotiff_missing_georef_raises_value_error(tmp_path):
+    """A plain (non-geo) TIFF must raise ValueError — the type the
+    rasterio fallback path catches — not KeyError."""
+    arr = np.zeros((2, 2), dtype="f4")
+    buf = bytearray(geotiff_bytes(arr, 1.0, 1.0, 0.0, 2.0))
+    # rebuild without the geo tags by filtering IFD entries
+    import struct as _s
+
+    (n,) = _s.unpack_from("<H", buf, 8)
+    keep = []
+    for i in range(n):
+        o = 10 + 12 * i
+        tag = _s.unpack_from("<H", buf, o)[0]
+        if tag not in (33550, 33922, 34735):
+            keep.append(bytes(buf[o:o + 12]))
+    out = bytes(buf[:8]) + _s.pack("<H", len(keep)) + b"".join(keep) \
+        + _s.pack("<I", 0) + bytes(buf[10 + 12 * n + 4:])
+    with pytest.raises(ValueError, match="GeoTIFF"):
+        area_from_geotiff(out, "t")

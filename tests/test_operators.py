@@ -173,11 +173,12 @@ def test_lut_cache_crash_safety(spark, tmp_path):
     assert [r.tgt_id for r in out.collect()] == [1]
     assert os.path.exists(cache._meta_path(key))
     # (c) a stale-mtime lock whose owner is THIS live process is left
-    # alone: the waiter keeps polling instead of clobbering
+    # alone (below the hard backstop): the waiter keeps polling
+    # instead of clobbering
     key2 = cache.key("c", "d", 1000.0, 1)
     lock2 = cache._lock_path(key2)
     open(lock2, "w").write(f"{os.getpid()}@{socket.gethostname()}@0")
-    os.utime(lock2, (time.time() - 10_000,) * 2)
+    os.utime(lock2, (time.time() - (lut_mod.LOCK_STALE_S + 60),) * 2)
     assert cache._lock_owner_alive(lock2)
     import threading
 
@@ -189,6 +190,24 @@ def test_lut_cache_crash_safety(spark, tmp_path):
     out2 = cache.save(df2, key2)  # loses to the "live" lock, waits,
     assert time.monotonic() - t0 >= 0.9  # then computes (no data yet)
     assert [r.tgt_id for r in out2.collect()] == [7]
+    # (c2) past LOCK_HARD_STALE_S even a live-pid lock is broken
+    # (SIGSTOPped writer must not wedge waiters forever); cross-host
+    # owners are decided by the heartbeat alone
+    key3 = cache.key("c3", "d3", 1000.0, 1)
+    lock3 = cache._lock_path(key3)
+    open(lock3, "w").write(f"{os.getpid()}@{socket.gethostname()}@0")
+    os.utime(lock3, (time.time() - lut_mod.LOCK_HARD_STALE_S - 60,) * 2)
+    t0 = time.monotonic()
+    df3 = spark.createDataFrame(
+        [(9, 9, 9.0)], "tgt_id long, src_id long, dist_m double"
+    )
+    out3 = cache.save(df3, key3)  # breaks immediately, no timer needed
+    assert time.monotonic() - t0 < 30.0
+    assert [r.tgt_id for r in out3.collect()] == [9]
+    remote = cache._lock_path(cache.key("r", "r", 1.0, 1))
+    open(remote, "w").write("123@some-other-host@0")
+    assert not cache._lock_owner_alive(remote)  # heartbeat decides
+    os.unlink(remote)
     # (d) heartbeat: with a short interval, save() advances the lock
     # mtime while the write runs
     old_beat = lut_mod.LOCK_HEARTBEAT_S
