@@ -125,3 +125,41 @@ def q_raster_ingest(spark, sf_dir):
         "col",
         "value",
     )
+
+
+@register(
+    "q_geotiff_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 31 + (r % 40) * 17) % 97 AS DOUBLE) + 0.5
+             AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_geotiff_ingest(spark, sf_dir):
+    """GeoTIFF twin of q_raster_ingest: the same banded grid as
+    baseline float32 GeoTIFF granules in ALTERNATING byte orders, so
+    the driver gate exercises the whole TIFF path — IFD walk, geo
+    tags, strip decode, endianness — through the shared distributed
+    ingest (values are half-integers ≤ 96.5, exactly representable in
+    float32, so the float32 round-trip is value-exact against the
+    integer-formula oracle)."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        demo_tiff_granule_dir,
+        read_raster_pixels,
+    )
+
+    d = demo_tiff_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.tif"), "geotiff")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.tif", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )

@@ -552,3 +552,91 @@ def demo_granule_dir() -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return base
+
+
+def demo_tiff_granule_dir() -> str:
+    """GeoTIFF twin of :func:`demo_granule_dir`: the same banded
+    synthetic grid written as baseline float32 GeoTIFFs (one band per
+    file, alternating byte order so the ingest exercises both), for
+    the driver-gated q_geotiff_ingest."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pyresample_spark_tiff_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+    )
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        return base
+    tmp = tempfile.mkdtemp(prefix=base + ".tmp.")
+    for band in range(GRANULE_BANDS):
+        r0 = band * GRANULE_ROWS
+        rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+        cols = np.arange(GRANULE_COLS)[None, :]
+        data = ((rows * 31 + cols * 17) % 97).astype("f4") + 0.5
+        endian = "<" if band % 2 == 0 else ">"
+        buf = _demo_geotiff_bytes(
+            data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0), endian=endian
+        )
+        with open(os.path.join(tmp, f"granule_{band}.tif"), "wb") as f:
+            f.write(buf)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _demo_geotiff_bytes(arr, sx, sy, x0, y0, endian="<") -> bytes:
+    """Minimal baseline single-strip float32 GeoTIFF writer (geographic
+    CRS keys), used by the fixture above; the spec-built independent
+    writer in tests/test_binary_raster.py is the parser's adversarial
+    check — this one just feeds the ingest query."""
+    h, w = arr.shape
+    strip = arr.astype(endian + "f4").tobytes()
+    geodir = [1, 1, 0, 1, 1024, 0, 1, 2]
+    entries = [
+        (256, 3, 1, w, None),
+        (257, 3, 1, h, None),
+        (258, 3, 1, 32, None),
+        (259, 3, 1, 1, None),
+        (262, 3, 1, 1, None),
+        (273, 4, 1, "STRIP", None),
+        (277, 3, 1, 1, None),
+        (278, 3, 1, h, None),
+        (279, 4, 1, len(strip), None),
+        (339, 3, 1, 3, None),
+        (33550, 12, 3, None, struct.pack(endian + "3d", sx, sy, 0.0)),
+        (33922, 12, 6, None,
+         struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0)),
+        (34735, 3, len(geodir), None,
+         struct.pack(endian + f"{len(geodir)}H", *geodir)),
+    ]
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs, offs, o = [], {}, ext_off
+    for tag, _, _, _, ext in entries:
+        if ext is not None:
+            offs[tag] = o
+            blobs.append(ext)
+            o += len(ext)
+    strip_off = o
+    out = (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "HI", 42, ifd_off)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, count, inline, ext in entries:
+        out += struct.pack(endian + "HHI", tag, typ, count)
+        if ext is not None:
+            out += struct.pack(endian + "I", offs[tag])
+        elif inline == "STRIP":
+            out += struct.pack(endian + "I", strip_off)
+        elif typ == 3:
+            out += struct.pack(endian + "HH", inline, 0)
+        else:
+            out += struct.pack(endian + "I", inline)
+    out += struct.pack(endian + "I", 0)
+    return out + b"".join(blobs) + strip
