@@ -105,8 +105,11 @@ HEADLINE = [
     "q_approx_distinct",
     "q_proj_udf",
     "q_raster_ingest",
+    "q_geotiff_ingest",
     "q_pq_search_reuse",
     "q_ivf_pq_search",
+    "q_gauss_multi_sigma",
+    "q_gradient_lut_reuse",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
