@@ -209,3 +209,59 @@ def _regrid(img: GeoImage, target: AreaDefinition, value_col="value", **kw):
     if img.area is None:
         raise ValueError("regrid needs a gridded source (from_area)")
     return regrid_nearest(target, img.area, img.df, value_col=value_col)
+
+
+@register_resampler("gradient")
+def _gradient(
+    img: GeoImage,
+    target: AreaDefinition,
+    value_col="value",
+    n_iters: int = 8,
+    interp: str = "bil",
+    swath_shape: tuple | None = None,
+):
+    """Swath→area via the iterative gradient-search walk
+    (operators/gradient_walk.py): needs only the FORWARD projection of
+    the target CRS — the walk replaces the inverse — so it covers
+    target CRSs whose inverse is not in the analytic registry, the
+    exact case the reference built gradient search for
+    (gradient/__init__.py:54-60). The source must be a (row, col)-
+    indexed DENSE swath grid with lon/lat per pixel.
+
+    ``interp``: "bil" (default) or "nn" — the reference's two gathers.
+    """
+    from pyresample_spark.operators.crs import forward
+    from pyresample_spark.operators.gradient_walk import gradient_walk
+
+    df = img.df
+    if not {"row", "col"}.issubset(df.columns):
+        raise ValueError(
+            "gradient resampling needs a (row, col)-indexed swath grid"
+        )
+    if swath_shape is not None:
+        h, w = swath_shape
+    elif img.area is not None:
+        h, w = img.area.height, img.area.width
+    else:
+        r = df.agg(
+            F.max("row").alias("r"), F.max("col").alias("c")
+        ).collect()[0]
+        h, w = r["r"] + 1, r["c"] + 1
+    sx, sy = forward(target.crs)("lon", "lat")
+    src = df.select(
+        F.col("row").alias("l"),
+        F.col("col").alias("p"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        F.col(value_col).alias("value"),
+    )
+    tgt = target.grid(df.sparkSession).select(
+        F.col("cell_id").alias("tgt_id"),
+        F.col("cx").alias("dstx"),
+        F.col("cy").alias("dsty"),
+    )
+    out = gradient_walk(tgt, src, lmax=h - 1, pmax=w - 1, n_iters=n_iters)
+    val = {"bil": "bil_value", "nn": "nn_value"}[interp]
+    return out.select(
+        F.col("tgt_id").alias("cell_id"), F.col(val).alias("value")
+    )

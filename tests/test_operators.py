@@ -2927,3 +2927,58 @@ def test_ewa_elliptical_multiband_matches_singleband(spark):
         assert m["ewa_ch2"] == pytest.approx(r["ewa_value"], rel=1e-12)
         assert m["weight_sum"] == pytest.approx(r["weight_sum"], rel=1e-12)
         assert m["n_contrib"] == r["n_contrib"]
+
+
+def test_gradient_resampler_method(spark):
+    """The facade's 'gradient' strategy resamples a lon/lat swath grid
+    onto an eqc target using ONLY the target CRS's forward transform;
+    on this regular source the walk's fixed point is the exact affine
+    index, so the nn gather must match the closed-form nearest pixel
+    and bil must reproduce a bilinear value surface exactly."""
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.image import GeoImage
+
+    # source: 30x40 longlat grid over [0,40]x[20,50], value = row*40+col
+    src_area = AreaDefinition("s", "longlat", 40, 30, (0.0, 20.0, 40.0, 50.0))
+    src = (
+        src_area.grid(spark)
+        .select("row", "col", F.col("cx").alias("lon"),
+                F.col("cy").alias("lat"))
+        .withColumn(
+            "value", (F.col("row") * 40 + F.col("col")).cast("double")
+        )
+    )
+    # target: eqc area inside the swath's footprint
+    import math
+
+    R = 6370997.0
+    d = math.pi / 180.0 * R
+    # .3 offsets keep fractional indices away from the exact .5
+    # boundary, where nn tie conventions (banker's round vs the walk's
+    # strict > 0.5 snap) legitimately differ
+    tgt = AreaDefinition(
+        "t", "eqc", 10, 8,
+        (10.3 * d, 31.3 * d, 20.3 * d, 39.3 * d),
+    )
+    img = GeoImage.from_area(src, src_area)
+    out_nn = {
+        r["cell_id"]: r["value"]
+        for r in img.resample(tgt, method="gradient", interp="nn")
+        .df.collect()
+    }
+    out_bil = {
+        r["cell_id"]: r["value"]
+        for r in img.resample(tgt, method="gradient").df.collect()
+    }
+    assert len(out_nn) == 80 and len(out_bil) == 80
+    for cell_id in out_nn:
+        trow, tcol = divmod(cell_id, 10)
+        # target pixel center back in degrees
+        lon = 10.3 + (tcol + 0.5) * 1.0
+        lat = 39.3 - (trow + 0.5) * 1.0
+        # fractional source index (centers offset 0.5)
+        fp = lon / 1.0 - 0.5
+        fl = (50.0 - lat) / 1.0 - 0.5  # y extent top = 50
+        assert out_nn[cell_id] == round(fl) * 40 + round(fp)
+        # value surface is bilinear in (l, p) → bil reproduces exactly
+        assert out_bil[cell_id] == pytest.approx(fl * 40 + fp, abs=1e-6)
