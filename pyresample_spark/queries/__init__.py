@@ -88,7 +88,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus q_bucket_max and q_coarsen_avg (displaced from the r7 window by
 # q_ewa_multiband and q_proj_udf), the new q_pq_search_reuse,
 # q_raster_ingest, q_geotiff_ingest, q_ivf_pq_search,
-# q_gauss_multi_sigma and q_gradient_lut_reuse, and any other
+# q_gauss_multi_sigma, q_gradient_lut_reuse and q_dedup_incremental,
+# and any other
 # round-7/8 queries with no driver row,
 # then oldest-r5 rows to fill 50 (recompute: latest-round-per-query
 # over CORRECTNESS_r0*.json).

@@ -2724,3 +2724,77 @@ def q_minhash_band_tuning(spark, sf_dir):
     for x in rows[1:]:
         out = out.unionAll(x)
     return out
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    seeds(j, c) AS (VALUES {__import__('pyresample_spark.operators.dedup', fromlist=['seed_constants_sql']).seed_constants_sql(N_HASHES)}),
+    seeded AS (
+      SELECT doc_id, j, xor({md5_bigint_sql('shingle')}, c) AS h
+      FROM sh CROSS JOIN seeds
+    ),
+    mh AS (SELECT doc_id, j, MIN(h) AS mh FROM seeded GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, j // {BAND} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT n.doc_id AS new_doc, o.doc_id AS matched_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM sigs o JOIN sigs n ON o.band = n.band AND o.sig = n.sig
+    WHERE o.doc_id % 10 < 8 AND n.doc_id % 10 >= 8
+    GROUP BY new_doc, matched_doc
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL near-dedup — the workflow a 100 TB corpus actually
+    runs daily: the historical corpus's LSH band table is built ONCE
+    and persisted (LutCache, bucketed by the band signature); each new
+    ingest batch computes only ITS OWN signatures and probes the index
+    with a plain equi-join — no recompute of the historical side, no
+    N² anything. Here 'historical' = doc_id % 10 < 8, 'new batch' =
+    the rest; output is (new_doc, matched_doc, n_shared_bands)
+    candidate pairs exactly as q_dedup_minhash reports them. The
+    oracle recomputes both sides from scratch, proving the persisted
+    index byte-equivalent to a fresh banding pass."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyresample_spark.operators.dedup import (
+        minhash_bands_wide,
+        shingles,
+    )
+    from pyresample_spark.plans.lut import LutCache
+
+    d = table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 10 < 8)
+    new = d.filter(F.col("doc_id") % 10 >= 8)
+
+    cache = LutCache(
+        os.environ.get("PYRESAMPLE_SPARK_LUT_DIR")
+        or os.path.join(tempfile.gettempdir(), "pyresample_spark_luts"),
+        bucket_col="sig",
+    )
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    src_hash = hashlib.sha1(
+        f"lsh-bands-mod10lt8|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    index = cache.get_or_compute(
+        spark, src_hash, "minhash-bands-3gram", 0.0, ("lsh_index", 1),
+        lambda: minhash_bands_wide(shingles(existing, 3)),
+    )
+    new_sigs = minhash_bands_wide(shingles(new, 3))
+    pairs = new_sigs.select(
+        F.col("doc_id").alias("new_doc"), "band", "sig"
+    ).join(
+        index.select(F.col("doc_id").alias("matched_doc"), "band", "sig"),
+        ["band", "sig"],
+    )
+    return pairs.groupBy("new_doc", "matched_doc").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )
