@@ -176,9 +176,10 @@ def minhash_bands_wide(
 
 
 def minhash_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band signature."""
-    sh = shingles(docs, n)
-    sigs = minhash_bands_wide(sh)
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band signature.
+    Signatures come from the in-row pass (zero shuffle before the band
+    join — round 7; bit-identical to the exploded path)."""
+    sigs = minhash_bands_inrow(docs, n)
     a = sigs.select(
         F.col("doc_id").alias("doc1"), "band", "sig"
     )
@@ -260,3 +261,62 @@ def bloom_literal_flag(hashes, k: int = 4, m: int = 1024,
         e = F.expr(probe)
         flag = e if flag is None else (flag & e)
     return flag
+
+
+def minhash_bands_inrow(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, sig) computed ENTIRELY in-row: the shingle set,
+    its md5⊕seed hashes, and the per-seed minima are array expressions
+    over the document's own words — no shingle explode, no groupBy,
+    ZERO shuffle before the band join. Bit-identical signatures to
+    :func:`minhash_bands_wide` (same concat text, same hash, same
+    mins), proven by pytest equality.
+
+    Two consequences: (a) the batch banding pass becomes map-only —
+    the only shuffle in LSH dedup is the band equi-join itself; (b)
+    the signature computation is legal in a STREAMING map stage
+    (stateless), which is what makes the incremental-dedup stream
+    probe possible (streaming/windows.py streaming_lsh_probe)."""
+    from pyresample_spark.functions.exprs import let_expr as _let
+
+    consts = _seed_constants(n_hashes)
+    shingle = "concat(" + ", ".join(
+        f"element_at(w.ws, i + {k + 1})" + (", ' '" if k < n - 1 else "")
+        for k in range(n)
+    ) + ")"
+    h0 = (
+        f"transform(sequence(0, size(w.ws) - {n}), i -> "
+        f"CAST(conv(substr(md5({shingle}), 1, 15), 16, 10) AS BIGINT))"
+    )
+    ns = ", ".join(
+        f"'mh{j}', array_min(transform(z.h0, x -> x ^ {c}L))"
+        for j, c in enumerate(consts)
+    )
+    wide_expr = _let(
+        [("ws", f"split({text_col}, ' ')")],
+        "w",
+        _let([("h0", h0)], "z", f"named_struct({ns})"),
+    )
+    n_bands = n_hashes // band_size
+    wide = (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .selectExpr("doc_id", wide_expr + " AS m")
+    )
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(
+            f"cast(m.mh{b * band_size + k} as string)"
+            for k in range(band_size)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+    )

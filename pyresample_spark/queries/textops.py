@@ -2763,10 +2763,7 @@ def q_dedup_incremental(spark, sf_dir):
     import os
     import tempfile
 
-    from pyresample_spark.operators.dedup import (
-        minhash_bands_wide,
-        shingles,
-    )
+    from pyresample_spark.operators.dedup import minhash_bands_inrow
     from pyresample_spark.plans.lut import LutCache
 
     d = table(spark, sf_dir, "documents")
@@ -2786,9 +2783,9 @@ def q_dedup_incremental(spark, sf_dir):
     ).hexdigest()[:16]
     index = cache.get_or_compute(
         spark, src_hash, "minhash-bands-3gram", 0.0, ("lsh_index", 1),
-        lambda: minhash_bands_wide(shingles(existing, 3)),
+        lambda: minhash_bands_inrow(existing, 3),
     )
-    new_sigs = minhash_bands_wide(shingles(new, 3))
+    new_sigs = minhash_bands_inrow(new, 3)
     pairs = new_sigs.select(
         F.col("doc_id").alias("new_doc"), "band", "sig"
     ).join(

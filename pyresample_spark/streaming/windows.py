@@ -532,3 +532,26 @@ def streaming_granule_ingest(
             F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
         ).alias("value_sum_u"),
     )
+
+
+def streaming_lsh_probe(
+    docs_stream: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Streaming incremental near-dedup — documents arriving on a
+    stream are probed against the PERSISTED historical LSH band index
+    (the q_dedup_incremental topology with the batch side live): the
+    in-row signature pass (operators/dedup.py minhash_bands_inrow) is
+    a pure map stage — legal and STATELESS in streaming — and the
+    probe is a stream-static equi-join on (band, sig). Emits candidate
+    rows (new_doc, matched_doc, band) in append mode; no watermark, no
+    state store — per-batch cost is O(batch), independent of corpus
+    history. Dedup-gating an ingest feed IS this plan."""
+    from pyresample_spark.operators.dedup import minhash_bands_inrow
+
+    sigs = minhash_bands_inrow(docs_stream, 3).select(
+        F.col("doc_id").alias("new_doc"), "band", "sig"
+    )
+    return sigs.join(
+        index.select(F.col("doc_id").alias("matched_doc"), "band", "sig"),
+        ["band", "sig"],
+    ).select("new_doc", "matched_doc", "band")

@@ -2982,3 +2982,24 @@ def test_gradient_resampler_method(spark):
         assert out_nn[cell_id] == round(fl) * 40 + round(fp)
         # value surface is bilinear in (l, p) → bil reproduces exactly
         assert out_bil[cell_id] == pytest.approx(fl * 40 + fp, abs=1e-6)
+
+
+def test_minhash_inrow_equals_wide(spark, sf_dir):
+    """The zero-shuffle in-row signature pass must produce bit-identical
+    (doc, band, sig) rows to the exploded+aggregated path."""
+    from pyresample_spark.operators.dedup import (
+        minhash_bands_inrow,
+        minhash_bands_wide,
+        shingles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        (r["doc_id"], r["band"]): r["sig"]
+        for r in minhash_bands_wide(shingles(d, 3)).collect()
+    }
+    b = {
+        (r["doc_id"], r["band"]): r["sig"]
+        for r in minhash_bands_inrow(d, 3).collect()
+    }
+    assert a == b and len(a) > 0

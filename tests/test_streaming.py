@@ -462,3 +462,49 @@ def test_streaming_granule_ingest_matches_batch(spark):
     }
     assert len(got) == 3
     assert got == batch
+
+
+def test_streaming_lsh_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-probed LSH candidates must equal the batch incremental
+    dedup's pair set (ignoring per-pair band counts — the stream emits
+    append-mode candidate rows)."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.dedup import minhash_bands_inrow
+    from pyresample_spark.streaming.windows import streaming_lsh_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    # stage the new batch as parquet so it can replay as a file stream
+    p = str(tmp_path / "stream_docs")
+    new.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(new.schema).parquet(p)
+    out = streaming_lsh_probe(stream, minhash_bands_inrow(existing, 3))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["new_doc"], r["matched_doc"])
+        for r in spark.sql("SELECT * FROM lsh_probe").collect()
+    }
+    want = {
+        (r["new_doc"], r["matched_doc"])
+        for r in minhash_bands_inrow(new, 3)
+        .select(F.col("doc_id").alias("new_doc"), "band", "sig")
+        .join(
+            minhash_bands_inrow(existing, 3).select(
+                F.col("doc_id").alias("matched_doc"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
