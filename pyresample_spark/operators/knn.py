@@ -631,7 +631,10 @@ def choose_salt_factor(
     """
     import math
 
-    c = chord_length(radius_m)
+    # cell_side for strict consistency with the join's actual cells
+    # (immaterial for a density heuristic — the sides differ by ~1e-9
+    # relative — but one convention everywhere beats two)
+    c = cell_side(chord_length(radius_m))
     keyed = with_cells(with_geocentric(src, src_lon, src_lat), c)
     mx = (
         keyed.groupBy("cx3", "cy3", "cz3")

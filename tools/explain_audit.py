@@ -110,6 +110,7 @@ HEADLINE = [
     "q_ivf_pq_search",
     "q_gauss_multi_sigma",
     "q_gradient_lut_reuse",
+    "q_dedup_incremental",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
