@@ -219,6 +219,7 @@ def _gradient(
     n_iters: int = 8,
     interp: str = "bil",
     swath_shape: tuple | None = None,
+    broadcast: bool = True,
 ):
     """Swath→area via the iterative gradient-search walk
     (operators/gradient_walk.py): needs only the FORWARD projection of
@@ -228,15 +229,25 @@ def _gradient(
     (gradient/__init__.py:54-60). The source must be a (row, col)-
     indexed DENSE swath grid with lon/lat per pixel.
 
-    ``interp``: "bil" (default) or "nn" — the reference's two gathers.
+    ``interp``: "bil"/"bilinear" or "nn"/"nearest" — the reference's
+    two gathers. ``broadcast=False`` switches the per-step gradient
+    joins to shuffle joins for monster swaths (gradient_walk docs).
     """
     from pyresample_spark.operators.crs import forward
     from pyresample_spark.operators.gradient_walk import gradient_walk
 
-    df = img.df
-    if not {"row", "col"}.issubset(df.columns):
+    gathers = {"bil": "bil_value", "bilinear": "bil_value",
+               "nn": "nn_value", "nearest": "nn_value"}
+    if interp not in gathers:
         raise ValueError(
-            "gradient resampling needs a (row, col)-indexed swath grid"
+            f"interp={interp!r}; valid: {sorted(gathers)}"
+        )
+    df = img.df
+    missing = {"row", "col", "lon", "lat"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            "gradient resampling needs a (row, col)-indexed swath grid "
+            f"with per-pixel lon/lat; missing columns: {sorted(missing)}"
         )
     if swath_shape is not None:
         h, w = swath_shape
@@ -246,6 +257,8 @@ def _gradient(
         r = df.agg(
             F.max("row").alias("r"), F.max("col").alias("c")
         ).collect()[0]
+        if r["r"] is None:
+            raise ValueError("gradient resampling got an EMPTY swath")
         h, w = r["r"] + 1, r["c"] + 1
     sx, sy = forward(target.crs)("lon", "lat")
     src = df.select(
@@ -260,8 +273,11 @@ def _gradient(
         F.col("cx").alias("dstx"),
         F.col("cy").alias("dsty"),
     )
-    out = gradient_walk(tgt, src, lmax=h - 1, pmax=w - 1, n_iters=n_iters)
-    val = {"bil": "bil_value", "nn": "nn_value"}[interp]
+    out = gradient_walk(
+        tgt, src, lmax=h - 1, pmax=w - 1, n_iters=n_iters,
+        broadcast=broadcast,
+    )
     return out.select(
-        F.col("tgt_id").alias("cell_id"), F.col(val).alias("value")
+        F.col("tgt_id").alias("cell_id"),
+        F.col(gathers[interp]).alias("value"),
     )

@@ -42,6 +42,36 @@ def words_col(text_col="text"):
     return F.split(F.col(text_col), " ")
 
 
+def shingle_concat_expr(n: int, ws_var: str = "ws") -> str:
+    """SQL text of one word-``n``-gram at lambda index ``i`` over the
+    word array ``ws_var`` — THE single definition of the shingle text
+    that shingles(), minhash_bands_inrow() and (via shingles_sql's
+    DuckDB twin) every oracle must agree on. One copy, zero drift."""
+    return "concat(" + ", ".join(
+        f"element_at({ws_var}, i + {k + 1})" + (", ' '" if k < n - 1 else "")
+        for k in range(n)
+    ) + ")"
+
+
+def band_stack_expr(
+    n_hashes: int, band_size: int, mh_prefix: str
+) -> str:
+    """``stack`` expression turning wide mh columns into (band, sig)
+    rows — shared by the aggregated and in-row signature passes so the
+    band layout can never diverge between them."""
+    n_bands = n_hashes // band_size
+    args = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(
+            f"cast({mh_prefix}{b * band_size + k} as string)"
+            for k in range(band_size)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"stack({n_bands}, {args}) AS (band, sig)"
+
+
 def shingles(df: DataFrame, n: int = 3, text_col="text", distinct: bool = False) -> DataFrame:
     """(doc_id, shingle) rows: word n-grams.
 
@@ -50,10 +80,7 @@ def shingles(df: DataFrame, n: int = 3, text_col="text", distinct: bool = False)
     shingle strings for identical results.
     """
     ws = words_col(text_col)
-    concat_expr = "concat(" + ", ".join(
-        f"element_at(ws, i + {k + 1})" + (", ' '" if k < n - 1 else "")
-        for k in range(n)
-    ) + ")"
+    concat_expr = shingle_concat_expr(n)
     sh = (
         df.withColumn("ws", ws)
         .filter(F.size("ws") >= n)
@@ -159,19 +186,9 @@ def minhash_bands_wide(
             ]
         )
     )
-    n_bands = n_hashes // band_size
-    stack_args = ", ".join(
-        f"{b}, concat_ws(',', "
-        + ", ".join(
-            f"cast(mh{b * band_size + k} as string)"
-            for k in range(band_size)
-        )
-        + ")"
-        for b in range(n_bands)
-    )
     return wide.select(
         "doc_id",
-        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+        F.expr(band_stack_expr(n_hashes, band_size, "mh")),
     )
 
 
@@ -291,10 +308,7 @@ def minhash_bands_inrow(
     from pyresample_spark.functions.exprs import let_expr as _let
 
     consts = _seed_constants(n_hashes)
-    shingle = "concat(" + ", ".join(
-        f"element_at(w.ws, i + {k + 1})" + (", ' '" if k < n - 1 else "")
-        for k in range(n)
-    ) + ")"
+    shingle = shingle_concat_expr(n, ws_var="w.ws")
     h0 = (
         f"transform(sequence(0, size(w.ws) - {n}), i -> "
         f"CAST(conv(substr(md5({shingle}), 1, 15), 16, 10) AS BIGINT))"
@@ -308,21 +322,23 @@ def minhash_bands_inrow(
         "w",
         _let([("h0", h0)], "z", f"named_struct({ns})"),
     )
-    n_bands = n_hashes // band_size
     wide = (
         docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
         .selectExpr("doc_id", wide_expr + " AS m")
     )
-    stack_args = ", ".join(
-        f"{b}, concat_ws(',', "
-        + ", ".join(
-            f"cast(m.mh{b * band_size + k} as string)"
-            for k in range(band_size)
-        )
-        + ")"
-        for b in range(n_bands)
-    )
     return wide.select(
         "doc_id",
-        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+        F.expr(band_stack_expr(n_hashes, band_size, "m.mh")),
     )
+
+
+def lsh_probe_pairs(new_sigs: DataFrame, index: DataFrame) -> DataFrame:
+    """(new_doc, matched_doc, band): join a batch's band signatures
+    against an index's — THE single probe topology shared by the batch
+    incremental dedup, the streaming gate, and the scale probe."""
+    return new_sigs.select(
+        F.col("doc_id").alias("new_doc"), "band", "sig"
+    ).join(
+        index.select(F.col("doc_id").alias("matched_doc"), "band", "sig"),
+        ["band", "sig"],
+    ).select("new_doc", "matched_doc", "band")

@@ -2763,7 +2763,12 @@ def q_dedup_incremental(spark, sf_dir):
     import os
     import tempfile
 
-    from pyresample_spark.operators.dedup import minhash_bands_inrow
+    from pyresample_spark.operators.dedup import (
+        BAND_SIZE as _BS,
+        N_HASHES as _NH,
+        lsh_probe_pairs,
+        minhash_bands_inrow,
+    )
     from pyresample_spark.plans.lut import LutCache
 
     d = table(spark, sf_dir, "documents")
@@ -2781,17 +2786,15 @@ def q_dedup_incremental(spark, sf_dir):
         f"lsh-bands-mod10lt8|{os.path.abspath(sf_dir)}|{st.st_size}|"
         f"{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
+    # the k-tuple carries the signature FORMAT (hash count, band size,
+    # shingle n, layout version): changing any of them must be a cache
+    # MISS, never a silent stale-index near-empty candidate set
     index = cache.get_or_compute(
-        spark, src_hash, "minhash-bands-3gram", 0.0, ("lsh_index", 1),
+        spark, src_hash, "minhash-bands", 0.0,
+        ("lsh_index", _NH, _BS, 3, "v1"),
         lambda: minhash_bands_inrow(existing, 3),
     )
-    new_sigs = minhash_bands_inrow(new, 3)
-    pairs = new_sigs.select(
-        F.col("doc_id").alias("new_doc"), "band", "sig"
-    ).join(
-        index.select(F.col("doc_id").alias("matched_doc"), "band", "sig"),
-        ["band", "sig"],
-    )
+    pairs = lsh_probe_pairs(minhash_bands_inrow(new, 3), index)
     return pairs.groupBy("new_doc", "matched_doc").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
     )

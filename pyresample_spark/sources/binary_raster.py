@@ -503,46 +503,20 @@ GRANULE_ROWS = 8   # rows per granule file
 GRANULE_COLS = 40
 
 
-def demo_granule_dir() -> str:
-    """Write-once fixture: GRANULE_BANDS classic-NetCDF granules, each
-    one horizontal band of a (BANDS·ROWS)×COLS synthetic grid with
-    value = ((abs_row·31 + col·17) % 97) + 0.5 (the synth_image
-    formula). Returns the directory path; creation is atomic
-    (populate a temp dir, rename into place) and keyed by the layout
-    constants so concurrent driver runs converge on one copy."""
+def _write_once_fixture(name: str, write_files) -> str:
+    """Atomic write-once fixture dir under tempdir: populate a temp
+    dir via ``write_files(tmp_dir)``, stamp _SUCCESS, rename into
+    place; a losing racer discards its copy. Shared by the NetCDF and
+    GeoTIFF granule fixtures so the publish race handling has ONE
+    definition."""
     import os
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"pyresample_spark_granules_v1_{GRANULE_BANDS}x"
-        f"{GRANULE_ROWS}x{GRANULE_COLS}",
-    )
+    base = os.path.join(tempfile.gettempdir(), name)
     if os.path.exists(os.path.join(base, "_SUCCESS")):
         return base
     tmp = tempfile.mkdtemp(prefix=base + ".tmp.")
-    xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
-    for band in range(GRANULE_BANDS):
-        r0 = band * GRANULE_ROWS
-        ys = np.array([-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
-                      dtype=float)  # descending northing
-        rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
-        cols = np.arange(GRANULE_COLS)[None, :]
-        data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
-        buf = netcdf3_bytes(
-            [("y", GRANULE_ROWS), ("x", GRANULE_COLS)],
-            [
-                ("x", ["x"],
-                 {"standard_name": "projection_x_coordinate"}, xs),
-                ("y", ["y"],
-                 {"standard_name": "projection_y_coordinate"}, ys),
-                ("crs", [], {"proj4": "eqc"}, None),
-                ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
-            ],
-            gattrs={"Conventions": "CF-1.8", "band_index": [float(band)]},
-        )
-        with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
-            f.write(buf)
+    write_files(tmp)
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, base)
@@ -554,41 +528,74 @@ def demo_granule_dir() -> str:
     return base
 
 
+def demo_granule_dir() -> str:
+    """Write-once fixture: GRANULE_BANDS classic-NetCDF granules, each
+    one horizontal band of a (BANDS·ROWS)×COLS synthetic grid with
+    value = ((abs_row·31 + col·17) % 97) + 0.5 (the synth_image
+    formula). Returns the directory path; creation is atomic and keyed
+    by the layout constants so concurrent driver runs converge."""
+    import os
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )  # descending northing
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
+            buf = netcdf3_bytes(
+                [("y", GRANULE_ROWS), ("x", GRANULE_COLS)],
+                [
+                    ("x", ["x"],
+                     {"standard_name": "projection_x_coordinate"}, xs),
+                    ("y", ["y"],
+                     {"standard_name": "projection_y_coordinate"}, ys),
+                    ("crs", [], {"proj4": "eqc"}, None),
+                    ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
+                ],
+                gattrs={"Conventions": "CF-1.8",
+                        "band_index": [float(band)]},
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
 def demo_tiff_granule_dir() -> str:
     """GeoTIFF twin of :func:`demo_granule_dir`: the same banded
     synthetic grid written as baseline float32 GeoTIFFs (one band per
     file, alternating byte order so the ingest exercises both), for
     the driver-gated q_geotiff_ingest."""
     import os
-    import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
+    def write(tmp):
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 31 + cols * 17) % 97).astype("f4") + 0.5
+            endian = "<" if band % 2 == 0 else ">"
+            buf = _demo_geotiff_bytes(
+                data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                endian=endian,
+            )
+            with open(os.path.join(tmp, f"granule_{band}.tif"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
         f"pyresample_spark_tiff_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
     )
-    if os.path.exists(os.path.join(base, "_SUCCESS")):
-        return base
-    tmp = tempfile.mkdtemp(prefix=base + ".tmp.")
-    for band in range(GRANULE_BANDS):
-        r0 = band * GRANULE_ROWS
-        rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
-        cols = np.arange(GRANULE_COLS)[None, :]
-        data = ((rows * 31 + cols * 17) % 97).astype("f4") + 0.5
-        endian = "<" if band % 2 == 0 else ">"
-        buf = _demo_geotiff_bytes(
-            data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0), endian=endian
-        )
-        with open(os.path.join(tmp, f"granule_{band}.tif"), "wb") as f:
-            f.write(buf)
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    try:
-        os.rename(tmp, base)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
 
 
 def _demo_geotiff_bytes(arr, sx, sy, x0, y0, endian="<") -> bytes:

@@ -546,12 +546,9 @@ def streaming_lsh_probe(
     rows (new_doc, matched_doc, band) in append mode; no watermark, no
     state store — per-batch cost is O(batch), independent of corpus
     history. Dedup-gating an ingest feed IS this plan."""
-    from pyresample_spark.operators.dedup import minhash_bands_inrow
-
-    sigs = minhash_bands_inrow(docs_stream, 3).select(
-        F.col("doc_id").alias("new_doc"), "band", "sig"
+    from pyresample_spark.operators.dedup import (
+        lsh_probe_pairs,
+        minhash_bands_inrow,
     )
-    return sigs.join(
-        index.select(F.col("doc_id").alias("matched_doc"), "band", "sig"),
-        ["band", "sig"],
-    ).select("new_doc", "matched_doc", "band")
+
+    return lsh_probe_pairs(minhash_bands_inrow(docs_stream, 3), index)

@@ -55,12 +55,10 @@ def main():
         idx_rows = index.count()
 
         def probe():
-            pairs = minhash_bands_inrow(new, 3).select(
-                F.col("doc_id").alias("new_doc"), "band", "sig"
-            ).join(
-                index.select(F.col("doc_id").alias("matched_doc"),
-                             "band", "sig"),
-                ["band", "sig"],
+            from pyresample_spark.operators.dedup import lsh_probe_pairs
+
+            pairs = lsh_probe_pairs(
+                minhash_bands_inrow(new, 3), index
             ).groupBy("new_doc", "matched_doc").agg(
                 F.count(F.lit(1)).alias("nb")
             )
