@@ -99,6 +99,7 @@ def _radius_pairs(
     extra_src_cols: tuple = (),
     extra_tgt_cols: tuple = (),
     neighbor_scheme: str = "c27",
+    approx_cell_factor: float = 2.0,
 ) -> DataFrame:
     """(tgt_id, src_id, dist_mm[, extra…]) candidate pairs within chord
     ``c`` — the shared cell-join core of knn_join and the fused
@@ -120,25 +121,61 @@ def _radius_pairs(
       them). Probe shuffle drops to 8× (3.4× fewer bytes) but each
       cell holds 8× the volume, so candidate pairs grow ~2.4×
       (64c³ vs 27c³) and the exact-distance filter does more work.
+    - ``"shift2"``: APPROXIMATE — two grids of cell side
+      ``approx_cell_factor·c``, the second shifted by half a cell on
+      every axis; BOTH sides key each row under both grids (2×
+      amplification each) and the join is own-cell-only within a grid.
+      Per axis a pair closer than the wall spacing cannot straddle a
+      wall of *both* grids, so the only misses are mixed-axis patterns
+      (straddles an A-wall in x and a B-wall in y) — measured recall@1
+      0.95+ at f=2 (``q_knn_approx_recall``) for 2×/2× shuffle vs the
+      exact 27×/1×. This is the cell-join analog of the reference
+      kd-tree ``epsilon`` knob (kd_tree.py:86-88,545-548): a bounded,
+      *measured* accuracy loss traded for shuffle. Deterministic (same
+      grids → same pairs → same mins), so the DuckDB oracle reproduces
+      it bit-for-bit. Pairs co-located in both grids appear twice, so
+      this scheme is valid ONLY for min-style consumers (k=1);
+      :func:`knn_join` enforces that.
     """
-    if neighbor_scheme not in ("c27", "2c8"):
+    if neighbor_scheme not in ("c27", "2c8", "shift2"):
         raise ValueError(f"unknown neighbor_scheme {neighbor_scheme!r}")
     # cells sized by c_eff (= c + the mm-quantization slack), NOT c:
     # see cell_side() — the exact filter admits d up to c_eff, and the
     # explode geometry must cover everything the filter accepts.
     eff = cell_side(c)
-    cell = eff if neighbor_scheme == "c27" else 2.0 * eff
-    s = with_cells(with_geocentric(src, src_lon, src_lat), cell).select(
+    if neighbor_scheme == "shift2":
+        cell = approx_cell_factor * eff
+    else:
+        cell = eff if neighbor_scheme == "c27" else 2.0 * eff
+    def _shift2_cells(df):
+        # two half-cell-shifted grids; IEEE op order (g/cell then
+        # + grid·0.5 then floor) mirrored verbatim in the SQL oracles
+        return (
+            df.withColumn("grid", F.explode(F.array(F.lit(0), F.lit(1))))
+            .withColumn("cx3", F.floor(F.col("gx") / cell + F.col("grid") * 0.5))
+            .withColumn("cy3", F.floor(F.col("gy") / cell + F.col("grid") * 0.5))
+            .withColumn("cz3", F.floor(F.col("gz") / cell + F.col("grid") * 0.5))
+        )
+
+    sg = with_geocentric(src, src_lon, src_lat)
+    if neighbor_scheme == "shift2":
+        sk = _shift2_cells(sg)
+        cell_keys = ["grid", "cx3", "cy3", "cz3"]
+    else:
+        sk = with_cells(sg, cell)
+        cell_keys = ["cx3", "cy3", "cz3"]
+    s = sk.select(
         F.col(src_id).alias("src_id"),
         F.col("gx").alias("s_gx"),
         F.col("gy").alias("s_gy"),
         F.col("gz").alias("s_gz"),
-        "cx3",
-        "cy3",
-        "cz3",
+        *cell_keys,
         *extra_src_cols,
     )
-    if neighbor_scheme == "c27":
+    if neighbor_scheme == "shift2":
+        tk = _shift2_cells(with_geocentric(tgt, tgt_lon, tgt_lat))
+        offsets = None
+    elif neighbor_scheme == "c27":
         offsets = F.expr(
             "explode(flatten(transform(sequence(-1,1), dx -> "
             "flatten(transform(sequence(-1,1), dy -> "
@@ -164,24 +201,25 @@ def _radius_pairs(
             "flatten(transform(array(0L, by), dy -> "
             "transform(array(0L, bz), dz -> struct(dx, dy, dz)))))))"
         )
-    t = (
-        tk.select(
-            F.col(tgt_id).alias("tgt_id"),
-            F.col("gx").alias("t_gx"),
-            F.col("gy").alias("t_gy"),
-            F.col("gz").alias("t_gz"),
-            "cx3",
-            "cy3",
-            "cz3",
-            *extra_tgt_cols,
-            offsets.alias("o"),
+    base_cols = [
+        F.col(tgt_id).alias("tgt_id"),
+        F.col("gx").alias("t_gx"),
+        F.col("gy").alias("t_gy"),
+        F.col("gz").alias("t_gz"),
+        *cell_keys,
+        *extra_tgt_cols,
+    ]
+    if offsets is None:
+        t = tk.select(*base_cols)
+    else:
+        t = (
+            tk.select(*base_cols, offsets.alias("o"))
+            .withColumn("cx3", F.col("cx3") + F.col("o.dx"))
+            .withColumn("cy3", F.col("cy3") + F.col("o.dy"))
+            .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
+            .drop("o")
         )
-        .withColumn("cx3", F.col("cx3") + F.col("o.dx"))
-        .withColumn("cy3", F.col("cy3") + F.col("o.dy"))
-        .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
-        .drop("o")
-    )
-    join_keys = ["cx3", "cy3", "cz3"]
+    join_keys = list(cell_keys)
     if salt_factor and salt_factor > 1:
         s = s.withColumn("salt", F.pmod(F.col("src_id"), F.lit(salt_factor)))
         t = t.withColumn(
@@ -228,6 +266,7 @@ def knn_join(
     salt_factor: int | None = None,
     packed: bool = True,
     neighbor_scheme: str = "c27",
+    approx_cell_factor: float = 2.0,
 ) -> DataFrame:
     """Cell-bucketed kNN radius join.
 
@@ -244,12 +283,14 @@ def knn_join(
     over N tasks. AQE skew-join usually makes this unnecessary; the
     explicit salt is for single cells exceeding task memory.
 
-    No ``epsilon`` approximation knob HERE (kd_tree.py:86-88,545-548
-    trades accuracy for tree-descent speed): the cell join has no tree
-    to prune — candidate count is bounded by the 27-cell neighborhood
-    regardless, so the exact join is both stricter and not slower.
-    Deliberately exact; the reference's ``epsilon`` semantics live in
-    :func:`knn_join_broadcast`'s block-pruned probe.
+    The default schemes are EXACT — the cell join has no tree to
+    prune, so unlike the reference kd-tree there is no accuracy/speed
+    dial hidden in the default path. The reference's ``epsilon``
+    semantics (kd_tree.py:86-88,545-548) are offered in two explicit
+    tiers instead: ``neighbor_scheme="shift2"`` here (own-cell probe
+    under two half-cell-shifted coarser grids — 2×/2× shuffle vs the
+    exact 27×/1×, recall measured by ``q_knn_approx_recall``), and
+    :func:`knn_join_broadcast`'s block-pruned probe for small sources.
 
     ``packed=True`` (default) ranks candidates via a packed-bigint
     HashAggregate (no per-target sort). The packing requires
@@ -261,10 +302,17 @@ def knn_join(
     which is correct for arbitrary 64-bit ids, or remap ids with
     :func:`pyresample_spark.operators.ids.with_compact_id`.
     """
+    if neighbor_scheme == "shift2" and k != 1:
+        raise ValueError(
+            "neighbor_scheme='shift2' emits duplicate pairs (one per "
+            "co-located grid) — valid only for the k=1 min consumer; "
+            "use c27/2c8 for k>1 or radius-only joins"
+        )
     c = chord_length(radius_m)
     pairs = _radius_pairs(
         src, tgt, c, src_id, tgt_id, src_lon, src_lat, tgt_lon, tgt_lat,
         salt_factor, neighbor_scheme=neighbor_scheme,
+        approx_cell_factor=approx_cell_factor,
     )
     if k is None:
         # radius-only join (EWA footprint path) — no top-k, so no

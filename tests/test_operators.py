@@ -52,6 +52,45 @@ def test_knn_cell_vs_broadcast_equivalence(spark):
     assert len(a) > 0
 
 
+def test_knn_approx_shift2(spark):
+    """shift2 approximate tier: results are a subset of the exact k=1
+    join (never an invented pair, never a closer-than-exact distance),
+    recall is high on a dense cluster, and k>1 is rejected."""
+    import pytest
+
+    src = _pts(
+        spark,
+        [(i, float(10 + 0.11 * (i % 13)), float(40 + 0.13 * (i // 13)))
+         for i in range(60)],
+    )
+    tgt = _pts(
+        spark,
+        [(j, float(10.05 + 0.12 * (j % 7)), float(40.03 + 0.1 * (j // 7)))
+         for j in range(30)],
+        id_col="tgt_id",
+    )
+    exact = {
+        r.tgt_id: (r.src_id, round(r.dist_m, 3))
+        for r in knn_join(src, tgt, 300_000.0, k=1).collect()
+    }
+    approx = {
+        r.tgt_id: (r.src_id, round(r.dist_m, 3))
+        for r in knn_join(
+            src, tgt, 300_000.0, k=1, neighbor_scheme="shift2"
+        ).collect()
+    }
+    assert set(approx) <= set(exact)  # coverage ⊆ exact
+    # any approx match is a real pair at its true distance: if it names
+    # the same src as exact, the distance must agree exactly
+    same = [t for t in approx if approx[t][0] == exact[t][0]]
+    for t in same:
+        assert approx[t][1] == exact[t][1]
+    # dense cluster well inside one radius → recall should be high
+    assert len(same) / len(exact) >= 0.9
+    with pytest.raises(ValueError, match="shift2"):
+        knn_join(src, tgt, 300_000.0, k=2, neighbor_scheme="shift2")
+
+
 def test_knn_respects_radius(spark):
     src = _pts(spark, [(1, 0.0, 0.0)])
     tgt = _pts(spark, [(1, 0.1, 0.0), (2, 10.0, 0.0)], id_col="tgt_id")

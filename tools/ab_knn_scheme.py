@@ -61,6 +61,25 @@ def main():
         rows the filter must chew through (the compute side of the
         trade; _radius_pairs itself returns post-filter pairs, which
         are scheme-independent by correctness)."""
+        if scheme == "shift2":
+            cell = 2.0 * c
+
+            def shift2(df, idc):
+                return df.withColumn(
+                    "grid", F.explode(F.array(F.lit(0), F.lit(1)))
+                ).select(
+                    idc,
+                    "grid",
+                    F.floor(F.col("gx") / cell + F.col("grid") * 0.5).alias("cx3"),
+                    F.floor(F.col("gy") / cell + F.col("grid") * 0.5).alias("cy3"),
+                    F.floor(F.col("gz") / cell + F.col("grid") * 0.5).alias("cz3"),
+                )
+
+            sc = shift2(with_geocentric(src), "src_id")
+            tc = shift2(with_geocentric(tgt), "tgt_id")
+            return tc.hint("shuffle_hash").join(
+                sc, ["grid", "cx3", "cy3", "cz3"]
+            ).count()
         cell = c if scheme == "c27" else 2.0 * c
         sc = with_cells(with_geocentric(src), cell).select(
             "src_id", "cx3", "cy3", "cz3"
@@ -98,7 +117,7 @@ def main():
 
     out = {"n_src": n_src, "n_tgt": n_tgt, "radius_m": radius,
            "load1_start": round(os.getloadavg()[0], 2)}
-    for scheme in ("c27", "2c8"):
+    for scheme in ("c27", "2c8", "shift2"):
         cand = prefilter_count(scheme)
         # warm
         knn_join(src, tgt, radius, k=1, neighbor_scheme=scheme) \
@@ -114,6 +133,22 @@ def main():
             "knn_wall_s": ts,
             "knn_median_s": statistics.median(ts),
         }
+    # recall@1 / coverage of the approximate shift2 tier vs exact c27
+    exact = knn_join(src, tgt, radius, k=1).select(
+        "tgt_id", F.col("src_id").alias("e_src")
+    )
+    approx = knn_join(
+        src, tgt, radius, k=1, neighbor_scheme="shift2"
+    ).select("tgt_id", F.col("src_id").alias("a_src"))
+    j = exact.join(approx, "tgt_id", "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_src").alias("n_found"),
+        F.sum(
+            F.when(F.col("a_src") == F.col("e_src"), 1).otherwise(0)
+        ).alias("n_same"),
+    ).collect()[0]
+    out["shift2_recall_at_1"] = round(j.n_same / max(j.n_exact, 1), 4)
+    out["shift2_coverage"] = round(j.n_found / max(j.n_exact, 1), 4)
     out["load1_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
 

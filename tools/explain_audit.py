@@ -111,6 +111,9 @@ HEADLINE = [
     "q_gauss_multi_sigma",
     "q_gradient_lut_reuse",
     "q_dedup_incremental",
+    # round 8 additions
+    "q_knn_approx",
+    "q_knn_approx_recall",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
