@@ -51,6 +51,24 @@ HEADLINE = [
     "q_ivf_pq_search",
 ]
 
+# The original round-1 headline set, unchanged across rounds — its
+# subtotal is emitted as `comparable12` so round-over-round comparison
+# stays mechanical as the headline list above grows (VERDICT r7 item 7).
+COMPARABLE12 = [
+    "q_scan_lineitem",
+    "q_bucket_avg",
+    "q_knn_join",
+    "q_gauss_agg",
+    "q_weighted_avg",
+    "q_bilinear_regular",
+    "q_events_tumbling",
+    "q_events_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_cosine_topk",
+    "q_text_stats",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +152,9 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "comparable12": round(
+                    sum(times[n] for n in COMPARABLE12), 3
+                ),
                 "sf": sf,
                 "reps": reps,
                 "total_min": round(sum(min(v) for v in samples.values()), 3),

@@ -46,15 +46,68 @@ class GeoImage:
     ) -> "GeoImage":
         if self.area is not None and self.area == target:
             return self  # no-op elimination (resampler.py:121-122)
+        if method == "auto":
+            method = choose_method(self, target)
         out = create_resampler(method, self, target, **kwargs)
         return GeoImage(df=out, area=target)
 
 
+def _analytic(fn, crs: str) -> bool:
+    """True when operators/crs.py has an analytic builder for ``crs``
+    (fn = forward or inverse); False → the family is outside the
+    registry and only the walk / cell-join / pyproj-UDF paths apply."""
+    try:
+        fn(crs)
+        return True
+    except NotImplementedError:
+        return False
+
+
+def choose_method(img: GeoImage, target: AreaDefinition) -> str:
+    """Strategy dispatch for ``resample(method="auto")``, mirroring the
+    reference's create_gradient_search_resampler selection
+    (gradient/__init__.py:54-60: gridded source → blockwise resampler,
+    swath source → stacking walk) plus the analytic shortcut the
+    reference cannot take:
+
+    1. gridded source AND analytic inverse(target) ∘ forward(source)
+       available → ``"regrid"`` (pure column math, one equi-join —
+       strictly cheaper than any iterative walk);
+    2. dense (row, col)-indexed source with per-pixel lon/lat AND an
+       analytic forward for the target CRS → ``"gradient"`` (the walk
+       needs only the forward transform, covering targets whose
+       inverse is not in the registry);
+    3. anything else → ``"nearest"`` (cell-bucketed kNN join — the
+       fully general path; needs only lon/lat).
+    """
+    from pyresample_spark.operators.crs import forward, inverse
+
+    if (
+        img.area is not None
+        and _analytic(inverse, target.crs)
+        and _analytic(forward, img.area.crs)
+    ):
+        return "regrid"
+    has_grid_index = {"row", "col", "lon", "lat"} <= set(img.df.columns)
+    if has_grid_index and _analytic(forward, target.crs):
+        return "gradient"
+    return "nearest"
+
+
 def _tgt_points(spark, target: AreaDefinition) -> DataFrame:
+    """Target pixel centers as (tgt_id, lon, lat) — the probe side of
+    every kNN-family resampler. grid() yields PROJECTED cx/cy; they are
+    inverted to lon/lat through the analytic CRS registry (identity for
+    longlat). A non-analytic target CRS raises NotImplementedError
+    (operators/crs.py) rather than silently treating meters as
+    degrees."""
+    from pyresample_spark.operators.crs import inverse
+
+    lon, lat = inverse(target.crs)("cx", "cy")
     return target.grid(spark).select(
         F.col("cell_id").alias("tgt_id"),
-        F.col("cx").alias("lon"),
-        F.col("cy").alias("lat"),
+        lon.alias("lon"),
+        lat.alias("lat"),
     )
 
 

@@ -43,6 +43,50 @@ def test_unknown_method(swath):
         swath.resample(AREA, method="nope")
 
 
+def test_auto_method_dispatch(spark, swath):
+    """method="auto" strategy selection (create_gradient_search_resampler
+    dispatch, gradient/__init__.py:54-60): analytic gridded pair →
+    regrid; dense lon/lat swath grid + analytic target forward →
+    gradient walk; plain swath → cell-kNN nearest."""
+    from pyresample_spark.image import choose_method
+
+    stere = AreaDefinition(
+        "s", "+proj=stere +lat_0=0 +lon_0=0", 8, 8,
+        (-1_000_000.0, -1_000_000.0, 1_000_000.0, 1_000_000.0),
+    )
+    # 1. gridded source, both CRSs analytic → regrid
+    gridded = GeoImage.from_area(
+        AREA.grid(spark).withColumn(
+            "value", F.col("cell_id").cast("double")
+        ),
+        AREA,
+    )
+    assert choose_method(gridded, stere) == "regrid"
+    # 2. (row, col)-indexed swath with per-pixel lon/lat, no source
+    #    area, analytic target forward → gradient walk
+    swath_grid = GeoImage.from_swath(
+        spark.createDataFrame(
+            [(0, 0, 10.0, 50.0, 1.0), (0, 1, 10.5, 50.0, 2.0),
+             (1, 0, 10.0, 50.5, 3.0), (1, 1, 10.5, 50.5, 4.0)],
+            "row int, col int, lon double, lat double, value double",
+        )
+    )
+    assert choose_method(swath_grid, stere) == "gradient"
+    # 3. plain lon/lat swath → nearest (cell-kNN)
+    assert choose_method(swath, stere) == "nearest"
+    # 4. non-analytic target CRS → the walk/regrid shortcuts are off
+    exotic = AreaDefinition(
+        "x", "+proj=poly +lat_0=0 +lon_0=0", 8, 8,
+        (-2_000_000.0, -2_000_000.0, 2_000_000.0, 2_000_000.0),
+    )
+    assert choose_method(swath_grid, exotic) == "nearest"
+    # and resample(method="auto") actually routes + runs end-to-end
+    out = gridded.resample(stere, method="auto")
+    assert out.df.count() > 0 and "src_value" in out.df.columns
+    out2 = swath.resample(stere, method="auto", radius_m=500_000.0)
+    assert out2.df.count() > 0
+
+
 def test_regrid_method_matches_bespoke_stere_query(spark, sf_dir):
     """GeoImage.resample(method='regrid') through the CRS registry must
     reproduce the hand-built q_regrid_stere plan's results."""
