@@ -214,6 +214,139 @@ def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<"):
     return out + b"".join(blobs) + strip
 
 
+def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
+                      predictor=1, endian="<"):
+    """Adversarial strip-layout TIFF writer: arbitrary sample dtype
+    (u2/u4/i2/i4/f4/f8), multi-strip, optional per-strip DEFLATE
+    (``compress`` = 8 or 32946 tag value; also used to write an
+    unsupported tag for error tests), optional horizontal predictor 2
+    (differences computed in the sample dtype so overflow wraps like
+    the spec says). Independent of the package writer on purpose."""
+    import zlib
+
+    h, w = arr.shape
+    dt = arr.dtype
+    bits = dt.itemsize * 8
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    rows_per_strip = rows_per_strip or h
+    enc = arr.astype(endian + dt.char)
+    if predictor == 2:
+        native = arr.astype(dt.newbyteorder("="))
+        diff = native.copy()
+        diff[:, 1:] = native[:, 1:] - native[:, :-1]  # wraps in-dtype
+        enc = diff.astype(endian + dt.char)
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = enc[r0:r0 + rows_per_strip].tobytes()
+        strips.append(zlib.compress(raw) if compress in (8, 32946) else raw)
+
+    n = len(strips)
+    entries = []
+
+    def add(tag, typ, count, inline=None, extbytes=None):
+        entries.append((tag, typ, count, inline, extbytes))
+
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    add(258, 3, 1, bits)
+    add(259, 3, 1, compress or 1)
+    add(262, 3, 1, 1)
+    if n == 1:
+        add(273, 4, 1, "STRIP0")
+        add(279, 4, 1, len(strips[0]))
+    else:
+        add(273, 4, n, "STRIPS")   # ext array patched below
+        add(279, 4, n, extbytes=struct.pack(
+            endian + f"{n}I", *(len(s) for s in strips)))
+    add(277, 3, 1, 1)
+    add(278, 3, 1, rows_per_strip)
+    if predictor != 1:
+        add(317, 3, 1, predictor)
+    add(339, 3, 1, fmt)
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs, offs, o = [], {}, ext_off
+    for tag, typ, count, inline, extbytes in entries:
+        if extbytes is not None:
+            offs[tag] = o
+            blobs.append(extbytes)
+            o += len(extbytes)
+    if n > 1:  # strip-offsets ext array itself
+        offs[273] = o
+        o += 4 * n
+    strip_offs, so = [], o
+    for s in strips:
+        strip_offs.append(so)
+        so += len(s)
+    out = (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "HI", 42, ifd_off)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, count, inline, extbytes in entries:
+        out += struct.pack(endian + "HHI", tag, typ, count)
+        if extbytes is not None:
+            out += struct.pack(endian + "I", offs[tag])
+        elif inline == "STRIP0":
+            out += struct.pack(endian + "I", strip_offs[0])
+        elif inline == "STRIPS":
+            out += struct.pack(endian + "I", offs[273])
+        elif typ == 3:
+            out += struct.pack(endian + "HH", inline, 0)
+        else:
+            out += struct.pack(endian + "I", inline)
+    out += struct.pack(endian + "I", 0)
+    body = b"".join(blobs)
+    if n > 1:
+        body += struct.pack(endian + f"{n}I", *strip_offs)
+    return out + body + b"".join(strips)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [8, 32946])
+def test_tiff_deflate_multistrip(endian, comp):
+    """DEFLATE strips (both tag spellings, both byte orders) decode
+    natively — VERDICT r7 item 2; real GeoTIFFs are mostly Adobe
+    Deflate, previously a silent rasterio dependency."""
+    arr = (np.arange(60, dtype="f4").reshape(6, 10) * 1.25) - 7.5
+    buf = tiff_bytes_strips(arr, rows_per_strip=2, compress=comp,
+                            endian=endian)
+    out = tiff_pixels(buf)
+    assert out.shape == (6, 10)
+    np.testing.assert_array_equal(out, arr.astype("f8"))
+
+
+def test_tiff_deflate_predictor2_uint16_wraparound():
+    """Horizontal differencing on uint16 with deliberate wraparound
+    (row starts high, drops to 0 — the diff underflows): cumsum in
+    the sample dtype must reconstruct exactly."""
+    arr = np.array(
+        [[65535, 0, 1, 70], [3, 65000, 2, 2], [7, 7, 7, 65535]],
+        dtype="u2",
+    )
+    for endian in ("<", ">"):
+        buf = tiff_bytes_strips(arr, compress=8, predictor=2,
+                                endian=endian)
+        np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+def test_tiff_predictor2_int16_uncompressed():
+    arr = np.array([[-5, 10, -32768], [32767, -1, 0]], dtype="i2")
+    buf = tiff_bytes_strips(arr, predictor=2)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+def test_tiff_compression_and_predictor_guards():
+    arr = np.zeros((2, 2), dtype="f4")
+    with pytest.raises(ValueError, match="compression 5"):
+        tiff_pixels(tiff_bytes_strips(arr, compress=5))
+    with pytest.raises(ValueError, match="float samples"):
+        tiff_pixels(tiff_bytes_strips(arr, predictor=2))
+    with pytest.raises(ValueError, match="predictor 3"):
+        tiff_pixels(tiff_bytes_strips(np.zeros((2, 2), "u2"),
+                                      predictor=3))
+
+
 def test_geotiff_area_and_pixels():
     arr = np.arange(12, dtype="f4").reshape(3, 4) * 1.5
     buf = geotiff_bytes(arr, sx=0.5, sy=0.25, x0=10.0, y0=50.0)
