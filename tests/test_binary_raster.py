@@ -565,3 +565,80 @@ def test_geotiff_missing_georef_raises_value_error(tmp_path):
         + _s.pack("<I", 0) + bytes(buf[10 + 12 * n + 4:])
     with pytest.raises(ValueError, match="GeoTIFF"):
         area_from_geotiff(out, "t")
+
+
+# --- Fallback branches (VERDICT r7 item 5): the xarray/rasterio paths
+# run as real integration tests the day the libs appear in the env
+# (pytest.importorskip), and the WITHOUT-lib behavior — a clear,
+# actionable NotImplementedError — is asserted in the same file so
+# neither direction can silently regress. ---
+
+_HAS_XARRAY = True
+try:
+    import xarray  # noqa: F401
+except ImportError:
+    _HAS_XARRAY = False
+
+_HAS_RASTERIO = True
+try:
+    import rasterio  # noqa: F401
+except ImportError:
+    _HAS_RASTERIO = False
+
+
+@pytest.mark.skipif(_HAS_XARRAY, reason="xarray installed: the real "
+                    "fallback integration test below covers this path")
+def test_nc4_without_xarray_raises_actionable_error(tmp_path):
+    p = tmp_path / "modern.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="xarray"):
+        load_cf_area(str(p))
+
+
+@pytest.mark.skipif(_HAS_RASTERIO, reason="rasterio installed: the "
+                    "real fallback integration test below covers this")
+def test_exotic_tiff_without_rasterio_raises_actionable_error(tmp_path):
+    # LZW (tag 5) is outside the native baseline/DEFLATE coverage
+    arr = np.zeros((2, 2), dtype="f4")
+    p = tmp_path / "lzw.tif"
+    p.write_bytes(tiff_bytes_strips(arr, compress=5))
+    with pytest.raises(NotImplementedError, match="rasterio"):
+        get_area_def_from_raster(str(p))
+
+
+def test_nc4_fallback_with_xarray(tmp_path):
+    """Integration: a real NETCDF4/HDF5 file through the xarray branch
+    of load_cf_area. Skipped (not failed) while xarray is absent."""
+    xr = pytest.importorskip("xarray")
+    pytest.importorskip("netCDF4")
+    x = [0.5, 1.5, 2.5, 3.5]
+    y = [49.5, 48.5]
+    ds = xr.Dataset(
+        {"v": (("y", "x"), np.zeros((2, 4)))},
+        coords={"x": x, "y": y},
+    )
+    ds["v"].attrs["grid_mapping"] = "longlat"
+    p = tmp_path / "modern.nc"
+    ds.to_netcdf(p, format="NETCDF4")
+    area = load_cf_area(str(p), "v")
+    assert (area.width, area.height) == (4, 2)
+    assert area.area_extent == (0.0, 48.0, 4.0, 50.0)
+
+
+def test_rasterio_fallback_with_rasterio(tmp_path):
+    """Integration: an LZW-compressed GeoTIFF (natively rejected)
+    through the rasterio branch of get_area_def_from_raster. Skipped
+    (not failed) while rasterio is absent."""
+    rio = pytest.importorskip("rasterio")
+    from rasterio.transform import from_origin
+
+    p = tmp_path / "lzw.tif"
+    with rio.open(
+        str(p), "w", driver="GTiff", height=3, width=4, count=1,
+        dtype="float32", crs="EPSG:4326",
+        transform=from_origin(10.0, 50.0, 0.5, 0.25), compress="lzw",
+    ) as dst:
+        dst.write(np.zeros((3, 4), dtype="f4"), 1)
+    area = get_area_def_from_raster(str(p))
+    assert (area.width, area.height) == (4, 3)
+    assert area.area_extent == (10.0, 49.25, 12.0, 50.0)
