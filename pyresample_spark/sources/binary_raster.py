@@ -294,25 +294,88 @@ def area_from_geotiff(buf: bytes, area_id: str = "geotiff") -> AreaDefinition:
     return area_from_geotransform(area_id, crs, w, h, (x0, sx, 0.0, y0, 0.0, -sy))
 
 
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW decompressor (TIFF 6.0 §13): MSB-first packed
+    codes, 9→12 bit widths with EARLY CHANGE (width bumps one code
+    before the table fills), ClearCode 256, EOI 257. Pure python —
+    fine for the per-strip/per-tile sizes real files use; Arrow-batch
+    workers run it in parallel per granule."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # 256 clear, 257 EOI
+
+    reset()
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            out += entry
+            prev = entry
+            # early change: TIFF writers bump the width when the NEXT
+            # code would not fit, i.e. at table sizes 511/1023/2047
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _undo_predictor2(arr: np.ndarray, fmt: int) -> np.ndarray:
+    if fmt == 3:
+        raise ValueError(
+            "horizontal predictor on float samples unsupported "
+            "(predictor 3 needs rasterio)"
+        )
+    native = arr.astype(arr.dtype.newbyteorder("="))
+    return np.cumsum(native, axis=1, dtype=native.dtype)
+
+
 def tiff_pixels(buf: bytes) -> np.ndarray:
-    """Decode strip-organized TIFF samples → (h, w) float64 array.
+    """Decode strip- OR tile-organized TIFF samples → (h, w) float64.
 
     Compression (tag 259): 1 = uncompressed baseline, 8/32946 =
-    DEFLATE (zlib per strip — stdlib ``zlib``, no rasterio needed;
-    most real-world GeoTIFFs ship Adobe Deflate). Predictor (tag
-    317): 1 = none, 2 = horizontal differencing on integer samples
-    (undone by a per-row cumulative sum in the sample dtype, so
-    overflow wraps exactly as the spec requires). LZW/JPEG/BigTIFF
-    still fall back to rasterio (utils/rasterio.py:77 analog)."""
+    DEFLATE (zlib, stdlib), 5 = LZW (:func:`lzw_decode`) — the three
+    encodings that cover essentially all real-world GeoTIFF rasters.
+    Organization: classic strips (tags 273/278/279) or tiles (tags
+    322-325; edge tiles are spec-padded to full tile size and cropped
+    on assembly). Predictor (tag 317): 1 = none, 2 = horizontal
+    differencing on integer samples, undone per strip/tile row by a
+    cumulative sum in the sample dtype so overflow wraps exactly as
+    the spec requires. JPEG compression and BigTIFF still fall back
+    to rasterio (utils/rasterio.py:77 analog)."""
     import zlib
 
     t = parse_tiff(buf)
     e = t["_endian"]
     w, h = t[256][0], t[257][0]
     comp = t.get(259, [1])[0]
-    if comp not in (1, 8, 32946):
+    if comp not in (1, 5, 8, 32946):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (baseline and "
+            f"unsupported TIFF compression {comp} (baseline, LZW and "
             "DEFLATE decoded natively; others need rasterio)"
         )
     if t.get(277, [1])[0] != 1:
@@ -324,22 +387,40 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     if dt is None:
         raise ValueError(f"unsupported sample layout bits={bits} fmt={fmt}")
     dtype = np.dtype(("<" if e == "<" else ">") + dt)
-    offs, cnts = t[273], t[279]
-    strips = [buf[o:o + c] for o, c in zip(offs, cnts)]
-    if comp in (8, 32946):
-        strips = [zlib.decompress(s) for s in strips]
-    arr = np.frombuffer(b"".join(strips), dtype=dtype).reshape(h, w)
     pred = t.get(317, [1])[0]
-    if pred == 2:
-        if fmt == 3:
-            raise ValueError(
-                "horizontal predictor on float samples unsupported "
-                "(predictor 3 needs rasterio)"
-            )
-        native = arr.astype(arr.dtype.newbyteorder("="))
-        arr = np.cumsum(native, axis=1, dtype=native.dtype)
-    elif pred != 1:
+    if pred not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {pred}")
+
+    def decode(chunk: bytes) -> bytes:
+        if comp in (8, 32946):
+            return zlib.decompress(chunk)
+        if comp == 5:
+            return lzw_decode(chunk)
+        return chunk
+
+    if 322 in t:  # tiled organization
+        tw, th = t[322][0], t[323][0]
+        offs, cnts = t[324], t[325]
+        tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + th - 1) // th
+        if len(offs) != tiles_across * tiles_down:
+            raise ValueError("tile count does not match raster size")
+        out = np.empty((h, w), dtype="f8")
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            tile = np.frombuffer(decode(buf[o:o + c]), dtype=dtype)
+            tile = tile.reshape(th, tw)
+            if pred == 2:
+                tile = _undo_predictor2(tile, fmt)
+            ty, tx = divmod(idx, tiles_across)
+            r0, c0 = ty * th, tx * tw
+            rs, cs = min(th, h - r0), min(tw, w - c0)
+            out[r0:r0 + rs, c0:c0 + cs] = tile[:rs, :cs].astype("f8")
+        return out
+    offs, cnts = t[273], t[279]
+    raw = b"".join(decode(buf[o:o + c]) for o, c in zip(offs, cnts))
+    arr = np.frombuffer(raw, dtype=dtype).reshape(h, w)
+    if pred == 2:
+        arr = _undo_predictor2(arr, fmt)
     return arr.astype("f8")
 
 

@@ -112,7 +112,7 @@ def get_area_def_from_raster(path: str):
 
     Classic baseline TIFFs parse with the built-in pure-python reader
     (sources/binary_raster.py); anything it rejects (BigTIFF,
-    compressed, rotated) falls back to rasterio when installed."""
+    rotated transforms) falls back to rasterio when installed."""
     with open(path, "rb") as f:
         buf = f.read()
     try:

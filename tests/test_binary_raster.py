@@ -214,6 +214,55 @@ def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<"):
     return out + b"".join(blobs) + strip
 
 
+def lzw_encode(data: bytes) -> bytes:
+    """Test-side TIFF-variant LZW encoder (TIFF 6.0 §13, early change):
+    written from the spec independently of the package decoder so the
+    roundtrip checks the grammar, not a tautology."""
+    res = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            res.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)  # leading ClearCode per spec
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # early change: the width the DECODER reads the next code with
+        # bumps once code (1<<width)-1 has been assigned
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if nbits:
+        res.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(res)
+
+
 def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
                       predictor=1, endian="<"):
     """Adversarial strip-layout TIFF writer: arbitrary sample dtype
@@ -235,10 +284,16 @@ def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
         diff = native.copy()
         diff[:, 1:] = native[:, 1:] - native[:, :-1]  # wraps in-dtype
         enc = diff.astype(endian + dt.char)
+    def pack(raw: bytes) -> bytes:
+        if compress in (8, 32946):
+            return zlib.compress(raw)
+        if compress == 5:
+            return lzw_encode(raw)
+        return raw
+
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        raw = enc[r0:r0 + rows_per_strip].tobytes()
-        strips.append(zlib.compress(raw) if compress in (8, 32946) else raw)
+        strips.append(pack(enc[r0:r0 + rows_per_strip].tobytes()))
 
     n = len(strips)
     entries = []
@@ -302,6 +357,91 @@ def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
     return out + body + b"".join(strips)
 
 
+def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
+    """Tiled-organization twin of :func:`tiff_bytes_strips` (tags
+    322-325): edge tiles zero-padded to full tile size per spec."""
+    import zlib
+
+    h, w = arr.shape
+    tw, th = tile
+    dt = arr.dtype
+    bits = dt.itemsize * 8
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    def pack(raw: bytes) -> bytes:
+        if compress in (8, 32946):
+            return zlib.compress(raw)
+        if compress == 5:
+            return lzw_encode(raw)
+        return raw
+
+    tiles = []
+    for r0 in range(0, h, th):
+        for c0 in range(0, w, tw):
+            block = np.zeros((th, tw), dtype=dt)
+            rs, cs = min(th, h - r0), min(tw, w - c0)
+            block[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+            if predictor == 2:
+                native = block.astype(dt.newbyteorder("="))
+                d = native.copy()
+                d[:, 1:] = native[:, 1:] - native[:, :-1]
+                block = d
+            tiles.append(pack(block.astype(endian + dt.char).tobytes()))
+    n = len(tiles)
+
+    entries = []
+
+    def add(tag, typ, count, inline=None, extbytes=None):
+        entries.append((tag, typ, count, inline, extbytes))
+
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    add(258, 3, 1, bits)
+    add(259, 3, 1, compress or 1)
+    add(262, 3, 1, 1)
+    add(277, 3, 1, 1)
+    if predictor != 1:
+        add(317, 3, 1, predictor)
+    add(322, 3, 1, tw)
+    add(323, 3, 1, th)
+    add(324, 4, n, "TILES")
+    add(325, 4, n, extbytes=struct.pack(
+        endian + f"{n}I", *(len(t) for t in tiles)))
+    add(339, 3, 1, fmt)
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs, offs, o = [], {}, ext_off
+    for tag, typ, count, inline, extbytes in entries:
+        if extbytes is not None:
+            offs[tag] = o
+            blobs.append(extbytes)
+            o += len(extbytes)
+    offs[324] = o  # tile-offsets ext array
+    o += 4 * n
+    tile_offs, to = [], o
+    for t_ in tiles:
+        tile_offs.append(to)
+        to += len(t_)
+    out = (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "HI", 42, ifd_off)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, count, inline, extbytes in entries:
+        out += struct.pack(endian + "HHI", tag, typ, count)
+        if extbytes is not None:
+            out += struct.pack(endian + "I", offs[tag])
+        elif inline == "TILES":
+            out += struct.pack(endian + "I", offs[324])
+        elif typ == 3:
+            out += struct.pack(endian + "HH", inline, 0)
+        else:
+            out += struct.pack(endian + "I", inline)
+    out += struct.pack(endian + "I", 0)
+    body = b"".join(blobs) + struct.pack(endian + f"{n}I", *tile_offs)
+    return out + body + b"".join(tiles)
+
+
 @pytest.mark.parametrize("endian", ["<", ">"])
 @pytest.mark.parametrize("comp", [8, 32946])
 def test_tiff_deflate_multistrip(endian, comp):
@@ -336,10 +476,54 @@ def test_tiff_predictor2_int16_uncompressed():
     np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
 
 
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_tiff_lzw_strips(endian):
+    """LZW strips (compression 5, TIFF early-change variant) decode
+    natively; data chosen with repeats so the LZW table actually
+    builds multi-byte entries."""
+    arr = (np.arange(80, dtype="u2").reshape(8, 10) % 7) * 3
+    buf = tiff_bytes_strips(arr, rows_per_strip=3, compress=5,
+                            endian=endian)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+def test_tiff_lzw_predictor2_roundtrip():
+    arr = np.array([[9, 9, 9, 1000], [1000, 1, 1, 1]], dtype="u2")
+    buf = tiff_bytes_strips(arr, compress=5, predictor=2)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+def test_lzw_width_bump_roundtrip():
+    """>253 distinct-pair additions force the 9->10 bit early change;
+    random bytes with a fixed seed keep the table growing."""
+    rng = np.random.RandomState(7)
+    data = rng.randint(0, 256, size=6000, dtype=np.uint8).tobytes()
+    from pyresample_spark.sources.binary_raster import lzw_decode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("comp", [None, 8, 5])
+def test_tiff_tiled(comp):
+    """Tile organization (tags 322-325): 10x7 raster in 4x4 tiles —
+    edge tiles padded+cropped; every compression path shares the tile
+    assembly."""
+    arr = (np.arange(70, dtype="f4").reshape(7, 10) * 0.5) - 3.0
+    buf = tiff_bytes_tiles(arr, tile=(4, 4), compress=comp)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+def test_tiff_tiled_predictor2_int():
+    arr = ((np.arange(63, dtype="i4").reshape(9, 7) * 37) % 1000) - 500
+    buf = tiff_bytes_tiles(arr, tile=(3, 4), compress=8, predictor=2,
+                           endian=">")
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
 def test_tiff_compression_and_predictor_guards():
     arr = np.zeros((2, 2), dtype="f4")
-    with pytest.raises(ValueError, match="compression 5"):
-        tiff_pixels(tiff_bytes_strips(arr, compress=5))
+    with pytest.raises(ValueError, match="compression 7"):
+        tiff_pixels(tiff_bytes_strips(arr, compress=7))
     with pytest.raises(ValueError, match="float samples"):
         tiff_pixels(tiff_bytes_strips(arr, predictor=2))
     with pytest.raises(ValueError, match="predictor 3"):
@@ -598,10 +782,12 @@ def test_nc4_without_xarray_raises_actionable_error(tmp_path):
 @pytest.mark.skipif(_HAS_RASTERIO, reason="rasterio installed: the "
                     "real fallback integration test below covers this")
 def test_exotic_tiff_without_rasterio_raises_actionable_error(tmp_path):
-    # LZW (tag 5) is outside the native baseline/DEFLATE coverage
+    # BigTIFF (magic 43) is outside native coverage
     arr = np.zeros((2, 2), dtype="f4")
-    p = tmp_path / "lzw.tif"
-    p.write_bytes(tiff_bytes_strips(arr, compress=5))
+    buf = bytearray(geotiff_bytes(arr, 1.0, 1.0, 0.0, 2.0))
+    buf[2:4] = struct.pack("<H", 43)
+    p = tmp_path / "big.tif"
+    p.write_bytes(bytes(buf))
     with pytest.raises(NotImplementedError, match="rasterio"):
         get_area_def_from_raster(str(p))
 
@@ -626,17 +812,17 @@ def test_nc4_fallback_with_xarray(tmp_path):
 
 
 def test_rasterio_fallback_with_rasterio(tmp_path):
-    """Integration: an LZW-compressed GeoTIFF (natively rejected)
-    through the rasterio branch of get_area_def_from_raster. Skipped
-    (not failed) while rasterio is absent."""
+    """Integration: a BigTIFF (natively rejected: classic-IFD parser
+    only) through the rasterio branch of get_area_def_from_raster.
+    Skipped (not failed) while rasterio is absent."""
     rio = pytest.importorskip("rasterio")
     from rasterio.transform import from_origin
 
-    p = tmp_path / "lzw.tif"
+    p = tmp_path / "big.tif"
     with rio.open(
         str(p), "w", driver="GTiff", height=3, width=4, count=1,
         dtype="float32", crs="EPSG:4326",
-        transform=from_origin(10.0, 50.0, 0.5, 0.25), compress="lzw",
+        transform=from_origin(10.0, 50.0, 0.5, 0.25), BIGTIFF="YES",
     ) as dst:
         dst.write(np.zeros((3, 4), dtype="f4"), 1)
     area = get_area_def_from_raster(str(p))
