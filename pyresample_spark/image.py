@@ -173,11 +173,19 @@ def _nearest(
     value_col="value",
     fill=None,
     key_col: str | None = None,
+    approx: bool = False,
 ):
+    """``approx=True`` switches the cell join to the shift2
+    approximate tier (operators/knn.py) — the facade spelling of the
+    reference's ``epsilon`` accuracy/speed knob; measure acceptability
+    with the q_knn_approx_recall pattern before shipping results."""
     from pyresample_spark.operators.knn import knn_join
 
     src = _src_keyed(img, key_col)
-    nn = knn_join(src, _tgt_points(img.df.sparkSession, target), radius_m, k=1)
+    nn = knn_join(
+        src, _tgt_points(img.df.sparkSession, target), radius_m, k=1,
+        neighbor_scheme="shift2" if approx else "c27",
+    )
     joined = nn.join(src.select("src_id", value_col), "src_id")
     out = joined.select(
         F.col("tgt_id").alias("cell_id"), F.col(value_col).alias("value")

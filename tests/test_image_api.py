@@ -33,6 +33,28 @@ def test_resample_methods(swath, method):
     assert all(-1.0 <= v <= 400.0 for v in vals)
 
 
+def test_nearest_approx_subset_of_exact(swath):
+    """resample(method='nearest', approx=True) — the epsilon-knob
+    facade spelling — returns a subset of the exact assignment."""
+    exact = {
+        r.cell_id: r.value
+        for r in swath.resample(
+            AREA, method="nearest", radius_m=200_000.0
+        ).df.collect()
+    }
+    approx = {
+        r.cell_id: r.value
+        for r in swath.resample(
+            AREA, method="nearest", radius_m=200_000.0, approx=True
+        ).df.collect()
+    }
+    # coverage: any target the approx tier matches has an exact match
+    # (approx pairs are a subset of the radius pair set by construction)
+    assert approx and set(approx) <= set(exact)
+    same = sum(1 for k in approx if approx[k] == exact[k])
+    assert same / len(exact) >= 0.9  # dense swath → high recall
+
+
 def test_noop_elimination(spark, swath):
     img = GeoImage.from_area(AREA.grid(spark), AREA)
     assert img.resample(AREA) is img
