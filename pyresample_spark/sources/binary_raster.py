@@ -25,10 +25,13 @@ driver-side file loop.
 Format scope (documented, checked, errors are loud):
 - NetCDF: magic CDF-1 / CDF-2, fixed-size variables (no unlimited-dim
   record data), types byte/char/short/int/float/double.
-- TIFF: single-IFD baseline, uncompressed strips, one sample per
+- TIFF: first-IFD classic AND BigTIFF containers; strip or tile
+  organization; uncompressed, DEFLATE (zlib) or LZW strips/tiles with
+  optional horizontal predictor on integer samples; one sample per
   pixel, 16/32-bit integer or 32/64-bit float samples, little- or
   big-endian, axis-aligned georeferencing (pixel-scale + tiepoint —
   rotated ModelTransformationTag rejected like utils/rasterio.py).
+  JPEG compression and unmapped EPSG codes fall back to rasterio.
 """
 
 from __future__ import annotations
@@ -199,11 +202,16 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None):
 _TIFF_TYPE = {
     1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
     6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4), 12: ("d", 8),
+    # BigTIFF additions (BigTIFF spec): LONG8 / SLONG8 / IFD8
+    16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8),
 }
 
 
 def parse_tiff(buf: bytes) -> dict:
-    """Walk the first IFD of a classic TIFF; return {tag: values}."""
+    """Walk the first IFD of a classic TIFF (magic 42) or BigTIFF
+    (magic 43: 8-byte offsets, 20-byte IFD entries, LONG8 types);
+    return {tag: values}. Same dict either way, so every consumer
+    (area_from_geotiff, tiff_pixels) handles both transparently."""
     if buf[:2] == b"II":
         e = "<"
     elif buf[:2] == b"MM":
@@ -211,19 +219,41 @@ def parse_tiff(buf: bytes) -> dict:
     else:
         raise ValueError("not a TIFF file")
     (magic,) = struct.unpack_from(e + "H", buf, 2)
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
-    (n,) = struct.unpack_from(e + "H", buf, ifd_off)
-    tags = {"_endian": e}
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
+        (n,) = struct.unpack_from(e + "H", buf, ifd_off)
+        first, entry, inline_max = ifd_off + 2, 12, 4
+    elif magic == 43:
+        big = True
+        offsize, zero = struct.unpack_from(e + "HH", buf, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from(e + "Q", buf, 8)
+        (n,) = struct.unpack_from(e + "Q", buf, ifd_off)
+        first, entry, inline_max = ifd_off + 8, 20, 8
+    else:
+        raise ValueError(f"not a TIFF file (magic {magic})")
+    tags = {"_endian": e, "_bigtiff": big}
     for i in range(n):
-        o = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack_from(e + "HHI", buf, o)
+        o = first + entry * i
+        if big:
+            tag, typ = struct.unpack_from(e + "HH", buf, o)
+            (cnt,) = struct.unpack_from(e + "Q", buf, o + 4)
+            voff = o + 12
+        else:
+            tag, typ, cnt = struct.unpack_from(e + "HHI", buf, o)
+            voff = o + 8
         fmt, sz = _TIFF_TYPE.get(typ, (None, None))
         if fmt is None:
             continue
         total = sz * cnt
-        off = o + 8 if total <= 4 else struct.unpack_from(e + "I", buf, o + 8)[0]
+        if total <= inline_max:
+            off = voff
+        else:
+            (off,) = struct.unpack_from(
+                e + ("Q" if big else "I"), buf, voff
+            )
         if fmt == "c":
             vals = buf[off:off + cnt].split(b"\x00")[0].decode(
                 "ascii", errors="replace"
@@ -365,7 +395,7 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     on assembly). Predictor (tag 317): 1 = none, 2 = horizontal
     differencing on integer samples, undone per strip/tile row by a
     cumulative sum in the sample dtype so overflow wraps exactly as
-    the spec requires. JPEG compression and BigTIFF still fall back
+    the spec requires. JPEG compression still falls back
     to rasterio (utils/rasterio.py:77 analog)."""
     import zlib
 

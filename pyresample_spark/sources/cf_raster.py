@@ -111,8 +111,9 @@ def get_area_def_from_raster(path: str):
     utils/rasterio.py:77).
 
     Classic baseline TIFFs parse with the built-in pure-python reader
-    (sources/binary_raster.py); anything it rejects (BigTIFF,
-    rotated transforms) falls back to rasterio when installed."""
+    (sources/binary_raster.py); anything it rejects (JPEG
+    compression, unmapped EPSG codes, rotated transforms) falls back
+    to rasterio when installed."""
     with open(path, "rb") as f:
         buf = f.read()
     try:

@@ -442,6 +442,125 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
     return out + body + b"".join(tiles)
 
 
+def bigtiff_bytes(arr, rows_per_strip=None, compress=None, endian="<",
+                  geo=None):
+    """Spec-built BigTIFF writer (BigTIFF spec: magic 43, 8-byte
+    offsets, u8 IFD count, 20-byte entries, LONG8 strip arrays — the
+    new code paths in parse_tiff). ``geo=(sx, sy, x0, y0)`` adds
+    pixel-scale/tiepoint/longlat GeoKey tags so area parsing is
+    exercised too. Independent of the package reader on purpose."""
+    import zlib
+
+    h, w = arr.shape
+    dt = arr.dtype
+    bits = dt.itemsize * 8
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    rows_per_strip = rows_per_strip or h
+
+    def pack(raw: bytes) -> bytes:
+        if compress in (8, 32946):
+            return zlib.compress(raw)
+        if compress == 5:
+            return lzw_encode(raw)
+        return raw
+
+    enc = arr.astype(endian + dt.char)
+    strips = [
+        pack(enc[r0:r0 + rows_per_strip].tobytes())
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    n = len(strips)
+    entries = []  # (tag, typ, count, inline, extbytes)
+
+    def add(tag, typ, count, inline=None, extbytes=None):
+        entries.append((tag, typ, count, inline, extbytes))
+
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    add(258, 3, 1, bits)
+    add(259, 3, 1, compress or 1)
+    add(262, 3, 1, 1)
+    add(273, 16, n, "STRIPS")          # LONG8 offsets, patched below
+    add(277, 3, 1, 1)
+    add(278, 3, 1, rows_per_strip)
+    if n == 1:
+        add(279, 16, 1, len(strips[0]))
+    else:
+        add(279, 16, n, extbytes=struct.pack(
+            endian + f"{n}Q", *(len(s) for s in strips)))
+    add(339, 3, 1, fmt)
+    if geo is not None:
+        sx, sy, x0, y0 = geo
+        geodir = [1, 1, 0, 1, 1024, 0, 1, 2]
+        add(33550, 12, 3,
+            extbytes=struct.pack(endian + "3d", sx, sy, 0.0))
+        add(33922, 12, 6,
+            extbytes=struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0))
+        add(34735, 3, len(geodir),
+            extbytes=struct.pack(endian + f"{len(geodir)}H", *geodir))
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = 16
+    ext_off = ifd_off + 8 + 20 * len(entries) + 8
+    blobs, offs, o = [], {}, ext_off
+    for tag, typ, count, inline, extbytes in entries:
+        if extbytes is not None:
+            offs[tag] = o
+            blobs.append(extbytes)
+            o += len(extbytes)
+    if n > 1:  # strip-offsets ext array (LONG8)
+        offs[273] = o
+        o += 8 * n
+    strip_offs, so = [], o
+    for s in strips:
+        strip_offs.append(so)
+        so += len(s)
+
+    out = (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "HHHQ", 43, 8, 0, ifd_off)
+    out += struct.pack(endian + "Q", len(entries))
+    for tag, typ, count, inline, extbytes in entries:
+        out += struct.pack(endian + "HHQ", tag, typ, count)
+        if extbytes is not None:
+            out += struct.pack(endian + "Q", offs[tag])
+        elif inline == "STRIPS":
+            if n == 1:
+                out += struct.pack(endian + "Q", strip_offs[0])
+            else:
+                out += struct.pack(endian + "Q", offs[273])
+        elif typ == 3:
+            out += struct.pack(endian + "HHHH", inline, 0, 0, 0)
+        else:
+            out += struct.pack(endian + "Q", inline)
+    out += struct.pack(endian + "Q", 0)  # next-IFD pointer
+    body = b"".join(blobs)
+    if n > 1:
+        body += struct.pack(endian + f"{n}Q", *strip_offs)
+    return out + body + b"".join(strips)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [None, 8, 5])
+def test_bigtiff_roundtrip(endian, comp):
+    """BigTIFF (magic 43) parses natively: 20-byte entries, LONG8
+    strip arrays, multi-strip, every compression path."""
+    arr = (np.arange(60, dtype="f4").reshape(6, 10) % 11) * 1.5
+    buf = bigtiff_bytes(arr, rows_per_strip=2, compress=comp,
+                        endian=endian)
+    t = parse_tiff(buf)
+    assert t["_bigtiff"] and t[256][0] == 10
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+def test_bigtiff_geo_area():
+    arr = np.zeros((3, 4), dtype="f4")
+    buf = bigtiff_bytes(arr, geo=(0.5, 0.25, 10.0, 50.0))
+    area = area_from_geotiff(buf, "t")
+    assert area.crs == "longlat"
+    assert (area.width, area.height) == (4, 3)
+    assert area.area_extent == (10.0, 49.25, 12.0, 50.0)
+
+
 @pytest.mark.parametrize("endian", ["<", ">"])
 @pytest.mark.parametrize("comp", [8, 32946])
 def test_tiff_deflate_multistrip(endian, comp):
@@ -568,8 +687,14 @@ def test_tiff_rejects_unknowns():
         parse_tiff(b"PK\x03\x04")
     arr = np.zeros((2, 2), dtype="f4")
     buf = bytearray(geotiff_bytes(arr, 1, 1, 0, 0))
-    buf[2:4] = struct.pack("<H", 43)  # BigTIFF magic
-    with pytest.raises(ValueError, match="classic TIFF"):
+    buf[2:4] = struct.pack("<H", 44)  # unknown magic
+    with pytest.raises(ValueError, match="magic 44"):
+        parse_tiff(bytes(buf))
+    # classic layout mislabeled as BigTIFF: the 8-byte IFD offset reads
+    # classic body bytes — must fail loudly (any of the types the
+    # rasterio fallback catches), never return silent garbage
+    buf[2:4] = struct.pack("<H", 43)
+    with pytest.raises((ValueError, struct.error, IndexError)):
         parse_tiff(bytes(buf))
 
 
@@ -782,12 +907,11 @@ def test_nc4_without_xarray_raises_actionable_error(tmp_path):
 @pytest.mark.skipif(_HAS_RASTERIO, reason="rasterio installed: the "
                     "real fallback integration test below covers this")
 def test_exotic_tiff_without_rasterio_raises_actionable_error(tmp_path):
-    # BigTIFF (magic 43) is outside native coverage
+    # an EPSG outside the native map (Lambert-93) — the realistic
+    # remaining fallback case now that BigTIFF/compression are native
     arr = np.zeros((2, 2), dtype="f4")
-    buf = bytearray(geotiff_bytes(arr, 1.0, 1.0, 0.0, 2.0))
-    buf[2:4] = struct.pack("<H", 43)
-    p = tmp_path / "big.tif"
-    p.write_bytes(bytes(buf))
+    p = tmp_path / "l93.tif"
+    p.write_bytes(geotiff_bytes(arr, 1.0, 1.0, 0.0, 2.0, epsg=2154))
     with pytest.raises(NotImplementedError, match="rasterio"):
         get_area_def_from_raster(str(p))
 
@@ -812,19 +936,22 @@ def test_nc4_fallback_with_xarray(tmp_path):
 
 
 def test_rasterio_fallback_with_rasterio(tmp_path):
-    """Integration: a BigTIFF (natively rejected: classic-IFD parser
-    only) through the rasterio branch of get_area_def_from_raster.
-    Skipped (not failed) while rasterio is absent."""
+    """Integration: a GeoTIFF in an EPSG outside the native map
+    (Lambert-93 — natively rejected as unmapped) through the rasterio
+    branch of get_area_def_from_raster. Skipped (not failed) while
+    rasterio is absent."""
     rio = pytest.importorskip("rasterio")
     from rasterio.transform import from_origin
 
-    p = tmp_path / "big.tif"
+    p = tmp_path / "l93.tif"
     with rio.open(
         str(p), "w", driver="GTiff", height=3, width=4, count=1,
-        dtype="float32", crs="EPSG:4326",
-        transform=from_origin(10.0, 50.0, 0.5, 0.25), BIGTIFF="YES",
+        dtype="float32", crs="EPSG:2154",
+        transform=from_origin(700000.0, 6600000.0, 100.0, 100.0),
     ) as dst:
         dst.write(np.zeros((3, 4), dtype="f4"), 1)
     area = get_area_def_from_raster(str(p))
     assert (area.width, area.height) == (4, 3)
-    assert area.area_extent == (10.0, 49.25, 12.0, 50.0)
+    assert area.area_extent == (
+        700000.0, 6599700.0, 700400.0, 6600000.0
+    )
