@@ -288,23 +288,38 @@ def _utm_crs(epsg: int) -> str | None:
 def area_from_geotiff(buf: bytes, area_id: str = "geotiff") -> AreaDefinition:
     """GeoTIFF bytes → AreaDefinition (get_area_def_from_raster twin,
     utils/rasterio.py:77): ModelPixelScaleTag (33550) +
-    ModelTiepointTag (33922) give the axis-aligned geotransform;
-    GeoKeyDirectoryTag (34735) keys 1024/2048/3072 give the CRS."""
+    ModelTiepointTag (33922), OR an axis-aligned
+    ModelTransformationTag (34264 — 4×4 row-major model matrix, taken
+    when the pixel-scale pair is absent), give the geotransform;
+    GeoKeyDirectoryTag (34735) keys 1024/2048/3072 give the CRS.
+    Rotated transforms are rejected like utils/rasterio.py."""
     t = parse_tiff(buf)
-    for tag, what in ((256, "ImageWidth"), (257, "ImageLength"),
-                      (33550, "ModelPixelScaleTag"),
-                      (33922, "ModelTiepointTag")):
+    for tag, what in ((256, "ImageWidth"), (257, "ImageLength")):
         if tag not in t:
-            raise ValueError(f"TIFF lacks {what} ({tag}) — not a "
-                             "pixel-scale georeferenced GeoTIFF")
+            raise ValueError(f"TIFF lacks {what} ({tag})")
     w = t[256][0]
     h = t[257][0]
-    if 34264 in t:
-        raise ValueError("rotated ModelTransformationTag not supported")
-    sx, sy = t[33550][0], t[33550][1]
-    # tiepoint (i, j, k, x, y, z): raster (i, j) ↦ model (x, y)
-    i, j, _, x, y, _ = t[33922][:6]
-    x0, y0 = x - i * sx, y + j * sy
+    if 33550 in t and 33922 in t:
+        sx, sy = t[33550][0], t[33550][1]
+        # tiepoint (i, j, k, x, y, z): raster (i, j) ↦ model (x, y)
+        i, j, _, x, y, _ = t[33922][:6]
+        x0, y0 = x - i * sx, y + j * sy
+    elif 34264 in t:
+        m = t[34264]
+        if len(m) < 16:
+            raise ValueError("short ModelTransformationTag")
+        # [x]   [m0 m1 m2  m3] [col]
+        # [y] = [m4 m5 m6  m7] [row]   (GeoTIFF spec §2.6.1)
+        if m[1] != 0.0 or m[4] != 0.0:
+            raise ValueError("rotated ModelTransformationTag not supported")
+        sx, sy, x0, y0 = m[0], -m[5], m[3], m[7]
+        if sx <= 0 or sy <= 0:
+            raise ValueError("ModelTransformationTag must be north-up")
+    else:
+        raise ValueError(
+            "TIFF lacks ModelPixelScale+ModelTiepoint (33550/33922) and "
+            "ModelTransformation (34264) — not a georeferenced GeoTIFF"
+        )
     crs = "longlat"
     if 34735 in t:
         keys = t[34735]

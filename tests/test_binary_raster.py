@@ -153,9 +153,12 @@ def test_netcdf3_rejects_non_cdf():
 # --- GeoTIFF writer (test-side) ---
 
 
-def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<"):
+def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<",
+                  transform=None):
     """Baseline single-strip float32 GeoTIFF. (x0, y0) = upper-left
-    CORNER; epsg None → geographic (longlat) keys."""
+    CORNER; epsg None → geographic (longlat) keys. ``transform`` (a
+    16-double row-major matrix) writes ModelTransformationTag 34264
+    INSTEAD of the pixel-scale/tiepoint pair."""
     h, w = arr.shape
     strip = arr.astype(endian + "f4").tobytes()
     keys = [(1024, 2)] if epsg is None else [(1024, 1), (3072, epsg)]
@@ -177,10 +180,14 @@ def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<"):
     add(278, 3, 1, h)
     add(279, 4, 1, len(strip))
     add(339, 3, 1, 3)
-    add(33550, 12, 3,
-        extbytes=struct.pack(endian + "3d", sx, sy, 0.0))
-    add(33922, 12, 6,
-        extbytes=struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0))
+    if transform is None:
+        add(33550, 12, 3,
+            extbytes=struct.pack(endian + "3d", sx, sy, 0.0))
+        add(33922, 12, 6,
+            extbytes=struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0))
+    else:
+        add(34264, 12, 16,
+            extbytes=struct.pack(endian + "16d", *transform))
     add(34735, 3, len(geodir),
         extbytes=struct.pack(endian + f"{len(geodir)}H", *geodir))
     entries.sort(key=lambda t: t[0])
@@ -659,6 +666,28 @@ def test_geotiff_area_and_pixels():
     assert area.area_extent == (10.0, 49.25, 12.0, 50.0)
     px = tiff_pixels(buf)
     assert px.shape == (3, 4) and px[2, 3] == 11 * 1.5
+
+
+def test_geotiff_model_transformation_axis_aligned():
+    """ModelTransformationTag (34264) with zero rotation terms is
+    accepted and equals the pixel-scale/tiepoint form; rotated and
+    south-up matrices are rejected like utils/rasterio.py."""
+    arr = np.zeros((3, 4), dtype="f4")
+    tf = [0.5, 0.0, 0.0, 10.0,
+          0.0, -0.25, 0.0, 50.0,
+          0.0, 0.0, 0.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+    area = area_from_geotiff(
+        geotiff_bytes(arr, 0, 0, 0, 0, transform=tf), "t"
+    )
+    assert (area.width, area.height) == (4, 3)
+    assert area.area_extent == (10.0, 49.25, 12.0, 50.0)
+    rot = list(tf)
+    rot[1] = 0.1
+    with pytest.raises(ValueError, match="rotated"):
+        area_from_geotiff(
+            geotiff_bytes(arr, 0, 0, 0, 0, transform=rot), "t"
+        )
 
 
 def test_geotiff_utm_and_big_endian():
