@@ -133,9 +133,11 @@ def _radius_pairs(
       kd-tree ``epsilon`` knob (kd_tree.py:86-88,545-548): a bounded,
       *measured* accuracy loss traded for shuffle. Deterministic (same
       grids → same pairs → same mins), so the DuckDB oracle reproduces
-      it bit-for-bit. Pairs co-located in both grids appear twice, so
-      this scheme is valid ONLY for min-style consumers (k=1);
-      :func:`knn_join` enforces that.
+      it bit-for-bit. Pairs co-located in both grids appear twice;
+      min (k=1) ignores duplicates and the packed k>1 path collapses
+      them with ``collect_set`` (identical packed keys) — only the
+      radius-only k=None join and the unpacked window fallback would
+      surface them, and :func:`knn_join` rejects those combinations.
     """
     if neighbor_scheme not in ("c27", "2c8", "shift2"):
         raise ValueError(f"unknown neighbor_scheme {neighbor_scheme!r}")
@@ -302,11 +304,17 @@ def knn_join(
     which is correct for arbitrary 64-bit ids, or remap ids with
     :func:`pyresample_spark.operators.ids.with_compact_id`.
     """
-    if neighbor_scheme == "shift2" and k != 1:
+    if neighbor_scheme == "shift2" and k is None:
         raise ValueError(
             "neighbor_scheme='shift2' emits duplicate pairs (one per "
-            "co-located grid) — valid only for the k=1 min consumer; "
-            "use c27/2c8 for k>1 or radius-only joins"
+            "co-located grid) — the radius-only (k=None) join would "
+            "return them; use c27/2c8 there"
+        )
+    if neighbor_scheme == "shift2" and k is not None and k > 1 and not packed:
+        raise ValueError(
+            "neighbor_scheme='shift2' with k>1 needs the packed path "
+            "(collect_set collapses the duplicate pairs in-aggregate); "
+            "packed=False would rank duplicates"
         )
     c = chord_length(radius_m)
     pairs = _radius_pairs(
@@ -376,8 +384,16 @@ def knn_join(
     pack = (1 << 62) // max(max_dist_mm + 1, 1)
     if packed and pack >= (1 << 33):
         key = F.col("dist_mm") * pack + F.col("src_id")
+        # shift2 emits a duplicate (tgt, src) pair when both shifted
+        # grids co-locate it; the packed key is identical for both, so
+        # collect_set collapses them inside the SAME HashAggregate —
+        # no extra dedup exchange
+        collect = (
+            F.collect_set(key) if neighbor_scheme == "shift2"
+            else F.collect_list(key)
+        )
         g = pairs.groupBy("tgt_id").agg(
-            F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("ks"),
+            F.slice(F.array_sort(collect), 1, k).alias("ks"),
             F.min("src_id").alias("_id_lo"),
             F.max("src_id").alias("_id_hi"),
         )
@@ -390,6 +406,12 @@ def knn_join(
             F.when(F.col("_g").isNull(), F.col("bk") % pack).alias("src_id"),
             (F.expr(f"bk div {pack}") / 1000.0).alias("dist_m"),
             (F.col("rank0") + 1).cast("int").alias("nn_rank"),
+        )
+    if neighbor_scheme == "shift2":
+        raise ValueError(
+            "neighbor_scheme='shift2' k>1 requires the packable id "
+            "range (the window fallback would rank duplicate pairs) — "
+            "remap ids with operators.ids.with_compact_id"
         )
     w = W.partitionBy("tgt_id").orderBy(
         F.col("dist_mm").asc(), F.col("src_id").asc()

@@ -98,11 +98,25 @@ def load_cf_area(path: str, variable: str | None = None):
         ) from e
     ds = xr.open_dataset(path)  # pragma: no cover
     var = ds[variable] if variable else next(iter(ds.data_vars.values()))
+    # CF: grid_mapping names a container VARIABLE whose attrs carry the
+    # projection — resolve it like the native nc3 path does; a bare
+    # value that is not a variable is used as the CRS string directly
+    gm = var.attrs.get("grid_mapping")
+    crs = "longlat"
+    if gm and gm in ds.variables:
+        gma = ds[gm].attrs
+        crs = str(
+            gma.get("proj4") or gma.get("crs_wkt")
+            or gma.get("grid_mapping_name") or "longlat"
+        )
+    elif gm:
+        crs = str(gm)
+    ydim, xdim = var.dims[-2], var.dims[-1]
     return area_from_cf_attrs(
         variable or var.name,
-        str(var.attrs.get("grid_mapping", "longlat")),
-        var["x"].values.tolist(),
-        var["y"].values.tolist(),
+        crs,
+        ds[xdim].values.tolist(),
+        ds[ydim].values.tolist(),
     )
 
 

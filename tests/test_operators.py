@@ -87,8 +87,30 @@ def test_knn_approx_shift2(spark):
         assert approx[t][1] == exact[t][1]
     # dense cluster well inside one radius → recall should be high
     assert len(same) / len(exact) >= 0.9
+    # k>1: duplicate pairs collapse via collect_set — each (tgt, rank)
+    # row is a real exact pair, ranks are dense, no pair repeats
+    a3 = knn_join(src, tgt, 300_000.0, k=3,
+                  neighbor_scheme="shift2").collect()
+    e3 = {
+        (r.tgt_id, r.src_id): round(r.dist_m, 3)
+        for r in knn_join(src, tgt, 300_000.0, k=3).collect()
+    }
+    seen_pairs = set()
+    by_tgt = {}
+    for r in a3:
+        assert (r.tgt_id, r.src_id) not in seen_pairs  # no duplicates
+        seen_pairs.add((r.tgt_id, r.src_id))
+        by_tgt.setdefault(r.tgt_id, []).append(r.nn_rank)
+        if (r.tgt_id, r.src_id) in e3:  # distances agree where shared
+            assert round(r.dist_m, 3) == e3[(r.tgt_id, r.src_id)]
+    for ranks in by_tgt.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # the guarded combinations refuse loudly
     with pytest.raises(ValueError, match="shift2"):
-        knn_join(src, tgt, 300_000.0, k=2, neighbor_scheme="shift2")
+        knn_join(src, tgt, 300_000.0, k=None, neighbor_scheme="shift2")
+    with pytest.raises(ValueError, match="shift2"):
+        knn_join(src, tgt, 300_000.0, k=2, neighbor_scheme="shift2",
+                 packed=False)
 
 
 def test_knn_respects_radius(spark):
