@@ -77,8 +77,14 @@ def choose_method(img: GeoImage, target: AreaDefinition) -> str:
        analytic forward for the target CRS → ``"gradient"`` (the walk
        needs only the forward transform, covering targets whose
        inverse is not in the registry);
-    3. anything else → ``"nearest"`` (cell-bucketed kNN join — the
-       fully general path; needs only lon/lat).
+    3. lon/lat source with an analytic inverse for the target →
+       ``"nearest"`` (cell-bucketed kNN join — the fully general
+       path; the target grid must still invert to lon/lat probes);
+    4. a target CRS with no analytic transform at all cannot be
+       served natively — raise the actionable error HERE at dispatch
+       time instead of deep inside plan construction (the general
+       pyproj pandas-UDF path, operators/proj_udf.py, is the
+       escape hatch when pyproj is installed).
     """
     from pyresample_spark.operators.crs import forward, inverse
 
@@ -91,7 +97,16 @@ def choose_method(img: GeoImage, target: AreaDefinition) -> str:
     has_grid_index = {"row", "col", "lon", "lat"} <= set(img.df.columns)
     if has_grid_index and _analytic(forward, target.crs):
         return "gradient"
-    return "nearest"
+    if _analytic(inverse, target.crs):
+        return "nearest"
+    raise NotImplementedError(
+        f"no native strategy for target CRS {target.crs!r}: it is "
+        "outside the analytic registry (operators/crs.py), so neither "
+        "the regrid shortcut, the gradient walk (needs a (row, col) "
+        "lon/lat source grid), nor the kNN probe (needs the target "
+        "inverse) applies — use the pyproj pandas-UDF path "
+        "(operators/proj_udf.py) where pyproj is available"
+    )
 
 
 def _tgt_points(spark, target: AreaDefinition) -> DataFrame:

@@ -146,6 +146,14 @@ def _radius_pairs(
     # explode geometry must cover everything the filter accepts.
     eff = cell_side(c)
     if neighbor_scheme == "shift2":
+        if approx_cell_factor < 2.0:
+            raise ValueError(
+                f"approx_cell_factor={approx_cell_factor} < 2: the "
+                "shift2 per-axis guarantee (a pair within the radius "
+                "cannot straddle a wall of BOTH half-cell-shifted "
+                "grids) needs wall spacing >= the accepted distance, "
+                "i.e. cell >= 2x the effective radius"
+            )
         cell = approx_cell_factor * eff
     else:
         cell = eff if neighbor_scheme == "c27" else 2.0 * eff
@@ -656,8 +664,16 @@ def knn_gauss_fold(
         src_in, tgt, c, src_id, tgt_id, extra_src_cols=("value",),
         neighbor_scheme=neighbor_scheme,
     ).select("tgt_id", F.struct("dist_mm", "src_id", "value").alias("p"))
+    # shift2's duplicate pairs carry identical (dist, src_id, value)
+    # structs — collect_set collapses them in-aggregate so the fold
+    # never double-counts a weight (collect_list would); exact schemes
+    # keep collect_list (no dedup hashing on the hot path)
+    collect = (
+        F.collect_set("p") if neighbor_scheme == "shift2"
+        else F.collect_list("p")
+    )
     g = pairs.groupBy("tgt_id").agg(
-        F.slice(F.array_sort(F.collect_list("p")), 1, k).alias("ks")
+        F.slice(F.array_sort(collect), 1, k).alias("ks")
     )
     ss = repr(sigma * sigma)
     w_of = f"exp(-(x.dist_mm/1000.0D)*(x.dist_mm/1000.0D)/{ss}D)"

@@ -170,17 +170,25 @@ class Resampler:
             )
 
         if self.cache is not None:
+            # an approximate LUT must never be served for an exact
+            # request (or vice versa): epsilon AND any non-default
+            # neighbor_scheme join the cache key — c27/2c8 share the
+            # exact pair set, but "shift2" is approximate and its
+            # cached LUT is NOT interchangeable with theirs. The salt
+            # does NOT join the key — salted and unsalted joins
+            # produce the identical pair set, so a cached LUT is valid
+            # for any salt.
+            variant = k
+            if epsilon:
+                variant = (variant, "eps", epsilon)
+            if neighbor_scheme not in ("c27", "2c8"):
+                variant = (variant, "scheme", neighbor_scheme)
             lut = self.cache.get_or_compute(
                 self.spark,
                 self._hash(self.src),
                 self._hash(self.tgt),
                 radius_m,
-                # an approximate LUT must never be served for an exact
-                # request (or vice versa): epsilon joins the cache key.
-                # The salt does NOT join the key — salted and unsalted
-                # joins produce the identical pair set, so a cached LUT
-                # is valid for any salt.
-                k if not epsilon else (k, epsilon),
+                variant,
                 compute,
             )
         else:

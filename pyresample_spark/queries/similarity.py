@@ -1100,18 +1100,23 @@ def _pq_codebook(emb, sf_dir: str | None = None):
     BOUNDED at ≤50 entries at every scale factor (a real PQ codebook
     is fixed-size regardless of corpus).
 
-    Memoized per embeddings-file identity (path, size, mtime) when
-    ``sf_dir`` is given: the codebook is plan-time input consumed by
-    every PQ builder, and without the memo each fresh builder paid a
-    full Spark collect job (~1 s at sf0.1) to re-read the same ≤50
-    rows (VERDICT r7 item 3)."""
+    Memoized per (embeddings-file identity, ``emb`` plan semantic
+    hash) when ``sf_dir`` is given: the codebook is plan-time input
+    consumed by every PQ builder, and without the memo each fresh
+    builder paid a full Spark collect job (~1 s at sf0.1) to re-read
+    the same ≤50 rows (VERDICT r7 item 3). The semantic hash keeps a
+    caller passing a filtered/derived frame from being served the
+    full-corpus codebook collected from a different frame."""
     import os
 
     key = None
     if sf_dir is not None:
         p = os.path.join(sf_dir, "embeddings.parquet")
         st = os.stat(p)
-        key = (os.path.abspath(p), st.st_size, st.st_mtime_ns)
+        key = (
+            os.path.abspath(p), st.st_size, st.st_mtime_ns,
+            emb.semanticHash(),
+        )
         if key in _CB_CACHE:
             return _CB_CACHE[key]
     cb = sorted(

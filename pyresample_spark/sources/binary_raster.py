@@ -448,7 +448,12 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
         offs, cnts = t[324], t[325]
         tiles_across = (w + tw - 1) // tw
         tiles_down = (h + th - 1) // th
-        if len(offs) != tiles_across * tiles_down:
+        if (
+            len(offs) != tiles_across * tiles_down
+            or len(cnts) != len(offs)
+        ):
+            # a short TileByteCounts would silently truncate the zip
+            # below, returning np.empty garbage for the missing tiles
             raise ValueError("tile count does not match raster size")
         out = np.empty((h, w), dtype="f8")
         for idx, (o, c) in enumerate(zip(offs, cnts)):

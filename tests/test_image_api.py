@@ -96,12 +96,15 @@ def test_auto_method_dispatch(spark, swath):
     assert choose_method(swath_grid, stere) == "gradient"
     # 3. plain lon/lat swath → nearest (cell-kNN)
     assert choose_method(swath, stere) == "nearest"
-    # 4. non-analytic target CRS → the walk/regrid shortcuts are off
+    # 4. non-analytic target CRS → NO native strategy exists (nearest
+    #    needs the target inverse too) — a clear dispatch-time error,
+    #    not a crash deep in plan construction
     exotic = AreaDefinition(
         "x", "+proj=poly +lat_0=0 +lon_0=0", 8, 8,
         (-2_000_000.0, -2_000_000.0, 2_000_000.0, 2_000_000.0),
     )
-    assert choose_method(swath_grid, exotic) == "nearest"
+    with pytest.raises(NotImplementedError, match="proj_udf"):
+        choose_method(swath_grid, exotic)
     # and resample(method="auto") actually routes + runs end-to-end
     out = gridded.resample(stere, method="auto")
     assert out.df.count() > 0 and "src_value" in out.df.columns

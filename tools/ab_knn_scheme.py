@@ -143,8 +143,9 @@ def main():
     j = exact.join(approx, "tgt_id", "left").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.count("a_src").alias("n_found"),
-        F.sum(
-            F.when(F.col("a_src") == F.col("e_src"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("a_src") == F.col("e_src"), 1).otherwise(0)),
+            F.lit(0),
         ).alias("n_same"),
     ).collect()[0]
     out["shift2_recall_at_1"] = round(j.n_same / max(j.n_exact, 1), 4)
