@@ -411,9 +411,14 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
         add(317, 3, 1, predictor)
     add(322, 3, 1, tw)
     add(323, 3, 1, th)
-    add(324, 4, n, "TILES")
-    add(325, 4, n, extbytes=struct.pack(
-        endian + f"{n}I", *(len(t) for t in tiles)))
+    if n == 1:
+        # 4-byte values are INLINE per spec — the reader treats them so
+        add(324, 4, 1, "TILE0")
+        add(325, 4, 1, len(tiles[0]))
+    else:
+        add(324, 4, n, "TILES")
+        add(325, 4, n, extbytes=struct.pack(
+            endian + f"{n}I", *(len(t) for t in tiles)))
     add(339, 3, 1, fmt)
     entries.sort(key=lambda t: t[0])
 
@@ -425,8 +430,9 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
             offs[tag] = o
             blobs.append(extbytes)
             o += len(extbytes)
-    offs[324] = o  # tile-offsets ext array
-    o += 4 * n
+    if n > 1:
+        offs[324] = o  # tile-offsets ext array
+        o += 4 * n
     tile_offs, to = [], o
     for t_ in tiles:
         tile_offs.append(to)
@@ -438,6 +444,8 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
         out += struct.pack(endian + "HHI", tag, typ, count)
         if extbytes is not None:
             out += struct.pack(endian + "I", offs[tag])
+        elif inline == "TILE0":
+            out += struct.pack(endian + "I", tile_offs[0])
         elif inline == "TILES":
             out += struct.pack(endian + "I", offs[324])
         elif typ == 3:
@@ -445,7 +453,9 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
         else:
             out += struct.pack(endian + "I", inline)
     out += struct.pack(endian + "I", 0)
-    body = b"".join(blobs) + struct.pack(endian + f"{n}I", *tile_offs)
+    body = b"".join(blobs)
+    if n > 1:
+        body += struct.pack(endian + f"{n}I", *tile_offs)
     return out + body + b"".join(tiles)
 
 
@@ -984,3 +994,85 @@ def test_rasterio_fallback_with_rasterio(tmp_path):
     assert area.area_extent == (
         700000.0, 6599700.0, 700400.0, 6600000.0
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+    endian=st.sampled_from(["<", ">"]),
+    comp=st.sampled_from([None, 5, 8, 32946]),
+    dtc=st.sampled_from(["u2", "i2", "u4", "i4", "f4", "f8"]),
+    strip=st.integers(1, 5),
+    pred=st.sampled_from([1, 2]),
+)
+def test_tiff_strips_roundtrip_property(h, w, seed, endian, comp, dtc,
+                                        pred, strip):
+    """Compressed / predicted / multi-strip rasters of every supported
+    dtype survive writer → parser exactly (predictor 2 only applies to
+    integer dtypes per spec; float+predictor is the guarded error)."""
+    rng = np.random.RandomState(seed)
+    if dtc[0] == "f":
+        arr = rng.uniform(-1e5, 1e5, size=(h, w)).astype(dtc)
+    else:
+        info = np.iinfo(dtc)
+        arr = rng.randint(info.min, info.max, size=(h, w)).astype(dtc)
+    if pred == 2 and dtc[0] == "f":
+        buf = tiff_bytes_strips(arr, rows_per_strip=strip, compress=comp,
+                                predictor=2, endian=endian)
+        with pytest.raises(ValueError, match="float samples"):
+            tiff_pixels(buf)
+        return
+    buf = tiff_bytes_strips(arr, rows_per_strip=strip, compress=comp,
+                            predictor=pred, endian=endian)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 13),
+    w=st.integers(1, 13),
+    tw=st.integers(1, 6),
+    th=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+    endian=st.sampled_from(["<", ">"]),
+    comp=st.sampled_from([None, 5, 8]),
+    pred=st.sampled_from([1, 2]),
+)
+def test_tiff_tiles_roundtrip_property(h, w, tw, th, seed, endian, comp,
+                                       pred):
+    """Arbitrary tile grids (edge padding + cropping) with every
+    compression and the integer predictor reassemble exactly."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 65535, size=(h, w)).astype("u2")
+    buf = tiff_bytes_tiles(arr, tile=(tw, th), compress=comp,
+                           predictor=pred, endian=endian)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 10_000),
+    endian=st.sampled_from(["<", ">"]),
+    comp=st.sampled_from([None, 5, 8]),
+    strip=st.integers(1, 4),
+)
+def test_bigtiff_roundtrip_property(h, w, seed, endian, comp, strip):
+    rng = np.random.RandomState(seed)
+    arr = rng.uniform(-1e5, 1e5, size=(h, w)).astype("f4")
+    buf = bigtiff_bytes(arr, rows_per_strip=strip, compress=comp,
+                        endian=endian)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=3000))
+def test_lzw_roundtrip_property(data):
+    """Arbitrary byte streams survive the independent LZW encoder →
+    package decoder, across width bumps and table resets."""
+    from pyresample_spark.sources.binary_raster import lzw_decode
+
+    assert lzw_decode(lzw_encode(data)) == data
