@@ -91,6 +91,7 @@ _PRIORITY = [
     # -- new in round 8 --
     "q_knn_approx",
     "q_knn_approx_recall",
+    "q_hdf5_ingest",
     # -- the 38 r4-latest rows (stale for 4 rounds) --
     "q_proj_aea",
     "q_proj_eqdc",
@@ -133,7 +134,6 @@ _PRIORITY = [
     # -- oldest-r5 fills to reach 50 --
     "q_proj_omerc",
     "q_bilinear_lut_reuse",
-    "q_optimal_bb",
 ]
 
 def load_all() -> dict:

@@ -497,9 +497,22 @@ def raster_decode_fn(fmt: str):
             for _, r in pdf.iterrows():
                 buf = bytes(r["content"])
                 if fmt == "netcdf3":
-                    nc = parse_netcdf3(buf)
-                    _, varname = load_cf_area_nc3(buf)
-                    arr = nc_var_data(buf, nc["vars"][varname]).astype("f8")
+                    if buf[:8] == b"\x89HDF\r\n\x1a\n":
+                        # netCDF4/HDF5 granule in the same directory:
+                        # route through the native HDF5 subset reader
+                        from pyresample_spark.sources.hdf5 import (
+                            load_cf_area_h5,
+                            parse_hdf5,
+                        )
+
+                        _, varname = load_cf_area_h5(buf)
+                        arr = parse_hdf5(buf)[varname]["data"].astype("f8")
+                    else:
+                        nc = parse_netcdf3(buf)
+                        _, varname = load_cf_area_nc3(buf)
+                        arr = nc_var_data(
+                            buf, nc["vars"][varname]
+                        ).astype("f8")
                 else:
                     arr = tiff_pixels(buf)
                 hh, ww = arr.shape

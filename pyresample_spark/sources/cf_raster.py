@@ -76,11 +76,15 @@ def load_cf_area(path: str, variable: str | None = None):
     """Read a CF-compliant NetCDF grid mapping → AreaDefinition
     (load_cf_area, utils/cf.py:413).
 
-    Classic NetCDF (CDF-1/CDF-2) parses with the built-in pure-python
-    reader (sources/binary_raster.py) — no IO library needed. NetCDF4/
-    HDF5 files fall back to xarray when installed."""
+    Classic NetCDF (CDF-1/CDF-2) and netCDF4-classic-model HDF5 files
+    (superblock v0, v1 headers, contiguous/chunked+deflate layouts —
+    the netcdf-c defaults) parse with the built-in pure-python readers
+    (sources/binary_raster.py, sources/hdf5.py) — no IO library
+    needed. HDF5 structures outside that subset fall back to xarray
+    when installed."""
+    native_err = None
     with open(path, "rb") as f:
-        head = f.read(4)
+        head = f.read(8)
         if head[:3] == b"CDF":
             buf = head + f.read()
             from pyresample_spark.sources.binary_raster import (
@@ -89,12 +93,26 @@ def load_cf_area(path: str, variable: str | None = None):
 
             area, _ = load_cf_area_nc3(buf, variable)
             return area
+        from pyresample_spark.sources.hdf5 import HDF5_MAGIC
+
+        if head == HDF5_MAGIC:
+            buf = head + f.read()
+            from pyresample_spark.sources.hdf5 import load_cf_area_h5
+
+            try:
+                area, _ = load_cf_area_h5(buf, variable)
+                return area
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError) as e:
+                native_err = e  # outside the native subset → xarray
     try:  # pragma: no cover - optional dependency
         import xarray as xr  # noqa: F401
     except ImportError as e:
+        detail = f" (native HDF5 reader: {native_err})" if native_err else ""
         raise NotImplementedError(
-            "NetCDF4/HDF5 files need xarray/netCDF4 (classic CDF-1/2 "
-            "files parse natively); install them on the cluster"
+            "this NetCDF4/HDF5 file needs xarray/netCDF4 (classic "
+            "CDF-1/2 and netcdf-c-default HDF5 parse natively)"
+            + detail + "; install them on the cluster"
         ) from e
     ds = xr.open_dataset(path)  # pragma: no cover
     var = ds[variable] if variable else next(iter(ds.data_vars.values()))

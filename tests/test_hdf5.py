@@ -1,0 +1,428 @@
+"""Pure-python HDF5 subset reader (sources/hdf5.py): files are built
+byte-by-byte here from the PUBLIC HDF5 File Format Specification
+(superblock v0, v1 object headers, group B-tree/SNOD/local heap,
+contiguous + chunked/deflate layouts, v1 attributes), then parsed
+back — reader and writer share no code, the same adversarial setup as
+the NetCDF3/TIFF suites. The importorskip test at the bottom
+cross-validates against REAL netcdf-c output the day xarray/h5py
+appear in the environment."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pyresample_spark.sources.hdf5 import (
+    load_cf_area_h5,
+    parse_hdf5,
+)
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _dt_fixed(np_dtype) -> bytes:
+    dt = np.dtype(np_dtype)
+    if dt.kind in "iu":
+        cls = 0
+        bits0 = (0x01 if dt.byteorder == ">" else 0x00) | (
+            0x08 if dt.kind == "i" else 0x00
+        )
+        props = struct.pack("<HH", 0, dt.itemsize * 8)
+    elif dt.kind == "f":
+        cls = 1
+        bits0 = 0x01 if dt.byteorder == ">" else 0x00
+        # bitoffset, precision, exponent loc/size, mantissa loc/size,
+        # exponent bias (values per IEEE; the reader ignores them)
+        if dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    else:
+        raise ValueError(dt)
+    return bytes([0x10 | cls, bits0, 0, 0]) + struct.pack(
+        "<I", dt.itemsize
+    ) + props
+
+
+def _dt_string(n: int) -> bytes:
+    return bytes([0x13, 0, 0, 0]) + struct.pack("<I", n)
+
+
+def _ds_simple(shape) -> bytes:
+    out = bytes([1, len(shape), 0, 0, 0, 0, 0, 0])
+    for d in shape:
+        out += struct.pack("<Q", d)
+    return out
+
+
+def _ds_scalar() -> bytes:
+    return bytes([1, 0, 0, 0, 0, 0, 0, 0])
+
+
+def _attr_msg(name: str, value) -> bytes:
+    nb = name.encode() + b"\x00"
+    if isinstance(value, str):
+        vb = value.encode()
+        dt, ds, data = _dt_string(len(vb)), _ds_scalar(), vb
+    elif isinstance(value, (list, tuple)):
+        arr = np.asarray(value, dtype="<f8")
+        dt, ds = _dt_fixed(arr.dtype), _ds_simple(arr.shape)
+        data = arr.tobytes()
+    else:
+        arr = np.asarray([value], dtype="<i4")
+        dt, ds, data = _dt_fixed(arr.dtype), _ds_scalar(), arr.tobytes()
+    body = struct.pack("<BBHHH", 1, 0, len(nb), len(dt), len(ds))
+    body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
+    return body
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HHBBBB", mtype, len(body), 0, 0, 0, 0) + body
+
+
+def _object_header(messages: list) -> bytes:
+    block = b"".join(messages)
+    return (
+        struct.pack("<BBHI", 1, 0, len(messages), 1)
+        + struct.pack("<I", len(block))
+        + b"\x00" * 4  # v1 prefix pads to 8 before the message block
+        + block
+    )
+
+
+def hdf5_bytes(datasets, chunk=None, deflate=False):
+    """Minimal conforming HDF5 file: root group (symbol-table message
+    → v1 B-tree → one SNOD → local heap) with one dataset per entry.
+
+    ``datasets``: {name: (np_array | None, attrs dict)} — None array
+    writes a dataless container (grid-mapping variable: scalar i4
+    compact layout). ``chunk``: {name: (cdim0, cdim1)} switches that
+    dataset to chunked layout (v1 type-1 B-tree, one node), optionally
+    deflate-compressed."""
+    names = sorted(datasets)
+    # ---- plan the heap (name offsets) ----
+    heap_off = {}
+    heap_data = b"\x00" * 8  # offset 0 reserved
+    for n in names:
+        heap_off[n] = len(heap_data)
+        heap_data += n.encode() + b"\x00"
+    heap_data = _pad8(heap_data)
+
+    # layout order: superblock(96) | root OH | heap hdr(32) | heap data
+    # | btree | SNOD | per-dataset OHs | data blobs
+    pieces = {}
+    addr = {}
+
+    def place(key, blob):
+        addr[key] = place.cursor
+        pieces[key] = blob
+        place.cursor += len(blob)
+    place.cursor = 96
+
+    # root OH: symbol table message (btree + heap addrs patched later)
+    root_oh = _object_header([_msg(0x0011, struct.pack("<QQ", 0, 0))])
+    place("root_oh", root_oh)
+    place("heap_hdr", b"\x00" * 32)
+    place("heap_data", heap_data)
+    btree = (
+        b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+        + struct.pack("<QQ", UNDEF, UNDEF)
+        + struct.pack("<Q", 0)            # key0
+        + struct.pack("<Q", 0)            # ptr0 → SNOD (patched)
+        + struct.pack("<Q", len(heap_data) - 1)  # key1
+    )
+    place("btree", btree)
+    snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names))
+    for n in names:
+        snod += struct.pack("<QQ", heap_off[n], 0)  # OH addr patched
+        snod += struct.pack("<II", 0, 0) + b"\x00" * 16
+    place("snod", snod)
+
+    # datasets: build headers with placeholder addresses, then data
+    data_blobs = {}
+    for n in names:
+        arr, attrs = datasets[n]
+        msgs = [_msg(0x000C, _attr_msg(k, v)) for k, v in attrs.items()]
+        if arr is None:
+            comp = np.asarray([0], dtype="<i4").tobytes()
+            msgs += [
+                _msg(0x0001, _ds_scalar()),
+                _msg(0x0003, _dt_fixed("<i4")),
+                _msg(0x0008, struct.pack("<BBH", 3, 0, len(comp)) + comp),
+            ]
+            place(("oh", n), _object_header(msgs))
+            continue
+        arr = np.ascontiguousarray(arr)
+        msgs += [
+            _msg(0x0001, _ds_simple(arr.shape)),
+            _msg(0x0003, _dt_fixed(arr.dtype)),
+        ]
+        if chunk and n in chunk:
+            cd = chunk[n]
+            if deflate:
+                msgs.append(_msg(0x000B, struct.pack(
+                    "<BBHI", 1, 1, 0, 0
+                ) + struct.pack("<HHHH", 1, 0, 1, 1)
+                    + struct.pack("<I", 6) + b"\x00" * 4))
+            lay = struct.pack("<BBB", 3, 2, len(cd) + 1)
+            lay += struct.pack("<Q", 0)  # btree addr patched
+            for c in cd:
+                lay += struct.pack("<I", c)
+            lay += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append(_msg(0x0008, lay))
+        else:
+            lay = struct.pack("<BB", 3, 1) + struct.pack(
+                "<QQ", 0, arr.nbytes  # addr patched
+            )
+            msgs.append(_msg(0x0008, lay))
+        place(("oh", n), _object_header(msgs))
+
+    for n in names:
+        arr, attrs = datasets[n]
+        if arr is None:
+            continue
+        arr = np.ascontiguousarray(arr)
+        if chunk and n in chunk:
+            cd = chunk[n]
+            rank = arr.ndim
+            chunks = []
+            for r0 in range(0, arr.shape[0], cd[0]):
+                for c0 in range(0, arr.shape[1], cd[1]):
+                    block = np.zeros(cd, dtype=arr.dtype)
+                    rs = min(cd[0], arr.shape[0] - r0)
+                    cs = min(cd[1], arr.shape[1] - c0)
+                    block[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+                    raw = block.tobytes()
+                    if deflate:
+                        raw = zlib.compress(raw, 6)
+                    chunks.append(((r0, c0), raw))
+            for i, (off2, raw) in enumerate(chunks):
+                place(("chunk", n, i), raw)
+            key_size = 8 + 8 * (rank + 1)
+            bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunks))
+            bt += struct.pack("<QQ", UNDEF, UNDEF)
+            for i, ((r0, c0), raw) in enumerate(chunks):
+                bt += struct.pack("<II", len(raw), 0)
+                bt += struct.pack("<QQQ", r0, c0, 0)
+                bt += struct.pack("<Q", addr[("chunk", n, i)])
+            bt += struct.pack("<II", 0, 0) + struct.pack(  # final key
+                "<QQQ", arr.shape[0], arr.shape[1], 0
+            )
+            place(("btree", n), bt)
+        else:
+            place(("data", n), arr.tobytes())
+
+    total = place.cursor
+
+    # ---- patch addresses now that everything is placed ----
+    root_oh = bytearray(pieces["root_oh"])
+    # symbol table message body starts at prefix(16) + msg hdr(8)
+    struct.pack_into("<QQ", root_oh, 24, addr["btree"], addr["heap_hdr"])
+    pieces["root_oh"] = bytes(root_oh)
+    pieces["heap_hdr"] = (
+        b"HEAP" + bytes([0, 0, 0, 0])
+        + struct.pack("<QQQ", len(heap_data), UNDEF, addr["heap_data"])
+    )
+    bt = bytearray(pieces["btree"])
+    struct.pack_into("<Q", bt, 32, addr["snod"])
+    pieces["btree"] = bytes(bt)
+    sn = bytearray(pieces["snod"])
+    for i, n in enumerate(names):
+        struct.pack_into("<Q", sn, 8 + 40 * i + 8, addr[("oh", n)])
+    pieces["snod"] = bytes(sn)
+    for n in names:
+        arr, attrs = datasets[n]
+        if arr is None:
+            continue
+        oh = bytearray(pieces[("oh", n)])
+        # find the layout message (type 8) and patch its address field
+        off = 16
+        while off < len(oh):
+            mtype = struct.unpack_from("<H", oh, off)[0]
+            msize = struct.unpack_from("<H", oh, off + 2)[0]
+            if mtype == 0x0008:
+                if oh[off + 9] == 1:  # contiguous: addr at body+2
+                    struct.pack_into(
+                        "<Q", oh, off + 8 + 2, addr[("data", n)]
+                    )
+                else:  # chunked: btree addr at body+3
+                    struct.pack_into(
+                        "<Q", oh, off + 8 + 3, addr[("btree", n)]
+                    )
+            off += 8 + msize
+        pieces[("oh", n)] = bytes(oh)
+
+    sb = b"\x89HDF\r\n\x1a\n"
+    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    sb += struct.pack("<HH", 4, 16)  # leaf k, internal k
+    sb += struct.pack("<I", 0)
+    sb += struct.pack("<QQQQ", 0, UNDEF, total, UNDEF)
+    # root symbol table entry
+    sb += struct.pack("<QQ", 0, addr["root_oh"])
+    sb += struct.pack("<II", 1, 0)
+    sb += struct.pack("<QQ", addr["btree"], addr["heap_hdr"])
+    assert len(sb) == 96, len(sb)
+
+    out = bytearray(sb)
+    ordered = sorted(addr.items(), key=lambda kv: kv[1])
+    for key, a in ordered:
+        assert len(out) == a, (key, a, len(out))
+        out += pieces[key]
+    return bytes(out)
+
+
+def _cf_file(**kw):
+    xs = np.array([10.25 + 0.5 * i for i in range(8)], dtype="<f8")
+    ys = np.array([50.0 - 0.25 * j for j in range(6)], dtype="<f8")
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    return hdf5_bytes(
+        {
+            "x": (xs, {"CLASS": "DIMENSION_SCALE", "NAME": "x"}),
+            "y": (ys, {"CLASS": "DIMENSION_SCALE", "NAME": "y"}),
+            "crs": (None, {"proj4": "eqc", "grid_mapping_name": "eqc"}),
+            "t2m": (data, {"grid_mapping": "crs", "units": "K"}),
+        },
+        **kw,
+    )
+
+
+def test_parse_contiguous():
+    buf = _cf_file()
+    ds = parse_hdf5(buf)
+    assert set(ds) == {"x", "y", "crs", "t2m"}
+    assert ds["t2m"]["shape"] == (6, 8)
+    assert ds["t2m"]["attrs"]["grid_mapping"] == "crs"
+    assert ds["t2m"]["attrs"]["units"] == "K"
+    np.testing.assert_array_equal(
+        ds["t2m"]["data"], np.arange(48, dtype="f8").reshape(6, 8)
+    )
+    assert ds["x"]["data"].tolist() == [10.25 + 0.5 * i for i in range(8)]
+    assert ds["crs"]["attrs"]["proj4"] == "eqc"
+
+
+@pytest.mark.parametrize("deflate", [False, True])
+def test_parse_chunked(deflate):
+    """Chunked layout with edge-partial chunks (6x8 in 4x3 chunks),
+    optionally deflate-filtered — the netcdf-c compressed layout."""
+    buf = _cf_file(chunk={"t2m": (4, 3)}, deflate=deflate)
+    ds = parse_hdf5(buf)
+    np.testing.assert_array_equal(
+        ds["t2m"]["data"], np.arange(48, dtype="f8").reshape(6, 8)
+    )
+
+
+@pytest.mark.parametrize("chunk", [None, {"t2m": (4, 3)}])
+def test_cf_area_from_hdf5(chunk):
+    buf = _cf_file(**({"chunk": chunk, "deflate": True} if chunk else {}))
+    area, var = load_cf_area_h5(buf)
+    assert var == "t2m"
+    assert area.crs == "eqc"
+    assert (area.width, area.height) == (8, 6)
+    assert area.area_extent == (10.0, 48.625, 14.0, 50.125)
+
+
+def test_load_cf_area_dispatches_hdf5(tmp_path):
+    from pyresample_spark.sources.cf_raster import load_cf_area
+
+    p = tmp_path / "modern.nc"
+    p.write_bytes(_cf_file(chunk={"t2m": (4, 3)}, deflate=True))
+    area = load_cf_area(str(p))
+    assert area.crs == "eqc" and (area.width, area.height) == (8, 6)
+
+
+def test_integer_dtypes_roundtrip():
+    arr = np.array([[1, -2, 3], [4, 5, -6]], dtype="<i2")
+    buf = hdf5_bytes({"v": (arr, {}), "x": (
+        np.array([0.5, 1.5, 2.5]), {"CLASS": "DIMENSION_SCALE"}
+    ), "y": (np.array([1.0, 0.0]), {"CLASS": "DIMENSION_SCALE"})})
+    ds = parse_hdf5(buf)
+    np.testing.assert_array_equal(ds["v"]["data"], arr.astype("i2"))
+
+
+def test_rejects_out_of_subset():
+    buf = bytearray(_cf_file())
+    buf[8] = 2  # superblock version 2
+    with pytest.raises(NotImplementedError, match="superblock version"):
+        parse_hdf5(bytes(buf))
+    with pytest.raises(ValueError, match="not an HDF5"):
+        parse_hdf5(b"CDF\x01" + b"\x00" * 64)
+
+
+def test_granule_ingest_mixed_nc3_and_hdf5(spark, tmp_path):
+    """The distributed 'netcdf3' ingest path detects HDF5 magic per
+    file, so a granule directory can mix classic and netCDF4 files."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_binary_raster import _demo_nc
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+
+    (tmp_path / "classic.nc").write_bytes(_demo_nc())
+    (tmp_path / "modern.nc").write_bytes(
+        _cf_file(chunk={"t2m": (4, 3)}, deflate=True)
+    )
+    px = read_raster_pixels(spark, str(tmp_path), "netcdf3").collect()
+    assert len(px) == 96  # 48 pixels from each granule
+    got = {(r.file.split("/")[-1], r.row, r.col): r.value for r in px}
+    want_classic = (
+        (np.arange(48).reshape(6, 8) // 8) * 10
+        + np.arange(48).reshape(6, 8) % 8
+    )
+    want_modern = np.arange(48).reshape(6, 8)
+    for i in range(6):
+        for j in range(8):
+            assert got[("classic.nc", i, j)] == float(want_classic[i, j])
+            assert got[("modern.nc", i, j)] == float(want_modern[i, j])
+
+
+def test_cross_validate_against_real_netcdf4(tmp_path):
+    """The day h5py/netCDF4 appear: a REAL netcdf-c-written file must
+    parse natively to the same grid (the non-tautology check for the
+    hand-built fixtures). Skipped while the libs are absent."""
+    nc = pytest.importorskip("netCDF4")
+
+    p = tmp_path / "real.nc"
+    ds = nc.Dataset(str(p), "w", format="NETCDF4")
+    ds.createDimension("y", 2)
+    ds.createDimension("x", 3)
+    vx = ds.createVariable("x", "f8", ("x",))
+    vy = ds.createVariable("y", "f8", ("y",))
+    vv = ds.createVariable("t", "f8", ("y", "x"))
+    vx[:] = [0.5, 1.5, 2.5]
+    vy[:] = [1.0, 0.0]
+    vv[:] = np.arange(6).reshape(2, 3)
+    vv.grid_mapping = "crs"
+    ds.close()
+    area, var = load_cf_area_h5(p.read_bytes())
+    assert var == "t" and (area.width, area.height) == (3, 2)
+
+
+def test_package_writer_cross_parses():
+    """The package-side writer (sources/hdf5.py hdf5_grid_bytes — a
+    different implementation from this file's) must produce files the
+    reader decodes to identical values, both layouts."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    xs = np.array([10.25 + 0.5 * i for i in range(8)])
+    ys = np.array([50.0 - 0.25 * j for j in range(6)])
+    data = np.arange(48, dtype="<f8").reshape(6, 8) * 1.5 - 7.0
+    for ch in (None, {"band": (4, 3)}):
+        buf = hdf5_grid_bytes(
+            {
+                "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                "crs": (None, {"proj4": "eqc"}),
+                "band": (data, {"grid_mapping": "crs"}),
+            },
+            chunks=ch,
+        )
+        ds = parse_hdf5(buf)
+        np.testing.assert_array_equal(ds["band"]["data"], data)
+        area, var = load_cf_area_h5(buf)
+        assert var == "band" and area.crs == "eqc"
+        assert (area.width, area.height) == (8, 6)

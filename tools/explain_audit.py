@@ -114,6 +114,7 @@ HEADLINE = [
     # round 8 additions
     "q_knn_approx",
     "q_knn_approx_recall",
+    "q_hdf5_ingest",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
