@@ -622,16 +622,23 @@ def netcdf3_bytes(dims, variables, gattrs=None) -> bytes:
 
 
 def export_cf_grid(df, area, path: str, var_name: str = "data",
-                   max_cells: int = 4_000_000) -> None:
+                   max_cells: int = 4_000_000,
+                   fmt: str = "netcdf3") -> None:
     """Dense CF-NetCDF export of a resampled grid: (row, col, value)
-    DataFrame + AreaDefinition → one classic-NetCDF file with x/y
-    pixel-center coordinate vectors and a grid-mapping variable
-    carrying the CRS (the sink side of load_cf_area; reference writes
-    go through satpy's cf writer on top of utils/cf.py conventions).
+    DataFrame + AreaDefinition → one CF file with x/y pixel-center
+    coordinate vectors and a grid-mapping variable carrying the CRS
+    (the sink side of load_cf_area; reference writes go through
+    satpy's cf writer on top of utils/cf.py conventions).
+    ``fmt="netcdf3"`` (default) writes classic CDF-1;
+    ``fmt="netcdf4"`` writes the HDF5 classic-model layout
+    (chunked+deflate data variable — sources/hdf5.py writer), readable
+    by any netCDF4 consumer and by this engine's own reader.
 
     Like sources/export.py, the dense materialization is size-guarded:
     a file export is a DELIVERABLE, not a pipeline stage — at 100 TB
     you export tiles/chips, never the whole grid."""
+    if fmt not in ("netcdf3", "netcdf4"):
+        raise ValueError(f"unknown export format {fmt!r}")
     if area.size > max_cells:
         raise ValueError(
             f"grid {area.shape} = {area.size} cells > max_cells="
@@ -648,6 +655,27 @@ def export_cf_grid(df, area, path: str, var_name: str = "data",
         [area.area_extent[3] - (r + 0.5) * area.pixel_size_y
          for r in range(area.height)]
     )
+    if fmt == "netcdf4":
+        from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+        ch = (min(64, area.height), min(64, area.width))
+        buf = hdf5_grid_bytes(
+            {
+                "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                "crs": (None, {"proj4": area.crs,
+                               "grid_mapping_name": area.crs}),
+                var_name: (arr.astype("<f8"), {"grid_mapping": "crs"}),
+            },
+            chunks={var_name: ch},
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        import os
+
+        os.replace(tmp, path)
+        return
     buf = netcdf3_bytes(
         [("y", area.height), ("x", area.width)],
         [

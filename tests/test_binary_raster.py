@@ -816,6 +816,21 @@ def test_export_cf_grid_roundtrip(spark, tmp_path):
     assert px[(2, 3)] == 23.0 and px[(0, 0)] == 0.0
     with pytest.raises(ValueError, match="max_cells"):
         export_cf_grid(df, area, p, max_cells=5)
+    # netCDF4 (HDF5 classic-model, chunked+deflate) export: the same
+    # roundtrip through the native HDF5 reader
+    p4 = str(tmp_path / "out4.nc")
+    export_cf_grid(df, area, p4, var_name="resampled", fmt="netcdf4")
+    assert open(p4, "rb").read(8) == b"\x89HDF\r\n\x1a\n"
+    got4 = load_cf_area(p4)
+    assert got4.area_extent == area.area_extent
+    assert (got4.width, got4.height) == (4, 3) and got4.crs == "eqc"
+    px4 = {
+        (r["row"], r["col"]): r["value"]
+        for r in read_raster_pixels(spark, p4, "netcdf3").collect()
+    }
+    assert px4[(2, 3)] == 23.0 and px4[(0, 0)] == 0.0
+    with pytest.raises(ValueError, match="export format"):
+        export_cf_grid(df, area, p4, fmt="zarr")
 
 
 # --- property-based roundtrips (hypothesis) ---

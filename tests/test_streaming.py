@@ -508,3 +508,41 @@ def test_streaming_lsh_probe_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_granule_ingest_hdf5_matches_batch(spark):
+    """The file-stream decode detects HDF5 magic per file (shared
+    raster_decode_fn), so netCDF4 granule feeds stream through the
+    same plan — per-file summaries batch-equal bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+    from pyresample_spark.sources.hdf5 import demo_hdf5_granule_dir
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_hdf5_granule_dir()
+    glob = os.path.join(d, "*.nc")
+    stream = streaming_granule_ingest(spark, glob)
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "granule_ingest_h5").collect()
+    }
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "netcdf3")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == batch
