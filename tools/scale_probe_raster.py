@@ -25,8 +25,9 @@ import numpy as np
 H, W = 256, 512  # 1 MiB of float64 pixels per granule
 
 
-def make_granules(n: int) -> str:
+def make_granules(n: int, fmt: str = "nc3") -> str:
     from pyresample_spark.sources.binary_raster import netcdf3_bytes
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
 
     d = tempfile.mkdtemp(prefix="pyresample_spark_probe_granules_")
     xs = np.arange(W) + 0.5
@@ -35,15 +36,27 @@ def make_granules(n: int) -> str:
         rows = np.arange(H)[:, None] + i * H
         cols = np.arange(W)[None, :]
         data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
-        buf = netcdf3_bytes(
-            [("y", H), ("x", W)],
-            [
-                ("x", ["x"], {}, xs.astype(float)),
-                ("y", ["y"], {}, ys.astype(float)),
-                ("crs", [], {"proj4": "eqc"}, None),
-                ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
-            ],
-        )
+        if fmt == "hdf5":
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data.astype("<f8"),
+                             {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (64, 128)},  # netcdf-c-style deflate
+            )
+        else:
+            buf = netcdf3_bytes(
+                [("y", H), ("x", W)],
+                [
+                    ("x", ["x"], {}, xs.astype(float)),
+                    ("y", ["y"], {}, ys.astype(float)),
+                    ("crs", [], {"proj4": "eqc"}, None),
+                    ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
+                ],
+            )
         with open(os.path.join(d, f"g{i:04d}.nc"), "wb") as f:
             f.write(buf)
     return d
@@ -58,8 +71,9 @@ def main():
 
     spark = get_spark("scale-probe-raster")
     spark.range(10).count()
+    fmt = os.environ.get("SPARK_GRAFT_PROBE_FMT", "nc3")
     for n in ns:
-        d = make_granules(n)
+        d = make_granules(n, fmt)
         try:
             px = read_raster_pixels(spark, os.path.join(d, "*.nc"),
                                     "netcdf3")
@@ -74,7 +88,7 @@ def main():
             assert len(rows) == n and all(r["c"] == H * W for r in rows)
             mb = n * H * W * 8 / 1e6
             print(
-                f"N={n:3d} files pixels={n * H * W / 1e6:.1f}M "
+                f"fmt={fmt} N={n:3d} files pixels={n * H * W / 1e6:.1f}M "
                 f"wall={dt:.2f}s {mb / dt:.0f} MB/s "
                 f"per_file={dt / n * 1000:.0f} ms"
             )
