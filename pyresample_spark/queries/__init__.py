@@ -77,8 +77,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # registration order as tie-break).
 #
 # ROUND-9 WINDOW PLAN: after r8 lands, zero never-checked and zero
-# r4-latest rows should remain; rotate the 50 oldest r5 rows (minus the
-# r5 fills taken this round) plus any new round-9 queries.
+# r4-latest rows remain; rotate any new round-9 queries first, then the
+# 48 remaining r5-latest rows
+# (q_optimal_bb q_ewa_ellipse q_regrid_omerc_exact q_multiband_resample
+#  q_overlap_rate q_geos_boundary q_events_session q_events_late
+#  q_distinct_agg q_json_extract q_events_sliding q_dedup_exact
+#  q_dedup_minhash q_dedup_simhash q_dedup_ngram_jaccard q_text_stats
+#  q_lang_id q_quality_score q_token_count q_fingerprint q_hash_split
+#  q_domain_quota q_seq_pack q_dedup_clusters q_unigram_logprob
+#  q_stratified_sample q_repetition_ratio q_decontaminate q_tfidf
+#  q_mix_weights q_pii_scrub q_vocab_stats q_bloom_filter q_cosine_topk
+#  q_dedup_embedding q_ann_ivf q_ann_lsh q_dedup_canonical
+#  q_multimodal_meta q_frame_sample q_ppm_decode q_wav_decode
+#  q_ppm_video q_star_join q_rollup_agg q_window_suite q_pivot
+#  q_grouping_sets),
+# then oldest-r6 rows to fill 50 (recompute: latest-round-per-query
+# over CORRECTNESS_r0*.json, never-checked first, ascending round).
 _PRIORITY = [
     # -- never driver-checked (added post-window in r7) --
     "q_raster_ingest",
