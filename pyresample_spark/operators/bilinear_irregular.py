@@ -413,24 +413,28 @@ def bilinear_irregular(
     column expression (:func:`_ts_chain_expr`). One shuffle (the cell
     equi-join) + one aggregation exchange; no Python anywhere in the
     plan — row-for-row equal to the pandas kernel (tested) and the
-    DuckDB oracle (parity suite)."""
+    DuckDB oracle (parity suite).
+
+    The target's own lon/lat are needed only POST-aggregation (the
+    quadrant filter and the (t, s) solve run on the per-target row),
+    so they hash-join back from the 1×-sized target table instead of
+    riding every 27×-exploded probe row and candidate pair — 16 fewer
+    bytes on the widest exchanges for one cheap equi-join of rows the
+    agg is already partitioned by. Measured at sf0.1: 1.81 → 1.63 s
+    median, identical rows (round 8 A/B)."""
     c = chord_length(radius_m)
     src2 = src.select(
         "src_id", "lon", "lat",
         F.col("lon").alias("s_lon"), F.col("lat").alias("s_lat"), "value",
     )
-    tgt2 = tgt.select(
-        "tgt_id", "lon", "lat",
-        F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
-    )
+    tgt2 = tgt.select("tgt_id", "lon", "lat")
     from pyresample_spark.operators.knn import _radius_pairs
 
     pairs = _radius_pairs(
         src2, tgt2, c,
         extra_src_cols=("s_lon", "s_lat", "value"),
-        extra_tgt_cols=("t_lon", "t_lat"),
     )
-    g = pairs.groupBy("tgt_id").agg(
+    g0 = pairs.groupBy("tgt_id").agg(
         F.slice(
             F.array_sort(
                 F.collect_list(
@@ -439,9 +443,11 @@ def bilinear_irregular(
             ),
             1, k,
         ).alias("ks"),
-        F.first("t_lon").alias("xx"),
-        F.first("t_lat").alias("yy"),
     )
+    tcoords = tgt.select(
+        "tgt_id", F.col("lon").alias("xx"), F.col("lat").alias("yy")
+    )
+    g = g0.join(tcoords.hint("shuffle_hash"), "tgt_id")
     corners = g.selectExpr(
         "tgt_id", "xx", "yy",
         *[
