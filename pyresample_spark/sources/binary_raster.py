@@ -500,13 +500,15 @@ def raster_decode_fn(fmt: str):
                     if buf[:8] == b"\x89HDF\r\n\x1a\n":
                         # netCDF4/HDF5 granule in the same directory:
                         # route through the native HDF5 subset reader
+                        # (ONE parse — the area lookup reuses it)
                         from pyresample_spark.sources.hdf5 import (
                             load_cf_area_h5,
                             parse_hdf5,
                         )
 
-                        _, varname = load_cf_area_h5(buf)
-                        arr = parse_hdf5(buf)[varname]["data"].astype("f8")
+                        ds = parse_hdf5(buf)
+                        _, varname = load_cf_area_h5(buf, ds=ds)
+                        arr = ds[varname]["data"].astype("f8")
                     else:
                         nc = parse_netcdf3(buf)
                         _, varname = load_cf_area_nc3(buf)

@@ -99,11 +99,14 @@ def load_cf_area(path: str, variable: str | None = None):
             buf = head + f.read()
             from pyresample_spark.sources.hdf5 import load_cf_area_h5
 
+            import zlib
+
             try:
                 area, _ = load_cf_area_h5(buf, variable)
                 return area
             except (ValueError, NotImplementedError, struct.error,
-                    IndexError) as e:
+                    IndexError, KeyError, zlib.error,
+                    UnicodeDecodeError) as e:
                 native_err = e  # outside the native subset → xarray
     try:  # pragma: no cover - optional dependency
         import xarray as xr  # noqa: F401

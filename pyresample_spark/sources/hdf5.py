@@ -177,8 +177,11 @@ def _walk_group_btree(r: _R, btree_addr: int, heap_addr: int):
     heap_data = struct.unpack_from("<Q", r.b, heap_addr + 24)[0]
 
     def heap_name(offset):
-        s = r.b[heap_data + offset:]
-        return s.split(b"\x00")[0].decode("utf-8")
+        # index the terminator instead of slicing to EOF: a multi-GB
+        # granule must not pay an O(file) scan per dataset name
+        start = heap_data + offset
+        end = r.b.index(b"\x00", start)
+        return r.b[start:end].decode("utf-8")
 
     out = []
 
@@ -225,6 +228,7 @@ def _read_chunked(r: _R, btree_addr: int, shape, dtype, chunk_dims,
         p = addr + 24
         for _ in range(used):
             nbytes = r.u(p, 4)
+            fmask = r.u(p + 4, 4)
             offsets = [
                 struct.unpack_from("<Q", r.b, p + 8 + 8 * i)[0]
                 for i in range(rank)
@@ -234,7 +238,10 @@ def _read_chunked(r: _R, btree_addr: int, shape, dtype, chunk_dims,
                 node(child)
             else:
                 raw = r.b[child:child + nbytes]
-                if 1 in filters:  # deflate
+                # the key's filter mask marks PER-CHUNK skipped
+                # filters (an optional deflate stores incompressible
+                # chunks raw with bit 0 set)
+                if 1 in filters and not fmask & 0x1:
                     raw = zlib.decompress(raw)
                 chunk = np.frombuffer(raw, dtype=dtype)
                 chunk = chunk.reshape(chunk_dims)
@@ -361,17 +368,21 @@ def parse_hdf5(buf: bytes) -> dict:
     return out
 
 
-def load_cf_area_h5(buf: bytes, variable: str | None = None):
+def load_cf_area_h5(buf: bytes, variable: str | None = None,
+                    ds: dict | None = None):
     """CF grid → AreaDefinition from NetCDF4/HDF5 bytes: the HDF5 twin
     of binary_raster.load_cf_area_nc3 (reference: utils/cf.py:413).
     Coordinate variables are matched by the netCDF4 classic-model
     layout (1-D datasets named after the dimensions, carrying
     CLASS=DIMENSION_SCALE); grid_mapping resolves through the named
     container variable's proj4/crs_wkt/grid_mapping_name attrs.
-    Returns (area, variable_name)."""
+    Returns (area, variable_name). Pass an already-parsed ``ds``
+    (:func:`parse_hdf5`) to avoid decoding the file twice — the
+    distributed ingest reuses its parse this way."""
     from pyresample_spark.sources.cf_raster import area_from_cf_attrs
 
-    ds = parse_hdf5(buf)
+    if ds is None:
+        ds = parse_hdf5(buf)
     dim_scales = {
         n: v for n, v in ds.items()
         if len(v["shape"]) == 1
@@ -395,8 +406,11 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None):
     for n, c in dim_scales.items():
         by_len.setdefault(c["shape"][0], []).append(n)
 
-    def pick(length, preferred):
-        names = by_len.get(length, [])
+    def pick(length, preferred, taken=()):
+        # ``taken`` keeps a square grid (h == w) from silently reusing
+        # the x coordinate as y when only one scale parsed — loud
+        # error beats silent-garbage extents
+        names = [n for n in by_len.get(length, []) if n not in taken]
         for p in preferred:
             if p in names:
                 return p
@@ -408,7 +422,7 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None):
         )
 
     xn = pick(w, ("x", "lon", "longitude"))
-    yn = pick(h, ("y", "lat", "latitude"))
+    yn = pick(h, ("y", "lat", "latitude"), taken=(xn,))
     gm = v["attrs"].get("grid_mapping")
     crs = "longlat"
     if gm and gm in ds:

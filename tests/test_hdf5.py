@@ -96,7 +96,7 @@ def _object_header(messages: list) -> bytes:
     )
 
 
-def hdf5_bytes(datasets, chunk=None, deflate=False):
+def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
     """Minimal conforming HDF5 file: root group (symbol-table message
     → v1 B-tree → one SNOD → local heap) with one dataset per entry.
 
@@ -199,16 +199,20 @@ def hdf5_bytes(datasets, chunk=None, deflate=False):
                     cs = min(cd[1], arr.shape[1] - c0)
                     block[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
                     raw = block.tobytes()
+                    mask = 0
                     if deflate:
-                        raw = zlib.compress(raw, 6)
-                    chunks.append(((r0, c0), raw))
-            for i, (off2, raw) in enumerate(chunks):
+                        if len(chunks) in raw_chunk_idx:
+                            mask = 0x1  # optional filter skipped
+                        else:
+                            raw = zlib.compress(raw, 6)
+                    chunks.append(((r0, c0), raw, mask))
+            for i, (off2, raw, mask) in enumerate(chunks):
                 place(("chunk", n, i), raw)
             key_size = 8 + 8 * (rank + 1)
             bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunks))
             bt += struct.pack("<QQ", UNDEF, UNDEF)
-            for i, ((r0, c0), raw) in enumerate(chunks):
-                bt += struct.pack("<II", len(raw), 0)
+            for i, ((r0, c0), raw, mask) in enumerate(chunks):
+                bt += struct.pack("<II", len(raw), mask)
                 bt += struct.pack("<QQQ", r0, c0, 0)
                 bt += struct.pack("<Q", addr[("chunk", n, i)])
             bt += struct.pack("<II", 0, 0) + struct.pack(  # final key
@@ -357,8 +361,9 @@ def test_rejects_out_of_subset():
 def test_granule_ingest_mixed_nc3_and_hdf5(spark, tmp_path):
     """The distributed 'netcdf3' ingest path detects HDF5 magic per
     file, so a granule directory can mix classic and netCDF4 files."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_binary_raster import _demo_nc
     from pyresample_spark.sources.binary_raster import read_raster_pixels
 
@@ -426,3 +431,15 @@ def test_package_writer_cross_parses():
         area, var = load_cf_area_h5(buf)
         assert var == "band" and area.crs == "eqc"
         assert (area.width, area.height) == (8, 6)
+
+
+def test_chunk_filter_mask_skips_inflate():
+    """A valid file with an OPTIONAL deflate filter stores an
+    incompressible chunk raw with the key's filter-mask bit set — the
+    reader must honor the mask instead of inflating raw bytes."""
+    buf = _cf_file(chunk={"t2m": (4, 3)}, deflate=True,
+                   raw_chunk_idx={1, 4})
+    ds = parse_hdf5(buf)
+    np.testing.assert_array_equal(
+        ds["t2m"]["data"], np.arange(48, dtype="f8").reshape(6, 8)
+    )
