@@ -226,7 +226,11 @@ def _gauss(
     k: int = 8,
     value_col="value",
     key_col: str | None = None,
+    approx: bool = False,
 ):
+    """``approx=True`` routes the candidate join through the shift2
+    approximate tier (duplicate pairs collapse in-aggregate via a
+    struct collect_set) — the same epsilon-style knob as nearest."""
     from pyresample_spark.operators.knn import knn_gauss_fold
 
     # fused top-k + weighted sums (one HashAggregate, no value re-join);
@@ -236,6 +240,7 @@ def _gauss(
     sums = knn_gauss_fold(
         src, _tgt_points(img.df.sparkSession, target), radius_m,
         k=k, sigma=sigma, value_col=value_col,
+        neighbor_scheme="shift2" if approx else "c27",
     )
     return sums.select(
         F.col("tgt_id").alias("cell_id"),

@@ -55,6 +55,25 @@ def test_nearest_approx_subset_of_exact(swath):
     assert same / len(exact) >= 0.9  # dense swath → high recall
 
 
+def test_gauss_approx_close_to_exact(swath):
+    """gauss with approx=True: found cells ⊆ exact; unlike k=1 recall
+    the k=8 candidate SET can lose boundary members (their weight
+    shifts the average slightly), so the contract is closeness —
+    values 0..399, measured max abs deviation ~1.5 with median 0."""
+    kw = dict(method="gauss", radius_m=200_000.0, sigma=100_000.0)
+    exact = {
+        r.cell_id: r.value for r in swath.resample(AREA, **kw).df.collect()
+    }
+    approx = {
+        r.cell_id: r.value
+        for r in swath.resample(AREA, approx=True, **kw).df.collect()
+    }
+    assert approx and set(approx) <= set(exact)
+    same = sum(1 for c in approx if approx[c] == exact[c])
+    assert same / len(exact) >= 0.5  # median identical
+    assert max(abs(approx[c] - exact[c]) for c in approx) < 2.5
+
+
 def test_noop_elimination(spark, swath):
     img = GeoImage.from_area(AREA.grid(spark), AREA)
     assert img.resample(AREA) is img
