@@ -8,17 +8,24 @@ subset of the PUBLIC HDF5 file format (HDF5 File Format Specification
 v1.1, the on-disk layout netcdf-c writes by default) needed to ingest
 CF grids:
 
-- superblock version 0 (8-byte offsets/lengths; v2/v3 detected and
-  rejected loudly — netcdf-c only writes those under
-  ``H5F_LIBVER_LATEST``),
-- version-1 object headers (+ continuation blocks),
-- root/group symbol tables: v1 B-tree (node type 0) → SNOD symbol
-  nodes → local heap names,
+- superblocks version 0 AND version 2/3 (8-byte offsets/lengths; the
+  v2/v3 layout is what HDF5 ≥1.10 ``H5F_LIBVER_LATEST`` writers emit),
+- version-1 object headers (+ continuation blocks) AND version-2
+  ``OHDR`` headers (+ ``OCHK`` continuation blocks; checksums are not
+  verified — integrity errors surface as loud structural failures),
+- root/group listing through BOTH group flavors: old-style symbol
+  tables (v1 B-tree node type 0 → SNOD symbol nodes → local heap
+  names) and new-style compact groups (hard-link messages in the
+  header; DENSE fractal-heap link storage is detected and rejected),
 - dataspace (v1 + v2 simple), datatype classes fixed-point / IEEE
   float / fixed string, attribute messages v1 + v3 with inline data,
-- data layout v3: contiguous, and chunked (v1 B-tree node type 1)
-  with the deflate filter (stdlib zlib) — the layouts netcdf-c
-  produces for classic-model variables,
+- data layout v3: contiguous (an UNDEFINED data address — netcdf-c's
+  late allocation for never-written variables — parses as a dataless
+  variable keeping its attrs), and chunked (v1 B-tree node type 1,
+  internal + leaf levels) with the deflate (id 1, stdlib zlib) and
+  shuffle (id 2, pure byte de-interleave) filters in either pipeline
+  message version — ``deflate+shuffle`` is netcdf-c's canonical
+  compression recipe,
 - netCDF4 convention attrs (``DIMENSION_LIST`` is a vlen-reference
   attribute needing the global heap; it is skipped and coordinate
   variables are matched by name+shape instead, which is exactly the
@@ -91,17 +98,27 @@ def _parse_dataspace(b: bytes):
     return tuple(dims)
 
 
+_MAX_HEADER_BLOCKS = 256  # continuation-chain cap: loud error, not a hang
+
+
 def _parse_messages(r: _R, addr: int):
-    """v1 object header at ``addr`` → list of (type, body bytes),
-    following continuation messages."""
+    """Object header at ``addr`` → list of (type, body bytes),
+    following continuation messages/blocks. Dispatches on the header
+    flavor: v2 ``OHDR`` signature vs v1 version byte. Continuation
+    chains are cycle-guarded (this reader runs on untrusted
+    distributed granule bytes — a corrupt self-referencing chain must
+    raise, never hang an executor)."""
+    if r.b[addr:addr + 4] == b"OHDR":
+        return _parse_messages_v2(r, addr)
     ver = r.b[addr]
     if ver != 1:
         raise NotImplementedError(
-            f"object header version {ver} (only v1 — the netcdf-c "
-            "default — is parsed natively)"
+            f"object header version {ver} (v1 and v2/OHDR are parsed "
+            "natively)"
         )
     nmsg = r.u(addr + 2, 2)
     blocks = [(addr + 16, r.u(addr + 8, 4))]
+    seen = {addr + 16}
     out = []
     bi = 0
     while bi < len(blocks) and len(out) < nmsg:
@@ -112,15 +129,99 @@ def _parse_messages(r: _R, addr: int):
             msize = r.u(off + 2, 2)
             body = r.b[off + 8:off + 8 + msize]
             if mtype == 0x0010:  # continuation
-                blocks.append((
-                    struct.unpack_from("<Q", body, 0)[0],
-                    struct.unpack_from("<Q", body, 8)[0],
-                ))
+                o2 = struct.unpack_from("<Q", body, 0)[0]
+                if o2 in seen or len(blocks) >= _MAX_HEADER_BLOCKS:
+                    raise ValueError(
+                        "corrupt object header: continuation cycle or "
+                        f"chain longer than {_MAX_HEADER_BLOCKS} blocks"
+                    )
+                seen.add(o2)
+                blocks.append((o2, struct.unpack_from("<Q", body, 8)[0]))
             else:
                 out.append((mtype, body))
             off += 8 + msize
         bi += 1
     return out
+
+
+def _parse_messages_v2(r: _R, addr: int):
+    """v2 (``OHDR``) object header → list of (type, body bytes).
+    Continuations live in ``OCHK`` blocks (4-byte signature + messages
+    + 4-byte checksum); checksums are not verified. Optional prefix
+    fields are sized by the header flags per spec IV.A.1.b."""
+    if r.b[addr + 4] != 2:
+        raise NotImplementedError(
+            f"OHDR version {r.b[addr + 4]} (only v2 is parsed natively)"
+        )
+    flags = r.b[addr + 5]
+    off = addr + 6
+    if flags & 0x20:  # access/mod/change/birth times stored
+        off += 16
+    if flags & 0x10:  # attribute storage phase-change values stored
+        off += 4
+    szsz = 1 << (flags & 0x3)
+    chunk0 = r.u(off, szsz)
+    off += szsz
+    hdr = 6 if flags & 0x04 else 4  # +2 creation-order per message
+    blocks = [(off, chunk0)]
+    seen = {off}
+    out = []
+    bi = 0
+    while bi < len(blocks):
+        pos, size = blocks[bi]
+        end = pos + size
+        while pos + hdr <= end:
+            mtype = r.b[pos]
+            msize = r.u(pos + 1, 2)
+            body = r.b[pos + hdr:pos + hdr + msize]
+            if mtype == 0x0010:  # continuation → OCHK block
+                o2 = struct.unpack_from("<Q", body, 0)[0]
+                l2 = struct.unpack_from("<Q", body, 8)[0]
+                if r.b[o2:o2 + 4] != b"OCHK":
+                    raise ValueError("bad OCHK continuation signature")
+                if o2 in seen or len(blocks) >= _MAX_HEADER_BLOCKS:
+                    raise ValueError(
+                        "corrupt OHDR: continuation cycle or chain "
+                        f"longer than {_MAX_HEADER_BLOCKS} blocks"
+                    )
+                seen.add(o2)
+                # messages sit between the signature and the trailing
+                # 4-byte checksum
+                blocks.append((o2 + 4, l2 - 8))
+            elif mtype != 0x0000:  # skip NILs
+                out.append((mtype, body))
+            pos += hdr + msize
+        bi += 1
+    return out
+
+
+def _parse_link(body: bytes):
+    """Link message (type 0x0006) → (name, object header address).
+    Only hard links are in the subset — soft/external links have no
+    meaning for flat CF granule groups."""
+    if body[0] != 1:
+        raise NotImplementedError(f"link message version {body[0]}")
+    flags = body[1]
+    off = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[off]
+        off += 1
+    if flags & 0x04:  # creation order
+        off += 8
+    if flags & 0x10:  # charset
+        off += 1
+    lsz = 1 << (flags & 0x3)
+    nlen = int.from_bytes(body[off:off + lsz], "little")
+    off += lsz
+    name = body[off:off + nlen].decode("utf-8")
+    off += nlen
+    if ltype != 0:
+        raise NotImplementedError(
+            f"link {name!r} has type {ltype} (only hard links are in "
+            "the subset)"
+        )
+    return name, struct.unpack_from("<Q", body, off)[0]
 
 
 def _parse_attr(body: bytes):
@@ -184,8 +285,12 @@ def _walk_group_btree(r: _R, btree_addr: int, heap_addr: int):
         return r.b[start:end].decode("utf-8")
 
     out = []
+    seen: set = set()
 
     def node(addr):
+        if addr in seen:
+            raise ValueError("corrupt group B-tree: node cycle")
+        seen.add(addr)
         sig = r.b[addr:addr + 4]
         if sig == b"SNOD":
             cnt = r.u(addr + 6, 2)
@@ -212,12 +317,51 @@ def _walk_group_btree(r: _R, btree_addr: int, heap_addr: int):
     return out
 
 
+def _unshuffle(raw: bytes, itemsize: int) -> bytes:
+    """Undo the HDF5 shuffle filter (id 2): on write all byte-0s of
+    every element come first, then all byte-1s, … — a pure transpose.
+    A non-element-multiple tail (spec: left unshuffled) passes
+    through unchanged."""
+    if itemsize <= 1:
+        return raw
+    n = len(raw) // itemsize
+    body = n * itemsize
+    out = (
+        np.frombuffer(raw[:body], dtype="u1")
+        .reshape(itemsize, n)
+        .T.tobytes()
+    )
+    return out + raw[body:]
+
+
+def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
+    """Undo the filter pipeline in reverse write order. The key's
+    filter mask marks PER-CHUNK skipped filters by pipeline index (an
+    optional deflate stores incompressible chunks raw with its bit
+    set)."""
+    for idx in range(len(filters) - 1, -1, -1):
+        if fmask & (1 << idx):
+            continue
+        fid = filters[idx]
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            raw = _unshuffle(raw, itemsize)
+        else:  # unreachable: the pipeline parse rejects unknown ids
+            raise NotImplementedError(f"HDF5 filter {fid}")
+    return raw
+
+
 def _read_chunked(r: _R, btree_addr: int, shape, dtype, chunk_dims,
                   filters):
     rank = len(shape)
     arr = np.zeros(shape, dtype=dtype.newbyteorder("="))
+    seen: set = set()
 
     def node(addr):
+        if addr in seen:
+            raise ValueError("corrupt chunk B-tree: node cycle")
+        seen.add(addr)
         if r.b[addr:addr + 4] != b"TREE":
             raise ValueError("bad chunk B-tree signature")
         ntype, level = r.b[addr + 4], r.b[addr + 5]
@@ -237,12 +381,10 @@ def _read_chunked(r: _R, btree_addr: int, shape, dtype, chunk_dims,
             if level > 0:
                 node(child)
             else:
-                raw = r.b[child:child + nbytes]
-                # the key's filter mask marks PER-CHUNK skipped
-                # filters (an optional deflate stores incompressible
-                # chunks raw with bit 0 set)
-                if 1 in filters and not fmask & 0x1:
-                    raw = zlib.decompress(raw)
+                raw = _apply_filters(
+                    r.b[child:child + nbytes], fmask, filters,
+                    dtype.itemsize,
+                )
                 chunk = np.frombuffer(raw, dtype=dtype)
                 chunk = chunk.reshape(chunk_dims)
                 sel_src, sel_dst = [], []
@@ -265,34 +407,52 @@ def parse_hdf5(buf: bytes) -> dict:
         raise ValueError("not an HDF5 file")
     r = _R(buf)
     sb_ver = buf[8]
-    if sb_ver != 0:
+    if sb_ver == 0:
+        if buf[13] != 8 or buf[14] != 8:
+            raise NotImplementedError("only 8-byte offsets/lengths supported")
+        # root symbol table entry at 24 + 4*O = offset 56 into
+        # superblock0: base(O) free(O) eof(O) driver(O) start at 24;
+        # entry at 24+32=56; its OH address is 8 bytes in
+        root_oh = struct.unpack_from("<Q", buf, 56 + 8)[0]
+    elif sb_ver in (2, 3):
+        # v2/v3 layout (HDF5 ≥1.10 libver=latest writers): magic(8)
+        # ver(1) sizeof-offsets(1) sizeof-lengths(1) flags(1) base(8)
+        # extension(8) eof(8) root-OH-address(8) checksum(4)
+        if buf[9] != 8 or buf[10] != 8:
+            raise NotImplementedError("only 8-byte offsets/lengths supported")
+        root_oh = struct.unpack_from("<Q", buf, 36)[0]
+    else:
         raise NotImplementedError(
-            f"HDF5 superblock version {sb_ver} (only v0 — the "
-            "netcdf-c default — is parsed natively)"
+            f"HDF5 superblock version {sb_ver} (v0, v2 and v3 are "
+            "parsed natively)"
         )
-    if buf[13] != 8 or buf[14] != 8:
-        raise NotImplementedError("only 8-byte offsets/lengths supported")
-    # root symbol table entry at 24 + 4*O = offset 56 into superblock0:
-    # base(O) free(O) eof(O) driver(O) start at 24; entry at 24+32=56
-    root_entry = 56
-    root_oh = struct.unpack_from("<Q", buf, root_entry + 8)[0]
     msgs = _parse_messages(r, root_oh)
     st = next((b for t, b in msgs if t == 0x0011), None)
-    if st is None:
-        raise NotImplementedError("root group has no symbol table (new-"
-                                  "style groups are outside the subset)")
-    btree_addr = struct.unpack_from("<Q", st, 0)[0]
-    heap_addr = struct.unpack_from("<Q", st, 8)[0]
+    if st is not None:  # old-style group: symbol table → B-tree walk
+        btree_addr = struct.unpack_from("<Q", st, 0)[0]
+        heap_addr = struct.unpack_from("<Q", st, 8)[0]
+        entries = _walk_group_btree(r, btree_addr, heap_addr)
+    else:  # new-style group: hard-link messages in the header
+        entries = [_parse_link(b) for t, b in msgs if t == 0x0006]
+        if not entries:
+            if any(t == 0x0002 for t, _ in msgs):  # Link Info present
+                raise NotImplementedError(
+                    "dense (fractal-heap) link storage is outside the "
+                    "subset — groups this large are not CF granules"
+                )
+            raise NotImplementedError(
+                "root group has neither a symbol table nor link messages"
+            )
     out = {}
-    for name, oh in _walk_group_btree(r, btree_addr, heap_addr):
+    for name, oh in entries:
         vmsgs = _parse_messages(r, oh)
-        if any(t == 0x0011 for t, _ in vmsgs):
+        if any(t in (0x0011, 0x0006) for t, _ in vmsgs):
             continue  # sub-group: classic-model CF grids are flat
         attrs = {}
         shape = ()
         dtype = None
         layout = None
-        filters = set()
+        filters: list = []
         for t, b in vmsgs:
             if t == 0x0001:
                 shape = _parse_dataspace(b)
@@ -303,12 +463,14 @@ def parse_hdf5(buf: bytes) -> dict:
                 if v is not None:
                     attrs[k] = v
             elif t == 0x000B:
+                # pipeline ORDER matters (shuffle-then-deflate must
+                # undo as inflate-then-unshuffle), so collect a list
                 ver = b[0]
                 nf = b[1]
                 off = 8 if ver == 1 else 2
                 for _ in range(nf):
                     fid = struct.unpack_from("<H", b, off)[0]
-                    filters.add(fid)
+                    filters.append(fid)
                     if ver == 1:
                         nl = struct.unpack_from("<H", b, off + 2)[0]
                         ncv = struct.unpack_from("<H", b, off + 6)[0]
@@ -316,15 +478,25 @@ def parse_hdf5(buf: bytes) -> dict:
                         off += 8 + nl_p + 4 * ncv
                         if ncv % 2:
                             off += 4
+                    elif ver == 2:
+                        # id(2) [namelen(2)+name if id ≥ 256] flags(2)
+                        # ncv(2) cd(4·n) — no padding (spec IV.A.2.l)
+                        off += 2
+                        if fid >= 256:
+                            nl = struct.unpack_from("<H", b, off)[0]
+                            off += 2 + nl
+                        ncv = struct.unpack_from("<H", b, off + 2)[0]
+                        off += 4 + 4 * ncv
                     else:
                         raise NotImplementedError(
                             f"filter pipeline version {ver}"
                         )
-                unknown = filters - {1}
+                unknown = set(filters) - {1, 2}
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
-                        "(only deflate=1; shuffle/szip need the libs)"
+                        "(deflate=1 and shuffle=2 decode natively; "
+                        "szip and friends need the libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -339,6 +511,13 @@ def parse_hdf5(buf: bytes) -> dict:
         if lclass == 1:  # contiguous
             addr = struct.unpack_from("<Q", layout, 2)[0]
             size = struct.unpack_from("<Q", layout, 10)[0]
+            if addr == _UNDEF:
+                # late allocation: a never-written variable (netcdf-c
+                # emits these for dataless/fill-suppressed vars, e.g.
+                # grid-mapping containers) — keep its attrs, carry no
+                # data, and never fail the rest of the file
+                out[name] = {"shape": shape, "attrs": attrs, "data": None}
+                continue
             n = int(np.prod(shape)) if shape else 1
             need = n * dtype.itemsize
             if size < need or addr + need > len(buf):
@@ -349,6 +528,9 @@ def parse_hdf5(buf: bytes) -> dict:
         elif lclass == 2:  # chunked
             dim = layout[2]
             baddr = struct.unpack_from("<Q", layout, 3)[0]
+            if baddr == _UNDEF:  # never-written chunked variable
+                out[name] = {"shape": shape, "attrs": attrs, "data": None}
+                continue
             cdims = [
                 struct.unpack_from("<I", layout, 11 + 4 * i)[0]
                 for i in range(dim - 1)
@@ -385,17 +567,19 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
         ds = parse_hdf5(buf)
     dim_scales = {
         n: v for n, v in ds.items()
-        if len(v["shape"]) == 1
+        if len(v["shape"]) == 1 and v["data"] is not None
         and v["attrs"].get("CLASS", "").startswith("DIMENSION_SCALE")
     }
     if not dim_scales:  # fall back: any 1-D dataset can be a coord
         dim_scales = {
-            n: v for n, v in ds.items() if len(v["shape"]) == 1
+            n: v for n, v in ds.items()
+            if len(v["shape"]) == 1 and v["data"] is not None
         }
     if variable is None:
         cands = [
             n for n, v in ds.items()
             if len(v["shape"]) == 2 and n not in dim_scales
+            and v["data"] is not None
         ]
         if not cands:
             raise ValueError("no 2-D data variable found")
@@ -445,6 +629,67 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
 # sink, mirroring the netcdf3_bytes precedent in binary_raster.py.
 
 _UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# libhdf5 sizes chunk B-tree nodes from the istore K (default 32, max
+# 2K = 64 entries per node); emitting more in one node makes the file
+# unreadable to real consumers (ADVICE r8) — the writer splits instead.
+_BT_MAX_ENTRIES = 64
+
+
+def _lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` (public domain) — the
+    checksum HDF5 uses for v2/v3 superblocks and OHDR/OCHK blocks.
+    Needed so the v2-superblock output is spec-valid for real
+    consumers (the reader itself never verifies checksums)."""
+    M = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & M
+    i, rem = 0, length
+    while rem > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & M
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M      # noqa: E702
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M      # noqa: E702
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M      # noqa: E702
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M     # noqa: E702
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M     # noqa: E702
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M      # noqa: E702
+        i += 12
+        rem -= 12
+    if rem == 0:  # only the empty input skips the final mix
+        return c
+    tail = data[i:] + b"\x00" * (12 - rem)
+    a = (a + int.from_bytes(tail[0:4], "little")) & M
+    b = (b + int.from_bytes(tail[4:8], "little")) & M
+    c = (c + int.from_bytes(tail[8:12], "little")) & M
+    c ^= b; c = (c - rot(b, 14)) & M                          # noqa: E702
+    a ^= c; a = (a - rot(c, 11)) & M                          # noqa: E702
+    b ^= a; b = (b - rot(a, 25)) & M                          # noqa: E702
+    c ^= b; c = (c - rot(b, 16)) & M                          # noqa: E702
+    a ^= c; a = (a - rot(c, 4)) & M                           # noqa: E702
+    b ^= a; b = (b - rot(a, 14)) & M                          # noqa: E702
+    c ^= b; c = (c - rot(b, 24)) & M                          # noqa: E702
+    return c
+
+
+def _shuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    """Forward HDF5 shuffle filter: byte j of every element grouped
+    together (the write-side twin of :func:`_unshuffle`)."""
+    if itemsize <= 1:
+        return raw
+    n = len(raw) // itemsize
+    body = n * itemsize
+    out = (
+        np.frombuffer(raw[:body], dtype="u1")
+        .reshape(n, itemsize)
+        .T.tobytes()
+    )
+    return out + raw[body:]
 
 
 def _w_pad8(b: bytes) -> bytes:
@@ -500,25 +745,47 @@ def _w_header(msgs) -> bytes:
     )
 
 
+def _w_link(name: str, addr: int) -> bytes:
+    """Hard-link message body (type 0x0006): v1, minimal flags
+    (1-byte name length, no creation order / charset)."""
+    nb = name.encode()
+    return bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+
+
+def _w_ohdr_v2(msgs: list) -> bytes:
+    """v2 object header: ``OHDR`` + version + flags (4-byte chunk-0
+    size, no times/phase/creation-order) + messages + lookup3 checksum
+    over the whole chunk."""
+    block = b"".join(
+        bytes([t]) + struct.pack("<H", len(b)) + b"\x00" + b
+        for t, b in msgs
+    )
+    full = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(block)) + block
+    return full + struct.pack("<I", _lookup3(full))
+
+
 def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
-                    deflate: bool = True) -> bytes:
+                    deflate: bool = True, shuffle: bool = False,
+                    superblock: int = 0) -> bytes:
     """Write {name: (array | None, {str attr: str})} as a flat root
     group (None array → dataless i4 container for grid-mapping vars).
     ``chunks``: {name: (cr, cc)} switches a 2-D variable to the
-    chunked layout (deflate-compressed when ``deflate``) — the
-    encoding netcdf-c uses for compressed variables; everything else
-    is contiguous."""
+    chunked layout (deflate-compressed when ``deflate``, byte-shuffled
+    first when ``shuffle`` — ``shuffle+deflate`` is netcdf-c's
+    canonical compression recipe). Chunk indexes split into ≤64-entry
+    B-tree nodes under internal nodes, matching libhdf5's istore-K
+    node capacity, so many-chunk exports stay readable by real
+    consumers (ADVICE r8). ``superblock=2`` writes the HDF5 ≥1.10
+    ``libver=latest`` container instead: v2 superblock + v2 ``OHDR``
+    root group with hard-link messages (lookup3-checksummed), with the
+    datasets themselves kept as v1 headers (spec-legal mix)."""
+    if superblock not in (0, 2):
+        raise ValueError(f"superblock must be 0 or 2, got {superblock}")
     chunks = chunks or {}
     names = sorted(variables)
-    heap = b"\x00" * 8
-    heap_off = {}
-    for n in names:
-        heap_off[n] = len(heap)
-        heap += n.encode() + b"\x00"
-    heap = _w_pad8(heap)
 
     layout: list = []  # (key, bytes) in file order
-    pos = {"cursor": 96}
+    pos = {"cursor": 48 if superblock == 2 else 96}
 
     def place(key, blob):
         layout.append((key, blob))
@@ -527,15 +794,41 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         pos["cursor"] += len(blob)
         return a
 
-    place("root", _w_header([_w_msg(0x0011, struct.pack("<QQ", 0, 0))]))
-    place("heap_hdr", b"\x00" * 32)
-    place("heap", heap)
-    place("btree", b"\x00" * 48)
-    snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names))
-    for n in names:
-        snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
-    place("snod", snod)
+    heap = b""
+    if superblock == 0:
+        heap = b"\x00" * 8
+        heap_off = {}
+        for n in names:
+            heap_off[n] = len(heap)
+            heap += n.encode() + b"\x00"
+        heap = _w_pad8(heap)
+        place("root", _w_header([_w_msg(0x0011, struct.pack("<QQ", 0, 0))]))
+        place("heap_hdr", b"\x00" * 32)
+        place("heap", heap)
+        place("btree", b"\x00" * 48)
+        snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names))
+        for n in names:
+            snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
+        place("snod", snod)
 
+    filter_msg = b""
+    if deflate or shuffle:
+        fspecs = []
+        if shuffle:  # pipeline order: shuffle THEN deflate
+            fspecs.append((2, 0, [0]))  # cd value patched per-var below
+        if deflate:
+            fspecs.append((1, 1, [6]))
+        # serialized per-variable because shuffle's client value is the
+        # element size
+        def _w_filters(itemsize):
+            out = struct.pack("<BB", 1, len(fspecs)) + b"\x00" * 6
+            for fid, fflags, cds in fspecs:
+                cds = [itemsize if fid == 2 else c for c in cds]
+                out += struct.pack("<HHHH", fid, 0, fflags, len(cds))
+                out += b"".join(struct.pack("<I", c) for c in cds)
+                if len(cds) % 2:
+                    out += b"\x00" * 4
+            return out
     chunk_blobs: dict = {}
     for n in names:
         arr, attrs = variables[n]
@@ -559,13 +852,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         ]
         if n in chunks:
             cr, cc = chunks[n]
-            if deflate:
-                msgs.append(_w_msg(
-                    0x000B,
-                    struct.pack("<BB", 1, 1) + b"\x00" * 6
-                    + struct.pack("<HHHH", 1, 0, 1, 1)
-                    + struct.pack("<I", 6) + b"\x00" * 4,
-                ))
+            if deflate or shuffle:
+                msgs.append(_w_msg(0x000B, _w_filters(arr.dtype.itemsize)))
             blobs = []
             for r0 in range(0, arr.shape[0], cr):
                 for c0 in range(0, arr.shape[1], cc):
@@ -574,6 +862,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     cs = min(cc, arr.shape[1] - c0)
                     blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
                     raw = blk.tobytes()
+                    if shuffle:
+                        raw = _shuffle_bytes(raw, arr.dtype.itemsize)
                     blobs.append(((r0, c0), zlib.compress(raw, 6)
                                   if deflate else raw))
             chunk_blobs[n] = blobs
@@ -594,19 +884,62 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             for i, (_, raw) in enumerate(chunk_blobs[n]):
                 place(("chunk", n, i), raw)
             blobs = chunk_blobs[n]
-            bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(blobs))
-            bt += struct.pack("<QQ", _UNDEF, _UNDEF)
-            for i, ((r0, c0), raw) in enumerate(blobs):
-                bt += struct.pack("<IIQQQ", len(raw), 0, r0, c0, 0)
-                bt += struct.pack("<Q", pos[("chunk", n, i)])
             h, w = variables[n][0].shape
-            bt += struct.pack("<IIQQQ", 0, 0, h, w, 0)
-            place(("btree", n), bt)
+            sentinel = struct.pack("<IIQQQ", 0, 0, h, w, 0)
+            entries = [
+                (struct.pack("<IIQQQ", len(raw), 0, r0, c0, 0),
+                 pos[("chunk", n, i)])
+                for i, ((r0, c0), raw) in enumerate(blobs)
+            ]
+            klen = len(sentinel)
+            level = 0
+            while True:
+                groups = [
+                    entries[i:i + _BT_MAX_ENTRIES]
+                    for i in range(0, len(entries), _BT_MAX_ENTRIES)
+                ]
+                # node addresses are deterministic before placing (the
+                # cursor only moves by what we append), so sibling
+                # pointers can be written correctly in one pass
+                sizes = [24 + len(g) * (klen + 8) + klen for g in groups]
+                addrs, a = [], pos["cursor"]
+                for s in sizes:
+                    addrs.append(a)
+                    a += s
+                nxt_entries = []
+                for gi, g in enumerate(groups):
+                    left = addrs[gi - 1] if gi > 0 else _UNDEF
+                    right = addrs[gi + 1] if gi + 1 < len(groups) else _UNDEF
+                    nxt_key = (
+                        groups[gi + 1][0][0]
+                        if gi + 1 < len(groups) else sentinel
+                    )
+                    bt = b"TREE" + bytes([1, level])
+                    bt += struct.pack("<H", len(g))
+                    bt += struct.pack("<QQ", left, right)
+                    for key, child in g:
+                        bt += key + struct.pack("<Q", child)
+                    bt += nxt_key
+                    got = place(("btnode", n, level, gi), bt)
+                    assert got == addrs[gi]
+                    nxt_entries.append((g[0][0], addrs[gi]))
+                if len(groups) == 1:
+                    pos[("btree", n)] = addrs[0]
+                    break
+                entries = nxt_entries
+                level += 1
         else:
             arr2 = np.ascontiguousarray(arr).astype(
                 np.dtype(arr.dtype).newbyteorder("<")
             )
             place(("data", n), arr2.tobytes())
+
+    if superblock == 2:
+        # root group LAST: every dataset OH address is final, so the
+        # link messages and the OHDR checksum need no patching
+        place("root_v2", _w_ohdr_v2(
+            [(0x06, _w_link(n, pos[("oh", n)])) for n in names]
+        ))
 
     total = pos["cursor"]
 
@@ -646,12 +979,18 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             return bytes(b)
         return blob
 
-    sb = HDF5_MAGIC
-    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
-    sb += struct.pack("<HHI", 4, 16, 0)
-    sb += struct.pack("<QQQQ", 0, _UNDEF, total, _UNDEF)
-    sb += struct.pack("<QQII", 0, pos["root"], 1, 0)
-    sb += struct.pack("<QQ", pos["btree"], pos["heap_hdr"])
+    if superblock == 2:
+        sb = HDF5_MAGIC + bytes([2, 8, 8, 0])
+        sb += struct.pack("<QQQQ", 0, _UNDEF, total, pos["root_v2"])
+        sb += struct.pack("<I", _lookup3(sb))
+        assert len(sb) == 48
+    else:
+        sb = HDF5_MAGIC
+        sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+        sb += struct.pack("<HHI", 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, total, _UNDEF)
+        sb += struct.pack("<QQII", 0, pos["root"], 1, 0)
+        sb += struct.pack("<QQ", pos["btree"], pos["heap_hdr"])
     out = bytearray(sb)
     for key, blob in layout:
         assert len(out) == pos[key], (key, pos[key], len(out))

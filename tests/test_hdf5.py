@@ -96,7 +96,41 @@ def _object_header(messages: list) -> bytes:
     )
 
 
-def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
+def _shuffle_fwd(raw: bytes, itemsize: int) -> bytes:
+    # independent forward shuffle: explicit python loop, no numpy
+    # transpose trick shared with the package implementation
+    n = len(raw) // itemsize
+    out = bytearray(len(raw))
+    for i in range(n):
+        for j in range(itemsize):
+            out[j * n + i] = raw[i * itemsize + j]
+    return bytes(out)
+
+
+def _filter_msg(deflate, shuffle, itemsize, pipeline_v2=False):
+    """Filter pipeline message body, v1 (padded) or v2 (packed)."""
+    specs = []
+    if shuffle:
+        specs.append((2, 0, [itemsize]))
+    if deflate:
+        specs.append((1, 1, [6]))
+    if pipeline_v2:
+        out = bytes([2, len(specs)])
+        for fid, fl, cds in specs:
+            out += struct.pack("<HHH", fid, fl, len(cds))
+            out += b"".join(struct.pack("<I", c) for c in cds)
+        return out
+    out = struct.pack("<BBHI", 1, len(specs), 0, 0)
+    for fid, fl, cds in specs:
+        out += struct.pack("<HHHH", fid, 0, fl, len(cds))
+        out += b"".join(struct.pack("<I", c) for c in cds)
+        if len(cds) % 2:
+            out += b"\x00" * 4
+    return out
+
+
+def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=(),
+               shuffle=False, undef_addr=()):
     """Minimal conforming HDF5 file: root group (symbol-table message
     → v1 B-tree → one SNOD → local heap) with one dataset per entry.
 
@@ -104,7 +138,10 @@ def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
     writes a dataless container (grid-mapping variable: scalar i4
     compact layout). ``chunk``: {name: (cdim0, cdim1)} switches that
     dataset to chunked layout (v1 type-1 B-tree, one node), optionally
-    deflate-compressed."""
+    deflate-compressed (byte-shuffled first when ``shuffle`` — the
+    netcdf-c recipe). Names in ``undef_addr`` write a contiguous
+    layout whose data address is UNDEFINED (late allocation: a
+    never-written variable, which netcdf-c emits for dataless vars)."""
     names = sorted(datasets)
     # ---- plan the heap (name offsets) ----
     heap_off = {}
@@ -165,16 +202,20 @@ def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
         ]
         if chunk and n in chunk:
             cd = chunk[n]
-            if deflate:
-                msgs.append(_msg(0x000B, struct.pack(
-                    "<BBHI", 1, 1, 0, 0
-                ) + struct.pack("<HHHH", 1, 0, 1, 1)
-                    + struct.pack("<I", 6) + b"\x00" * 4))
+            if deflate or shuffle:
+                msgs.append(_msg(0x000B, _filter_msg(
+                    deflate, shuffle, arr.dtype.itemsize
+                )))
             lay = struct.pack("<BBB", 3, 2, len(cd) + 1)
             lay += struct.pack("<Q", 0)  # btree addr patched
             for c in cd:
                 lay += struct.pack("<I", c)
             lay += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append(_msg(0x0008, lay))
+        elif n in undef_addr:
+            lay = struct.pack("<BB", 3, 1) + struct.pack(
+                "<QQ", UNDEF, arr.nbytes  # late allocation, no patch
+            )
             msgs.append(_msg(0x0008, lay))
         else:
             lay = struct.pack("<BB", 3, 1) + struct.pack(
@@ -200,9 +241,13 @@ def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
                     block[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
                     raw = block.tobytes()
                     mask = 0
+                    if shuffle:
+                        raw = _shuffle_fwd(raw, arr.dtype.itemsize)
                     if deflate:
                         if len(chunks) in raw_chunk_idx:
-                            mask = 0x1  # optional filter skipped
+                            # optional filter skipped: mask bit =
+                            # deflate's PIPELINE INDEX (1 after shuffle)
+                            mask = 1 << (1 if shuffle else 0)
                         else:
                             raw = zlib.compress(raw, 6)
                     chunks.append(((r0, c0), raw, mask))
@@ -219,6 +264,8 @@ def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
                 "<QQQ", arr.shape[0], arr.shape[1], 0
             )
             place(("btree", n), bt)
+        elif n in undef_addr:
+            pass  # late allocation: no data anywhere in the file
         else:
             place(("data", n), arr.tobytes())
 
@@ -242,7 +289,7 @@ def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=()):
     pieces["snod"] = bytes(sn)
     for n in names:
         arr, attrs = datasets[n]
-        if arr is None:
+        if arr is None or n in undef_addr:
             continue
         oh = bytearray(pieces[("oh", n)])
         # find the layout message (type 8) and patch its address field
@@ -351,7 +398,7 @@ def test_integer_dtypes_roundtrip():
 
 def test_rejects_out_of_subset():
     buf = bytearray(_cf_file())
-    buf[8] = 2  # superblock version 2
+    buf[8] = 1  # superblock version 1 (adds istore-K: layout shifts)
     with pytest.raises(NotImplementedError, match="superblock version"):
         parse_hdf5(bytes(buf))
     with pytest.raises(ValueError, match="not an HDF5"):
@@ -397,7 +444,10 @@ def test_cross_validate_against_real_netcdf4(tmp_path):
     ds.createDimension("x", 3)
     vx = ds.createVariable("x", "f8", ("x",))
     vy = ds.createVariable("y", "f8", ("y",))
-    vv = ds.createVariable("t", "f8", ("y", "x"))
+    # zlib+shuffle = netcdf-c's canonical compression recipe — the
+    # native shuffle decode is then validated against real output
+    vv = ds.createVariable("t", "f8", ("y", "x"), zlib=True,
+                           shuffle=True, chunksizes=(2, 2))
     vx[:] = [0.5, 1.5, 2.5]
     vy[:] = [1.0, 0.0]
     vv[:] = np.arange(6).reshape(2, 3)
@@ -443,3 +493,340 @@ def test_chunk_filter_mask_skips_inflate():
     np.testing.assert_array_equal(
         ds["t2m"]["data"], np.arange(48, dtype="f8").reshape(6, 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: shuffle filter, v2 superblock / OHDR / OCHK, late-allocation
+# datasets, corrupt-chain guards (VERDICT r8 items 2-3, ADVICE r8)
+
+
+@pytest.mark.parametrize("masked", [(), (2,)])
+def test_parse_shuffle_deflate(masked):
+    """shuffle+deflate — netcdf-c's canonical compression recipe. The
+    chunk bytes are shuffled by an explicit python loop here, so the
+    reader's vectorized de-interleave is independently checked. The
+    masked variant skips the OPTIONAL deflate on one chunk, whose mask
+    bit is now deflate's pipeline INDEX (1), not 0."""
+    buf = _cf_file(chunk={"t2m": (4, 3)}, deflate=True, shuffle=True,
+                   raw_chunk_idx=masked)
+    ds = parse_hdf5(buf)
+    np.testing.assert_array_equal(
+        ds["t2m"]["data"], np.arange(48, dtype="f8").reshape(6, 8)
+    )
+    area, var = load_cf_area_h5(buf)
+    assert var == "t2m" and (area.width, area.height) == (8, 6)
+
+
+def test_shuffle_i2_dtype():
+    """Shuffle with a 2-byte dtype (itemsize ≠ 8 exercises the
+    transpose geometry)."""
+    arr = np.array([[300, -2, 3, 7], [4, 500, -6, -7]], dtype="<i2")
+    buf = hdf5_bytes(
+        {"v": (arr, {})}, chunk={"v": (2, 2)}, deflate=True, shuffle=True
+    )
+    np.testing.assert_array_equal(parse_hdf5(buf)["v"]["data"], arr)
+
+
+def test_undefined_data_address_is_dataless():
+    """A contiguous dataset at the UNDEFINED address (late allocation:
+    netcdf-c's never-written grid-mapping containers) must parse as a
+    dataless variable KEEPING its attrs — not fail the whole file
+    (ADVICE r8 low #3)."""
+    xs = np.array([10.25 + 0.5 * i for i in range(8)], dtype="<f8")
+    ys = np.array([50.0 - 0.25 * j for j in range(6)], dtype="<f8")
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    buf = hdf5_bytes(
+        {
+            "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+            "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+            "crs": (np.zeros((), dtype="<i4"), {"proj4": "eqc"}),
+            "t2m": (data, {"grid_mapping": "crs"}),
+        },
+        undef_addr={"crs"},
+    )
+    ds = parse_hdf5(buf)
+    assert ds["crs"]["data"] is None
+    assert ds["crs"]["attrs"]["proj4"] == "eqc"
+    np.testing.assert_array_equal(ds["t2m"]["data"], data)
+    area, var = load_cf_area_h5(buf)
+    assert var == "t2m" and area.crs == "eqc"
+
+
+def test_continuation_cycle_raises():
+    """A corrupt/adversarial header whose continuation message points
+    back at the message block must raise, not hang the executor
+    (ADVICE r8 low #2)."""
+    # v1 object header claiming 9 messages whose only real message is
+    # a continuation pointing at ITSELF
+    cont = struct.pack("<QQ", 112 + 16, 24)  # block addr = own block
+    oh = (
+        struct.pack("<BBHII", 1, 0, 9, 1, 24) + b"\x00" * 4
+        + struct.pack("<HHBBBB", 0x0010, 16, 0, 0, 0, 0) + cont
+    )
+    buf = bytearray(_cf_file())
+    addr = len(buf)
+    # splice: root OH addr in the superblock's symbol-table entry → oh
+    buf += b"\x00" * ((8 - len(buf) % 8) % 8)
+    addr = len(buf)
+    buf += oh
+    struct.pack_into("<Q", buf, 56 + 8, addr)
+    # the self-referencing block replays its own continuation forever
+    # without the guard; with it, a loud ValueError
+    cont2 = struct.pack("<QQ", addr + 16, 24)
+    buf[addr + 16 + 8:addr + 16 + 8 + 16] = cont2
+    with pytest.raises(ValueError, match="cycle|chain"):
+        parse_hdf5(bytes(buf))
+
+
+def _msg_v2(mtype: int, body: bytes) -> bytes:
+    return bytes([mtype]) + struct.pack("<H", len(body)) + b"\x00" + body
+
+
+def _ohdr_v2(messages: list) -> bytes:
+    """v2 object header, zero checksum — the reader must not VERIFY
+    checksums (it has no business rejecting files over a hash it
+    cannot repair); real writers put lookup3 there."""
+    block = b"".join(messages)
+    return (
+        b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(block))
+        + block + b"\x00" * 4
+    )
+
+
+def _link_msg(name: str, addr: int) -> bytes:
+    nb = name.encode()
+    return _msg_v2(
+        0x06, bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+    )
+
+
+def hdf5_bytes_v2(datasets, chunk=None, deflate=False, shuffle=False,
+                  ochk_attrs=False):
+    """HDF5 ≥1.8 ``libver`` v2 container, built independently of the
+    package writer: v2 superblock, v2 OHDR headers everywhere (root
+    group = hard-link messages; datasets = v2 headers with a
+    filter-pipeline-v2 message when filtered), v1 chunk B-trees
+    (the layout HDF5 1.8 emits under superblock v2 — 1.10's v4
+    layouts/new indexes stay out of subset). ``ochk_attrs`` moves each
+    dataset's attribute messages into an OCHK continuation block."""
+    names = sorted(datasets)
+    pieces, addr = {}, {}
+
+    def place(key, blob):
+        addr[key] = place.cursor
+        pieces[key] = blob
+        place.cursor += len(blob)
+    place.cursor = 48
+
+    chunk = chunk or {}
+    data_keys = {}
+    for n in names:
+        arr, attrs = datasets[n]
+        amsgs = [_msg_v2(0x0C, _attr_msg(k, v)) for k, v in attrs.items()]
+        if arr is None:
+            comp = np.asarray([0], dtype="<i4").tobytes()
+            msgs = [
+                _msg_v2(0x01, _ds_scalar()),
+                _msg_v2(0x03, _dt_fixed("<i4")),
+                _msg_v2(0x08, struct.pack("<BBH", 3, 0, len(comp)) + comp),
+            ]
+        else:
+            arr = np.ascontiguousarray(arr)
+            msgs = [
+                _msg_v2(0x01, _ds_simple(arr.shape)),
+                _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            ]
+            if n in chunk:
+                if deflate or shuffle:
+                    msgs.append(_msg_v2(0x0B, _filter_msg(
+                        deflate, shuffle, arr.dtype.itemsize,
+                        pipeline_v2=True,
+                    )))
+                cd = chunk[n]
+                lay = struct.pack("<BBB", 3, 2, len(cd) + 1)
+                lay += struct.pack("<Q", 0)  # patched
+                for c in cd:
+                    lay += struct.pack("<I", c)
+                lay += struct.pack("<I", arr.dtype.itemsize)
+                msgs.append(_msg_v2(0x08, lay))
+                data_keys[n] = ("btree", n)
+            else:
+                msgs.append(_msg_v2(0x08, struct.pack(
+                    "<BBQQ", 3, 1, 0, arr.nbytes  # patched
+                )))
+                data_keys[n] = ("data", n)
+        if ochk_attrs and amsgs:
+            # attrs live in a continuation block; the header carries
+            # the continuation message (addr/len patched after place)
+            msgs.append(_msg_v2(0x10, struct.pack("<QQ", 0, 0)))
+            place(("oh", n), _ohdr_v2(msgs))
+            blob = b"OCHK" + b"".join(amsgs) + b"\x00" * 4
+            place(("ochk", n), blob)
+        else:
+            place(("oh", n), _ohdr_v2(amsgs + msgs))
+
+    for n in names:
+        arr, attrs = datasets[n]
+        if arr is None:
+            continue
+        arr = np.ascontiguousarray(arr)
+        if n in chunk:
+            cd = chunk[n]
+            chunks = []
+            for r0 in range(0, arr.shape[0], cd[0]):
+                for c0 in range(0, arr.shape[1], cd[1]):
+                    block = np.zeros(cd, dtype=arr.dtype)
+                    rs = min(cd[0], arr.shape[0] - r0)
+                    cs = min(cd[1], arr.shape[1] - c0)
+                    block[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+                    raw = block.tobytes()
+                    if shuffle:
+                        raw = _shuffle_fwd(raw, arr.dtype.itemsize)
+                    if deflate:
+                        raw = zlib.compress(raw, 6)
+                    chunks.append(((r0, c0), raw))
+            for i, (off2, raw) in enumerate(chunks):
+                place(("chunk", n, i), raw)
+            bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunks))
+            bt += struct.pack("<QQ", UNDEF, UNDEF)
+            for i, ((r0, c0), raw) in enumerate(chunks):
+                bt += struct.pack("<II", len(raw), 0)
+                bt += struct.pack("<QQQ", r0, c0, 0)
+                bt += struct.pack("<Q", addr[("chunk", n, i)])
+            bt += struct.pack("<II", 0, 0)
+            bt += struct.pack("<QQQ", arr.shape[0], arr.shape[1], 0)
+            place(("btree", n), bt)
+        else:
+            place(("data", n), arr.tobytes())
+
+    place("root", _ohdr_v2(
+        [_link_msg(n, addr[("oh", n)]) for n in names]
+    ))
+    total = place.cursor
+
+    # patch layout addresses (+ continuation addr/len) into the OHDRs
+    for n in names:
+        arr, attrs = datasets[n]
+        oh = bytearray(pieces[("oh", n)])
+        off = 10  # OHDR(4) ver(1) flags(1) chunk0size(4)
+        end = len(oh) - 4
+        while off + 4 <= end:
+            mtype = oh[off]
+            msize = struct.unpack_from("<H", oh, off + 1)[0]
+            body = off + 4
+            if mtype == 0x08 and arr is not None and oh[body + 1] != 0:
+                if oh[body + 1] == 1:
+                    struct.pack_into("<Q", oh, body + 2,
+                                     addr[data_keys[n]])
+                elif oh[body + 1] == 2:
+                    struct.pack_into("<Q", oh, body + 3,
+                                     addr[data_keys[n]])
+            elif mtype == 0x10:
+                struct.pack_into(
+                    "<QQ", oh, body,
+                    addr[("ochk", n)], len(pieces[("ochk", n)]),
+                )
+            off = body + msize
+        pieces[("oh", n)] = bytes(oh)
+
+    sb = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
+    sb += struct.pack("<QQQQ", 0, UNDEF, total, addr["root"])
+    sb += b"\x00" * 4  # zero checksum: reader must tolerate
+    assert len(sb) == 48
+    out = bytearray(sb)
+    for key, a in sorted(addr.items(), key=lambda kv: kv[1]):
+        assert len(out) == a, (key, a, len(out))
+        out += pieces[key]
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ochk", [False, True])
+def test_superblock_v2_ohdr_links(ochk):
+    """The HDF5 ≥1.8 libver container: v2 superblock → root OHDR with
+    hard-link messages → v2 dataset headers (filter pipeline message
+    v2, shuffle+deflate chunks); ``ochk`` moves attrs into OCHK
+    continuation blocks."""
+    xs = np.array([10.25 + 0.5 * i for i in range(8)], dtype="<f8")
+    ys = np.array([50.0 - 0.25 * j for j in range(6)], dtype="<f8")
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    buf = hdf5_bytes_v2(
+        {
+            "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+            "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+            "crs": (None, {"proj4": "eqc"}),
+            "t2m": (data, {"grid_mapping": "crs", "units": "K"}),
+        },
+        chunk={"t2m": (4, 3)}, deflate=True, shuffle=True,
+        ochk_attrs=ochk,
+    )
+    ds = parse_hdf5(buf)
+    np.testing.assert_array_equal(ds["t2m"]["data"], data)
+    assert ds["t2m"]["attrs"]["units"] == "K"
+    assert ds["crs"]["attrs"]["proj4"] == "eqc"
+    area, var = load_cf_area_h5(buf)
+    assert var == "t2m" and area.crs == "eqc"
+    assert (area.width, area.height) == (8, 6)
+    assert area.area_extent == (10.0, 48.625, 14.0, 50.125)
+
+
+def test_dense_link_storage_rejected():
+    """A root OHDR with only a Link Info message (fractal-heap dense
+    storage) must raise the named NotImplementedError."""
+    # Link Info v0: flags 0, fractal heap addr, name index addr
+    li = _msg_v2(0x02, bytes([0, 0]) + struct.pack("<QQ", 4096, UNDEF))
+    root = _ohdr_v2([li])
+    sb = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
+    sb += struct.pack("<QQQQ", 0, UNDEF, 48 + len(root), 48)
+    sb += b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="dense"):
+        parse_hdf5(sb + root)
+
+
+def test_package_writer_v2_and_shuffle_cross_parse():
+    """The package-side writer's new knobs (superblock=2 root OHDR
+    with lookup3 checksums; shuffle+deflate pipeline; ≥64-chunk
+    multi-node B-trees per ADVICE r8) parse back through the reader,
+    and the multi-chunk index really does emit multiple TREE nodes."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = (np.arange(120 * 96, dtype="<f8").reshape(120, 96) % 251) / 4
+    xs = np.arange(96) + 0.5
+    ys = -(np.arange(120) + 0.5)
+    variables = {
+        "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+        "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "band": (data, {"grid_mapping": "crs"}),
+    }
+    for sb in (0, 2):
+        buf = hdf5_grid_bytes(
+            variables, chunks={"band": (8, 8)}, shuffle=True,
+            superblock=sb,
+        )
+        # 15×12 = 180 chunks → 3 leaves + 1 internal node (+ the v0
+        # group tree when sb=0)
+        assert buf.count(b"TREE") >= 4
+        ds = parse_hdf5(buf)
+        np.testing.assert_array_equal(ds["band"]["data"], data)
+        area, var = load_cf_area_h5(buf)
+        assert var == "band" and (area.width, area.height) == (96, 120)
+
+
+def test_h5py_reads_package_v2_output(tmp_path):
+    """The day h5py appears: libhdf5 itself must read the package
+    writer's v2-superblock shuffle+deflate output (checksums, node
+    sizing, link messages are then externally validated)."""
+    h5py = pytest.importorskip("h5py")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    for sb in (0, 2):
+        buf = hdf5_grid_bytes(
+            {"band": (data, {"grid_mapping": "crs"}),
+             "crs": (None, {"proj4": "eqc"})},
+            chunks={"band": (4, 3)}, shuffle=True, superblock=sb,
+        )
+        p = tmp_path / f"pkg_sb{sb}.h5"
+        p.write_bytes(buf)
+        with h5py.File(str(p), "r") as f:
+            np.testing.assert_array_equal(f["band"][...], data)
