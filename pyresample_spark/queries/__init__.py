@@ -63,91 +63,67 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# Names listed here are moved to the FRONT of the registry, in this order.
-# The per-round driver correctness gate checks the first 50 entries only
-# (observed rounds 1-7: CORRECTNESS_r0N.json == list(load_all())[:50]).
+# ROUND-10 WINDOW (VERDICT r9 item 1, carried from r8): the 48 queries
+# whose latest driver evidence is round 5, plus the 2 oldest-r6 rows
+# (q_scan_lineitem, q_grid_gen) to fill 50. Computed as
+# latest-round-per-query over CORRECTNESS_r0*.json, never-checked
+# first, then ascending round, registration order as tie-break.
 #
-# Round-8 window (VERDICT r7 item 1): the 7 queries with NO driver row
-# yet (all added late in round 7: the two native raster-ingest paths,
-# the per-channel gauss sigmas, the gradient/PQ LUT-reuse pair, the
-# incremental dedup probe, and IVF-PQ), then any queries newly added in
-# round 8, then ALL 38 remaining r4-latest rows, then oldest-r5 rows to
-# fill 50 (recompute with: latest-round-per-query over
-# CORRECTNESS_r0*.json, never-checked first, then ascending round,
-# registration order as tie-break).
-#
-# ROUND-9 WINDOW PLAN: after r8 lands, zero never-checked and zero
-# r4-latest rows remain; rotate any new round-9 queries first, then the
-# 48 remaining r5-latest rows
-# (q_optimal_bb q_ewa_ellipse q_regrid_omerc_exact q_multiband_resample
-#  q_overlap_rate q_geos_boundary q_events_session q_events_late
-#  q_distinct_agg q_json_extract q_events_sliding q_dedup_exact
-#  q_dedup_minhash q_dedup_simhash q_dedup_ngram_jaccard q_text_stats
-#  q_lang_id q_quality_score q_token_count q_fingerprint q_hash_split
-#  q_domain_quota q_seq_pack q_dedup_clusters q_unigram_logprob
-#  q_stratified_sample q_repetition_ratio q_decontaminate q_tfidf
-#  q_mix_weights q_pii_scrub q_vocab_stats q_bloom_filter q_cosine_topk
-#  q_dedup_embedding q_ann_ivf q_ann_lsh q_dedup_canonical
-#  q_multimodal_meta q_frame_sample q_ppm_decode q_wav_decode
-#  q_ppm_video q_star_join q_rollup_agg q_window_suite q_pivot
-#  q_grouping_sets),
-# then oldest-r6 rows to fill 50 (recompute: latest-round-per-query
-# over CORRECTNESS_r0*.json, never-checked first, ascending round).
+# ROUND-11 WINDOW PLAN: after r10 lands, rotate any new round-10
+# queries first, then the 48 remaining r6-latest rows, then oldest-r7
+# rows to fill 50 (recompute with the same latest-round-per-query
+# procedure).
 _PRIORITY = [
-    # -- never driver-checked (added post-window in r7) --
-    "q_raster_ingest",
-    "q_geotiff_ingest",
-    "q_gauss_multi_sigma",
-    "q_gradient_lut_reuse",
-    "q_dedup_incremental",
-    "q_pq_search_reuse",
-    "q_ivf_pq_search",
-    # -- new in round 8 --
-    "q_knn_approx",
-    "q_knn_approx_recall",
-    "q_hdf5_ingest",
-    # -- the 38 r4-latest rows (stale for 4 rounds) --
-    "q_proj_aea",
-    "q_proj_eqdc",
-    "q_proj_moll",
-    "q_proj_robin",
-    "q_proj_stere_oblique",
-    "q_vincenty",
-    "q_bucket_max",
-    "q_bucket_absmax",
-    "q_bucket_fractions",
-    "q_first_per_bin",
-    "q_coarsen_avg",
-    "q_domain_bounds",
-    "q_freeze_antimeridian",
-    "q_gauss_lut_reuse",
-    "q_resample_nearest_keyed",
-    "q_regrid_geos",
-    "q_regrid_lcc",
-    "q_proj_utm",
-    "q_regrid_utm",
-    "q_regrid_omerc",
-    "q_regrid_aea",
-    "q_regrid_eqdc",
-    "q_regrid_moll",
-    "q_regrid_robin",
-    "q_regrid_stere_oblique",
-    "q_union_swaths",
-    "q_enclose_areas",
-    "q_set_ops",
-    "q_nonoverlap_unions",
-    "q_swath_boundary",
-    "q_events_tumbling",
-    "q_sessionize_gap",
-    "q_quantile_bin",
-    "q_ngram_lm_ppl",
-    "q_near_dup_rank",
-    "q_minhash_jaccard_est",
-    "q_bpe_pairs",
-    "q_langid_confusion",
-    # -- oldest-r5 fills to reach 50 --
-    "q_proj_omerc",
-    "q_bilinear_lut_reuse",
+    "q_optimal_bb",
+    "q_ewa_ellipse",
+    "q_regrid_omerc_exact",
+    "q_multiband_resample",
+    "q_overlap_rate",
+    "q_geos_boundary",
+    "q_events_session",
+    "q_events_late",
+    "q_distinct_agg",
+    "q_json_extract",
+    "q_events_sliding",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_token_count",
+    "q_fingerprint",
+    "q_hash_split",
+    "q_domain_quota",
+    "q_seq_pack",
+    "q_dedup_clusters",
+    "q_unigram_logprob",
+    "q_stratified_sample",
+    "q_repetition_ratio",
+    "q_decontaminate",
+    "q_tfidf",
+    "q_mix_weights",
+    "q_pii_scrub",
+    "q_vocab_stats",
+    "q_bloom_filter",
+    "q_cosine_topk",
+    "q_dedup_embedding",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_dedup_canonical",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_ppm_decode",
+    "q_wav_decode",
+    "q_ppm_video",
+    "q_star_join",
+    "q_rollup_agg",
+    "q_window_suite",
+    "q_pivot",
+    "q_grouping_sets",
+    "q_scan_lineitem",
+    "q_grid_gen",
 ]
 
 def load_all() -> dict:
