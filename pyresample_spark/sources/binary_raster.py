@@ -771,15 +771,18 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     # (tag, type, count, inline value | None, external bytes | None);
     # strip offsets patched once blob addresses are known
     entries = [
-        (256, 3, 1, w, None),
-        (257, 3, 1, h, None),
+        # dims + rows-per-strip as LONG (type 4): SHORT caps at 65535
+        # and a 1×4M grid is within export_geotiff's max_cells guard
+        # (ADVICE r9); the TIFF spec allows either for 256/257/278
+        (256, 4, 1, w, None),
+        (257, 4, 1, h, None),
         (258, 3, 1, 64, None),
         (259, 3, 1, 8 if compress else 1, None),
         (262, 3, 1, 1, None),
         (273, 4, n_strips, "OFFS",
          None if n_strips == 1 else b"\x00" * 4 * n_strips),
         (277, 3, 1, 1, None),
-        (278, 3, 1, rps, None),
+        (278, 4, 1, rps, None),
         (279, 4, n_strips,
          len(strips[0]) if n_strips == 1 else None,
          None if n_strips == 1 else arr_u32([len(s) for s in strips])),

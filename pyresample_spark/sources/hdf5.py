@@ -635,6 +635,20 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 # unreadable to real consumers (ADVICE r8) — the writer splits instead.
 _BT_MAX_ENTRIES = 64
 
+# libhdf5 reads every v1 B-tree node at the FIXED size derived from
+# the tree's K — 24-byte header + (2K+1) keys + 2K child pointers —
+# regardless of how many entries are used, so a node emitted at
+# used-entries size near EOF makes libhdf5's read overflow the EOA
+# (ADVICE r9). The writer pads every node to the fixed size: chunk
+# trees use istore K=32 (the libhdf5 default the v0/v2 superblocks
+# leave in force), group trees internal K=16 with 8-byte heap-offset
+# keys → 24 + 33*8 + 32*8 = 544 bytes.
+_GROUP_BT_NODE_SIZE = 24 + (2 * 16 + 1) * 8 + 2 * 16 * 8
+
+
+def _chunk_bt_node_size(klen: int) -> int:
+    return 24 + (2 * 32 + 1) * klen + 2 * 32 * 8
+
 
 def _lookup3(data: bytes, initval: int = 0) -> int:
     """Bob Jenkins' lookup3 ``hashlittle`` (public domain) — the
@@ -805,13 +819,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         place("root", _w_header([_w_msg(0x0011, struct.pack("<QQ", 0, 0))]))
         place("heap_hdr", b"\x00" * 32)
         place("heap", heap)
-        place("btree", b"\x00" * 48)
+        place("btree", b"\x00" * _GROUP_BT_NODE_SIZE)
         snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names))
         for n in names:
             snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
         place("snod", snod)
 
-    filter_msg = b""
     if deflate or shuffle:
         fspecs = []
         if shuffle:  # pipeline order: shuffle THEN deflate
@@ -900,12 +913,14 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 ]
                 # node addresses are deterministic before placing (the
                 # cursor only moves by what we append), so sibling
-                # pointers can be written correctly in one pass
-                sizes = [24 + len(g) * (klen + 8) + klen for g in groups]
+                # pointers can be written correctly in one pass; every
+                # node is padded to libhdf5's fixed node size so a real
+                # consumer's fixed-size read never crosses EOF
+                node_size = _chunk_bt_node_size(klen)
                 addrs, a = [], pos["cursor"]
-                for s in sizes:
+                for _ in groups:
                     addrs.append(a)
-                    a += s
+                    a += node_size
                 nxt_entries = []
                 for gi, g in enumerate(groups):
                     left = addrs[gi - 1] if gi > 0 else _UNDEF
@@ -920,6 +935,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     for key, child in g:
                         bt += key + struct.pack("<Q", child)
                     bt += nxt_key
+                    bt += b"\x00" * (node_size - len(bt))
                     got = place(("btnode", n, level, gi), bt)
                     assert got == addrs[gi]
                     nxt_entries.append((g[0][0], addrs[gi]))
@@ -952,9 +968,10 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             return (b"HEAP" + bytes([0, 0, 0, 0])
                     + struct.pack("<QQQ", len(heap), _UNDEF, pos["heap"]))
         if key == "btree":
-            return (b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+            node = (b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
                     + struct.pack("<QQ", _UNDEF, _UNDEF)
                     + struct.pack("<QQQ", 0, pos["snod"], len(heap) - 1))
+            return node + b"\x00" * (_GROUP_BT_NODE_SIZE - len(node))
         if key == "snod":
             b = bytearray(blob)
             for i, n in enumerate(names):

@@ -899,6 +899,19 @@ def test_export_geotiff_crs_keys_and_multistrip():
     assert got.area_extent == (-4.0, 0.0, 0.5, 37.5)
 
 
+def test_export_geotiff_dimension_over_short_range():
+    """Tags 256/257/278 are written as LONG (ADVICE r9): a dimension
+    past SHORT's 65535 — legal under export_geotiff's max_cells guard
+    — must serialize and roundtrip, not die in struct.pack."""
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    arr = (np.arange(70_000, dtype="<f8") % 97).reshape(70_000, 1)
+    buf = geotiff_bytes(arr, 1.0, 1.0, 0.0, 70_000.0, compress=True)
+    t = parse_tiff(buf)
+    assert t[256][0] == 1 and t[257][0] == 70_000
+    np.testing.assert_array_equal(tiff_pixels(buf), arr)
+
+
 def test_rasterio_reads_export_geotiff(tmp_path):
     """The day rasterio appears: the exporter's output is externally
     validated (tags, DEFLATE strips, geokeys) against GDAL itself."""

@@ -830,3 +830,47 @@ def test_h5py_reads_package_v2_output(tmp_path):
         p.write_bytes(buf)
         with h5py.File(str(p), "r") as f:
             np.testing.assert_array_equal(f["band"][...], data)
+
+
+def test_writer_btree_nodes_fixed_size():
+    """libhdf5 reads every v1 B-tree node at the FIXED size derived
+    from the tree's K, not the used-entry size, so a short node near
+    EOF overflows the EOA and the open fails (ADVICE r9). Every TREE
+    node the writer emits must therefore start at least the fixed
+    node size before EOF: 544 bytes for the group tree (internal
+    K=16, 8-byte heap-offset keys), 24 + 65*klen + 512 for chunk
+    trees (istore K=32; klen = 8 + 8*(rank+1) for the chunk key)."""
+    from pyresample_spark.sources.hdf5 import (
+        _GROUP_BT_NODE_SIZE,
+        _chunk_bt_node_size,
+        hdf5_grid_bytes,
+    )
+
+    data = (np.arange(120 * 96, dtype="<f8").reshape(120, 96) % 251) / 4
+    variables = {
+        "x": (np.arange(96) + 0.5, {"CLASS": "DIMENSION_SCALE"}),
+        "y": (-(np.arange(120) + 0.5), {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "band": (data, {"grid_mapping": "crs"}),
+    }
+    chunk_node = _chunk_bt_node_size(8 + 8 * 3)  # rank-2 → 2616
+    assert chunk_node == 2616
+    for sb in (0, 2):
+        buf = hdf5_grid_bytes(
+            variables, chunks={"band": (8, 8)}, shuffle=True,
+            superblock=sb,
+        )
+        offs = []
+        i = buf.find(b"TREE")
+        while i != -1:
+            offs.append(i)
+            i = buf.find(b"TREE", i + 4)
+        assert len(offs) >= 4
+        for off in offs:
+            node_type, level = buf[off + 4], buf[off + 5]
+            size = (_GROUP_BT_NODE_SIZE if node_type == 0
+                    else chunk_node)
+            assert off + size <= len(buf), (
+                f"sb{sb}: type-{node_type} level-{level} node at "
+                f"{off} needs {size} bytes but EOF is {len(buf)}"
+            )
