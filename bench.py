@@ -49,6 +49,11 @@ HEADLINE = [
     # composition over the cached bucketed index (the production path).
     "q_pq_search",
     "q_ivf_pq_search",
+    # VERDICT r8/r9 item: the native HDF5 decode path (666 new lines
+    # across r8+r9) and the shift2 approximate-kNN tier need
+    # round-over-round cost tracking like every other headline plan.
+    "q_hdf5_ingest",
+    "q_knn_approx",
 ]
 
 # The original round-1 headline set, unchanged across rounds — its
