@@ -264,7 +264,15 @@ def _bilinear(
     radius_m: float = 100_000.0,
     value_col="value",
     key_col: str | None = None,
+    approx: bool = False,
 ):
+    """``approx=True`` routes the 32-NN candidate stage through the
+    shift2 approximate tier (duplicates collapse via collect_set
+    before the top-k slice) — the same epsilon-style knob as the
+    nearest/gauss facades; a target whose corner candidates straddle
+    both shifted grids' walls may solve from a slightly different
+    quadrant pick or drop out, so measure with the
+    q_knn_approx_recall pattern before shipping results."""
     from pyresample_spark.operators.bilinear_irregular import bilinear_irregular
 
     src = _src_keyed(img, key_col)
@@ -272,6 +280,7 @@ def _bilinear(
         src.select("src_id", "lon", "lat", F.col(value_col).alias("value")),
         _tgt_points(img.df.sparkSession, target),
         radius_m,
+        neighbor_scheme="shift2" if approx else "c27",
     )
     return out.select(
         F.col("tgt_id").alias("cell_id"),

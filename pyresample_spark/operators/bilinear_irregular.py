@@ -399,6 +399,7 @@ def bilinear_irregular(
     tgt: DataFrame,
     radius_m: float,
     k: int = 16,
+    neighbor_scheme: str = "c27",
 ) -> DataFrame:
     """src: (src_id, lon, lat, value); tgt: (tgt_id, lon, lat) →
     (tgt_id, 4 corner ids, t, s, bilinear_value).
@@ -421,7 +422,16 @@ def bilinear_irregular(
     riding every 27×-exploded probe row and candidate pair — 16 fewer
     bytes on the widest exchanges for one cheap equi-join of rows the
     agg is already partitioned by. Measured at sf0.1: 1.81 → 1.63 s
-    median, identical rows (round 8 A/B)."""
+    median, identical rows (round 8 A/B).
+
+    ``neighbor_scheme`` passes through to the shared cell join
+    (:func:`~pyresample_spark.operators.knn._radius_pairs`):
+    ``"shift2"`` is the APPROXIMATE tier (own-cell probe on two
+    half-shifted coarse grids — a distant corner candidate can be
+    missed when a pair straddles both grids' walls); its duplicate
+    candidate pairs collapse via ``collect_set`` before the top-k
+    slice, the same dedup idiom as ``knn_join``'s shift2 path, so
+    duplicates never consume top-k slots."""
     c = chord_length(radius_m)
     src2 = src.select(
         "src_id", "lon", "lat",
@@ -433,11 +443,13 @@ def bilinear_irregular(
     pairs = _radius_pairs(
         src2, tgt2, c,
         extra_src_cols=("s_lon", "s_lat", "value"),
+        neighbor_scheme=neighbor_scheme,
     )
+    collect = F.collect_set if neighbor_scheme == "shift2" else F.collect_list
     g0 = pairs.groupBy("tgt_id").agg(
         F.slice(
             F.array_sort(
-                F.collect_list(
+                collect(
                     F.struct("dist_mm", "src_id", "s_lon", "s_lat", "value")
                 )
             ),
