@@ -22,10 +22,11 @@ CF grids:
 - data layout v3: contiguous (an UNDEFINED data address — netcdf-c's
   late allocation for never-written variables — parses as a dataless
   variable keeping its attrs), and chunked (v1 B-tree node type 1,
-  internal + leaf levels) with the deflate (id 1, stdlib zlib) and
-  shuffle (id 2, pure byte de-interleave) filters in either pipeline
+  internal + leaf levels) with the deflate (id 1, stdlib zlib),
+  shuffle (id 2, pure byte de-interleave) and fletcher32 (id 3,
+  verify-and-strip checksum) filters in either pipeline
   message version — ``deflate+shuffle`` is netcdf-c's canonical
-  compression recipe,
+  compression recipe and fletcher32 its one-flag integrity option,
 - netCDF4 convention attrs (``DIMENSION_LIST`` is a vlen-reference
   attribute needing the global heap; it is skipped and coordinate
   variables are matched by name+shape instead, which is exactly the
@@ -334,6 +335,28 @@ def _unshuffle(raw: bytes, itemsize: int) -> bytes:
     return out + raw[body:]
 
 
+def _fletcher32(data: bytes) -> int:
+    """HDF5's fletcher-32 checksum (filter id 3 — the one-flag
+    netcdf-c integrity option): 16-bit words built BIG-endian from
+    byte pairs (odd tail = last byte << 8, per the library's
+    H5_checksum_fletcher32 behavior), running sums reduced mod 65535,
+    checksum = (sum2 << 16) | sum1. Vectorized: sum2 over the word
+    stream equals Σ (n−i)·wᵢ, so both sums are two dot products."""
+    n2 = len(data) // 2 * 2
+    words = np.frombuffer(data[:n2], dtype=">u2").astype(np.uint64)
+    if len(data) & 1:
+        words = np.concatenate(
+            [words, np.array([data[-1] << 8], dtype=np.uint64)]
+        )
+    n = len(words)
+    if n == 0:
+        return 0
+    sum1 = int(words.sum()) % 65535
+    weights = np.arange(n, 0, -1, dtype=np.uint64)
+    sum2 = int((words * weights).sum()) % 65535
+    return (sum2 << 16) | sum1
+
+
 def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
     """Undo the filter pipeline in reverse write order. The key's
     filter mask marks PER-CHUNK skipped filters by pipeline index (an
@@ -347,6 +370,19 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
             raw = zlib.decompress(raw)
         elif fid == 2:
             raw = _unshuffle(raw, itemsize)
+        elif fid == 3:
+            # verify-and-strip: the filter appends the 4-byte checksum
+            # little-endian; a mismatch means the chunk is corrupt and
+            # silent ingestion would poison everything downstream
+            stored = struct.unpack_from("<I", raw, len(raw) - 4)[0]
+            body = raw[:-4]
+            got = _fletcher32(body)
+            if got != stored:
+                raise ValueError(
+                    f"fletcher32 checksum mismatch: stored {stored:#x}, "
+                    f"computed {got:#x} — corrupt HDF5 chunk"
+                )
+            raw = body
         else:  # unreachable: the pipeline parse rejects unknown ids
             raise NotImplementedError(f"HDF5 filter {fid}")
     return raw
@@ -491,12 +527,12 @@ def parse_hdf5(buf: bytes) -> dict:
                         raise NotImplementedError(
                             f"filter pipeline version {ver}"
                         )
-                unknown = set(filters) - {1, 2}
+                unknown = set(filters) - {1, 2, 3}
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
-                        "(deflate=1 and shuffle=2 decode natively; "
-                        "szip and friends need the libs)"
+                        "(deflate=1, shuffle=2 and fletcher32=3 decode "
+                        "natively; szip and friends need the libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -780,13 +816,15 @@ def _w_ohdr_v2(msgs: list) -> bytes:
 
 def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     deflate: bool = True, shuffle: bool = False,
+                    fletcher32: bool = False,
                     superblock: int = 0) -> bytes:
     """Write {name: (array | None, {str attr: str})} as a flat root
     group (None array → dataless i4 container for grid-mapping vars).
     ``chunks``: {name: (cr, cc)} switches a 2-D variable to the
     chunked layout (deflate-compressed when ``deflate``, byte-shuffled
     first when ``shuffle`` — ``shuffle+deflate`` is netcdf-c's
-    canonical compression recipe). Chunk indexes split into ≤64-entry
+    canonical compression recipe; ``fletcher32`` prepends the
+    checksum filter at netcdf-c's pipeline position 0). Chunk indexes split into ≤64-entry
     B-tree nodes under internal nodes, matching libhdf5's istore-K
     node capacity, so many-chunk exports stay readable by real
     consumers (ADVICE r8). ``superblock=2`` writes the HDF5 ≥1.10
@@ -825,8 +863,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
         place("snod", snod)
 
-    if deflate or shuffle:
+    if deflate or shuffle or fletcher32:
         fspecs = []
+        if fletcher32:
+            # netcdf-c pipeline position 0: the checksum is appended
+            # to the RAW chunk, then rides shuffle/deflate like data
+            fspecs.append((3, 0, []))
         if shuffle:  # pipeline order: shuffle THEN deflate
             fspecs.append((2, 0, [0]))  # cd value patched per-var below
         if deflate:
@@ -865,7 +907,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         ]
         if n in chunks:
             cr, cc = chunks[n]
-            if deflate or shuffle:
+            if deflate or shuffle or fletcher32:
                 msgs.append(_w_msg(0x000B, _w_filters(arr.dtype.itemsize)))
             blobs = []
             for r0 in range(0, arr.shape[0], cr):
@@ -875,6 +917,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     cs = min(cc, arr.shape[1] - c0)
                     blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
                     raw = blk.tobytes()
+                    if fletcher32:
+                        raw += struct.pack("<I", _fletcher32(raw))
                     if shuffle:
                         raw = _shuffle_bytes(raw, arr.dtype.itemsize)
                     blobs.append(((r0, c0), zlib.compress(raw, 6)

@@ -876,11 +876,11 @@ def test_export_geotiff_crs_keys_and_multistrip():
         geotiff_bytes,
     )
 
-    utm = _crs_to_geokeys("+proj=utm +zone=33 +ellps=WGS84")
+    utm, _ = _crs_to_geokeys("+proj=utm +zone=33 +ellps=WGS84")
     assert utm[4:8] == [1024, 0, 1, 1] and 32633 in utm
-    south = _crs_to_geokeys("+proj=utm +zone=7 +south +ellps=WGS84")
+    south, _ = _crs_to_geokeys("+proj=utm +zone=7 +south +ellps=WGS84")
     assert 32707 in south
-    assert 3857 in _crs_to_geokeys("webmerc")
+    assert 3857 in _crs_to_geokeys("webmerc")[0]
     with pytest.raises(ValueError, match="cannot encode CRS"):
         _crs_to_geokeys("eqc")
     with pytest.raises(ValueError, match="cannot encode CRS"):
@@ -897,6 +897,70 @@ def test_export_geotiff_crs_keys_and_multistrip():
     got = area_from_geotiff(buf)
     assert got.crs == "+proj=utm +zone=33 +ellps=WGS84"
     assert got.area_extent == (-4.0, 0.0, 0.5, 37.5)
+
+
+def test_geotiff_writer_dtype_roundtrip():
+    """float32/int16/uint16/int32 sample formats (VERDICT r9 item 6):
+    the writer preserves the array dtype and the engine's own reader
+    decodes it back exactly; unsupported dtypes cast to float64."""
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.normal(size=(70, 9)).astype("<f4"), 32, 3),
+        ((rng.integers(-30000, 30000, size=(70, 9))).astype("<i2"), 16, 2),
+        ((rng.integers(0, 60000, size=(70, 9))).astype("<u2"), 16, 1),
+        ((rng.integers(-2**30, 2**30, size=(70, 9))).astype("<i4"), 32, 2),
+    ]
+    for arr, bits, fmt in cases:
+        for compress in (False, True):
+            buf = geotiff_bytes(arr, 0.5, 0.25, -4.0, 17.5,
+                                compress=compress)
+            t = parse_tiff(buf)
+            assert t[258][0] == bits and t[339][0] == fmt
+            np.testing.assert_array_equal(tiff_pixels(buf), arr)
+    # bool has no TIFF sample layout in the writer's set → float64
+    buf = geotiff_bytes(np.eye(4, dtype=bool), 1.0, 1.0, 0.0, 4.0)
+    t = parse_tiff(buf)
+    assert t[258][0] == 64 and t[339][0] == 3
+
+
+def test_geotiff_user_defined_projection_roundtrip():
+    """LAEA and stereographic grids — the engine's bread-and-butter
+    targets, previously unencodable (VERDICT r9 item 6) — roundtrip
+    through user-defined projection geokeys (ProjectedCSType 32767 +
+    ProjCoordTrans + GeoDoubleParams) and decode back to the
+    canonical proj string through the engine's own reader."""
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    arr = np.arange(12, dtype="<f8").reshape(3, 4)
+    cases = [
+        # (input crs, canonical reader output)
+        ("+proj=laea +lat_0=-90", "+proj=laea +lat_0=-90"),
+        ("+proj=laea +lat_0=52 +lon_0=10", "+proj=laea +lat_0=52 +lon_0=10"),
+        # EASE-style explicit sphere radius survives at full precision
+        ("+proj=laea +lat_0=90 +a=6371228",
+         "+proj=laea +lat_0=90 +a=6371228"),
+        ("+proj=stere +lat_0=-90 +lat_ts=-70",
+         "+proj=stere +lat_0=-90 +lat_ts=-70"),
+        ("+proj=stere +lat_0=90.0 +k=0.994 +lon_0=0.0",
+         "+proj=stere +lat_0=90 +k_0=0.994"),
+        ("+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999",
+         "+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9999"),
+        ("+proj=stere +ellps=WGS84 +lat_0=90.0 +lat_ts=60.0 +lon_0=0.0",
+         "+proj=stere +lat_0=90 +lat_ts=60 +ellps=WGS84"),
+    ]
+    for crs_in, crs_out in cases:
+        buf = geotiff_bytes(arr, 1000.0, 1000.0, -2000.0, 1500.0,
+                            crs=crs_in)
+        got = area_from_geotiff(buf, "t")
+        assert got.crs == crs_out, (crs_in, got.crs)
+        assert got.area_extent == (-2000.0, -1500.0, 2000.0, 1500.0)
+        np.testing.assert_array_equal(tiff_pixels(buf), arr)
+    # ellipsoidal non-WGS84 stere still refuses loudly
+    with pytest.raises(ValueError, match="cannot encode CRS"):
+        geotiff_bytes(arr, 1, 1, 0, 3,
+                      crs="+proj=stere +lat_0=52 +ellps=bessel")
 
 
 def test_export_geotiff_dimension_over_short_range():

@@ -832,6 +832,66 @@ def test_h5py_reads_package_v2_output(tmp_path):
             np.testing.assert_array_equal(f["band"][...], data)
 
 
+def test_fletcher32_roundtrip_and_corruption():
+    """Native fletcher32 filter (id 3, VERDICT r9 item 7): the
+    netcdf-c one-flag checksum option roundtrips through the package
+    writer/reader in every pipeline combination, and a flipped data
+    byte is DETECTED, not silently ingested."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = (np.arange(40 * 24, dtype="<f8").reshape(40, 24) % 83) / 8
+    variables = {
+        "band": (data, {"grid_mapping": "crs"}),
+        "crs": (None, {"proj4": "eqc"}),
+    }
+    for shuffle in (False, True):
+        for deflate in (False, True):
+            buf = hdf5_grid_bytes(
+                variables, chunks={"band": (16, 16)},
+                deflate=deflate, shuffle=shuffle, fletcher32=True,
+            )
+            ds = parse_hdf5(buf)
+            np.testing.assert_array_equal(ds["band"]["data"], data)
+    # corruption: flip one byte inside an UNCOMPRESSED checksummed
+    # chunk (deflate off so the flip reaches the checksum check
+    # instead of dying in zlib)
+    buf = bytearray(hdf5_grid_bytes(
+        variables, chunks={"band": (16, 16)},
+        deflate=False, shuffle=False, fletcher32=True,
+    ))
+    payload = data[:16, :16].astype("<f8").tobytes()
+    off = bytes(buf).find(payload)
+    assert off > 0
+    buf[off + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
+        parse_hdf5(bytes(buf))
+
+
+def test_h5py_fletcher32_cross_validation(tmp_path):
+    """The day h5py appears: libhdf5's own fletcher32 output must
+    decode through the native reader (word construction and byte
+    order externally validated), and the package writer's output must
+    read back through libhdf5."""
+    h5py = pytest.importorskip("h5py")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    p = tmp_path / "f32.h5"
+    with h5py.File(str(p), "w") as f:
+        f.create_dataset("band", data=data, chunks=(4, 3),
+                         fletcher32=True)
+    ds = parse_hdf5(p.read_bytes())
+    np.testing.assert_array_equal(ds["band"]["data"], data)
+    buf = hdf5_grid_bytes(
+        {"band": (data, {})}, chunks={"band": (4, 3)},
+        deflate=True, shuffle=True, fletcher32=True,
+    )
+    q = tmp_path / "pkg_f32.h5"
+    q.write_bytes(buf)
+    with h5py.File(str(q), "r") as f:
+        np.testing.assert_array_equal(f["band"][...], data)
+
+
 def test_writer_btree_nodes_fixed_size():
     """libhdf5 reads every v1 B-tree node at the FIXED size derived
     from the tree's K, not the used-entry size, so a short node near
