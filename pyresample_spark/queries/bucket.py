@@ -193,13 +193,28 @@ def q_bucket_max(spark, sf_dir):
 def q_bucket_absmax(spark, sf_dir):
     """Bucket get_abs_max: signed value of max |v| (bucket/__init__.py:
     334-372); values shifted by -100 upstream of this query would add
-    negatives — here raw values exercise the max_by path."""
+    negatives. max_by over a (|v|, v) struct key planned a
+    SortAggregate (struct keys have no mutable hash-agg buffer —
+    EXPLAINS r10 flag), so the tie-break folds into two primitive
+    maxes instead: the max |v| plus the max NON-NEGATIVE value; the
+    signed answer is +a when a non-negative value attains |v| = a
+    (the "v DESC" tie preference), else -a. One HashAggregate with
+    map-side partials."""
     r = _assigned(spark, sf_dir)
     v = F.col("value")
-    return (
+    agg = (
         r.assigned.filter(v.isNotNull())
         .groupBy("cell_id")
-        .agg(F.max_by(v, F.struct(F.abs(v), v)).alias("absmax_value"))
+        .agg(
+            F.max(F.abs(v)).alias("a"),
+            F.max(F.when(v >= 0, v)).alias("p"),
+        )
+    )
+    return agg.select(
+        "cell_id",
+        F.when(F.col("p") == F.col("a"), F.col("a"))
+        .otherwise(-F.col("a"))
+        .alias("absmax_value"),
     )
 
 

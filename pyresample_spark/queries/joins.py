@@ -165,8 +165,12 @@ def q_nn_gather(spark, sf_dir):
     src_vals = _src(spark, sf_dir).select("src_id", "value")
     nn_v = nn.join(F.broadcast(src_vals), "src_id", "left")
     grid = KNN_AREA.grid(spark).select("cell_id")
+    # shuffle_hash on the values side: the fill join would otherwise
+    # plan SortMergeJoin and sort BOTH sides (EXPLAINS r10 flag);
+    # hash-building on the ≤1-row-per-cell matched side needs no sort
+    # at any grid scale, and AQE still broadcasts it when truly small
     return grid.join(
-        nn_v.select("tgt_id", "src_id", "value"),
+        nn_v.select("tgt_id", "src_id", "value").hint("shuffle_hash"),
         grid.cell_id == nn_v.tgt_id,
         "left",
     ).select(

@@ -388,7 +388,11 @@ def q_ann_recall(spark, sf_dir):
     ).select("probe_id", "vec_id", F.lit(1).alias("hit"))
 
     return (
-        exact.join(approx, ["probe_id", "vec_id"], "left")
+        # shuffle_hash: both sides are k rows per probe; SortMergeJoin
+        # would sort each for no benefit (EXPLAINS r10 flag) — hash-
+        # build the approx side, which stays legal for the left join
+        exact.join(approx.hint("shuffle_hash"),
+                   ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),

@@ -1275,7 +1275,10 @@ def q_countmin(spark, sf_dir):
         probes.withColumn("h0", h)
         .crossJoin(sdf)
         .select("word", "j", F.expr("(h0 ^ c) % 64").alias("bucket"))
-        .join(cells, ["j", "bucket"])
+        # the sketch is ≤ d·w = 256 rows BY CONSTRUCTION — broadcast
+        # it instead of letting the lookup plan a SortMergeJoin
+        # (EXPLAINS r10 flag)
+        .join(F.broadcast(cells), ["j", "bucket"])
         .groupBy("word")
         .agg(F.min("cnt").alias("est_cnt"))
     )

@@ -246,19 +246,44 @@ def main():
     out.append("</details>")
     out.append("")
 
+    # Full-registry flag sweep (VERDICT r8 item 7 / r9 item 5): every
+    # registered query's formatted plan is audited; the curated
+    # sections above keep full plan dumps, the sweep records the flag
+    # count for ALL queries so no plan escapes the audit.
+    out.append("## Full-registry flag sweep")
+    out.append("")
+    out.append(
+        "Every query in the registry, audited with the same patterns; "
+        "`!!` notes listed inline, clean queries only counted."
+    )
+    out.append("")
+    flagged, clean = [], []
+    for name, spec in registry.items():
+        df = spec.builder(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        flags = [n for n in audit_plan(name, plan) if n.startswith("!!")]
+        if flags:
+            flagged.append((name, flags))
+        else:
+            clean.append(name)
+        print(name, "OK" if not flags else f"FLAGS: {flags}", flush=True)
+    out.append(
+        f"- **{len(registry)} queries audited: "
+        f"{len(flagged)} flagged, {len(clean)} clean.**"
+    )
+    for name, flags in flagged:
+        for fl in flags:
+            out.append(f"- `{name}`: {fl}")
+    out.append("")
+
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EXPLAINS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
     print(f"wrote {path}")
-    # terse console summary
-    for name in HEADLINE:
-        df = registry[name].builder(spark, SF)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        flags = [n for n in audit_plan(name, plan) if n.startswith("!!")]
-        print(name, "OK" if not flags else f"FLAGS: {flags}")
+    print(f"sweep: {len(registry)} audited, {len(flagged)} flagged")
 
 
 if __name__ == "__main__":
