@@ -13,10 +13,14 @@ CF grids:
 - version-1 object headers (+ continuation blocks) AND version-2
   ``OHDR`` headers (+ ``OCHK`` continuation blocks; checksums are not
   verified — integrity errors surface as loud structural failures),
-- root/group listing through BOTH group flavors: old-style symbol
-  tables (v1 B-tree node type 0 → SNOD symbol nodes → local heap
-  names) and new-style compact groups (hard-link messages in the
-  header; DENSE fractal-heap link storage is detected and rejected),
+- root/group listing through ALL THREE group flavors: old-style
+  symbol tables (v1 B-tree node type 0 → SNOD symbol nodes → local
+  heap names), new-style compact groups (hard-link messages in the
+  header) AND new-style DENSE groups (Link Info → fractal heap
+  ``FRHP``/``FHDB``/``FHIB`` managed objects indexed by a depth-0
+  name v2 B-tree ``BTHD``/``BTLF`` — what libhdf5 emits for
+  libver=latest groups past the compact threshold; filtered heaps,
+  huge/tiny heap IDs and deeper B-trees raise loudly),
 - dataspace (v1 + v2 simple), datatype classes fixed-point / IEEE
   float / fixed string, attribute messages v1 + v3 with inline data,
 - data layout v3: contiguous (an UNDEFINED data address — netcdf-c's
@@ -223,6 +227,158 @@ def _parse_link(body: bytes):
             "the subset)"
         )
     return name, struct.unpack_from("<Q", body, off)[0]
+
+
+def _fractal_heap_fetch(r: _R, frhp_addr: int):
+    """Fractal heap header (``FRHP``) → ``fetch(heap_id) -> bytes``
+    for MANAGED objects — the storage behind dense (new-style) group
+    links (HDF5 spec III.G). Subset: unfiltered heaps; root either a
+    single direct block (``FHDB``) or one level of indirect block
+    (``FHIB``) whose children are all direct — i.e. every heap a
+    link index realistically produces (the doubling table reaches
+    megabytes of names before a second indirect level exists).
+    Checksums are not verified, matching the OHDR/superblock
+    precedent; structural inconsistencies raise."""
+    if r.b[frhp_addr:frhp_addr + 4] != b"FRHP":
+        raise ValueError("bad fractal heap signature")
+    if r.b[frhp_addr + 4] != 0:
+        raise NotImplementedError(
+            f"fractal heap version {r.b[frhp_addr + 4]}"
+        )
+    id_len = r.u(frhp_addr + 5, 2)
+    io_filter_len = r.u(frhp_addr + 7, 2)
+    if io_filter_len:
+        raise NotImplementedError(
+            "filtered fractal heap (I/O filters on a link heap are "
+            "outside the subset)"
+        )
+    flags = r.b[frhp_addr + 9]
+    managed_space = r.u(frhp_addr + 46, 8)
+    table_width = r.u(frhp_addr + 110, 2)
+    start_size = r.u(frhp_addr + 112, 8)
+    max_direct = r.u(frhp_addr + 120, 8)
+    max_heap_bits = r.u(frhp_addr + 128, 2)
+    root_addr = r.u(frhp_addr + 132, 8)
+    cur_rows = r.u(frhp_addr + 140, 2)
+    off_size = (max_heap_bits + 7) // 8
+    len_size = id_len - 1 - off_size
+    if len_size <= 0 or table_width == 0 or start_size == 0:
+        raise ValueError("inconsistent fractal heap header")
+    # direct block header: sig(4) ver(1) heap-hdr addr(8) block
+    # offset (off_size) [+ checksum(4) when flags bit 1]
+    dblk_hdr = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+    # doubling table: rows 0 and 1 hold width blocks of start_size;
+    # row k ≥ 2 holds width blocks of start_size · 2^(k-1)
+    max_direct_rows = (
+        (max_direct // start_size).bit_length() + 1
+        if max_direct >= start_size else 1
+    )
+
+    def row_size(row: int) -> int:
+        return start_size if row < 2 else start_size << (row - 1)
+
+    def locate(heap_off: int):
+        """heap-space offset → (file addr of containing direct block,
+        that block's heap-space offset)."""
+        if cur_rows == 0:
+            # root IS a single direct block; its size is implicit —
+            # with one block, managed space equals the block size
+            if heap_off >= managed_space:
+                raise ValueError("heap offset beyond root direct block")
+            return root_addr, 0
+        if r.b[root_addr:root_addr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        row, row_start = 0, 0
+        while heap_off >= row_start + table_width * row_size(row):
+            row_start += table_width * row_size(row)
+            row += 1
+            if row >= cur_rows:
+                raise ValueError("heap offset beyond indirect block rows")
+        if row >= max_direct_rows:
+            raise NotImplementedError(
+                "second-level indirect fractal heap blocks are outside "
+                "the subset (link heap over the direct-row capacity)"
+            )
+        col = (heap_off - row_start) // row_size(row)
+        entry = root_addr + 4 + 1 + 8 + off_size + (row * table_width
+                                                    + col) * 8
+        child = r.u(entry, 8)
+        if child == 0xFFFFFFFFFFFFFFFF:
+            raise ValueError("heap offset in an unallocated block")
+        return child, row_start + col * row_size(row)
+
+    def fetch(heap_id: bytes) -> bytes:
+        idf = heap_id[0]
+        if (idf >> 4) & 0x3 != 0:
+            raise NotImplementedError(
+                "huge/tiny fractal-heap object IDs are outside the "
+                "subset (link records are always managed)"
+            )
+        heap_off = int.from_bytes(heap_id[1:1 + off_size], "little")
+        nbytes = int.from_bytes(
+            heap_id[1 + off_size:1 + off_size + len_size], "little"
+        )
+        blk_addr, blk_off = locate(heap_off)
+        if r.b[blk_addr:blk_addr + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block signature")
+        # the heap's address space includes each block's own header
+        p = blk_addr + (heap_off - blk_off)
+        return r.b[p:p + nbytes]
+
+    # silence the unused-variable linters: dblk_hdr documents the
+    # layout; offsets are header-inclusive so it never shifts reads
+    del dblk_hdr
+    return fetch
+
+
+def _btree_v2_records(r: _R, bthd_addr: int):
+    """v2 B-tree (``BTHD``) → iterator of raw record bytes. Subset:
+    depth-0 trees (root is a single ``BTLF`` leaf) — a dense-group
+    link-name index only grows internal nodes at thousands of links;
+    deeper trees raise loudly rather than decode partially."""
+    if r.b[bthd_addr:bthd_addr + 4] != b"BTHD":
+        raise ValueError("bad v2 B-tree header signature")
+    if r.b[bthd_addr + 4] != 0:
+        raise NotImplementedError(
+            f"v2 B-tree version {r.b[bthd_addr + 4]}"
+        )
+    rec_size = r.u(bthd_addr + 10, 2)
+    depth = r.u(bthd_addr + 12, 2)
+    root_addr = r.u(bthd_addr + 16, 8)
+    root_nrec = r.u(bthd_addr + 24, 2)
+    if depth != 0:
+        raise NotImplementedError(
+            f"v2 B-tree depth {depth} (depth-0 link indexes decode "
+            "natively; thousands-of-links groups need the libs)"
+        )
+    if r.b[root_addr:root_addr + 4] != b"BTLF":
+        raise ValueError("bad v2 B-tree leaf signature")
+    p = root_addr + 6
+    for _ in range(root_nrec):
+        yield r.b[p:p + rec_size]
+        p += rec_size
+
+
+def _walk_dense_links(r: _R, li_body: bytes):
+    """Link Info message (0x0002) with dense storage → [(name, object
+    header address)]: records from the name-index v2 B-tree (type 5:
+    4-byte name hash + fractal-heap ID) resolve through the fractal
+    heap to serialized Link messages."""
+    if li_body[0] != 0:
+        raise NotImplementedError(
+            f"link info message version {li_body[0]}"
+        )
+    flags = li_body[1]
+    off = 2 + (8 if flags & 0x01 else 0)
+    fheap_addr = struct.unpack_from("<Q", li_body, off)[0]
+    name_bt_addr = struct.unpack_from("<Q", li_body, off + 8)[0]
+    if fheap_addr == 0xFFFFFFFFFFFFFFFF:
+        return []  # empty group: dense storage never allocated
+    fetch = _fractal_heap_fetch(r, fheap_addr)
+    out = []
+    for rec in _btree_v2_records(r, name_bt_addr):
+        out.append(_parse_link(fetch(rec[4:])))
+    return out
 
 
 def _parse_attr(body: bytes):
@@ -471,14 +627,14 @@ def parse_hdf5(buf: bytes) -> dict:
     else:  # new-style group: hard-link messages in the header
         entries = [_parse_link(b) for t, b in msgs if t == 0x0006]
         if not entries:
-            if any(t == 0x0002 for t, _ in msgs):  # Link Info present
+            li = next((b for t, b in msgs if t == 0x0002), None)
+            if li is not None:  # dense (fractal-heap) link storage
+                entries = _walk_dense_links(r, li)
+            else:
                 raise NotImplementedError(
-                    "dense (fractal-heap) link storage is outside the "
-                    "subset — groups this large are not CF granules"
+                    "root group has neither a symbol table nor link "
+                    "messages nor link info"
                 )
-            raise NotImplementedError(
-                "root group has neither a symbol table nor link messages"
-            )
     out = {}
     for name, oh in entries:
         vmsgs = _parse_messages(r, oh)
@@ -817,7 +973,8 @@ def _w_ohdr_v2(msgs: list) -> bytes:
 def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     deflate: bool = True, shuffle: bool = False,
                     fletcher32: bool = False,
-                    superblock: int = 0) -> bytes:
+                    superblock: int = 0,
+                    dense_links: bool = False) -> bytes:
     """Write {name: (array | None, {str attr: str})} as a flat root
     group (None array → dataless i4 container for grid-mapping vars).
     ``chunks``: {name: (cr, cc)} switches a 2-D variable to the
@@ -833,6 +990,9 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     datasets themselves kept as v1 headers (spec-legal mix)."""
     if superblock not in (0, 2):
         raise ValueError(f"superblock must be 0 or 2, got {superblock}")
+    if dense_links and superblock != 2:
+        raise ValueError("dense_links requires superblock=2 (new-style "
+                         "groups)")
     chunks = chunks or {}
     names = sorted(variables)
 
@@ -994,7 +1154,120 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             )
             place(("data", n), arr2.tobytes())
 
-    if superblock == 2:
+    if superblock == 2 and dense_links:
+        # dense (new-style) link storage: serialized link messages in
+        # a fractal heap, indexed by a name v2 B-tree — what libhdf5
+        # emits for libver=latest groups past the compact threshold.
+        # Parameters mirror libhdf5's group-heap defaults in shape
+        # (doubling table width 4); start block 512 so multi-block
+        # heaps (root FHIB + several FHDB children) are exercised at
+        # fixture sizes, not just at thousands of links.
+        W, S, MAXD, HBITS = 4, 512, 65536, 32
+        off_size = HBITS // 8                      # 4
+        len_size = (MAXD.bit_length() + 7) // 8    # 3
+        dblk_hdr = 4 + 1 + 8 + off_size            # flags=0: no cksum
+        link_bodies = [_w_link(n, pos[("oh", n)]) for n in names]
+
+        def blk_size(i):
+            row = i // W
+            return S if row < 2 else S << (row - 1)
+
+        # greedy pack: heap offsets INCLUDE block headers (spec);
+        # an object never spans blocks
+        blocks: list[list] = [[]]   # per block: [(heap_off, body)]
+        blk_starts = [0]
+        used = dblk_hdr
+        ids = []
+        for body in link_bodies:
+            if len(body) > blk_size(len(blocks) - 1) - dblk_hdr:
+                raise ValueError("link message larger than a heap block")
+            if used + len(body) > blk_size(len(blocks) - 1):
+                blk_starts.append(
+                    blk_starts[-1] + blk_size(len(blocks) - 1)
+                )
+                blocks.append([])
+                used = dblk_hdr
+            heap_off = blk_starts[-1] + used
+            blocks[-1].append((heap_off, body))
+            ids.append(
+                bytes([0]) + heap_off.to_bytes(off_size, "little")
+                + len(body).to_bytes(len_size, "little")
+            )
+            used += len(body)
+        nblocks = len(blocks)
+        rows_needed = 0
+        covered = 0
+        while covered < nblocks:
+            covered += W
+            rows_needed += 1
+        max_direct_rows = (MAXD // S).bit_length() + 1
+        if rows_needed > max_direct_rows:
+            raise ValueError("dense link heap beyond direct-row capacity")
+        for i, blk in enumerate(blocks):
+            body = bytearray(blk_size(i))
+            body[0:4] = b"FHDB"
+            body[4] = 0
+            # heap header address patched at assembly (FRHP is placed
+            # after the blocks); flags=0 → no block checksum to redo
+            body[13:13 + off_size] = blk_starts[i].to_bytes(
+                off_size, "little"
+            )
+            for heap_off, b2 in blk:
+                p = heap_off - blk_starts[i]
+                body[p:p + len(b2)] = b2
+            place(("fhdb", i), bytes(body))
+        if nblocks > 1:
+            fhib = bytearray(
+                4 + 1 + 8 + off_size + rows_needed * W * 8 + 4
+            )
+            fhib[0:4] = b"FHIB"
+            fhib[4] = 0
+            ent = 4 + 1 + 8 + off_size
+            for i in range(rows_needed * W):
+                a = pos[("fhdb", i)] if i < nblocks else _UNDEF
+                fhib[ent + 8 * i:ent + 8 * i + 8] = struct.pack("<Q", a)
+            place("fhib", bytes(fhib))  # hdr addr + checksum patched
+        managed = blk_starts[-1] + blk_size(nblocks - 1)
+        frhp = b"FRHP" + bytes([0])
+        frhp += struct.pack("<HHB", 1 + off_size + len_size, 0, 0)
+        frhp += struct.pack("<I", 4096)          # max managed obj size
+        frhp += struct.pack("<QQ", 0, _UNDEF)    # huge: next id, btree
+        free = (managed - nblocks * dblk_hdr
+                - sum(len(b) for b in link_bodies))
+        frhp += struct.pack("<QQ", free, _UNDEF)  # free, fs mgr
+        frhp += struct.pack("<QQQQ", managed, managed, managed,
+                            len(link_bodies))
+        frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sz+counts
+        frhp += struct.pack("<HQQH", W, S, MAXD, HBITS)
+        root_blk = pos["fhib"] if nblocks > 1 else pos[("fhdb", 0)]
+        frhp += struct.pack("<HQH", 1, root_blk,
+                            rows_needed if nblocks > 1 else 0)
+        frhp += struct.pack("<I", _lookup3(frhp))
+        place("frhp", frhp)
+        # name-index v2 B-tree: one BTLF leaf (records sorted by the
+        # lookup3 name hash), padded to the declared node size so a
+        # real consumer's fixed-size node read never crosses EOF
+        node_size, rec_size = 2048, 4 + len(ids[0])
+        if len(ids) * rec_size > node_size - 10:
+            raise ValueError("too many links for a depth-0 name index")
+        recs = sorted(
+            (_lookup3(n.encode()), i) for n, i in zip(names, ids)
+        )
+        btlf = b"BTLF" + bytes([0, 5])
+        for hsh, hid in recs:
+            btlf += struct.pack("<I", hsh) + hid
+        btlf += struct.pack("<I", _lookup3(btlf))
+        btlf += b"\x00" * (node_size - len(btlf))
+        place("btlf", btlf)
+        bthd = b"BTHD" + bytes([0, 5])
+        bthd += struct.pack("<IHH", node_size, rec_size, 0)
+        bthd += bytes([100, 40])  # split/merge %, per libhdf5 defaults
+        bthd += struct.pack("<QHQ", pos["btlf"], len(ids), len(ids))
+        bthd += struct.pack("<I", _lookup3(bthd))
+        place("bthd", bthd)
+        li = bytes([0, 0]) + struct.pack("<QQ", pos["frhp"], pos["bthd"])
+        place("root_v2", _w_ohdr_v2([(0x02, li)]))
+    elif superblock == 2:
         # root group LAST: every dataset OH address is final, so the
         # link messages and the OHDR checksum need no patching
         place("root_v2", _w_ohdr_v2(
@@ -1020,6 +1293,18 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             b = bytearray(blob)
             for i, n in enumerate(names):
                 struct.pack_into("<Q", b, 8 + 40 * i + 8, pos[("oh", n)])
+            return bytes(b)
+        if isinstance(key, tuple) and key[0] == "fhdb":
+            # heap-header address lands after FRHP's placement; block
+            # flags are 0 (no per-block checksum), so the patch is
+            # checksum-free
+            b = bytearray(blob)
+            struct.pack_into("<Q", b, 5, pos["frhp"])
+            return bytes(b)
+        if key == "fhib":
+            b = bytearray(blob)
+            struct.pack_into("<Q", b, 5, pos["frhp"])
+            struct.pack_into("<I", b, len(b) - 4, _lookup3(bytes(b[:-4])))
             return bytes(b)
         if isinstance(key, tuple) and key[0] == "oh":
             n = key[1]

@@ -769,17 +769,251 @@ def test_superblock_v2_ohdr_links(ochk):
     assert area.area_extent == (10.0, 48.625, 14.0, 50.125)
 
 
-def test_dense_link_storage_rejected():
-    """A root OHDR with only a Link Info message (fractal-heap dense
-    storage) must raise the named NotImplementedError."""
-    # Link Info v0: flags 0, fractal heap addr, name index addr
-    li = _msg_v2(0x02, bytes([0, 0]) + struct.pack("<QQ", 4096, UNDEF))
-    root = _ohdr_v2([li])
-    sb = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
-    sb += struct.pack("<QQQQ", 0, UNDEF, 48 + len(root), 48)
-    sb += b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="dense"):
-        parse_hdf5(sb + root)
+def _lookup3_ref(data: bytes) -> int:
+    """Independent lookup3 for the dense fixtures' name hashes (the
+    reader never verifies checksums, but record hashes must be
+    plausible)."""
+    from pyresample_spark.sources.hdf5 import _lookup3
+
+    return _lookup3(data)
+
+
+def hdf5_bytes_dense(datasets, start_block=128, node_size=512,
+                     table_width=4, max_direct=4096):
+    """Independent dense-group builder (HDF5 spec III.G): contiguous
+    f8 datasets under a root whose links live in fractal-heap direct
+    blocks (doubling table) indexed by a depth-0 name v2 B-tree —
+    the layout libhdf5 emits for libver=latest groups past the
+    compact threshold. ``start_block`` is deliberately tiny so a
+    handful of links already spills into a root INDIRECT block.
+    Shares no code with the package writer."""
+    names = sorted(datasets)
+    off_size = 4           # max heap size 32 bits
+    len_size = 2           # max direct block 4096 → 2 bytes
+    id_len = 1 + off_size + len_size
+    dblk_hdr = 4 + 1 + 8 + off_size  # flags=0: no block checksum
+
+    def blk_size(i):
+        row = i // table_width
+        return start_block if row < 2 else start_block << (row - 1)
+
+    def build(a):
+        pieces = []
+
+        def put(key, blob):
+            pieces.append((key, blob))
+
+        for n in names:
+            arr = np.ascontiguousarray(datasets[n], dtype="<f8")
+            put(("data", n), arr.tobytes())
+            put(("oh", n), _ohdr_v2([
+                _msg_v2(0x01, _ds_simple(arr.shape)),
+                _msg_v2(0x03, _dt_fixed(arr.dtype)),
+                _msg_v2(0x08, struct.pack(
+                    "<BBQQ", 3, 1, a.get(("data", n), 0), arr.nbytes
+                )),
+            ]))
+        # pack serialized link-message bodies into the heap
+        blocks, blk_starts, ids = [[]], [0], []
+        used = dblk_hdr
+        for n in names:
+            nb = n.encode()
+            body = bytes([1, 0, len(nb)]) + nb + struct.pack(
+                "<Q", a.get(("oh", n), 0)
+            )
+            if used + len(body) > blk_size(len(blocks) - 1):
+                blk_starts.append(
+                    blk_starts[-1] + blk_size(len(blocks) - 1)
+                )
+                blocks.append([])
+                used = dblk_hdr
+            heap_off = blk_starts[-1] + used
+            blocks[-1].append((heap_off, body))
+            ids.append((n, bytes([0])
+                        + heap_off.to_bytes(off_size, "little")
+                        + len(body).to_bytes(len_size, "little")))
+            used += len(body)
+        nblocks = len(blocks)
+        rows = (nblocks + table_width - 1) // table_width
+        for i, blk in enumerate(blocks):
+            body = bytearray(blk_size(i))
+            body[0:4] = b"FHDB"
+            struct.pack_into("<Q", body, 5, a.get("frhp", 0))
+            struct.pack_into("<I", body, 13, blk_starts[i])
+            for ho, b2 in blk:
+                body[ho - blk_starts[i]:ho - blk_starts[i] + len(b2)] = b2
+            put(("fhdb", i), bytes(body))
+        if nblocks > 1:
+            fhib = bytearray(4 + 1 + 8 + off_size
+                             + rows * table_width * 8 + 4)
+            fhib[0:4] = b"FHIB"
+            struct.pack_into("<Q", fhib, 5, a.get("frhp", 0))
+            for i in range(rows * table_width):
+                struct.pack_into(
+                    "<Q", fhib, 17 + 8 * i,
+                    a.get(("fhdb", i), 0) if i < nblocks else UNDEF,
+                )
+            put("fhib", bytes(fhib))
+        managed = blk_starts[-1] + blk_size(nblocks - 1)
+        frhp = b"FRHP" + bytes([0])
+        frhp += struct.pack("<HHB", id_len, 0, 0)
+        frhp += struct.pack("<I", 1024)
+        frhp += struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)
+        frhp += struct.pack("<QQQQ", managed, managed, managed,
+                            len(names))
+        frhp += struct.pack("<QQQQ", 0, 0, 0, 0)
+        frhp += struct.pack("<HQQH", table_width, start_block,
+                            max_direct, 32)
+        root_blk = (a.get("fhib", 0) if nblocks > 1
+                    else a.get(("fhdb", 0), 0))
+        frhp += struct.pack("<HQH", 1, root_blk,
+                            rows if nblocks > 1 else 0)
+        frhp += b"\x00" * 4  # zero checksum: reader must tolerate
+        put("frhp", frhp)
+        rec_size = 4 + id_len
+        btlf = b"BTLF" + bytes([0, 5])
+        for hsh, hid in sorted(
+            (_lookup3_ref(n.encode()), hid) for n, hid in ids
+        ):
+            btlf += struct.pack("<I", hsh) + hid
+        btlf += b"\x00" * (node_size - len(btlf))
+        put("btlf", btlf)
+        bthd = b"BTHD" + bytes([0, 5])
+        bthd += struct.pack("<IHH", node_size, rec_size, 0)
+        bthd += bytes([100, 40])
+        bthd += struct.pack("<QHQ", a.get("btlf", 0), len(ids),
+                            len(ids))
+        bthd += b"\x00" * 4
+        put("bthd", bthd)
+        li = _msg_v2(0x02, bytes([0, 0]) + struct.pack(
+            "<QQ", a.get("frhp", 0), a.get("bthd", 0)
+        ))
+        put("root", _ohdr_v2([li]))
+        return pieces
+
+    # two-pass: sizes are address-independent, so pass 1 lays out the
+    # cursor and pass 2 re-emits with real addresses
+    addrs, cursor = {}, 48
+    for key, blob in build({}):
+        addrs[key] = cursor
+        cursor += len(blob)
+    total = cursor
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, total, addrs["root"])
+    out += b"\x00" * 4
+    for key, blob in build(addrs):
+        assert len(out) == addrs[key], key
+        out += blob
+    return bytes(out)
+
+
+def test_dense_links_spec_built_fixture():
+    """Dense (fractal-heap) link storage decodes natively: the
+    independent builder above packs 12 links into 128-byte heap
+    blocks, forcing a root FHIB with several FHDB children, and the
+    reader must resolve every name through the v2 B-tree → heap-ID →
+    link-message chain."""
+    data = {f"set_{i:02d}": np.arange(6, dtype="<f8").reshape(2, 3) + i
+            for i in range(20)}
+    buf = hdf5_bytes_dense(data)
+    assert buf.count(b"FHDB") >= 3 and buf.count(b"FHIB") == 1
+    ds = parse_hdf5(buf)
+    assert sorted(ds) == sorted(data)
+    for n in data:
+        np.testing.assert_array_equal(ds[n]["data"], data[n])
+    # single-block shape: root IS the direct block (cur rows = 0)
+    small = {f"v{i}": np.ones((2, 2)) * i for i in range(3)}
+    buf2 = hdf5_bytes_dense(small, start_block=512)
+    assert buf2.count(b"FHIB") == 0
+    ds2 = parse_hdf5(buf2)
+    assert sorted(ds2) == sorted(small)
+
+
+def test_dense_links_out_of_subset_guards():
+    """Huge/tiny heap IDs, filtered heaps and deep B-trees raise the
+    named errors instead of decoding garbage."""
+    from pyresample_spark.sources.hdf5 import (
+        _R,
+        _btree_v2_records,
+        _fractal_heap_fetch,
+    )
+
+    data = {"a": np.ones((2, 2)), "b": np.zeros((2, 2))}
+    buf = hdf5_bytes_dense(data, start_block=512)
+    frhp_addr = buf.find(b"FRHP")
+    bthd_addr = buf.find(b"BTHD")
+    fetch = _fractal_heap_fetch(_R(buf), frhp_addr)
+    with pytest.raises(NotImplementedError, match="huge/tiny"):
+        fetch(bytes([0x10]) + b"\x00" * 6)
+    # filtered heap: nonzero I/O filter length in the header
+    fbuf = bytearray(buf)
+    struct.pack_into("<H", fbuf, frhp_addr + 7, 8)
+    with pytest.raises(NotImplementedError, match="filtered"):
+        _fractal_heap_fetch(_R(bytes(fbuf)), frhp_addr)
+    # deep B-tree: depth field > 0
+    dbuf = bytearray(buf)
+    struct.pack_into("<H", dbuf, bthd_addr + 12, 2)
+    with pytest.raises(NotImplementedError, match="depth"):
+        list(_btree_v2_records(_R(bytes(dbuf)), bthd_addr))
+
+
+def test_package_writer_dense_roundtrip():
+    """The package writer's dense_links=True output (superblock 2)
+    parses back through the reader in both heap shapes, including
+    chunked+filtered datasets under the dense root."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = (np.arange(120, dtype="<f8").reshape(10, 12) % 17) / 2
+    xs = np.arange(12) + 0.5
+    ys = -(np.arange(10) + 0.5)
+    many = {
+        f"variable_with_a_long_name_{i:03d}": (data + i, {})
+        for i in range(40)
+    }
+    many.update({
+        "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+        "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "band": (data, {"grid_mapping": "crs"}),
+    })
+    buf = hdf5_grid_bytes(
+        many, chunks={"band": (4, 5)}, deflate=True, shuffle=True,
+        superblock=2, dense_links=True,
+    )
+    assert buf.count(b"FHDB") > 1 and buf.count(b"FHIB") == 1
+    ds = parse_hdf5(buf)
+    assert len(ds) == 44
+    np.testing.assert_array_equal(ds["band"]["data"], data)
+    area, var = load_cf_area_h5(buf)
+    assert var == "band" and (area.width, area.height) == (12, 10)
+    with pytest.raises(ValueError, match="dense_links requires"):
+        hdf5_grid_bytes(many, superblock=0, dense_links=True)
+
+
+def test_h5py_dense_cross_validation(tmp_path):
+    """The day h5py appears: libhdf5's own dense-group output (many
+    links under libver=latest) must decode natively, and the package
+    writer's dense output must read back through libhdf5."""
+    h5py = pytest.importorskip("h5py")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes, parse_hdf5
+
+    data = np.arange(24, dtype="<f8").reshape(4, 6)
+    p = tmp_path / "dense.h5"
+    with h5py.File(str(p), "w", libver="latest") as f:
+        for i in range(24):  # past the compact-links threshold
+            f.create_dataset(f"set_{i:02d}", data=data + i)
+    ds = parse_hdf5(p.read_bytes())
+    assert len(ds) == 24
+    np.testing.assert_array_equal(ds["set_07"]["data"], data + 7)
+    buf = hdf5_grid_bytes(
+        {f"v{i}": (data * i, {}) for i in range(12)},
+        superblock=2, dense_links=True,
+    )
+    q = tmp_path / "pkg_dense.h5"
+    q.write_bytes(buf)
+    with h5py.File(str(q), "r") as f:
+        assert len(f.keys()) == 12
+        np.testing.assert_array_equal(f["v5"][...], data * 5)
 
 
 def test_package_writer_v2_and_shuffle_cross_parse():
