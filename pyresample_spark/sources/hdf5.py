@@ -328,6 +328,7 @@ def _fractal_heap_fetch(r: _R, frhp_addr: int):
     # silence the unused-variable linters: dblk_hdr documents the
     # layout; offsets are header-inclusive so it never shifts reads
     del dblk_hdr
+    fetch.id_len = id_len  # record parsers slice heap IDs by this
     return fetch
 
 
@@ -378,6 +379,37 @@ def _walk_dense_links(r: _R, li_body: bytes):
     out = []
     for rec in _btree_v2_records(r, name_bt_addr):
         out.append(_parse_link(fetch(rec[4:])))
+    return out
+
+
+def _walk_dense_attrs(r: _R, ai_body: bytes):
+    """Attribute Info message (0x0015) with dense storage → [(name,
+    value)]: records from the attribute-name v2 B-tree (type 8:
+    8-byte heap ID + message flags + creation order + name hash)
+    resolve through the fractal heap to serialized Attribute
+    messages — the storage libhdf5 switches to past ~8 attributes
+    under libver=latest. Shared-message heap IDs (flag bit 0) are
+    outside the subset and raise."""
+    if ai_body[0] != 0:
+        raise NotImplementedError(
+            f"attribute info message version {ai_body[0]}"
+        )
+    flags = ai_body[1]
+    off = 2 + (2 if flags & 0x01 else 0)
+    fheap_addr = struct.unpack_from("<Q", ai_body, off)[0]
+    name_bt_addr = struct.unpack_from("<Q", ai_body, off + 8)[0]
+    if fheap_addr == 0xFFFFFFFFFFFFFFFF:
+        return []
+    fetch = _fractal_heap_fetch(r, fheap_addr)
+    idl = fetch.id_len
+    out = []
+    for rec in _btree_v2_records(r, name_bt_addr):
+        if rec[idl] & 0x01:
+            raise NotImplementedError(
+                "shared dense attribute message (flag bit 0) is "
+                "outside the subset"
+            )
+        out.append(_parse_attr(fetch(rec[:idl])))
     return out
 
 
@@ -654,6 +686,10 @@ def parse_hdf5(buf: bytes) -> dict:
                 k, v = _parse_attr(b)
                 if v is not None:
                     attrs[k] = v
+            elif t == 0x0015:  # dense attribute storage
+                for k, v in _walk_dense_attrs(r, b):
+                    if v is not None:
+                        attrs[k] = v
             elif t == 0x000B:
                 # pipeline ORDER matters (shuffle-then-deflate must
                 # undo as inflate-then-unshuffle), so collect a list

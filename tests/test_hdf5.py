@@ -957,6 +957,112 @@ def test_dense_links_out_of_subset_guards():
         list(_btree_v2_records(_R(bytes(dbuf)), bthd_addr))
 
 
+def test_dense_attribute_storage():
+    """Dense attribute storage (Attribute Info 0x0015 → fractal heap
+    + name v2 B-tree, record type 8) — what libhdf5 switches to past
+    ~8 attributes under libver=latest — decodes natively. Independent
+    fixture: one dataset whose 12 attributes live in a single-block
+    heap with 7-byte heap IDs (exercising the non-8 ID length the
+    record slicing must honor)."""
+    arr = np.arange(12, dtype="<f8").reshape(3, 4)
+    attrs = {f"attr_{i:02d}": f"value_{i}" for i in range(12)}
+    off_size, len_size = 4, 2
+    id_len = 1 + off_size + len_size  # 7
+    dblk_hdr = 4 + 1 + 8 + off_size
+    S = 1024
+
+    def build(a):
+        pieces = []
+        put = lambda k, b: pieces.append((k, b))  # noqa: E731
+        put(("data", 0), arr.tobytes())
+        # heap objects: serialized attribute messages
+        used, objs, ids = dblk_hdr, [], []
+        for k in sorted(attrs):
+            body = _attr_msg(k, attrs[k])
+            objs.append((used, body))
+            ids.append((k, bytes([0])
+                        + used.to_bytes(off_size, "little")
+                        + len(body).to_bytes(len_size, "little")))
+            used += len(body)
+        assert used <= S
+        fhdb = bytearray(S)
+        fhdb[0:4] = b"FHDB"
+        struct.pack_into("<Q", fhdb, 5, a.get("frhp", 0))
+        for ho, b2 in objs:
+            fhdb[ho:ho + len(b2)] = b2
+        put("fhdb", bytes(fhdb))
+        frhp = b"FRHP" + bytes([0])
+        frhp += struct.pack("<HHB", id_len, 0, 0)
+        frhp += struct.pack("<I", 512)
+        frhp += struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)
+        frhp += struct.pack("<QQQQ", S, S, S, len(ids))
+        frhp += struct.pack("<QQQQ", 0, 0, 0, 0)
+        frhp += struct.pack("<HQQH", 4, S, 4096, 32)
+        frhp += struct.pack("<HQH", 1, a.get("fhdb", 0), 0)
+        frhp += b"\x00" * 4
+        put("frhp", frhp)
+        rec_size = id_len + 1 + 4 + 4  # id, flags, corder, hash
+        btlf = b"BTLF" + bytes([0, 8])
+        for i, (k, hid) in enumerate(sorted(
+            ids, key=lambda kv: _lookup3_ref(kv[0].encode())
+        )):
+            btlf += hid + bytes([0]) + struct.pack(
+                "<II", i, _lookup3_ref(k.encode())
+            )
+        btlf += b"\x00" * (512 - len(btlf))
+        put("btlf", btlf)
+        bthd = b"BTHD" + bytes([0, 8])
+        bthd += struct.pack("<IHH", 512, rec_size, 0)
+        bthd += bytes([100, 40])
+        bthd += struct.pack("<QHQ", a.get("btlf", 0), len(ids),
+                            len(ids))
+        bthd += b"\x00" * 4
+        put("bthd", bthd)
+        ai = _msg_v2(0x15, bytes([0, 0]) + struct.pack(
+            "<QQ", a.get("frhp", 0), a.get("bthd", 0)
+        ))
+        put(("oh", 0), _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, struct.pack(
+                "<BBQQ", 3, 1, a.get(("data", 0), 0), arr.nbytes
+            )),
+            ai,
+        ]))
+        put("root", _ohdr_v2([_link_msg("densevar", a.get(("oh", 0),
+                                                          0))]))
+        return pieces
+
+    addrs, cursor = {}, 48
+    for key, blob in build({}):
+        addrs[key] = cursor
+        cursor += len(blob)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, cursor, addrs["root"])
+    out += b"\x00" * 4
+    for key, blob in build(addrs):
+        assert len(out) == addrs[key], key
+        out += blob
+    ds = parse_hdf5(bytes(out))
+    np.testing.assert_array_equal(ds["densevar"]["data"], arr)
+    assert ds["densevar"]["attrs"] == attrs
+
+
+def test_h5py_dense_attrs_cross_validation(tmp_path):
+    """The day h5py appears: libhdf5's own dense-attribute output
+    must decode natively."""
+    h5py = pytest.importorskip("h5py")
+
+    arr = np.arange(8, dtype="<f8").reshape(2, 4)
+    p = tmp_path / "dattrs.h5"
+    with h5py.File(str(p), "w", libver="latest") as f:
+        d = f.create_dataset("v", data=arr)
+        for i in range(20):  # past the compact threshold
+            d.attrs[f"attr_{i:02d}"] = f"value_{i}"
+    ds = parse_hdf5(p.read_bytes())
+    assert ds["v"]["attrs"]["attr_13"] == "value_13"
+
+
 def test_package_writer_dense_roundtrip():
     """The package writer's dense_links=True output (superblock 2)
     parses back through the reader in both heap shapes, including
