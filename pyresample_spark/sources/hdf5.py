@@ -23,10 +23,14 @@ CF grids:
   huge/tiny heap IDs and deeper B-trees raise loudly),
 - dataspace (v1 + v2 simple), datatype classes fixed-point / IEEE
   float / fixed string, attribute messages v1 + v3 with inline data,
-- data layout v3: contiguous (an UNDEFINED data address — netcdf-c's
-  late allocation for never-written variables — parses as a dataless
-  variable keeping its attrs), and chunked (v1 B-tree node type 1,
-  internal + leaf levels) with the deflate (id 1, stdlib zlib),
+- data layout v3 AND v4: contiguous (an UNDEFINED data address —
+  netcdf-c's late allocation for never-written variables — parses as
+  a dataless variable keeping its attrs), chunked v3 (v1 B-tree node
+  type 1, internal + leaf levels), and the v4 chunk indexes
+  libver=latest writers emit for fixed-dimension datasets — Single
+  Chunk, Implicit, Fixed Array (paged + unpaged, filtered + raw);
+  Extensible Array / v2 B-tree indexes serve unlimited dimensions
+  and raise — with the deflate (id 1, stdlib zlib),
   shuffle (id 2, pure byte de-interleave) and fletcher32 (id 3,
   verify-and-strip checksum) filters in either pipeline
   message version — ``deflate+shuffle`` is netcdf-c's canonical
@@ -623,6 +627,114 @@ def _read_chunked(r: _R, btree_addr: int, shape, dtype, chunk_dims,
     return arr
 
 
+def _chunk_grid_iter(shape, cdims):
+    """Yield per-chunk (dst slices, src slices) in C order — the
+    linear order every v4 chunk index stores its entries in."""
+    import itertools
+
+    counts = [
+        (shape[d] + cdims[d] - 1) // cdims[d] for d in range(len(shape))
+    ]
+    for coords in itertools.product(*(range(c) for c in counts)):
+        dst, src = [], []
+        for d, c in enumerate(coords):
+            lo = c * cdims[d]
+            hi = min(lo + cdims[d], shape[d])
+            dst.append(slice(lo, hi))
+            src.append(slice(0, hi - lo))
+        yield tuple(dst), tuple(src)
+
+
+def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
+                     idx_field: bytes, addr: int, shape, dtype,
+                     filters):
+    """Version-4 chunked data layouts (HDF5 ≥1.10 libver=latest):
+    Single Chunk (1), Implicit (2) and Fixed Array (3, clients 0/1,
+    paged and unpaged data blocks) decode natively — the indexes
+    libhdf5 picks for datasets whose dimensions are all fixed, i.e.
+    every CF grid. Extensible Array (4) and v2 B-tree (5) indexes
+    serve unlimited dimensions and raise loudly."""
+    nominal = int(np.prod(cdims)) * dtype.itemsize
+    arr = np.zeros(shape, dtype=dtype.newbyteorder("="))
+
+    def place_chunk(raw_addr, nbytes, fmask, dst, src):
+        raw = r.b[raw_addr:raw_addr + nbytes]
+        if filters:
+            raw = _apply_filters(raw, fmask, filters, dtype.itemsize)
+        chunk = np.frombuffer(raw, dtype=dtype, count=int(np.prod(cdims)))
+        chunk = chunk.reshape(cdims)
+        arr[dst] = chunk[src]
+
+    if idx_type == 1:  # single chunk
+        if flags & 0x02:  # filtered: size + mask ride the layout msg
+            nbytes = struct.unpack_from("<Q", idx_field, 0)[0]
+            fmask = struct.unpack_from("<I", idx_field, 8)[0]
+        else:
+            nbytes, fmask = nominal, 0
+        dst, src = next(_chunk_grid_iter(shape, cdims))
+        place_chunk(addr, nbytes, fmask, dst, src)
+        return arr
+    if idx_type == 2:  # implicit: unfiltered chunks, C order, packed
+        if filters:
+            raise ValueError("implicit chunk index cannot be filtered")
+        a = addr
+        for dst, src in _chunk_grid_iter(shape, cdims):
+            place_chunk(a, nominal, 0, dst, src)
+            a += nominal
+        return arr
+    if idx_type != 3:
+        raise NotImplementedError(
+            f"chunk index type {idx_type} (Single Chunk, Implicit and "
+            "Fixed Array decode natively; Extensible Array / v2 B-tree "
+            "indexes serve unlimited dimensions)"
+        )
+    # fixed array: header -> data block of per-chunk entries
+    if r.b[addr:addr + 4] != b"FAHD":
+        raise ValueError("bad fixed array header signature")
+    client = r.b[addr + 5]
+    entry_size = r.b[addr + 6]
+    page_bits = r.b[addr + 7]
+    nelmts = r.u(addr + 8, 8)
+    db_addr = r.u(addr + 16, 8)
+    if client not in (0, 1):
+        raise NotImplementedError(f"fixed array client {client}")
+    if r.b[db_addr:db_addr + 4] != b"FADB":
+        raise ValueError("bad fixed array data block signature")
+    page_size = 1 << page_bits
+    npages = (nelmts + page_size - 1) // page_size
+    p = db_addr + 4 + 1 + 1 + 8
+    entries = []
+    if nelmts > page_size:  # paged: bitmap + cksum, then pages
+        p += (npages + 7) // 8 + 4
+        left = nelmts
+        while left > 0:
+            take = min(page_size, left)
+            for _ in range(take):
+                entries.append(r.b[p:p + entry_size])
+                p += entry_size
+            p += 4  # per-page checksum
+            left -= take
+    else:
+        for _ in range(nelmts):
+            entries.append(r.b[p:p + entry_size])
+            p += entry_size
+    it = _chunk_grid_iter(shape, cdims)
+    for e in entries:
+        dst, src = next(it)
+        caddr = int.from_bytes(e[0:8], "little")
+        if caddr == _UNDEF:
+            continue  # unallocated chunk keeps the zero fill
+        if client == 1:
+            size_len = entry_size - 8 - 4
+            nbytes = int.from_bytes(e[8:8 + size_len], "little")
+            fmask = int.from_bytes(e[8 + size_len:8 + size_len + 4],
+                                   "little")
+        else:
+            nbytes, fmask = nominal, 0
+        place_chunk(caddr, nbytes, fmask, dst, src)
+    return arr
+
+
 def parse_hdf5(buf: bytes) -> dict:
     """Parse the root group of an HDF5 file → {name: {shape, attrs,
     data}} with data materialized as numpy arrays (native byte order).
@@ -733,9 +845,38 @@ def parse_hdf5(buf: bytes) -> dict:
         if isinstance(dtype, tuple):
             continue  # string datasets aren't grid data
         ver = layout[0]
-        if ver != 3:
+        if ver not in (3, 4):
             raise NotImplementedError(f"data layout version {ver}")
         lclass = layout[1]
+        if ver == 4 and lclass == 2:
+            # v4 chunked: flags, dimensionality, encoded-length, dims,
+            # chunk index type + index fields, then the index address
+            flags4 = layout[2]
+            nd = layout[3]
+            enc = layout[4]
+            p4 = 5
+            dims4 = [
+                int.from_bytes(layout[p4 + i * enc:p4 + (i + 1) * enc],
+                               "little")
+                for i in range(nd)
+            ]
+            p4 += nd * enc
+            idx_type = layout[p4]
+            p4 += 1
+            idx_field = layout[p4:len(layout) - 8]
+            addr4 = struct.unpack_from("<Q", layout, len(layout) - 8)[0]
+            if addr4 == _UNDEF:  # never-written chunked variable
+                out[name] = {"shape": shape, "attrs": attrs, "data": None}
+                continue
+            # stored dims carry the element-size dimension when the
+            # count exceeds the dataset rank (the v1-B-tree convention)
+            cdims4 = dims4[:-1] if len(dims4) == len(shape) + 1 else dims4
+            data = _read_chunked_v4(
+                r, flags4, tuple(cdims4), idx_type, idx_field, addr4,
+                shape, dtype, filters,
+            )
+            out[name] = {"shape": shape, "attrs": attrs, "data": data}
+            continue
         if lclass == 1:  # contiguous
             addr = struct.unpack_from("<Q", layout, 2)[0]
             size = struct.unpack_from("<Q", layout, 10)[0]

@@ -1096,6 +1096,223 @@ def test_package_writer_dense_roundtrip():
         hdf5_grid_bytes(many, superblock=0, dense_links=True)
 
 
+def _v4_file(layout_body: bytes, arr, extra_pieces):
+    """Assemble a one-dataset v2-superblock file whose data layout
+    message is the given v4 body; ``extra_pieces`` = [(tag, bytes)]
+    appended after the object header (index structures, chunk data).
+    Addresses inside layout_body/extra must be precomputed by the
+    caller from the fixed prefix: superblock 48 + root + OHDR."""
+    oh = _ohdr_v2([
+        _msg_v2(0x01, _ds_simple(arr.shape)),
+        _msg_v2(0x03, _dt_fixed(arr.dtype)),
+        _msg_v2(0x08, layout_body),
+    ])
+    root = _ohdr_v2([_link_msg("v", 48)])
+    # layout: [48: oh][48+len(oh): root][...: extra]
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    total = 48 + len(oh) + len(root) + sum(len(b) for _, b in extra_pieces)
+    out += struct.pack("<QQQQ", 0, UNDEF, total, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root
+    for _, b in extra_pieces:
+        out += b
+    return bytes(out)
+
+
+def _v4_chunked_prefix(flags, cdims, itemsize, idx_type):
+    nd = len(cdims) + 1
+    body = bytes([4, 2, flags, nd, 8])
+    for c in cdims:
+        body += struct.pack("<Q", c)
+    body += struct.pack("<Q", itemsize)
+    return body + bytes([idx_type])
+
+
+def test_layout_v4_single_and_implicit():
+    """Version-4 data layouts (libver=latest): Single Chunk —
+    unfiltered and DEFLATE-filtered — and the Implicit index decode
+    natively from spec-built bytes."""
+    arr = (np.arange(48, dtype="<f8").reshape(6, 8) % 13) / 4
+
+    # single chunk, unfiltered: chunk dims == dataset dims
+    def build_single():
+        probe = _v4_chunked_prefix(0, (6, 8), 8, 1) + struct.pack("<Q", 0)
+        oh_len = len(_ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, probe),
+        ]))
+        root_len = len(_ohdr_v2([_link_msg("v", 48)]))
+        data_addr = 48 + oh_len + root_len
+        body = _v4_chunked_prefix(0, (6, 8), 8, 1) + struct.pack(
+            "<Q", data_addr
+        )
+        return _v4_file(body, arr, [("d", arr.tobytes())])
+
+    ds = parse_hdf5(build_single())
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+    # single chunk, filtered (deflate): size+mask ride the layout msg
+    comp = zlib.compress(arr.tobytes(), 6)
+
+    def build_single_filtered():
+        def mk(addr):
+            body = _v4_chunked_prefix(0x02, (6, 8), 8, 1)
+            body += struct.pack("<QI", len(comp), 0)
+            body += struct.pack("<Q", addr)
+            oh = _ohdr_v2([
+                _msg_v2(0x01, _ds_simple(arr.shape)),
+                _msg_v2(0x03, _dt_fixed(arr.dtype)),
+                _msg_v2(0x0B, _filter_msg(True, False, 8,
+                                          pipeline_v2=True)),
+                _msg_v2(0x08, body),
+            ])
+            return oh, body
+        oh0, _ = mk(0)
+        root_len = len(_ohdr_v2([_link_msg("v", 48)]))
+        data_addr = 48 + len(oh0) + root_len
+        oh, _ = mk(data_addr)
+        root = _ohdr_v2([_link_msg("v", 48)])
+        out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+        out += struct.pack("<QQQQ", 0, UNDEF,
+                           data_addr + len(comp), 48 + len(oh))
+        out += b"\x00" * 4
+        out += oh + root + comp
+        return bytes(out)
+
+    ds = parse_hdf5(build_single_filtered())
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+    # implicit: unfiltered chunks packed contiguously in C order
+    def build_implicit():
+        cdims = (2, 4)
+        chunks = b""
+        for r0 in range(0, 6, 2):
+            for c0 in range(0, 8, 4):
+                chunks += np.ascontiguousarray(
+                    arr[r0:r0 + 2, c0:c0 + 4]
+                ).tobytes()
+        probe = _v4_chunked_prefix(0, cdims, 8, 2) + struct.pack("<Q", 0)
+        oh_len = len(_ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, probe),
+        ]))
+        root_len = len(_ohdr_v2([_link_msg("v", 48)]))
+        data_addr = 48 + oh_len + root_len
+        body = _v4_chunked_prefix(0, cdims, 8, 2) + struct.pack(
+            "<Q", data_addr
+        )
+        return _v4_file(body, arr, [("d", chunks)])
+
+    ds = parse_hdf5(build_implicit())
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+
+@pytest.mark.parametrize("mode", ["plain", "filtered", "paged"])
+def test_layout_v4_fixed_array(mode):
+    """Version-4 Fixed Array chunk index — the index libhdf5 picks
+    for multi-chunk fixed-dimension datasets under libver=latest —
+    in all three shapes: unpaged client-0 (raw chunk addresses),
+    client-1 (DEFLATE chunks with per-entry size+mask), and a PAGED
+    data block (page bitmap + per-page checksums)."""
+    arr = (np.arange(120, dtype="<f8").reshape(10, 12) % 17) / 2
+    cdims = (3, 4) if mode != "paged" else (2, 2)
+    filtered = mode == "filtered"
+    blobs, coords = [], []
+    for r0 in range(0, 10, cdims[0]):
+        for c0 in range(0, 12, cdims[1]):
+            blk = np.zeros(cdims, dtype="<f8")
+            rs = min(cdims[0], 10 - r0)
+            cs = min(cdims[1], 12 - c0)
+            blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+            raw = blk.tobytes()
+            blobs.append(zlib.compress(raw, 6) if filtered else raw)
+            coords.append((r0, c0))
+    n = len(blobs)
+    entry_size = 16 if filtered else 8
+    page_bits = 2 if mode == "paged" else 10
+    page_size = 1 << page_bits
+
+    def build(chunk_addrs, fahd_addr, fadb_addr):
+        msgs = [
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+        ]
+        if filtered:
+            msgs.append(_msg_v2(0x0B, _filter_msg(
+                True, False, 8, pipeline_v2=True)))
+        body = _v4_chunked_prefix(0, cdims, 8, 3)
+        body += bytes([page_bits]) + struct.pack("<Q", fahd_addr)
+        msgs.append(_msg_v2(0x08, body))
+        oh = _ohdr_v2(msgs)
+        root = _ohdr_v2([_link_msg("v", 48)])
+        fahd = b"FAHD" + bytes([0, 1 if filtered else 0, entry_size,
+                                page_bits])
+        fahd += struct.pack("<QQ", n, fadb_addr) + b"\x00" * 4
+        ents = b""
+        for a, blob in zip(chunk_addrs, blobs):
+            ents += struct.pack("<Q", a)
+            if filtered:
+                ents += struct.pack("<II", len(blob), 0)
+        fadb = b"FADB" + bytes([0, 1 if filtered else 0])
+        fadb += struct.pack("<Q", fahd_addr)
+        if n > page_size:  # paged: bitmap + cksum, then pages
+            npages = (n + page_size - 1) // page_size
+            fadb += b"\xff" * ((npages + 7) // 8) + b"\x00" * 4
+            for p0 in range(0, n, page_size):
+                take = min(page_size, n - p0)
+                fadb += ents[p0 * entry_size:(p0 + take) * entry_size]
+                fadb += b"\x00" * 4
+        else:
+            fadb += ents + b"\x00" * 4
+        return oh, root, fahd, fadb
+
+    oh0, root0, fahd0, fadb0 = build([0] * n, 0, 0)
+    fahd_addr = 48 + len(oh0) + len(root0)
+    fadb_addr = fahd_addr + len(fahd0)
+    a = fadb_addr + len(fadb0)
+    chunk_addrs = []
+    for blob in blobs:
+        chunk_addrs.append(a)
+        a += len(blob)
+    oh, root, fahd, fadb = build(chunk_addrs, fahd_addr, fadb_addr)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + fahd + fadb + b"".join(blobs)
+    ds = parse_hdf5(bytes(out))
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+    if mode == "paged":
+        assert n > page_size  # the bitmap+page path really ran
+
+
+def test_layout_v4_out_of_subset_index_raises():
+    arr = np.zeros((4, 4), dtype="<f8")
+    body = _v4_chunked_prefix(0, (2, 2), 8, 4)  # extensible array
+    body += bytes([0] * 6) + struct.pack("<Q", 4096)
+    buf = _v4_file(body, arr, [])
+    with pytest.raises(NotImplementedError, match="chunk index type 4"):
+        parse_hdf5(buf)
+
+
+def test_h5py_layout_v4_cross_validation(tmp_path):
+    """The day h5py appears: libhdf5's own libver=latest chunked
+    output (v4 layout, Fixed Array or Single Chunk index) must decode
+    natively."""
+    h5py = pytest.importorskip("h5py")
+
+    arr = np.arange(120, dtype="<f8").reshape(10, 12)
+    p = tmp_path / "v4.h5"
+    with h5py.File(str(p), "w", libver="latest") as f:
+        f.create_dataset("multi", data=arr, chunks=(3, 4),
+                         compression="gzip", shuffle=True)
+        f.create_dataset("single", data=arr, chunks=(10, 12))
+    ds = parse_hdf5(p.read_bytes())
+    np.testing.assert_array_equal(ds["multi"]["data"], arr)
+    np.testing.assert_array_equal(ds["single"]["data"], arr)
+
+
 def test_h5py_dense_cross_validation(tmp_path):
     """The day h5py appears: libhdf5's own dense-group output (many
     links under libver=latest) must decode natively, and the package
