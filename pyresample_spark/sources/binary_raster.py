@@ -894,17 +894,21 @@ _TIFF_WRITER_DTYPES = {"u2", "u4", "i2", "i4", "f4", "f8"}
 
 def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                   crs: str = "longlat", compress: bool = True,
-                  rows_per_strip: int = 64) -> bytes:
-    """Serialize a (h, w) array as a little-endian strip GeoTIFF:
+                  rows_per_strip: int = 64,
+                  tile: tuple | None = None) -> bytes:
+    """Serialize a (h, w) array as a little-endian GeoTIFF:
     ModelPixelScaleTag + ModelTiepointTag (north-up geotransform —
     (x0, y0) is the OUTER corner of pixel (0, 0)) and
     GeoKeyDirectoryTag (+ GeoDoubleParamsTag for user-defined
     laea/stere projections) from :func:`_crs_to_geokeys`. The array
     dtype is preserved when the engine's own reader decodes it
     (u2/u4/i2/i4/f4/f8); anything else casts to float64. ``compress``
-    writes DEFLATE strips (tag 8, the encoding most real GeoTIFFs
-    use); strips of ``rows_per_strip`` rows keep per-strip decode
-    memory bounded for consumers."""
+    writes DEFLATE (tag 8, the encoding most real GeoTIFFs use).
+    Organization: strips of ``rows_per_strip`` rows (bounded
+    per-strip decode memory), or TILES when ``tile=(tw, th)`` is
+    given — the layout real products commonly ship; per spec §15
+    tile dims must be multiples of 16 and edge tiles pad to full
+    tile size."""
     import zlib
 
     arr = np.ascontiguousarray(arr)
@@ -916,19 +920,35 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     sample_fmt = _TIFF_SAMPLE_KINDS[arr.dtype.kind]
     bits = arr.dtype.itemsize * 8
     h, w = arr.shape
-    rps = max(1, min(rows_per_strip, h))
-    strips = []
-    for r0 in range(0, h, rps):
-        raw = arr[r0:r0 + rps].tobytes()
-        strips.append(zlib.compress(raw, 6) if compress else raw)
+    chunks = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError(
+                f"TIFF tile dims must be positive multiples of 16, "
+                f"got {tile}"
+            )
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                blk = np.zeros((th, tw), dtype=arr.dtype)
+                rs, cs = min(th, h - r0), min(tw, w - c0)
+                blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+                raw = blk.tobytes()
+                chunks.append(zlib.compress(raw, 6) if compress else raw)
+    else:
+        rps = max(1, min(rows_per_strip, h))
+        for r0 in range(0, h, rps):
+            raw = arr[r0:r0 + rps].tobytes()
+            chunks.append(zlib.compress(raw, 6) if compress else raw)
     geodir, geodbl = _crs_to_geokeys(crs)
-    n_strips = len(strips)
+    n_chunks = len(chunks)
 
     def arr_u32(vals):
         return struct.pack(f"<{len(vals)}I", *vals)
 
     # (tag, type, count, inline value | None, external bytes | None);
-    # strip offsets patched once blob addresses are known
+    # strip/tile offsets patched once blob addresses are known
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     entries = [
         # dims + rows-per-strip as LONG (type 4): SHORT caps at 65535
         # and a 1×4M grid is within export_geotiff's max_cells guard
@@ -938,14 +958,16 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         (258, 3, 1, bits, None),
         (259, 3, 1, 8 if compress else 1, None),
         (262, 3, 1, 1, None),
-        (273, 4, n_strips, "OFFS",
-         None if n_strips == 1 else b"\x00" * 4 * n_strips),
+        (off_tag, 4, n_chunks, "OFFS",
+         None if n_chunks == 1 else b"\x00" * 4 * n_chunks),
         (277, 3, 1, 1, None),
-        (278, 4, 1, rps, None),
-        (279, 4, n_strips,
-         len(strips[0]) if n_strips == 1 else None,
-         None if n_strips == 1 else arr_u32([len(s) for s in strips])),
+        (cnt_tag, 4, n_chunks,
+         len(chunks[0]) if n_chunks == 1 else None,
+         None if n_chunks == 1 else arr_u32([len(s) for s in chunks])),
         (339, 3, 1, sample_fmt, None),
+        *([(322, 4, 1, tile[0], None), (323, 4, 1, tile[1], None)]
+          if tile is not None
+          else [(278, 4, 1, max(1, min(rows_per_strip, h)), None)]),
         (33550, 12, 3, None, struct.pack("<3d", sx, sy, 0.0)),
         (33922, 12, 6, None, struct.pack("<6d", 0, 0, 0, x0, y0, 0)),
         (34735, 3, len(geodir), None,
@@ -954,6 +976,7 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     if geodbl:
         entries.append((34736, 12, len(geodbl), None,
                         struct.pack(f"<{len(geodbl)}d", *geodbl)))
+    entries.sort()  # TIFF spec: IFD entries ascending by tag
     ifd_off = 8
     ext_off = ifd_off + 2 + 12 * len(entries) + 4
     blobs, offs, o = [], {}, ext_off
@@ -962,13 +985,13 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             offs[tag] = o
             blobs.append([tag, ext])
             o += len(ext)
-    strip_offs = []
-    for s in strips:
-        strip_offs.append(o)
+    chunk_offs = []
+    for s in chunks:
+        chunk_offs.append(o)
         o += len(s)
-    for blob in blobs:  # patch the strip-offset array now
-        if blob[0] == 273:
-            blob[1] = arr_u32(strip_offs)
+    for blob in blobs:  # patch the strip/tile-offset array now
+        if blob[0] == off_tag:
+            blob[1] = arr_u32(chunk_offs)
     out = b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", len(entries))
     for tag, typ, count, inline, ext in entries:
@@ -976,18 +999,18 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         if ext is not None:
             out += struct.pack("<I", offs[tag])
         elif inline == "OFFS":
-            out += struct.pack("<I", strip_offs[0])
+            out += struct.pack("<I", chunk_offs[0])
         elif typ == 3:
             out += struct.pack("<HH", inline, 0)
         else:
             out += struct.pack("<I", inline)
     out += struct.pack("<I", 0)  # no next IFD
-    return out + b"".join(ext for _, ext in blobs) + b"".join(strips)
+    return out + b"".join(ext for _, ext in blobs) + b"".join(chunks)
 
 
 def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
                    compress: bool = True, dtype: str = "f8",
-                   fill=None) -> None:
+                   fill=None, tile: tuple | None = None) -> None:
     """Dense GeoTIFF export of a resampled grid: (row, col, value)
     DataFrame + AreaDefinition → one DEFLATE GeoTIFF, the raster twin
     of :func:`export_cf_grid` and readable back through this engine's
@@ -1022,6 +1045,7 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
         y0=area.area_extent[3],
         crs=area.crs,
         compress=compress,
+        tile=tile,
     )
     import os
 

@@ -976,6 +976,69 @@ def test_export_geotiff_dimension_over_short_range():
     np.testing.assert_array_equal(tiff_pixels(buf), arr)
 
 
+def test_geotiff_writer_tiled_roundtrip(spark, tmp_path):
+    """Tiled writer organization (tags 322-325): real products
+    commonly ship tiled, and the engine's own reader already decodes
+    tiles — the writer now emits them too. Edge tiles pad to full
+    tile size per TIFF spec §15 and crop on read; IFD entries stay
+    tag-sorted with TileWidth/Length replacing RowsPerStrip."""
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.sources.binary_raster import (
+        export_geotiff,
+        geotiff_bytes,
+    )
+
+    rng = np.random.default_rng(23)
+    for arr in [
+        rng.normal(size=(37, 53)),                           # ragged edges
+        rng.integers(-9000, 9000, size=(32, 64)).astype("<i2"),  # exact fit
+        rng.normal(size=(10, 10)).astype("<f4"),             # single tile
+    ]:
+        for compress in (False, True):
+            buf = geotiff_bytes(arr, 0.1, 0.1, -10.0, 60.0,
+                                compress=compress, tile=(16, 32))
+            t = parse_tiff(buf)
+            assert 322 in t and 324 in t and 325 in t
+            assert 273 not in t and 278 not in t and 279 not in t
+            assert t[322][0] == 16 and t[323][0] == 32
+            import math
+            n = math.ceil(arr.shape[1] / 16) * math.ceil(arr.shape[0] / 32)
+            assert len(t[324]) == n == len(t[325])
+            np.testing.assert_array_equal(tiff_pixels(buf), arr)
+            got = area_from_geotiff(buf, "t")
+            assert got.shape == arr.shape
+    # spec guard: tile dims must be positive multiples of 16
+    for bad in [(20, 16), (16, 0), (-16, 16)]:
+        with pytest.raises(ValueError, match="multiples of 16"):
+            geotiff_bytes(arr, 1, 1, 0, 10, tile=bad)
+    # the sink facade plumbs the knob through
+    area = AreaDefinition("exp", "longlat", 40, 20, (0.0, 0.0, 8.0, 6.0))
+    rows = [(r, c, float(r * 100 + c)) for r in range(20) for c in range(40)]
+    df = spark.createDataFrame(rows, "row long, col long, value double")
+    p = str(tmp_path / "tiled.tif")
+    export_geotiff(df, area, p, tile=(16, 16))
+    buf = open(p, "rb").read()
+    t = parse_tiff(buf)
+    assert len(t[324]) == 3 * 2
+    arr = tiff_pixels(buf)
+    assert arr[19, 39] == 1939.0 and arr[0, 0] == 0.0
+
+
+def test_rasterio_reads_tiled_geotiff(tmp_path):
+    """External validation of the tiled layout the day rasterio/GDAL
+    appears in the container."""
+    rasterio = pytest.importorskip("rasterio")
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    arr = np.arange(37 * 53, dtype="f8").reshape(37, 53) / 7.0
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(geotiff_bytes(arr, 0.5, 0.25, 10.0, 50.0,
+                                tile=(16, 32)))
+    with rasterio.open(str(p)) as fh:
+        assert fh.block_shapes == [(32, 16)]
+        np.testing.assert_allclose(fh.read(1), arr)
+
+
 def test_rasterio_reads_export_geotiff(tmp_path):
     """The day rasterio appears: the exporter's output is externally
     validated (tags, DEFLATE strips, geokeys) against GDAL itself."""
