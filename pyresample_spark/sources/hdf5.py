@@ -27,10 +27,12 @@ CF grids:
   netcdf-c's late allocation for never-written variables — parses as
   a dataless variable keeping its attrs), chunked v3 (v1 B-tree node
   type 1, internal + leaf levels), and the v4 chunk indexes
-  libver=latest writers emit for fixed-dimension datasets — Single
-  Chunk, Implicit, Fixed Array (paged + unpaged, filtered + raw);
-  Extensible Array / v2 B-tree indexes serve unlimited dimensions
-  and raise — with the deflate (id 1, stdlib zlib),
+  libver=latest writers emit — Single Chunk, Implicit, Fixed Array
+  (paged + unpaged, filtered + raw) for fixed-dimension datasets,
+  Extensible Array (doubling super-block geometry, paged data
+  blocks gated by the page-init bitmap) for one unlimited dimension
+  — every appended-time-axis product — and depth-0 v2 B-tree
+  (record types 10/11) for several — with the deflate (id 1, stdlib zlib),
   shuffle (id 2, pure byte de-interleave) and fletcher32 (id 3,
   verify-and-strip checksum) filters in either pipeline
   message version — ``deflate+shuffle`` is netcdf-c's canonical
@@ -645,15 +647,135 @@ def _chunk_grid_iter(shape, cdims):
         yield tuple(dst), tuple(src)
 
 
+class _EAElems(list):
+    """Positional chunk-index elements + the geometry needed to
+    decode them (element size, client id)."""
+
+    esize = 0
+    client = 0
+
+
+def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
+    """Extensible Array chunk index (``EAHD``/``EAIB``/``EASB``/
+    ``EADB``) → positional element list, one entry per linear chunk
+    index in C order — the index libhdf5 picks for datasets with ONE
+    unlimited dimension, i.e. every appended-time-axis netCDF4
+    product written with libver=latest. Implements the doubling
+    super-block geometry of the published spec (§ "Extensible Array"):
+    the first ``idx_blk_elmts`` elements live inline in the index
+    block, the next super blocks' data blocks are addressed directly
+    from the index block (the first ``2·log2(sup_blk_min_data_ptrs)``
+    super blocks), and later super blocks indirect through ``EASB``
+    blocks whose page-init bitmaps gate paged data blocks. Unwritten
+    elements/pages surface as undefined addresses and keep the fill
+    value."""
+    b = r.b
+    if b[hd_addr:hd_addr + 4] != b"EAHD":
+        raise ValueError("bad extensible array header signature")
+    client = b[hd_addr + 5]
+    esize = b[hd_addr + 6]
+    max_bits = b[hd_addr + 7]
+    ib_elmts = b[hd_addr + 8]
+    db_min = b[hd_addr + 9]
+    sb_min_ptrs = b[hd_addr + 10]
+    page_bits = b[hd_addr + 11]
+    max_idx_set = r.u(hd_addr + 44, 8)
+    ib_addr = r.u(hd_addr + 60, 8)
+    if client not in (0, 1):
+        raise NotImplementedError(f"extensible array client {client}")
+    out = _EAElems()
+    out.esize, out.client = esize, client
+    if ib_addr == _UNDEF or max_idx_set == 0:
+        return out
+    if b[ib_addr:ib_addr + 4] != b"EAIB":
+        raise ValueError("bad extensible array index block signature")
+    arr_off = (max_bits + 7) // 8
+    page_n = 1 << page_bits
+    undef_elem = b"\xff" * esize
+    # libhdf5's doubling table: super block u holds 2^(u//2) data
+    # blocks of db_min*2^((u+1)//2) elements each
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1)) // 2
+    info, start_idx, start_dblk = [], 0, 0
+    for u in range(nsblks):
+        nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
+        info.append((nd, ne, start_idx, start_dblk))
+        start_idx += nd * ne
+        start_dblk += nd
+    n_in_ib = 2 * (sb_min_ptrs.bit_length() - 1)
+    ndblk_addrs = sum(info[u][0] for u in range(min(n_in_ib, nsblks)))
+    p = ib_addr + 14
+    ib_elems = [b[p + i * esize:p + (i + 1) * esize]
+                for i in range(ib_elmts)]
+    p += ib_elmts * esize
+    dblk_addrs = [r.u(p + 8 * i, 8) for i in range(ndblk_addrs)]
+    p += 8 * ndblk_addrs
+    sblk_addrs = [r.u(p + 8 * i, 8)
+                  for i in range(max(0, nsblks - n_in_ib))]
+
+    def dblk_elem(daddr, nelmts, k, page_init):
+        if b[daddr:daddr + 4] != b"EADB":
+            raise ValueError("bad extensible array data block signature")
+        npages = (nelmts + page_n - 1) // page_n if nelmts > page_n else 1
+        if npages > 1:
+            pg, off = divmod(k, page_n)
+            if page_init is not None and not page_init(pg):
+                return undef_elem
+            pstart = (daddr + 14 + arr_off + 4
+                      + pg * (page_n * esize + 4))
+            return b[pstart + off * esize:pstart + (off + 1) * esize]
+        base = daddr + 14 + arr_off
+        return b[base + k * esize:base + (k + 1) * esize]
+
+    sblk_cache = {}
+    for idx in range(max_idx_set):
+        if idx < ib_elmts:
+            out.append(ib_elems[idx])
+            continue
+        idx2 = idx - ib_elmts
+        u = (idx2 // db_min + 1).bit_length() - 1
+        nd, ne, s_idx, s_dblk = info[u]
+        dnum, k = divmod(idx2 - s_idx, ne)
+        if u < n_in_ib:
+            daddr, page_init = dblk_addrs[s_dblk + dnum], None
+        else:
+            saddr = sblk_addrs[u - n_in_ib]
+            if saddr == _UNDEF:
+                out.append(undef_elem)
+                continue
+            if saddr not in sblk_cache:
+                if b[saddr:saddr + 4] != b"EASB":
+                    raise ValueError(
+                        "bad extensible array super block signature")
+                npg = (ne + page_n - 1) // page_n if ne > page_n else 1
+                q = saddr + 14 + arr_off
+                bmp = b[q:q + (nd * npg + 7) // 8] if npg > 1 else b""
+                q += len(bmp)
+                addrs = [r.u(q + 8 * i, 8) for i in range(nd)]
+                sblk_cache[saddr] = (addrs, bmp, npg)
+            addrs, bmp, npg = sblk_cache[saddr]
+            daddr = addrs[dnum]
+            if npg > 1:
+                def page_init(pg, _d=dnum, _b=bmp, _n=npg):
+                    i = _d * _n + pg
+                    return bool(_b[i // 8] & (0x80 >> (i % 8)))
+            else:
+                page_init = None
+        if daddr == _UNDEF:
+            out.append(undef_elem)
+            continue
+        out.append(dblk_elem(daddr, ne, k, page_init))
+    return out
+
+
 def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
                      idx_field: bytes, addr: int, shape, dtype,
                      filters):
     """Version-4 chunked data layouts (HDF5 ≥1.10 libver=latest):
-    Single Chunk (1), Implicit (2) and Fixed Array (3, clients 0/1,
-    paged and unpaged data blocks) decode natively — the indexes
-    libhdf5 picks for datasets whose dimensions are all fixed, i.e.
-    every CF grid. Extensible Array (4) and v2 B-tree (5) indexes
-    serve unlimited dimensions and raise loudly."""
+    Single Chunk (1), Implicit (2), Fixed Array (3, clients 0/1,
+    paged and unpaged data blocks), Extensible Array (4, one
+    unlimited dimension — :func:`_ea_elements`) and depth-0 v2
+    B-tree (5, several unlimited dimensions, record types 10/11)
+    all decode natively — the full index set libhdf5 picks from."""
     nominal = int(np.prod(cdims)) * dtype.itemsize
     arr = np.zeros(shape, dtype=dtype.newbyteorder("="))
 
@@ -682,11 +804,60 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
             place_chunk(a, nominal, 0, dst, src)
             a += nominal
         return arr
+    if idx_type == 4:  # extensible array (1 unlimited dimension)
+        entries = _ea_elements(r, addr)
+        it = _chunk_grid_iter(shape, cdims)
+        esize = entries.esize
+        for e in entries:
+            try:
+                dst, src = next(it)
+            except StopIteration:
+                break  # array capacity beyond the current shape
+            caddr = int.from_bytes(e[0:8], "little")
+            if caddr == _UNDEF:
+                continue
+            if entries.client == 1:
+                size_len = esize - 8 - 4
+                nbytes = int.from_bytes(e[8:8 + size_len], "little")
+                fmask = int.from_bytes(
+                    e[8 + size_len:8 + size_len + 4], "little")
+            else:
+                nbytes, fmask = nominal, 0
+            place_chunk(caddr, nbytes, fmask, dst, src)
+        return arr
+    if idx_type == 5:  # v2 B-tree (>1 unlimited dimension)
+        rtype = r.b[addr + 5]
+        if rtype not in (10, 11):
+            raise ValueError(f"v2 B-tree record type {rtype} is not a "
+                             "chunk index")
+        rank = len(cdims)
+        for rec in _btree_v2_records(r, addr):
+            caddr = int.from_bytes(rec[0:8], "little")
+            if rtype == 11:
+                size_len = len(rec) - 8 - 4 - 8 * rank
+                nbytes = int.from_bytes(rec[8:8 + size_len], "little")
+                fmask = int.from_bytes(
+                    rec[8 + size_len:8 + size_len + 4], "little")
+                p = 8 + size_len + 4
+            else:
+                nbytes, fmask, p = nominal, 0, 8
+            scaled = [
+                int.from_bytes(rec[p + 8 * d:p + 8 * (d + 1)], "little")
+                for d in range(rank)
+            ]
+            dst, src = [], []
+            for d in range(rank):
+                lo = scaled[d] * cdims[d]
+                hi = min(lo + cdims[d], shape[d])
+                dst.append(slice(lo, hi))
+                src.append(slice(0, hi - lo))
+            place_chunk(caddr, nbytes, fmask, tuple(dst), tuple(src))
+        return arr
     if idx_type != 3:
         raise NotImplementedError(
-            f"chunk index type {idx_type} (Single Chunk, Implicit and "
-            "Fixed Array decode natively; Extensible Array / v2 B-tree "
-            "indexes serve unlimited dimensions)"
+            f"chunk index type {idx_type} (Single Chunk, Implicit, "
+            "Fixed Array, Extensible Array and v2 B-tree all decode "
+            "natively — this type is outside the published spec)"
         )
     # fixed array: header -> data block of per-chunk entries
     if r.b[addr:addr + 4] != b"FAHD":

@@ -1287,12 +1287,253 @@ def test_layout_v4_fixed_array(mode):
         assert n > page_size  # the bitmap+page path really ran
 
 
+def _ea_index_bytes(chunk_specs, base_addr, client, *, max_bits=32,
+                    ib_elmts=4, db_min=4, sb_min_ptrs=4, page_bits=10):
+    """Spec-built Extensible Array index: EAHD + EAIB + the data
+    blocks the element count requires under libhdf5's doubling
+    super-block geometry, with chunk elements filled positionally.
+    ``chunk_specs`` = [(addr, nbytes, mask) | None] per linear chunk
+    index; client 1 encodes (addr, size, mask) elements. Returns the
+    index blob whose EAHD sits at ``base_addr``."""
+    esize = 8 if client == 0 else 16
+    arr_off = (max_bits + 7) // 8
+    page_n = 1 << page_bits
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1)) // 2
+    info, s_idx, s_dblk = [], 0, 0
+    for u in range(nsblks):
+        nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
+        info.append((nd, ne, s_idx, s_dblk))
+        s_idx += nd * ne
+        s_dblk += nd
+    n_in_ib = 2 * (sb_min_ptrs.bit_length() - 1)
+    ndblk_addrs = sum(info[u][0] for u in range(min(n_in_ib, nsblks)))
+    nsblk_addrs = nsblks - n_in_ib
+    n = len(chunk_specs)
+
+    def elem(spec):
+        if spec is None:
+            return b"\xff" * esize
+        a, nb, m = spec
+        if client == 0:
+            return struct.pack("<Q", a)
+        return struct.pack("<QII", a, nb, m)
+
+    # which data blocks (and how many elements each) do we need?
+    ib_e = [elem(chunk_specs[i]) if i < n else b"\xff" * esize
+            for i in range(ib_elmts)]
+    dblks = {}  # (u, dnum) -> [elements]
+    for i in range(ib_elmts, n):
+        i2 = i - ib_elmts
+        u = (i2 // db_min + 1).bit_length() - 1
+        nd, ne, s_idx, s_dblk = info[u]
+        dnum, k = divmod(i2 - s_idx, ne)
+        key = (u, dnum)
+        if key not in dblks:
+            dblks[key] = [b"\xff" * esize] * ne
+        dblks[key][k] = elem(chunk_specs[i])
+    if any(u >= n_in_ib for u, _ in dblks):
+        raise NotImplementedError("fixture covers direct data blocks")
+    # lay out: EAHD(72) EAIB(var) then data blocks in key order
+    ib_size = 14 + ib_elmts * esize + 8 * (ndblk_addrs + nsblk_addrs) + 4
+    ib_addr = base_addr + 72
+    a = ib_addr + ib_size
+    daddrs = {}
+    dbufs = []
+    for key in sorted(dblks):
+        _, ne, _, _ = info[key[0]]
+        npages = (ne + page_n - 1) // page_n if ne > page_n else 1
+        if npages > 1:
+            raise NotImplementedError("fixture writes unpaged blocks")
+        buf = (b"EADB" + bytes([0, client])
+               + struct.pack("<Q", base_addr)
+               + b"\x00" * arr_off
+               + b"".join(dblks[key]) + b"\x00" * 4)
+        daddrs[key] = a
+        dbufs.append(buf)
+        a += len(buf)
+    head = b"EAHD" + bytes([0, client, esize, max_bits, ib_elmts,
+                            db_min, sb_min_ptrs, page_bits])
+    head += struct.pack("<QQQQQQ", 0, 0, len(dblks), 0, n, n)
+    head += struct.pack("<Q", ib_addr) + b"\x00" * 4
+    ib = b"EAIB" + bytes([0, client]) + struct.pack("<Q", base_addr)
+    ib += b"".join(ib_e)
+    slot = 0
+    for u in range(min(n_in_ib, nsblks)):
+        for d in range(info[u][0]):
+            ib += struct.pack("<Q", daddrs.get((u, d), UNDEF))
+            slot += 1
+    ib += struct.pack("<Q", UNDEF) * nsblk_addrs + b"\x00" * 4
+    assert len(ib) == ib_size
+    return head + ib + b"".join(dbufs)
+
+
+@pytest.mark.parametrize("filtered", [False, True])
+def test_layout_v4_extensible_array(filtered):
+    """Version-4 Extensible Array chunk index — what libhdf5 emits
+    for ONE unlimited dimension, i.e. every appended-time-axis
+    netCDF4 product under libver=latest: elements inline in the
+    index block plus directly-addressed data blocks, clients 0
+    (raw addresses) and 1 (DEFLATE chunks with size+mask)."""
+    arr = (np.arange(120, dtype="<f8").reshape(20, 6) % 19) / 2
+    cdims = (2, 6)
+    blobs = []
+    for r0 in range(0, 20, 2):
+        raw = arr[r0:r0 + 2].tobytes()
+        blobs.append(zlib.compress(raw, 6) if filtered else raw)
+    client = 1 if filtered else 0
+
+    def build(chunk_addrs, ea_addr):
+        msgs = [
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+        ]
+        if filtered:
+            msgs.append(_msg_v2(0x0B, _filter_msg(
+                True, False, 8, pipeline_v2=True)))
+        body = _v4_chunked_prefix(0, cdims, 8, 4)
+        # index fields: max bits, index elmts, min ptrs, min elmts,
+        # page bits (2) — informational; the EAHD is authoritative
+        body += bytes([32, 4, 4, 4, 10, 0]) + struct.pack("<Q", ea_addr)
+        msgs.append(_msg_v2(0x08, body))
+        oh = _ohdr_v2(msgs)
+        root = _ohdr_v2([_link_msg("v", 48)])
+        ea_addr_real = 48 + len(oh) + len(root)
+        specs = [(a, len(b_), 0) for a, b_ in zip(chunk_addrs, blobs)]
+        ea = _ea_index_bytes(specs, ea_addr_real, client)
+        return oh, root, ea, ea_addr_real
+
+    oh0, root0, ea0, ea_addr = build([0] * len(blobs), 0)
+    a = ea_addr + len(ea0)
+    chunk_addrs = []
+    for b_ in blobs:
+        chunk_addrs.append(a)
+        a += len(b_)
+    oh, root, ea, ea_addr2 = build(chunk_addrs, ea_addr)
+    assert ea_addr2 == ea_addr
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + ea + b"".join(blobs)
+    ds = parse_hdf5(bytes(out))
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+
+def test_layout_v4_extensible_array_sparse_tail():
+    """Unwritten Extensible Array elements (UNDEF addresses — the
+    state of chunks past the last append) keep the zero fill."""
+    arr = (np.arange(60, dtype="<f8").reshape(10, 6) % 11).astype("<f8")
+    cdims = (2, 6)
+    blobs = [arr[r0:r0 + 2].tobytes() for r0 in range(0, 6, 2)]
+
+    def build(chunk_addrs, ea_addr):
+        body = _v4_chunked_prefix(0, cdims, 8, 4)
+        body += bytes([32, 4, 4, 4, 10, 0]) + struct.pack("<Q", ea_addr)
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, body),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        ea_real = 48 + len(oh) + len(root)
+        specs = [(a, len(b_), 0) for a, b_ in zip(chunk_addrs, blobs)]
+        specs += [None, None]  # appended dims not yet written
+        return oh, root, _ea_index_bytes(specs, ea_real, 0), ea_real
+
+    oh0, root0, ea0, ea_addr = build([0] * 3, 0)
+    a = ea_addr + len(ea0)
+    chunk_addrs = []
+    for b_ in blobs:
+        chunk_addrs.append(a)
+        a += len(b_)
+    oh, root, ea, _ = build(chunk_addrs, ea_addr)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + ea + b"".join(blobs)
+    ds = parse_hdf5(bytes(out))
+    want = arr.copy()
+    want[6:] = 0.0  # unwritten chunks keep fill
+    np.testing.assert_array_equal(ds["v"]["data"], want)
+
+
+@pytest.mark.parametrize("filtered", [False, True])
+def test_layout_v4_btree2_index(filtered):
+    """Version-4 v2 B-tree chunk index (>1 unlimited dimension):
+    depth-0 BTHD/BTLF with record types 10 (addr + scaled offsets)
+    and 11 (addr + var-size chunk size + mask + scaled offsets)
+    decode natively; records place chunks by their scaled
+    coordinates, not arrival order."""
+    arr = (np.arange(120, dtype="<f8").reshape(10, 12) % 17) / 2
+    cdims = (3, 4)
+    rtype = 11 if filtered else 10
+    size_len = 3  # derived by the reader from rec_size
+    rec_size = 8 + (size_len + 4 if filtered else 0) + 16
+    blobs, scaled = [], []
+    for r0 in range(0, 10, 3):
+        for c0 in range(0, 12, 4):
+            blk = np.zeros(cdims, dtype="<f8")
+            rs, cs = min(3, 10 - r0), min(4, 12 - c0)
+            blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+            raw = blk.tobytes()
+            blobs.append(zlib.compress(raw, 6) if filtered else raw)
+            scaled.append((r0 // 3, c0 // 4))
+    n = len(blobs)
+
+    def build(chunk_addrs, bt_addr):
+        msgs = [
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+        ]
+        if filtered:
+            msgs.append(_msg_v2(0x0B, _filter_msg(
+                True, False, 8, pipeline_v2=True)))
+        body = _v4_chunked_prefix(0, cdims, 8, 5)
+        body += struct.pack("<IBB", 2048, 100, 40)  # creation params
+        body += struct.pack("<Q", bt_addr)
+        msgs.append(_msg_v2(0x08, body))
+        oh = _ohdr_v2(msgs)
+        root = _ohdr_v2([_link_msg("v", 48)])
+        bt_real = 48 + len(oh) + len(root)
+        recs = b""
+        # reversed order: placement must follow scaled coords
+        for a, b_, (sr, sc) in reversed(
+                list(zip(chunk_addrs, blobs, scaled))):
+            recs += struct.pack("<Q", a)
+            if filtered:
+                recs += len(b_).to_bytes(size_len, "little")
+                recs += struct.pack("<I", 0)
+            recs += struct.pack("<QQ", sr, sc)
+        btlf = b"BTLF" + bytes([0, rtype]) + recs + b"\x00" * 4
+        btlf_addr = bt_real + 38
+        bthd = b"BTHD" + bytes([0, rtype])
+        bthd += struct.pack("<IHH", 2048, rec_size, 0)
+        bthd += bytes([100, 40])
+        bthd += struct.pack("<QH", btlf_addr, n)
+        bthd += struct.pack("<Q", n) + b"\x00" * 4
+        assert len(bthd) == 38
+        return oh, root, bthd + btlf, bt_real
+
+    oh0, root0, bt0, bt_addr = build([0] * n, 0)
+    a = bt_addr + len(bt0)
+    chunk_addrs = []
+    for b_ in blobs:
+        chunk_addrs.append(a)
+        a += len(b_)
+    oh, root, bt, _ = build(chunk_addrs, bt_addr)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + bt + b"".join(blobs)
+    ds = parse_hdf5(bytes(out))
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+
 def test_layout_v4_out_of_subset_index_raises():
     arr = np.zeros((4, 4), dtype="<f8")
-    body = _v4_chunked_prefix(0, (2, 2), 8, 4)  # extensible array
+    body = _v4_chunked_prefix(0, (2, 2), 8, 6)  # not a spec index
     body += bytes([0] * 6) + struct.pack("<Q", 4096)
     buf = _v4_file(body, arr, [])
-    with pytest.raises(NotImplementedError, match="chunk index type 4"):
+    with pytest.raises(NotImplementedError, match="chunk index type 6"):
         parse_hdf5(buf)
 
 
@@ -1311,6 +1552,30 @@ def test_h5py_layout_v4_cross_validation(tmp_path):
     ds = parse_hdf5(p.read_bytes())
     np.testing.assert_array_equal(ds["multi"]["data"], arr)
     np.testing.assert_array_equal(ds["single"]["data"], arr)
+
+
+def test_h5py_unlimited_dims_cross_validation(tmp_path):
+    """The day h5py appears: libhdf5's Extensible Array (one
+    unlimited dim, appended twice) and v2 B-tree (two unlimited
+    dims) chunk indexes must decode natively."""
+    h5py = pytest.importorskip("h5py")
+
+    arr = np.arange(120, dtype="<f8").reshape(10, 12)
+    p = tmp_path / "unlim.h5"
+    with h5py.File(str(p), "w", libver="latest") as f:
+        d = f.create_dataset("ea", shape=(4, 12), maxshape=(None, 12),
+                             chunks=(3, 4), dtype="<f8",
+                             compression="gzip")
+        d[:] = arr[:4]
+        d.resize((10, 12))
+        d[4:] = arr[4:]
+        b = f.create_dataset("bt2", shape=(10, 12),
+                             maxshape=(None, None), chunks=(3, 4),
+                             dtype="<f8")
+        b[:] = arr
+    ds = parse_hdf5(p.read_bytes())
+    np.testing.assert_array_equal(ds["ea"]["data"], arr)
+    np.testing.assert_array_equal(ds["bt2"]["data"], arr)
 
 
 def test_h5py_dense_cross_validation(tmp_path):
