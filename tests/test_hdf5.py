@@ -1331,9 +1331,7 @@ def _ea_index_bytes(chunk_specs, base_addr, client, *, max_bits=32,
         if key not in dblks:
             dblks[key] = [b"\xff" * esize] * ne
         dblks[key][k] = elem(chunk_specs[i])
-    if any(u >= n_in_ib for u, _ in dblks):
-        raise NotImplementedError("fixture covers direct data blocks")
-    # lay out: EAHD(72) EAIB(var) then data blocks in key order
+    # lay out: EAHD(72) EAIB(var), data blocks, then super blocks
     ib_size = 14 + ib_elmts * esize + 8 * (ndblk_addrs + nsblk_addrs) + 4
     ib_addr = base_addr + 72
     a = ib_addr + ib_size
@@ -1342,14 +1340,35 @@ def _ea_index_bytes(chunk_specs, base_addr, client, *, max_bits=32,
     for key in sorted(dblks):
         _, ne, _, _ = info[key[0]]
         npages = (ne + page_n - 1) // page_n if ne > page_n else 1
-        if npages > 1:
-            raise NotImplementedError("fixture writes unpaged blocks")
         buf = (b"EADB" + bytes([0, client])
                + struct.pack("<Q", base_addr)
-               + b"\x00" * arr_off
-               + b"".join(dblks[key]) + b"\x00" * 4)
+               + b"\x00" * arr_off)
+        if npages > 1:  # paged: header+cksum, then element pages
+            buf += b"\x00" * 4
+            es = dblks[key]
+            for p0 in range(0, ne, page_n):
+                buf += b"".join(es[p0:p0 + page_n]) + b"\x00" * 4
+        else:
+            buf += b"".join(dblks[key]) + b"\x00" * 4
         daddrs[key] = a
         dbufs.append(buf)
+        a += len(buf)
+    # super blocks for u >= n_in_ib: block offset + page-init bitmap
+    # (all-initialized) + data block addresses
+    saddrs = {}
+    sbufs = []
+    for u in sorted({u for u, _ in dblks if u >= n_in_ib}):
+        nd, ne, _, _ = info[u]
+        npg = (ne + page_n - 1) // page_n if ne > page_n else 1
+        buf = (b"EASB" + bytes([0, client])
+               + struct.pack("<Q", base_addr) + b"\x00" * arr_off)
+        if npg > 1:
+            buf += b"\xff" * ((nd * npg + 7) // 8)
+        for d in range(nd):
+            buf += struct.pack("<Q", daddrs.get((u, d), UNDEF))
+        buf += b"\x00" * 4
+        saddrs[u] = a
+        sbufs.append(buf)
         a += len(buf)
     head = b"EAHD" + bytes([0, client, esize, max_bits, ib_elmts,
                             db_min, sb_min_ptrs, page_bits])
@@ -1357,14 +1376,14 @@ def _ea_index_bytes(chunk_specs, base_addr, client, *, max_bits=32,
     head += struct.pack("<Q", ib_addr) + b"\x00" * 4
     ib = b"EAIB" + bytes([0, client]) + struct.pack("<Q", base_addr)
     ib += b"".join(ib_e)
-    slot = 0
     for u in range(min(n_in_ib, nsblks)):
         for d in range(info[u][0]):
             ib += struct.pack("<Q", daddrs.get((u, d), UNDEF))
-            slot += 1
-    ib += struct.pack("<Q", UNDEF) * nsblk_addrs + b"\x00" * 4
+    for u in range(n_in_ib, nsblks):
+        ib += struct.pack("<Q", saddrs.get(u, UNDEF))
+    ib += b"\x00" * 4
     assert len(ib) == ib_size
-    return head + ib + b"".join(dbufs)
+    return head + ib + b"".join(dbufs) + b"".join(sbufs)
 
 
 @pytest.mark.parametrize("filtered", [False, True])
@@ -1416,6 +1435,62 @@ def test_layout_v4_extensible_array(filtered):
     out += oh + root + ea + b"".join(blobs)
     ds = parse_hdf5(bytes(out))
     np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+
+def test_layout_v4_extensible_array_superblocks_paged():
+    """Deep Extensible Array geometry: elements past the directly-
+    addressed data blocks indirect through EASB super blocks, and a
+    data block larger than the page size splits into element pages
+    with per-page checksums gated by the super block's page-init
+    bitmap — a cleared bit keeps those chunks at fill."""
+    arr = (np.arange(192, dtype="<f8").reshape(32, 6) % 23) / 2
+    cdims = (2, 6)
+    blobs = [arr[r0:r0 + 2].tobytes() for r0 in range(0, 32, 2)]
+    params = dict(max_bits=16, ib_elmts=1, db_min=1, sb_min_ptrs=2,
+                  page_bits=1)
+
+    def build(chunk_addrs, ea_addr):
+        body = _v4_chunked_prefix(0, cdims, 8, 4)
+        body += bytes([16, 1, 2, 1, 1, 0]) + struct.pack("<Q", ea_addr)
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, body),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        ea_real = 48 + len(oh) + len(root)
+        specs = [(a, len(b_), 0) for a, b_ in zip(chunk_addrs, blobs)]
+        return oh, root, _ea_index_bytes(specs, ea_real, 0, **params), ea_real
+
+    oh0, root0, ea0, ea_addr = build([0] * len(blobs), 0)
+    a = ea_addr + len(ea0)
+    chunk_addrs = []
+    for b_ in blobs:
+        chunk_addrs.append(a)
+        a += len(b_)
+    oh, root, ea, _ = build(chunk_addrs, ea_addr)
+
+    def assemble(ea_blob):
+        out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+        out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+        out += b"\x00" * 4
+        out += oh + root + ea_blob + b"".join(blobs)
+        return bytes(out)
+
+    ds = parse_hdf5(assemble(ea))
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+    # clear page-init bit 3 (data block 1, page 1) in the u=3 super
+    # block: its two chunks (linear 14-15, rows 28-31) revert to fill
+    sb_off = ea.find(b"EASB", ea.find(b"EASB") + 1)  # u=3 (2nd) EASB
+    assert sb_off > 0
+    bm_off = sb_off + 14 + 2  # hdr(14) + block offset (arr_off=2)
+    patched = bytearray(ea)
+    assert patched[bm_off] == 0xFF  # all-init bitmap where expected
+    patched[bm_off] &= ~0x10  # 0x80 >> 3
+    ds = parse_hdf5(assemble(bytes(patched)))
+    want = arr.copy()
+    want[28:] = 0.0
+    np.testing.assert_array_equal(ds["v"]["data"], want)
 
 
 def test_layout_v4_extensible_array_sparse_tail():
