@@ -1034,9 +1034,34 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
                 "cells; pass an explicit fill value"
             )
         fill = np.nan
-    arr = np.full((area.height, area.width), fill, dtype=dt)
-    for r in df.select("row", "col", "value").collect():
-        arr[r["row"], r["col"]] = r["value"]
+    if dt.kind == "f":
+        arr = np.full((area.height, area.width), fill, dtype=dt)
+        for r in df.select("row", "col", "value").collect():
+            arr[r["row"], r["col"]] = r["value"]
+    else:
+        # integer samples: a silent numpy assignment cast would
+        # truncate fractions and wrap out-of-range values — a lossy
+        # deliverable must be a loud error, not a surprise
+        info = np.iinfo(dt)
+        if fill != int(fill) or not info.min <= fill <= info.max:
+            raise ValueError(
+                f"fill {fill!r} is not representable in {dtype!r}"
+            )
+        arr = np.full((area.height, area.width), fill, dtype=dt)
+        for r in df.select("row", "col", "value").collect():
+            v = r["value"]
+            if v != int(v):
+                raise ValueError(
+                    f"value {v!r} at ({r['row']}, {r['col']}) is not "
+                    f"integral; round/quantize before an {dtype!r} "
+                    "export or use a float dtype"
+                )
+            if not info.min <= v <= info.max:
+                raise ValueError(
+                    f"value {v!r} at ({r['row']}, {r['col']}) is out "
+                    f"of range for {dtype!r} [{info.min}, {info.max}]"
+                )
+            arr[r["row"], r["col"]] = int(v)
     buf = geotiff_bytes(
         arr,
         sx=area.pixel_size_x,

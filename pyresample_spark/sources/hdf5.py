@@ -94,19 +94,33 @@ def _parse_datatype(b: bytes):
     )
 
 
-def _parse_dataspace(b: bytes):
+def _parse_dataspace(b: bytes, with_max: bool = False):
+    """Dataspace message → dims tuple; ``with_max=True`` also returns
+    the max-dims tuple (None when absent) — all-ones max entries are
+    UNLIMITED dimensions, which steer the Extensible Array chunk
+    order (libhdf5 swizzles the unlimited dim to the front)."""
     ver = b[0]
     rank = b[1]
+    flags = b[2]
     if ver == 1:
         off = 8
     elif ver == 2:
         off = 4
     else:
         raise NotImplementedError(f"dataspace version {ver}")
-    dims = [
+    dims = tuple(
         struct.unpack_from("<Q", b, off + 8 * i)[0] for i in range(rank)
-    ]
-    return tuple(dims)
+    )
+    if not with_max:
+        return dims
+    maxdims = None
+    if flags & 0x01:
+        off += 8 * rank
+        maxdims = tuple(
+            struct.unpack_from("<Q", b, off + 8 * i)[0]
+            for i in range(rank)
+        )
+    return dims, maxdims
 
 
 _MAX_HEADER_BLOCKS = 256  # continuation-chain cap: loud error, not a hang
@@ -533,9 +547,14 @@ def _fletcher32(data: bytes) -> int:
     """HDF5's fletcher-32 checksum (filter id 3 — the one-flag
     netcdf-c integrity option): 16-bit words built BIG-endian from
     byte pairs (odd tail = last byte << 8, per the library's
-    H5_checksum_fletcher32 behavior), running sums reduced mod 65535,
-    checksum = (sum2 << 16) | sum1. Vectorized: sum2 over the word
-    stream equals Σ (n−i)·wᵢ, so both sums are two dot products."""
+    H5_checksum_fletcher32 behavior), checksum = (sum2 << 16) | sum1.
+    The library reduces with ones'-complement FOLDING
+    ``(x & 0xffff) + (x >> 16)``, which is mod-65535 arithmetic
+    EXCEPT that nonzero multiples of 65535 land on 0xFFFF, not 0 —
+    a plain ``%`` would reject ~1 in 33k valid libhdf5 chunks (and
+    emit checksums libhdf5 rejects). Vectorized: sum2 over the word
+    stream equals Σ (n−i)·wᵢ; accumulated per block in Python ints
+    so multi-hundred-MB chunks cannot wrap uint64."""
     n2 = len(data) // 2 * 2
     words = np.frombuffer(data[:n2], dtype=">u2").astype(np.uint64)
     if len(data) & 1:
@@ -545,10 +564,21 @@ def _fletcher32(data: bytes) -> int:
     n = len(words)
     if n == 0:
         return 0
-    sum1 = int(words.sum()) % 65535
-    weights = np.arange(n, 0, -1, dtype=np.uint64)
-    sum2 = int((words * weights).sum()) % 65535
-    return (sum2 << 16) | sum1
+    blk = 1 << 20  # per-block dots stay far under uint64 range
+    s1 = s2 = 0
+    idx = np.arange(min(blk, n), dtype=np.uint64)
+    for o in range(0, n, blk):
+        w = words[o:o + blk]
+        m = len(w)
+        ws = int(w.sum())
+        s1 += ws
+        # Σ_j (n-(o+j))·w_j = (n-o)·Σw - Σ j·w_j
+        s2 += (n - o) * ws - int((idx[:m] * w).sum())
+
+    def fold(x):
+        return 0 if x == 0 else (x - 1) % 65535 + 1
+
+    return (fold(s2) << 16) | fold(s1)
 
 
 def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
@@ -693,8 +723,11 @@ def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
     page_n = 1 << page_bits
     undef_elem = b"\xff" * esize
     # libhdf5's doubling table: super block u holds 2^(u//2) data
-    # blocks of db_min*2^((u+1)//2) elements each
-    nsblks = 1 + (max_bits - (db_min.bit_length() - 1)) // 2
+    # blocks of db_min*2^((u+1)//2) elements each, i.e. db_min·2^u
+    # elements per super block — covering 2^max_bits elements needs
+    # max_bits − log2(db_min) + 1 super blocks (the lookup
+    # sblk = log2(idx/db_min + 1) reaches exactly that far)
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
     info, start_idx, start_dblk = [], 0, 0
     for u in range(nsblks):
         nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
@@ -769,7 +802,7 @@ def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
 
 def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
                      idx_field: bytes, addr: int, shape, dtype,
-                     filters):
+                     filters, maxdims=None):
     """Version-4 chunked data layouts (HDF5 ≥1.10 libver=latest):
     Single Chunk (1), Implicit (2), Fixed Array (3, clients 0/1,
     paged and unpaged data blocks), Extensible Array (4, one
@@ -806,13 +839,41 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
         return arr
     if idx_type == 4:  # extensible array (1 unlimited dimension)
         entries = _ea_elements(r, addr)
-        it = _chunk_grid_iter(shape, cdims)
         esize = entries.esize
-        for e in entries:
-            try:
-                dst, src = next(it)
-            except StopIteration:
+        rank = len(cdims)
+        counts = [
+            (shape[d] + cdims[d] - 1) // cdims[d] for d in range(rank)
+        ]
+        # libhdf5 SWIZZLES the unlimited dimension to the front
+        # before linearizing chunk coords (H5VM_swizzle_coords):
+        # element order is C order over the swizzled chunk grid, not
+        # the natural one — identical only when the unlimited dim is
+        # dim 0 (code-review r10 finding)
+        unlim = 0
+        if maxdims:
+            for d in range(min(rank, len(maxdims))):
+                if maxdims[d] == _UNDEF:
+                    unlim = d
+                    break
+        order = [unlim] + [d for d in range(rank) if d != unlim]
+        sw_counts = [counts[d] for d in order]
+        nchunks = int(np.prod(counts)) if counts else 1
+        for e_idx, e in enumerate(entries):
+            if e_idx >= nchunks:
                 break  # array capacity beyond the current shape
+            rem, sw = e_idx, [0] * rank
+            for i in range(rank - 1, -1, -1):
+                rem, sw[i] = divmod(rem, sw_counts[i])
+            coords = [0] * rank
+            for i, d in enumerate(order):
+                coords[d] = sw[i]
+            dst, src = [], []
+            for d in range(rank):
+                lo = coords[d] * cdims[d]
+                hi = min(lo + cdims[d], shape[d])
+                dst.append(slice(lo, hi))
+                src.append(slice(0, hi - lo))
+            dst, src = tuple(dst), tuple(src)
             caddr = int.from_bytes(e[0:8], "little")
             if caddr == _UNDEF:
                 continue
@@ -876,15 +937,22 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
     p = db_addr + 4 + 1 + 1 + 8
     entries = []
     if nelmts > page_size:  # paged: bitmap + cksum, then pages
+        # page-init bitmap (MSB-first): an unset bit marks a page
+        # libhdf5 never wrote — its bytes are undefined on disk and
+        # MUST NOT be parsed as chunk addresses (code-review r10)
+        bitmap = r.b[p:p + (npages + 7) // 8]
         p += (npages + 7) // 8 + 4
-        left = nelmts
+        left, pg = nelmts, 0
+        undef = b"\xff" * entry_size
         while left > 0:
             take = min(page_size, left)
+            init = bool(bitmap[pg // 8] & (0x80 >> (pg % 8)))
             for _ in range(take):
-                entries.append(r.b[p:p + entry_size])
+                entries.append(r.b[p:p + entry_size] if init else undef)
                 p += entry_size
             p += 4  # per-page checksum
             left -= take
+            pg += 1
     else:
         for _ in range(nelmts):
             entries.append(r.b[p:p + entry_size])
@@ -957,12 +1025,13 @@ def parse_hdf5(buf: bytes) -> dict:
             continue  # sub-group: classic-model CF grids are flat
         attrs = {}
         shape = ()
+        maxdims = None
         dtype = None
         layout = None
         filters: list = []
         for t, b in vmsgs:
             if t == 0x0001:
-                shape = _parse_dataspace(b)
+                shape, maxdims = _parse_dataspace(b, with_max=True)
             elif t == 0x0003:
                 dtype = _parse_datatype(b)
             elif t == 0x000C:
@@ -1034,8 +1103,15 @@ def parse_hdf5(buf: bytes) -> dict:
             p4 += nd * enc
             idx_type = layout[p4]
             p4 += 1
-            idx_field = layout[p4:len(layout) - 8]
-            addr4 = struct.unpack_from("<Q", layout, len(layout) - 8)[0]
+            # parse FORWARD: v1 object headers pad message bodies to
+            # 8-byte multiples, so the address is NOT the body's last
+            # 8 bytes — the index-field length is fixed per type
+            # (1: size+mask only when filtered; 2: none; 3: page
+            # bits; 4/5: creation parameters)
+            flen = {1: 12 if flags4 & 0x02 else 0, 2: 0, 3: 1,
+                    4: 6, 5: 6}.get(idx_type, 0)
+            idx_field = layout[p4:p4 + flen]
+            addr4 = struct.unpack_from("<Q", layout, p4 + flen)[0]
             if addr4 == _UNDEF:  # never-written chunked variable
                 out[name] = {"shape": shape, "attrs": attrs, "data": None}
                 continue
@@ -1044,7 +1120,7 @@ def parse_hdf5(buf: bytes) -> dict:
             cdims4 = dims4[:-1] if len(dims4) == len(shape) + 1 else dims4
             data = _read_chunked_v4(
                 r, flags4, tuple(cdims4), idx_type, idx_field, addr4,
-                shape, dtype, filters,
+                shape, dtype, filters, maxdims=maxdims,
             )
             out[name] = {"shape": shape, "attrs": attrs, "data": data}
             continue
@@ -1300,10 +1376,16 @@ def _w_header(msgs) -> bytes:
 
 
 def _w_link(name: str, addr: int) -> bytes:
-    """Hard-link message body (type 0x0006): v1, minimal flags
-    (1-byte name length, no creation order / charset)."""
+    """Hard-link message body (type 0x0006): v1, no creation order /
+    charset; the name-length field sizes itself (flags bits 0-1:
+    1/2/4/8 bytes) so names past 255 bytes still serialize."""
     nb = name.encode()
-    return bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+    for bits, lsz in ((0, 1), (1, 2), (2, 4), (3, 8)):
+        if len(nb) < 1 << (8 * lsz):
+            return (bytes([1, bits])
+                    + len(nb).to_bytes(lsz, "little") + nb
+                    + struct.pack("<Q", addr))
+    raise ValueError("link name too long")
 
 
 def _w_ohdr_v2(msgs: list) -> bytes:
@@ -1521,15 +1603,21 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             return S if row < 2 else S << (row - 1)
 
         # greedy pack: heap offsets INCLUDE block headers (spec);
-        # an object never spans blocks
+        # an object never spans blocks. A body that overflows the
+        # CURRENT block advances to the next (doubling-table blocks
+        # grow, so a later row may hold what this one can't — the
+        # skipped block stays as a positional empty block); only a
+        # body too big for the LARGEST direct block is an error
+        max_direct_rows = (MAXD // S).bit_length() + 1
+        max_blk = S if max_direct_rows <= 2 else S << (max_direct_rows - 2)
         blocks: list[list] = [[]]   # per block: [(heap_off, body)]
         blk_starts = [0]
         used = dblk_hdr
         ids = []
         for body in link_bodies:
-            if len(body) > blk_size(len(blocks) - 1) - dblk_hdr:
-                raise ValueError("link message larger than a heap block")
-            if used + len(body) > blk_size(len(blocks) - 1):
+            if len(body) > max_blk - dblk_hdr:
+                raise ValueError("link message larger than any heap block")
+            while used + len(body) > blk_size(len(blocks) - 1):
                 blk_starts.append(
                     blk_starts[-1] + blk_size(len(blocks) - 1)
                 )
@@ -1548,7 +1636,6 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         while covered < nblocks:
             covered += W
             rows_needed += 1
-        max_direct_rows = (MAXD // S).bit_length() + 1
         if rows_needed > max_direct_rows:
             raise ValueError("dense link heap beyond direct-row capacity")
         for i, blk in enumerate(blocks):

@@ -899,6 +899,35 @@ def test_export_geotiff_crs_keys_and_multistrip():
     assert got.area_extent == (-4.0, 0.0, 0.5, 37.5)
 
 
+def test_export_geotiff_integer_lossy_values_raise(spark, tmp_path):
+    """Integer-dtype exports must not silently truncate fractions or
+    wrap out-of-range values (code-review r10): both raise loudly,
+    as does an unrepresentable fill."""
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.sources.binary_raster import export_geotiff
+
+    area = AreaDefinition("exp", "longlat", 4, 3, (0.0, 0.0, 8.0, 6.0))
+    p = str(tmp_path / "int.tif")
+    ok = spark.createDataFrame(
+        [(0, 0, 12.0), (2, 3, -42.0)], "row long, col long, value double"
+    )
+    export_geotiff(ok, area, p, dtype="i2", fill=-9999)
+    arr = tiff_pixels(open(p, "rb").read())
+    assert arr[0, 0] == 12.0 and arr[2, 3] == -42.0 and arr[1, 1] == -9999.0
+    frac = spark.createDataFrame(
+        [(0, 0, 12.7)], "row long, col long, value double"
+    )
+    with pytest.raises(ValueError, match="not integral"):
+        export_geotiff(frac, area, p, dtype="i2", fill=-9999)
+    big = spark.createDataFrame(
+        [(0, 0, 40000.0)], "row long, col long, value double"
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        export_geotiff(big, area, p, dtype="i2", fill=-9999)
+    with pytest.raises(ValueError, match="fill"):
+        export_geotiff(ok, area, p, dtype="i2", fill=-9999.5)
+
+
 def test_geotiff_writer_dtype_roundtrip():
     """float32/int16/uint16/int32 sample formats (VERDICT r9 item 6):
     the writer preserves the array dtype and the engine's own reader

@@ -53,10 +53,14 @@ def _dt_string(n: int) -> bytes:
     return bytes([0x13, 0, 0, 0]) + struct.pack("<I", n)
 
 
-def _ds_simple(shape) -> bytes:
-    out = bytes([1, len(shape), 0, 0, 0, 0, 0, 0])
+def _ds_simple(shape, maxdims=None) -> bytes:
+    flags = 1 if maxdims is not None else 0
+    out = bytes([1, len(shape), flags, 0, 0, 0, 0, 0])
     for d in shape:
         out += struct.pack("<Q", d)
+    if maxdims is not None:
+        for d in maxdims:
+            out += struct.pack("<Q", d)
     return out
 
 
@@ -1094,6 +1098,23 @@ def test_package_writer_dense_roundtrip():
     assert var == "band" and (area.width, area.height) == (12, 10)
     with pytest.raises(ValueError, match="dense_links requires"):
         hdf5_grid_bytes(many, superblock=0, dense_links=True)
+    # a link body too long for the 512-byte starting rows must pack
+    # into a later, LARGER doubling-table block, not raise
+    # (code-review r10: the guard tested only the current block)
+    long_name = "v" + "_x" * 300  # ~620-byte link message
+    vars_long = {
+        long_name: (data, {}),
+        "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+        "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+    }
+    buf2 = hdf5_grid_bytes(vars_long, superblock=2, dense_links=True)
+    ds2 = parse_hdf5(buf2)
+    np.testing.assert_array_equal(ds2[long_name]["data"], data)
+    # but a body beyond the LARGEST direct block still raises loudly
+    with pytest.raises(ValueError, match="larger than any heap block"):
+        hdf5_grid_bytes(
+            {"w" * 70000: (data, {})}, superblock=2, dense_links=True
+        )
 
 
 def _v4_file(layout_body: bytes, arr, extra_pieces):
@@ -1285,6 +1306,23 @@ def test_layout_v4_fixed_array(mode):
     np.testing.assert_array_equal(ds["v"]["data"], arr)
     if mode == "paged":
         assert n > page_size  # the bitmap+page path really ran
+        # an UNSET page-init bit marks a page libhdf5 never wrote:
+        # its on-disk bytes are undefined and must not be parsed as
+        # chunk addresses (code-review r10) — those chunks keep fill
+        raw = bytes(out)
+        bm_off = raw.find(b"FADB") + 14
+        patched = bytearray(raw)
+        assert patched[bm_off] & 0x40  # page 1 currently marked init
+        patched[bm_off] &= ~0x40  # clear page 1 (entries 4-7)
+        ds2 = parse_hdf5(bytes(patched))
+        want = arr.copy()
+        # chunks 4-7 of the (5x6)-chunk grid at cdims (2,2): rows
+        # 2-3 hold chunk cols 4-5 and rows 2-3 chunk cols 0-1...
+        # compute directly from the linear chunk order
+        for lin in range(4, 8):
+            cr, cc = divmod(lin, 6)
+            want[cr * 2:(cr + 1) * 2, cc * 2:(cc + 1) * 2] = 0.0
+        np.testing.assert_array_equal(ds2["v"]["data"], want)
 
 
 def _ea_index_bytes(chunk_specs, base_addr, client, *, max_bits=32,
@@ -1298,7 +1336,7 @@ def _ea_index_bytes(chunk_specs, base_addr, client, *, max_bits=32,
     esize = 8 if client == 0 else 16
     arr_off = (max_bits + 7) // 8
     page_n = 1 << page_bits
-    nsblks = 1 + (max_bits - (db_min.bit_length() - 1)) // 2
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
     info, s_idx, s_dblk = [], 0, 0
     for u in range(nsblks):
         nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
@@ -1429,6 +1467,51 @@ def test_layout_v4_extensible_array(filtered):
         a += len(b_)
     oh, root, ea, ea_addr2 = build(chunk_addrs, ea_addr)
     assert ea_addr2 == ea_addr
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + ea + b"".join(blobs)
+    ds = parse_hdf5(bytes(out))
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+
+def test_layout_v4_extensible_array_swizzled_unlim_dim():
+    """When the UNLIMITED dimension is not dim 0, libhdf5 swizzles it
+    to the front before linearizing chunk coordinates — the Extensible
+    Array's element order is C order over the SWIZZLED chunk grid
+    (code-review r10 finding: natural-order placement silently
+    scrambled such datasets). maxshape=(6, UNLIM), chunks (3, 4):
+    element order must be column-chunk-major."""
+    arr = (np.arange(96, dtype="<f8").reshape(6, 16) % 13) / 4
+    cdims = (3, 4)
+    counts = (2, 4)  # chunk grid; swizzled order iterates dim-1 outer
+    blobs, order = [], []
+    for c1 in range(counts[1]):      # swizzled: unlim dim (1) outer
+        for c0 in range(counts[0]):
+            r0, c0_ = c0 * 3, c1 * 4
+            blobs.append(arr[r0:r0 + 3, c0_:c0_ + 4].tobytes())
+            order.append((c0, c1))
+
+    def build(chunk_addrs, ea_addr):
+        body = _v4_chunked_prefix(0, cdims, 8, 4)
+        body += bytes([32, 4, 4, 4, 10, 0]) + struct.pack("<Q", ea_addr)
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape, maxdims=(6, UNDEF))),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, body),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        ea_real = 48 + len(oh) + len(root)
+        specs = [(a, len(b_), 0) for a, b_ in zip(chunk_addrs, blobs)]
+        return oh, root, _ea_index_bytes(specs, ea_real, 0), ea_real
+
+    oh0, root0, ea0, ea_addr = build([0] * len(blobs), 0)
+    a = ea_addr + len(ea0)
+    chunk_addrs = []
+    for b_ in blobs:
+        chunk_addrs.append(a)
+        a += len(b_)
+    oh, root, ea, _ = build(chunk_addrs, ea_addr)
     out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
     out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
     out += b"\x00" * 4
@@ -1648,9 +1731,14 @@ def test_h5py_unlimited_dims_cross_validation(tmp_path):
                              maxshape=(None, None), chunks=(3, 4),
                              dtype="<f8")
         b[:] = arr
+        s = f.create_dataset("ea_swz", shape=(10, 12),
+                             maxshape=(10, None), chunks=(3, 4),
+                             dtype="<f8")  # unlimited dim NOT dim 0
+        s[:] = arr
     ds = parse_hdf5(p.read_bytes())
     np.testing.assert_array_equal(ds["ea"]["data"], arr)
     np.testing.assert_array_equal(ds["bt2"]["data"], arr)
+    np.testing.assert_array_equal(ds["ea_swz"]["data"], arr)
 
 
 def test_h5py_dense_cross_validation(tmp_path):
@@ -1762,6 +1850,49 @@ def test_fletcher32_roundtrip_and_corruption():
     buf[off + 8] ^= 0xFF
     with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
         parse_hdf5(bytes(buf))
+
+
+def test_fletcher32_matches_libhdf5_folding():
+    """_fletcher32 must reproduce libhdf5's H5_checksum_fletcher32
+    EXACTLY — the library reduces with ones'-complement folding
+    ``(x & 0xffff) + (x >> 16)``, so nonzero sums that are multiples
+    of 65535 encode as 0xFFFF, not the 0 a plain ``%`` yields
+    (code-review r10 finding: a mod-based checksum rejected ~1 in
+    33k valid chunks). Oracle = a word-for-word reimplementation of
+    the library's loop, per-360-word folds included."""
+    from pyresample_spark.sources.hdf5 import _fletcher32
+
+    def ref(data):
+        s1 = s2 = 0
+        ln = len(data) // 2
+        i = 0
+        while ln:
+            t = min(360, ln)
+            ln -= t
+            for _ in range(t):
+                s1 = (s1 + ((data[i] << 8) | data[i + 1])) & 0xFFFFFFFF
+                s2 = (s2 + s1) & 0xFFFFFFFF
+                i += 2
+            s1 = (s1 & 0xffff) + (s1 >> 16)
+            s2 = (s2 & 0xffff) + (s2 >> 16)
+        if len(data) % 2:
+            s1 = (s1 + (data[-1] << 8)) & 0xFFFFFFFF
+            s2 = (s2 + s1) & 0xFFFFFFFF
+            s1 = (s1 & 0xffff) + (s1 >> 16)
+            s2 = (s2 & 0xffff) + (s2 >> 16)
+        s1 = (s1 & 0xffff) + (s1 >> 16)
+        s2 = (s2 & 0xffff) + (s2 >> 16)
+        return (s2 << 16) | s1
+
+    # the adversarial cases: sums hitting exact multiples of 65535
+    assert _fletcher32(b"\xff\xff") == 0xFFFFFFFF == ref(b"\xff\xff")
+    assert _fletcher32(b"") == 0
+    assert _fletcher32(b"\x00" * 100) == 0
+    rng = np.random.RandomState(7)
+    for case in [b"\x00", bytes([1, 2, 3, 4, 5]), b"\xff" * 721,
+                 b"\xff" * 100_000] + [
+            rng.bytes(rng.randint(1, 4000)) for _ in range(60)]:
+        assert _fletcher32(case) == ref(case), len(case)
 
 
 def test_h5py_fletcher32_cross_validation(tmp_path):
