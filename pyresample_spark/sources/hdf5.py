@@ -17,7 +17,7 @@ CF grids:
   symbol tables (v1 B-tree node type 0 → SNOD symbol nodes → local
   heap names), new-style compact groups (hard-link messages in the
   header) AND new-style DENSE groups (Link Info → fractal heap
-  ``FRHP``/``FHDB``/``FHIB`` managed objects indexed by a depth-0
+  ``FRHP``/``FHDB``/``FHIB`` managed objects indexed by an any-depth
   name v2 B-tree ``BTHD``/``BTLF`` — what libhdf5 emits for
   libver=latest groups past the compact threshold; filtered heaps,
   huge/tiny heap IDs and deeper B-trees raise loudly),
@@ -31,7 +31,7 @@ CF grids:
   (paged + unpaged, filtered + raw) for fixed-dimension datasets,
   Extensible Array (doubling super-block geometry, paged data
   blocks gated by the page-init bitmap) for one unlimited dimension
-  — every appended-time-axis product — and depth-0 v2 B-tree
+  — every appended-time-axis product — and any-depth v2 B-tree
   (record types 10/11) for several — with the deflate (id 1, stdlib zlib),
   shuffle (id 2, pure byte de-interleave) and fletcher32 (id 3,
   verify-and-strip checksum) filters in either pipeline
@@ -353,31 +353,71 @@ def _fractal_heap_fetch(r: _R, frhp_addr: int):
 
 
 def _btree_v2_records(r: _R, bthd_addr: int):
-    """v2 B-tree (``BTHD``) → iterator of raw record bytes. Subset:
-    depth-0 trees (root is a single ``BTLF`` leaf) — a dense-group
-    link-name index only grows internal nodes at thousands of links;
-    deeper trees raise loudly rather than decode partially."""
+    """v2 B-tree (``BTHD``) → iterator of raw record bytes, any
+    depth: ``BTIN`` internal nodes interleave records with child
+    pointers whose field widths follow libhdf5's size tables —
+    ``max_nrec_size`` (from the leaf capacity) for the child record
+    count, plus the cumulative-subtree size for depths > 1. In-order
+    traversal yields records sorted, matching the library."""
     if r.b[bthd_addr:bthd_addr + 4] != b"BTHD":
         raise ValueError("bad v2 B-tree header signature")
     if r.b[bthd_addr + 4] != 0:
         raise NotImplementedError(
             f"v2 B-tree version {r.b[bthd_addr + 4]}"
         )
+    node_size = r.u(bthd_addr + 6, 4)
     rec_size = r.u(bthd_addr + 10, 2)
     depth = r.u(bthd_addr + 12, 2)
     root_addr = r.u(bthd_addr + 16, 8)
     root_nrec = r.u(bthd_addr + 24, 2)
-    if depth != 0:
-        raise NotImplementedError(
-            f"v2 B-tree depth {depth} (depth-0 link indexes decode "
-            "natively; thousands-of-links groups need the libs)"
-        )
-    if r.b[root_addr:root_addr + 4] != b"BTLF":
-        raise ValueError("bad v2 B-tree leaf signature")
-    p = root_addr + 6
-    for _ in range(root_nrec):
-        yield r.b[p:p + rec_size]
-        p += rec_size
+
+    def enc_size(n):  # H5VM_limit_enc_size: bytes to encode 0..n
+        return n.bit_length() // 8 + 1
+
+    # libhdf5's per-depth capacity tables (H5B2hdr.c): child-pointer
+    # widths derive from the leaf max and cumulative subtree maxima
+    leaf_max = (node_size - 10) // rec_size
+    max_nrec_size = enc_size(leaf_max)
+    cum = [leaf_max]
+    cum_size = [enc_size(leaf_max)]
+    ptr_size = [0]
+    for u in range(1, depth + 1):
+        psz = 8 + max_nrec_size + (cum_size[u - 1] if u > 1 else 0)
+        ptr_size.append(psz)
+        nrec_u = (node_size - (10 + psz)) // (rec_size + psz)
+        cum.append((nrec_u + 1) * cum[u - 1] + nrec_u)
+        cum_size.append(enc_size(cum[-1]))
+
+    def walk(addr, nrec, d):
+        if d == 0:
+            if r.b[addr:addr + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            p = addr + 6
+            for _ in range(nrec):
+                yield r.b[p:p + rec_size]
+                p += rec_size
+            return
+        if r.b[addr:addr + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node signature")
+        p = addr + 6
+        recs = []
+        for _ in range(nrec):
+            recs.append(r.b[p:p + rec_size])
+            p += rec_size
+        children = []
+        psz = ptr_size[d]
+        for _ in range(nrec + 1):
+            caddr = struct.unpack_from("<Q", r.b, p)[0]
+            cnrec = int.from_bytes(
+                r.b[p + 8:p + 8 + max_nrec_size], "little")
+            children.append((caddr, cnrec))
+            p += psz
+        for i, (caddr, cnrec) in enumerate(children):
+            yield from walk(caddr, cnrec, d - 1)
+            if i < nrec:
+                yield recs[i]
+
+    yield from walk(root_addr, root_nrec, depth)
 
 
 def _walk_dense_links(r: _R, li_body: bytes):
@@ -806,7 +846,7 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
     """Version-4 chunked data layouts (HDF5 ≥1.10 libver=latest):
     Single Chunk (1), Implicit (2), Fixed Array (3, clients 0/1,
     paged and unpaged data blocks), Extensible Array (4, one
-    unlimited dimension — :func:`_ea_elements`) and depth-0 v2
+    unlimited dimension — :func:`_ea_elements`) and any-depth v2
     B-tree (5, several unlimited dimensions, record types 10/11)
     all decode natively — the full index set libhdf5 picks from."""
     nominal = int(np.prod(cdims)) * dtype.itemsize

@@ -954,10 +954,12 @@ def test_dense_links_out_of_subset_guards():
     struct.pack_into("<H", fbuf, frhp_addr + 7, 8)
     with pytest.raises(NotImplementedError, match="filtered"):
         _fractal_heap_fetch(_R(bytes(fbuf)), frhp_addr)
-    # deep B-tree: depth field > 0
+    # corrupt depth field: deep trees now DECODE (BTIN walk), so a
+    # forged depth on a leaf-rooted tree must die on the signature
+    # check, never parse leaf bytes as an internal node
     dbuf = bytearray(buf)
     struct.pack_into("<H", dbuf, bthd_addr + 12, 2)
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="internal node signature"):
         list(_btree_v2_records(_R(bytes(dbuf)), bthd_addr))
 
 
@@ -1670,6 +1672,73 @@ def test_layout_v4_btree2_index(filtered):
         bthd += struct.pack("<Q", n) + b"\x00" * 4
         assert len(bthd) == 38
         return oh, root, bthd + btlf, bt_real
+
+    oh0, root0, bt0, bt_addr = build([0] * n, 0)
+    a = bt_addr + len(bt0)
+    chunk_addrs = []
+    for b_ in blobs:
+        chunk_addrs.append(a)
+        a += len(b_)
+    oh, root, bt, _ = build(chunk_addrs, bt_addr)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, a, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + bt + b"".join(blobs)
+    ds = parse_hdf5(bytes(out))
+    np.testing.assert_array_equal(ds["v"]["data"], arr)
+
+
+def test_btree_v2_depth1_internal_nodes():
+    """v2 B-trees past one leaf: a depth-1 tree (BTIN root with
+    records interleaved between two BTLF leaves, child-pointer
+    widths from libhdf5's size tables) yields all records in order —
+    the shape real files grow at thousands of chunks/links."""
+    arr = (np.arange(120, dtype="<f8").reshape(10, 12) % 17) / 2
+    cdims = (3, 4)
+    rec_size = 24  # type 10, rank 2: addr + 2x8 scaled
+    blobs, scaled = [], []
+    for r0 in range(0, 10, 3):
+        for c0 in range(0, 12, 4):
+            blk = np.zeros(cdims, dtype="<f8")
+            rs, cs = min(3, 10 - r0), min(4, 12 - c0)
+            blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+            blobs.append(blk.tobytes())
+            scaled.append((r0 // 3, c0 // 4))
+    n = len(blobs)  # 12: leaf0 holds 5, BTIN record 1, leaf1 holds 6
+
+    def rec(i, addrs):
+        return struct.pack("<QQQ", addrs[i], *scaled[i])
+
+    def build(chunk_addrs, bt_addr):
+        body = _v4_chunked_prefix(0, cdims, 8, 5)
+        body += struct.pack("<IBB", 2048, 100, 40)
+        body += struct.pack("<Q", bt_addr)
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(arr.shape)),
+            _msg_v2(0x03, _dt_fixed(arr.dtype)),
+            _msg_v2(0x08, body),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        bt_real = 48 + len(oh) + len(root)
+        bthd_len = 38
+        leaf0 = b"BTLF" + bytes([0, 10]) + b"".join(
+            rec(i, chunk_addrs) for i in range(5)) + b"\x00" * 4
+        leaf1 = b"BTLF" + bytes([0, 10]) + b"".join(
+            rec(i, chunk_addrs) for i in range(6, 12)) + b"\x00" * 4
+        l0 = bt_real + bthd_len
+        # BTIN: 1 record + 2 child pointers (addr8 + nrec1 each)
+        btin = (b"BTIN" + bytes([0, 10]) + rec(5, chunk_addrs))
+        bi = l0 + len(leaf0)
+        l1 = bi + 6 + rec_size + 2 * 9 + 4
+        btin += struct.pack("<QB", l0, 5) + struct.pack("<QB", l1, 6)
+        btin += b"\x00" * 4
+        bthd = b"BTHD" + bytes([0, 10])
+        bthd += struct.pack("<IHH", 2048, rec_size, 1)  # depth 1
+        bthd += bytes([100, 40])
+        bthd += struct.pack("<QH", bi, 1)  # root BTIN, 1 record
+        bthd += struct.pack("<Q", n) + b"\x00" * 4
+        assert len(bthd) == 38
+        return oh, root, bthd + leaf0 + btin + leaf1, bt_real
 
     oh0, root0, bt0, bt_addr = build([0] * n, 0)
     a = bt_addr + len(bt0)
