@@ -37,11 +37,12 @@ CF grids:
   verify-and-strip checksum) filters in either pipeline
   message version — ``deflate+shuffle`` is netcdf-c's canonical
   compression recipe and fletcher32 its one-flag integrity option,
-- netCDF4 convention attrs (``DIMENSION_LIST`` is a vlen-reference
-  attribute needing the global heap; it is skipped and coordinate
-  variables are matched by name+shape instead, which is exactly the
-  classic-model layout netcdf-c emits: 1-D datasets named after the
-  dimensions).
+- netCDF4 convention attrs: variable-length STRING attributes (the
+  h5py/h5netcdf default for text) resolve through the global heap
+  (``GCOL``); ``DIMENSION_LIST`` (a vlen-reference attribute) is
+  skipped and coordinate variables are matched by name+shape
+  instead, which is exactly the classic-model layout netcdf-c
+  emits: 1-D datasets named after the dimensions.
 
 Anything outside the subset raises ``ValueError``/``NotImplementedError``
 with the offending structure named, and ``load_cf_area`` falls back to
@@ -88,10 +89,40 @@ def _parse_datatype(b: bytes):
         return np.dtype(f"{order}f{size}")
     if cls == 3:  # fixed-length string
         return ("str", size)
+    if cls == 9 and (bits0 & 0x0F) == 1:  # variable-length STRING
+        # (h5py/h5netcdf write text attrs this way; data lives in the
+        # global heap). Vlen SEQUENCES (DIMENSION_LIST object refs)
+        # stay out of the subset and raise → caller skips the attr.
+        return ("vlen_str",)
     raise NotImplementedError(
         f"HDF5 datatype class {cls} (v{ver}) outside the native subset "
-        "(fixed-point/float/fixed-string)"
+        "(fixed-point/float/fixed-string/vlen-string)"
     )
+
+
+def _gheap_object(r: _R, addr: int, index: int) -> bytes:
+    """Global heap collection (``GCOL``) → raw bytes of the object
+    with the given heap index — the storage HDF5 variable-length
+    data points into. Objects are (index u2, refcount u2, reserved
+    u4, size u8, data 8-padded); index 0 marks the free-space
+    terminator."""
+    if r.b[addr:addr + 4] != b"GCOL":
+        raise ValueError("bad global heap collection signature")
+    if r.b[addr + 4] != 1:
+        raise NotImplementedError(
+            f"global heap version {r.b[addr + 4]}"
+        )
+    size = r.u(addr + 8, 8)
+    p, end = addr + 16, addr + size
+    while p + 16 <= end:
+        idx = r.u(p, 2)
+        osize = r.u(p + 8, 8)
+        if idx == 0:
+            break
+        if idx == index:
+            return r.b[p + 16:p + 16 + osize]
+        p += 16 + (osize + 7) // 8 * 8
+    raise ValueError(f"global heap object {index} not found")
 
 
 def _parse_dataspace(b: bytes, with_max: bool = False):
@@ -469,12 +500,14 @@ def _walk_dense_attrs(r: _R, ai_body: bytes):
                 "shared dense attribute message (flag bit 0) is "
                 "outside the subset"
             )
-        out.append(_parse_attr(fetch(rec[:idl])))
+        out.append(_parse_attr(fetch(rec[:idl]), r))
     return out
 
 
-def _parse_attr(body: bytes):
-    """Attribute message v1/v3 → (name, python value)."""
+def _parse_attr(body: bytes, r: _R = None):
+    """Attribute message v1/v3 → (name, python value). ``r`` (the
+    whole-file reader) lets variable-length string values resolve
+    through the global heap; without it they are skipped."""
     ver = body[0]
     name_size = struct.unpack_from("<H", body, 2)[0]
     dt_size = struct.unpack_from("<H", body, 4)[0]
@@ -509,6 +542,20 @@ def _parse_attr(body: bytes):
         return name, None  # e.g. DIMENSION_LIST vlen refs — skipped
     dims = _parse_dataspace(ds) if ds_size else ()
     n = int(np.prod(dims)) if dims else 1
+    if typ == ("vlen_str",):
+        if r is None:
+            return name, None
+        # each element: length u4, global-heap collection addr u8,
+        # object index u4
+        vals = []
+        for i in range(n):
+            p = off + 16 * i
+            length = struct.unpack_from("<I", body, p)[0]
+            gaddr = struct.unpack_from("<Q", body, p + 4)[0]
+            gidx = struct.unpack_from("<I", body, p + 12)[0]
+            raw = _gheap_object(r, gaddr, gidx)[:length]
+            vals.append(raw.decode("utf-8", "replace"))
+        return name, vals[0] if not dims else vals
     if isinstance(typ, tuple):  # fixed string
         raw = body[off:off + typ[1] * n]
         return name, raw.split(b"\x00")[0].decode("utf-8", "replace")
@@ -1075,7 +1122,7 @@ def parse_hdf5(buf: bytes) -> dict:
             elif t == 0x0003:
                 dtype = _parse_datatype(b)
             elif t == 0x000C:
-                k, v = _parse_attr(b)
+                k, v = _parse_attr(b, r)
                 if v is not None:
                     attrs[k] = v
             elif t == 0x0015:  # dense attribute storage

@@ -963,6 +963,110 @@ def test_dense_links_out_of_subset_guards():
         list(_btree_v2_records(_R(bytes(dbuf)), bthd_addr))
 
 
+def test_vlen_string_attrs_global_heap():
+    """Variable-length STRING attributes (datatype class 9, string
+    flavor) resolve through the global heap (GCOL) — how h5py and
+    h5netcdf write every text attribute, so skipping them would lose
+    grid_mapping metadata on real products. Scalar and array shapes;
+    vlen SEQUENCES (DIMENSION_LIST) stay skipped."""
+    from pyresample_spark.sources.hdf5 import _R, _gheap_object
+
+    data = np.arange(6, dtype="<f8").reshape(2, 3)
+
+    def vlen_attr(name, elems, gaddr, gidx0, scalar):
+        nb = name.encode() + b"\x00"
+        # class 9 v1, flavor bits0=1 (string); vlen datum size 16;
+        # parent type = 1-byte C-S1 fixed string
+        dt = bytes([0x19, 0x01, 0, 0]) + struct.pack("<I", 16)
+        dt += bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
+        ds = _ds_scalar() if scalar else _ds_simple((len(elems),))
+        body = bytes([1, 0]) + struct.pack(
+            "<HHH", len(nb), len(dt), len(ds))
+
+        def pad8(b_):
+            return b_ + b"\x00" * (-len(b_) % 8)
+
+        body += pad8(nb) + pad8(dt) + pad8(ds)
+        for i, e in enumerate(elems):
+            body += struct.pack("<IQI", len(e), gaddr, gidx0 + i)
+        return body
+
+    strings = [b"crs", b"alpha", b"beta"]
+
+    def gcol(addr):
+        objs = b""
+        for i, sb in enumerate(strings):
+            objs += struct.pack("<HHIQ", i + 1, 1, 0, len(sb))
+            objs += sb + b"\x00" * (-len(sb) % 8)
+        objs += struct.pack("<HHIQ", 0, 0, 0, 0)  # free-space marker
+        return b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack(
+            "<Q", 16 + len(objs)) + objs
+
+    def build(gaddr):
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(data.shape)),
+            _msg_v2(0x03, _dt_fixed(data.dtype)),
+            _msg_v2(0x08, bytes([3, 1]) + struct.pack(
+                "<QQ", gaddr if gaddr else 0, data.nbytes)),
+            _msg_v2(0x0C, vlen_attr("grid_mapping", strings[:1],
+                                    gaddr, 1, scalar=True)),
+            _msg_v2(0x0C, vlen_attr("flags", strings[1:], gaddr, 2,
+                                    scalar=False)),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        return oh, root
+
+    # contiguous layout: data sits right after headers, GCOL after
+    oh0, root0 = build(0)
+    data_addr = 48 + len(oh0) + len(root0)
+    gaddr = data_addr + data.nbytes
+    # rebuild with the data address in the layout message
+    def build2():
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(data.shape)),
+            _msg_v2(0x03, _dt_fixed(data.dtype)),
+            _msg_v2(0x08, bytes([3, 1]) + struct.pack(
+                "<QQ", data_addr, data.nbytes)),
+            _msg_v2(0x0C, vlen_attr("grid_mapping", strings[:1],
+                                    gaddr, 1, scalar=True)),
+            _msg_v2(0x0C, vlen_attr("flags", strings[1:], gaddr, 2,
+                                    scalar=False)),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        return oh, root
+
+    oh, root = build2()
+    g = gcol(gaddr)
+    total = gaddr + len(g)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, total, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + data.tobytes() + g
+    ds = parse_hdf5(bytes(out))
+    assert ds["v"]["attrs"]["grid_mapping"] == "crs"
+    assert ds["v"]["attrs"]["flags"] == ["alpha", "beta"]
+    np.testing.assert_array_equal(ds["v"]["data"], data)
+    # the heap accessor itself: missing index raises loudly
+    r = _R(bytes(out))
+    with pytest.raises(ValueError, match="not found"):
+        _gheap_object(r, gaddr, 99)
+
+
+def test_h5py_vlen_attr_cross_validation(tmp_path):
+    """The day h5py appears: its default (vlen) string attributes
+    must resolve natively."""
+    h5py = pytest.importorskip("h5py")
+
+    p = tmp_path / "vlen.h5"
+    with h5py.File(str(p), "w") as f:
+        d = f.create_dataset("v", data=np.zeros((2, 2)))
+        d.attrs["grid_mapping"] = "crs"
+        d.attrs["many"] = ["a", "bc"]
+    ds = parse_hdf5(p.read_bytes())
+    assert ds["v"]["attrs"]["grid_mapping"] == "crs"
+    assert list(ds["v"]["attrs"]["many"]) == ["a", "bc"]
+
+
 def test_dense_attribute_storage():
     """Dense attribute storage (Attribute Info 0x0015 → fractal heap
     + name v2 B-tree, record type 8) — what libhdf5 switches to past
