@@ -1337,6 +1337,7 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 # 2K = 64 entries per node); emitting more in one node makes the file
 # unreadable to real consumers (ADVICE r8) — the writer splits instead.
 _BT_MAX_ENTRIES = 64
+_FA_PAGE_BITS = 10  # libhdf5's default fixed-array page size (1024)
 
 # libhdf5 reads every v1 B-tree node at the FIXED size derived from
 # the tree's K — 24-byte header + (2K+1) keys + 2K child pointers —
@@ -1491,7 +1492,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     deflate: bool = True, shuffle: bool = False,
                     fletcher32: bool = False,
                     superblock: int = 0,
-                    dense_links: bool = False) -> bytes:
+                    dense_links: bool = False,
+                    chunk_index: str = "btree1") -> bytes:
     """Write {name: (array | None, {str attr: str})} as a flat root
     group (None array → dataless i4 container for grid-mapping vars).
     ``chunks``: {name: (cr, cc)} switches a 2-D variable to the
@@ -1504,12 +1506,22 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     consumers (ADVICE r8). ``superblock=2`` writes the HDF5 ≥1.10
     ``libver=latest`` container instead: v2 superblock + v2 ``OHDR``
     root group with hard-link messages (lookup3-checksummed), with the
-    datasets themselves kept as v1 headers (spec-legal mix)."""
+    datasets themselves kept as v1 headers (spec-legal mix).
+    ``chunk_index="fixed_array"`` (requires ``superblock=2``) writes
+    chunked variables with the VERSION-4 data layout + Fixed Array
+    index (``FAHD``/``FADB``, paged past 2^10 chunks, per-entry
+    size+mask when filtered) — the index libhdf5 ≥1.10 itself picks
+    for fixed-dimension chunked datasets under libver=latest."""
     if superblock not in (0, 2):
         raise ValueError(f"superblock must be 0 or 2, got {superblock}")
     if dense_links and superblock != 2:
         raise ValueError("dense_links requires superblock=2 (new-style "
                          "groups)")
+    if chunk_index not in ("btree1", "fixed_array"):
+        raise ValueError(f"unknown chunk_index {chunk_index!r}")
+    if chunk_index == "fixed_array" and superblock != 2:
+        raise ValueError("chunk_index='fixed_array' requires "
+                         "superblock=2 (an HDF5 >=1.10 structure)")
     chunks = chunks or {}
     names = sorted(variables)
 
@@ -1601,8 +1613,16 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     blobs.append(((r0, c0), zlib.compress(raw, 6)
                                   if deflate else raw))
             chunk_blobs[n] = blobs
-            lay = struct.pack("<BBBQ", 3, 2, 3, 0)
-            lay += struct.pack("<III", cr, cc, arr.dtype.itemsize)
+            if chunk_index == "fixed_array":
+                # v4 layout, class 2, Fixed Array (type 3): flags 0,
+                # rank WITHOUT the element-size dim, 4-byte dims,
+                # page-bits index field, FAHD address (patched)
+                lay = bytes([4, 2, 0, 2, 4])
+                lay += struct.pack("<II", cr, cc)
+                lay += bytes([3, _FA_PAGE_BITS]) + struct.pack("<Q", 0)
+            else:
+                lay = struct.pack("<BBBQ", 3, 2, 3, 0)
+                lay += struct.pack("<III", cr, cc, arr.dtype.itemsize)
             msgs.append(_w_msg(0x0008, lay))
         else:
             msgs.append(_w_msg(
@@ -1618,6 +1638,44 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             for i, (_, raw) in enumerate(chunk_blobs[n]):
                 place(("chunk", n, i), raw)
             blobs = chunk_blobs[n]
+            if chunk_index == "fixed_array":
+                filtered = bool(deflate or shuffle or fletcher32)
+                cr, cc = chunks[n]
+                nominal = cr * cc * variables[n][0].dtype.itemsize
+                # libhdf5's chunk-size field width (H5Dfarray.c):
+                # one spare byte in case a filter GROWS the chunk
+                size_len = min(8, 1 + (nominal.bit_length() + 7) // 8)
+                entry_size = 8 + size_len + 4 if filtered else 8
+                nchunks = len(blobs)
+                ents = b""
+                for i, (_, raw) in enumerate(blobs):
+                    ents += struct.pack("<Q", pos[("chunk", n, i)])
+                    if filtered:
+                        ents += len(raw).to_bytes(size_len, "little")
+                        ents += struct.pack("<I", 0)
+                fahd_addr = pos["cursor"]
+                fadb_addr = fahd_addr + 28
+                fahd = b"FAHD" + bytes([0, 1 if filtered else 0,
+                                        entry_size, _FA_PAGE_BITS])
+                fahd += struct.pack("<QQ", nchunks, fadb_addr)
+                fahd += b"\x00" * 4
+                fadb = b"FADB" + bytes([0, 1 if filtered else 0])
+                fadb += struct.pack("<Q", fahd_addr)
+                page = 1 << _FA_PAGE_BITS
+                if nchunks > page:  # paged: all-init bitmap + pages
+                    npages = (nchunks + page - 1) // page
+                    fadb += b"\xff" * ((npages + 7) // 8) + b"\x00" * 4
+                    for p0 in range(0, nchunks, page):
+                        take = min(page, nchunks - p0)
+                        fadb += ents[p0 * entry_size:
+                                     (p0 + take) * entry_size]
+                        fadb += b"\x00" * 4
+                else:
+                    fadb += ents + b"\x00" * 4
+                got = place(("fahd", n), fahd)
+                assert got == fahd_addr
+                place(("fadb", n), fadb)
+                continue
             h, w = variables[n][0].shape
             sentinel = struct.pack("<IIQQQ", 0, 0, h, w, 0)
             entries = [
@@ -1839,7 +1897,13 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 mtype = struct.unpack_from("<H", b, off)[0]
                 msize = struct.unpack_from("<H", b, off + 2)[0]
                 if mtype == 0x0008:
-                    if b[off + 9] == 1:
+                    if b[off + 8] == 4:  # v4: FAHD addr after idx field
+                        nd, enc = b[off + 11], b[off + 12]
+                        struct.pack_into(
+                            "<Q", b, off + 8 + 5 + nd * enc + 2,
+                            pos[("fahd", n)],
+                        )
+                    elif b[off + 9] == 1:
                         struct.pack_into("<Q", b, off + 10, pos[("data", n)])
                     else:
                         struct.pack_into("<Q", b, off + 11, pos[("btree", n)])
@@ -1868,9 +1932,11 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
 
 def demo_hdf5_granule_dir() -> str:
     """netCDF4/HDF5 twin of binary_raster.demo_granule_dir: the same
-    banded synthetic grid as HDF5 granules — band 0 contiguous, the
-    others chunked+deflate (the netcdf-c compressed layout) — for the
-    driver-gated q_hdf5_ingest."""
+    banded synthetic grid as HDF5 granules — band 0 contiguous
+    (superblock v0), band 1 chunked+deflate with the v1-B-tree index,
+    band 2 chunked+deflate in the HDF5 ≥1.10 libver=latest container
+    (superblock v2, v4 layout, Fixed Array chunk index) — so the
+    driver-gated q_hdf5_ingest exercises every decode generation."""
     import os
 
     from pyresample_spark.sources.binary_raster import (
@@ -1900,12 +1966,14 @@ def demo_hdf5_granule_dir() -> str:
                 },
                 chunks=None if band == 0 else {"band": (5, 16)},
                 deflate=band != 0,
+                superblock=2 if band == 2 else 0,
+                chunk_index="fixed_array" if band == 2 else "btree1",
             )
             with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_h5_granules_v1_{GRANULE_BANDS}x"
+        f"pyresample_spark_h5_granules_v2_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

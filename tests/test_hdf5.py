@@ -2093,6 +2093,69 @@ def test_h5py_fletcher32_cross_validation(tmp_path):
         np.testing.assert_array_equal(f["band"][...], data)
 
 
+def test_package_writer_fixed_array_index():
+    """chunk_index='fixed_array' writes the HDF5 >=1.10 v4 layout +
+    FAHD/FADB index (what libhdf5 itself emits under libver=latest):
+    roundtrips through the reader in every filter combination,
+    pages past 2^10 chunks, and refuses superblock 0."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = (np.arange(40 * 24, dtype="<f8").reshape(40, 24) % 83) / 8
+    xs = np.arange(24) + 0.5
+    ys = -(np.arange(40) + 0.5)
+    variables = {
+        "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+        "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "band": (data, {"grid_mapping": "crs"}),
+    }
+    for deflate, shuffle, f32 in [(False, False, False),
+                                  (True, False, False),
+                                  (True, True, True)]:
+        buf = hdf5_grid_bytes(
+            variables, chunks={"band": (7, 8)}, deflate=deflate,
+            shuffle=shuffle, fletcher32=f32, superblock=2,
+            chunk_index="fixed_array",
+        )
+        assert b"FAHD" in buf and b"FADB" in buf
+        ds = parse_hdf5(buf)
+        np.testing.assert_array_equal(ds["band"]["data"], data)
+        area, var = load_cf_area_h5(buf)
+        assert var == "band" and (area.width, area.height) == (24, 40)
+    # paged data block: 1600 chunks > the 1024-element page
+    big = (np.arange(6400, dtype="<f8").reshape(80, 80) % 31)
+    buf = hdf5_grid_bytes(
+        {"band": (big.astype("<f8"), {})}, chunks={"band": (2, 2)},
+        deflate=False, superblock=2, chunk_index="fixed_array",
+    )
+    np.testing.assert_array_equal(parse_hdf5(buf)["band"]["data"], big)
+    with pytest.raises(ValueError, match="requires"):
+        hdf5_grid_bytes(variables, chunks={"band": (7, 8)},
+                        chunk_index="fixed_array")
+    with pytest.raises(ValueError, match="chunk_index"):
+        hdf5_grid_bytes(variables, superblock=2, chunk_index="earray")
+
+
+def test_h5py_reads_package_fixed_array_output(tmp_path):
+    """The day h5py appears: libhdf5 itself must read the package
+    writer's v4/Fixed-Array output."""
+    h5py = pytest.importorskip("h5py")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = (np.arange(40 * 24, dtype="<f8").reshape(40, 24) % 83) / 8
+    buf = hdf5_grid_bytes(
+        {"band": (data, {"units": "K"})}, chunks={"band": (7, 8)},
+        deflate=True, shuffle=True, superblock=2,
+        chunk_index="fixed_array",
+    )
+    p = tmp_path / "fa.h5"
+    p.write_bytes(buf)
+    with h5py.File(str(p), "r") as f:
+        np.testing.assert_array_equal(f["band"][()], data)
+        assert f["band"].attrs["units"] == b"K" or \
+            f["band"].attrs["units"] == "K"
+
+
 def test_writer_btree_nodes_fixed_size():
     """libhdf5 reads every v1 B-tree node at the FIXED size derived
     from the tree's K, not the used-entry size, so a short node near
