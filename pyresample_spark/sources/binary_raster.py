@@ -1159,8 +1159,9 @@ def demo_tiff_granule_dir() -> str:
     """GeoTIFF twin of :func:`demo_granule_dir`: the same banded
     synthetic grid written as float32 GeoTIFFs (one band per file,
     alternating byte order AND alternating baseline/DEFLATE
-    compression so the ingest exercises all four encodings), for the
-    driver-gated q_geotiff_ingest."""
+    compression; band 2 TILED via the package writer) so the
+    driver-gated q_geotiff_ingest exercises strip and tile
+    organizations across the encodings."""
     import os
 
     def write(tmp):
@@ -1169,20 +1170,28 @@ def demo_tiff_granule_dir() -> str:
             rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
             cols = np.arange(GRANULE_COLS)[None, :]
             data = ((rows * 31 + cols * 17) % 97).astype("f4") + 0.5
-            endian = "<" if band % 2 == 0 else ">"
-            buf = _demo_geotiff_bytes(
-                data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
-                endian=endian,
-                # odd bands DEFLATE-compressed (tag 8): the ingest
-                # exercises the native zlib strip decode alongside
-                # baseline, both byte orders (VERDICT r7 item 2)
-                compress=band % 2 == 1,
-            )
+            if band == 2:
+                # the layout real products commonly ship: DEFLATE
+                # tiles (tags 322-325), via the package writer
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress=True, tile=(16, 16),
+                )
+            else:
+                endian = "<" if band % 2 == 0 else ">"
+                buf = _demo_geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    endian=endian,
+                    # odd bands DEFLATE-compressed (tag 8): the ingest
+                    # exercises the native zlib strip decode alongside
+                    # baseline, both byte orders (VERDICT r7 item 2)
+                    compress=band % 2 == 1,
+                )
             with open(os.path.join(tmp, f"granule_{band}.tif"), "wb") as f:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_tiff_granules_v2_{GRANULE_BANDS}x"
+        f"pyresample_spark_tiff_granules_v3_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
