@@ -36,7 +36,7 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
         rows = np.arange(H)[:, None] + i * H
         cols = np.arange(W)[None, :]
         data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
-        if fmt == "hdf5":
+        if fmt in ("hdf5", "hdf5_fa"):
             buf = hdf5_grid_bytes(
                 {
                     "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
@@ -46,6 +46,11 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                              {"grid_mapping": "crs"}),
                 },
                 chunks={"band": (64, 128)},  # netcdf-c-style deflate
+                # hdf5_fa: the libver=latest container (v2 superblock,
+                # v4 layout, Fixed Array index) instead of v0+v1-btree
+                superblock=2 if fmt == "hdf5_fa" else 0,
+                chunk_index="fixed_array" if fmt == "hdf5_fa"
+                else "btree1",
             )
         else:
             buf = netcdf3_bytes(
