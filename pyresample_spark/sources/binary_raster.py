@@ -455,7 +455,10 @@ def _undo_predictor2(arr: np.ndarray, fmt: int) -> np.ndarray:
 
 
 def tiff_pixels(buf: bytes) -> np.ndarray:
-    """Decode strip- OR tile-organized TIFF samples → (h, w) float64.
+    """Decode strip- OR tile-organized TIFF samples → (h, w) float64,
+    or (spp, h, w) for MULTIBAND rasters (SamplesPerPixel > 1 with
+    chunky PlanarConfiguration 1, the interleave real RGB/multiband
+    products ship; planar organization 2 raises).
 
     Compression (tag 259): 1 = uncompressed baseline, 8/32946 =
     DEFLATE (zlib, stdlib), 5 = LZW (:func:`lzw_decode`) — the three
@@ -463,10 +466,10 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     Organization: classic strips (tags 273/278/279) or tiles (tags
     322-325; edge tiles are spec-padded to full tile size and cropped
     on assembly). Predictor (tag 317): 1 = none, 2 = horizontal
-    differencing on integer samples, undone per strip/tile row by a
-    cumulative sum in the sample dtype so overflow wraps exactly as
-    the spec requires. JPEG compression still falls back
-    to rasterio (utils/rasterio.py:77 analog)."""
+    differencing on integer samples (per channel), undone per
+    strip/tile row by a cumulative sum in the sample dtype so
+    overflow wraps exactly as the spec requires. JPEG compression
+    still falls back to rasterio (utils/rasterio.py:77 analog)."""
     import zlib
 
     t = parse_tiff(buf)
@@ -478,12 +481,19 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             f"unsupported TIFF compression {comp} (baseline, LZW and "
             "DEFLATE decoded natively; others need rasterio)"
         )
-    if t.get(277, [1])[0] != 1:
-        raise ValueError("one sample per pixel only")
-    bits = t.get(258, [1])[0]
-    fmt = t.get(339, [1])[0]  # 1=uint, 2=int, 3=float
+    spp = t.get(277, [1])[0]
+    if spp > 1 and t.get(284, [1])[0] != 1:
+        raise ValueError(
+            "planar (PlanarConfiguration=2) multiband TIFFs need "
+            "rasterio; chunky interleave decodes natively"
+        )
+    bits_list = t.get(258, [1])
+    fmt_list = t.get(339, [1] * spp)
+    if len(set(bits_list)) > 1 or len(set(fmt_list)) > 1:
+        raise ValueError("mixed per-sample layouts unsupported")
+    bits, fmt = bits_list[0], fmt_list[0]
     dt = {(16, 1): "u2", (32, 1): "u4", (16, 2): "i2", (32, 2): "i4",
-          (32, 3): "f4", (64, 3): "f8"}.get((bits, fmt))
+          (32, 3): "f4", (64, 3): "f8", (8, 1): "u1"}.get((bits, fmt))
     if dt is None:
         raise ValueError(f"unsupported sample layout bits={bits} fmt={fmt}")
     dtype = np.dtype(("<" if e == "<" else ">") + dt)
@@ -498,6 +508,9 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             return lzw_decode(chunk)
         return chunk
 
+    def undo_pred(block):  # (rows, width, spp): diffs are per channel
+        return _undo_predictor2(block, fmt) if pred == 2 else block
+
     if 322 in t:  # tiled organization
         tw, th = t[322][0], t[323][0]
         offs, cnts = t[324], t[325]
@@ -510,23 +523,20 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             # a short TileByteCounts would silently truncate the zip
             # below, returning np.empty garbage for the missing tiles
             raise ValueError("tile count does not match raster size")
-        out = np.empty((h, w), dtype="f8")
+        out = np.empty((h, w, spp), dtype="f8")
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             tile = np.frombuffer(decode(buf[o:o + c]), dtype=dtype)
-            tile = tile.reshape(th, tw)
-            if pred == 2:
-                tile = _undo_predictor2(tile, fmt)
+            tile = undo_pred(tile.reshape(th, tw, spp))
             ty, tx = divmod(idx, tiles_across)
             r0, c0 = ty * th, tx * tw
             rs, cs = min(th, h - r0), min(tw, w - c0)
             out[r0:r0 + rs, c0:c0 + cs] = tile[:rs, :cs].astype("f8")
-        return out
-    offs, cnts = t[273], t[279]
-    raw = b"".join(decode(buf[o:o + c]) for o, c in zip(offs, cnts))
-    arr = np.frombuffer(raw, dtype=dtype).reshape(h, w)
-    if pred == 2:
-        arr = _undo_predictor2(arr, fmt)
-    return arr.astype("f8")
+    else:
+        offs, cnts = t[273], t[279]
+        raw = b"".join(decode(buf[o:o + c]) for o, c in zip(offs, cnts))
+        arr = np.frombuffer(raw, dtype=dtype).reshape(h, w, spp)
+        out = undo_pred(arr).astype("f8")
+    return out[:, :, 0] if spp == 1 else np.moveaxis(out, 2, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +582,12 @@ def raster_decode_fn(fmt: str):
                         ).astype("f8")
                 else:
                     arr = tiff_pixels(buf)
+                    if arr.ndim == 3:
+                        raise ValueError(
+                            "multiband GeoTIFF granule: the long-format "
+                            "ingest is one band per file — split bands "
+                            "or decode via tiff_pixels directly"
+                        )
                 hh, ww = arr.shape
                 rows, cols = np.divmod(np.arange(hh * ww), ww)
                 yield pd.DataFrame(

@@ -899,6 +899,64 @@ def test_export_geotiff_crs_keys_and_multistrip():
     assert got.area_extent == (-4.0, 0.0, 0.5, 37.5)
 
 
+def test_tiff_multiband_chunky():
+    """SamplesPerPixel > 1 with chunky interleave (PlanarConfig 1) —
+    the layout real RGB/multiband GeoTIFFs ship — decodes to
+    (spp, h, w); 8-bit samples, DEFLATE, and the planar rejection."""
+    import zlib as _zlib
+
+    h, w, spp = 5, 7, 3
+    rng = np.random.RandomState(3)
+    bands = rng.randint(0, 255, size=(spp, h, w)).astype("u1")
+    chunky = np.moveaxis(bands, 0, 2).tobytes()  # (h, w, spp) order
+
+    def build(compress, planar=1):
+        payload = _zlib.compress(chunky, 6) if compress else chunky
+        entries = []  # (tag, type, count, value/offset, ext bytes)
+        bits = struct.pack("<3H", 8, 8, 8)
+
+        # two-pass: compute external offsets after entry count known
+        def build_ifd(bits_off, data_off):
+            e = [
+                (256, 3, 1, w, b""), (257, 3, 1, h, b""),
+                (258, 3, 3, bits_off, bits),
+                (259, 3, 1, 8 if compress else 1, b""),
+                (262, 3, 1, 2, b""),
+                (273, 4, 1, data_off, b""),
+                (277, 3, 1, spp, b""),
+                (278, 3, 1, h, b""),
+                (279, 4, 1, len(payload), b""),
+                (284, 3, 1, planar, b""),
+            ]
+            out = struct.pack("<2sHI", b"II", 42, 8)
+            out += struct.pack("<H", len(e))
+            for tag, typ, cnt, val, _ in e:
+                out += struct.pack("<HHII", tag, typ, cnt, val)
+            out += struct.pack("<I", 0)
+            return out
+
+        probe = build_ifd(0, 0)
+        bits_off = len(probe)
+        data_off = bits_off + len(bits)
+        return build_ifd(bits_off, data_off) + bits + payload
+
+    for compress in (False, True):
+        arr = tiff_pixels(build(compress))
+        assert arr.shape == (spp, h, w)
+        np.testing.assert_array_equal(arr, bands.astype("f8"))
+    with pytest.raises(ValueError, match="planar"):
+        tiff_pixels(build(False, planar=2))
+    # the long-format single-band ingest refuses multiband loudly
+    from pyresample_spark.sources.binary_raster import raster_decode_fn
+    import pandas as pd
+
+    fn = raster_decode_fn("geotiff")
+    with pytest.raises(ValueError, match="multiband"):
+        list(fn(iter([pd.DataFrame(
+            {"path": ["x.tif"], "content": [build(False)]}
+        )])))
+
+
 def test_export_geotiff_integer_lossy_values_raise(spark, tmp_path):
     """Integer-dtype exports must not silently truncate fractions or
     wrap out-of-range values (code-review r10): both raise loudly,
