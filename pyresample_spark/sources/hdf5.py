@@ -402,8 +402,11 @@ def _btree_v2_records(r: _R, bthd_addr: int):
     root_addr = r.u(bthd_addr + 16, 8)
     root_nrec = r.u(bthd_addr + 24, 2)
 
-    def enc_size(n):  # H5VM_limit_enc_size: bytes to encode 0..n
-        return n.bit_length() // 8 + 1
+    def enc_size(n):  # H5VM_limit_enc_size: floor(log2 n)//8 + 1
+        # NOT bit_length()//8 + 1 — that over-counts by one whole byte
+        # whenever bit_length is a multiple of 8 (n in 128..255, ...),
+        # skewing every BTIN child-pointer width (code-review r10)
+        return max(0, n.bit_length() - 1) // 8 + 1
 
     # libhdf5's per-depth capacity tables (H5B2hdr.c): child-pointer
     # widths derive from the leaf max and cumulative subtree maxima
@@ -553,6 +556,12 @@ def _parse_attr(body: bytes, r: _R = None):
             length = struct.unpack_from("<I", body, p)[0]
             gaddr = struct.unpack_from("<Q", body, p + 4)[0]
             gidx = struct.unpack_from("<I", body, p + 12)[0]
+            if length == 0 or gaddr in (0, _UNDEF):
+                # libhdf5 stores "" as {len=0, addr=0, idx=0} with no
+                # GCOL object allocated — dereferencing would misread
+                # the file head as a heap (code-review r10)
+                vals.append("")
+                continue
             raw = _gheap_object(r, gaddr, gidx)[:length]
             vals.append(raw.decode("utf-8", "replace"))
         return name, vals[0] if not dims else vals
@@ -1647,31 +1656,38 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 size_len = min(8, 1 + (nominal.bit_length() + 7) // 8)
                 entry_size = 8 + size_len + 4 if filtered else 8
                 nchunks = len(blobs)
-                ents = b""
+                parts = []
                 for i, (_, raw) in enumerate(blobs):
-                    ents += struct.pack("<Q", pos[("chunk", n, i)])
+                    parts.append(struct.pack("<Q", pos[("chunk", n, i)]))
                     if filtered:
-                        ents += len(raw).to_bytes(size_len, "little")
-                        ents += struct.pack("<I", 0)
+                        parts.append(len(raw).to_bytes(size_len, "little"))
+                        parts.append(struct.pack("<I", 0))
+                ents = b"".join(parts)
                 fahd_addr = pos["cursor"]
                 fadb_addr = fahd_addr + 28
                 fahd = b"FAHD" + bytes([0, 1 if filtered else 0,
                                         entry_size, _FA_PAGE_BITS])
                 fahd += struct.pack("<QQ", nchunks, fadb_addr)
-                fahd += b"\x00" * 4
+                fahd += struct.pack("<I", _lookup3(fahd))
                 fadb = b"FADB" + bytes([0, 1 if filtered else 0])
                 fadb += struct.pack("<Q", fahd_addr)
                 page = 1 << _FA_PAGE_BITS
+                # every metadata checksum below is Jenkins lookup3 over
+                # the bytes preceding it — libhdf5's H5FAcache verifies
+                # all three kinds on read (code-review r10)
                 if nchunks > page:  # paged: all-init bitmap + pages
                     npages = (nchunks + page - 1) // page
-                    fadb += b"\xff" * ((npages + 7) // 8) + b"\x00" * 4
+                    fadb += b"\xff" * ((npages + 7) // 8)
+                    fadb += struct.pack("<I", _lookup3(fadb))
+                    pages = [fadb]
                     for p0 in range(0, nchunks, page):
                         take = min(page, nchunks - p0)
-                        fadb += ents[p0 * entry_size:
-                                     (p0 + take) * entry_size]
-                        fadb += b"\x00" * 4
+                        pg = ents[p0 * entry_size:(p0 + take) * entry_size]
+                        pages.append(pg + struct.pack("<I", _lookup3(pg)))
+                    fadb = b"".join(pages)
                 else:
-                    fadb += ents + b"\x00" * 4
+                    fadb += ents
+                    fadb += struct.pack("<I", _lookup3(fadb))
                 got = place(("fahd", n), fahd)
                 assert got == fahd_addr
                 place(("fadb", n), fadb)

@@ -1052,6 +1052,52 @@ def test_vlen_string_attrs_global_heap():
         _gheap_object(r, gaddr, 99)
 
 
+def test_vlen_string_attr_empty_is_blank():
+    """libhdf5 stores the empty string as {len=0, heap addr=0, idx=0}
+    with NO global-heap object allocated (H5T__vlen_disk_write);
+    dereferencing the null heap ID would misread the file head as a
+    GCOL and abort the whole parse (code-review r10). Must yield ''."""
+    data = np.arange(4, dtype="<f8")
+
+    def null_vlen_attr(name):
+        nb = name.encode() + b"\x00"
+        dt = bytes([0x19, 0x01, 0, 0]) + struct.pack("<I", 16)
+        dt += bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
+        ds = _ds_scalar()
+        body = bytes([1, 0]) + struct.pack(
+            "<HHH", len(nb), len(dt), len(ds))
+
+        def pad8(b_):
+            return b_ + b"\x00" * (-len(b_) % 8)
+
+        body += pad8(nb) + pad8(dt) + pad8(ds)
+        body += struct.pack("<IQI", 0, 0, 0)  # "": null heap ID
+        return body
+
+    def build(data_addr):
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(data.shape)),
+            _msg_v2(0x03, _dt_fixed(data.dtype)),
+            _msg_v2(0x08, bytes([3, 1]) + struct.pack(
+                "<QQ", data_addr, data.nbytes)),
+            _msg_v2(0x0C, null_vlen_attr("comment")),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        return oh, root
+
+    oh0, root0 = build(0)
+    data_addr = 48 + len(oh0) + len(root0)
+    oh, root = build(data_addr)
+    total = data_addr + data.nbytes
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, total, 48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + data.tobytes()
+    ds = parse_hdf5(bytes(out))
+    assert ds["v"]["attrs"]["comment"] == ""
+    np.testing.assert_array_equal(ds["v"]["data"], data)
+
+
 def test_h5py_vlen_attr_cross_validation(tmp_path):
     """The day h5py appears: its default (vlen) string attributes
     must resolve natively."""
@@ -1792,11 +1838,17 @@ def test_layout_v4_btree2_index(filtered):
     np.testing.assert_array_equal(ds["v"]["data"], arr)
 
 
-def test_btree_v2_depth1_internal_nodes():
+@pytest.mark.parametrize("node_size", [2048, 4096])
+def test_btree_v2_depth1_internal_nodes(node_size):
     """v2 B-trees past one leaf: a depth-1 tree (BTIN root with
     records interleaved between two BTLF leaves, child-pointer
     widths from libhdf5's size tables) yields all records in order —
-    the shape real files grow at thousands of chunks/links."""
+    the shape real files grow at thousands of chunks/links.
+
+    node_size=4096 puts leaf capacity at 170 records, where
+    H5VM_limit_enc_size is still ONE byte (floor(log2 170)//8 + 1);
+    a bit_length//8+1 miscount would read 2-byte child nrec fields
+    and shear every BTIN pointer (code-review r10)."""
     arr = (np.arange(120, dtype="<f8").reshape(10, 12) % 17) / 2
     cdims = (3, 4)
     rec_size = 24  # type 10, rank 2: addr + 2x8 scaled
@@ -1815,7 +1867,7 @@ def test_btree_v2_depth1_internal_nodes():
 
     def build(chunk_addrs, bt_addr):
         body = _v4_chunked_prefix(0, cdims, 8, 5)
-        body += struct.pack("<IBB", 2048, 100, 40)
+        body += struct.pack("<IBB", node_size, 100, 40)
         body += struct.pack("<Q", bt_addr)
         oh = _ohdr_v2([
             _msg_v2(0x01, _ds_simple(arr.shape)),
@@ -1837,7 +1889,7 @@ def test_btree_v2_depth1_internal_nodes():
         btin += struct.pack("<QB", l0, 5) + struct.pack("<QB", l1, 6)
         btin += b"\x00" * 4
         bthd = b"BTHD" + bytes([0, 10])
-        bthd += struct.pack("<IHH", 2048, rec_size, 1)  # depth 1
+        bthd += struct.pack("<IHH", node_size, rec_size, 1)  # depth 1
         bthd += bytes([100, 40])
         bthd += struct.pack("<QH", bi, 1)  # root BTIN, 1 record
         bthd += struct.pack("<Q", n) + b"\x00" * 4
@@ -2122,6 +2174,19 @@ def test_package_writer_fixed_array_index():
         np.testing.assert_array_equal(ds["band"]["data"], data)
         area, var = load_cf_area_h5(buf)
         assert var == "band" and (area.width, area.height) == (24, 40)
+        # libhdf5's H5FAcache verify_chksum rejects any mismatch, so
+        # the stored FAHD/FADB checksums must equal Jenkins lookup3
+        # of the preceding bytes (code-review r10)
+        from pyresample_spark.sources.hdf5 import _lookup3
+        i = buf.index(b"FAHD")
+        assert struct.unpack_from("<I", buf, i + 24)[0] == \
+            _lookup3(buf[i:i + 24])
+        entry_size = buf[i + 6]
+        nelm = struct.unpack_from("<Q", buf, i + 8)[0]
+        j = buf.index(b"FADB")
+        body = 14 + nelm * entry_size  # header + unpaged entries
+        assert struct.unpack_from("<I", buf, j + body)[0] == \
+            _lookup3(buf[j:j + body])
     # paged data block: 1600 chunks > the 1024-element page
     big = (np.arange(6400, dtype="<f8").reshape(80, 80) % 31)
     buf = hdf5_grid_bytes(
@@ -2129,6 +2194,25 @@ def test_package_writer_fixed_array_index():
         deflate=False, superblock=2, chunk_index="fixed_array",
     )
     np.testing.assert_array_equal(parse_hdf5(buf)["band"]["data"], big)
+    # paged checksums: one over header+bitmap, one per element page
+    from pyresample_spark.sources.hdf5 import _lookup3
+    i = buf.index(b"FAHD")
+    entry_size = buf[i + 6]
+    page = 1 << buf[i + 7]
+    nelm = struct.unpack_from("<Q", buf, i + 8)[0]
+    assert nelm == 1600 and nelm > page
+    j = buf.index(b"FADB")
+    npages = (nelm + page - 1) // page
+    hdr = 14 + (npages + 7) // 8
+    assert struct.unpack_from("<I", buf, j + hdr)[0] == \
+        _lookup3(buf[j:j + hdr])
+    p = j + hdr + 4
+    for p0 in range(0, nelm, page):
+        take = min(page, nelm - p0)
+        pg = buf[p:p + take * entry_size]
+        assert struct.unpack_from(
+            "<I", buf, p + take * entry_size)[0] == _lookup3(pg)
+        p += take * entry_size + 4
     with pytest.raises(ValueError, match="requires"):
         hdf5_grid_bytes(variables, chunks={"band": (7, 8)},
                         chunk_index="fixed_array")
