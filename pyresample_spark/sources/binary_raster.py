@@ -456,9 +456,11 @@ def _undo_predictor2(arr: np.ndarray, fmt: int) -> np.ndarray:
 
 def tiff_pixels(buf: bytes) -> np.ndarray:
     """Decode strip- OR tile-organized TIFF samples → (h, w) float64,
-    or (spp, h, w) for MULTIBAND rasters (SamplesPerPixel > 1 with
-    chunky PlanarConfiguration 1, the interleave real RGB/multiband
-    products ship; planar organization 2 raises).
+    or (spp, h, w) for MULTIBAND rasters (SamplesPerPixel > 1).
+    Both interleaves decode natively: chunky PlanarConfiguration 1
+    (the layout real RGB/multiband products ship) and planar
+    organization 2 (plane-major strips/tiles, one component per
+    stored block — TIFF 6.0 §14).
 
     Compression (tag 259): 1 = uncompressed baseline, 8/32946 =
     DEFLATE (zlib, stdlib), 5 = LZW (:func:`lzw_decode`) — the three
@@ -482,11 +484,14 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             "DEFLATE decoded natively; others need rasterio)"
         )
     spp = t.get(277, [1])[0]
-    if spp > 1 and t.get(284, [1])[0] != 1:
-        raise ValueError(
-            "planar (PlanarConfiguration=2) multiband TIFFs need "
-            "rasterio; chunky interleave decodes natively"
-        )
+    planar = t.get(284, [1])[0]
+    if spp > 1 and planar not in (1, 2):
+        raise ValueError(f"unsupported PlanarConfiguration {planar}")
+    # planar organization stores each component in its own strips/
+    # tiles, plane-major (TIFF 6.0 §14); each stored block then holds
+    # ONE sample per pixel
+    nplanes = spp if (spp > 1 and planar == 2) else 1
+    csp = 1 if nplanes > 1 else spp  # channels per stored block
     bits_list = t.get(258, [1])
     fmt_list = t.get(339, [1] * spp)
     if len(set(bits_list)) > 1 or len(set(fmt_list)) > 1:
@@ -516,8 +521,9 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
         offs, cnts = t[324], t[325]
         tiles_across = (w + tw - 1) // tw
         tiles_down = (h + th - 1) // th
+        per_plane = tiles_across * tiles_down
         if (
-            len(offs) != tiles_across * tiles_down
+            len(offs) != per_plane * nplanes
             or len(cnts) != len(offs)
         ):
             # a short TileByteCounts would silently truncate the zip
@@ -525,17 +531,42 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             raise ValueError("tile count does not match raster size")
         out = np.empty((h, w, spp), dtype="f8")
         for idx, (o, c) in enumerate(zip(offs, cnts)):
+            pl, ti = divmod(idx, per_plane)
             tile = np.frombuffer(decode(buf[o:o + c]), dtype=dtype)
-            tile = undo_pred(tile.reshape(th, tw, spp))
-            ty, tx = divmod(idx, tiles_across)
+            tile = undo_pred(tile.reshape(th, tw, csp))
+            ty, tx = divmod(ti, tiles_across)
             r0, c0 = ty * th, tx * tw
             rs, cs = min(th, h - r0), min(tw, w - c0)
-            out[r0:r0 + rs, c0:c0 + cs] = tile[:rs, :cs].astype("f8")
+            if nplanes > 1:
+                out[r0:r0 + rs, c0:c0 + cs, pl] = \
+                    tile[:rs, :cs, 0].astype("f8")
+            else:
+                out[r0:r0 + rs, c0:c0 + cs] = tile[:rs, :cs].astype("f8")
     else:
         offs, cnts = t[273], t[279]
-        raw = b"".join(decode(buf[o:o + c]) for o, c in zip(offs, cnts))
-        arr = np.frombuffer(raw, dtype=dtype).reshape(h, w, spp)
-        out = undo_pred(arr).astype("f8")
+        if nplanes > 1:
+            if len(offs) % nplanes or len(cnts) != len(offs):
+                raise ValueError(
+                    "planar strip count is not a multiple of "
+                    "SamplesPerPixel"
+                )
+            per = len(offs) // nplanes
+            planes = []
+            for s in range(nplanes):
+                raw = b"".join(
+                    decode(buf[o:o + c])
+                    for o, c in zip(offs[s * per:(s + 1) * per],
+                                    cnts[s * per:(s + 1) * per])
+                )
+                planes.append(undo_pred(
+                    np.frombuffer(raw, dtype=dtype).reshape(h, w, 1)
+                ))
+            out = np.concatenate(planes, axis=2).astype("f8")
+        else:
+            raw = b"".join(
+                decode(buf[o:o + c]) for o, c in zip(offs, cnts))
+            arr = np.frombuffer(raw, dtype=dtype).reshape(h, w, spp)
+            out = undo_pred(arr).astype("f8")
     return out[:, :, 0] if spp == 1 else np.moveaxis(out, 2, 0)
 
 

@@ -944,8 +944,8 @@ def test_tiff_multiband_chunky():
         arr = tiff_pixels(build(compress))
         assert arr.shape == (spp, h, w)
         np.testing.assert_array_equal(arr, bands.astype("f8"))
-    with pytest.raises(ValueError, match="planar"):
-        tiff_pixels(build(False, planar=2))
+    with pytest.raises(ValueError, match="PlanarConfiguration"):
+        tiff_pixels(build(False, planar=3))
     # the long-format single-band ingest refuses multiband loudly
     from pyresample_spark.sources.binary_raster import raster_decode_fn
     import pandas as pd
@@ -955,6 +955,132 @@ def test_tiff_multiband_chunky():
         list(fn(iter([pd.DataFrame(
             {"path": ["x.tif"], "content": [build(False)]}
         )])))
+
+
+def test_tiff_multiband_planar_strips():
+    """PlanarConfiguration 2 (plane-major strips, one component per
+    strip — TIFF 6.0 §14) decodes natively: 16-bit samples, two strips
+    per plane, DEFLATE, and horizontal predictor 2 within each plane."""
+    import zlib as _zlib
+
+    h, w, spp = 6, 5, 3
+    rng = np.random.RandomState(7)
+    bands = rng.randint(0, 60000, size=(spp, h, w)).astype("<u2")
+    rps = 4  # 2 strips per plane: rows 0-3 and 4-5
+
+    def build(compress, predictor):
+        payloads = []
+        for s in range(spp):
+            for r0 in range(0, h, rps):
+                blk = bands[s, r0:r0 + rps].astype("<u2")
+                if predictor == 2:
+                    blk = blk.copy()
+                    blk[:, 1:] -= bands[s, r0:r0 + rps, :-1]
+                raw = blk.tobytes()
+                payloads.append(
+                    _zlib.compress(raw, 6) if compress else raw)
+        nstrips = len(payloads)
+        bits = struct.pack("<3H", 16, 16, 16)
+
+        def build_ifd(bits_off, offs_off, cnts_off, data_offs):
+            e = [
+                (256, 3, 1, w, b""), (257, 3, 1, h, b""),
+                (258, 3, 3, bits_off, bits),
+                (259, 3, 1, 8 if compress else 1, b""),
+                (262, 3, 1, 2, b""),
+                (273, 4, nstrips, offs_off,
+                 struct.pack(f"<{nstrips}I", *data_offs)),
+                (277, 3, 1, spp, b""),
+                (278, 3, 1, rps, b""),
+                (279, 4, nstrips, cnts_off,
+                 struct.pack(f"<{nstrips}I",
+                             *(len(p) for p in payloads))),
+                (284, 3, 1, 2, b""),
+                (317, 3, 1, predictor, b""),
+            ]
+            out = struct.pack("<2sHI", b"II", 42, 8)
+            out += struct.pack("<H", len(e))
+            ext = b""
+            for tag, typ, cnt, val, extb in e:
+                out += struct.pack("<HHII", tag, typ, cnt, val)
+                ext += extb
+            out += struct.pack("<I", 0)
+            return out, ext
+
+        probe, _ = build_ifd(0, 0, 0, [0] * nstrips)
+        bits_off = len(probe)
+        offs_off = bits_off + len(bits)
+        cnts_off = offs_off + 4 * nstrips
+        data0 = cnts_off + 4 * nstrips
+        data_offs, a = [], data0
+        for p in payloads:
+            data_offs.append(a)
+            a += len(p)
+        ifd, ext = build_ifd(bits_off, offs_off, cnts_off, data_offs)
+        return ifd + ext + b"".join(payloads)
+
+    for compress, predictor in [(False, 1), (True, 1), (True, 2)]:
+        arr = tiff_pixels(build(compress, predictor))
+        assert arr.shape == (spp, h, w)
+        np.testing.assert_array_equal(arr, bands.astype("f8"))
+
+
+def test_tiff_multiband_planar_tiles():
+    """Planar organization with TILES: plane-major tile order (all of
+    plane 0's tiles_across x tiles_down grid, then plane 1's), edge
+    tiles spec-padded; one component per tile."""
+    h, w, spp = 5, 6, 2
+    tw, th = 4, 4
+    rng = np.random.RandomState(11)
+    bands = rng.randint(0, 255, size=(spp, h, w)).astype("u1")
+    ta, td = (w + tw - 1) // tw, (h + th - 1) // th
+    tiles = []
+    for s in range(spp):
+        for ty in range(td):
+            for tx in range(ta):
+                blk = np.zeros((th, tw), dtype="u1")
+                r0, c0 = ty * th, tx * tw
+                rs, cs = min(th, h - r0), min(tw, w - c0)
+                blk[:rs, :cs] = bands[s, r0:r0 + rs, c0:c0 + cs]
+                tiles.append(blk.tobytes())
+    n = len(tiles)
+    assert n == ta * td * spp == 8
+
+    def build_ifd(offs_off, cnts_off, data_offs):
+        # count=2 SHORT fits inline in the 4-byte value field
+        bits_inline = struct.unpack("<I", struct.pack("<2H", 8, 8))[0]
+        e = [
+            (256, 3, 1, w, b""), (257, 3, 1, h, b""),
+            (258, 3, 2, bits_inline, b""),
+            (259, 3, 1, 1, b""), (262, 3, 1, 2, b""),
+            (277, 3, 1, spp, b""),
+            (284, 3, 1, 2, b""),
+            (322, 3, 1, tw, b""), (323, 3, 1, th, b""),
+            (324, 4, n, offs_off, struct.pack(f"<{n}I", *data_offs)),
+            (325, 4, n, cnts_off,
+             struct.pack(f"<{n}I", *(len(t) for t in tiles))),
+        ]
+        out = struct.pack("<2sHI", b"II", 42, 8)
+        out += struct.pack("<H", len(e))
+        ext = b""
+        for tag, typ, cnt, val, extb in e:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+            ext += extb
+        out += struct.pack("<I", 0)
+        return out, ext
+
+    probe, _ = build_ifd(0, 0, [0] * n)
+    offs_off = len(probe)
+    cnts_off = offs_off + 4 * n
+    data0 = cnts_off + 4 * n
+    data_offs, a = [], data0
+    for t_ in tiles:
+        data_offs.append(a)
+        a += len(t_)
+    ifd, ext = build_ifd(offs_off, cnts_off, data_offs)
+    arr = tiff_pixels(ifd + ext + b"".join(tiles))
+    assert arr.shape == (spp, h, w)
+    np.testing.assert_array_equal(arr, bands.astype("f8"))
 
 
 def test_export_geotiff_integer_lossy_values_raise(spark, tmp_path):
