@@ -64,16 +64,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ROUND-10 WINDOW (VERDICT r9 item 1, carried from r8): the 48 queries
-# whose latest driver evidence is round 5, plus the 2 oldest-r6 rows
-# (q_scan_lineitem, q_grid_gen) to fill 50. Computed as
-# latest-round-per-query over CORRECTNESS_r0*.json, never-checked
-# first, then ascending round, registration order as tie-break.
+# whose latest driver evidence is round 5, plus the never-checked NEW
+# round-10 query q_multiband_ingest and the oldest-r6 row
+# (q_scan_lineitem) to fill 50. Computed as latest-round-per-query
+# over CORRECTNESS_r0*.json, never-checked first, then ascending
+# round, registration order as tie-break.
 #
-# ROUND-11 WINDOW PLAN: after r10 lands, rotate any new round-10
-# queries first, then the 48 remaining r6-latest rows, then oldest-r7
-# rows to fill 50 (recompute with the same latest-round-per-query
-# procedure).
+# ROUND-11 WINDOW PLAN: after r10 lands, rotate the remaining
+# r6-latest rows (q_grid_gen first — it yielded its fill slot to
+# q_multiband_ingest), then oldest-r7 rows to fill 50 (recompute with
+# the same latest-round-per-query procedure).
 _PRIORITY = [
+    "q_multiband_ingest",
     "q_optimal_bb",
     "q_ewa_ellipse",
     "q_regrid_omerc_exact",
@@ -123,7 +125,6 @@ _PRIORITY = [
     "q_pivot",
     "q_grouping_sets",
     "q_scan_lineitem",
-    "q_grid_gen",
 ]
 
 def load_all() -> dict:

@@ -204,3 +204,47 @@ def q_geotiff_ingest(spark, sf_dir):
         "col",
         "value",
     )
+
+
+@register(
+    "q_multiband_ingest",
+    oracle="""
+    SELECT CAST(ch.range AS BIGINT) AS channel,
+           CAST(rr.range AS BIGINT) AS row,
+           CAST(cc.range AS BIGINT) AS col,
+           CAST((rr.range * 31 + cc.range * 17 + ch.range * 7) % 97
+                AS DOUBLE) + 0.5 AS value
+    FROM range(3) ch, range(24) rr, range(40) cc
+    """,
+)
+def q_multiband_ingest(spark, sf_dir):
+    """Multiband (SamplesPerPixel=3) GeoTIFF granule ingestion — the
+    shape real optical/RGB satellite products ship (reference reads
+    them via utils/rasterio.py:77; here decoded natively). Granules
+    alternate CHUNKY and PLANAR interleave, byte order, and
+    baseline/DEFLATE, so the driver gate exercises every multiband
+    organization through the shared distributed binaryFile +
+    mapInPandas ingest with a channel column
+    (RASTER_MULTIBAND_SCHEMA). Values are half-integers ≤ 96.5
+    (exact in float32); the oracle regenerates the synthetic
+    channel/row/col formula, so the path must be value-exact."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        demo_multiband_tiff_granule_dir,
+        read_raster_pixels,
+    )
+
+    d = demo_multiband_tiff_granule_dir()
+    px = read_raster_pixels(
+        spark, os.path.join(d, "*.tif"), "geotiff_multiband")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.tif", 1).cast(
+        "long"
+    )
+    return px.select(
+        "channel",
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )

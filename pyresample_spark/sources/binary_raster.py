@@ -574,6 +574,9 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
 # Distributed ingest: binaryFile scan + Arrow-batched decode
 
 RASTER_PIXEL_SCHEMA = "file string, row long, col long, value double"
+RASTER_MULTIBAND_SCHEMA = (
+    "file string, channel long, row long, col long, value double"
+)
 
 
 def raster_decode_fn(fmt: str):
@@ -582,8 +585,10 @@ def raster_decode_fn(fmt: str):
     (streaming/windows.py streaming_granule_ingest) ingest paths —
     one definition, so a parser fix can never desynchronize the
     batch/stream parity the tests assert. Input rows need (path,
-    content); output rows follow RASTER_PIXEL_SCHEMA."""
-    if fmt not in ("netcdf3", "geotiff"):
+    content); output rows follow RASTER_PIXEL_SCHEMA, or
+    RASTER_MULTIBAND_SCHEMA for ``geotiff_multiband`` (a ``channel``
+    column for SamplesPerPixel > 1 products — chunky or planar)."""
+    if fmt not in ("netcdf3", "geotiff", "geotiff_multiband"):
         raise ValueError(f"unknown raster format {fmt!r}")
 
     def decode(batches):
@@ -611,13 +616,31 @@ def raster_decode_fn(fmt: str):
                         arr = nc_var_data(
                             buf, nc["vars"][varname]
                         ).astype("f8")
+                elif fmt == "geotiff_multiband":
+                    arr = tiff_pixels(buf)
+                    if arr.ndim == 2:  # single-sample file: channel 0
+                        arr = arr[None]
+                    spp, hh, ww = arr.shape
+                    idx = np.arange(spp * hh * ww)
+                    ch, rem = np.divmod(idx, hh * ww)
+                    rows, cols = np.divmod(rem, ww)
+                    yield pd.DataFrame(
+                        {
+                            "file": r["path"],
+                            "channel": ch.astype("int64"),
+                            "row": rows.astype("int64"),
+                            "col": cols.astype("int64"),
+                            "value": arr.ravel(),
+                        }
+                    )
+                    continue
                 else:
                     arr = tiff_pixels(buf)
                     if arr.ndim == 3:
                         raise ValueError(
                             "multiband GeoTIFF granule: the long-format "
-                            "ingest is one band per file — split bands "
-                            "or decode via tiff_pixels directly"
+                            "ingest is one band per file — use "
+                            "fmt='geotiff_multiband' for a channel column"
                         )
                 hh, ww = arr.shape
                 rows, cols = np.divmod(np.arange(hh * ww), ww)
@@ -637,13 +660,17 @@ def read_raster_pixels(spark, path: str, fmt: str):
     """Granule directory/glob → long-format pixel DataFrame
     (file, row, col, value) via ``binaryFile`` + ``mapInPandas``.
 
-    ``fmt``: "netcdf3" or "geotiff". One file decodes per task — the
-    scan parallelizes across executors and the decode never touches
-    the driver; downstream the pixels join straight into the bucket /
-    knn / regrid operators like any other point table."""
+    ``fmt``: "netcdf3", "geotiff", or "geotiff_multiband" (adds a
+    ``channel`` column for SamplesPerPixel > 1 products). One file
+    decodes per task — the scan parallelizes across executors and the
+    decode never touches the driver; downstream the pixels join
+    straight into the bucket / knn / regrid operators like any other
+    point table."""
     files = spark.read.format("binaryFile").load(path)
+    schema = (RASTER_MULTIBAND_SCHEMA if fmt == "geotiff_multiband"
+              else RASTER_PIXEL_SCHEMA)
     return files.select("path", "content").mapInPandas(
-        raster_decode_fn(fmt), RASTER_PIXEL_SCHEMA
+        raster_decode_fn(fmt), schema
     )
 
 
@@ -1300,3 +1327,121 @@ def _demo_geotiff_bytes(arr, sx, sy, x0, y0, endian="<",
             out += struct.pack(endian + "I", inline)
     out += struct.pack(endian + "I", 0)
     return out + b"".join(blobs) + strip
+
+
+GRANULE_CHANNELS = 3
+
+
+def _demo_multiband_tiff_bytes(bands, sx, sy, x0, y0, endian="<",
+                               compress=False, planar=1) -> bytes:
+    """Multi-sample float32 GeoTIFF writer for the multiband ingest
+    fixture: SamplesPerPixel = bands.shape[0]; chunky interleave
+    (PlanarConfiguration 1, one strip holding (h, w, spp) order) or
+    planar organization 2 (one strip per component, plane-major).
+    Spec-built fixtures in tests/test_binary_raster.py remain the
+    parser's adversarial check — this writer just feeds the ingest."""
+    import zlib
+
+    spp, h, w = bands.shape
+    if planar == 1:
+        raws = [np.moveaxis(bands, 0, 2).astype(endian + "f4").tobytes()]
+    else:
+        raws = [bands[s].astype(endian + "f4").tobytes()
+                for s in range(spp)]
+    if compress:
+        raws = [zlib.compress(rw) for rw in raws]
+    n = len(raws)
+    geodir = [1, 1, 0, 1, 1024, 0, 1, 2]
+    entries = [
+        (256, 3, 1, w, None),
+        (257, 3, 1, h, None),
+        (258, 3, spp, None,
+         struct.pack(endian + f"{spp}H", *([32] * spp))),
+        (259, 3, 1, 8 if compress else 1, None),
+        (262, 3, 1, 1, None),
+        (273, 4, n, "STRIPS", None),
+        (277, 3, 1, spp, None),
+        (278, 3, 1, h, None),
+        (279, 4, n, "COUNTS", None),
+        (284, 3, 1, planar, None),
+        (339, 3, spp, None,
+         struct.pack(endian + f"{spp}H", *([3] * spp))),
+        (33550, 12, 3, None, struct.pack(endian + "3d", sx, sy, 0.0)),
+        (33922, 12, 6, None,
+         struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0)),
+        (34735, 3, len(geodir), None,
+         struct.pack(endian + f"{len(geodir)}H", *geodir)),
+    ]
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs, offs, o = [], {}, ext_off
+    for tag, _, _, _, ext in entries:
+        if ext is not None:
+            offs[tag] = o
+            blobs.append(ext)
+            o += len(ext)
+    if n > 1:  # external strip offset/count arrays
+        offs[273] = o
+        o += 4 * n
+        offs[279] = o
+        o += 4 * n
+    strip_offs = []
+    for rw in raws:
+        strip_offs.append(o)
+        o += len(rw)
+    if n > 1:
+        blobs.append(struct.pack(endian + f"{n}I", *strip_offs))
+        blobs.append(
+            struct.pack(endian + f"{n}I", *(len(rw) for rw in raws)))
+    out = b"II" if endian == "<" else b"MM"
+    out += struct.pack(endian + "HI", 42, ifd_off)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, cnt, inline, ext in entries:
+        out += struct.pack(endian + "HHI", tag, typ, cnt)
+        if ext is not None:
+            out += struct.pack(endian + "I", offs[tag])
+        elif inline == "STRIPS":
+            out += struct.pack(
+                endian + "I", offs[273] if n > 1 else strip_offs[0])
+        elif inline == "COUNTS":
+            out += struct.pack(
+                endian + "I", offs[279] if n > 1 else len(raws[0]))
+        elif typ == 3:
+            out += struct.pack(endian + "HH", inline, 0)
+        else:
+            out += struct.pack(endian + "I", inline)
+    out += struct.pack(endian + "I", 0)
+    return out + b"".join(blobs) + b"".join(raws)
+
+
+def demo_multiband_tiff_granule_dir() -> str:
+    """Multiband twin of :func:`demo_tiff_granule_dir`: each granule
+    carries GRANULE_CHANNELS samples per pixel with
+    value = ((abs_row·31 + col·17 + channel·7) % 97) + 0.5, the
+    organizations alternating so the driver gate exercises chunky AND
+    planar interleave, both byte orders, baseline AND DEFLATE."""
+    import os
+
+    def write(tmp):
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[None, :, None]
+            cols = np.arange(GRANULE_COLS)[None, None, :]
+            chans = np.arange(GRANULE_CHANNELS)[:, None, None]
+            data = ((rows * 31 + cols * 17 + chans * 7) % 97
+                    ).astype("f4") + 0.5
+            buf = _demo_multiband_tiff_bytes(
+                data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                endian="<" if band % 2 == 0 else ">",
+                compress=band >= 1,
+                planar=2 if band == 1 else 1,
+            )
+            with open(os.path.join(tmp, f"granule_{band}.tif"),
+                      "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_mbtiff_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_CHANNELS}x{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )

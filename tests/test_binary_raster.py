@@ -1025,6 +1025,54 @@ def test_tiff_multiband_planar_strips():
         np.testing.assert_array_equal(arr, bands.astype("f8"))
 
 
+def test_multiband_granule_ingest(spark):
+    """The multiband distributed ingest: 3 granules (chunky LE
+    baseline / planar BE DEFLATE / chunky LE DEFLATE), each 3
+    channels, through binaryFile + mapInPandas with the channel
+    column; every (channel, abs_row, col) must match the synthetic
+    formula exactly."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        demo_multiband_tiff_granule_dir,
+        read_raster_pixels,
+    )
+    from pyspark.sql import functions as F
+
+    d = demo_multiband_tiff_granule_dir()
+    px = read_raster_pixels(
+        spark, os.path.join(d, "*.tif"), "geotiff_multiband")
+    band = F.regexp_extract(
+        F.col("file"), r"granule_(\d+)\.tif", 1).cast("long")
+    got = (
+        px.select(
+            "channel",
+            (band * GRANULE_ROWS + F.col("row")).alias("row"),
+            "col", "value",
+        )
+        .orderBy("channel", "row", "col")
+        .collect()
+    )
+    assert len(got) == 3 * 24 * 40
+    for r in got[:: 173]:  # stride-sample the 2880 rows
+        expect = (r["row"] * 31 + r["col"] * 17 + r["channel"] * 7) \
+            % 97 + 0.5
+        assert r["value"] == expect
+    # exhaustive equality via one aggregate
+    bad = (
+        px.select("channel", (band * GRANULE_ROWS + F.col("row"))
+                  .alias("row"), "col", "value")
+        .where(
+            F.col("value")
+            != (F.col("row") * 31 + F.col("col") * 17
+                + F.col("channel") * 7) % 97 + 0.5
+        )
+        .count()
+    )
+    assert bad == 0
+
+
 def test_tiff_multiband_planar_tiles():
     """Planar organization with TILES: plane-major tile order (all of
     plane 0's tiles_across x tiles_down grid, then plane 1's), edge
