@@ -505,8 +505,11 @@ def streaming_granule_ingest(
     (one file per task), so an unbounded feed holds only the summary
     keys. The reference's nearest analog is satpy's granule-at-a-time
     processing loop — here it's the same declarative plan as batch
-    with the source swapped."""
+    with the source swapped. ``fmt="geotiff_multiband"`` ingests
+    SamplesPerPixel>1 products (chunky or planar) and keys the
+    summary by (file, channel)."""
     from pyresample_spark.sources.binary_raster import (
+        RASTER_MULTIBAND_SCHEMA,
         RASTER_PIXEL_SCHEMA,
         raster_decode_fn,
     )
@@ -525,8 +528,13 @@ def streaming_granule_ingest(
         .load(path)
         .select("path", "content")
     )
-    px = src.mapInPandas(raster_decode_fn(fmt), RASTER_PIXEL_SCHEMA)
-    return px.groupBy("file").agg(
+    multi = fmt == "geotiff_multiband"
+    px = src.mapInPandas(
+        raster_decode_fn(fmt),
+        RASTER_MULTIBAND_SCHEMA if multi else RASTER_PIXEL_SCHEMA,
+    )
+    keys = ["file", "channel"] if multi else ["file"]
+    return px.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_pixels"),
         F.sum(
             F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")

@@ -464,6 +464,47 @@ def test_streaming_granule_ingest_matches_batch(spark):
     assert got == batch
 
 
+def test_streaming_granule_ingest_multiband_matches_batch(spark):
+    """Multiband twin: the (file, channel)-keyed streaming summaries
+    must equal the batch ingest's over the chunky/planar granule mix."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import (
+        demo_multiband_tiff_granule_dir,
+        read_raster_pixels,
+    )
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_multiband_tiff_granule_dir()
+    glob = os.path.join(d, "*.tif")
+    stream = streaming_granule_ingest(spark, glob, "geotiff_multiband")
+    got = {
+        (r["file"].rsplit("/", 1)[-1], r["channel"]):
+            (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "mb_granule_ingest").collect()
+    }
+    batch = {
+        (r["file"].rsplit("/", 1)[-1], r["channel"]):
+            (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "geotiff_multiband")
+        .groupBy("file", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 9  # 3 files x 3 channels
+    assert got == batch
+
+
 def test_streaming_lsh_probe_matches_batch(spark, sf_dir, tmp_path):
     """Stream-probed LSH candidates must equal the batch incremental
     dedup's pair set (ignoring per-pair band counts — the stream emits
