@@ -970,11 +970,13 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                   crs: str = "longlat", compress: bool = True,
                   rows_per_strip: int = 64,
                   tile: tuple | None = None) -> bytes:
-    """Serialize a (h, w) array as a little-endian GeoTIFF:
-    ModelPixelScaleTag + ModelTiepointTag (north-up geotransform —
-    (x0, y0) is the OUTER corner of pixel (0, 0)) and
-    GeoKeyDirectoryTag (+ GeoDoubleParamsTag for user-defined
-    laea/stere projections) from :func:`_crs_to_geokeys`. The array
+    """Serialize a (h, w) — or MULTIBAND (spp, h, w) — array as a
+    little-endian GeoTIFF: ModelPixelScaleTag + ModelTiepointTag
+    (north-up geotransform — (x0, y0) is the OUTER corner of pixel
+    (0, 0)) and GeoKeyDirectoryTag (+ GeoDoubleParamsTag for
+    user-defined laea/stere projections) from :func:`_crs_to_geokeys`.
+    Multiband input writes SamplesPerPixel=spp with CHUNKY interleave
+    (PlanarConfiguration 1 — the layout real products ship). The array
     dtype is preserved when the engine's own reader decodes it
     (u2/u4/i2/i4/f4/f8); anything else casts to float64. ``compress``
     writes DEFLATE (tag 8, the encoding most real GeoTIFFs use).
@@ -993,7 +995,13 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         arr = arr.astype(arr.dtype.newbyteorder("<"))
     sample_fmt = _TIFF_SAMPLE_KINDS[arr.dtype.kind]
     bits = arr.dtype.itemsize * 8
-    h, w = arr.shape
+    if arr.ndim == 3:  # (spp, h, w) → chunky (h, w, spp) pixel order
+        spp = arr.shape[0]
+        inter = np.ascontiguousarray(np.moveaxis(arr, 0, 2))
+    else:
+        spp = 1
+        inter = arr[:, :, None]
+    h, w = inter.shape[:2]
     chunks = []
     if tile is not None:
         tw, th = tile
@@ -1004,21 +1012,32 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             )
         for r0 in range(0, h, th):
             for c0 in range(0, w, tw):
-                blk = np.zeros((th, tw), dtype=arr.dtype)
+                blk = np.zeros((th, tw, spp), dtype=arr.dtype)
                 rs, cs = min(th, h - r0), min(tw, w - c0)
-                blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+                blk[:rs, :cs] = inter[r0:r0 + rs, c0:c0 + cs]
                 raw = blk.tobytes()
                 chunks.append(zlib.compress(raw, 6) if compress else raw)
     else:
         rps = max(1, min(rows_per_strip, h))
         for r0 in range(0, h, rps):
-            raw = arr[r0:r0 + rps].tobytes()
+            raw = inter[r0:r0 + rps].tobytes()
             chunks.append(zlib.compress(raw, 6) if compress else raw)
     geodir, geodbl = _crs_to_geokeys(crs)
     n_chunks = len(chunks)
 
     def arr_u32(vals):
         return struct.pack(f"<{len(vals)}I", *vals)
+
+    def per_sample_shorts(v):
+        # count=spp SHORT array: ≤4 bytes packs inline (spp ≤ 2),
+        # larger goes external — per the TIFF value/offset rule
+        packed = struct.pack(f"<{spp}H", *([v] * spp))
+        if len(packed) <= 4:
+            return (packed.ljust(4, b"\x00"), None)
+        return (None, packed)
+
+    bits_inline, bits_ext = per_sample_shorts(bits)
+    fmt_inline, fmt_ext = per_sample_shorts(sample_fmt)
 
     # (tag, type, count, inline value | None, external bytes | None);
     # strip/tile offsets patched once blob addresses are known
@@ -1029,16 +1048,17 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         # (ADVICE r9); the TIFF spec allows either for 256/257/278
         (256, 4, 1, w, None),
         (257, 4, 1, h, None),
-        (258, 3, 1, bits, None),
+        (258, 3, spp, bits_inline, bits_ext),
         (259, 3, 1, 8 if compress else 1, None),
         (262, 3, 1, 1, None),
         (off_tag, 4, n_chunks, "OFFS",
          None if n_chunks == 1 else b"\x00" * 4 * n_chunks),
-        (277, 3, 1, 1, None),
+        (277, 3, 1, spp, None),
         (cnt_tag, 4, n_chunks,
          len(chunks[0]) if n_chunks == 1 else None,
          None if n_chunks == 1 else arr_u32([len(s) for s in chunks])),
-        (339, 3, 1, sample_fmt, None),
+        (339, 3, spp, fmt_inline, fmt_ext),
+        *([(284, 3, 1, 1, None)] if spp > 1 else []),
         *([(322, 4, 1, tile[0], None), (323, 4, 1, tile[1], None)]
           if tile is not None
           else [(278, 4, 1, max(1, min(rows_per_strip, h)), None)]),
@@ -1074,6 +1094,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             out += struct.pack("<I", offs[tag])
         elif inline == "OFFS":
             out += struct.pack("<I", chunk_offs[0])
+        elif isinstance(inline, bytes):  # pre-packed inline array
+            out += inline
         elif typ == 3:
             out += struct.pack("<HH", inline, 0)
         else:
@@ -1088,17 +1110,33 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
     """Dense GeoTIFF export of a resampled grid: (row, col, value)
     DataFrame + AreaDefinition → one DEFLATE GeoTIFF, the raster twin
     of :func:`export_cf_grid` and readable back through this engine's
-    own :func:`area_from_geotiff` / :func:`tiff_pixels`. ``dtype``
-    picks the sample format (f8 default; f4/i2/i4/u2/u4 supported —
-    real products are commonly float32 or int16); missing cells take
-    ``fill`` (NaN for float dtypes; integer dtypes REQUIRE an
-    explicit fill since they cannot carry NaN). Same size guard: a
-    file export is a DELIVERABLE, not a pipeline stage — at 100 TB
-    you export tiles/chips, never the whole grid."""
-    if area.size > max_cells:
+    own :func:`area_from_geotiff` / :func:`tiff_pixels`. A
+    ``channel`` column makes the export MULTIBAND (SamplesPerPixel =
+    max(channel)+1, chunky interleave — a resampled RGB/stack in one
+    file). ``dtype`` picks the sample format (f8 default;
+    f4/i2/i4/u2/u4 supported — real products are commonly float32 or
+    int16); missing cells take ``fill`` (NaN for float dtypes;
+    integer dtypes REQUIRE an explicit fill since they cannot carry
+    NaN). Same size guard: a file export is a DELIVERABLE, not a
+    pipeline stage — at 100 TB you export tiles/chips, never the
+    whole grid."""
+    multi = "channel" in df.columns
+    if multi:
+        chans = sorted(
+            r[0] for r in df.select("channel").distinct().collect())
+        if not chans or chans[0] < 0 or chans[-1] >= 1024:
+            raise ValueError(
+                f"channel values must be small non-negatives, got "
+                f"{chans[:3]}..{chans[-3:] if chans else []}"
+            )
+        spp = chans[-1] + 1
+    else:
+        spp = 1
+    if area.size * spp > max_cells:
         raise ValueError(
-            f"grid {area.shape} = {area.size} cells > max_cells="
-            f"{max_cells}; export tiles instead"
+            f"grid {area.shape} x {spp} channel(s) = "
+            f"{area.size * spp} cells > max_cells={max_cells}; "
+            "export tiles instead"
         )
     dt = np.dtype(dtype)
     if fill is None:
@@ -1108,10 +1146,15 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
                 "cells; pass an explicit fill value"
             )
         fill = np.nan
+    sel = (["channel"] if multi else []) + ["row", "col", "value"]
+
+    def cell(r):
+        return ((r["channel"] if multi else 0), r["row"], r["col"])
+
     if dt.kind == "f":
-        arr = np.full((area.height, area.width), fill, dtype=dt)
-        for r in df.select("row", "col", "value").collect():
-            arr[r["row"], r["col"]] = r["value"]
+        arr = np.full((spp, area.height, area.width), fill, dtype=dt)
+        for r in df.select(*sel).collect():
+            arr[cell(r)] = r["value"]
     else:
         # integer samples: a silent numpy assignment cast would
         # truncate fractions and wrap out-of-range values — a lossy
@@ -1121,8 +1164,8 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
             raise ValueError(
                 f"fill {fill!r} is not representable in {dtype!r}"
             )
-        arr = np.full((area.height, area.width), fill, dtype=dt)
-        for r in df.select("row", "col", "value").collect():
+        arr = np.full((spp, area.height, area.width), fill, dtype=dt)
+        for r in df.select(*sel).collect():
             v = r["value"]
             if v != int(v):
                 raise ValueError(
@@ -1135,9 +1178,9 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
                     f"value {v!r} at ({r['row']}, {r['col']}) is out "
                     f"of range for {dtype!r} [{info.min}, {info.max}]"
                 )
-            arr[r["row"], r["col"]] = int(v)
+            arr[cell(r)] = int(v)
     buf = geotiff_bytes(
-        arr,
+        arr if multi else arr[0],
         sx=area.pixel_size_x,
         sy=area.pixel_size_y,
         x0=area.area_extent[0],

@@ -866,6 +866,67 @@ def test_export_geotiff_roundtrip(spark, tmp_path, compress):
         export_geotiff(df, area, p, max_cells=5)
 
 
+def test_geotiff_bytes_multiband_roundtrip():
+    """(spp, h, w) input writes SamplesPerPixel=spp chunky GeoTIFFs
+    that the engine's own reader recovers exactly — strips AND tiles,
+    f4 AND f8, spp=2 (inline BitsPerSample) and spp=3 (external)."""
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    rng = np.random.RandomState(5)
+    for spp, dtype, tile in [(3, "<f4", None), (2, "<f8", None),
+                             (3, "<f8", (16, 16))]:
+        bands = (rng.rand(spp, 19, 23) * 100).round(2).astype(dtype)
+        buf = geotiff_bytes(
+            bands, sx=1.0, sy=1.0, x0=0.0, y0=0.0,
+            compress=True, rows_per_strip=7, tile=tile,
+        )
+        arr = tiff_pixels(buf)
+        assert arr.shape == (spp, 19, 23)
+        np.testing.assert_array_equal(arr, bands.astype("f8"))
+        got = area_from_geotiff(buf)
+        assert (got.width, got.height) == (23, 19)
+
+
+def test_export_geotiff_multiband_channel_column(spark, tmp_path):
+    """A channel column makes the export multiband: (channel, row,
+    col, value) → SamplesPerPixel=max+1 chunky GeoTIFF, holes NaN,
+    readable back through the multiband distributed ingest."""
+    from pyresample_spark.geometry import AreaDefinition
+    from pyresample_spark.sources.binary_raster import (
+        export_geotiff,
+        read_raster_pixels,
+    )
+
+    area = AreaDefinition("exp", "longlat", 4, 3, (0.0, 0.0, 8.0, 6.0))
+    rows = [
+        (ch, r, c, float(ch * 100 + r * 10 + c))
+        for ch in range(2) for r in range(3) for c in range(4)
+    ]
+    rows.remove((1, 1, 2, 112.0))  # hole in channel 1 → NaN
+    df = spark.createDataFrame(
+        rows, "channel long, row long, col long, value double")
+    p = str(tmp_path / "mb.tif")
+    export_geotiff(df, area, p)
+    buf = open(p, "rb").read()
+    arr = tiff_pixels(buf)
+    assert arr.shape == (2, 3, 4)
+    assert arr[0, 2, 3] == 23.0 and arr[1, 0, 0] == 100.0
+    assert np.isnan(arr[1, 1, 2])
+    px = {
+        (r["channel"], r["row"], r["col"]): r["value"]
+        for r in read_raster_pixels(
+            spark, p, "geotiff_multiband").collect()
+    }
+    assert px[(1, 2, 3)] == 123.0 and len(px) == 24
+    # the size guard counts cells x channels
+    with pytest.raises(ValueError, match="max_cells"):
+        export_geotiff(df, area, p, max_cells=20)
+    bad = spark.createDataFrame(
+        [(-1, 0, 0, 1.0)], "channel long, row long, col long, value double")
+    with pytest.raises(ValueError, match="channel"):
+        export_geotiff(bad, area, p)
+
+
 def test_export_geotiff_crs_keys_and_multistrip():
     """UTM/webmerc encode as projected EPSG geokeys; unencodable CRSs
     raise; >rows_per_strip grids emit multiple strips that reassemble
