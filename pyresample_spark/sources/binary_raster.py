@@ -1122,14 +1122,18 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
     whole grid."""
     multi = "channel" in df.columns
     if multi:
-        chans = sorted(
-            r[0] for r in df.select("channel").distinct().collect())
-        if not chans or chans[0] < 0 or chans[-1] >= 1024:
+        # a separate small aggregate job ON PURPOSE: spp must be known
+        # BEFORE the full pixel collect so the max_cells guard can
+        # refuse an oversized stack without first collecting it
+        chans = [
+            r[0] for r in df.select("channel").distinct().collect()]
+        if not chans or None in chans or min(chans) < 0 \
+                or max(chans) >= 1024:
             raise ValueError(
-                f"channel values must be small non-negatives, got "
-                f"{chans[:3]}..{chans[-3:] if chans else []}"
+                "channel values must be non-null small non-negatives, "
+                f"got {sorted(chans, key=lambda c: (c is None, c))[:5]}"
             )
-        spp = chans[-1] + 1
+        spp = max(chans) + 1
     else:
         spp = 1
     if area.size * spp > max_cells:
@@ -1308,7 +1312,7 @@ def demo_tiff_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_tiff_granules_v3_{GRANULE_BANDS}x"
+        f"pyresample_spark_tiff_granules_v4_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
@@ -1321,55 +1325,14 @@ def _demo_geotiff_bytes(arr, sx, sy, x0, y0, endian="<",
     writer in tests/test_binary_raster.py is the parser's adversarial
     check — this one just feeds the ingest query. ``compress=True``
     writes the strip zlib-deflated with compression tag 8 (Adobe
-    Deflate), the encoding most real GeoTIFFs use."""
-    import zlib
-
-    h, w = arr.shape
-    strip = arr.astype(endian + "f4").tobytes()
-    if compress:
-        strip = zlib.compress(strip)
-    geodir = [1, 1, 0, 1, 1024, 0, 1, 2]
-    entries = [
-        (256, 3, 1, w, None),
-        (257, 3, 1, h, None),
-        (258, 3, 1, 32, None),
-        (259, 3, 1, 8 if compress else 1, None),
-        (262, 3, 1, 1, None),
-        (273, 4, 1, "STRIP", None),
-        (277, 3, 1, 1, None),
-        (278, 3, 1, h, None),
-        (279, 4, 1, len(strip), None),
-        (339, 3, 1, 3, None),
-        (33550, 12, 3, None, struct.pack(endian + "3d", sx, sy, 0.0)),
-        (33922, 12, 6, None,
-         struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0)),
-        (34735, 3, len(geodir), None,
-         struct.pack(endian + f"{len(geodir)}H", *geodir)),
-    ]
-    ifd_off = 8
-    ext_off = ifd_off + 2 + 12 * len(entries) + 4
-    blobs, offs, o = [], {}, ext_off
-    for tag, _, _, _, ext in entries:
-        if ext is not None:
-            offs[tag] = o
-            blobs.append(ext)
-            o += len(ext)
-    strip_off = o
-    out = (b"II" if endian == "<" else b"MM")
-    out += struct.pack(endian + "HI", 42, ifd_off)
-    out += struct.pack(endian + "H", len(entries))
-    for tag, typ, count, inline, ext in entries:
-        out += struct.pack(endian + "HHI", tag, typ, count)
-        if ext is not None:
-            out += struct.pack(endian + "I", offs[tag])
-        elif inline == "STRIP":
-            out += struct.pack(endian + "I", strip_off)
-        elif typ == 3:
-            out += struct.pack(endian + "HH", inline, 0)
-        else:
-            out += struct.pack(endian + "I", inline)
-    out += struct.pack(endian + "I", 0)
-    return out + b"".join(blobs) + strip
+    Deflate), the encoding most real GeoTIFFs use. The bands=1,
+    planar=1 special case of :func:`_demo_multiband_tiff_bytes` —
+    one IFD assembler, so an offset-accounting fix can never leave
+    the two fixture families divergent (code-review r10)."""
+    return _demo_multiband_tiff_bytes(
+        np.asarray(arr)[None], sx, sy, x0, y0,
+        endian=endian, compress=compress, planar=1,
+    )
 
 
 GRANULE_CHANNELS = 3
@@ -1398,8 +1361,14 @@ def _demo_multiband_tiff_bytes(bands, sx, sy, x0, y0, endian="<",
     entries = [
         (256, 3, 1, w, None),
         (257, 3, 1, h, None),
-        (258, 3, spp, None,
-         struct.pack(endian + f"{spp}H", *([32] * spp))),
+        # per-sample SHORT arrays inline when they fit the 4-byte
+        # value field (spp <= 2), external otherwise — the same
+        # value/offset rule the package writer applies
+        (258, 3, spp, *(
+            (struct.pack(endian + f"{spp}H", *([32] * spp)
+                         ).ljust(4, b"\x00"), None)
+            if spp <= 2 else
+            (None, struct.pack(endian + f"{spp}H", *([32] * spp))))),
         (259, 3, 1, 8 if compress else 1, None),
         (262, 3, 1, 1, None),
         (273, 4, n, "STRIPS", None),
@@ -1407,8 +1376,11 @@ def _demo_multiband_tiff_bytes(bands, sx, sy, x0, y0, endian="<",
         (278, 3, 1, h, None),
         (279, 4, n, "COUNTS", None),
         (284, 3, 1, planar, None),
-        (339, 3, spp, None,
-         struct.pack(endian + f"{spp}H", *([3] * spp))),
+        (339, 3, spp, *(
+            (struct.pack(endian + f"{spp}H", *([3] * spp)
+                         ).ljust(4, b"\x00"), None)
+            if spp <= 2 else
+            (None, struct.pack(endian + f"{spp}H", *([3] * spp))))),
         (33550, 12, 3, None, struct.pack(endian + "3d", sx, sy, 0.0)),
         (33922, 12, 6, None,
          struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0)),
@@ -1449,6 +1421,8 @@ def _demo_multiband_tiff_bytes(bands, sx, sy, x0, y0, endian="<",
         elif inline == "COUNTS":
             out += struct.pack(
                 endian + "I", offs[279] if n > 1 else len(raws[0]))
+        elif isinstance(inline, bytes):  # pre-packed inline array
+            out += inline
         elif typ == 3:
             out += struct.pack(endian + "HH", inline, 0)
         else:
@@ -1484,7 +1458,7 @@ def demo_multiband_tiff_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_mbtiff_granules_v1_{GRANULE_BANDS}x"
+        f"pyresample_spark_mbtiff_granules_v2_{GRANULE_BANDS}x"
         f"{GRANULE_CHANNELS}x{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
