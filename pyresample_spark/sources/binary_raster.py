@@ -174,9 +174,13 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None):
     nc = parse_netcdf3(buf)
     coord_names = {"x", "y", "lon", "lat", "longitude", "latitude"}
     if variable is None:
+        # rank >= 2 with all leading dims size 1: the (time=1, y, x)
+        # shape most real CF products ship squeezes to the 2-D grid
         cands = [
             n for n, v in nc["vars"].items()
-            if len(v["shape"]) == 2 and n not in coord_names
+            if len(v["shape"]) >= 2
+            and all(s == 1 for s in v["shape"][:-2])
+            and n not in coord_names
         ]
         if not cands:
             raise ValueError("no 2-D data variable found")
@@ -616,6 +620,16 @@ def raster_decode_fn(fmt: str):
                         arr = nc_var_data(
                             buf, nc["vars"][varname]
                         ).astype("f8")
+                    if arr.ndim > 2:
+                        # (time=1, ..., y, x): squeeze the degenerate
+                        # leading dims the CF loaders accept
+                        if any(s != 1 for s in arr.shape[:-2]):
+                            raise ValueError(
+                                f"variable {varname!r} has non-degenerate "
+                                f"extra dims {arr.shape}; ingest expects "
+                                "a 2-D grid per granule"
+                            )
+                        arr = arr.reshape(arr.shape[-2:])
                 elif fmt == "geotiff_multiband":
                     arr = tiff_pixels(buf)
                     if arr.ndim == 2:  # single-sample file: channel 0

@@ -1288,16 +1288,19 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
             if len(v["shape"]) == 1 and v["data"] is not None
         }
     if variable is None:
+        # rank >= 2 with all leading dims size 1: the (time=1, y, x)
+        # shape most real CF products ship squeezes to the 2-D grid
         cands = [
             n for n, v in ds.items()
-            if len(v["shape"]) == 2 and n not in dim_scales
+            if len(v["shape"]) >= 2 and n not in dim_scales
+            and all(s == 1 for s in v["shape"][:-2])
             and v["data"] is not None
         ]
         if not cands:
             raise ValueError("no 2-D data variable found")
         variable = sorted(cands)[0]
     v = ds[variable]
-    h, w = v["shape"]
+    h, w = v["shape"][-2:]
     by_len = {}
     for n, c in dim_scales.items():
         by_len.setdefault(c["shape"][0], []).append(n)

@@ -960,6 +960,53 @@ def test_export_geotiff_crs_keys_and_multistrip():
     assert got.area_extent == (-4.0, 0.0, 0.5, 37.5)
 
 
+def test_cf_time_sliced_rank3_variable(spark, tmp_path):
+    """(time=1, y, x) variables — the shape most real CF products
+    ship — squeeze to the 2-D grid in the native loader AND the
+    distributed ingest; non-degenerate extra dims refuse loudly."""
+    from pyresample_spark.sources.binary_raster import (
+        load_cf_area_nc3,
+        netcdf3_bytes,
+        read_raster_pixels,
+    )
+
+    h, w = 5, 7
+    data = (np.arange(h * w, dtype="<f8") % 13).reshape(1, h, w)
+    xs = np.arange(w) + 0.5
+    ys = -(np.arange(h) + 0.5).astype(float)
+
+    def build(tdim, arr):
+        return netcdf3_bytes(
+            [("time", tdim), ("y", h), ("x", w)],
+            [
+                ("x", ["x"],
+                 {"standard_name": "projection_x_coordinate"}, xs),
+                ("y", ["y"],
+                 {"standard_name": "projection_y_coordinate"}, ys),
+                ("crs", [], {"proj4": "eqc"}, None),
+                ("band", ["time", "y", "x"],
+                 {"grid_mapping": "crs"}, arr),
+            ],
+            gattrs={"Conventions": "CF-1.8"},
+        )
+
+    buf = build(1, data)
+    area, var = load_cf_area_nc3(buf)
+    assert var == "band" and (area.width, area.height) == (w, h)
+    p = tmp_path / "t.nc"
+    p.write_bytes(buf)
+    px = {
+        (r["row"], r["col"]): r["value"]
+        for r in read_raster_pixels(spark, str(p), "netcdf3").collect()
+    }
+    assert len(px) == h * w
+    assert px[(2, 3)] == float((2 * w + 3) % 13)
+    # a REAL time axis (size 2) is not silently sliced
+    bad = build(2, np.zeros((2, h, w)))
+    with pytest.raises(ValueError, match="no 2-D"):
+        load_cf_area_nc3(bad)
+
+
 def test_tiff_multiband_chunky():
     """SamplesPerPixel > 1 with chunky interleave (PlanarConfig 1) —
     the layout real RGB/multiband GeoTIFFs ship — decodes to

@@ -1098,6 +1098,61 @@ def test_vlen_string_attr_empty_is_blank():
     np.testing.assert_array_equal(ds["v"]["data"], data)
 
 
+def test_rank3_contiguous_dataset_parses():
+    """Rank-3 datasets decode natively (the chunk/contiguous machinery
+    is rank-generic); (time=1, y, x) products depend on it."""
+    data = np.arange(24, dtype="<f8").reshape(2, 3, 4)
+
+    def build(data_addr):
+        oh = _ohdr_v2([
+            _msg_v2(0x01, _ds_simple(data.shape)),
+            _msg_v2(0x03, _dt_fixed(data.dtype)),
+            _msg_v2(0x08, bytes([3, 1]) + struct.pack(
+                "<QQ", data_addr, data.nbytes)),
+        ])
+        root = _ohdr_v2([_link_msg("v", 48)])
+        return oh, root
+
+    oh0, root0 = build(0)
+    data_addr = 48 + len(oh0) + len(root0)
+    oh, root = build(data_addr)
+    out = bytearray(b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]))
+    out += struct.pack("<QQQQ", 0, UNDEF, data_addr + data.nbytes,
+                       48 + len(oh))
+    out += b"\x00" * 4
+    out += oh + root + data.tobytes()
+    ds = parse_hdf5(bytes(out))
+    assert ds["v"]["shape"] == (2, 3, 4)
+    np.testing.assert_array_equal(ds["v"]["data"], data)
+
+
+def test_load_cf_area_h5_time_sliced_rank3():
+    """(time=1, y, x) variables squeeze to the 2-D grid in the HDF5 CF
+    loader; a REAL (size-2) time axis is not silently sliced."""
+    from pyresample_spark.sources.hdf5 import load_cf_area_h5
+
+    xs = np.arange(4) + 0.5
+    ys = -(np.arange(3) + 0.5)
+
+    def ds_for(tdim):
+        return {
+            "x": {"shape": (4,), "data": xs,
+                  "attrs": {"CLASS": "DIMENSION_SCALE"}},
+            "y": {"shape": (3,), "data": ys,
+                  "attrs": {"CLASS": "DIMENSION_SCALE"}},
+            "crs": {"shape": (), "data": np.int32(0),
+                    "attrs": {"proj4": "eqc"}},
+            "band": {"shape": (tdim, 3, 4),
+                     "data": np.zeros((tdim, 3, 4)),
+                     "attrs": {"grid_mapping": "crs"}},
+        }
+
+    area, var = load_cf_area_h5(b"", ds=ds_for(1))
+    assert var == "band" and (area.width, area.height) == (4, 3)
+    with pytest.raises(ValueError, match="no 2-D"):
+        load_cf_area_h5(b"", ds=ds_for(2))
+
+
 def test_h5py_vlen_attr_cross_validation(tmp_path):
     """The day h5py appears: its default (vlen) string attributes
     must resolve natively."""
