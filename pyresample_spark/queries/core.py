@@ -100,10 +100,11 @@ def q_raster_ingest(spark, sf_dir):
     """Distributed granule-file ingestion under the driver gate
     (SURVEY §2.1; reference reads CF files via utils/cf.py:413): three
     classic-NetCDF band granules — REAL files parsed by the pure-python
-    CDF grammar reader — land as ONE ``binaryFile`` scan decoded
-    in-plan by Arrow-batched ``mapInPandas`` (one file per task, no
-    driver loop), band-local rows mapped to absolute grid rows by the
-    band index in each granule's file name. The
+    CDF grammar reader; band 1 ships the (time=1, y, x) rank-3 shape
+    real CF products use, squeezed in-plan — land as ONE ``binaryFile``
+    scan decoded in-plan by Arrow-batched ``mapInPandas`` (one file per
+    task, no driver loop), band-local rows mapped to absolute grid rows
+    by the band index in each granule's file name. The
     oracle regenerates the synthetic grid the granules encode, so the
     whole binary path (writer → bytes → scan → parse → pixels) must be
     value-exact."""

@@ -1267,15 +1267,24 @@ def demo_granule_dir() -> str:
             rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
             cols = np.arange(GRANULE_COLS)[None, :]
             data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
+            if band == 1:
+                # (time=1, y, x) — the rank-3 shape most real CF
+                # products ship; the loaders squeeze it in-plan
+                dims = [("time", 1), ("y", GRANULE_ROWS),
+                        ("x", GRANULE_COLS)]
+                band_dims, data = ["time", "y", "x"], data[None]
+            else:
+                dims = [("y", GRANULE_ROWS), ("x", GRANULE_COLS)]
+                band_dims = ["y", "x"]
             buf = netcdf3_bytes(
-                [("y", GRANULE_ROWS), ("x", GRANULE_COLS)],
+                dims,
                 [
                     ("x", ["x"],
                      {"standard_name": "projection_x_coordinate"}, xs),
                     ("y", ["y"],
                      {"standard_name": "projection_y_coordinate"}, ys),
                     ("crs", [], {"proj4": "eqc"}, None),
-                    ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
+                    ("band", band_dims, {"grid_mapping": "crs"}, data),
                 ],
                 gattrs={"Conventions": "CF-1.8",
                         "band_index": [float(band)]},
@@ -1284,7 +1293,7 @@ def demo_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_granules_v1_{GRANULE_BANDS}x"
+        f"pyresample_spark_granules_v2_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
