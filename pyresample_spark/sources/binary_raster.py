@@ -165,13 +165,17 @@ def nc_var_data(buf: bytes, var: dict) -> np.ndarray:
     )
 
 
-def load_cf_area_nc3(buf: bytes, variable: str | None = None):
+def load_cf_area_nc3(buf: bytes, variable: str | None = None,
+                     nc: dict | None = None):
     """CF grid → AreaDefinition from classic-NetCDF bytes: the
     pure-python twin of load_cf_area (utils/cf.py:413) — find the data
     variable, follow its ``grid_mapping`` attribute, read the 1-D x/y
     (or lon/lat) coordinate vectors, delegate the extent math to
-    area_from_cf_attrs. Returns (area, variable_name)."""
-    nc = parse_netcdf3(buf)
+    area_from_cf_attrs. Returns (area, variable_name). Pass an
+    already-parsed ``nc`` (:func:`parse_netcdf3`) to avoid decoding
+    the header twice — the distributed ingest reuses its parse."""
+    if nc is None:
+        nc = parse_netcdf3(buf)
     coord_names = {"x", "y", "lon", "lat", "longitude", "latitude"}
     if variable is None:
         # rank >= 2 with all leading dims size 1: the (time=1, y, x)
@@ -183,7 +187,11 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None):
             and n not in coord_names
         ]
         if not cands:
-            raise ValueError("no 2-D data variable found")
+            raise ValueError(
+                "no 2-D data variable found (rank>=2 is accepted only "
+                "when every leading dim is size 1 — slice a real "
+                "time/level axis before ingest)"
+            )
         variable = cands[0]
     v = nc["vars"][variable]
     gm = v["attrs"].get("grid_mapping")
@@ -616,13 +624,16 @@ def raster_decode_fn(fmt: str):
                         arr = ds[varname]["data"].astype("f8")
                     else:
                         nc = parse_netcdf3(buf)
-                        _, varname = load_cf_area_nc3(buf)
+                        _, varname = load_cf_area_nc3(buf, nc=nc)
                         arr = nc_var_data(
                             buf, nc["vars"][varname]
                         ).astype("f8")
                     if arr.ndim > 2:
                         # (time=1, ..., y, x): squeeze the degenerate
-                        # leading dims the CF loaders accept
+                        # leading dims the CF loaders accept. Defensive
+                        # guard — auto-select already filters these, but
+                        # a silent reshape of a REAL extra axis would be
+                        # garbage, so assert the invariant at the site
                         if any(s != 1 for s in arr.shape[:-2]):
                             raise ValueError(
                                 f"variable {varname!r} has non-degenerate "
@@ -980,6 +991,17 @@ _TIFF_SAMPLE_KINDS = {"u": 1, "i": 2, "f": 3}
 _TIFF_WRITER_DTYPES = {"u2", "u4", "i2", "i4", "f4", "f8"}
 
 
+def _per_sample_shorts(spp: int, v: int, endian: str = "<"):
+    """(inline 4-byte field | None, external bytes | None) for a
+    count=spp SHORT array holding ``v`` per sample: ≤4 bytes packs
+    left-justified inline (spp ≤ 2), larger goes external — the TIFF
+    value/offset rule, in ONE place for every writer in this module."""
+    packed = struct.pack(endian + f"{spp}H", *([v] * spp))
+    if len(packed) <= 4:
+        return (packed.ljust(4, b"\x00"), None)
+    return (None, packed)
+
+
 def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                   crs: str = "longlat", compress: bool = True,
                   rows_per_strip: int = 64,
@@ -1042,16 +1064,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     def arr_u32(vals):
         return struct.pack(f"<{len(vals)}I", *vals)
 
-    def per_sample_shorts(v):
-        # count=spp SHORT array: ≤4 bytes packs inline (spp ≤ 2),
-        # larger goes external — per the TIFF value/offset rule
-        packed = struct.pack(f"<{spp}H", *([v] * spp))
-        if len(packed) <= 4:
-            return (packed.ljust(4, b"\x00"), None)
-        return (None, packed)
-
-    bits_inline, bits_ext = per_sample_shorts(bits)
-    fmt_inline, fmt_ext = per_sample_shorts(sample_fmt)
+    bits_inline, bits_ext = _per_sample_shorts(spp, bits)
+    fmt_inline, fmt_ext = _per_sample_shorts(spp, sample_fmt)
 
     # (tag, type, count, inline value | None, external bytes | None);
     # strip/tile offsets patched once blob addresses are known
@@ -1141,11 +1155,12 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
         # refuse an oversized stack without first collecting it
         chans = [
             r[0] for r in df.select("channel").distinct().collect()]
-        if not chans or None in chans or min(chans) < 0 \
-                or max(chans) >= 1024:
+        bad = [c for c in chans if c is None or c < 0 or c >= 1024]
+        if not chans or bad:
             raise ValueError(
-                "channel values must be non-null small non-negatives, "
-                f"got {sorted(chans, key=lambda c: (c is None, c))[:5]}"
+                "channel values must be non-null small non-negatives; "
+                f"offending values: {bad[:5]}" if chans
+                else "channel column has no rows"
             )
         spp = max(chans) + 1
     else:
@@ -1384,14 +1399,7 @@ def _demo_multiband_tiff_bytes(bands, sx, sy, x0, y0, endian="<",
     entries = [
         (256, 3, 1, w, None),
         (257, 3, 1, h, None),
-        # per-sample SHORT arrays inline when they fit the 4-byte
-        # value field (spp <= 2), external otherwise — the same
-        # value/offset rule the package writer applies
-        (258, 3, spp, *(
-            (struct.pack(endian + f"{spp}H", *([32] * spp)
-                         ).ljust(4, b"\x00"), None)
-            if spp <= 2 else
-            (None, struct.pack(endian + f"{spp}H", *([32] * spp))))),
+        (258, 3, spp, *_per_sample_shorts(spp, 32, endian)),
         (259, 3, 1, 8 if compress else 1, None),
         (262, 3, 1, 1, None),
         (273, 4, n, "STRIPS", None),
@@ -1399,11 +1407,7 @@ def _demo_multiband_tiff_bytes(bands, sx, sy, x0, y0, endian="<",
         (278, 3, 1, h, None),
         (279, 4, n, "COUNTS", None),
         (284, 3, 1, planar, None),
-        (339, 3, spp, *(
-            (struct.pack(endian + f"{spp}H", *([3] * spp)
-                         ).ljust(4, b"\x00"), None)
-            if spp <= 2 else
-            (None, struct.pack(endian + f"{spp}H", *([3] * spp))))),
+        (339, 3, spp, *_per_sample_shorts(spp, 3, endian)),
         (33550, 12, 3, None, struct.pack(endian + "3d", sx, sy, 0.0)),
         (33922, 12, 6, None,
          struct.pack(endian + "6d", 0, 0, 0, x0, y0, 0)),

@@ -1297,7 +1297,11 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
             and v["data"] is not None
         ]
         if not cands:
-            raise ValueError("no 2-D data variable found")
+            raise ValueError(
+                "no 2-D data variable found (rank>=2 is accepted only "
+                "when every leading dim is size 1 — slice a real "
+                "time/level axis before ingest)"
+            )
         variable = sorted(cands)[0]
     v = ds[variable]
     h, w = v["shape"][-2:]
