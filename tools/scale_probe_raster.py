@@ -52,6 +52,21 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 chunk_index="fixed_array" if fmt == "hdf5_fa"
                 else "btree1",
             )
+        elif fmt in ("mbtiff", "mbtiff_planar"):
+            # multiband (SamplesPerPixel=3) float32 DEFLATE GeoTIFF,
+            # chunky or planar interleave — the geotiff_multiband
+            # distributed-ingest path
+            from pyresample_spark.sources.binary_raster import (
+                _demo_multiband_tiff_bytes,
+            )
+
+            chans = np.arange(3)[:, None, None]
+            data3 = ((rows[None] * 31 + cols[None] * 17 + chans * 7)
+                     % 97).astype("f4") + 0.5
+            buf = _demo_multiband_tiff_bytes(
+                data3, 1.0, 1.0, 0.0, float(-i * H), compress=True,
+                planar=2 if fmt == "mbtiff_planar" else 1,
+            )
         else:
             buf = netcdf3_bytes(
                 [("y", H), ("x", W)],
@@ -77,11 +92,15 @@ def main():
     spark = get_spark("scale-probe-raster")
     spark.range(10).count()
     fmt = os.environ.get("SPARK_GRAFT_PROBE_FMT", "nc3")
+    multi = fmt in ("mbtiff", "mbtiff_planar")
+    ingest_fmt = "geotiff_multiband" if multi else "netcdf3"
+    px_per_file = (3 if multi else 1) * H * W
+    bytes_per_px = 4 if multi else 8
     for n in ns:
         d = make_granules(n, fmt)
         try:
             px = read_raster_pixels(spark, os.path.join(d, "*.nc"),
-                                    "netcdf3")
+                                    ingest_fmt)
             agg = px.groupBy("file").agg(
                 F.count(F.lit(1)).alias("c"),
                 F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))
@@ -90,10 +109,12 @@ def main():
             t0 = time.time()
             rows = agg.collect()
             dt = time.time() - t0
-            assert len(rows) == n and all(r["c"] == H * W for r in rows)
-            mb = n * H * W * 8 / 1e6
+            assert len(rows) == n and all(
+                r["c"] == px_per_file for r in rows)
+            mb = n * px_per_file * bytes_per_px / 1e6
             print(
-                f"fmt={fmt} N={n:3d} files pixels={n * H * W / 1e6:.1f}M "
+                f"fmt={fmt} N={n:3d} files "
+                f"pixels={n * px_per_file / 1e6:.1f}M "
                 f"wall={dt:.2f}s {mb / dt:.0f} MB/s "
                 f"per_file={dt / n * 1000:.0f} ms"
             )
