@@ -459,11 +459,34 @@ def lzw_decode(data: bytes) -> bytes:
 def _undo_predictor2(arr: np.ndarray, fmt: int) -> np.ndarray:
     if fmt == 3:
         raise ValueError(
-            "horizontal predictor on float samples unsupported "
-            "(predictor 3 needs rasterio)"
+            "predictor 2 (integer horizontal differencing) is not "
+            "defined for float samples; float rasters use predictor 3"
         )
     native = arr.astype(arr.dtype.newbyteorder("="))
     return np.cumsum(native, axis=1, dtype=native.dtype)
+
+
+def _undo_fp_predictor(raw: bytes, rows: int, width: int, csp: int,
+                       itemsize: int) -> np.ndarray:
+    """Undo the TIFF floating-point predictor (tag 317 value 3 — TIFF
+    Technical Note 3, what GDAL writes as ``PREDICTOR=3`` on
+    compressed float rasters). On encode each row's samples were
+    split into ``itemsize`` byte planes, most-significant plane first
+    (machine-independent — the byte stream is canonical regardless of
+    the file's endian flag), then the row's bytes were horizontally
+    differenced byte-wise with stride = samples-per-pixel. Decode is
+    the exact inverse: per-row byte-wise cumulative sum mod 256 at
+    that stride, then re-interleave the planes into big-endian IEEE
+    floats. Returns (rows, width, csp) in ``>f{itemsize}``."""
+    cc = width * csp * itemsize  # bytes per row
+    b = np.frombuffer(raw, dtype="u1").reshape(rows, cc).copy()
+    # byte substream s = positions s, s+csp, ... of the row; uint8
+    # accumulate wraps mod 256, matching the spec's byte arithmetic
+    sub = b.reshape(rows, cc // csp, csp)
+    np.add.accumulate(sub, axis=1, dtype="u1", out=sub)
+    planes = b.reshape(rows, itemsize, width * csp)
+    be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    return be.view(f">f{itemsize}").reshape(rows, width, csp)
 
 
 def tiff_pixels(buf: bytes) -> np.ndarray:
@@ -515,8 +538,13 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
         raise ValueError(f"unsupported sample layout bits={bits} fmt={fmt}")
     dtype = np.dtype(("<" if e == "<" else ">") + dt)
     pred = t.get(317, [1])[0]
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise ValueError(f"unsupported TIFF predictor {pred}")
+    if pred == 3 and fmt != 3:
+        raise ValueError(
+            "predictor 3 (floating-point) is defined for float "
+            f"samples only, got SampleFormat {fmt}"
+        )
 
     def decode(chunk: bytes) -> bytes:
         if comp in (8, 32946):
@@ -525,8 +553,17 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             return lzw_decode(chunk)
         return chunk
 
-    def undo_pred(block):  # (rows, width, spp): diffs are per channel
-        return _undo_predictor2(block, fmt) if pred == 2 else block
+    def block(raw: bytes, rows: int, width_: int) -> np.ndarray:
+        # decoded block bytes → (rows, width_, csp) sample array;
+        # predictor 3 reorders BYTES, so it must be undone before the
+        # buffer is even interpretable as floats
+        if pred == 3:
+            return _undo_fp_predictor(raw, rows, width_, csp,
+                                      dtype.itemsize)
+        arr = np.frombuffer(raw, dtype=dtype).reshape(rows, width_, csp)
+        # predictor 2: per-channel diffs along the row, undone by a
+        # cumulative sum in the sample dtype so overflow wraps
+        return _undo_predictor2(arr, fmt) if pred == 2 else arr
 
     if 322 in t:  # tiled organization
         tw, th = t[322][0], t[323][0]
