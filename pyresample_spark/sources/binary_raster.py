@@ -581,8 +581,7 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
         out = np.empty((h, w, spp), dtype="f8")
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             pl, ti = divmod(idx, per_plane)
-            tile = np.frombuffer(decode(buf[o:o + c]), dtype=dtype)
-            tile = undo_pred(tile.reshape(th, tw, csp))
+            tile = block(decode(buf[o:o + c]), th, tw)
             ty, tx = divmod(ti, tiles_across)
             r0, c0 = ty * th, tx * tw
             rs, cs = min(th, h - r0), min(tw, w - c0)
@@ -607,15 +606,12 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
                     for o, c in zip(offs[s * per:(s + 1) * per],
                                     cnts[s * per:(s + 1) * per])
                 )
-                planes.append(undo_pred(
-                    np.frombuffer(raw, dtype=dtype).reshape(h, w, 1)
-                ))
+                planes.append(block(raw, h, w))
             out = np.concatenate(planes, axis=2).astype("f8")
         else:
             raw = b"".join(
                 decode(buf[o:o + c]) for o, c in zip(offs, cnts))
-            arr = np.frombuffer(raw, dtype=dtype).reshape(h, w, spp)
-            out = undo_pred(arr).astype("f8")
+            out = block(raw, h, w).astype("f8")
     return out[:, :, 0] if spp == 1 else np.moveaxis(out, 2, 0)
 
 
