@@ -489,6 +489,26 @@ def _undo_fp_predictor(raw: bytes, rows: int, width: int, csp: int,
     return be.view(f">f{itemsize}").reshape(rows, width, csp)
 
 
+def _fp_predictor_encode(blk: np.ndarray) -> bytes:
+    """Forward TIFF floating-point predictor (tag 317 value 3) for the
+    writer — the exact inverse of :func:`_undo_fp_predictor`, so the
+    engine's own reader (and GDAL/libtiff) round-trips it. ``blk`` is
+    (rows, width, spp) float; per row the samples' big-endian bytes
+    are split into ``itemsize`` planes MSB-first (canonical regardless
+    of the container's endian flag), then byte-wise horizontally
+    differenced at stride = samples-per-pixel with uint8 wrap."""
+    rows, width, spp = blk.shape
+    k = blk.dtype.itemsize
+    be = np.ascontiguousarray(blk.astype(f">f{k}"))
+    b = be.view("u1").reshape(rows, width * spp, k)
+    planes = np.ascontiguousarray(
+        b.transpose(0, 2, 1)).reshape(rows, k * width * spp)
+    sub = planes.reshape(rows, width * k, spp)
+    d = sub.copy()
+    d[:, 1:, :] = sub[:, 1:, :] - sub[:, :-1, :]  # uint8 wraps mod 256
+    return d.tobytes()
+
+
 def tiff_pixels(buf: bytes) -> np.ndarray:
     """Decode strip- OR tile-organized TIFF samples → (h, w) float64,
     or (spp, h, w) for MULTIBAND rasters (SamplesPerPixel > 1).
@@ -1038,7 +1058,8 @@ def _per_sample_shorts(spp: int, v: int, endian: str = "<"):
 def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                   crs: str = "longlat", compress: bool = True,
                   rows_per_strip: int = 64,
-                  tile: tuple | None = None) -> bytes:
+                  tile: tuple | None = None,
+                  predictor: int = 1) -> bytes:
     """Serialize a (h, w) — or MULTIBAND (spp, h, w) — array as a
     little-endian GeoTIFF: ModelPixelScaleTag + ModelTiepointTag
     (north-up geotransform — (x0, y0) is the OUTER corner of pixel
@@ -1053,7 +1074,10 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     per-strip decode memory), or TILES when ``tile=(tw, th)`` is
     given — the layout real products commonly ship; per spec §15
     tile dims must be multiples of 16 and edge tiles pad to full
-    tile size."""
+    tile size. ``predictor``: 1 = none, 2 = horizontal differencing
+    (integer dtypes), 3 = floating-point byte-plane differencing
+    (float dtypes — what GDAL writes as PREDICTOR=3 on compressed
+    float rasters); the engine's own reader undoes both."""
     import zlib
 
     arr = np.ascontiguousarray(arr)
@@ -1071,6 +1095,30 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         spp = 1
         inter = arr[:, :, None]
     h, w = inter.shape[:2]
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 3 and arr.dtype.kind != "f":
+        raise ValueError(
+            "predictor 3 (floating-point) is defined for float "
+            "samples only"
+        )
+    if predictor == 2 and arr.dtype.kind == "f":
+        raise ValueError(
+            "predictor 2 (integer horizontal differencing) is not "
+            "defined for float samples; float rasters use predictor 3"
+        )
+
+    def enc(blk: np.ndarray) -> bytes:
+        # blk is (rows, width, spp) in the little-endian file dtype
+        if predictor == 3:
+            return _fp_predictor_encode(blk)
+        if predictor == 2:
+            native = blk.astype(blk.dtype.newbyteorder("="))
+            d = native.copy()
+            d[:, 1:, :] = native[:, 1:, :] - native[:, :-1, :]  # wraps
+            return d.astype(blk.dtype).tobytes()
+        return blk.tobytes()
+
     chunks = []
     if tile is not None:
         tw, th = tile
@@ -1084,12 +1132,12 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                 blk = np.zeros((th, tw, spp), dtype=arr.dtype)
                 rs, cs = min(th, h - r0), min(tw, w - c0)
                 blk[:rs, :cs] = inter[r0:r0 + rs, c0:c0 + cs]
-                raw = blk.tobytes()
+                raw = enc(blk)
                 chunks.append(zlib.compress(raw, 6) if compress else raw)
     else:
         rps = max(1, min(rows_per_strip, h))
         for r0 in range(0, h, rps):
-            raw = inter[r0:r0 + rps].tobytes()
+            raw = enc(inter[r0:r0 + rps])
             chunks.append(zlib.compress(raw, 6) if compress else raw)
     geodir, geodbl = _crs_to_geokeys(crs)
     n_chunks = len(chunks)
@@ -1119,6 +1167,7 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
          len(chunks[0]) if n_chunks == 1 else None,
          None if n_chunks == 1 else arr_u32([len(s) for s in chunks])),
         (339, 3, spp, fmt_inline, fmt_ext),
+        *([(317, 3, 1, predictor, None)] if predictor != 1 else []),
         *([(284, 3, 1, 1, None)] if spp > 1 else []),
         *([(322, 4, 1, tile[0], None), (323, 4, 1, tile[1], None)]
           if tile is not None
@@ -1167,7 +1216,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
 
 def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
                    compress: bool = True, dtype: str = "f8",
-                   fill=None, tile: tuple | None = None) -> None:
+                   fill=None, tile: tuple | None = None,
+                   predictor: int = 1) -> None:
     """Dense GeoTIFF export of a resampled grid: (row, col, value)
     DataFrame + AreaDefinition → one DEFLATE GeoTIFF, the raster twin
     of :func:`export_cf_grid` and readable back through this engine's
@@ -1254,6 +1304,7 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
         crs=area.crs,
         compress=compress,
         tile=tile,
+        predictor=predictor,
     )
     import os
 

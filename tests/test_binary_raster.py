@@ -270,6 +270,31 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(res)
 
 
+def fp3_encode_rows(rows_arr, spp=1):
+    """Forward TIFF floating-point predictor (TechNote 3) — the
+    test-side reference encoder, pure-Python byte loops on purpose so
+    it shares no formulation with the package's vectorized decoder.
+    Per row: the samples' big-endian IEEE bytes are split into
+    ``itemsize`` planes MSB-first (the canonical byte stream,
+    independent of the container's endian flag), then the row's bytes
+    are horizontally differenced at stride = samples-per-pixel,
+    wrapping mod 256."""
+    k = rows_arr.dtype.itemsize
+    out = bytearray()
+    for i in range(rows_arr.shape[0]):
+        row = np.asarray(rows_arr[i]).reshape(-1)  # pixel-interleaved
+        be = row.astype(f">f{k}").tobytes()
+        n = row.size
+        planes = bytearray(n * k)
+        for s in range(n):
+            for b in range(k):
+                planes[b * n + s] = be[s * k + b]
+        for j in range(len(planes) - 1, spp - 1, -1):
+            planes[j] = (planes[j] - planes[j - spp]) & 0xFF
+        out += planes
+    return bytes(out)
+
+
 def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
                       predictor=1, endian="<"):
     """Adversarial strip-layout TIFF writer: arbitrary sample dtype
@@ -291,6 +316,9 @@ def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
         diff = native.copy()
         diff[:, 1:] = native[:, 1:] - native[:, :-1]  # wraps in-dtype
         enc = diff.astype(endian + dt.char)
+    # predictor 3 on a non-float dtype writes the tag but leaves the
+    # bytes alone — an adversarial file the reader must REJECT
+    fp3 = predictor == 3 and dt.kind == "f"
     def pack(raw: bytes) -> bytes:
         if compress in (8, 32946):
             return zlib.compress(raw)
@@ -300,7 +328,10 @@ def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
 
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        strips.append(pack(enc[r0:r0 + rows_per_strip].tobytes()))
+        seg = arr[r0:r0 + rows_per_strip]
+        raw = (fp3_encode_rows(seg) if fp3
+               else enc[r0:r0 + rows_per_strip].tobytes())
+        strips.append(pack(raw))
 
     n = len(strips)
     entries = []
@@ -388,6 +419,9 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
             block = np.zeros((th, tw), dtype=dt)
             rs, cs = min(th, h - r0), min(tw, w - c0)
             block[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+            if predictor == 3 and dt.kind == "f":
+                tiles.append(pack(fp3_encode_rows(block)))
+                continue
             if predictor == 2:
                 native = block.astype(dt.newbyteorder("="))
                 d = native.copy()
@@ -665,6 +699,209 @@ def test_tiff_compression_and_predictor_guards():
     with pytest.raises(ValueError, match="predictor 3"):
         tiff_pixels(tiff_bytes_strips(np.zeros((2, 2), "u2"),
                                       predictor=3))
+
+
+def test_tiff_fp_predictor3_strips_f32():
+    """Floating-point predictor (tag 317 = 3, TIFF TechNote 3 — what
+    GDAL writes as PREDICTOR=3 on compressed float rasters): multi-
+    strip float32, DEFLATE / LZW / uncompressed, both container
+    endiannesses (the predicted byte stream is canonical big-endian
+    planes regardless of the endian flag). Special IEEE values must
+    survive byte-exact."""
+    rng = np.random.RandomState(3)
+    arr = (rng.randn(7, 5) * 1e3).astype("f4")
+    arr[0, 0] = np.nan
+    arr[1, 2] = -np.inf
+    arr[6, 4] = 0.0
+    for compress, endian in [(8, "<"), (5, ">"), (None, "<"),
+                             (8, ">")]:
+        buf = tiff_bytes_strips(arr, rows_per_strip=3,
+                                compress=compress, predictor=3,
+                                endian=endian)
+        np.testing.assert_array_equal(tiff_pixels(buf),
+                                      arr.astype("f8"))
+
+
+def test_tiff_fp_predictor3_strips_f64():
+    """float64 exercises all eight byte planes of the split."""
+    rng = np.random.RandomState(4)
+    arr = rng.randn(6, 4) * np.pi
+    for compress, endian in [(8, "<"), (8, ">"), (5, "<")]:
+        buf = tiff_bytes_strips(arr, rows_per_strip=4,
+                                compress=compress, predictor=3,
+                                endian=endian)
+        np.testing.assert_array_equal(tiff_pixels(buf), arr)
+
+
+def test_tiff_fp_predictor3_tiles_edge_crop():
+    """Tiled organization with predictor 3: edge tiles are spec-padded
+    to full tile size, predicted per padded row, and cropped on
+    assembly."""
+    rng = np.random.RandomState(5)
+    arr = (rng.randn(7, 10) * 40).astype("f4")
+    for compress, endian in [(8, "<"), (5, ">")]:
+        buf = tiff_bytes_tiles(arr, tile=(4, 3), compress=compress,
+                               predictor=3, endian=endian)
+        np.testing.assert_array_equal(tiff_pixels(buf),
+                                      arr.astype("f8"))
+    arr8 = rng.randn(5, 6)
+    buf = tiff_bytes_tiles(arr8, tile=(4, 4), compress=8, predictor=3)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr8)
+
+
+def test_tiff_multiband_fp_predictor3():
+    """Multiband float32 with predictor 3, built against the test-side
+    reference encoder: CHUNKY interleave differences at stride =
+    SamplesPerPixel; PLANAR (one component per strip) differences at
+    stride 1 within each plane."""
+    import zlib as _zlib
+
+    h, w, spp = 5, 4, 3
+    rng = np.random.RandomState(11)
+    bands = (rng.randn(spp, h, w) * 50).astype("<f4")
+    rps = 2
+
+    def build(planar):
+        payloads = []
+        if planar == 1:
+            inter = np.moveaxis(bands, 0, 2)  # (h, w, spp)
+            for r0 in range(0, h, rps):
+                raw = fp3_encode_rows(inter[r0:r0 + rps], spp=spp)
+                payloads.append(_zlib.compress(raw, 6))
+        else:
+            for s in range(spp):
+                for r0 in range(0, h, rps):
+                    raw = fp3_encode_rows(bands[s, r0:r0 + rps])
+                    payloads.append(_zlib.compress(raw, 6))
+        nstrips = len(payloads)
+        bits = struct.pack("<3H", 32, 32, 32)
+        fmts = struct.pack("<3H", 3, 3, 3)
+
+        def build_ifd(bits_off, fmts_off, offs_off, cnts_off,
+                      data_offs):
+            e = [
+                (256, 3, 1, w, b""), (257, 3, 1, h, b""),
+                (258, 3, 3, bits_off, bits),
+                (259, 3, 1, 8, b""),
+                (262, 3, 1, 2, b""),
+                (273, 4, nstrips, offs_off,
+                 struct.pack(f"<{nstrips}I", *data_offs)),
+                (277, 3, 1, spp, b""),
+                (278, 3, 1, rps, b""),
+                (279, 4, nstrips, cnts_off,
+                 struct.pack(f"<{nstrips}I",
+                             *(len(p) for p in payloads))),
+                (284, 3, 1, planar, b""),
+                (317, 3, 1, 3, b""),
+                (339, 3, 3, fmts_off, fmts),
+            ]
+            out = struct.pack("<2sHI", b"II", 42, 8)
+            out += struct.pack("<H", len(e))
+            ext = b""
+            for tag, typ, cnt, val, extb in e:
+                out += struct.pack("<HHII", tag, typ, cnt, val)
+                ext += extb
+            out += struct.pack("<I", 0)
+            return out, ext
+
+        probe, _ = build_ifd(0, 0, 0, 0, [0] * nstrips)
+        # ext blobs are appended in ENTRY order: 258, 273, 279, 339
+        bits_off = len(probe)
+        offs_off = bits_off + len(bits)
+        cnts_off = offs_off + 4 * nstrips
+        fmts_off = cnts_off + 4 * nstrips
+        data0 = fmts_off + len(fmts)
+        data_offs, a = [], data0
+        for p in payloads:
+            data_offs.append(a)
+            a += len(p)
+        ifd, ext = build_ifd(bits_off, fmts_off, offs_off, cnts_off,
+                             data_offs)
+        return ifd + ext + b"".join(payloads)
+
+    for planar in (1, 2):
+        arr = tiff_pixels(build(planar))
+        assert arr.shape == (spp, h, w)
+        np.testing.assert_array_equal(arr, bands.astype("f8"))
+
+
+def test_geotiff_writer_predictor3_roundtrip():
+    """The package writer's predictor=3 (forward byte-plane split +
+    stride differencing) round-trips through the engine's own reader:
+    strips and tiles, f4 and f8, single- and multiband chunky; the
+    dtype guards are loud."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    rng = np.random.RandomState(6)
+    arr = (rng.randn(20, 13) * 1e2).astype("f4")
+    for kw in (dict(rows_per_strip=7), dict(tile=(16, 16))):
+        buf = gb(arr, 0.5, 0.5, 0.0, 10.0, compress=True,
+                 predictor=3, **kw)
+        assert parse_tiff(buf)[317] == [3]
+        np.testing.assert_array_equal(tiff_pixels(buf),
+                                      arr.astype("f8"))
+    arr8 = rng.randn(9, 6)
+    buf = gb(arr8, 0.5, 0.5, 0.0, 10.0, compress=True, predictor=3,
+             rows_per_strip=4)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr8)
+    mb = (rng.randn(3, 10, 8) * 7).astype("f4")
+    buf = gb(mb, 0.5, 0.5, 0.0, 10.0, compress=True, predictor=3,
+             rows_per_strip=3)
+    got = tiff_pixels(buf)
+    assert got.shape == (3, 10, 8)
+    np.testing.assert_array_equal(got, mb.astype("f8"))
+    with pytest.raises(ValueError, match="float samples only"):
+        gb(np.zeros((2, 2), "u2"), 1, 1, 0, 0, predictor=3)
+    with pytest.raises(ValueError, match="float samples"):
+        gb(np.zeros((2, 2), "f4"), 1, 1, 0, 0, predictor=2)
+    with pytest.raises(ValueError, match="unsupported TIFF predictor"):
+        gb(np.zeros((2, 2), "f4"), 1, 1, 0, 0, predictor=4)
+
+
+def test_geotiff_writer_fp3_bytes_match_reference_encoder():
+    """Stronger than a reader roundtrip (which could hide a shared
+    spec misreading): the writer's predicted strip bytes must equal
+    the independent pure-Python reference encoder's, byte for byte —
+    single-band stride 1 and multiband chunky stride spp."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = (rng.randn(4, 5) * 3).astype("f4")
+    buf = gb(arr, 1.0, 1.0, 0.0, 4.0, compress=False, predictor=3,
+             rows_per_strip=2)
+    t = parse_tiff(buf)
+    got = b"".join(buf[o:o + c] for o, c in zip(t[273], t[279]))
+    assert got == fp3_encode_rows(arr)
+    mb = (rng.randn(2, 3, 4) * 9).astype("f8")
+    buf = gb(mb, 1.0, 1.0, 0.0, 3.0, compress=False, predictor=3,
+             rows_per_strip=3)
+    t = parse_tiff(buf)
+    got = b"".join(buf[o:o + c] for o, c in zip(t[273], t[279]))
+    assert got == fp3_encode_rows(np.moveaxis(mb, 0, 2), spp=2)
+
+
+def test_geotiff_writer_predictor2_roundtrip():
+    """Writer predictor=2 (integer horizontal differencing) round-
+    trips through the engine's reader, strips and tiles, with
+    wraparound values present."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    rng = np.random.RandomState(8)
+    arr = rng.randint(0, 65535, (11, 7)).astype("u2")
+    buf = gb(arr, 1.0, 1.0, 0.0, 11.0, compress=True, predictor=2,
+             rows_per_strip=4)
+    assert parse_tiff(buf)[317] == [2]
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+    arr2 = rng.randint(-32768, 32767, (9, 17)).astype("i4")
+    buf = gb(arr2, 1.0, 1.0, 0.0, 9.0, compress=True, predictor=2,
+             tile=(16, 16))
+    np.testing.assert_array_equal(tiff_pixels(buf), arr2.astype("f8"))
 
 
 def test_geotiff_area_and_pixels():
@@ -1643,27 +1880,30 @@ def test_rasterio_fallback_with_rasterio(tmp_path):
     comp=st.sampled_from([None, 5, 8, 32946]),
     dtc=st.sampled_from(["u2", "i2", "u4", "i4", "f4", "f8"]),
     strip=st.integers(1, 5),
-    pred=st.sampled_from([1, 2]),
+    pred=st.sampled_from([1, 2, 3]),
 )
 def test_tiff_strips_roundtrip_property(h, w, seed, endian, comp, dtc,
                                         pred, strip):
     """Compressed / predicted / multi-strip rasters of every supported
     dtype survive writer → parser exactly (predictor 2 only applies to
-    integer dtypes per spec; float+predictor is the guarded error)."""
+    integer dtypes, predictor 3 only to float dtypes per spec; the
+    mismatched pairings are the guarded errors)."""
     rng = np.random.RandomState(seed)
     if dtc[0] == "f":
         arr = rng.uniform(-1e5, 1e5, size=(h, w)).astype(dtc)
     else:
         info = np.iinfo(dtc)
         arr = rng.randint(info.min, info.max, size=(h, w)).astype(dtc)
-    if pred == 2 and dtc[0] == "f":
-        buf = tiff_bytes_strips(arr, rows_per_strip=strip, compress=comp,
-                                predictor=2, endian=endian)
-        with pytest.raises(ValueError, match="float samples"):
-            tiff_pixels(buf)
-        return
     buf = tiff_bytes_strips(arr, rows_per_strip=strip, compress=comp,
                             predictor=pred, endian=endian)
+    mismatch = ((pred == 2 and dtc[0] == "f")
+                or (pred == 3 and dtc[0] != "f"))
+    if mismatch:
+        with pytest.raises(ValueError,
+                           match="float samples" if pred == 2
+                           else "predictor 3"):
+            tiff_pixels(buf)
+        return
     np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
 
 

@@ -77,7 +77,8 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                     ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
                 ],
             )
-        with open(os.path.join(d, f"g{i:04d}.nc"), "wb") as f:
+        ext = "tif" if fmt in ("mbtiff", "mbtiff_planar") else "nc"
+        with open(os.path.join(d, f"g{i:04d}.{ext}"), "wb") as f:
             f.write(buf)
     return d
 
@@ -99,7 +100,8 @@ def main():
     for n in ns:
         d = make_granules(n, fmt)
         try:
-            px = read_raster_pixels(spark, os.path.join(d, "*.nc"),
+            glob_pat = "*.tif" if multi else "*.nc"
+            px = read_raster_pixels(spark, os.path.join(d, glob_pat),
                                     ingest_fmt)
             agg = px.groupBy("file").agg(
                 F.count(F.lit(1)).alias("c"),
