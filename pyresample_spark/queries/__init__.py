@@ -63,68 +63,66 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# ROUND-10 WINDOW (VERDICT r9 item 1, carried from r8): the 48 queries
-# whose latest driver evidence is round 5, plus the never-checked NEW
-# round-10 query q_multiband_ingest and the oldest-r6 row
-# (q_scan_lineitem) to fill 50. Computed as latest-round-per-query
-# over CORRECTNESS_r0*.json, never-checked first, then ascending
-# round, registration order as tie-break.
-#
-# ROUND-11 WINDOW PLAN: after r10 lands, rotate the remaining
-# r6-latest rows (q_grid_gen first — it yielded its fill slot to
-# q_multiband_ingest), then oldest-r7 rows to fill 50 (recompute with
+# ROUND-11 WINDOW (VERDICT r10 item 3): the two TIFF-decode re-proof
+# slots first (q_multiband_ingest was the one red r10 row; q_geotiff_-
+# ingest's green row is r9 and predates the undo_pred regression fixed
+# this round), then q_grid_gen and the r6-latest rows. 49 r6 rows + 2
+# re-proofs = 51 > 50, so ONE r6 row yields its slot:
+# q_embed_covariance, which the r10 judge re-verified cell-for-cell in
+# the judging session (freshest evidence of the block) — it goes FIRST
+# in the r12 window, followed by the 50 oldest-r7 rows (recompute with
 # the same latest-round-per-query procedure).
 _PRIORITY = [
     "q_multiband_ingest",
-    "q_optimal_bb",
-    "q_ewa_ellipse",
-    "q_regrid_omerc_exact",
-    "q_multiband_resample",
-    "q_overlap_rate",
-    "q_geos_boundary",
-    "q_events_session",
-    "q_events_late",
-    "q_distinct_agg",
-    "q_json_extract",
-    "q_events_sliding",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_text_stats",
-    "q_lang_id",
-    "q_quality_score",
-    "q_token_count",
-    "q_fingerprint",
-    "q_hash_split",
-    "q_domain_quota",
-    "q_seq_pack",
-    "q_dedup_clusters",
-    "q_unigram_logprob",
-    "q_stratified_sample",
-    "q_repetition_ratio",
-    "q_decontaminate",
-    "q_tfidf",
-    "q_mix_weights",
-    "q_pii_scrub",
-    "q_vocab_stats",
-    "q_bloom_filter",
-    "q_cosine_topk",
-    "q_dedup_embedding",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_dedup_canonical",
-    "q_multimodal_meta",
-    "q_frame_sample",
-    "q_ppm_decode",
-    "q_wav_decode",
-    "q_ppm_video",
-    "q_star_join",
-    "q_rollup_agg",
-    "q_window_suite",
-    "q_pivot",
-    "q_grouping_sets",
-    "q_scan_lineitem",
+    "q_geotiff_ingest",
+    "q_grid_gen",
+    "q_lonlat2xyz",
+    "q_haversine",
+    "q_proj_eqc",
+    "q_lonlat_to_cell",
+    "q_wrap_lons",
+    "q_round_resolution",
+    "q_math_suite",
+    "q_geocentric_res",
+    "q_gradient_lead_lag",
+    "q_proj_stere",
+    "q_proj_laea",
+    "q_proj_merc",
+    "q_proj_aeqd",
+    "q_proj_gnom",
+    "q_proj_stere_ell",
+    "q_proj_geos_ell",
+    "q_valid_filter",
+    "q_bbox_reduce",
+    "q_grid_filter",
+    "q_slice_crop",
+    "q_mask_filter",
+    "q_bucket_assign",
+    "q_bucket_sum",
+    "q_bucket_count",
+    "q_bucket_avg",
+    "q_get_average_skipna",
+    "q_bucket_min",
+    "q_regrid_stere",
+    "q_regrid_laea",
+    "q_regrid_aeqd",
+    "q_regrid_gnom",
+    "q_regrid_stere_ell",
+    "q_regrid_stere_wgs84",
+    "q_regrid_geos_ell",
+    "q_asof_join",
+    "q_range_join",
+    "q_countmin",
+    "q_edit_distance_rank",
+    "q_bloom_decontaminate",
+    "q_token_entropy",
+    "q_ann_ivf_probe2",
+    "q_ann_recall",
+    "q_dup_inflation",
+    "q_hard_negatives",
+    "q_kmeans_iter",
+    "q_embedding_stats",
+    "q_embed_quantize",
 ]
 
 def load_all() -> dict:
