@@ -1044,14 +1044,16 @@ _TIFF_SAMPLE_KINDS = {"u": 1, "i": 2, "f": 3}
 _TIFF_WRITER_DTYPES = {"u2", "u4", "i2", "i4", "f4", "f8"}
 
 
-def _per_sample_shorts(spp: int, v: int, endian: str = "<"):
-    """(inline 4-byte field | None, external bytes | None) for a
-    count=spp SHORT array holding ``v`` per sample: ≤4 bytes packs
-    left-justified inline (spp ≤ 2), larger goes external — the TIFF
+def _per_sample_shorts(spp: int, v: int, endian: str = "<",
+                       inline_max: int = 4):
+    """(inline value field | None, external bytes | None) for a
+    count=spp SHORT array holding ``v`` per sample: ≤ ``inline_max``
+    bytes packs left-justified inline (4 classic / 8 BigTIFF — spec:
+    values that FIT must be inline), larger goes external — the TIFF
     value/offset rule, in ONE place for every writer in this module."""
     packed = struct.pack(endian + f"{spp}H", *([v] * spp))
-    if len(packed) <= 4:
-        return (packed.ljust(4, b"\x00"), None)
+    if len(packed) <= inline_max:
+        return (packed.ljust(inline_max, b"\x00"), None)
     return (None, packed)
 
 
@@ -1059,7 +1061,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                   crs: str = "longlat", compress: bool = True,
                   rows_per_strip: int = 64,
                   tile: tuple | None = None,
-                  predictor: int = 1) -> bytes:
+                  predictor: int = 1,
+                  bigtiff: bool | None = None) -> bytes:
     """Serialize a (h, w) — or MULTIBAND (spp, h, w) — array as a
     little-endian GeoTIFF: ModelPixelScaleTag + ModelTiepointTag
     (north-up geotransform — (x0, y0) is the OUTER corner of pixel
@@ -1077,7 +1080,14 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     tile size. ``predictor``: 1 = none, 2 = horizontal differencing
     (integer dtypes), 3 = floating-point byte-plane differencing
     (float dtypes — what GDAL writes as PREDICTOR=3 on compressed
-    float rasters); the engine's own reader undoes both."""
+    float rasters); the engine's own reader undoes both.
+    ``bigtiff``: None (default) picks the container by size — when
+    the pixel payload would push offsets past the classic 4-byte
+    ceiling the writer switches to BigTIFF (magic 43, 8-byte offsets,
+    20-byte IFD entries, LONG8 offset/count arrays), which
+    :func:`parse_tiff` already reads; True/False force a container
+    (True is how GDAL's ``BIGTIFF=YES`` behaves, and forcing False on
+    an oversized payload raises instead of writing wrapped offsets)."""
     import zlib
 
     arr = np.ascontiguousarray(arr)
@@ -1141,12 +1151,31 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             chunks.append(zlib.compress(raw, 6) if compress else raw)
     geodir, geodbl = _crs_to_geokeys(crs)
     n_chunks = len(chunks)
+    payload = sum(len(s) for s in chunks)
+    if bigtiff is None:
+        # auto-switch: chunks dominate the file; 8·n_chunks·2 over-
+        # states the classic offset/count arrays and 64 KiB covers
+        # the IFD + geokey bookkeeping, so the estimate only errs
+        # toward BigTIFF (never a wrapped classic offset)
+        bigtiff = payload + 16 * n_chunks + 65536 > 0xFFFFFFFE
+    big = bool(bigtiff)
+    if not big and payload + 16 * n_chunks + 65536 > 0xFFFFFFFE:
+        raise ValueError(
+            f"payload of {payload} bytes does not fit classic TIFF's "
+            "4-byte offsets; pass bigtiff=True (or None for auto)"
+        )
+    inline_max = 8 if big else 4
+    long_t = 16 if big else 4   # LONG8 vs LONG for offset/count arrays
+    ofmt = "Q" if big else "I"
+    osz = 8 if big else 4
 
-    def arr_u32(vals):
-        return struct.pack(f"<{len(vals)}I", *vals)
+    def arr_off(vals):
+        return struct.pack(f"<{len(vals)}{ofmt}", *vals)
 
-    bits_inline, bits_ext = _per_sample_shorts(spp, bits)
-    fmt_inline, fmt_ext = _per_sample_shorts(spp, sample_fmt)
+    bits_inline, bits_ext = _per_sample_shorts(
+        spp, bits, inline_max=inline_max)
+    fmt_inline, fmt_ext = _per_sample_shorts(
+        spp, sample_fmt, inline_max=inline_max)
 
     # (tag, type, count, inline value | None, external bytes | None);
     # strip/tile offsets patched once blob addresses are known
@@ -1160,12 +1189,12 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         (258, 3, spp, bits_inline, bits_ext),
         (259, 3, 1, 8 if compress else 1, None),
         (262, 3, 1, 1, None),
-        (off_tag, 4, n_chunks, "OFFS",
-         None if n_chunks == 1 else b"\x00" * 4 * n_chunks),
+        (off_tag, long_t, n_chunks, "OFFS",
+         None if n_chunks == 1 else b"\x00" * osz * n_chunks),
         (277, 3, 1, spp, None),
-        (cnt_tag, 4, n_chunks,
+        (cnt_tag, long_t, n_chunks,
          len(chunks[0]) if n_chunks == 1 else None,
-         None if n_chunks == 1 else arr_u32([len(s) for s in chunks])),
+         None if n_chunks == 1 else arr_off([len(s) for s in chunks])),
         (339, 3, spp, fmt_inline, fmt_ext),
         *([(317, 3, 1, predictor, None)] if predictor != 1 else []),
         *([(284, 3, 1, 1, None)] if spp > 1 else []),
@@ -1181,8 +1210,12 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         entries.append((34736, 12, len(geodbl), None,
                         struct.pack(f"<{len(geodbl)}d", *geodbl)))
     entries.sort()  # TIFF spec: IFD entries ascending by tag
-    ifd_off = 8
-    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    if big:  # magic 43: 8-byte offsets, 8-byte count, 20-byte entries
+        ifd_off = 16
+        ext_off = ifd_off + 8 + 20 * len(entries) + 8
+    else:
+        ifd_off = 8
+        ext_off = ifd_off + 2 + 12 * len(entries) + 4
     blobs, offs, o = [], {}, ext_off
     for tag, _, _, _, ext in entries:
         if ext is not None:
@@ -1195,29 +1228,36 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         o += len(s)
     for blob in blobs:  # patch the strip/tile-offset array now
         if blob[0] == off_tag:
-            blob[1] = arr_u32(chunk_offs)
-    out = b"II" + struct.pack("<HI", 42, ifd_off)
-    out += struct.pack("<H", len(entries))
+            blob[1] = arr_off(chunk_offs)
+    if big:
+        out = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        out += struct.pack("<Q", len(entries))
+    else:
+        out = b"II" + struct.pack("<HI", 42, ifd_off)
+        out += struct.pack("<H", len(entries))
     for tag, typ, count, inline, ext in entries:
-        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack(f"<HH{ofmt}", tag, typ, count)
         if ext is not None:
-            out += struct.pack("<I", offs[tag])
+            out += struct.pack(f"<{ofmt}", offs[tag])
         elif inline == "OFFS":
-            out += struct.pack("<I", chunk_offs[0])
+            out += struct.pack(f"<{ofmt}", chunk_offs[0])
         elif isinstance(inline, bytes):  # pre-packed inline array
             out += inline
-        elif typ == 3:
-            out += struct.pack("<HH", inline, 0)
-        else:
-            out += struct.pack("<I", inline)
-    out += struct.pack("<I", 0)  # no next IFD
+        elif typ == 3:  # SHORT: value left-justified, field zero-padded
+            out += struct.pack("<H", inline).ljust(osz, b"\x00")
+        elif typ == 16:
+            out += struct.pack("<Q", inline)
+        else:  # LONG, left-justified in the 8-byte BigTIFF field
+            out += struct.pack("<I", inline).ljust(osz, b"\x00")
+    out += struct.pack(f"<{ofmt}", 0)  # no next IFD
     return out + b"".join(ext for _, ext in blobs) + b"".join(chunks)
 
 
 def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
                    compress: bool = True, dtype: str = "f8",
                    fill=None, tile: tuple | None = None,
-                   predictor: int = 1) -> None:
+                   predictor: int = 1,
+                   bigtiff: bool | None = None) -> None:
     """Dense GeoTIFF export of a resampled grid: (row, col, value)
     DataFrame + AreaDefinition → one DEFLATE GeoTIFF, the raster twin
     of :func:`export_cf_grid` and readable back through this engine's
@@ -1305,6 +1345,7 @@ def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,
         compress=compress,
         tile=tile,
         predictor=predictor,
+        bigtiff=bigtiff,
     )
     import os
 

@@ -4,6 +4,7 @@ parsed back — reader and writer share no code, so agreement checks the
 grammar, not a tautology. Mirrors the reference's file-based tests for
 load_cf_area (test_utils.py) / get_area_def_from_raster."""
 
+import os
 import struct
 
 import numpy as np
@@ -902,6 +903,114 @@ def test_geotiff_writer_predictor2_roundtrip():
     buf = gb(arr2, 1.0, 1.0, 0.0, 9.0, compress=True, predictor=2,
              tile=(16, 16))
     np.testing.assert_array_equal(tiff_pixels(buf), arr2.astype("f8"))
+
+
+def test_geotiff_writer_bigtiff_forced_roundtrip():
+    """bigtiff=True writes the magic-43 container (8-byte offsets,
+    20-byte entries, LONG8 offset/count arrays, 8-byte inline fields)
+    and the engine's own reader round-trips it — strips, tiles,
+    predictor 3, multiband chunky, and the area parse."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    rng = np.random.RandomState(9)
+    arr = (rng.randn(10, 12) * 5).astype("f4")
+    for kw in (dict(rows_per_strip=4), dict(tile=(16, 16)),
+               dict(rows_per_strip=4, predictor=3)):
+        buf = gb(arr, 0.5, 0.5, 0.0, 5.0, compress=True, bigtiff=True,
+                 **kw)
+        t = parse_tiff(buf)
+        assert t["_bigtiff"] and t[256] == [12]
+        np.testing.assert_array_equal(tiff_pixels(buf),
+                                      arr.astype("f8"))
+    area = area_from_geotiff(
+        gb(arr, 0.5, 0.5, 0.0, 5.0, bigtiff=True), "t")
+    assert (area.width, area.height) == (12, 10)
+    assert area.area_extent == (0.0, 0.0, 6.0, 5.0)
+    mb = rng.randint(0, 60000, (3, 6, 7)).astype("u2")
+    buf = gb(mb, 1.0, 1.0, 0.0, 6.0, compress=True, bigtiff=True,
+             rows_per_strip=2)
+    got = tiff_pixels(buf)
+    assert got.shape == (3, 6, 7)
+    np.testing.assert_array_equal(got, mb.astype("f8"))
+    # auto (bigtiff=None) keeps small files in the classic container
+    assert not parse_tiff(gb(arr, 1.0, 1.0, 0.0, 10.0))["_bigtiff"]
+
+
+def test_bigtiff_reader_beyond_4gib_offset(tmp_path):
+    """The reader's 8-byte offset arithmetic at a REAL >4 GiB strip
+    offset, via a sparse file + mmap (no 4 GiB of actual bytes): a
+    hand-built BigTIFF whose single strip sits past the classic
+    ceiling must decode exactly."""
+    import mmap
+
+    arr = np.arange(12, dtype="<f4").reshape(3, 4) * 1.25
+    strip = arr.tobytes()
+    off = 2 ** 32 + 4096
+    entries = [
+        (256, 4, 1, 4), (257, 4, 1, 3), (258, 3, 1, 32),
+        (259, 3, 1, 1), (262, 3, 1, 1), (273, 16, 1, off),
+        (277, 3, 1, 1), (278, 4, 1, 3), (279, 16, 1, len(strip)),
+        (339, 3, 1, 3),
+    ]
+    out = b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+    out += struct.pack("<Q", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHQ", tag, typ, cnt)
+        if typ == 3:
+            out += struct.pack("<H", val).ljust(8, b"\x00")
+        elif typ == 4:
+            out += struct.pack("<I", val).ljust(8, b"\x00")
+        else:
+            out += struct.pack("<Q", val)
+    out += struct.pack("<Q", 0)
+    p = tmp_path / "sparse_bigtiff.tif"
+    with open(p, "wb") as f:
+        f.write(out)
+        f.seek(off)
+        f.write(strip)
+    with open(p, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            got = tiff_pixels(mm)
+        finally:
+            mm.close()
+    np.testing.assert_array_equal(got, arr.astype("f8"))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW_GOLDENS"),
+    reason="allocates a >4 GiB in-memory TIFF; SPARK_GRAFT_SLOW_GOLDENS=1",
+)
+def test_geotiff_writer_bigtiff_auto_over_4gib():
+    """Auto container selection flips to BigTIFF when the payload
+    crosses the classic 4-byte offset ceiling, the resulting offsets
+    really exceed 2^32, the engine's reader decodes them, and forcing
+    bigtiff=False on the oversized payload raises instead of writing
+    wrapped offsets."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    # f4 payload = 5.12 GB: the LAST strip's offset (payload minus one
+    # 512 MB strip) must itself exceed 2^32, not just the file size
+    h, w = 20000, 64000
+    arr = np.zeros((h, w), dtype="f4")
+    arr[0, :5] = [1, 2, 3, 4, 5]
+    arr[-1, -1] = 9.5
+    buf = gb(arr, 1.0, 1.0, 0.0, float(h), compress=False,
+             rows_per_strip=2000)
+    t = parse_tiff(buf)
+    assert t["_bigtiff"]
+    assert max(t[273]) > 2 ** 32
+    px = tiff_pixels(buf)
+    assert px[0, 2] == 3.0 and px[-1, -1] == np.float64(
+        np.float32(9.5))
+    del px, buf
+    with pytest.raises(ValueError, match="bigtiff"):
+        gb(arr, 1.0, 1.0, 0.0, float(h), compress=False,
+           bigtiff=False)
 
 
 def test_geotiff_area_and_pixels():
