@@ -37,6 +37,12 @@ CF grids:
   verify-and-strip checksum) filters in either pipeline
   message version — ``deflate+shuffle`` is netcdf-c's canonical
   compression recipe and fletcher32 its one-flag integrity option,
+- COMPOUND datatypes (class 6, member encodings v1/v2/v3) decode to
+  numpy structured arrays honoring the stored member byte offsets —
+  the calibration/scale side tables real L1B products carry;
+  contiguous or chunked+filtered alike (shuffle strides by the full
+  compound size). Nested compounds and array members stay out of the
+  subset and raise,
 - netCDF4 convention attrs: variable-length STRING attributes (the
   h5py/h5netcdf default for text) resolve through the global heap
   (``GCOL``); ``DIMENSION_LIST`` (a vlen-reference attribute) is
@@ -69,9 +75,20 @@ class _R:
         return int.from_bytes(self.b[off:off + n], "little")
 
 
+# fixed property-block sizes of the scalar classes a COMPOUND member
+# may carry (spec IV.A.2.d): fixed-point = bit offset u2 + precision
+# u2; float = byte offsets/sizes of the sign/exponent/mantissa
+# fields; string = none. Needed to advance past a member's embedded
+# datatype message, whose length is not stored.
+_DT_PROP_LEN = {0: 4, 1: 12, 3: 0}
+
+
 def _parse_datatype(b: bytes):
-    """Datatype message → (numpy dtype | ('str', size)). Classes:
-    0 fixed-point, 1 float, 3 string (fixed)."""
+    """Datatype message → numpy dtype | ('str', size) | ('vlen_str',).
+    Classes: 0 fixed-point, 1 float, 3 string (fixed), 6 compound
+    (→ numpy structured dtype with the members' stored byte offsets —
+    the layout netcdf-c/h5py write for scale/index tables), 9/1
+    vlen-string."""
     cv = b[0]
     cls, ver = cv & 0x0F, cv >> 4
     bits0 = b[1]
@@ -94,9 +111,57 @@ def _parse_datatype(b: bytes):
         # global heap). Vlen SEQUENCES (DIMENSION_LIST object refs)
         # stay out of the subset and raise → caller skips the attr.
         return ("vlen_str",)
+    if cls == 6:  # compound
+        nmem = bits0 | (b[2] << 8)
+        names, formats, offsets = [], [], []
+        p = 8
+        for _ in range(nmem):
+            end = b.index(b"\x00", p)
+            mname = b[p:end].decode("ascii")
+            if ver in (1, 2):  # name null-padded to a multiple of 8
+                p += (end - p) // 8 * 8 + 8
+            else:  # v3: null-terminated, NOT padded
+                p = end + 1
+            if ver == 3:
+                # offset width = H5VM_limit_enc_size(compound size):
+                # floor(log2 size)//8 + 1 (same rule the v2-B-tree
+                # record decoder uses)
+                osz = (max(size, 1).bit_length() - 1) // 8 + 1
+                moff = int.from_bytes(b[p:p + osz], "little")
+                p += osz
+            else:
+                moff = struct.unpack_from("<I", b, p)[0]
+                p += 4
+            if ver == 1:
+                # dimensionality u1 + 3 reserved + dim permutation u4
+                # + 4 reserved + four u4 dim sizes — array members
+                # (rank > 0) are out of the subset
+                if b[p]:
+                    raise NotImplementedError(
+                        "array-valued compound members outside the "
+                        "native subset"
+                    )
+                p += 28
+            mcls = b[p] & 0x0F
+            if mcls not in _DT_PROP_LEN:
+                # covers nested compounds (class 6) and vlen/array
+                # members — their property blocks are variable-length,
+                # so misparsing would silently shift every later member
+                raise NotImplementedError(
+                    f"compound member datatype class {mcls} outside "
+                    "the native subset (fixed-point/float/string)"
+                )
+            mdt = _parse_datatype(b[p:])
+            p += 8 + _DT_PROP_LEN[mcls]
+            names.append(mname)
+            formats.append(
+                f"S{mdt[1]}" if isinstance(mdt, tuple) else mdt)
+            offsets.append(moff)
+        return np.dtype({"names": names, "formats": formats,
+                         "offsets": offsets, "itemsize": size})
     raise NotImplementedError(
         f"HDF5 datatype class {cls} (v{ver}) outside the native subset "
-        "(fixed-point/float/fixed-string/vlen-string)"
+        "(fixed-point/float/fixed-string/compound/vlen-string)"
     )
 
 
@@ -1286,6 +1351,7 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
         dim_scales = {
             n: v for n, v in ds.items()
             if len(v["shape"]) == 1 and v["data"] is not None
+            and v["data"].dtype.names is None  # compound ≠ coordinate
         }
     if variable is None:
         # rank >= 2 with all leading dims size 1: the (time=1, y, x)
@@ -1295,6 +1361,9 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
             if len(v["shape"]) >= 2 and n not in dim_scales
             and all(s == 1 for s in v["shape"][:-2])
             and v["data"] is not None
+            # compound side tables (scale LUTs etc.) parse fine but
+            # are never the grid variable
+            and v["data"].dtype.names is None
         ]
         if not cands:
             raise ValueError(

@@ -42,6 +42,8 @@ def _dt_fixed(np_dtype) -> bytes:
             props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
         else:
             props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    elif dt.names:  # structured → compound (v1 unless built directly)
+        return _dt_compound(dt, ver=1)
     else:
         raise ValueError(dt)
     return bytes([0x10 | cls, bits0, 0, 0]) + struct.pack(
@@ -51,6 +53,38 @@ def _dt_fixed(np_dtype) -> bytes:
 
 def _dt_string(n: int) -> bytes:
     return bytes([0x13, 0, 0, 0]) + struct.pack("<I", n)
+
+
+def _dt_compound(np_dtype, ver=1) -> bytes:
+    """Class-6 COMPOUND datatype message, spec-built forward encoder
+    (IV.A.2.d): v1 pads member names to 8 and carries the 28-byte
+    dimensionality block, v2 drops the block, v3 drops the padding
+    and stores the offset in H5VM_limit_enc_size(compound size)
+    bytes — the three encodings libhdf5 has written over the years."""
+    dt = np.dtype(np_dtype)
+    nmem = len(dt.names)
+    head = bytes([(ver << 4) | 6, nmem & 0xFF, nmem >> 8, 0])
+    head += struct.pack("<I", dt.itemsize)
+    body = b""
+    for name in dt.names:
+        fdt, off = dt.fields[name]
+        nb = name.encode() + b"\x00"
+        if ver in (1, 2):
+            body += nb + b"\x00" * ((8 - len(nb) % 8) % 8)
+        else:
+            body += nb
+        if ver == 3:
+            osz = (max(dt.itemsize, 1).bit_length() - 1) // 8 + 1
+            body += off.to_bytes(osz, "little")
+        else:
+            body += struct.pack("<I", off)
+        if ver == 1:
+            # dimensionality(1) + reserved(3) + permutation(4) +
+            # reserved(4) + four dim sizes(16) = 28 bytes, rank 0
+            body += b"\x00" * 28
+        body += (_dt_string(fdt.itemsize) if fdt.kind == "S"
+                 else _dt_fixed(fdt))
+    return head + body
 
 
 def _ds_simple(shape, maxdims=None) -> bytes:
@@ -134,7 +168,7 @@ def _filter_msg(deflate, shuffle, itemsize, pipeline_v2=False):
 
 
 def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=(),
-               shuffle=False, undef_addr=()):
+               shuffle=False, undef_addr=(), dt_override=None):
     """Minimal conforming HDF5 file: root group (symbol-table message
     → v1 B-tree → one SNOD → local heap) with one dataset per entry.
 
@@ -202,7 +236,8 @@ def hdf5_bytes(datasets, chunk=None, deflate=False, raw_chunk_idx=(),
         arr = np.ascontiguousarray(arr)
         msgs += [
             _msg(0x0001, _ds_simple(arr.shape)),
-            _msg(0x0003, _dt_fixed(arr.dtype)),
+            _msg(0x0003, (dt_override or {}).get(n)
+                 or _dt_fixed(arr.dtype)),
         ]
         if chunk and n in chunk:
             cd = chunk[n]
@@ -398,6 +433,123 @@ def test_integer_dtypes_roundtrip():
     ), "y": (np.array([1.0, 0.0]), {"CLASS": "DIMENSION_SCALE"})})
     ds = parse_hdf5(buf)
     np.testing.assert_array_equal(ds["v"]["data"], arr.astype("i2"))
+
+
+def _scale_table():
+    """A netcdf-c-style compound scale/index table with PADDING: the
+    stored member offsets (0/8/16/20) leave a 2-byte hole after the
+    u2 and 4 trailing bytes — exactly what struct-aligned C writers
+    emit, so offset handling (not just field order) is exercised."""
+    dt = np.dtype({
+        "names": ["band", "scale", "offset", "tag"],
+        "formats": ["<u2", "<f8", "<i4", "S3"],
+        "offsets": [0, 8, 16, 20],
+        "itemsize": 24,
+    })
+    tbl = np.zeros(5, dtype=dt)
+    tbl["band"] = [1, 2, 3, 7, 9]
+    tbl["scale"] = [0.5, 0.25, 1.5, -2.0, 0.125]
+    tbl["offset"] = [-10, 20, 0, 7, -1]
+    tbl["tag"] = [b"VIS", b"IR", b"WV", b"X", b"HRV"]
+    return tbl
+
+
+@pytest.mark.parametrize("ver", [1, 2, 3])
+def test_compound_contiguous_all_versions(ver):
+    """Compound (class 6) datasets decode to numpy structured arrays
+    for all three member encodings libhdf5 has written (v1 padded
+    names + dimensionality block, v2 packed, v3 minimal offsets)."""
+    tbl = _scale_table()
+    buf = hdf5_bytes({"scales": (tbl, {"purpose": "cal"})},
+                     dt_override={"scales": _dt_compound(tbl.dtype,
+                                                         ver=ver)})
+    ds = parse_hdf5(buf)
+    got = ds["scales"]["data"]
+    assert got.dtype.names == ("band", "scale", "offset", "tag")
+    assert ds["scales"]["attrs"]["purpose"] == "cal"
+    for f in tbl.dtype.names:
+        np.testing.assert_array_equal(got[f], tbl[f])
+
+
+def test_compound_big_endian_members():
+    """Mixed-endian members byte-swap to native on read like scalar
+    datasets do."""
+    dt = np.dtype([("a", ">u4"), ("b", ">f8"), ("c", "<i2")])
+    tbl = np.zeros(3, dtype=dt)
+    tbl["a"] = [1, 70000, 2 ** 31]
+    tbl["b"] = [1.5, -2.25, 3e7]
+    tbl["c"] = [-5, 0, 17]
+    buf = hdf5_bytes({"t": (tbl, {})})
+    got = parse_hdf5(buf)["t"]["data"]
+    for f in dt.names:
+        np.testing.assert_array_equal(got[f], tbl[f])
+        assert got.dtype.fields[f][0].byteorder in ("=", "<", "|")
+
+
+def test_compound_chunked_shuffle_deflate():
+    """Chunked compound through the netcdf-c filter recipe: shuffle
+    uses the FULL compound itemsize as its stride, then deflate;
+    edge-partial chunks included (4x3 in 3x2 chunks)."""
+    dt = _scale_table().dtype
+    tbl = np.zeros((4, 3), dtype=dt)
+    tbl["band"] = np.arange(12).reshape(4, 3)
+    tbl["scale"] = np.linspace(-2, 2, 12).reshape(4, 3)
+    tbl["offset"] = (np.arange(12) ** 2 - 7).reshape(4, 3)
+    tbl["tag"][:] = b"ok"
+    buf = hdf5_bytes({"scales": (tbl, {})}, chunk={"scales": (3, 2)},
+                     deflate=True, shuffle=True)
+    got = parse_hdf5(buf)["scales"]["data"]
+    for f in dt.names:
+        np.testing.assert_array_equal(got[f], tbl[f])
+
+
+def test_compound_out_of_subset_guards():
+    """Nested compounds, array-valued members (v1 rank > 0) and
+    members of unsupported classes raise loudly instead of
+    misreading."""
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
+    inner = _dt_compound(np.dtype([("x", "<f4")]), ver=1)
+    nested = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 4)
+              + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
+              + b"\x00" * 28 + inner)
+    with pytest.raises(NotImplementedError,
+                       match="member datatype class 6"):
+        _parse_datatype(nested)
+    arr_member = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 16)
+                  + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
+                  + bytes([2]) + b"\x00" * 27 + _dt_fixed("<f4"))
+    with pytest.raises(NotImplementedError, match="array-valued"):
+        _parse_datatype(arr_member)
+    vlen_member = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 16)
+                   + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
+                   + b"\x00" * 28
+                   + bytes([0x19, 1, 0, 0]) + struct.pack("<I", 16))
+    with pytest.raises(NotImplementedError, match="member datatype"):
+        _parse_datatype(vlen_member)
+
+
+def test_compound_side_table_does_not_hijack_cf_pick():
+    """A CF grid file that ALSO carries a compound side table (the
+    real L1B layout) still picks the numeric grid variable, and the
+    table itself stays readable from the parse."""
+    xs = np.array([10.25 + 0.5 * i for i in range(8)], dtype="<f8")
+    ys = np.array([50.0 - 0.25 * j for j in range(6)], dtype="<f8")
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    tbl2d = np.zeros((2, 3), dtype=[("a", "<f8"), ("b", "<i4")])
+    tbl2d["a"] = np.arange(6).reshape(2, 3)
+    buf = hdf5_bytes({
+        "x": (xs, {"CLASS": "DIMENSION_SCALE", "NAME": "x"}),
+        "y": (ys, {"CLASS": "DIMENSION_SCALE", "NAME": "y"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "t2m": (data, {"grid_mapping": "crs"}),
+        "cal": (tbl2d, {}),
+    })
+    area, var = load_cf_area_h5(buf)
+    assert var == "t2m"
+    assert (area.width, area.height) == (8, 6)
+    np.testing.assert_array_equal(
+        parse_hdf5(buf)["cal"]["data"]["a"], tbl2d["a"])
 
 
 def test_rejects_out_of_subset():
