@@ -208,6 +208,69 @@ def q_geotiff_ingest(spark, sf_dir):
 
 
 @register(
+    "q_compound_calibrate",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           (CAST(((r // 40) * 31 + (r % 40) * 17) % 97 AS DOUBLE)
+            + 0.5) * (0.5 + 0.25 * CAST(r // 320 AS DOUBLE))
+           + CAST(3 * (r // 320) - 1 AS DOUBLE) AS value_cal
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_compound_calibrate(spark, sf_dir):
+    """Calibration via an HDF5 COMPOUND side table (the L1B pattern:
+    per-band scale/offset rows in a class-6 structured dataset —
+    reference reads such products via utils/cf.py:413 + netCDF4):
+    granule pixels land through the shared distributed binaryFile +
+    mapInPandas ingest, the compound ``cal`` table (band u2 / scale
+    f8 / offset i4 / tag S2 at C-aligned PADDED offsets) is decoded
+    from ONE granule driver-side — per-product calibration metadata
+    is tiny and identical across granules, so one bounded read feeds
+    a BROADCAST dim table, never a per-file re-parse — and the
+    calibrated product is a map-side broadcast-hash join:
+    value·scale[band] + offset[band]. Scales are quarters and
+    offsets integers over half-integer values ≤ 96.5, so every
+    calibrated value is exact in float64 and the oracle regenerates
+    the formula."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import (
+        demo_compound_hdf5_granule_dir,
+        parse_hdf5,
+    )
+
+    d = demo_compound_hdf5_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    first = sorted(
+        n for n in os.listdir(d) if n.endswith(".nc"))[0]
+    with open(os.path.join(d, first), "rb") as f:
+        cal = parse_hdf5(f.read())["cal"]["data"]
+    dim = spark.createDataFrame(
+        [(int(b), float(s), int(o))
+         for b, s, o in zip(cal["band"], cal["scale"], cal["offset"])],
+        "band long, scale double, cal_offset long",
+    )
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return (
+        px.withColumn("band", band)
+        .join(F.broadcast(dim), "band")
+        .select(
+            (F.col("band") * GRANULE_ROWS + F.col("row")).alias("row"),
+            "col",
+            (F.col("value") * F.col("scale")
+             + F.col("cal_offset")).alias("value_cal"),
+        )
+    )
+
+
+@register(
     "q_multiband_ingest",
     oracle="""
     SELECT CAST(ch.range AS BIGINT) AS channel,

@@ -1501,6 +1501,21 @@ def _w_pad8(b: bytes) -> bytes:
 
 def _w_dtype(dt: np.dtype) -> bytes:
     dt = np.dtype(dt)
+    if dt.names:  # structured → COMPOUND class 6 version 3 (the
+        # member encoding libhdf5 ≥1.8 writes: unpadded names,
+        # minimal-width offsets)
+        nmem = len(dt.names)
+        out = bytes([0x36, nmem & 0xFF, nmem >> 8, 0])
+        out += struct.pack("<I", dt.itemsize)
+        osz = (max(dt.itemsize, 1).bit_length() - 1) // 8 + 1
+        for name in dt.names:
+            fdt, off = dt.fields[name]
+            out += name.encode() + b"\x00"
+            out += off.to_bytes(osz, "little")
+            out += _w_dtype(fdt)
+        return out
+    if dt.kind == "S":  # fixed string (compound member tags)
+        return bytes([0x13, 0, 0, 0]) + struct.pack("<I", dt.itemsize)
     if dt.kind in "iu":
         cls, bits0 = 0, (0x08 if dt.kind == "i" else 0x00)
         props = struct.pack("<HH", 0, dt.itemsize * 8)
@@ -2066,6 +2081,80 @@ def demo_hdf5_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_granules_v2_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+CAL_DTYPE = np.dtype({
+    # C-aligned layout WITH padding (2-byte hole after the u2, 2
+    # trailing bytes): offset handling must be exercised, not just
+    # field order
+    "names": ["band", "scale", "offset", "tag"],
+    "formats": ["<u2", "<f8", "<i4", "S2"],
+    "offsets": [0, 8, 16, 20],
+    "itemsize": 24,
+})
+
+
+def demo_cal_table() -> np.ndarray:
+    """The deterministic per-band calibration table every compound
+    granule carries: scale = 0.5 + 0.25·band, offset = 3·band − 1 —
+    quarter/integer values, so calibrated products are exact in
+    float64 and the DuckDB oracle can regenerate them."""
+    from pyresample_spark.sources.binary_raster import GRANULE_BANDS
+
+    tbl = np.zeros(GRANULE_BANDS, dtype=CAL_DTYPE)
+    tbl["band"] = np.arange(GRANULE_BANDS)
+    tbl["scale"] = 0.5 + 0.25 * np.arange(GRANULE_BANDS)
+    tbl["offset"] = 3 * np.arange(GRANULE_BANDS) - 1
+    tbl["tag"][:] = b"ok"
+    return tbl
+
+
+def demo_compound_hdf5_granule_dir() -> str:
+    """demo_hdf5_granule_dir plus a COMPOUND calibration side table
+    (``cal``: band u2 / scale f8 / offset i4 / tag S2 at C-aligned
+    padded offsets — the scale/index tables real L1B products carry)
+    in every granule, for the driver-gated q_compound_calibrate."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    cal = demo_cal_table()
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 31 + cols * 17) % 97 + 0.5).astype("<f8")
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                    "cal": (cal, {"purpose": "calibration"}),
+                },
+                chunks=None if band == 0 else {"band": (5, 16)},
+                deflate=band != 0,
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_cal_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
