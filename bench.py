@@ -16,6 +16,12 @@ process's own just-finished work via a settle sleep) is retried up to
 twice after a backoff; if the machine never quiets, the rep runs anyway
 and its starting load1 is recorded in `rep_load1` so the judge can see
 which numbers absorbed external noise instead of re-deriving it.
+
+Mid-run noise repair (VERDICT r10 item 5): when the median rep total
+sits >25% above the best rep — i.e. external load poisoned the median
+itself, the BENCH_r10 failure shape — up to
+$SPARK_GRAFT_BENCH_EXTRA_REPS (default 2) extra reps run so quiet reps
+reclaim the median; `extra_reps` in the JSON records how many fired.
 """
 
 from __future__ import annotations
@@ -129,20 +135,48 @@ def main():
 
     rep_load1 = []
     samples = {name: [] for name in HEADLINE}
-    for _ in range(reps):
+    rep_totals = []
+
+    def run_rep():
         l1 = load1_now()
         rep_load1.append(round(l1, 2) if l1 is not None else None)
+        tot = 0.0
         for name in HEADLINE:
             spec = registry[name]
             t0 = time.time()
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.time() - t0)
+            dt = time.time() - t0
+            samples[name].append(dt)
+            tot += dt
+        rep_totals.append(tot)
 
     def median(xs):
         s = sorted(xs)
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    for _ in range(reps):
+        run_rep()
+    # Noise-adaptive extra reps (VERDICT r10 item 5, "re-gate
+    # mid-run"): a mid-run LOAD gate can't distinguish this process's
+    # own just-finished 32-thread burst from external noise, but rep
+    # totals can — an externally-loaded rep inflates uniformly. While
+    # the median rep total still sits >25% above the best rep (the
+    # median is poisoned: half the reps absorbed noise), run bounded
+    # extra reps so quiet reps win the median. BENCH_r10's 24.15 s
+    # artifact (2 of 3 reps under load1 4+) is exactly the shape this
+    # repairs.
+    extra_budget = int(
+        os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
+    extra = 0
+    while (
+        extra < extra_budget
+        and len(rep_totals) >= 2
+        and median(rep_totals) > 1.25 * min(rep_totals)
+    ):
+        run_rep()
+        extra += 1
 
     times = {name: round(median(v), 3) for name, v in samples.items()}
     total = round(sum(times.values()), 3)
@@ -167,6 +201,7 @@ def main():
                 "load1": load1,
                 "rep_load1": rep_load1,
                 "gate_waits": gate_waits,
+                "extra_reps": extra,
             }
         )
     )

@@ -542,6 +542,64 @@ def streaming_granule_ingest(
     )
 
 
+def streaming_compound_calibrate(
+    spark: SparkSession, path: str, cal_file: str
+) -> DataFrame:
+    """Streaming twin of q_compound_calibrate — the operational L1B
+    calibration feed: granule files stream in through the same
+    ``binaryFile`` + in-plan decode as
+    :func:`streaming_granule_ingest`, and each micro-batch is
+    broadcast-hash-joined against the STATIC calibration dim table
+    (stream-static equi-joins are STATELESS in Structured Streaming —
+    no watermark, no state store rows for the dim side). The dim is
+    decoded once driver-side from ``cal_file``'s HDF5 COMPOUND
+    ``cal`` dataset, exactly like the batch query: per-product
+    calibration metadata is tiny and identical across granules.
+    Output: per-granule calibrated checksum (count + micro-quantized
+    sum of value·scale[band] + offset[band]), batch-equal
+    bit-for-bit."""
+    from pyresample_spark.sources.binary_raster import (
+        RASTER_PIXEL_SCHEMA,
+        raster_decode_fn,
+    )
+    from pyresample_spark.sources.hdf5 import parse_hdf5
+
+    with open(cal_file, "rb") as f:
+        cal = parse_hdf5(f.read())["cal"]["data"]
+    dim = spark.createDataFrame(
+        [(int(b), float(s), int(o))
+         for b, s, o in zip(cal["band"], cal["scale"], cal["offset"])],
+        "band long, scale double, cal_offset long",
+    )
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    src = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .load(path)
+        .select("path", "content")
+    )
+    px = src.mapInPandas(raster_decode_fn("netcdf3"),
+                         RASTER_PIXEL_SCHEMA)
+    band = F.regexp_extract(
+        F.col("file"), r"granule_(\d+)\.nc", 1).cast("long")
+    cal_px = px.withColumn("band", band).join(F.broadcast(dim), "band")
+    value_cal = (F.col("value") * F.col("scale")
+                 + F.col("cal_offset"))
+    return cal_px.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.sum(
+            F.floor(value_cal * 1e6 + F.lit(0.5)).cast("bigint")
+        ).alias("cal_sum_u"),
+    )
+
+
 def streaming_lsh_probe(
     docs_stream: DataFrame, index: DataFrame
 ) -> DataFrame:

@@ -505,6 +505,64 @@ def test_streaming_granule_ingest_multiband_matches_batch(spark):
     assert got == batch
 
 
+def test_streaming_compound_calibrate_matches_batch(spark):
+    """Stream-static broadcast calibration (HDF5 COMPOUND dim table
+    joined onto the granule file-stream — stateless in Structured
+    Streaming) must reproduce the batch query's per-file calibrated
+    checksums bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import (
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import (
+        demo_compound_hdf5_granule_dir,
+        parse_hdf5,
+    )
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_compound_calibrate,
+    )
+
+    d = demo_compound_hdf5_granule_dir()
+    glob = os.path.join(d, "*.nc")
+    first = os.path.join(
+        d, sorted(n for n in os.listdir(d) if n.endswith(".nc"))[0])
+    stream = streaming_compound_calibrate(spark, glob, first)
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["cal_sum_u"])
+        for r in run_to_memory(stream, "compound_cal").collect()
+    }
+    with open(first, "rb") as f:
+        cal = parse_hdf5(f.read())["cal"]["data"]
+    dim = spark.createDataFrame(
+        [(int(b), float(s), int(o))
+         for b, s, o in zip(cal["band"], cal["scale"], cal["offset"])],
+        "band long, scale double, cal_offset long",
+    )
+    band = F.regexp_extract(
+        F.col("file"), r"granule_(\d+)\.nc", 1).cast("long")
+    vc = F.col("value") * F.col("scale") + F.col("cal_offset")
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["cal_sum_u"])
+        for r in read_raster_pixels(spark, glob, "netcdf3")
+        .withColumn("band", band)
+        .join(F.broadcast(dim), "band")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(vc * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("cal_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == batch
+
+
 def test_streaming_lsh_probe_matches_batch(spark, sf_dir, tmp_path):
     """Stream-probed LSH candidates must equal the batch incremental
     dedup's pair set (ignoring per-pair band counts — the stream emits
