@@ -52,6 +52,19 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 chunk_index="fixed_array" if fmt == "hdf5_fa"
                 else "btree1",
             )
+        elif fmt in ("tiff_pred3", "tiff_plain"):
+            # float32 DEFLATE, with/without floating-point predictor 3
+            # — the byte-plane transform adds a per-row numpy pass on
+            # decode; measure what it costs against plain DEFLATE
+            from pyresample_spark.sources.binary_raster import (
+                geotiff_bytes,
+            )
+
+            buf = geotiff_bytes(
+                data.astype("f4"), 1.0, 1.0, 0.0, float(-i * H),
+                compress=True,
+                predictor=3 if fmt == "tiff_pred3" else 1,
+            )
         elif fmt in ("mbtiff", "mbtiff_planar"):
             # multiband (SamplesPerPixel=3) float32 DEFLATE GeoTIFF,
             # chunky or planar interleave — the geotiff_multiband
@@ -77,7 +90,9 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                     ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
                 ],
             )
-        ext = "tif" if fmt in ("mbtiff", "mbtiff_planar") else "nc"
+        ext = ("tif" if fmt in ("mbtiff", "mbtiff_planar", "tiff_pred3",
+                                "tiff_plain")
+               else "nc")
         with open(os.path.join(d, f"g{i:04d}.{ext}"), "wb") as f:
             f.write(buf)
     return d
@@ -94,13 +109,15 @@ def main():
     spark.range(10).count()
     fmt = os.environ.get("SPARK_GRAFT_PROBE_FMT", "nc3")
     multi = fmt in ("mbtiff", "mbtiff_planar")
-    ingest_fmt = "geotiff_multiband" if multi else "netcdf3"
+    tiff1 = fmt in ("tiff_pred3", "tiff_plain")
+    ingest_fmt = ("geotiff_multiband" if multi
+                  else "geotiff" if tiff1 else "netcdf3")
     px_per_file = (3 if multi else 1) * H * W
-    bytes_per_px = 4 if multi else 8
+    bytes_per_px = 4 if (multi or tiff1) else 8
     for n in ns:
         d = make_granules(n, fmt)
         try:
-            glob_pat = "*.tif" if multi else "*.nc"
+            glob_pat = "*.tif" if (multi or tiff1) else "*.nc"
             px = read_raster_pixels(spark, os.path.join(d, glob_pat),
                                     ingest_fmt)
             agg = px.groupBy("file").agg(
