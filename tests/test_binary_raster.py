@@ -2055,6 +2055,42 @@ def test_bigtiff_roundtrip_property(h, w, seed, endian, comp, strip):
     np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+    dtc=st.sampled_from(["u2", "i4", "f4", "f8"]),
+    strip=st.integers(1, 5),
+    compress=st.booleans(),
+    pred3=st.booleans(),
+)
+def test_bigtiff_writer_roundtrip_property(h, w, seed, dtc, strip,
+                                           compress, pred3):
+    """WRITER-side BigTIFF twin of the reader property test: the
+    package writer forced into the magic-43 container round-trips
+    arbitrary dtypes / strip splits / compression / predictor-3
+    through the engine's own reader."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    rng = np.random.RandomState(seed)
+    if dtc[0] == "f":
+        arr = rng.uniform(-1e5, 1e5, size=(h, w)).astype(dtc)
+    else:
+        info = np.iinfo(dtc)
+        arr = rng.randint(info.min, info.max, size=(h, w)).astype(dtc)
+    if pred3 and dtc[0] != "f":
+        return  # guard covered in test_geotiff_writer_predictor3_roundtrip
+    buf = gb(arr, 1.0, 1.0, 0.0, float(h), compress=compress,
+             rows_per_strip=strip, bigtiff=True,
+             predictor=3 if pred3 else 1)
+    t = parse_tiff(buf)
+    assert t["_bigtiff"]
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
 @settings(max_examples=40, deadline=None)
 @given(data=st.binary(min_size=0, max_size=3000))
 def test_lzw_roundtrip_property(data):
