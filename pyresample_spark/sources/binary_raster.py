@@ -23,15 +23,20 @@ engine. 100 TB of granules = a directory listing + this one scan; no
 driver-side file loop.
 
 Format scope (documented, checked, errors are loud):
-- NetCDF: magic CDF-1 / CDF-2, fixed-size variables (no unlimited-dim
-  record data), types byte/char/short/int/float/double.
-- TIFF: first-IFD classic AND BigTIFF containers; strip or tile
+- NetCDF: magic CDF-1 / CDF-2 / CDF-5 (netcdf-c's NC_64BIT_DATA:
+  8-byte counts/sizes and the unsigned/64-bit integer types 7-11 —
+  the container large aggregations ship in), fixed-size variables
+  (no unlimited-dim record data).
+- TIFF: first-IFD classic AND BigTIFF containers (read and, above
+  the classic 4-byte offset ceiling, written); strip or tile
   organization; uncompressed, DEFLATE (zlib) or LZW strips/tiles with
-  optional horizontal predictor on integer samples; one sample per
-  pixel, 16/32-bit integer or 32/64-bit float samples, little- or
-  big-endian, axis-aligned georeferencing (pixel-scale + tiepoint —
-  rotated ModelTransformationTag rejected like utils/rasterio.py).
-  JPEG compression and unmapped EPSG codes fall back to rasterio.
+  optional horizontal predictor on integer samples and the
+  floating-point predictor 3 on float samples; one or multiple
+  samples per pixel (chunky/planar), 16/32-bit integer or 32/64-bit
+  float samples, little- or big-endian, axis-aligned georeferencing
+  (pixel-scale + tiepoint — rotated ModelTransformationTag rejected
+  like utils/rasterio.py). JPEG compression and unmapped EPSG codes
+  fall back to rasterio.
 """
 
 from __future__ import annotations
@@ -47,10 +52,16 @@ from pyresample_spark.sources.cf_raster import (
 )
 
 # ---------------------------------------------------------------------------
-# NetCDF3 classic parser (public spec: the CDF-1 header grammar)
+# NetCDF3 classic parser (public spec: the CDF-1 header grammar;
+# CDF-2 widens `begin`, CDF-5 — netcdf-c's NC_64BIT_DATA / pnetcdf —
+# widens every count/size field to 8 bytes and adds the unsigned/
+# 64-bit integer types 7-11. Tags, dimids and the 4-byte padding
+# rule stay as in classic.)
 
-_NC_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
-_NC_NP = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
+_NC_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8,
+             7: 1, 8: 2, 9: 4, 10: 8, 11: 8}
+_NC_NP = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8",
+          7: ">u1", 8: ">u2", 9: ">u4", 10: ">i8", 11: ">u8"}
 _ABSENT = 0
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
@@ -58,9 +69,10 @@ _NC_ATTRIBUTE = 0x0C
 
 
 class _Cur:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, wide: bool = False):
         self.b = buf
         self.o = 0
+        self.wide = wide  # CDF-5: counts/sizes are 8-byte
 
     def u32(self) -> int:
         (v,) = struct.unpack_from(">I", self.b, self.o)
@@ -72,8 +84,11 @@ class _Cur:
         self.o += 8
         return v
 
+    def count(self) -> int:
+        return self.u64() if self.wide else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.count()
         s = self.b[self.o:self.o + n].decode("utf-8")
         self.o += (n + 3) // 4 * 4  # names pad to 4-byte boundary
         return s
@@ -93,16 +108,16 @@ def parse_netcdf3(buf: bytes) -> dict:
     Returns {dims: [(name, len)], gattrs: {}, vars: {name: {dims,
     attrs, nc_type, begin, shape}}} — data is NOT copied; use
     :func:`nc_var_data` to materialize a variable."""
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
-        raise ValueError("not a classic NetCDF (CDF-1/CDF-2) file")
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
+        raise ValueError("not a classic NetCDF (CDF-1/CDF-2/CDF-5) file")
     version = buf[3]
-    cur = _Cur(buf)
+    cur = _Cur(buf, wide=version == 5)
     cur.o = 4
-    cur.u32()  # numrecs (STREAMING allowed; record vars unsupported)
+    cur.count()  # numrecs (STREAMING allowed; record vars unsupported)
 
     def tagged_count(expect):
         tag = cur.u32()
-        n = cur.u32()
+        n = cur.count()
         if tag == _ABSENT and n == 0:
             return 0
         if tag != expect:
@@ -112,14 +127,14 @@ def parse_netcdf3(buf: bytes) -> dict:
     dims = []
     for _ in range(tagged_count(_NC_DIMENSION)):
         nm = cur.name()
-        dims.append((nm, cur.u32()))
+        dims.append((nm, cur.count()))
 
     def attr_block():
         out = {}
         for _ in range(tagged_count(_NC_ATTRIBUTE)):
             nm = cur.name()
             t = cur.u32()
-            n = cur.u32()
+            n = cur.count()
             out[nm] = cur.values(t, n)
         return out
 
@@ -127,12 +142,12 @@ def parse_netcdf3(buf: bytes) -> dict:
     vars: dict = {}
     for _ in range(tagged_count(_NC_VARIABLE)):
         nm = cur.name()
-        ndims = cur.u32()
-        dimids = [cur.u32() for _ in range(ndims)]
+        ndims = cur.count()
+        dimids = [cur.u32() for _ in range(ndims)]  # dimids stay 4-byte
         vattrs = attr_block()
         nc_type = cur.u32()
-        cur.u32()  # vsize (may be rounded; recomputed from shape)
-        begin = cur.u64() if version == 2 else cur.u32()
+        cur.count()  # vsize (may be rounded; recomputed from shape)
+        begin = cur.u64() if version in (2, 5) else cur.u32()
         # classic NetCDF stores the UNLIMITED dimension with size 0 in
         # the header (true length lives in numrecs) and interleaves
         # record variables' data — a layout this fixed-offset reader
@@ -764,33 +779,51 @@ def _w_pad4(b: bytes) -> bytes:
     return b + b"\x00" * ((4 - len(b) % 4) % 4)
 
 
-def _w_name(s: str) -> bytes:
+def _w_count(n: int, wide: bool) -> bytes:
+    return struct.pack(">Q" if wide else ">I", n)
+
+
+def _w_name(s: str, wide: bool = False) -> bytes:
     b = s.encode()
-    return struct.pack(">I", len(b)) + _w_pad4(b)
+    return _w_count(len(b), wide) + _w_pad4(b)
 
 
-def _w_attrs(d: dict) -> bytes:
+def _w_attrs(d: dict, wide: bool = False) -> bytes:
     if not d:
-        return struct.pack(">II", _ABSENT, 0)
-    out = struct.pack(">II", _NC_ATTRIBUTE, len(d))
+        return struct.pack(">I", _ABSENT) + _w_count(0, wide)
+    out = struct.pack(">I", _NC_ATTRIBUTE) + _w_count(len(d), wide)
     for k, v in d.items():
-        out += _w_name(k)
+        out += _w_name(k, wide)
         if isinstance(v, str):
             vb = v.encode()
-            out += struct.pack(">II", 2, len(vb)) + _w_pad4(vb)
+            out += struct.pack(">I", 2) + _w_count(len(vb), wide)
+            out += _w_pad4(vb)
         else:
             vals = list(v) if isinstance(v, (list, tuple)) else [v]
-            out += struct.pack(">II", 6, len(vals))
+            out += struct.pack(">I", 6) + _w_count(len(vals), wide)
             out += struct.pack(">" + "d" * len(vals), *map(float, vals))
     return out
 
 
-def netcdf3_bytes(dims, variables, gattrs=None) -> bytes:
-    """Serialize a classic (CDF-1) NetCDF file.
+# numpy (kind, itemsize) → nc_type; types 7-11 are CDF-5-only
+_NC_TYPE_OF = {
+    ("f", 8): 6, ("f", 4): 5, ("i", 4): 4, ("i", 2): 3, ("i", 1): 1,
+    ("u", 1): 7, ("u", 2): 8, ("u", 4): 9, ("i", 8): 10, ("u", 8): 11,
+}
+
+
+def netcdf3_bytes(dims, variables, gattrs=None, version: int = 1) -> bytes:
+    """Serialize a classic NetCDF file: ``version=1`` → CDF-1,
+    ``version=5`` → CDF-5 (netcdf-c's ``NC_64BIT_DATA``: every
+    count/size field widens to 8 bytes, unsigned/64-bit integer
+    types become legal — the container large aggregations ship in).
 
     ``dims``: [(name, size)]; ``variables``: [(name, dim_names, attrs,
     numpy array | None)] — None writes a scalar int 0 (the CF
-    grid-mapping container-variable idiom). Doubles/int32/int16 only."""
+    grid-mapping container-variable idiom)."""
+    if version not in (1, 5):
+        raise ValueError(f"version must be 1 or 5, got {version}")
+    wide = version == 5
     dimidx = {n: i for i, (n, _) in enumerate(dims)}
     blobs, metas = [], []
     for name, dimnames, attrs, arr in variables:
@@ -799,27 +832,35 @@ def netcdf3_bytes(dims, variables, gattrs=None) -> bytes:
         else:
             arr = np.ascontiguousarray(arr)
             kind = arr.dtype.kind, arr.dtype.itemsize
-            nc_type = {("f", 8): 6, ("i", 4): 4, ("i", 2): 3}.get(kind)
+            nc_type = _NC_TYPE_OF.get(kind)
             if nc_type is None:
                 raise ValueError(f"unsupported dtype {arr.dtype}")
+            if nc_type >= 7 and not wide:
+                raise ValueError(
+                    f"dtype {arr.dtype} needs a CDF-5 type code; pass "
+                    "version=5 (classic CDF-1 stops at double)"
+                )
             data = arr.astype(arr.dtype.newbyteorder(">")).tobytes()
         blobs.append(_w_pad4(data))
         metas.append((name, [dimidx[d] for d in dimnames], attrs, nc_type))
 
     def header(begins):
-        out = b"CDF\x01" + struct.pack(">I", 0)
-        out += struct.pack(">II", _NC_DIMENSION, len(dims))
+        out = b"CDF" + bytes([version]) + _w_count(0, wide)  # numrecs
+        out += struct.pack(">I", _NC_DIMENSION) + _w_count(len(dims), wide)
         for n, sz in dims:
-            out += _w_name(n) + struct.pack(">I", sz)
-        out += _w_attrs(gattrs or {})
-        out += struct.pack(">II", _NC_VARIABLE, len(metas))
+            out += _w_name(n, wide) + _w_count(sz, wide)
+        out += _w_attrs(gattrs or {}, wide)
+        out += struct.pack(">I", _NC_VARIABLE) + _w_count(len(metas), wide)
         for (name, dimids, attrs, nc_type), blob, bg in zip(
             metas, blobs, begins
         ):
-            out += _w_name(name) + struct.pack(">I", len(dimids))
+            out += _w_name(name, wide) + _w_count(len(dimids), wide)
+            # dimids stay 4-byte in every version
             out += struct.pack(">" + "I" * len(dimids), *dimids)
-            out += _w_attrs(attrs)
-            out += struct.pack(">III", nc_type, len(blob), bg)
+            out += _w_attrs(attrs, wide)
+            out += struct.pack(">I", nc_type)
+            out += _w_count(len(blob), wide)  # vsize
+            out += _w_count(bg, True) if wide else struct.pack(">I", bg)
         return out
 
     hlen = len(header([0] * len(metas)))

@@ -4,7 +4,7 @@ CF-NetCDF grid mappings and GeoTIFF transforms → AreaDefinition.
 Reference parity: load_cf_area (utils/cf.py:413),
 get_area_def_from_raster (utils/rasterio.py:77).
 
-Classic NetCDF (CDF-1/CDF-2) and baseline GeoTIFF parse NATIVELY via
+Classic NetCDF (CDF-1/CDF-2/CDF-5) and baseline GeoTIFF parse NATIVELY via
 the pure-python readers in :mod:`binary_raster` — no IO library
 needed; only NetCDF4/HDF5 and exotic TIFF variants fall back to the
 import-gated xarray/rasterio paths. The extent/transform math lives in
@@ -76,7 +76,7 @@ def load_cf_area(path: str, variable: str | None = None):
     """Read a CF-compliant NetCDF grid mapping → AreaDefinition
     (load_cf_area, utils/cf.py:413).
 
-    Classic NetCDF (CDF-1/CDF-2) and netCDF4-classic-model HDF5 files
+    Classic NetCDF (CDF-1/CDF-2/CDF-5) and netCDF4-classic-model HDF5 files
     (superblock v0, v1 headers, contiguous/chunked+deflate layouts —
     the netcdf-c defaults) parse with the built-in pure-python readers
     (sources/binary_raster.py, sources/hdf5.py) — no IO library

@@ -32,23 +32,28 @@ def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * ((4 - len(b) % 4) % 4)
 
 
-def _ncname(s: str) -> bytes:
+def _nccnt(n: int, wide: bool) -> bytes:
+    # CDF-5 widens every count/size field to 8 bytes
+    return struct.pack(">Q" if wide else ">I", n)
+
+
+def _ncname(s: str, wide: bool = False) -> bytes:
     b = s.encode()
-    return struct.pack(">I", len(b)) + _pad4(b)
+    return _nccnt(len(b), wide) + _pad4(b)
 
 
-def _ncattrs(d: dict) -> bytes:
+def _ncattrs(d: dict, wide: bool = False) -> bytes:
     if not d:
-        return struct.pack(">II", 0, 0)
-    out = struct.pack(">II", 0x0C, len(d))
+        return struct.pack(">I", 0) + _nccnt(0, wide)
+    out = struct.pack(">I", 0x0C) + _nccnt(len(d), wide)
     for k, v in d.items():
-        out += _ncname(k)
+        out += _ncname(k, wide)
         if isinstance(v, str):
             vb = v.encode()
-            out += struct.pack(">II", 2, len(vb)) + _pad4(vb)
+            out += struct.pack(">I", 2) + _nccnt(len(vb), wide) + _pad4(vb)
         else:
             vals = list(v) if isinstance(v, (list, tuple)) else [v]
-            out += struct.pack(">II", 6, len(vals))
+            out += struct.pack(">I", 6) + _nccnt(len(vals), wide)
             out += struct.pack(">" + "d" * len(vals), *map(float, vals))
     return out
 
@@ -58,7 +63,10 @@ def nc3_bytes(dims, variables, gattrs=None, version=1):
     np_array | None)] — None data writes a scalar int 0 (grid-mapping
     container variable)."""
     dimidx = {n: i for i, (n, _) in enumerate(dims)}
-    typ = {np.dtype(">f8"): 6, np.dtype(">i4"): 4, np.dtype(">i2"): 3}
+    wide = version == 5
+    typ = {np.dtype(">f8"): 6, np.dtype(">i4"): 4, np.dtype(">i2"): 3,
+           np.dtype(">f4"): 5, np.dtype(">u1"): 7, np.dtype(">u2"): 8,
+           np.dtype(">u4"): 9, np.dtype(">i8"): 10, np.dtype(">u8"): 11}
     blobs, metas = [], []
     for name, dimnames, attrs, arr in variables:
         if arr is None:
@@ -71,20 +79,20 @@ def nc3_bytes(dims, variables, gattrs=None, version=1):
         metas.append((name, [dimidx[d] for d in dimnames], attrs, nc_type))
 
     def header(begins):
-        out = b"CDF" + bytes([version]) + struct.pack(">I", 0)
-        out += struct.pack(">II", 0x0A, len(dims))
+        out = b"CDF" + bytes([version]) + _nccnt(0, wide)
+        out += struct.pack(">I", 0x0A) + _nccnt(len(dims), wide)
         for n, sz in dims:
-            out += _ncname(n) + struct.pack(">I", sz)
-        out += _ncattrs(gattrs or {})
-        out += struct.pack(">II", 0x0B, len(metas))
+            out += _ncname(n, wide) + _nccnt(sz, wide)
+        out += _ncattrs(gattrs or {}, wide)
+        out += struct.pack(">I", 0x0B) + _nccnt(len(metas), wide)
         for (name, dimids, attrs, nc_type), blob, bg in zip(
             metas, blobs, begins
         ):
-            out += _ncname(name) + struct.pack(">I", len(dimids))
+            out += _ncname(name, wide) + _nccnt(len(dimids), wide)
             out += struct.pack(">" + "I" * len(dimids), *dimids)
-            out += _ncattrs(attrs)
-            out += struct.pack(">II", nc_type, len(blob))
-            out += struct.pack(">Q" if version == 2 else ">I", bg)
+            out += _ncattrs(attrs, wide)
+            out += struct.pack(">I", nc_type) + _nccnt(len(blob), wide)
+            out += struct.pack(">Q" if version in (2, 5) else ">I", bg)
         return out
 
     hlen = len(header([0] * len(metas)))
@@ -116,7 +124,7 @@ def _demo_nc(version=1):
     )
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 5])
 def test_netcdf3_parse_roundtrip(version):
     buf = _demo_nc(version)
     nc = parse_netcdf3(buf)
@@ -149,6 +157,62 @@ def test_load_cf_area_path_dispatch(tmp_path):
 def test_netcdf3_rejects_non_cdf():
     with pytest.raises(ValueError, match="classic NetCDF"):
         parse_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_cdf5_new_integer_types():
+    """CDF-5's unsigned/64-bit types (7-11) decode exactly, including
+    values outside classic int ranges."""
+    arrs = {
+        "a_u1": np.array([[0, 255]], dtype=">u1"),
+        "a_u2": np.array([[0, 65535]], dtype=">u2"),
+        "a_u4": np.array([[1, 2 ** 32 - 1]], dtype=">u4"),
+        "a_i8": np.array([[-2 ** 62, 2 ** 62]], dtype=">i8"),
+        "a_u8": np.array([[7, 2 ** 63 + 11]], dtype=">u8"),
+    }
+    buf = nc3_bytes(
+        [("y", 1), ("x", 2)],
+        [(n, ["y", "x"], {}, a) for n, a in sorted(arrs.items())],
+        version=5,
+    )
+    nc = parse_netcdf3(buf)
+    for n, a in arrs.items():
+        got = nc_var_data(buf, nc["vars"][n])
+        np.testing.assert_array_equal(got, a)
+        assert got.dtype == a.dtype
+
+
+def test_cdf5_package_writer_roundtrip():
+    """The package writer's version=5 output parses back through
+    parse_netcdf3/load_cf_area_nc3 (writer and test builder are
+    independent encoders), and CDF-5-only dtypes are guarded in
+    classic mode."""
+    from pyresample_spark.sources.binary_raster import netcdf3_bytes
+
+    xs = np.array([10.25 + 0.5 * i for i in range(8)])
+    ys = np.array([50.0 - 0.25 * j for j in range(6)])
+    data = np.arange(48, dtype="i8").reshape(6, 8) * 3 - 5
+    buf = netcdf3_bytes(
+        [("y", 6), ("x", 8)],
+        [
+            ("x", ["x"], {}, xs),
+            ("y", ["y"], {}, ys),
+            ("crs", [], {"proj4": "eqc"}, None),
+            ("band", ["y", "x"], {"grid_mapping": "crs"}, data),
+        ],
+        version=5,
+    )
+    assert buf[:4] == b"CDF\x05"
+    nc = parse_netcdf3(buf)
+    np.testing.assert_array_equal(
+        nc_var_data(buf, nc["vars"]["band"]), data)
+    area, var = load_cf_area_nc3(buf)
+    assert var == "band" and (area.width, area.height) == (8, 6)
+    with pytest.raises(ValueError, match="CDF-5"):
+        netcdf3_bytes([("x", 2)],
+                      [("v", ["x"], {}, np.array([1, 2], dtype="u8"))],
+                      version=1)
+    with pytest.raises(ValueError, match="version must be"):
+        netcdf3_bytes([], [], version=2)
 
 
 # --- GeoTIFF writer (test-side) ---
@@ -1780,11 +1844,11 @@ from hypothesis import given, settings, strategies as st
     h=st.integers(1, 7),
     w=st.integers(2, 9),
     seed=st.integers(0, 2**31 - 1),
-    version=st.sampled_from([1, 2]),
+    version=st.sampled_from([1, 2, 5]),
 )
 def test_netcdf3_roundtrip_property(h, w, seed, version):
     """Any small grid with arbitrary finite doubles round-trips
-    through the spec-built writer → package reader, both CDF versions."""
+    through the spec-built writer → package reader, all three CDF versions."""
     rng = np.random.RandomState(seed)
     data = rng.uniform(-1e12, 1e12, size=(h, w)).astype(">f8")
     xs = np.cumsum(rng.uniform(0.1, 5.0, size=w)).astype(">f8")

@@ -562,8 +562,9 @@ def test_rejects_out_of_subset():
 
 
 def test_granule_ingest_mixed_nc3_and_hdf5(spark, tmp_path):
-    """The distributed 'netcdf3' ingest path detects HDF5 magic per
-    file, so a granule directory can mix classic and netCDF4 files."""
+    """The distributed 'netcdf3' ingest path detects the container per
+    file, so a granule directory can mix classic CDF-1, 64-bit-data
+    CDF-5 and netCDF4/HDF5 files."""
     import os
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -571,11 +572,12 @@ def test_granule_ingest_mixed_nc3_and_hdf5(spark, tmp_path):
     from pyresample_spark.sources.binary_raster import read_raster_pixels
 
     (tmp_path / "classic.nc").write_bytes(_demo_nc())
+    (tmp_path / "cdf5.nc").write_bytes(_demo_nc(version=5))
     (tmp_path / "modern.nc").write_bytes(
         _cf_file(chunk={"t2m": (4, 3)}, deflate=True)
     )
     px = read_raster_pixels(spark, str(tmp_path), "netcdf3").collect()
-    assert len(px) == 96  # 48 pixels from each granule
+    assert len(px) == 144  # 48 pixels from each granule
     got = {(r.file.split("/")[-1], r.row, r.col): r.value for r in px}
     want_classic = (
         (np.arange(48).reshape(6, 8) // 8) * 10
@@ -585,6 +587,7 @@ def test_granule_ingest_mixed_nc3_and_hdf5(spark, tmp_path):
     for i in range(6):
         for j in range(8):
             assert got[("classic.nc", i, j)] == float(want_classic[i, j])
+            assert got[("cdf5.nc", i, j)] == float(want_classic[i, j])
             assert got[("modern.nc", i, j)] == float(want_modern[i, j])
 
 
