@@ -275,6 +275,14 @@ def parse_tiff(buf: bytes) -> dict:
         if fmt is None:
             continue
         total = sz * cnt
+        # untrusted-bytes guard: a corrupt count would otherwise build
+        # a count-sized struct format string (minutes of C-level work)
+        # before the read could fail — tag data must fit the file
+        if total > len(buf):
+            raise ValueError(
+                f"TIFF tag {tag} claims {total} value bytes in a "
+                f"{len(buf)}-byte file — corrupt input"
+            )
         if total <= inline_max:
             off = voff
         else:
@@ -547,6 +555,16 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     t = parse_tiff(buf)
     e = t["_endian"]
     w, h = t[256][0], t[257][0]
+    spp_guard = t.get(277, [1])[0]
+    # untrusted-bytes guard: a corrupt dimension field must raise
+    # BEFORE the output allocation, not OOM an executor. DEFLATE's
+    # worst-case expansion is ~1032:1, so decoded size can never
+    # plausibly exceed ~2000x the file
+    if h * w * spp_guard * 8 > 2000 * len(buf) + (1 << 20):
+        raise ValueError(
+            f"implausible raster dims {h}x{w}x{spp_guard} for a "
+            f"{len(buf)}-byte file — corrupt or unsupported input"
+        )
     comp = t.get(259, [1])[0]
     if comp not in (1, 5, 8, 32946):
         raise ValueError(

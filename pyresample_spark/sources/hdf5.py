@@ -1245,6 +1245,15 @@ def parse_hdf5(buf: bytes) -> dict:
             continue
         if isinstance(dtype, tuple):
             continue  # string datasets aren't grid data
+        # untrusted-bytes guard: a corrupt dataspace must raise BEFORE
+        # the chunked readers allocate the output array, not OOM an
+        # executor (deflate's worst case is ~1032:1 expansion)
+        n_guard = int(np.prod(shape)) if shape else 1
+        if n_guard * dtype.itemsize > 2000 * len(buf) + (1 << 20):
+            raise ValueError(
+                f"dataset {name!r}: implausible shape {shape} for a "
+                f"{len(buf)}-byte file — corrupt or unsupported input"
+            )
         ver = layout[0]
         if ver not in (3, 4):
             raise NotImplementedError(f"data layout version {ver}")

@@ -2163,3 +2163,82 @@ def test_lzw_roundtrip_property(data):
     from pyresample_spark.sources.binary_raster import lzw_decode
 
     assert lzw_decode(lzw_encode(data)) == data
+
+
+# --- corruption robustness: the decode runs on UNTRUSTED granule
+# bytes inside executors — corrupt input must raise a loud python
+# exception (a failed task), never hang, never allocate unboundedly,
+# and only return silently when the mutation missed every byte the
+# parser reads (IFD slack, padding, unread data tails).
+
+_CORRUPT_OK = (
+    ValueError, NotImplementedError, KeyError, IndexError,
+    struct.error, OverflowError, MemoryError, EOFError,
+    UnicodeDecodeError,
+)
+
+
+def _corrupt_probe(parse, base: bytes, pos: int, val: int, trunc: int):
+    import zlib as _z
+
+    flipped = bytearray(base)
+    pos %= len(base)
+    flipped[pos] = (flipped[pos] + (val % 255) + 1) % 256  # real change
+    for mutant in (bytes(flipped), base[: trunc % len(base)]):
+        try:
+            parse(mutant)
+        except _CORRUPT_OK:
+            pass
+        except _z.error:
+            pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
+       trunc=st.integers(0, 1 << 30))
+def test_tiff_corruption_is_loud(pos, val, trunc):
+    arr = (np.arange(60, dtype="f4").reshape(6, 10)) * 1.5
+    base = tiff_bytes_strips(arr, rows_per_strip=3, compress=8)
+    _corrupt_probe(tiff_pixels, base, pos, val, trunc)
+
+
+@settings(max_examples=80, deadline=None)
+@given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
+       trunc=st.integers(0, 1 << 30), version=st.sampled_from([1, 5]))
+def test_netcdf_corruption_is_loud(pos, val, trunc, version):
+    base = _demo_nc(version=version)
+
+    def parse(buf):
+        nc = parse_netcdf3(buf)
+        for v in nc["vars"].values():
+            nc_var_data(buf, v)
+
+    _corrupt_probe(parse, base, pos, val, trunc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
+       trunc=st.integers(0, 1 << 30))
+def test_hdf5_corruption_is_loud(pos, val, trunc):
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes, parse_hdf5
+
+    xs = np.arange(16) + 0.5
+    ys = -(np.arange(12) + 0.5)
+    data = ((np.arange(12)[:, None] * 31
+             + np.arange(16)[None, :] * 17) % 97 + 0.5).astype("<f8")
+    base = hdf5_grid_bytes(
+        {
+            "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "crs": (None, {"proj4": "eqc"}),
+            "band": (data, {"grid_mapping": "crs"}),
+        },
+        chunks={"band": (5, 7)},
+        deflate=True,
+    )
+
+    def parse(buf):
+        for v in parse_hdf5(buf).values():
+            _ = v["data"]
+
+    _corrupt_probe(parse, base, pos, val, trunc)
