@@ -1451,8 +1451,11 @@ def demo_granule_dir() -> str:
     """Write-once fixture: GRANULE_BANDS classic-NetCDF granules, each
     one horizontal band of a (BANDS·ROWS)×COLS synthetic grid with
     value = ((abs_row·31 + col·17) % 97) + 0.5 (the synth_image
-    formula). Returns the directory path; creation is atomic and keyed
-    by the layout constants so concurrent driver runs converge."""
+    formula). Band 1 ships the rank-3 (time=1, y, x) shape, band 2
+    the 64-bit-data CDF-5 container, so the driver-gated
+    q_raster_ingest exercises the container mix real archives hold.
+    Returns the directory path; creation is atomic and keyed by the
+    layout constants so concurrent driver runs converge."""
     import os
 
     def write(tmp):
@@ -1487,12 +1490,13 @@ def demo_granule_dir() -> str:
                 ],
                 gattrs={"Conventions": "CF-1.8",
                         "band_index": [float(band)]},
+                version=5 if band == 2 else 1,
             )
             with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_granules_v2_{GRANULE_BANDS}x"
+        f"pyresample_spark_granules_v3_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
