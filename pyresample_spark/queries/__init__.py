@@ -68,13 +68,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ingest's green row is r9 and predates the undo_pred regression fixed
 # this round), then q_grid_gen and the r6-latest rows. 49 r6 rows + 2
 # re-proofs = 51 > 50, so ONE r6 row yields its slot:
-# q_embed_covariance (the r10 judge re-verified it cell-for-cell in
-# the judging session — freshest evidence of the block) and
-# q_embed_quantize, which yielded to the NEW never-checked
-# q_compound_calibrate; both go FIRST in the r12 window, followed by the 50 oldest-r7 rows (recompute with
+# q_embed_covariance and q_bucket_sum (the r10 judge re-verified both
+# cell-for-cell in the judging session — freshest evidence of the
+# block) and q_embed_quantize, which yielded to the NEW never-checked
+# q_compound_calibrate and to q_raster_ingest (its fixture gained a
+# CDF-5 granule this round — re-proof beats a stale green on changed
+# source); all three go FIRST in the r12 window, followed by the 50 oldest-r7 rows (recompute with
 # the same latest-round-per-query procedure).
 _PRIORITY = [
     "q_compound_calibrate",
+    "q_raster_ingest",
     "q_multiband_ingest",
     "q_geotiff_ingest",
     "q_grid_gen",
@@ -100,7 +103,6 @@ _PRIORITY = [
     "q_slice_crop",
     "q_mask_filter",
     "q_bucket_assign",
-    "q_bucket_sum",
     "q_bucket_count",
     "q_bucket_avg",
     "q_get_average_skipna",
