@@ -2202,6 +2202,23 @@ def test_tiff_corruption_is_loud(pos, val, trunc):
     _corrupt_probe(tiff_pixels, base, pos, val, trunc)
 
 
+@settings(max_examples=60, deadline=None)
+@given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
+       trunc=st.integers(0, 1 << 30))
+def test_bigtiff_corruption_is_loud(pos, val, trunc):
+    """The magic-43 container's 8-byte counts give corruption far more
+    reach (a flipped high byte claims exabytes) — same loud-failure
+    contract."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+    )
+
+    arr = (np.arange(60, dtype="f4").reshape(6, 10)) * 1.5
+    base = gb(arr, 1.0, 1.0, 0.0, 6.0, compress=True,
+              rows_per_strip=3, bigtiff=True)
+    _corrupt_probe(tiff_pixels, base, pos, val, trunc)
+
+
 @settings(max_examples=80, deadline=None)
 @given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
        trunc=st.integers(0, 1 << 30), version=st.sampled_from([1, 5]))
