@@ -874,6 +874,14 @@ def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
     ib_addr = r.u(hd_addr + 60, 8)
     if client not in (0, 1):
         raise NotImplementedError(f"extensible array client {client}")
+    # untrusted-bytes guard: stored elements occupy ≥1 byte each, so
+    # an element count past the file size is corruption — reject
+    # BEFORE the positional list materializes it
+    if max_idx_set > len(b):
+        raise ValueError(
+            f"extensible array claims {max_idx_set} elements in a "
+            f"{len(b)}-byte file — corrupt input"
+        )
     out = _EAElems()
     out.esize, out.client = esize, client
     if ib_addr == _UNDEF or max_idx_set == 0:
@@ -970,6 +978,9 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
     unlimited dimension — :func:`_ea_elements`) and any-depth v2
     B-tree (5, several unlimited dimensions, record types 10/11)
     all decode natively — the full index set libhdf5 picks from."""
+    if not cdims or any(c <= 0 for c in cdims):
+        # corrupt layout dims would divide by zero in the grid walk
+        raise ValueError(f"corrupt chunk dimensions {cdims}")
     nominal = int(np.prod(cdims)) * dtype.itemsize
     arr = np.zeros(shape, dtype=dtype.newbyteorder("="))
 
@@ -1091,6 +1102,14 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
     db_addr = r.u(addr + 16, 8)
     if client not in (0, 1):
         raise NotImplementedError(f"fixed array client {client}")
+    # untrusted-bytes guard: each stored element occupies ≥1 byte, so
+    # a count past the file size is corruption — reject BEFORE the
+    # entries list materializes it
+    if nelmts > len(r.b):
+        raise ValueError(
+            f"fixed array claims {nelmts} elements in a "
+            f"{len(r.b)}-byte file — corrupt input"
+        )
     if r.b[db_addr:db_addr + 4] != b"FADB":
         raise ValueError("bad fixed array data block signature")
     page_size = 1 << page_bits
@@ -1120,7 +1139,16 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
             p += entry_size
     it = _chunk_grid_iter(shape, cdims)
     for e in entries:
-        dst, src = next(it)
+        try:
+            dst, src = next(it)
+        except StopIteration:
+            # corrupt nelmts: more index entries than the chunk grid
+            # holds — StopIteration must not escape (it would silently
+            # terminate a consuming generator instead of failing)
+            raise ValueError(
+                "fixed array holds more entries than the dataset's "
+                "chunk grid — corrupt input"
+            ) from None
         caddr = int.from_bytes(e[0:8], "little")
         if caddr == _UNDEF:
             continue  # unallocated chunk keeps the zero fill

@@ -2492,3 +2492,55 @@ def test_writer_btree_nodes_fixed_size():
                 f"sb{sb}: type-{node_type} level-{level} node at "
                 f"{off} needs {size} bytes but EOF is {len(buf)}"
             )
+
+
+@pytest.mark.parametrize("modern", [False, True])
+def test_hdf5_corruption_is_loud_both_containers(modern):
+    """Untrusted-bytes contract for BOTH container generations (v0 +
+    v1-B-tree chunk index, and v2 superblock + dense links + Fixed
+    Array): a deterministic stride of byte flips and truncations must
+    raise a loud python exception or parse correctly — never hang or
+    allocate unboundedly. (Exhaustive all-position scans ran offline;
+    this strided twin keeps the contract pinned in CI time.)"""
+    import struct as _struct
+    import zlib as _zlib
+
+    xs = np.arange(16) + 0.5
+    ys = -(np.arange(12) + 0.5)
+    data = ((np.arange(12)[:, None] * 31
+             + np.arange(16)[None, :] * 17) % 97 + 0.5).astype("<f8")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    base = hdf5_grid_bytes(
+        {
+            "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "crs": (None, {"proj4": "eqc"}),
+            "band": (data, {"grid_mapping": "crs"}),
+        },
+        chunks={"band": (5, 7)},
+        deflate=True,
+        superblock=2 if modern else 0,
+        chunk_index="fixed_array" if modern else "btree1",
+        dense_links=modern,
+    )
+    ok = (ValueError, NotImplementedError, KeyError, IndexError,
+          _struct.error, OverflowError, MemoryError, EOFError,
+          UnicodeDecodeError, _zlib.error)
+
+    def parse(buf):
+        for v in parse_hdf5(buf).values():
+            _ = v["data"]
+
+    for pos in range(0, len(base), 3):
+        m = bytearray(base)
+        m[pos] = (m[pos] + 1 + pos % 254) % 256
+        try:
+            parse(bytes(m))
+        except ok:
+            pass
+    for tr in range(0, len(base), 17):
+        try:
+            parse(base[:tr])
+        except ok:
+            pass
