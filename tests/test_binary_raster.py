@@ -1834,6 +1834,63 @@ def test_rasterio_reads_export_geotiff(tmp_path):
         assert fh.transform.a == 0.5 and fh.transform.e == -0.25
 
 
+def test_rasterio_reads_predictor3_geotiff(tmp_path):
+    """The day rasterio/GDAL appears: our PREDICTOR=3 output (byte-
+    plane split + stride differencing under DEFLATE) must decode in
+    GDAL exactly, and a GDAL-written PREDICTOR=3 raster must decode
+    through our reader — cross-validating both directions of the
+    floating-point-predictor implementation."""
+    rasterio = pytest.importorskip("rasterio")
+    from rasterio.transform import from_origin
+
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    arr = (np.sin(np.arange(29 * 31) / 17.0)
+           .reshape(29, 31).astype("f4") * 100.0)
+    p = tmp_path / "pred3_ours.tif"
+    p.write_bytes(geotiff_bytes(arr, 0.5, 0.25, 10.0, 50.0,
+                                compress=True, predictor=3,
+                                rows_per_strip=7))
+    with rasterio.open(str(p)) as fh:
+        np.testing.assert_array_equal(fh.read(1), arr)
+    q = tmp_path / "pred3_gdal.tif"
+    with rasterio.open(
+        str(q), "w", driver="GTiff", width=31, height=29, count=1,
+        dtype="float32", compress="deflate", predictor=3,
+        transform=from_origin(10.0, 50.0, 0.5, 0.25), crs="EPSG:4326",
+    ) as fh:
+        fh.write(arr, 1)
+    np.testing.assert_array_equal(tiff_pixels(q.read_bytes()),
+                                  arr.astype("f8"))
+
+
+def test_rasterio_reads_bigtiff(tmp_path):
+    """The day rasterio/GDAL appears: our forced-BigTIFF container
+    must open in GDAL, and a GDAL-written BigTIFF must decode through
+    our reader."""
+    rasterio = pytest.importorskip("rasterio")
+    from rasterio.transform import from_origin
+
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    arr = np.arange(20 * 24, dtype="f8").reshape(20, 24) / 7.0
+    p = tmp_path / "big_ours.tif"
+    p.write_bytes(geotiff_bytes(arr, 0.5, 0.25, 10.0, 50.0,
+                                bigtiff=True, rows_per_strip=6))
+    with rasterio.open(str(p)) as fh:
+        np.testing.assert_array_equal(fh.read(1), arr)
+    q = tmp_path / "big_gdal.tif"
+    with rasterio.open(
+        str(q), "w", driver="GTiff", width=24, height=20, count=1,
+        dtype="float64", BIGTIFF="YES",
+        transform=from_origin(10.0, 50.0, 0.5, 0.25), crs="EPSG:4326",
+    ) as fh:
+        fh.write(arr, 1)
+    buf = q.read_bytes()
+    assert parse_tiff(buf)["_bigtiff"]
+    np.testing.assert_array_equal(tiff_pixels(buf), arr)
+
+
 # --- property-based roundtrips (hypothesis) ---
 
 from hypothesis import given, settings, strategies as st
