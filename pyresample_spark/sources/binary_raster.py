@@ -295,6 +295,11 @@ def parse_tiff(buf: bytes) -> dict:
             )
         elif fmt == "II":  # RATIONAL
             raw = struct.unpack_from(e + "I" * (2 * cnt), buf, off)
+            if any(raw[2 * k + 1] == 0 for k in range(cnt)):
+                raise ValueError(
+                    f"TIFF tag {tag}: zero-denominator RATIONAL — "
+                    "corrupt input"
+                )
             vals = [raw[2 * k] / raw[2 * k + 1] for k in range(cnt)]
         else:
             vals = list(struct.unpack_from(e + fmt * cnt, buf, off))
