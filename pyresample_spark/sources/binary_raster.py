@@ -559,8 +559,25 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
 
     t = parse_tiff(buf)
     e = t["_endian"]
-    w, h = t[256][0], t[257][0]
-    spp_guard = t.get(277, [1])[0]
+
+    def ints(tag, what, default=None):
+        # untrusted-bytes guard: corruption can retype any tag (e.g.
+        # to RATIONAL), turning offsets/dims into floats that would
+        # surface as TypeErrors deep in the slicing
+        vals = t.get(tag, default)
+        if vals is None:
+            raise ValueError(f"missing TIFF tag {tag} ({what})")
+        if not all(isinstance(v, int) and v >= 0 for v in vals):
+            raise ValueError(
+                f"TIFF tag {tag} ({what}) holds non-integer values — "
+                "corrupt input"
+            )
+        return vals
+
+    w, h = ints(256, "width")[0], ints(257, "height")[0]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate raster dims {h}x{w}")
+    spp_guard = ints(277, "samples/pixel", [1])[0]
     # untrusted-bytes guard: a corrupt dimension field must raise
     # BEFORE the output allocation, not OOM an executor. DEFLATE's
     # worst-case expansion is ~1032:1, so decoded size can never
@@ -624,8 +641,10 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
         return _undo_predictor2(arr, fmt) if pred == 2 else arr
 
     if 322 in t:  # tiled organization
-        tw, th = t[322][0], t[323][0]
-        offs, cnts = t[324], t[325]
+        tw, th = ints(322, "tile width")[0], ints(323, "tile height")[0]
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"degenerate tile dims {th}x{tw}")
+        offs, cnts = ints(324, "tile offsets"), ints(325, "tile counts")
         tiles_across = (w + tw - 1) // tw
         tiles_down = (h + th - 1) // th
         per_plane = tiles_across * tiles_down
@@ -649,7 +668,8 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             else:
                 out[r0:r0 + rs, c0:c0 + cs] = tile[:rs, :cs].astype("f8")
     else:
-        offs, cnts = t[273], t[279]
+        offs = ints(273, "strip offsets")
+        cnts = ints(279, "strip counts")
         if nplanes > 1:
             if len(offs) % nplanes or len(cnts) != len(offs):
                 raise ValueError(
