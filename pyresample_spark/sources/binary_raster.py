@@ -314,6 +314,12 @@ _EPSG_CRS = {
     3857: "webmerc",
     32661: "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
            "+x_0=2000000 +y_0=2000000 +ellps=WGS84",
+    # the polar grids real satellite products actually ship in —
+    # NSIDC Sea Ice North/South and Antarctic Polar Stereographic
+    # (all zero false easting/northing, ellipsoidal secant stere)
+    3413: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
+    3976: "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +ellps=WGS84",
+    3031: "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84",
 }
 
 

@@ -2316,3 +2316,48 @@ def test_hdf5_corruption_is_loud(pos, val, trunc):
             _ = v["data"]
 
     _corrupt_probe(parse, base, pos, val, trunc)
+
+
+def test_epsg_polar_stereo_codes(spark):
+    """EPSG 3413/3976 (NSIDC Sea Ice North/South) and 3031 (Antarctic
+    Polar Stereographic) — the polar grids real satellite products
+    ship in — parse from the geokey, reverse-encode through the
+    package writer, and EXECUTE: the engine's ellipsoidal polar
+    stereographic forward/inverse round-trips points on each grid."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.crs import forward, inverse
+    from pyresample_spark.sources.binary_raster import (
+        _EPSG_CRS,
+        area_from_geotiff,
+        geotiff_bytes as gb,
+        parse_tiff,
+    )
+
+    arr = np.arange(12, dtype="f4").reshape(3, 4)
+    for code in (3413, 3976, 3031):
+        crs = _EPSG_CRS[code]
+        # geokey → crs string (reader)
+        area = area_from_geotiff(
+            geotiff_bytes(arr, 25000.0, 25000.0, -100000.0, 100000.0,
+                          epsg=code), "t")
+        assert area.crs == crs
+        # crs string → geokey (package writer) and back
+        buf = gb(arr, 25000.0, 25000.0, -100000.0, 100000.0, crs=crs)
+        t = parse_tiff(buf)
+        assert 3072 in t[34735] and code in t[34735]
+        assert area_from_geotiff(buf, "t").crs == crs
+        # the mapping must EXECUTE: fwd → inv round-trip on-grid
+        north = "lat_0=90" in crs
+        pts = ([(-45.0, 70.0), (10.0, 85.0), (120.0, 62.0)] if north
+               else [(0.0, -70.0), (100.0, -85.0), (-140.0, -65.0)])
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        x, y = forward(crs)("lon", "lat")
+        lon2, lat2 = inverse(crs)(F.col("x"), F.col("y"))
+        out = (df.select("lon", "lat", x.alias("x"), y.alias("y"))
+                 .select("lon", "lat", lon2.alias("lon2"),
+                         lat2.alias("lat2"))
+                 .collect())
+        for r in out:
+            assert abs(r.lon - r.lon2) < 1e-9 * max(1, abs(r.lon))
+            assert abs(r.lat - r.lat2) < 1e-9
