@@ -1461,6 +1461,18 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 _BT_MAX_ENTRIES = 64
 _FA_PAGE_BITS = 10  # libhdf5's default fixed-array page size (1024)
 
+# Extensible Array creation parameters (libhdf5's H5D earray
+# defaults): the writer covers inline index-block elements plus the
+# directly-addressed data blocks of the first 2·log2(sup_blk_min)
+# super blocks — 4 + 240 chunk capacity — which is every fixture and
+# export this engine emits; beyond that raises loudly (EASB
+# indirection stays read-only).
+_EA_MAX_BITS = 32
+_EA_IB_ELMTS = 4
+_EA_DB_MIN = 16
+_EA_SB_MIN_PTRS = 4
+_EA_PAGE_BITS = 10
+
 # libhdf5 reads every v1 B-tree node at the FIXED size derived from
 # the tree's K — 24-byte header + (2K+1) keys + 2K child pointers —
 # regardless of how many entries are used, so a node emitted at
@@ -1570,10 +1582,17 @@ def _w_dtype(dt: np.dtype) -> bytes:
     ) + props
 
 
-def _w_space(shape) -> bytes:
-    out = bytes([1, len(shape), 0, 0, 0, 0, 0, 0])
+def _w_space(shape, maxdims=None) -> bytes:
+    """Dataspace message v1; ``maxdims`` entries of ``None`` mark
+    UNLIMITED dimensions (stored as the undefined-address sentinel,
+    which is how the reader recognizes the appendable axis)."""
+    out = bytes([1, len(shape), 1 if maxdims is not None else 0,
+                 0, 0, 0, 0, 0])
     for d in shape:
         out += struct.pack("<Q", d)
+    if maxdims is not None:
+        for d in maxdims:
+            out += struct.pack("<Q", _UNDEF if d is None else d)
     return out
 
 
@@ -1648,16 +1667,24 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     chunked variables with the VERSION-4 data layout + Fixed Array
     index (``FAHD``/``FADB``, paged past 2^10 chunks, per-entry
     size+mask when filtered) — the index libhdf5 ≥1.10 itself picks
-    for fixed-dimension chunked datasets under libver=latest."""
+    for fixed-dimension chunked datasets under libver=latest.
+    ``chunk_index="extensible_array"`` instead marks the chunked
+    variable's dim 0 UNLIMITED in the dataspace and writes the
+    Extensible Array index (``EAHD``/``EAIB``/``EADB``, lookup3-
+    checksummed, libhdf5's default creation parameters) — the
+    appendable-time-axis layout libhdf5 picks for one unlimited
+    dimension; inline index-block elements plus directly-addressed
+    data blocks cover 244 chunks, beyond which the writer raises
+    (EASB indirection stays read-only)."""
     if superblock not in (0, 2):
         raise ValueError(f"superblock must be 0 or 2, got {superblock}")
     if dense_links and superblock != 2:
         raise ValueError("dense_links requires superblock=2 (new-style "
                          "groups)")
-    if chunk_index not in ("btree1", "fixed_array"):
+    if chunk_index not in ("btree1", "fixed_array", "extensible_array"):
         raise ValueError(f"unknown chunk_index {chunk_index!r}")
-    if chunk_index == "fixed_array" and superblock != 2:
-        raise ValueError("chunk_index='fixed_array' requires "
+    if chunk_index != "btree1" and superblock != 2:
+        raise ValueError(f"chunk_index={chunk_index!r} requires "
                          "superblock=2 (an HDF5 >=1.10 structure)")
     chunks = chunks or {}
     names = sorted(variables)
@@ -1727,8 +1754,14 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         arr = np.ascontiguousarray(arr).astype(
             np.dtype(arr.dtype).newbyteorder("<")
         )
+        # an extensible-array-indexed variable is the appendable one:
+        # its dim 0 is UNLIMITED in the dataspace (that is what makes
+        # libhdf5 pick the EA index in the first place)
+        unlimited = chunk_index == "extensible_array" and n in chunks
         msgs += [
-            _w_msg(0x0001, _w_space(arr.shape)),
+            _w_msg(0x0001, _w_space(
+                arr.shape,
+                maxdims=(None, arr.shape[1]) if unlimited else None)),
             _w_msg(0x0003, _w_dtype(arr.dtype)),
         ]
         if n in chunks:
@@ -1757,6 +1790,16 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 lay = bytes([4, 2, 0, 2, 4])
                 lay += struct.pack("<II", cr, cc)
                 lay += bytes([3, _FA_PAGE_BITS]) + struct.pack("<Q", 0)
+            elif chunk_index == "extensible_array":
+                # v4 layout, Extensible Array (type 4): 6-byte
+                # creation-params field (sized per the reader's
+                # index-field table), EAHD address patched at assembly
+                lay = bytes([4, 2, 0, 2, 4])
+                lay += struct.pack("<II", cr, cc)
+                lay += bytes([4]) + struct.pack(
+                    "<BBBBH", _EA_MAX_BITS, _EA_IB_ELMTS, _EA_DB_MIN,
+                    _EA_SB_MIN_PTRS, _EA_PAGE_BITS)
+                lay += struct.pack("<Q", 0)
             else:
                 lay = struct.pack("<BBBQ", 3, 2, 3, 0)
                 lay += struct.pack("<III", cr, cc, arr.dtype.itemsize)
@@ -1819,6 +1862,102 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 got = place(("fahd", n), fahd)
                 assert got == fahd_addr
                 place(("fadb", n), fadb)
+                continue
+            if chunk_index == "extensible_array":
+                filtered = bool(deflate or shuffle or fletcher32)
+                cr, cc = chunks[n]
+                nominal = cr * cc * variables[n][0].dtype.itemsize
+                size_len = min(8, 1 + (nominal.bit_length() + 7) // 8)
+                esize = 8 + size_len + 4 if filtered else 8
+                client = 1 if filtered else 0
+                ents = []
+                for i, (_, raw) in enumerate(blobs):
+                    e = struct.pack("<Q", pos[("chunk", n, i)])
+                    if filtered:
+                        e += len(raw).to_bytes(size_len, "little")
+                        e += struct.pack("<I", 0)
+                    ents.append(e)
+                undef = b"\xff" * esize
+                # the doubling geometry, mirroring the reader: super
+                # block u holds 2^(u//2) data blocks of
+                # db_min·2^((u+1)//2) elements each
+                nsblks = 1 + (_EA_MAX_BITS
+                              - (_EA_DB_MIN.bit_length() - 1))
+                info, s_idx, s_dblk = [], 0, 0
+                for u in range(nsblks):
+                    nd_ = 1 << (u // 2)
+                    ne_ = _EA_DB_MIN << ((u + 1) // 2)
+                    info.append((nd_, ne_, s_idx, s_dblk))
+                    s_idx += nd_ * ne_
+                    s_dblk += nd_
+                n_in_ib = 2 * (_EA_SB_MIN_PTRS.bit_length() - 1)
+                ndblk_addrs = sum(
+                    info[u][0] for u in range(min(n_in_ib, nsblks)))
+                direct_cap = sum(
+                    info[u][0] * info[u][1]
+                    for u in range(min(n_in_ib, nsblks)))
+                arr_off = (_EA_MAX_BITS + 7) // 8
+                rem = max(0, len(ents) - _EA_IB_ELMTS)
+                if rem > direct_cap:
+                    raise ValueError(
+                        f"{len(ents)} chunks exceed the extensible-"
+                        f"array writer's {_EA_IB_ELMTS + direct_cap}-"
+                        "chunk direct capacity (EASB indirection is "
+                        "read-only)"
+                    )
+                # plan addresses first: EAIB, then data blocks, then
+                # the header — every structure embeds the header
+                # address, so sizes must be known up front
+                dblks = []  # (dblk number, start element, ne, take)
+                for u in range(min(n_in_ib, nsblks)):
+                    nd_, ne_, s_idx, s_dblk = info[u]
+                    for d in range(nd_):
+                        lo = s_idx + d * ne_
+                        if lo >= rem:
+                            break
+                        dblks.append((s_dblk + d, lo, ne_,
+                                      min(ne_, rem - lo)))
+                ib_size = (14 + _EA_IB_ELMTS * esize + 8 * ndblk_addrs
+                           + 8 * max(0, nsblks - n_in_ib) + 4)
+                eaib_addr = pos["cursor"]
+                a = eaib_addr + ib_size
+                dblk_addr = {}
+                for dnum, lo, ne_, take in dblks:
+                    dblk_addr[dnum] = a
+                    a += 14 + arr_off + ne_ * esize + 4
+                eahd_addr = a
+                eaib = b"EAIB" + bytes([0, client])
+                eaib += struct.pack("<Q", eahd_addr)
+                for i in range(_EA_IB_ELMTS):
+                    eaib += ents[i] if i < len(ents) else undef
+                for d in range(ndblk_addrs):
+                    eaib += struct.pack("<Q",
+                                        dblk_addr.get(d, _UNDEF))
+                eaib += struct.pack("<Q", _UNDEF) * max(
+                    0, nsblks - n_in_ib)
+                eaib += struct.pack("<I", _lookup3(eaib))
+                got = place(("eaib", n), eaib)
+                assert got == eaib_addr
+                for dnum, lo, ne_, take in dblks:
+                    db = b"EADB" + bytes([0, client])
+                    db += struct.pack("<Q", eahd_addr)
+                    db += (_EA_IB_ELMTS + lo).to_bytes(
+                        arr_off, "little")  # block offset
+                    for k in range(ne_):
+                        j = _EA_IB_ELMTS + lo + k
+                        db += (ents[j] if k < take else undef)
+                    db += struct.pack("<I", _lookup3(db))
+                    got = place(("eadb", n, dnum), db)
+                    assert got == dblk_addr[dnum]
+                eahd = b"EAHD" + bytes([
+                    0, client, esize, _EA_MAX_BITS, _EA_IB_ELMTS,
+                    _EA_DB_MIN, _EA_SB_MIN_PTRS, _EA_PAGE_BITS])
+                eahd += struct.pack("<QQQQ", 0, 0, 0, 0)  # stats
+                eahd += struct.pack("<QQQ", len(ents), len(ents),
+                                    eaib_addr)
+                eahd += struct.pack("<I", _lookup3(eahd))
+                got = place(("eahd", n), eahd)
+                assert got == eahd_addr
                 continue
             h, w = variables[n][0].shape
             sentinel = struct.pack("<IIQQQ", 0, 0, h, w, 0)
@@ -2041,11 +2180,15 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 mtype = struct.unpack_from("<H", b, off)[0]
                 msize = struct.unpack_from("<H", b, off + 2)[0]
                 if mtype == 0x0008:
-                    if b[off + 8] == 4:  # v4: FAHD addr after idx field
+                    if b[off + 8] == 4:  # v4: index addr after idx field
                         nd, enc = b[off + 11], b[off + 12]
+                        p_idx = off + 8 + 5 + nd * enc
+                        idx_t = b[p_idx]
+                        flen = {3: 1, 4: 6}[idx_t]  # FA page-bits / EA params
                         struct.pack_into(
-                            "<Q", b, off + 8 + 5 + nd * enc + 2,
-                            pos[("fahd", n)],
+                            "<Q", b, p_idx + 1 + flen,
+                            pos[("fahd", n) if idx_t == 3
+                                else ("eahd", n)],
                         )
                     elif b[off + 9] == 1:
                         struct.pack_into("<Q", b, off + 10, pos[("data", n)])

@@ -2494,7 +2494,7 @@ def test_writer_btree_nodes_fixed_size():
             )
 
 
-@pytest.mark.parametrize("modern", [False, True])
+@pytest.mark.parametrize("modern", [False, True, "ea"])
 def test_hdf5_corruption_is_loud_both_containers(modern):
     """Untrusted-bytes contract for BOTH container generations (v0 +
     v1-B-tree chunk index, and v2 superblock + dense links + Fixed
@@ -2520,9 +2520,10 @@ def test_hdf5_corruption_is_loud_both_containers(modern):
         },
         chunks={"band": (5, 7)},
         deflate=True,
-        superblock=2 if modern else 0,
-        chunk_index="fixed_array" if modern else "btree1",
-        dense_links=modern,
+        superblock=0 if modern is False else 2,
+        chunk_index={False: "btree1", True: "fixed_array",
+                     "ea": "extensible_array"}[modern],
+        dense_links=modern is True,
     )
     ok = (ValueError, NotImplementedError, KeyError, IndexError,
           _struct.error, OverflowError, MemoryError, EOFError,
@@ -2544,3 +2545,63 @@ def test_hdf5_corruption_is_loud_both_containers(modern):
             parse(base[:tr])
         except ok:
             pass
+
+
+@pytest.mark.parametrize("chunks,filters,label", [
+    ((40, 16), {}, "single chunk, inline elements only, raw"),
+    ((4, 16), {"deflate": True}, "4 inline + 6 data-block chunks"),
+    ((2, 8), {"deflate": True, "shuffle": True, "fletcher32": True},
+     "40 chunks deep into the doubling table, full filter stack"),
+])
+def test_extensible_array_writer_roundtrip(chunks, filters, label):
+    """The package writer's Extensible Array mode (unlimited dim 0 —
+    the appendable-time-axis layout) round-trips through the reader's
+    EA decoder: inline index-block elements, directly-addressed data
+    blocks at several doubling-table depths, raw and fully filtered
+    (client-1 entries with size+mask)."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    xs = np.arange(16) + 0.5
+    ys = -(np.arange(40) + 0.5)
+    data = ((np.arange(40)[:, None] * 31
+             + np.arange(16)[None, :] * 17) % 97 + 0.5).astype("<f8")
+    buf = hdf5_grid_bytes(
+        {
+            "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "crs": (None, {"proj4": "eqc"}),
+            "band": (data, {"grid_mapping": "crs"}),
+        },
+        chunks={"band": chunks},
+        superblock=2,
+        chunk_index="extensible_array",
+        **filters,
+    )
+    ds = parse_hdf5(buf)
+    np.testing.assert_array_equal(ds["band"]["data"], data)
+    area, var = load_cf_area_h5(buf)
+    assert var == "band" and (area.width, area.height) == (16, 40)
+
+
+def test_extensible_array_writer_capacity_guard():
+    """Past the 4 + 240 directly-addressed chunk capacity the writer
+    raises instead of silently writing EASB structures it cannot."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = np.zeros((256, 8), dtype="<f8")
+    with pytest.raises(ValueError, match="direct capacity"):
+        hdf5_grid_bytes(
+            {"band": (data, {})},
+            chunks={"band": (1, 8)},  # 256 chunks > 244
+            superblock=2,
+            chunk_index="extensible_array",
+        )
+
+
+def test_extensible_array_guard_requires_superblock2():
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    with pytest.raises(ValueError, match="superblock=2"):
+        hdf5_grid_bytes({"v": (np.zeros((4, 4)), {})},
+                        chunks={"v": (2, 2)},
+                        chunk_index="extensible_array")
