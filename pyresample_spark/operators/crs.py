@@ -279,8 +279,35 @@ def conic_crs_params(crs: str) -> dict:
     }
 
 
+def _xy_offsets(fam: str, p: dict):
+    """False easting/northing (+x_0/+y_0). tmerc/utm consume them
+    inside their own math (tmerc_crs_params); for every other family
+    the offsets are a pure post-projection translation — applied
+    generically by the forward/inverse wrappers so a CRS like UPS
+    (EPSG 32661, x_0 = y_0 = 2 000 000) lands where PROJ puts it
+    instead of silently dropping 2 000 km."""
+    if fam in ("longlat", "tmerc"):
+        return 0.0, 0.0
+    return float(p.get("x_0", "0")), float(p.get("y_0", "0"))
+
+
 def forward(crs: str):
-    """(lon, lat) → (x, y) column builder for an analytic CRS."""
+    """(lon, lat) → (x, y) column builder for an analytic CRS.
+    Honors +x_0/+y_0 (false easting/northing) for every family."""
+    fam, p = _family(crs), _params(crs)
+    x0, y0 = _xy_offsets(fam, p)
+    if x0 or y0:
+        fwd = _forward_centered(crs)
+
+        def _shifted(lon, lat):
+            x, y = fwd(lon, lat)
+            return x + F.lit(float(x0)), y + F.lit(float(y0))
+
+        return _shifted
+    return _forward_centered(crs)
+
+
+def _forward_centered(crs: str):
     fam, p = _family(crs), _params(crs)
     if fam == "longlat":
         return lambda lon, lat: (F.col(lon) if isinstance(lon, str) else lon,
@@ -390,7 +417,23 @@ def forward(crs: str):
 
 
 def inverse(crs: str):
-    """(x, y) → (lon, lat) column builder for an analytic CRS."""
+    """(x, y) → (lon, lat) column builder for an analytic CRS.
+    Honors +x_0/+y_0 (false easting/northing) for every family."""
+    fam, p = _family(crs), _params(crs)
+    x0, y0 = _xy_offsets(fam, p)
+    if x0 or y0:
+        inv = _inverse_centered(crs)
+
+        def _shifted(x, y):
+            x = F.col(x) if isinstance(x, str) else x
+            y = F.col(y) if isinstance(y, str) else y
+            return inv(x - F.lit(float(x0)), y - F.lit(float(y0)))
+
+        return _shifted
+    return _inverse_centered(crs)
+
+
+def _inverse_centered(crs: str):
     fam, p = _family(crs), _params(crs)
     if fam == "longlat":
         return lambda x, y: (F.col(x) if isinstance(x, str) else x,
@@ -540,7 +583,19 @@ def inverse_scalar(crs: str):
     (lon, lat) floats — for plan-time geometry (boundary polygons,
     overlap tests; tens of points). Mirrors functions/geo.py formulas
     exactly; returns None for points outside the projection domain
-    (e.g. off-disc geos pixels)."""
+    (e.g. off-disc geos pixels). Honors +x_0/+y_0 like the column
+    twins."""
+    import math
+
+    fam, p = _family(crs), _params(crs)
+    x0, y0 = _xy_offsets(fam, p)
+    if x0 or y0:
+        inv = _inverse_scalar_centered(crs)
+        return lambda x, y: inv(x - x0, y - y0)
+    return _inverse_scalar_centered(crs)
+
+
+def _inverse_scalar_centered(crs: str):
     import math
 
     fam, p = _family(crs), _params(crs)

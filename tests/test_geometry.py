@@ -680,3 +680,50 @@ def test_area_yaml_preserves_ctrack_flag():
     assert (b.width, b.height, b.area_extent) == (
         a.width, a.height, a.area_extent
     )
+
+
+def test_false_easting_northing_honored(spark):
+    """+x_0/+y_0 (false easting/northing) are a pure post-projection
+    translation for every non-tmerc family — previously silently
+    dropped, putting UPS (EPSG 32661, x_0 = y_0 = 2 000 000) grids
+    2 000 km off. Forward adds, inverse subtracts, the scalar twin
+    matches, and tmerc/utm (which consume the offsets inside their
+    own math) are NOT double-shifted."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.crs import (
+        forward,
+        inverse,
+        inverse_scalar,
+    )
+
+    ups = ("+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
+           "+x_0=2000000 +y_0=2000000 +ellps=WGS84")
+    bare = ("+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
+            "+ellps=WGS84")
+    df = spark.createDataFrame([(30.0, 75.0), (-120.0, 82.0)],
+                               "lon double, lat double")
+    xs, ys = forward(ups)("lon", "lat")
+    xb, yb = forward(bare)("lon", "lat")
+    rows = df.select(xs.alias("xs"), ys.alias("ys"),
+                     xb.alias("xb"), yb.alias("yb")).collect()
+    for r in rows:
+        assert abs((r.xs - r.xb) - 2_000_000.0) < 1e-6
+        assert abs((r.ys - r.yb) - 2_000_000.0) < 1e-6
+    # column inverse round-trips through the shift
+    lon2, lat2 = inverse(ups)(F.col("x"), F.col("y"))
+    out = (df.select("lon", "lat", xs.alias("x"), ys.alias("y"))
+             .select("lon", "lat", lon2.alias("l2"), lat2.alias("p2"))
+             .collect())
+    for r in out:
+        assert abs(r.lon - r.l2) < 1e-9 and abs(r.lat - r.p2) < 1e-9
+    # scalar twin: the UPS origin (2e6, 2e6) is the pole
+    assert abs(inverse_scalar(ups)(2e6, 2e6)[1] - 90.0) < 1e-12
+    # utm consumes x_0 itself — the wrapper must not double-shift:
+    # zone-33 central meridian (15E) on the equator maps to exactly
+    # x = 500 000 (the UTM false easting), y = 0
+    utm = "+proj=utm +zone=33 +ellps=WGS84"
+    r = (spark.createDataFrame([(15.0, 0.0)], "lon double, lat double")
+         .select(*forward(utm)("lon", "lat")).collect()[0])
+    assert abs(r[0] - 500_000.0) < 1e-6 and abs(r[1]) < 1e-6
