@@ -1537,9 +1537,11 @@ def demo_tiff_granule_dir() -> str:
     """GeoTIFF twin of :func:`demo_granule_dir`: the same banded
     synthetic grid written as float32 GeoTIFFs (one band per file,
     alternating byte order AND alternating baseline/DEFLATE
-    compression; band 2 TILED via the package writer) so the
-    driver-gated q_geotiff_ingest exercises strip and tile
-    organizations across the encodings."""
+    compression; band 1 a forced-BigTIFF container with the
+    floating-point predictor, band 2 TILED via the package writer)
+    so the driver-gated q_geotiff_ingest exercises strip and tile
+    organizations, both containers, and predictor 3 across the
+    encodings."""
     import os
 
     def write(tmp):
@@ -1548,7 +1550,15 @@ def demo_tiff_granule_dir() -> str:
             rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
             cols = np.arange(GRANULE_COLS)[None, :]
             data = ((rows * 31 + cols * 17) % 97).astype("f4") + 0.5
-            if band == 2:
+            if band == 1:
+                # magic-43 BigTIFF container + PREDICTOR=3 DEFLATE —
+                # the compressed-float layout GDAL writes, in the
+                # large-mosaic container
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress=True, predictor=3, bigtiff=True,
+                )
+            elif band == 2:
                 # the layout real products commonly ship: DEFLATE
                 # tiles (tags 322-325), via the package writer
                 buf = geotiff_bytes(
@@ -1556,20 +1566,18 @@ def demo_tiff_granule_dir() -> str:
                     compress=True, tile=(16, 16),
                 )
             else:
-                endian = "<" if band % 2 == 0 else ">"
+                # band 0: big-endian baseline strips (keeps the byte-
+                # order coverage band 1 carried before going BigTIFF)
                 buf = _demo_geotiff_bytes(
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
-                    endian=endian,
-                    # odd bands DEFLATE-compressed (tag 8): the ingest
-                    # exercises the native zlib strip decode alongside
-                    # baseline, both byte orders (VERDICT r7 item 2)
-                    compress=band % 2 == 1,
+                    endian=">",
+                    compress=False,
                 )
             with open(os.path.join(tmp, f"granule_{band}.tif"), "wb") as f:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_tiff_granules_v4_{GRANULE_BANDS}x"
+        f"pyresample_spark_tiff_granules_v5_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )
