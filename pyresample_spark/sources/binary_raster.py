@@ -29,7 +29,7 @@ Format scope (documented, checked, errors are loud):
   (no unlimited-dim record data).
 - TIFF: first-IFD classic AND BigTIFF containers (read and, above
   the classic 4-byte offset ceiling, written); strip or tile
-  organization; uncompressed, DEFLATE (zlib) or LZW strips/tiles with
+  organization; uncompressed, DEFLATE (zlib), LZW or PackBits strips/tiles with
   optional horizontal predictor on integer samples and the
   floating-point predictor 3 on float samples; one or multiple
   samples per pixel (chunky/planar), 16/32-bit integer or 32/64-bit
@@ -490,6 +490,31 @@ def lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773 — Apple RLE, TIFF 6.0 §9):
+    control byte n ∈ [0, 127] copies n+1 literal bytes, n ∈ [-127, -1]
+    repeats the next byte 1−n times, −128 is a no-op. The scheme old
+    scanned/archived GeoTIFF products still ship."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > end:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            if i >= end:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i:i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
 def _undo_predictor2(arr: np.ndarray, fmt: int) -> np.ndarray:
     if fmt == 3:
         raise ValueError(
@@ -552,8 +577,9 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     stored block — TIFF 6.0 §14).
 
     Compression (tag 259): 1 = uncompressed baseline, 8/32946 =
-    DEFLATE (zlib, stdlib), 5 = LZW (:func:`lzw_decode`) — the three
-    encodings that cover essentially all real-world GeoTIFF rasters.
+    DEFLATE (zlib, stdlib), 5 = LZW (:func:`lzw_decode`), 32773 =
+    PackBits (:func:`packbits_decode`) — the encodings that cover
+    essentially all real-world GeoTIFF rasters.
     Organization: classic strips (tags 273/278/279) or tiles (tags
     322-325; edge tiles are spec-padded to full tile size and cropped
     on assembly). Predictor (tag 317): 1 = none, 2 = horizontal
@@ -594,10 +620,11 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             f"{len(buf)}-byte file — corrupt or unsupported input"
         )
     comp = t.get(259, [1])[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (baseline, LZW and "
-            "DEFLATE decoded natively; others need rasterio)"
+            f"unsupported TIFF compression {comp} (baseline, LZW, "
+            "DEFLATE and PackBits decoded natively; others need "
+            "rasterio)"
         )
     spp = t.get(277, [1])[0]
     planar = t.get(284, [1])[0]
@@ -632,6 +659,8 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             return zlib.decompress(chunk)
         if comp == 5:
             return lzw_decode(chunk)
+        if comp == 32773:
+            return packbits_decode(chunk)
         return chunk
 
     def block(raw: bytes, rows: int, width_: int) -> np.ndarray:

@@ -360,6 +360,29 @@ def fp3_encode_rows(rows_arr, spp=1):
     return bytes(out)
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """Independent PackBits forward encoder (greedy runs, literal
+    chunks capped at 128) — shares no formulation with the package
+    decoder."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([(257 - run) & 0xFF, data[i]])
+            i += run
+            continue
+        lit = i
+        while (i < n and i - lit < 128
+               and not (i + 1 < n and data[i + 1] == data[i]
+                        and i + 2 < n and data[i + 2] == data[i])):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
 def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
                       predictor=1, endian="<"):
     """Adversarial strip-layout TIFF writer: arbitrary sample dtype
@@ -389,6 +412,8 @@ def tiff_bytes_strips(arr, rows_per_strip=None, compress=None,
             return zlib.compress(raw)
         if compress == 5:
             return lzw_encode(raw)
+        if compress == 32773:
+            return packbits_encode(raw)
         return raw
 
     strips = []
@@ -476,6 +501,8 @@ def tiff_bytes_tiles(arr, tile, compress=None, predictor=1, endian="<"):
             return zlib.compress(raw)
         if compress == 5:
             return lzw_encode(raw)
+        if compress == 32773:
+            return packbits_encode(raw)
         return raw
 
     tiles = []
@@ -2361,3 +2388,41 @@ def test_epsg_polar_stereo_codes(spark):
         for r in out:
             assert abs(r.lon - r.lon2) < 1e-9 * max(1, abs(r.lon))
             assert abs(r.lat - r.lat2) < 1e-9
+
+
+def test_tiff_packbits_strips_and_tiles():
+    """PackBits (compression 32773) strips and tiles decode exactly —
+    runs, literals, and the u2 dtype whose repeated bytes make real
+    RLE runs."""
+    rng = np.random.RandomState(12)
+    arr = (rng.randint(0, 4, size=(9, 11)) * 1000).astype("u2")
+    buf = tiff_bytes_strips(arr, rows_per_strip=4, compress=32773)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+    buf = tiff_bytes_strips(arr, rows_per_strip=4, compress=32773,
+                            predictor=2, endian=">")
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+    buf = tiff_bytes_tiles(arr, tile=(4, 4), compress=32773)
+    np.testing.assert_array_equal(tiff_pixels(buf), arr.astype("f8"))
+    f = (rng.randn(6, 7) * 3).astype("f4")
+    buf = tiff_bytes_strips(f, rows_per_strip=2, compress=32773,
+                            predictor=3)
+    np.testing.assert_array_equal(tiff_pixels(buf), f.astype("f8"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_packbits_roundtrip_property(data):
+    """Arbitrary byte streams survive the independent PackBits encoder
+    → package decoder."""
+    from pyresample_spark.sources.binary_raster import packbits_decode
+
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+def test_packbits_truncation_is_loud():
+    from pyresample_spark.sources.binary_raster import packbits_decode
+
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        packbits_decode(bytes([5, 1, 2]))  # literal run cut short
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        packbits_decode(bytes([0xFE]))  # repeat run missing its byte
