@@ -585,8 +585,6 @@ def inverse_scalar(crs: str):
     exactly; returns None for points outside the projection domain
     (e.g. off-disc geos pixels). Honors +x_0/+y_0 like the column
     twins."""
-    import math
-
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     if x0 or y0:

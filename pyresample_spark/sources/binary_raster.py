@@ -143,7 +143,9 @@ def parse_netcdf3(buf: bytes) -> dict:
     for _ in range(tagged_count(_NC_VARIABLE)):
         nm = cur.name()
         ndims = cur.count()
-        dimids = [cur.u32() for _ in range(ndims)]  # dimids stay 4-byte
+        # dimid is a NON_NEG like every other header integer — 8-byte
+        # in CDF-5 (netcdf-c reads them as 64-bit there)
+        dimids = [cur.count() for _ in range(ndims)]
         vattrs = attr_block()
         nc_type = cur.u32()
         cur.count()  # vsize (may be rounded; recomputed from shape)
@@ -609,14 +611,17 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     w, h = ints(256, "width")[0], ints(257, "height")[0]
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate raster dims {h}x{w}")
-    spp_guard = ints(277, "samples/pixel", [1])[0]
+    spp = ints(277, "samples/pixel", [1])[0]
+    bits_guard = ints(258, "bits/sample", [1])[0]
     # untrusted-bytes guard: a corrupt dimension field must raise
     # BEFORE the output allocation, not OOM an executor. DEFLATE's
-    # worst-case expansion is ~1032:1, so decoded size can never
-    # plausibly exceed ~2000x the file
-    if h * w * spp_guard * 8 > 2000 * len(buf) + (1 << 20):
+    # worst-case expansion is ~1032:1, so the STORED sample bytes can
+    # never plausibly exceed ~2000x the file (scaling by the stored
+    # sample size, not the f8 output size — an all-constant u2 mask
+    # tile legitimately approaches the zlib limit)
+    if h * w * spp * max(1, bits_guard // 8) > 2000 * len(buf) + (1 << 20):
         raise ValueError(
-            f"implausible raster dims {h}x{w}x{spp_guard} for a "
+            f"implausible raster dims {h}x{w}x{spp} for a "
             f"{len(buf)}-byte file — corrupt or unsupported input"
         )
     comp = t.get(259, [1])[0]
@@ -626,7 +631,6 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
             "DEFLATE and PackBits decoded natively; others need "
             "rasterio)"
         )
-    spp = t.get(277, [1])[0]
     planar = t.get(284, [1])[0]
     if spp > 1 and planar not in (1, 2):
         raise ValueError(f"unsupported PlanarConfiguration {planar}")
@@ -933,8 +937,9 @@ def netcdf3_bytes(dims, variables, gattrs=None, version: int = 1) -> bytes:
             metas, blobs, begins
         ):
             out += _w_name(name, wide) + _w_count(len(dimids), wide)
-            # dimids stay 4-byte in every version
-            out += struct.pack(">" + "I" * len(dimids), *dimids)
+            # dimid is a NON_NEG: 4-byte classic, 8-byte CDF-5
+            for d in dimids:
+                out += _w_count(d, wide)
             out += _w_attrs(attrs, wide)
             out += struct.pack(">I", nc_type)
             out += _w_count(len(blob), wide)  # vsize
@@ -1556,7 +1561,7 @@ def demo_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_granules_v3_{GRANULE_BANDS}x"
+        f"pyresample_spark_granules_v4_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

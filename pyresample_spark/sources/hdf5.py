@@ -846,6 +846,26 @@ class _EAElems(list):
     client = 0
 
 
+def _ea_geometry(max_bits: int, db_min: int, sb_min_ptrs: int):
+    """The Extensible Array doubling geometry, shared by the reader
+    (:func:`_ea_elements`) and the writer (hdf5_grid_bytes EA mode) so
+    the subtlest spec math in this module exists exactly once: super
+    block u holds 2^(u//2) data blocks of db_min·2^((u+1)//2) elements
+    each. Returns (info rows (nd, ne, start_idx, start_dblk), number
+    of super blocks whose data blocks the index block addresses
+    directly, count of those directly-addressed data blocks)."""
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
+    info, start_idx, start_dblk = [], 0, 0
+    for u in range(nsblks):
+        nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
+        info.append((nd, ne, start_idx, start_dblk))
+        start_idx += nd * ne
+        start_dblk += nd
+    n_in_ib = 2 * (sb_min_ptrs.bit_length() - 1)
+    ndblk_addrs = sum(info[u][0] for u in range(min(n_in_ib, nsblks)))
+    return info, n_in_ib, ndblk_addrs
+
+
 def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
     """Extensible Array chunk index (``EAHD``/``EAIB``/``EASB``/
     ``EADB``) → positional element list, one entry per linear chunk
@@ -891,20 +911,12 @@ def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
     arr_off = (max_bits + 7) // 8
     page_n = 1 << page_bits
     undef_elem = b"\xff" * esize
-    # libhdf5's doubling table: super block u holds 2^(u//2) data
-    # blocks of db_min*2^((u+1)//2) elements each, i.e. db_min·2^u
-    # elements per super block — covering 2^max_bits elements needs
-    # max_bits − log2(db_min) + 1 super blocks (the lookup
-    # sblk = log2(idx/db_min + 1) reaches exactly that far)
-    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
-    info, start_idx, start_dblk = [], 0, 0
-    for u in range(nsblks):
-        nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
-        info.append((nd, ne, start_idx, start_dblk))
-        start_idx += nd * ne
-        start_dblk += nd
-    n_in_ib = 2 * (sb_min_ptrs.bit_length() - 1)
-    ndblk_addrs = sum(info[u][0] for u in range(min(n_in_ib, nsblks)))
+    # libhdf5's doubling table (shared helper — covering 2^max_bits
+    # elements needs max_bits − log2(db_min) + 1 super blocks; the
+    # lookup sblk = log2(idx/db_min + 1) reaches exactly that far)
+    info, n_in_ib, ndblk_addrs = _ea_geometry(
+        max_bits, db_min, sb_min_ptrs)
+    nsblks = len(info)
     p = ib_addr + 14
     ib_elems = [b[p + i * esize:p + (i + 1) * esize]
                 for i in range(ib_elmts)]
@@ -1305,9 +1317,11 @@ def parse_hdf5(buf: bytes) -> dict:
             # 8-byte multiples, so the address is NOT the body's last
             # 8 bytes — the index-field length is fixed per type
             # (1: size+mask only when filtered; 2: none; 3: page
-            # bits; 4/5: creation parameters)
+            # bits; 4: five 1-byte EA creation params per the spec
+            # and libhdf5's H5D_EARRAY_CREATE_PARAM_SIZE; 5: v2-btree
+            # node size u4 + split/merge percents)
             flen = {1: 12 if flags4 & 0x02 else 0, 2: 0, 3: 1,
-                    4: 6, 5: 6}.get(idx_type, 0)
+                    4: 5, 5: 6}.get(idx_type, 0)
             idx_field = layout[p4:p4 + flen]
             addr4 = struct.unpack_from("<Q", layout, p4 + flen)[0]
             if addr4 == _UNDEF:  # never-written chunked variable
@@ -1791,14 +1805,15 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 lay += struct.pack("<II", cr, cc)
                 lay += bytes([3, _FA_PAGE_BITS]) + struct.pack("<Q", 0)
             elif chunk_index == "extensible_array":
-                # v4 layout, Extensible Array (type 4): 6-byte
-                # creation-params field (sized per the reader's
-                # index-field table), EAHD address patched at assembly
+                # v4 layout, Extensible Array (type 4): five 1-byte
+                # creation params (max bits, index elements, min
+                # pointers, min elements, page bits — spec order),
+                # EAHD address patched at assembly
                 lay = bytes([4, 2, 0, 2, 4])
                 lay += struct.pack("<II", cr, cc)
                 lay += bytes([4]) + struct.pack(
-                    "<BBBBH", _EA_MAX_BITS, _EA_IB_ELMTS, _EA_DB_MIN,
-                    _EA_SB_MIN_PTRS, _EA_PAGE_BITS)
+                    "<BBBBB", _EA_MAX_BITS, _EA_IB_ELMTS,
+                    _EA_SB_MIN_PTRS, _EA_DB_MIN, _EA_PAGE_BITS)
                 lay += struct.pack("<Q", 0)
             else:
                 lay = struct.pack("<BBBQ", 3, 2, 3, 0)
@@ -1878,21 +1893,9 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         e += struct.pack("<I", 0)
                     ents.append(e)
                 undef = b"\xff" * esize
-                # the doubling geometry, mirroring the reader: super
-                # block u holds 2^(u//2) data blocks of
-                # db_min·2^((u+1)//2) elements each
-                nsblks = 1 + (_EA_MAX_BITS
-                              - (_EA_DB_MIN.bit_length() - 1))
-                info, s_idx, s_dblk = [], 0, 0
-                for u in range(nsblks):
-                    nd_ = 1 << (u // 2)
-                    ne_ = _EA_DB_MIN << ((u + 1) // 2)
-                    info.append((nd_, ne_, s_idx, s_dblk))
-                    s_idx += nd_ * ne_
-                    s_dblk += nd_
-                n_in_ib = 2 * (_EA_SB_MIN_PTRS.bit_length() - 1)
-                ndblk_addrs = sum(
-                    info[u][0] for u in range(min(n_in_ib, nsblks)))
+                info, n_in_ib, ndblk_addrs = _ea_geometry(
+                    _EA_MAX_BITS, _EA_DB_MIN, _EA_SB_MIN_PTRS)
+                nsblks = len(info)
                 direct_cap = sum(
                     info[u][0] * info[u][1]
                     for u in range(min(n_in_ib, nsblks)))
@@ -2184,7 +2187,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         nd, enc = b[off + 11], b[off + 12]
                         p_idx = off + 8 + 5 + nd * enc
                         idx_t = b[p_idx]
-                        flen = {3: 1, 4: 6}[idx_t]  # FA page-bits / EA params
+                        flen = {3: 1, 4: 5}[idx_t]  # FA page-bits / EA params
                         struct.pack_into(
                             "<Q", b, p_idx + 1 + flen,
                             pos[("fahd", n) if idx_t == 3

@@ -89,7 +89,8 @@ def nc3_bytes(dims, variables, gattrs=None, version=1):
             metas, blobs, begins
         ):
             out += _ncname(name, wide) + _nccnt(len(dimids), wide)
-            out += struct.pack(">" + "I" * len(dimids), *dimids)
+            for d in dimids:  # dimid is a NON_NEG: 8-byte in CDF-5
+                out += _nccnt(d, wide)
             out += _ncattrs(attrs, wide)
             out += struct.pack(">I", nc_type) + _nccnt(len(blob), wide)
             out += struct.pack(">Q" if version in (2, 5) else ">I", bg)
@@ -2426,3 +2427,50 @@ def test_packbits_truncation_is_loud():
         packbits_decode(bytes([5, 1, 2]))  # literal run cut short
     with pytest.raises(ValueError, match="truncated PackBits"):
         packbits_decode(bytes([0xFE]))  # repeat run missing its byte
+
+
+def test_highly_compressible_mask_tile_decodes():
+    """The OOM guard scales by the STORED sample size: an all-constant
+    u2 mask tile (4096x4096 = 32 MB of samples in a few KB of DEFLATE
+    — the empty-tile shape real archives are full of) must decode,
+    not be rejected as corrupt."""
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    arr = np.zeros((4096, 4096), dtype="u2")
+    buf = geotiff_bytes(arr, 1.0, 1.0, 0.0, 4096.0, compress=True,
+                        rows_per_strip=4096)
+    assert len(buf) < 200_000  # genuinely near the zlib limit
+    px = tiff_pixels(buf)
+    assert px.shape == (4096, 4096) and px[0, 0] == 0.0
+
+
+def test_cross_validate_cdf5_against_real_netcdf4(tmp_path):
+    """The day netCDF4/netcdf-c appears: both directions of the CDF-5
+    grammar must interoperate with the real library — our writer's
+    NC_64BIT_DATA output opens in netcdf-c, and a netcdf-c-written
+    CDF-5 file (8-byte counts AND 8-byte dimids) parses natively."""
+    nc4 = pytest.importorskip("netCDF4")
+    from pyresample_spark.sources.binary_raster import netcdf3_bytes
+
+    data = np.arange(48, dtype="i8").reshape(6, 8) * 3 - 5
+    ours = tmp_path / "ours.nc"
+    ours.write_bytes(netcdf3_bytes(
+        [("y", 6), ("x", 8)],
+        [("band", ["y", "x"], {"units": "K"}, data)],
+        version=5,
+    ))
+    with nc4.Dataset(str(ours)) as ds:
+        assert ds.file_format == "NETCDF3_64BIT_DATA"
+        np.testing.assert_array_equal(ds["band"][:], data)
+    theirs = tmp_path / "theirs.nc"
+    with nc4.Dataset(str(theirs), "w",
+                     format="NETCDF3_64BIT_DATA") as ds:
+        ds.createDimension("y", 6)
+        ds.createDimension("x", 8)
+        v = ds.createVariable("band", "i8", ("y", "x"))
+        v[:] = data
+    buf = theirs.read_bytes()
+    assert buf[:4] == b"CDF\x05"
+    nc = parse_netcdf3(buf)
+    np.testing.assert_array_equal(
+        nc_var_data(buf, nc["vars"]["band"]), data)

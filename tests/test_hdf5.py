@@ -1810,9 +1810,10 @@ def test_layout_v4_extensible_array(filtered):
             msgs.append(_msg_v2(0x0B, _filter_msg(
                 True, False, 8, pipeline_v2=True)))
         body = _v4_chunked_prefix(0, cdims, 8, 4)
-        # index fields: max bits, index elmts, min ptrs, min elmts,
-        # page bits (2) — informational; the EAHD is authoritative
-        body += bytes([32, 4, 4, 4, 10, 0]) + struct.pack("<Q", ea_addr)
+        # index field: five 1-byte creation params (max bits, index
+        # elmts, min ptrs, min elmts, page bits) — informational; the
+        # EAHD is authoritative
+        body += bytes([32, 4, 4, 4, 10]) + struct.pack("<Q", ea_addr)
         msgs.append(_msg_v2(0x08, body))
         oh = _ohdr_v2(msgs)
         root = _ohdr_v2([_link_msg("v", 48)])
@@ -1856,7 +1857,7 @@ def test_layout_v4_extensible_array_swizzled_unlim_dim():
 
     def build(chunk_addrs, ea_addr):
         body = _v4_chunked_prefix(0, cdims, 8, 4)
-        body += bytes([32, 4, 4, 4, 10, 0]) + struct.pack("<Q", ea_addr)
+        body += bytes([32, 4, 4, 4, 10]) + struct.pack("<Q", ea_addr)
         oh = _ohdr_v2([
             _msg_v2(0x01, _ds_simple(arr.shape, maxdims=(6, UNDEF))),
             _msg_v2(0x03, _dt_fixed(arr.dtype)),
@@ -1896,7 +1897,7 @@ def test_layout_v4_extensible_array_superblocks_paged():
 
     def build(chunk_addrs, ea_addr):
         body = _v4_chunked_prefix(0, cdims, 8, 4)
-        body += bytes([16, 1, 2, 1, 1, 0]) + struct.pack("<Q", ea_addr)
+        body += bytes([16, 1, 2, 1, 1]) + struct.pack("<Q", ea_addr)
         oh = _ohdr_v2([
             _msg_v2(0x01, _ds_simple(arr.shape)),
             _msg_v2(0x03, _dt_fixed(arr.dtype)),
@@ -1947,7 +1948,7 @@ def test_layout_v4_extensible_array_sparse_tail():
 
     def build(chunk_addrs, ea_addr):
         body = _v4_chunked_prefix(0, cdims, 8, 4)
-        body += bytes([32, 4, 4, 4, 10, 0]) + struct.pack("<Q", ea_addr)
+        body += bytes([32, 4, 4, 4, 10]) + struct.pack("<Q", ea_addr)
         oh = _ohdr_v2([
             _msg_v2(0x01, _ds_simple(arr.shape)),
             _msg_v2(0x03, _dt_fixed(arr.dtype)),
@@ -2605,3 +2606,29 @@ def test_extensible_array_guard_requires_superblock2():
         hdf5_grid_bytes({"v": (np.zeros((4, 4)), {})},
                         chunks={"v": (2, 2)},
                         chunk_index="extensible_array")
+
+
+def test_cross_validate_ea_against_real_h5py(tmp_path):
+    """The day h5py/libhdf5 appears: the Extensible Array index must
+    interoperate both ways — a real libver=latest unlimited-dim
+    dataset (libhdf5 picks the EA index for it) parses natively, and
+    our EA writer's output opens in h5py."""
+    h5py = pytest.importorskip("h5py")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    data = ((np.arange(40)[:, None] * 31
+             + np.arange(16)[None, :] * 17) % 97 + 0.5).astype("<f8")
+    theirs = tmp_path / "theirs.h5"
+    with h5py.File(str(theirs), "w", libver="latest") as f:
+        f.create_dataset("band", data=data, chunks=(5, 7),
+                         maxshape=(None, 16), compression="gzip")
+    ds = parse_hdf5(theirs.read_bytes())
+    np.testing.assert_array_equal(ds["band"]["data"], data)
+    ours = tmp_path / "ours.h5"
+    ours.write_bytes(hdf5_grid_bytes(
+        {"band": (data, {})}, chunks={"band": (5, 7)}, deflate=True,
+        superblock=2, chunk_index="extensible_array",
+    ))
+    with h5py.File(str(ours)) as f:
+        np.testing.assert_array_equal(f["band"][:], data)
+        assert f["band"].maxshape == (None, 16)
