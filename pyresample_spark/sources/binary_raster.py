@@ -212,6 +212,8 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None,
         variable = cands[0]
     v = nc["vars"][variable]
     gm = v["attrs"].get("grid_mapping")
+    if not isinstance(gm, str):  # corrupt/retyped attr ≠ a CRS name
+        gm = None
     crs = "longlat"
     if gm and gm in nc["vars"]:
         gmv = nc["vars"][gm]["attrs"]

@@ -1447,6 +1447,8 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
     xn = pick(w, ("x", "lon", "longitude"))
     yn = pick(h, ("y", "lat", "latitude"), taken=(xn,))
     gm = v["attrs"].get("grid_mapping")
+    if not isinstance(gm, str):  # corrupt/retyped attr ≠ a CRS name
+        gm = None
     crs = "longlat"
     if gm and gm in ds:
         gma = ds[gm]["attrs"]
