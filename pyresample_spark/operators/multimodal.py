@@ -336,6 +336,8 @@ def decode_wav_pcm16(payload: bytes) -> dict:
             )
             if audio_fmt != 1 or bits != 16:
                 raise ValueError("only 16-bit PCM supported")
+            if n_channels < 1:  # corrupt fmt would divide by zero
+                raise ValueError("fmt chunk claims zero channels")
             fmt = (n_channels, sample_rate, bits)
         elif cid == b"data":
             data = body
