@@ -212,8 +212,14 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None,
         variable = cands[0]
     v = nc["vars"][variable]
     gm = v["attrs"].get("grid_mapping")
-    if not isinstance(gm, str):  # corrupt/retyped attr ≠ a CRS name
-        gm = None
+    if gm is not None and not isinstance(gm, str):
+        # an ABSENT grid_mapping legitimately means geographic; a
+        # PRESENT one retyped to numbers is corruption — reject loudly
+        # rather than silently ingesting with wrong geolocation
+        raise ValueError(
+            f"grid_mapping attribute is not a string ({gm!r}) — "
+            "corrupt input"
+        )
     crs = "longlat"
     if gm and gm in nc["vars"]:
         gmv = nc["vars"][gm]["attrs"]
@@ -614,14 +620,18 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate raster dims {h}x{w}")
     spp = ints(277, "samples/pixel", [1])[0]
-    bits_guard = ints(258, "bits/sample", [1])[0]
+    bits_list = ints(258, "bits/sample", [1])
+    bits_guard = bits_list[0]
     # untrusted-bytes guard: a corrupt dimension field must raise
-    # BEFORE the output allocation, not OOM an executor. DEFLATE's
-    # worst-case expansion is ~1032:1, so the STORED sample bytes can
-    # never plausibly exceed ~2000x the file (scaling by the stored
-    # sample size, not the f8 output size — an all-constant u2 mask
-    # tile legitimately approaches the zlib limit)
-    if h * w * spp * max(1, bits_guard // 8) > 2000 * len(buf) + (1 << 20):
+    # BEFORE the output allocation, not OOM an executor. Two bounds:
+    # the STORED sample bytes can never plausibly exceed ~2000x the
+    # file (DEFLATE's worst case is ~1032:1; scaling by the stored
+    # sample size lets an all-constant u2 mask tile near the zlib
+    # limit through), AND the f8 OUTPUT allocation itself stays
+    # bounded so 8-bit samples can't stretch the first bound 8x
+    if (h * w * spp * max(1, bits_guard // 8)
+            > 2000 * len(buf) + (1 << 20)
+            or h * w * spp * 8 > 16000 * len(buf) + (1 << 23)):
         raise ValueError(
             f"implausible raster dims {h}x{w}x{spp} for a "
             f"{len(buf)}-byte file — corrupt or unsupported input"
@@ -641,7 +651,6 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     # ONE sample per pixel
     nplanes = spp if (spp > 1 and planar == 2) else 1
     csp = 1 if nplanes > 1 else spp  # channels per stored block
-    bits_list = t.get(258, [1])
     fmt_list = t.get(339, [1] * spp)
     if len(set(bits_list)) > 1 or len(set(fmt_list)) > 1:
         raise ValueError("mixed per-sample layouts unsupported")

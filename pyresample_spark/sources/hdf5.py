@@ -1447,8 +1447,14 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
     xn = pick(w, ("x", "lon", "longitude"))
     yn = pick(h, ("y", "lat", "latitude"), taken=(xn,))
     gm = v["attrs"].get("grid_mapping")
-    if not isinstance(gm, str):  # corrupt/retyped attr ≠ a CRS name
-        gm = None
+    if gm is not None and not isinstance(gm, str):
+        # an ABSENT grid_mapping legitimately means geographic; a
+        # PRESENT one retyped to numbers is corruption — reject loudly
+        # rather than silently ingesting with wrong geolocation
+        raise ValueError(
+            f"grid_mapping attribute is not a string ({gm!r}) — "
+            "corrupt input"
+        )
     crs = "longlat"
     if gm and gm in ds:
         gma = ds[gm]["attrs"]

@@ -2474,3 +2474,24 @@ def test_cross_validate_cdf5_against_real_netcdf4(tmp_path):
     nc = parse_netcdf3(buf)
     np.testing.assert_array_equal(
         nc_var_data(buf, nc["vars"]["band"]), data)
+
+
+def test_nonstring_grid_mapping_is_loud():
+    """A PRESENT grid_mapping retyped to numbers is corruption and
+    must raise (silent longlat fallback = wrong geolocation); an
+    ABSENT grid_mapping legitimately means geographic."""
+    xs = np.array([10.25 + 0.5 * i for i in range(8)], dtype=">f8")
+    ys = np.array([50.0 - 0.25 * j for j in range(6)], dtype=">f8")
+    data = np.arange(48, dtype=">f8").reshape(6, 8)
+
+    def build(attrs):
+        return nc3_bytes(
+            [("y", 6), ("x", 8)],
+            [("x", ["x"], {}, xs), ("y", ["y"], {}, ys),
+             ("t2m", ["y", "x"], attrs, data)],
+        )
+
+    with pytest.raises(ValueError, match="grid_mapping.*not a string"):
+        load_cf_area_nc3(build({"grid_mapping": [1.0, 2.0]}))
+    area, _ = load_cf_area_nc3(build({}))  # absent → geographic
+    assert area.crs == "longlat"

@@ -2632,3 +2632,50 @@ def test_cross_validate_ea_against_real_h5py(tmp_path):
     with h5py.File(str(ours)) as f:
         np.testing.assert_array_equal(f["band"][:], data)
         assert f["band"].maxshape == (None, 16)
+
+
+def test_h5_nonstring_grid_mapping_is_loud():
+    """HDF5 twin of the nc3 guard: a numeric grid_mapping attribute
+    raises; absent falls back to geographic."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    xs = np.arange(8) + 0.5
+    ys = -(np.arange(6) + 0.5)
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+
+    def build(attrs):
+        return hdf5_grid_bytes({
+            "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+            "t2m": (data, attrs),
+        }, chunks=None, deflate=False)
+
+    # the package writer stringifies attr values, so build the bad
+    # attr through the spec-built test writer instead
+    buf = hdf5_bytes({
+        "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+        "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+        "t2m": (data, {"grid_mapping": [1.0, 2.0]}),
+    })
+    with pytest.raises(ValueError, match="grid_mapping.*not a string"):
+        load_cf_area_h5(buf)
+    area, _ = load_cf_area_h5(build({}))
+    assert area.crs == "longlat"
+
+
+def test_wav_zero_channels_is_loud():
+    """A corrupt fmt chunk claiming zero channels raises instead of
+    dividing by zero in the frame count."""
+    import struct as _struct
+
+    from pyresample_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    wav = bytearray(encode_wav_pcm16(16000, [1, 2, 3, 4]))
+    # n_channels lives 2 bytes into the fmt body (after audio_fmt)
+    off = wav.index(b"fmt ") + 8 + 2
+    _struct.pack_into("<H", wav, off, 0)
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav_pcm16(bytes(wav))
