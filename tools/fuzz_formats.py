@@ -1,0 +1,185 @@
+"""Exhaustive corruption campaign over every binary-format parser.
+
+The distributed ingest decodes UNTRUSTED granule bytes inside
+executors, so the contract is: corrupt input raises a loud python
+exception (a failed task) — never a hang, never an unbounded
+allocation, never a silently wrong parse of a field the mutation hit.
+The strided hypothesis tests in tests/ pin this contract in CI time;
+THIS script is the exhaustive offline sweep (every byte position ×
+several flip deltas, every truncation point) that found the round-11
+guards: the TIFF tag-size format-string stall, the 49 GB corrupt-dims
+allocation, the EA/FA element-count overruns, the StopIteration
+escape, zero-denominator RATIONALs, float-retyped offset tags, the
+unhashable grid_mapping, and the zero-channel WAV division.
+
+Run: python tools/fuzz_formats.py [deltas-per-position]
+Exit code 1 if any mutant hangs (>3 s) or raises outside the allowed
+loud set.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import struct
+import sys
+import time
+import zlib
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ALLOWED = (
+    ValueError, NotImplementedError, KeyError, IndexError,
+    struct.error, OverflowError, MemoryError, EOFError,
+    UnicodeDecodeError, zlib.error,
+)
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(sig, frame):
+    raise _Timeout()
+
+
+def scan(label: str, base: bytes, parse, deltas) -> list:
+    bad = []
+    t0 = time.time()
+    for pos in range(len(base)):
+        for delta in deltas:
+            m = bytearray(base)
+            m[pos] = (m[pos] + delta) % 256
+            if m[pos] == base[pos]:
+                continue
+            signal.alarm(3)
+            try:
+                parse(bytes(m))
+            except _Timeout:
+                bad.append(("HANG flip", pos, delta))
+            except ALLOWED:
+                pass
+            except Exception as ex:
+                bad.append((f"BAD {type(ex).__name__} flip", pos, delta))
+            finally:
+                signal.alarm(0)
+        signal.alarm(3)
+        try:
+            parse(base[:pos])
+        except _Timeout:
+            bad.append(("HANG trunc", pos))
+        except ALLOWED:
+            pass
+        except Exception as ex:
+            bad.append((f"BAD {type(ex).__name__} trunc", pos))
+        finally:
+            signal.alarm(0)
+    status = "CLEAN" if not bad else f"{len(bad)} FINDINGS {bad[:5]}"
+    print(f"{label}: {len(base)}B {time.time() - t0:.1f}s {status}",
+          flush=True)
+    return bad
+
+
+def main():
+    deltas = (1, 128, 255) if len(sys.argv) < 2 else tuple(
+        range(1, 256, max(1, 255 // int(sys.argv[1]))))
+    signal.signal(signal.SIGALRM, _alarm)
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    from test_binary_raster import _demo_nc, tiff_bytes_strips, \
+        tiff_bytes_tiles
+
+    from pyresample_spark.operators.multimodal import (
+        decode_ppm,
+        decode_ppm_container,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+    from pyresample_spark.sources.binary_raster import (
+        area_from_geotiff,
+        geotiff_bytes,
+        load_cf_area_nc3,
+        nc_var_data,
+        parse_netcdf3,
+        tiff_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import (
+        hdf5_grid_bytes,
+        load_cf_area_h5,
+        parse_hdf5,
+    )
+
+    arr = (np.arange(60, dtype="f4").reshape(6, 10)) * 1.5
+
+    def nc_parse(buf):
+        nc = parse_netcdf3(buf)
+        for v in nc["vars"].values():
+            nc_var_data(buf, v)
+
+    def h5_parse(buf):
+        for v in parse_hdf5(buf).values():
+            _ = v["data"]
+
+    def h5_grid(**kw):
+        xs = np.arange(16) + 0.5
+        ys = -(np.arange(12) + 0.5)
+        data = ((np.arange(12)[:, None] * 31
+                 + np.arange(16)[None, :] * 17) % 97 + 0.5).astype("<f8")
+        return hdf5_grid_bytes(
+            {
+                "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+                "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+                "crs": (None, {"proj4": "eqc"}),
+                "band": (data, {"grid_mapping": "crs"}),
+            },
+            chunks={"band": (5, 7)}, deflate=True, **kw,
+        )
+
+    cases = [
+        ("tiff-deflate", tiff_bytes_strips(arr, rows_per_strip=3,
+                                           compress=8), tiff_pixels),
+        ("tiff-lzw-pred3", tiff_bytes_tiles(arr, tile=(4, 4), compress=5,
+                                            predictor=3), tiff_pixels),
+        ("tiff-packbits", tiff_bytes_strips(
+            (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
+            tiff_pixels),
+        ("bigtiff", geotiff_bytes(arr, 1.0, 1.0, 0.0, 6.0, compress=True,
+                                  rows_per_strip=3, bigtiff=True),
+            tiff_pixels),
+        ("geotiff-area", geotiff_bytes(arr, 0.5, 0.25, 10.0, 50.0,
+                                       compress=True),
+            lambda b: area_from_geotiff(b, "t")),
+        ("nc1", _demo_nc(), nc_parse),
+        ("nc5", _demo_nc(version=5), nc_parse),
+        ("nc-area", _demo_nc(), load_cf_area_nc3),
+        ("hdf5-v0", h5_grid(), h5_parse),
+        ("hdf5-v2-fa-dense", h5_grid(superblock=2,
+                                     chunk_index="fixed_array",
+                                     dense_links=True), h5_parse),
+        ("hdf5-ea", h5_grid(superblock=2,
+                            chunk_index="extensible_array"), h5_parse),
+        ("hdf5-area", h5_grid(), load_cf_area_h5),
+        ("ppm", encode_ppm(17, 11, (50, 100, 150)), decode_ppm),
+        ("ppm-container",
+         encode_ppm(17, 11, (50, 100, 150)) * 2, decode_ppm_container),
+        ("wav", encode_wav_pcm16(16000, [100, -5, 32767, -32768] * 40),
+         decode_wav_pcm16),
+    ]
+    findings = Counter()
+    for label, base, parse in cases:
+        for f in scan(label, base, parse, deltas):
+            findings[label] += 1
+    if findings:
+        print(f"TOTAL FINDINGS: {dict(findings)}")
+        sys.exit(1)
+    print("ALL CLEAN")
+
+
+if __name__ == "__main__":
+    main()
