@@ -113,6 +113,10 @@ def _parse_datatype(b: bytes):
         return ("vlen_str",)
     if cls == 6:  # compound
         nmem = bits0 | (b[2] << 8)
+        if nmem == 0:
+            raise ValueError(
+                "compound datatype with zero members — corrupt input"
+            )
         names, formats, offsets = [], [], []
         p = 8
         for _ in range(nmem):
@@ -1396,7 +1400,11 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
     dim_scales = {
         n: v for n, v in ds.items()
         if len(v["shape"]) == 1 and v["data"] is not None
-        and v["attrs"].get("CLASS", "").startswith("DIMENSION_SCALE")
+        and v["data"].dtype.names is None  # compound ≠ coordinate
+        # corrupt bytes can retype CLASS to a non-string — only a
+        # real string marks a dimension scale
+        and isinstance(v["attrs"].get("CLASS"), str)
+        and v["attrs"]["CLASS"].startswith("DIMENSION_SCALE")
     }
     if not dim_scales:  # fall back: any 1-D dataset can be a coord
         dim_scales = {
