@@ -353,6 +353,10 @@ def area_from_geotiff(buf: bytes, area_id: str = "geotiff") -> AreaDefinition:
     for tag, what in ((256, "ImageWidth"), (257, "ImageLength")):
         if tag not in t:
             raise ValueError(f"TIFF lacks {what} ({tag})")
+        if not all(isinstance(v, int) and v > 0 for v in t[tag]):
+            # corruption can retype any tag (e.g. to RATIONAL) — dims
+            # must be positive integers
+            raise ValueError(f"TIFF {what} is not a positive integer")
     w = t[256][0]
     h = t[257][0]
     if 33550 in t and 33922 in t:
@@ -379,6 +383,12 @@ def area_from_geotiff(buf: bytes, area_id: str = "geotiff") -> AreaDefinition:
     crs = "longlat"
     if 34735 in t:
         keys = t[34735]
+        if (len(keys) < 4
+                or not all(isinstance(v, int) for v in keys)
+                or len(keys) < 4 + 4 * keys[3]):
+            # the geokey directory is a SHORT array; a retyped or
+            # short-counted one is corruption, not a CRS
+            raise ValueError("corrupt GeoKeyDirectoryTag")
         doubles = t.get(34736, [])
         kv, kd = {}, {}
         for k in range(keys[3]):

@@ -467,6 +467,10 @@ def _btree_v2_records(r: _R, bthd_addr: int):
         )
     node_size = r.u(bthd_addr + 6, 4)
     rec_size = r.u(bthd_addr + 10, 2)
+    if rec_size < 1 or node_size < 10 + rec_size:
+        # corrupt sizes would divide by zero in the leaf-capacity
+        # table (or make it zero records per node)
+        raise ValueError("corrupt v2 B-tree header sizes")
     depth = r.u(bthd_addr + 12, 2)
     root_addr = r.u(bthd_addr + 16, 8)
     root_nrec = r.u(bthd_addr + 24, 2)
@@ -898,6 +902,10 @@ def _ea_elements(r: _R, hd_addr: int) -> _EAElems:
     ib_addr = r.u(hd_addr + 60, 8)
     if client not in (0, 1):
         raise NotImplementedError(f"extensible array client {client}")
+    if esize < 1 or db_min < 1 or sb_min_ptrs < 1:
+        # corrupt creation params would divide by zero in the
+        # doubling-table lookup (idx // db_min)
+        raise ValueError("corrupt extensible array creation parameters")
     # untrusted-bytes guard: stored elements occupy ≥1 byte each, so
     # an element count past the file size is corruption — reject
     # BEFORE the positional list materializes it
