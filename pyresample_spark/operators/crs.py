@@ -116,7 +116,10 @@ def _params(crs: str) -> dict:
             # or a valueless flag (+south, +over, +no_defs)
             out.setdefault("proj", tok)
             out.setdefault(tok, "")
-    return out
+    # expand +datum= shorthand so every downstream consumer (family
+    # dispatch, ellipsoid resolution, datum pipeline) sees the
+    # explicit +ellps/+towgs84 form; raises on NAD27 & friends
+    return _resolve_datum_token(out)
 
 
 def _family(crs: str) -> str:
@@ -214,6 +217,44 @@ _ELLPS = {
     name: (a, a * (1.0 - 1.0 / rf)) for name, (a, rf) in _ELLPS_RF.items()
 }
 _ELLPS["clrk66"] = (6378206.4, 6356583.8)
+_ELLPS["mod_airy"] = (6377340.189, 6356034.446)  # PROJ defines by a,b
+
+
+# +datum= shorthand table: PROJ's public datums list (proj -ld),
+# name -> (+ellps, +towgs84 string). NAD27 is grid-shift-only (NADCON)
+# and deliberately ABSENT — resolving it raises below instead of
+# silently pretending a Helmert fit exists.
+_DATUMS = {
+    "WGS84": ("WGS84", "0,0,0"),
+    "NAD83": ("GRS80", "0,0,0"),
+    "GGRS87": ("GRS80", "-199.87,74.79,246.62"),
+    "potsdam": ("bessel", "598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),
+    "carthage": ("clrk80ign", "-263.0,6.0,431.0"),
+    "hermannskogel": ("bessel", "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"),
+    "ire65": ("mod_airy", "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15"),
+    "nzgd49": ("intl", "59.47,-5.04,187.44,0.47,-0.10,1.024,-4.5993"),
+    "OSGB36": ("airy", "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"),
+}
+
+
+def _resolve_datum_token(p: dict) -> dict:
+    """Expand a ``+datum=`` shorthand into +ellps/+towgs84 (explicit
+    tokens win). Unknown datums — including grid-shift-only NAD27 —
+    raise loudly rather than silently dropping the shift."""
+    tok = p.get("datum")
+    if tok is None:
+        return p
+    if tok not in _DATUMS:
+        raise NotImplementedError(
+            f"unsupported +datum={tok!r}: known Helmert datums are "
+            f"{', '.join(sorted(_DATUMS))} (NAD27 needs NADCON grid "
+            "shifts — no Helmert fit exists; supply lon/lats directly)"
+        )
+    ellps, towgs84 = _DATUMS[tok]
+    out = dict(p)
+    out.setdefault("ellps", ellps)
+    out.setdefault("towgs84", towgs84)
+    return out
 
 
 def _ellipsoid_ab(p: dict):
@@ -539,6 +580,128 @@ def _inverse_centered(crs: str):
     return lambda x, y: geos_inverse(x, y, h=h, lon_0=lon_0, sweep=sweep)
 
 
+def crs_datum_spec(crs: str):
+    """DatumSpec (ellipsoid a/b + optional +towgs84 7-tuple) for the
+    Helmert pipeline. Spherical CRSs (no +ellps/+a+b) use R_EARTH for
+    both axes; they only ever enter a datum pipeline if they declare
+    +towgs84 themselves (see :func:`datum_shift_between`)."""
+    from pyresample_spark.functions.datum import DatumSpec, parse_towgs84
+
+    p = _params(crs)
+    ab = _ellipsoid_ab(p)
+    a, b = ab if ab else (R_EARTH, R_EARTH)
+    tw = parse_towgs84(p["towgs84"]) if "towgs84" in p else None
+    return DatumSpec(a, b, tw)
+
+
+# ellipsoids accepted as the implicit-WGS84-datum side of a shift when
+# the CRS declares no +towgs84 of its own (PROJ's convention: WGS84 and
+# GRS80 are coincident at the sub-mm level)
+_WGS84_LIKE = {(6378137.0, _ELLPS["WGS84"][1]), (6378137.0, _ELLPS["GRS80"][1])}
+
+
+def datum_specs_between(src_crs: str, dst_crs: str):
+    """(src DatumSpec, dst DatumSpec) when a Helmert shift applies
+    between the two CRSs, else None. Enforces the loud guard (see
+    :func:`datum_shift_between` for the rules)."""
+    s, d = crs_datum_spec(src_crs), crs_datum_spec(dst_crs)
+    if s.towgs84 is None and d.towgs84 is None:
+        return None
+    if s.same_datum(d):
+        return None
+    for spec, crs in ((s, src_crs), (d, dst_crs)):
+        if spec.towgs84 is None and (spec.a, spec.b) not in _WGS84_LIKE:
+            raise NotImplementedError(
+                f"datum shift between {src_crs!r} and {dst_crs!r}: "
+                f"{crs!r} declares no +towgs84 and is not on the "
+                "WGS84/GRS80 ellipsoid, so its datum is unknown — add "
+                "+towgs84=dx,dy,dz[,rx,ry,rz,s] (or +datum=) to pin it"
+            )
+    return s, d
+
+
+def forward_sql(crs: str):
+    """Engine-shared SQL forward emitter: ``f(lon_sql, lat_sql) ->
+    (x_sql, y_sql)`` built from the functions/geo.py ``*_sql`` twins
+    (pure sin/cos/pow/atan text — parses identically in Spark SQL and
+    DuckDB). Returns None for families without a forward SQL twin;
+    callers fall back to the Column builders. Used by the datum
+    pipeline to keep the shift+forward in ONE let_expr chain (a
+    Column-composed forward would re-substitute the shifted lon/lat
+    10+ times through CollapseProject)."""
+    from pyresample_spark.functions import geo as G
+
+    fam, p = _family(crs), _params(crs)
+    x0, y0 = _xy_offsets(fam, p)
+
+    def offset(fn):
+        if not (x0 or y0):
+            return fn
+
+        def _sh(lon, lat):
+            x, y = fn(lon, lat)
+            return f"({x} + {x0!r})", f"({y} + {y0!r})"
+
+        return _sh
+
+    if fam == "eqc":
+        return offset(lambda lon, lat: (
+            f"(radians({lon}) * {R_EARTH!r})",
+            f"(radians({lat}) * {R_EARTH!r})",
+        ))
+    if fam == "stere_ell":
+        kw = stere_ell_crs_params(crs)
+        return offset(lambda lon, lat: G.stere_ell_sql(lon, lat, **kw))
+    if fam == "stere_ell_polar":
+        kw = stere_ell_polar_crs_params(crs)
+        return offset(lambda lon, lat: G.stere_ell_polar_sql(lon, lat, **kw))
+    if fam == "stere_oblique":
+        return offset(lambda lon, lat: G.stere_oblique_sql(
+            lon, lat, lat_0=float(p.get("lat_0", "0")),
+            lon_0=float(p.get("lon_0", "0")),
+            k0=float(p.get("k_0", p.get("k", "1"))),
+        ))
+    if fam == "tmerc":
+        kw = tmerc_crs_params(crs)
+        return lambda lon, lat: G.tmerc_sql(lon, lat, **kw)
+    if fam == "merc":
+        return offset(lambda lon, lat: G.merc_sql(
+            lon, lat, lat_ts=float(p.get("lat_ts", "0")),
+            lon_0=float(p.get("lon_0", "0")),
+        ))
+    if fam == "laea":
+        return offset(lambda lon, lat: G.laea_sql(
+            lon, lat, lat_0=float(p.get("lat_0", "90")),
+            lon_0=float(p.get("lon_0", "0")),
+            radius=float(p.get("a", repr(R_EARTH))),
+        ))
+    return None
+
+
+def datum_shift_between(src_crs: str, dst_crs: str):
+    """(lon, lat column names) -> shifted (lon, lat) columns moving
+    geodetic coordinates from ``src_crs``'s datum to ``dst_crs``'s, or
+    ``None`` when no shift applies.
+
+    Rules (proj.4 +towgs84 semantics):
+    - Neither side declares +towgs84: no shift — lon/lats are taken as
+      a shared datum, the reference's own convention for bare CRSs
+      (utils/proj4.py treats such strings as datum-less).
+    - Both declare and the (towgs84, ellipsoid) pairs agree: no shift.
+    - At least one declares: shift through WGS84 geocentric. A side
+      WITHOUT +towgs84 must then sit on the WGS84/GRS80 ellipsoid
+      (implicitly the WGS84 datum); any other bare ellipsoid mixed
+      with a datum-pinned CRS raises LOUDLY — silently skipping the
+      shift would smear the output by hundreds of metres.
+    """
+    from pyresample_spark.functions import datum as _dat
+
+    specs = datum_specs_between(src_crs, dst_crs)
+    if specs is None:
+        return None
+    return lambda lon, lat: _dat.datum_shift(lon, lat, *specs)
+
+
 def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):
     """Nearest-neighbor regrid between ANY two analytic-CRS areas:
     generate the target grid, invert its (x, y) to lon/lat, forward
@@ -549,23 +712,52 @@ def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):
     join, no UDF, whole plan codegen'd.
     """
     inv = inverse(tgt_area.crs)
-    fwd = forward(src_area.crs)
     tgt = tgt_area.grid(src_img.sparkSession)
     lon, lat = inv("cx", "cy")
     t = tgt.select("cell_id", lon.alias("lon"), lat.alias("lat"))
-    sx, sy = fwd("lon", "lat")
-    t = t.select(
-        "cell_id",
-        F.floor(
+    specs = datum_specs_between(tgt_area.crs, src_area.crs)
+    fsql = forward_sql(src_area.crs) if specs is not None else None
+    if specs is not None and fsql is not None:
+        # datum path: keep shift + forward + pixel index in ONE nested
+        # let chain per output — a Column-composed forward would
+        # re-inline the shifted lon/lat (and its conformal-latitude
+        # fold) 10+ times through CollapseProject (52 fold copies,
+        # 3.4 MiB task binary, measured) vs ~6 here
+        from pyresample_spark.functions.datum import datum_shift_exprs
+        from pyresample_spark.functions.exprs import let_expr
+
+        lon2s, lat2s = datum_shift_exprs("lon", "lat", *specs)
+        sxb, syb = fsql("vd.lon2", "vd.lat2")
+        binds = [("lon2", lon2s), ("lat2", lat2s)]
+        sy_body = (f"floor(round(({src_area.area_extent[3]!r} - ({syb}))"
+                   f" / {src_area.pixel_size_y!r}, 9))")
+        sx_body = (f"floor(round((({sxb}) - ({src_area.area_extent[0]!r}))"
+                   f" / {src_area.pixel_size_x!r}, 9))")
+        src_row = F.expr(let_expr(binds, "vd", sy_body))
+        src_col = F.expr(let_expr(binds, "vd", sx_body))
+    else:
+        if specs is not None:
+            # no SQL forward twin for this family — fall back to the
+            # Column-composed shift (correct, bigger plan)
+            shift = datum_shift_between(tgt_area.crs, src_area.crs)
+            slon, slat = shift("lon", "lat")
+            t = t.select("cell_id", slon.alias("lon"), slat.alias("lat"))
+        fwd = forward(src_area.crs)
+        sx, sy = fwd("lon", "lat")
+        src_row = F.floor(
             F.round(
                 (F.lit(src_area.area_extent[3]) - sy) / src_area.pixel_size_y, 9
             )
-        ).alias("src_row"),
-        F.floor(
+        )
+        src_col = F.floor(
             F.round(
                 (sx - F.lit(src_area.area_extent[0])) / src_area.pixel_size_x, 9
             )
-        ).alias("src_col"),
+        )
+    t = t.select(
+        "cell_id",
+        src_row.alias("src_row"),
+        src_col.alias("src_col"),
     ).filter(
         (F.col("src_row") >= 0)
         & (F.col("src_row") <= src_area.height - 1)

@@ -63,69 +63,70 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# ROUND-11 WINDOW (VERDICT r10 item 3): the two TIFF-decode re-proof
-# slots first (q_multiband_ingest was the one red r10 row; q_geotiff_-
-# ingest's green row is r9 and predates the undo_pred regression fixed
-# this round), then q_grid_gen and the r6-latest rows. 49 r6 rows + 2
-# re-proofs = 51 > 50, so ONE r6 row yields its slot:
-# q_embed_covariance and q_bucket_sum (the r10 judge re-verified both
-# cell-for-cell in the judging session — freshest evidence of the
-# block) and q_embed_quantize, which yielded to the NEW never-checked
-# q_compound_calibrate and to q_raster_ingest (its fixture gained a
-# CDF-5 granule this round — re-proof beats a stale green on changed
-# source); all three go FIRST in the r12 window, followed by the 50 oldest-r7 rows (recompute with
-# the same latest-round-per-query procedure).
+# ROUND-12 WINDOW (VERDICT r11 items 1-2): the NEW never-checked
+# q_regrid_datum (native +towgs84 Helmert datum shift, this round's
+# headline operator) goes first, then the three r6-latest rows
+# (q_bucket_sum, q_embed_quantize, q_embed_covariance — judge
+# re-verified cell-for-cell in the r11 judging session, but driver
+# evidence is still r6), then the 46 oldest-r7 rows in registry order.
+# Four r7 rows did not fit and roll to r13: q_mrl_recall,
+# q_exists_semi, q_percentiles, q_cube_agg.
+#
+# ROUND-13 PLAN (recompute with the same latest-round-per-query
+# procedure over all CORRECTNESS_r*.json): any new never-checked
+# queries first, then the 4 leftover r7 rows above, then the
+# oldest-r9 rows (48 at r9 as of r11) to fill 50.
 _PRIORITY = [
-    "q_compound_calibrate",
-    "q_raster_ingest",
-    "q_multiband_ingest",
-    "q_geotiff_ingest",
-    "q_grid_gen",
-    "q_lonlat2xyz",
-    "q_haversine",
-    "q_proj_eqc",
-    "q_lonlat_to_cell",
-    "q_wrap_lons",
-    "q_round_resolution",
-    "q_math_suite",
-    "q_geocentric_res",
-    "q_gradient_lead_lag",
-    "q_proj_stere",
-    "q_proj_laea",
-    "q_proj_merc",
-    "q_proj_aeqd",
-    "q_proj_gnom",
-    "q_proj_stere_ell",
-    "q_proj_geos_ell",
-    "q_valid_filter",
-    "q_bbox_reduce",
-    "q_grid_filter",
-    "q_slice_crop",
-    "q_mask_filter",
-    "q_bucket_assign",
-    "q_bucket_count",
-    "q_bucket_avg",
-    "q_get_average_skipna",
-    "q_bucket_min",
-    "q_regrid_stere",
-    "q_regrid_laea",
-    "q_regrid_aeqd",
-    "q_regrid_gnom",
-    "q_regrid_stere_ell",
-    "q_regrid_stere_wgs84",
-    "q_regrid_geos_ell",
-    "q_asof_join",
-    "q_range_join",
-    "q_countmin",
-    "q_edit_distance_rank",
-    "q_bloom_decontaminate",
-    "q_token_entropy",
-    "q_ann_ivf_probe2",
-    "q_ann_recall",
-    "q_dup_inflation",
-    "q_hard_negatives",
-    "q_kmeans_iter",
-    "q_embedding_stats",
+    "q_regrid_datum",
+    "q_bucket_sum",
+    "q_embed_quantize",
+    "q_embed_covariance",
+    "q_proj_abi",
+    "q_tile_assign",
+    "q_zorder_key",
+    "q_tile_pyramid",
+    "q_proj_udf",
+    "q_knn_join",
+    "q_nn_gather",
+    "q_gauss_agg",
+    "q_weighted_avg",
+    "q_custom_weight",
+    "q_multichannel_gauss",
+    "q_linesample_join",
+    "q_bilinear_regular",
+    "q_affine_regrid",
+    "q_ewa_fornav",
+    "q_bilinear_irregular",
+    "q_regrid_ortho",
+    "q_regrid_cea",
+    "q_regrid_sinu",
+    "q_regrid_ups",
+    "q_regrid_bessel",
+    "q_regrid_abi",
+    "q_gradient_walk",
+    "q_ewa_multiband",
+    "q_approx_distinct",
+    "q_funnel",
+    "q_events_retention",
+    "q_bm25",
+    "q_curation_pipeline",
+    "q_dup_span",
+    "q_bigram_logprob",
+    "q_token_histogram",
+    "q_dedup_span_mask",
+    "q_contamination_frac",
+    "q_line_dedup",
+    "q_gopher_rules",
+    "q_doc_chunk",
+    "q_data_card",
+    "q_quality_logreg",
+    "q_minhash_band_tuning",
+    "q_semdedup",
+    "q_cluster_balance",
+    "q_ann_ivf_reuse",
+    "q_pq_encode",
+    "q_pq_search",
+    "q_pq_recall",
 ]
 
 def load_all() -> dict:

