@@ -244,11 +244,29 @@ _TIFF_TYPE = {
 }
 
 
-def parse_tiff(buf: bytes) -> dict:
-    """Walk the first IFD of a classic TIFF (magic 42) or BigTIFF
-    (magic 43: 8-byte offsets, 20-byte IFD entries, LONG8 types);
-    return {tag: values}. Same dict either way, so every consumer
-    (area_from_geotiff, tiff_pixels) handles both transparently."""
+def parse_tiff(buf: bytes, ifd: int = 0) -> dict:
+    """Parse ONE IFD of a classic TIFF (magic 42) or BigTIFF (magic
+    43: 8-byte offsets, 20-byte IFD entries, LONG8 types); return
+    {tag: values}. ``ifd`` selects along the next-IFD chain — index 0
+    is the full-resolution image, 1.. are reduced-resolution overviews
+    in a cloud-optimized GeoTIFF (COG). Same dict either way, so every
+    consumer (area_from_geotiff, tiff_pixels) handles both
+    transparently."""
+    return _parse_ifd_chain(buf, stop_at=ifd)[ifd]
+
+
+def parse_tiff_ifds(buf: bytes) -> list:
+    """Every IFD along the chain (COG layout: [full-res, overview1,
+    overview2, ...]); list of {tag: values} dicts."""
+    return _parse_ifd_chain(buf, stop_at=None)
+
+
+# a real COG carries a handful of overviews (halving until ~256 px);
+# a longer chain in a parsed file is a corruption loop, not data
+_MAX_IFDS = 64
+
+
+def _parse_ifd_chain(buf: bytes, stop_at: int | None) -> list:
     if buf[:2] == b"II":
         e = "<"
     elif buf[:2] == b"MM":
@@ -259,18 +277,48 @@ def parse_tiff(buf: bytes) -> dict:
     if magic == 42:
         big = False
         (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
-        (n,) = struct.unpack_from(e + "H", buf, ifd_off)
-        first, entry, inline_max = ifd_off + 2, 12, 4
     elif magic == 43:
         big = True
         offsize, zero = struct.unpack_from(e + "HH", buf, 4)
         if offsize != 8 or zero != 0:
             raise ValueError("malformed BigTIFF header")
         (ifd_off,) = struct.unpack_from(e + "Q", buf, 8)
+    else:
+        raise ValueError(f"not a TIFF file (magic {magic})")
+    out = []
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen or len(out) >= _MAX_IFDS:
+            raise ValueError("TIFF IFD chain loops — corrupt input")
+        seen.add(ifd_off)
+        tags, ifd_off = _parse_one_ifd(buf, e, big, ifd_off)
+        out.append(tags)
+        if stop_at is not None and len(out) > stop_at:
+            return out
+    if stop_at is not None and stop_at >= len(out):
+        raise ValueError(
+            f"TIFF has {len(out)} IFD(s); overview index {stop_at} "
+            "does not exist"
+        )
+    return out
+
+
+def _parse_one_ifd(buf: bytes, e: str, big: bool, ifd_off: int) -> tuple:
+    """({tag: values}, next_ifd_offset) for the IFD at ``ifd_off``."""
+    if big:
+        if ifd_off + 8 > len(buf):
+            raise ValueError("TIFF IFD offset beyond file — corrupt input")
         (n,) = struct.unpack_from(e + "Q", buf, ifd_off)
         first, entry, inline_max = ifd_off + 8, 20, 8
     else:
-        raise ValueError(f"not a TIFF file (magic {magic})")
+        if ifd_off + 2 > len(buf):
+            raise ValueError("TIFF IFD offset beyond file — corrupt input")
+        (n,) = struct.unpack_from(e + "H", buf, ifd_off)
+        first, entry, inline_max = ifd_off + 2, 12, 4
+    if first + entry * n + (8 if big else 4) > len(buf):
+        raise ValueError(
+            f"TIFF IFD claims {n} entries beyond the file — corrupt input"
+        )
     tags = {"_endian": e, "_bigtiff": big}
     for i in range(n):
         o = first + entry * i
@@ -306,15 +354,20 @@ def parse_tiff(buf: bytes) -> dict:
         elif fmt == "II":  # RATIONAL
             raw = struct.unpack_from(e + "I" * (2 * cnt), buf, off)
             if any(raw[2 * k + 1] == 0 for k in range(cnt)):
-                raise ValueError(
-                    f"TIFF tag {tag}: zero-denominator RATIONAL — "
-                    "corrupt input"
-                )
+                # some real-world writers emit 0/0 in tags the decoder
+                # never consumes (XResolution et al.) — drop the tag
+                # instead of failing the parse (ADVICE r11); consumers
+                # that NEED a dropped tag raise their own loud
+                # missing-tag error
+                continue
             vals = [raw[2 * k] / raw[2 * k + 1] for k in range(cnt)]
         else:
             vals = list(struct.unpack_from(e + fmt * cnt, buf, off))
         tags[tag] = vals
-    return tags
+    (next_off,) = struct.unpack_from(
+        e + ("Q" if big else "I"), buf, first + entry * n
+    )
+    return tags, next_off
 
 
 # GeoTIFF EPSG → native CRS strings (the families operators/crs.py
@@ -341,14 +394,35 @@ def _utm_crs(epsg: int) -> str | None:
     return None
 
 
-def area_from_geotiff(buf: bytes, area_id: str = "geotiff") -> AreaDefinition:
+def area_from_geotiff(buf: bytes, area_id: str = "geotiff",
+                      ifd: int = 0) -> AreaDefinition:
     """GeoTIFF bytes → AreaDefinition (get_area_def_from_raster twin,
     utils/rasterio.py:77): ModelPixelScaleTag (33550) +
     ModelTiepointTag (33922), OR an axis-aligned
     ModelTransformationTag (34264 — 4×4 row-major model matrix, taken
     when the pixel-scale pair is absent), give the geotransform;
     GeoKeyDirectoryTag (34735) keys 1024/2048/3072 give the CRS.
-    Rotated transforms are rejected like utils/rasterio.py."""
+    Rotated transforms are rejected like utils/rasterio.py.
+
+    ``ifd`` > 0 selects a reduced-resolution overview IFD (COG
+    layout): georeferencing comes from IFD 0 (overview IFDs carry no
+    geo tags), the extent is unchanged, and the pixel size scales by
+    the dimension ratio — exactly how GDAL derives overview
+    geotransforms."""
+    if ifd:
+        ov = parse_tiff(buf, ifd)
+        base = area_from_geotiff(buf, area_id=f"{area_id}_ovr{ifd}")
+        for tag, what in ((256, "ImageWidth"), (257, "ImageLength")):
+            if tag not in ov or not all(
+                isinstance(v, int) and v > 0 for v in ov[tag]
+            ):
+                raise ValueError(f"overview IFD lacks a sane {what}")
+        ow, oh = ov[256][0], ov[257][0]
+        llx, lly, urx, ury = base.area_extent
+        return AreaDefinition(
+            base.area_id, base.crs, width=ow, height=oh,
+            area_extent=(llx, lly, urx, ury),
+        )
     t = parse_tiff(buf)
     for tag, what in ((256, "ImageWidth"), (257, "ImageLength")):
         if tag not in t:
@@ -588,9 +662,11 @@ def _fp_predictor_encode(blk: np.ndarray) -> bytes:
     return d.tobytes()
 
 
-def tiff_pixels(buf: bytes) -> np.ndarray:
+def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
     """Decode strip- OR tile-organized TIFF samples → (h, w) float64,
     or (spp, h, w) for MULTIBAND rasters (SamplesPerPixel > 1).
+    ``ifd`` > 0 decodes a reduced-resolution overview IFD (COG
+    layout) instead of the full-resolution image.
     Both interleaves decode natively: chunky PlanarConfiguration 1
     (the layout real RGB/multiband products ship) and planar
     organization 2 (plane-major strips/tiles, one component per
@@ -609,7 +685,7 @@ def tiff_pixels(buf: bytes) -> np.ndarray:
     still falls back to rasterio (utils/rasterio.py:77 analog)."""
     import zlib
 
-    t = parse_tiff(buf)
+    t = parse_tiff(buf, ifd)
     e = t["_endian"]
 
     def ints(tag, what, default=None):
@@ -762,7 +838,8 @@ RASTER_MULTIBAND_SCHEMA = (
 )
 
 
-def raster_decode_fn(fmt: str):
+def raster_decode_fn(fmt: str, overview: int | None = None,
+                     target_resolution: float | None = None):
     """The per-batch decode generator shared by the BATCH
     (:func:`read_raster_pixels`) and STREAMING
     (streaming/windows.py streaming_granule_ingest) ingest paths —
@@ -770,9 +847,16 @@ def raster_decode_fn(fmt: str):
     batch/stream parity the tests assert. Input rows need (path,
     content); output rows follow RASTER_PIXEL_SCHEMA, or
     RASTER_MULTIBAND_SCHEMA for ``geotiff_multiband`` (a ``channel``
-    column for SamplesPerPixel > 1 products — chunky or planar)."""
+    column for SamplesPerPixel > 1 products — chunky or planar).
+    ``overview`` / ``target_resolution`` select a COG overview IFD
+    for the TIFF formats (see :func:`read_raster_pixels`)."""
     if fmt not in ("netcdf3", "geotiff", "geotiff_multiband"):
         raise ValueError(f"unknown raster format {fmt!r}")
+
+    def pick_ifd(buf: bytes) -> int:
+        if target_resolution is not None:
+            return select_overview_ifd(buf, target_resolution)
+        return overview or 0
 
     def decode(batches):
         import pandas as pd
@@ -813,7 +897,7 @@ def raster_decode_fn(fmt: str):
                             )
                         arr = arr.reshape(arr.shape[-2:])
                 elif fmt == "geotiff_multiband":
-                    arr = tiff_pixels(buf)
+                    arr = tiff_pixels(buf, pick_ifd(buf))
                     if arr.ndim == 2:  # single-sample file: channel 0
                         arr = arr[None]
                     spp, hh, ww = arr.shape
@@ -831,7 +915,7 @@ def raster_decode_fn(fmt: str):
                     )
                     continue
                 else:
-                    arr = tiff_pixels(buf)
+                    arr = tiff_pixels(buf, pick_ifd(buf))
                     if arr.ndim == 3:
                         raise ValueError(
                             "multiband GeoTIFF granule: the long-format "
@@ -852,7 +936,40 @@ def raster_decode_fn(fmt: str):
     return decode
 
 
-def read_raster_pixels(spark, path: str, fmt: str):
+def select_overview_ifd(buf: bytes, target_res: float) -> int:
+    """COG read path: index of the COARSEST overview IFD whose pixel
+    size is still <= ``target_res`` (projection units/pixel) — i.e.
+    the cheapest level that loses nothing against the target grid.
+    Returns 0 (full resolution) when the file carries no overviews,
+    no geotransform, or every overview is coarser than the target.
+    Resampling a 100 TB archive onto a coarse grid should read the
+    matching overview (~4^-k of the bytes), not decode full-res
+    pixels it will immediately decimate — what the reference gets
+    from rasterio's overview_level (utils/rasterio.py:77)."""
+    ifds = parse_tiff_ifds(buf)
+    if len(ifds) < 2:
+        return 0
+    t0 = ifds[0]
+    if 33550 not in t0 or 256 not in t0 or not t0[256]:
+        return 0
+    w0 = t0[256][0]
+    if not isinstance(w0, int) or w0 <= 0:
+        return 0
+    sx0 = float(t0[33550][0])
+    best, best_res = 0, sx0
+    for k, t in enumerate(ifds[1:], start=1):
+        wk = t.get(256, [0])[0]
+        if not isinstance(wk, int) or wk <= 0:
+            continue
+        res_k = sx0 * w0 / wk
+        if res_k <= target_res + 1e-9 and res_k > best_res:
+            best, best_res = k, res_k
+    return best
+
+
+def read_raster_pixels(spark, path: str, fmt: str,
+                       overview: int | None = None,
+                       target_resolution: float | None = None):
     """Granule directory/glob → long-format pixel DataFrame
     (file, row, col, value) via ``binaryFile`` + ``mapInPandas``.
 
@@ -861,12 +978,23 @@ def read_raster_pixels(spark, path: str, fmt: str):
     decodes per task — the scan parallelizes across executors and the
     decode never touches the driver; downstream the pixels join
     straight into the bucket / knn / regrid operators like any other
-    point table."""
+    point table.
+
+    COG overview controls (geotiff fmts): ``overview=k`` decodes IFD
+    k of every file; ``target_resolution=r`` auto-selects PER FILE the
+    coarsest overview still finer than ``r`` projection-units/pixel
+    (:func:`select_overview_ifd`) — the 100 TB coarse-regrid path
+    reads ~4^-k of the bytes instead of decimating full-res pixels."""
+    if overview is not None and target_resolution is not None:
+        raise ValueError("pass overview= OR target_resolution=, not both")
+    if fmt == "netcdf3" and (overview or target_resolution):
+        raise ValueError("overview selection is a TIFF/COG feature")
     files = spark.read.format("binaryFile").load(path)
     schema = (RASTER_MULTIBAND_SCHEMA if fmt == "geotiff_multiband"
               else RASTER_PIXEL_SCHEMA)
     return files.select("path", "content").mapInPandas(
-        raster_decode_fn(fmt), schema
+        raster_decode_fn(fmt, overview=overview,
+                         target_resolution=target_resolution), schema
     )
 
 
@@ -1207,7 +1335,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                   rows_per_strip: int = 64,
                   tile: tuple | None = None,
                   predictor: int = 1,
-                  bigtiff: bool | None = None) -> bytes:
+                  bigtiff: bool | None = None,
+                  overviews: int = 0) -> bytes:
     """Serialize a (h, w) — or MULTIBAND (spp, h, w) — array as a
     little-endian GeoTIFF: ModelPixelScaleTag + ModelTiepointTag
     (north-up geotransform — (x0, y0) is the OUTER corner of pixel
@@ -1232,7 +1361,14 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     20-byte IFD entries, LONG8 offset/count arrays), which
     :func:`parse_tiff` already reads; True/False force a container
     (True is how GDAL's ``BIGTIFF=YES`` behaves, and forcing False on
-    an oversized payload raises instead of writing wrapped offsets)."""
+    an oversized payload raises instead of writing wrapped offsets).
+    ``overviews`` chains N reduced-resolution IFDs after the main one
+    (the cloud-optimized-GeoTIFF pattern): level k holds every 2^k-th
+    pixel (GDAL NEAREST overview resampling), carries
+    NewSubfileType=1 and no geo tags — readers derive the overview
+    geotransform from IFD 0 like GDAL does. A coarse-target consumer
+    then reads ~4^-k of the bytes (see read_raster_pixels
+    overview auto-select)."""
     import zlib
 
     arr = np.ascontiguousarray(arr)
@@ -1274,29 +1410,43 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             return d.astype(blk.dtype).tobytes()
         return blk.tobytes()
 
-    chunks = []
-    if tile is not None:
-        tw, th = tile
-        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
-            raise ValueError(
-                f"TIFF tile dims must be positive multiples of 16, "
-                f"got {tile}"
-            )
-        for r0 in range(0, h, th):
-            for c0 in range(0, w, tw):
-                blk = np.zeros((th, tw, spp), dtype=arr.dtype)
-                rs, cs = min(th, h - r0), min(tw, w - c0)
-                blk[:rs, :cs] = inter[r0:r0 + rs, c0:c0 + cs]
-                raw = enc(blk)
-                chunks.append(zlib.compress(raw, 6) if compress else raw)
-    else:
-        rps = max(1, min(rows_per_strip, h))
-        for r0 in range(0, h, rps):
-            raw = enc(inter[r0:r0 + rps])
-            chunks.append(zlib.compress(raw, 6) if compress else raw)
+    def level_chunks(lv: np.ndarray) -> list:
+        lh, lw = lv.shape[:2]
+        out = []
+        if tile is not None:
+            tw, th = tile
+            if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+                raise ValueError(
+                    f"TIFF tile dims must be positive multiples of 16, "
+                    f"got {tile}"
+                )
+            for r0 in range(0, lh, th):
+                for c0 in range(0, lw, tw):
+                    blk = np.zeros((th, tw, spp), dtype=arr.dtype)
+                    rs, cs = min(th, lh - r0), min(tw, lw - c0)
+                    blk[:rs, :cs] = lv[r0:r0 + rs, c0:c0 + cs]
+                    raw = enc(blk)
+                    out.append(zlib.compress(raw, 6) if compress else raw)
+        else:
+            rps = max(1, min(rows_per_strip, lh))
+            for r0 in range(0, lh, rps):
+                raw = enc(lv[r0:r0 + rps])
+                out.append(zlib.compress(raw, 6) if compress else raw)
+        return out
+
+    # level 0 = full resolution; level k = every 2^k-th pixel (GDAL
+    # NEAREST overview resampling), stopping before a dimension hits 0
+    levels = [inter]
+    for _k in range(max(0, int(overviews))):
+        prev = levels[-1]
+        if prev.shape[0] < 2 or prev.shape[1] < 2:
+            break
+        levels.append(np.ascontiguousarray(prev[::2, ::2]))
+    level_data = [(lv, level_chunks(lv)) for lv in levels]
+
     geodir, geodbl = _crs_to_geokeys(crs)
-    n_chunks = len(chunks)
-    payload = sum(len(s) for s in chunks)
+    n_chunks = sum(len(c) for _, c in level_data)
+    payload = sum(len(b) for _, c in level_data for b in c)
     if bigtiff is None:
         # auto-switch: chunks dominate the file; 8·n_chunks·2 over-
         # states the classic offset/count arrays and 64 KiB covers
@@ -1322,80 +1472,112 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     fmt_inline, fmt_ext = _per_sample_shorts(
         spp, sample_fmt, inline_max=inline_max)
 
-    # (tag, type, count, inline value | None, external bytes | None);
-    # strip/tile offsets patched once blob addresses are known
-    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
-    entries = [
-        # dims + rows-per-strip as LONG (type 4): SHORT caps at 65535
-        # and a 1×4M grid is within export_geotiff's max_cells guard
-        # (ADVICE r9); the TIFF spec allows either for 256/257/278
-        (256, 4, 1, w, None),
-        (257, 4, 1, h, None),
-        (258, 3, spp, bits_inline, bits_ext),
-        (259, 3, 1, 8 if compress else 1, None),
-        (262, 3, 1, 1, None),
-        (off_tag, long_t, n_chunks, "OFFS",
-         None if n_chunks == 1 else b"\x00" * osz * n_chunks),
-        (277, 3, 1, spp, None),
-        (cnt_tag, long_t, n_chunks,
-         len(chunks[0]) if n_chunks == 1 else None,
-         None if n_chunks == 1 else arr_off([len(s) for s in chunks])),
-        (339, 3, spp, fmt_inline, fmt_ext),
-        *([(317, 3, 1, predictor, None)] if predictor != 1 else []),
-        *([(284, 3, 1, 1, None)] if spp > 1 else []),
-        *([(322, 4, 1, tile[0], None), (323, 4, 1, tile[1], None)]
-          if tile is not None
-          else [(278, 4, 1, max(1, min(rows_per_strip, h)), None)]),
-        (33550, 12, 3, None, struct.pack("<3d", sx, sy, 0.0)),
-        (33922, 12, 6, None, struct.pack("<6d", 0, 0, 0, x0, y0, 0)),
-        (34735, 3, len(geodir), None,
-         struct.pack(f"<{len(geodir)}H", *geodir)),
-    ]
-    if geodbl:
-        entries.append((34736, 12, len(geodbl), None,
-                        struct.pack(f"<{len(geodbl)}d", *geodbl)))
-    entries.sort()  # TIFF spec: IFD entries ascending by tag
-    if big:  # magic 43: 8-byte offsets, 8-byte count, 20-byte entries
-        ifd_off = 16
-        ext_off = ifd_off + 8 + 20 * len(entries) + 8
-    else:
-        ifd_off = 8
-        ext_off = ifd_off + 2 + 12 * len(entries) + 4
-    blobs, offs, o = [], {}, ext_off
-    for tag, _, _, _, ext in entries:
-        if ext is not None:
-            offs[tag] = o
-            blobs.append([tag, ext])
-            o += len(ext)
-    chunk_offs = []
-    for s in chunks:
-        chunk_offs.append(o)
-        o += len(s)
-    for blob in blobs:  # patch the strip/tile-offset array now
-        if blob[0] == off_tag:
-            blob[1] = arr_off(chunk_offs)
+    def segment(lv: np.ndarray, chunks: list, base: int,
+                main: bool) -> tuple:
+        """One IFD + external blobs + pixel chunks laid out at
+        absolute offset ``base``; returns (bytes, next-IFD-pointer
+        position within the segment)."""
+        lh, lw = lv.shape[:2]
+        nch = len(chunks)
+        # (tag, type, count, inline value | None, external bytes |
+        # None); strip/tile offsets patched once blob addresses known
+        off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+        entries = [
+            # dims + rows-per-strip as LONG (type 4): SHORT caps at
+            # 65535 and a 1×4M grid is within export_geotiff's
+            # max_cells guard (ADVICE r9); the TIFF spec allows either
+            (256, 4, 1, lw, None),
+            (257, 4, 1, lh, None),
+            (258, 3, spp, bits_inline, bits_ext),
+            (259, 3, 1, 8 if compress else 1, None),
+            (262, 3, 1, 1, None),
+            (off_tag, long_t, nch, "OFFS",
+             None if nch == 1 else b"\x00" * osz * nch),
+            (277, 3, 1, spp, None),
+            (cnt_tag, long_t, nch,
+             len(chunks[0]) if nch == 1 else None,
+             None if nch == 1 else arr_off([len(b) for b in chunks])),
+            (339, 3, spp, fmt_inline, fmt_ext),
+            *([(317, 3, 1, predictor, None)] if predictor != 1 else []),
+            *([(284, 3, 1, 1, None)] if spp > 1 else []),
+            *([(322, 4, 1, tile[0], None), (323, 4, 1, tile[1], None)]
+              if tile is not None
+              else [(278, 4, 1, max(1, min(rows_per_strip, lh)), None)]),
+        ]
+        if main:
+            entries += [
+                (33550, 12, 3, None, struct.pack("<3d", sx, sy, 0.0)),
+                (33922, 12, 6, None,
+                 struct.pack("<6d", 0, 0, 0, x0, y0, 0)),
+                (34735, 3, len(geodir), None,
+                 struct.pack(f"<{len(geodir)}H", *geodir)),
+            ]
+            if geodbl:
+                entries.append((34736, 12, len(geodbl), None,
+                                struct.pack(f"<{len(geodbl)}d", *geodbl)))
+        else:
+            # reduced-resolution image of the same data (TIFF 6.0
+            # NewSubfileType bit 0); no geo tags — readers scale the
+            # IFD-0 geotransform by the dimension ratio, like GDAL
+            entries.append((254, 4, 1, 1, None))
+        entries.sort()  # TIFF spec: IFD entries ascending by tag
+        if big:  # 8-byte count field, 20-byte entries
+            next_pos = 8 + 20 * len(entries)
+        else:
+            next_pos = 2 + 12 * len(entries)
+        ext_off = base + next_pos + osz
+        blobs, offs, o = [], {}, ext_off
+        for tag, _, _, _, ext in entries:
+            if ext is not None:
+                offs[tag] = o
+                blobs.append([tag, ext])
+                o += len(ext)
+        chunk_offs = []
+        for b in chunks:
+            chunk_offs.append(o)
+            o += len(b)
+        for blob in blobs:  # patch the strip/tile-offset array now
+            if blob[0] == off_tag:
+                blob[1] = arr_off(chunk_offs)
+        if big:
+            out = struct.pack("<Q", len(entries))
+        else:
+            out = struct.pack("<H", len(entries))
+        for tag, typ, count, inline, ext in entries:
+            out += struct.pack(f"<HH{ofmt}", tag, typ, count)
+            if ext is not None:
+                out += struct.pack(f"<{ofmt}", offs[tag])
+            elif inline == "OFFS":
+                out += struct.pack(f"<{ofmt}", chunk_offs[0])
+            elif isinstance(inline, bytes):  # pre-packed inline array
+                out += inline
+            elif typ == 3:  # SHORT: left-justified, field zero-padded
+                out += struct.pack("<H", inline).ljust(osz, b"\x00")
+            elif typ == 16:
+                out += struct.pack("<Q", inline)
+            else:  # LONG, left-justified in the 8-byte BigTIFF field
+                out += struct.pack("<I", inline).ljust(osz, b"\x00")
+        out += struct.pack(f"<{ofmt}", 0)  # next IFD (patched below)
+        seg = out + b"".join(ext for _, ext in blobs) + b"".join(chunks)
+        return seg, next_pos
+
     if big:
-        out = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
-        out += struct.pack("<Q", len(entries))
+        header = b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+        base = 16
     else:
-        out = b"II" + struct.pack("<HI", 42, ifd_off)
-        out += struct.pack("<H", len(entries))
-    for tag, typ, count, inline, ext in entries:
-        out += struct.pack(f"<HH{ofmt}", tag, typ, count)
-        if ext is not None:
-            out += struct.pack(f"<{ofmt}", offs[tag])
-        elif inline == "OFFS":
-            out += struct.pack(f"<{ofmt}", chunk_offs[0])
-        elif isinstance(inline, bytes):  # pre-packed inline array
-            out += inline
-        elif typ == 3:  # SHORT: value left-justified, field zero-padded
-            out += struct.pack("<H", inline).ljust(osz, b"\x00")
-        elif typ == 16:
-            out += struct.pack("<Q", inline)
-        else:  # LONG, left-justified in the 8-byte BigTIFF field
-            out += struct.pack("<I", inline).ljust(osz, b"\x00")
-    out += struct.pack(f"<{ofmt}", 0)  # no next IFD
-    return out + b"".join(ext for _, ext in blobs) + b"".join(chunks)
+        header = b"II" + struct.pack("<HI", 42, 8)
+        base = 8
+    segs, next_positions, bases = [], [], []
+    for k, (lv, chunks) in enumerate(level_data):
+        seg, next_pos = segment(lv, chunks, base, main=(k == 0))
+        segs.append(bytearray(seg))
+        next_positions.append(next_pos)
+        bases.append(base)
+        base += len(seg)
+    for k in range(len(segs) - 1):  # chain the IFDs
+        struct.pack_into(f"<{ofmt}", segs[k], next_positions[k],
+                         bases[k + 1])
+    return header + b"".join(bytes(sg) for sg in segs)
 
 
 def export_geotiff(df, area, path: str, max_cells: int = 4_000_000,

@@ -2495,3 +2495,175 @@ def test_nonstring_grid_mapping_is_loud():
         load_cf_area_nc3(build({"grid_mapping": [1.0, 2.0]}))
     area, _ = load_cf_area_nc3(build({}))  # absent → geographic
     assert area.crs == "longlat"
+
+
+# --- COG overview-IFD chain (VERDICT r11 item 3) ----------------------
+# Writer emits N reduced-resolution IFDs chained after the main one
+# (NewSubfileType=1, no geo tags); reader walks the chain, decodes any
+# level, scales the IFD-0 geotransform, and auto-selects the coarsest
+# level still finer than a target resolution — the reference gets the
+# same from rasterio's overview_level (utils/rasterio.py:77).
+
+
+def _cog(overviews=3, **kw):
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    rng = np.random.default_rng(11)
+    arr = (rng.random((120, 200)) * 100).astype("<f8")
+    return arr, geotiff_bytes(
+        arr, 100.0, 100.0, 0.0, 12000.0,
+        crs="+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
+        overviews=overviews, **kw,
+    )
+
+
+def test_cog_overview_chain_and_decode():
+    from pyresample_spark.sources.binary_raster import parse_tiff_ifds
+
+    arr, buf = _cog()
+    ifds = parse_tiff_ifds(buf)
+    assert [(t[256][0], t[257][0]) for t in ifds] == [
+        (200, 120), (100, 60), (50, 30), (25, 15)]
+    # overview IFDs are marked reduced-resolution and carry no geotags
+    for t in ifds[1:]:
+        assert t[254] == [1]
+        assert 33550 not in t and 34735 not in t
+    np.testing.assert_allclose(tiff_pixels(buf), arr)
+    np.testing.assert_allclose(tiff_pixels(buf, 1), arr[::2, ::2])
+    np.testing.assert_allclose(tiff_pixels(buf, 3), arr[::8, ::8])
+
+
+def test_cog_overview_area_scaling():
+    from pyresample_spark.sources.binary_raster import area_from_geotiff
+
+    _, buf = _cog()
+    a0 = area_from_geotiff(buf)
+    a2 = area_from_geotiff(buf, ifd=2)
+    assert a2.area_extent == a0.area_extent
+    assert (a2.width, a2.height) == (50, 30)
+    assert a2.pixel_size_x == pytest.approx(4 * a0.pixel_size_x)
+    assert a2.crs == a0.crs
+
+
+def test_cog_overviews_in_bigtiff_container():
+    from pyresample_spark.sources.binary_raster import parse_tiff_ifds
+
+    arr, buf = _cog(overviews=2, bigtiff=True)
+    assert struct.unpack_from("<H", buf, 2)[0] == 43
+    assert len(parse_tiff_ifds(buf)) == 3
+    np.testing.assert_allclose(tiff_pixels(buf, 2), arr[::4, ::4])
+
+
+def test_cog_overview_multiband_tiled_predictor3():
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    rng = np.random.default_rng(5)
+    mb = (rng.random((3, 80, 96)) * 50).astype("<f4")
+    buf = geotiff_bytes(mb, 1.0, 1.0, 0.0, 80.0, tile=(32, 32),
+                        predictor=3, overviews=2)
+    np.testing.assert_allclose(tiff_pixels(buf), mb.astype("f8"))
+    np.testing.assert_allclose(
+        tiff_pixels(buf, 2), mb[:, ::4, ::4].astype("f8"))
+
+
+def test_select_overview_ifd():
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes,
+        select_overview_ifd,
+    )
+
+    _, buf = _cog()  # levels at 100 / 200 / 400 / 800 m per pixel
+    assert select_overview_ifd(buf, 100.0) == 0
+    assert select_overview_ifd(buf, 199.0) == 0
+    assert select_overview_ifd(buf, 200.0) == 1
+    assert select_overview_ifd(buf, 500.0) == 2
+    assert select_overview_ifd(buf, 10_000.0) == 3  # coarsest wins
+    # no overviews -> always 0
+    flat = geotiff_bytes(np.ones((8, 8)), 100.0, 100.0, 0.0, 800.0)
+    assert select_overview_ifd(flat, 1e9) == 0
+
+
+def test_overview_index_beyond_chain_raises():
+    _, buf = _cog(overviews=1)
+    with pytest.raises(ValueError, match="overview index"):
+        parse_tiff(buf, 5)
+
+
+def test_ifd_chain_loop_is_loud():
+    from pyresample_spark.sources.binary_raster import parse_tiff_ifds
+
+    _, buf = _cog(overviews=1)
+    # point the FIRST IFD's next pointer back at itself: classic
+    # header: II 42 <ifd_off=8>; IFD0 at 8 with n entries
+    b = bytearray(buf)
+    (n,) = struct.unpack_from("<H", b, 8)
+    next_pos = 8 + 2 + 12 * n
+    struct.pack_into("<I", b, next_pos, 8)
+    with pytest.raises(ValueError, match="loop"):
+        parse_tiff_ifds(bytes(b))
+
+
+def test_zero_denominator_rational_in_unused_tag_is_skipped():
+    """ADVICE r11: some real-world writers emit 0/0 in tags the
+    decoder never consumes (XResolution 282) — the file must stay
+    decodable; the offending tag is dropped, not fatal."""
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    from pyresample_spark.sources.binary_raster import geotiff_bytes
+
+    base = geotiff_bytes(arr, 1.0, 1.0, 0.0, 4.0, compress=False)
+    # splice an XResolution (282, RATIONAL type 5, count 1) entry with
+    # a 0/0 payload into the IFD, keeping entries tag-sorted
+    b = bytearray(base)
+    (n,) = struct.unpack_from("<H", b, 8)
+    entries = [bytes(b[10 + 12 * i:22 + 12 * i]) for i in range(n)]
+    # the rebuilt file grows by one 12-byte entry; the 8-byte 0/0
+    # payload is appended at its end
+    payload_off = len(base) + 12
+    new_entry = struct.pack("<HHII", 282, 5, 1, payload_off)
+    entries.append(new_entry)
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    nxt = bytes(b[10 + 12 * n:14 + 12 * n])
+    out = bytes(b[:8]) + struct.pack("<H", n + 1) + b"".join(entries) \
+        + nxt + bytes(b[14 + 12 * n:]) + struct.pack("<II", 0, 0)
+    # every stored offset moved by 12 (one extra entry): rebuild via
+    # parse is impossible, so instead splice at the END of the file
+    # where nothing shifts — re-read with offsets intact
+    t = parse_tiff(out)
+    assert 282 not in t          # dropped, not parsed as inf/raise
+    assert t[256] == [6]
+
+
+def test_read_raster_pixels_overview_select(spark, tmp_path):
+    """Distributed COG ingest reads the matching overview: a coarse
+    target_resolution must decode ~4^-k of the pixels."""
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+
+    arr, buf = _cog()
+    p = tmp_path / "cog"
+    p.mkdir()
+    (p / "g1.tif").write_bytes(buf)
+    full = read_raster_pixels(spark, str(p), "geotiff")
+    assert full.count() == 120 * 200
+    ovr = read_raster_pixels(spark, str(p), "geotiff",
+                             target_resolution=450.0)
+    assert ovr.count() == 60 * 100 // 4   # level 2: 50×30
+    explicit = read_raster_pixels(spark, str(p), "geotiff", overview=1)
+    assert explicit.count() == 100 * 60
+    with pytest.raises(ValueError, match="not both"):
+        read_raster_pixels(spark, str(p), "geotiff", overview=1,
+                           target_resolution=1.0)
+
+
+def test_rasterio_reads_cog_overviews(tmp_path):
+    """The day rasterio/GDAL appears: our overview chain must be seen
+    as real overviews (decimation factors 2/4/8)."""
+    rasterio = pytest.importorskip("rasterio")
+
+    arr, buf = _cog()
+    p = tmp_path / "ovr.tif"
+    p.write_bytes(buf)
+    with rasterio.open(str(p)) as fh:
+        assert fh.overviews(1) == [2, 4, 8]
+        np.testing.assert_allclose(fh.read(1), arr)
+    with rasterio.open(str(p), OVERVIEW_LEVEL=0) as fh:
+        np.testing.assert_allclose(fh.read(1), arr[::2, ::2])

@@ -65,6 +65,18 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 compress=True,
                 predictor=3 if fmt == "tiff_pred3" else 1,
             )
+        elif fmt == "cog":
+            # cloud-optimized layout: full-res + 3 chained overview
+            # IFDs (2x/4x/8x NEAREST); the read-path probe compares
+            # decoding IFD 0 vs the auto-selected coarse level
+            from pyresample_spark.sources.binary_raster import (
+                geotiff_bytes,
+            )
+
+            buf = geotiff_bytes(
+                data.astype("f4"), 1.0, 1.0, 0.0, float(-i * H),
+                compress=True, overviews=3,
+            )
         elif fmt in ("mbtiff", "mbtiff_planar"):
             # multiband (SamplesPerPixel=3) float32 DEFLATE GeoTIFF,
             # chunky or planar interleave — the geotiff_multiband
@@ -91,7 +103,7 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 ],
             )
         ext = ("tif" if fmt in ("mbtiff", "mbtiff_planar", "tiff_pred3",
-                                "tiff_plain")
+                                "tiff_plain", "cog")
                else "nc")
         with open(os.path.join(d, f"g{i:04d}.{ext}"), "wb") as f:
             f.write(buf)
@@ -108,6 +120,8 @@ def main():
     spark = get_spark("scale-probe-raster")
     spark.range(10).count()
     fmt = os.environ.get("SPARK_GRAFT_PROBE_FMT", "nc3")
+    if fmt == "cog":
+        return cog_main(ns)
     multi = fmt in ("mbtiff", "mbtiff_planar")
     tiff1 = fmt in ("tiff_pred3", "tiff_plain")
     ingest_fmt = ("geotiff_multiband" if multi
@@ -137,6 +151,46 @@ def main():
                 f"wall={dt:.2f}s {mb / dt:.0f} MB/s "
                 f"per_file={dt / n * 1000:.0f} ms"
             )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def cog_main(ns):
+    """COG overview read-path probe: the same granule set ingested at
+    full resolution vs auto-selected overview (target 8x coarser than
+    the source). The overview read decodes ~64x fewer pixels; at
+    100 TB that is the difference between scanning the archive and
+    scanning ~1.6 TB of overview bytes for a coarse regrid."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.session import get_spark
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+
+    spark = get_spark("scale-probe-cog")
+    spark.range(10).count()
+    for n in ns:
+        d = make_granules(n, "cog")
+        try:
+            pat = os.path.join(d, "*.tif")
+            fsz = sum(os.path.getsize(os.path.join(d, f))
+                      for f in os.listdir(d))
+            for label, kw in (
+                ("full-res", {}),
+                ("overview", {"target_resolution": 8.0}),
+            ):
+                px = read_raster_pixels(spark, pat, "geotiff", **kw)
+                agg = px.groupBy("file").agg(
+                    F.count(F.lit(1)).alias("c"))
+                t0 = time.time()
+                rows = agg.collect()
+                dt = time.time() - t0
+                npx = sum(r["c"] for r in rows)
+                print(
+                    f"fmt=cog N={n:3d} {label:9s} "
+                    f"pixels={npx / 1e6:.2f}M wall={dt:.2f}s "
+                    f"file_bytes={fsz / 1e6:.1f}MB "
+                    f"per_file={dt / n * 1000:.0f} ms"
+                )
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
