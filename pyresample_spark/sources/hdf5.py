@@ -41,8 +41,10 @@ CF grids:
   numpy structured arrays honoring the stored member byte offsets —
   the calibration/scale side tables real L1B products carry;
   contiguous or chunked+filtered alike (shuffle strides by the full
-  compound size). Nested compounds and array members stay out of the
-  subset and raise,
+  compound size). Members may themselves be COMPOUND (nested structs)
+  or ARRAY (class 10 v2/v3, and the pre-1.8 v1 rank>0 member
+  encoding) — they land as nested structured / subarray dtypes;
+  vlen-typed members stay out of the subset and raise,
 - netCDF4 convention attrs: variable-length STRING attributes (the
   h5py/h5netcdf default for text) resolve through the global heap
   (``GCOL``); ``DIMENSION_LIST`` (a vlen-reference attribute) is
@@ -87,8 +89,17 @@ def _parse_datatype(b: bytes):
     """Datatype message → numpy dtype | ('str', size) | ('vlen_str',).
     Classes: 0 fixed-point, 1 float, 3 string (fixed), 6 compound
     (→ numpy structured dtype with the members' stored byte offsets —
-    the layout netcdf-c/h5py write for scale/index tables), 9/1
-    vlen-string."""
+    the layout netcdf-c/h5py write for scale/index tables; members may
+    themselves be compound or ARRAY class 10, which land as nested
+    structured / subarray dtypes), 9/1 vlen-string."""
+    return _parse_datatype_sized(b)[0]
+
+
+def _parse_datatype_sized(b: bytes) -> tuple:
+    """(parsed type, encoded message length). The length makes nested
+    members decodable: a compound member's embedded datatype message
+    has no stored size, so the parser must know how many bytes each
+    class consumes — variable for compound/array members."""
     cv = b[0]
     cls, ver = cv & 0x0F, cv >> 4
     bits0 = b[1]
@@ -98,19 +109,50 @@ def _parse_datatype(b: bytes):
         signed = "i" if bits0 & 0x08 else "u"
         if size not in (1, 2, 4, 8):
             raise ValueError(f"unsupported fixed-point size {size}")
-        return np.dtype(f"{order}{signed}{size}")
+        return np.dtype(f"{order}{signed}{size}"), 8 + 4
     if cls == 1:  # IEEE float
         order = ">" if bits0 & 0x01 else "<"
         if size not in (4, 8):
             raise ValueError(f"unsupported float size {size}")
-        return np.dtype(f"{order}f{size}")
+        return np.dtype(f"{order}f{size}"), 8 + 12
     if cls == 3:  # fixed-length string
-        return ("str", size)
+        return ("str", size), 8
     if cls == 9 and (bits0 & 0x0F) == 1:  # variable-length STRING
         # (h5py/h5netcdf write text attrs this way; data lives in the
         # global heap). Vlen SEQUENCES (DIMENSION_LIST object refs)
         # stay out of the subset and raise → caller skips the attr.
-        return ("vlen_str",)
+        # property block = the embedded base datatype message
+        if len(b) < 16:
+            raise ValueError("truncated vlen datatype message")
+        blen = _parse_datatype_sized(b[8:])[1]
+        return ("vlen_str",), 8 + blen
+    if cls == 10:  # ARRAY (fixed-shape subarray member)
+        if ver == 2:  # dimensionality u1 + 3 reserved + dims + perms
+            nd = b[8]
+            q = 12
+            dims = list(struct.unpack_from(f"<{nd}I", b, q))
+            q += 8 * nd  # dims + the (always-identity) permutation
+        elif ver == 3:  # dimensionality u1 + dims (no reserved/perm)
+            nd = b[8]
+            q = 9
+            dims = list(struct.unpack_from(f"<{nd}I", b, q))
+            q += 4 * nd
+        else:
+            raise NotImplementedError(
+                f"HDF5 array datatype version {ver} outside the "
+                "native subset"
+            )
+        if nd == 0 or any(d == 0 for d in dims):
+            raise ValueError("array datatype with empty shape")
+        base, blen = _parse_datatype_sized(b[q:])
+        if isinstance(base, tuple):
+            if base[0] == "str":
+                base = np.dtype(f"S{base[1]}")
+            else:
+                raise NotImplementedError(
+                    "vlen-typed array members outside the native subset"
+                )
+        return np.dtype((base, tuple(dims))), q + blen
     if cls == 6:  # compound
         nmem = bits0 | (b[2] << 8)
         if nmem == 0:
@@ -136,36 +178,47 @@ def _parse_datatype(b: bytes):
             else:
                 moff = struct.unpack_from("<I", b, p)[0]
                 p += 4
+            v1_dims = None
             if ver == 1:
                 # dimensionality u1 + 3 reserved + dim permutation u4
-                # + 4 reserved + four u4 dim sizes — array members
-                # (rank > 0) are out of the subset
-                if b[p]:
+                # + 4 reserved + four u4 dim sizes — rank > 0 makes
+                # the member a fixed-shape subarray (pre-1.8 array
+                # members, before class 10 existed)
+                rank = b[p]
+                if rank:
+                    if rank > 4:
+                        raise ValueError(
+                            f"v1 compound member rank {rank} > 4 — "
+                            "corrupt input"
+                        )
+                    v1_dims = struct.unpack_from(
+                        f"<{rank}I", b, p + 12)
+                    if any(d == 0 for d in v1_dims):
+                        raise ValueError(
+                            "v1 compound array member with a zero "
+                            "dimension — corrupt input"
+                        )
+                p += 28
+            mdt, mlen = _parse_datatype_sized(b[p:])
+            p += mlen
+            if isinstance(mdt, tuple):
+                if mdt[0] == "str":
+                    mdt = np.dtype(f"S{mdt[1]}")
+                else:
                     raise NotImplementedError(
-                        "array-valued compound members outside the "
+                        "vlen-typed compound members outside the "
                         "native subset"
                     )
-                p += 28
-            mcls = b[p] & 0x0F
-            if mcls not in _DT_PROP_LEN:
-                # covers nested compounds (class 6) and vlen/array
-                # members — their property blocks are variable-length,
-                # so misparsing would silently shift every later member
-                raise NotImplementedError(
-                    f"compound member datatype class {mcls} outside "
-                    "the native subset (fixed-point/float/string)"
-                )
-            mdt = _parse_datatype(b[p:])
-            p += 8 + _DT_PROP_LEN[mcls]
+            if v1_dims:
+                mdt = np.dtype((mdt, tuple(v1_dims)))
             names.append(mname)
-            formats.append(
-                f"S{mdt[1]}" if isinstance(mdt, tuple) else mdt)
+            formats.append(mdt)
             offsets.append(moff)
         return np.dtype({"names": names, "formats": formats,
-                         "offsets": offsets, "itemsize": size})
+                         "offsets": offsets, "itemsize": size}), p
     raise NotImplementedError(
         f"HDF5 datatype class {cls} (v{ver}) outside the native subset "
-        "(fixed-point/float/fixed-string/compound/vlen-string)"
+        "(fixed-point/float/fixed-string/compound/array/vlen-string)"
     )
 
 
@@ -1588,6 +1641,13 @@ def _w_pad8(b: bytes) -> bytes:
 
 def _w_dtype(dt: np.dtype) -> bytes:
     dt = np.dtype(dt)
+    if dt.subdtype is not None:  # subarray → ARRAY class 10 version 3
+        base, shape = dt.subdtype
+        out = bytes([0x3A, 0, 0, 0]) + struct.pack("<I", dt.itemsize)
+        out += bytes([len(shape)])
+        for d in shape:
+            out += struct.pack("<I", d)
+        return out + _w_dtype(base)
     if dt.names:  # structured → COMPOUND class 6 version 3 (the
         # member encoding libhdf5 ≥1.8 writes: unpadded names,
         # minimal-width offsets)

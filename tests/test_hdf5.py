@@ -503,30 +503,140 @@ def test_compound_chunked_shuffle_deflate():
         np.testing.assert_array_equal(got[f], tbl[f])
 
 
-def test_compound_out_of_subset_guards():
-    """Nested compounds, array-valued members (v1 rank > 0) and
-    members of unsupported classes raise loudly instead of
-    misreading."""
+def test_compound_nested_member_decodes():
+    """Nested compound members (round 12): a v1 compound whose member
+    is itself a compound lands as a nested structured dtype."""
     from pyresample_spark.sources.hdf5 import _parse_datatype
 
     inner = _dt_compound(np.dtype([("x", "<f4")]), ver=1)
     nested = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 4)
               + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
               + b"\x00" * 28 + inner)
-    with pytest.raises(NotImplementedError,
-                       match="member datatype class 6"):
-        _parse_datatype(nested)
-    arr_member = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 16)
+    dt = _parse_datatype(nested)
+    assert dt.names == ("m",)
+    assert dt["m"].names == ("x",)
+    assert dt["m"]["x"] == np.dtype("<f4")
+
+
+def test_compound_v1_array_member_decodes():
+    """v1 rank > 0 members (the pre-1.8 array-member encoding, before
+    class 10 existed) decode to numpy subarray fields; dims live in
+    the four u4 size words of the 28-byte dimensionality block."""
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
+    dims_block = (bytes([2]) + b"\x00" * 3      # rank 2 + reserved
+                  + struct.pack("<I", 0)         # permutation
+                  + b"\x00" * 4                 # reserved
+                  + struct.pack("<4I", 2, 3, 0, 0))
+    arr_member = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 24)
                   + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
-                  + bytes([2]) + b"\x00" * 27 + _dt_fixed("<f4"))
-    with pytest.raises(NotImplementedError, match="array-valued"):
-        _parse_datatype(arr_member)
+                  + dims_block + _dt_fixed("<f4"))
+    dt = _parse_datatype(arr_member)
+    assert dt["m"].subdtype == (np.dtype("<f4"), (2, 3))
+    rec = np.frombuffer(
+        np.arange(6, dtype="<f4").tobytes(), dtype=dt)
+    np.testing.assert_array_equal(
+        rec["m"][0], np.arange(6, dtype="<f4").reshape(2, 3))
+
+
+def test_compound_out_of_subset_guards():
+    """Vlen members and corrupt array shapes still raise loudly
+    instead of misreading."""
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
     vlen_member = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 16)
                    + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
                    + b"\x00" * 28
-                   + bytes([0x19, 1, 0, 0]) + struct.pack("<I", 16))
-    with pytest.raises(NotImplementedError, match="member datatype"):
+                   + bytes([0x19, 1, 0, 0]) + struct.pack("<I", 16)
+                   + _dt_string(16))  # vlen property = base datatype
+    with pytest.raises(NotImplementedError, match="vlen-typed"):
         _parse_datatype(vlen_member)
+    # a vlen message TRUNCATED before its base datatype is corruption
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_datatype(bytes([0x19, 1, 0, 0]) + struct.pack("<I", 16))
+    # v1 rank set but all dim words zero: corruption, not a shape
+    zero_dims = (bytes([0x16, 1, 0, 0]) + struct.pack("<I", 16)
+                 + b"m\x00" + b"\x00" * 6 + struct.pack("<I", 0)
+                 + bytes([2]) + b"\x00" * 27 + _dt_fixed("<f4"))
+    with pytest.raises(ValueError, match="zero dimension"):
+        _parse_datatype(zero_dims)
+
+
+def test_array_datatype_class10_both_versions():
+    """Standalone ARRAY datatype (class 10): v2 carries reserved +
+    permutation words, v3 (what libhdf5 >= 1.8 and our writer emit)
+    drops them. Both must parse to the same subarray dtype."""
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
+    base = _dt_fixed("<f8")
+    v3 = (bytes([0x3A, 0, 0, 0]) + struct.pack("<I", 32)
+          + bytes([2]) + struct.pack("<2I", 2, 2) + base)
+    v2 = (bytes([0x2A, 0, 0, 0]) + struct.pack("<I", 32)
+          + bytes([2]) + b"\x00" * 3 + struct.pack("<2I", 2, 2)
+          + struct.pack("<2I", 0, 1) + base)
+    assert _parse_datatype(v3).subdtype == (np.dtype("<f8"), (2, 2))
+    assert _parse_datatype(v2).subdtype == (np.dtype("<f8"), (2, 2))
+
+
+def test_compound_nested_array_roundtrip_via_writer():
+    """Writer emits nested compounds recursively and subarray members
+    as ARRAY class 10 v3; the reader decodes its own output — a full
+    calibration-table shape (band id, per-band coefficient vector,
+    nested window struct) through hdf5_grid_bytes."""
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes, parse_hdf5
+
+    cal = np.zeros(3, dtype=np.dtype({
+        "names": ["band", "coeffs", "win"],
+        "formats": ["<i4", ("<f8", (4,)),
+                    np.dtype({"names": ["lo", "hi"],
+                              "formats": ["<f4", "<f4"],
+                              "offsets": [0, 4], "itemsize": 8})],
+        "offsets": [0, 8, 40], "itemsize": 48}))
+    cal["band"] = [1, 2, 3]
+    cal["coeffs"] = np.arange(12.0).reshape(3, 4)
+    cal["win"]["lo"] = [0.1, 0.2, 0.3]
+    cal["win"]["hi"] = [1.1, 1.2, 1.3]
+    buf = hdf5_grid_bytes({
+        "x": (np.arange(8.0) + 0.5, {"CLASS": "DIMENSION_SCALE"}),
+        "y": (-(np.arange(6.0) + 0.5), {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "band": (np.arange(48.0).reshape(6, 8), {"grid_mapping": "crs"}),
+        "calibration": (cal, {}),
+    })
+    out = parse_hdf5(buf)["calibration"]["data"]
+    np.testing.assert_array_equal(out["band"], cal["band"])
+    np.testing.assert_allclose(out["coeffs"], cal["coeffs"])
+    np.testing.assert_allclose(out["win"]["lo"], cal["win"]["lo"])
+    np.testing.assert_allclose(out["win"]["hi"], cal["win"]["hi"])
+
+
+def test_h5py_reads_nested_compound_output(tmp_path):
+    """The day h5py appears: our nested-compound/array-member output
+    must be externally readable."""
+    h5py = pytest.importorskip("h5py")
+    from pyresample_spark.sources.hdf5 import hdf5_grid_bytes
+
+    cal = np.zeros(2, dtype=np.dtype(
+        [("band", "<i4"), ("coeffs", "<f8", (3,)),
+         ("win", [("lo", "<f4"), ("hi", "<f4")])]))
+    cal["band"] = [7, 9]
+    cal["coeffs"] = [[1, 2, 3], [4, 5, 6]]
+    cal["win"]["lo"] = [0.5, 0.6]
+    buf = hdf5_grid_bytes({
+        "x": (np.arange(4.0), {"CLASS": "DIMENSION_SCALE"}),
+        "y": (np.arange(3.0), {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {"proj4": "eqc"}),
+        "band": (np.arange(12.0).reshape(3, 4),
+                 {"grid_mapping": "crs"}),
+        "calibration": (cal, {}),
+    })
+    p = tmp_path / "nested.h5"
+    p.write_bytes(buf)
+    with h5py.File(str(p), "r") as fh:
+        got = fh["calibration"][...]
+        np.testing.assert_array_equal(got["band"], cal["band"])
+        np.testing.assert_allclose(got["coeffs"], cal["coeffs"])
+        np.testing.assert_allclose(got["win"]["lo"], cal["win"]["lo"])
 
 
 def test_compound_side_table_does_not_hijack_cf_pick():
