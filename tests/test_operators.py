@@ -3064,3 +3064,120 @@ def test_minhash_inrow_equals_wide(spark, sf_dir):
         for r in minhash_bands_inrow(d, 3).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_tmerc_ell_epsg_gn7_anchor_and_twins(spark):
+    """Ellipsoidal transverse Mercator (Redfearn/Thomas series, round
+    12): reproduces the EPSG Guidance Note 7-2 worked example for
+    OSGB36 / British National Grid — lat 50°30'N lon 0°30'E →
+    E 577274.99 N 69740.50 — to < 1 cm; the SQL forward twin matches
+    the Column twin bit-exact; fwd∘inv is identity to ~1e-8 deg; the
+    scalar and DuckDB inverses agree with Spark."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import tmerc_ell_inv_sql
+    from pyresample_spark.operators.crs import (
+        forward,
+        forward_sql,
+        inverse,
+        inverse_scalar,
+        tmerc_ell_crs_params,
+    )
+
+    osgb = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy")
+    pts = [(0.5, 50.5), (-2.0, 49.0), (-5.0, 55.0), (1.5, 52.0)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    fx, fy = forward(osgb)("lon", "lat")
+    rows = df.select("i", "lon", "lat", fx.alias("x"),
+                     fy.alias("y")).orderBy("i").collect()
+    assert rows[0].x == pytest.approx(577274.99, abs=0.01)
+    assert rows[0].y == pytest.approx(69740.50, abs=0.01)
+    # grid origin: (lon_0, lat_0) → (x_0, y_0) exactly
+    assert rows[1].x == pytest.approx(400000.0, abs=1e-6)
+    assert rows[1].y == pytest.approx(-100000.0, abs=1e-6)
+    sx, sy = forward_sql(osgb)("lon", "lat")
+    for r in df.select((F.expr(sx) - fx).alias("dx"),
+                       (F.expr(sy) - fy).alias("dy")).collect():
+        assert r.dx == 0.0 and r.dy == 0.0
+    ilon, ilat = inverse(osgb)("x", "y")
+    xy = spark.createDataFrame(
+        [(r.i, r.x, r.y) for r in rows], "i long, x double, y double")
+    back = xy.select("i", ilon.alias("lon"),
+                     ilat.alias("lat")).orderBy("i").collect()
+    inv_s = inverse_scalar(osgb)
+    for b, (lo, la) in zip(back, pts):
+        assert b.lon == pytest.approx(lo, abs=1e-7)
+        assert b.lat == pytest.approx(la, abs=1e-7)
+        slo, sla = inv_s(rows[b.i].x, rows[b.i].y)
+        assert slo == pytest.approx(b.lon, abs=1e-9)
+        assert sla == pytest.approx(b.lat, abs=1e-9)
+    lo_sql, la_sql = tmerc_ell_inv_sql("x", "y",
+                                       **tmerc_ell_crs_params(osgb))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({r.i},{r.x!r},{r.y!r})" for r in rows)
+        + ") v(i, x, y)")
+    for d, b in zip(con.execute(
+            f"SELECT i, {lo_sql}, {la_sql} FROM t ORDER BY i"
+    ).fetchall(), back):
+        assert abs(d[1] - b.lon) < 1e-12
+        assert abs(d[2] - b.lat) < 1e-12
+
+
+def test_tmerc_ell_dispatch_and_magnitude(spark):
+    """Family dispatch: a bare '+proj=utm +zone=33' keeps the
+    spherical form (existing goldens unchanged); '+ellps=WGS84'
+    switches to the ellipsoidal series — and the two differ by
+    hundreds of metres at mid-latitudes, the silent deviation the
+    upgrade closes."""
+    from pyresample_spark.operators.crs import _family, forward
+
+    assert _family("+proj=utm +zone=33") == "tmerc"
+    assert _family("+proj=utm +zone=33 +ellps=WGS84") == "tmerc_ell"
+    assert _family("+proj=tmerc +lon_0=9 +datum=potsdam") == "tmerc_ell"
+
+    df = spark.createDataFrame([(12.0, 48.0)], "lon double, lat double")
+    sx, sy = forward("+proj=utm +zone=33")("lon", "lat")
+    ex, ey = forward("+proj=utm +zone=33 +ellps=WGS84")("lon", "lat")
+    r = df.select(sx.alias("sx"), sy.alias("sy"), ex.alias("ex"),
+                  ey.alias("ey")).collect()[0]
+    # UTM 33N at (12E, 48N): the WGS84 ellipsoidal northing is ~16 km
+    # south of the sphere-R form (meridian arc vs R·phi)
+    assert abs(r.ey - r.sy) > 1000.0
+    assert abs(r.ex - r.sx) > 50.0
+    # ellipsoidal central-meridian anchors hold exactly
+    df2 = spark.createDataFrame([(15.0, 0.0)], "lon double, lat double")
+    ex2, ey2 = forward("+proj=utm +zone=33 +ellps=WGS84")("lon", "lat")
+    r2 = df2.select(ex2.alias("x"), ey2.alias("y")).collect()[0]
+    assert r2.x == pytest.approx(500000.0, abs=1e-6)
+    assert r2.y == pytest.approx(0.0, abs=1e-6)
+
+
+def test_gk_epsg_codes_roundtrip_geotiff():
+    """EPSG 31466-31469 (DHDN Gauss-Krüger) and 27700 (OSGB British
+    National Grid) write to and read from GeoTIFF geokeys; the decoded
+    CRS carries the datum shorthand the Helmert pipeline consumes."""
+    import numpy as np
+
+    from pyresample_spark.operators.crs import _family, crs_datum_spec
+    from pyresample_spark.sources.binary_raster import (
+        _EPSG_CRS,
+        area_from_geotiff,
+        geotiff_bytes,
+    )
+
+    for code in (31467, 27700):
+        crs = _EPSG_CRS[code]
+        buf = geotiff_bytes(np.ones((4, 5)), 1000.0, 1000.0,
+                            3.5e6, 5.8e6, crs=crs)
+        area = area_from_geotiff(buf)
+        assert area.crs == crs
+        assert _family(area.crs) == "tmerc_ell"
+        spec = crs_datum_spec(area.crs)
+        assert spec.towgs84 is not None and any(spec.towgs84)
