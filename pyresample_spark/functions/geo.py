@@ -439,6 +439,173 @@ def cea_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Ellipsoidal equal-area family (authalic latitude) ----------------
+# EASE-Grid 2.0 — THE modern snow/ice/soil-moisture grid family (SMAP,
+# AMSR-2; EPSG 6931/6932/6933) — is defined on the WGS84 ELLIPSOID:
+# cylindrical equal-area for the global grid, polar Lambert azimuthal
+# equal-area for north/south. Both run on Snyder's authalic machinery:
+# q(φ) = (1−e²)[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ))]
+# (eq. 3-12), q_p = q(90°), and the closed-form authalic-latitude
+# inverse series φ(β) (eq. 3-18). Forward/inverse are closed form —
+# no iteration — so the plans cost the same as the spherical family.
+# Validated against the published EASE-2 grid constants
+# (x(180°) = 17 367 530.45 m global; ρ(equator) = 9 009 964.76 m
+# north) in tests/test_operators.py.
+
+
+def authalic_constants(a: float, b: float) -> dict:
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    e = _m.sqrt(es)
+    qp = (1.0 - es) * (
+        1.0 / (1.0 - es)
+        - (1.0 / (2.0 * e)) * _m.log((1.0 - e) / (1.0 + e))
+    )
+    return {
+        "a": a, "es": es, "e": e, "qp": qp,
+        # Snyder 3-18 series: φ = β + c2·sin2β + c4·sin4β + c6·sin6β
+        "c2": es / 3.0 + 31.0 * es ** 2 / 180.0 + 517.0 * es ** 3 / 5040.0,
+        "c4": 23.0 * es ** 2 / 360.0 + 251.0 * es ** 3 / 3780.0,
+        "c6": 761.0 * es ** 3 / 45360.0,
+    }
+
+
+def _q_auth_col(lat, es: float, e: float):
+    sphi = F.sin(F.radians(_c(lat)))
+    return (1.0 - es) * (
+        sphi / (1.0 - es * sphi * sphi)
+        - (1.0 / (2.0 * e)) * F.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+def _q_auth_sql(lat: str, es: float, e: float) -> str:
+    sphi = f"sin(radians({lat}))"
+    return (f"({1.0 - es!r} * ({sphi} / (1.0 - {es!r} * {sphi} * {sphi})"
+            f" - {1.0 / (2.0 * e)!r}"
+            f" * ln((1.0 - {e!r} * {sphi}) / (1.0 + {e!r} * {sphi}))))")
+
+
+def _auth_lat_col(beta, c: dict):
+    return F.degrees(
+        beta + c["c2"] * F.sin(2.0 * beta) + c["c4"] * F.sin(4.0 * beta)
+        + c["c6"] * F.sin(6.0 * beta)
+    )
+
+
+def _auth_lat_sql(beta: str, c: dict) -> str:
+    return (f"degrees({beta} + {c['c2']!r} * sin(2.0 * {beta})"
+            f" + {c['c4']!r} * sin(4.0 * {beta})"
+            f" + {c['c6']!r} * sin(6.0 * {beta}))")
+
+
+def cea_ell_xy(lon, lat, lat_ts: float, a: float, b: float,
+               lon_0: float = 0.0) -> tuple:
+    import math as _m
+
+    c = authalic_constants(a, b)
+    phits = _m.radians(lat_ts)
+    k0 = _m.cos(phits) / _m.sqrt(1.0 - c["es"] * _m.sin(phits) ** 2)
+    return (
+        (a * k0) * F.radians(_c(lon) - F.lit(lon_0)),
+        (a / (2.0 * k0)) * _q_auth_col(lat, c["es"], c["e"]),
+    )
+
+
+def cea_ell_inverse(x, y, lat_ts: float, a: float, b: float,
+                    lon_0: float = 0.0) -> tuple:
+    import math as _m
+
+    c = authalic_constants(a, b)
+    phits = _m.radians(lat_ts)
+    k0 = _m.cos(phits) / _m.sqrt(1.0 - c["es"] * _m.sin(phits) ** 2)
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+        _c(y) * (2.0 * k0 / (a * c["qp"])))))
+    lon = F.degrees(_c(x) / (a * k0)) + F.lit(lon_0)
+    return wrap_longitude(lon), _auth_lat_col(beta, c)
+
+
+def cea_ell_sql(lon: str, lat: str, lat_ts: float, a: float, b: float,
+                lon_0: float = 0.0) -> tuple:
+    import math as _m
+
+    c = authalic_constants(a, b)
+    phits = _m.radians(lat_ts)
+    k0 = _m.cos(phits) / _m.sqrt(1.0 - c["es"] * _m.sin(phits) ** 2)
+    return (
+        f"({a * k0!r} * radians({lon} - {lon_0!r}))",
+        f"({a / (2.0 * k0)!r} * {_q_auth_sql(lat, c['es'], c['e'])})",
+    )
+
+
+def cea_ell_inv_sql(x: str, y: str, lat_ts: float, a: float, b: float,
+                    lon_0: float = 0.0) -> tuple:
+    import math as _m
+
+    c = authalic_constants(a, b)
+    phits = _m.radians(lat_ts)
+    k0 = _m.cos(phits) / _m.sqrt(1.0 - c["es"] * _m.sin(phits) ** 2)
+    beta = (f"asin(greatest(-1.0, least(1.0, CAST({y} AS DOUBLE)"
+            f" * {2.0 * k0 / (a * c['qp'])!r})))")
+    lon = (f"(((degrees(CAST({x} AS DOUBLE) / {a * k0!r}) + {lon_0!r})"
+           f" + 540.0) % 360.0 - 180.0)")
+    return lon, _auth_lat_sql(beta, c)
+
+
+def laea_ell_polar_xy(lon, lat, a: float, b: float, lon_0: float = 0.0,
+                      north: bool = True) -> tuple:
+    """Polar ellipsoidal LAEA (Snyder 24-23/24-24): ρ = a·√(q_p ∓ q);
+    the EASE-Grid 2.0 north/south CRSs (EPSG 6931/6932)."""
+    c = authalic_constants(a, b)
+    q = _q_auth_col(lat, c["es"], c["e"])
+    rho = a * F.sqrt(F.greatest(F.lit(0.0),
+        (c["qp"] - q) if north else (c["qp"] + q)))
+    lam = F.radians(_c(lon) - F.lit(lon_0))
+    y = -rho * F.cos(lam) if north else rho * F.cos(lam)
+    return rho * F.sin(lam), y
+
+
+def laea_ell_polar_inverse(x, y, a: float, b: float, lon_0: float = 0.0,
+                           north: bool = True) -> tuple:
+    c = authalic_constants(a, b)
+    xs, ys = _c(x), _c(y)
+    rho2 = xs * xs + ys * ys
+    q = (F.lit(c["qp"]) - rho2 / (a * a)) if north else (
+        rho2 / (a * a) - F.lit(c["qp"]))
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+                                                  q / c["qp"])))
+    lam = F.atan2(xs, -ys) if north else F.atan2(xs, ys)
+    lon = F.degrees(lam) + F.lit(lon_0)
+    return wrap_longitude(lon), _auth_lat_col(beta, c)
+
+
+def laea_ell_polar_sql(lon: str, lat: str, a: float, b: float,
+                       lon_0: float = 0.0, north: bool = True) -> tuple:
+    c = authalic_constants(a, b)
+    q = _q_auth_sql(lat, c["es"], c["e"])
+    inner = (f"({c['qp']!r} - {q})" if north
+             else f"({c['qp']!r} + {q})")
+    rho = f"({a!r} * sqrt(greatest(0.0, {inner})))"
+    lam = f"radians({lon} - {lon_0!r})"
+    y = (f"(-{rho} * cos({lam}))" if north
+         else f"({rho} * cos({lam}))")
+    return f"({rho} * sin({lam}))", y
+
+
+def laea_ell_polar_inv_sql(x: str, y: str, a: float, b: float,
+                           lon_0: float = 0.0,
+                           north: bool = True) -> tuple:
+    c = authalic_constants(a, b)
+    xs, ys = f"CAST({x} AS DOUBLE)", f"CAST({y} AS DOUBLE)"
+    rho2 = f"({xs} * {xs} + {ys} * {ys})"
+    q = (f"({c['qp']!r} - {rho2} / {a * a!r})" if north
+         else f"({rho2} / {a * a!r} - {c['qp']!r})")
+    beta = f"asin(greatest(-1.0, least(1.0, {q} / {c['qp']!r})))"
+    lam = (f"atan2({xs}, -{ys})" if north else f"atan2({xs}, {ys})")
+    lon = (f"(((degrees({lam}) + {lon_0!r}) + 540.0) % 360.0 - 180.0)")
+    return lon, _auth_lat_sql(beta, c)
+
+
 # --- Sinusoidal (+proj=sinu — the MODIS L3 tiling grid) ---------------
 # Snyder eqs. 30-1/30-2 (spherical): x = R·radians(lon−lon_0)·cos(lat),
 # y = R·radians(lat); equal-area, pseudocylindrical.

@@ -101,6 +101,10 @@ from pyresample_spark.functions.geo import (
     stere_polar_inverse,
     stere_polar_x,
     stere_polar_y,
+    cea_ell_inverse,
+    cea_ell_xy,
+    laea_ell_polar_inverse,
+    laea_ell_polar_xy,
     tmerc_ell_inverse,
     tmerc_ell_xy,
     tmerc_inverse,
@@ -149,6 +153,19 @@ def _family(crs: str) -> str:
     if proj == "gnom":
         return "gnom"
     if proj == "laea":
+        ell = _ellipsoid_ab(p)
+        if ell:
+            # EASE-Grid 2.0 north/south (EPSG 6931/6932) are the polar
+            # aspects; the oblique ellipsoidal aspect (Snyder 24-17..)
+            # is not implemented — raise rather than silently running
+            # the spherical form ~20 km off
+            if abs(float(p.get("lat_0", "0"))) == 90.0:
+                return "laea_ell_polar"
+            raise NotImplementedError(
+                "oblique ellipsoidal laea not implemented (polar "
+                "aspects lat_0=±90 are native; drop the ellipsoid for "
+                "the spherical oblique form)"
+            )
         return "laea"
     if proj == "merc":
         return "merc"
@@ -159,7 +176,7 @@ def _family(crs: str) -> str:
     if proj == "sinu":
         return "sinu"
     if proj == "cea":
-        return "cea"
+        return "cea_ell" if _ellipsoid_ab(p) else "cea"
     if proj == "ortho":
         return "ortho"
     if proj in ("tmerc", "utm"):
@@ -197,6 +214,28 @@ def tmerc_crs_params(crs: str) -> dict:
         "k": float(p.get("k", p.get("k_0", "1"))),
         "x_0": float(p.get("x_0", "0")),
         "y_0": float(p.get("y_0", "0")),
+    }
+
+
+def cea_ell_crs_params(crs: str) -> dict:
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    return {
+        "lat_ts": float(p.get("lat_ts", "0")),
+        "a": a,
+        "b": b,
+        "lon_0": float(p.get("lon_0", "0")),
+    }
+
+
+def laea_ell_polar_crs_params(crs: str) -> dict:
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    return {
+        "a": a,
+        "b": b,
+        "lon_0": float(p.get("lon_0", "0")),
+        "north": float(p.get("lat_0", "90")) > 0,
     }
 
 
@@ -442,6 +481,12 @@ def _forward_centered(crs: str):
         lat_ts = float(p.get("lat_ts", "0"))
         lon_0 = float(p.get("lon_0", "0"))
         return lambda lon, lat: cea_xy(lon, lat, lat_ts=lat_ts, lon_0=lon_0)
+    if fam == "cea_ell":
+        kw = cea_ell_crs_params(crs)
+        return lambda lon, lat: cea_ell_xy(lon, lat, **kw)
+    if fam == "laea_ell_polar":
+        kw = laea_ell_polar_crs_params(crs)
+        return lambda lon, lat: laea_ell_polar_xy(lon, lat, **kw)
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -568,6 +613,12 @@ def _inverse_centered(crs: str):
         lat_ts = float(p.get("lat_ts", "0"))
         lon_0 = float(p.get("lon_0", "0"))
         return lambda x, y: cea_inverse(x, y, lat_ts=lat_ts, lon_0=lon_0)
+    if fam == "cea_ell":
+        kw = cea_ell_crs_params(crs)
+        return lambda x, y: cea_ell_inverse(x, y, **kw)
+    if fam == "laea_ell_polar":
+        kw = laea_ell_polar_crs_params(crs)
+        return lambda x, y: laea_ell_polar_inverse(x, y, **kw)
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -699,6 +750,13 @@ def forward_sql(crs: str):
     if fam == "tmerc_ell":
         kw = tmerc_ell_crs_params(crs)
         return lambda lon, lat: G.tmerc_ell_sql(lon, lat, **kw)
+    if fam == "cea_ell":
+        kw = cea_ell_crs_params(crs)
+        return offset(lambda lon, lat: G.cea_ell_sql(lon, lat, **kw))
+    if fam == "laea_ell_polar":
+        kw = laea_ell_polar_crs_params(crs)
+        return offset(
+            lambda lon, lat: G.laea_ell_polar_sql(lon, lat, **kw))
     if fam == "merc":
         return offset(lambda lon, lat: G.merc_sql(
             lon, lat, lat_ts=float(p.get("lat_ts", "0")),
@@ -854,6 +912,51 @@ def _inverse_scalar_centered(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, lat
 
         return _cea_inv
+    if fam == "cea_ell":
+        from pyresample_spark.functions.geo import authalic_constants
+
+        kw = cea_ell_crs_params(crs)
+        cst = authalic_constants(kw["a"], kw["b"])
+        phits = math.radians(kw["lat_ts"])
+        k0e = math.cos(phits) / math.sqrt(
+            1.0 - cst["es"] * math.sin(phits) ** 2)
+
+        def _auth_phi(beta):
+            return math.degrees(
+                beta + cst["c2"] * math.sin(2 * beta)
+                + cst["c4"] * math.sin(4 * beta)
+                + cst["c6"] * math.sin(6 * beta))
+
+        def _cea_ell_inv(x, y):
+            beta = math.asin(max(-1.0, min(1.0,
+                y * 2.0 * k0e / (kw["a"] * cst["qp"]))))
+            lon = kw["lon_0"] + math.degrees(x / (kw["a"] * k0e))
+            return ((lon + 540.0) % 360.0) - 180.0, _auth_phi(beta)
+
+        return _cea_ell_inv
+    if fam == "laea_ell_polar":
+        from pyresample_spark.functions.geo import authalic_constants
+
+        kw = laea_ell_polar_crs_params(crs)
+        cst = authalic_constants(kw["a"], kw["b"])
+
+        def _auth_phi2(beta):
+            return math.degrees(
+                beta + cst["c2"] * math.sin(2 * beta)
+                + cst["c4"] * math.sin(4 * beta)
+                + cst["c6"] * math.sin(6 * beta))
+
+        def _laea_ellp_inv(x, y):
+            rho2 = x * x + y * y
+            q = (cst["qp"] - rho2 / kw["a"] ** 2 if kw["north"]
+                 else rho2 / kw["a"] ** 2 - cst["qp"])
+            beta = math.asin(max(-1.0, min(1.0, q / cst["qp"])))
+            lam = (math.atan2(x, -y) if kw["north"]
+                   else math.atan2(x, y))
+            lon = kw["lon_0"] + math.degrees(lam)
+            return ((lon + 540.0) % 360.0) - 180.0, _auth_phi2(beta)
+
+        return _laea_ellp_inv
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

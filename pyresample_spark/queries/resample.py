@@ -1878,6 +1878,93 @@ def q_regrid_datum(spark, sf_dir):
     return regrid_nearest(_DATUM_TGT, _DATUM_SRC, src)
 
 
+# --- q_regrid_ease2 / q_regrid_ease2_north: EASE-Grid 2.0 (ellipsoidal
+# equal-area family, EPSG 6933/6931) ----------------------------------
+
+def _ease2_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # EASE-Grid 2.0 global (EPSG 6933): cylindrical equal-area on the
+    # WGS84 ELLIPSOID, lat_ts=30 — the SMAP/AMSR 36 km grid CRS. The
+    # published grid half-extent is x=17 367 530.45, y=7 314 540.83.
+    glob = AreaDefinition(
+        "ease2_global",
+        "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84",
+        width=96, height=40,
+        area_extent=(-17367530.45, -7314540.83,
+                     17367530.45, 7314540.83),
+    )
+    # EASE-Grid 2.0 North (EPSG 6931): POLAR ellipsoidal Lambert
+    # azimuthal equal-area; published grid extent ±9 000 000 m.
+    north = AreaDefinition(
+        "ease2_north",
+        "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",
+        width=72, height=72,
+        area_extent=(-9000000.0, -9000000.0, 9000000.0, 9000000.0),
+    )
+    return glob, north
+
+
+_EASE2_GLOBAL, _EASE2_NORTH = _ease2_areas()
+
+_WGS84_AB = (6378137.0, 6378137.0 * (1.0 - 1.0 / 298.257223563))
+
+
+@register(
+    "q_regrid_ease2",
+    oracle=(lambda lonlat: _regrid_oracle(_EASE2_GLOBAL, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["cea_ell_inv_sql"],
+        ).cea_ell_inv_sql(
+            "cx", "cy", lat_ts=30.0, a=_WGS84_AB[0], b=_WGS84_AB[1],
+        )
+    ),
+)
+def q_regrid_ease2(spark, sf_dir):
+    """EASE-Grid 2.0 GLOBAL regrid (EPSG 6933) WITHOUT pyproj: the
+    modern SMAP/AMSR snow-ice-soil grid is cylindrical equal-area on
+    the WGS84 ELLIPSOID — Snyder's authalic machinery (q(φ) eq. 3-12
+    forward, the closed-form authalic-latitude series eq. 3-18
+    inverse), not the spherical EASE-1 form the existing q_regrid_cea
+    covers. Forward x(180°) reproduces the published grid half-width
+    17 367 530.45 m exactly (tests). Same eqc gather-by-equi-join
+    plan as every regrid. Reference path: pyproj EPSG 6933
+    (utils/proj4.py)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_EASE2_GLOBAL, EQC_AREA, src)
+
+
+@register(
+    "q_regrid_ease2_north",
+    oracle=(lambda lonlat: _regrid_oracle(_EASE2_NORTH, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["laea_ell_polar_inv_sql"],
+        ).laea_ell_polar_inv_sql(
+            "cx", "cy", a=_WGS84_AB[0], b=_WGS84_AB[1], north=True,
+        )
+    ),
+)
+def q_regrid_ease2_north(spark, sf_dir):
+    """EASE-Grid 2.0 NORTH regrid (EPSG 6931): POLAR ellipsoidal
+    Lambert azimuthal equal-area — ρ = a·√(q_p − q(φ)) (Snyder
+    24-23/24-24), authalic-series inverse; ρ(equator) reproduces
+    PROJ's 9 009 964.76 m (tests). The polar LAEA plane covers the
+    whole sphere minus the antipode, so corner pixels beyond
+    ρ(equator) legitimately invert to southern-hemisphere lon/lats
+    and gather from the global eqc source like any other pixel.
+    Oblique ellipsoidal laea raises loudly (dispatch guard)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_EASE2_NORTH, EQC_AREA, src)
+
+
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
 # Helmert datum, EPSG 31467) ------------------------------------------
 

@@ -397,6 +397,10 @@ _EPSG_CRS = {
            "+datum=potsdam",
     27700: "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
            "+x_0=400000 +y_0=-100000 +datum=OSGB36",
+    # EASE-Grid 2.0 (ellipsoidal equal-area, native since round 12)
+    6933: "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84",
+    6931: "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",
+    6932: "+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84",
 }
 
 

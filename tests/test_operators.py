@@ -3181,3 +3181,91 @@ def test_gk_epsg_codes_roundtrip_geotiff():
         assert _family(area.crs) == "tmerc_ell"
         spec = crs_datum_spec(area.crs)
         assert spec.towgs84 is not None and any(spec.towgs84)
+
+
+def test_ease2_family_anchors_and_twins(spark):
+    """EASE-Grid 2.0 (EPSG 6933/6931/6932) — the ellipsoidal
+    equal-area family via authalic latitude: forward reproduces the
+    published grid constants (global half-width x(180°) =
+    17 367 530.45 m; polar ρ(equator) = 9 009 964.76 m), SQL twins
+    match the Column twins bit-exact, fwd∘inv is identity, the scalar
+    inverse agrees, and oblique ellipsoidal laea raises loudly."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.crs import (
+        _family,
+        forward,
+        forward_sql,
+        inverse,
+        inverse_scalar,
+    )
+
+    glob = "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84"
+    north = "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84"
+    south = "+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84"
+    assert _family(glob) == "cea_ell"
+    assert _family(north) == "laea_ell_polar"
+    assert _family("+proj=cea +lat_ts=30") == "cea"  # spherical kept
+    with pytest.raises(NotImplementedError, match="oblique"):
+        _family("+proj=laea +lat_0=52 +ellps=WGS84")
+
+    pts = [(180.0, 0.0), (90.0, 0.0), (10.0, 52.0), (-120.0, -45.0),
+           (0.0, 85.0445)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    for crs, (ax, ay) in ((glob, (17367530.45, 0.0)),
+                          (north, (0.0, 9009964.76)),
+                          (south, (0.0, -9009964.76))):
+        fx, fy = forward(crs)("lon", "lat")
+        rows = df.select("i", fx.alias("x"),
+                         fy.alias("y")).orderBy("i").collect()
+        # anchor: pts[0]=(180,0) for global width; pts[1]=(90,0) for
+        # the polar equator radius (x-axis direction)
+        if crs is glob:
+            assert rows[0].x == pytest.approx(17367530.45, abs=0.01)
+            assert rows[0].y == pytest.approx(0.0, abs=1e-6)
+        else:
+            assert rows[1].x == pytest.approx(9009964.76, abs=0.01)
+            assert abs(rows[1].y) < 1e-6
+        sx, sy = forward_sql(crs)("lon", "lat")
+        for r in df.select((F.expr(sx) - fx).alias("dx"),
+                           (F.expr(sy) - fy).alias("dy")).collect():
+            assert r.dx == 0.0 and r.dy == 0.0
+        ilon, ilat = inverse(crs)("x", "y")
+        xy = spark.createDataFrame([(r.i, r.x, r.y) for r in rows],
+                                   "i long, x double, y double")
+        back = xy.select("i", ilon.alias("lon"),
+                         ilat.alias("lat")).orderBy("i").collect()
+        inv_s = inverse_scalar(crs)
+        for b, (lo, la) in zip(back, pts):
+            # ±180 is one point: compare wrapped
+            dlon = abs(((b.lon - lo) + 180.0) % 360.0 - 180.0)
+            assert dlon < 1e-7
+            assert b.lat == pytest.approx(la, abs=1e-7)
+            slo, sla = inv_s(rows[b.i].x, rows[b.i].y)
+            assert slo == pytest.approx(b.lon, abs=1e-9)
+            assert sla == pytest.approx(b.lat, abs=1e-9)
+
+
+def test_ease2_epsg_geotiff_roundtrip():
+    """EPSG 6931/6932/6933 encode to and decode from GeoTIFF
+    geokeys."""
+    import numpy as np
+
+    from pyresample_spark.operators.crs import _family
+    from pyresample_spark.sources.binary_raster import (
+        _EPSG_CRS,
+        area_from_geotiff,
+        geotiff_bytes,
+    )
+
+    for code, fam in ((6933, "cea_ell"), (6931, "laea_ell_polar"),
+                      (6932, "laea_ell_polar")):
+        crs = _EPSG_CRS[code]
+        buf = geotiff_bytes(np.ones((3, 4)), 36032.22, 36032.22,
+                            -17367530.45, 7314540.83, crs=crs)
+        area = area_from_geotiff(buf)
+        assert area.crs == crs
+        assert _family(area.crs) == fam
