@@ -606,6 +606,104 @@ def laea_ell_polar_inv_sql(x: str, y: str, a: float, b: float,
     return lon, _auth_lat_sql(beta, c)
 
 
+def laea_ell_oblique_constants(lat_0: float, a: float, b: float) -> dict:
+    """Snyder 24-17..24-21 oblique-aspect constants: authalic β1 of
+    the center latitude, m1, Rq = a·√(q_p/2), D = a·m1/(Rq·cosβ1)."""
+    import math as _m
+
+    c = authalic_constants(a, b)
+    phi1 = _m.radians(lat_0)
+    s1 = _m.sin(phi1)
+    q1 = (1.0 - c["es"]) * (
+        s1 / (1.0 - c["es"] * s1 * s1)
+        - (1.0 / (2.0 * c["e"]))
+        * _m.log((1.0 - c["e"] * s1) / (1.0 + c["e"] * s1))
+    )
+    b1 = _m.asin(max(-1.0, min(1.0, q1 / c["qp"])))
+    m1 = _m.cos(phi1) / _m.sqrt(1.0 - c["es"] * s1 * s1)
+    rq = a * _m.sqrt(c["qp"] / 2.0)
+    d = a * m1 / (rq * _m.cos(b1))
+    c.update({"sb1": _m.sin(b1), "cb1": _m.cos(b1), "rq": rq, "d": d})
+    return c
+
+
+def laea_ell_oblique_xy(lon, lat, lat_0: float, a: float, b: float,
+                        lon_0: float = 0.0) -> tuple:
+    """Oblique ellipsoidal LAEA forward (Snyder 24-17..24-19) — the
+    ETRS89-LAEA Europe CRS (EPSG 3035); reproduces the EPSG GN7-2
+    worked example (5°E 50°N → 3 962 799.45 / 2 999 718.85 about the
+    false origin) exactly (tests)."""
+    c = laea_ell_oblique_constants(lat_0, a, b)
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+        _q_auth_col(lat, c["es"], c["e"]) / c["qp"])))
+    lam = F.radians(_c(lon) - F.lit(lon_0))
+    sb, cb = F.sin(beta), F.cos(beta)
+    bb = c["rq"] * F.sqrt(
+        2.0 / (1.0 + c["sb1"] * sb + c["cb1"] * cb * F.cos(lam)))
+    return (
+        bb * c["d"] * cb * F.sin(lam),
+        (bb / c["d"]) * (c["cb1"] * sb - c["sb1"] * cb * F.cos(lam)),
+    )
+
+
+def laea_ell_oblique_inverse(x, y, lat_0: float, a: float, b: float,
+                             lon_0: float = 0.0) -> tuple:
+    """Snyder 24-26..24-31/3-18 oblique inverse; the grid center
+    (ρ = 0) resolves by the asin/atan2 limits (both engines give
+    atan2(0, 0) = 0 and the q̂ term reduces to q_p·sinβ1)."""
+    c = laea_ell_oblique_constants(lat_0, a, b)
+    xs = _c(x) / c["d"]
+    ys = c["d"] * _c(y)
+    rho = F.sqrt(xs * xs + ys * ys)
+    ce = 2.0 * F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+        rho / (2.0 * c["rq"]))))
+    sin_ce, cos_ce = F.sin(ce), F.cos(ce)
+    # ρ→0 limit: sin(ce)/ρ → 1/Rq·… ; guard the 0/0 with a CASE both
+    # engines share (center pixel is a legitimate grid point)
+    ys_term = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+        ys * sin_ce * c["cb1"] / rho)
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+        cos_ce * c["sb1"] + ys_term)))
+    lam = F.atan2(xs * sin_ce,
+                  rho * c["cb1"] * cos_ce - ys * c["sb1"] * sin_ce)
+    lon = F.degrees(lam) + F.lit(lon_0)
+    return wrap_longitude(lon), _auth_lat_col(beta, c)
+
+
+def laea_ell_oblique_sql(lon: str, lat: str, lat_0: float, a: float,
+                         b: float, lon_0: float = 0.0) -> tuple:
+    c = laea_ell_oblique_constants(lat_0, a, b)
+    beta = (f"asin(greatest(-1.0, least(1.0,"
+            f" {_q_auth_sql(lat, c['es'], c['e'])} / {c['qp']!r})))")
+    lam = f"radians({lon} - {lon_0!r})"
+    sb, cb = f"sin({beta})", f"cos({beta})"
+    bb = (f"({c['rq']!r} * sqrt(2.0 / (1.0 + {c['sb1']!r} * {sb}"
+          f" + {c['cb1']!r} * {cb} * cos({lam}))))")
+    return (
+        f"({bb} * {c['d']!r} * {cb} * sin({lam}))",
+        f"(({bb} / {c['d']!r}) * ({c['cb1']!r} * {sb}"
+        f" - {c['sb1']!r} * {cb} * cos({lam})))",
+    )
+
+
+def laea_ell_oblique_inv_sql(x: str, y: str, lat_0: float, a: float,
+                             b: float, lon_0: float = 0.0) -> tuple:
+    c = laea_ell_oblique_constants(lat_0, a, b)
+    xs = f"(CAST({x} AS DOUBLE) / {c['d']!r})"
+    ys = f"({c['d']!r} * CAST({y} AS DOUBLE))"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    ce = (f"(2.0 * asin(greatest(-1.0, least(1.0,"
+          f" {rho} / {2.0 * c['rq']!r}))))")
+    ys_term = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE"
+               f" {ys} * sin({ce}) * {c['cb1']!r} / {rho} END)")
+    beta = (f"asin(greatest(-1.0, least(1.0,"
+            f" cos({ce}) * {c['sb1']!r} + {ys_term})))")
+    lam = (f"atan2({xs} * sin({ce}), {rho} * {c['cb1']!r} * cos({ce})"
+           f" - {ys} * {c['sb1']!r} * sin({ce}))")
+    lon = f"(((degrees({lam}) + {lon_0!r}) + 540.0) % 360.0 - 180.0)"
+    return lon, _auth_lat_sql(beta, c)
+
+
 # --- Sinusoidal (+proj=sinu — the MODIS L3 tiling grid) ---------------
 # Snyder eqs. 30-1/30-2 (spherical): x = R·radians(lon−lon_0)·cos(lat),
 # y = R·radians(lat); equal-area, pseudocylindrical.

@@ -103,6 +103,8 @@ from pyresample_spark.functions.geo import (
     stere_polar_y,
     cea_ell_inverse,
     cea_ell_xy,
+    laea_ell_oblique_inverse,
+    laea_ell_oblique_xy,
     laea_ell_polar_inverse,
     laea_ell_polar_xy,
     tmerc_ell_inverse,
@@ -161,11 +163,7 @@ def _family(crs: str) -> str:
             # the spherical form ~20 km off
             if abs(float(p.get("lat_0", "0"))) == 90.0:
                 return "laea_ell_polar"
-            raise NotImplementedError(
-                "oblique ellipsoidal laea not implemented (polar "
-                "aspects lat_0=±90 are native; drop the ellipsoid for "
-                "the spherical oblique form)"
-            )
+            return "laea_ell_oblique"
         return "laea"
     if proj == "merc":
         return "merc"
@@ -222,6 +220,17 @@ def cea_ell_crs_params(crs: str) -> dict:
     a, b = _ellipsoid_ab(p)
     return {
         "lat_ts": float(p.get("lat_ts", "0")),
+        "a": a,
+        "b": b,
+        "lon_0": float(p.get("lon_0", "0")),
+    }
+
+
+def laea_ell_oblique_crs_params(crs: str) -> dict:
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    return {
+        "lat_0": float(p.get("lat_0", "0")),
         "a": a,
         "b": b,
         "lon_0": float(p.get("lon_0", "0")),
@@ -487,6 +496,9 @@ def _forward_centered(crs: str):
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda lon, lat: laea_ell_polar_xy(lon, lat, **kw)
+    if fam == "laea_ell_oblique":
+        kw = laea_ell_oblique_crs_params(crs)
+        return lambda lon, lat: laea_ell_oblique_xy(lon, lat, **kw)
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -619,6 +631,9 @@ def _inverse_centered(crs: str):
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda x, y: laea_ell_polar_inverse(x, y, **kw)
+    if fam == "laea_ell_oblique":
+        kw = laea_ell_oblique_crs_params(crs)
+        return lambda x, y: laea_ell_oblique_inverse(x, y, **kw)
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))
@@ -757,6 +772,10 @@ def forward_sql(crs: str):
         kw = laea_ell_polar_crs_params(crs)
         return offset(
             lambda lon, lat: G.laea_ell_polar_sql(lon, lat, **kw))
+    if fam == "laea_ell_oblique":
+        kw = laea_ell_oblique_crs_params(crs)
+        return offset(
+            lambda lon, lat: G.laea_ell_oblique_sql(lon, lat, **kw))
     if fam == "merc":
         return offset(lambda lon, lat: G.merc_sql(
             lon, lat, lat_ts=float(p.get("lat_ts", "0")),
@@ -957,6 +976,39 @@ def _inverse_scalar_centered(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, _auth_phi2(beta)
 
         return _laea_ellp_inv
+    if fam == "laea_ell_oblique":
+        from pyresample_spark.functions.geo import (
+            laea_ell_oblique_constants,
+        )
+
+        kw = laea_ell_oblique_crs_params(crs)
+        cst = laea_ell_oblique_constants(kw["lat_0"], kw["a"], kw["b"])
+
+        def _auth_phi3(beta):
+            return math.degrees(
+                beta + cst["c2"] * math.sin(2 * beta)
+                + cst["c4"] * math.sin(4 * beta)
+                + cst["c6"] * math.sin(6 * beta))
+
+        def _laea_ello_inv(x, y):
+            xs = x / cst["d"]
+            ys = cst["d"] * y
+            rho = math.hypot(xs, ys)
+            if rho == 0.0:
+                return kw["lon_0"], _auth_phi3(math.asin(cst["sb1"]))
+            ce = 2.0 * math.asin(max(-1.0, min(1.0,
+                rho / (2.0 * cst["rq"]))))
+            beta = math.asin(max(-1.0, min(1.0,
+                math.cos(ce) * cst["sb1"]
+                + ys * math.sin(ce) * cst["cb1"] / rho)))
+            lam = math.atan2(
+                xs * math.sin(ce),
+                rho * cst["cb1"] * math.cos(ce)
+                - ys * cst["sb1"] * math.sin(ce))
+            lon = kw["lon_0"] + math.degrees(lam)
+            return ((lon + 540.0) % 360.0) - 180.0, _auth_phi3(beta)
+
+        return _laea_ello_inv
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

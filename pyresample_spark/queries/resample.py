@@ -1965,6 +1965,65 @@ def q_regrid_ease2_north(spark, sf_dir):
     return regrid_nearest(_EASE2_NORTH, EQC_AREA, src)
 
 
+# --- q_regrid_etrs89: ETRS89-LAEA Europe (EPSG 3035, oblique
+# ellipsoidal LAEA) ----------------------------------------------------
+
+def _etrs89_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # ETRS89-extended / LAEA Europe — the CORINE land-cover / EEA
+    # reference grid CRS: OBLIQUE ellipsoidal Lambert azimuthal
+    # equal-area centered (10°E, 52°N) on GRS80 with the 4321/3210 km
+    # false origin. Window over mainland Europe.
+    return AreaDefinition(
+        "etrs89_laea_eu",
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80",
+        width=64, height=64,
+        area_extent=(2800000.0, 1600000.0, 6000000.0, 4800000.0),
+    )
+
+
+_ETRS89_AREA = _etrs89_area()
+
+
+def _etrs89_inv_lonlat() -> tuple:
+    from pyresample_spark.functions.geo import laea_ell_oblique_inv_sql
+
+    # the +x_0/+y_0 false origin is a generic post-projection
+    # translation (operators/crs.py _xy_offsets) — the oracle undoes
+    # it before the centered inverse, exactly like the Spark plan
+    a = 6378137.0
+    b = a * (1.0 - 1.0 / 298.257222101)  # GRS80
+    return laea_ell_oblique_inv_sql(
+        "(cx - 4321000.0)", "(cy - 3210000.0)",
+        lat_0=52.0, a=a, b=b, lon_0=10.0,
+    )
+
+
+@register(
+    "q_regrid_etrs89",
+    oracle=(lambda lonlat: _regrid_oracle(_ETRS89_AREA, lonlat))(
+        _etrs89_inv_lonlat()
+    ),
+)
+def q_regrid_etrs89(spark, sf_dir):
+    """ETRS89-LAEA Europe regrid (EPSG 3035) WITHOUT pyproj: the
+    OBLIQUE ellipsoidal Lambert azimuthal equal-area (Snyder
+    24-17..24-21 via authalic latitude — B/D oblique machinery, not
+    the polar √(q_p−q) form) that every CORINE/EEA European raster
+    ships in. Reproduces the EPSG Guidance Note 7-2 worked example
+    (5°E 50°N → 3 962 799.45 / 2 999 718.85) exactly (tests); the
+    4321/3210 km false origin rides the generic +x_0/+y_0
+    translation. Same eqc gather plan as every regrid. Reference
+    path: pyproj EPSG 3035 (utils/proj4.py)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_ETRS89_AREA, EQC_AREA, src)
+
+
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
 # Helmert datum, EPSG 31467) ------------------------------------------
 

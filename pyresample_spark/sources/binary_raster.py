@@ -222,11 +222,12 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None,
         )
     crs = "longlat"
     if gm and gm in nc["vars"]:
-        gmv = nc["vars"][gm]["attrs"]
-        crs = str(
-            gmv.get("proj4") or gmv.get("crs_wkt")
-            or gmv.get("grid_mapping_name") or "longlat"
-        )
+        from pyresample_spark.sources.cf_gm import resolve_cf_crs
+
+        # proj4 wins, then crs_wkt, then REAL CF grid_mapping_name +
+        # numeric attrs translate natively (sources/cf_gm.py — the
+        # pyproj CRS.from_cf twin); legacy proj-string names pass
+        crs = resolve_cf_crs(nc["vars"][gm]["attrs"])
     ydim, xdim = v["dims"][-2], v["dims"][-1]
     xs = nc_var_data(buf, nc["vars"][xdim]).astype(float).tolist()
     ys = nc_var_data(buf, nc["vars"][ydim]).astype(float).tolist()
@@ -399,6 +400,10 @@ _EPSG_CRS = {
            "+x_0=400000 +y_0=-100000 +datum=OSGB36",
     # EASE-Grid 2.0 (ellipsoidal equal-area, native since round 12)
     6933: "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84",
+    # ETRS89-extended / LAEA Europe (the CORINE / EEA reference grid):
+    # OBLIQUE ellipsoidal LAEA on GRS80
+    3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+          "+ellps=GRS80",
     6931: "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",
     6932: "+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84",
 }

@@ -3206,8 +3206,8 @@ def test_ease2_family_anchors_and_twins(spark):
     assert _family(glob) == "cea_ell"
     assert _family(north) == "laea_ell_polar"
     assert _family("+proj=cea +lat_ts=30") == "cea"  # spherical kept
-    with pytest.raises(NotImplementedError, match="oblique"):
-        _family("+proj=laea +lat_0=52 +ellps=WGS84")
+    assert _family("+proj=laea +lat_0=52 +ellps=WGS84") == \
+        "laea_ell_oblique"
 
     pts = [(180.0, 0.0), (90.0, 0.0), (10.0, 52.0), (-120.0, -45.0),
            (0.0, 85.0445)]
@@ -3269,3 +3269,59 @@ def test_ease2_epsg_geotiff_roundtrip():
         area = area_from_geotiff(buf)
         assert area.crs == crs
         assert _family(area.crs) == fam
+
+
+def test_etrs89_laea_oblique_epsg_anchor_and_twins(spark):
+    """Oblique ellipsoidal LAEA (EPSG 3035 / ETRS89-LAEA Europe):
+    reproduces the EPSG Guidance Note 7-2 worked example — 5°E 50°N →
+    E 3 962 799.45 N 2 999 718.85 — to < 1 cm; the grid center maps
+    to the false origin exactly; SQL twins match Column twins
+    bit-exact; fwd∘inv identity; scalar inverse agrees (including the
+    ρ = 0 center pixel)."""
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.operators.crs import (
+        _family,
+        forward,
+        forward_sql,
+        inverse,
+        inverse_scalar,
+    )
+
+    crs = ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+           "+ellps=GRS80")
+    assert _family(crs) == "laea_ell_oblique"
+    pts = [(5.0, 50.0), (10.0, 52.0), (-9.0, 38.7), (30.0, 60.0),
+           (24.0, 38.0)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    fx, fy = forward(crs)("lon", "lat")
+    rows = df.select("i", fx.alias("x"),
+                     fy.alias("y")).orderBy("i").collect()
+    assert rows[0].x == pytest.approx(3962799.45, abs=0.01)
+    assert rows[0].y == pytest.approx(2999718.85, abs=0.01)
+    assert rows[1].x == pytest.approx(4321000.0, abs=1e-6)
+    assert rows[1].y == pytest.approx(3210000.0, abs=1e-6)
+    sx, sy = forward_sql(crs)("lon", "lat")
+    for r in df.select((F.expr(sx) - fx).alias("dx"),
+                       (F.expr(sy) - fy).alias("dy")).collect():
+        assert r.dx == 0.0 and r.dy == 0.0
+    ilon, ilat = inverse(crs)("x", "y")
+    xy = spark.createDataFrame([(r.i, r.x, r.y) for r in rows],
+                               "i long, x double, y double")
+    back = xy.select("i", ilon.alias("lon"),
+                     ilat.alias("lat")).orderBy("i").collect()
+    inv_s = inverse_scalar(crs)
+    for b, (lo, la) in zip(back, pts):
+        assert b.lon == pytest.approx(lo, abs=1e-7)
+        assert b.lat == pytest.approx(la, abs=1e-7)
+        slo, sla = inv_s(rows[b.i].x, rows[b.i].y)
+        assert slo == pytest.approx(b.lon, abs=1e-9)
+        assert sla == pytest.approx(b.lat, abs=1e-9)
+    # center pixel (rho = 0 branch in all twins; the truncated
+    # authalic series re-derives lat_0 to ~3e-9 deg, not exactly)
+    slo, sla = inv_s(4321000.0, 3210000.0)
+    assert slo == pytest.approx(10.0, abs=1e-7)
+    assert sla == pytest.approx(52.0, abs=1e-7)
