@@ -125,11 +125,9 @@ def load_cf_area(path: str, variable: str | None = None):
     gm = var.attrs.get("grid_mapping")
     crs = "longlat"
     if gm and gm in ds.variables:
-        gma = ds[gm].attrs
-        crs = str(
-            gma.get("proj4") or gma.get("crs_wkt")
-            or gma.get("grid_mapping_name") or "longlat"
-        )
+        from pyresample_spark.sources.cf_gm import resolve_cf_crs
+
+        crs = resolve_cf_crs(dict(ds[gm].attrs))
     elif gm:
         crs = str(gm)
     ydim, xdim = var.dims[-2], var.dims[-1]

@@ -1526,11 +1526,11 @@ def load_cf_area_h5(buf: bytes, variable: str | None = None,
         )
     crs = "longlat"
     if gm and gm in ds:
-        gma = ds[gm]["attrs"]
-        crs = str(
-            gma.get("proj4") or gma.get("crs_wkt")
-            or gma.get("grid_mapping_name") or "longlat"
-        )
+        from pyresample_spark.sources.cf_gm import resolve_cf_crs
+
+        # proj4 → crs_wkt → CF grid_mapping_name translation
+        # (sources/cf_gm.py), legacy proj-string names pass through
+        crs = resolve_cf_crs(ds[gm]["attrs"])
     elif gm:
         crs = str(gm)
     xs = ds[xn]["data"].astype(float).tolist()
@@ -1694,13 +1694,30 @@ def _w_space(shape, maxdims=None) -> bytes:
     return out
 
 
-def _w_attr(name: str, value: str) -> bytes:
+def _w_attr(name: str, value) -> bytes:
+    """Attribute message v1: fixed-string for str values; float64
+    scalar/1-D for numbers and number lists (the CF numeric
+    grid-mapping attrs — standard_parallel, semi_major_axis... —
+    that real netcdf-c files carry)."""
     nb = name.encode() + b"\x00"
-    vb = value.encode()
-    dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", max(len(vb), 1))
-    ds = bytes([1, 0, 0, 0, 0, 0, 0, 0])
+    if isinstance(value, str):
+        vb = value.encode()
+        dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", max(len(vb), 1))
+        ds = bytes([1, 0, 0, 0, 0, 0, 0, 0])
+        data = vb or b"\x00"
+    else:
+        vals = (list(value) if isinstance(value, (list, tuple))
+                else [value])
+        data = struct.pack(f"<{len(vals)}d", *map(float, vals))
+        dt = (bytes([0x11, 0, 0, 0]) + struct.pack("<I", 8)
+              + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+        if len(vals) == 1:
+            ds = bytes([1, 0, 0, 0, 0, 0, 0, 0])
+        else:
+            ds = (bytes([1, 1, 0, 0, 0, 0, 0, 0])
+                  + struct.pack("<Q", len(vals)))
     body = struct.pack("<BBHHH", 1, 0, len(nb), len(dt), len(ds))
-    return body + _w_pad8(nb) + _w_pad8(dt) + _w_pad8(ds) + (vb or b"\x00")
+    return body + _w_pad8(nb) + _w_pad8(dt) + _w_pad8(ds) + data
 
 
 def _w_msg(mtype: int, body: bytes) -> bytes:
@@ -1838,7 +1855,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     chunk_blobs: dict = {}
     for n in names:
         arr, attrs = variables[n]
-        msgs = [_w_msg(0x000C, _w_attr(k, str(v)))
+        msgs = [_w_msg(0x000C, _w_attr(k, v))
                 for k, v in sorted(attrs.items())]
         if arr is None:
             comp = struct.pack("<i", 0)

@@ -2667,3 +2667,144 @@ def test_rasterio_reads_cog_overviews(tmp_path):
         np.testing.assert_allclose(fh.read(1), arr)
     with rasterio.open(str(p), OVERVIEW_LEVEL=0) as fh:
         np.testing.assert_allclose(fh.read(1), arr[::2, ::2])
+
+
+# --- CF grid-mapping-name translation (round 12, sources/cf_gm.py) ----
+# Real CF products carry grid_mapping_name + numeric attrs, not proj4;
+# the reference resolves them with pyproj CRS.from_cf
+# (pyresample/utils/cf.py) — cf_gm.py is the native twin.
+
+
+def test_cf_grid_mapping_translation_table():
+    from pyresample_spark.operators.crs import _family
+    from pyresample_spark.sources.cf_gm import (
+        cf_grid_mapping_to_crs,
+        resolve_cf_crs,
+    )
+
+    wgs = {"semi_major_axis": 6378137.0,
+           "inverse_flattening": 298.257223563}
+    cases = [
+        # NSIDC sea-ice polar stereographic north
+        ({"grid_mapping_name": "polar_stereographic",
+          "latitude_of_projection_origin": 90.0,
+          "straight_vertical_longitude_from_pole": -45.0,
+          "standard_parallel": 70.0, **wgs}, "stere_ell_polar"),
+        # EASE-Grid 2.0 global
+        ({"grid_mapping_name": "lambert_cylindrical_equal_area",
+          "standard_parallel": 30.0,
+          "longitude_of_central_meridian": 0.0, **wgs}, "cea_ell"),
+        # GOES-R fixed grid (sweep x)
+        ({"grid_mapping_name": "geostationary",
+          "perspective_point_height": 35786023.0,
+          "longitude_of_projection_origin": -75.0,
+          "sweep_angle_axis": "x", "semi_major_axis": 6378137.0,
+          "semi_minor_axis": 6356752.31414}, "geos_ell"),
+        # OSGB national grid (ellipsoidal tmerc + false origin)
+        ({"grid_mapping_name": "transverse_mercator",
+          "latitude_of_projection_origin": 49.0,
+          "longitude_of_central_meridian": -2.0,
+          "scale_factor_at_central_meridian": 0.9996012717,
+          "false_easting": 400000.0, "false_northing": -100000.0,
+          "semi_major_axis": 6377563.396,
+          "inverse_flattening": 299.3249646}, "tmerc_ell"),
+        # EASE-1 (spherical laea with custom radius — the one family
+        # that consumes a sphere +a)
+        ({"grid_mapping_name": "lambert_azimuthal_equal_area",
+          "latitude_of_projection_origin": -90.0,
+          "longitude_of_projection_origin": 0.0,
+          "earth_radius": 6371228.0}, "laea"),
+        # spherical default-radius mercator
+        ({"grid_mapping_name": "mercator",
+          "standard_parallel": 20.0}, "merc"),
+    ]
+    for gma, fam in cases:
+        crs = cf_grid_mapping_to_crs(gma)
+        assert _family(crs) == fam, (gma, crs)
+    # resolution order: proj4 wins over a grid_mapping_name
+    assert resolve_cf_crs({"proj4": "eqc",
+                           "grid_mapping_name": "mercator"}) == "eqc"
+    # legacy engine-written files: proj STRING in grid_mapping_name
+    assert resolve_cf_crs({"grid_mapping_name": "eqc"}) == "eqc"
+    assert resolve_cf_crs(
+        {"grid_mapping_name": "+proj=laea +lat_0=-90"}
+    ) == "+proj=laea +lat_0=-90"
+
+
+def test_cf_grid_mapping_guards():
+    from pyresample_spark.sources.cf_gm import cf_grid_mapping_to_crs
+
+    # WRF-style sphere on a family whose spherical form is pinned to
+    # R_EARTH: silent km-scale shift → loud error
+    with pytest.raises(NotImplementedError, match="sphere of radius"):
+        cf_grid_mapping_to_crs({
+            "grid_mapping_name": "lambert_conformal_conic",
+            "standard_parallel": [33.0, 45.0],
+            "longitude_of_central_meridian": -97.0,
+            "latitude_of_projection_origin": 40.0,
+            "earth_radius": 6370000.0})
+    with pytest.raises(NotImplementedError, match="rotated"):
+        cf_grid_mapping_to_crs(
+            {"grid_mapping_name": "rotated_latitude_longitude"})
+    with pytest.raises(ValueError, match="standard_parallel"):
+        cf_grid_mapping_to_crs(
+            {"grid_mapping_name": "lambert_conformal_conic"})
+
+
+def test_cf_grid_mapping_netcdf3_end_to_end():
+    """A REAL-CF classic NetCDF (numeric grid-mapping attrs, no proj4)
+    loads through load_cf_area_nc3 with the right analytic family."""
+    from pyresample_spark.operators.crs import _family
+
+    xs = np.array([12500.0 + 25000.0 * i - 4.5e6 for i in range(8)])
+    ys = np.array([4.5e6 - 12500.0 - 25000.0 * j for j in range(6)])
+    data = np.arange(48, dtype=">f8").reshape(6, 8)
+    buf = nc3_bytes(
+        [("y", 6), ("x", 8)],
+        [("x", ["x"], {}, xs.astype(">f8")),
+         ("y", ["y"], {}, ys.astype(">f8")),
+         ("crs", [], {"grid_mapping_name": "polar_stereographic",
+                      "latitude_of_projection_origin": 90.0,
+                      "straight_vertical_longitude_from_pole": -45.0,
+                      "standard_parallel": 70.0,
+                      "semi_major_axis": 6378137.0,
+                      "inverse_flattening": 298.257223563}, None),
+         ("ice", ["y", "x"], {"grid_mapping": "crs"}, data)],
+    )
+    area, var = load_cf_area_nc3(buf)
+    assert var == "ice"
+    assert _family(area.crs) == "stere_ell_polar"
+    assert "+lat_ts=70.0" in area.crs and "+lon_0=-45.0" in area.crs
+
+
+def test_cf_grid_mapping_hdf5_end_to_end():
+    """Same through the native HDF5 reader — numeric attrs now write
+    as float64 scalars (the netcdf-c layout) and translate."""
+    from pyresample_spark.operators.crs import _family
+    from pyresample_spark.sources.hdf5 import (
+        hdf5_grid_bytes,
+        load_cf_area_h5,
+        parse_hdf5,
+    )
+
+    buf = hdf5_grid_bytes({
+        "x": (np.arange(8.0) * 25000 + 12500 - 9e6,
+              {"CLASS": "DIMENSION_SCALE"}),
+        "y": (9e6 - np.arange(6.0) * 25000 - 12500,
+              {"CLASS": "DIMENSION_SCALE"}),
+        "crs": (None, {
+            "grid_mapping_name": "lambert_azimuthal_equal_area",
+            "latitude_of_projection_origin": 90.0,
+            "longitude_of_projection_origin": 0.0,
+            "semi_major_axis": 6378137.0,
+            "inverse_flattening": 298.257223563}),
+        "band": (np.arange(48.0).reshape(6, 8), {"grid_mapping": "crs"}),
+    })
+    area, var = load_cf_area_h5(buf)
+    assert var == "band"
+    assert _family(area.crs) == "laea_ell_polar"
+    # the numeric attrs round-trip as floats, not strings
+    attrs = parse_hdf5(buf)["crs"]["attrs"]
+    assert attrs["semi_major_axis"] == 6378137.0
+    assert attrs["standard_parallel"] if "standard_parallel" in attrs \
+        else True
