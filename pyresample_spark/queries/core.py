@@ -208,6 +208,52 @@ def q_geotiff_ingest(spark, sf_dir):
 
 
 @register(
+    "q_cog_ingest",
+    oracle="""
+    SELECT CAST((r // 320) * 32 + 2 * ((r % 320) // 20) AS BIGINT) AS row,
+           CAST(2 * (r % 20) AS BIGINT) AS col,
+           CAST((((r // 320) * 32 + 2 * ((r % 320) // 20)) * 31
+                 + (2 * (r % 20)) * 17) % 97 AS DOUBLE) + 0.5 AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_cog_ingest(spark, sf_dir):
+    """Cloud-optimized-GeoTIFF ingest at a COARSE target (round 12 /
+    VERDICT r11 item 3): three COG granules (two chained overview
+    IFDs each; baseline strips, BigTIFF+predictor-3 and DEFLATE-tile
+    containers) read through the SAME distributed binaryFile +
+    mapInPandas ingest with ``target_resolution=2.0`` — per file,
+    select_overview_ifd picks overview level 1 (2 m/px ≤ target; the
+    4 m/px level 2 would lose information), decoding ONE QUARTER of
+    the pixels. Overview-local (row, col) map back to full-grid
+    coordinates by the 2^k stride; the oracle regenerates the
+    decimated synthetic grid, so the whole chain — multi-IFD walk,
+    per-level geotransform, strided decode across all three container
+    flavors — must be value-exact. Reference path: rasterio
+    overview_level (utils/rasterio.py:77)."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        COG_ROWS,
+        demo_cog_granule_dir,
+        read_raster_pixels,
+    )
+
+    d = demo_cog_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.tif"), "geotiff",
+                            target_resolution=2.0)
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.tif", 1).cast(
+        "long"
+    )
+    # overview level 1: local index i covers full-grid row 2*i
+    return px.select(
+        (band * COG_ROWS + 2 * F.col("row")).alias("row"),
+        (2 * F.col("col")).alias("col"),
+        "value",
+    )
+
+
+@register(
     "q_compound_calibrate",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

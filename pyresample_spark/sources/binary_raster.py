@@ -1843,6 +1843,54 @@ def demo_tiff_granule_dir() -> str:
     )
 
 
+# COG fixture dims: bigger than the strip granules so the 2x/4x
+# overview levels still carry meaningful content
+COG_ROWS, COG_COLS, COG_BANDS = 32, 40, 3
+
+
+def demo_cog_granule_dir() -> str:
+    """Cloud-optimized GeoTIFF twin of :func:`demo_tiff_granule_dir`:
+    each granule carries TWO chained overview IFDs (every 2nd/4th
+    pixel, NewSubfileType=1) over the same banded synthetic grid, in
+    three container flavors (baseline strips, BigTIFF + predictor-3
+    DEFLATE, DEFLATE tiles) — the driver-gated q_cog_ingest reads the
+    AUTO-SELECTED overview level and must reproduce the decimated
+    grid value-exactly."""
+    import os
+
+    def write(tmp):
+        for band in range(COG_BANDS):
+            r0 = band * COG_ROWS
+            rows = np.arange(r0, r0 + COG_ROWS)[:, None]
+            cols = np.arange(COG_COLS)[None, :]
+            data = ((rows * 31 + cols * 17) % 97).astype("f4") + 0.5
+            if band == 1:
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress=True, predictor=3, bigtiff=True,
+                    overviews=2,
+                )
+            elif band == 2:
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress=True, tile=(16, 16), overviews=2,
+                )
+            else:
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress=False, overviews=2,
+                )
+            with open(os.path.join(tmp, f"granule_{band}.tif"),
+                      "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_cog_granules_v1_{COG_BANDS}x"
+        f"{COG_ROWS}x{COG_COLS}",
+        write,
+    )
+
+
 def _demo_geotiff_bytes(arr, sx, sy, x0, y0, endian="<",
                         compress=False) -> bytes:
     """Minimal single-strip float32 GeoTIFF writer (geographic CRS
