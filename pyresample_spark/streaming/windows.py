@@ -491,7 +491,8 @@ def streaming_tile_counts(
 
 
 def streaming_granule_ingest(
-    spark: SparkSession, path: str, fmt: str = "netcdf3"
+    spark: SparkSession, path: str, fmt: str = "netcdf3",
+    target_resolution: float | None = None,
 ) -> DataFrame:
     """Streaming granule-file ingestion — the operational satellite
     feed: new files landing in a directory become micro-batches of a
@@ -507,7 +508,10 @@ def streaming_granule_ingest(
     processing loop — here it's the same declarative plan as batch
     with the source swapped. ``fmt="geotiff_multiband"`` ingests
     SamplesPerPixel>1 products (chunky or planar) and keys the
-    summary by (file, channel)."""
+    summary by (file, channel). ``target_resolution`` enables the
+    COG overview auto-select exactly like the batch reader — the
+    operational pattern for a coarse-product stream over full-res
+    archives (per-file level pick, stateless)."""
     from pyresample_spark.sources.binary_raster import (
         RASTER_MULTIBAND_SCHEMA,
         RASTER_PIXEL_SCHEMA,
@@ -530,7 +534,7 @@ def streaming_granule_ingest(
     )
     multi = fmt == "geotiff_multiband"
     px = src.mapInPandas(
-        raster_decode_fn(fmt),
+        raster_decode_fn(fmt, target_resolution=target_resolution),
         RASTER_MULTIBAND_SCHEMA if multi else RASTER_PIXEL_SCHEMA,
     )
     keys = ["file", "channel"] if multi else ["file"]

@@ -645,3 +645,49 @@ def test_streaming_granule_ingest_hdf5_matches_batch(spark):
     }
     assert len(got) == 3
     assert got == batch
+
+
+def test_streaming_cog_overview_ingest_matches_batch(spark):
+    """The COG overview auto-select works identically in the
+    file-stream path: per-granule summaries at target_resolution=2
+    equal the batch reader's, and decode a quarter of the pixels."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import (
+        COG_COLS,
+        COG_ROWS,
+        demo_cog_granule_dir,
+        read_raster_pixels,
+    )
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_cog_granule_dir()
+    glob = os.path.join(d, "*.tif")
+    stream = streaming_granule_ingest(spark, glob, fmt="geotiff",
+                                      target_resolution=2.0)
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "cog_ingest").collect()
+    }
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "geotiff",
+                                    target_resolution=2.0)
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == batch
+    assert all(n == (COG_ROWS // 2) * (COG_COLS // 2)
+               for n, _ in got.values())
