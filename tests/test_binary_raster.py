@@ -2808,3 +2808,25 @@ def test_cf_grid_mapping_hdf5_end_to_end():
     assert attrs["semi_major_axis"] == 6378137.0
     assert attrs["standard_parallel"] if "standard_parallel" in attrs \
         else True
+
+
+@settings(max_examples=60, deadline=None)
+@given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
+       trunc=st.integers(0, 1 << 30))
+def test_cog_chain_corruption_is_loud(pos, val, trunc):
+    """Byte flips / truncations across a multi-IFD COG (overview
+    chain + next-IFD pointers) must raise loudly from the full-chain
+    walk — never hang, loop, or mis-walk silently."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes as gb,
+        parse_tiff_ifds,
+    )
+
+    arr = (np.arange(120, dtype="f4").reshape(10, 12)) * 1.5
+    base = gb(arr, 1.0, 1.0, 0.0, 10.0, compress=True, overviews=2)
+
+    def parse_all(buf):
+        for k, _ in enumerate(parse_tiff_ifds(buf)):
+            tiff_pixels(buf, k)
+
+    _corrupt_probe(parse_all, base, pos, val, trunc)

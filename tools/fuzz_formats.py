@@ -115,7 +115,13 @@ def main():
         parse_hdf5,
     )
 
+    from pyresample_spark.sources.binary_raster import parse_tiff_ifds
+
     arr = (np.arange(60, dtype="f4").reshape(6, 10)) * 1.5
+
+    def cog_walk(buf):
+        for k, _ in enumerate(parse_tiff_ifds(buf)):
+            tiff_pixels(buf, k)
 
     def nc_parse(buf):
         nc = parse_netcdf3(buf)
@@ -155,6 +161,11 @@ def main():
         ("geotiff-area", geotiff_bytes(arr, 0.5, 0.25, 10.0, 50.0,
                                        compress=True),
             lambda b: area_from_geotiff(b, "t")),
+        # multi-IFD COG chain: next-IFD pointers, per-level dims,
+        # NewSubfileType — walk EVERY level under corruption
+        ("cog-chain", geotiff_bytes(arr, 1.0, 1.0, 0.0, 6.0,
+                                    compress=True, overviews=2),
+            cog_walk),
         ("nc1", _demo_nc(), nc_parse),
         ("nc5", _demo_nc(version=5), nc_parse),
         ("nc-area", _demo_nc(), load_cf_area_nc3),
@@ -165,6 +176,22 @@ def main():
         ("hdf5-ea", h5_grid(superblock=2,
                             chunk_index="extensible_array"), h5_parse),
         ("hdf5-area", h5_grid(), load_cf_area_h5),
+        # CF numeric grid-mapping attrs (float64 attr messages + the
+        # cf_gm translation) under corruption
+        ("hdf5-cf-attrs", hdf5_grid_bytes({
+            "x": ((np.arange(8.0) * 25000 + 12500 - 9e6),
+                  {"CLASS": "DIMENSION_SCALE"}),
+            "y": ((9e6 - np.arange(6.0) * 25000 - 12500),
+                  {"CLASS": "DIMENSION_SCALE"}),
+            "crs": (None, {
+                "grid_mapping_name": "lambert_azimuthal_equal_area",
+                "latitude_of_projection_origin": 90.0,
+                "longitude_of_projection_origin": 0.0,
+                "semi_major_axis": 6378137.0,
+                "inverse_flattening": 298.257223563}),
+            "band": (np.arange(48.0).reshape(6, 8),
+                     {"grid_mapping": "crs"}),
+        }), load_cf_area_h5),
         ("ppm", encode_ppm(17, 11, (50, 100, 150)), decode_ppm),
         ("ppm-container",
          encode_ppm(17, 11, (50, 100, 150)) * 2, decode_ppm_container),
