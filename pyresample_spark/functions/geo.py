@@ -439,6 +439,127 @@ def cea_inv_sql(x: str, y: str, lat_ts: float = 0.0, lon_0: float = 0.0,
     return lon, lat
 
 
+# --- Ellipsoidal Lambert conformal conic (+proj=lcc +ellps/+a+b) ------
+# Snyder eqs. 15-1..15-11 / PROJ lcc.cpp: the conformal t(φ) cone —
+# n from the two standard parallels' (m, t) pairs, F = m1/(n·t1^n),
+# ρ = a·F·t^n. The inverse recovers t in closed form and runs the SAME
+# 8-step conformal-latitude fixed point as the ellipsoidal
+# stereographic (engine-identical on both engines). Validated against
+# the RGF93 / Lambert-93 grid (EPSG 2154): the false origin maps
+# exactly and Paris lands on its published meters (tests).
+
+
+def lcc_ell_constants(lat_0: float, lat_1: float,
+                      lat_2: float | None, a: float, b: float,
+                      k0: float = 1.0) -> dict:
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    e = _m.sqrt(es)
+
+    def t_of(phi):
+        return _m.tan(_m.pi / 4.0 - phi / 2.0) * (
+            (1.0 + e * _m.sin(phi)) / (1.0 - e * _m.sin(phi))
+        ) ** (e / 2.0)
+
+    def m_of(phi):
+        return _m.cos(phi) / _m.sqrt(1.0 - es * _m.sin(phi) ** 2)
+
+    p1 = _m.radians(lat_1)
+    p2 = _m.radians(lat_2 if lat_2 is not None else lat_1)
+    t1 = t_of(p1)
+    if abs(p1 - p2) < 1e-12:
+        n = _m.sin(p1)
+    else:
+        n = ((_m.log(m_of(p1)) - _m.log(m_of(p2)))
+             / (_m.log(t1) - _m.log(t_of(p2))))
+    fc = k0 * m_of(p1) / (n * t1 ** n)
+    rho0 = a * fc * t_of(_m.radians(lat_0)) ** n
+    return {"es": es, "e": e, "n": n, "af": a * fc, "rho0": rho0}
+
+
+def lcc_ell_xy(lon, lat, lat_0: float, lat_1: float,
+               lat_2: float | None, a: float, b: float,
+               lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    import math as _m
+
+    c = lcc_ell_constants(lat_0, lat_1, lat_2, a, b, k0)
+    e, n = c["e"], c["n"]
+    phi = F.radians(_c(lat))
+    esin = e * F.sin(phi)
+    t = F.tan(F.lit(_m.pi / 4.0) - phi / 2.0) * F.pow(
+        (1.0 + esin) / (1.0 - esin), e / 2.0)
+    rho = c["af"] * F.pow(t, n)
+    th = n * F.radians(_c(lon) - F.lit(lon_0))
+    return rho * F.sin(th), F.lit(c["rho0"]) - rho * F.cos(th)
+
+
+def lcc_ell_inverse(x, y, lat_0: float, lat_1: float,
+                    lat_2: float | None, a: float, b: float,
+                    lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    import math as _m
+
+    c = lcc_ell_constants(lat_0, lat_1, lat_2, a, b, k0)
+    e, n = c["e"], c["n"]
+    sgn = 1.0 if n >= 0 else -1.0
+    xs = _c(x) * sgn
+    ys = (F.lit(c["rho0"]) - _c(y)) * sgn
+    rho = F.sqrt(xs * xs + ys * ys)
+    t = F.pow(rho / c["af"] * F.lit(sgn), F.lit(1.0 / n))
+    phi0_c = F.lit(_m.pi / 2.0) - 2.0 * F.atan(t)
+    steps = F.array([F.lit(0.0)] * _STERE_ELL_ITERS)
+    phi = F.aggregate(
+        steps,
+        phi0_c.cast("double"),
+        lambda acc, _: F.lit(_m.pi / 2.0) - 2.0 * F.atan(
+            t * F.pow(
+                (1.0 - e * F.sin(acc)) / (1.0 + e * F.sin(acc)),
+                e / 2.0)
+        ),
+    )
+    lam = F.atan2(xs, ys) / n * F.lit(sgn)
+    lon = F.degrees(lam) + F.lit(lon_0)
+    return wrap_longitude(lon), F.degrees(phi)
+
+
+def lcc_ell_sql(lon: str, lat: str, lat_0: float, lat_1: float,
+                lat_2: float | None, a: float, b: float,
+                lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    c = lcc_ell_constants(lat_0, lat_1, lat_2, a, b, k0)
+    e, n = c["e"], c["n"]
+    phi = f"radians({lat})"
+    esin = f"({e!r} * sin({phi}))"
+    t = (f"(tan(pi() / 4.0 - {phi} / 2.0)"
+         f" * pow((1.0 + {esin}) / (1.0 - {esin}), {e / 2.0!r}))")
+    rho = f"({c['af']!r} * pow({t}, {n!r}))"
+    th = f"({n!r} * radians({lon} - {lon_0!r}))"
+    return (
+        f"({rho} * sin({th}))",
+        f"({c['rho0']!r} - {rho} * cos({th}))",
+    )
+
+
+def lcc_ell_inv_sql(x: str, y: str, lat_0: float, lat_1: float,
+                    lat_2: float | None, a: float, b: float,
+                    lon_0: float = 0.0, k0: float = 1.0) -> tuple:
+    c = lcc_ell_constants(lat_0, lat_1, lat_2, a, b, k0)
+    e, n = c["e"], c["n"]
+    sgn = 1.0 if n >= 0 else -1.0
+    xs = f"({sgn!r} * CAST({x} AS DOUBLE))"
+    ys = f"({sgn!r} * ({c['rho0']!r} - CAST({y} AS DOUBLE)))"
+    rho = f"sqrt({xs} * {xs} + {ys} * {ys})"
+    t = f"pow({sgn!r} * {rho} / {c['af']!r}, {1.0 / n!r})"
+    chi = f"(pi() / 2.0 - 2.0 * atan({t}))"
+    zeros = ", ".join(["0.0"] * _STERE_ELL_ITERS)
+    phi = (f"list_reduce(list_prepend({chi}, [{zeros}]),"
+           f" (acc, s) -> pi() / 2.0 - 2.0 * atan({t}"
+           f" * pow((1.0 - {e!r} * sin(acc)) / (1.0 + {e!r} * sin(acc)),"
+           f" {e / 2.0!r})))")
+    lon = (f"((({lon_0!r} + degrees({sgn!r} * atan2({xs}, {ys}) / {n!r}))"
+           f" + 540.0) % 360.0 - 180.0)")
+    return lon, f"degrees({phi})"
+
+
 # --- Ellipsoidal equal-area family (authalic latitude) ----------------
 # EASE-Grid 2.0 — THE modern snow/ice/soil-moisture grid family (SMAP,
 # AMSR-2; EPSG 6931/6932/6933) — is defined on the WGS84 ELLIPSOID:

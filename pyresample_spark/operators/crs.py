@@ -107,6 +107,8 @@ from pyresample_spark.functions.geo import (
     laea_ell_oblique_xy,
     laea_ell_polar_inverse,
     laea_ell_polar_xy,
+    lcc_ell_inverse,
+    lcc_ell_xy,
     tmerc_ell_inverse,
     tmerc_ell_xy,
     tmerc_inverse,
@@ -168,7 +170,7 @@ def _family(crs: str) -> str:
     if proj == "merc":
         return "merc"
     if proj == "lcc":
-        return "lcc"
+        return "lcc_ell" if _ellipsoid_ab(p) else "lcc"
     if proj == "geos":
         return "geos_ell" if _ellipsoid_ab(p) else "geos"
     if proj == "sinu":
@@ -245,6 +247,20 @@ def laea_ell_polar_crs_params(crs: str) -> dict:
         "b": b,
         "lon_0": float(p.get("lon_0", "0")),
         "north": float(p.get("lat_0", "90")) > 0,
+    }
+
+
+def lcc_ell_crs_params(crs: str) -> dict:
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    return {
+        "lat_0": float(p.get("lat_0", "0")),
+        "lat_1": float(p.get("lat_1", p.get("lat_0", "33"))),
+        "lat_2": float(p["lat_2"]) if "lat_2" in p else None,
+        "a": a,
+        "b": b,
+        "lon_0": float(p.get("lon_0", "0")),
+        "k0": float(p.get("k_0", p.get("k", "1"))),
     }
 
 
@@ -493,6 +509,9 @@ def _forward_centered(crs: str):
     if fam == "cea_ell":
         kw = cea_ell_crs_params(crs)
         return lambda lon, lat: cea_ell_xy(lon, lat, **kw)
+    if fam == "lcc_ell":
+        kw = lcc_ell_crs_params(crs)
+        return lambda lon, lat: lcc_ell_xy(lon, lat, **kw)
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda lon, lat: laea_ell_polar_xy(lon, lat, **kw)
@@ -628,6 +647,9 @@ def _inverse_centered(crs: str):
     if fam == "cea_ell":
         kw = cea_ell_crs_params(crs)
         return lambda x, y: cea_ell_inverse(x, y, **kw)
+    if fam == "lcc_ell":
+        kw = lcc_ell_crs_params(crs)
+        return lambda x, y: lcc_ell_inverse(x, y, **kw)
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda x, y: laea_ell_polar_inverse(x, y, **kw)
@@ -768,6 +790,9 @@ def forward_sql(crs: str):
     if fam == "cea_ell":
         kw = cea_ell_crs_params(crs)
         return offset(lambda lon, lat: G.cea_ell_sql(lon, lat, **kw))
+    if fam == "lcc_ell":
+        kw = lcc_ell_crs_params(crs)
+        return offset(lambda lon, lat: G.lcc_ell_sql(lon, lat, **kw))
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return offset(
@@ -1009,6 +1034,30 @@ def _inverse_scalar_centered(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, _auth_phi3(beta)
 
         return _laea_ello_inv
+    if fam == "lcc_ell":
+        from pyresample_spark.functions.geo import lcc_ell_constants
+
+        kw = lcc_ell_crs_params(crs)
+        cst = lcc_ell_constants(kw["lat_0"], kw["lat_1"], kw["lat_2"],
+                                kw["a"], kw["b"], kw["k0"])
+        e_, n_ = cst["e"], cst["n"]
+        sgn = 1.0 if n_ >= 0 else -1.0
+
+        def _lcc_ell_inv(x, y):
+            xs = sgn * x
+            ys = sgn * (cst["rho0"] - y)
+            rho = math.hypot(xs, ys)
+            t = (sgn * rho / cst["af"]) ** (1.0 / n_)
+            phi = math.pi / 2.0 - 2.0 * math.atan(t)
+            for _ in range(8):
+                phi = math.pi / 2.0 - 2.0 * math.atan(
+                    t * ((1.0 - e_ * math.sin(phi))
+                         / (1.0 + e_ * math.sin(phi))) ** (e_ / 2.0))
+            lon = kw["lon_0"] + math.degrees(
+                sgn * math.atan2(xs, ys) / n_)
+            return ((lon + 540.0) % 360.0) - 180.0, math.degrees(phi)
+
+        return _lcc_ell_inv
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

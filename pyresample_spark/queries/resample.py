@@ -2024,6 +2024,63 @@ def q_regrid_etrs89(spark, sf_dir):
     return regrid_nearest(_ETRS89_AREA, EQC_AREA, src)
 
 
+# --- q_regrid_lcc93: RGF93 / Lambert-93 (ellipsoidal lcc, EPSG 2154) --
+
+def _lcc93_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # RGF93 / Lambert-93: the French national grid — ELLIPSOIDAL
+    # Lambert conformal conic on GRS80, secant at 44°/49°N, false
+    # origin (700, 6600) km. Window over metropolitan France.
+    return AreaDefinition(
+        "lambert93_fr",
+        "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+        width=60, height=64,
+        area_extent=(100000.0, 6050000.0, 1250000.0, 7150000.0),
+    )
+
+
+_LCC93_AREA = _lcc93_area()
+
+
+def _lcc93_inv_lonlat() -> tuple:
+    from pyresample_spark.functions.geo import lcc_ell_inv_sql
+
+    a = 6378137.0
+    b = a * (1.0 - 1.0 / 298.257222101)  # GRS80
+    # the false origin is the generic +x_0/+y_0 translation — undone
+    # before the centered inverse, exactly like the Spark plan
+    return lcc_ell_inv_sql(
+        "(cx - 700000.0)", "(cy - 6600000.0)",
+        lat_0=46.5, lat_1=49.0, lat_2=44.0, a=a, b=b, lon_0=3.0,
+    )
+
+
+@register(
+    "q_regrid_lcc93",
+    oracle=(lambda lonlat: _regrid_oracle(_LCC93_AREA, lonlat))(
+        _lcc93_inv_lonlat()
+    ),
+)
+def q_regrid_lcc93(spark, sf_dir):
+    """RGF93 / Lambert-93 regrid (EPSG 2154) WITHOUT pyproj: the
+    ELLIPSOIDAL Lambert conformal conic (Snyder 15-1..15-11: conformal
+    t(φ) cone, same 8-step fixed-point inverse as the ellipsoidal
+    stereographic) that every French national raster ships in — the
+    spherical q_regrid_lcc covers the reference's own bare-CRS test
+    fixture; this closes the declared-ellipsoid form. The false
+    origin maps exactly and Paris lands on its published Lambert-93
+    meters (652 469 / 6 862 035 — tests); scale is 1 at both standard
+    parallels by construction. Reference path: pyproj EPSG 2154
+    (utils/proj4.py)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_LCC93_AREA, EQC_AREA, src)
+
+
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
 # Helmert datum, EPSG 31467) ------------------------------------------
 

@@ -404,6 +404,12 @@ _EPSG_CRS = {
     # OBLIQUE ellipsoidal LAEA on GRS80
     3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
           "+ellps=GRS80",
+    # RGF93 / Lambert-93 (France) and NAD83 / Canada Atlas Lambert:
+    # ELLIPSOIDAL lcc on GRS80
+    2154: "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 "
+          "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+    3978: "+proj=lcc +lat_0=49 +lat_1=49 +lat_2=77 +lon_0=-95 "
+          "+ellps=GRS80",
     6931: "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",
     6932: "+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84",
 }
@@ -414,6 +420,8 @@ def _utm_crs(epsg: int) -> str | None:
         return f"+proj=utm +zone={epsg - 32600} +ellps=WGS84"
     if 32701 <= epsg <= 32760:
         return f"+proj=utm +zone={epsg - 32700} +south +ellps=WGS84"
+    if 25828 <= epsg <= 25838:  # ETRS89 / UTM zones 28N-38N (GRS80)
+        return f"+proj=utm +zone={epsg - 25800} +ellps=GRS80"
     return None
 
 

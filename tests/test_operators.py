@@ -3325,3 +3325,92 @@ def test_etrs89_laea_oblique_epsg_anchor_and_twins(spark):
     slo, sla = inv_s(4321000.0, 3210000.0)
     assert slo == pytest.approx(10.0, abs=1e-7)
     assert sla == pytest.approx(52.0, abs=1e-7)
+
+
+def test_lcc_ell_lambert93_anchors_and_twins(spark):
+    """Ellipsoidal Lambert conformal conic (EPSG 2154 / Lambert-93):
+    false origin exact, Paris on its published meters, scale 1 at
+    both standard parallels (finite-difference along the meridian
+    against the exact meridian curvature radius), SQL/Column/scalar/
+    DuckDB twins bit-identical, fwd∘inv identity."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import lcc_ell_inv_sql
+    from pyresample_spark.operators.crs import (
+        _family,
+        forward,
+        forward_sql,
+        inverse,
+        inverse_scalar,
+        lcc_ell_crs_params,
+    )
+
+    crs = ("+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 "
+           "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+    assert _family(crs) == "lcc_ell"
+    assert _family("+proj=lcc +lat_1=35 +lat_2=35 +lat_0=35") == "lcc"
+    pts = [(3.0, 46.5), (2.3522, 48.8566), (-4.5, 48.4), (9.5, 42.0)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    fx, fy = forward(crs)("lon", "lat")
+    rows = df.select("i", fx.alias("x"),
+                     fy.alias("y")).orderBy("i").collect()
+    assert rows[0].x == pytest.approx(700000.0, abs=1e-6)
+    assert rows[0].y == pytest.approx(6600000.0, abs=1e-6)
+    # Paris (2.3522E, 48.8566N) on the published Lambert-93 meters
+    assert rows[1].x == pytest.approx(652469.02, abs=0.5)
+    assert rows[1].y == pytest.approx(6862035.26, abs=0.5)
+    sx, sy = forward_sql(crs)("lon", "lat")
+    for r in df.select((F.expr(sx) - fx).alias("dx"),
+                       (F.expr(sy) - fy).alias("dy")).collect():
+        assert r.dx == 0.0 and r.dy == 0.0
+    ilon, ilat = inverse(crs)("x", "y")
+    xy = spark.createDataFrame([(r.i, r.x, r.y) for r in rows],
+                               "i long, x double, y double")
+    back = xy.select("i", ilon.alias("lon"),
+                     ilat.alias("lat")).orderBy("i").collect()
+    inv_s = inverse_scalar(crs)
+    for b, (lo, la) in zip(back, pts):
+        assert b.lon == pytest.approx(lo, abs=1e-9)
+        assert b.lat == pytest.approx(la, abs=1e-9)
+        slo, sla = inv_s(rows[b.i].x, rows[b.i].y)
+        assert slo == pytest.approx(b.lon, abs=1e-10)
+        assert sla == pytest.approx(b.lat, abs=1e-10)
+    # DuckDB inverse twin (false origin undone like the oracle)
+    kw = lcc_ell_crs_params(crs)
+    lo_sql, la_sql = lcc_ell_inv_sql(
+        "(x - 700000.0)", "(y - 6600000.0)", **kw)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({r.i},{r.x!r},{r.y!r})" for r in rows)
+        + ") v(i, x, y)")
+    for d, b in zip(con.execute(
+            f"SELECT i, {lo_sql}, {la_sql} FROM t ORDER BY i"
+    ).fetchall(), back):
+        assert abs(d[1] - b.lon) < 1e-12
+        assert abs(d[2] - b.lat) < 1e-12
+    # conformal secant cone: k = 1 at both standard parallels
+    a, es = 6378137.0, 1.0 - (1.0 - 1.0 / 298.257222101) ** 2
+    inv_sc = inverse_scalar(crs)  # noqa: F841 (twin warmed above)
+    from pyresample_spark.functions.geo import lcc_ell_constants
+
+    cst = lcc_ell_constants(46.5, 49.0, 44.0, a,
+                            a * (1.0 - 1.0 / 298.257222101))
+    for lat in (49.0, 44.0):
+        d = 1e-6
+        fxy = forward(crs)
+        g = spark.createDataFrame(
+            [(3.0, lat - d / 2), (3.0, lat + d / 2)],
+            "lon double, lat double")
+        p = g.select(*fxy("lon", "lat")).collect()
+        ds = math.hypot(p[1][0] - p[0][0], p[1][1] - p[0][1])
+        phi = math.radians(lat)
+        mr = a * (1 - es) / (1 - es * math.sin(phi) ** 2) ** 1.5
+        k = ds / (mr * math.radians(d))
+        assert k == pytest.approx(1.0, abs=1e-6)
