@@ -2079,13 +2079,19 @@ def test_nc4_without_xarray_raises_actionable_error(tmp_path):
 @pytest.mark.skipif(_HAS_RASTERIO, reason="rasterio installed: the "
                     "real fallback integration test below covers this")
 def test_exotic_tiff_without_rasterio_raises_actionable_error(tmp_path):
-    # an EPSG outside the native map (Lambert-93) — the realistic
-    # remaining fallback case now that BigTIFF/compression are native
+    # an EPSG outside the native map — Lambert-93 (2154) went native
+    # in round 12, so the realistic remaining fallback is a legacy
+    # NTF Lambert zone (27572: lcc on clrk80ign with NTF datum grids)
     arr = np.zeros((2, 2), dtype="f4")
-    p = tmp_path / "l93.tif"
-    p.write_bytes(geotiff_bytes(arr, 1.0, 1.0, 0.0, 2.0, epsg=2154))
+    p = tmp_path / "ntf.tif"
+    p.write_bytes(geotiff_bytes(arr, 1.0, 1.0, 0.0, 2.0, epsg=27572))
     with pytest.raises(NotImplementedError, match="rasterio"):
         get_area_def_from_raster(str(p))
+    # and the code this test USED to use now decodes natively
+    from pyresample_spark.operators.crs import _family
+    from pyresample_spark.sources.binary_raster import _EPSG_CRS
+
+    assert _family(_EPSG_CRS[2154]) == "lcc_ell"
 
 
 def test_nc4_fallback_with_xarray(tmp_path):
