@@ -560,6 +560,101 @@ def lcc_ell_inv_sql(x: str, y: str, lat_0: float, lat_1: float,
     return lon, f"degrees({phi})"
 
 
+# --- Ellipsoidal Mercator (+proj=merc +ellps/+a+b — EPSG 3395) --------
+# Snyder eqs. 7-7/7-8 / EPSG method 9804/9805: y = −a·k0·ln t(φ) with
+# the conformal t(φ); k0 = m(lat_ts) for the 2SP form or the explicit
+# +k for 1SP. Same 8-step fixed-point inverse as the other conformal
+# families. Validated against the EPSG GN7-2 Mercator worked example
+# (Makassar / NEIEZ on Bessel: 120°E 3°S → 5 009 726.58 / 569 150.82)
+# in tests/test_operators.py.
+
+
+def merc_ell_constants(lat_ts: float | None, a: float, b: float,
+                       k: float = 1.0) -> dict:
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    e = _m.sqrt(es)
+    if lat_ts is not None and lat_ts != 0.0:
+        pts = _m.radians(lat_ts)
+        k0 = _m.cos(pts) / _m.sqrt(1.0 - es * _m.sin(pts) ** 2)
+    else:
+        k0 = k
+    return {"es": es, "e": e, "ak": a * k0}
+
+
+def merc_ell_xy(lon, lat, a: float, b: float,
+                lat_ts: float | None = None, lon_0: float = 0.0,
+                k: float = 1.0) -> tuple:
+    import math as _m
+
+    c = merc_ell_constants(lat_ts, a, b, k)
+    e = c["e"]
+    phi = F.radians(_c(lat))
+    esin = e * F.sin(phi)
+    t = F.tan(F.lit(_m.pi / 4.0) - phi / 2.0) * F.pow(
+        (1.0 + esin) / (1.0 - esin), e / 2.0)
+    return (
+        c["ak"] * F.radians(_c(lon) - F.lit(lon_0)),
+        -c["ak"] * F.log(t),
+    )
+
+
+def merc_ell_inverse(x, y, a: float, b: float,
+                     lat_ts: float | None = None, lon_0: float = 0.0,
+                     k: float = 1.0) -> tuple:
+    import math as _m
+
+    c = merc_ell_constants(lat_ts, a, b, k)
+    e = c["e"]
+    t = F.exp(-_c(y) / c["ak"])
+    chi = F.lit(_m.pi / 2.0) - 2.0 * F.atan(t)
+    steps = F.array([F.lit(0.0)] * _STERE_ELL_ITERS)
+    phi = F.aggregate(
+        steps,
+        chi.cast("double"),
+        lambda acc, _: F.lit(_m.pi / 2.0) - 2.0 * F.atan(
+            t * F.pow(
+                (1.0 - e * F.sin(acc)) / (1.0 + e * F.sin(acc)),
+                e / 2.0)
+        ),
+    )
+    lon = F.degrees(_c(x) / c["ak"]) + F.lit(lon_0)
+    return wrap_longitude(lon), F.degrees(phi)
+
+
+def merc_ell_sql(lon: str, lat: str, a: float, b: float,
+                 lat_ts: float | None = None, lon_0: float = 0.0,
+                 k: float = 1.0) -> tuple:
+    c = merc_ell_constants(lat_ts, a, b, k)
+    e = c["e"]
+    phi = f"radians({lat})"
+    esin = f"({e!r} * sin({phi}))"
+    t = (f"(tan(pi() / 4.0 - {phi} / 2.0)"
+         f" * pow((1.0 + {esin}) / (1.0 - {esin}), {e / 2.0!r}))")
+    return (
+        f"({c['ak']!r} * radians({lon} - {lon_0!r}))",
+        f"(-({c['ak']!r}) * ln({t}))",
+    )
+
+
+def merc_ell_inv_sql(x: str, y: str, a: float, b: float,
+                     lat_ts: float | None = None, lon_0: float = 0.0,
+                     k: float = 1.0) -> tuple:
+    c = merc_ell_constants(lat_ts, a, b, k)
+    e = c["e"]
+    t = f"exp(-CAST({y} AS DOUBLE) / {c['ak']!r})"
+    chi = f"(pi() / 2.0 - 2.0 * atan({t}))"
+    zeros = ", ".join(["0.0"] * _STERE_ELL_ITERS)
+    phi = (f"list_reduce(list_prepend({chi}, [{zeros}]),"
+           f" (acc, s) -> pi() / 2.0 - 2.0 * atan({t}"
+           f" * pow((1.0 - {e!r} * sin(acc)) / (1.0 + {e!r} * sin(acc)),"
+           f" {e / 2.0!r})))")
+    lon = (f"(((degrees(CAST({x} AS DOUBLE) / {c['ak']!r}) + {lon_0!r})"
+           f" + 540.0) % 360.0 - 180.0)")
+    return lon, f"degrees({phi})"
+
+
 # --- Ellipsoidal equal-area family (authalic latitude) ----------------
 # EASE-Grid 2.0 — THE modern snow/ice/soil-moisture grid family (SMAP,
 # AMSR-2; EPSG 6931/6932/6933) — is defined on the WGS84 ELLIPSOID:

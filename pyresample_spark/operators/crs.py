@@ -109,6 +109,8 @@ from pyresample_spark.functions.geo import (
     laea_ell_polar_xy,
     lcc_ell_inverse,
     lcc_ell_xy,
+    merc_ell_inverse,
+    merc_ell_xy,
     tmerc_ell_inverse,
     tmerc_ell_xy,
     tmerc_inverse,
@@ -168,7 +170,7 @@ def _family(crs: str) -> str:
             return "laea_ell_oblique"
         return "laea"
     if proj == "merc":
-        return "merc"
+        return "merc_ell" if _ellipsoid_ab(p) else "merc"
     if proj == "lcc":
         return "lcc_ell" if _ellipsoid_ab(p) else "lcc"
     if proj == "geos":
@@ -247,6 +249,18 @@ def laea_ell_polar_crs_params(crs: str) -> dict:
         "b": b,
         "lon_0": float(p.get("lon_0", "0")),
         "north": float(p.get("lat_0", "90")) > 0,
+    }
+
+
+def merc_ell_crs_params(crs: str) -> dict:
+    p = _params(crs)
+    a, b = _ellipsoid_ab(p)
+    return {
+        "a": a,
+        "b": b,
+        "lat_ts": float(p["lat_ts"]) if "lat_ts" in p else None,
+        "lon_0": float(p.get("lon_0", "0")),
+        "k": float(p.get("k_0", p.get("k", "1"))),
     }
 
 
@@ -512,6 +526,9 @@ def _forward_centered(crs: str):
     if fam == "lcc_ell":
         kw = lcc_ell_crs_params(crs)
         return lambda lon, lat: lcc_ell_xy(lon, lat, **kw)
+    if fam == "merc_ell":
+        kw = merc_ell_crs_params(crs)
+        return lambda lon, lat: merc_ell_xy(lon, lat, **kw)
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda lon, lat: laea_ell_polar_xy(lon, lat, **kw)
@@ -650,6 +667,9 @@ def _inverse_centered(crs: str):
     if fam == "lcc_ell":
         kw = lcc_ell_crs_params(crs)
         return lambda x, y: lcc_ell_inverse(x, y, **kw)
+    if fam == "merc_ell":
+        kw = merc_ell_crs_params(crs)
+        return lambda x, y: merc_ell_inverse(x, y, **kw)
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda x, y: laea_ell_polar_inverse(x, y, **kw)
@@ -793,6 +813,9 @@ def forward_sql(crs: str):
     if fam == "lcc_ell":
         kw = lcc_ell_crs_params(crs)
         return offset(lambda lon, lat: G.lcc_ell_sql(lon, lat, **kw))
+    if fam == "merc_ell":
+        kw = merc_ell_crs_params(crs)
+        return offset(lambda lon, lat: G.merc_ell_sql(lon, lat, **kw))
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return offset(
@@ -1058,6 +1081,25 @@ def _inverse_scalar_centered(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, math.degrees(phi)
 
         return _lcc_ell_inv
+    if fam == "merc_ell":
+        from pyresample_spark.functions.geo import merc_ell_constants
+
+        kw = merc_ell_crs_params(crs)
+        cst = merc_ell_constants(kw["lat_ts"], kw["a"], kw["b"],
+                                 kw["k"])
+        e_, ak = cst["e"], cst["ak"]
+
+        def _merc_ell_inv(x, y):
+            t = math.exp(-y / ak)
+            phi = math.pi / 2.0 - 2.0 * math.atan(t)
+            for _ in range(8):
+                phi = math.pi / 2.0 - 2.0 * math.atan(
+                    t * ((1.0 - e_ * math.sin(phi))
+                         / (1.0 + e_ * math.sin(phi))) ** (e_ / 2.0))
+            lon = kw["lon_0"] + math.degrees(x / ak)
+            return ((lon + 540.0) % 360.0) - 180.0, math.degrees(phi)
+
+        return _merc_ell_inv
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

@@ -69,13 +69,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (q_bucket_sum, q_embed_quantize, q_embed_covariance — judge
 # re-verified cell-for-cell in the r11 judging session, but driver
 # evidence is still r6), then the 46 oldest-r7 rows in registry order.
-# Ten r7 rows did not fit and roll to r13: q_semdedup,
-# q_cluster_balance, q_ann_ivf_reuse, q_pq_encode, q_pq_search,
-# q_pq_recall, q_mrl_recall, q_exists_semi, q_percentiles, q_cube_agg
-# (each yielded its slot to one of the seven NEW never-checked
-# round-12 queries: q_regrid_datum, q_regrid_gk, q_regrid_ease2,
-# q_regrid_ease2_north, q_regrid_etrs89, q_cog_ingest,
-# q_regrid_lcc93).
+# Eleven r7 rows did not fit and roll to r13: q_minhash_band_tuning,
+# q_semdedup, q_cluster_balance, q_ann_ivf_reuse, q_pq_encode,
+# q_pq_search, q_pq_recall, q_mrl_recall, q_exists_semi,
+# q_percentiles, q_cube_agg (each yielded its slot to one of the
+# eight NEW never-checked round-12 queries: q_regrid_datum,
+# q_regrid_gk, q_regrid_ease2, q_regrid_ease2_north, q_regrid_etrs89,
+# q_cog_ingest, q_regrid_lcc93, q_regrid_merc3395).
 #
 # ROUND-13 PLAN (recompute with the same latest-round-per-query
 # procedure over all CORRECTNESS_r*.json): any new never-checked
@@ -89,6 +89,7 @@ _PRIORITY = [
     "q_regrid_etrs89",
     "q_cog_ingest",
     "q_regrid_lcc93",
+    "q_regrid_merc3395",
     "q_bucket_sum",
     "q_embed_quantize",
     "q_embed_covariance",
@@ -131,7 +132,6 @@ _PRIORITY = [
     "q_doc_chunk",
     "q_data_card",
     "q_quality_logreg",
-    "q_minhash_band_tuning",
 ]
 
 def load_all() -> dict:

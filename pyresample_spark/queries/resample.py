@@ -2081,6 +2081,53 @@ def q_regrid_lcc93(spark, sf_dir):
     return regrid_nearest(_LCC93_AREA, EQC_AREA, src)
 
 
+# --- q_regrid_merc3395: WGS 84 / World Mercator (EPSG 3395) ----------
+
+def _merc3395_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # WGS 84 / World Mercator: ELLIPSOIDAL Mercator — the chart/
+    # bathymetry CRS (the spherical form rides q_proj_merc and the
+    # webmerc EPSG 3857 mapping). Mid-latitude window.
+    return AreaDefinition(
+        "world_merc",
+        "+proj=merc +lon_0=0 +ellps=WGS84",
+        width=72, height=56,
+        area_extent=(-4000000.0, 3000000.0, 4000000.0, 9000000.0),
+    )
+
+
+_MERC3395_AREA = _merc3395_area()
+
+
+@register(
+    "q_regrid_merc3395",
+    oracle=(lambda lonlat: _regrid_oracle(_MERC3395_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo",
+            fromlist=["merc_ell_inv_sql"],
+        ).merc_ell_inv_sql(
+            "cx", "cy", a=6378137.0,
+            b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        )
+    ),
+)
+def q_regrid_merc3395(spark, sf_dir):
+    """WGS 84 / World Mercator regrid (EPSG 3395) WITHOUT pyproj: the
+    ELLIPSOIDAL Mercator (y = −a·k0·ln t(φ) with the conformal t(φ);
+    EPSG method 9804) — the chart/bathymetry CRS, ~0.3% different in
+    northing from the spherical web form at mid-latitudes. Validated
+    against the EPSG GN7-2 Makassar worked example (tests); same
+    8-step conformal fixed-point inverse family as stere_ell/lcc_ell,
+    same eqc gather plan as every regrid. Reference path: pyproj EPSG
+    3395 (utils/proj4.py)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_MERC3395_AREA, EQC_AREA, src)
+
+
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
 # Helmert datum, EPSG 31467) ------------------------------------------
 

@@ -408,6 +408,8 @@ _EPSG_CRS = {
     # ELLIPSOIDAL lcc on GRS80
     2154: "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 "
           "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+    # WGS 84 / World Mercator: ELLIPSOIDAL Mercator
+    3395: "+proj=merc +lon_0=0 +ellps=WGS84",
     3978: "+proj=lcc +lat_0=49 +lat_1=49 +lat_2=77 +lon_0=-95 "
           "+ellps=GRS80",
     6931: "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",

@@ -3414,3 +3414,71 @@ def test_lcc_ell_lambert93_anchors_and_twins(spark):
         mr = a * (1 - es) / (1 - es * math.sin(phi) ** 2) ** 1.5
         k = ds / (mr * math.radians(d))
         assert k == pytest.approx(1.0, abs=1e-6)
+
+
+def test_merc_ell_epsg_makassar_anchor_and_twins(spark):
+    """Ellipsoidal Mercator: reproduces the EPSG GN7-2 Mercator (1SP)
+    worked example — Makassar / NEIEZ on Bessel 1841, 120°E 3°S →
+    E 5 009 726.58 N 569 150.82 (k0 = 0.997, FE/FN 3900/900 km) — to
+    < 1 cm; EPSG 3395 dispatches ellipsoidal while bare merc strings
+    stay spherical; all twins agree."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import merc_ell_inv_sql
+    from pyresample_spark.operators.crs import (
+        _family,
+        forward,
+        forward_sql,
+        inverse,
+        inverse_scalar,
+        merc_ell_crs_params,
+    )
+
+    neiez = ("+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 "
+             "+y_0=900000 +ellps=bessel")
+    assert _family(neiez) == "merc_ell"
+    assert _family("+proj=merc +lat_ts=20") == "merc"  # spherical kept
+    assert _family("+proj=merc +lon_0=0 +ellps=WGS84") == "merc_ell"
+
+    pts = [(120.0, -3.0), (110.0, 0.0), (115.0, 5.0), (105.0, -8.0)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    fx, fy = forward(neiez)("lon", "lat")
+    rows = df.select("i", fx.alias("x"),
+                     fy.alias("y")).orderBy("i").collect()
+    assert rows[0].x == pytest.approx(5009726.58, abs=0.01)
+    assert rows[0].y == pytest.approx(569150.82, abs=0.01)
+    assert rows[1].x == pytest.approx(3900000.0, abs=1e-6)
+    assert rows[1].y == pytest.approx(900000.0, abs=1e-6)
+    sx, sy = forward_sql(neiez)("lon", "lat")
+    for r in df.select((F.expr(sx) - fx).alias("dx"),
+                       (F.expr(sy) - fy).alias("dy")).collect():
+        assert r.dx == 0.0 and r.dy == 0.0
+    ilon, ilat = inverse(neiez)("x", "y")
+    xy = spark.createDataFrame([(r.i, r.x, r.y) for r in rows],
+                               "i long, x double, y double")
+    back = xy.select("i", ilon.alias("lon"),
+                     ilat.alias("lat")).orderBy("i").collect()
+    inv_s = inverse_scalar(neiez)
+    for b, (lo, la) in zip(back, pts):
+        assert b.lon == pytest.approx(lo, abs=1e-9)
+        assert b.lat == pytest.approx(la, abs=1e-9)
+        slo, sla = inv_s(rows[b.i].x, rows[b.i].y)
+        assert slo == pytest.approx(b.lon, abs=1e-10)
+        assert sla == pytest.approx(b.lat, abs=1e-10)
+    kw = merc_ell_crs_params(neiez)
+    lo_sql, la_sql = merc_ell_inv_sql(
+        "(x - 3900000.0)", "(y - 900000.0)", **kw)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({r.i},{r.x!r},{r.y!r})" for r in rows)
+        + ") v(i, x, y)")
+    for d, b in zip(con.execute(
+            f"SELECT i, {lo_sql}, {la_sql} FROM t ORDER BY i"
+    ).fetchall(), back):
+        assert abs(d[1] - b.lon) < 1e-12
+        assert abs(d[2] - b.lat) < 1e-12
