@@ -130,7 +130,10 @@ def _helmert_to_wgs84(tw: tuple, x: str, y: str, z: str) -> list:
 
 def _helmert_from_wgs84(tw: tuple, x: str, y: str, z: str) -> list:
     """proj.4 pj_geocentric_from_wgs84: translate back, transposed
-    rotation, divide by scale (two let levels: xt/yt/zt then xd/yd/zd)."""
+    rotation, divide by scale. The translated terms xt/yt/zt are
+    inlined as SQL strings into a single let level (each appears three
+    times in the xd/yd/zd bindings — the text duplication is bounded
+    and keeps the let chain one level shorter)."""
     dx, dy, dz, rx, ry, rz, s = tw
     if rx == ry == rz == s == 0.0:
         return [
