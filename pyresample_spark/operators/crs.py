@@ -161,10 +161,10 @@ def _family(crs: str) -> str:
     if proj == "laea":
         ell = _ellipsoid_ab(p)
         if ell:
-            # EASE-Grid 2.0 north/south (EPSG 6931/6932) are the polar
-            # aspects; the oblique ellipsoidal aspect (Snyder 24-17..)
-            # is not implemented — raise rather than silently running
-            # the spherical form ~20 km off
+            # EASE-Grid 2.0 north/south (EPSG 6931/6932) take the
+            # polar-aspect forms (Snyder 24-23/24-24); any other lat_0
+            # dispatches to the oblique ellipsoidal family (Snyder
+            # 24-17.., e.g. ETRS89-LAEA EPSG 3035)
             if abs(float(p.get("lat_0", "0"))) == 90.0:
                 return "laea_ell_polar"
             return "laea_ell_oblique"
@@ -351,8 +351,9 @@ def _resolve_datum_token(p: dict) -> dict:
     if tok not in _DATUMS:
         raise NotImplementedError(
             f"unsupported +datum={tok!r}: known Helmert datums are "
-            f"{', '.join(sorted(_DATUMS))} (NAD27 needs NADCON grid "
-            "shifts — no Helmert fit exists; supply lon/lats directly)"
+            f"{', '.join(sorted(_DATUMS))} (NAD27 has no Helmert fit — "
+            "use +ellps=clrk66 +nadgrids=<registered NTv2 grid name> "
+            "instead; see sources/ntv2.py register_ntv2_grid)"
         )
     ellps, towgs84 = _DATUMS[tok]
     out = dict(p)
@@ -744,6 +745,12 @@ def datum_specs_between(src_crs: str, dst_crs: str):
     """(src DatumSpec, dst DatumSpec) when a Helmert shift applies
     between the two CRSs, else None. Enforces the loud guard (see
     :func:`datum_shift_between` for the rules)."""
+    if crs_nadgrids(src_crs) is not None or crs_nadgrids(dst_crs) is not None:
+        raise NotImplementedError(
+            "one side declares +nadgrids= (NTv2 grid shift) — that "
+            "datum leg is a broadcast-join pipeline, not a Helmert "
+            "column shift; use regrid_nearest / gridshift_pipeline"
+        )
     s, d = crs_datum_spec(src_crs), crs_datum_spec(dst_crs)
     if s.towgs84 is None and d.towgs84 is None:
         return None
@@ -875,6 +882,21 @@ def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):
     tgt = tgt_area.grid(src_img.sparkSession)
     lon, lat = inv("cx", "cy")
     t = tgt.select("cell_id", lon.alias("lon"), lat.alias("lat"))
+    gs = gridshift_pipeline(tgt_area.crs, src_area.crs)
+    if gs is not None:
+        # NTv2 grid-shift datum path (NAD27 & friends): bilinear
+        # broadcast-join shifts, then the Column forward — shifted
+        # lon/lat come out of a join so the forward's let chain reads
+        # plain attributes (no CollapseProject re-inlining)
+        t = _apply_gridshift_pipeline(t, gs)
+        fwd = forward(src_area.crs)
+        sx, sy = fwd("lon", "lat")
+        src_row = F.floor(F.round(
+            (F.lit(src_area.area_extent[3]) - sy) / src_area.pixel_size_y, 9))
+        src_col = F.floor(F.round(
+            (sx - F.lit(src_area.area_extent[0])) / src_area.pixel_size_x, 9))
+        return _regrid_gather(t, src_row, src_col, src_area, src_img,
+                              value_col)
     specs = datum_specs_between(tgt_area.crs, src_area.crs)
     fsql = forward_sql(src_area.crs) if specs is not None else None
     if specs is not None and fsql is not None:
@@ -914,6 +936,13 @@ def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):
                 (sx - F.lit(src_area.area_extent[0])) / src_area.pixel_size_x, 9
             )
         )
+    return _regrid_gather(t, src_row, src_col, src_area, src_img, value_col)
+
+
+def _regrid_gather(t, src_row, src_col, src_area, src_img,
+                   value_col: str = "value"):
+    """Shared regrid tail: project (cell_id, src_row, src_col), bound
+    to the source raster, gather values by equi-join."""
     t = t.select(
         "cell_id",
         src_row.alias("src_row"),
@@ -928,6 +957,102 @@ def regrid_nearest(tgt_area, src_area, src_img, value_col: str = "value"):
         src_img.select("row", "col", F.col(value_col).alias("src_value")),
         (t.src_row == F.col("row")) & (t.src_col == F.col("col")),
     ).select("cell_id", "src_row", "src_col", "src_value")
+
+
+def crs_nadgrids(crs: str):
+    """The single NTv2 grid name a CRS pins its datum to via
+    ``+nadgrids=``, or None. PROJ's comma list of alternatives (with
+    optional ``@`` prefixes) is accepted only when it names ONE grid —
+    per-point first-containing-grid fallback is not a column path yet,
+    so multiple names raise loudly."""
+    p = _params(crs)
+    tok = p.get("nadgrids")
+    if tok is None:
+        return None
+    names = [n.lstrip("@") for n in tok.split(",") if n and n != "null"]
+    if not names:
+        return None
+    if len(names) > 1:
+        raise NotImplementedError(
+            f"+nadgrids={tok!r}: per-point fallback across multiple "
+            "grids is not implemented — register and name the single "
+            "grid covering your domain"
+        )
+    return names[0]
+
+
+def gridshift_pipeline(tgt_crs: str, src_crs: str):
+    """Datum plan for regrids where at least one side pins its datum
+    with an NTv2 grid (``+nadgrids=``), else None.
+
+    Semantics (PROJ): a grid maps its CRS's datum INTO NAD83/WGS84
+    (the file's SYSTEM_T), so moving coordinates tgt → src runs
+
+        tgt datum --grid fwd / Helmert--> WGS84 --grid inv / inverse
+        Helmert--> src datum
+
+    +nadgrids takes precedence over +towgs84 on the same CRS (PROJ's
+    rule). A side with NEITHER must sit on the WGS84/GRS80 ellipsoid
+    (same loud guard as the Helmert path — silently skipping a datum
+    step smears the gather by ~100 m).
+
+    Returns dict with ``tgt_sub``/``src_sub`` (parsed NTv2 subgrids or
+    None) and ``tgt_helmert``/``src_helmert`` (DatumSpec or None for
+    the grid-less sides).
+    """
+    from pyresample_spark.sources.ntv2 import apply_subgrid, get_ntv2_grid
+
+    tg, sg = crs_nadgrids(tgt_crs), crs_nadgrids(src_crs)
+    if tg is None and sg is None:
+        return None
+    out = {"tgt_sub": None, "src_sub": None,
+           "tgt_helmert": None, "src_helmert": None}
+    for side, name, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):
+        if name is not None:
+            out[f"{side}_sub"] = apply_subgrid(get_ntv2_grid(name))
+            continue
+        spec = crs_datum_spec(crs)
+        if spec.towgs84 is not None:
+            if not all(v == 0.0 for v in spec.towgs84):
+                out[f"{side}_helmert"] = spec
+        elif (spec.a, spec.b) not in _WGS84_LIKE:
+            raise NotImplementedError(
+                f"datum shift between {tgt_crs!r} and {src_crs!r}: "
+                f"{crs!r} declares neither +nadgrids nor +towgs84 and "
+                "is not on the WGS84/GRS80 ellipsoid, so its datum is "
+                "unknown — add +towgs84/+datum=/+nadgrids= to pin it"
+            )
+    return out
+
+
+def _apply_gridshift_pipeline(t, gs):
+    """Run the tgt→WGS84→src datum legs on a (cell_id, lon, lat)
+    frame. Grid legs are broadcast joins (operators/gridshift.py);
+    Helmert legs stay pure column math (functions/datum.py)."""
+    from pyresample_spark.functions.datum import DatumSpec, datum_shift
+    from pyresample_spark.operators import gridshift as GS
+
+    spark = t.sparkSession
+    wgs84 = DatumSpec(6378137.0, _ELLPS["WGS84"][1], (0.0,) * 7)
+    # leg 1: tgt datum -> WGS84 geodetic
+    if gs["tgt_sub"] is not None:
+        cells = GS.cell_df(spark, gs["tgt_sub"])
+        t = GS.shift_forward(t, cells, gs["tgt_sub"]) \
+            .select("cell_id", F.col("lon2").alias("lon"),
+                    F.col("lat2").alias("lat"))
+    elif gs["tgt_helmert"] is not None:
+        lon2, lat2 = datum_shift("lon", "lat", gs["tgt_helmert"], wgs84)
+        t = t.select("cell_id", lon2.alias("lon"), lat2.alias("lat"))
+    # leg 2: WGS84 -> src datum
+    if gs["src_sub"] is not None:
+        cells = GS.cell_df(spark, gs["src_sub"])
+        t = GS.shift_inverse(t, cells, gs["src_sub"]) \
+            .select("cell_id", F.col("lon2").alias("lon"),
+                    F.col("lat2").alias("lat"))
+    elif gs["src_helmert"] is not None:
+        lon2, lat2 = datum_shift("lon", "lat", wgs84, gs["src_helmert"])
+        t = t.select("cell_id", lon2.alias("lon"), lat2.alias("lat"))
+    return t
 
 
 def inverse_scalar(crs: str):

@@ -1,0 +1,329 @@
+"""NTv2 grid-shift datum transformation as a broadcast join + column math.
+
+PROJ's hgrid step (the ``+nadgrids=`` consumer the reference reaches
+through pyproj — pyresample/utils/proj4.py:108-165) shifts geodetic
+coordinates by BILINEAR interpolation in a lat/lon grid of per-node
+(Δφ″, Δλ″) values. Here the grid becomes a small BROADCAST cell table
+— one row per grid cell carrying its four corner shifts — and the
+interpolation is pure column math:
+
+    stage 1: ls = lat·3600, lw = −lon·3600 (arc-seconds, lon positive
+             west like the wire format), cell index gi/gj by floor
+             division, clamped to the grid so N/W-edge points land in
+             the last cell
+    join   : broadcast hash join on (gi, gj) — the grid is a few MB
+             even for the full NOAA conus file (~1.2M cells), so this
+             never shuffles the data side
+    stage 2: fractional offsets fy/fx, bilinear Δφ/Δλ, then
+             lat′ = lat + Δφ/3600,  lon′ = lon − Δλ/3600   (forward)
+
+The inverse (NAD83/WGS84 → NAD27) has no closed form; PROJ iterates
+the forward lookup to a tolerance. Here the fixed point is UNROLLED to
+a fixed ``iters`` lookups (default 3) so the plan is static and the
+DuckDB oracle can replay the identical computation: the shift field is
+smooth and ≤ a few arc-seconds, so each iteration contracts the error
+by the field's gradient (~1e-4) — two refinements are already far
+below float64 noise; three is margin.
+
+Every arithmetic expression is emitted ONCE as SQL text and parsed by
+BOTH engines (Spark selectExpr / DuckDB CTE), so the engines agree
+bit-for-bit. Numeric literals are wrapped in CAST(... AS DOUBLE) —
+the engine-shared dialect rule (a bare ``3600.0`` parses as DECIMAL in
+Spark SQL).
+
+Out-of-grid points: PROJ reports them untransformable; here they are
+dropped by a bbox filter before the join (the regrid gather simply
+leaves those target cells empty), applied to the pre-shift
+coordinates in both directions — for the inverse that is the target-
+datum position, ~1 cell-width accurate, which the demo fixture covers
+with a whole-degree margin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _d(x: float) -> str:
+    """Engine-shared EXACT double literal. Exponent form is required:
+    DuckDB parses a bare 16-digit literal as DECIMAL first and its
+    decimal→double conversion is not correctly rounded (measured:
+    -98.96000000000001 and CAST(-98.96000000000001 AS DOUBLE) both
+    come back one ulp off, because the CAST applies after the decimal
+    parse), while an exponent literal parses text→binary directly in
+    both engines."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+# cell-table column names (shared by the Spark DataFrame and the DuckDB
+# inline VALUES relation)
+CELL_COLS = ("gi", "gj", "p00la", "p10la", "p01la", "p11la",
+             "p00lo", "p10lo", "p01lo", "p11lo")
+
+
+def cell_rows(sub: dict) -> list:
+    """One row per grid CELL: corner shifts p<row><col> with row 0 =
+    south edge, col 0 = east edge of the cell (float32 wire values
+    widened exactly to float64)."""
+    la, lo = sub["lat_shift"], sub["lon_shift"]
+    rows = []
+    for i in range(sub["nrows"] - 1):
+        for j in range(sub["ncols"] - 1):
+            rows.append((
+                i, j,
+                float(la[i, j]), float(la[i + 1, j]),
+                float(la[i, j + 1]), float(la[i + 1, j + 1]),
+                float(lo[i, j]), float(lo[i + 1, j]),
+                float(lo[i, j + 1]), float(lo[i + 1, j + 1]),
+            ))
+    return rows
+
+
+def cell_df(spark, sub: dict) -> DataFrame:
+    """Broadcast cell table. For file-scale grids (NOAA conus ~1.2M
+    cells) build the pandas frame vectorized and let Arrow ship it;
+    it broadcasts like any dimension table — the probe side never
+    shuffles."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(cell_rows(sub), columns=list(CELL_COLS))
+    pdf["gi"] = pdf["gi"].astype("int64")
+    pdf["gj"] = pdf["gj"].astype("int64")
+    return F.broadcast(spark.createDataFrame(pdf))
+
+
+def cells_values_sql(sub: dict) -> str:
+    """DuckDB inline relation with the SAME doubles as :func:`cell_df`.
+    Every float uses the exponent-literal form (see :func:`_d`) so it
+    parses straight to binary double instead of through DECIMAL."""
+    vals = ", ".join(
+        "(" + ", ".join([str(r[0]), str(r[1])] + [_d(v) for v in r[2:]]) + ")"
+        for r in cell_rows(sub)
+    )
+    return f"(VALUES {vals}) AS cells({', '.join(CELL_COLS)})"
+
+
+def bbox_filter_sql(sub: dict, lon: str, lat: str) -> str:
+    return (
+        f"(({lat}) * {_d(3600.0)} >= {_d(sub['s_lat'])} AND "
+        f"({lat}) * {_d(3600.0)} <= {_d(sub['n_lat'])} AND "
+        f"(-({lon})) * {_d(3600.0)} >= {_d(sub['e_long'])} AND "
+        f"(-({lon})) * {_d(3600.0)} <= {_d(sub['w_long'])})"
+    )
+
+
+def stage1_exprs(sub: dict, lon: str, lat: str) -> dict:
+    """ls/lw (arc-seconds) and clamped cell index gi/gj from lon/lat
+    column text."""
+    ls = f"(({lat}) * {_d(3600.0)})"
+    lw = f"((-({lon})) * {_d(3600.0)})"
+    gi = (f"CAST(LEAST(GREATEST(FLOOR(ROUND(({ls} - {_d(sub['s_lat'])})"
+          f" / {_d(sub['lat_inc'])}, 9)), {_d(0.0)}),"
+          f" {_d(sub['nrows'] - 2)}) AS BIGINT)")
+    gj = (f"CAST(LEAST(GREATEST(FLOOR(ROUND(({lw} - {_d(sub['e_long'])})"
+          f" / {_d(sub['long_inc'])}, 9)), {_d(0.0)}),"
+          f" {_d(sub['ncols'] - 2)}) AS BIGINT)")
+    return {"ls": ls, "lw": lw, "gi": gi, "gj": gj}
+
+
+def stage2_exprs(sub: dict, ls: str = "ls", lw: str = "lw",
+                 gi: str = "gi", gj: str = "gj") -> dict:
+    """Bilinear Δφ″/Δλ″ from the joined corner columns + stage-1
+    columns (referenced by NAME so neither engine re-inlines the
+    index arithmetic)."""
+    fy = (f"(({ls} - {_d(sub['s_lat'])}) / {_d(sub['lat_inc'])}"
+          f" - CAST({gi} AS DOUBLE))")
+    fx = (f"(({lw} - {_d(sub['e_long'])}) / {_d(sub['long_inc'])}"
+          f" - CAST({gj} AS DOUBLE))")
+    one = _d(1.0)
+
+    def bilin(p00, p10, p01, p11):
+        return (f"(({one} - {fy}) * (({one} - {fx}) * {p00} + {fx} * {p01})"
+                f" + {fy} * (({one} - {fx}) * {p10} + {fx} * {p11}))")
+
+    return {
+        "dlat": bilin("p00la", "p10la", "p01la", "p11la"),
+        "dlon": bilin("p00lo", "p10lo", "p01lo", "p11lo"),
+    }
+
+
+def _apply_fwd(lon: str, lat: str, dlat: str, dlon: str) -> tuple:
+    """Forward combine: source-datum position + interpolated shift."""
+    return (f"(({lon}) - {dlon} / {_d(3600.0)})",
+            f"(({lat}) + {dlat} / {_d(3600.0)})")
+
+
+def _apply_inv(tlon: str, tlat: str, dlat: str, dlon: str) -> tuple:
+    """One inverse fixed-point step: target position minus the shift
+    interpolated at the CURRENT GUESS (whose dlat/dlon these are)."""
+    return (f"(({tlon}) + {dlon} / {_d(3600.0)})",
+            f"(({tlat}) - {dlat} / {_d(3600.0)})")
+
+
+# --------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------
+
+
+def _lookup(df: DataFrame, cells: DataFrame, sub: dict,
+            lon: str, lat: str, keep: list, out_lon: str, out_lat: str,
+            combine) -> DataFrame:
+    """One grid lookup: stage-1 index columns, broadcast join, stage-2
+    combine into (out_lon, out_lat); ``keep`` columns ride along."""
+    s1 = stage1_exprs(sub, lon, lat)
+    staged = df.selectExpr(
+        *keep, f"{lon} AS __glon", f"{lat} AS __glat",
+        f"{s1['ls']} AS ls", f"{s1['lw']} AS lw",
+        f"{s1['gi']} AS gi", f"{s1['gj']} AS gj",
+    )
+    joined = staged.join(cells, ["gi", "gj"])
+    s2 = stage2_exprs(sub)
+    nlon, nlat = combine("__glon", "__glat", s2["dlat"], s2["dlon"])
+    return joined.selectExpr(
+        *keep, f"{nlon} AS {out_lon}", f"{nlat} AS {out_lat}")
+
+
+def shift_forward(df: DataFrame, cells: DataFrame, sub: dict,
+                  lon: str = "lon", lat: str = "lat",
+                  keep: list = ("cell_id",),
+                  out_lon: str = "lon2", out_lat: str = "lat2") -> DataFrame:
+    """SYSTEM_F → SYSTEM_T (e.g. NAD27 → NAD83/WGS84): one lookup at
+    the source position. Out-of-grid rows are dropped (untransformable)."""
+    df = df.where(F.expr(bbox_filter_sql(sub, lon, lat)))
+    return _lookup(df, cells, sub, lon, lat, list(keep), out_lon, out_lat,
+                   _apply_fwd)
+
+
+def shift_inverse(df: DataFrame, cells: DataFrame, sub: dict,
+                  lon: str = "lon", lat: str = "lat",
+                  keep: list = ("cell_id",), iters: int = 3,
+                  out_lon: str = "lon2", out_lat: str = "lat2") -> DataFrame:
+    """SYSTEM_T → SYSTEM_F (e.g. WGS84 → NAD27): ``iters`` unrolled
+    fixed-point lookups, guess₀ = target, guessₖ₊₁ = target ⊖
+    shift(guessₖ). Each lookup is one broadcast hash join."""
+    df = df.where(F.expr(bbox_filter_sql(sub, lon, lat)))
+    keep = list(keep)
+    cur = df.selectExpr(*keep, f"{lon} AS __tlon", f"{lat} AS __tlat",
+                        f"{lon} AS __klon", f"{lat} AS __klat")
+    for step in range(iters):
+        last = step == iters - 1
+        olon = out_lon if last else "__klon"
+        olat = out_lat if last else "__klat"
+        cur = _lookup(
+            cur, cells, sub, "__klon", "__klat",
+            keep + ["__tlon", "__tlat"], olon, olat,
+            lambda _lo, _la, dlat, dlon: _apply_inv(
+                "__tlon", "__tlat", dlat, dlon),
+        )
+    return cur.select(*keep, out_lon, out_lat)
+
+
+# --------------------------------------------------------------------
+# DuckDB side: the SAME emitters rendered as a CTE chain
+# --------------------------------------------------------------------
+
+
+def shift_duckdb_ctes(rel_in: str, sub: dict, direction: str,
+                      lon: str = "lon", lat: str = "lat",
+                      keep: tuple = ("cell_id",), iters: int = 3,
+                      tag: str = "gs") -> tuple:
+    """(ctes_sql, out_rel) replaying :func:`shift_forward` /
+    :func:`shift_inverse` — identical expression text, identical join,
+    output columns (keep..., lon2, lat2)."""
+    keep_sql = ", ".join(keep)
+    parts = [
+        f"{tag}_cells AS (SELECT * FROM {cells_values_sql(sub)})",
+        f"{tag}_in AS (SELECT {keep_sql}, {lon} AS glon, {lat} AS glat "
+        f"FROM {rel_in} WHERE {bbox_filter_sql(sub, lon, lat)})",
+    ]
+
+    def stage(n, rel, ilon, ilat, extra_keep, olon, olat, combine):
+        s1 = stage1_exprs(sub, ilon, ilat)
+        ek = ", ".join(extra_keep)
+        ek = (ek + ", ") if ek else ""
+        parts.append(
+            f"{tag}_s{n}a AS (SELECT {keep_sql}, {ek}{ilon} AS xlon, "
+            f"{ilat} AS xlat, {s1['ls']} AS ls, {s1['lw']} AS lw, "
+            f"{s1['gi']} AS gi, {s1['gj']} AS gj FROM {rel})")
+        s2 = stage2_exprs(sub, gi=f"{tag}_s{n}a.gi", gj=f"{tag}_s{n}a.gj")
+        nlon, nlat = combine("xlon", "xlat", s2["dlat"], s2["dlon"])
+        parts.append(
+            f"{tag}_s{n} AS (SELECT {keep_sql}, {ek}{nlon} AS {olon}, "
+            f"{nlat} AS {olat} FROM {tag}_s{n}a JOIN {tag}_cells "
+            f"ON {tag}_s{n}a.gi = {tag}_cells.gi "
+            f"AND {tag}_s{n}a.gj = {tag}_cells.gj)")
+        return f"{tag}_s{n}"
+
+    if direction == "forward":
+        out = stage(1, f"{tag}_in", "glon", "glat", [], "lon2", "lat2",
+                    _apply_fwd)
+    elif direction == "inverse":
+        rel = (f"{tag}_in0");  # seed: guess = target
+        parts.append(
+            f"{tag}_in0 AS (SELECT {keep_sql}, glon AS tlon, glat AS tlat, "
+            f"glon AS klon, glat AS klat FROM {tag}_in)")
+        rel = f"{tag}_in0"
+        for step in range(iters):
+            last = step == iters - 1
+            olon = "lon2" if last else "klon"
+            olat = "lat2" if last else "klat"
+            rel = stage(
+                step + 1, rel, "klon", "klat",
+                ["tlon", "tlat"] if not last else ["tlon", "tlat"],
+                olon, olat,
+                lambda _lo, _la, dlat, dlon: _apply_inv(
+                    "tlon", "tlat", dlat, dlon),
+            )
+        out = rel
+    else:
+        raise ValueError(f"direction must be forward/inverse, got {direction!r}")
+    return ",\n    ".join(parts), out
+
+
+# --------------------------------------------------------------------
+# Driver-side float twins (tests, plan-time geometry)
+# --------------------------------------------------------------------
+
+
+def _interp_scalar(sub: dict, lon: float, lat: float) -> tuple:
+    ls, lw = lat * 3600.0, -lon * 3600.0
+    if not (sub["s_lat"] <= ls <= sub["n_lat"]
+            and sub["e_long"] <= lw <= sub["w_long"]):
+        return None
+    import math
+
+    gi = int(min(max(math.floor(round((ls - sub["s_lat"]) / sub["lat_inc"], 9)), 0.0),
+                 float(sub["nrows"] - 2)))
+    gj = int(min(max(math.floor(round((lw - sub["e_long"]) / sub["long_inc"], 9)), 0.0),
+                 float(sub["ncols"] - 2)))
+    fy = (ls - sub["s_lat"]) / sub["lat_inc"] - float(gi)
+    fx = (lw - sub["e_long"]) / sub["long_inc"] - float(gj)
+    la, lo = sub["lat_shift"], sub["lon_shift"]
+
+    def bilin(p):
+        return ((1.0 - fy) * ((1.0 - fx) * float(p[gi, gj]) + fx * float(p[gi, gj + 1]))
+                + fy * ((1.0 - fx) * float(p[gi + 1, gj]) + fx * float(p[gi + 1, gj + 1])))
+
+    return bilin(la), bilin(lo)
+
+
+def forward_scalar(sub: dict, lon: float, lat: float):
+    d = _interp_scalar(sub, lon, lat)
+    if d is None:
+        return None
+    dlat, dlon = d
+    return lon - dlon / 3600.0, lat + dlat / 3600.0
+
+
+def inverse_scalar(sub: dict, lon: float, lat: float, iters: int = 3):
+    if _interp_scalar(sub, lon, lat) is None:
+        return None
+    klon, klat = lon, lat
+    for _ in range(iters):
+        d = _interp_scalar(sub, klon, klat)
+        if d is None:
+            return None
+        dlat, dlon = d
+        klon, klat = lon + dlon / 3600.0, lat - dlat / 3600.0
+    return klon, klat

@@ -1957,7 +1957,8 @@ def q_regrid_ease2_north(spark, sf_dir):
     whole sphere minus the antipode, so corner pixels beyond
     ρ(equator) legitimately invert to southern-hemisphere lon/lats
     and gather from the global eqc source like any other pixel.
-    Oblique ellipsoidal laea raises loudly (dispatch guard)."""
+    The oblique ellipsoidal aspect dispatches to its own family
+    (laea_ell_oblique — see q_regrid_etrs89)."""
     from pyresample_spark.operators.crs import regrid_nearest
     from pyresample_spark.operators.resample_grid import synth_image
 
@@ -2126,6 +2127,104 @@ def q_regrid_merc3395(spark, sf_dir):
 
     src = synth_image(spark, EQC_AREA)
     return regrid_nearest(_MERC3395_AREA, EQC_AREA, src)
+
+
+# --- q_regrid_nad27: NTv2 grid-shift datum (NAD27 -> WGS84) ----------
+# The one datum family Helmert can't express (VERDICT r12 item 2):
+# NAD27's official transformation is a GRID of per-node shifts. A
+# legacy NOAA product (Lambert conformal conic on Clarke 1866, datum
+# pinned by +nadgrids=) is regridded onto a WGS84 polar-stereographic
+# target; the WGS84->NAD27 leg is the NTv2 fixed-point inverse — three
+# unrolled bilinear lookups, each ONE broadcast hash join against the
+# grid-cell table (operators/gridshift.py).
+
+def _nad27_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    src = AreaDefinition(
+        "nad27_conus_lcc",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+        "+ellps=clrk66 +nadgrids=demo_conus",
+        width=96, height=92,
+        area_extent=(-400000.0, -340000.0, 560000.0, 580000.0),
+    )
+    tgt = AreaDefinition(
+        "wgs84_polar_conus",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-96 +ellps=WGS84",
+        width=72, height=84,
+        area_extent=(-360000.0, -6200000.0, 360000.0, -5360000.0),
+    )
+    return src, tgt
+
+
+_NAD27_SRC, _NAD27_TGT = _nad27_areas()
+
+
+def _nad27_oracle() -> str:
+    from pyresample_spark.functions.geo import (
+        lcc_ell_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes
+    from pyresample_spark.sources.ntv2 import demo_ntv2_grid_bytes, parse_ntv2
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-96.0, north=True,
+    )
+    sub = parse_ntv2(demo_ntv2_grid_bytes())["subgrids"][0]
+    gs_ctes, gs_out = shift_duckdb_ctes("inv", sub, "inverse")
+    fx, fy = lcc_ell_sql(
+        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
+        a=6378206.4, b=6356583.8,
+    )
+    s = _NAD27_SRC
+    return f"""
+    WITH tgt AS ({_NAD27_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_nad27", oracle=_nad27_oracle())
+def q_regrid_nad27(spark, sf_dir):
+    """Cross-datum regrid through an NTv2 GRID SHIFT (no Helmert fit
+    exists for NAD27 — VERDICT r12 item 2): a legacy NOAA-style LCC
+    product on Clarke 1866 with ``+nadgrids=`` pinning its datum to a
+    registered NTv2 grid (spec-built .gsb fixture, sources/ntv2.py)
+    gathered onto a WGS84 polar-stereographic target. The target grid
+    inverts to WGS84 lon/lat, then the WGS84→NAD27 leg runs the NTv2
+    fixed-point inverse — three unrolled bilinear grid lookups, each a
+    BROADCAST hash join against the grid-cell table (the shifted
+    coordinates come out of a join, so the lcc forward reads plain
+    attributes with no CollapseProject re-inlining) — before the
+    Clarke-1866 lcc forward indexes the source. Skipping the shift
+    displaces the gather ~30-90 m (the fixture's NAD27-magnitude
+    field). The oracle replays the identical pipeline as DuckDB CTEs
+    over the SAME inline grid-cell table (shared expression text,
+    exponent-form double literals). Reference path: pyproj/PROJ
+    ``+nadgrids`` hgrid consumption behind
+    pyresample/utils/proj4.py:108-165."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NAD27_SRC)
+    return regrid_nearest(_NAD27_TGT, _NAD27_SRC, src)
 
 
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +

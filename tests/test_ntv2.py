@@ -1,0 +1,239 @@
+"""NTv2 grid-shift format + application tests (sources/ntv2.py,
+operators/gridshift.py). Wire-format fields are pinned against the
+public spec (NRCan NTv2 Developer's Guide layout as documented by the
+PROJ/GDAL projects): 16-byte name/value records, arc-second bounds
+with positive-west longitudes, float32 nodes ordered lon-fastest
+east→west then south→north."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pyresample_spark.operators import gridshift as GS
+from pyresample_spark.sources import ntv2
+
+
+def tiny_subgrid():
+    """3x3-node grid over lat 40..42, lon 95..97W at 1.0 deg spacing,
+    hand-picked node values for worked-example interpolation."""
+    la = np.array([[0.5, 0.6, 0.7],
+                   [0.8, 1.0, 1.2],
+                   [1.1, 1.4, 1.7]], dtype=np.float32)
+    lo = np.array([[2.0, 2.2, 2.4],
+                   [2.6, 3.0, 3.4],
+                   [3.2, 3.8, 4.4]], dtype=np.float32)
+    return {
+        "name": "TINY", "s_lat": 40.0 * 3600, "n_lat": 42.0 * 3600,
+        "e_long": 95.0 * 3600, "w_long": 97.0 * 3600,
+        "lat_inc": 3600.0, "long_inc": 3600.0,
+        "lat_shift": la, "lon_shift": lo,
+    }
+
+
+def parsed_tiny():
+    data = ntv2.ntv2_grid_bytes([tiny_subgrid()])
+    return ntv2.parse_ntv2(data)["subgrids"][0]
+
+
+# --------------------------------------------------------------------
+# wire format
+# --------------------------------------------------------------------
+
+
+def test_overview_header_layout():
+    data = ntv2.ntv2_grid_bytes([tiny_subgrid()], system_f="NAD27",
+                                system_t="NAD83")
+    # record 0: NUM_OREC = 11 (the endianness probe anchor)
+    assert data[0:8] == b"NUM_OREC"
+    assert struct.unpack_from("<i", data, 8)[0] == 11
+    assert data[16:24] == b"NUM_SREC"
+    assert data[48:56] == b"GS_TYPE "
+    assert data[56:64] == b"SECONDS "
+    assert data[80:88] == b"SYSTEM_F"
+    assert data[88:96].rstrip() == b"NAD27"
+    # MAJOR_F record: Clarke 1866 semi-major
+    assert data[112:120] == b"MAJOR_F "
+    assert struct.unpack_from("<d", data, 120)[0] == 6378206.4
+
+
+def test_subgrid_header_and_node_layout():
+    data = ntv2.ntv2_grid_bytes([tiny_subgrid()])
+    off = 11 * 16
+    assert data[off:off + 8] == b"SUB_NAME"
+    # S_LAT is subgrid record index 4, stored in arc-seconds
+    so = off + 4 * 16
+    assert data[so:so + 8] == b"S_LAT   "
+    assert struct.unpack_from("<d", data, so + 8)[0] == 144000.0
+    # GS_COUNT record index 10
+    go = off + 10 * 16
+    assert data[go:go + 8] == b"GS_COUNT"
+    assert struct.unpack_from("<i", data, go + 8)[0] == 9
+    # first node = (south, east) corner; lon fastest westward: second
+    # node is one LONG_INC west of it
+    n0 = off + 11 * 16
+    lat0, lon0, _, _ = struct.unpack_from("<4f", data, n0)
+    lat1, lon1, _, _ = struct.unpack_from("<4f", data, n0 + 16)
+    assert (lat0, lon0) == (np.float32(0.5), np.float32(2.0))
+    assert (lat1, lon1) == (np.float32(0.6), np.float32(2.2))
+
+
+def test_roundtrip_both_endiannesses():
+    sg = tiny_subgrid()
+    for be in (False, True):
+        g = ntv2.parse_ntv2(ntv2.ntv2_grid_bytes([sg], big_endian=be))
+        assert g["system_f"] == "NAD27" and g["num_file"] == 1
+        out = g["subgrids"][0]
+        assert (out["nrows"], out["ncols"]) == (3, 3)
+        assert np.array_equal(out["lat_shift"], sg["lat_shift"])
+        assert np.array_equal(out["lon_shift"], sg["lon_shift"])
+
+
+def test_corrupt_guards():
+    good = ntv2.ntv2_grid_bytes([tiny_subgrid()])
+    with pytest.raises(ValueError, match="too short"):
+        ntv2.parse_ntv2(good[:100])
+    with pytest.raises(ValueError, match="NUM_OREC"):
+        ntv2.parse_ntv2(b"\x00" * 200)
+    # flip GS_COUNT to disagree with the bounds
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 11 * 16 + 10 * 16 + 8, 12)
+    with pytest.raises(ValueError, match="GS_COUNT"):
+        ntv2.parse_ntv2(bytes(bad))
+    # truncate the node block
+    with pytest.raises(ValueError, match="truncated node block"):
+        ntv2.parse_ntv2(good[: 11 * 16 + 11 * 16 + 2 * 16])
+    # writer: array shape vs bounds mismatch
+    sg = tiny_subgrid()
+    sg["n_lat"] = 43.0 * 3600
+    with pytest.raises(ValueError, match="imply"):
+        ntv2.ntv2_grid_bytes([sg])
+
+
+def test_multi_subgrid_parses_but_apply_raises():
+    child = dict(tiny_subgrid(), name="CHILD", parent="TINY")
+    g = ntv2.parse_ntv2(ntv2.ntv2_grid_bytes([tiny_subgrid(), child]))
+    assert [s["sub_name"] for s in g["subgrids"]] == ["TINY", "CHILD"]
+    with pytest.raises(NotImplementedError, match="2 subgrids"):
+        ntv2.apply_subgrid(g)
+
+
+def test_registry_unknown_raises():
+    with pytest.raises(NotImplementedError, match="no NTv2 grid registered"):
+        ntv2.get_ntv2_grid("no_such_grid")
+    # demo grid lazily self-registers
+    assert ntv2.get_ntv2_grid("demo_conus")["subgrids"][0]["nrows"] == 21
+
+
+# --------------------------------------------------------------------
+# shift semantics (worked examples)
+# --------------------------------------------------------------------
+
+
+def test_node_exact_lookup():
+    sub = parsed_tiny()
+    # exactly on node (row 1 from south = 41N, col 1 from east = 96W)
+    dlat, dlon = GS._interp_scalar(sub, -96.0, 41.0)
+    assert dlat == float(np.float32(1.0)) and dlon == float(np.float32(3.0))
+
+
+def test_bilinear_worked_example():
+    sub = parsed_tiny()
+    # lat 40.25, lon 96.75W: cell (0, 0)... lonw=96.75 -> gj=1, fx=0.75
+    # gi=0, fy=0.25. Hand-interpolate the float32-widened corners.
+    la = [float(np.float32(v)) for v in (0.6, 1.0, 0.7, 1.2)]  # p00,p10,p01,p11
+    exp_dlat = ((1 - 0.25) * ((1 - 0.75) * la[0] + 0.75 * la[2])
+                + 0.25 * ((1 - 0.75) * la[1] + 0.75 * la[3]))
+    dlat, dlon = GS._interp_scalar(sub, -96.75, 40.25)
+    assert dlat == pytest.approx(exp_dlat, abs=1e-15)
+
+
+def test_shift_direction_conventions():
+    """Positive lon shift is WEST: the forward (NAD27->NAD83) result
+    must move the east-positive longitude WESTWARD (decrease it) and a
+    positive lat shift must increase latitude."""
+    sub = parsed_tiny()
+    lon2, lat2 = GS.forward_scalar(sub, -96.0, 41.0)
+    assert lon2 == -96.0 - 3.0 / 3600.0 * 1.0  # dlon=3.0" west
+    assert lat2 == 41.0 + 1.0 / 3600.0
+
+
+def test_inverse_fixed_point_roundtrips():
+    sub = parsed_tiny()
+    for lon, lat in [(-95.2, 40.1), (-96.5, 41.9), (-96.0, 41.0)]:
+        f = GS.forward_scalar(sub, lon, lat)
+        back = GS.inverse_scalar(sub, *f)
+        assert back == pytest.approx((lon, lat), abs=1e-12)
+
+
+def test_out_of_grid_returns_none():
+    sub = parsed_tiny()
+    assert GS.forward_scalar(sub, -98.0, 41.0) is None
+    assert GS.inverse_scalar(sub, -96.0, 39.9) is None
+    # north/west EDGES are in-grid (clamped into the last cell)
+    assert GS.forward_scalar(sub, -97.0, 42.0) is not None
+
+
+def test_cell_rows_corner_wiring():
+    sub = parsed_tiny()
+    rows = {(r[0], r[1]): r for r in GS.cell_rows(sub)}
+    assert len(rows) == 4
+    # cell (0,0): p00 = node(0,0)=0.5, p10 = node(1,0)=0.8,
+    # p01 = node(0,1)=0.6, p11 = node(1,1)=1.0
+    r = rows[(0, 0)]
+    assert r[2:6] == (float(np.float32(0.5)), float(np.float32(0.8)),
+                      float(np.float32(0.6)), float(np.float32(1.0)))
+
+
+# --------------------------------------------------------------------
+# CRS plumbing
+# --------------------------------------------------------------------
+
+
+def test_crs_nadgrids_parsing():
+    from pyresample_spark.operators.crs import crs_nadgrids
+
+    assert crs_nadgrids("+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66") is None
+    assert crs_nadgrids(
+        "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 +nadgrids=@demo_conus"
+    ) == "demo_conus"
+    with pytest.raises(NotImplementedError, match="multiple"):
+        crs_nadgrids("+proj=lcc +lat_1=33 +ellps=clrk66 +nadgrids=a,b")
+
+
+def test_datum_specs_between_rejects_nadgrids():
+    from pyresample_spark.operators.crs import datum_specs_between
+
+    with pytest.raises(NotImplementedError, match="nadgrids"):
+        datum_specs_between(
+            "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 +nadgrids=demo_conus",
+            "+proj=stere +lat_0=90 +lat_ts=70 +ellps=WGS84",
+        )
+
+
+def test_gridshift_pipeline_rules():
+    from pyresample_spark.operators.crs import gridshift_pipeline
+
+    nad27 = "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 +nadgrids=demo_conus"
+    wgs = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-96 +ellps=WGS84"
+    assert gridshift_pipeline(wgs, wgs) is None
+    gs = gridshift_pipeline(wgs, nad27)
+    assert gs["src_sub"] is not None and gs["tgt_sub"] is None
+    assert gs["src_helmert"] is None and gs["tgt_helmert"] is None
+    # grid side + Helmert side composes
+    gs2 = gridshift_pipeline(
+        "+proj=stere +lat_0=52 +lon_0=10 +ellps=bessel +datum=potsdam",
+        nad27)
+    assert gs2["tgt_helmert"] is not None and gs2["src_sub"] is not None
+    # bare non-WGS84 other side raises loudly
+    with pytest.raises(NotImplementedError, match="unknown"):
+        gridshift_pipeline("+proj=stere +lat_0=90 +ellps=bessel", nad27)
+
+
+def test_nad27_datum_token_names_workaround():
+    from pyresample_spark.operators.crs import _resolve_datum_token
+
+    with pytest.raises(NotImplementedError, match="nadgrids"):
+        _resolve_datum_token({"datum": "NAD27"})
