@@ -126,6 +126,29 @@ def _parse_datatype_sized(b: bytes) -> tuple:
             raise ValueError("truncated vlen datatype message")
         blen = _parse_datatype_sized(b[8:])[1]
         return ("vlen_str",), 8 + blen
+    if cls == 7:  # reference (object / dataset-region)
+        # v1-3 encode the reference kind in bit-field bits 0-3 and
+        # carry NO property bytes: 0 = object reference (data is one
+        # sizeof-offsets file address of the referenced object
+        # header), 1 = dataset-region reference (data is a 12-byte
+        # global-heap ID whose heap object holds the object address +
+        # a serialized dataspace selection). v4 is the HDF5 >=1.12
+        # "revised reference" encoding (tokens, external files) —
+        # out of subset, raise loudly.
+        if ver not in (1, 2, 3):
+            raise NotImplementedError(
+                f"revised reference datatype v{ver} (HDF5 >= 1.12 "
+                "H5R_ref_t) outside the native subset"
+            )
+        rtype = bits0 & 0x0F
+        if rtype == 0:
+            return ("ref_obj",), 8
+        if rtype == 1:
+            return ("ref_region",), 8
+        raise NotImplementedError(
+            f"reference datatype type {rtype} (object=0 and "
+            "dataset-region=1 decode natively)"
+        )
     if cls == 10:  # ARRAY (fixed-shape subarray member)
         if ver == 2:  # dimensionality u1 + 3 reserved + dims + perms
             nd = b[8]
@@ -204,10 +227,15 @@ def _parse_datatype_sized(b: bytes) -> tuple:
             if isinstance(mdt, tuple):
                 if mdt[0] == "str":
                     mdt = np.dtype(f"S{mdt[1]}")
+                elif mdt[0] == "ref_obj":
+                    # netcdf-c's REFERENCE_LIST attr is a compound
+                    # with an object-reference member: surface the
+                    # stored file address as u8
+                    mdt = np.dtype("<u8")
                 else:
                     raise NotImplementedError(
-                        "vlen-typed compound members outside the "
-                        "native subset"
+                        "vlen/region-ref-typed compound members "
+                        "outside the native subset"
                     )
             if v1_dims:
                 mdt = np.dtype((mdt, tuple(v1_dims)))
@@ -245,6 +273,92 @@ def _gheap_object(r: _R, addr: int, index: int) -> bytes:
             return r.b[p + 16:p + 16 + osize]
         p += 16 + (osize + 7) // 8 * 8
     raise ValueError(f"global heap object {index} not found")
+
+
+def _parse_serialized_selection(b: bytes, off: int = 0) -> dict:
+    """Serialized dataspace selection (the payload of a dataset-region
+    reference after its 8-byte object address) → dict. Version-1
+    layout per the public spec: u4 selection type (0 none / 1 points /
+    2 hyperslab / 3 all), u4 version, then for points/hyperslab:
+    u4 padding, u4 length, u4 rank, u4 count, and count × rank u4
+    coordinates (points) or count × 2·rank u4 start/end corners
+    (hyperslab blocks)."""
+    stype = struct.unpack_from("<I", b, off)[0]
+    ver = struct.unpack_from("<I", b, off + 4)[0]
+    if stype == 0:
+        return {"type": "none"}
+    if stype == 3:
+        return {"type": "all"}
+    if ver != 1:
+        raise NotImplementedError(
+            f"serialized selection version {ver} (v1 decodes natively)"
+        )
+    if stype not in (1, 2):
+        raise NotImplementedError(f"selection type {stype}")
+    rank = struct.unpack_from("<I", b, off + 16)[0]
+    count = struct.unpack_from("<I", b, off + 20)[0]
+    if rank == 0 or rank > 32 or count > 1_000_000:
+        raise ValueError(
+            f"implausible selection rank {rank} / count {count}"
+        )
+    p = off + 24
+    if stype == 1:
+        pts = []
+        for _ in range(count):
+            pts.append(tuple(struct.unpack_from(f"<{rank}I", b, p)))
+            p += 4 * rank
+        return {"type": "points", "rank": rank, "points": pts}
+    blocks = []
+    for _ in range(count):
+        start = tuple(struct.unpack_from(f"<{rank}I", b, p))
+        end = tuple(struct.unpack_from(f"<{rank}I", b, p + 4 * rank))
+        blocks.append((start, end))
+        p += 8 * rank
+    return {"type": "hyperslab", "rank": rank, "blocks": blocks}
+
+
+def _read_references(r: _R, kind: str, layout: bytes, shape,
+                     name_by_addr: dict):
+    """Materialize an object- or region-reference dataset (contiguous
+    layout — QA/index tables are small and written contiguous) as a
+    numpy OBJECT array of {address, name[, selection]} dicts; null
+    references (address 0 / undefined) land as None."""
+    ver, lclass = layout[0], layout[1]
+    if ver != 3 or lclass != 1:
+        raise NotImplementedError(
+            f"reference dataset with layout v{ver} class {lclass} "
+            "(contiguous v3 decodes natively)"
+        )
+    addr = struct.unpack_from("<Q", layout, 2)[0]
+    n = int(np.prod(shape)) if shape else 1
+    esize = 8 if kind == "ref_obj" else 12
+    if addr == _UNDEF:
+        return None
+    if addr + n * esize > len(r.b):
+        raise ValueError("reference dataset data out of bounds")
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        p = addr + i * esize
+        if kind == "ref_obj":
+            oh = r.u(p, 8)
+            if oh in (0, _UNDEF):
+                out[i] = None
+                continue
+            out[i] = {"address": oh, "name": name_by_addr.get(oh)}
+        else:
+            gaddr = r.u(p, 8)
+            gidx = r.u(p + 8, 4)
+            if gaddr in (0, _UNDEF) or gidx == 0:
+                out[i] = None
+                continue
+            obj = _gheap_object(r, gaddr, gidx)
+            oh = struct.unpack_from("<Q", obj, 0)[0]
+            out[i] = {
+                "address": oh,
+                "name": name_by_addr.get(oh),
+                "selection": _parse_serialized_selection(obj, 8),
+            }
+    return out.reshape(shape)
 
 
 def _parse_dataspace(b: bytes, with_max: bool = False):
@@ -1348,6 +1462,17 @@ def parse_hdf5(buf: bytes) -> dict:
                 layout = b
         if dtype is None or layout is None:
             continue
+        if isinstance(dtype, tuple) and dtype[0] in ("ref_obj",
+                                                     "ref_region"):
+            # object/region-reference tables (L2 QA products): decode
+            # to {address, name[, selection]} structs, resolving the
+            # stored object-header addresses against this group's own
+            # entries
+            name_by_addr = {oh_a: nm for nm, oh_a in entries}
+            data = _read_references(r, dtype[0], layout, shape,
+                                    name_by_addr)
+            out[name] = {"shape": shape, "attrs": attrs, "data": data}
+            continue
         if isinstance(dtype, tuple):
             continue  # string datasets aren't grid data
         # untrusted-bytes guard: a corrupt dataspace must raise BEFORE
@@ -1759,6 +1884,56 @@ def _w_ohdr_v2(msgs: list) -> bytes:
     return full + struct.pack("<I", _lookup3(full))
 
 
+class H5ObjectRef:
+    """Writer-side marker for an object-reference dataset: pass as the
+    array slot of :func:`hdf5_grid_bytes` with the names of the
+    variables to reference; each element is written as the 8-byte file
+    address of the target's object header (datatype class 7 type 0)."""
+
+    def __init__(self, targets):
+        self.targets = list(targets)
+
+
+class H5RegionRef:
+    """Writer-side marker for a dataset-region-reference dataset:
+    ``regions`` is a list of (target variable name, selection dict as
+    :func:`_parse_serialized_selection` returns — type all/points/
+    hyperslab). Each element is written as a 12-byte global-heap ID
+    whose heap object carries the target's object-header address plus
+    the v1 serialized selection (datatype class 7 type 1)."""
+
+    def __init__(self, regions):
+        self.regions = list(regions)
+
+
+def _w_selection(sel: dict) -> bytes:
+    """v1 serialized dataspace selection (writer twin of
+    :func:`_parse_serialized_selection`). The length field counts the
+    bytes after itself (rank + count + coordinates), matching
+    libhdf5's v1 serialization accounting."""
+    t = sel["type"]
+    if t == "all":
+        return struct.pack("<II", 3, 1) + b"\x00" * 8
+    if t == "none":
+        return struct.pack("<II", 0, 1) + b"\x00" * 8
+    if t == "hyperslab":
+        blocks = sel["blocks"]
+        rank = len(blocks[0][0])
+        body = struct.pack("<II", rank, len(blocks))
+        for start, end in blocks:
+            body += struct.pack(f"<{rank}I", *start)
+            body += struct.pack(f"<{rank}I", *end)
+        return struct.pack("<IIII", 2, 1, 0, len(body)) + body
+    if t == "points":
+        pts = sel["points"]
+        rank = len(pts[0])
+        body = struct.pack("<II", rank, len(pts))
+        for pt in pts:
+            body += struct.pack(f"<{rank}I", *pt)
+        return struct.pack("<IIII", 1, 1, 0, len(body)) + body
+    raise ValueError(f"unknown selection type {t!r}")
+
+
 def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     deflate: bool = True, shuffle: bool = False,
                     fletcher32: bool = False,
@@ -1866,6 +2041,20 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             ]
             place(("oh", n), _w_header(msgs))
             continue
+        if isinstance(arr, (H5ObjectRef, H5RegionRef)):
+            is_obj = isinstance(arr, H5ObjectRef)
+            nref = len(arr.targets if is_obj else arr.regions)
+            esize = 8 if is_obj else 12
+            msgs += [
+                _w_msg(0x0001, _w_space((nref,))),
+                # class 7 v1, reference type in bit-field bits 0-3
+                _w_msg(0x0003, bytes([0x17, 0 if is_obj else 1, 0, 0])
+                       + struct.pack("<I", esize)),
+                _w_msg(0x0008, struct.pack("<BBQQ", 3, 1, 0,
+                                           nref * esize)),
+            ]
+            place(("oh", n), _w_header(msgs))
+            continue
         arr = np.ascontiguousarray(arr).astype(
             np.dtype(arr.dtype).newbyteorder("<")
         )
@@ -1929,6 +2118,28 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     for n in names:
         arr, _ = variables[n]
         if arr is None:
+            continue
+        if isinstance(arr, H5ObjectRef):
+            # every object header is placed by now, so target
+            # addresses are known
+            place(("data", n), b"".join(
+                struct.pack("<Q", pos[("oh", t)]) for t in arr.targets))
+            continue
+        if isinstance(arr, H5RegionRef):
+            objs = [struct.pack("<Q", pos[("oh", t)]) + _w_selection(sel)
+                    for t, sel in arr.regions]
+            used = 16 + sum(16 + (len(o) + 7) // 8 * 8 for o in objs)
+            gcol = (b"GCOL" + bytes([1, 0, 0, 0])
+                    + struct.pack("<Q", used + 16))
+            for i, o in enumerate(objs):
+                gcol += struct.pack("<HHIQ", i + 1, 1, 0, len(o))
+                gcol += o + b"\x00" * ((-len(o)) % 8)
+            # free-space terminator: index 0, size = its own 16 bytes
+            gcol += struct.pack("<HHIQ", 0, 0, 0, 16)
+            gaddr = place(("gcol", n), gcol)
+            place(("data", n), b"".join(
+                struct.pack("<QI", gaddr, i + 1)
+                for i in range(len(objs))))
             continue
         if n in chunk_blobs:
             for i, (_, raw) in enumerate(chunk_blobs[n]):

@@ -549,7 +549,7 @@ def test_compound_out_of_subset_guards():
                    + b"\x00" * 28
                    + bytes([0x19, 1, 0, 0]) + struct.pack("<I", 16)
                    + _dt_string(16))  # vlen property = base datatype
-    with pytest.raises(NotImplementedError, match="vlen-typed"):
+    with pytest.raises(NotImplementedError, match="vlen/region-ref-typed"):
         _parse_datatype(vlen_member)
     # a vlen message TRUNCATED before its base datatype is corruption
     with pytest.raises(ValueError, match="truncated"):
@@ -2789,3 +2789,129 @@ def test_wav_zero_channels_is_loud():
     _struct.pack_into("<H", wav, off, 0)
     with pytest.raises(ValueError, match="zero channels"):
         decode_wav_pcm16(bytes(wav))
+
+
+# --------------------------------------------------------------------
+# reference datatypes (class 7) — object + dataset-region references
+# --------------------------------------------------------------------
+
+
+def _ref_file(superblock=0):
+    from pyresample_spark.sources.hdf5 import (
+        H5ObjectRef,
+        H5RegionRef,
+        hdf5_grid_bytes,
+    )
+
+    return hdf5_grid_bytes({
+        "band_a": (np.arange(12, dtype="<f4").reshape(3, 4), {}),
+        "band_b": (np.arange(6, dtype="<i4").reshape(2, 3), {}),
+        "qa_refs": (H5ObjectRef(["band_a", "band_b", "band_a"]),
+                    {"purpose": "qa"}),
+        "qa_regions": (H5RegionRef([
+            ("band_a", {"type": "hyperslab",
+                        "blocks": [((0, 1), (2, 3)), ((1, 0), (1, 2))]}),
+            ("band_b", {"type": "all"}),
+            ("band_a", {"type": "points", "points": [(0, 0), (2, 3)]}),
+        ]), {}),
+    }, superblock=superblock)
+
+
+def test_object_reference_roundtrip():
+    from pyresample_spark.sources.hdf5 import parse_hdf5
+
+    out = parse_hdf5(_ref_file())
+    refs = out["qa_refs"]["data"]
+    assert [d["name"] for d in refs] == ["band_a", "band_b", "band_a"]
+    assert out["qa_refs"]["attrs"]["purpose"] == "qa"
+    # addresses resolve to real object headers (non-zero, in-file)
+    assert all(0 < d["address"] < len(_ref_file()) for d in refs)
+
+
+def test_region_reference_roundtrip():
+    from pyresample_spark.sources.hdf5 import parse_hdf5
+
+    regs = parse_hdf5(_ref_file())["qa_regions"]["data"]
+    assert regs[0]["name"] == "band_a"
+    assert regs[0]["selection"] == {
+        "type": "hyperslab", "rank": 2,
+        "blocks": [((0, 1), (2, 3)), ((1, 0), (1, 2))]}
+    assert regs[1] == {"name": "band_b",
+                       "address": regs[1]["address"],
+                       "selection": {"type": "all"}}
+    assert regs[2]["selection"] == {
+        "type": "points", "rank": 2, "points": [(0, 0), (2, 3)]}
+
+
+def test_references_under_v2_superblock():
+    from pyresample_spark.sources.hdf5 import parse_hdf5
+
+    out = parse_hdf5(_ref_file(superblock=2))
+    assert [d["name"] for d in out["qa_refs"]["data"]] == [
+        "band_a", "band_b", "band_a"]
+    assert out["qa_regions"]["data"][1]["selection"] == {"type": "all"}
+
+
+def test_null_object_reference_is_none():
+    from pyresample_spark.sources.hdf5 import parse_hdf5
+
+    buf = bytearray(_ref_file())
+    out = parse_hdf5(bytes(buf))
+    # zero the first stored address (h5py writes 0 for null refs):
+    # find the qa_refs data by locating the three packed addresses
+    a0 = out["qa_refs"]["data"][0]["address"]
+    a1 = out["qa_refs"]["data"][1]["address"]
+    needle = struct.pack("<QQ", a0, a1)
+    off = bytes(buf).index(needle)
+    struct.pack_into("<Q", buf, off, 0)
+    out2 = parse_hdf5(bytes(buf))
+    assert out2["qa_refs"]["data"][0] is None
+    assert out2["qa_refs"]["data"][1]["name"] == "band_b"
+
+
+def test_revised_reference_v4_raises():
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
+    body = bytes([0x47, 2, 0, 0]) + struct.pack("<I", 16)
+    with pytest.raises(NotImplementedError, match="revised reference"):
+        _parse_datatype(body)
+
+
+def test_unknown_reference_type_raises():
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
+    body = bytes([0x17, 5, 0, 0]) + struct.pack("<I", 8)
+    with pytest.raises(NotImplementedError, match="reference datatype type"):
+        _parse_datatype(body)
+
+
+def test_selection_writer_guards():
+    from pyresample_spark.sources.hdf5 import (
+        _parse_serialized_selection,
+        _w_selection,
+    )
+
+    with pytest.raises(ValueError, match="unknown selection"):
+        _w_selection({"type": "nope"})
+    # v2 serialized selections stay out of subset
+    blob = struct.pack("<II", 2, 2) + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="selection version"):
+        _parse_serialized_selection(blob)
+    # implausible rank guard
+    blob = struct.pack("<IIIIII", 2, 1, 0, 8, 64, 1)
+    with pytest.raises(ValueError, match="implausible selection"):
+        _parse_serialized_selection(blob)
+
+
+def test_compound_object_ref_member_decodes_as_address():
+    """netcdf-c's REFERENCE_LIST pattern: a compound with an object-
+    reference member surfaces the stored address as u8."""
+    from pyresample_spark.sources.hdf5 import _parse_datatype
+
+    # compound v3, one member "dataset" of class-7 object reference
+    mname = b"dataset\x00"
+    member = mname + bytes([0]) + bytes([0x17, 0, 0, 0]) + struct.pack("<I", 8)
+    body = bytes([0x36, 1, 0, 0]) + struct.pack("<I", 8) + member
+    dt = _parse_datatype(body)
+    assert dt.names == ("dataset",)
+    assert dt["dataset"] == np.dtype("<u8")

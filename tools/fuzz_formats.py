@@ -110,9 +110,15 @@ def main():
         tiff_pixels,
     )
     from pyresample_spark.sources.hdf5 import (
+        H5ObjectRef,
+        H5RegionRef,
         hdf5_grid_bytes,
         load_cf_area_h5,
         parse_hdf5,
+    )
+    from pyresample_spark.sources.ntv2 import (
+        demo_ntv2_grid_bytes,
+        parse_ntv2,
     )
 
     from pyresample_spark.sources.binary_raster import parse_tiff_ifds
@@ -192,6 +198,20 @@ def main():
             "band": (np.arange(48.0).reshape(6, 8),
                      {"grid_mapping": "crs"}),
         }), load_cf_area_h5),
+        # object/region-reference tables: gheap IDs + serialized
+        # selections under corruption (class 7 datatypes)
+        ("hdf5-refs", hdf5_grid_bytes({
+            "band_a": (np.arange(12.0).reshape(3, 4), {}),
+            "qa_refs": (H5ObjectRef(["band_a", "band_a"]), {}),
+            "qa_regions": (H5RegionRef([
+                ("band_a", {"type": "hyperslab",
+                            "blocks": [((0, 0), (2, 2))]}),
+                ("band_a", {"type": "all"}),
+            ]), {}),
+        }), h5_parse),
+        # NTv2 grid-shift files: header records, bounds/increment
+        # consistency, float32 node block under corruption
+        ("ntv2", demo_ntv2_grid_bytes(), parse_ntv2),
         ("ppm", encode_ppm(17, 11, (50, 100, 150)), decode_ppm),
         ("ppm-container",
          encode_ppm(17, 11, (50, 100, 150)) * 2, decode_ppm_container),
