@@ -35,8 +35,10 @@ Format scope (documented, checked, errors are loud):
   samples per pixel (chunky/planar), 16/32-bit integer or 32/64-bit
   float samples, little- or big-endian, axis-aligned georeferencing
   (pixel-scale + tiepoint — rotated ModelTransformationTag rejected
-  like utils/rasterio.py). JPEG compression and unmapped EPSG codes
-  fall back to rasterio.
+  like utils/rasterio.py). New-style JPEG (compression 7) decodes
+  natively via the baseline T.81 codec (sources/jpeg.py), incl.
+  shared JPEGTables; old-style compression 6 and unmapped EPSG codes
+  raise loudly.
 """
 
 from __future__ import annotations
@@ -239,7 +241,8 @@ def load_cf_area_nc3(buf: bytes, variable: str | None = None,
 
 _TIFF_TYPE = {
     1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
-    6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4), 12: ("d", 8),
+    6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4),
+    12: ("d", 8),
     # BigTIFF additions (BigTIFF spec): LONG8 / SLONG8 / IFD8
     16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8),
 }
@@ -714,8 +717,12 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
     on assembly). Predictor (tag 317): 1 = none, 2 = horizontal
     differencing on integer samples (per channel), undone per
     strip/tile row by a cumulative sum in the sample dtype so
-    overflow wraps exactly as the spec requires. JPEG compression
-    still falls back to rasterio (utils/rasterio.py:77 analog)."""
+    overflow wraps exactly as the spec requires. New-style JPEG
+    (compression 7, TIFF TechNote2) decodes natively via the baseline
+    T.81 codec in sources/jpeg.py — per-strip/tile interchange or
+    abbreviated streams with shared JPEGTables (tag 347), grayscale or
+    YCbCr/RGB by PhotometricInterpretation; the deprecated old-style
+    compression 6 raises loudly naming the re-encode workaround."""
     import zlib
 
     t = parse_tiff(buf, ifd)
@@ -756,11 +763,17 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             f"{len(buf)}-byte file — corrupt or unsupported input"
         )
     comp = t.get(259, [1])[0]
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6, deprecated by TIFF "
+            "TechNote2) is unsupported — re-write the granule with "
+            "new-style compression 7, which decodes natively"
+        )
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {comp} (baseline, LZW, "
-            "DEFLATE and PackBits decoded natively; others need "
-            "rasterio)"
+            "DEFLATE, PackBits and new-style JPEG decoded natively; "
+            "others need rasterio)"
         )
     planar = t.get(284, [1])[0]
     if spp > 1 and planar not in (1, 2):
@@ -787,6 +800,52 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             "predictor 3 (floating-point) is defined for float "
             f"samples only, got SampleFormat {fmt}"
         )
+    jpeg_tables = None
+    if comp == 7:
+        # new-style JPEG (TechNote2): each strip/tile is a complete
+        # baseline stream; shared tables may sit in JPEGTables (347)
+        if bits != 8 or fmt != 1:
+            raise ValueError(
+                f"JPEG-compressed TIFF must be 8-bit unsigned, got "
+                f"bits={bits} fmt={fmt}"
+            )
+        if pred != 1:
+            raise ValueError("predictor is undefined for JPEG compression")
+        if nplanes > 1:
+            raise NotImplementedError(
+                "planar-configuration-2 JPEG TIFFs are outside the "
+                "subset (real writers emit chunky JPEG)"
+            )
+        if spp not in (1, 3):
+            raise ValueError(f"JPEG TIFF with {spp} samples/pixel")
+        raw347 = t.get(347)
+        if raw347:
+            jpeg_tables = bytes(raw347)
+        from pyresample_spark.sources.jpeg import decode_baseline_jpeg
+
+        # photometric 6 = YCbCr (JFIF transform); 2 = RGB stored
+        # untransformed in the scan
+        photo = t.get(262, [1])[0]
+
+        def jpeg_block(chunk: bytes, rows: int, width_: int) -> np.ndarray:
+            arr = decode_baseline_jpeg(
+                chunk, tables=jpeg_tables,
+                color_transform=(photo == 6) if spp == 3 else None)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[2] != spp:
+                raise ValueError(
+                    f"JPEG stream has {arr.shape[2]} component(s), "
+                    f"TIFF declares {spp}"
+                )
+            if arr.shape[0] < rows or arr.shape[1] < width_:
+                raise ValueError(
+                    f"JPEG block {arr.shape[:2]} smaller than the "
+                    f"declared {rows}x{width_} region"
+                )
+            # JPEG pads blocks to MCU multiples; crop to the declared
+            # strip/tile region
+            return arr[:rows, :width_, :]
 
     def decode(chunk: bytes) -> bytes:
         if comp in (8, 32946):
@@ -827,7 +886,8 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
         out = np.empty((h, w, spp), dtype="f8")
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             pl, ti = divmod(idx, per_plane)
-            tile = block(decode(buf[o:o + c]), th, tw)
+            tile = (jpeg_block(buf[o:o + c], th, tw) if comp == 7
+                    else block(decode(buf[o:o + c]), th, tw))
             ty, tx = divmod(ti, tiles_across)
             r0, c0 = ty * th, tx * tw
             rs, cs = min(th, h - r0), min(tw, w - c0)
@@ -855,6 +915,19 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                 )
                 planes.append(block(raw, h, w))
             out = np.concatenate(planes, axis=2).astype("f8")
+        elif comp == 7:
+            # each strip is an independent JPEG stream (MCU-padded),
+            # so strips decode individually, not as concatenated bytes
+            rps = ints(278, "rows/strip", [h])[0]
+            if rps <= 0:
+                raise ValueError(f"degenerate rows/strip {rps}")
+            if len(offs) != (h + rps - 1) // rps or len(cnts) != len(offs):
+                raise ValueError("strip count does not match raster size")
+            parts = [
+                jpeg_block(buf[o:o + c], min(rps, h - i * rps), w)
+                for i, (o, c) in enumerate(zip(offs, cnts))
+            ]
+            out = np.concatenate(parts, axis=0).astype("f8")
         else:
             raw = b"".join(
                 decode(buf[o:o + c]) for o, c in zip(offs, cnts))

@@ -785,8 +785,13 @@ def test_tiff_tiled_predictor2_int():
 
 def test_tiff_compression_and_predictor_guards():
     arr = np.zeros((2, 2), dtype="f4")
-    with pytest.raises(ValueError, match="compression 7"):
+    # compression 7 decodes natively since round 13, but only for the
+    # 8-bit unsigned samples JPEG defines — a float32 raster tagged
+    # JPEG is corrupt and must say so
+    with pytest.raises(ValueError, match="8-bit unsigned"):
         tiff_pixels(tiff_bytes_strips(arr, compress=7))
+    with pytest.raises(ValueError, match="compression 999"):
+        tiff_pixels(tiff_bytes_strips(arr, compress=999))
     with pytest.raises(ValueError, match="float samples"):
         tiff_pixels(tiff_bytes_strips(arr, predictor=2))
     with pytest.raises(ValueError, match="predictor 3"):
@@ -2836,3 +2841,186 @@ def test_cog_chain_corruption_is_loud(pos, val, trunc):
             tiff_pixels(buf, k)
 
     _corrupt_probe(parse_all, base, pos, val, trunc)
+
+
+# ---------------------------------------------------------------------------
+# new-style JPEG-in-TIFF (compression 7, TIFF TechNote2)
+# ---------------------------------------------------------------------------
+
+
+def _strip_jpeg_segment(stream: bytes, marker: int) -> tuple:
+    """(stream without the given table segment, the removed segment)."""
+    p, removed, out = 2, b"", b"\xff\xd8"
+    while p < len(stream):
+        m = stream[p + 1]
+        if m == 0xDA:  # rest of stream from SOS on
+            out += stream[p:]
+            break
+        seglen = struct.unpack_from(">H", stream, p + 2)[0]
+        seg = stream[p:p + 2 + seglen]
+        if m == marker:
+            removed += seg
+        else:
+            out += seg
+        p += 2 + seglen
+    return out, removed
+
+
+def tiff_bytes_jpeg(arr, rows_per_strip=None, tile=None, hoist_dqt=False,
+                    subsampling="444", compress_tag=7):
+    """Independent JPEG-TIFF assembler: each strip/tile is a complete
+    baseline stream from sources/jpeg.py; ``hoist_dqt`` moves the DQT
+    segment into a shared JPEGTables tag (347) to exercise the
+    TechNote2 abbreviated-stream merge. Container assembly (IFD, tag
+    layout) is independent of the package writer."""
+    from pyresample_spark.sources.jpeg import encode_baseline_jpeg
+
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    blocks = []
+    if tile:
+        tw, th = tile
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                blk = np.zeros((th, tw) + arr.shape[2:], dtype=np.uint8)
+                rs, cs = min(th, h - r0), min(tw, w - c0)
+                blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
+                blocks.append(encode_baseline_jpeg(
+                    blk, subsampling=subsampling))
+    else:
+        rows_per_strip = rows_per_strip or h
+        for r0 in range(0, h, rows_per_strip):
+            blocks.append(encode_baseline_jpeg(
+                arr[r0:r0 + rows_per_strip], subsampling=subsampling))
+    tables = None
+    if hoist_dqt:
+        stripped = []
+        for b in blocks:
+            rest, dqt = _strip_jpeg_segment(b, 0xDB)
+            stripped.append(rest)
+        tables = b"\xff\xd8" + dqt + b"\xff\xd9"
+        blocks = stripped
+
+    entries = []
+
+    def add(tag, typ, count, inline=None, extbytes=None):
+        entries.append([tag, typ, count, inline, extbytes])
+
+    n = len(blocks)
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    add(258, 3, spp, 8 if spp == 1 else None,
+        None if spp == 1 else struct.pack("<3H", 8, 8, 8))
+    add(259, 3, 1, compress_tag)
+    add(262, 3, 1, 1 if gray else 6)
+    add(277, 3, 1, spp)
+    if tile:
+        add(322, 3, 1, tile[0])
+        add(323, 3, 1, tile[1])
+        add(324, 4, n, "BLOCKS")
+        add(325, 4, n, extbytes=struct.pack(
+            f"<{n}I", *(len(b) for b in blocks)))
+    else:
+        add(273, 4, n, "BLOCKS")
+        add(278, 3, 1, rows_per_strip)
+        add(279, 4, n, extbytes=struct.pack(
+            f"<{n}I", *(len(b) for b in blocks)))
+    add(339, 3, 1, 1)
+    if tables is not None:
+        add(347, 7, len(tables), extbytes=tables)
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs, offs, o = [], {}, ext_off
+    for tag, typ, count, inline, extbytes in entries:
+        if extbytes is not None and not (typ == 3 and count * 2 <= 4):
+            offs[tag] = o
+            blobs.append(extbytes)
+            o += len(extbytes)
+    boff_tag = 324 if tile else 273
+    offs[boff_tag] = o
+    o += 4 * n
+    block_offs, bo = [], o
+    for b in blocks:
+        block_offs.append(bo)
+        bo += len(b)
+    out = b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, inline, extbytes in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if inline == "BLOCKS":
+            out += struct.pack("<I", offs[tag])
+        elif extbytes is not None:
+            out += struct.pack("<I", offs[tag])
+        elif typ == 3:
+            out += struct.pack("<HH", inline, 0)
+        else:
+            out += struct.pack("<I", inline)
+    out += struct.pack("<I", 0)
+    body = b"".join(blobs)
+    body += struct.pack(f"<{n}I", *block_offs)
+    return out + body + b"".join(blocks)
+
+
+def _block_const_image(bh, bw, seed=3):
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, (bh, bw))
+    return np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+
+
+def test_jpeg_tiff_gray_strips_exact():
+    img = _block_const_image(4, 5)  # 32x40, blockwise constant
+    buf = tiff_bytes_jpeg(img, rows_per_strip=8)
+    out = tiff_pixels(buf)
+    assert out.shape == (32, 40)
+    assert np.array_equal(out, img.astype("f8"))
+
+
+def test_jpeg_tiff_gray_tiles_exact_with_edge_crop():
+    img = _block_const_image(4, 5)[:27, :37]  # non-MCU-aligned dims
+    buf = tiff_bytes_jpeg(img, tile=(16, 16))
+    out = tiff_pixels(buf)
+    assert out.shape == (27, 37)
+    assert np.array_equal(out, img.astype("f8"))
+
+
+def test_jpeg_tiff_shared_jpegtables():
+    img = _block_const_image(3, 4)
+    buf = tiff_bytes_jpeg(img, rows_per_strip=8, hoist_dqt=True)
+    # the per-strip streams really lost their DQT
+    t = parse_tiff(buf)
+    assert 347 in t
+    out = tiff_pixels(buf)
+    assert np.array_equal(out, img.astype("f8"))
+
+
+def test_jpeg_tiff_rgb_ycbcr():
+    x = np.arange(40)
+    y = np.arange(32)
+    r = (100 + np.add.outer(y, x)).clip(0, 255).astype(np.uint8)
+    g = (80 + np.add.outer(y // 2, x // 2)).clip(0, 255).astype(np.uint8)
+    b = (60 + np.add.outer(y // 3, x // 3)).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=2)
+    buf = tiff_bytes_jpeg(rgb, rows_per_strip=16, subsampling="420")
+    out = tiff_pixels(buf)
+    assert out.shape == (3, 32, 40)
+    got = np.moveaxis(out, 0, 2)
+    assert np.abs(got - rgb.astype("f8")).max() <= 2.0
+
+
+def test_old_style_jpeg_raises_loudly():
+    img = _block_const_image(2, 2)
+    buf = tiff_bytes_jpeg(img, compress_tag=6)
+    with pytest.raises(NotImplementedError, match="old-style JPEG"):
+        tiff_pixels(buf)
+
+
+def test_jpeg_progressive_raises_loudly():
+    from pyresample_spark.sources.jpeg import decode_baseline_jpeg
+
+    stream = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+              + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_baseline_jpeg(stream)

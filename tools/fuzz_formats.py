@@ -91,8 +91,8 @@ def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests"))
-    from test_binary_raster import _demo_nc, tiff_bytes_strips, \
-        tiff_bytes_tiles
+    from test_binary_raster import _demo_nc, tiff_bytes_jpeg, \
+        tiff_bytes_strips, tiff_bytes_tiles
 
     from pyresample_spark.operators.multimodal import (
         decode_ppm,
@@ -158,6 +158,13 @@ def main():
                                            compress=8), tiff_pixels),
         ("tiff-lzw-pred3", tiff_bytes_tiles(arr, tile=(4, 4), compress=5,
                                             predictor=3), tiff_pixels),
+        # new-style JPEG strips with hoisted JPEGTables: marker walk,
+        # Huffman/DQT tables, entropy bit reader under corruption
+        ("tiff-jpeg", tiff_bytes_jpeg(
+            np.repeat(np.repeat(
+                (np.arange(12).reshape(3, 4) * 20) % 256, 8, 0), 8, 1
+            ).astype("u1"), rows_per_strip=8, hoist_dqt=True),
+            tiff_pixels),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
             tiff_pixels),
