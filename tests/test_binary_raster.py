@@ -3024,3 +3024,104 @@ def test_jpeg_progressive_raises_loudly():
               + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_baseline_jpeg(stream)
+
+
+# ---------------------------------------------------------------------------
+# independently-encoded COG overview chain (VERDICT r12 item 4: a second
+# encoder for the round-12 wire formats, so the package reader's chain
+# walk is not only checked against the package writer's own bytes)
+# ---------------------------------------------------------------------------
+
+
+def tiff_bytes_cog_chain(levels, px=1.0, py=1.0, ox=0.0, oy=None):
+    """Multi-IFD classic TIFF built from the spec (TIFF 6.0 next-IFD
+    pointers; GeoTIFF ModelPixelScale/Tiepoint on IFD 0; overviews
+    carry NewSubfileType=1) — INDEPENDENT of the package writer's
+    geotiff_bytes: single uncompressed strip per level, IFD-then-data
+    layout per level, chain pointer patched as each level lands."""
+    oy = float(levels[0].shape[0]) * py if oy is None else oy
+    out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    prev_next_ptr = 4  # file-header IFD-offset field
+    for li, arr in enumerate(levels):
+        h, w = arr.shape
+        dt = arr.dtype
+        fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+        raw = arr.astype("<" + dt.char).tobytes()
+        entries = []  # (tag, typ, count, inline_or_marker, extbytes)
+        if li > 0:
+            entries.append((254, 4, 1, 1, None))  # reduced-resolution
+        entries += [
+            (256, 3, 1, w, None), (257, 3, 1, h, None),
+            (258, 3, 1, dt.itemsize * 8, None),
+            (259, 3, 1, 1, None), (262, 3, 1, 1, None),
+            (273, 4, 1, "DATA", None), (277, 3, 1, 1, None),
+            (278, 3, 1, h, None), (279, 4, 1, len(raw), None),
+            (339, 3, 1, fmt, None),
+        ]
+        if li == 0:
+            entries += [
+                (33550, 12, 3, None, struct.pack("<3d", px, py, 0.0)),
+                (33922, 12, 6, None,
+                 struct.pack("<6d", 0.0, 0.0, 0.0, ox, oy, 0.0)),
+            ]
+        entries.sort(key=lambda t: t[0])
+        ifd_off = len(out)
+        struct.pack_into("<I", out, prev_next_ptr, ifd_off)
+        ext_off = ifd_off + 2 + 12 * len(entries) + 4
+        blobs, offs, o = [], {}, ext_off
+        for tag, typ, count, inline, extbytes in entries:
+            if extbytes is not None:
+                offs[tag] = o
+                blobs.append(extbytes)
+                o += len(extbytes)
+        data_off = o
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, inline, extbytes in entries:
+            out += struct.pack("<HHI", tag, typ, count)
+            if extbytes is not None:
+                out += struct.pack("<I", offs[tag])
+            elif inline == "DATA":
+                out += struct.pack("<I", data_off)
+            elif typ == 3:
+                out += struct.pack("<HH", inline, 0)
+            else:
+                out += struct.pack("<I", inline)
+        prev_next_ptr = len(out)
+        out += struct.pack("<I", 0)  # next-IFD (patched by next level)
+        out += b"".join(blobs) + raw
+    return bytes(out)
+
+
+def _cog_levels():
+    full = (np.arange(8 * 12, dtype="<f4").reshape(8, 12)) * 0.5
+    return [full, full[::2, ::2].copy(), full[::4, ::4].copy()]
+
+
+def test_independent_cog_chain_walks_and_decodes():
+    from pyresample_spark.sources.binary_raster import parse_tiff_ifds
+
+    levels = _cog_levels()
+    buf = tiff_bytes_cog_chain(levels, px=2.0, py=2.0, ox=100.0)
+    ifds = parse_tiff_ifds(buf)
+    assert len(ifds) == 3
+    assert 254 not in ifds[0] and ifds[1][254] == [1] and ifds[2][254] == [1]
+    for k, lv in enumerate(levels):
+        got = tiff_pixels(buf, k)
+        assert np.array_equal(got, lv.astype("f8")), f"level {k}"
+
+
+def test_independent_cog_chain_overview_select_and_area():
+    from pyresample_spark.sources.binary_raster import (
+        area_from_geotiff,
+        select_overview_ifd,
+    )
+
+    buf = tiff_bytes_cog_chain(_cog_levels(), px=2.0, py=2.0, ox=100.0)
+    # full-res 2 u/px; overviews 4 and 8 u/px: an 8.5 u/px target
+    # picks level 2, a 5 u/px target level 1, a 3 u/px target full res
+    assert select_overview_ifd(buf, 8.5) == 2
+    assert select_overview_ifd(buf, 5.0) == 1
+    assert select_overview_ifd(buf, 3.0) == 0
+    area = area_from_geotiff(buf, "cog")
+    assert area.width == 12 and area.height == 8
+    assert area.area_extent[0] == 100.0

@@ -2915,3 +2915,212 @@ def test_compound_object_ref_member_decodes_as_address():
     dt = _parse_datatype(body)
     assert dt.names == ("dataset",)
     assert dt["dataset"] == np.dtype("<u8")
+
+
+# --------------------------------------------------------------------
+# second-encoder fixtures for the round-11/12 wire formats (VERDICT
+# r12 item 4): the Extensible-Array index and the class-10 ARRAY /
+# nested-compound v2/v3 member encodings, built here from the spec
+# with DIFFERENT creation parameters / layout choices than the package
+# writer uses, so the reader is not only checked against its own
+# writer's bytes.
+# --------------------------------------------------------------------
+
+
+def _ea_fixture(n_set, esize=8, max_bits=32, ib_elmts=4, db_min=4,
+                sb_min_ptrs=4, page_bits=10, values=None):
+    """Standalone EAHD/EAIB/EADB buffer, spec-built: doubling-table
+    geometry computed here independently; returns (buf, hd_addr)."""
+    values = values or [struct.pack("<Q", 1000 + i) for i in range(n_set)]
+    page_n = 1 << page_bits
+    arr_off = (max_bits + 7) // 8
+    # doubling table (spec "Extensible Array" section)
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
+    info = []
+    start_idx = 0
+    for u in range(nsblks):
+        nd, ne = 1 << (u // 2), db_min << ((u + 1) // 2)
+        info.append((nd, ne, start_idx))
+        start_idx += nd * ne
+    n_in_ib = 2 * (sb_min_ptrs.bit_length() - 1)
+    ndblk_addrs = sum(info[u][0] for u in range(min(n_in_ib, nsblks)))
+
+    undef = b"\xff" * 8
+    buf = bytearray(b"\x00" * 8)  # non-zero base so addr 0 is invalid
+    hd_addr = len(buf)
+    hd = bytearray(b"EAHD")
+    hd += bytes([0, 0, esize, max_bits, ib_elmts, db_min,
+                 sb_min_ptrs, page_bits])
+    hd += b"\x00" * (44 - len(hd))
+    hd += struct.pack("<Q", n_set)          # max index set (offset 44)
+    hd += b"\x00" * (60 - len(hd))
+    hd += struct.pack("<Q", 0)              # ib addr placeholder (60)
+    hd += b"\x00" * 4                       # fake checksum
+    buf += hd
+
+    # data blocks needed to hold elements beyond the inline ones
+    dblks = []  # (superblock u, dblk number, elements)
+    idx = ib_elmts
+    while idx < n_set:
+        rel = idx - ib_elmts
+        u = (rel // db_min + 1).bit_length() - 1
+        nd, ne, s_idx = info[u]
+        dnum = (rel - s_idx) // ne
+        elems = []
+        for k in range(ne):
+            gi = ib_elmts + s_idx + dnum * ne + k
+            elems.append(values[gi] if gi < n_set else b"\xff" * esize)
+        dblks.append((u, dnum, elems))
+        idx = ib_elmts + s_idx + (dnum + 1) * ne
+    assert all(u < n_in_ib for u, _, _ in dblks), "fixture stays direct"
+
+    dblk_addr = {}
+    for u, dnum, elems in dblks:
+        dblk_addr[(u, dnum)] = len(buf)
+        db = bytearray(b"EADB")
+        db += bytes([0, 0]) + struct.pack("<Q", hd_addr)
+        db += b"\x00" * arr_off              # block offset field
+        ne = len(elems)
+        if ne > page_n:                      # paged: 4-byte gap/cksum
+            for p0 in range(0, ne, page_n):
+                db += b"\x00" * 4
+                db += b"".join(elems[p0:p0 + page_n])
+        else:
+            db += b"".join(elems)
+        db += b"\x00" * 4                    # fake checksum
+        buf += db
+
+    ib_addr = len(buf)
+    ib = bytearray(b"EAIB")
+    ib += bytes([0, 0]) + struct.pack("<Q", hd_addr)
+    for i in range(ib_elmts):
+        ib += values[i] if i < n_set else b"\xff" * esize
+    # directly-addressed data block addrs, in doubling-table order
+    slot = 0
+    for u in range(min(n_in_ib, nsblks)):
+        nd = info[u][0]
+        for dnum in range(nd):
+            a = dblk_addr.get((u, dnum))
+            ib += struct.pack("<Q", a) if a is not None else undef
+            slot += 1
+    for _ in range(max(0, nsblks - n_in_ib)):  # superblock addrs
+        ib += undef
+    ib += b"\x00" * 4
+    buf += ib
+    struct.pack_into("<Q", buf, hd_addr + 60, ib_addr)
+    return bytes(buf), hd_addr
+
+
+def test_ea_index_independent_fixture():
+    from pyresample_spark.sources.hdf5 import _R, _ea_elements
+
+    buf, hd = _ea_fixture(20)
+    elems = _ea_elements(_R(buf), hd)
+    assert elems.esize == 8 and len(elems) == 20
+    got = [struct.unpack("<Q", e)[0] for e in elems]
+    assert got == [1000 + i for i in range(20)]
+
+
+def test_ea_index_independent_fixture_paged_datablocks():
+    """page_bits below the data-block size forces the paged EADB
+    layout (per-page 4-byte prefix) on the direct path."""
+    from pyresample_spark.sources.hdf5 import _R, _ea_elements
+
+    buf, hd = _ea_fixture(14, page_bits=2)
+    elems = _ea_elements(_R(buf), hd)
+    got = [struct.unpack("<Q", e)[0] for e in elems]
+    assert got == [1000 + i for i in range(14)]
+
+
+def test_ea_index_partial_tail_is_undefined():
+    from pyresample_spark.sources.hdf5 import _R, _ea_elements
+
+    # 6 set elements: 4 inline + 2 in the first (4-element) data
+    # block; the block's 2 unwritten slots are undefined
+    buf, hd = _ea_fixture(6)
+    elems = _ea_elements(_R(buf), hd)
+    assert len(elems) == 6
+    assert struct.unpack("<Q", elems[5])[0] == 1005
+
+
+def _dt_array_class10(base: bytes, dims, ver=3) -> bytes:
+    """Class-10 ARRAY datatype message (spec IV.A.2.h), independent
+    forward encoder: v2 carries 3 reserved bytes + u4 dims + the
+    always-identity permutation words, v3 just rank + dims."""
+    nd = len(dims)
+    # total size = prod(dims) * base size
+    bsize = struct.unpack_from("<I", base, 4)[0]
+    total = bsize
+    for d in dims:
+        total *= d
+    head = bytes([(ver << 4) | 10, 0, 0, 0]) + struct.pack("<I", total)
+    if ver == 2:
+        body = bytes([nd]) + b"\x00" * 3
+        body += b"".join(struct.pack("<I", d) for d in dims)
+        body += b"".join(struct.pack("<I", i) for i in range(nd))
+    else:
+        body = bytes([nd])
+        body += b"".join(struct.pack("<I", d) for d in dims)
+    return head + body + base  # base datatype message follows the dims
+
+
+def _dt_compound_nested(ver=3) -> tuple:
+    """(datatype message bytes, matching numpy dtype) for a compound
+    with a NESTED compound member and a class-10 ARRAY member, all at
+    the same member-encoding version — the round-12 subset, encoded
+    here independently of the package writer's _w_dtype."""
+    inner_np = np.dtype({"names": ["x", "y"],
+                         "formats": ["<f4", "<i4"],
+                         "offsets": [0, 4], "itemsize": 8})
+    outer_np = np.dtype({
+        "names": ["band", "cal", "lut"],
+        "formats": ["<u2", inner_np, np.dtype(("<f8", (2, 3)))],
+        "offsets": [0, 2, 10], "itemsize": 58})
+
+    def member(name, off, dtmsg, csize):
+        nb = name.encode() + b"\x00"
+        out = b""
+        if ver in (1, 2):
+            out += nb + b"\x00" * ((8 - len(nb) % 8) % 8)
+        else:
+            out += nb
+        if ver == 3:
+            osz = (max(csize, 1).bit_length() - 1) // 8 + 1
+            out += off.to_bytes(osz, "little")
+        else:
+            out += struct.pack("<I", off)
+        if ver == 1:
+            out += b"\x00" * 28
+        return out + dtmsg
+
+    inner_msg = (bytes([(ver << 4) | 6, 2, 0, 0]) + struct.pack("<I", 8)
+                 + member("x", 0, _dt_fixed("<f4"), 8)
+                 + member("y", 4, _dt_fixed("<i4"), 8))
+    arr_msg = _dt_array_class10(_dt_fixed("<f8"), (2, 3),
+                                ver=3 if ver == 3 else 2)
+    outer_msg = (bytes([(ver << 4) | 6, 3, 0, 0]) + struct.pack("<I", 58)
+                 + member("band", 0, _dt_fixed("<u2"), 58)
+                 + member("cal", 2, inner_msg, 58)
+                 + member("lut", 10, arr_msg, 58))
+    return outer_msg, outer_np
+
+
+@pytest.mark.parametrize("ver", [2, 3])
+def test_nested_compound_array_wholefile_independent(ver):
+    """Whole-file fixture: the independent encoder writes a dataset of
+    the round-12 nested-compound + class-10 ARRAY dtype; the package
+    reader must materialize the structured array value-exactly."""
+    msg, np_dt = _dt_compound_nested(ver=ver)
+    tbl = np.zeros(4, dtype=np_dt)
+    tbl["band"] = [1, 2, 5, 9]
+    tbl["cal"]["x"] = [0.5, -1.25, 3.0, 7.5]
+    tbl["cal"]["y"] = [-3, 4, 0, 12]
+    tbl["lut"] = np.arange(4 * 6, dtype="<f8").reshape(4, 2, 3) * 0.25
+    buf = hdf5_bytes({"caltab": (tbl, {"purpose": "nested"})},
+                     dt_override={"caltab": msg})
+    got = parse_hdf5(buf)["caltab"]["data"]
+    assert got.dtype.names == ("band", "cal", "lut")
+    np.testing.assert_array_equal(got["band"], tbl["band"])
+    np.testing.assert_array_equal(got["cal"]["x"], tbl["cal"]["x"])
+    np.testing.assert_array_equal(got["cal"]["y"], tbl["cal"]["y"])
+    np.testing.assert_array_equal(got["lut"], tbl["lut"])
