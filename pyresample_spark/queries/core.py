@@ -254,6 +254,49 @@ def q_cog_ingest(spark, sf_dir):
 
 
 @register(
+    "q_jpeg_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST((((r // 40) - (r // 40) % 8) * 31
+                 + ((r % 40) - (r % 40) % 8) * 17) % 97 AS DOUBLE)
+             AS value
+    FROM (SELECT range AS r FROM range(3840))
+    """,
+)
+def q_jpeg_ingest(spark, sf_dir):
+    """JPEG-compressed-TIFF twin of q_geotiff_ingest (round 13 /
+    VERDICT r12 item 5): three uint8 granules with new-style JPEG
+    compression (tag 7) in three organizations (8-row strips, 16x16
+    tiles, 16-row strips) through the SAME distributed binaryFile +
+    mapInPandas ingest — per strip/tile a complete baseline T.81
+    stream decoded by the native codec (sources/jpeg.py: Huffman
+    entropy decode, dequantize, matrix IDCT). Values are constant per
+    8x8 JPEG block, so the whole path — marker walk, canonical-table
+    decode, MCU crop, multi-organization assembly — must be
+    VALUE-EXACT against the integer-formula oracle. Reference path:
+    rasterio/libjpeg behind utils/rasterio.py."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        JPEG_ROWS,
+        demo_jpeg_granule_dir,
+        read_raster_pixels,
+    )
+
+    d = demo_jpeg_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.tif"), "geotiff")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.tif", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * JPEG_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_compound_calibrate",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

@@ -2227,6 +2227,68 @@ def q_regrid_nad27(spark, sf_dir):
     return regrid_nearest(_NAD27_TGT, _NAD27_SRC, src)
 
 
+def _to_nad27_oracle() -> str:
+    from pyresample_spark.functions.geo import (
+        lcc_ell_inv_sql,
+        stere_ell_polar_sql,
+    )
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes
+    from pyresample_spark.sources.ntv2 import demo_ntv2_grid_bytes, parse_ntv2
+
+    ilon, ilat = lcc_ell_inv_sql(
+        "cx", "cy", lat_0=39.0, lat_1=33.0, lat_2=45.0,
+        a=6378206.4, b=6356583.8, lon_0=-96.0,
+    )
+    sub = parse_ntv2(demo_ntv2_grid_bytes())["subgrids"][0]
+    gs_ctes, gs_out = shift_duckdb_ctes("inv", sub, "forward")
+    fx, fy = stere_ell_polar_sql(
+        "lon2", "lat2", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-96.0, north=True,
+    )
+    s = _NAD27_TGT  # the WGS84 polar-stereographic frame is the SOURCE here
+    return f"""
+    WITH tgt AS ({_NAD27_SRC.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_to_nad27", oracle=_to_nad27_oracle())
+def q_regrid_to_nad27(spark, sf_dir):
+    """The OPPOSITE grid-shift leg to q_regrid_nad27: a WGS84
+    polar-stereographic product gathered ONTO the legacy NAD27 LCC
+    frame (producing data in a downstream system that still runs the
+    legacy grid). The NAD27 target inverts through the ellipsoidal
+    lcc (Clarke 1866), then the NAD27→WGS84 leg is the NTv2 FORWARD
+    shift — a single bilinear lookup, one broadcast hash join, no
+    iteration (the grid is indexed by the source datum's coordinates)
+    — before the WGS84 stereographic forward indexes the source.
+    Exercises gridshift_pipeline's tgt_sub branch + shift_forward,
+    which q_regrid_nad27 (src_sub + the 3-lookup fixed-point inverse)
+    does not touch. Same oracle discipline: DuckDB replays the
+    pipeline over the identical inline cell table."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NAD27_TGT)
+    return regrid_nearest(_NAD27_SRC, _NAD27_TGT, src)
+
+
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
 # Helmert datum, EPSG 31467) ------------------------------------------
 
