@@ -996,20 +996,22 @@ def gridshift_pipeline(tgt_crs: str, src_crs: str):
     (same loud guard as the Helmert path — silently skipping a datum
     step smears the gather by ~100 m).
 
-    Returns dict with ``tgt_sub``/``src_sub`` (parsed NTv2 subgrids or
-    None) and ``tgt_helmert``/``src_helmert`` (DatumSpec or None for
-    the grid-less sides).
+    Returns dict with ``tgt_subs``/``src_subs`` (lists of parsed NTv2
+    subgrids, or None) and ``tgt_helmert``/``src_helmert`` (DatumSpec
+    or None for the grid-less sides). Multi-subgrid files run the
+    per-point densest-containing-grid selection
+    (operators/gridshift.py multi_*).
     """
-    from pyresample_spark.sources.ntv2 import apply_subgrid, get_ntv2_grid
+    from pyresample_spark.sources.ntv2 import apply_subgrids, get_ntv2_grid
 
     tg, sg = crs_nadgrids(tgt_crs), crs_nadgrids(src_crs)
     if tg is None and sg is None:
         return None
-    out = {"tgt_sub": None, "src_sub": None,
+    out = {"tgt_subs": None, "src_subs": None,
            "tgt_helmert": None, "src_helmert": None}
     for side, name, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):
         if name is not None:
-            out[f"{side}_sub"] = apply_subgrid(get_ntv2_grid(name))
+            out[f"{side}_subs"] = apply_subgrids(get_ntv2_grid(name))
             continue
         spec = crs_datum_spec(crs)
         if spec.towgs84 is not None:
@@ -1034,21 +1036,30 @@ def _apply_gridshift_pipeline(t, gs):
 
     spark = t.sparkSession
     wgs84 = DatumSpec(6378137.0, _ELLPS["WGS84"][1], (0.0,) * 7)
+
+    def grid_leg(frame, subs, direction):
+        if len(subs) == 1:
+            cells = GS.cell_df(spark, subs[0])
+            fn = (GS.shift_forward if direction == "forward"
+                  else GS.shift_inverse)
+            frame = fn(frame, cells, subs[0])
+        else:
+            cells = GS.multi_cell_df(spark, subs)
+            fn = (GS.shift_forward_multi if direction == "forward"
+                  else GS.shift_inverse_multi)
+            frame = fn(frame, cells, subs)
+        return frame.select("cell_id", F.col("lon2").alias("lon"),
+                            F.col("lat2").alias("lat"))
+
     # leg 1: tgt datum -> WGS84 geodetic
-    if gs["tgt_sub"] is not None:
-        cells = GS.cell_df(spark, gs["tgt_sub"])
-        t = GS.shift_forward(t, cells, gs["tgt_sub"]) \
-            .select("cell_id", F.col("lon2").alias("lon"),
-                    F.col("lat2").alias("lat"))
+    if gs["tgt_subs"] is not None:
+        t = grid_leg(t, gs["tgt_subs"], "forward")
     elif gs["tgt_helmert"] is not None:
         lon2, lat2 = datum_shift("lon", "lat", gs["tgt_helmert"], wgs84)
         t = t.select("cell_id", lon2.alias("lon"), lat2.alias("lat"))
     # leg 2: WGS84 -> src datum
-    if gs["src_sub"] is not None:
-        cells = GS.cell_df(spark, gs["src_sub"])
-        t = GS.shift_inverse(t, cells, gs["src_sub"]) \
-            .select("cell_id", F.col("lon2").alias("lon"),
-                    F.col("lat2").alias("lat"))
+    if gs["src_subs"] is not None:
+        t = grid_leg(t, gs["src_subs"], "inverse")
     elif gs["src_helmert"] is not None:
         lon2, lat2 = datum_shift("lon", "lat", wgs84, gs["src_helmert"])
         t = t.select("cell_id", lon2.alias("lon"), lat2.alias("lat"))

@@ -282,6 +282,250 @@ def shift_duckdb_ctes(rel_in: str, sub: dict, direction: str,
 
 
 # --------------------------------------------------------------------
+# Multi-subgrid files (parent/child refinement): PROJ picks, per
+# point, the DENSEST subgrid containing it (a child refines a region
+# of its parent). With the subgrid count known at plan time the
+# selection is a literal CASE chain — no extra join, no shuffle:
+#
+#   gid = CASE WHEN bbox(densest) THEN 0 WHEN bbox(next) THEN 1 ... END
+#   gi/gj = CASE gid ... END        (each arm the grid's own literals)
+#
+# and ONE broadcast join on (gid, gi, gj) against the union cell
+# table, whose rows carry their grid's bounds/increments as columns so
+# the bilinear stage reads them post-join. The single-subgrid
+# emitters above stay as the tight-literal fast path (the 99% case,
+# and the one q_regrid_nad27's oracle parity is pinned to).
+# --------------------------------------------------------------------
+
+MULTI_CELL_COLS = ("gid",) + CELL_COLS[:2] + (
+    "g_slat", "g_latinc", "g_elong", "g_loninc") + CELL_COLS[2:]
+
+
+def order_subgrids(subs: list) -> list:
+    """Densest first (cell area ascending); ties keep file order
+    REVERSED so a later (child) subgrid wins over its parent — the
+    NTv2 convention that children follow their parent record."""
+    return sorted(
+        range(len(subs)),
+        key=lambda i: (subs[i]["lat_inc"] * subs[i]["long_inc"],
+                       -i),
+    )
+
+
+def multi_cell_rows(subs: list) -> list:
+    rows = []
+    for gid, si in enumerate(order_subgrids(subs)):
+        s = subs[si]
+        for r in cell_rows(s):
+            rows.append((gid, r[0], r[1],
+                         float(s["s_lat"]), float(s["lat_inc"]),
+                         float(s["e_long"]), float(s["long_inc"]))
+                        + r[2:])
+    return rows
+
+
+def multi_cell_df(spark, subs: list) -> DataFrame:
+    import pandas as pd
+
+    pdf = pd.DataFrame(multi_cell_rows(subs), columns=list(MULTI_CELL_COLS))
+    for c in ("gid", "gi", "gj"):
+        pdf[c] = pdf[c].astype("int64")
+    return F.broadcast(spark.createDataFrame(pdf))
+
+
+def multi_cells_values_sql(subs: list) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(
+            [str(r[0]), str(r[1]), str(r[2])]
+            + [_d(v) for v in r[3:]]
+        ) + ")"
+        for r in multi_cell_rows(subs)
+    )
+    return f"(VALUES {vals}) AS cells({', '.join(MULTI_CELL_COLS)})"
+
+
+def multi_bbox_filter_sql(subs: list, lon: str, lat: str) -> str:
+    """In at least ONE subgrid (PROJ: otherwise untransformable)."""
+    return "(" + " OR ".join(
+        bbox_filter_sql(s, lon, lat) for s in subs) + ")"
+
+
+def multi_stage1_exprs(subs: list, lon: str, lat: str) -> dict:
+    """ls/lw plus the literal selection CASE chains: gid picks the
+    densest containing subgrid, gi/gj index within it."""
+    ordered = [subs[si] for si in order_subgrids(subs)]
+    ls = f"(({lat}) * {_d(3600.0)})"
+    lw = f"((-({lon})) * {_d(3600.0)})"
+    gid = "CASE " + " ".join(
+        f"WHEN {bbox_filter_sql(s, lon, lat)} THEN {g}"
+        for g, s in enumerate(ordered)
+    ) + " END"
+
+    def idx_case(key):
+        arms = []
+        for g, s in enumerate(ordered):
+            e = stage1_exprs(s, lon, lat)[key]
+            arms.append(f"WHEN {g} THEN {e}")
+        return f"CASE ({gid}) " + " ".join(arms) + " END"
+
+    return {"ls": ls, "lw": lw, "gid": gid,
+            "gi": idx_case("gi"), "gj": idx_case("gj")}
+
+
+def multi_stage2_exprs(ls: str = "ls", lw: str = "lw",
+                       gi: str = "gi", gj: str = "gj") -> dict:
+    """Bilinear Δφ″/Δλ″ reading the selected grid's bounds/increments
+    from the joined cell-row columns (g_slat/g_latinc/g_elong/
+    g_loninc) — same arithmetic text in both engines."""
+    fy = f"(({ls} - g_slat) / g_latinc - CAST({gi} AS DOUBLE))"
+    fx = f"(({lw} - g_elong) / g_loninc - CAST({gj} AS DOUBLE))"
+    one = _d(1.0)
+
+    def bilin(p00, p10, p01, p11):
+        return (f"(({one} - {fy}) * (({one} - {fx}) * {p00} + {fx} * {p01})"
+                f" + {fy} * (({one} - {fx}) * {p10} + {fx} * {p11}))")
+
+    return {
+        "dlat": bilin("p00la", "p10la", "p01la", "p11la"),
+        "dlon": bilin("p00lo", "p10lo", "p01lo", "p11lo"),
+    }
+
+
+def _multi_lookup(df: DataFrame, cells: DataFrame, subs: list,
+                  lon: str, lat: str, keep: list, out_lon: str,
+                  out_lat: str, combine) -> DataFrame:
+    s1 = multi_stage1_exprs(subs, lon, lat)
+    staged = df.selectExpr(
+        *keep, f"{lon} AS __glon", f"{lat} AS __glat",
+        f"{s1['ls']} AS ls", f"{s1['lw']} AS lw",
+        f"{s1['gid']} AS gid", f"{s1['gi']} AS gi", f"{s1['gj']} AS gj",
+    )
+    joined = staged.join(cells, ["gid", "gi", "gj"])
+    s2 = multi_stage2_exprs()
+    nlon, nlat = combine("__glon", "__glat", s2["dlat"], s2["dlon"])
+    return joined.selectExpr(
+        *keep, f"{nlon} AS {out_lon}", f"{nlat} AS {out_lat}")
+
+
+def shift_forward_multi(df: DataFrame, cells: DataFrame, subs: list,
+                        lon: str = "lon", lat: str = "lat",
+                        keep: list = ("cell_id",),
+                        out_lon: str = "lon2",
+                        out_lat: str = "lat2") -> DataFrame:
+    df = df.where(F.expr(multi_bbox_filter_sql(subs, lon, lat)))
+    return _multi_lookup(df, cells, subs, lon, lat, list(keep),
+                         out_lon, out_lat, _apply_fwd)
+
+
+def shift_inverse_multi(df: DataFrame, cells: DataFrame, subs: list,
+                        lon: str = "lon", lat: str = "lat",
+                        keep: list = ("cell_id",), iters: int = 3,
+                        out_lon: str = "lon2",
+                        out_lat: str = "lat2") -> DataFrame:
+    df = df.where(F.expr(multi_bbox_filter_sql(subs, lon, lat)))
+    keep = list(keep)
+    cur = df.selectExpr(*keep, f"{lon} AS __tlon", f"{lat} AS __tlat",
+                        f"{lon} AS __klon", f"{lat} AS __klat")
+    for step in range(iters):
+        last = step == iters - 1
+        olon = out_lon if last else "__klon"
+        olat = out_lat if last else "__klat"
+        cur = _multi_lookup(
+            cur, cells, subs, "__klon", "__klat",
+            keep + ["__tlon", "__tlat"], olon, olat,
+            lambda _lo, _la, dlat, dlon: _apply_inv(
+                "__tlon", "__tlat", dlat, dlon),
+        )
+    return cur.select(*keep, out_lon, out_lat)
+
+
+def shift_duckdb_ctes_multi(rel_in: str, subs: list, direction: str,
+                            lon: str = "lon", lat: str = "lat",
+                            keep: tuple = ("cell_id",), iters: int = 3,
+                            tag: str = "gs") -> tuple:
+    """Multi-subgrid DuckDB twin of :func:`shift_duckdb_ctes` — the
+    SAME emitters rendered as a CTE chain."""
+    keep_sql = ", ".join(keep)
+    parts = [
+        f"{tag}_cells AS (SELECT * FROM {multi_cells_values_sql(subs)})",
+        f"{tag}_in AS (SELECT {keep_sql}, {lon} AS glon, {lat} AS glat "
+        f"FROM {rel_in} WHERE {multi_bbox_filter_sql(subs, lon, lat)})",
+    ]
+
+    def stage(n, rel, ilon, ilat, extra_keep, olon, olat, combine):
+        s1 = multi_stage1_exprs(subs, ilon, ilat)
+        ek = ", ".join(extra_keep)
+        ek = (ek + ", ") if ek else ""
+        parts.append(
+            f"{tag}_s{n}a AS (SELECT {keep_sql}, {ek}{ilon} AS xlon, "
+            f"{ilat} AS xlat, {s1['ls']} AS ls, {s1['lw']} AS lw, "
+            f"{s1['gid']} AS gid, {s1['gi']} AS gi, {s1['gj']} AS gj "
+            f"FROM {rel})")
+        s2 = multi_stage2_exprs(gi=f"{tag}_s{n}a.gi",
+                                gj=f"{tag}_s{n}a.gj")
+        nlon, nlat = combine("xlon", "xlat", s2["dlat"], s2["dlon"])
+        parts.append(
+            f"{tag}_s{n} AS (SELECT {keep_sql}, {ek}{nlon} AS {olon}, "
+            f"{nlat} AS {olat} FROM {tag}_s{n}a JOIN {tag}_cells "
+            f"ON {tag}_s{n}a.gid = {tag}_cells.gid "
+            f"AND {tag}_s{n}a.gi = {tag}_cells.gi "
+            f"AND {tag}_s{n}a.gj = {tag}_cells.gj)")
+        return f"{tag}_s{n}"
+
+    if direction == "forward":
+        out = stage(1, f"{tag}_in", "glon", "glat", [], "lon2", "lat2",
+                    _apply_fwd)
+    elif direction == "inverse":
+        parts.append(
+            f"{tag}_in0 AS (SELECT {keep_sql}, glon AS tlon, "
+            f"glat AS tlat, glon AS klon, glat AS klat FROM {tag}_in)")
+        rel = f"{tag}_in0"
+        for step in range(iters):
+            last = step == iters - 1
+            olon = "lon2" if last else "klon"
+            olat = "lat2" if last else "klat"
+            rel = stage(step + 1, rel, "klon", "klat",
+                        ["tlon", "tlat"], olon, olat,
+                        lambda _lo, _la, dlat, dlon: _apply_inv(
+                            "tlon", "tlat", dlat, dlon))
+        out = rel
+    else:
+        raise ValueError(f"direction must be forward/inverse, got {direction!r}")
+    return ",\n    ".join(parts), out
+
+
+def multi_interp_scalar(subs: list, lon: float, lat: float):
+    """Float twin of the multi-grid selection + bilinear lookup."""
+    for si in order_subgrids(subs):
+        d = _interp_scalar(subs[si], lon, lat)
+        if d is not None:
+            return d
+    return None
+
+
+def forward_scalar_multi(subs: list, lon: float, lat: float):
+    d = multi_interp_scalar(subs, lon, lat)
+    if d is None:
+        return None
+    dlat, dlon = d
+    return lon - dlon / 3600.0, lat + dlat / 3600.0
+
+
+def inverse_scalar_multi(subs: list, lon: float, lat: float,
+                         iters: int = 3):
+    if multi_interp_scalar(subs, lon, lat) is None:
+        return None
+    klon, klat = lon, lat
+    for _ in range(iters):
+        d = multi_interp_scalar(subs, klon, klat)
+        if d is None:
+            return None
+        dlat, dlon = d
+        klon, klat = lon + dlon / 3600.0, lat - dlat / 3600.0
+    return klon, klat
+
+
+# --------------------------------------------------------------------
 # Driver-side float twins (tests, plan-time geometry)
 # --------------------------------------------------------------------
 

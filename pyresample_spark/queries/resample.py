@@ -2227,6 +2227,87 @@ def q_regrid_nad27(spark, sf_dir):
     return regrid_nearest(_NAD27_TGT, _NAD27_SRC, src)
 
 
+def _nad27_multi_src():
+    from pyresample_spark.geometry import AreaDefinition
+
+    return AreaDefinition(
+        "nad27_conus_lcc_multigrid",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+        "+ellps=clrk66 +nadgrids=demo_conus_multi",
+        width=96, height=92,
+        area_extent=(-400000.0, -340000.0, 560000.0, 580000.0),
+    )
+
+
+_NAD27_MULTI_SRC = _nad27_multi_src()
+
+
+def _nad27_multi_oracle() -> str:
+    from pyresample_spark.functions.geo import (
+        lcc_ell_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes_multi
+    from pyresample_spark.sources.ntv2 import (
+        demo_ntv2_multi_grid_bytes,
+        parse_ntv2,
+    )
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-96.0, north=True,
+    )
+    subs = parse_ntv2(demo_ntv2_multi_grid_bytes())["subgrids"]
+    gs_ctes, gs_out = shift_duckdb_ctes_multi("inv", subs, "inverse")
+    fx, fy = lcc_ell_sql(
+        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
+        a=6378206.4, b=6356583.8,
+    )
+    s = _NAD27_MULTI_SRC
+    return f"""
+    WITH tgt AS ({_NAD27_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_ntv2_multigrid", oracle=_nad27_multi_oracle())
+def q_regrid_ntv2_multigrid(spark, sf_dir):
+    """q_regrid_nad27 through a MULTI-SUBGRID NTv2 file (parent grid +
+    a denser child refining its inner window — the parent/child
+    structure real national grid files carry): per point the DENSEST
+    containing subgrid wins (PROJ semantics), selected by plan-time
+    literal CASE chains over the subgrid bboxes — no extra join, no
+    shuffle — with ONE broadcast hash join per lookup on
+    (grid_id, gi, gj) against the union cell table, whose rows carry
+    their grid's bounds/increments for the bilinear stage. Points
+    inside the child window shift by the child's field, points
+    outside fall back to the parent, so the gather provably differs
+    from q_regrid_nad27 inside the refinement. The DuckDB oracle
+    replays the identical selection + 3-lookup fixed point over the
+    same inline union table."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NAD27_MULTI_SRC)
+    return regrid_nearest(_NAD27_TGT, _NAD27_MULTI_SRC, src)
+
+
 def _to_nad27_oracle() -> str:
     from pyresample_spark.functions.geo import (
         lcc_ell_inv_sql,

@@ -269,10 +269,14 @@ def register_ntv2_grid(name: str, data: bytes) -> None:
 
 def get_ntv2_grid(name: str) -> dict:
     if name not in _REGISTRY:
-        # the demo grid registers lazily so +nadgrids=demo_conus works
-        # without importing the query module first
+        # the demo grids register lazily so +nadgrids=demo_conus /
+        # demo_conus_multi work without importing the query module first
         if name == "demo_conus":
             register_ntv2_grid("demo_conus", demo_ntv2_grid_bytes())
+            return _REGISTRY[name]
+        if name == "demo_conus_multi":
+            register_ntv2_grid("demo_conus_multi",
+                               demo_ntv2_multi_grid_bytes())
             return _REGISTRY[name]
         raise NotImplementedError(
             f"+nadgrids={name!r}: no NTv2 grid registered under that name "
@@ -283,20 +287,24 @@ def get_ntv2_grid(name: str) -> dict:
     return _REGISTRY[name]
 
 
-def apply_subgrid(grid: dict):
-    """The subgrid the column pipeline applies. Multi-subgrid files
-    (parent/child refinement) parse fine, but per-point densest-grid
-    selection is not yet a column path — raise loudly rather than
-    silently using the base grid (PROJ would pick the child where it
-    applies, shifting points by the refinement delta)."""
-    if len(grid["subgrids"]) != 1:
-        names = [s["sub_name"] for s in grid["subgrids"]]
+def apply_subgrids(grid: dict) -> list:
+    """The subgrids the column pipeline applies. Single-subgrid files
+    take the tight-literal fast path; multi-subgrid files
+    (parent/child refinement) run the per-point densest-containing-
+    grid selection (operators/gridshift.py multi_* — plan-time CASE
+    chains + one (gid, gi, gj) broadcast join, PROJ's child-wins
+    semantics). The guard below bounds the CASE-chain width: files
+    with very many subgrids (Canada's national file has ~100) would
+    need the join-based selection instead."""
+    subs = grid["subgrids"]
+    if len(subs) > 16:
+        names = [s["sub_name"] for s in subs]
         raise NotImplementedError(
-            f"NTv2 file has {len(names)} subgrids ({names}); per-point "
-            "subgrid selection is not implemented — extract the one "
-            "covering your domain and register it alone"
+            f"NTv2 file has {len(subs)} subgrids ({names[:5]}...); the "
+            "plan-literal selection CASE is bounded at 16 — extract "
+            "the subgrids covering your domain"
         )
-    return grid["subgrids"][0]
+    return subs
 
 
 # --------------------------------------------------------------------
@@ -342,3 +350,45 @@ def demo_ntv2_grid_bytes() -> bytes:
     if _DEMO_BYTES is None:
         _DEMO_BYTES = ntv2_grid_bytes([demo_ntv2_subgrid()])
     return _DEMO_BYTES
+
+
+def demo_ntv2_child_subgrid() -> dict:
+    """A CHILD refinement of the demo grid: the inner window lat
+    38..42°N, lon 93..97°W at 0.25° spacing with a DIFFERENT (denser,
+    visibly offset) field — points inside it must take these values,
+    points outside fall back to the parent (PROJ's densest-containing
+    selection)."""
+    nrows = ncols = 17
+    la = np.empty((nrows, ncols), dtype=np.float32)
+    lo = np.empty((nrows, ncols), dtype=np.float32)
+    for i in range(nrows):
+        for j in range(ncols):
+            u = i / (nrows - 1.0)
+            v = j / (ncols - 1.0)
+            la[i, j] = np.float32(0.55 + 0.30 * u - 0.15 * v
+                                  + 0.20 * u * v)
+            lo[i, j] = np.float32(1.60 - 0.40 * u + 0.55 * v
+                                  - 0.25 * u * u)
+    return {
+        "name": "DEMOCHLD",
+        "parent": "DEMOCONU",
+        "s_lat": 38.0 * 3600.0,
+        "n_lat": 42.0 * 3600.0,
+        "e_long": 93.0 * 3600.0,
+        "w_long": 97.0 * 3600.0,
+        "lat_inc": 900.0,   # 0.25°
+        "long_inc": 900.0,
+        "lat_shift": la,
+        "lon_shift": lo,
+    }
+
+
+_DEMO_MULTI_BYTES: bytes | None = None
+
+
+def demo_ntv2_multi_grid_bytes() -> bytes:
+    global _DEMO_MULTI_BYTES
+    if _DEMO_MULTI_BYTES is None:
+        _DEMO_MULTI_BYTES = ntv2_grid_bytes(
+            [demo_ntv2_subgrid(), demo_ntv2_child_subgrid()])
+    return _DEMO_MULTI_BYTES

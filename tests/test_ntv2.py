@@ -112,12 +112,16 @@ def test_corrupt_guards():
         ntv2.ntv2_grid_bytes([sg])
 
 
-def test_multi_subgrid_parses_but_apply_raises():
+def test_multi_subgrid_parses_and_applies():
     child = dict(tiny_subgrid(), name="CHILD", parent="TINY")
     g = ntv2.parse_ntv2(ntv2.ntv2_grid_bytes([tiny_subgrid(), child]))
     assert [s["sub_name"] for s in g["subgrids"]] == ["TINY", "CHILD"]
-    with pytest.raises(NotImplementedError, match="2 subgrids"):
-        ntv2.apply_subgrid(g)
+    assert len(ntv2.apply_subgrids(g)) == 2
+    # the CASE-chain width is bounded: very-many-subgrid files raise
+    many = ntv2.parse_ntv2(ntv2.ntv2_grid_bytes(
+        [dict(tiny_subgrid(), name=f"G{i}") for i in range(17)]))
+    with pytest.raises(NotImplementedError, match="17 subgrids"):
+        ntv2.apply_subgrids(many)
 
 
 def test_registry_unknown_raises():
@@ -220,13 +224,18 @@ def test_gridshift_pipeline_rules():
     wgs = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-96 +ellps=WGS84"
     assert gridshift_pipeline(wgs, wgs) is None
     gs = gridshift_pipeline(wgs, nad27)
-    assert gs["src_sub"] is not None and gs["tgt_sub"] is None
+    assert gs["src_subs"] is not None and gs["tgt_subs"] is None
+    assert len(gs["src_subs"]) == 1
     assert gs["src_helmert"] is None and gs["tgt_helmert"] is None
     # grid side + Helmert side composes
     gs2 = gridshift_pipeline(
         "+proj=stere +lat_0=52 +lon_0=10 +ellps=bessel +datum=potsdam",
         nad27)
-    assert gs2["tgt_helmert"] is not None and gs2["src_sub"] is not None
+    assert gs2["tgt_helmert"] is not None and gs2["src_subs"] is not None
+    # a multi-subgrid file flows through as the full list
+    gs3 = gridshift_pipeline(
+        wgs, nad27.replace("demo_conus", "demo_conus_multi"))
+    assert len(gs3["src_subs"]) == 2
     # bare non-WGS84 other side raises loudly
     with pytest.raises(NotImplementedError, match="unknown"):
         gridshift_pipeline("+proj=stere +lat_0=90 +ellps=bessel", nad27)
@@ -237,3 +246,85 @@ def test_nad27_datum_token_names_workaround():
 
     with pytest.raises(NotImplementedError, match="nadgrids"):
         _resolve_datum_token({"datum": "NAD27"})
+
+
+# --------------------------------------------------------------------
+# multi-subgrid selection (parent/child refinement)
+# --------------------------------------------------------------------
+
+
+def _parsed_multi():
+    return ntv2.parse_ntv2(ntv2.demo_ntv2_multi_grid_bytes())["subgrids"]
+
+
+def test_densest_containing_grid_wins():
+    from pyresample_spark.operators.gridshift import (
+        _interp_scalar,
+        multi_interp_scalar,
+        order_subgrids,
+    )
+
+    subs = _parsed_multi()
+    # child (0.25 deg) must order before parent (0.5 deg)
+    assert order_subgrids(subs) == [1, 0]
+    # inside the child window: child values, not parent's
+    inside = multi_interp_scalar(subs, -95.0, 40.0)
+    assert inside == _interp_scalar(subs[1], -95.0, 40.0)
+    assert inside != _interp_scalar(subs[0], -95.0, 40.0)
+    # outside the child, inside the parent: parent values
+    outside = multi_interp_scalar(subs, -99.0, 36.0)
+    assert outside == _interp_scalar(subs[0], -99.0, 36.0)
+    assert _interp_scalar(subs[1], -99.0, 36.0) is None
+    # outside both: untransformable
+    assert multi_interp_scalar(subs, -89.0, 40.0) is None
+
+
+def test_multi_forward_inverse_scalar_roundtrip():
+    from pyresample_spark.operators.gridshift import (
+        forward_scalar_multi,
+        inverse_scalar_multi,
+    )
+
+    subs = _parsed_multi()
+    for lon, lat in [(-95.0, 40.0), (-99.0, 36.0), (-93.4, 41.8)]:
+        f = forward_scalar_multi(subs, lon, lat)
+        back = inverse_scalar_multi(subs, *f)
+        assert back == pytest.approx((lon, lat), abs=1e-12)
+
+
+def test_multi_gridshift_engine_parity(spark):
+    """Spark multi-grid shift == DuckDB CTE twin == scalar twin,
+    bit-exact, across child-interior, parent-only and boundary
+    points, both directions."""
+    import duckdb
+
+    from pyresample_spark.operators import gridshift as GS
+
+    subs = _parsed_multi()
+    pts = ([(i, -99.7 + i * 0.53, 35.4 + (i * 0.41) % 9.2)
+            for i in range(20)]
+           + [(100, -95.0, 40.0), (101, -97.0, 42.0), (102, -93.0, 38.0)])
+    df = spark.createDataFrame(pts, "cell_id long, lon double, lat double")
+    cells = GS.multi_cell_df(spark, subs)
+    fwd = GS.shift_forward_multi(df, cells, subs).orderBy("cell_id").collect()
+    inv = GS.shift_inverse_multi(df, cells, subs).orderBy("cell_id").collect()
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {lo!r}e0, {la!r}e0)" for i, lo, la in pts)
+    base = f"pts AS (SELECT * FROM (VALUES {vals}) AS pts(cell_id, lon, lat))"
+    c1, o1 = GS.shift_duckdb_ctes_multi("pts", subs, "forward")
+    dk_f = con.execute(
+        f"WITH {base},\n {c1}\nSELECT cell_id, lon2, lat2 FROM {o1} "
+        "ORDER BY cell_id").fetchall()
+    c2, o2 = GS.shift_duckdb_ctes_multi("pts", subs, "inverse")
+    dk_i = con.execute(
+        f"WITH {base},\n {c2}\nSELECT cell_id, lon2, lat2 FROM {o2} "
+        "ORDER BY cell_id").fetchall()
+    for sp, dd, tag in [(fwd, dk_f, "fwd"), (inv, dk_i, "inv")]:
+        assert len(sp) == len(dd)
+        for r, d in zip(sp, dd):
+            assert (r["cell_id"], r["lon2"], r["lat2"]) == tuple(d), tag
+    for r in fwd:
+        lon, lat = next((p[1], p[2]) for p in pts if p[0] == r["cell_id"])
+        s = GS.forward_scalar_multi(subs, lon, lat)
+        assert s == (r["lon2"], r["lat2"])

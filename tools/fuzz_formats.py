@@ -118,6 +118,7 @@ def main():
     )
     from pyresample_spark.sources.ntv2 import (
         demo_ntv2_grid_bytes,
+        demo_ntv2_multi_grid_bytes,
         parse_ntv2,
     )
 
@@ -219,6 +220,7 @@ def main():
         # NTv2 grid-shift files: header records, bounds/increment
         # consistency, float32 node block under corruption
         ("ntv2", demo_ntv2_grid_bytes(), parse_ntv2),
+        ("ntv2-multi", demo_ntv2_multi_grid_bytes(), parse_ntv2),
         ("ppm", encode_ppm(17, 11, (50, 100, 150)), decode_ppm),
         ("ppm-container",
          encode_ppm(17, 11, (50, 100, 150)) * 2, decode_ppm_container),
