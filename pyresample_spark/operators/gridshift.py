@@ -62,34 +62,48 @@ CELL_COLS = ("gi", "gj", "p00la", "p10la", "p01la", "p11la",
              "p00lo", "p10lo", "p01lo", "p11lo")
 
 
+def cell_arrays(sub: dict) -> dict:
+    """Vectorized cell-table columns: one entry per grid CELL, corner
+    shifts p<row><col> with row 0 = south edge, col 0 = east edge of
+    the cell (float32 wire values widened exactly to float64).
+    Numpy-sliced, no python loop — a file-scale grid (NOAA conus
+    ~1.2M cells) materializes in milliseconds."""
+    import numpy as np
+
+    la = sub["lat_shift"].astype("f8")
+    lo = sub["lon_shift"].astype("f8")
+    nr, nc = sub["nrows"] - 1, sub["ncols"] - 1
+    gi, gj = np.meshgrid(np.arange(nr, dtype="i8"),
+                         np.arange(nc, dtype="i8"), indexing="ij")
+    return {
+        "gi": gi.ravel(), "gj": gj.ravel(),
+        "p00la": la[:-1, :-1].ravel(), "p10la": la[1:, :-1].ravel(),
+        "p01la": la[:-1, 1:].ravel(), "p11la": la[1:, 1:].ravel(),
+        "p00lo": lo[:-1, :-1].ravel(), "p10lo": lo[1:, :-1].ravel(),
+        "p01lo": lo[:-1, 1:].ravel(), "p11lo": lo[1:, 1:].ravel(),
+    }
+
+
 def cell_rows(sub: dict) -> list:
-    """One row per grid CELL: corner shifts p<row><col> with row 0 =
-    south edge, col 0 = east edge of the cell (float32 wire values
-    widened exactly to float64)."""
-    la, lo = sub["lat_shift"], sub["lon_shift"]
-    rows = []
-    for i in range(sub["nrows"] - 1):
-        for j in range(sub["ncols"] - 1):
-            rows.append((
-                i, j,
-                float(la[i, j]), float(la[i + 1, j]),
-                float(la[i, j + 1]), float(la[i + 1, j + 1]),
-                float(lo[i, j]), float(lo[i + 1, j]),
-                float(lo[i, j + 1]), float(lo[i + 1, j + 1]),
-            ))
-    return rows
+    """Tuple view of :func:`cell_arrays` (oracle VALUES emission and
+    tests — fixture-size grids only)."""
+    a = cell_arrays(sub)
+    return list(zip(
+        a["gi"].tolist(), a["gj"].tolist(),
+        a["p00la"].tolist(), a["p10la"].tolist(),
+        a["p01la"].tolist(), a["p11la"].tolist(),
+        a["p00lo"].tolist(), a["p10lo"].tolist(),
+        a["p01lo"].tolist(), a["p11lo"].tolist(),
+    ))
 
 
 def cell_df(spark, sub: dict) -> DataFrame:
-    """Broadcast cell table. For file-scale grids (NOAA conus ~1.2M
-    cells) build the pandas frame vectorized and let Arrow ship it;
+    """Broadcast cell table. Built vectorized and shipped via Arrow;
     it broadcasts like any dimension table — the probe side never
     shuffles."""
     import pandas as pd
 
-    pdf = pd.DataFrame(cell_rows(sub), columns=list(CELL_COLS))
-    pdf["gi"] = pdf["gi"].astype("int64")
-    pdf["gj"] = pdf["gj"].astype("int64")
+    pdf = pd.DataFrame(cell_arrays(sub), columns=list(CELL_COLS))
     return F.broadcast(spark.createDataFrame(pdf))
 
 
@@ -312,24 +326,36 @@ def order_subgrids(subs: list) -> list:
     )
 
 
-def multi_cell_rows(subs: list) -> list:
-    rows = []
+def multi_cell_arrays(subs: list) -> dict:
+    import numpy as np
+
+    parts = []
     for gid, si in enumerate(order_subgrids(subs)):
         s = subs[si]
-        for r in cell_rows(s):
-            rows.append((gid, r[0], r[1],
-                         float(s["s_lat"]), float(s["lat_inc"]),
-                         float(s["e_long"]), float(s["long_inc"]))
-                        + r[2:])
-    return rows
+        a = cell_arrays(s)
+        n = a["gi"].shape[0]
+        a2 = {"gid": np.full(n, gid, dtype="i8"),
+              "gi": a["gi"], "gj": a["gj"],
+              "g_slat": np.full(n, float(s["s_lat"])),
+              "g_latinc": np.full(n, float(s["lat_inc"])),
+              "g_elong": np.full(n, float(s["e_long"])),
+              "g_loninc": np.full(n, float(s["long_inc"]))}
+        a2.update({k: a[k] for k in CELL_COLS[2:]})
+        parts.append(a2)
+    return {c: np.concatenate([p[c] for p in parts])
+            for c in MULTI_CELL_COLS}
+
+
+def multi_cell_rows(subs: list) -> list:
+    a = multi_cell_arrays(subs)
+    return list(zip(*(a[c].tolist() for c in MULTI_CELL_COLS)))
 
 
 def multi_cell_df(spark, subs: list) -> DataFrame:
     import pandas as pd
 
-    pdf = pd.DataFrame(multi_cell_rows(subs), columns=list(MULTI_CELL_COLS))
-    for c in ("gid", "gi", "gj"):
-        pdf[c] = pdf[c].astype("int64")
+    pdf = pd.DataFrame(multi_cell_arrays(subs),
+                       columns=list(MULTI_CELL_COLS))
     return F.broadcast(spark.createDataFrame(pdf))
 
 

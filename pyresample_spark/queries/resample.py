@@ -2308,6 +2308,99 @@ def q_regrid_ntv2_multigrid(spark, sf_dir):
     return regrid_nearest(_NAD27_TGT, _NAD27_MULTI_SRC, src)
 
 
+def _nad27_localdatum_tgt():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # the q_regrid_nad27 target frame, but on a LOCAL WGS84
+    # realization pinned by a small +towgs84 offset — the compose
+    # case: Helmert leg (tgt datum -> WGS84) + NTv2 leg (WGS84 ->
+    # NAD27) in one datum pipeline
+    return AreaDefinition(
+        "local_polar_conus",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-96 +ellps=WGS84 "
+        "+towgs84=5,-3,2",
+        width=72, height=84,
+        area_extent=(-360000.0, -6200000.0, 360000.0, -5360000.0),
+    )
+
+
+_NAD27_LOCAL_TGT = _nad27_localdatum_tgt()
+
+
+def _nad27_localdatum_oracle() -> str:
+    from pyresample_spark.functions.datum import (
+        DatumSpec,
+        datum_shift_duckdb_ctes,
+    )
+    from pyresample_spark.functions.geo import (
+        lcc_ell_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.crs import crs_datum_spec
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes
+    from pyresample_spark.sources.ntv2 import demo_ntv2_grid_bytes, parse_ntv2
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-96.0, north=True,
+    )
+    local = crs_datum_spec(_NAD27_LOCAL_TGT.crs)
+    wgs84 = DatumSpec(6378137.0,
+                      6378137.0 * (1.0 - 1.0 / 298.257223563),
+                      (0.0,) * 7)
+    ds_ctes, ds_out = datum_shift_duckdb_ctes("inv", local, wgs84)
+    sub = parse_ntv2(demo_ntv2_grid_bytes())["subgrids"][0]
+    gs_ctes, gs_out = shift_duckdb_ctes("bridge", sub, "inverse")
+    fx, fy = lcc_ell_sql(
+        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
+        a=6378206.4, b=6356583.8,
+    )
+    s = _NAD27_SRC
+    return f"""
+    WITH tgt AS ({_NAD27_LOCAL_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {ds_ctes},
+    bridge AS (SELECT cell_id, lon2 AS lon, lat2 AS lat FROM {ds_out}),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_nad27_localdatum", oracle=_nad27_localdatum_oracle())
+def q_regrid_nad27_localdatum(spark, sf_dir):
+    """The COMPOSED datum pipeline: the regrid target sits on a local
+    WGS84 realization pinned by ``+towgs84=5,-3,2`` and the source is
+    the NAD27 grid-shift product — so one regrid runs BOTH datum
+    mechanisms in sequence: the 3-parameter Helmert leg (target datum
+    → WGS84, pure column math through the geocentric pipeline of
+    functions/datum.py) feeding the NTv2 fixed-point inverse leg
+    (WGS84 → NAD27, three bilinear broadcast-join lookups) before the
+    Clarke 1866 lcc forward indexes the source. Exercises
+    gridshift_pipeline's tgt_helmert + src_subs composition, which
+    the single-mechanism queries do not. The oracle chains the same
+    two CTE emitters (datum_shift_duckdb_ctes → shift_duckdb_ctes)
+    over the identical constants."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NAD27_SRC)
+    return regrid_nearest(_NAD27_LOCAL_TGT, _NAD27_SRC, src)
+
+
 def _to_nad27_oracle() -> str:
     from pyresample_spark.functions.geo import (
         lcc_ell_inv_sql,
