@@ -115,6 +115,12 @@ HEADLINE = [
     "q_knn_approx",
     "q_knn_approx_recall",
     "q_hdf5_ingest",
+    # round 13 additions
+    "q_regrid_nad27",
+    "q_regrid_to_nad27",
+    "q_jpeg_ingest",
+    "q_regrid_ntv2_multigrid",
+    "q_regrid_nad27_localdatum",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
