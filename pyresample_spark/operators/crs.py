@@ -969,7 +969,11 @@ def crs_nadgrids(crs: str):
     tok = p.get("nadgrids")
     if tok is None:
         return None
-    names = [n.lstrip("@") for n in tok.split(",") if n and n != "null"]
+    # strip the optional-grid "@" BEFORE filtering the "null" no-op
+    # sentinel, so "+nadgrids=@null" (a form PROJ accepts) is a no-op
+    # too, not a lookup of a grid literally named "null"
+    names = [m for m in (n.lstrip("@") for n in tok.split(","))
+             if m and m != "null"]
     if not names:
         return None
     if len(names) > 1:

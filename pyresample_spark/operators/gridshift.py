@@ -243,8 +243,10 @@ def shift_duckdb_ctes(rel_in: str, sub: dict, direction: str,
                       keep: tuple = ("cell_id",), iters: int = 3,
                       tag: str = "gs") -> tuple:
     """(ctes_sql, out_rel) replaying :func:`shift_forward` /
-    :func:`shift_inverse` — identical expression text, identical join,
-    output columns (keep..., lon2, lat2)."""
+    :func:`shift_inverse` — identical expression text, identical join.
+    The out relation carries (keep..., lon2, lat2); the inverse chain
+    additionally carries its tlon/tlat bookkeeping columns, so select
+    the named columns rather than *."""
     keep_sql = ", ".join(keep)
     parts = [
         f"{tag}_cells AS (SELECT * FROM {cells_values_sql(sub)})",
@@ -273,7 +275,7 @@ def shift_duckdb_ctes(rel_in: str, sub: dict, direction: str,
         out = stage(1, f"{tag}_in", "glon", "glat", [], "lon2", "lat2",
                     _apply_fwd)
     elif direction == "inverse":
-        rel = (f"{tag}_in0");  # seed: guess = target
+        # seed: guess = target
         parts.append(
             f"{tag}_in0 AS (SELECT {keep_sql}, glon AS tlon, glat AS tlat, "
             f"glon AS klon, glat AS klat FROM {tag}_in)")
@@ -283,8 +285,7 @@ def shift_duckdb_ctes(rel_in: str, sub: dict, direction: str,
             olon = "lon2" if last else "klon"
             olat = "lat2" if last else "klat"
             rel = stage(
-                step + 1, rel, "klon", "klat",
-                ["tlon", "tlat"] if not last else ["tlon", "tlat"],
+                step + 1, rel, "klon", "klat", ["tlon", "tlat"],
                 olon, olat,
                 lambda _lo, _la, dlat, dlon: _apply_inv(
                     "tlon", "tlat", dlat, dlon),
@@ -378,20 +379,30 @@ def multi_bbox_filter_sql(subs: list, lon: str, lat: str) -> str:
 
 def multi_stage1_exprs(subs: list, lon: str, lat: str) -> dict:
     """ls/lw plus the literal selection CASE chains: gid picks the
-    densest containing subgrid, gi/gj index within it."""
+    densest containing subgrid, gi/gj index within it. The ELSE arm
+    falls back to the COARSEST grid (the parent covering the union
+    domain), whose clamped gi/gj then extrapolate from its edge cell —
+    without it, an inverse fixed-point guess wandering a few
+    arc-seconds outside every bbox would make gid NULL and the join
+    would silently DROP an edge row the single-subgrid path keeps via
+    its clamp (code-review r13 finding 3). The row-level bbox filter
+    on the input position still gates what enters the pipeline."""
     ordered = [subs[si] for si in order_subgrids(subs)]
     ls = f"(({lat}) * {_d(3600.0)})"
     lw = f"((-({lon})) * {_d(3600.0)})"
     gid = "CASE " + " ".join(
         f"WHEN {bbox_filter_sql(s, lon, lat)} THEN {g}"
         for g, s in enumerate(ordered)
-    ) + " END"
+    ) + f" ELSE {len(ordered) - 1} END"
 
     def idx_case(key):
         arms = []
         for g, s in enumerate(ordered):
             e = stage1_exprs(s, lon, lat)[key]
-            arms.append(f"WHEN {g} THEN {e}")
+            if g == len(ordered) - 1:
+                arms.append(f"ELSE {e}")
+            else:
+                arms.append(f"WHEN {g} THEN {e}")
         return f"CASE ({gid}) " + " ".join(arms) + " END"
 
     return {"ls": ls, "lw": lw, "gid": gid,
@@ -520,33 +531,40 @@ def shift_duckdb_ctes_multi(rel_in: str, subs: list, direction: str,
     return ",\n    ".join(parts), out
 
 
+def in_any_subgrid(subs: list, lon: float, lat: float) -> bool:
+    """The scalar twin of multi_bbox_filter_sql (the ENTRY gate)."""
+    ls, lw = lat * 3600.0, -lon * 3600.0
+    return any(s["s_lat"] <= ls <= s["n_lat"]
+               and s["e_long"] <= lw <= s["w_long"] for s in subs)
+
+
 def multi_interp_scalar(subs: list, lon: float, lat: float):
-    """Float twin of the multi-grid selection + bilinear lookup."""
-    for si in order_subgrids(subs):
+    """Float twin of the multi-grid selection + bilinear LOOKUP:
+    densest containing grid wins; a position outside every bbox falls
+    back to the coarsest grid's clamped edge cell, mirroring the gid
+    CASE's ELSE arm (the entry gate is :func:`in_any_subgrid`)."""
+    ordered = order_subgrids(subs)
+    for si in ordered:
         d = _interp_scalar(subs[si], lon, lat)
         if d is not None:
             return d
-    return None
+    return _interp_scalar(subs[ordered[-1]], lon, lat, clamp=True)
 
 
 def forward_scalar_multi(subs: list, lon: float, lat: float):
-    d = multi_interp_scalar(subs, lon, lat)
-    if d is None:
+    if not in_any_subgrid(subs, lon, lat):
         return None
-    dlat, dlon = d
+    dlat, dlon = multi_interp_scalar(subs, lon, lat)
     return lon - dlon / 3600.0, lat + dlat / 3600.0
 
 
 def inverse_scalar_multi(subs: list, lon: float, lat: float,
                          iters: int = 3):
-    if multi_interp_scalar(subs, lon, lat) is None:
+    if not in_any_subgrid(subs, lon, lat):
         return None
     klon, klat = lon, lat
     for _ in range(iters):
-        d = multi_interp_scalar(subs, klon, klat)
-        if d is None:
-            return None
-        dlat, dlon = d
+        dlat, dlon = multi_interp_scalar(subs, klon, klat)
         klon, klat = lon + dlon / 3600.0, lat - dlat / 3600.0
     return klon, klat
 
@@ -556,10 +574,11 @@ def inverse_scalar_multi(subs: list, lon: float, lat: float,
 # --------------------------------------------------------------------
 
 
-def _interp_scalar(sub: dict, lon: float, lat: float) -> tuple:
+def _interp_scalar(sub: dict, lon: float, lat: float,
+                   clamp: bool = False) -> tuple:
     ls, lw = lat * 3600.0, -lon * 3600.0
-    if not (sub["s_lat"] <= ls <= sub["n_lat"]
-            and sub["e_long"] <= lw <= sub["w_long"]):
+    if not clamp and not (sub["s_lat"] <= ls <= sub["n_lat"]
+                          and sub["e_long"] <= lw <= sub["w_long"]):
         return None
     import math
 

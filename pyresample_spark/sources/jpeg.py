@@ -152,7 +152,17 @@ class _BitReader:
     def restart(self, n: int):
         """Consume the byte-aligned RSTn marker (T.81 E.2.4)."""
         if self.bit:
+            # discard the 1-padded remainder of the current byte; if
+            # that byte is 0xFF its stuffed 0x00 follows (B.1.1.5) and
+            # must be skipped too — read_bit does this at bit==8, the
+            # aligned path here must match (code-review r13 finding 1)
+            byte = self.b[self.pos]
             self.bit = 0
+            self.pos += 1 + (1 if byte == 0xFF else 0)
+        # optional 0xFF fill bytes may precede any marker (B.1.1.2)
+        while (self.pos + 1 < len(self.b)
+               and self.b[self.pos] == 0xFF
+               and self.b[self.pos + 1] == 0xFF):
             self.pos += 1
         if (self.pos + 1 >= len(self.b)
                 or self.b[self.pos] != 0xFF
@@ -177,6 +187,10 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
             raise ValueError(
                 f"expected marker at byte {pos}, got 0x{data[pos]:02x}"
             )
+        # any marker may be preceded by optional 0xFF fill bytes
+        # (T.81 B.1.1.2) — consume them before classifying
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         m = data[pos + 1] if pos + 1 < n else None
         if m is None:
             raise ValueError("truncated marker")

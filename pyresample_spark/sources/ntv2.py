@@ -142,11 +142,12 @@ def ntv2_grid_bytes(
             _rec_f8("LONG_INC", float(sg["long_inc"]), bo),
             _rec_i4("GS_COUNT", nrows * ncols, bo),
         ]
-        # nodes: lon fastest (east → west = col 0 → ncols-1), south → north
-        node = struct.Struct(bo + "4f")
-        for i in range(nrows):
-            for j in range(ncols):
-                out.append(node.pack(la[i, j], lo[i, j], laa[i, j], loa[i, j]))
+        # nodes: lon fastest (east → west = col 0 → ncols-1), south →
+        # north; one vectorized dump — a realistic grid is ~1.2M nodes
+        # and a per-node struct.pack loop costs seconds (code-review
+        # r13 finding 6)
+        out.append(np.stack([la, lo, laa, loa], axis=-1)
+                   .astype(np.dtype(bo + "f4")).tobytes())
     out.append(_rec_str("END", "", bo))
     return b"".join(out)
 

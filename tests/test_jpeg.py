@@ -128,3 +128,28 @@ def test_encoder_input_guards():
                              subsampling="422")
     with pytest.raises(ValueError, match="quant"):
         encode_baseline_jpeg(np.zeros((8, 8), dtype="u1"), quant=0.5)
+
+
+def test_restart_after_ff_padded_byte():
+    """T.81 B.1.1.5/F.1.2.3: when the 1-padded byte before an RSTn is
+    0xFF, its stuffed 0x00 precedes the marker — the aligned restart
+    consumer must skip it like read_bit does (code-review r13
+    finding 1)."""
+    from pyresample_spark.sources.jpeg import _BitReader
+
+    rd = _BitReader(bytes([0xFF, 0x00, 0xFF, 0xD0, 0xAA]), 0)
+    for _ in range(4):
+        rd.read_bit()
+    rd.restart(0)  # must land past FF 00 FF D0
+    assert rd.pos == 4 and rd.bit == 0
+
+
+def test_fill_bytes_before_markers():
+    """Optional 0xFF fill bytes may precede any marker (T.81 B.1.1.2);
+    the segment walker must consume them (code-review r13 finding 2)."""
+    img = block_const(2, 2)
+    enc = encode_baseline_jpeg(img)
+    # inject fill bytes before the DQT marker (FF DB -> FF FF FF DB)
+    i = enc.index(b"\xff\xdb")
+    padded = enc[:i] + b"\xff\xff" + enc[i:]
+    assert np.array_equal(decode_baseline_jpeg(padded), img)

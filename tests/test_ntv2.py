@@ -276,7 +276,19 @@ def test_densest_containing_grid_wins():
     assert outside == _interp_scalar(subs[0], -99.0, 36.0)
     assert _interp_scalar(subs[1], -99.0, 36.0) is None
     # outside both: untransformable
-    assert multi_interp_scalar(subs, -89.0, 40.0) is None
+    # outside both bboxes the LOOKUP falls back to the coarsest grid's
+    # clamped edge cell (the gid CASE's ELSE arm — keeps inverse
+    # fixed-point guesses that wander past the edge); the ENTRY gate
+    # still rejects such points outright
+    from pyresample_spark.operators.gridshift import (
+        forward_scalar_multi,
+        in_any_subgrid,
+    )
+
+    assert not in_any_subgrid(subs, -89.0, 40.0)
+    assert forward_scalar_multi(subs, -89.0, 40.0) is None
+    clamped = multi_interp_scalar(subs, -89.0, 40.0)
+    assert clamped == GS._interp_scalar(subs[0], -89.0, 40.0, clamp=True)
 
 
 def test_multi_forward_inverse_scalar_roundtrip():
@@ -328,3 +340,13 @@ def test_multi_gridshift_engine_parity(spark):
         lon, lat = next((p[1], p[2]) for p in pts if p[0] == r["cell_id"])
         s = GS.forward_scalar_multi(subs, lon, lat)
         assert s == (r["lon2"], r["lat2"])
+
+
+def test_nadgrids_null_sentinel_is_noop():
+    """'+nadgrids=null' and '@null' are PROJ's explicit no-op — not a
+    lookup of a grid named 'null' (code-review r13 finding 4)."""
+    from pyresample_spark.operators.crs import crs_nadgrids
+
+    base = "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 "
+    assert crs_nadgrids(base + "+nadgrids=null") is None
+    assert crs_nadgrids(base + "+nadgrids=@null") is None
