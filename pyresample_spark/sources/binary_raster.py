@@ -428,6 +428,16 @@ def _utm_crs(epsg: int) -> str | None:
         return f"+proj=utm +zone={epsg - 32700} +south +ellps=WGS84"
     if 25828 <= epsg <= 25838:  # ETRS89 / UTM zones 28N-38N (GRS80)
         return f"+proj=utm +zone={epsg - 25800} +ellps=GRS80"
+    if 26703 <= epsg <= 26722:  # NAD27 / UTM zones 3N-22N (Clarke 1866)
+        # the legacy NOAA/USGS product grids: the ellipsoid decodes
+        # here, the DATUM stays unpinned (grid-shift-only). Regrids
+        # against a datum-PINNED frame hit the loud guard telling the
+        # user to register the NTv2 grid (+nadgrids=); bare-vs-bare
+        # follows the documented datum-less convention (the user adds
+        # +nadgrids= to this string to activate the shift)
+        return f"+proj=utm +zone={epsg - 26700} +ellps=clrk66"
+    if 26903 <= epsg <= 26923:  # NAD83 / UTM zones 3N-23N (GRS80≈WGS84)
+        return f"+proj=utm +zone={epsg - 26900} +ellps=GRS80"
     return None
 
 
@@ -510,7 +520,11 @@ def area_from_geotiff(buf: bytes, area_id: str = "geotiff",
                 kd[kid] = doubles[val]
         model = kv.get(1024, 2)
         if model == 2:
-            crs = "longlat"
+            # geographic: keep the NAD27 ellipsoid visible so a
+            # datum-pinned counterpart raises the loud guard instead
+            # of silently treating NAD27 degrees as WGS84 degrees
+            crs = ("+proj=longlat +ellps=clrk66"
+                   if kv.get(2048) == 4267 else "longlat")
         elif kv.get(3072) == 32767:  # user-defined projection
             crs = _crs_from_user_geokeys(kv, kd)
         else:

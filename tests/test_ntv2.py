@@ -350,3 +350,50 @@ def test_nadgrids_null_sentinel_is_noop():
     base = "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 "
     assert crs_nadgrids(base + "+nadgrids=null") is None
     assert crs_nadgrids(base + "+nadgrids=@null") is None
+
+
+def test_nad27_geokeys_decode_with_clrk66():
+    """Legacy NAD27 EPSG geokeys (UTM 26703-26722, geographic 4267)
+    decode to clrk66-ellipsoid CRSs with the datum left unpinned —
+    the user activates the shift by adding +nadgrids=; a datum-pinned
+    counterpart hits the loud guard instead of a silent ~100 m smear."""
+    from pyresample_spark.operators.crs import datum_specs_between
+    from pyresample_spark.sources.binary_raster import _utm_crs
+
+    crs = _utm_crs(26715)
+    assert crs == "+proj=utm +zone=15 +ellps=clrk66"
+    assert _utm_crs(26915) == "+proj=utm +zone=15 +ellps=GRS80"
+    with pytest.raises(NotImplementedError, match="datum is unknown"):
+        datum_specs_between(
+            crs, "+proj=stere +lat_0=90 +lat_ts=70 +ellps=WGS84 "
+                 "+towgs84=0,0,0")
+    # with the grid registered, the same frame pair routes through the
+    # gridshift pipeline
+    from pyresample_spark.operators.crs import gridshift_pipeline
+
+    gs = gridshift_pipeline(
+        "+proj=stere +lat_0=90 +lat_ts=70 +ellps=WGS84",
+        crs + " +nadgrids=demo_conus")
+    assert gs is not None and len(gs["src_subs"]) == 1
+
+
+def test_nad27_geographic_geokey():
+    """GeographicTypeGeoKey 4267 (NAD27 geographic) keeps the Clarke
+    1866 ellipsoid visible in the decoded CRS instead of silently
+    treating NAD27 degrees as WGS84 degrees."""
+    from pyresample_spark.sources.binary_raster import (
+        area_from_geotiff,
+        geotiff_bytes,
+    )
+
+    buf = geotiff_bytes(np.zeros((4, 4), dtype="<f4"), 0.5, 0.5,
+                        -100.0, 45.0, crs="longlat")
+    assert area_from_geotiff(buf, "t").crs == "longlat"
+    # the writer emits GeographicType (2048) = 4326 as a key-directory
+    # SHORT; retype it to 4267 in place (key rows are
+    # (id, loc, count, value) shorts after the 4-short header)
+    patched = bytearray(buf)
+    i = patched.index(struct.pack("<HHHH", 2048, 0, 1, 4326))
+    struct.pack_into("<HHHH", patched, i, 2048, 0, 1, 4267)
+    area = area_from_geotiff(bytes(patched), "t")
+    assert area.crs == "+proj=longlat +ellps=clrk66"
