@@ -2504,3 +2504,157 @@ def tile_cols(lon_col="lon", lat_col="lat", zoom_cells: float = 64.0):
         F.greatest(c, F.lit(0)), F.lit(hi)
     ).cast("bigint")
     return clamp(F.floor(txf)), clamp(F.floor(tyf))
+
+
+# --- Krovak (EPSG method 9819 — S-JTSK, EPSG 5514) --------------------
+# The Czech/Slovak national CRS: an oblique conformal conic on the
+# Bessel ellipsoid via a conformal ("gaussian") sphere rotated to a
+# cone axis at azimuth alpha_C from the projection centre, with a
+# pseudo standard parallel. Forward validated against the EPSG GN7-2
+# worked example (50°12'32.442"N 16°50'59.179"E → southing
+# 1 050 538.63 / westing 568 991.00, reproduced to the cm in tests).
+# AXES: the native family returns PROJ's default krovak orientation
+# x = −westing (increases east), y = −southing (increases north) so
+# pixel indexing stays monotone; the official EPSG 5514
+# southing/westing axes are the negation.
+
+
+def krovak_constants(a: float, b: float, lat_c: float, lon_0: float,
+                     alpha_c: float, lat_p: float, k: float) -> dict:
+    import math as _m
+
+    es = 1.0 - (b / a) ** 2
+    e = _m.sqrt(es)
+    pc = _m.radians(lat_c)
+    A = a * _m.sqrt(1.0 - es) / (1.0 - es * _m.sin(pc) ** 2)
+    B = _m.sqrt(1.0 + es * _m.cos(pc) ** 4 / (1.0 - es))
+    gamma0 = _m.asin(_m.sin(pc) / B)
+    t0 = (_m.tan(_m.pi / 4.0 + gamma0 / 2.0)
+          * ((1.0 + e * _m.sin(pc)) / (1.0 - e * _m.sin(pc)))
+          ** (e * B / 2.0)
+          / _m.tan(_m.pi / 4.0 + pc / 2.0) ** B)
+    pp = _m.radians(lat_p)
+    n = _m.sin(pp)
+    r0 = k * A / _m.tan(pp)
+    ac = _m.radians(alpha_c)
+    return {
+        "e": e, "B": B, "t0": t0, "n": n,
+        # r numerator folded to one constant: r0 · tanⁿ(π/4 + φP/2)
+        "rnum": r0 * _m.tan(_m.pi / 4.0 + pp / 2.0) ** n,
+        "r0": r0, "tanp": _m.tan(_m.pi / 4.0 + pp / 2.0),
+        "sina": _m.sin(ac), "cosa": _m.cos(ac),
+        "lon_0": lon_0, "eB2": e * B / 2.0,
+    }
+
+
+def _krovak_UV(c: dict, lon, lat) -> tuple:
+    """Column (U, V) on the rotated conformal sphere."""
+    import math as _m
+
+    phi = F.radians(_c(lat))
+    esin = c["e"] * F.sin(phi)
+    U = 2.0 * (F.atan(
+        c["t0"] * F.pow(F.tan(phi / 2.0 + F.lit(_m.pi / 4.0)), c["B"])
+        / F.pow((1.0 + esin) / (1.0 - esin), c["eB2"])
+    ) - F.lit(_m.pi / 4.0))
+    V = c["B"] * F.radians(F.lit(c["lon_0"]) - _c(lon))
+    return U, V
+
+
+def krovak_xy(lon, lat, a: float, b: float, lat_c: float = 49.5,
+              lon_0: float = 24.833333333333332,
+              alpha_c: float = 30.288139752777778,
+              lat_p: float = 78.5, k: float = 0.9999) -> tuple:
+    import math as _m
+
+    c = krovak_constants(a, b, lat_c, lon_0, alpha_c, lat_p, k)
+    U, V = _krovak_UV(c, lon, lat)
+    T = F.asin(c["cosa"] * F.sin(U) + c["sina"] * F.cos(U) * F.cos(V))
+    D = F.asin(F.cos(U) * F.sin(V) / F.cos(T))
+    theta = c["n"] * D
+    r = c["rnum"] / F.pow(F.tan(T / 2.0 + F.lit(_m.pi / 4.0)), c["n"])
+    # x = −westing, y = −southing (PROJ default orientation)
+    return -(r * F.sin(theta)), -(r * F.cos(theta))
+
+
+def krovak_inverse(x, y, a: float, b: float, lat_c: float = 49.5,
+                   lon_0: float = 24.833333333333332,
+                   alpha_c: float = 30.288139752777778,
+                   lat_p: float = 78.5, k: float = 0.9999) -> tuple:
+    import math as _m
+
+    c = krovak_constants(a, b, lat_c, lon_0, alpha_c, lat_p, k)
+    e = c["e"]
+    X, Y = -_c(y), -_c(x)  # southing, westing
+    rp = F.sqrt(X * X + Y * Y)
+    D = F.atan2(Y, X) / c["n"]
+    T = 2.0 * (F.atan(
+        F.pow(c["r0"] / rp, 1.0 / c["n"]) * F.lit(c["tanp"])
+    ) - F.lit(_m.pi / 4.0))
+    U = F.asin(c["cosa"] * F.sin(T) - c["sina"] * F.cos(T) * F.cos(D))
+    V = F.asin(F.cos(T) * F.sin(D) / F.cos(U))
+    lon = F.lit(c["lon_0"]) - F.degrees(V / c["B"])
+    base = (c["t0"] ** (-1.0 / c["B"])) * F.pow(
+        F.tan(U / 2.0 + F.lit(_m.pi / 4.0)), 1.0 / c["B"])
+    steps = F.array([F.lit(0.0)] * _STERE_ELL_ITERS)
+    phi = F.aggregate(
+        steps,
+        U.cast("double"),
+        lambda acc, _: 2.0 * (F.atan(
+            base * F.pow((1.0 + e * F.sin(acc)) / (1.0 - e * F.sin(acc)),
+                         e / 2.0)
+        ) - F.lit(_m.pi / 4.0)),
+    )
+    return wrap_longitude(lon), F.degrees(phi)
+
+
+def krovak_sql(lon: str, lat: str, a: float, b: float,
+               lat_c: float = 49.5,
+               lon_0: float = 24.833333333333332,
+               alpha_c: float = 30.288139752777778,
+               lat_p: float = 78.5, k: float = 0.9999) -> tuple:
+    """Engine-shared forward SQL twin (pure sin/cos/pow text) —
+    mirrors :func:`krovak_xy` op for op."""
+    c = krovak_constants(a, b, lat_c, lon_0, alpha_c, lat_p, k)
+    phi = f"radians({lat})"
+    esin = f"({c['e']!r} * sin({phi}))"
+    U = (f"(2.0 * (atan({c['t0']!r}"
+         f" * pow(tan({phi} / 2.0 + pi() / 4.0), {c['B']!r})"
+         f" / pow((1.0 + {esin}) / (1.0 - {esin}), {c['eB2']!r}))"
+         f" - pi() / 4.0))")
+    V = f"({c['B']!r} * radians({c['lon_0']!r} - ({lon})))"
+    T = (f"asin({c['cosa']!r} * sin({U})"
+         f" + {c['sina']!r} * cos({U}) * cos({V}))")
+    D = f"asin(cos({U}) * sin({V}) / cos({T}))"
+    theta = f"({c['n']!r} * {D})"
+    r = f"({c['rnum']!r} / pow(tan({T} / 2.0 + pi() / 4.0), {c['n']!r}))"
+    return f"(-({r} * sin({theta})))", f"(-({r} * cos({theta})))"
+
+
+def krovak_inv_sql(x: str, y: str, a: float, b: float,
+                   lat_c: float = 49.5,
+                   lon_0: float = 24.833333333333332,
+                   alpha_c: float = 30.288139752777778,
+                   lat_p: float = 78.5, k: float = 0.9999) -> tuple:
+    """DuckDB inverse twin (list_reduce fixed point) — mirrors
+    :func:`krovak_inverse` op for op."""
+    c = krovak_constants(a, b, lat_c, lon_0, alpha_c, lat_p, k)
+    e = c["e"]
+    X, Y = f"(-CAST({y} AS DOUBLE))", f"(-CAST({x} AS DOUBLE))"
+    rp = f"sqrt({X} * {X} + {Y} * {Y})"
+    D = f"(atan2({Y}, {X}) / {c['n']!r})"
+    T = (f"(2.0 * (atan(pow({c['r0']!r} / {rp}, {1.0 / c['n']!r})"
+         f" * {c['tanp']!r}) - pi() / 4.0))")
+    U = (f"asin({c['cosa']!r} * sin({T})"
+         f" - {c['sina']!r} * cos({T}) * cos({D}))")
+    V = f"asin(cos({T}) * sin({D}) / cos({U}))"
+    lon = (f"((({c['lon_0']!r} - degrees({V} / {c['B']!r}))"
+           f" + 540.0) % 360.0 - 180.0)")
+    base = (f"({c['t0'] ** (-1.0 / c['B'])!r}"
+            f" * pow(tan({U} / 2.0 + pi() / 4.0), {1.0 / c['B']!r}))")
+    zeros = ", ".join(["0.0"] * _STERE_ELL_ITERS)
+    phi = (f"list_reduce(list_prepend({U}, [{zeros}]),"
+           f" (acc, s) -> 2.0 * (atan({base}"
+           f" * pow((1.0 + {e!r} * sin(acc)) / (1.0 - {e!r} * sin(acc)),"
+           f" {e / 2.0!r})) - pi() / 4.0))")
+    return lon, f"degrees({phi})"

@@ -116,6 +116,8 @@ from pyresample_spark.functions.geo import (
     tmerc_inverse,
     tmerc_xy,
     utm_params,
+    krovak_inverse,
+    krovak_xy,
 )
 
 
@@ -169,6 +171,8 @@ def _family(crs: str) -> str:
                 return "laea_ell_polar"
             return "laea_ell_oblique"
         return "laea"
+    if proj == "krovak":
+        return "krovak"
     if proj == "merc":
         return "merc_ell" if _ellipsoid_ab(p) else "merc"
     if proj == "lcc":
@@ -261,6 +265,26 @@ def merc_ell_crs_params(crs: str) -> dict:
         "lat_ts": float(p["lat_ts"]) if "lat_ts" in p else None,
         "lon_0": float(p.get("lon_0", "0")),
         "k": float(p.get("k_0", p.get("k", "1"))),
+    }
+
+
+def krovak_crs_params(crs: str) -> dict:
+    """+proj=krovak (EPSG method 9819 — S-JTSK). PROJ's parameter
+    defaults: centre 49.5°N, origin 24°50'E of Greenwich, cone-axis
+    azimuth 30°17'17.303", scale 0.9999; the pseudo standard parallel
+    is fixed at 78.5° (not a PROJ parameter; +lat_ts overrides here
+    for completeness). Ellipsoid defaults to Bessel 1841 like PROJ."""
+    p = _params(crs)
+    ab = _ellipsoid_ab(p)
+    a, b = ab if ab else _ELLPS["bessel"]
+    return {
+        "a": a,
+        "b": b,
+        "lat_c": float(p.get("lat_0", "49.5")),
+        "lon_0": float(p.get("lon_0", repr(24.833333333333332))),
+        "alpha_c": float(p.get("alpha", repr(30.288139752777778))),
+        "lat_p": float(p.get("lat_ts", "78.5")),
+        "k": float(p.get("k_0", p.get("k", "0.9999"))),
     }
 
 
@@ -530,6 +554,9 @@ def _forward_centered(crs: str):
     if fam == "merc_ell":
         kw = merc_ell_crs_params(crs)
         return lambda lon, lat: merc_ell_xy(lon, lat, **kw)
+    if fam == "krovak":
+        kw = krovak_crs_params(crs)
+        return lambda lon, lat: krovak_xy(lon, lat, **kw)
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda lon, lat: laea_ell_polar_xy(lon, lat, **kw)
@@ -671,6 +698,9 @@ def _inverse_centered(crs: str):
     if fam == "merc_ell":
         kw = merc_ell_crs_params(crs)
         return lambda x, y: merc_ell_inverse(x, y, **kw)
+    if fam == "krovak":
+        kw = krovak_crs_params(crs)
+        return lambda x, y: krovak_inverse(x, y, **kw)
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return lambda x, y: laea_ell_polar_inverse(x, y, **kw)
@@ -823,6 +853,9 @@ def forward_sql(crs: str):
     if fam == "merc_ell":
         kw = merc_ell_crs_params(crs)
         return offset(lambda lon, lat: G.merc_ell_sql(lon, lat, **kw))
+    if fam == "krovak":
+        kw = krovak_crs_params(crs)
+        return offset(lambda lon, lat: G.krovak_sql(lon, lat, **kw))
     if fam == "laea_ell_polar":
         kw = laea_ell_polar_crs_params(crs)
         return offset(
@@ -1240,6 +1273,38 @@ def _inverse_scalar_centered(crs: str):
             return ((lon + 540.0) % 360.0) - 180.0, math.degrees(phi)
 
         return _merc_ell_inv
+    if fam == "krovak":
+        from pyresample_spark.functions.geo import krovak_constants
+
+        kw = krovak_crs_params(crs)
+        cst = krovak_constants(kw["a"], kw["b"], kw["lat_c"],
+                               kw["lon_0"], kw["alpha_c"], kw["lat_p"],
+                               kw["k"])
+
+        def _krovak_inv(x, y):
+            X, Y = -y, -x  # southing, westing (PROJ default axes)
+            rp = math.hypot(X, Y)
+            D = math.atan2(Y, X) / cst["n"]
+            T = 2.0 * (math.atan(
+                (cst["r0"] / rp) ** (1.0 / cst["n"]) * cst["tanp"]
+            ) - math.pi / 4.0)
+            U = math.asin(cst["cosa"] * math.sin(T)
+                          - cst["sina"] * math.cos(T) * math.cos(D))
+            V = math.asin(math.cos(T) * math.sin(D) / math.cos(U))
+            lon = cst["lon_0"] - math.degrees(V / cst["B"])
+            base = (cst["t0"] ** (-1.0 / cst["B"])
+                    * math.tan(U / 2.0 + math.pi / 4.0)
+                    ** (1.0 / cst["B"]))
+            e_ = cst["e"]
+            phi = U
+            for _ in range(8):
+                phi = 2.0 * (math.atan(
+                    base * ((1.0 + e_ * math.sin(phi))
+                            / (1.0 - e_ * math.sin(phi))) ** (e_ / 2.0)
+                ) - math.pi / 4.0)
+            return ((lon + 540.0) % 360.0) - 180.0, math.degrees(phi)
+
+        return _krovak_inv
     if fam == "ortho":
         lat_0 = float(p.get("lat_0", "0"))
         lon_0 = float(p.get("lon_0", "0"))

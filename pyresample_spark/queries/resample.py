@@ -2463,6 +2463,100 @@ def q_regrid_to_nad27(spark, sf_dir):
     return regrid_nearest(_NAD27_SRC, _NAD27_TGT, src)
 
 
+# --- q_regrid_krovak: S-JTSK / Krovak (EPSG 5514, method 9819) -------
+
+def _krovak_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # S-JTSK / Krovak: the Czech/Slovak national CRS — oblique
+    # conformal conic on Bessel 1841 via a rotated conformal sphere,
+    # datum pinned by the published Czech 7-parameter fit. Native
+    # axes follow PROJ's default (x = −westing, y = −southing), so
+    # Czechia sits at negative coordinates.
+    src = AreaDefinition(
+        "sjtsk_cz",
+        "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+        "+alpha=30.288139752777778 +k=0.9999 +ellps=bessel "
+        "+towgs84=570.8,85.7,462.8,4.998,1.587,5.261,3.56",
+        width=96, height=61,
+        area_extent=(-910000.0, -1235000.0, -430000.0, -930000.0),
+    )
+    tgt = AreaDefinition(
+        "wgs84_polar_cz",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=15 +ellps=WGS84",
+        width=56, height=66,
+        area_extent=(-224000.0, -4692000.0, 224000.0, -4362000.0),
+    )
+    return src, tgt
+
+
+_KROVAK_SRC, _KROVAK_TGT = _krovak_areas()
+
+
+def _krovak_oracle() -> str:
+    from pyresample_spark.functions.datum import datum_shift_duckdb_ctes
+    from pyresample_spark.functions.geo import (
+        krovak_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.crs import (
+        crs_datum_spec,
+        krovak_crs_params,
+    )
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=15.0, north=True,
+    )
+    wgs = crs_datum_spec(_KROVAK_TGT.crs)
+    sjtsk = crs_datum_spec(_KROVAK_SRC.crs)
+    ds_ctes, ds_out = datum_shift_duckdb_ctes("inv", wgs, sjtsk)
+    fx, fy = krovak_sql("lon2", "lat2",
+                        **krovak_crs_params(_KROVAK_SRC.crs))
+    s = _KROVAK_SRC
+    return f"""
+    WITH tgt AS ({_KROVAK_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {ds_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {ds_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_krovak", oracle=_krovak_oracle())
+def q_regrid_krovak(spark, sf_dir):
+    """S-JTSK / Krovak regrid (EPSG 5514, EPSG method 9819) WITHOUT
+    pyproj: the Czech/Slovak national CRS — an OBLIQUE conformal
+    conic on Bessel 1841 built on a rotated conformal sphere (cone
+    axis at azimuth 30°17'17.303" from the 49.5°N centre, pseudo
+    standard parallel 78.5°) — as pure column math
+    (functions/geo.py krovak_*), validated against the EPSG GN7-2
+    worked example to the cm (tests). The WGS84 polar-stereographic
+    target inverts, the published Czech 7-parameter Helmert fit
+    (+towgs84=570.8,85.7,462.8,...) moves coordinates onto S-JTSK in
+    the same let-chain plan shape as q_regrid_datum, and the Krovak
+    forward indexes the source. Reference path: pyproj EPSG 5514
+    (utils/proj4.py)."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _KROVAK_SRC)
+    return regrid_nearest(_KROVAK_TGT, _KROVAK_SRC, src)
+
+
 # --- q_regrid_gk: Gauss-Krüger national grid (ellipsoidal tmerc +
 # Helmert datum, EPSG 31467) ------------------------------------------
 

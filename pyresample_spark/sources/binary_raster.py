@@ -380,6 +380,13 @@ def _parse_one_ifd(buf: bytes, e: str, big: bool, ifd_off: int) -> tuple:
 _EPSG_CRS = {
     4326: "longlat",
     3857: "webmerc",
+    # S-JTSK / Krovak East North — the GIS-standard Czech/Slovak code
+    # whose negated (east/north-positive) axes are exactly PROJ's
+    # default krovak orientation, which the native family emits;
+    # datum pinned by the published Czech 7-parameter fit
+    5514: "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+          "+alpha=30.288139752777778 +k=0.9999 +ellps=bessel "
+          "+towgs84=570.8,85.7,462.8,4.998,1.587,5.261,3.56",
     32661: "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
            "+x_0=2000000 +y_0=2000000 +ellps=WGS84",
     # the polar grids real satellite products actually ship in —

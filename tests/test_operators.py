@@ -3482,3 +3482,70 @@ def test_merc_ell_epsg_makassar_anchor_and_twins(spark):
     ).fetchall(), back):
         assert abs(d[1] - b.lon) < 1e-12
         assert abs(d[2] - b.lat) < 1e-12
+
+
+def test_krovak_epsg_anchor_and_twins(spark):
+    """Krovak (EPSG method 9819): reproduces the EPSG GN7-2 worked
+    example — S-JTSK on Bessel 1841, 50°12'32.442"N 16°50'59.179"E →
+    southing 1 050 538.63 / westing 568 991.00 — to the cm (native
+    axes are PROJ's default negation: x = −westing, y = −southing);
+    Column/SQL/scalar/DuckDB twins agree; inverse roundtrips."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.functions.geo import krovak_inv_sql
+    from pyresample_spark.operators.crs import (
+        _family,
+        forward,
+        forward_sql,
+        inverse,
+        inverse_scalar,
+        krovak_crs_params,
+    )
+
+    crs = ("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+           "+alpha=30.288139752777778 +k=0.9999 +ellps=bessel")
+    assert _family(crs) == "krovak"
+    # PROJ defaults: a bare +proj=krovak resolves the same constants
+    assert krovak_crs_params("+proj=krovak") == krovak_crs_params(crs)
+
+    anchor = (16 + 50 / 60 + 59.179 / 3600, 50 + 12 / 60 + 32.442 / 3600)
+    pts = [anchor, (14.42, 50.09), (17.1, 48.8), (12.5, 51.0)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    fx, fy = forward(crs)("lon", "lat")
+    rows = df.select("i", fx.alias("x"),
+                     fy.alias("y")).orderBy("i").collect()
+    # x = -westing, y = -southing
+    assert -rows[0].y == pytest.approx(1050538.63, abs=0.01)
+    assert -rows[0].x == pytest.approx(568991.00, abs=0.01)
+    sx, sy = forward_sql(crs)("lon", "lat")
+    for r in df.select((F.expr(sx) - fx).alias("dx"),
+                       (F.expr(sy) - fy).alias("dy")).collect():
+        assert r.dx == 0.0 and r.dy == 0.0
+    ilon, ilat = inverse(crs)("x", "y")
+    xy = spark.createDataFrame([(r.i, r.x, r.y) for r in rows],
+                               "i long, x double, y double")
+    back = xy.select("i", ilon.alias("lon"),
+                     ilat.alias("lat")).orderBy("i").collect()
+    inv_s = inverse_scalar(crs)
+    for b, (lo, la) in zip(back, pts):
+        assert b.lon == pytest.approx(lo, abs=1e-9)
+        assert b.lat == pytest.approx(la, abs=1e-9)
+        slo, sla = inv_s(rows[b.i].x, rows[b.i].y)
+        assert slo == pytest.approx(b.lon, abs=1e-10)
+        assert sla == pytest.approx(b.lat, abs=1e-10)
+    kw = krovak_crs_params(crs)
+    lo_sql, la_sql = krovak_inv_sql("x", "y", **kw)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({r.i},{r.x!r},{r.y!r})" for r in rows)
+        + ") v(i, x, y)")
+    for d, b in zip(con.execute(
+            f"SELECT {lo_sql}, {la_sql} FROM t ORDER BY i").fetchall(),
+            back):
+        assert d[0] == pytest.approx(b.lon, abs=1e-12)
+        assert d[1] == pytest.approx(b.lat, abs=1e-12)
