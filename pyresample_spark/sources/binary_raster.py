@@ -1586,9 +1586,16 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                     )
                 for r0 in range(0, lh, th):
                     for c0 in range(0, lw, tw):
-                        blk = np.zeros((th, tw, spp), dtype=np.uint8)
                         rs, cs = min(th, lh - r0), min(tw, lw - c0)
-                        blk[:rs, :cs] = lv[r0:r0 + rs, c0:c0 + cs]
+                        # EDGE-replicate the tile padding (not zeros):
+                        # a zero rim breaks the DCT blocks straddling
+                        # the image edge, costing ±1 on otherwise
+                        # losslessly-encodable content — the reader
+                        # crops the padding away either way
+                        blk = np.pad(
+                            lv[r0:r0 + rs, c0:c0 + cs],
+                            ((0, th - rs), (0, tw - cs), (0, 0)),
+                            mode="edge")
                         out.append(jenc(blk))
             else:
                 rps = max(1, min(rows_per_strip, lh))
