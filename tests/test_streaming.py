@@ -691,3 +691,41 @@ def test_streaming_cog_overview_ingest_matches_batch(spark):
     assert got == batch
     assert all(n == (COG_ROWS // 2) * (COG_COLS // 2)
                for n, _ in got.values())
+
+
+def test_streaming_gridshift_regrid_matches_batch(spark, tmp_path):
+    """regrid_nearest works UNCHANGED as a stream-static gather when
+    the source image arrives as a stream: the target→source index
+    frame (inverse → 3-lookup NTv2 fixed point → Clarke 1866 forward)
+    is fully STATIC column math over the target grid, so the only
+    stream-touching stage is the final stateless inner join — each
+    arriving source pixel gathers onto its target cells with no state
+    store. Must reproduce the batch q_regrid_nad27 result exactly."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+    from pyresample_spark.queries.resample import _NAD27_SRC, _NAD27_TGT
+
+    src = synth_image(spark, _NAD27_SRC)
+    batch = {
+        (r.cell_id, r.src_row, r.src_col): r.src_value
+        for r in regrid_nearest(_NAD27_TGT, _NAD27_SRC, src).collect()
+    }
+
+    d = str(tmp_path / "px")
+    src.write.parquet(d)
+    stream = (spark.readStream.schema("row long, col long, value double")
+              .parquet(d))
+    # stateless stream-static join → APPEND output (run_to_memory's
+    # complete mode is for aggregating twins)
+    q = (regrid_nearest(_NAD27_TGT, _NAD27_SRC, stream)
+         .writeStream.format("memory").queryName("stream_regrid")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("stream_regrid")
+    stream_rows = {
+        (r.cell_id, r.src_row, r.src_col): r.src_value
+        for r in got.collect()
+    }
+    assert stream_rows == batch
+    assert len(batch) == 6048
