@@ -22,6 +22,15 @@ sits >25% above the best rep — i.e. external load poisoned the median
 itself, the BENCH_r10 failure shape — up to
 $SPARK_GRAFT_BENCH_EXTRA_REPS (default 2) extra reps run so quiet reps
 reclaim the median; `extra_reps` in the JSON records how many fired.
+
+Load-invariant floor (VERDICT r13 item 2): wall-clock on a shared host
+lost resolution as a regression detector (best-rep floor drifted
+7.86→10.00 across sessions on byte-identical plans). The JSON now also
+carries per-query `cpu` — the median across reps of the REST-scraped
+`executorCpuTime` delta (task CPU nanoseconds actually burned by the
+plan, summed over the query's stages) — plus `comparable12_cpu` /
+`comparable12_cpu_best`. CPU time is what the plan costs regardless of
+who else is on the box, so THOSE are the round-over-round anchors.
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -89,8 +99,27 @@ def main():
     from pyresample_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark("bench")
+    ui_port = int(os.environ.get("SPARK_GRAFT_BENCH_UI_PORT", "4048"))
+    spark = get_spark("bench", ui_port=ui_port)
     spark.range(10).count()  # JVM warmup
+
+    app_id = spark.sparkContext.applicationId
+
+    def cpu_now_ns():
+        """Total executorCpuTime (ns) over all stages so far, via the
+        REST API — real task CPU, unaffected by other load on the host.
+        Returns None when the UI is unreachable (bench still reports
+        wall times; cpu fields go null)."""
+        try:
+            with urllib.request.urlopen(
+                f"http://localhost:{ui_port}/api/v1/applications/"
+                f"{app_id}/stages",
+                timeout=10,
+            ) as r:
+                stages = json.load(r)
+            return sum(st.get("executorCpuTime", 0) or 0 for st in stages)
+        except Exception:
+            return None
     # Initialize the parquet reader path (footer/schema reads only — no
     # data pages) so the first timed query measures the query, not
     # Hadoop FS + codec init.
@@ -135,12 +164,14 @@ def main():
 
     rep_load1 = []
     samples = {name: [] for name in HEADLINE}
+    cpu_samples = {name: [] for name in HEADLINE}
     rep_totals = []
 
     def run_rep():
         l1 = load1_now()
         rep_load1.append(round(l1, 2) if l1 is not None else None)
         tot = 0.0
+        cpu_before = cpu_now_ns()
         for name in HEADLINE:
             spec = registry[name]
             t0 = time.time()
@@ -149,6 +180,12 @@ def main():
             dt = time.time() - t0
             samples[name].append(dt)
             tot += dt
+            # CPU delta scraped OUTSIDE the wall-timed window; each
+            # query's "after" doubles as the next query's "before".
+            cpu_after = cpu_now_ns()
+            if cpu_before is not None and cpu_after is not None:
+                cpu_samples[name].append((cpu_after - cpu_before) / 1e9)
+            cpu_before = cpu_after
         rep_totals.append(tot)
 
     def median(xs):
@@ -180,6 +217,12 @@ def main():
 
     times = {name: round(median(v), 3) for name, v in samples.items()}
     total = round(sum(times.values()), 3)
+    have_cpu = all(cpu_samples[n] for n in HEADLINE)
+    cpu = (
+        {n: round(median(v), 3) for n, v in cpu_samples.items()}
+        if have_cpu
+        else None
+    )
     try:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
@@ -200,6 +243,25 @@ def main():
                 # best rep tracks the plans; the judge reads both.
                 "comparable12_best": round(
                     sum(min(samples[n]) for n in COMPARABLE12), 3
+                ),
+                # Load-invariant anchors (VERDICT r13 item 2): median
+                # executor task-CPU seconds per query; the floor that
+                # host noise can't inflate.
+                "cpu": cpu,
+                "cpu_total": (
+                    round(sum(cpu.values()), 3) if cpu else None
+                ),
+                "comparable12_cpu": (
+                    round(sum(cpu[n] for n in COMPARABLE12), 3)
+                    if cpu
+                    else None
+                ),
+                "comparable12_cpu_best": (
+                    round(
+                        sum(min(cpu_samples[n]) for n in COMPARABLE12), 3
+                    )
+                    if have_cpu
+                    else None
                 ),
                 "sf": sf,
                 "reps": reps,

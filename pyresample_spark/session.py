@@ -13,7 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "pyresample_spark") -> SparkSession:
+def get_spark(app_name: str = "pyresample_spark", ui_port: int | None = None) -> SparkSession:
+    """Session factory.
+
+    ``ui_port``: when given, the Spark UI (and its REST API) is enabled on
+    that port — used by ``bench.py``/``tools/scale_probe_*`` to read REAL
+    executor metrics (``executorCpuTime``, shuffle bytes) instead of
+    guessing from plans. Only honored by the first ``getOrCreate`` in a
+    process (Spark config semantics); tests keep the UI off.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -25,7 +33,8 @@ def get_spark(app_name: str = "pyresample_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui_port else "false")
+        .config("spark.ui.port", str(ui_port or 4040))
         # managed-table machinery (bucketed tables) kept out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/pyresample_spark_warehouse")
         .config(
