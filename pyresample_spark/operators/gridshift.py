@@ -36,7 +36,13 @@ dropped by a bbox filter before the join (the regrid gather simply
 leaves those target cells empty), applied to the pre-shift
 coordinates in both directions — for the inverse that is the target-
 datum position, ~1 cell-width accurate, which the demo fixture covers
-with a whole-degree margin.
+with a whole-degree margin. EDGE-BAND CAVEAT for real national grids
+(ADVICE r13): within ~one cell width of the grid boundary the inverse
+gate can drop a point PROJ would transform (its target-datum position
+falls just outside while its source-datum position is inside) or keep
+one PROJ would reject — acceptable for regrids whose domain sits
+inside the grid; register a grid with a margin beyond your domain if
+the boundary band matters.
 """
 
 from __future__ import annotations

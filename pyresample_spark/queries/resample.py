@@ -2463,6 +2463,94 @@ def q_regrid_to_nad27(spark, sf_dir):
     return regrid_nearest(_NAD27_SRC, _NAD27_TGT, src)
 
 
+# --- q_regrid_nadcon: NADCON .las/.los grid-shift datum --------------
+# Same datum mechanism as q_regrid_nad27, different WIRE FORMAT
+# (VERDICT r13 item 3): NOAA's legacy NADCON pair (conus.las/.los era)
+# instead of NTv2 .gsb. The shift application is the format-agnostic
+# operators/gridshift.py; only the parser differs (sources/nadcon.py
+# — registered through the same +nadgrids= registry), so this query
+# proves the full pipeline end-to-end from NADCON bytes.
+
+def _nadcon_src():
+    from pyresample_spark.geometry import AreaDefinition
+
+    return AreaDefinition(
+        "nad27_conus_lcc_nadcon",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+        "+ellps=clrk66 +nadgrids=demo_nadcon",
+        width=96, height=92,
+        area_extent=(-400000.0, -340000.0, 560000.0, 580000.0),
+    )
+
+
+_NADCON_SRC = _nadcon_src()
+
+
+def _nadcon_oracle() -> str:
+    from pyresample_spark.functions.geo import (
+        lcc_ell_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes
+    from pyresample_spark.sources.nadcon import (
+        demo_nadcon_grid_bytes,
+        parse_nadcon,
+    )
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-96.0, north=True,
+    )
+    sub = parse_nadcon(*demo_nadcon_grid_bytes())["subgrids"][0]
+    gs_ctes, gs_out = shift_duckdb_ctes("inv", sub, "inverse")
+    fx, fy = lcc_ell_sql(
+        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
+        a=6378206.4, b=6356583.8,
+    )
+    s = _NADCON_SRC
+    return f"""
+    WITH tgt AS ({_NAD27_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_nadcon", oracle=_nadcon_oracle())
+def q_regrid_nadcon(spark, sf_dir):
+    """q_regrid_nad27's pipeline fed from a NADCON ``.las``/``.los``
+    PAIR instead of an NTv2 ``.gsb`` (VERDICT r13 item 3 — the last
+    ``+nadgrids=`` format family a legacy-US-data user hits): the
+    spec-built pair parses through sources/nadcon.py (little-endian
+    direct-access records, west→east columns reversed into the shared
+    subgrid shape) and registers under ``+nadgrids=demo_nadcon``; from
+    there the identical format-agnostic machinery runs — the WGS84→
+    NAD27 fixed-point inverse as three bilinear broadcast-join lookups
+    feeding the Clarke 1866 lcc forward. The demo field is DISTINCT
+    from the NTv2 demo's, so a cross-format registry mixup cannot
+    silently pass. Reference path: PROJ's ``+nadgrids=`` consuming
+    NADCON grids behind pyresample/utils/proj4.py:108-165."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NADCON_SRC)
+    return regrid_nearest(_NAD27_TGT, _NADCON_SRC, src)
+
+
 # --- q_regrid_krovak: S-JTSK / Krovak (EPSG 5514, method 9819) -------
 
 def _krovak_areas():

@@ -1122,7 +1122,11 @@ def read_raster_pixels(spark, path: str, fmt: str,
     # harmless-but-noisy FileNotFoundException stack on every scan
     # (VERDICT r12 cosmetic nit b); the option form lists the same
     # files without the probe
-    reader = spark.read.format("binaryFile")
+    # recursiveFileLookup pinned false: load(dir) must list exactly
+    # the directory's own files like the literal glob did, not
+    # descend into partition-style subdirectories (ADVICE r13)
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "false"))
     head, tail = os.path.split(path)
     if head and any(ch in tail for ch in "*?[") and not any(
             ch in head for ch in "*?["):
@@ -1687,6 +1691,13 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
              len(chunks[0]) if nch == 1 else None,
              None if nch == 1 else arr_off([len(b) for b in chunks])),
             (339, 3, spp, fmt_inline, fmt_ext),
+            # YCbCr output carries explicit 4:4:4 subsampling (530):
+            # the TIFF default is 2x2, so a tag-trusting reader that
+            # does not take geometry from the JPEG stream would
+            # otherwise mis-decode chroma (ADVICE r13)
+            *([(530, 3, 2,
+                struct.pack("<2H", 1, 1).ljust(inline_max, b"\x00"),
+                None)] if (jpeg and spp == 3) else []),
             *([(317, 3, 1, predictor, None)] if predictor != 1 else []),
             *([(284, 3, 1, 1, None)] if spp > 1 else []),
             *([(322, 4, 1, tile[0], None), (323, 4, 1, tile[1], None)]

@@ -275,6 +275,17 @@ def _gheap_object(r: _R, addr: int, index: int) -> bytes:
     raise ValueError(f"global heap object {index} not found")
 
 
+def _sel_need(b: bytes, off: int, n: int, what: str) -> None:
+    """Length-gate before unpacking untrusted global-heap/selection
+    bytes, so a truncated region-reference payload raises the loud
+    ValueError the rest of the parser promises instead of a raw
+    struct.error (ADVICE r13)."""
+    if off + n > len(b) or off < 0:
+        raise ValueError(
+            f"truncated {what}: need {n} bytes at offset {off}, "
+            f"have {max(len(b) - off, 0)}")
+
+
 def _parse_serialized_selection(b: bytes, off: int = 0) -> dict:
     """Serialized dataspace selection (the payload of a dataset-region
     reference after its 8-byte object address) → dict. Version-1
@@ -283,6 +294,7 @@ def _parse_serialized_selection(b: bytes, off: int = 0) -> dict:
     u4 padding, u4 length, u4 rank, u4 count, and count × rank u4
     coordinates (points) or count × 2·rank u4 start/end corners
     (hyperslab blocks)."""
+    _sel_need(b, off, 8, "serialized selection header")
     stype = struct.unpack_from("<I", b, off)[0]
     ver = struct.unpack_from("<I", b, off + 4)[0]
     if stype == 0:
@@ -295,6 +307,7 @@ def _parse_serialized_selection(b: bytes, off: int = 0) -> dict:
         )
     if stype not in (1, 2):
         raise NotImplementedError(f"selection type {stype}")
+    _sel_need(b, off, 24, "selection rank/count fields")
     rank = struct.unpack_from("<I", b, off + 16)[0]
     count = struct.unpack_from("<I", b, off + 20)[0]
     if rank == 0 or rank > 32 or count > 1_000_000:
@@ -302,6 +315,8 @@ def _parse_serialized_selection(b: bytes, off: int = 0) -> dict:
             f"implausible selection rank {rank} / count {count}"
         )
     p = off + 24
+    per = (4 if stype == 1 else 8) * rank
+    _sel_need(b, p, per * count, "selection coordinate block")
     if stype == 1:
         pts = []
         for _ in range(count):
@@ -352,6 +367,7 @@ def _read_references(r: _R, kind: str, layout: bytes, shape,
                 out[i] = None
                 continue
             obj = _gheap_object(r, gaddr, gidx)
+            _sel_need(obj, 0, 8, "region-reference heap object")
             oh = struct.unpack_from("<Q", obj, 0)[0]
             out[i] = {
                 "address": oh,

@@ -66,7 +66,14 @@ _SUBGRID_NAMES = (
 
 
 def _rec_str(name: str, value: str, bo: str) -> bytes:
-    return name.ljust(8).encode("ascii") + value.ljust(8).encode("ascii")[:8]
+    v = value.encode("ascii")
+    if len(v) > 8:
+        # silent truncation could clip a SUB_NAME/SYSTEM_F and break
+        # parent/child PARENT-name matching in multi-subgrid files
+        # (ADVICE r13)
+        raise ValueError(
+            f"NTv2: record string {value!r} exceeds 8 ASCII characters")
+    return name.ljust(8).encode("ascii") + v.ljust(8)
 
 
 def _rec_i4(name: str, value: int, bo: str) -> bytes:
@@ -256,22 +263,35 @@ def parse_ntv2(data: bytes) -> dict:
 
 
 # --------------------------------------------------------------------
-# Grid registry for +nadgrids= resolution. Real deployments register
-# the bytes of their .gsb (ship it with the job, or read once from a
-# shared store); q_regrid_nad27 registers the spec-built demo grid.
+# Grid registry for +nadgrids= resolution — FORMAT-NEUTRAL: NTv2
+# (.gsb) and NADCON (.las/.los — sources/nadcon.py) both parse to the
+# same subgrid-dict shape and register here. Real deployments register
+# the bytes of their grid files (ship them with the job, or read once
+# from a shared store); the q_regrid_* demo queries register
+# spec-built fixtures.
 # --------------------------------------------------------------------
 
 _REGISTRY: dict = {}
 
 
+def register_shift_grid(name: str, parsed: dict) -> None:
+    """Register an ALREADY-PARSED grid (any wire format) under
+    ``name`` for ``+nadgrids=name`` resolution. The dict must carry
+    ``subgrids``: a list in the shape :func:`parse_ntv2` /
+    ``nadcon.parse_nadcon`` produce (the operators/gridshift.py
+    contract)."""
+    _REGISTRY[name] = parsed
+
+
 def register_ntv2_grid(name: str, data: bytes) -> None:
-    _REGISTRY[name] = parse_ntv2(data)
+    register_shift_grid(name, parse_ntv2(data))
 
 
 def get_ntv2_grid(name: str) -> dict:
     if name not in _REGISTRY:
         # the demo grids register lazily so +nadgrids=demo_conus /
-        # demo_conus_multi work without importing the query module first
+        # demo_conus_multi / demo_nadcon work without importing the
+        # query module first
         if name == "demo_conus":
             register_ntv2_grid("demo_conus", demo_ntv2_grid_bytes())
             return _REGISTRY[name]
@@ -279,13 +299,26 @@ def get_ntv2_grid(name: str) -> dict:
             register_ntv2_grid("demo_conus_multi",
                                demo_ntv2_multi_grid_bytes())
             return _REGISTRY[name]
+        if name == "demo_nadcon":
+            from pyresample_spark.sources import nadcon
+
+            register_shift_grid(
+                name, nadcon.parse_nadcon(*nadcon.demo_nadcon_grid_bytes()))
+            return _REGISTRY[name]
         raise NotImplementedError(
-            f"+nadgrids={name!r}: no NTv2 grid registered under that name "
-            f"(registered: {sorted(_REGISTRY) or 'none'}; call "
-            "sources.ntv2.register_ntv2_grid(name, gsb_bytes) with the "
-            "grid file's bytes first — @-optional prefixes are stripped)"
+            f"+nadgrids={name!r}: no grid-shift grid registered under "
+            f"that name (registered: {sorted(_REGISTRY) or 'none'}; call "
+            "sources.ntv2.register_ntv2_grid(name, gsb_bytes) or "
+            "sources.nadcon.register_nadcon_grid(name, las, los) with "
+            "the grid file bytes first — @-optional prefixes are "
+            "stripped)"
         )
     return _REGISTRY[name]
+
+
+# grid-format-neutral alias (resolution is format-blind; the name
+# predates NADCON support)
+get_shift_grid = get_ntv2_grid
 
 
 def apply_subgrids(grid: dict) -> list:

@@ -125,7 +125,8 @@ def test_multi_subgrid_parses_and_applies():
 
 
 def test_registry_unknown_raises():
-    with pytest.raises(NotImplementedError, match="no NTv2 grid registered"):
+    with pytest.raises(NotImplementedError,
+                       match="no grid-shift grid registered"):
         ntv2.get_ntv2_grid("no_such_grid")
     # demo grid lazily self-registers
     assert ntv2.get_ntv2_grid("demo_conus")["subgrids"][0]["nrows"] == 21

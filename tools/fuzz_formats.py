@@ -116,6 +116,10 @@ def main():
         load_cf_area_h5,
         parse_hdf5,
     )
+    from pyresample_spark.sources.nadcon import (
+        demo_nadcon_grid_bytes,
+        parse_nadcon,
+    )
     from pyresample_spark.sources.ntv2 import (
         demo_ntv2_grid_bytes,
         demo_ntv2_multi_grid_bytes,
@@ -221,6 +225,12 @@ def main():
         # consistency, float32 node block under corruption
         ("ntv2", demo_ntv2_grid_bytes(), parse_ntv2),
         ("ntv2-multi", demo_ntv2_multi_grid_bytes(), parse_ntv2),
+        # NADCON .las/.los pair: header/dims/row-word/pair-consistency
+        # guards under corruption of EACH file of the pair
+        ("nadcon-las", demo_nadcon_grid_bytes()[0],
+         lambda b: parse_nadcon(b, demo_nadcon_grid_bytes()[1])),
+        ("nadcon-los", demo_nadcon_grid_bytes()[1],
+         lambda b: parse_nadcon(demo_nadcon_grid_bytes()[0], b)),
         ("ppm", encode_ppm(17, 11, (50, 100, 150)), decode_ppm),
         ("ppm-container",
          encode_ppm(17, 11, (50, 100, 150)) * 2, decode_ppm_container),
