@@ -1073,11 +1073,20 @@ def _apply_gridshift_pipeline(t, gs):
             fn = (GS.shift_forward if direction == "forward"
                   else GS.shift_inverse)
             frame = fn(frame, cells, subs[0])
-        else:
+        elif len(subs) <= 16:
             cells = GS.multi_cell_df(spark, subs)
             fn = (GS.shift_forward_multi if direction == "forward"
                   else GS.shift_inverse_multi)
             frame = fn(frame, cells, subs)
+        else:
+            # national-scale files (~100 subgrids): the CASE-chain
+            # selection never finishes analyzing at this width —
+            # flat LEAST selection + meta join (gridshift big_*)
+            meta = GS.meta_df(spark, subs)
+            cells = GS.big_cell_df(spark, subs)
+            fn = (GS.shift_forward_big if direction == "forward"
+                  else GS.shift_inverse_big)
+            frame = fn(frame, meta, cells, subs)
         return frame.select("cell_id", F.col("lon2").alias("lon"),
                             F.col("lat2").alias("lat"))
 

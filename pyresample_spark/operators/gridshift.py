@@ -581,6 +581,225 @@ def inverse_scalar_multi(subs: list, lon: float, lat: float,
 
 
 # --------------------------------------------------------------------
+# MANY-subgrid files (> 16 — Canada's national NTV2_0.GSB carries
+# ~100): the plan-literal CASE-chain selection above explodes in
+# Catalyst analysis when the gi/gj chains restate the index arithmetic
+# per arm (measured: a 100-subgrid file never finished analyzing).
+# This path keeps the selection FLAT and moves the per-grid constants
+# into a second broadcast join:
+#
+#   gid  = LEAST(c_0, ..., c_{n-1}) where c_k = CASE WHEN bbox_k
+#          THEN k ELSE n-1 END — one small predicate per subgrid, no
+#          nesting, no restated arithmetic (the ELSE arm realizes the
+#          same coarsest-grid fallback as the multi path's CASE ELSE)
+#   join META on gid (broadcast; n rows) → the selected grid's
+#          bounds/increments as COLUMNS
+#   gi/gj = ONE expression over those columns (no CASE at all)
+#   join CELLS on (gid, gi, gj) (broadcast) → bilinear stage reading
+#          the meta columns, identical arithmetic to the multi path
+#
+# Two broadcast hash joins per lookup, zero extra shuffles, linear
+# plan size in the subgrid count. Selection order (file_rank, density)
+# comes from order_subgrids exactly like the multi path, so the two
+# paths agree wherever both are legal (pinned by tests).
+# --------------------------------------------------------------------
+
+META_COLS = ("gid", "g_slat", "g_latinc", "g_elong", "g_loninc",
+             "g_nr", "g_nc")
+
+
+def meta_rows(subs: list) -> list:
+    out = []
+    for gid, si in enumerate(order_subgrids(subs)):
+        s = subs[si]
+        out.append((gid, float(s["s_lat"]), float(s["lat_inc"]),
+                    float(s["e_long"]), float(s["long_inc"]),
+                    s["nrows"], s["ncols"]))
+    return out
+
+
+def meta_df(spark, subs: list) -> DataFrame:
+    import pandas as pd
+
+    pdf = pd.DataFrame(meta_rows(subs), columns=list(META_COLS))
+    return F.broadcast(spark.createDataFrame(pdf))
+
+
+def meta_values_sql(subs: list) -> str:
+    vals = ", ".join(
+        "(" + ", ".join([str(r[0])] + [_d(v) for v in r[1:5]]
+                        + [str(r[5]), str(r[6])]) + ")"
+        for r in meta_rows(subs))
+    return f"(VALUES {vals}) AS gmeta({', '.join(META_COLS)})"
+
+
+def big_cell_arrays(subs: list) -> dict:
+    """(gid, gi, gj, corner shifts) — the multi cell table WITHOUT the
+    per-grid constants (those come from the meta join instead, so the
+    two joins don't carry duplicate columns)."""
+    a = multi_cell_arrays(subs)
+    return {k: a[k] for k in ("gid",) + CELL_COLS}
+
+
+def big_cell_df(spark, subs: list) -> DataFrame:
+    import pandas as pd
+
+    pdf = pd.DataFrame(big_cell_arrays(subs),
+                       columns=["gid"] + list(CELL_COLS))
+    return F.broadcast(spark.createDataFrame(pdf))
+
+
+def big_cells_values_sql(subs: list) -> str:
+    a = big_cell_arrays(subs)
+    cols = ("gid",) + CELL_COLS
+    rows = zip(*(a[c].tolist() for c in cols))
+    vals = ", ".join(
+        "(" + ", ".join([str(r[0]), str(r[1]), str(r[2])]
+                        + [_d(v) for v in r[3:]]) + ")"
+        for r in rows)
+    return f"(VALUES {vals}) AS cells({', '.join(cols)})"
+
+
+def big_gid_expr(subs: list, lon: str, lat: str) -> str:
+    """Flat first-match-wins selection: LEAST over one small CASE per
+    subgrid (priority = order_subgrids index)."""
+    ordered = [subs[si] for si in order_subgrids(subs)]
+    n = len(ordered)
+    args = ", ".join(
+        f"CASE WHEN {bbox_filter_sql(s, lon, lat)} THEN {g} ELSE {n - 1} END"
+        for g, s in enumerate(ordered))
+    return f"LEAST({args})"
+
+
+def big_idx_exprs(ls: str = "ls", lw: str = "lw") -> dict:
+    """gi/gj from the META-JOINED constants — one expression, no CASE.
+    Same clamp-to-grid arithmetic as stage1_exprs with the literals
+    replaced by the g_* columns."""
+    gi = (f"CAST(LEAST(GREATEST(FLOOR(ROUND(({ls} - g_slat)"
+          f" / g_latinc, 9)), {_d(0.0)}),"
+          f" CAST(g_nr - 2 AS DOUBLE)) AS BIGINT)")
+    gj = (f"CAST(LEAST(GREATEST(FLOOR(ROUND(({lw} - g_elong)"
+          f" / g_loninc, 9)), {_d(0.0)}),"
+          f" CAST(g_nc - 2 AS DOUBLE)) AS BIGINT)")
+    return {"gi": gi, "gj": gj}
+
+
+def _big_lookup(df: DataFrame, meta: DataFrame, cells: DataFrame,
+                subs: list, lon: str, lat: str, keep: list,
+                out_lon: str, out_lat: str, combine) -> DataFrame:
+    ls = f"(({lat}) * {_d(3600.0)})"
+    lw = f"((-({lon})) * {_d(3600.0)})"
+    staged = df.selectExpr(
+        *keep, f"{lon} AS __glon", f"{lat} AS __glat",
+        f"{ls} AS ls", f"{lw} AS lw",
+        f"{big_gid_expr(subs, lon, lat)} AS gid")
+    withmeta = staged.join(meta, ["gid"])
+    idx = big_idx_exprs()
+    indexed = withmeta.selectExpr(
+        *keep, "__glon", "__glat", "ls", "lw", "gid",
+        "g_slat", "g_latinc", "g_elong", "g_loninc",
+        f"{idx['gi']} AS gi", f"{idx['gj']} AS gj")
+    joined = indexed.join(cells, ["gid", "gi", "gj"])
+    s2 = multi_stage2_exprs()
+    nlon, nlat = combine("__glon", "__glat", s2["dlat"], s2["dlon"])
+    return joined.selectExpr(
+        *keep, f"{nlon} AS {out_lon}", f"{nlat} AS {out_lat}")
+
+
+def shift_forward_big(df: DataFrame, meta: DataFrame, cells: DataFrame,
+                      subs: list, lon: str = "lon", lat: str = "lat",
+                      keep: list = ("cell_id",), out_lon: str = "lon2",
+                      out_lat: str = "lat2") -> DataFrame:
+    df = df.where(F.expr(multi_bbox_filter_sql(subs, lon, lat)))
+    return _big_lookup(df, meta, cells, subs, lon, lat, list(keep),
+                       out_lon, out_lat, _apply_fwd)
+
+
+def shift_inverse_big(df: DataFrame, meta: DataFrame, cells: DataFrame,
+                      subs: list, lon: str = "lon", lat: str = "lat",
+                      keep: list = ("cell_id",), iters: int = 3,
+                      out_lon: str = "lon2",
+                      out_lat: str = "lat2") -> DataFrame:
+    df = df.where(F.expr(multi_bbox_filter_sql(subs, lon, lat)))
+    keep = list(keep)
+    cur = df.selectExpr(*keep, f"{lon} AS __tlon", f"{lat} AS __tlat",
+                        f"{lon} AS __klon", f"{lat} AS __klat")
+    for step in range(iters):
+        last = step == iters - 1
+        olon = out_lon if last else "__klon"
+        olat = out_lat if last else "__klat"
+        cur = _big_lookup(
+            cur, meta, cells, subs, "__klon", "__klat",
+            keep + ["__tlon", "__tlat"], olon, olat,
+            lambda _lo, _la, dlat, dlon: _apply_inv(
+                "__tlon", "__tlat", dlat, dlon))
+    return cur.select(*keep, out_lon, out_lat)
+
+
+def shift_duckdb_ctes_big(rel_in: str, subs: list, direction: str,
+                          lon: str = "lon", lat: str = "lat",
+                          keep: tuple = ("cell_id",), iters: int = 3,
+                          tag: str = "gs") -> tuple:
+    """DuckDB twin of the big path — identical expression text,
+    identical two-join shape."""
+    keep_sql = ", ".join(keep)
+    parts = [
+        f"{tag}_meta AS (SELECT * FROM {meta_values_sql(subs)})",
+        f"{tag}_cells AS (SELECT * FROM {big_cells_values_sql(subs)})",
+        f"{tag}_in AS (SELECT {keep_sql}, {lon} AS glon, {lat} AS glat "
+        f"FROM {rel_in} WHERE {multi_bbox_filter_sql(subs, lon, lat)})",
+    ]
+
+    def stage(n, rel, ilon, ilat, extra_keep, olon, olat, combine):
+        ek = ", ".join(extra_keep)
+        ek = (ek + ", ") if ek else ""
+        ls = f"(({ilat}) * {_d(3600.0)})"
+        lw = f"((-({ilon})) * {_d(3600.0)})"
+        parts.append(
+            f"{tag}_s{n}a AS (SELECT {keep_sql}, {ek}{ilon} AS xlon, "
+            f"{ilat} AS xlat, {ls} AS ls, {lw} AS lw, "
+            f"{big_gid_expr(subs, ilon, ilat)} AS gid FROM {rel})")
+        idx = big_idx_exprs()
+        parts.append(
+            f"{tag}_s{n}b AS (SELECT {keep_sql}, {ek}xlon, xlat, ls, lw, "
+            f"{tag}_s{n}a.gid AS gid, g_slat, g_latinc, g_elong, "
+            f"g_loninc, {idx['gi']} AS gi, {idx['gj']} AS gj "
+            f"FROM {tag}_s{n}a JOIN {tag}_meta "
+            f"ON {tag}_s{n}a.gid = {tag}_meta.gid)")
+        s2 = multi_stage2_exprs(gi=f"{tag}_s{n}b.gi",
+                                gj=f"{tag}_s{n}b.gj")
+        nlon, nlat = combine("xlon", "xlat", s2["dlat"], s2["dlon"])
+        parts.append(
+            f"{tag}_s{n} AS (SELECT {keep_sql}, {ek}{nlon} AS {olon}, "
+            f"{nlat} AS {olat} FROM {tag}_s{n}b JOIN {tag}_cells "
+            f"ON {tag}_s{n}b.gid = {tag}_cells.gid "
+            f"AND {tag}_s{n}b.gi = {tag}_cells.gi "
+            f"AND {tag}_s{n}b.gj = {tag}_cells.gj)")
+        return f"{tag}_s{n}"
+
+    if direction == "forward":
+        out = stage(1, f"{tag}_in", "glon", "glat", [], "lon2", "lat2",
+                    _apply_fwd)
+    elif direction == "inverse":
+        parts.append(
+            f"{tag}_in0 AS (SELECT {keep_sql}, glon AS tlon, "
+            f"glat AS tlat, glon AS klon, glat AS klat FROM {tag}_in)")
+        rel = f"{tag}_in0"
+        for step in range(iters):
+            last = step == iters - 1
+            olon = "lon2" if last else "klon"
+            olat = "lat2" if last else "klat"
+            rel = stage(step + 1, rel, "klon", "klat",
+                        ["tlon", "tlat"], olon, olat,
+                        lambda _lo, _la, dlat, dlon: _apply_inv(
+                            "tlon", "tlat", dlat, dlon))
+        out = rel
+    else:
+        raise ValueError(f"direction must be forward/inverse, got {direction!r}")
+    return ",\n    ".join(parts), out
+
+
+# --------------------------------------------------------------------
 # VERTICAL grids (GTX — sources/gtx.py): heights move by the bilinear
 # value at the point's horizontal position, the position itself is
 # unchanged, so both directions are a SINGLE lookup (no fixed point).

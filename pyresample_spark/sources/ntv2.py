@@ -305,6 +305,10 @@ def get_ntv2_grid(name: str) -> dict:
             register_shift_grid(
                 name, nadcon.parse_nadcon(*nadcon.demo_nadcon_grid_bytes()))
             return _REGISTRY[name]
+        if name == "demo_conus_national":
+            register_ntv2_grid("demo_conus_national",
+                               demo_ntv2_national_grid_bytes())
+            return _REGISTRY[name]
         raise NotImplementedError(
             f"+nadgrids={name!r}: no grid-shift grid registered under "
             f"that name (registered: {sorted(_REGISTRY) or 'none'}; call "
@@ -323,21 +327,19 @@ get_shift_grid = get_ntv2_grid
 
 def apply_subgrids(grid: dict) -> list:
     """The subgrids the column pipeline applies. Single-subgrid files
-    take the tight-literal fast path; multi-subgrid files
+    take the tight-literal fast path; files with ≤16 subgrids
     (parent/child refinement) run the per-point densest-containing-
-    grid selection (operators/gridshift.py multi_* — plan-time CASE
-    chains + one (gid, gi, gj) broadcast join, PROJ's child-wins
-    semantics). The guard below bounds the CASE-chain width: files
-    with very many subgrids (Canada's national file has ~100) would
-    need the join-based selection instead."""
+    grid selection as plan-literal CASE chains (operators/gridshift.py
+    multi_*); LARGER files (Canada's national NTV2_0.GSB carries ~100)
+    dispatch to the flat LEAST-selection + meta-join path
+    (gridshift big_* — the CASE chains measurably never finish
+    analyzing at that width). Dispatch happens at the pipeline level
+    (operators/crs.py grid_leg) on len(); the sanity bound below only
+    rejects absurd counts."""
     subs = grid["subgrids"]
-    if len(subs) > 16:
-        names = [s["sub_name"] for s in subs]
-        raise NotImplementedError(
-            f"NTv2 file has {len(subs)} subgrids ({names[:5]}...); the "
-            "plan-literal selection CASE is bounded at 16 — extract "
-            "the subgrids covering your domain"
-        )
+    if len(subs) > 4096:
+        raise ValueError(
+            f"NTv2 file claims {len(subs)} subgrids — implausible")
     return subs
 
 
@@ -372,12 +374,9 @@ def resolve_nadgrids(names: list) -> list:
             f"+nadgrids: every listed grid is @-optional and none is "
             f"registered ({skipped}) — register at least one"
         )
-    if len(subs) > 16:
-        raise NotImplementedError(
-            f"+nadgrids list resolves to {len(subs)} subgrids; the "
-            "plan-literal selection CASE is bounded at 16 — extract "
-            "the grids covering your domain"
-        )
+    if len(subs) > 4096:
+        raise ValueError(
+            f"+nadgrids list resolves to {len(subs)} subgrids — implausible")
     return subs
 
 
@@ -466,3 +465,53 @@ def demo_ntv2_multi_grid_bytes() -> bytes:
         _DEMO_MULTI_BYTES = ntv2_grid_bytes(
             [demo_ntv2_subgrid(), demo_ntv2_child_subgrid()])
     return _DEMO_MULTI_BYTES
+
+
+def demo_ntv2_national_subgrids() -> list:
+    """A NATIONAL-SCALE file shape (the q_regrid_ntv2_national
+    fixture): the demo window lat 35..45°N / lon 90..100°W TILED into
+    5×5 = 25 standalone 2°×2° subgrids at 0.5° spacing — more than the
+    16-arm CASE bound, so the pipeline exercises the flat-selection
+    big path (Canada's real NTV2_0.GSB carries ~100 such subgrids).
+    The shift field is ONE smooth global polynomial evaluated per
+    node, so values agree exactly at shared tile-edge nodes and the
+    interpolated surface is continuous across tiles."""
+    import numpy as np
+
+    def field(lat_deg, lon_w_deg):
+        u = (lat_deg - 35.0) / 10.0
+        v = (lon_w_deg - 90.0) / 10.0
+        la = 0.15 + 0.55 * u + 0.20 * v - 0.25 * u * v + 0.10 * u * u
+        lo = 1.10 + 0.80 * v - 0.45 * u + 0.35 * u * v - 0.15 * v * v
+        return np.float32(la), np.float32(lo)
+
+    subs = []
+    for ti in range(5):
+        for tj in range(5):
+            la = np.empty((5, 5), dtype=np.float32)
+            lo = np.empty((5, 5), dtype=np.float32)
+            for i in range(5):
+                for j in range(5):
+                    la[i, j], lo[i, j] = field(
+                        35.0 + 2.0 * ti + 0.5 * i,
+                        90.0 + 2.0 * tj + 0.5 * j)
+            subs.append({
+                "name": f"NAT{ti}{tj}",
+                "s_lat": (35.0 + 2.0 * ti) * 3600.0,
+                "n_lat": (37.0 + 2.0 * ti) * 3600.0,
+                "e_long": (90.0 + 2.0 * tj) * 3600.0,
+                "w_long": (92.0 + 2.0 * tj) * 3600.0,
+                "lat_inc": 1800.0, "long_inc": 1800.0,
+                "lat_shift": la, "lon_shift": lo,
+            })
+    return subs
+
+
+_DEMO_NATIONAL_BYTES: bytes | None = None
+
+
+def demo_ntv2_national_grid_bytes() -> bytes:
+    global _DEMO_NATIONAL_BYTES
+    if _DEMO_NATIONAL_BYTES is None:
+        _DEMO_NATIONAL_BYTES = ntv2_grid_bytes(demo_ntv2_national_subgrids())
+    return _DEMO_NATIONAL_BYTES

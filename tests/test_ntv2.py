@@ -117,11 +117,12 @@ def test_multi_subgrid_parses_and_applies():
     g = ntv2.parse_ntv2(ntv2.ntv2_grid_bytes([tiny_subgrid(), child]))
     assert [s["sub_name"] for s in g["subgrids"]] == ["TINY", "CHILD"]
     assert len(ntv2.apply_subgrids(g)) == 2
-    # the CASE-chain width is bounded: very-many-subgrid files raise
+    # many-subgrid files no longer raise (they dispatch to the
+    # flat-selection big path at the pipeline level); only absurd
+    # counts are rejected
     many = ntv2.parse_ntv2(ntv2.ntv2_grid_bytes(
         [dict(tiny_subgrid(), name=f"G{i}") for i in range(17)]))
-    with pytest.raises(NotImplementedError, match="17 subgrids"):
-        ntv2.apply_subgrids(many)
+    assert len(ntv2.apply_subgrids(many)) == 17
 
 
 def test_registry_unknown_raises():
@@ -550,3 +551,54 @@ def test_writer_rejects_long_record_strings():
     sg["name"] = "TOO_LONG_NAME"
     with pytest.raises(ValueError, match="exceeds 8 ASCII"):
         ntv2.ntv2_grid_bytes([sg])
+
+
+def test_big_path_agrees_with_multi_path(spark):
+    """The flat LEAST-selection + meta-join path (>16-subgrid dispatch)
+    must be BIT-IDENTICAL to the CASE-chain multi path on a file where
+    both are legal — same ordering, same arithmetic, different plan
+    shape — both directions."""
+    from pyresample_spark.operators import gridshift as GS
+
+    subs = _parsed_multi()
+    pts = ([(i, -99.7 + i * 0.53, 35.4 + (i * 0.41) % 9.2)
+            for i in range(20)]
+           + [(100, -95.0, 40.0), (101, -97.0, 42.0), (102, -93.0, 38.0)])
+    df = spark.createDataFrame(pts, "cell_id long, lon double, lat double")
+    mcells = GS.multi_cell_df(spark, subs)
+    meta = GS.meta_df(spark, subs)
+    bcells = GS.big_cell_df(spark, subs)
+    for direction in ("forward", "inverse"):
+        if direction == "forward":
+            a = GS.shift_forward_multi(df, mcells, subs)
+            b = GS.shift_forward_big(df, meta, bcells, subs)
+        else:
+            a = GS.shift_inverse_multi(df, mcells, subs)
+            b = GS.shift_inverse_big(df, meta, bcells, subs)
+        ra = {r.cell_id: (r.lon2, r.lat2) for r in a.collect()}
+        rb = {r.cell_id: (r.lon2, r.lat2) for r in b.collect()}
+        assert ra == rb, f"{direction}: big != multi"
+
+
+def test_national_scale_scalar_coverage():
+    """Every tile of the 25-subgrid national fixture is selectable and
+    the field is continuous across tile boundaries (shared global
+    polynomial — shared edge nodes are value-equal)."""
+    from pyresample_spark.operators import gridshift as GS
+
+    subs = ntv2.parse_ntv2(ntv2.demo_ntv2_national_grid_bytes())["subgrids"]
+    assert len(subs) == 25
+    hit = set()
+    for ti in range(5):
+        for tj in range(5):
+            lon = -(91.0 + 2.0 * tj)
+            lat = 36.0 + 2.0 * ti
+            d = GS.multi_interp_scalar(subs, lon, lat)
+            assert d is not None
+            hit.add((ti, tj))
+    assert len(hit) == 25
+    # boundary continuity: a point on the vertical seam between two
+    # tiles interpolates identically from either side's clamped cell
+    left = GS._interp_scalar(subs[0], -92.0, 36.0, clamp=True)
+    right = GS._interp_scalar(subs[1], -92.0, 36.0, clamp=True)
+    assert left == pytest.approx(right, abs=1e-12)
