@@ -37,8 +37,10 @@ Format scope (documented, checked, errors are loud):
   (pixel-scale + tiepoint — rotated ModelTransformationTag rejected
   like utils/rasterio.py). New-style JPEG (compression 7) decodes
   natively via the baseline T.81 codec (sources/jpeg.py), incl.
-  shared JPEGTables; old-style compression 6 and unmapped EPSG codes
-  raise loudly.
+  shared JPEGTables; OLD-style compression 6 decodes its two
+  well-defined shapes (whole-image interchange stream, grayscale
+  entropy strips + table tags); its underspecified corners and
+  unmapped EPSG codes raise loudly.
 """
 
 from __future__ import annotations
@@ -743,8 +745,12 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
     (compression 7, TIFF TechNote2) decodes natively via the baseline
     T.81 codec in sources/jpeg.py — per-strip/tile interchange or
     abbreviated streams with shared JPEGTables (tag 347), grayscale or
-    YCbCr/RGB by PhotometricInterpretation; the deprecated old-style
-    compression 6 raises loudly naming the re-encode workaround."""
+    YCbCr/RGB by PhotometricInterpretation. The deprecated OLD-style
+    compression 6 decodes in its two well-defined shapes — a whole-
+    image interchange stream (tags 513/514) or grayscale entropy-only
+    strips with table-pointer tags (519/520/521, headers synthesized
+    per strip); its underspecified corners raise loudly naming the
+    re-encode workaround."""
     import zlib
 
     t = parse_tiff(buf, ifd)
@@ -785,13 +791,7 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             f"{len(buf)}-byte file — corrupt or unsupported input"
         )
     comp = t.get(259, [1])[0]
-    if comp == 6:
-        raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6, deprecated by TIFF "
-            "TechNote2) is unsupported — re-write the granule with "
-            "new-style compression 7, which decodes natively"
-        )
-    if comp not in (1, 5, 7, 8, 32773, 32946):
+    if comp not in (1, 5, 6, 7, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {comp} (baseline, LZW, "
             "DEFLATE, PackBits and new-style JPEG decoded natively; "
@@ -822,6 +822,122 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             "predictor 3 (floating-point) is defined for float "
             f"samples only, got SampleFormat {fmt}"
         )
+    if comp == 6:
+        # OLD-style JPEG (TIFF 6.0 §22, deprecated by TechNote2 —
+        # rare, but legacy products exist; GDAL/libjpeg read the same
+        # two well-defined shapes). Shape A: tag 513/514 point at ONE
+        # complete interchange stream covering the whole image —
+        # decode it directly. Shape B: strips hold raw entropy-coded
+        # data and tags 519/520/521 point at the quant/DC/AC tables —
+        # synthesize a valid per-strip stream (SOI DQT SOF0 DHT DRI
+        # SOS data EOI) and decode. Anything outside those shapes
+        # raises loudly naming the workaround.
+        from pyresample_spark.sources.jpeg import decode_baseline_jpeg
+
+        if bits != 8 or fmt != 1:
+            raise ValueError(
+                f"old-style JPEG TIFF must be 8-bit unsigned, got "
+                f"bits={bits} fmt={fmt}")
+        if pred != 1:
+            raise ValueError("predictor is undefined for JPEG compression")
+        proc = t.get(512, [1])[0]
+        if proc != 1:
+            raise NotImplementedError(
+                f"old-style JPEG process {proc} (only 1 = baseline "
+                "DCT decodes; lossless process 14 needs a re-encode)")
+        photo6 = t.get(262, [1])[0]
+        if 513 in t:
+            joff = ints(513, "JPEGInterchangeFormat")[0]
+            jlen = (ints(514, "JPEGInterchangeFormatLength")[0]
+                    if 514 in t else len(buf) - joff)
+            if joff + jlen > len(buf):
+                raise ValueError("old-style JPEG interchange stream "
+                                 "out of bounds")
+            arr = decode_baseline_jpeg(
+                buf[joff:joff + jlen],
+                color_transform=(photo6 == 6) if spp == 3 else None)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[2] != spp:
+                raise ValueError(
+                    f"old-style JPEG stream has {arr.shape[2]} "
+                    f"component(s), TIFF declares {spp}")
+            if arr.shape[0] < h or arr.shape[1] < w:
+                raise ValueError(
+                    f"old-style JPEG stream {arr.shape[:2]} smaller "
+                    f"than the declared {h}x{w} raster")
+            out6 = arr[:h, :w, :].astype("f8")
+            return (out6[:, :, 0] if spp == 1
+                    else np.moveaxis(out6, 2, 0))
+        # shape B: per-strip entropy data + table-pointer tags
+        if spp != 1:
+            raise NotImplementedError(
+                "old-style per-strip JPEG with multiple components is "
+                "outside the subset (interchange-stream files and "
+                "grayscale strip files decode natively; re-encode to "
+                "compression 7 otherwise)")
+        if 322 in t:
+            raise NotImplementedError(
+                "old-style JPEG in tiled organization is outside the "
+                "subset — re-encode to compression 7")
+
+        def _oldjpeg_table(tag, what, huffman):
+            off6 = ints(tag, what)[0]
+            if huffman:
+                if off6 + 16 > len(buf):
+                    raise ValueError(f"truncated {what}")
+                nvals = sum(buf[off6:off6 + 16])
+                if off6 + 16 + nvals > len(buf):
+                    raise ValueError(f"truncated {what}")
+                return buf[off6:off6 + 16 + nvals]
+            if off6 + 64 > len(buf):
+                raise ValueError(f"truncated {what}")
+            return buf[off6:off6 + 64]  # 64 bytes, zigzag order
+
+        # table tags are fetched lazily: a legacy writer that stored
+        # COMPLETE streams per strip (SOI-led) needs no tags at all
+        q6 = _oldjpeg_table(519, "JPEGQTables", False) if 519 in t else None
+        dc6 = _oldjpeg_table(520, "JPEGDCTables", True) if 520 in t else None
+        ac6 = _oldjpeg_table(521, "JPEGACTables", True) if 521 in t else None
+        dri6 = t.get(515, [0])[0]
+
+        def _synth_stream(chunk: bytes, rows: int, width_: int) -> bytes:
+            # some legacy writers stored complete streams per strip
+            if chunk[:2] == b"\xff\xd8":
+                return chunk
+            if q6 is None or dc6 is None or ac6 is None:
+                raise ValueError(
+                    "old-style JPEG strip holds raw entropy data but "
+                    "the JPEGQTables/DCTables/ACTables tags "
+                    "(519/520/521) are missing — corrupt or "
+                    "unsupported legacy layout")
+            s = bytearray(b"\xff\xd8")
+            s += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q6
+            s += (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, rows,
+                                            width_, 1)
+                  + bytes([1, 0x11, 0]))
+            s += (b"\xff\xc4" + struct.pack(">H", 3 + len(dc6))
+                  + b"\x00" + dc6)
+            s += (b"\xff\xc4" + struct.pack(">H", 3 + len(ac6))
+                  + b"\x10" + ac6)
+            if dri6:
+                s += b"\xff\xdd" + struct.pack(">HH", 4, dri6)
+            s += (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                  + bytes([1, 0x00, 0, 63, 0]))
+            s += chunk + b"\xff\xd9"
+            return bytes(s)
+
+        def jpeg_block(chunk: bytes, rows: int, width_: int) -> np.ndarray:
+            arr = decode_baseline_jpeg(_synth_stream(bytes(chunk),
+                                                     rows, width_))
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[0] < rows or arr.shape[1] < width_:
+                raise ValueError(
+                    f"old-style JPEG strip {arr.shape[:2]} smaller "
+                    f"than the declared {rows}x{width_} region")
+            return arr[:rows, :width_, :]
+
     jpeg_tables = None
     if comp == 7:
         # new-style JPEG (TechNote2): each strip/tile is a complete
@@ -937,9 +1053,10 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                 )
                 planes.append(block(raw, h, w))
             out = np.concatenate(planes, axis=2).astype("f8")
-        elif comp == 7:
+        elif comp in (6, 7):
             # each strip is an independent JPEG stream (MCU-padded),
             # so strips decode individually, not as concatenated bytes
+            # (for old-style 6, jpeg_block synthesizes the headers)
             rps = ints(278, "rows/strip", [h])[0]
             if rps <= 0:
                 raise ValueError(f"degenerate rows/strip {rps}")

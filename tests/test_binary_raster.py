@@ -3010,11 +3010,13 @@ def test_jpeg_tiff_rgb_ycbcr():
     assert np.abs(got - rgb.astype("f8")).max() <= 2.0
 
 
-def test_old_style_jpeg_raises_loudly():
+def test_old_style_jpeg_complete_streams_decode():
+    """A comp-6 file whose strips hold COMPLETE SOI-led streams (one
+    real legacy shape) decodes value-exact with no table tags at all
+    — the per-strip synthesis is bypassed."""
     img = _block_const_image(2, 2)
-    buf = tiff_bytes_jpeg(img, compress_tag=6)
-    with pytest.raises(NotImplementedError, match="old-style JPEG"):
-        tiff_pixels(buf)
+    buf = tiff_bytes_jpeg(img, rows_per_strip=8, compress_tag=6)
+    np.testing.assert_array_equal(tiff_pixels(buf), img.astype("f8"))
 
 
 def test_jpeg_progressive_raises_loudly():
@@ -3125,3 +3127,247 @@ def test_independent_cog_chain_overview_select_and_area():
     area = area_from_geotiff(buf, "cog")
     assert area.width == 12 and area.height == 8
     assert area.area_extent[0] == 100.0
+
+
+# --- OLD-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22) -----------
+# Spec-built fixtures for the two well-defined shapes the reader
+# supports: (A) one whole-image interchange stream behind tags
+# 513/514, (B) grayscale entropy-only strips with table-pointer tags
+# 519/520/521 (+515 restart). Shape-B entropy data comes from the
+# INDEPENDENT Annex-K encoder in test_jpeg.py, so the tables the tags
+# point at are fixed across strips like real legacy writers emitted.
+
+
+def _oldjpeg_ifd(h, w, spp, extra_entries, blobs_by_tag,
+                 strips=None, rows_per_strip=None):
+    """Minimal little-endian classic-TIFF assembler for comp-6
+    fixtures (independent of the package writer)."""
+    entries = [
+        (256, 3, 1, w, None), (257, 3, 1, h, None),
+        (259, 3, 1, 6, None), (277, 3, 1, spp, None),
+    ]
+    if spp == 1:
+        entries.append((258, 3, 1, 8, None))
+        entries.append((262, 3, 1, 1, None))
+    else:
+        entries.append((258, 3, 3, None,
+                        struct.pack("<3H", 8, 8, 8)))
+        entries.append((262, 3, 1, 6, None))
+    entries += extra_entries
+    if strips is not None:
+        rows_per_strip = rows_per_strip or h
+        entries.append((278, 3, 1, rows_per_strip, None))
+        if len(strips) == 1:
+            entries.append((273, 4, 1, "STRIP0", None))
+            entries.append((279, 4, 1, len(strips[0]), None))
+        else:
+            entries.append((273, 4, len(strips), "STRIPS", None))
+            entries.append((279, 4, len(strips), None, struct.pack(
+                f"<{len(strips)}I", *(len(s) for s in strips))))
+    entries.sort(key=lambda x: x[0])
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs, offs, o = [], {}, ext_off
+    for tag, typ, count, inline, ext in entries:
+        if ext is not None:
+            offs[tag] = o
+            blobs.append(ext)
+            o += len(ext)
+    # table/stream blobs (tags point at absolute offsets)
+    blob_offsets = {}
+    for tag, data in blobs_by_tag.items():
+        blob_offsets[tag] = o
+        blobs.append(data)
+        o += len(data)
+    if strips and len(strips) > 1:
+        offs[273] = o
+        o += 4 * len(strips)
+    strip_offs = []
+    if strips:
+        for s in strips:
+            strip_offs.append(o)
+            o += len(s)
+    out = b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, inline, ext in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if ext is not None:
+            out += struct.pack("<I", offs[tag])
+        elif inline == "STRIP0":
+            out += struct.pack("<I", strip_offs[0])
+        elif inline == "STRIPS":
+            out += struct.pack("<I", offs[273])
+        elif tag in blob_offsets and inline is None:
+            out += struct.pack("<I", blob_offsets[tag])
+        elif typ == 3:
+            out += struct.pack("<H", inline).ljust(4, b"\x00")
+        else:
+            out += struct.pack("<I", inline)
+        # tags whose inline VALUE is an offset into blobs_by_tag
+    out += struct.pack("<I", 0)
+    body = b"".join(blobs)
+    if strips and len(strips) > 1:
+        body += struct.pack(f"<{len(strips)}I", *strip_offs)
+    if strips:
+        body += b"".join(strips)
+    return out + body, blob_offsets
+
+
+def test_oldjpeg_interchange_stream_gray():
+    """Shape A grayscale: tags 513/514 name one complete stream; the
+    decode must equal the new-style decode of the same stream,
+    value-exact on the blockwise-constant all-ones-quant fixture."""
+    from pyresample_spark.sources.jpeg import encode_baseline_jpeg
+
+    rng = np.random.RandomState(5)
+    img = np.repeat(np.repeat(rng.randint(0, 256, (3, 4)), 8, 0),
+                    8, 1).astype(np.uint8)
+    img = img[:22, :29]  # non-MCU-aligned crop
+    stream = encode_baseline_jpeg(img)
+    # 513 holds the offset INLINE as a LONG value: patch after layout.
+    # Easiest: pass the stream as a blob under tag 513 and let the
+    # builder point 513's inline LONG at it.
+    buf, off6 = _oldjpeg_ifd(
+        22, 29, 1,
+        [(512, 3, 1, 1, None),
+         (513, 4, 1, None, None),   # patched via blob_offsets
+         (514, 4, 1, len(stream), None)],
+        {513: stream})
+    out = tiff_pixels(buf)
+    np.testing.assert_array_equal(out, img.astype("f8"))
+
+
+def test_oldjpeg_interchange_stream_rgb():
+    """Shape A 3-component YCbCr (photometric 6) through the same
+    whole-image stream path."""
+    from pyresample_spark.sources.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    img = np.repeat(np.repeat(rng.randint(0, 256, (2, 3, 3)), 8, 0),
+                    8, 1).astype(np.uint8)
+    stream = encode_baseline_jpeg(img)
+    expect = decode_baseline_jpeg(stream)  # lossy YCbCr roundtrip
+    buf, _ = _oldjpeg_ifd(
+        16, 24, 3,
+        [(512, 3, 1, 1, None),
+         (513, 4, 1, None, None),
+         (514, 4, 1, len(stream), None)],
+        {513: stream})
+    out = tiff_pixels(buf)  # (3, h, w)
+    np.testing.assert_array_equal(
+        np.moveaxis(out, 0, 2), expect.astype("f8"))
+
+
+def _entropy_of(stream: bytes) -> bytes:
+    """Extract the entropy-coded segment of a single-scan stream:
+    everything after the SOS header up to the trailing EOI."""
+    i = stream.index(b"\xff\xda")
+    seg_len = struct.unpack_from(">H", stream, i + 2)[0]
+    start = i + 2 + seg_len
+    assert stream.endswith(b"\xff\xd9")
+    return stream[start:-2]
+
+
+def test_oldjpeg_entropy_strips_gray_exact():
+    """Shape B: grayscale entropy-only strips + table-pointer tags.
+    DC-only blocks with an all-ones quant table decode value-exact;
+    tables come from the INDEPENDENT Annex-K encoder so every strip
+    shares the one table set the tags point at."""
+    import test_jpeg as tj
+
+    nbx = 4          # 32 px wide
+    rows_per_strip = 8
+    nstrips = 3
+    strips, levels = [], []
+    rng = np.random.RandomState(11)
+    for si in range(nstrips):
+        blocks = []
+        row_levels = []
+        for bx in range(nbx):
+            lvl = int(rng.randint(0, 32)) * 8
+            blk = np.zeros((8, 8), dtype=int)
+            blk[0, 0] = lvl
+            blocks.append(blk)
+            row_levels.append(min(255, round(lvl / 8.0) + 128))
+        levels.append(row_levels)
+        stream = tj.independent_encode_gray(
+            blocks, nbx, rows_per_strip, nbx * 8, np.ones((8, 8)))
+        strips.append(_entropy_of(stream))
+    q = bytes([1] * 64)
+    dc = bytes(tj.K_DC_BITS) + bytes(tj.K_DC_VALS)
+    ac = bytes(tj.K_AC_BITS) + bytes(tj.K_AC_VALS)
+    buf, _ = _oldjpeg_ifd(
+        rows_per_strip * nstrips, nbx * 8, 1,
+        [(512, 3, 1, 1, None),
+         (519, 4, 1, None, None),
+         (520, 4, 1, None, None),
+         (521, 4, 1, None, None)],
+        {519: q, 520: dc, 521: ac},
+        strips=strips, rows_per_strip=rows_per_strip)
+    out = tiff_pixels(buf)
+    assert out.shape == (24, 32)
+    for si in range(nstrips):
+        for bx in range(nbx):
+            block = out[si * 8:si * 8 + 8, bx * 8:bx * 8 + 8]
+            assert (block == levels[si][bx]).all()
+
+
+def test_oldjpeg_entropy_strips_real_content_tolerance():
+    """Shape B with REAL DCT content and the Annex-K quant table:
+    decode within the ±1 T.81 reconstruction tolerance of the scalar
+    IDCT reference, per strip."""
+    import test_jpeg as tj
+
+    nbx, rows_per_strip, nstrips = 3, 8, 2
+    strips, refs = [], []
+    for si in range(nstrips):
+        blocks = tj._fixture_blocks(seed=20 + si, nby=1, nbx=nbx)
+        stream = tj.independent_encode_gray(
+            blocks, nbx, rows_per_strip, nbx * 8, tj.K_LUMA_QUANT)
+        strips.append(_entropy_of(stream))
+        refs.append(tj._scalar_idct_reference(
+            blocks, nbx, rows_per_strip, nbx * 8, tj.K_LUMA_QUANT))
+    q = bytes(int(tj.K_LUMA_QUANT.flat[tj.ZIGZAG[i]]) for i in range(64))
+    dc = bytes(tj.K_DC_BITS) + bytes(tj.K_DC_VALS)
+    ac = bytes(tj.K_AC_BITS) + bytes(tj.K_AC_VALS)
+    buf, _ = _oldjpeg_ifd(
+        rows_per_strip * nstrips, nbx * 8, 1,
+        [(512, 3, 1, 1, None),
+         (519, 4, 1, None, None),
+         (520, 4, 1, None, None),
+         (521, 4, 1, None, None)],
+        {519: q, 520: dc, 521: ac},
+        strips=strips, rows_per_strip=rows_per_strip)
+    out = tiff_pixels(buf)
+    ref = np.concatenate(refs, axis=0)
+    assert np.abs(out - ref).max() <= 1.0
+
+
+def test_oldjpeg_guards():
+    """The underspecified corners stay loud: lossless process,
+    multi-component strips, tiled organization."""
+    import test_jpeg as tj
+
+    blocks = [np.zeros((8, 8), dtype=int)]
+    stream = tj.independent_encode_gray(blocks, 1, 8, 8,
+                                        np.ones((8, 8)))
+    ent = _entropy_of(stream)
+    q = bytes([1] * 64)
+    dc = bytes(tj.K_DC_BITS) + bytes(tj.K_DC_VALS)
+    ac = bytes(tj.K_AC_BITS) + bytes(tj.K_AC_VALS)
+
+    def build(extra, spp=1):
+        return _oldjpeg_ifd(
+            8, 8, spp,
+            [(519, 4, 1, None, None), (520, 4, 1, None, None),
+             (521, 4, 1, None, None)] + extra,
+            {519: q, 520: dc, 521: ac}, strips=[ent],
+            rows_per_strip=8)[0]
+
+    with pytest.raises(NotImplementedError, match="process 14"):
+        tiff_pixels(build([(512, 3, 1, 14, None)]))
+    with pytest.raises(NotImplementedError, match="multiple components"):
+        tiff_pixels(build([(512, 3, 1, 1, None)], spp=3))
