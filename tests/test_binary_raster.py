@@ -3371,3 +3371,44 @@ def test_oldjpeg_guards():
         tiff_pixels(build([(512, 3, 1, 14, None)]))
     with pytest.raises(NotImplementedError, match="multiple components"):
         tiff_pixels(build([(512, 3, 1, 1, None)], spp=3))
+
+
+def test_oldjpeg_entropy_strips_restart_interval():
+    """Shape B with tag 515 (JPEGRestartInterval): RSTn markers inside
+    the raw entropy data decode through the synthesized DRI segment —
+    value-exact on blockwise-constant all-ones-quant content."""
+    from pyresample_spark.sources.jpeg import encode_baseline_jpeg
+
+    img = np.repeat(np.repeat(np.arange(12).reshape(3, 4) * 20, 8, 0),
+                    8, 1).astype(np.uint8)
+    stream = encode_baseline_jpeg(img, restart_interval=2)
+
+    def segs(s):
+        i, out = 2, {}
+        while i < len(s) - 1:
+            assert s[i] == 0xFF
+            m = s[i + 1]
+            if m == 0xD9:
+                break
+            ln = struct.unpack_from(">H", s, i + 2)[0]
+            out.setdefault(m, []).append(s[i + 4:i + 2 + ln])
+            if m == 0xDA:
+                out["entropy"] = s[i + 2 + ln:-2]
+                break
+            i += 2 + ln
+        return out
+
+    sg = segs(stream)
+    q = bytes(sg[0xDB][0][1:])  # drop the Pq/Tq byte -> 64 zigzag bytes
+    dc = bytes(next(b[1:] for b in sg[0xC4] if b[0] >> 4 == 0))
+    ac = bytes(next(b[1:] for b in sg[0xC4] if b[0] >> 4 == 1))
+    dri = struct.unpack(">H", sg[0xDD][0])[0]
+    assert dri == 2 and b"\xff\xd0" in sg["entropy"]
+    buf, _ = _oldjpeg_ifd(
+        24, 32, 1,
+        [(512, 3, 1, 1, None), (515, 3, 1, dri, None),
+         (519, 4, 1, None, None), (520, 4, 1, None, None),
+         (521, 4, 1, None, None)],
+        {519: q, 520: dc, 521: ac},
+        strips=[sg["entropy"]], rows_per_strip=24)
+    np.testing.assert_array_equal(tiff_pixels(buf), img.astype("f8"))
