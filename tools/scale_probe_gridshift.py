@@ -1,93 +1,93 @@
-"""Measured scale evidence for the NTv2 grid-shift regrid (PERF.md
-datum for q_regrid_nad27 / q_regrid_to_nad27).
+"""Measured shuffle volume for the grid-shift datum paths (round 14 —
+PERF.md evidence for the new national-scale and vertical pipelines).
 
-Two axes:
-1. TARGET growth — the q_regrid_nad27 plan (polar inverse → 3
-   fixed-point bilinear lookups, each a broadcast hash join → Clarke
-   1866 lcc forward → equi-join gather) over a 64×-growing WGS84
-   target against the fixed NAD27 source. Expectation: output-linear,
-   no data-proportional shuffle.
-2. GRID growth — the same fixed target probed through synthetic
-   NTv2 grids densified up to ~641k nodes (the real NOAA conus file
-   is ~1.2M). The grid is the BROADCAST side of every lookup, so the
-   probe wall should stay ~flat while the cell table grows 1600×
-   (only the broadcast build grows, bounded by grid bytes).
+Runs ``q_regrid_ntv2_national`` (the >16-subgrid flat-selection path:
+LEAST gid + broadcast META join + broadcast cell join, ×3 unrolled
+inverse lookups) and ``q_geoid_height`` (GTX vertical: one broadcast
+corner join) in a UI-enabled session and reports, per query:
 
-Run: python tools/scale_probe_gridshift.py
+- total shuffle WRITE/READ records and bytes summed over the query's
+  stages (Spark REST API — real executor metrics, not plan guesses),
+- the number of Exchange nodes in the formatted plan,
+
+verifying the structural claim: the POINT side of every grid-shift
+lookup never shuffles — the only exchanges are the broadcast builds of
+the few-hundred-row meta/cell tables, so shuffle volume is
+corpus-size-INDEPENDENT and the design holds at 100 TB.
+
+Run: python tools/scale_probe_gridshift.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+UI_PORT = 4047
 
 
-def sink(df):
-    df.write.format("noop").mode("overwrite").save()
+def rest(path):
+    with urllib.request.urlopen(
+        f"http://localhost:{UI_PORT}/api/v1/{path}", timeout=10
+    ) as r:
+        return json.load(r)
+
+
+def stage_totals(app_id, after_stage):
+    tot = dict(sw_rec=0, sw_mb=0.0, sr_rec=0, sr_mb=0.0, stages=0)
+    for st in rest(f"applications/{app_id}/stages"):
+        if st["stageId"] <= after_stage or st["status"] == "SKIPPED":
+            continue
+        tot["stages"] += 1
+        tot["sw_rec"] += st.get("shuffleWriteRecords", 0)
+        tot["sw_mb"] += st.get("shuffleWriteBytes", 0) / 1e6
+        tot["sr_rec"] += st.get("shuffleReadRecords", 0)
+        tot["sr_mb"] += st.get("shuffleReadBytes", 0) / 1e6
+    return tot
 
 
 def main():
-    from pyresample_spark.geometry import AreaDefinition
-    from pyresample_spark.operators import gridshift as GS
-    from pyresample_spark.operators.crs import regrid_nearest
-    from pyresample_spark.operators.resample_grid import synth_image
-    from pyresample_spark.queries.resample import _NAD27_SRC, _NAD27_TGT
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from pyresample_spark.session import get_spark
-    from pyresample_spark.sources.ntv2 import demo_ntv2_grid_bytes, parse_ntv2
 
-    spark = get_spark("scale-probe-gridshift")
+    spark = get_spark("scale-probe-gridshift", ui_port=UI_PORT)
     spark.range(10).count()
-    src_img = synth_image(spark, _NAD27_SRC)
+    app_id = spark.sparkContext.applicationId
 
-    print("== target growth (fixed 441-node demo grid) ==")
-    w0, h0 = _NAD27_TGT.width, _NAD27_TGT.height
-    for k in range(4):
-        s = 2 ** k
-        tgt = AreaDefinition(
-            f"probe_tgt_{s}", _NAD27_TGT.crs, w0 * s, h0 * s,
-            _NAD27_TGT.area_extent)
-        df = regrid_nearest(tgt, _NAD27_SRC, src_img)
-        sink(df)  # warm (plan compile + broadcast build)
-        t0 = time.time()
-        sink(df)
-        print(f"target cells {w0 * s * h0 * s:>8}  wall {time.time() - t0:.2f} s")
+    import pyresample_spark.queries as Q
 
-    print("== grid growth (fixed 268k-cell target) ==")
-    tgt = AreaDefinition("probe_tgt_8", _NAD27_TGT.crs, w0 * 8, h0 * 8,
-                         _NAD27_TGT.area_extent)
-    base = parse_ntv2(demo_ntv2_grid_bytes())["subgrids"][0]
-    t = tgt.grid(spark)
-    from pyresample_spark.operators.crs import inverse
-    inv = inverse(tgt.crs)
-    lon, lat = inv("cx", "cy")
-    pts = t.select("cell_id", lon.alias("lon"), lat.alias("lat"))
-    for dens in (1, 10, 40):
-        sub = dict(base)
-        n = 20 * dens + 1
-        sub["lat_inc"] = base["lat_inc"] / dens
-        sub["long_inc"] = base["long_inc"] / dens
-        sub["nrows"] = sub["ncols"] = n
-        u = np.linspace(0.0, 1.0, n)
-        uu, vv = np.meshgrid(u, u, indexing="ij")
-        sub["lat_shift"] = (0.15 + 0.55 * uu + 0.20 * vv
-                            - 0.25 * uu * vv).astype(np.float32)
-        sub["lon_shift"] = (1.10 + 0.80 * vv - 0.45 * uu
-                            + 0.35 * uu * vv).astype(np.float32)
-        tb = time.time()
-        cells = GS.cell_df(spark, sub)
-        build = time.time() - tb
-        df = GS.shift_inverse(pts, cells, sub)
-        sink(df)  # warm
+    reg = Q.load_all()
+    for name in ("q_regrid_ntv2_national", "q_regrid_nad27",
+                 "q_geoid_height"):
+        b = reg[name].builder
+        b(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        last = max(
+            (s["stageId"] for s in rest(f"applications/{app_id}/stages")),
+            default=-1,
+        )
+        df = b(spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        n_exchanges = sum(
+            1 for ln in plan.splitlines() if ") Exchange" in ln
+        )
+        n_bcast = plan.count("BroadcastHashJoin")
         t0 = time.time()
-        sink(df)
-        ncells = (n - 1) * (n - 1)
-        print(f"grid cells {ncells:>7}  build {build:.2f} s  "
-              f"probe wall {time.time() - t0:.2f} s")
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        tot = stage_totals(app_id, last)
+        print(
+            f"{name}: wall={dt:.2f}s plan_exchanges={n_exchanges} "
+            f"broadcast_hash_joins={n_bcast} stages={tot['stages']} "
+            f"shuffle_write={tot['sw_rec']} rec / {tot['sw_mb']:.3f} MB  "
+            f"shuffle_read={tot['sr_rec']} rec / {tot['sr_mb']:.3f} MB"
+        )
 
 
 if __name__ == "__main__":
