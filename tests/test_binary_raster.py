@@ -2951,7 +2951,13 @@ def tiff_bytes_jpeg(arr, rows_per_strip=None, tile=None, hoist_dqt=False,
     for tag, typ, count, inline, extbytes in entries:
         out += struct.pack("<HHI", tag, typ, count)
         if inline == "BLOCKS":
-            out += struct.pack("<I", offs[tag])
+            # TIFF value/offset rule: a count-1 LONG array fits INLINE,
+            # so the field must hold the strip offset itself, not a
+            # pointer to a 1-entry array (bug found by the comp-6
+            # complete-streams test: single-strip files decoded the
+            # offsets array as pixel data)
+            out += struct.pack(
+                "<I", block_offs[0] if n == 1 else offs[tag])
         elif extbytes is not None:
             out += struct.pack("<I", offs[tag])
         elif typ == 3:
