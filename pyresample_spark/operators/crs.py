@@ -998,16 +998,24 @@ def crs_nadgrids(crs: str):
     None. A comma list means per-point FIRST-CONTAINING-FILE-WINS
     fallback (PROJ hgrid semantics); an ``@`` prefix marks the file
     optional — skipped silently when no grid is registered under that
-    name instead of raising."""
+    name instead of raising. The ``null`` sentinel is PROJ's
+    whole-world IDENTITY grid: alone (or with only unresolvable
+    optionals before it) the datum leg is a no-op — returned as None —
+    while inside a list ("+nadgrids=conus,null", the textbook idiom)
+    it is kept as a real entry so points outside the earlier grids
+    pass through UNSHIFTED instead of being dropped
+    (sources/ntv2.py resolve_nadgrids materializes it as an all-zero
+    world-covering subgrid)."""
     p = _params(crs)
     tok = p.get("nadgrids")
     if tok is None:
         return None
-    # strip the optional-grid "@" BEFORE filtering the "null" no-op
-    # sentinel, so "+nadgrids=@null" (a form PROJ accepts) is a no-op
-    # too, not a lookup of a grid literally named "null"
+    # strip the optional-grid "@" prefix before inspecting the name
     names = [(n.lstrip("@"), n.startswith("@")) for n in tok.split(",")
-             if n.lstrip("@") and n.lstrip("@") != "null"]
+             if n.lstrip("@")]
+    # a list that is nothing but null sentinels is a no-op datum leg
+    if all(n == "null" for n, _ in names):
+        return None
     return names or None
 
 

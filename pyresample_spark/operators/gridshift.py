@@ -388,29 +388,53 @@ def multi_bbox_filter_sql(subs: list, lon: str, lat: str) -> str:
         bbox_filter_sql(s, lon, lat) for s in subs) + ")"
 
 
+def fallback_covers_union(subs: list) -> bool:
+    """Plan-time soundness test for the out-of-every-bbox ELSE arm:
+    the selection-LAST grid (lowest priority — the parent in a
+    parent/child file, or the trailing ``null`` identity grid of a
+    comma list) must contain every other grid's bbox. True for the
+    files the clamp semantics were designed for; FALSE for tiled
+    national files and disjoint multi-file lists, where extrapolating
+    a wandering inverse guess from an arbitrary far-away tile would
+    produce garbage — there the lookup DROPS the point instead,
+    which is what PROJ does when an iteration step exits the grid."""
+    ordered = [subs[si] for si in order_subgrids(subs)]
+    c = ordered[-1]
+    return all(
+        c["s_lat"] <= s["s_lat"] and c["n_lat"] >= s["n_lat"]
+        and c["e_long"] <= s["e_long"] and c["w_long"] >= s["w_long"]
+        for s in ordered)
+
+
 def multi_stage1_exprs(subs: list, lon: str, lat: str) -> dict:
     """ls/lw plus the literal selection CASE chains: gid picks the
-    densest containing subgrid, gi/gj index within it. The ELSE arm
-    falls back to the COARSEST grid (the parent covering the union
-    domain), whose clamped gi/gj then extrapolate from its edge cell —
-    without it, an inverse fixed-point guess wandering a few
-    arc-seconds outside every bbox would make gid NULL and the join
+    first-match (file_rank, density) subgrid, gi/gj index within it.
+    When the coarsest grid covers the union domain
+    (:func:`fallback_covers_union` — parent/child files, lists ending
+    in ``null``), the ELSE arm falls back to it, whose clamped gi/gj
+    extrapolate from its edge cell — without that, an inverse
+    fixed-point guess wandering a few arc-seconds outside every bbox
     would silently DROP an edge row the single-subgrid path keeps via
-    its clamp (code-review r13 finding 3). The row-level bbox filter
-    on the input position still gates what enters the pipeline."""
+    its clamp (code-review r13 finding 3). When NO grid covers the
+    union (tiled national files, disjoint lists) the CASE has no ELSE:
+    gid goes NULL and the join drops the point, exactly PROJ's
+    behavior for an iteration step that exits the grids. The
+    row-level bbox filter on the input position still gates what
+    enters the pipeline."""
     ordered = [subs[si] for si in order_subgrids(subs)]
+    covered = fallback_covers_union(subs)
     ls = f"(({lat}) * {_d(3600.0)})"
     lw = f"((-({lon})) * {_d(3600.0)})"
     gid = "CASE " + " ".join(
         f"WHEN {bbox_filter_sql(s, lon, lat)} THEN {g}"
         for g, s in enumerate(ordered)
-    ) + f" ELSE {len(ordered) - 1} END"
+    ) + (f" ELSE {len(ordered) - 1} END" if covered else " END")
 
     def idx_case(key):
         arms = []
         for g, s in enumerate(ordered):
             e = stage1_exprs(s, lon, lat)[key]
-            if g == len(ordered) - 1:
+            if covered and g == len(ordered) - 1:
                 arms.append(f"ELSE {e}")
             else:
                 arms.append(f"WHEN {g} THEN {e}")
@@ -551,14 +575,18 @@ def in_any_subgrid(subs: list, lon: float, lat: float) -> bool:
 
 def multi_interp_scalar(subs: list, lon: float, lat: float):
     """Float twin of the multi-grid selection + bilinear LOOKUP:
-    densest containing grid wins; a position outside every bbox falls
-    back to the coarsest grid's clamped edge cell, mirroring the gid
-    CASE's ELSE arm (the entry gate is :func:`in_any_subgrid`)."""
+    first-match (file_rank, density) grid wins; a position outside
+    every bbox falls back to the coarsest grid's clamped edge cell
+    when that grid covers the union (the gid CASE's ELSE arm), else
+    None — the point is dropped like the engine join and PROJ
+    (the entry gate is :func:`in_any_subgrid`)."""
     ordered = order_subgrids(subs)
     for si in ordered:
         d = _interp_scalar(subs[si], lon, lat)
         if d is not None:
             return d
+    if not fallback_covers_union(subs):
+        return None
     return _interp_scalar(subs[ordered[-1]], lon, lat, clamp=True)
 
 
@@ -575,7 +603,12 @@ def inverse_scalar_multi(subs: list, lon: float, lat: float,
         return None
     klon, klat = lon, lat
     for _ in range(iters):
-        dlat, dlon = multi_interp_scalar(subs, klon, klat)
+        d = multi_interp_scalar(subs, klon, klat)
+        if d is None:
+            # an iteration step exited every grid and no covering
+            # fallback exists — dropped, like the engine join / PROJ
+            return None
+        dlat, dlon = d
         klon, klat = lon + dlon / 3600.0, lat - dlat / 3600.0
     return klon, klat
 
@@ -634,11 +667,22 @@ def meta_values_sql(subs: list) -> str:
 
 
 def big_cell_arrays(subs: list) -> dict:
-    """(gid, gi, gj, corner shifts) — the multi cell table WITHOUT the
-    per-grid constants (those come from the meta join instead, so the
-    two joins don't carry duplicate columns)."""
-    a = multi_cell_arrays(subs)
-    return {k: a[k] for k in ("gid",) + CELL_COLS}
+    """(gid, gi, gj, corner shifts) — like the multi cell table but
+    WITHOUT the per-grid constants (those come from the meta join
+    instead, so the two joins don't carry duplicate columns). Built
+    directly per subgrid rather than subsetting multi_cell_arrays,
+    which would materialize four n-cell constant columns only to
+    drop them (~40 MB of transient work for a national-scale file)."""
+    import numpy as np
+
+    parts = []
+    for gid, si in enumerate(order_subgrids(subs)):
+        a = cell_arrays(subs[si])
+        a2 = {"gid": np.full(a["gi"].shape[0], gid, dtype="i8")}
+        a2.update(a)
+        parts.append(a2)
+    return {c: np.concatenate([p[c] for p in parts])
+            for c in ("gid",) + CELL_COLS}
 
 
 def big_cell_df(spark, subs: list) -> DataFrame:
@@ -662,11 +706,16 @@ def big_cells_values_sql(subs: list) -> str:
 
 def big_gid_expr(subs: list, lon: str, lat: str) -> str:
     """Flat first-match-wins selection: LEAST over one small CASE per
-    subgrid (priority = order_subgrids index)."""
+    subgrid (priority = order_subgrids index). The no-match value
+    mirrors :func:`multi_stage1_exprs`'s ELSE rule: the coarsest grid
+    when it covers the union, else the out-of-range sentinel ``n`` —
+    no meta row carries gid ``n``, so the meta join DROPS the point
+    (PROJ's behavior for an iteration step outside every grid)."""
     ordered = [subs[si] for si in order_subgrids(subs)]
     n = len(ordered)
+    miss = n - 1 if fallback_covers_union(subs) else n
     args = ", ".join(
-        f"CASE WHEN {bbox_filter_sql(s, lon, lat)} THEN {g} ELSE {n - 1} END"
+        f"CASE WHEN {bbox_filter_sql(s, lon, lat)} THEN {g} ELSE {miss} END"
         for g, s in enumerate(ordered))
     return f"LEAST({args})"
 
@@ -816,6 +865,18 @@ VCELL_COLS = ("gi", "gj", "p00", "p10", "p01", "p11")
 def vcell_arrays(g: dict) -> dict:
     import numpy as np
 
+    lon_max = g["lon0"] + (g["ncols"] - 1) * g["dlon"]
+    if g["lon0"] < 0.0 or lon_max > 360.0:
+        # the [0,360) wrap in _lon360 cannot address a grid with a
+        # negative west origin or one crossing the 0/360 seam —
+        # in-grid points would silently fail the bbox gate; keep it
+        # loud (normalize the grid's origin into [0, 360) and split
+        # seam-crossing grids before registering)
+        raise NotImplementedError(
+            f"GTX grid spans lon {g['lon0']}..{lon_max} — the [0,360) "
+            "addressing cannot represent a negative origin or a grid "
+            "crossing the 0/360 seam; re-register with a normalized "
+            "origin (split the grid at the seam if needed)")
     v = np.asarray(g["values"], dtype="f8")
     if np.isnan(v).any():
         raise NotImplementedError(
@@ -895,6 +956,9 @@ def vshift(df: DataFrame, vcells: DataFrame, g: dict,
     """Vertical shift: ``forward`` adds N (orthometric → ellipsoidal),
     ``inverse`` subtracts it. ONE broadcast hash join; out-of-grid
     rows are dropped (PROJ reports them untransformable)."""
+    if direction not in ("forward", "inverse"):
+        raise ValueError(
+            f"direction must be forward/inverse, got {direction!r}")
     df = df.where(F.expr(vbbox_filter_sql(g, lon, lat)))
     s1 = vstage1_exprs(g, lon, lat)
     staged = df.selectExpr(
@@ -915,6 +979,9 @@ def vshift_duckdb_ctes(rel_in: str, g: dict, direction: str = "forward",
                        tag: str = "vs") -> tuple:
     """(ctes_sql, out_rel) replaying :func:`vshift` with identical
     expression text."""
+    if direction not in ("forward", "inverse"):
+        raise ValueError(
+            f"direction must be forward/inverse, got {direction!r}")
     keep_sql = ", ".join(keep)
     s1 = vstage1_exprs(g, lon, lat)
     n = vstage2_expr(g, gi=f"{tag}_a.gi", gj=f"{tag}_a.gj")

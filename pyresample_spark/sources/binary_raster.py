@@ -840,6 +840,13 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                 f"bits={bits} fmt={fmt}")
         if pred != 1:
             raise ValueError("predictor is undefined for JPEG compression")
+        if h > 65535 or w > 65535:
+            # T.81 SOF dims are 16-bit; the synthesized stream (and
+            # any real JPEG payload) cannot describe more — keep the
+            # loud-ValueError contract instead of a struct.error
+            raise ValueError(
+                f"old-style JPEG TIFF declares {h}x{w} — JPEG frame "
+                "dimensions cap at 65535")
         proc = t.get(512, [1])[0]
         if proc != 1:
             raise NotImplementedError(

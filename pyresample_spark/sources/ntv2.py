@@ -343,6 +343,23 @@ def apply_subgrids(grid: dict) -> list:
     return subs
 
 
+def _null_subgrid() -> dict:
+    """The ``null`` identity grid: one whole-world cell of zero
+    shifts (2×2 nodes spanning ±90° / ±180°, positive-west bounds).
+    Its cell area is the largest possible, so the (file_rank, density)
+    ordering keeps it strictly lower priority than any real grid at
+    an earlier rank."""
+    z = np.zeros((2, 2), dtype=np.float32)
+    return {
+        "sub_name": "NULL", "parent": "NONE",
+        "s_lat": -90.0 * 3600.0, "n_lat": 90.0 * 3600.0,
+        "e_long": -180.0 * 3600.0, "w_long": 180.0 * 3600.0,
+        "lat_inc": 180.0 * 3600.0, "long_inc": 360.0 * 3600.0,
+        "nrows": 2, "ncols": 2, "gs_count": 4,
+        "lat_shift": z, "lon_shift": z,
+    }
+
+
 def resolve_nadgrids(names: list) -> list:
     """Resolve a ``+nadgrids=`` comma list ``[(name, optional), ...]``
     to ONE combined subgrid list carrying per-file priority
@@ -357,6 +374,14 @@ def resolve_nadgrids(names: list) -> list:
     subs, skipped = [], []
     rank = 0
     for name, optional in names:
+        if name == "null":
+            # PROJ's identity grid: covers the whole world with zero
+            # shift, so lower-priority points pass through UNSHIFTED
+            # instead of being dropped; anything listed after it is
+            # unreachable (it contains every point), matching PROJ
+            subs.append(dict(_null_subgrid(), file_rank=rank))
+            rank += 1
+            break
         try:
             grid = get_ntv2_grid(name)
         except NotImplementedError:

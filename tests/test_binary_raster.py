@@ -3149,7 +3149,9 @@ def _oldjpeg_ifd(h, w, spp, extra_entries, blobs_by_tag,
     """Minimal little-endian classic-TIFF assembler for comp-6
     fixtures (independent of the package writer)."""
     entries = [
-        (256, 3, 1, w, None), (257, 3, 1, h, None),
+        # dims as LONG (spec-legal, like the package writer) so guard
+        # tests can declare >65535
+        (256, 4, 1, w, None), (257, 4, 1, h, None),
         (259, 3, 1, 6, None), (277, 3, 1, spp, None),
     ]
     if spp == 1:
@@ -3418,3 +3420,25 @@ def test_oldjpeg_entropy_strips_restart_interval():
         {519: q, 520: dc, 521: ac},
         strips=[sg["entropy"]], rows_per_strip=24)
     np.testing.assert_array_equal(tiff_pixels(buf), img.astype("f8"))
+
+
+def test_oldjpeg_oversize_dims_raise_valueerror():
+    """A comp-6 TIFF declaring dims beyond JPEG's 16-bit SOF fields
+    raises the loud ValueError, not a struct.error from the stream
+    synthesis (code-review r14)."""
+    import test_jpeg as tj
+
+    blocks = [np.zeros((8, 8), dtype=int)]
+    ent = _entropy_of(tj.independent_encode_gray(
+        blocks, 1, 8, 8, np.ones((8, 8))))
+    q = bytes([1] * 64)
+    dc = bytes(tj.K_DC_BITS) + bytes(tj.K_DC_VALS)
+    ac = bytes(tj.K_AC_BITS) + bytes(tj.K_AC_VALS)
+    buf, _ = _oldjpeg_ifd(
+        8, 70000, 1,
+        [(512, 3, 1, 1, None),
+         (519, 4, 1, None, None), (520, 4, 1, None, None),
+         (521, 4, 1, None, None)],
+        {519: q, 520: dc, 521: ac}, strips=[ent], rows_per_strip=8)
+    with pytest.raises(ValueError, match="cap at 65535"):
+        tiff_pixels(buf)

@@ -115,3 +115,21 @@ def test_forward_inverse_are_mirror():
     n = GS.vinterp_scalar(g, 41.3, 10.7)
     h_ell = 100.0 + n
     assert h_ell - n == pytest.approx(100.0, abs=1e-12)
+
+
+def test_seam_and_negative_origin_raise():
+    """The [0,360) addressing cannot represent a negative-origin or
+    seam-crossing grid — cell building raises loudly instead of
+    silently dropping in-grid points (code-review r14 finding 2)."""
+    g = gtx.parse_gtx(gtx.gtx_bytes(dict(tiny_grid(), lon0=-10.0)))
+    with pytest.raises(NotImplementedError, match="0/360 seam|negative"):
+        GS.vcell_arrays(g)
+    g2 = gtx.parse_gtx(gtx.gtx_bytes(dict(tiny_grid(), lon0=358.0)))
+    with pytest.raises(NotImplementedError, match="seam"):
+        GS.vcell_arrays(g2)
+
+
+def test_vshift_direction_validated():
+    with pytest.raises(ValueError, match="forward/inverse"):
+        GS.vshift_duckdb_ctes("pts", gtx.parse_gtx(
+            gtx.gtx_bytes(tiny_grid())), direction="fwd")

@@ -602,3 +602,54 @@ def test_national_scale_scalar_coverage():
     left = GS._interp_scalar(subs[0], -92.0, 36.0, clamp=True)
     right = GS._interp_scalar(subs[1], -92.0, 36.0, clamp=True)
     assert left == pytest.approx(right, abs=1e-12)
+
+
+def test_nadgrids_null_fallback_identity():
+    """"+nadgrids=conus,null" (the textbook PROJ idiom): points inside
+    the real grid shift by it; points OUTSIDE pass through UNSHIFTED
+    via the whole-world identity grid instead of being dropped
+    (code-review r14 finding 1)."""
+    from pyresample_spark.operators import gridshift as GS
+    from pyresample_spark.operators.crs import crs_nadgrids
+
+    names = crs_nadgrids(
+        "+proj=lcc +lat_1=33 +ellps=clrk66 +nadgrids=demo_conus,null")
+    assert names == [("demo_conus", False), ("null", False)]
+    subs = ntv2.resolve_nadgrids(names)
+    assert subs[-1]["sub_name"] == "NULL"
+    # inside the real grid: shift applies
+    inside = GS.forward_scalar_multi(subs, -95.0, 40.0)
+    only = GS._interp_scalar(
+        ntv2.get_shift_grid("demo_conus")["subgrids"][0], -95.0, 40.0)
+    assert inside != (-95.0, 40.0) and only is not None
+    # far outside: identity, NOT dropped
+    assert GS.forward_scalar_multi(subs, 10.0, 50.0) == (10.0, 50.0)
+    assert GS.inverse_scalar_multi(subs, 10.0, 50.0) == (10.0, 50.0)
+    # a LONE null (or only-null list) is still a no-op datum leg
+    assert crs_nadgrids("+proj=lcc +ellps=clrk66 +nadgrids=null") is None
+    assert crs_nadgrids("+proj=lcc +ellps=clrk66 +nadgrids=@null") is None
+    # names after null are unreachable and not resolved
+    subs2 = ntv2.resolve_nadgrids(
+        [("demo_conus", False), ("null", False), ("no_such", False)])
+    assert [s["sub_name"] for s in subs2][-1] == "NULL"
+
+
+def test_fallback_coverage_rule():
+    """ELSE-arm soundness (code-review r14 finding 3): parent/child
+    files keep the clamped-parent fallback; tiled national files and
+    disjoint lists DROP an out-of-every-bbox position like PROJ."""
+    from pyresample_spark.operators import gridshift as GS
+
+    parent_child = _parsed_multi()
+    assert GS.fallback_covers_union(parent_child)
+    # position just outside the parent still clamps (old behavior)
+    assert GS.multi_interp_scalar(parent_child, -89.9, 40.0) is not None
+
+    tiled = ntv2.parse_ntv2(ntv2.demo_ntv2_national_grid_bytes())["subgrids"]
+    assert not GS.fallback_covers_union(tiled)
+    # outside every tile: dropped, not extrapolated from a far tile
+    assert GS.multi_interp_scalar(tiled, -89.9, 40.0) is None
+    # with a trailing null grid the union IS covered again
+    with_null = tiled + [dict(ntv2._null_subgrid(), file_rank=1)]
+    assert GS.fallback_covers_union(with_null)
+    assert GS.multi_interp_scalar(with_null, -89.9, 40.0) == (0.0, 0.0)
