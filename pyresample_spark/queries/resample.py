@@ -2718,6 +2718,81 @@ def _nadlist_oracle() -> str:
     """
 
 
+def _nadnull_src():
+    from pyresample_spark.geometry import AreaDefinition
+
+    return AreaDefinition(
+        "nad27_conus_lcc_nadnull",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+        "+ellps=clrk66 +nadgrids=demo_conus,null",
+        width=116, height=92,
+        area_extent=(-400000.0, -340000.0, 760000.0, 580000.0),
+    )
+
+
+_NADNULL_SRC = _nadnull_src()
+
+
+def _nadnull_oracle() -> str:
+    from pyresample_spark.functions.geo import (
+        lcc_ell_sql,
+        stere_ell_polar_inv_sql,
+    )
+    from pyresample_spark.operators.gridshift import shift_duckdb_ctes_multi
+    from pyresample_spark.sources.ntv2 import resolve_nadgrids
+
+    ilon, ilat = stere_ell_polar_inv_sql(
+        "cx", "cy", lat_ts=70.0,
+        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
+        lon_0=-92.0, north=True,
+    )
+    subs = resolve_nadgrids([("demo_conus", False), ("null", False)])
+    gs_ctes, gs_out = shift_duckdb_ctes_multi("inv", subs, "inverse")
+    fx, fy = lcc_ell_sql(
+        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
+        a=6378206.4, b=6356583.8,
+    )
+    s = _NADNULL_SRC
+    return f"""
+    WITH tgt AS ({_NADLIST_TGT.grid_sql()}),
+    src AS ({synth_image_sql(s)}),
+    inv AS (
+      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
+    ),
+    {gs_ctes},
+    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
+    idx AS (
+      SELECT cell_id,
+             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
+             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
+      FROM fwd
+    )
+    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
+    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
+    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
+      AND idx.src_col BETWEEN 0 AND {s.width - 1}
+    """
+
+
+@register("q_regrid_nadgrids_null", oracle=_nadnull_oracle())
+def q_regrid_nadgrids_null(spark, sf_dir):
+    """``+nadgrids=demo_conus,null`` — PROJ's textbook null-terminated
+    grid list: the same east-shifted target as q_regrid_nadgrids_list,
+    but points outside the real grid fall through to the whole-world
+    IDENTITY grid and gather UNSHIFTED (straight WGS84 → Clarke-1866
+    lcc indexing) instead of being dropped — so this query returns
+    rows for target cells the bare demo_conus CRS would lose, and a
+    regression that drops or double-shifts the fallback band provably
+    changes the output. The null grid also restores the covered-union
+    fallback for wandering inverse steps. Identical two-engine plan
+    discipline as every grid-shift query."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, _NADNULL_SRC)
+    return regrid_nearest(_NADLIST_TGT, _NADNULL_SRC, src)
+
+
 @register("q_regrid_nadgrids_list", oracle=_nadlist_oracle())
 def q_regrid_nadgrids_list(spark, sf_dir):
     """``+nadgrids=demo_conus,demo_nadcon`` — PROJ's comma-list
