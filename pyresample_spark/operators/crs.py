@@ -999,13 +999,14 @@ def crs_nadgrids(crs: str):
     fallback (PROJ hgrid semantics); an ``@`` prefix marks the file
     optional — skipped silently when no grid is registered under that
     name instead of raising. The ``null`` sentinel is PROJ's
-    whole-world IDENTITY grid: alone (or with only unresolvable
-    optionals before it) the datum leg is a no-op — returned as None —
-    while inside a list ("+nadgrids=conus,null", the textbook idiom)
-    it is kept as a real entry so points outside the earlier grids
-    pass through UNSHIFTED instead of being dropped
-    (sources/ntv2.py resolve_nadgrids materializes it as an all-zero
-    world-covering subgrid)."""
+    whole-world IDENTITY grid: a list of ONLY null sentinels returns
+    None here (no datum leg); inside a mixed list
+    ("+nadgrids=conus,null", the textbook idiom) it is kept as a real
+    entry so points outside the earlier grids pass through UNSHIFTED
+    instead of being dropped (sources/ntv2.py resolve_nadgrids
+    materializes it as an all-zero world-covering subgrid; when the
+    other names all turn out to be unregistered optionals,
+    gridshift_pipeline drops the identity-only leg entirely)."""
     p = _params(crs)
     tok = p.get("nadgrids")
     if tok is None:
@@ -1049,7 +1050,15 @@ def gridshift_pipeline(tgt_crs: str, src_crs: str):
            "tgt_helmert": None, "src_helmert": None}
     for side, names, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):
         if names is not None:
-            out[f"{side}_subs"] = resolve_nadgrids(names)
+            subs = resolve_nadgrids(names)
+            if all(s.get("sub_name") == "NULL" for s in subs):
+                # the list resolved to the identity grid alone (e.g.
+                # "@missing,null" with the optional unregistered):
+                # the datum is explicitly pinned to a zero shift —
+                # skip the leg entirely instead of running broadcast
+                # joins that provably add 0.0
+                continue
+            out[f"{side}_subs"] = subs
             continue
         spec = crs_datum_spec(crs)
         if spec.towgs84 is not None:

@@ -388,7 +388,7 @@ def multi_bbox_filter_sql(subs: list, lon: str, lat: str) -> str:
         bbox_filter_sql(s, lon, lat) for s in subs) + ")"
 
 
-def fallback_covers_union(subs: list) -> bool:
+def fallback_covers_union(subs: list, ordered_idx: list = None) -> bool:
     """Plan-time soundness test for the out-of-every-bbox ELSE arm:
     the selection-LAST grid (lowest priority — the parent in a
     parent/child file, or the trailing ``null`` identity grid of a
@@ -397,8 +397,13 @@ def fallback_covers_union(subs: list) -> bool:
     national files and disjoint multi-file lists, where extrapolating
     a wandering inverse guess from an arbitrary far-away tile would
     produce garbage — there the lookup DROPS the point instead,
-    which is what PROJ does when an iteration step exits the grid."""
-    ordered = [subs[si] for si in order_subgrids(subs)]
+    which is what PROJ does when an iteration step exits the grid.
+    ``ordered_idx``: pass :func:`order_subgrids`' result when the
+    caller already computed it (avoids a per-point re-sort in the
+    scalar twins)."""
+    if ordered_idx is None:
+        ordered_idx = order_subgrids(subs)
+    ordered = [subs[si] for si in ordered_idx]
     c = ordered[-1]
     return all(
         c["s_lat"] <= s["s_lat"] and c["n_lat"] >= s["n_lat"]
@@ -421,8 +426,9 @@ def multi_stage1_exprs(subs: list, lon: str, lat: str) -> dict:
     behavior for an iteration step that exits the grids. The
     row-level bbox filter on the input position still gates what
     enters the pipeline."""
-    ordered = [subs[si] for si in order_subgrids(subs)]
-    covered = fallback_covers_union(subs)
+    oidx = order_subgrids(subs)
+    ordered = [subs[si] for si in oidx]
+    covered = fallback_covers_union(subs, oidx)
     ls = f"(({lat}) * {_d(3600.0)})"
     lw = f"((-({lon})) * {_d(3600.0)})"
     gid = "CASE " + " ".join(
@@ -585,7 +591,7 @@ def multi_interp_scalar(subs: list, lon: float, lat: float):
         d = _interp_scalar(subs[si], lon, lat)
         if d is not None:
             return d
-    if not fallback_covers_union(subs):
+    if not fallback_covers_union(subs, ordered):
         return None
     return _interp_scalar(subs[ordered[-1]], lon, lat, clamp=True)
 
@@ -622,9 +628,11 @@ def inverse_scalar_multi(subs: list, lon: float, lat: float,
 # into a second broadcast join:
 #
 #   gid  = LEAST(c_0, ..., c_{n-1}) where c_k = CASE WHEN bbox_k
-#          THEN k ELSE n-1 END — one small predicate per subgrid, no
-#          nesting, no restated arithmetic (the ELSE arm realizes the
-#          same coarsest-grid fallback as the multi path's CASE ELSE)
+#          THEN k ELSE miss END — one small predicate per subgrid, no
+#          nesting, no restated arithmetic. `miss` mirrors the multi
+#          path's ELSE rule (fallback_covers_union): n-1 (coarsest
+#          grid clamp) when that grid covers the union, else the
+#          sentinel n whose absent meta row DROPS the point like PROJ
 #   join META on gid (broadcast; n rows) → the selected grid's
 #          bounds/increments as COLUMNS
 #   gi/gj = ONE expression over those columns (no CASE at all)
@@ -711,9 +719,10 @@ def big_gid_expr(subs: list, lon: str, lat: str) -> str:
     when it covers the union, else the out-of-range sentinel ``n`` —
     no meta row carries gid ``n``, so the meta join DROPS the point
     (PROJ's behavior for an iteration step outside every grid)."""
-    ordered = [subs[si] for si in order_subgrids(subs)]
+    oidx = order_subgrids(subs)
+    ordered = [subs[si] for si in oidx]
     n = len(ordered)
-    miss = n - 1 if fallback_covers_union(subs) else n
+    miss = n - 1 if fallback_covers_union(subs, oidx) else n
     args = ", ".join(
         f"CASE WHEN {bbox_filter_sql(s, lon, lat)} THEN {g} ELSE {miss} END"
         for g, s in enumerate(ordered))
@@ -866,16 +875,21 @@ def vcell_arrays(g: dict) -> dict:
     import numpy as np
 
     lon_max = g["lon0"] + (g["ncols"] - 1) * g["dlon"]
-    if g["lon0"] < 0.0 or lon_max > 360.0:
+    if (g["lon0"] < 0.0 or lon_max > 360.0
+            or (lon_max == 360.0 and g["lon0"] > 0.0)):
         # the [0,360) wrap in _lon360 cannot address a grid with a
-        # negative west origin or one crossing the 0/360 seam —
-        # in-grid points would silently fail the bbox gate; keep it
-        # loud (normalize the grid's origin into [0, 360) and split
-        # seam-crossing grids before registering)
+        # negative west origin or one touching/crossing the 0/360
+        # seam — in-grid points would silently fail the bbox gate
+        # (a NON-global grid ending exactly at 360 has an east-edge
+        # meridian ≡ 0 that le can never reach); keep it loud
+        # (normalize the grid's origin into [0, 360) and split
+        # seam-crossing grids before registering). A GLOBAL grid
+        # (lon0=0, lon_max=360) is safe: le ∈ [0, 360) always lands
+        # inside it.
         raise NotImplementedError(
             f"GTX grid spans lon {g['lon0']}..{lon_max} — the [0,360) "
             "addressing cannot represent a negative origin or a grid "
-            "crossing the 0/360 seam; re-register with a normalized "
+            "touching the 0/360 seam; re-register with a normalized "
             "origin (split the grid at the seam if needed)")
     v = np.asarray(g["values"], dtype="f8")
     if np.isnan(v).any():

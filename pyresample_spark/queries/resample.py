@@ -2676,7 +2676,12 @@ def _nadlist_areas():
 _NADLIST_SRC, _NADLIST_TGT = _nadlist_areas()
 
 
-def _nadlist_oracle() -> str:
+def _nadgrids_list_oracle(src_area, names: list) -> str:
+    """Shared oracle for the east-shifted nadgrids-list regrids: the
+    stere(lon_0=-92) inverse, the MULTI grid-shift inverse over the
+    resolved comma list, the Clarke-1866 lcc forward, and the gather —
+    ONE emitter so the two list variants (real-file fallback, null
+    fallback) can never desynchronize (code-review r14b)."""
     from pyresample_spark.functions.geo import (
         lcc_ell_sql,
         stere_ell_polar_inv_sql,
@@ -2689,14 +2694,13 @@ def _nadlist_oracle() -> str:
         a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
         lon_0=-92.0, north=True,
     )
-    subs = resolve_nadgrids([("demo_conus", False),
-                             ("demo_nadcon", False)])
+    subs = resolve_nadgrids(names)
     gs_ctes, gs_out = shift_duckdb_ctes_multi("inv", subs, "inverse")
     fx, fy = lcc_ell_sql(
         "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
         a=6378206.4, b=6356583.8,
     )
-    s = _NADLIST_SRC
+    s = src_area
     return f"""
     WITH tgt AS ({_NADLIST_TGT.grid_sql()}),
     src AS ({synth_image_sql(s)}),
@@ -2716,6 +2720,11 @@ def _nadlist_oracle() -> str:
     WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
       AND idx.src_col BETWEEN 0 AND {s.width - 1}
     """
+
+
+def _nadlist_oracle() -> str:
+    return _nadgrids_list_oracle(
+        _NADLIST_SRC, [("demo_conus", False), ("demo_nadcon", False)])
 
 
 def _nadnull_src():
@@ -2734,44 +2743,8 @@ _NADNULL_SRC = _nadnull_src()
 
 
 def _nadnull_oracle() -> str:
-    from pyresample_spark.functions.geo import (
-        lcc_ell_sql,
-        stere_ell_polar_inv_sql,
-    )
-    from pyresample_spark.operators.gridshift import shift_duckdb_ctes_multi
-    from pyresample_spark.sources.ntv2 import resolve_nadgrids
-
-    ilon, ilat = stere_ell_polar_inv_sql(
-        "cx", "cy", lat_ts=70.0,
-        a=6378137.0, b=6378137.0 * (1.0 - 1.0 / 298.257223563),
-        lon_0=-92.0, north=True,
-    )
-    subs = resolve_nadgrids([("demo_conus", False), ("null", False)])
-    gs_ctes, gs_out = shift_duckdb_ctes_multi("inv", subs, "inverse")
-    fx, fy = lcc_ell_sql(
-        "lon2", "lat2", lat_1=33.0, lat_2=45.0, lat_0=39.0, lon_0=-96.0,
-        a=6378206.4, b=6356583.8,
-    )
-    s = _NADNULL_SRC
-    return f"""
-    WITH tgt AS ({_NADLIST_TGT.grid_sql()}),
-    src AS ({synth_image_sql(s)}),
-    inv AS (
-      SELECT cell_id, {ilon} AS lon, {ilat} AS lat FROM tgt
-    ),
-    {gs_ctes},
-    fwd AS (SELECT cell_id, {fx} AS sx, {fy} AS sy FROM {gs_out}),
-    idx AS (
-      SELECT cell_id,
-             CAST(FLOOR(ROUND(({s.area_extent[3]!r} - sy) / {s.pixel_size_y!r}, 9)) AS BIGINT) AS src_row,
-             CAST(FLOOR(ROUND((sx - ({s.area_extent[0]!r})) / {s.pixel_size_x!r}, 9)) AS BIGINT) AS src_col
-      FROM fwd
-    )
-    SELECT idx.cell_id, idx.src_row, idx.src_col, src.value AS src_value
-    FROM idx JOIN src ON idx.src_row = src.row AND idx.src_col = src.col
-    WHERE idx.src_row BETWEEN 0 AND {s.height - 1}
-      AND idx.src_col BETWEEN 0 AND {s.width - 1}
-    """
+    return _nadgrids_list_oracle(
+        _NADNULL_SRC, [("demo_conus", False), ("null", False)])
 
 
 @register("q_regrid_nadgrids_null", oracle=_nadnull_oracle())

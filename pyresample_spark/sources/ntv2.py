@@ -373,22 +373,30 @@ def resolve_nadgrids(names: list) -> list:
     missing-optional-file rule; a required missing name raises."""
     subs, skipped = [], []
     rank = 0
+    terminated = False
     for name, optional in names:
         if name == "null":
-            # PROJ's identity grid: covers the whole world with zero
-            # shift, so lower-priority points pass through UNSHIFTED
-            # instead of being dropped; anything listed after it is
-            # unreachable (it contains every point), matching PROJ
-            subs.append(dict(_null_subgrid(), file_rank=rank))
-            rank += 1
-            break
+            if not terminated:
+                # PROJ's identity grid: covers the whole world with
+                # zero shift, so lower-priority points pass through
+                # UNSHIFTED instead of being dropped; anything listed
+                # after it is unreachable (it contains every point)
+                subs.append(dict(_null_subgrid(), file_rank=rank))
+                rank += 1
+                terminated = True
+            continue
         try:
             grid = get_ntv2_grid(name)
         except NotImplementedError:
             if optional:
                 skipped.append(name)
                 continue
+            # a REQUIRED missing name raises even after a null — PROJ
+            # validates every listed grid at CRS creation, so a typo
+            # in an unreachable tail must surface, not silently pass
             raise
+        if terminated:
+            continue  # validated but unreachable behind the null
         for s in grid["subgrids"]:
             s = dict(s)
             s["file_rank"] = rank

@@ -628,10 +628,17 @@ def test_nadgrids_null_fallback_identity():
     # a LONE null (or only-null list) is still a no-op datum leg
     assert crs_nadgrids("+proj=lcc +ellps=clrk66 +nadgrids=null") is None
     assert crs_nadgrids("+proj=lcc +ellps=clrk66 +nadgrids=@null") is None
-    # names after null are unreachable and not resolved
+    # names after null are unreachable but still VALIDATED (PROJ
+    # errors on any unloadable listed grid at CRS creation): a
+    # required missing name raises, an @-optional one is skipped
+    with pytest.raises(NotImplementedError, match="no grid-shift"):
+        ntv2.resolve_nadgrids(
+            [("demo_conus", False), ("null", False), ("no_such", False)])
     subs2 = ntv2.resolve_nadgrids(
-        [("demo_conus", False), ("null", False), ("no_such", False)])
+        [("demo_conus", False), ("null", False), ("no_such", True),
+         ("demo_nadcon", False)])
     assert [s["sub_name"] for s in subs2][-1] == "NULL"
+    assert len(subs2) == 2  # conus + null; nadcon validated, unreachable
 
 
 def test_fallback_coverage_rule():
