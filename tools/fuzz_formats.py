@@ -197,6 +197,20 @@ def main():
                                      dense_links=True), h5_parse),
         ("hdf5-ea", h5_grid(superblock=2,
                             chunk_index="extensible_array"), h5_parse),
+        # szip chunks: size prefix, cd values, Rice bit grammar
+        # (ID/FS/split/second-extension/zero-run) under corruption
+        ("hdf5-szip-nn", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 31
+                        + np.arange(16)[None, :] * 17) % 97
+                       ).astype("<u2"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            szip={"ppb": 8, "option": "nn"}), h5_parse),
+        ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 31
+                        + np.arange(16)[None, :] * 17) % 97
+                       ).astype("<u4"), {})},
+            chunks={"band": (5, 7)}, deflate=False, fletcher32=True,
+            szip={"ppb": 16, "option": "ec"}), h5_parse),
         ("hdf5-area", h5_grid(), load_cf_area_h5),
         # CF numeric grid-mapping attrs (float64 attr messages + the
         # cf_gm translation) under corruption
