@@ -274,12 +274,37 @@ def parse_ntv2(data: bytes) -> dict:
 _REGISTRY: dict = {}
 
 
+_SUBGRID_KEYS = frozenset(
+    ("s_lat", "n_lat", "e_long", "w_long", "lat_inc", "long_inc",
+     "lat_shift", "lon_shift"))
+
+
 def register_shift_grid(name: str, parsed: dict) -> None:
     """Register an ALREADY-PARSED grid (any wire format) under
     ``name`` for ``+nadgrids=name`` resolution. The dict must carry
     ``subgrids``: a list in the shape :func:`parse_ntv2` /
     ``nadcon.parse_nadcon`` produce (the operators/gridshift.py
-    contract)."""
+    contract). A VERTICAL grid (GTX geoid — ``parse_gtx`` output, a
+    single height surface with no lat/lon shift pair) is rejected
+    here rather than failing obscurely at +nadgrids resolution:
+    vertical datums go through vgridshift (operators/gridshift
+    ``vshift``/``vcell_df``), never the horizontal list."""
+    subs = parsed.get("subgrids") if isinstance(parsed, dict) else None
+    if (not isinstance(subs, list) or not subs
+            or not all(isinstance(s, dict) and _SUBGRID_KEYS <= set(s)
+                       for s in subs)):
+        hint = ""
+        if isinstance(parsed, dict) and {"lat0", "dlat", "values"} <= set(
+                parsed):
+            hint = (" — this looks like a parse_gtx VERTICAL geoid "
+                    "grid; +nadgrids is the HORIZONTAL list, use the "
+                    "vgridshift path (gridshift.vshift/vcell_df) "
+                    "instead")
+        raise ValueError(
+            f"register_shift_grid({name!r}): not a horizontal shift "
+            f"grid (needs a non-empty 'subgrids' list with lat/lon "
+            f"shift fields){hint}"
+        )
     _REGISTRY[name] = parsed
 
 
@@ -498,6 +523,49 @@ def demo_ntv2_multi_grid_bytes() -> bytes:
         _DEMO_MULTI_BYTES = ntv2_grid_bytes(
             [demo_ntv2_subgrid(), demo_ntv2_child_subgrid()])
     return _DEMO_MULTI_BYTES
+
+
+def demo_ntv2_antarctic_subgrid() -> dict:
+    """A horizontal demo grid over the SAME window as the GTX demo
+    geoid (sources/gtx.py: lat −88..−68, lon 180..200°E = 160..180°W)
+    so the composed horizontal+vertical datum query
+    (q_regrid_vdatum) has both legs defined where the synthetic
+    events actually fall. Shifts are a smooth ±30″ polynomial —
+    NADCON-scale (~1 km), big enough that sampling the geoid at the
+    SHIFTED position provably differs from sampling at the source."""
+    nrows = ncols = 21
+    la = np.empty((nrows, ncols), dtype=np.float32)
+    lo = np.empty((nrows, ncols), dtype=np.float32)
+    for i in range(nrows):
+        for j in range(ncols):
+            u = i / (nrows - 1.0)  # south → north
+            v = j / (ncols - 1.0)  # east → west
+            la[i, j] = np.float32(12.0 + 20.0 * u - 8.0 * v
+                                  + 6.0 * u * v - 4.0 * u * u)
+            lo[i, j] = np.float32(-18.0 + 10.0 * v + 14.0 * u
+                                  - 5.0 * u * v + 3.0 * v * v)
+    return {
+        "name": "DEMOANTA",
+        "s_lat": -88.0 * 3600.0,
+        "n_lat": -68.0 * 3600.0,
+        "e_long": 160.0 * 3600.0,   # 160°W, positive west
+        "w_long": 180.0 * 3600.0,
+        "lat_inc": 3600.0,          # 1°
+        "long_inc": 3600.0,
+        "lat_shift": la,
+        "lon_shift": lo,
+    }
+
+
+_DEMO_ANTARCTIC_BYTES: bytes | None = None
+
+
+def demo_ntv2_antarctic_grid_bytes() -> bytes:
+    global _DEMO_ANTARCTIC_BYTES
+    if _DEMO_ANTARCTIC_BYTES is None:
+        _DEMO_ANTARCTIC_BYTES = ntv2_grid_bytes(
+            [demo_ntv2_antarctic_subgrid()])
+    return _DEMO_ANTARCTIC_BYTES
 
 
 def demo_ntv2_national_subgrids() -> list:

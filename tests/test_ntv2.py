@@ -660,3 +660,27 @@ def test_fallback_coverage_rule():
     with_null = tiled + [dict(ntv2._null_subgrid(), file_rank=1)]
     assert GS.fallback_covers_union(with_null)
     assert GS.multi_interp_scalar(with_null, -89.9, 40.0) == (0.0, 0.0)
+
+
+def test_registry_rejects_vertical_gtx_grid():
+    """VERDICT r14 item 7: the +nadgrids registry must refuse a
+    VERTICAL grid — registering a parse_gtx geoid surface under a
+    horizontal name raises loudly (naming the vgridshift path)
+    instead of failing obscurely at resolution time."""
+    import pytest
+
+    from pyresample_spark.sources.gtx import demo_gtx_grid_bytes, parse_gtx
+
+    g = parse_gtx(demo_gtx_grid_bytes())
+    with pytest.raises(ValueError, match="VERTICAL.*vgridshift"):
+        ntv2.register_shift_grid("demo_geoid", g)
+    # and the name never entered the registry, so +nadgrids= resolution
+    # still raises its usual not-registered guard
+    with pytest.raises(NotImplementedError, match="no grid-shift grid"):
+        ntv2.resolve_nadgrids([("demo_geoid", False)])
+    # near-miss shapes (empty list, missing shift fields) also refuse
+    with pytest.raises(ValueError, match="not a horizontal"):
+        ntv2.register_shift_grid("empty", {"subgrids": []})
+    with pytest.raises(ValueError, match="not a horizontal"):
+        ntv2.register_shift_grid(
+            "half", {"subgrids": [{"s_lat": 0.0, "n_lat": 1.0}]})

@@ -3,8 +3,10 @@ PERF.md evidence for the new national-scale and vertical pipelines).
 
 Runs ``q_regrid_ntv2_national`` (the >16-subgrid flat-selection path:
 LEAST gid + broadcast META join + broadcast cell join, ×3 unrolled
-inverse lookups) and ``q_geoid_height`` (GTX vertical: one broadcast
-corner join) in a UI-enabled session and reports, per query:
+inverse lookups), ``q_geoid_height`` (GTX vertical: one broadcast
+corner join) and ``q_regrid_vdatum`` (the r15 composed
+inv-hgridshift → inv-vgridshift pipeline: 3+1 broadcast lookups in
+one plan) in a UI-enabled session and reports, per query:
 
 - total shuffle WRITE/READ records and bytes summed over the query's
   stages (Spark REST API — real executor metrics, not plan guesses),
@@ -63,7 +65,7 @@ def main():
 
     reg = Q.load_all()
     for name in ("q_regrid_ntv2_national", "q_regrid_nad27",
-                 "q_geoid_height"):
+                 "q_geoid_height", "q_regrid_vdatum"):
         b = reg[name].builder
         b(spark, sf_dir).write.format("noop").mode("overwrite").save()
         last = max(
