@@ -165,6 +165,7 @@ def main():
     rep_load1 = []
     samples = {name: [] for name in HEADLINE}
     cpu_samples = {name: [] for name in HEADLINE}
+    cpu_dropped = [0]
     rep_totals = []
 
     def run_rep():
@@ -184,7 +185,15 @@ def main():
             # query's "after" doubles as the next query's "before".
             cpu_after = cpu_now_ns()
             if cpu_before is not None and cpu_after is not None:
-                cpu_samples[name].append((cpu_after - cpu_before) / 1e9)
+                d = (cpu_after - cpu_before) / 1e9
+                if d > 0:
+                    cpu_samples[name].append(d)
+                else:
+                    # a non-positive delta means the UI evicted stages
+                    # mid-run (retainedStages raised in get_spark, but
+                    # belt-and-braces): flag it instead of recording
+                    # garbage into the load-invariant anchor
+                    cpu_dropped[0] += 1
             cpu_before = cpu_after
         rep_totals.append(tot)
 
@@ -271,6 +280,7 @@ def main():
                 "rep_load1": rep_load1,
                 "gate_waits": gate_waits,
                 "extra_reps": extra,
+                "cpu_dropped_deltas": cpu_dropped[0],
             }
         )
     )

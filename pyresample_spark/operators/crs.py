@@ -999,14 +999,17 @@ def crs_nadgrids(crs: str):
     fallback (PROJ hgrid semantics); an ``@`` prefix marks the file
     optional — skipped silently when no grid is registered under that
     name instead of raising. The ``null`` sentinel is PROJ's
-    whole-world IDENTITY grid: a list of ONLY null sentinels returns
-    None here (no datum leg); inside a mixed list
-    ("+nadgrids=conus,null", the textbook idiom) it is kept as a real
-    entry so points outside the earlier grids pass through UNSHIFTED
-    instead of being dropped (sources/ntv2.py resolve_nadgrids
-    materializes it as an all-zero world-covering subgrid; when the
-    other names all turn out to be unregistered optionals,
-    gridshift_pipeline drops the identity-only leg entirely)."""
+    whole-world IDENTITY grid — returned like any other name (even
+    when the list is ONLY null sentinels) so +nadgrids keeps its
+    precedence over +towgs84: '+nadgrids=null +towgs84=…' pins the
+    datum to identity exactly like the mixed '@missing,null'
+    spelling, rather than falling through to the Helmert leg
+    (ADVICE r14). Inside a mixed list ("+nadgrids=conus,null", the
+    textbook idiom) it lets points outside the earlier grids pass
+    through UNSHIFTED instead of being dropped (sources/ntv2.py
+    resolve_nadgrids materializes it as an all-zero world-covering
+    subgrid; gridshift_pipeline drops identity-only legs instead of
+    running joins that provably add 0.0)."""
     p = _params(crs)
     tok = p.get("nadgrids")
     if tok is None:
@@ -1014,9 +1017,6 @@ def crs_nadgrids(crs: str):
     # strip the optional-grid "@" prefix before inspecting the name
     names = [(n.lstrip("@"), n.startswith("@")) for n in tok.split(",")
              if n.lstrip("@")]
-    # a list that is nothing but null sentinels is a no-op datum leg
-    if all(n == "null" for n, _ in names):
-        return None
     return names or None
 
 
@@ -1051,12 +1051,16 @@ def gridshift_pipeline(tgt_crs: str, src_crs: str):
     for side, names, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):
         if names is not None:
             subs = resolve_nadgrids(names)
-            if all(s.get("sub_name") == "NULL" for s in subs):
-                # the list resolved to the identity grid alone (e.g.
-                # "@missing,null" with the optional unregistered):
-                # the datum is explicitly pinned to a zero shift —
-                # skip the leg entirely instead of running broadcast
-                # joins that provably add 0.0
+            if all(s.get("identity") for s in subs):
+                # the list resolved to the identity grid alone
+                # ("+nadgrids=null", or "@missing,null" with the
+                # optional unregistered): the datum is explicitly
+                # pinned to a zero shift — skip the leg entirely
+                # instead of running broadcast joins that provably
+                # add 0.0. The synthetic grid carries an explicit
+                # 'identity' flag (ADVICE r14: a real registered
+                # subgrid whose free-text SUB_NAME happens to be
+                # 'NULL' must keep its shift).
                 continue
             out[f"{side}_subs"] = subs
             continue

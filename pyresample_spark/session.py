@@ -35,6 +35,12 @@ def get_spark(app_name: str = "pyresample_spark", ui_port: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "true" if ui_port else "false")
         .config("spark.ui.port", str(ui_port or 4040))
+        # metric scrapers sum /stages cumulatively; the default
+        # retainedStages=1000 evicts early stages mid-bench, making
+        # running totals DECREASE and per-query deltas go negative
+        # (ADVICE r14) — keep every stage of a bench/probe run
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         # managed-table machinery (bucketed tables) kept out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/pyresample_spark_warehouse")
         .config(

@@ -746,10 +746,11 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
     T.81 codec in sources/jpeg.py — per-strip/tile interchange or
     abbreviated streams with shared JPEGTables (tag 347), grayscale or
     YCbCr/RGB by PhotometricInterpretation. The deprecated OLD-style
-    compression 6 decodes in its two well-defined shapes — a whole-
-    image interchange stream (tags 513/514) or grayscale entropy-only
-    strips with table-pointer tags (519/520/521, headers synthesized
-    per strip); its underspecified corners raise loudly naming the
+    compression 6 decodes in its three well-defined shapes — a whole-
+    image interchange stream (tags 513/514), complete SOI-led
+    per-strip interchange streams, or grayscale entropy-only strips
+    with table-pointer tags (519/520/521, headers synthesized per
+    strip); its underspecified corners raise loudly naming the
     re-encode workaround."""
     import zlib
 
@@ -825,13 +826,15 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
     if comp == 6:
         # OLD-style JPEG (TIFF 6.0 §22, deprecated by TechNote2 —
         # rare, but legacy products exist; GDAL/libjpeg read the same
-        # two well-defined shapes). Shape A: tag 513/514 point at ONE
-        # complete interchange stream covering the whole image —
-        # decode it directly. Shape B: strips hold raw entropy-coded
-        # data and tags 519/520/521 point at the quant/DC/AC tables —
-        # synthesize a valid per-strip stream (SOI DQT SOF0 DHT DRI
-        # SOS data EOI) and decode. Anything outside those shapes
-        # raises loudly naming the workaround.
+        # three well-defined shapes). Shape A: tag 513/514 point at
+        # ONE complete interchange stream covering the whole image —
+        # decode it directly. Shape B: each strip is itself a
+        # complete SOI-led interchange stream — decode per strip.
+        # Shape C: strips hold raw entropy-coded data and tags
+        # 519/520/521 point at the quant/DC/AC tables — synthesize a
+        # valid per-strip stream (SOI DQT SOF0 DHT DRI SOS data EOI)
+        # and decode. Anything outside those shapes raises loudly
+        # naming the workaround.
         from pyresample_spark.sources.jpeg import decode_baseline_jpeg
 
         if bits != 8 or fmt != 1:

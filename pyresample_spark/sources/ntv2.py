@@ -376,6 +376,9 @@ def _null_subgrid() -> dict:
     an earlier rank."""
     z = np.zeros((2, 2), dtype=np.float32)
     return {
+        # explicit marker: identity-leg detection must not key on the
+        # free-text SUB_NAME (a real grid could be named 'NULL')
+        "identity": True,
         "sub_name": "NULL", "parent": "NONE",
         "s_lat": -90.0 * 3600.0, "n_lat": 90.0 * 3600.0,
         "e_long": -180.0 * 3600.0, "w_long": 180.0 * 3600.0,

@@ -385,13 +385,29 @@ def test_multi_gridshift_engine_parity(spark):
 
 
 def test_nadgrids_null_sentinel_is_noop():
-    """'+nadgrids=null' and '@null' are PROJ's explicit no-op — not a
-    lookup of a grid named 'null' (code-review r13 finding 4)."""
-    from pyresample_spark.operators.crs import crs_nadgrids
+    """'+nadgrids=null' and '@null' are PROJ's explicit identity pin —
+    not a lookup of a grid named 'null', and (ADVICE r14) not a
+    fall-through to +towgs84: the null-only list parses like any
+    other and gridshift_pipeline skips BOTH the grid and Helmert
+    legs, matching the '@missing,null' spelling."""
+    from pyresample_spark.operators.crs import (
+        crs_nadgrids,
+        gridshift_pipeline,
+    )
 
     base = "+proj=lcc +lat_1=33 +lat_0=39 +ellps=clrk66 "
-    assert crs_nadgrids(base + "+nadgrids=null") is None
-    assert crs_nadgrids(base + "+nadgrids=@null") is None
+    assert crs_nadgrids(base + "+nadgrids=null") == [("null", False)]
+    assert crs_nadgrids(base + "+nadgrids=@null") == [("null", True)]
+    # precedence: +nadgrids=null on a +towgs84-carrying CRS pins the
+    # datum to identity — the Helmert leg must NOT run
+    pinned = base + "+towgs84=598.1,73.7,418.2 +nadgrids=null"
+    gs = gridshift_pipeline(pinned, "+proj=stere +lat_0=90 +ellps=WGS84")
+    assert gs == {"tgt_subs": None, "src_subs": None,
+                  "tgt_helmert": None, "src_helmert": None}
+    # and both null spellings resolve to the flagged identity subgrid
+    for names in ([("null", False)], [("null", True)]):
+        subs = ntv2.resolve_nadgrids(names)
+        assert len(subs) == 1 and subs[0]["identity"]
 
 
 def test_nad27_geokeys_decode_with_clrk66():
@@ -625,9 +641,11 @@ def test_nadgrids_null_fallback_identity():
     # far outside: identity, NOT dropped
     assert GS.forward_scalar_multi(subs, 10.0, 50.0) == (10.0, 50.0)
     assert GS.inverse_scalar_multi(subs, 10.0, 50.0) == (10.0, 50.0)
-    # a LONE null (or only-null list) is still a no-op datum leg
-    assert crs_nadgrids("+proj=lcc +ellps=clrk66 +nadgrids=null") is None
-    assert crs_nadgrids("+proj=lcc +ellps=clrk66 +nadgrids=@null") is None
+    # a LONE null (or only-null list) parses as a real identity pin
+    assert crs_nadgrids(
+        "+proj=lcc +ellps=clrk66 +nadgrids=null") == [("null", False)]
+    assert crs_nadgrids(
+        "+proj=lcc +ellps=clrk66 +nadgrids=@null") == [("null", True)]
     # names after null are unreachable but still VALIDATED (PROJ
     # errors on any unloadable listed grid at CRS creation): a
     # required missing name raises, an @-optional one is skipped
