@@ -39,6 +39,12 @@ from pyspark.sql.window import Window as W
 
 from pyresample_spark.functions.geo import R_EARTH, lonlat2xyz
 
+# Neighbor-cell box-distance prune in _radius_pairs (VERDICT r15
+# item 4) — module flag ONLY so tools/ab_box_prune.py can interleave
+# A/B plans inside one session (removes the box-state time trend that
+# poisons run-to-run bench comparisons). Production value: True.
+BOX_PRUNE = True
+
 
 def chord_length(radius_m: float, r_earth: float = R_EARTH) -> float:
     """Great-circle radius → chord length: 2·R·sin(r/2R)."""
@@ -229,6 +235,34 @@ def _radius_pairs(
             .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
             .drop("o")
         )
+        # Box-distance prune (VERDICT r15 item 4): drop exploded
+        # neighbor cells whose axis-aligned distance from the probe to
+        # the WHOLE cell already exceeds the accepted radius — those
+        # cells cannot contain any pair the exact mm filter keeps
+        # (accepted d < c_eff ≤ box distance of a pruned cell), so the
+        # pair set after the filter is bit-identical while the probe
+        # exchange shuffles ~20-25% fewer rows for c27 (corner cells
+        # survive only near their corner: p≈π/6, edges p≈π/4) and the
+        # join evaluates correspondingly fewer candidate distances.
+        # A 1 µm slack on the threshold dwarfs the few-ulp error of
+        # recomputing the cell walls (gx ~1e7 m ⇒ ~1e-9 m ulps), so
+        # float noise can never prune an accepted pair. Pure column
+        # predicate below the join — Catalyst pushes it under the
+        # shuffle; no new exchange. BOX_PRUNE is the A/B switch
+        # (tools/ab_box_prune.py) — leave True.
+        if BOX_PRUNE:
+            def _box_gap(g: str, cidx: str):
+                lo = F.col(cidx) * cell
+                return F.greatest(
+                    lo - F.col(g), F.col(g) - lo - cell, F.lit(0.0)
+                )
+
+            bx = _box_gap("t_gx", "cx3")
+            by = _box_gap("t_gy", "cy3")
+            bz = _box_gap("t_gz", "cz3")
+            t = t.filter(
+                bx * bx + by * by + bz * bz <= F.lit((eff + 1e-6) ** 2)
+            )
     join_keys = list(cell_keys)
     if salt_factor and salt_factor > 1:
         s = s.withColumn("salt", F.pmod(F.col("src_id"), F.lit(salt_factor)))
