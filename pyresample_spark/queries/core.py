@@ -211,6 +211,49 @@ def q_hdf5_szip_ingest(spark, sf_dir):
 
 
 @register(
+    "q_hdf5_scaleoffset_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CASE WHEN (r // 40 + r % 40) % 11 = 0 THEN -999.0
+                ELSE CAST(((r // 40) * 23 + (r % 40) * 7) % 83
+                     AS DOUBLE) / 4 - 9.25 END AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_hdf5_scaleoffset_ingest(spark, sf_dir):
+    """Scale-offset-filtered HDF5 ingest (filter 6 — h5py's
+    ``scaleoffset=`` / H5Pset_scaleoffset, the last built-in HDF5
+    compression the native reader lacked): float64 grids quantized to
+    2 decimals with a −999 fill value, band 1 composed with
+    shuffle+deflate (the packed stream riding the netcdf-c recipe),
+    band 2 with fletcher32 — decoded by sources/scaleoffset.py inside
+    the SAME distributed binaryFile + mapInPandas ingest. Values are
+    exact quarters so the DuckDB oracle regenerates them exactly in
+    float64 despite the decimal scaling."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import (
+        demo_hdf5_scaleoffset_granule_dir,
+    )
+
+    d = demo_hdf5_scaleoffset_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_geotiff_ingest",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

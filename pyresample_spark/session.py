@@ -38,9 +38,11 @@ def get_spark(app_name: str = "pyresample_spark", ui_port: int | None = None) ->
         # metric scrapers sum /stages cumulatively; the default
         # retainedStages=1000 evicts early stages mid-bench, making
         # running totals DECREASE and per-query deltas go negative
-        # (ADVICE r14) — keep every stage of a bench/probe run
-        .config("spark.ui.retainedStages", "100000")
-        .config("spark.ui.retainedJobs", "100000")
+        # (ADVICE r14). 10k covers a full bench run (~2-3k stages)
+        # with bounded driver memory — unbounded retention in the
+        # task-sharing local JVM is its own hazard.
+        .config("spark.ui.retainedStages", "10000")
+        .config("spark.ui.retainedJobs", "10000")
         # managed-table machinery (bucketed tables) kept out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/pyresample_spark_warehouse")
         .config(

@@ -951,6 +951,12 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
             from pyresample_spark.sources.szip import h5_szip_decode
 
             raw = h5_szip_decode(raw, cds)
+        elif fid == 6:
+            from pyresample_spark.sources.scaleoffset import (
+                h5_scaleoffset_decode,
+            )
+
+            raw = h5_scaleoffset_decode(raw, cds)
         elif fid == 3:
             # verify-and-strip: the filter appends the 4-byte checksum
             # little-endian; a mismatch means the chunk is corrupt and
@@ -1478,13 +1484,13 @@ def parse_hdf5(buf: bytes) -> dict:
                     # szip (id 4) decodes against its client-data
                     # values, so the pipeline carries (fid, cds) pairs
                     filters.append((fid, cds))
-                unknown = {f for f, _ in filters} - {1, 2, 3, 4}
+                unknown = {f for f, _ in filters} - {1, 2, 3, 4, 6}
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
-                        "(deflate=1, shuffle=2, fletcher32=3 and "
-                        "szip=4 decode natively; nbit/scaleoffset and "
-                        "registered plugins need the libs)"
+                        "(deflate=1, shuffle=2, fletcher32=3, szip=4 "
+                        "and scaleoffset=6 decode natively; nbit=5 "
+                        "and registered plugins need the libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -1962,6 +1968,25 @@ def _w_selection(sel: dict) -> bytes:
     raise ValueError(f"unknown selection type {t!r}")
 
 
+def _so_cds(so: dict, dtype, npoints: int) -> tuple:
+    """Stored scaleoffset client data for one variable: scale type
+    picked from the dtype (SO_INT for integers, SO_FLOAT_DSCALE for
+    floats), decimal factor and optional fill from the writer dict —
+    the way H5Pset_scaleoffset + set_local fill the 20 words."""
+    from pyresample_spark.sources.scaleoffset import (
+        SO_FLOAT_DSCALE,
+        SO_INT,
+        scaleoffset_cd_values,
+    )
+
+    dt = np.dtype(dtype)
+    stype = SO_FLOAT_DSCALE if dt.kind == "f" else SO_INT
+    return scaleoffset_cd_values(
+        stype, int(so.get("factor", 0)), npoints, dt,
+        fill=so.get("fill"),
+    )
+
+
 def _szip_cds(szip: dict, dtype, pps: int, npoints: int) -> tuple:
     """The 4 stored szip client-data values for one variable —
     ``H5Zszip.c`` ``set_local`` order ``[mask, ppb, bpp, pps]`` with
@@ -1998,6 +2023,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     deflate: bool = True, shuffle: bool = False,
                     fletcher32: bool = False,
                     szip: dict | None = None,
+                    scaleoffset: dict | None = None,
                     superblock: int = 0,
                     dense_links: bool = False,
                     chunk_index: str = "btree1") -> bytes:
@@ -2030,6 +2056,9 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     if szip and deflate:
         raise ValueError("szip and deflate are alternative compressors "
                          "— pass deflate=False with szip")
+    if scaleoffset is not None and not isinstance(scaleoffset, dict):
+        raise ValueError("scaleoffset must be a dict like "
+                         "{'factor': 2, 'fill': -999.0}")
     if superblock not in (0, 2):
         raise ValueError(f"superblock must be 0 or 2, got {superblock}")
     if dense_links and superblock != 2:
@@ -2070,8 +2099,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
         place("snod", snod)
 
-    if deflate or shuffle or fletcher32 or szip:
+    if deflate or shuffle or fletcher32 or szip or scaleoffset:
         fspecs = []
+        if scaleoffset:
+            # h5py/libhdf5 apply scale-offset FIRST (position 0) so
+            # the packed stream rides checksum/shuffle/deflate
+            fspecs.append((6, 0, None))
         if fletcher32:
             # netcdf-c pipeline position 0: the checksum is appended
             # to the RAW chunk, then rides shuffle/deflate like data
@@ -2091,6 +2124,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             for fid, fflags, cds in fspecs:
                 if fid == 4:
                     cds = list(_szip_cds(szip, dtype, pps, npoints))
+                elif fid == 6:
+                    cds = list(_so_cds(scaleoffset, dtype, npoints))
                 else:
                     cds = [dtype.itemsize if fid == 2 else c
                            for c in cds]
@@ -2142,11 +2177,13 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         ]
         if n in chunks:
             cr, cc = chunks[n]
-            if deflate or shuffle or fletcher32 or szip:
+            if deflate or shuffle or fletcher32 or szip or scaleoffset:
                 msgs.append(
                     _w_msg(0x000B, _w_filters(arr.dtype, cc, cr * cc))
                 )
             sz_cds = _szip_cds(szip, arr.dtype, cc, cr * cc) if szip else None
+            so_cds = (_so_cds(scaleoffset, arr.dtype, cr * cc)
+                      if scaleoffset else None)
             blobs = []
             for r0 in range(0, arr.shape[0], cr):
                 for c0 in range(0, arr.shape[1], cc):
@@ -2155,6 +2192,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     cs = min(cc, arr.shape[1] - c0)
                     blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
                     raw = blk.tobytes()
+                    if scaleoffset:
+                        from pyresample_spark.sources.scaleoffset import (
+                            h5_scaleoffset_encode,
+                        )
+
+                        raw = h5_scaleoffset_encode(raw, so_cds)
                     if fletcher32:
                         raw += struct.pack("<I", _fletcher32(raw))
                     if shuffle:
@@ -2712,6 +2755,58 @@ def demo_hdf5_szip_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_szip_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+def demo_hdf5_scaleoffset_granule_dir() -> str:
+    """Scale-offset twin of demo_hdf5_szip_granule_dir (filter 6):
+    float64 quarter-step grids with a −999 fill, D-scaled at 2
+    decimals — band 0 scaleoffset alone, band 1 composed with
+    shuffle+deflate (packed stream riding the netcdf-c recipe),
+    band 2 with fletcher32 — for the driver-gated
+    q_hdf5_scaleoffset_ingest."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = (((rows * 23 + cols * 7) % 83) / 4.0 - 9.25).astype(
+                "<f8")
+            data[(rows + cols) % 11 == 0] = -999.0
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (5, 16)},
+                deflate=band == 1,
+                shuffle=band == 1,
+                fletcher32=band == 2,
+                scaleoffset={"factor": 2, "fill": -999.0},
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_so_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

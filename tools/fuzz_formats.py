@@ -205,6 +205,12 @@ def main():
                        ).astype("<u2"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             szip={"ppb": 8, "option": "nn"}), h5_parse),
+        ("hdf5-scaleoffset", hdf5_grid_bytes(
+            {"band": ((((np.arange(12)[:, None] * 23
+                         + np.arange(16)[None, :] * 7) % 83) / 4.0
+                       - 9.25).astype("<f8"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            scaleoffset={"factor": 2, "fill": -999.0}), h5_parse),
         ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
             {"band": (((np.arange(12)[:, None] * 31
                         + np.arange(16)[None, :] * 17) % 97
