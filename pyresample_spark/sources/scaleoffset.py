@@ -50,32 +50,30 @@ _CLS_INTEGER = 0
 _CLS_FLOAT = 1
 
 
-def _bit_unpack(payload: bytes, n: int, minbits: int) -> list:
-    """n values of minbits bits each, MSB-first bitstream."""
+def _bit_unpack(payload: bytes, n: int, minbits: int) -> np.ndarray:
+    """n values of minbits bits each, MSB-first bitstream → uint64
+    array. Vectorized (np.unpackbits + a power-of-two dot): the
+    fixed-width fields make this filter — unlike szip's sequential
+    Rice grammar — a pure array transform, so decode stays numpy-speed
+    on the distributed ingest path."""
     need = (n * minbits + 7) // 8
     if len(payload) < need:
         raise ValueError(
             f"scaleoffset payload truncated: {len(payload)} bytes for "
             f"{n} x {minbits} bits"
         )
-    big = int.from_bytes(payload[:need], "big")
-    big >>= need * 8 - n * minbits
-    mask = (1 << minbits) - 1
-    out = [0] * n
-    for i in range(n - 1, -1, -1):
-        out[i] = big & mask
-        big >>= minbits
-    return out
+    bits = np.unpackbits(np.frombuffer(payload[:need], dtype=np.uint8))
+    bits = bits[: n * minbits].reshape(n, minbits).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(minbits - 1, -1, -1,
+                                         dtype=np.uint64))
+    return bits @ weights
 
 
 def _bit_pack(values, minbits: int) -> bytes:
-    big = 0
-    for v in values:
-        big = (big << minbits) | (v & ((1 << minbits) - 1))
-    nbits = len(values) * minbits
-    pad = -nbits % 8
-    big <<= pad
-    return big.to_bytes((nbits + pad) // 8, "big")
+    vals = np.asarray(values, dtype=np.uint64)
+    shifts = np.arange(minbits - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
 
 
 def _parms(cd_values) -> dict:
@@ -151,28 +149,26 @@ def h5_scaleoffset_decode(raw: bytes, cd_values) -> bytes:
         if len(payload) < n * size:
             raise ValueError("scaleoffset raw payload truncated")
         return payload[: n * size]
-    packed = [0] * n if minbits == 0 else _bit_unpack(payload, n, minbits)
-    mask = (1 << (8 * size)) - 1
-    escape = (1 << minbits) - 1
+    packed = (np.zeros(n, dtype=np.uint64) if minbits == 0
+              else _bit_unpack(payload, n, minbits))
+    escape = np.uint64((1 << minbits) - 1)
     use_fill = p["fill_bytes"] is not None and minbits > 0
     dt = _np_dtype(p)
     if p["cls"] == _CLS_INTEGER:
-        words = [(v + minval) & mask for v in packed]
-        out = np.array(words, dtype=np.uint64).astype(
+        # modular add in uint64, then truncate to the type width
+        words = packed + np.uint64(minval & ((1 << 64) - 1))
+        out = words.astype(
             np.dtype(f"{'<' if p['order'] == 0 else '>'}u{size}")
         ).view(dt)
     else:
         pow10 = 10.0 ** p["scale_factor"]
         sminval = minval - (1 << 64) if minval >> 63 else minval
-        out = np.array(
-            [float(sminval + v) / pow10 for v in packed], dtype=np.float64
-        ).astype(dt)
+        out = ((packed.astype(np.int64) + np.int64(sminval))
+               .astype(np.float64) / pow10).astype(dt)
     if use_fill:
         fill_el = np.frombuffer(p["fill_bytes"], dtype=dt)[0]
-        hit = np.fromiter((v == escape for v in packed), dtype=bool,
-                          count=n)
         out = out.copy()
-        out[hit] = fill_el
+        out[packed == escape] = fill_el
     return out.tobytes()
 
 
