@@ -768,3 +768,83 @@ def test_streaming_geoid_height_matches_batch(spark, sf_dir, tmp_path):
     got = {r.event_id: (r.n_geoid, r.h_ell)
            for r in spark.table("stream_geoid").collect()}
     assert got == batch
+
+
+def test_streaming_granule_ingest_szip_matches_batch(spark):
+    """szip-compressed HDF5 granules arriving as a file stream (the
+    operational NASA L1B feed shape) decode through the same shared
+    plan — the CCSDS 121.0 Rice decode runs inside the streaming
+    mapInPandas batch exactly as in the batch ingest; per-file
+    summaries batch-equal bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+    from pyresample_spark.sources.hdf5 import demo_hdf5_szip_granule_dir
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_hdf5_szip_granule_dir()
+    glob = os.path.join(d, "*.nc")
+    stream = streaming_granule_ingest(spark, glob)
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "granule_ingest_szip").collect()
+    }
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "netcdf3")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == batch
+
+
+def test_streaming_granule_ingest_scaleoffset_matches_batch(spark):
+    """Scale-offset-filtered granules (filter 6, incl. the
+    shuffle+deflate-composed and fletcher32 bands) through the same
+    streaming file-source plan — batch-equal bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import read_raster_pixels
+    from pyresample_spark.sources.hdf5 import (
+        demo_hdf5_scaleoffset_granule_dir,
+    )
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_hdf5_scaleoffset_granule_dir()
+    glob = os.path.join(d, "*.nc")
+    stream = streaming_granule_ingest(spark, glob)
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "granule_ingest_so").collect()
+    }
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "netcdf3")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == batch
