@@ -36,7 +36,27 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
         rows = np.arange(H)[:, None] + i * H
         cols = np.arange(W)[None, :]
         data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
-        if fmt in ("hdf5", "hdf5_fa"):
+        if fmt in ("szip", "scaleoffset"):
+            # the round-15 filters: uint16 NN-szip (the NASA L1B
+            # shape, sequential Rice decode) vs float64 D-scaled
+            # scale-offset (vectorized decode) — same ingest plan
+            band = (data.astype("<u2") if fmt == "szip"
+                    else np.round(data / 4.0, 2).astype("<f8"))
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys.astype(float), {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (band, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (64, 128)},
+                deflate=False,
+                szip={"ppb": 16, "option": "nn"} if fmt == "szip"
+                else None,
+                scaleoffset={"factor": 2} if fmt == "scaleoffset"
+                else None,
+            )
+        elif fmt in ("hdf5", "hdf5_fa"):
             buf = hdf5_grid_bytes(
                 {
                     "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
@@ -127,7 +147,8 @@ def main():
     ingest_fmt = ("geotiff_multiband" if multi
                   else "geotiff" if tiff1 else "netcdf3")
     px_per_file = (3 if multi else 1) * H * W
-    bytes_per_px = 4 if (multi or tiff1) else 8
+    bytes_per_px = (4 if (multi or tiff1)
+                    else 2 if fmt == "szip" else 8)
     for n in ns:
         d = make_granules(n, fmt)
         try:
