@@ -70,6 +70,11 @@ HEADLINE = [
     # round-over-round cost tracking like every other headline plan.
     "q_hdf5_ingest",
     "q_knn_approx",
+    # round 15: the szip (CCSDS Rice) decode — the one deliberate
+    # sequential-python cost center on the ingest path — and the
+    # composed h+v datum broadcast pipeline
+    "q_hdf5_szip_ingest",
+    "q_regrid_vdatum",
 ]
 
 # The original round-1 headline set, unchanged across rounds — its

@@ -330,3 +330,24 @@ def test_cross_validate_against_real_h5py_szip(tmp_path):
             pytest.skip("h5py built without an szip encoder")
     out = parse_hdf5(p.read_bytes())["band"]["data"]
     assert np.array_equal(out.astype("<u2"), data)
+
+
+def test_filter_mask_skips_szip():
+    """H5Pset_szip registers the filter OPTIONAL: a writer without an
+    szip encoder stores the chunk raw with the chunk key's filter-mask
+    bit set — the pipeline must pass those bytes through untouched
+    instead of Rice-decoding garbage."""
+    from pyresample_spark.sources.hdf5 import _apply_filters
+
+    cd = szip_cd_values(SZ_NN_OPTION_MASK, 8, "<u2", 64)
+    raw = np.arange(64, dtype="<u2").tobytes()
+    # pipeline [szip]; mask bit 0 set -> skipped
+    assert _apply_filters(raw, 0b1, [(4, cd)], 2) == raw
+    # and with the bit clear the same bytes are (correctly) rejected
+    with pytest.raises(ValueError):
+        _apply_filters(raw, 0b0, [(4, cd)], 2)
+    # composed pipeline [szip, deflate] with only szip skipped
+    import zlib
+
+    comp = zlib.compress(raw)
+    assert _apply_filters(comp, 0b1, [(4, cd), (1, ())], 2) == raw
