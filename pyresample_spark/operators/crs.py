@@ -461,16 +461,62 @@ def _xy_offsets(fam: str, p: dict):
     return float(p.get("x_0", "0")), float(p.get("y_0", "0"))
 
 
+# Spherical projections are linear in the earth radius — x = R·g(…) —
+# so a custom sphere (+R=, or +a= with no distinct +b) is honored
+# GENERICALLY by scaling the default-R output by r/R_EARTH (inverse:
+# scale inputs first), identically in the Column, SQL and scalar
+# twins. Families whose math couples R with another length stay loud
+# guards instead of silently mis-scaling: geos (satellite height),
+# tmerc/utm (false easting consumed inside the series), the fitted
+# omerc analog (track-fit constants). laea consumes +a natively (the
+# EASE grids) and is excluded from generic scaling.
+_SCALABLE_SPHERICAL = frozenset((
+    "eqc", "stere", "stere_oblique", "aeqd", "gnom", "merc", "lcc",
+    "sinu", "cea", "ortho", "aea", "eqdc", "moll", "robin",
+))
+
+
+def _sphere_scale(fam: str, p: dict) -> float:
+    """r / R_EARTH for a declared custom sphere, 1.0 otherwise.
+
+    Before this helper a spherical CRS with +R= or +a= (e.g. the GRIB
+    R=6371229 sphere) SILENTLY projected through the default
+    R=6370997 — exactly the km-scale quiet deviation _ellipsoid_ab's
+    guard exists to prevent (the CF path already raised; raw proj
+    strings did not)."""
+    if _ellipsoid_ab(p) is not None:
+        return 1.0  # ellipsoidal family: dispatch reads a/b itself
+    r = p.get("R", p.get("a"))
+    if r is None:
+        return 1.0
+    r = float(r)
+    if r == R_EARTH or fam in ("longlat", "laea"):
+        return 1.0
+    if fam not in _SCALABLE_SPHERICAL:
+        raise NotImplementedError(
+            f"custom sphere radius {r} on +proj family {fam!r}: the "
+            "radius couples with other length parameters there "
+            "(satellite height / internal false easting / track-fit "
+            "constants) — re-express on the default sphere or an "
+            "explicit ellipsoid"
+        )
+    return r / R_EARTH
+
+
 def forward(crs: str):
     """(lon, lat) → (x, y) column builder for an analytic CRS.
-    Honors +x_0/+y_0 (false easting/northing) for every family."""
+    Honors +x_0/+y_0 (false easting/northing) for every family and
+    custom sphere radii (+R/+a) for the linear spherical families."""
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
-    if x0 or y0:
+    s = _sphere_scale(fam, p)
+    if x0 or y0 or s != 1.0:
         fwd = _forward_centered(crs)
 
         def _shifted(lon, lat):
             x, y = fwd(lon, lat)
+            if s != 1.0:
+                x, y = x * F.lit(s), y * F.lit(s)
             return x + F.lit(float(x0)), y + F.lit(float(y0))
 
         return _shifted
@@ -609,16 +655,22 @@ def _forward_centered(crs: str):
 
 def inverse(crs: str):
     """(x, y) → (lon, lat) column builder for an analytic CRS.
-    Honors +x_0/+y_0 (false easting/northing) for every family."""
+    Honors +x_0/+y_0 (false easting/northing) for every family and
+    custom sphere radii (+R/+a) for the linear spherical families."""
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
-    if x0 or y0:
+    s = _sphere_scale(fam, p)
+    if x0 or y0 or s != 1.0:
         inv = _inverse_centered(crs)
 
         def _shifted(x, y):
             x = F.col(x) if isinstance(x, str) else x
             y = F.col(y) if isinstance(y, str) else y
-            return inv(x - F.lit(float(x0)), y - F.lit(float(y0)))
+            x = x - F.lit(float(x0))
+            y = y - F.lit(float(y0))
+            if s != 1.0:
+                x, y = x / F.lit(s), y / F.lit(s)
+            return inv(x, y)
 
         return _shifted
     return _inverse_centered(crs)
@@ -810,13 +862,16 @@ def forward_sql(crs: str):
 
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
+    s = _sphere_scale(fam, p)
 
     def offset(fn):
-        if not (x0 or y0):
+        if not (x0 or y0 or s != 1.0):
             return fn
 
         def _sh(lon, lat):
             x, y = fn(lon, lat)
+            if s != 1.0:
+                x, y = f"({x} * {s!r})", f"({y} * {s!r})"
             return f"({x} + {x0!r})", f"({y} + {y0!r})"
 
         return _sh
@@ -1131,13 +1186,14 @@ def inverse_scalar(crs: str):
     (lon, lat) floats — for plan-time geometry (boundary polygons,
     overlap tests; tens of points). Mirrors functions/geo.py formulas
     exactly; returns None for points outside the projection domain
-    (e.g. off-disc geos pixels). Honors +x_0/+y_0 like the column
-    twins."""
+    (e.g. off-disc geos pixels). Honors +x_0/+y_0 and custom sphere
+    radii like the column twins."""
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
-    if x0 or y0:
+    s = _sphere_scale(fam, p)
+    if x0 or y0 or s != 1.0:
         inv = _inverse_scalar_centered(crs)
-        return lambda x, y: inv(x - x0, y - y0)
+        return lambda x, y: inv((x - x0) / s, (y - y0) / s)
     return _inverse_scalar_centered(crs)
 
 

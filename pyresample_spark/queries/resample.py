@@ -2788,6 +2788,57 @@ def q_regrid_nadgrids_list(spark, sf_dir):
     return regrid_nearest(_NADLIST_TGT, _NADLIST_SRC, src)
 
 
+# --- q_regrid_grib_sphere: custom-sphere CRS (+R, the GRIB earth) ----
+
+def _grib_sphere_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # NWP products (GRIB templates) routinely declare the R=6371229 m
+    # sphere; before round 15 a +R/+a sphere on the linear families
+    # SILENTLY projected through the default R=6370997 (a km-scale
+    # quiet deviation). The generic fix scales the default-R forms by
+    # r/R (operators/crs.py _sphere_scale); this query pins it
+    # cross-engine on a mercator window.
+    return AreaDefinition(
+        "grib_merc_sphere",
+        "+proj=merc +lat_ts=20 +R=6371229",
+        width=64, height=56,
+        area_extent=(-6.0e6, -4.2e6, 6.0e6, 4.2e6),
+    )
+
+
+_GRIB_AREA = _grib_sphere_area()
+
+
+def _grib_sphere_oracle() -> str:
+    from pyresample_spark.functions.geo import R_EARTH, merc_inv_sql
+
+    s = 6371229.0 / R_EARTH
+    # replay the engine's exact expression: inputs divided by the
+    # sphere scale, then the DEFAULT-radius inverse (identical IEEE
+    # ops on both engines; the Spark wrapper's "- 0.0" offset is exact)
+    lon, lat = merc_inv_sql(f"(cx / {s!r})", f"(cy / {s!r})",
+                            lat_ts=20.0)
+    return _regrid_oracle(_GRIB_AREA, (lon, lat))
+
+
+@register("q_regrid_grib_sphere", oracle=_grib_sphere_oracle())
+def q_regrid_grib_sphere(spark, sf_dir):
+    """Regrid onto a CUSTOM-SPHERE mercator CRS (+R=6371229 — the GRIB
+    earth every NWP product declares): spherical projections are
+    linear in R, so the engine honors +R/+a generically by scaling the
+    default-R forms (x·r/R forward, inputs/(r/R) before the inverse) —
+    identically in the Column, SQL and scalar twins, with geos/tmerc
+    (where R couples with other lengths) kept as loud guards. The
+    DuckDB oracle replays the same scale-then-invert expression text,
+    so the gather is cell-exact."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_GRIB_AREA, EQC_AREA, src)
+
+
 # --- q_regrid_krovak: S-JTSK / Krovak (EPSG 5514, method 9819) -------
 
 def _krovak_areas():

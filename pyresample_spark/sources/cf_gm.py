@@ -86,18 +86,25 @@ def cf_grid_mapping_to_crs(gma: dict) -> str:
         return "longlat"
     kind, ell = _ellipsoid(gma)
 
-    def ell_tokens(allow_sphere_radius: bool = False) -> str:
+    def ell_tokens(allow_sphere_radius: bool = True,
+                   as_a: bool = False) -> str:
         if kind == "ab":
             return f" +a={ell[0]!r} +b={ell[1]!r}"
         if kind == "sphere":
             if abs(ell - R_EARTH) < 0.5:
                 return ""
+            if as_a:
+                return f" +a={ell!r}"  # laea consumes +a natively
             if allow_sphere_radius:
-                return f" +a={ell!r}"
+                # the linear spherical families honor +R generically
+                # (operators/crs.py _sphere_scale)
+                return f" +R={ell!r}"
             raise NotImplementedError(
                 f"grid mapping {name!r} on a sphere of radius {ell} — "
-                f"the engine's spherical form is fixed at R={R_EARTH}; "
-                "only laea consumes a custom sphere radius (+a)"
+                "this family couples the radius with other length "
+                "parameters (satellite height / internal false "
+                "easting); re-express on the default sphere "
+                f"R={R_EARTH} or an explicit ellipsoid"
             )
         return ""
 
@@ -113,7 +120,7 @@ def cf_grid_mapping_to_crs(gma: dict) -> str:
         return "longlat"
     if name == "lambert_azimuthal_equal_area":
         return (f"+proj=laea +lat_0={lat0!r} +lon_0={lon0!r}"
-                + fe + ell_tokens(allow_sphere_radius=True))
+                + fe + ell_tokens(as_a=True))
     if name == "polar_stereographic":
         lon0p = _num(gma, "straight_vertical_longitude_from_pole",
                      default=lon0)
@@ -132,7 +139,7 @@ def cf_grid_mapping_to_crs(gma: dict) -> str:
     if name == "transverse_mercator":
         k = _num(gma, "scale_factor_at_central_meridian", default=1.0)
         return (f"+proj=tmerc +lat_0={lat0!r} +lon_0={lon0!r} +k={k!r}"
-                + fe + ell_tokens())
+                + fe + ell_tokens(allow_sphere_radius=False))
     if name == "mercator":
         k = _num(gma, "scale_factor_at_projection_origin")
         if k is not None and k != 1.0:
@@ -182,7 +189,7 @@ def cf_grid_mapping_to_crs(gma: dict) -> str:
             sweep = "y" if fixed == "x" else "x"
         sweep = str(sweep or "y").strip().lower()
         return (f"+proj=geos +h={h!r} +lon_0={lon0!r} +sweep={sweep}"
-                + fe + ell_tokens())
+                + fe + ell_tokens(allow_sphere_radius=False))
     raise NotImplementedError(
         f"CF grid_mapping_name {name!r} outside the native subset "
         "(latitude_longitude, laea, polar/oblique stereographic, "

@@ -727,3 +727,51 @@ def test_false_easting_northing_honored(spark):
     r = (spark.createDataFrame([(15.0, 0.0)], "lon double, lat double")
          .select(*forward(utm)("lon", "lat")).collect()[0])
     assert abs(r[0] - 500_000.0) < 1e-6 and abs(r[1]) < 1e-6
+
+
+def test_custom_sphere_radius_honored_linearly():
+    """+R= / lone +a= spheres (the GRIB R=6371229 earth) scale every
+    linear spherical family by r/R in forward, inverse and the scalar
+    twin; geos/tmerc raise loudly (R couples with other lengths).
+    Before round 15 these silently projected through the default
+    radius — a km-scale quiet deviation."""
+    import math
+
+    import pytest
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators import crs as C
+
+    r2 = 6371229.0
+    s = r2 / R_EARTH
+    for crs, base in [
+        ("+proj=eqc +R=6371229", "+proj=eqc"),
+        ("+proj=merc +lat_ts=20 +a=6371229 +b=6371229",
+         "+proj=merc +lat_ts=20"),
+        ("+proj=stere +lat_0=90 +lat_ts=60 +R=6371229",
+         "+proj=stere +lat_0=90 +lat_ts=60"),
+        ("+proj=aea +lat_1=29.5 +lat_2=45.5 +R=6371229",
+         "+proj=aea +lat_1=29.5 +lat_2=45.5"),
+    ]:
+        inv_c = C.inverse_scalar(crs)
+        inv_b = C.inverse_scalar(base)
+        # pick a representative projected point on the default sphere,
+        # scale it up, and demand the same lon/lat back
+        for x, y in [(1.2e6, 2.1e6), (-2.2e6, 9.1e5)]:
+            lb = inv_b(x, y)
+            lc = inv_c(x * s, y * s)
+            assert lb is not None and lc is not None
+            assert lb[0] == pytest.approx(lc[0], abs=1e-12)
+            assert lb[1] == pytest.approx(lc[1], abs=1e-12)
+    # guards: families where R couples with another length
+    for bad in ("+proj=geos +h=35785831 +R=6371229",
+                "+proj=utm +zone=33 +R=6371229"):
+        with pytest.raises(NotImplementedError, match="sphere radius"):
+            C.forward(bad)
+    # default-radius spellings stay on the fast unscaled path
+    assert C._sphere_scale("eqc", {"R": repr(R_EARTH)}) == 1.0
+    assert C._sphere_scale("eqc", {}) == 1.0
+    # laea consumes +a natively — never double-scaled
+    assert C._sphere_scale("laea", {"a": "6371228"}) == 1.0
+    assert math.isclose(C._sphere_scale("eqc", {"R": "6371229"}),
+                        6371229.0 / R_EARTH)
