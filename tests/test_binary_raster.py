@@ -2745,14 +2745,24 @@ def test_cf_grid_mapping_translation_table():
 def test_cf_grid_mapping_guards():
     from pyresample_spark.sources.cf_gm import cf_grid_mapping_to_crs
 
-    # WRF-style sphere on a family whose spherical form is pinned to
-    # R_EARTH: silent km-scale shift → loud error
+    # WRF-style sphere on a LINEAR family now maps to +R= (the
+    # engine scales the default-R forms by r/R — round 15); the
+    # families where R couples with another length keep the loud error
+    crs = cf_grid_mapping_to_crs({
+        "grid_mapping_name": "lambert_conformal_conic",
+        "standard_parallel": [33.0, 45.0],
+        "longitude_of_central_meridian": -97.0,
+        "latitude_of_projection_origin": 40.0,
+        "earth_radius": 6370000.0})
+    assert "+R=6370000.0" in crs and "+proj=lcc" in crs
     with pytest.raises(NotImplementedError, match="sphere of radius"):
         cf_grid_mapping_to_crs({
-            "grid_mapping_name": "lambert_conformal_conic",
-            "standard_parallel": [33.0, 45.0],
-            "longitude_of_central_meridian": -97.0,
-            "latitude_of_projection_origin": 40.0,
+            "grid_mapping_name": "geostationary",
+            "perspective_point_height": 35785831.0,
+            "earth_radius": 6370000.0})
+    with pytest.raises(NotImplementedError, match="sphere of radius"):
+        cf_grid_mapping_to_crs({
+            "grid_mapping_name": "transverse_mercator",
             "earth_radius": 6370000.0})
     with pytest.raises(NotImplementedError, match="rotated"):
         cf_grid_mapping_to_crs(
