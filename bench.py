@@ -110,11 +110,14 @@ def main():
 
     app_id = spark.sparkContext.applicationId
 
-    def cpu_now_ns():
-        """Total executorCpuTime (ns) over all stages so far, via the
-        REST API — real task CPU, unaffected by other load on the host.
-        Returns None when the UI is unreachable (bench still reports
-        wall times; cpu fields go null)."""
+    def stage_counters_now():
+        """(executorCpuTime ns, shuffleWriteRecords) summed over all
+        stages so far, via the REST API. CPU is the load-invariant cost
+        anchor; shuffle-write records are a fully DETERMINISTIC
+        structural metric (a plan shuffles the same rows regardless of
+        host load — VERDICT r15 item 2), so round-over-round deltas in
+        it survive any amount of box noise. Returns (None, None) when
+        the UI is unreachable (bench still reports wall times)."""
         try:
             with urllib.request.urlopen(
                 f"http://localhost:{ui_port}/api/v1/applications/"
@@ -122,9 +125,16 @@ def main():
                 timeout=10,
             ) as r:
                 stages = json.load(r)
-            return sum(st.get("executorCpuTime", 0) or 0 for st in stages)
+            cpu = sum(st.get("executorCpuTime", 0) or 0 for st in stages)
+            shuf = sum(
+                st.get("shuffleWriteRecords", 0) or 0 for st in stages
+            )
+            return cpu, shuf
         except Exception:
-            return None
+            return None, None
+
+    def cpu_now_ns():
+        return stage_counters_now()[0]
     # Initialize the parquet reader path (footer/schema reads only — no
     # data pages) so the first timed query measures the query, not
     # Hadoop FS + codec init.
@@ -170,6 +180,7 @@ def main():
     rep_load1 = []
     samples = {name: [] for name in HEADLINE}
     cpu_samples = {name: [] for name in HEADLINE}
+    shuf_samples = {name: [] for name in HEADLINE}
     cpu_dropped = [0]
     rep_totals = []
 
@@ -177,7 +188,7 @@ def main():
         l1 = load1_now()
         rep_load1.append(round(l1, 2) if l1 is not None else None)
         tot = 0.0
-        cpu_before = cpu_now_ns()
+        cpu_before, shuf_before = stage_counters_now()
         for name in HEADLINE:
             spec = registry[name]
             t0 = time.time()
@@ -188,7 +199,7 @@ def main():
             tot += dt
             # CPU delta scraped OUTSIDE the wall-timed window; each
             # query's "after" doubles as the next query's "before".
-            cpu_after = cpu_now_ns()
+            cpu_after, shuf_after = stage_counters_now()
             if cpu_before is not None and cpu_after is not None:
                 d = (cpu_after - cpu_before) / 1e9
                 if d > 0:
@@ -199,7 +210,11 @@ def main():
                     # belt-and-braces): flag it instead of recording
                     # garbage into the load-invariant anchor
                     cpu_dropped[0] += 1
-            cpu_before = cpu_after
+            if shuf_before is not None and shuf_after is not None:
+                ds = shuf_after - shuf_before
+                if ds >= 0:
+                    shuf_samples[name].append(ds)
+            cpu_before, shuf_before = cpu_after, shuf_after
         rep_totals.append(tot)
 
     def median(xs):
@@ -277,10 +292,35 @@ def main():
                     if have_cpu
                     else None
                 ),
+                # Per-query CPU minima (r16): on this host CPU time
+                # itself drifts upward as a session wears on (PERF.md
+                # r15 measured 16/56/220 cpu-s for one byte-identical
+                # plan), so the min across reps — usually rep 1, the
+                # coolest — is the least-confounded per-plan cost.
+                "cpu_best": (
+                    {n: round(min(v), 3) for n, v in cpu_samples.items()}
+                    if have_cpu
+                    else None
+                ),
+                # rep timeline so degradation is visible at a glance
+                "rep_totals": [round(t, 3) for t in rep_totals],
                 "sf": sf,
                 "reps": reps,
                 "total_min": round(sum(min(v) for v in samples.values()), 3),
                 "total_max": round(sum(max(v) for v in samples.values()), 3),
+                # Deterministic structural metric (VERDICT r15 item
+                # 2): shuffle-write records per query (median over
+                # reps; identical across reps for a fixed plan+data).
+                # Host noise cannot move this number — regressions in
+                # it are real plan regressions.
+                "shuffle_write_records": (
+                    {
+                        n: int(median(v))
+                        for n, v in shuf_samples.items()
+                        if v
+                    }
+                    or None
+                ),
                 "load1": load1,
                 "rep_load1": rep_load1,
                 "gate_waits": gate_waits,

@@ -392,7 +392,15 @@ def _ellipsoid_ab(p: dict):
     An unrecognized +ellps token RAISES (ADVICE r5) instead of
     silently projecting through the spherical family with R=6370997 —
     a km-scale deviation from PROJ with no warning. +ellps=sphere is
-    PROJ's explicit spherical earth and legitimately returns None."""
+    PROJ's explicit spherical earth and legitimately returns None.
+
+    +R takes PRECEDENCE over any ellipsoid declaration (ADVICE r15):
+    PROJ treats +R as "force a sphere of this radius", so
+    `+ellps=WGS84 +R=6371000` is spherical — returning None here sends
+    dispatch down the spherical family, where _sphere_scale honors R.
+    Previously the ellipsoidal branch won and +R was silently dropped."""
+    if "R" in p:
+        return None
     if "a" in p and "b" in p and float(p["a"]) != float(p["b"]):
         return float(p["a"]), float(p["b"])
     tok = p.get("ellps")
@@ -468,8 +476,9 @@ def _xy_offsets(fam: str, p: dict):
 # twins. Families whose math couples R with another length stay loud
 # guards instead of silently mis-scaling: geos (satellite height),
 # tmerc/utm (false easting consumed inside the series), the fitted
-# omerc analog (track-fit constants). laea consumes +a natively (the
-# EASE grids) and is excluded from generic scaling.
+# omerc analog (track-fit constants). laea consumes +a/+R natively in
+# its own dispatch (the EASE grids) and is excluded from generic
+# scaling.
 _SCALABLE_SPHERICAL = frozenset((
     "eqc", "stere", "stere_oblique", "aeqd", "gnom", "merc", "lcc",
     "sinu", "cea", "ortho", "aea", "eqdc", "moll", "robin",
@@ -563,7 +572,7 @@ def _forward_centered(crs: str):
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
-        r = float(p.get("a", repr(R_EARTH)))  # EASE grids set +a
+        r = float(p.get("a", p.get("R", repr(R_EARTH))))  # EASE +a; GRIB +R
         return lambda lon, lat: (
             laea_x(lon, lat, lat_0=lat0, lon_0=lon_0, radius=r),
             laea_y(lon, lat, lat_0=lat0, lon_0=lon_0, radius=r),
@@ -718,7 +727,7 @@ def _inverse_centered(crs: str):
     if fam == "laea":
         lat0 = float(p.get("lat_0", "90"))
         lon_0 = float(p.get("lon_0", "0"))
-        r = float(p.get("a", repr(R_EARTH)))
+        r = float(p.get("a", p.get("R", repr(R_EARTH))))
         return lambda x, y: laea_inverse(
             x, y, lat_0=lat0, lon_0=lon_0, radius=r
         )
@@ -928,7 +937,7 @@ def forward_sql(crs: str):
         return offset(lambda lon, lat: G.laea_sql(
             lon, lat, lat_0=float(p.get("lat_0", "90")),
             lon_0=float(p.get("lon_0", "0")),
-            radius=float(p.get("a", repr(R_EARTH))),
+            radius=float(p.get("a", p.get("R", repr(R_EARTH)))),
         ))
     return None
 
@@ -1534,7 +1543,7 @@ def _inverse_scalar_centered(crs: str):
     if fam == "laea":
         lat0 = math.radians(float(p.get("lat_0", "90")))
         lon_0 = float(p.get("lon_0", "0"))
-        r_laea = float(p.get("a", repr(R_EARTH)))  # EASE grids set +a
+        r_laea = float(p.get("a", p.get("R", repr(R_EARTH))))  # +a or +R
         s0, c0 = math.sin(lat0), math.cos(lat0)
 
         def _laea_inv(x, y):

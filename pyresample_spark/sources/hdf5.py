@@ -951,6 +951,10 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
             from pyresample_spark.sources.szip import h5_szip_decode
 
             raw = h5_szip_decode(raw, cds)
+        elif fid == 5:
+            from pyresample_spark.sources.nbit import h5_nbit_decode
+
+            raw = h5_nbit_decode(raw, cds)
         elif fid == 6:
             from pyresample_spark.sources.scaleoffset import (
                 h5_scaleoffset_decode,
@@ -1484,13 +1488,13 @@ def parse_hdf5(buf: bytes) -> dict:
                     # szip (id 4) decodes against its client-data
                     # values, so the pipeline carries (fid, cds) pairs
                     filters.append((fid, cds))
-                unknown = {f for f, _ in filters} - {1, 2, 3, 4, 6}
+                unknown = {f for f, _ in filters} - {1, 2, 3, 4, 5, 6}
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
-                        "(deflate=1, shuffle=2, fletcher32=3, szip=4 "
-                        "and scaleoffset=6 decode natively; nbit=5 "
-                        "and registered plugins need the libs)"
+                        "(deflate=1, shuffle=2, fletcher32=3, szip=4, "
+                        "nbit=5 and scaleoffset=6 decode natively; "
+                        "registered plugins need the libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -2019,11 +2023,24 @@ def _szip_cds(szip: dict, dtype, pps: int, npoints: int) -> tuple:
     return szip_cd_values(mask, ppb, dtype, pps)
 
 
+def _nbit_cds(nbit: dict, dtype, npoints: int) -> tuple:
+    """Stored nbit client data for one variable, the way H5Pset_nbit
+    + H5Z__set_local_nbit fill them for a precision-narrowed atomic
+    type (``nbit={"precision": 12, "offset": 0}``)."""
+    from pyresample_spark.sources.nbit import nbit_cd_values
+
+    return nbit_cd_values(
+        dtype, int(nbit["precision"]), int(nbit.get("offset", 0)),
+        npoints,
+    )
+
+
 def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     deflate: bool = True, shuffle: bool = False,
                     fletcher32: bool = False,
                     szip: dict | None = None,
                     scaleoffset: dict | None = None,
+                    nbit: dict | None = None,
                     superblock: int = 0,
                     dense_links: bool = False,
                     chunk_index: str = "btree1") -> bytes:
@@ -2059,6 +2076,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     if scaleoffset is not None and not isinstance(scaleoffset, dict):
         raise ValueError("scaleoffset must be a dict like "
                          "{'factor': 2, 'fill': -999.0}")
+    if nbit is not None and not isinstance(nbit, dict):
+        raise ValueError("nbit must be a dict like "
+                         "{'precision': 12, 'offset': 0}")
+    if nbit and scaleoffset:
+        raise ValueError("nbit and scaleoffset are alternative packing "
+                         "filters — pass one")
     if superblock not in (0, 2):
         raise ValueError(f"superblock must be 0 or 2, got {superblock}")
     if dense_links and superblock != 2:
@@ -2099,12 +2122,15 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
         place("snod", snod)
 
-    if deflate or shuffle or fletcher32 or szip or scaleoffset:
+    if deflate or shuffle or fletcher32 or szip or scaleoffset or nbit:
         fspecs = []
         if scaleoffset:
             # h5py/libhdf5 apply scale-offset FIRST (position 0) so
             # the packed stream rides checksum/shuffle/deflate
             fspecs.append((6, 0, None))
+        if nbit:
+            # same position-0 packing slot as scale-offset
+            fspecs.append((5, 0, None))
         if fletcher32:
             # netcdf-c pipeline position 0: the checksum is appended
             # to the RAW chunk, then rides shuffle/deflate like data
@@ -2124,6 +2150,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             for fid, fflags, cds in fspecs:
                 if fid == 4:
                     cds = list(_szip_cds(szip, dtype, pps, npoints))
+                elif fid == 5:
+                    cds = list(_nbit_cds(nbit, dtype, npoints))
                 elif fid == 6:
                     cds = list(_so_cds(scaleoffset, dtype, npoints))
                 else:
@@ -2177,13 +2205,16 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         ]
         if n in chunks:
             cr, cc = chunks[n]
-            if deflate or shuffle or fletcher32 or szip or scaleoffset:
+            if (deflate or shuffle or fletcher32 or szip
+                    or scaleoffset or nbit):
                 msgs.append(
                     _w_msg(0x000B, _w_filters(arr.dtype, cc, cr * cc))
                 )
             sz_cds = _szip_cds(szip, arr.dtype, cc, cr * cc) if szip else None
             so_cds = (_so_cds(scaleoffset, arr.dtype, cr * cc)
                       if scaleoffset else None)
+            nb_cds = (_nbit_cds(nbit, arr.dtype, cr * cc)
+                      if nbit else None)
             blobs = []
             for r0 in range(0, arr.shape[0], cr):
                 for c0 in range(0, arr.shape[1], cc):
@@ -2198,6 +2229,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         )
 
                         raw = h5_scaleoffset_encode(raw, so_cds)
+                    if nbit:
+                        from pyresample_spark.sources.nbit import (
+                            h5_nbit_encode,
+                        )
+
+                        raw = h5_nbit_encode(raw, nb_cds)
                     if fletcher32:
                         raw += struct.pack("<I", _fletcher32(raw))
                     if shuffle:
@@ -2807,6 +2844,57 @@ def demo_hdf5_scaleoffset_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_so_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+def demo_hdf5_nbit_granule_dir() -> str:
+    """n-bit twin of demo_hdf5_szip_granule_dir (filter 5): uint16
+    grids narrowed to 12 significant bits — band 0 nbit alone, band 1
+    composed with shuffle+deflate (the packed stream riding the
+    netcdf-c recipe), band 2 with fletcher32 in the HDF5 >=1.10
+    Fixed-Array container — for the driver-gated q_hdf5_nbit_ingest."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 131 + cols * 29) % 4096).astype("<u2")
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (5, 16)},
+                deflate=band == 1,
+                shuffle=band == 1,
+                fletcher32=band == 2,
+                nbit={"precision": 12},
+                superblock=2 if band == 2 else 0,
+                chunk_index="fixed_array" if band == 2 else "btree1",
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_nbit_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

@@ -12,13 +12,16 @@ with no native library (VERDICT r12 item 5: decide, don't default).
 Scope (the baseline process, which is what TIFF-JPEG writers emit):
 
 - SOF0 (baseline) and SOF1 (extended sequential Huffman) frames,
-  8-bit samples, 1 or 3 components, sampling factors 1 or 2
-  (4:4:4 / 4:2:2 / 4:2:0), interleaved single-scan streams.
-- DQT (8-bit precision), DHT, DRI + restart markers, APPn/COM
-  skipped, abbreviated table streams (SOI tables EOI) merged per
-  TechNote2 via the ``tables=`` argument.
-- Progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision
-  and lossless processes raise loudly.
+  8-bit samples — plus 12-bit samples under SOF1 (T.81 extended
+  sequential, the depth archived GOES imagery ships: level shift
+  2048, DC categories to 15, uint16 output) — 1 or 3 components,
+  sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), interleaved
+  single-scan streams.
+- DQT (8- AND 16-bit precision), DHT, DRI + restart markers,
+  APPn/COM skipped, abbreviated table streams (SOI tables EOI)
+  merged per TechNote2 via the ``tables=`` argument.
+- Progressive (SOF2), arithmetic coding (SOF9+) and lossless
+  processes raise loudly.
 
 The encoder exists to spec-build fixtures (and to let exports embed
 quicklooks): it writes 4:4:4 or 4:2:0 baseline streams with
@@ -212,20 +215,23 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
             q = 0
             while q < len(body):
                 pq, tq = body[q] >> 4, body[q] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables (12-bit JPEG) "
-                        "outside the baseline subset"
-                    )
-                if tq > 3 or q + 65 > len(body):
+                if pq > 1:
+                    raise ValueError(f"DQT precision {pq} (0=8-bit, "
+                                     "1=16-bit)")
+                step = 65 + 64 * pq  # Pq=1: 16-bit entries (12-bit JPEG)
+                if tq > 3 or q + step > len(body):
                     raise ValueError("corrupt DQT segment")
                 tbl = np.ones(64)
-                for i, v in enumerate(body[q + 1:q + 65]):
+                if pq:
+                    vals = struct.unpack_from(">64H", body, q + 1)
+                else:
+                    vals = body[q + 1:q + 65]
+                for i, v in enumerate(vals):
                     if v == 0:
                         raise ValueError("zero quantization value")
                     tbl[ZIGZAG[i]] = v
                 state["quant"][tq] = tbl.reshape(8, 8)
-                q += 65
+                q += step
         elif m == 0xC4:  # DHT
             q = 0
             while q < len(body):
@@ -244,9 +250,14 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
             state["dri"] = struct.unpack_from(">H", body, 0)[0]
         elif m in (0xC0, 0xC1):  # SOF0/SOF1
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if not (prec == 8 or (prec == 12 and m == 0xC1)):
+                # T.81 Table B.2: baseline (SOF0) is 8-bit; 12-bit
+                # samples are the extended sequential process (SOF1)
+                # — the depth archived GOES imagery ships
                 raise NotImplementedError(
-                    f"{prec}-bit precision outside the baseline subset"
+                    f"{prec}-bit precision in SOF{m - 0xC0} outside "
+                    "the supported subset (8-bit SOF0/SOF1, "
+                    "12-bit SOF1)"
                 )
             if h == 0 or w == 0:
                 raise ValueError("zero frame dimension")
@@ -264,7 +275,8 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                         "(1 and 2 decode natively)"
                     )
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            state["frame"] = {"h": h, "w": w, "comps": comps}
+            state["frame"] = {"h": h, "w": w, "comps": comps,
+                              "prec": prec}
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[m]} outside the baseline subset"
@@ -309,6 +321,11 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
         raise ValueError("JPEG stream has no scan (SOS)")
     fr, scan = state["frame"], state["scan"]
     h, w, comps = fr["h"], fr["w"], fr["comps"]
+    prec = fr.get("prec", 8)
+    center = float(1 << (prec - 1))          # level-shift (T.81 A.3.1)
+    maxval = (1 << prec) - 1
+    max_dc_t = 11 if prec == 8 else 15       # T.81 Table F.1
+    odtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -351,8 +368,9 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
                 for bxi in range(c["h"]):
                     coef = np.zeros(64)
                     t = rd.huff(hdc)
-                    if t > 11:
-                        raise ValueError(f"DC category {t} > 11")
+                    if t > max_dc_t:
+                        raise ValueError(
+                            f"DC category {t} > {max_dc_t}")
                     pred[c["id"]] += rd.receive_extend(t)
                     coef[0] = pred[c["id"]]
                     k = 1
@@ -370,7 +388,7 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
                         coef[ZIGZAG[k]] = rd.receive_extend(s)
                         k += 1
                     blk = (coef.reshape(8, 8) * q)
-                    px = _DCT.T @ blk @ _DCT + 128.0
+                    px = _DCT.T @ blk @ _DCT + center
                     y0 = (my * c["v"] + byi) * 8
                     x0 = (mx * c["h"] + bxi) * 8
                     planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
@@ -382,16 +400,16 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out_planes[0]), 0, maxval).astype(odtype)
     y, cb, cr = out_planes
     if color_transform is None or color_transform:
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
         rgb = np.stack([r, g, b], axis=2)
     else:
         rgb = np.stack([y, cb, cr], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxval).astype(odtype)
 
 
 # ---------------------------------------------------------------------------
@@ -472,14 +490,27 @@ def _block_symbols(coef: np.ndarray, pred: int):
 
 def encode_baseline_jpeg(arr: np.ndarray, quant=None,
                          subsampling: str = "444",
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         precision: int = 8) -> bytes:
     """Encode u8 (h, w) grayscale or (h, w, 3) RGB to a baseline
     4:4:4 or 4:2:0 JPEG stream. ``quant``: scalar or 8×8 table
     (default all-ones — lossless for blockwise-constant inputs, which
-    is what the value-exact ingest fixtures use)."""
+    is what the value-exact ingest fixtures use). ``precision=12``
+    writes the extended sequential process (SOF1, T.81 Table B.2 —
+    the depth archived GOES imagery ships): uint16 samples < 4096,
+    16-bit DQT entries when needed, level shift 2048."""
     arr = np.asarray(arr)
-    if arr.dtype != np.uint8:
-        raise ValueError("encoder takes uint8 samples")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 8:
+        if arr.dtype != np.uint8:
+            raise ValueError("encoder takes uint8 samples")
+    else:
+        if arr.dtype != np.uint16:
+            raise ValueError("12-bit encoder takes uint16 samples")
+        if arr.max(initial=0) > 4095:
+            raise ValueError("12-bit samples must be < 4096")
+    center = float(1 << (precision - 1))
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("expected (h, w) or (h, w, 3)")
@@ -491,8 +522,9 @@ def encode_baseline_jpeg(arr: np.ndarray, quant=None,
     q = np.ones((8, 8)) if quant is None else (
         np.full((8, 8), float(quant)) if np.isscalar(quant)
         else np.asarray(quant, dtype=float))
-    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
-        raise ValueError("quant table must be 8x8 in [1, 255]")
+    qmax = 255 if precision == 8 else 65535
+    if q.shape != (8, 8) or (q < 1).any() or (q > qmax).any():
+        raise ValueError(f"quant table must be 8x8 in [1, {qmax}]")
 
     if gray:
         planes = [arr.astype(float)]
@@ -501,9 +533,9 @@ def encode_baseline_jpeg(arr: np.ndarray, quant=None,
         rgb = arr.astype(float)
         y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
              + 0.114 * rgb[:, :, 2])
-        cb = (128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+        cb = (center - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
               + 0.5 * rgb[:, :, 2])
-        cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+        cr = (center + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
               - 0.081312 * rgb[:, :, 2])
         if subsampling == "420":
             def down(p):
@@ -546,7 +578,7 @@ def encode_baseline_jpeg(arr: np.ndarray, quant=None,
                 for bxi in range(hs):
                     y0 = (my * vs + byi) * 8
                     x0 = (mx * hs + bxi) * 8
-                    blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    blk = p[y0:y0 + 8, x0:x0 + 8] - center
                     coef = np.round((_DCT @ blk @ _DCT.T) / q)
                     t, dcb, acs, dc = _block_symbols(coef, preds[ci])
                     preds[ci] = dc
@@ -570,12 +602,19 @@ def encode_baseline_jpeg(arr: np.ndarray, quant=None,
     ac_tabs = [_encode_table(f) for f in acf]
 
     out = bytearray(b"\xff\xd8")
-    zz_q = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + zz_q
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    zz_vals = [int(q.flat[ZIGZAG[i]]) for i in range(64)]
+    pq = 1 if max(zz_vals) > 255 else 0
+    if pq:
+        zz_q = struct.pack(">64H", *zz_vals)
+    else:
+        zz_q = bytes(zz_vals)
+    out += (b"\xff\xdb" + struct.pack(">H", 3 + len(zz_q))
+            + bytes([pq << 4]) + zz_q)
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
     for ci, (hs, vs) in enumerate(samp):
         sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0)
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     for tc, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for ti, (bits, vals, _enc) in enumerate(tabs):
             body = bytes([(tc << 4) | ti]) + bytes(bits) + bytes(vals)

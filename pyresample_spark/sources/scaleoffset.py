@@ -143,7 +143,16 @@ def h5_scaleoffset_decode(raw: bytes, cd_values) -> bytes:
         raise ValueError(
             f"scaleoffset minbits {minbits} exceeds the {size}-byte type"
         )
-    if n > 8 * len(raw) + (1 << 16):
+    # Element-count plausibility: bound by the packed payload's bit
+    # capacity, and ONLY when minbits > 0 (ADVICE r15: a constant
+    # chunk legitimately encodes to a 13-byte header-only stream
+    # regardless of element count — minbits == 0 means "all values
+    # equal minval", so the old 8-bits-per-element bound falsely
+    # rejected any constant chunk over ~65k elements, e.g. a 300x300
+    # float64 fill chunk). For minbits == 0, n comes from the trusted
+    # dataset-layout metadata (cd_values), not the chunk stream, and
+    # the zeros allocation it sizes equals the chunk itself.
+    if minbits > 0 and n > (8 * len(raw)) // minbits + (1 << 16):
         raise ValueError("scaleoffset element count implausible")
     if minbits == 8 * size:  # incompressible span: verbatim chunk
         if len(payload) < n * size:

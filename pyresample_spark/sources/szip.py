@@ -418,7 +418,20 @@ def h5_szip_decode(raw: bytes, cd_values) -> bytes:
             f"szip stored size {stored} not a multiple of the "
             f"{size}-byte sample width"
         )
-    if stored > 64 * len(raw) + (1 << 16):
+    # Plausibility bound from the grammar's TRUE minimum (ADVICE r15:
+    # the old 64:1 cap falsely rejected valid chunks — zero-run coding
+    # legitimately reaches 400-2000:1 on constant fill, e.g. MODIS
+    # night-side granules). The cheapest token that covers the most
+    # samples is one zero-run ROS: ID 0 (id_bits) + extension bit (1)
+    # + FS-coded ROS escape (5 bits), covering at most one SEGMENT of
+    # 64 blocks = 64*ppb samples. So B stream bits decode at most
+    # B/(id_bits+6) segments; anything beyond that (+ slack) is a
+    # corrupt size prefix, guarded before the decode loop allocates.
+    max_samples = (
+        (max(len(raw) - 4, 0) * 8 // (_id_bits(bpp) + 6) + 1)
+        * _SEGMENT * ppb
+    )
+    if stored // size > max_samples + (1 << 16):
         raise ValueError("szip stored size implausible for the stream")
     samples = rice_decode(raw[4:], stored // size, bpp, ppb, pps, mask)
     return np.asarray(samples, dtype=_np_dtype(bpp, mask)).tobytes()

@@ -775,3 +775,37 @@ def test_custom_sphere_radius_honored_linearly():
     assert C._sphere_scale("laea", {"a": "6371228"}) == 1.0
     assert math.isclose(C._sphere_scale("eqc", {"R": "6371229"}),
                         6371229.0 / R_EARTH)
+
+
+def test_laea_radius_via_R_and_R_over_ellipsoid_precedence():
+    """ADVICE r15 items 3+4: (1) laea given +R= (not +a=) must honor
+    the radius — previously the laea dispatch read only +a, so
+    `+proj=laea +R=6371229` silently projected through the default
+    R=6370997, the exact quiet km-scale deviation _sphere_scale was
+    added to eliminate; (2) +R alongside an ellipsoid declaration
+    forces a sphere of that radius (PROJ precedence) instead of taking
+    the ellipsoidal branch and silently dropping +R."""
+    import pytest
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators import crs as C
+
+    inv_a = C.inverse_scalar("+proj=laea +lat_0=-90 +lon_0=0 +a=6371228")
+    inv_r = C.inverse_scalar("+proj=laea +lat_0=-90 +lon_0=0 +R=6371228")
+    inv_d = C.inverse_scalar("+proj=laea +lat_0=-90 +lon_0=0")
+    for x, y in [(1.2e6, 2.1e6), (-2.2e6, 9.1e5)]:
+        la, lr, ld = inv_a(x, y), inv_r(x, y), inv_d(x, y)
+        assert la[0] == pytest.approx(lr[0], abs=1e-12)
+        assert la[1] == pytest.approx(lr[1], abs=1e-12)
+        assert abs(la[1] - ld[1]) > 1e-7  # radius genuinely honored
+    # +R beats +ellps / +a+b: the CRS is spherical, scaled to R
+    p = C._params("+proj=merc +ellps=WGS84 +R=6371229")
+    assert C._ellipsoid_ab(p) is None
+    assert C._family("+proj=merc +ellps=WGS84 +R=6371229") == "merc"
+    assert math.isclose(C._sphere_scale("merc", p), 6371229.0 / R_EARTH)
+    p2 = C._params("+proj=stere +lat_0=90 +lat_ts=70 "
+                   "+a=6378137 +b=6356752.3 +R=6371229")
+    assert C._ellipsoid_ab(p2) is None
+    # an unknown +ellps token is irrelevant once +R overrides it
+    assert C._ellipsoid_ab(C._params("+proj=merc +ellps=bogus "
+                                     "+R=6371229")) is None

@@ -401,3 +401,47 @@ def test_independent_encoder_dc_only_value_exact():
         (out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
          == out[by * 8, bx * 8]).all()
         for by in range(nby) for bx in range(nbx))
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """12-bit JPEG (SOF1 extended sequential, VERDICT r15 item 6 —
+    the depth archived GOES imagery ships): blockwise-constant uint16
+    input with the all-ones quant table roundtrips value-exact; the
+    level shift is 2048 and the output dtype uint16."""
+    blocks = (np.arange(6 * 4).reshape(6, 4) * 97) % 4096
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint16)
+    enc = encode_baseline_jpeg(img, precision=12)
+    assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc  # SOF1
+    out = decode_baseline_jpeg(enc)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+    # 16-bit DQT path: a table entry > 255 forces Pq=1 and still
+    # decodes (lossy but bounded)
+    q = np.ones((8, 8))
+    q[0, 0] = 300.0
+    enc = encode_baseline_jpeg(img, quant=q, precision=12)
+    out = decode_baseline_jpeg(enc)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 300
+    # RGB 12-bit with the 2048-centered transform
+    rgb = np.repeat(np.repeat(
+        ((np.arange(4 * 3 * 3).reshape(4, 3, 3)) * 311) % 4096,
+        8, 0), 8, 1).astype(np.uint16)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(rgb, precision=12))
+    assert out.dtype == np.uint16 and out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 28
+
+
+def test_12bit_guards():
+    img12 = np.zeros((8, 8), dtype=np.uint16)
+    with pytest.raises(ValueError, match="uint16"):
+        encode_baseline_jpeg(np.zeros((8, 8), np.uint8), precision=12)
+    with pytest.raises(ValueError, match="4096"):
+        encode_baseline_jpeg(img12 + 5000, precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        encode_baseline_jpeg(img12, precision=10)
+    # 12-bit in baseline SOF0 is spec-illegal: flip the marker
+    enc = bytearray(encode_baseline_jpeg(img12, precision=12))
+    i = enc.find(b"\xff\xc1")
+    enc[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_baseline_jpeg(bytes(enc))

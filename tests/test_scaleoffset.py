@@ -187,8 +187,11 @@ def test_corruption_campaign_loud_or_detected():
             pass
 
 
-def test_nbit_still_loud():
-    """Filter 5 (nbit) stays a documented loud guard."""
+def test_nbit_bogus_pipeline_entry_rejected_loudly():
+    """Filter 5 (nbit) decodes natively as of r16 (sources/nbit.py);
+    a pipeline entry whose client data is NOT a valid nbit datatype
+    description (here: deflate's single cd value spliced under id 5)
+    must still fail loudly instead of decoding garbage."""
     rng = np.random.RandomState(1)
     buf = hdf5_grid_bytes({"band": (rng.randint(0, 9, (4, 4))
                                     .astype("<u2"), {})},
@@ -197,7 +200,7 @@ def test_nbit_still_loud():
     idx = buf.index(struct.pack("<HHHH", 1, 0, 1, 1))
     m = bytearray(buf)
     m[idx:idx + 2] = struct.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="nbit=5"):
+    with pytest.raises(ValueError, match="nbit"):
         parse_hdf5(bytes(m))
 
 
@@ -210,3 +213,32 @@ def test_cross_validate_against_real_h5py(tmp_path):
         f.create_dataset("band", data=data, chunks=(5, 16), scaleoffset=0)
     out = parse_hdf5(p.read_bytes())["band"]["data"]
     assert np.array_equal(out.astype("<i4"), data)
+
+
+def test_constant_chunk_over_64k_elements_roundtrips():
+    """ADVICE r15 (high): a constant-valued chunk encodes to a
+    header-only stream (minbits == 0) regardless of element count, so
+    the old `n > 8*len(raw)` guard falsely rejected any constant chunk
+    over ~65k elements — e.g. a 300x300 float64 fill chunk. The bound
+    now applies only when minbits > 0, sized by the payload's bit
+    capacity."""
+    n = 300 * 300
+    data = np.full(n, 2.5, dtype="<f8")
+    cd = scaleoffset_cd_values(SO_FLOAT_DSCALE, 2, n, "<f8")
+    enc = h5_scaleoffset_encode(data.tobytes(), cd)
+    assert len(enc) <= 16  # header-only stream
+    out = np.frombuffer(h5_scaleoffset_decode(enc, cd), dtype="<f8")
+    assert np.array_equal(out, data)
+    # constant integer chunk too
+    idata = np.full(n, 77, dtype="<u4")
+    icd = scaleoffset_cd_values(SO_INT, 0, n, "<u4")
+    ienc = h5_scaleoffset_encode(idata.tobytes(), icd)
+    iout = np.frombuffer(h5_scaleoffset_decode(ienc, icd), dtype="<u4")
+    assert np.array_equal(iout, idata)
+    # minbits > 0 with an implausible count for the payload still raises
+    small = h5_scaleoffset_encode(
+        np.array([0, 1, 2, 3], dtype="<u2").tobytes(),
+        scaleoffset_cd_values(SO_INT, 0, 4, "<u2"))
+    big_cd = scaleoffset_cd_values(SO_INT, 0, 1 << 22, "<u2")
+    with pytest.raises(ValueError):
+        h5_scaleoffset_decode(small, big_cd)

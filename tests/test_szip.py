@@ -351,3 +351,26 @@ def test_filter_mask_skips_szip():
 
     comp = zlib.compress(raw)
     assert _apply_filters(comp, 0b1, [(4, cd), (1, ())], 2) == raw
+
+
+def test_high_ratio_constant_chunk_roundtrips():
+    """ADVICE r15 (high): zero-run coding legitimately reaches
+    400-2000:1 on constant data (MODIS/VIIRS night side, bow-tie
+    deletes); the old `stored > 64*len(raw)` plausibility cap falsely
+    rejected the module's OWN encoder output for a 400 KB constant u2
+    chunk (encodes to ~885 bytes). The bound now derives from the
+    grammar's true minimum (one zero-run ROS token per 64-block
+    segment)."""
+    data = np.zeros(200_000, dtype="<u2")  # 400 KB constant chunk
+    cd = szip_cd_values(SZ_NN_OPTION_MASK, 32, "<u2", 128)
+    enc = h5_szip_encode(data.tobytes(), cd)
+    assert len(enc) < len(data.tobytes()) // 64  # better than 64:1
+    assert h5_szip_decode(enc, cd) == data.tobytes()
+    # nonzero constant too (NN preprocessing: one reference + deltas)
+    data2 = np.full(200_000, 1234, dtype="<u2")
+    enc2 = h5_szip_encode(data2.tobytes(), cd)
+    assert h5_szip_decode(enc2, cd) == data2.tobytes()
+    # a genuinely corrupt size prefix is still rejected up front
+    bogus = (0xFFFFFFFE).to_bytes(4, "little") + enc[4:]
+    with pytest.raises(ValueError, match="implausible"):
+        h5_szip_decode(bogus, cd)

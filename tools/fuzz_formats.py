@@ -211,6 +211,14 @@ def main():
                        - 9.25).astype("<f8"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             scaleoffset={"factor": 2, "fill": -999.0}), h5_parse),
+        # nbit chunks: cd-values datatype tree + fixed-stride bit
+        # matrix under corruption (r16, VERDICT item 3/8)
+        ("hdf5-nbit", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 131
+                        + np.arange(16)[None, :] * 29) % 4096
+                       ).astype("<u2"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            nbit={"precision": 12}), h5_parse),
         ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
             {"band": (((np.arange(12)[:, None] * 31
                         + np.arange(16)[None, :] * 17) % 97
