@@ -512,6 +512,119 @@ def _sphere_scale(fam: str, p: dict) -> float:
     return r / R_EARTH
 
 
+# PROJ frame parameters that were previously PARSED but silently
+# DROPPED (VERDICT r15 item 5 — the class q_regrid_grib_sphere
+# exposed: a parameter accepted but neither honored nor loudly
+# rejected). Now each is one of:
+#   honored generically — +pm (prime meridian: input longitudes are
+#     Greenwich-referenced, the projection frame is pm-shifted, so
+#     forward pre-subtracts pm and inverse post-adds it — PROJ
+#     pj_fwd/pj_inv semantics), +units/+to_meter (PROJ pj_fwd:
+#     xy = (1/to_meter) * (proj(lp) + x0), so false easting stays in
+#     meters and the unit conversion wraps the whole output),
+#     +lon_wrap (inverse output longitudes re-centered on the given
+#     meridian: [c-180, c+180)).
+#   loud guards — +axis != enu (axis swaps/flips change column
+#     meaning; re-express in enu), +over (suppresses longitude
+#     wrapping inside family kernels that wrap structurally), +geoc
+#     (geocentric latitude input).
+#   inert, deliberately ignored — +no_defs, +wktext, +type=crs,
+#     +vunits/+vto_meter (vertical only; these transforms are 2-D).
+# Everything short-circuits when absent so existing plans are
+# byte-identical.
+
+def _dms(d: float, m: float = 0.0, s: float = 0.0) -> float:
+    sign = -1.0 if d < 0 else 1.0
+    return sign * (abs(d) + m / 60.0 + s / 3600.0)
+
+
+# PROJ's named prime meridians (pj_datums.c, public table)
+_PRIME_MERIDIANS = {
+    "greenwich": 0.0,
+    "lisbon": _dms(-9, 7, 54.862),
+    "paris": _dms(2, 20, 14.025),
+    "bogota": _dms(-74, 4, 51.3),
+    "madrid": _dms(-3, 41, 16.58),
+    "rome": _dms(12, 27, 8.4),
+    "bern": _dms(7, 26, 22.5),
+    "jakarta": _dms(106, 48, 27.79),
+    "ferro": _dms(-17, 40, 0),
+    "brussels": _dms(4, 22, 4.71),
+    "stockholm": _dms(18, 3, 29.8),
+    "athens": _dms(23, 42, 58.815),
+    "oslo": _dms(10, 43, 22.5),
+}
+
+# PROJ's linear-unit table (proj_units.c, public)
+_UNITS_TO_METER = {
+    "km": 1000.0, "m": 1.0, "dm": 0.1, "cm": 0.01, "mm": 0.001,
+    "kmi": 1852.0, "in": 0.0254, "ft": 0.3048, "yd": 0.9144,
+    "mi": 1609.344, "fath": 1.8288, "ch": 20.1168, "link": 0.201168,
+    "us-in": 1.0 / 39.37, "us-ft": 0.304800609601219,
+    "us-yd": 0.914401828803658, "us-ch": 20.11684023368047,
+    "us-mi": 1609.347218694437, "ind-yd": 0.91439523,
+    "ind-ft": 0.30479841, "ind-ch": 20.11669506,
+}
+
+
+def _frame_params(fam: str, p: dict):
+    """(pm_degrees, to_meter, lon_wrap_center_or_None) for a token
+    dict, with loud guards for the frame parameters that cannot be
+    honored generically. See the block comment above."""
+    if p.get("axis", "enu") != "enu":
+        raise NotImplementedError(
+            f"+axis={p['axis']} axis order/orientation: only the enu "
+            "default is supported — swap/negate the output columns "
+            "explicitly instead"
+        )
+    if "over" in p:
+        raise NotImplementedError(
+            "+over (unwrapped longitudes) is not supported: family "
+            "kernels wrap structurally — drop +over and post-shift "
+            "x by n*2*pi*R for repeated worlds"
+        )
+    if "geoc" in p:
+        raise NotImplementedError(
+            "+geoc (geocentric latitude input) is not supported — "
+            "convert to geodetic latitude first"
+        )
+    pm_tok = p.get("pm", "0")
+    if pm_tok in _PRIME_MERIDIANS:
+        pm = _PRIME_MERIDIANS[pm_tok]
+    else:
+        try:
+            pm = float(pm_tok)
+        except ValueError:
+            raise NotImplementedError(
+                f"+pm={pm_tok!r}: unknown prime meridian (known: "
+                f"{', '.join(sorted(_PRIME_MERIDIANS))}, or degrees)"
+            ) from None
+    units = p.get("units")
+    if units is not None and units not in _UNITS_TO_METER:
+        raise NotImplementedError(
+            f"+units={units!r} not in the PROJ unit table "
+            f"({', '.join(sorted(_UNITS_TO_METER))})"
+        )
+    to_meter = _UNITS_TO_METER[units] if units is not None else None
+    if "to_meter" in p:
+        tm = float(p["to_meter"])
+        if to_meter is not None and abs(tm - to_meter) > 1e-12 * to_meter:
+            raise ValueError(
+                f"+units={units} and +to_meter={tm} disagree "
+                f"({to_meter} vs {tm})"
+            )
+        to_meter = tm
+    if to_meter is None:
+        to_meter = 1.0
+    lon_wrap = float(p["lon_wrap"]) if "lon_wrap" in p else None
+    if fam == "longlat" and (pm != 0.0 or to_meter != 1.0):
+        raise NotImplementedError(
+            "+pm/+units on a longlat CRS: the passthrough family "
+            "keeps Greenwich degrees — apply the shift explicitly"
+        )
+    return pm, to_meter, lon_wrap
+
+
 def forward(crs: str):
     """(lon, lat) → (x, y) column builder for an analytic CRS.
     Honors +x_0/+y_0 (false easting/northing) for every family and
@@ -519,14 +632,21 @@ def forward(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    if x0 or y0 or s != 1.0:
+    pm, to_m, _ = _frame_params(fam, p)
+    if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0:
         fwd = _forward_centered(crs)
 
         def _shifted(lon, lat):
+            if pm != 0.0:
+                lon = (F.col(lon) if isinstance(lon, str) else lon
+                       ) - F.lit(pm)
             x, y = fwd(lon, lat)
             if s != 1.0:
                 x, y = x * F.lit(s), y * F.lit(s)
-            return x + F.lit(float(x0)), y + F.lit(float(y0))
+            x, y = x + F.lit(float(x0)), y + F.lit(float(y0))
+            if to_m != 1.0:
+                x, y = x / F.lit(to_m), y / F.lit(to_m)
+            return x, y
 
         return _shifted
     return _forward_centered(crs)
@@ -669,17 +789,28 @@ def inverse(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    if x0 or y0 or s != 1.0:
+    pm, to_m, lon_wrap = _frame_params(fam, p)
+    if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 \
+            or lon_wrap is not None:
         inv = _inverse_centered(crs)
 
         def _shifted(x, y):
             x = F.col(x) if isinstance(x, str) else x
             y = F.col(y) if isinstance(y, str) else y
+            if to_m != 1.0:
+                x, y = x * F.lit(to_m), y * F.lit(to_m)
             x = x - F.lit(float(x0))
             y = y - F.lit(float(y0))
             if s != 1.0:
                 x, y = x / F.lit(s), y / F.lit(s)
-            return inv(x, y)
+            lon, lat = inv(x, y)
+            if pm != 0.0 or lon_wrap is not None:
+                lon = lon + F.lit(pm) if pm != 0.0 else lon
+                lo = F.lit((lon_wrap if lon_wrap is not None else 0.0)
+                           - 180.0)
+                lon = ((lon - lo) % F.lit(360.0) + F.lit(360.0)) \
+                    % F.lit(360.0) + lo
+            return lon, lat
 
         return _shifted
     return _inverse_centered(crs)
@@ -872,16 +1003,22 @@ def forward_sql(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
+    pm, to_m, _ = _frame_params(fam, p)
 
     def offset(fn):
-        if not (x0 or y0 or s != 1.0):
+        if not (x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0):
             return fn
 
         def _sh(lon, lat):
+            if pm != 0.0:
+                lon = f"(({lon}) - {pm!r})"
             x, y = fn(lon, lat)
             if s != 1.0:
                 x, y = f"({x} * {s!r})", f"({y} * {s!r})"
-            return f"({x} + {x0!r})", f"({y} + {y0!r})"
+            x, y = f"({x} + {x0!r})", f"({y} + {y0!r})"
+            if to_m != 1.0:
+                x, y = f"({x} / {to_m!r})", f"({y} / {to_m!r})"
+            return x, y
 
         return _sh
 
@@ -1200,9 +1337,22 @@ def inverse_scalar(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    if x0 or y0 or s != 1.0:
+    pm, to_m, lon_wrap = _frame_params(fam, p)
+    if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 \
+            or lon_wrap is not None:
         inv = _inverse_scalar_centered(crs)
-        return lambda x, y: inv((x - x0) / s, (y - y0) / s)
+
+        def _scalar_shifted(x, y):
+            out = inv((x * to_m - x0) / s, (y * to_m - y0) / s)
+            if out is None or (pm == 0.0 and lon_wrap is None):
+                return out
+            lon, lat = out
+            lon += pm
+            lo = (lon_wrap if lon_wrap is not None else 0.0) - 180.0
+            lon = ((lon - lo) % 360.0 + 360.0) % 360.0 + lo
+            return lon, lat
+
+        return _scalar_shifted
     return _inverse_scalar_centered(crs)
 
 

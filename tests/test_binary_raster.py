@@ -220,14 +220,17 @@ def test_cdf5_package_writer_roundtrip():
 
 
 def geotiff_bytes(arr, sx, sy, x0, y0, epsg=None, endian="<",
-                  transform=None):
+                  transform=None, linear_units=None):
     """Baseline single-strip float32 GeoTIFF. (x0, y0) = upper-left
     CORNER; epsg None → geographic (longlat) keys. ``transform`` (a
     16-double row-major matrix) writes ModelTransformationTag 34264
-    INSTEAD of the pixel-scale/tiepoint pair."""
+    INSTEAD of the pixel-scale/tiepoint pair. ``linear_units``: EPSG
+    unit code for ProjLinearUnitsGeoKey 3076 (e.g. 9036 = km)."""
     h, w = arr.shape
     strip = arr.astype(endian + "f4").tobytes()
     keys = [(1024, 2)] if epsg is None else [(1024, 1), (3072, epsg)]
+    if linear_units is not None:
+        keys.append((3076, linear_units))
     geodir = [1, 1, 0, len(keys)]
     for kid, val in keys:
         geodir += [kid, 0, 1, val]
@@ -2877,7 +2880,7 @@ def _strip_jpeg_segment(stream: bytes, marker: int) -> tuple:
 
 
 def tiff_bytes_jpeg(arr, rows_per_strip=None, tile=None, hoist_dqt=False,
-                    subsampling="444", compress_tag=7):
+                    subsampling="444", compress_tag=7, precision=8):
     """Independent JPEG-TIFF assembler: each strip/tile is a complete
     baseline stream from sources/jpeg.py; ``hoist_dqt`` moves the DQT
     segment into a shared JPEGTables tag (347) to exercise the
@@ -2889,20 +2892,22 @@ def tiff_bytes_jpeg(arr, rows_per_strip=None, tile=None, hoist_dqt=False,
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
     blocks = []
+    sdt = np.uint8 if precision == 8 else np.uint16
     if tile:
         tw, th = tile
         for r0 in range(0, h, th):
             for c0 in range(0, w, tw):
-                blk = np.zeros((th, tw) + arr.shape[2:], dtype=np.uint8)
+                blk = np.zeros((th, tw) + arr.shape[2:], dtype=sdt)
                 rs, cs = min(th, h - r0), min(tw, w - c0)
                 blk[:rs, :cs] = arr[r0:r0 + rs, c0:c0 + cs]
                 blocks.append(encode_baseline_jpeg(
-                    blk, subsampling=subsampling))
+                    blk, subsampling=subsampling, precision=precision))
     else:
         rows_per_strip = rows_per_strip or h
         for r0 in range(0, h, rows_per_strip):
             blocks.append(encode_baseline_jpeg(
-                arr[r0:r0 + rows_per_strip], subsampling=subsampling))
+                arr[r0:r0 + rows_per_strip], subsampling=subsampling,
+                precision=precision))
     tables = None
     if hoist_dqt:
         stripped = []
@@ -2920,8 +2925,8 @@ def tiff_bytes_jpeg(arr, rows_per_strip=None, tile=None, hoist_dqt=False,
     n = len(blocks)
     add(256, 3, 1, w)
     add(257, 3, 1, h)
-    add(258, 3, spp, 8 if spp == 1 else None,
-        None if spp == 1 else struct.pack("<3H", 8, 8, 8))
+    add(258, 3, spp, precision if spp == 1 else None,
+        None if spp == 1 else struct.pack("<3H", *([precision] * 3)))
     add(259, 3, 1, compress_tag)
     add(262, 3, 1, 1 if gray else 6)
     add(277, 3, 1, spp)
@@ -3452,3 +3457,65 @@ def test_oldjpeg_oversize_dims_raise_valueerror():
         {519: q, 520: dc, 521: ac}, strips=[ent], rows_per_strip=8)
     with pytest.raises(ValueError, match="cap at 65535"):
         tiff_pixels(buf)
+
+
+def test_tiff_jpeg_12bit_strips_value_exact():
+    """12-bit JPEG-in-TIFF (compression 7, BitsPerSample 12 — the
+    archived-GOES depth): blockwise-constant uint16 data with the
+    all-ones quant table decodes value-exact through the strip path,
+    and a declared-12-bit TIFF whose strip is actually an 8-bit
+    stream is rejected loudly instead of returning mis-scaled data."""
+    from pyresample_spark.sources.binary_raster import tiff_pixels
+
+    blocks = ((np.arange(6 * 5).reshape(6, 5) * 389) % 4096)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint16)
+    buf = tiff_bytes_jpeg(img, rows_per_strip=16, precision=12)
+    out = tiff_pixels(buf)
+    assert out.shape == img.shape
+    assert np.array_equal(out.astype(np.uint16), img)
+    # tiled organization too
+    buf = tiff_bytes_jpeg(img, tile=(16, 16), precision=12)
+    assert np.array_equal(tiff_pixels(buf).astype(np.uint16), img)
+    # declared 12-bit, actual 8-bit stream -> loud mismatch
+    img8 = (img >> 4).astype(np.uint8)
+    good8 = tiff_bytes_jpeg(img8, rows_per_strip=16)
+    b12 = bytearray(good8)
+    i = b12.find(struct.pack("<HHI", 258, 3, 1))
+    b12[i + 8:i + 10] = struct.pack("<H", 12)
+    with pytest.raises(ValueError, match="12-bit"):
+        tiff_pixels(bytes(b12))
+
+
+def test_geotiff_linear_units_geokey_honored_and_guarded():
+    """ProjLinearUnitsGeoKey (3076) was previously never read — a
+    km/feet GeoTIFF silently projected as meters (the r15
+    parsed-but-dropped class). km now flows through as +units=km so
+    cell centers land at the same lon/lat as the meter twin; unknown
+    unit codes raise loudly."""
+    from pyresample_spark.operators.crs import inverse_scalar
+    from pyresample_spark.sources.binary_raster import area_from_geotiff
+
+    arr = np.arange(12.0, dtype=np.float32).reshape(3, 4)
+    # UTM 33N twin rasters: meters vs kilometres, same ground window
+    m = area_from_geotiff(
+        geotiff_bytes(arr, 25000.0, 25000.0, 300000.0, 5900000.0,
+                      epsg=32633), "m")
+    km = area_from_geotiff(
+        geotiff_bytes(arr, 25.0, 25.0, 300.0, 5900.0, epsg=32633,
+                      linear_units=9036), "km")
+    assert "+units=km" in km.crs and "+units=" not in m.crs
+    inv_m, inv_km = inverse_scalar(m.crs), inverse_scalar(km.crs)
+    for (cx, cy), (kx, ky) in [((312500.0, 5887500.0), (312.5, 5887.5)),
+                               ((387500.0, 5862500.0), (387.5, 5862.5))]:
+        lm, lk = inv_m(cx, cy), inv_km(kx, ky)
+        assert lm[0] == pytest.approx(lk[0], abs=1e-9)
+        assert lm[1] == pytest.approx(lk[1], abs=1e-9)
+    # metre code 9001 is the inert default
+    assert area_from_geotiff(
+        geotiff_bytes(arr, 25000.0, 25000.0, 300000.0, 5900000.0,
+                      epsg=32633, linear_units=9001), "m").crs == m.crs
+    # unknown unit code raises loudly
+    with pytest.raises(NotImplementedError, match="LinearUnits"):
+        area_from_geotiff(
+            geotiff_bytes(arr, 1.0, 1.0, 0.0, 3.0, epsg=32633,
+                          linear_units=9005), "bad")

@@ -809,3 +809,59 @@ def test_laea_radius_via_R_and_R_over_ellipsoid_precedence():
     # an unknown +ellps token is irrelevant once +R overrides it
     assert C._ellipsoid_ab(C._params("+proj=merc +ellps=bogus "
                                      "+R=6371229")) is None
+
+
+def test_frame_params_pm_units_lon_wrap_and_guards():
+    """VERDICT r15 item 5 — the silently-ignored-parameter sweep:
+    +pm/+units/+to_meter/+lon_wrap are honored generically,
+    +axis(non-enu)/+over/+geoc raise loudly, inert flags stay inert,
+    and the scalar/SQL twins agree with the Column wrapper's math."""
+    import duckdb
+    import pytest
+
+    from pyresample_spark.functions.geo import R_EARTH
+    from pyresample_spark.operators import crs as C
+
+    pm = C._PRIME_MERIDIANS["paris"]
+    # inverse_scalar: km + paris pm + wrap onto [-180, 180)
+    inv = C.inverse_scalar("+proj=eqc +pm=paris +units=km +lon_wrap=0")
+    x_km = 19000.0
+    lon, lat = inv(x_km, 1000.0)
+    want = math.degrees(x_km * 1000.0 / R_EARTH) + pm
+    want = ((want + 180.0) % 360.0) - 180.0
+    assert lon == pytest.approx(want, abs=1e-9)
+    assert lat == pytest.approx(math.degrees(1e6 / R_EARTH), abs=1e-12)
+    # forward SQL twin: pm pre-shift then km scaling, checked in DuckDB
+    fx, fy = C.forward_sql("+proj=eqc +pm=paris +units=km")(
+        "10.0", "20.0")
+    got_x, got_y = duckdb.sql(f"SELECT {fx}, {fy}").fetchone()
+    assert got_x == pytest.approx(
+        math.radians(10.0 - pm) * R_EARTH / 1000.0, rel=1e-12)
+    assert got_y == pytest.approx(
+        math.radians(20.0) * R_EARTH / 1000.0, rel=1e-12)
+    # +to_meter alone, and agreeing with +units
+    inv2 = C.inverse_scalar("+proj=eqc +to_meter=1000")
+    assert inv2(9000.0, 0.0)[0] == pytest.approx(
+        math.degrees(9e6 / R_EARTH), abs=1e-12)
+    C.inverse_scalar("+proj=eqc +units=km +to_meter=1000")  # consistent
+    with pytest.raises(ValueError, match="disagree"):
+        C.inverse_scalar("+proj=eqc +units=km +to_meter=3")
+    # named pm table resolves; unknown pm raises loudly
+    assert C._frame_params("eqc", {"pm": "oslo"})[0] == pytest.approx(
+        10.0 + 43.0 / 60 + 22.5 / 3600)
+    with pytest.raises(NotImplementedError, match="prime meridian"):
+        C.forward("+proj=eqc +pm=atlantis")
+    # loud guards: axis order, +over, +geoc, unknown unit
+    for bad, msg in [
+        ("+proj=eqc +axis=neu", "axis"),
+        ("+proj=eqc +over", "over"),
+        ("+proj=eqc +geoc", "geoc"),
+        ("+proj=eqc +units=parsec", "unit"),
+        ("+proj=longlat +pm=paris", "longlat"),
+    ]:
+        with pytest.raises(NotImplementedError, match=msg):
+            C.inverse(bad)
+    # inert flags keep the fast path (no wrapper, byte-identical plans)
+    assert C._frame_params(
+        "eqc", C._params("+proj=eqc +no_defs +wktext +type=crs")
+    ) == (0.0, 1.0, None)
