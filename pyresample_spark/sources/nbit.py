@@ -61,6 +61,12 @@ def _atomic_slots(size: int, order: int, precision: int, offset: int,
     """Stream-ordered (byte_index, bit_count) slots for one atomic
     field starting at element byte ``base`` — the exact byte walk of
     ``H5Z__nbit_(de)compress_one_atomic``."""
+    if not 1 <= size <= 32:
+        # H5T atomics are <= 32 bytes; a larger size here is a corrupt
+        # pipeline message, and it directly scales the decode
+        # allocation (fuzz campaign r16: a bit-flipped size of 2^31+2
+        # turned np.zeros((n, size)) into a 75 GB calloc)
+        raise ValueError(f"nbit atomic size {size} out of range 1..32")
     dlen = size * 8
     if precision < 1 or offset < 0 or precision + offset > dlen:
         raise ValueError(
@@ -99,9 +105,13 @@ def _tree_slots(parms, i: int, base: int):
         return _atomic_slots(size, order, precision, offset, base), i + 5, size
     if cls == NBIT_NOOPTYPE:
         size = int(parms[i + 1])
+        if not 0 <= size <= (1 << 20):
+            raise ValueError(f"nbit nooptype size {size} implausible")
         return [(base + k, 8) for k in range(size)], i + 2, size
     if cls == NBIT_ARRAY:
         total = int(parms[i + 1])
+        if not 0 <= total <= (1 << 20):
+            raise ValueError(f"nbit array size {total} implausible")
         sub, nxt, sub_size = _tree_slots(parms, i + 2, base)
         if total % sub_size:
             raise ValueError("nbit array size not a multiple of its base")
@@ -112,6 +122,10 @@ def _tree_slots(parms, i: int, base: int):
     if cls == NBIT_COMPOUND:
         size = int(parms[i + 1])
         nmembers = int(parms[i + 2])
+        if not 0 <= size <= (1 << 20) or not 0 <= nmembers <= (1 << 16):
+            raise ValueError(
+                f"nbit compound size {size} / {nmembers} members "
+                "implausible")
         slots = []
         j = i + 3
         for _ in range(nmembers):
@@ -153,6 +167,15 @@ def h5_nbit_decode(raw: bytes, cd_values) -> bytes:
             f"nbit chunk truncated: {len(raw)} bytes < "
             f"{need_bits} packed bits"
         )
+    # output-size plausibility: with atomic sizes capped at 32 bytes
+    # and every slot carrying >= 1 packed bit, a legal chunk expands
+    # at most 256x from stream to samples — anything beyond is a
+    # corrupt element count / datatype tree, guarded BEFORE np.zeros
+    # sizes the output by it
+    if n * size > 256 * len(raw) + (1 << 16):
+        raise ValueError(
+            f"nbit output size {n}x{size} implausible for a "
+            f"{len(raw)}-byte stream")
     bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8),
                          count=need_bits).reshape(n, width)
     out = np.zeros((n, size), dtype=np.uint8)

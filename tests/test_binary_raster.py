@@ -789,9 +789,9 @@ def test_tiff_tiled_predictor2_int():
 def test_tiff_compression_and_predictor_guards():
     arr = np.zeros((2, 2), dtype="f4")
     # compression 7 decodes natively since round 13, but only for the
-    # 8-bit unsigned samples JPEG defines — a float32 raster tagged
-    # JPEG is corrupt and must say so
-    with pytest.raises(ValueError, match="8-bit unsigned"):
+    # 8-bit (r16: or 12-bit SOF1) unsigned samples JPEG defines — a
+    # float32 raster tagged JPEG is corrupt and must say so
+    with pytest.raises(ValueError, match="12-bit unsigned"):
         tiff_pixels(tiff_bytes_strips(arr, compress=7))
     with pytest.raises(ValueError, match="compression 999"):
         tiff_pixels(tiff_bytes_strips(arr, compress=999))

@@ -865,3 +865,50 @@ def test_frame_params_pm_units_lon_wrap_and_guards():
     assert C._frame_params(
         "eqc", C._params("+proj=eqc +no_defs +wktext +type=crs")
     ) == (0.0, 1.0, None)
+
+
+def test_every_family_honors_or_rejects_custom_radius_and_units():
+    """Class-level sweep (VERDICT r15 item 5): for EVERY spherical
+    family, +R= must either genuinely change the inverse (honored) or
+    raise loudly — never be silently dropped; +units=km must scale
+    the projected plane for families that accept it. Enumerates the
+    accepted-vs-guarded split per family."""
+    import pytest
+
+    from pyresample_spark.operators import crs as C
+
+    honored = {
+        "eqc": "+proj=eqc",
+        "stere": "+proj=stere +lat_0=90 +lat_ts=70",
+        "stere_oblique": "+proj=stere +lat_0=40 +lon_0=10",
+        "aeqd": "+proj=aeqd +lat_0=45 +lon_0=5",
+        "gnom": "+proj=gnom +lat_0=30",
+        "merc": "+proj=merc +lat_ts=10",
+        "lcc": "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39",
+        "sinu": "+proj=sinu +lon_0=0",
+        "cea": "+proj=cea +lat_ts=30",
+        "ortho": "+proj=ortho +lat_0=20 +lon_0=0",
+        "aea": "+proj=aea +lat_1=29.5 +lat_2=45.5",
+        "eqdc": "+proj=eqdc +lat_1=20 +lat_2=60",
+        "moll": "+proj=moll",
+        "robin": "+proj=robin",
+        "laea": "+proj=laea +lat_0=52 +lon_0=10",
+    }
+    guarded = ["+proj=geos +h=35785831", "+proj=utm +zone=33",
+               "+proj=tmerc +lat_0=0 +lon_0=9"]
+    x, y = 1.1e6, 0.9e6
+    for fam, base in honored.items():
+        inv_d = C.inverse_scalar(base)
+        inv_r = C.inverse_scalar(base + " +R=6371229")
+        ld, lr = inv_d(x, y), inv_r(x, y)
+        assert ld is not None and lr is not None, fam
+        assert abs(ld[0] - lr[0]) + abs(ld[1] - lr[1]) > 1e-8, (
+            f"{fam}: +R silently dropped")
+        # +units=km scales the plane: km coords = m coords / 1000
+        inv_km = C.inverse_scalar(base + " +units=km")
+        lk = inv_km(x / 1000.0, y / 1000.0)
+        assert lk[0] == pytest.approx(ld[0], abs=1e-9), fam
+        assert lk[1] == pytest.approx(ld[1], abs=1e-9), fam
+    for base in guarded:
+        with pytest.raises(NotImplementedError, match="radius"):
+            C.inverse(base + " +R=6371229")

@@ -188,3 +188,29 @@ def test_cross_validate_against_real_h5py_nbit(tmp_path):
         dset.write(h5py.h5s.ALL, h5py.h5s.ALL, data)
     out = parse_hdf5(p.read_bytes())["band"]["data"]
     assert np.array_equal(out.astype("<u2"), data)
+
+
+def test_corrupt_sizes_bounded_before_allocation():
+    """Fuzz campaign r16 finding: a bit-flipped atomic size of 2^31+2
+    passed the packed-bits truncation guard (which bounds INPUT, not
+    output) and turned np.zeros((n, size)) into a 75 GB calloc. Every
+    tree size is now bounded, and the output size is checked against
+    the stream's maximum legal 256x expansion — all BEFORE any
+    allocation is sized by attacker-controlled fields."""
+    data = np.arange(35, dtype="<u2")
+    good = cd_atomic(2, NBIT_ORDER_LE, 12, 0, 35)
+    enc = h5_nbit_encode(data.tobytes(), good)
+    with pytest.raises(ValueError, match="size"):
+        h5_nbit_decode(enc, cd_atomic(2147483650, NBIT_ORDER_LE, 12, 0, 35))
+    with pytest.raises(ValueError, match="implausible"):
+        h5_nbit_decode(enc, (10, 1, 35, NBIT_ARRAY, 1 << 31,
+                             NBIT_ATOMIC, 1, NBIT_ORDER_LE, 5, 0))
+    with pytest.raises(ValueError, match="implausible"):
+        h5_nbit_decode(enc, (15, 1, 35, NBIT_COMPOUND, 1 << 30, 1,
+                             0, NBIT_ATOMIC, 2, NBIT_ORDER_LE, 9, 0,
+                             2, NBIT_NOOPTYPE, 2))
+    with pytest.raises(ValueError, match="implausible"):
+        h5_nbit_decode(enc, (5, 1, 35, NBIT_NOOPTYPE, 1 << 24))
+    # a full-precision 32-byte atomic is legal; 33 is not
+    with pytest.raises(ValueError, match="1..32"):
+        h5_nbit_decode(enc, cd_atomic(33, NBIT_ORDER_LE, 12, 0, 35))
