@@ -75,6 +75,9 @@ HEADLINE = [
     # composed h+v datum broadcast pipeline
     "q_hdf5_szip_ingest",
     "q_regrid_vdatum",
+    # round 16: the vectorized nbit decode path joins the tracked set
+    # like every other new ingest family
+    "q_hdf5_nbit_ingest",
 ]
 
 # The original round-1 headline set, unchanged across rounds — its

@@ -79,6 +79,19 @@ def cf_grid_mapping_to_crs(gma: dict) -> str:
     combinations outside the native families — never silently drops a
     parameter that moves the grid.
     """
+    crs = _cf_gm_base(gma)
+    # CF Appendix F datum attribute previously PARSED nowhere — a
+    # non-Greenwich prime meridian silently rotated the grid (the r15
+    # silently-dropped class). The engine's +pm honors it generically
+    # (operators/crs.py _frame_params); longlat stays a loud guard
+    # there, matching the passthrough family's contract.
+    pm = _num(gma, "longitude_of_prime_meridian", default=0.0)
+    if pm:
+        crs += f" +pm={pm!r}"
+    return crs
+
+
+def _cf_gm_base(gma: dict) -> str:
     name = gma.get("grid_mapping_name")
     if isinstance(name, bytes):
         name = name.decode("ascii", "replace")

@@ -3519,3 +3519,27 @@ def test_geotiff_linear_units_geokey_honored_and_guarded():
         area_from_geotiff(
             geotiff_bytes(arr, 1.0, 1.0, 0.0, 3.0, epsg=32633,
                           linear_units=9005), "bad")
+
+
+def test_cf_prime_meridian_attribute_honored():
+    """CF's longitude_of_prime_meridian was previously parsed nowhere
+    — a Paris-meridian CF grid silently rotated ~2.34 degrees (the
+    r15 silently-dropped class). It now flows into +pm, which every
+    analytic family honors generically; zero stays the inert fast
+    path."""
+    from pyresample_spark.operators.crs import inverse_scalar
+    from pyresample_spark.sources.cf_gm import cf_grid_mapping_to_crs
+
+    pm = 2.337229166666667
+    gma = {"grid_mapping_name": "mercator", "standard_parallel": 20.0}
+    base = cf_grid_mapping_to_crs(gma)
+    shifted = cf_grid_mapping_to_crs(
+        dict(gma, longitude_of_prime_meridian=pm))
+    assert "+pm=" in shifted and "+pm=" not in base
+    lb = inverse_scalar(base)(1.2e6, 3.4e5)
+    ls = inverse_scalar(shifted)(1.2e6, 3.4e5)
+    assert ls[0] == pytest.approx(lb[0] + pm, abs=1e-9)
+    assert ls[1] == pytest.approx(lb[1], abs=1e-12)
+    # explicit zero is inert (byte-identical CRS)
+    assert cf_grid_mapping_to_crs(
+        dict(gma, longitude_of_prime_meridian=0.0)) == base
