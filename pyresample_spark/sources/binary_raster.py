@@ -914,37 +914,69 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             out6 = arr[:h, :w, :].astype("f8")
             return (out6[:, :, 0] if spp == 1
                     else np.moveaxis(out6, 2, 0))
-        # shape B: per-strip entropy data + table-pointer tags
-        if spp != 1:
-            raise NotImplementedError(
-                "old-style per-strip JPEG with multiple components is "
-                "outside the subset (interchange-stream files and "
-                "grayscale strip files decode natively; re-encode to "
-                "compression 7 otherwise)")
-        if 322 in t:
-            raise NotImplementedError(
-                "old-style JPEG in tiled organization is outside the "
-                "subset — re-encode to compression 7")
+        # shape B/C: per-strip (or per-tile, r16) entropy data +
+        # table-pointer tags. Multi-component scans (r16): components
+        # take quant slots 0..spp-1; Y gets Huffman pair 0 and both
+        # chromas must SHARE pair 1 (T.81 baseline allows only two
+        # tables per class), with sampling from YCbCrSubSampling (530,
+        # default 2x2) for photometric 6 and 1x1 for RGB.
 
-        def _oldjpeg_table(tag, what, huffman):
-            off6 = ints(tag, what)[0]
-            if huffman:
-                if off6 + 16 > len(buf):
-                    raise ValueError(f"truncated {what}")
-                nvals = sum(buf[off6:off6 + 16])
-                if off6 + 16 + nvals > len(buf):
-                    raise ValueError(f"truncated {what}")
-                return buf[off6:off6 + 16 + nvals]
-            if off6 + 64 > len(buf):
-                raise ValueError(f"truncated {what}")
-            return buf[off6:off6 + 64]  # 64 bytes, zigzag order
+        def _oldjpeg_tables(tag, what, huffman):
+            if tag not in t:
+                return None
+            offs6 = ints(tag, what)
+            if len(offs6) not in (1, spp):
+                raise ValueError(
+                    f"{what} holds {len(offs6)} offsets for "
+                    f"{spp} components")
+            out = []
+            for off6 in offs6:
+                if huffman:
+                    if off6 + 16 > len(buf):
+                        raise ValueError(f"truncated {what}")
+                    nvals = sum(buf[off6:off6 + 16])
+                    if off6 + 16 + nvals > len(buf):
+                        raise ValueError(f"truncated {what}")
+                    out.append(buf[off6:off6 + 16 + nvals])
+                else:
+                    if off6 + 64 > len(buf):
+                        raise ValueError(f"truncated {what}")
+                    out.append(buf[off6:off6 + 64])  # zigzag order
+            if len(out) == 1:
+                out = out * spp
+            return out
 
         # table tags are fetched lazily: a legacy writer that stored
         # COMPLETE streams per strip (SOI-led) needs no tags at all
-        q6 = _oldjpeg_table(519, "JPEGQTables", False) if 519 in t else None
-        dc6 = _oldjpeg_table(520, "JPEGDCTables", True) if 520 in t else None
-        ac6 = _oldjpeg_table(521, "JPEGACTables", True) if 521 in t else None
+        q6 = _oldjpeg_tables(519, "JPEGQTables", False)
+        dc6 = _oldjpeg_tables(520, "JPEGDCTables", True)
+        ac6 = _oldjpeg_tables(521, "JPEGACTables", True)
         dri6 = t.get(515, [0])[0]
+        if spp == 3:
+            if photo6 == 6:
+                sub = t.get(530, [2, 2])
+                sh, sv = int(sub[0]), int(sub[1])
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError(
+                        f"YCbCrSubSampling {sh}x{sv} outside the "
+                        "1/2 subset")
+            elif photo6 == 2:
+                sh = sv = 1
+            else:
+                raise NotImplementedError(
+                    f"old-style 3-component JPEG with photometric "
+                    f"{photo6} (YCbCr=6 and RGB=2 decode natively)")
+            samp6 = [(sh, sv), (1, 1), (1, 1)]
+            if (dc6 and dc6[1] != dc6[2]) or (ac6 and ac6[1] != ac6[2]):
+                raise NotImplementedError(
+                    "old-style JPEG with distinct Cb/Cr Huffman "
+                    "tables: baseline allows two tables per class — "
+                    "re-encode to compression 7")
+        elif spp == 1:
+            samp6 = [(1, 1)]
+        else:
+            raise ValueError(
+                f"old-style JPEG with {spp} samples/pixel")
 
         def _synth_stream(chunk: bytes, rows: int, width_: int) -> bytes:
             # some legacy writers stored complete streams per strip
@@ -957,26 +989,41 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                     "(519/520/521) are missing — corrupt or "
                     "unsupported legacy layout")
             s = bytearray(b"\xff\xd8")
-            s += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q6
-            s += (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, rows,
-                                            width_, 1)
-                  + bytes([1, 0x11, 0]))
-            s += (b"\xff\xc4" + struct.pack(">H", 3 + len(dc6))
-                  + b"\x00" + dc6)
-            s += (b"\xff\xc4" + struct.pack(">H", 3 + len(ac6))
-                  + b"\x10" + ac6)
+            for ci in range(spp):
+                s += (b"\xff\xdb" + struct.pack(">H", 67)
+                      + bytes([ci]) + q6[ci])
+            sof = struct.pack(">BHHB", 8, rows, width_, spp)
+            for ci, (hs, vs) in enumerate(samp6):
+                sof += bytes([ci + 1, (hs << 4) | vs, ci])
+            s += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            npairs = 1 if spp == 1 else 2
+            for th in range(npairs):
+                ci = 0 if th == 0 else 1  # chromas share pair 1
+                s += (b"\xff\xc4" + struct.pack(">H", 3 + len(dc6[ci]))
+                      + bytes([th]) + dc6[ci])
+                s += (b"\xff\xc4" + struct.pack(">H", 3 + len(ac6[ci]))
+                      + bytes([0x10 | th]) + ac6[ci])
             if dri6:
                 s += b"\xff\xdd" + struct.pack(">HH", 4, dri6)
-            s += (b"\xff\xda" + struct.pack(">HB", 8, 1)
-                  + bytes([1, 0x00, 0, 63, 0]))
+            sos = bytes([spp])
+            for ci in range(spp):
+                th = 0 if ci == 0 else 1
+                sos += bytes([ci + 1, (th << 4) | th])
+            sos += bytes([0, 63, 0])
+            s += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
             s += chunk + b"\xff\xd9"
             return bytes(s)
 
         def jpeg_block(chunk: bytes, rows: int, width_: int) -> np.ndarray:
-            arr = decode_baseline_jpeg(_synth_stream(bytes(chunk),
-                                                     rows, width_))
+            arr = decode_baseline_jpeg(
+                _synth_stream(bytes(chunk), rows, width_),
+                color_transform=(photo6 == 6) if spp == 3 else None)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
+            if arr.shape[2] != spp:
+                raise ValueError(
+                    f"old-style JPEG block has {arr.shape[2]} "
+                    f"component(s), TIFF declares {spp}")
             if arr.shape[0] < rows or arr.shape[1] < width_:
                 raise ValueError(
                     f"old-style JPEG strip {arr.shape[:2]} smaller "
@@ -1074,7 +1121,7 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
         out = np.empty((h, w, spp), dtype="f8")
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             pl, ti = divmod(idx, per_plane)
-            tile = (jpeg_block(buf[o:o + c], th, tw) if comp == 7
+            tile = (jpeg_block(buf[o:o + c], th, tw) if comp in (6, 7)
                     else block(decode(buf[o:o + c]), th, tw))
             ty, tx = divmod(ti, tiles_across)
             r0, c0 = ty * th, tx * tw

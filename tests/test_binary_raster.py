@@ -3370,8 +3370,8 @@ def test_oldjpeg_entropy_strips_real_content_tolerance():
 
 
 def test_oldjpeg_guards():
-    """The underspecified corners stay loud: lossless process,
-    multi-component strips, tiled organization."""
+    """The underspecified corners stay loud: lossless process, and
+    component-count mismatches between the TIFF and the scan."""
     import test_jpeg as tj
 
     blocks = [np.zeros((8, 8), dtype=int)]
@@ -3392,7 +3392,10 @@ def test_oldjpeg_guards():
 
     with pytest.raises(NotImplementedError, match="process 14"):
         tiff_pixels(build([(512, 3, 1, 14, None)]))
-    with pytest.raises(NotImplementedError, match="multiple components"):
+    # 3-component strips DECODE natively as of r16 — but a grayscale
+    # entropy stream under a 3-component declaration is corrupt and
+    # must still fail loudly, not return garbage
+    with pytest.raises(ValueError):
         tiff_pixels(build([(512, 3, 1, 1, None)], spp=3))
 
 
@@ -3543,3 +3546,126 @@ def test_cf_prime_meridian_attribute_honored():
     # explicit zero is inert (byte-identical CRS)
     assert cf_grid_mapping_to_crs(
         dict(gma, longitude_of_prime_meridian=0.0)) == base
+
+
+def _jpeg_stream_parts(stream):
+    """Split one of our encoder's streams into (zigzag quant bodies by
+    slot, huffman bits+vals by (tc, th), entropy bytes)."""
+    quants, huffs = {}, {}
+    i, entropy = 2, None
+    while i < len(stream) - 1:
+        assert stream[i] == 0xFF
+        m = stream[i + 1]
+        if m == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", stream, i + 2)[0]
+        body = stream[i + 4:i + 2 + seglen]
+        if m == 0xDB:
+            q = 0
+            while q < len(body):
+                quants[body[q] & 0x0F] = body[q + 1:q + 65]
+                q += 65
+        elif m == 0xC4:
+            q = 0
+            while q < len(body):
+                tc, th = body[q] >> 4, body[q] & 0x0F
+                nv = sum(body[q + 1:q + 17])
+                huffs[(tc, th)] = body[q + 1:q + 17 + nv]
+                q += 17 + nv
+        elif m == 0xDA:
+            entropy = stream[i + 2 + seglen:-2]
+            break
+        i += 2 + seglen
+    return quants, huffs, entropy
+
+
+def _oldjpeg_color_ifd(h, w, entropy, qbody, dc0, ac0, dc1, ac1,
+                       rows_per_strip):
+    """Classic-TIFF assembler for a 3-component comp-6 entropy-strip
+    fixture: 519 shared (count 1), 520/521 per-component offset
+    ARRAYS (count 3, chromas sharing one table) — the layout the TIFF
+    6.0 §22 fields define."""
+    blobs = [qbody, dc0, ac0, dc1, ac1, entropy]
+    entries = [
+        (256, 4, 1, None), (257, 4, 1, None), (258, 3, 3, None),
+        (259, 3, 1, None), (262, 3, 1, None), (277, 3, 1, None),
+        (278, 3, 1, None), (273, 4, 1, None), (279, 4, 1, None),
+        (512, 3, 1, None), (519, 4, 1, None),
+        (520, 4, 3, None), (521, 4, 3, None), (530, 3, 2, None),
+    ]
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    # layout: bits blob area, then two 12-byte offset arrays
+    offs, o = [], ext_off
+    for b in blobs:
+        offs.append(o)
+        o += len(b)
+    dc_arr_off, ac_arr_off = o, o + 12
+    o += 24
+    q_off, dc0_off, ac0_off, dc1_off, ac1_off, ent_off = offs
+    vals = {
+        256: w, 257: h, 259: 6, 262: 6, 277: 3, 278: rows_per_strip,
+        273: ent_off, 279: len(entropy), 512: 1, 519: q_off,
+        520: dc_arr_off, 521: ac_arr_off,
+    }
+    out = b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, _ in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if tag == 258:
+            out += struct.pack("<I", o)  # bits array placed last
+        elif tag == 530:
+            out += struct.pack("<HH", 2, 2)
+        elif typ == 3:
+            out += struct.pack("<H", vals[tag]).ljust(4, b"\x00")
+        else:
+            out += struct.pack("<I", vals[tag])
+    out += struct.pack("<I", 0)
+    out += b"".join(blobs)
+    out += struct.pack("<3I", dc0_off, dc1_off, dc1_off)
+    out += struct.pack("<3I", ac0_off, ac1_off, ac1_off)
+    out += struct.pack("<3H", 8, 8, 8)
+    return out
+
+
+def test_oldjpeg_multicomponent_entropy_strip():
+    """Old-style (comp 6) 3-component YCbCr 4:2:0 entropy strip with
+    per-component table-pointer arrays — previously a loud guard, now
+    synthesized into an interleaved SOF/SOS and decoded; must match
+    the complete-stream decode of the same scan bit-for-bit."""
+    from pyresample_spark.sources.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 255, (2, 2, 3))
+    img = np.repeat(np.repeat(blocks, 16, 0), 16, 1).astype(np.uint8)
+    stream = encode_baseline_jpeg(img, subsampling="420")
+    quants, huffs, entropy = _jpeg_stream_parts(stream)
+    assert entropy is not None
+    buf = _oldjpeg_color_ifd(
+        32, 32, entropy, quants[0],
+        huffs[(0, 0)], huffs[(1, 0)], huffs[(0, 1)], huffs[(1, 1)],
+        rows_per_strip=32)
+    got = tiff_pixels(buf)
+    want = np.moveaxis(
+        decode_baseline_jpeg(stream).astype("f8"), 2, 0)
+    assert got.shape == want.shape == (3, 32, 32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_oldjpeg_tiled_decodes():
+    """Old-style JPEG in TILED organization — previously a loud
+    guard. Complete SOI-led streams per tile (the legacy shape that
+    needs no table tags) decode through the tiled branch, grayscale
+    and RGB, value-exact on blockwise-constant content."""
+    img = _block_const_image(4, 2)  # 32x16 gray
+    buf = tiff_bytes_jpeg(img, tile=(16, 16), compress_tag=6)
+    np.testing.assert_array_equal(tiff_pixels(buf), img.astype("f8"))
+    rgb = np.repeat(np.repeat(
+        np.arange(2 * 2 * 3).reshape(2, 2, 3) * 20, 16, 0), 16, 1
+    ).astype(np.uint8)
+    buf = tiff_bytes_jpeg(rgb, tile=(16, 16), compress_tag=6)
+    out = tiff_pixels(buf)
+    assert out.shape == (3, 32, 32)
