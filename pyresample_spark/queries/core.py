@@ -382,17 +382,21 @@ def q_cog_ingest(spark, sf_dir):
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,
            CAST(r % 40 AS BIGINT) AS col,
-           CAST((((r // 40) - (r // 40) % 8) * 31
-                 + ((r % 40) - (r % 40) % 8) * 17) % 97 AS DOUBLE)
+           CAST(((((r // 40) - (r // 40) % 8) * 31
+                  + ((r % 40) - (r % 40) % 8) * 17) % 97)
+                * (CASE WHEN r >= 3840 THEN 41 ELSE 1 END) AS DOUBLE)
              AS value
-    FROM (SELECT range AS r FROM range(3840))
+    FROM (SELECT range AS r FROM range(5120))
     """,
 )
 def q_jpeg_ingest(spark, sf_dir):
     """JPEG-compressed-TIFF twin of q_geotiff_ingest (round 13 /
     VERDICT r12 item 5): three uint8 granules with new-style JPEG
     compression (tag 7) in three organizations (8-row strips, 16x16
-    tiles, 16-row strips) through the SAME distributed binaryFile +
+    tiles, 16-row strips) — plus a FOURTH 12-bit granule (SOF1
+    extended sequential, BitsPerSample 12, values scaled 41x beyond
+    the 8-bit range so silent depth truncation cannot pass) —
+    through the SAME distributed binaryFile +
     mapInPandas ingest — per strip/tile a complete baseline T.81
     stream decoded by the native codec (sources/jpeg.py: Huffman
     entropy decode, dequantize, matrix IDCT). Values are constant per

@@ -1738,22 +1738,30 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         # the T.81 baseline process defines); self-contained stream
         # per strip/tile (no JPEGTables hoisting — spec-legal and
         # readable by any consumer)
-        if arr.dtype != np.uint8:
+        if arr.dtype == np.uint8:
+            jprec = 8
+        elif arr.dtype == np.uint16:
+            if arr.max(initial=0) > 4095:
+                raise ValueError(
+                    "compress='jpeg' uint16 samples must be < 4096 "
+                    "(12-bit extended sequential)")
+            jprec = 12  # SOF1 extended sequential, BitsPerSample 12
+        else:
             raise ValueError(
-                "compress='jpeg' requires uint8 samples (baseline "
-                f"JPEG is 8-bit), got {arr.dtype}"
+                "compress='jpeg' requires uint8 (baseline) or uint16 "
+                f"< 4096 (12-bit SOF1) samples, got {arr.dtype}"
             )
         if predictor != 1:
             raise ValueError("predictor is undefined for JPEG compression")
     kind_size = f"{arr.dtype.kind}{arr.dtype.itemsize}"
     if jpeg:
-        pass  # u1 preserved for the JPEG path
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
     elif kind_size not in _TIFF_WRITER_DTYPES:
         arr = arr.astype("<f8")
     else:
         arr = arr.astype(arr.dtype.newbyteorder("<"))
     sample_fmt = _TIFF_SAMPLE_KINDS[arr.dtype.kind]
-    bits = arr.dtype.itemsize * 8
+    bits = jprec if jpeg else arr.dtype.itemsize * 8
     if arr.ndim == 3:  # (spp, h, w) → chunky (h, w, spp) pixel order
         spp = arr.shape[0]
         inter = np.ascontiguousarray(np.moveaxis(arr, 0, 2))
@@ -1791,9 +1799,10 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         if jpeg:
             from pyresample_spark.sources.jpeg import encode_baseline_jpeg
 
-            def jenc(blk):  # (rows, width, spp) u8 -> stream
+            def jenc(blk):  # (rows, width, spp) samples -> stream
                 img = blk[:, :, 0] if spp == 1 else blk
-                return encode_baseline_jpeg(np.ascontiguousarray(img))
+                return encode_baseline_jpeg(
+                    np.ascontiguousarray(img), precision=jprec)
 
             if tile is not None:
                 tw, th = tile
@@ -2284,7 +2293,7 @@ def demo_cog_granule_dir() -> str:
 
 # JPEG-granule fixture dims: 8x8-blockwise-constant values so the
 # baseline-JPEG roundtrip is VALUE-EXACT against the integer formula
-JPEG_ROWS, JPEG_COLS, JPEG_BANDS = 32, 40, 3
+JPEG_ROWS, JPEG_COLS, JPEG_BANDS = 32, 40, 4
 
 
 def demo_jpeg_granule_dir() -> str:
@@ -2306,7 +2315,16 @@ def demo_jpeg_granule_dir() -> str:
             cols = np.arange(JPEG_COLS)[None, :]
             data = (((rows - rows % 8) * 31
                      + (cols - cols % 8) * 17) % 97).astype("u1")
-            if band == 1:
+            if band == 3:
+                # 12-bit granule (SOF1): values scaled 41x so they
+                # genuinely exceed 8 bits — a decoder quietly
+                # truncating to baseline depth cannot pass the oracle
+                data = (data.astype("<u2") * 41)
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress="jpeg", rows_per_strip=8,
+                )
+            elif band == 1:
                 buf = geotiff_bytes(
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
                     compress="jpeg", tile=(16, 16),
@@ -2326,7 +2344,7 @@ def demo_jpeg_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_jpeg_granules_v1_{JPEG_BANDS}x"
+        f"pyresample_spark_jpeg_granules_v2_{JPEG_BANDS}x"
         f"{JPEG_ROWS}x{JPEG_COLS}",
         write,
     )

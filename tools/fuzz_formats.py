@@ -174,6 +174,20 @@ def main():
                 (np.arange(12).reshape(3, 4) * 20) % 256, 8, 0), 8, 1
             ).astype("u1"), rows_per_strip=8, hoist_dqt=True),
             tiff_pixels),
+        # 12-bit JPEG strips (r16): 16-bit DQT path, SOF1, uint16
+        # samples, declared-vs-decoded precision cross-check
+        ("tiff-jpeg12", tiff_bytes_jpeg(
+            np.repeat(np.repeat(
+                (np.arange(12).reshape(3, 4) * 331) % 4096, 8, 0), 8, 1
+            ).astype("<u2"), rows_per_strip=16, precision=12),
+            tiff_pixels),
+        # old-style (comp 6) TILED complete streams (r16): tiled
+        # routing + per-tile synthesis fallback under corruption
+        ("tiff-oldjpeg-tiled", tiff_bytes_jpeg(
+            np.repeat(np.repeat(
+                (np.arange(8).reshape(2, 4) * 20) % 256, 16, 0), 16, 1
+            ).astype("u1"), tile=(16, 16), compress_tag=6),
+            tiff_pixels),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
             tiff_pixels),
