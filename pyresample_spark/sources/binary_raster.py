@@ -847,6 +847,10 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
         # sequential, archived GOES imagery) — the decoder hands back
         # uint16; uncompressed 12-bit packed strips stay unsupported
         dt = "u2"
+    if dt is None and 2 <= bits <= 16 and fmt == 1 and comp == 6:
+        # old-style LOSSLESS JPEG (process 14) allows any 2..16-bit
+        # unsigned depth; samples live in the entropy stream
+        dt = "u1" if bits <= 8 else "u2"
     if dt is None:
         raise ValueError(f"unsupported sample layout bits={bits} fmt={fmt}")
     dtype = np.dtype(("<" if e == "<" else ">") + dt)
@@ -872,10 +876,23 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
         # naming the workaround.
         from pyresample_spark.sources.jpeg import decode_baseline_jpeg
 
-        if bits != 8 or fmt != 1:
-            raise ValueError(
-                f"old-style JPEG TIFF must be 8-bit unsigned, got "
-                f"bits={bits} fmt={fmt}")
+        proc = t.get(512, [1])[0]
+        if proc == 1:
+            if bits != 8 or fmt != 1:
+                raise ValueError(
+                    f"old-style JPEG TIFF must be 8-bit unsigned, got "
+                    f"bits={bits} fmt={fmt}")
+        elif proc == 14:
+            # lossless sequential (T.81 Annex H, SOF3 — r16): any
+            # 2..16-bit unsigned depth, the range the process defines
+            if not (2 <= bits <= 16) or fmt != 1:
+                raise ValueError(
+                    f"old-style lossless JPEG TIFF must be 2..16-bit "
+                    f"unsigned, got bits={bits} fmt={fmt}")
+        else:
+            raise NotImplementedError(
+                f"old-style JPEG process {proc} (1 = baseline DCT and "
+                "14 = lossless sequential decode natively)")
         if pred != 1:
             raise ValueError("predictor is undefined for JPEG compression")
         if h > 65535 or w > 65535:
@@ -885,12 +902,12 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             raise ValueError(
                 f"old-style JPEG TIFF declares {h}x{w} — JPEG frame "
                 "dimensions cap at 65535")
-        proc = t.get(512, [1])[0]
-        if proc != 1:
-            raise NotImplementedError(
-                f"old-style JPEG process {proc} (only 1 = baseline "
-                "DCT decodes; lossless process 14 needs a re-encode)")
         photo6 = t.get(262, [1])[0]
+        if proc == 14 and spp == 3 and photo6 == 6:
+            raise NotImplementedError(
+                "old-style LOSSLESS JPEG stores raw components — a "
+                "YCbCr photometric under process 14 is outside the "
+                "subset (RGB photometric 2 decodes natively)")
         if 513 in t:
             joff = ints(513, "JPEGInterchangeFormat")[0]
             jlen = (ints(514, "JPEGInterchangeFormatLength")[0]
@@ -978,10 +995,46 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             raise ValueError(
                 f"old-style JPEG with {spp} samples/pixel")
 
+        lossless6 = proc == 14
+        pred6 = t.get(517, [1])  # JPEGLosslessPredictors, count spp
+        pt6 = t.get(518, [0])    # JPEGPointTransforms, count spp
+        if lossless6 and (len(set(pred6)) > 1 or len(set(pt6)) > 1):
+            raise NotImplementedError(
+                "old-style lossless JPEG with per-component "
+                "predictors/point-transforms: the single interleaved "
+                "scan synthesized here carries one Ss/Al — re-encode")
+
         def _synth_stream(chunk: bytes, rows: int, width_: int) -> bytes:
             # some legacy writers stored complete streams per strip
             if chunk[:2] == b"\xff\xd8":
                 return chunk
+            if lossless6:
+                if dc6 is None:
+                    raise ValueError(
+                        "old-style lossless JPEG strip holds raw "
+                        "entropy data but the JPEGDCTables tag (520) "
+                        "is missing")
+                s = bytearray(b"\xff\xd8")
+                sof = struct.pack(">BHHB", bits, rows, width_, spp)
+                for ci in range(spp):
+                    sof += bytes([ci + 1, 0x11, 0])
+                s += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+                npairs = 1 if spp == 1 else 2
+                for th in range(npairs):
+                    ci = 0 if th == 0 else 1
+                    s += (b"\xff\xc4"
+                          + struct.pack(">H", 3 + len(dc6[ci]))
+                          + bytes([th]) + dc6[ci])
+                if dri6:
+                    s += b"\xff\xdd" + struct.pack(">HH", 4, dri6)
+                sos = bytes([spp])
+                for ci in range(spp):
+                    th = 0 if ci == 0 else 1
+                    sos += bytes([ci + 1, th << 4])
+                sos += bytes([int(pred6[0]), 0, int(pt6[0]) & 0x0F])
+                s += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                s += chunk + b"\xff\xd9"
+                return bytes(s)
             if q6 is None or dc6 is None or ac6 is None:
                 raise ValueError(
                     "old-style JPEG strip holds raw entropy data but "

@@ -20,8 +20,10 @@ Scope (the baseline process, which is what TIFF-JPEG writers emit):
 - DQT (8- AND 16-bit precision), DHT, DRI + restart markers,
   APPn/COM skipped, abbreviated table streams (SOI tables EOI)
   merged per TechNote2 via the ``tables=`` argument.
-- Progressive (SOF2), arithmetic coding (SOF9+) and lossless
-  processes raise loudly.
+- Lossless sequential (SOF3, T.81 Annex H — old-style TIFF
+  process 14): DPCM with all 7 predictors, 2..16-bit samples, point
+  transform, restart intervals; decoder + exact encoder twin.
+- Progressive (SOF2) and arithmetic coding (SOF9+) raise loudly.
 
 The encoder exists to spec-build fixtures (and to let exports embed
 quicklooks): it writes 4:4:4 or 4:2:0 baseline streams with
@@ -54,7 +56,6 @@ ZIGZAG = [
 
 _SOF_UNSUPPORTED = {
     0xC2: "progressive DCT (SOF2)",
-    0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
@@ -248,9 +249,15 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                 q += 17 + nv
         elif m == 0xDD:  # DRI
             state["dri"] = struct.unpack_from(">H", body, 0)[0]
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1
+        elif m in (0xC0, 0xC1, 0xC3):  # SOF0/SOF1/SOF3
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if not (prec == 8 or (prec == 12 and m == 0xC1)):
+            lossless = m == 0xC3
+            if lossless:
+                # T.81 Annex H: lossless allows 2..16-bit samples
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"lossless precision {prec} outside 2..16")
+            elif not (prec == 8 or (prec == 12 and m == 0xC1)):
                 # T.81 Table B.2: baseline (SOF0) is 8-bit; 12-bit
                 # samples are the extended sequential process (SOF1)
                 # — the depth archived GOES imagery ships
@@ -269,6 +276,11 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
                 hs, vs = hv >> 4, hv & 0x0F
+                if lossless and (hs != 1 or vs != 1):
+                    raise NotImplementedError(
+                        "subsampled lossless components outside the "
+                        "subset (archived rasters are 1x1)"
+                    )
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
                         f"sampling factors {hs}x{vs} outside the subset "
@@ -276,7 +288,7 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                     )
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             state["frame"] = {"h": h, "w": w, "comps": comps,
-                              "prec": prec}
+                              "prec": prec, "lossless": lossless}
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[m]} outside the baseline subset"
@@ -295,6 +307,11 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
             state["scan"] = sel
+            # spectral-selection bytes: baseline fixes them at
+            # (0, 63, 0); lossless reuses Ss as the predictor
+            # selector and Al as the point transform (T.81 H.1)
+            state["scan_ss"] = body[1 + 2 * ns]
+            state["scan_al"] = body[3 + 2 * ns] & 0x0F
             return pos, "sos"
         # APPn (E0-EF), COM (FE), others with lengths: skipped
     raise AssertionError  # unreachable
@@ -320,6 +337,8 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
     if kind != "sos":
         raise ValueError("JPEG stream has no scan (SOS)")
     fr, scan = state["frame"], state["scan"]
+    if fr.get("lossless"):
+        return _decode_lossless_scan(state, data, pos)
     h, w, comps = fr["h"], fr["w"], fr["comps"]
     prec = fr.get("prec", 8)
     center = float(1 << (prec - 1))          # level-shift (T.81 A.3.1)
@@ -648,6 +667,194 @@ def encode_baseline_jpeg(arr: np.ndarray, quant=None,
                 bw.put(code, ln)
                 if s:
                     bw.put(v, s)
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Lossless sequential process (SOF3, T.81 Annex H) — the JPEG process
+# old-style TIFF tag 512 calls "14". DPCM over reconstructed samples:
+# per sample one DC-style Huffman category + extend bits code the
+# difference from a neighbor prediction; modulo-65536 arithmetic;
+# point transform Al scales; no DCT, no quantization, no subsampling.
+
+
+_LL_DEFAULT = object()
+
+
+def _ll_predict(plane, x: int, y: int, sel: int, default: int,
+                reset: bool) -> int:
+    """T.81 H.1.2: prediction for sample (x, y). ``reset`` marks the
+    first sample of the scan / restart interval (default prediction);
+    the rest of the first line predicts from a, the first column from
+    b, everything else from the selected predictor 1..7."""
+    if reset:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])  # first line: predictor a
+    if x == 0:
+        return int(plane[y - 1, 0])  # first column: predictor b
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def _decode_lossless_scan(state: dict, data: bytes, pos: int):
+    fr, scan = state["frame"], state["scan"]
+    h, w, comps = fr["h"], fr["w"], fr["comps"]
+    prec = fr["prec"]
+    sel = state.get("scan_ss", 1)
+    pt = state.get("scan_al", 0)
+    if not 1 <= sel <= 7:
+        raise ValueError(f"lossless predictor selector {sel} (1..7)")
+    if pt >= prec:
+        raise ValueError(f"point transform {pt} >= precision {prec}")
+    by_id = {c["id"]: c for c in comps}
+    tabs = []
+    for s in scan:
+        if s["cs"] not in by_id:
+            raise ValueError(
+                f"scan references unknown component {s['cs']}")
+        tbl = state["huff_dc"].get(s["td"])
+        if tbl is None:
+            raise ValueError(
+                f"scan references undefined Huffman table {s['td']}")
+        tabs.append(tbl)
+    nc = len(scan)
+    default = 1 << (prec - pt - 1)
+    planes = np.zeros((nc, h, w), dtype=np.int64)
+    rd = _BitReader(data, pos)
+    dri = state["dri"]
+    rst = 0
+    reset = True
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if dri and mcu and mcu % dri == 0:
+                rd.restart(rst)
+                rst = (rst + 1) & 7
+                reset = True
+            for ci in range(nc):
+                t = rd.huff(tabs[ci])
+                if t > 16:
+                    raise ValueError(
+                        f"lossless difference category {t} > 16")
+                diff = 32768 if t == 16 else rd.receive_extend(t)
+                px = _ll_predict(planes[ci], x, y, sel, default, reset)
+                planes[ci, y, x] = (px + diff) & 0xFFFF
+            reset = False
+            mcu += 1
+    out = (planes << pt) & ((1 << prec) - 1 if prec < 16 else 0xFFFF)
+    dt = np.uint8 if prec <= 8 else np.uint16
+    if nc == 1:
+        return out[0].astype(dt)
+    # lossless components are independent — returned RAW (no YCbCr)
+    return np.moveaxis(out, 0, 2).astype(dt)
+
+
+def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
+                         point_transform: int = 0,
+                         restart_interval: int = 0,
+                         precision: int | None = None) -> bytes:
+    """Writer twin of the SOF3 decoder (fixtures + exports): exact
+    DPCM roundtrip for any uint8/uint16 input within ``precision``
+    bits. Components are stored raw and interleaved."""
+    arr = np.asarray(arr)
+    if arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError("lossless encoder takes uint8/uint16 samples")
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision {precision} outside 2..16")
+    if arr.max(initial=0) >> precision:
+        raise ValueError(f"samples exceed {precision} bits")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} (1..7)")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc > 4:
+        raise ValueError(f"{nc} components (max 4)")
+    shifted = (arr.astype(np.int64) >> pt)
+    default = 1 << (precision - pt - 1)
+
+    # pass 1: diffs + category frequencies (mirrors the decoder walk)
+    diffs = np.empty((h, w, nc), dtype=np.int64)
+    cats = np.empty((h, w, nc), dtype=np.uint8)
+    freqs: dict = {}
+    reset = True
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reset = True
+            for ci in range(nc):
+                px = _ll_predict(shifted[:, :, ci], x, y, predictor,
+                                 default, reset)
+                d = (int(shifted[y, x, ci]) - px) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                t = 16 if d == 32768 else _category(d)
+                diffs[y, x, ci] = d
+                cats[y, x, ci] = t
+                freqs[t] = freqs.get(t, 0) + 1
+            reset = False
+            mcu += 1
+
+    bits, vals, enc = _encode_table(freqs)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    rst = 0
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+            for ci in range(nc):
+                t = int(cats[y, x, ci])
+                ln, code = enc[t]
+                bw.put(code, ln)
+                if t and t != 16:
+                    d = int(diffs[y, x, ci])
+                    v = d if d >= 0 else d + (1 << t) - 1
+                    bw.put(v, t)
+            mcu += 1
     bw.align()
     out += bw.out
     out += b"\xff\xd9"

@@ -3370,8 +3370,8 @@ def test_oldjpeg_entropy_strips_real_content_tolerance():
 
 
 def test_oldjpeg_guards():
-    """The underspecified corners stay loud: lossless process, and
-    component-count mismatches between the TIFF and the scan."""
+    """The underspecified corners stay loud: unknown JPEG processes
+    and component-count mismatches between the TIFF and the scan."""
     import test_jpeg as tj
 
     blocks = [np.zeros((8, 8), dtype=int)]
@@ -3390,8 +3390,10 @@ def test_oldjpeg_guards():
             {519: q, 520: dc, 521: ac}, strips=[ent],
             rows_per_strip=8)[0]
 
-    with pytest.raises(NotImplementedError, match="process 14"):
-        tiff_pixels(build([(512, 3, 1, 14, None)]))
+    # process 2 (extended sequential via the old-style wrapper) is
+    # not one of the two processes tag 512 defines for this path
+    with pytest.raises(NotImplementedError, match="process 2"):
+        tiff_pixels(build([(512, 3, 1, 2, None)]))
     # 3-component strips DECODE natively as of r16 — but a grayscale
     # entropy stream under a 3-component declaration is corrupt and
     # must still fail loudly, not return garbage
@@ -3669,3 +3671,48 @@ def test_oldjpeg_tiled_decodes():
     buf = tiff_bytes_jpeg(rgb, tile=(16, 16), compress_tag=6)
     out = tiff_pixels(buf)
     assert out.shape == (3, 32, 32)
+
+
+def test_oldjpeg_lossless_process14():
+    """Old-style JPEG process 14 (T.81 Annex H lossless, SOF3) —
+    previously THE remaining loud guard: 16-bit interchange stream,
+    entropy-only strip with tables/predictor/point-transform from
+    tags 520/517/518, and the per-component-predictor corner that
+    stays loud. DPCM is exact, so every decode is value-exact."""
+    from pyresample_spark.sources.jpeg import encode_lossless_jpeg
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 1 << 16, (12, 10)).astype("<u2")
+    stream = encode_lossless_jpeg(img, predictor=4)
+    # shape A: interchange stream behind 513/514, BitsPerSample 16
+    buf, _ = _oldjpeg_ifd(
+        12, 10, 1,
+        [(512, 3, 1, 14, None),
+         (513, 4, 1, None, None), (514, 4, 1, len(stream), None)],
+        {513: stream}, strips=None)
+    b = bytearray(buf)
+    i = b.find(struct.pack("<HHI", 258, 3, 1))
+    b[i + 8:i + 10] = struct.pack("<H", 16)
+    out = tiff_pixels(bytes(b))
+    np.testing.assert_array_equal(out, img.astype("f8"))
+    # shape C: entropy-only strip + tags 520 (DC tables), 517, 518
+    img8 = rng.randint(0, 256, (8, 16)).astype("u1")
+    stream = encode_lossless_jpeg(img8, predictor=6, point_transform=1)
+    _, huffs, entropy = _jpeg_stream_parts(stream)
+    dc = huffs[(0, 0)]
+    buf, _ = _oldjpeg_ifd(
+        8, 16, 1,
+        [(512, 3, 1, 14, None), (517, 3, 1, 6, None),
+         (518, 3, 1, 1, None), (520, 4, 1, None, None)],
+        {520: dc}, strips=[entropy], rows_per_strip=8)
+    out = tiff_pixels(buf)
+    np.testing.assert_array_equal(out, ((img8 >> 1) << 1).astype("f8"))
+    # per-component predictors stay loud (single scan carries one Ss)
+    buf, _ = _oldjpeg_ifd(
+        8, 16, 1,
+        [(512, 3, 1, 14, None),
+         (517, 3, 2, None, struct.pack("<2H", 1, 4)),
+         (520, 4, 1, None, None)],
+        {520: dc}, strips=[entropy], rows_per_strip=8)
+    with pytest.raises(NotImplementedError, match="per-component"):
+        tiff_pixels(buf)

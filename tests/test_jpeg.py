@@ -88,9 +88,11 @@ def test_abbreviated_stream_tables_merge():
 
 
 def test_unsupported_processes_raise():
+    # SOF3 (lossless) decodes natively as of r16; progressive and
+    # arithmetic stay loud
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     for marker, what in ((0xC2, "progressive"), (0xC9, "arithmetic"),
-                         (0xC3, "lossless")):
+                         (0xC7, "differential")):
         stream = (b"\xff\xd8" + bytes([0xFF, marker])
                   + struct.pack(">H", 2 + len(sof)) + sof)
         with pytest.raises(NotImplementedError, match=what):
@@ -445,3 +447,40 @@ def test_12bit_guards():
     enc[i + 1] = 0xC0
     with pytest.raises(NotImplementedError, match="12-bit"):
         decode_baseline_jpeg(bytes(enc))
+
+
+def test_lossless_sof3_roundtrip_battery():
+    """T.81 Annex H lossless (SOF3, old-style TIFF process 14): all 7
+    predictors roundtrip bit-exact at 8/12/16-bit depths; point
+    transform truncates-and-rescales; restart intervals reset the
+    prediction; multi-component scans interleave raw components."""
+    from pyresample_spark.sources.jpeg import encode_lossless_jpeg
+
+    rng = np.random.RandomState(21)
+    for dts, prec in (("u1", 8), ("<u2", 12), ("<u2", 16)):
+        for sel in range(1, 8):
+            img = rng.randint(0, 1 << prec, (11, 14)).astype(dts)
+            enc = encode_lossless_jpeg(img, predictor=sel,
+                                       precision=prec)
+            assert b"\xff\xc3" in enc
+            out = decode_baseline_jpeg(enc)
+            assert np.array_equal(out.astype(dts), img), (prec, sel)
+    img = rng.randint(0, 4096, (9, 7)).astype("<u2")
+    enc = encode_lossless_jpeg(img, predictor=5, point_transform=3,
+                               precision=12)
+    assert np.array_equal(decode_baseline_jpeg(enc).astype("<u2"),
+                          (img >> 3) << 3)
+    img3 = rng.randint(0, 1 << 16, (6, 8, 3)).astype("<u2")
+    enc = encode_lossless_jpeg(img3, predictor=2, restart_interval=7)
+    assert np.array_equal(decode_baseline_jpeg(enc), img3)
+    # guards: predictor selector range, subsampled lossless components
+    with pytest.raises(ValueError, match="predictor"):
+        encode_lossless_jpeg(img, predictor=0)
+    with pytest.raises(ValueError, match="point transform"):
+        encode_lossless_jpeg(img, point_transform=16, precision=12)
+    bad = bytearray(encode_lossless_jpeg(img3[:, :, :1][:, :, 0]))
+    i = bad.find(b"\xff\xc3")
+    # component sampling byte: force 2x2 on a lossless frame
+    bad[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_baseline_jpeg(bytes(bad))

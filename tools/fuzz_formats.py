@@ -91,8 +91,21 @@ def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests"))
-    from test_binary_raster import _demo_nc, tiff_bytes_jpeg, \
-        tiff_bytes_strips, tiff_bytes_tiles
+    from test_binary_raster import _demo_nc, _oldjpeg_ifd, \
+        tiff_bytes_jpeg, tiff_bytes_strips, tiff_bytes_tiles
+
+    def _oldjpeg_lossless_fixture() -> bytes:
+        from pyresample_spark.sources.jpeg import encode_lossless_jpeg
+
+        img = ((np.arange(8)[:, None] * 37
+                + np.arange(12)[None, :] * 11) % 251).astype("u1")
+        stream = encode_lossless_jpeg(img, predictor=4)
+        buf, _ = _oldjpeg_ifd(
+            8, 12, 1,
+            [(512, 3, 1, 14, None), (513, 4, 1, None, None),
+             (514, 4, 1, len(stream), None)],
+            {513: stream}, strips=None)
+        return buf
 
     from pyresample_spark.operators.multimodal import (
         decode_ppm,
@@ -187,6 +200,11 @@ def main():
             np.repeat(np.repeat(
                 (np.arange(8).reshape(2, 4) * 20) % 256, 16, 0), 16, 1
             ).astype("u1"), tile=(16, 16), compress_tag=6),
+            tiff_pixels),
+        # old-style LOSSLESS (process 14, SOF3 DPCM) interchange
+        # stream (r16): predictor walk + modulo arithmetic under
+        # corruption
+        ("tiff-oldjpeg-lossless", _oldjpeg_lossless_fixture(),
             tiff_pixels),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
