@@ -36,12 +36,13 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
         rows = np.arange(H)[:, None] + i * H
         cols = np.arange(W)[None, :]
         data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
-        if fmt in ("szip", "scaleoffset"):
-            # the round-15 filters: uint16 NN-szip (the NASA L1B
+        if fmt in ("szip", "scaleoffset", "nbit"):
+            # the r15/r16 filters: uint16 NN-szip (the NASA L1B
             # shape, sequential Rice decode) vs float64 D-scaled
-            # scale-offset (vectorized decode) — same ingest plan
-            band = (data.astype("<u2") if fmt == "szip"
-                    else np.round(data / 4.0, 2).astype("<f8"))
+            # scale-offset vs 12-of-16-bit nbit (both vectorized
+            # decodes) — same ingest plan
+            band = (np.round(data / 4.0, 2).astype("<f8")
+                    if fmt == "scaleoffset" else data.astype("<u2"))
             buf = hdf5_grid_bytes(
                 {
                     "x": (xs.astype(float), {"CLASS": "DIMENSION_SCALE"}),
@@ -55,6 +56,7 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 else None,
                 scaleoffset={"factor": 2} if fmt == "scaleoffset"
                 else None,
+                nbit={"precision": 12} if fmt == "nbit" else None,
             )
         elif fmt in ("hdf5", "hdf5_fa"):
             buf = hdf5_grid_bytes(
@@ -148,7 +150,7 @@ def main():
                   else "geotiff" if tiff1 else "netcdf3")
     px_per_file = (3 if multi else 1) * H * W
     bytes_per_px = (4 if (multi or tiff1)
-                    else 2 if fmt == "szip" else 8)
+                    else 2 if fmt in ("szip", "nbit") else 8)
     for n in ns:
         d = make_granules(n, fmt)
         try:
