@@ -259,9 +259,8 @@ def main():
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    print(
-        json.dumps(
-            {
+    payload = json.dumps(
+        {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
@@ -329,9 +328,20 @@ def main():
                 "gate_waits": gate_waits,
                 "extra_reps": extra,
                 "cpu_dropped_deltas": cpu_dropped[0],
-            }
-        )
+        }
     )
+    # Truncation-proof artifact (VERDICT r16 item 3): the driver's
+    # stdout tail-capture has lost the end of this line before
+    # (BENCH_r16.json arrived cut mid-dict), so the same JSON is also
+    # written whole to BENCH_LATEST.json in the repo — committed each
+    # round, readable regardless of how the capture slices stdout.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -933,12 +933,16 @@ def _fletcher32(data: bytes) -> int:
     return (fold(s2) << 16) | fold(s1)
 
 
-def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
+def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int,
+                   nelmts: int | None = None) -> bytes:
     """Undo the filter pipeline in reverse write order. Entries are
     ``(fid, client_data_values)`` pairs. The key's filter mask marks
     PER-CHUNK skipped filters by pipeline index (an optional deflate —
     or an encoder-less szip — stores incompressible chunks raw with
-    its bit set)."""
+    its bit set). ``nelmts`` is the chunk's true element count from
+    the dataset layout; it bounds the cd-declared count inside
+    allocation-sizing decoders (scaleoffset's minbits==0 path) so a
+    crafted pipeline message cannot drive a huge zeros()."""
     for idx in range(len(filters) - 1, -1, -1):
         if fmask & (1 << idx):
             continue
@@ -960,7 +964,7 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int) -> bytes:
                 h5_scaleoffset_decode,
             )
 
-            raw = h5_scaleoffset_decode(raw, cds)
+            raw = h5_scaleoffset_decode(raw, cds, max_nelmts=nelmts)
         elif fid == 3:
             # verify-and-strip: the filter appends the 4-byte checksum
             # little-endian; a mismatch means the chunk is corrupt and
@@ -1010,7 +1014,7 @@ def _read_chunked(r: _R, btree_addr: int, shape, dtype, chunk_dims,
             else:
                 raw = _apply_filters(
                     r.b[child:child + nbytes], fmask, filters,
-                    dtype.itemsize,
+                    dtype.itemsize, nelmts=int(np.prod(chunk_dims)),
                 )
                 chunk = np.frombuffer(raw, dtype=dtype)
                 chunk = chunk.reshape(chunk_dims)
@@ -1209,7 +1213,8 @@ def _read_chunked_v4(r: _R, flags: int, cdims, idx_type: int,
     def place_chunk(raw_addr, nbytes, fmask, dst, src):
         raw = r.b[raw_addr:raw_addr + nbytes]
         if filters:
-            raw = _apply_filters(raw, fmask, filters, dtype.itemsize)
+            raw = _apply_filters(raw, fmask, filters, dtype.itemsize,
+                                 nelmts=int(np.prod(cdims)))
         chunk = np.frombuffer(raw, dtype=dtype, count=int(np.prod(cdims)))
         chunk = chunk.reshape(cdims)
         arr[dst] = chunk[src]

@@ -685,15 +685,20 @@ _LL_DEFAULT = object()
 
 
 def _ll_predict(plane, x: int, y: int, sel: int, default: int,
-                reset: bool) -> int:
+                reset: bool, ra_line: bool = False) -> int:
     """T.81 H.1.2: prediction for sample (x, y). ``reset`` marks the
     first sample of the scan / restart interval (default prediction);
-    the rest of the first line predicts from a, the first column from
-    b, everything else from the selected predictor 1..7."""
+    ``ra_line`` marks the rest of the FIRST LINE of the scan / restart
+    interval — T.81 H.1.1 mandates the 1-D predictor Ra there (the
+    remainder of the current row after a restart), NOT the selected
+    2-D predictor (ADVICE r16: resuming sel here desynchronized
+    against conforming encoders such as libjpeg-turbo lossless).
+    Otherwise the first column predicts from b, everything else from
+    the selected predictor 1..7."""
     if reset:
         return default
-    if y == 0:
-        return int(plane[0, x - 1])  # first line: predictor a
+    if ra_line or y == 0:
+        return int(plane[y, x - 1])  # interval first line: predictor a
     if x == 0:
         return int(plane[y - 1, 0])  # first column: predictor b
     a = int(plane[y, x - 1])
@@ -742,6 +747,7 @@ def _decode_lossless_scan(state: dict, data: bytes, pos: int):
     dri = state["dri"]
     rst = 0
     reset = True
+    ra_line = True
     mcu = 0
     for y in range(h):
         for x in range(w):
@@ -749,16 +755,21 @@ def _decode_lossless_scan(state: dict, data: bytes, pos: int):
                 rd.restart(rst)
                 rst = (rst + 1) & 7
                 reset = True
+                ra_line = True
             for ci in range(nc):
                 t = rd.huff(tabs[ci])
                 if t > 16:
                     raise ValueError(
                         f"lossless difference category {t} > 16")
                 diff = 32768 if t == 16 else rd.receive_extend(t)
-                px = _ll_predict(planes[ci], x, y, sel, default, reset)
+                px = _ll_predict(planes[ci], x, y, sel, default, reset,
+                                 ra_line)
                 planes[ci, y, x] = (px + diff) & 0xFFFF
             reset = False
             mcu += 1
+        # the restart interval's "first line" ends with the row it
+        # started in (T.81 H.1.1); later rows resume normal predictors
+        ra_line = False
     out = (planes << pt) & ((1 << prec) - 1 if prec < 16 else 0xFFFF)
     dt = np.uint8 if prec <= 8 else np.uint16
     if nc == 1:
@@ -801,14 +812,16 @@ def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
     cats = np.empty((h, w, nc), dtype=np.uint8)
     freqs: dict = {}
     reset = True
+    ra_line = True
     mcu = 0
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reset = True
+                ra_line = True
             for ci in range(nc):
                 px = _ll_predict(shifted[:, :, ci], x, y, predictor,
-                                 default, reset)
+                                 default, reset, ra_line)
                 d = (int(shifted[y, x, ci]) - px) & 0xFFFF
                 if d > 32768:
                     d -= 65536
@@ -818,6 +831,7 @@ def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
                 freqs[t] = freqs.get(t, 0) + 1
             reset = False
             mcu += 1
+        ra_line = False
 
     bits, vals, enc = _encode_table(freqs)
     out = bytearray(b"\xff\xd8")

@@ -22,14 +22,18 @@ is not in the file-format spec; the filter's cd_values are written by
         nooptype [4, size]                              (bytes verbatim)
 
 Per-element packing for an atomic field (size bytes, ``precision``
-bits starting ``offset`` bits above the LSB): the spanned bytes — from
-the byte holding the field's MSB down to the byte holding bit
-``offset`` — are emitted most-significant-byte first; the first
-(topmost) byte contributes only its significant low bits
-(``(precision+offset) % 8`` of them, 8 when aligned), every later byte
-contributes all 8 bits (so sub-``offset`` padding bits inside the
-lowest spanned byte round-trip verbatim, exactly as H5Znbit.c copies
-them). Bytes outside the span decode as zero.
+bits starting ``offset`` bits above the LSB): when the significant
+bits span more than one byte, the spanned bytes — from the byte
+holding the field's MSB down to the byte holding bit ``offset`` — are
+emitted most-significant-byte first; the first (topmost) byte
+contributes only its significant low bits (``(precision+offset) % 8``
+of them, 8 when aligned), every later byte contributes all 8 bits (so
+sub-``offset`` padding bits inside the lowest spanned byte round-trip
+verbatim, exactly as H5Znbit.c copies them). When ALL significant
+bits fit in one byte (H5Znbit.c's ``begin_i == end_i`` branch),
+exactly ``precision`` bits are packed — the field bits shifted down by
+``offset % 8`` — and decompress re-anchors them at that shift, zeroing
+the sub-offset padding. Bytes outside the span decode as zero.
 
 Because every element of a chunk shares one datatype, the stream is a
 fixed-stride bit matrix — decoded and encoded VECTORIZED via
@@ -91,8 +95,16 @@ def _atomic_slots(size: int, order: int, precision: int, offset: int,
         ks = range(begin_i, end_i + 1)
     else:
         raise ValueError(f"nbit datatype order {order} (LE=0, BE=1)")
+    if begin_i == end_i:
+        # H5Z__nbit_(de)compress_one_byte's "all significant bits in
+        # one byte" branch: exactly ``precision`` bits are packed —
+        # the field bits, read ``offset % 8`` above the byte's LSB on
+        # compress and written back at that same shift on decompress
+        # (sub-offset padding is ZEROED here, unlike the multi-byte
+        # walk, which carries the lowest byte's padding verbatim).
+        return [(base + begin_i, precision, offset % 8)]
     return [
-        (base + k, first if i == 0 else 8) for i, k in enumerate(ks)
+        (base + k, first if i == 0 else 8, 0) for i, k in enumerate(ks)
     ]
 
 
@@ -107,7 +119,7 @@ def _tree_slots(parms, i: int, base: int):
         size = int(parms[i + 1])
         if not 0 <= size <= (1 << 20):
             raise ValueError(f"nbit nooptype size {size} implausible")
-        return [(base + k, 8) for k in range(size)], i + 2, size
+        return [(base + k, 8, 0) for k in range(size)], i + 2, size
     if cls == NBIT_ARRAY:
         total = int(parms[i + 1])
         if not 0 <= total <= (1 << 20):
@@ -117,7 +129,7 @@ def _tree_slots(parms, i: int, base: int):
             raise ValueError("nbit array size not a multiple of its base")
         slots = list(sub)
         for rep in range(1, total // sub_size):
-            slots.extend((b + rep * sub_size, w) for b, w in sub)
+            slots.extend((b + rep * sub_size, w, s) for b, w, s in sub)
         return slots, nxt, total
     if cls == NBIT_COMPOUND:
         size = int(parms[i + 1])
@@ -160,7 +172,7 @@ def h5_nbit_decode(raw: bytes, cd_values) -> bytes:
     flag, n, slots, size = _parse(cd_values)
     if not flag:
         return raw  # full-precision datatype: filter stored the chunk raw
-    width = sum(w for _, w in slots)
+    width = sum(w for _, w, _ in slots)
     need_bits = n * width
     if len(raw) * 8 < need_bits:
         raise ValueError(
@@ -180,9 +192,11 @@ def h5_nbit_decode(raw: bytes, cd_values) -> bytes:
                          count=need_bits).reshape(n, width)
     out = np.zeros((n, size), dtype=np.uint8)
     pos = 0
-    for byte_i, w in slots:
+    for byte_i, w, shift in slots:
         chunk = bits[:, pos:pos + w]
-        weights = (1 << np.arange(w - 1, -1, -1)).astype(np.uint8)
+        # shift is nonzero only in the one-byte branch, where
+        # w + shift <= 8 by construction, so uint8 cannot overflow
+        weights = (1 << (np.arange(w - 1, -1, -1) + shift)).astype(np.uint8)
         out[:, byte_i] = chunk @ weights
         pos += w
     return out.tobytes()
@@ -198,12 +212,12 @@ def h5_nbit_encode(raw: bytes, cd_values) -> bytes:
             f"nbit input {len(raw)} bytes != {n} x {size}-byte elements"
         )
     data = np.frombuffer(raw, dtype=np.uint8).reshape(n, size)
-    width = sum(w for _, w in slots)
+    width = sum(w for _, w, _ in slots)
     bits = np.empty((n, width), dtype=np.uint8)
     pos = 0
-    for byte_i, w in slots:
+    for byte_i, w, shift in slots:
         col = data[:, byte_i]
-        shifts = np.arange(w - 1, -1, -1, dtype=np.uint8)
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint8) + np.uint8(shift)
         bits[:, pos:pos + w] = (col[:, None] >> shifts) & 1
         pos += w
     return np.packbits(bits.reshape(-1)).tobytes()

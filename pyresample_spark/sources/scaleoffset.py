@@ -126,9 +126,22 @@ def _np_dtype(p: dict) -> np.dtype:
     return np.dtype(f"{order}{kind}{p['size']}")
 
 
-def h5_scaleoffset_decode(raw: bytes, cd_values) -> bytes:
+def h5_scaleoffset_decode(raw: bytes, cd_values,
+                          max_nelmts: int | None = None) -> bytes:
+    """``max_nelmts`` is the CHUNK's true element count from the
+    dataset layout (chunk dims product); when given, the cd-declared
+    count is bounded by it BEFORE any allocation is sized."""
     p = _parms(cd_values)
     n, size = p["nelmts"], p["size"]
+    if max_nelmts is not None and n > max_nelmts:
+        # cd_values ride the file's own filter-pipeline message, which
+        # is attacker-controlled in the fuzz threat model — a crafted
+        # minbits==0 header-only chunk with nelmts near 2^32 would
+        # otherwise size a ~34 GB zeros() (ADVICE r16)
+        raise ValueError(
+            f"scaleoffset nelmts {n} exceeds the chunk's "
+            f"{max_nelmts} elements"
+        )
     if len(raw) < 5:
         raise ValueError("scaleoffset chunk shorter than its header")
     minbits = int.from_bytes(raw[:4], "little")
@@ -147,11 +160,10 @@ def h5_scaleoffset_decode(raw: bytes, cd_values) -> bytes:
     # capacity, and ONLY when minbits > 0 (ADVICE r15: a constant
     # chunk legitimately encodes to a 13-byte header-only stream
     # regardless of element count — minbits == 0 means "all values
-    # equal minval", so the old 8-bits-per-element bound falsely
-    # rejected any constant chunk over ~65k elements, e.g. a 300x300
-    # float64 fill chunk). For minbits == 0, n comes from the trusted
-    # dataset-layout metadata (cd_values), not the chunk stream, and
-    # the zeros allocation it sizes equals the chunk itself.
+    # equal minval", so a bits-per-element bound cannot apply). The
+    # minbits == 0 allocation is instead bounded by ``max_nelmts``
+    # above — cd_values are NOT trusted (they come from the file's
+    # filter-pipeline message).
     if minbits > 0 and n > (8 * len(raw)) // minbits + (1 << 16):
         raise ValueError("scaleoffset element count implausible")
     if minbits == 8 * size:  # incompressible span: verbatim chunk

@@ -449,6 +449,97 @@ def test_12bit_guards():
         decode_baseline_jpeg(bytes(enc))
 
 
+def test_lossless_restart_first_line_uses_ra_spec_fixture():
+    """T.81 H.1.1: after a restart marker the first sample uses the
+    DEFAULT prediction and the REMAINDER OF THAT ROW uses the 1-D
+    predictor Ra — not the selected 2-D predictor (ADVICE r16: the
+    old walk resumed sel and desynchronized against conforming
+    encoders). The fixture below is hand-assembled FROM THE SPEC in
+    this test — independent of encode_lossless_jpeg — so the decoder
+    cannot pass by mirroring its own encoder."""
+    img = np.array([[100, 102, 99, 101],
+                    [98, 103, 105, 95],
+                    [110, 100, 108, 104]], dtype=np.uint8)
+    h, w, sel, dri, default = 3, 4, 4, 5, 128
+
+    # spec walk: diffs for predictor 4 (a+b-c) with DRI=5
+    diffs = []
+    reset, ra_line = True, True
+    mcu = 0
+    restarts = []  # mcu indices where a RST marker precedes
+    for y in range(h):
+        for x in range(w):
+            if dri and mcu and mcu % dri == 0:
+                restarts.append(mcu)
+                reset, ra_line = True, True
+            if reset:
+                px = default
+            elif ra_line or y == 0:
+                px = int(img[y, x - 1])
+            elif x == 0:
+                px = int(img[y - 1, 0])
+            else:
+                px = (int(img[y, x - 1]) + int(img[y - 1, x])
+                      - int(img[y - 1, x - 1]))
+            diffs.append(int(img[y, x]) - px)
+            reset = False
+            mcu += 1
+        ra_line = False
+    assert restarts == [5, 10]
+
+    # canonical DC table: len2 -> cats 0,1; len3 -> 2,3,4; len4 -> 5,6
+    counts = [0, 2, 3, 2] + [0] * 12
+    values = [0, 1, 2, 3, 4, 5, 6]
+    codes, code, ci = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[values[ci]] = (ln, code)
+            code += 1
+            ci += 1
+        code <<= 1
+
+    segs, bits = [], ""
+    for i, d in enumerate(diffs):
+        if i in restarts:
+            segs.append(bits)
+            bits = ""
+        t = abs(d).bit_length()
+        ln, c = codes[t]
+        bits += format(c, f"0{ln}b")
+        if t:
+            v = d if d >= 0 else d + (1 << t) - 1
+            bits += format(v, f"0{t}b")
+    segs.append(bits)
+
+    def pack(b):  # byte-align with 1-bits, stuff 0x00 after 0xFF
+        b += "1" * (-len(b) % 8)
+        raw = bytes(int(b[i:i + 8], 2) for i in range(0, len(b), 8))
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(counts) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([1, 1, 0x00, sel, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    for i, s in enumerate(segs):
+        out += pack(s)
+        if i < len(segs) - 1:
+            out += bytes([0xFF, 0xD0 + (i & 7)])
+    out += b"\xff\xd9"
+
+    assert np.array_equal(decode_baseline_jpeg(bytes(out)), img)
+
+    # encoder twin follows the same spec walk: its stream must decode
+    # to the pixels AND carry the same per-sample diffs
+    from pyresample_spark.sources.jpeg import encode_lossless_jpeg
+
+    enc = encode_lossless_jpeg(img, predictor=sel, restart_interval=dri)
+    assert np.array_equal(decode_baseline_jpeg(enc), img)
+
+
 def test_lossless_sof3_roundtrip_battery():
     """T.81 Annex H lossless (SOF3, old-style TIFF process 14): all 7
     predictors roundtrip bit-exact at 8/12/16-bit depths; point

@@ -53,6 +53,40 @@ def test_offset_field_and_low_padding_roundtrip():
     assert len(enc) == 4
 
 
+def test_one_byte_branch_hand_packed():
+    """H5Znbit.c's begin_i == end_i branch (all significant bits in
+    ONE byte): exactly ``precision`` bits per element — NOT
+    precision + offset%8 — shifted down by offset%8 on compress and
+    re-anchored (padding zeroed) on decompress. ADVICE r16: the old
+    walk packed 6 bits for u1 precision=4 offset=2 and desynchronized
+    against libhdf5 streams after the first element."""
+    # u1, precision 4, offset 2: field bits 5..2, 4 packed bits/element
+    cd = cd_atomic(1, NBIT_ORDER_LE, 4, 2, 3)
+    fields = np.array([0b1010, 0b0001, 0b1111], dtype="<u1")
+    data = (fields << 2).astype("<u1")
+    enc = h5_nbit_encode(data.tobytes(), cd)
+    assert enc == bytes([0b10100001, 0b11110000])  # 4 bits x 3 -> 2 B
+    assert h5_nbit_decode(enc, cd) == data.tobytes()
+    # sub-offset / above-field padding is zeroed by the library's
+    # one-byte decompress, not carried
+    dirty = (data | 0b11000011).astype("<u1")
+    assert h5_nbit_decode(h5_nbit_encode(dirty.tobytes(), cd),
+                          cd) == data.tobytes()
+    # u2, precision 3, offset 9: one spanned byte (byte 1, bits 3..1)
+    cd = cd_atomic(2, NBIT_ORDER_LE, 3, 9, 2)
+    vals = (np.array([0b101, 0b011], dtype="<u2") << 9).astype("<u2")
+    enc = h5_nbit_encode(vals.tobytes(), cd)
+    assert enc == bytes([0b10101100])  # 3 bits x 2 -> 1 byte
+    assert h5_nbit_decode(enc, cd) == vals.tobytes()
+    # big-endian twin: >u2 precision 3 offset 9 -> the single spanned
+    # byte is byte 0 (holds bits 15..8), same 3-bit pack
+    cd = cd_atomic(2, NBIT_ORDER_BE, 3, 9, 2)
+    vals_be = (np.array([0b101, 0b011], dtype=">u2") << 9).astype(">u2")
+    enc = h5_nbit_encode(vals_be.tobytes(), cd)
+    assert enc == bytes([0b10101100])
+    assert h5_nbit_decode(enc, cd) == vals_be.tobytes()
+
+
 def test_big_endian_and_flag0_passthrough():
     cd = cd_atomic(2, NBIT_ORDER_BE, 10, 0, 4)
     data = np.array([513, 1023, 0, 700], dtype=">u2")
@@ -188,6 +222,31 @@ def test_cross_validate_against_real_h5py_nbit(tmp_path):
         dset.write(h5py.h5s.ALL, h5py.h5s.ALL, data)
     out = parse_hdf5(p.read_bytes())["band"]["data"]
     assert np.array_equal(out.astype("<u2"), data)
+
+
+def test_cross_validate_h5py_nbit_one_byte_offset(tmp_path):
+    """Non-byte-aligned offset whose significant bits fit in ONE byte
+    (H5Tset_precision(4) + H5Tset_offset(2)) — the begin_i == end_i
+    branch the ADVICE r16 review flagged; requires the library's
+    4-bit-per-element stream, not the old 6-bit walk."""
+    h5py = pytest.importorskip("h5py")
+    data = ((np.arange(200) % 16) << 2).astype("<u1").reshape(10, 20)
+    p = tmp_path / "nbit_off.h5"
+    with h5py.File(p, "w") as f:
+        space = h5py.h5s.create_simple((10, 20))
+        dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
+        dcpl.set_chunk((5, 10))
+        try:
+            dcpl.set_nbit()
+        except AttributeError:
+            pytest.skip("h5py build lacks H5Pset_nbit")
+        t = h5py.h5t.NATIVE_UINT8.copy()
+        t.set_precision(4)
+        t.set_offset(2)
+        dset = h5py.h5d.create(f.id, b"band", t, space, dcpl)
+        dset.write(h5py.h5s.ALL, h5py.h5s.ALL, data)
+    out = parse_hdf5(p.read_bytes())["band"]["data"]
+    assert np.array_equal(out.astype("<u1"), data)
 
 
 def test_corrupt_sizes_bounded_before_allocation():

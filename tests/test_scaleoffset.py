@@ -171,6 +171,37 @@ def test_decode_guards():
         h5_scaleoffset_decode(b"\x00" * 16, (2, 0))
 
 
+def test_minbits0_nelmts_bounded_by_chunk(tmp_path):
+    """ADVICE r16: cd_values ride the file's own filter-pipeline
+    message (untrusted); a crafted 13-byte header-only chunk with
+    minbits=0 and nelmts near 2^32 must NOT size a ~34 GB zeros().
+    The layout's chunk element count bounds it before allocation."""
+    evil = scaleoffset_cd_values(SO_INT, 0, (1 << 32) - 5, "<u8")
+    hdr = (0).to_bytes(4, "little") + bytes([8]) + (7).to_bytes(8, "little")
+    with pytest.raises(ValueError, match="exceeds the chunk"):
+        h5_scaleoffset_decode(hdr, evil, max_nelmts=64)
+    # the legitimate constant-chunk case still decodes: declared count
+    # equals the chunk's true count
+    ok = scaleoffset_cd_values(SO_INT, 0, 64, "<u8")
+    out = np.frombuffer(h5_scaleoffset_decode(hdr, ok, max_nelmts=64),
+                        dtype="<u8")
+    assert out.shape == (64,) and (out == 7).all()
+    # end-to-end: a container whose pipeline message declares a huge
+    # nelmts is rejected loudly by the parser, not OOM-killed
+    data = np.full((16, 16), 7, dtype="<u4")
+    buf = hdf5_grid_bytes({"band": (data, {})}, chunks={"band": (8, 8)},
+                          deflate=False,
+                          scaleoffset={"factor": 0})
+    so_cd = scaleoffset_cd_values(SO_INT, 0, 64, "<u4")
+    needle = struct.pack("<%dI" % len(so_cd), *so_cd)
+    evil_cd = so_cd[:2] + ((1 << 31),) + so_cd[3:]
+    patched = buf.replace(
+        needle, struct.pack("<%dI" % len(evil_cd), *evil_cd))
+    assert patched != buf  # the pipeline message was found and patched
+    with pytest.raises(ValueError, match="exceeds the chunk"):
+        parse_hdf5(patched)
+
+
 def test_corruption_campaign_loud_or_detected():
     rng = np.random.RandomState(3)
     data = rng.randint(0, 300, (10, 32)).astype("<u2")
