@@ -908,6 +908,24 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                 "old-style LOSSLESS JPEG stores raw components — a "
                 "YCbCr photometric under process 14 is outside the "
                 "subset (RGB photometric 2 decodes natively)")
+        lossless6 = proc == 14
+        # JPEGLosslessPredictors / JPEGPointTransforms: per-component
+        # (TIFF 6.0 §22, count = SamplesPerPixel). A T.81 scan header
+        # carries a single Ss/Al, so distinct values are honored via
+        # the decoder's per-component overrides, not the synthesized
+        # header. A count mismatch is a malformed file — loud.
+        for tag6, what6 in ((517, "JPEGLosslessPredictors"),
+                            (518, "JPEGPointTransforms")):
+            if tag6 in t and len(t[tag6]) != spp:
+                raise ValueError(
+                    f"{what6} count {len(t[tag6])} != "
+                    f"SamplesPerPixel {spp}")
+        pred6 = [int(v) for v in t.get(517, [1] * spp)]
+        pt6 = [int(v) for v in t.get(518, [0] * spp)]
+        # overrides apply only when the tags are present — a complete
+        # interchange stream without tags stays self-describing
+        ll_pred6 = pred6 if (lossless6 and 517 in t) else None
+        ll_pt6 = pt6 if (lossless6 and 518 in t) else None
         if 513 in t:
             joff = ints(513, "JPEGInterchangeFormat")[0]
             jlen = (ints(514, "JPEGInterchangeFormatLength")[0]
@@ -917,7 +935,9 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                                  "out of bounds")
             arr = decode_baseline_jpeg(
                 buf[joff:joff + jlen],
-                color_transform=(photo6 == 6) if spp == 3 else None)
+                color_transform=(photo6 == 6) if spp == 3 else None,
+                lossless_predictors=ll_pred6,
+                lossless_point_transforms=ll_pt6)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             if arr.shape[2] != spp:
@@ -984,25 +1004,11 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                     f"old-style 3-component JPEG with photometric "
                     f"{photo6} (YCbCr=6 and RGB=2 decode natively)")
             samp6 = [(sh, sv), (1, 1), (1, 1)]
-            if (dc6 and dc6[1] != dc6[2]) or (ac6 and ac6[1] != ac6[2]):
-                raise NotImplementedError(
-                    "old-style JPEG with distinct Cb/Cr Huffman "
-                    "tables: baseline allows two tables per class — "
-                    "re-encode to compression 7")
         elif spp == 1:
             samp6 = [(1, 1)]
         else:
             raise ValueError(
                 f"old-style JPEG with {spp} samples/pixel")
-
-        lossless6 = proc == 14
-        pred6 = t.get(517, [1])  # JPEGLosslessPredictors, count spp
-        pt6 = t.get(518, [0])    # JPEGPointTransforms, count spp
-        if lossless6 and (len(set(pred6)) > 1 or len(set(pt6)) > 1):
-            raise NotImplementedError(
-                "old-style lossless JPEG with per-component "
-                "predictors/point-transforms: the single interleaved "
-                "scan synthesized here carries one Ss/Al — re-encode")
 
         def _synth_stream(chunk: bytes, rows: int, width_: int) -> bytes:
             # some legacy writers stored complete streams per strip
@@ -1019,9 +1025,13 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                 for ci in range(spp):
                     sof += bytes([ci + 1, 0x11, 0])
                 s += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
-                npairs = 1 if spp == 1 else 2
+                # chromas share a pair when their tables are equal;
+                # distinct Cb/Cr tables get their own slot (the
+                # decoder accepts DHT ids 0..3, T.81 extended)
+                npairs = (1 if spp == 1
+                          else 2 if dc6[1] == dc6[2] else 3)
                 for th in range(npairs):
-                    ci = 0 if th == 0 else 1
+                    ci = min(th, spp - 1)
                     s += (b"\xff\xc4"
                           + struct.pack(">H", 3 + len(dc6[ci]))
                           + bytes([th]) + dc6[ci])
@@ -1029,7 +1039,7 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                     s += b"\xff\xdd" + struct.pack(">HH", 4, dri6)
                 sos = bytes([spp])
                 for ci in range(spp):
-                    th = 0 if ci == 0 else 1
+                    th = min(ci, npairs - 1)
                     sos += bytes([ci + 1, th << 4])
                 sos += bytes([int(pred6[0]), 0, int(pt6[0]) & 0x0F])
                 s += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
@@ -1049,9 +1059,14 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             for ci, (hs, vs) in enumerate(samp6):
                 sof += bytes([ci + 1, (hs << 4) | vs, ci])
             s += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-            npairs = 1 if spp == 1 else 2
+            # chromas share pair 1 when their tables agree; distinct
+            # Cb/Cr tables (legal in old-style TIFF: tags 520/521 are
+            # per-component) get pair 2 — the decoder accepts ids 0..3
+            npairs = (1 if spp == 1
+                      else 2 if dc6[1] == dc6[2] and ac6[1] == ac6[2]
+                      else 3)
             for th in range(npairs):
-                ci = 0 if th == 0 else 1  # chromas share pair 1
+                ci = min(th, spp - 1)
                 s += (b"\xff\xc4" + struct.pack(">H", 3 + len(dc6[ci]))
                       + bytes([th]) + dc6[ci])
                 s += (b"\xff\xc4" + struct.pack(">H", 3 + len(ac6[ci]))
@@ -1060,7 +1075,7 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
                 s += b"\xff\xdd" + struct.pack(">HH", 4, dri6)
             sos = bytes([spp])
             for ci in range(spp):
-                th = 0 if ci == 0 else 1
+                th = min(ci, npairs - 1)
                 sos += bytes([ci + 1, (th << 4) | th])
             sos += bytes([0, 63, 0])
             s += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
@@ -1070,7 +1085,9 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
         def jpeg_block(chunk: bytes, rows: int, width_: int) -> np.ndarray:
             arr = decode_baseline_jpeg(
                 _synth_stream(bytes(chunk), rows, width_),
-                color_transform=(photo6 == 6) if spp == 3 else None)
+                color_transform=(photo6 == 6) if spp == 3 else None,
+                lossless_predictors=ll_pred6,
+                lossless_point_transforms=ll_pt6)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             if arr.shape[2] != spp:

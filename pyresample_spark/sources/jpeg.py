@@ -318,7 +318,9 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
 
 
 def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
-                         color_transform: bool | None = None) -> np.ndarray:
+                         color_transform: bool | None = None,
+                         lossless_predictors=None,
+                         lossless_point_transforms=None) -> np.ndarray:
     """Decode a baseline JPEG stream → u8 array (h, w) or (h, w, 3).
 
     ``tables``: TIFF JPEGTables content (an abbreviated SOI…EOI stream
@@ -326,9 +328,17 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
     override. ``color_transform``: force (True) or suppress (False)
     the YCbCr→RGB step for 3-component frames; default True (the JFIF
     convention; TIFF photometric 2 passes False for RGB-stored scans).
+    ``lossless_predictors`` / ``lossless_point_transforms``: optional
+    per-component sequences overriding the scan header's single Ss/Al
+    for SOF3 scans — old-style TIFF tags 517/518 are per-component
+    (TIFF 6.0 §22), which one scan header cannot express.
     """
     state = {"quant": {}, "huff_dc": {}, "huff_ac": {}, "dri": 0,
-             "frame": None, "scan": None}
+             "frame": None, "scan": None,
+             "ll_pred_overrides": (list(lossless_predictors)
+                                   if lossless_predictors else None),
+             "ll_pt_overrides": (list(lossless_point_transforms)
+                                 if lossless_point_transforms else None)}
     if tables is not None:
         _parse_segments(tables, state)
     if data[:2] != b"\xff\xd8":
@@ -723,12 +733,23 @@ def _decode_lossless_scan(state: dict, data: bytes, pos: int):
     fr, scan = state["frame"], state["scan"]
     h, w, comps = fr["h"], fr["w"], fr["comps"]
     prec = fr["prec"]
-    sel = state.get("scan_ss", 1)
-    pt = state.get("scan_al", 0)
-    if not 1 <= sel <= 7:
-        raise ValueError(f"lossless predictor selector {sel} (1..7)")
-    if pt >= prec:
-        raise ValueError(f"point transform {pt} >= precision {prec}")
+    # Per-component predictor / point-transform overrides (old-style
+    # TIFF tags 517/518 carry one value PER COMPONENT, while a T.81
+    # scan header carries a single Ss/Al — the overrides let the TIFF
+    # reader honor genuinely per-component legacy files).
+    sels = state.get("ll_pred_overrides") or [state.get("scan_ss", 1)]
+    pts = state.get("ll_pt_overrides") or [state.get("scan_al", 0)]
+    nsc = len(scan)
+    sels = [int(sels[ci]) if ci < len(sels) else int(sels[0])
+            for ci in range(nsc)]
+    pts = [int(pts[ci]) if ci < len(pts) else int(pts[0])
+           for ci in range(nsc)]
+    for sel in sels:
+        if not 1 <= sel <= 7:
+            raise ValueError(f"lossless predictor selector {sel} (1..7)")
+    for pt in pts:
+        if pt >= prec:
+            raise ValueError(f"point transform {pt} >= precision {prec}")
     by_id = {c["id"]: c for c in comps}
     tabs = []
     for s in scan:
@@ -741,7 +762,7 @@ def _decode_lossless_scan(state: dict, data: bytes, pos: int):
                 f"scan references undefined Huffman table {s['td']}")
         tabs.append(tbl)
     nc = len(scan)
-    default = 1 << (prec - pt - 1)
+    defaults = [1 << (prec - pts[ci] - 1) for ci in range(nc)]
     planes = np.zeros((nc, h, w), dtype=np.int64)
     rd = _BitReader(data, pos)
     dri = state["dri"]
@@ -762,15 +783,16 @@ def _decode_lossless_scan(state: dict, data: bytes, pos: int):
                     raise ValueError(
                         f"lossless difference category {t} > 16")
                 diff = 32768 if t == 16 else rd.receive_extend(t)
-                px = _ll_predict(planes[ci], x, y, sel, default, reset,
-                                 ra_line)
+                px = _ll_predict(planes[ci], x, y, sels[ci],
+                                 defaults[ci], reset, ra_line)
                 planes[ci, y, x] = (px + diff) & 0xFFFF
             reset = False
             mcu += 1
         # the restart interval's "first line" ends with the row it
         # started in (T.81 H.1.1); later rows resume normal predictors
         ra_line = False
-    out = (planes << pt) & ((1 << prec) - 1 if prec < 16 else 0xFFFF)
+    mask = (1 << prec) - 1 if prec < 16 else 0xFFFF
+    out = np.stack([(planes[ci] << pts[ci]) & mask for ci in range(nc)])
     dt = np.uint8 if prec <= 8 else np.uint16
     if nc == 1:
         return out[0].astype(dt)
@@ -778,13 +800,23 @@ def _decode_lossless_scan(state: dict, data: bytes, pos: int):
     return np.moveaxis(out, 0, 2).astype(dt)
 
 
-def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
-                         point_transform: int = 0,
+def encode_lossless_jpeg(arr: np.ndarray, predictor=1,
+                         point_transform=0,
                          restart_interval: int = 0,
                          precision: int | None = None) -> bytes:
     """Writer twin of the SOF3 decoder (fixtures + exports): exact
     DPCM roundtrip for any uint8/uint16 input within ``precision``
-    bits. Components are stored raw and interleaved."""
+    bits. Components are stored raw and interleaved.
+
+    ``predictor`` / ``point_transform`` may be per-component
+    sequences (TIFF 6.0 §22 tags 517/518 are per-component). A T.81
+    scan header carries ONE Ss/Al, so a stream written with distinct
+    values self-describes only component 0 — decode it with the
+    ``lossless_predictors``/``lossless_point_transforms`` overrides
+    (the old-style TIFF reader passes the tags automatically).
+    Distinct per-component stats get distinct Huffman tables
+    (DHT th=ci); uniform values keep the shared-table stream
+    byte-identical to earlier rounds."""
     arr = np.asarray(arr)
     if arr.dtype not in (np.uint8, np.uint16):
         raise ValueError("lossless encoder takes uint8/uint16 samples")
@@ -794,23 +826,36 @@ def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
         raise ValueError(f"precision {precision} outside 2..16")
     if arr.max(initial=0) >> precision:
         raise ValueError(f"samples exceed {precision} bits")
-    if not 1 <= predictor <= 7:
-        raise ValueError(f"predictor {predictor} (1..7)")
-    pt = int(point_transform)
-    if not 0 <= pt < precision:
-        raise ValueError("point transform must be in [0, precision)")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
     if nc > 4:
         raise ValueError(f"{nc} components (max 4)")
-    shifted = (arr.astype(np.int64) >> pt)
-    default = 1 << (precision - pt - 1)
+    preds = (list(predictor) if hasattr(predictor, "__len__")
+             else [int(predictor)] * nc)
+    pts_l = (list(point_transform) if hasattr(point_transform, "__len__")
+             else [int(point_transform)] * nc)
+    if len(preds) != nc or len(pts_l) != nc:
+        raise ValueError("per-component predictor/point-transform "
+                         f"lists must have {nc} entries")
+    for p in preds:
+        if not 1 <= int(p) <= 7:
+            raise ValueError(f"predictor {p} (1..7)")
+    for p in pts_l:
+        if not 0 <= int(p) < precision:
+            raise ValueError("point transform must be in [0, precision)")
+    preds = [int(p) for p in preds]
+    pts_l = [int(p) for p in pts_l]
+    uniform = len(set(preds)) == 1 and len(set(pts_l)) == 1
+    shifted = np.empty(arr.shape, dtype=np.int64)
+    for ci in range(nc):
+        shifted[:, :, ci] = arr[:, :, ci].astype(np.int64) >> pts_l[ci]
+    defaults = [1 << (precision - pts_l[ci] - 1) for ci in range(nc)]
 
     # pass 1: diffs + category frequencies (mirrors the decoder walk)
     diffs = np.empty((h, w, nc), dtype=np.int64)
     cats = np.empty((h, w, nc), dtype=np.uint8)
-    freqs: dict = {}
+    freqs_by_ci: list = [{} for _ in range(nc)]
     reset = True
     ra_line = True
     mcu = 0
@@ -820,33 +865,43 @@ def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
                 reset = True
                 ra_line = True
             for ci in range(nc):
-                px = _ll_predict(shifted[:, :, ci], x, y, predictor,
-                                 default, reset, ra_line)
+                px = _ll_predict(shifted[:, :, ci], x, y, preds[ci],
+                                 defaults[ci], reset, ra_line)
                 d = (int(shifted[y, x, ci]) - px) & 0xFFFF
                 if d > 32768:
                     d -= 65536
                 t = 16 if d == 32768 else _category(d)
                 diffs[y, x, ci] = d
                 cats[y, x, ci] = t
-                freqs[t] = freqs.get(t, 0) + 1
+                freqs_by_ci[ci][t] = freqs_by_ci[ci].get(t, 0) + 1
             reset = False
             mcu += 1
         ra_line = False
 
-    bits, vals, enc = _encode_table(freqs)
+    if uniform:  # shared table 0 — byte-identical to earlier rounds
+        merged: dict = {}
+        for f in freqs_by_ci:
+            for t, n in f.items():
+                merged[t] = merged.get(t, 0) + n
+        tables = [(_encode_table(merged))]
+        th_of = [0] * nc
+    else:
+        tables = [_encode_table(f) for f in freqs_by_ci]
+        th_of = list(range(nc))
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])
     out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
-    body = bytes([0]) + bytes(bits) + bytes(vals)
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    for th, (bits, vals, _) in enumerate(tables):
+        body = bytes([th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([predictor, 0, pt])
+        sos += bytes([ci + 1, th_of[ci] << 4])
+    sos += bytes([preds[0], 0, pts_l[0]])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     bw = _BitWriter()
@@ -861,6 +916,7 @@ def encode_lossless_jpeg(arr: np.ndarray, predictor: int = 1,
                 out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7
             for ci in range(nc):
+                enc = tables[th_of[ci]][2]
                 t = int(cats[y, x, ci])
                 ln, code = enc[t]
                 bw.put(code, ln)

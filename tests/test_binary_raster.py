@@ -3196,12 +3196,25 @@ def _oldjpeg_ifd(h, w, spp, extra_entries, blobs_by_tag,
             offs[tag] = o
             blobs.append(ext)
             o += len(ext)
-    # table/stream blobs (tags point at absolute offsets)
+    # table/stream blobs (tags point at absolute offsets); a LIST
+    # value lays out each blob then an offset ARRAY the tag points at
+    # (the per-component 520/521 shape of TIFF 6.0 §22)
     blob_offsets = {}
     for tag, data in blobs_by_tag.items():
-        blob_offsets[tag] = o
-        blobs.append(data)
-        o += len(data)
+        if isinstance(data, list):
+            sub_offs = []
+            for d in data:
+                sub_offs.append(o)
+                blobs.append(d)
+                o += len(d)
+            blob_offsets[tag] = o
+            arr = struct.pack(f"<{len(sub_offs)}I", *sub_offs)
+            blobs.append(arr)
+            o += len(arr)
+        else:
+            blob_offsets[tag] = o
+            blobs.append(data)
+            o += len(data)
     if strips and len(strips) > 1:
         offs[273] = o
         o += 4 * len(strips)
@@ -3707,12 +3720,109 @@ def test_oldjpeg_lossless_process14():
         {520: dc}, strips=[entropy], rows_per_strip=8)
     out = tiff_pixels(buf)
     np.testing.assert_array_equal(out, ((img8 >> 1) << 1).astype("f8"))
-    # per-component predictors stay loud (single scan carries one Ss)
+    # a tag whose count disagrees with SamplesPerPixel is malformed
+    # (TIFF 6.0 §22: count = SamplesPerPixel) — loud, not defaulted
     buf, _ = _oldjpeg_ifd(
         8, 16, 1,
         [(512, 3, 1, 14, None),
          (517, 3, 2, None, struct.pack("<2H", 1, 4)),
          (520, 4, 1, None, None)],
         {520: dc}, strips=[entropy], rows_per_strip=8)
-    with pytest.raises(NotImplementedError, match="per-component"):
+    with pytest.raises(ValueError, match="count"):
         tiff_pixels(buf)
+
+
+def test_oldjpeg_lossless_per_component_predictors():
+    """TIFF 6.0 §22: tags 517/518 carry one predictor / point
+    transform PER COMPONENT — previously a loud guard. The scan
+    header can only carry one Ss/Al, so the reader passes the tags
+    as per-component decoder overrides; each component also gets its
+    own DC table (distinct stats → tag 520 is a 3-entry pointer
+    array at genuinely different offsets)."""
+    from pyresample_spark.sources.jpeg import encode_lossless_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (10, 12, 3)).astype("u1")
+    preds, pts = [1, 4, 6], [0, 1, 0]
+    stream = encode_lossless_jpeg(img, predictor=preds,
+                                  point_transform=pts)
+    _, huffs, entropy = _jpeg_stream_parts(stream)
+    dcs = [huffs[(0, th)] for th in range(3)]
+    assert len({bytes(d) for d in dcs}) > 1  # genuinely distinct
+    buf, _ = _oldjpeg_ifd(
+        10, 12, 3,
+        [(512, 3, 1, 14, None),
+         (517, 3, 3, None, struct.pack("<3H", *preds)),
+         (518, 3, 3, None, struct.pack("<3H", *pts)),
+         (520, 4, 3, None, None)],
+        {520: dcs}, strips=[entropy], rows_per_strip=10)
+    # lossless RGB is photometric 2 (components stored raw)
+    b = bytearray(buf)
+    i = b.find(struct.pack("<HHI", 262, 3, 1))
+    b[i + 8:i + 10] = struct.pack("<H", 2)
+    out = tiff_pixels(bytes(b))
+    want = np.stack([(img[:, :, ci] >> pts[ci]) << pts[ci]
+                     for ci in range(3)]).astype("f8")
+    np.testing.assert_array_equal(out, want)
+    # shape A: the same stream behind 513/514 — its scan header can
+    # only self-describe component 0, so the tags must override there
+    # too
+    buf, _ = _oldjpeg_ifd(
+        10, 12, 3,
+        [(512, 3, 1, 14, None),
+         (513, 4, 1, None, None), (514, 4, 1, len(stream), None),
+         (517, 3, 3, None, struct.pack("<3H", *preds)),
+         (518, 3, 3, None, struct.pack("<3H", *pts))],
+        {513: stream})
+    b = bytearray(buf)
+    i = b.find(struct.pack("<HHI", 262, 3, 1))
+    b[i + 8:i + 10] = struct.pack("<H", 2)
+    np.testing.assert_array_equal(tiff_pixels(bytes(b)), want)
+
+
+def test_oldjpeg_distinct_chroma_huffman_tables():
+    """Distinct Cb and Cr Huffman tables (tags 520/521 point at three
+    different offsets) — previously a loud guard; now the synthesized
+    stream carries three DHT pairs (ids 0/1/2, legal in T.81 extended)
+    and must decode identically to the complete-stream decode. The Cr
+    tables are the Cb tables extended with one never-used symbol at a
+    deeper code length, so the entropy data stays valid under both
+    while the table BYTES differ."""
+    from pyresample_spark.sources.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    blocks = rng.randint(0, 255, (2, 2, 3))
+    img = np.repeat(np.repeat(blocks, 16, 0), 16, 1).astype(np.uint8)
+    stream = encode_baseline_jpeg(img, subsampling="420")
+    quants, huffs, entropy = _jpeg_stream_parts(stream)
+
+    def extend_unused(tbl):
+        counts, vals = bytearray(tbl[:16]), bytearray(tbl[16:])
+        deepest = max(i for i in range(16) if counts[i])
+        # our encoder never emits a complete tree (all-ones code is
+        # reserved per T.81), so a deeper extra symbol always fits
+        assert deepest < 15
+        counts[deepest + 1] += 1
+        unused = next(v for v in range(256) if v not in vals)
+        vals.append(unused)
+        return bytes(counts) + bytes(vals)
+
+    dc_cr = extend_unused(huffs[(0, 1)])
+    ac_cr = extend_unused(huffs[(1, 1)])
+    assert dc_cr != bytes(huffs[(0, 1)])
+    buf, _ = _oldjpeg_ifd(
+        32, 32, 3,
+        [(512, 3, 1, 1, None),  # 530 omitted: reader defaults to 2x2
+         (519, 4, 1, None, None),
+         (520, 4, 3, None, None),
+         (521, 4, 3, None, None)],
+        {519: bytes(quants[0]),
+         520: [bytes(huffs[(0, 0)]), bytes(huffs[(0, 1)]), dc_cr],
+         521: [bytes(huffs[(1, 0)]), bytes(huffs[(1, 1)]), ac_cr]},
+        strips=[entropy], rows_per_strip=32)
+    got = tiff_pixels(buf)
+    want = np.moveaxis(decode_baseline_jpeg(stream).astype("f8"), 2, 0)
+    np.testing.assert_array_equal(got, want)
