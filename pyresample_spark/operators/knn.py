@@ -724,11 +724,19 @@ def knn_gauss_fold(
 
 
 # Rows in one 3-D cell that a single shuffle-hash task should own at
-# most (VERDICT r4 item 5). ~2M rows × (3 doubles + key + id ≈ 48 B)
-# ≈ 100 MB of build-side hash table — comfortably inside a 1-4 GiB
-# executor task, with headroom for the 27× probe amplification. Above
-# it, salt so each sub-cell lands back under the bound.
-HOT_CELL_ROWS = 2_000_000
+# most (VERDICT r4 item 5; re-measured r17, VERDICT r16 item 5).
+# Memory was never the binding constraint (500k rows × ~48 B ≈ 24 MB
+# build side); WALL is: with every probe hitting one cell, a 1M-row
+# hot cell measured 11.1 s unsalted vs 5.4 s at salt 8 (2.06×, and a
+# deterministic 4× cut in max-task pairs — tools/scale_probe_knn_skew
+# r17 sweep), while realistic polar-orbit pileup (8M-row swath, 24.7×
+# cell-density skew, max cell 1,039 rows) stays three orders of
+# magnitude below ANY sane threshold — the heuristic correctly never
+# fires there, and force-salting such cold cells measurably HURT
+# (5.9 → 9.5 s at 500k rows). 500k puts the trigger at the scale
+# where the win is measurable and the false-fire cost is nil (salt =
+# ceil(mx/bound) is 1 until 2× the bound).
+HOT_CELL_ROWS = 500_000
 
 
 def choose_salt_factor(

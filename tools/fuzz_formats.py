@@ -94,18 +94,46 @@ def main():
     from test_binary_raster import _demo_nc, _oldjpeg_ifd, \
         tiff_bytes_jpeg, tiff_bytes_strips, tiff_bytes_tiles
 
-    def _oldjpeg_lossless_fixture() -> bytes:
+    def _oldjpeg_lossless_fixture(**enc_kw) -> bytes:
         from pyresample_spark.sources.jpeg import encode_lossless_jpeg
 
         img = ((np.arange(8)[:, None] * 37
                 + np.arange(12)[None, :] * 11) % 251).astype("u1")
-        stream = encode_lossless_jpeg(img, predictor=4)
+        stream = encode_lossless_jpeg(img, predictor=4, **enc_kw)
         buf, _ = _oldjpeg_ifd(
             8, 12, 1,
             [(512, 3, 1, 14, None), (513, 4, 1, None, None),
              (514, 4, 1, len(stream), None)],
             {513: stream}, strips=None)
         return buf
+
+    def _oldjpeg_percomp_fixture() -> bytes:
+        # per-component predictors/point-transforms + per-component
+        # DC tables (r17 surface): tags 517/518 arrays, 520 pointer
+        # array, 3-component entropy strip, photometric RGB
+        from test_binary_raster import _jpeg_stream_parts
+
+        from pyresample_spark.sources.jpeg import encode_lossless_jpeg
+
+        img = ((np.arange(6)[:, None, None] * 37
+                + np.arange(8)[None, :, None] * 11
+                + np.arange(3)[None, None, :] * 73) % 251).astype("u1")
+        preds, pts = [1, 4, 6], [0, 1, 0]
+        stream = encode_lossless_jpeg(img, predictor=preds,
+                                      point_transform=pts)
+        _, huffs, entropy = _jpeg_stream_parts(stream)
+        dcs = [bytes(huffs[(0, th)]) for th in range(3)]
+        buf, _ = _oldjpeg_ifd(
+            6, 8, 3,
+            [(512, 3, 1, 14, None),
+             (517, 3, 3, None, struct.pack("<3H", *preds)),
+             (518, 3, 3, None, struct.pack("<3H", *pts)),
+             (520, 4, 3, None, None)],
+            {520: dcs}, strips=[entropy], rows_per_strip=6)
+        b = bytearray(buf)
+        i = b.find(struct.pack("<HHI", 262, 3, 1))
+        b[i + 8:i + 10] = struct.pack("<H", 2)  # photometric RGB
+        return bytes(b)
 
     from pyresample_spark.operators.multimodal import (
         decode_ppm,
@@ -206,6 +234,13 @@ def main():
         # corruption
         ("tiff-oldjpeg-lossless", _oldjpeg_lossless_fixture(),
             tiff_pixels),
+        # restart intervals in lossless scans (r17: the T.81 H.1.1
+        # Ra-first-line state machine) under corruption
+        ("tiff-oldjpeg-lossless-rst",
+            _oldjpeg_lossless_fixture(restart_interval=5), tiff_pixels),
+        # per-component predictors/Pt + per-component DC tables (r17)
+        ("tiff-oldjpeg-lossless-percomp", _oldjpeg_percomp_fixture(),
+            tiff_pixels),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
             tiff_pixels),
@@ -251,6 +286,14 @@ def main():
                        ).astype("<u2"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             nbit={"precision": 12}), h5_parse),
+        # nbit one-byte branch (r17: begin_i == end_i, precision bits
+        # re-anchored at offset%8) under corruption
+        ("hdf5-nbit-1byte", hdf5_grid_bytes(
+            {"band": ((((np.arange(12)[:, None] * 7
+                         + np.arange(16)[None, :] * 3) % 16) << 2
+                       ).astype("u1"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            nbit={"precision": 4, "offset": 2}), h5_parse),
         ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
             {"band": (((np.arange(12)[:, None] * 31
                         + np.arange(16)[None, :] * 17) % 97
