@@ -523,11 +523,14 @@ def _sphere_scale(fam: str, p: dict) -> float:
 #     xy = (1/to_meter) * (proj(lp) + x0), so false easting stays in
 #     meters and the unit conversion wraps the whole output),
 #     +lon_wrap (inverse output longitudes re-centered on the given
-#     meridian: [c-180, c+180)).
-#   loud guards — +axis != enu (axis swaps/flips change column
-#     meaning; re-express in enu), +over (suppresses longitude
-#     wrapping inside family kernels that wrap structurally), +geoc
-#     (geocentric latitude input).
+#     meridian: [c-180, c+180)), +axis (r17: declared axis order /
+#     direction — PROJ pj_adjust_axis, applied OUTERMOST: forward
+#     output (easting, northing) is permuted/negated into the
+#     declared pair, inverse un-permutes first; the vertical char
+#     must be 'u' — a 2-D transform cannot honor 'd').
+#   loud guards — +over (suppresses longitude wrapping inside family
+#     kernels that wrap structurally), +geoc (geocentric latitude
+#     input), +axis with a vertical flip.
 #   inert, deliberately ignored — +no_defs, +wktext, +type=crs,
 #     +vunits/+vto_meter (vertical only; these transforms are 2-D).
 # Everything short-circuits when absent so existing plans are
@@ -567,16 +570,48 @@ _UNITS_TO_METER = {
 }
 
 
+def _axis_fwd(axis: str, x, y, neg):
+    """Apply a validated +axis spec to forward output: the internal
+    (easting, northing) pair becomes the declared (first, second)
+    coordinates — PROJ pj_adjust_axis semantics, outermost on output.
+    ``neg`` is the negation for the twin's value kind (Column / SQL
+    text / float)."""
+    m = {"e": lambda: x, "w": lambda: neg(x),
+         "n": lambda: y, "s": lambda: neg(y)}
+    return m[axis[0]](), m[axis[1]]()
+
+
+def _axis_inv(axis: str, c1, c2, neg):
+    """Undo +axis on inverse input: declared (first, second) back to
+    (easting, northing) — exact inverse of :func:`_axis_fwd`."""
+    if axis[0] in "ew":
+        x = c1 if axis[0] == "e" else neg(c1)
+        y = c2 if axis[1] == "n" else neg(c2)
+    else:
+        y = c1 if axis[0] == "n" else neg(c1)
+        x = c2 if axis[1] == "e" else neg(c2)
+    return x, y
+
+
 def _frame_params(fam: str, p: dict):
-    """(pm_degrees, to_meter, lon_wrap_center_or_None) for a token
-    dict, with loud guards for the frame parameters that cannot be
-    honored generically. See the block comment above."""
-    if p.get("axis", "enu") != "enu":
-        raise NotImplementedError(
-            f"+axis={p['axis']} axis order/orientation: only the enu "
-            "default is supported — swap/negate the output columns "
-            "explicitly instead"
-        )
+    """(pm_degrees, to_meter, lon_wrap_center_or_None, axis) for a
+    token dict, with loud guards for the frame parameters that cannot
+    be honored generically. See the block comment above."""
+    axis = p.get("axis", "enu")
+    if axis != "enu":
+        horiz = {axis[0] if len(axis) == 3 else "",
+                 axis[1] if len(axis) == 3 else ""}
+        if (len(axis) != 3
+                or not (horiz & set("ew")) or not (horiz & set("ns"))
+                or axis[2] == "d"):
+            # 'd' (down) flips the VERTICAL axis — meaningful only in
+            # 3-D; honoring it silently in a 2-D transform would drop
+            # the flip the user asked for
+            raise NotImplementedError(
+                f"+axis={axis!r}: expected a 3-char spec with one of "
+                "e/w, one of n/s, and 'u' (2-D transforms cannot "
+                "honor a vertical flip — drop the 'd')"
+            )
     if "over" in p:
         raise NotImplementedError(
             "+over (unwrapped longitudes) is not supported: family "
@@ -617,12 +652,14 @@ def _frame_params(fam: str, p: dict):
     if to_meter is None:
         to_meter = 1.0
     lon_wrap = float(p["lon_wrap"]) if "lon_wrap" in p else None
-    if fam == "longlat" and (pm != 0.0 or to_meter != 1.0):
+    if fam == "longlat" and (pm != 0.0 or to_meter != 1.0
+                             or axis != "enu"):
         raise NotImplementedError(
-            "+pm/+units on a longlat CRS: the passthrough family "
-            "keeps Greenwich degrees — apply the shift explicitly"
+            "+pm/+units/+axis on a longlat CRS: the passthrough "
+            "family keeps Greenwich degrees — apply the shift "
+            "explicitly"
         )
-    return pm, to_meter, lon_wrap
+    return pm, to_meter, lon_wrap, axis
 
 
 def forward(crs: str):
@@ -632,8 +669,8 @@ def forward(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, _ = _frame_params(fam, p)
-    if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0:
+    pm, to_m, _, ax = _frame_params(fam, p)
+    if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 or ax != "enu":
         fwd = _forward_centered(crs)
 
         def _shifted(lon, lat):
@@ -646,6 +683,8 @@ def forward(crs: str):
             x, y = x + F.lit(float(x0)), y + F.lit(float(y0))
             if to_m != 1.0:
                 x, y = x / F.lit(to_m), y / F.lit(to_m)
+            if ax != "enu":
+                x, y = _axis_fwd(ax, x, y, lambda v: -v)
             return x, y
 
         return _shifted
@@ -789,14 +828,16 @@ def inverse(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, lon_wrap = _frame_params(fam, p)
+    pm, to_m, lon_wrap, ax = _frame_params(fam, p)
     if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 \
-            or lon_wrap is not None:
+            or lon_wrap is not None or ax != "enu":
         inv = _inverse_centered(crs)
 
         def _shifted(x, y):
             x = F.col(x) if isinstance(x, str) else x
             y = F.col(y) if isinstance(y, str) else y
+            if ax != "enu":
+                x, y = _axis_inv(ax, x, y, lambda v: -v)
             if to_m != 1.0:
                 x, y = x * F.lit(to_m), y * F.lit(to_m)
             x = x - F.lit(float(x0))
@@ -1003,10 +1044,11 @@ def forward_sql(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, _ = _frame_params(fam, p)
+    pm, to_m, _, ax = _frame_params(fam, p)
 
     def offset(fn):
-        if not (x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0):
+        if not (x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0
+                or ax != "enu"):
             return fn
 
         def _sh(lon, lat):
@@ -1018,6 +1060,8 @@ def forward_sql(crs: str):
             x, y = f"({x} + {x0!r})", f"({y} + {y0!r})"
             if to_m != 1.0:
                 x, y = f"({x} / {to_m!r})", f"({y} / {to_m!r})"
+            if ax != "enu":
+                x, y = _axis_fwd(ax, x, y, lambda v: f"(-({v}))")
             return x, y
 
         return _sh
@@ -1040,11 +1084,14 @@ def forward_sql(crs: str):
             k0=float(p.get("k_0", p.get("k", "1"))),
         ))
     if fam == "tmerc":
+        # x0/y0 live inside kw (and _xy_offsets reports 0 for tmerc),
+        # so offset() here applies only pm/units/axis — previously
+        # these were silently dropped on the SQL twin (r17)
         kw = tmerc_crs_params(crs)
-        return lambda lon, lat: G.tmerc_sql(lon, lat, **kw)
+        return offset(lambda lon, lat: G.tmerc_sql(lon, lat, **kw))
     if fam == "tmerc_ell":
         kw = tmerc_ell_crs_params(crs)
-        return lambda lon, lat: G.tmerc_ell_sql(lon, lat, **kw)
+        return offset(lambda lon, lat: G.tmerc_ell_sql(lon, lat, **kw))
     if fam == "cea_ell":
         kw = cea_ell_crs_params(crs)
         return offset(lambda lon, lat: G.cea_ell_sql(lon, lat, **kw))
@@ -1337,12 +1384,14 @@ def inverse_scalar(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, lon_wrap = _frame_params(fam, p)
+    pm, to_m, lon_wrap, ax = _frame_params(fam, p)
     if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 \
-            or lon_wrap is not None:
+            or lon_wrap is not None or ax != "enu":
         inv = _inverse_scalar_centered(crs)
 
         def _scalar_shifted(x, y):
+            if ax != "enu":
+                x, y = _axis_inv(ax, x, y, lambda v: -v)
             out = inv((x * to_m - x0) / s, (y * to_m - y0) / s)
             if out is None or (pm == 0.0 and lon_wrap is None):
                 return out

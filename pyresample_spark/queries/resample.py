@@ -2894,6 +2894,54 @@ def q_regrid_pm_units(spark, sf_dir):
     return regrid_nearest(_PM_UNITS_AREA, EQC_AREA, src)
 
 
+# --- q_regrid_axis: +axis declared order/orientation (r17) -----------
+
+def _axis_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # +axis=swu: the CRS declares (southing, westing) — both
+    # horizontal axes permuted AND negated relative to the internal
+    # (easting, northing), in km. Europe sits at negative declared
+    # coordinates on both axes. Exercises the r17 generic +axis
+    # handling (PROJ pj_adjust_axis, outermost) composed with +units.
+    return AreaDefinition(
+        "eqc_swu_km",
+        "+proj=eqc +axis=swu +units=km",
+        width=64, height=48,
+        area_extent=(-6672.0, -4450.0, -3336.0, -556.0),
+    )
+
+
+_AXIS_AREA = _axis_area()
+
+
+def _axis_oracle() -> str:
+    from pyresample_spark.functions.geo import R_EARTH
+
+    # replay the engine wrapper's exact op order: un-apply the axis
+    # map (declared c1 = southing -> n = -c1; c2 = westing -> e =
+    # -c2), km -> m, -x_0(=0), default-R inverse
+    lon = f"degrees(((-cy) * 1000.0) / {R_EARTH!r})"
+    lat = f"degrees(((-cx) * 1000.0) / {R_EARTH!r})"
+    return _regrid_oracle(_AXIS_AREA, (lon, lat))
+
+
+@register("q_regrid_axis", oracle=_axis_oracle())
+def q_regrid_axis(spark, sf_dir):
+    """Regrid onto a CRS declaring +axis=swu +units=km — axis order
+    AND orientation both non-default (declared coordinates are
+    (southing, westing)). Previously a loud guard; r17 honors +axis
+    generically in every twin (operators/crs.py _axis_fwd/_axis_inv —
+    PROJ pj_adjust_axis semantics, outermost on output, un-applied
+    first on inverse), composing with +units/+pm. Reference:
+    pyresample delegates this entirely to pyproj/PROJ."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_AXIS_AREA, EQC_AREA, src)
+
+
 # --- q_regrid_krovak: S-JTSK / Krovak (EPSG 5514, method 9819) -------
 
 def _krovak_areas():
