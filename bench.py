@@ -132,9 +132,10 @@ def main():
             shuf = sum(
                 st.get("shuffleWriteRecords", 0) or 0 for st in stages
             )
-            return cpu, shuf
+            gc = sum(st.get("jvmGcTime", 0) or 0 for st in stages)
+            return cpu, shuf, gc
         except Exception:
-            return None, None
+            return None, None, None
 
     def cpu_now_ns():
         return stage_counters_now()[0]
@@ -184,6 +185,7 @@ def main():
     samples = {name: [] for name in HEADLINE}
     cpu_samples = {name: [] for name in HEADLINE}
     shuf_samples = {name: [] for name in HEADLINE}
+    gc_samples = {name: [] for name in HEADLINE}
     cpu_dropped = [0]
     rep_totals = []
 
@@ -191,7 +193,7 @@ def main():
         l1 = load1_now()
         rep_load1.append(round(l1, 2) if l1 is not None else None)
         tot = 0.0
-        cpu_before, shuf_before = stage_counters_now()
+        cpu_before, shuf_before, gc_before = stage_counters_now()
         for name in HEADLINE:
             spec = registry[name]
             t0 = time.time()
@@ -202,7 +204,7 @@ def main():
             tot += dt
             # CPU delta scraped OUTSIDE the wall-timed window; each
             # query's "after" doubles as the next query's "before".
-            cpu_after, shuf_after = stage_counters_now()
+            cpu_after, shuf_after, gc_after = stage_counters_now()
             if cpu_before is not None and cpu_after is not None:
                 d = (cpu_after - cpu_before) / 1e9
                 if d > 0:
@@ -217,7 +219,15 @@ def main():
                 ds = shuf_after - shuf_before
                 if ds >= 0:
                     shuf_samples[name].append(ds)
-            cpu_before, shuf_before = cpu_after, shuf_after
+            # GC attribution for the host's ~200x cpu blowups (r17
+            # A/B): a blowup WITH a matching jvmGcTime spike is heap
+            # pressure; one without is external to the JVM.
+            if gc_before is not None and gc_after is not None:
+                dg = (gc_after - gc_before) / 1e3
+                if dg >= 0:
+                    gc_samples[name].append(round(dg, 3))
+            cpu_before, shuf_before, gc_before = (
+                cpu_after, shuf_after, gc_after)
         rep_totals.append(tot)
 
     def median(xs):
@@ -321,6 +331,13 @@ def main():
                         for n, v in shuf_samples.items()
                         if v
                     }
+                    or None
+                ),
+                # per-query MAX jvmGcTime seconds across reps — a
+                # cpu blowup with a matching GC spike is heap
+                # pressure, one without is external (r17)
+                "gc_max": (
+                    {n: max(v) for n, v in gc_samples.items() if v}
                     or None
                 ),
                 "load1": load1,
