@@ -207,19 +207,34 @@ def _family(crs: str) -> str:
     )
 
 
+def _declared_sphere_radius(p: dict) -> float:
+    """+R / lone-+a sphere radius for families that consume the
+    radius INSIDE their own kernels (tmerc/utm: x = R·k·atanh(B) with
+    the false easting added after; geos: rg = 1 + h/R). These cannot
+    use the generic _sphere_scale output scaling — it would mis-scale
+    the false easting / satellite-height terms — so the radius rides
+    the kernel keyword instead (r17; previously a loud guard)."""
+    r = p.get("R", p.get("a"))
+    return float(r) if r is not None else R_EARTH
+
+
 def tmerc_crs_params(crs: str) -> dict:
     """+proj=tmerc / +proj=utm token dict → tmerc keyword params
     (shared by the column builders, the scalar inverse, and the
     oracle SQL twins)."""
     p = _params(crs)
+    rad = _declared_sphere_radius(p)
     if p.get("proj") == "utm":
-        return utm_params(int(p["zone"]), south="south" in p)
+        kw = utm_params(int(p["zone"]), south="south" in p)
+        kw["radius"] = rad
+        return kw
     return {
         "lat_0": float(p.get("lat_0", "0")),
         "lon_0": float(p.get("lon_0", "0")),
         "k": float(p.get("k", p.get("k_0", "1"))),
         "x_0": float(p.get("x_0", "0")),
         "y_0": float(p.get("y_0", "0")),
+        "radius": rad,
     }
 
 
@@ -473,12 +488,13 @@ def _xy_offsets(fam: str, p: dict):
 # so a custom sphere (+R=, or +a= with no distinct +b) is honored
 # GENERICALLY by scaling the default-R output by r/R_EARTH (inverse:
 # scale inputs first), identically in the Column, SQL and scalar
-# twins. Families whose math couples R with another length stay loud
-# guards instead of silently mis-scaling: geos (satellite height),
-# tmerc/utm (false easting consumed inside the series), the fitted
-# omerc analog (track-fit constants). laea consumes +a/+R natively in
-# its own dispatch (the EASE grids) and is excluded from generic
-# scaling.
+# twins. Families whose math couples R with another length cannot use
+# that output scaling (it would mis-scale the coupled term); laea,
+# tmerc/utm and geos instead consume the radius INSIDE their kernels
+# (laea dispatch; tmerc/utm: _declared_sphere_radius rides the kw so
+# the false easting stays unscaled; geos: rg = 1 + h/R with x = h·…
+# — r17, previously loud). Only the fitted omerc analog (track-fit
+# constants baked into the frame) stays a loud guard.
 _SCALABLE_SPHERICAL = frozenset((
     "eqc", "stere", "stere_oblique", "aeqd", "gnom", "merc", "lcc",
     "sinu", "cea", "ortho", "aea", "eqdc", "moll", "robin",
@@ -499,7 +515,9 @@ def _sphere_scale(fam: str, p: dict) -> float:
     if r is None:
         return 1.0
     r = float(r)
-    if r == R_EARTH or fam in ("longlat", "laea"):
+    if r == R_EARTH or fam in ("longlat", "laea", "tmerc", "geos"):
+        # laea/tmerc/geos consume the radius inside their own kernels
+        # (laea dispatch, tmerc_crs_params/_declared_sphere_radius)
         return 1.0
     if fam not in _SCALABLE_SPHERICAL:
         raise NotImplementedError(
@@ -818,7 +836,9 @@ def _forward_centered(crs: str):
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
     sweep = p.get("sweep", "y")
-    return lambda lon, lat: geos_xy(lon, lat, h=h, lon_0=lon_0, sweep=sweep)
+    rad = _declared_sphere_radius(p)
+    return lambda lon, lat: geos_xy(lon, lat, h=h, lon_0=lon_0,
+                                    sweep=sweep, radius=rad)
 
 
 def inverse(crs: str):
@@ -981,7 +1001,9 @@ def _inverse_centered(crs: str):
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
     sweep = p.get("sweep", "y")
-    return lambda x, y: geos_inverse(x, y, h=h, lon_0=lon_0, sweep=sweep)
+    rad = _declared_sphere_radius(p)
+    return lambda x, y: geos_inverse(x, y, h=h, lon_0=lon_0,
+                                     sweep=sweep, radius=rad)
 
 
 def crs_datum_spec(crs: str):
@@ -1890,7 +1912,7 @@ def _inverse_scalar_centered(crs: str):
         return _robin_inv
     if fam == "tmerc":
         kw = tmerc_crs_params(crs)
-        rk = R * kw["k"]
+        rk = kw["radius"] * kw["k"]
         lat0r = math.radians(kw["lat_0"])
 
         def _tmerc_inv(x, y):
@@ -1976,7 +1998,7 @@ def _inverse_scalar_centered(crs: str):
     h = float(p.get("h", "35785831"))
     lon_0 = float(p.get("lon_0", "0"))
     sweep = p.get("sweep", "y")
-    rg = 1.0 + h / R
+    rg = 1.0 + h / _declared_sphere_radius(p)
 
     def _geos_inv(x, y):
         if sweep == "x":

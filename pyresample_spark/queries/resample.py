@@ -737,6 +737,46 @@ def q_regrid_geos(spark, sf_dir):
     return regrid_nearest(_GEOS_AREA, EQC_AREA, src)
 
 
+def _geos_sphere_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # The same full disc on the GRIB-convention R=6371229 sphere —
+    # the radius enters geos as rg = 1 + h/R (NOT a linear output
+    # scale), so this pins the r17 kernel-honored +R path: the disc
+    # horizon and every in-disc gather genuinely move with R.
+    return AreaDefinition(
+        "geos_fd_grib",
+        "+proj=geos +h=35785831 +lon_0=0 +sweep=y +R=6371229",
+        width=64, height=64, area_extent=(-5.5e6, -5.5e6, 5.5e6, 5.5e6),
+    )
+
+
+_GEOS_SPHERE_AREA = _geos_sphere_area()
+
+
+@register(
+    "q_regrid_geos_sphere",
+    oracle=(lambda lonlat: _regrid_oracle(_GEOS_SPHERE_AREA, lonlat))(
+        __import__(
+            "pyresample_spark.functions.geo", fromlist=["geos_inv_sql"]
+        ).geos_inv_sql("cx", "cy", h=35785831.0, lon_0=0.0, sweep="y",
+                       radius=6371229.0)
+    ),
+)
+def q_regrid_geos_sphere(spark, sf_dir):
+    """Geostationary full disc on a CUSTOM sphere (+R=6371229, the
+    GRIB earth) — r17: geos consumes the radius inside its kernel
+    (rg = 1 + h/R; x = h·atan…), so +R cannot ride the generic
+    output scaling that q_regrid_grib_sphere pins for the linear
+    families; previously this raised. The oracle replays the same
+    view-ray quadratic with the declared radius."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_GEOS_SPHERE_AREA, EQC_AREA, src)
+
+
 def _lcc_area():
     from pyresample_spark.geometry import AreaDefinition
 

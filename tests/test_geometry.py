@@ -763,11 +763,14 @@ def test_custom_sphere_radius_honored_linearly():
             assert lb is not None and lc is not None
             assert lb[0] == pytest.approx(lc[0], abs=1e-12)
             assert lb[1] == pytest.approx(lc[1], abs=1e-12)
-    # guards: families where R couples with another length
-    for bad in ("+proj=geos +h=35785831 +R=6371229",
-                "+proj=utm +zone=33 +R=6371229"):
-        with pytest.raises(NotImplementedError, match="sphere radius"):
-            C.forward(bad)
+    # r17: geos/utm consume +R inside their kernels now (rg = 1 + h/R;
+    # rk = R·k with FE added after) — the coupled radius is honored,
+    # not guarded: forward builds and the radius genuinely enters
+    for good in ("+proj=geos +h=35785831 +R=6371229",
+                 "+proj=utm +zone=33 +R=6371229"):
+        assert C.forward(good) is not None
+    assert C.tmerc_crs_params(
+        "+proj=utm +zone=33 +R=6371229")["radius"] == 6371229.0
     # default-radius spellings stay on the fast unscaled path
     assert C._sphere_scale("eqc", {"R": repr(R_EARTH)}) == 1.0
     assert C._sphere_scale("eqc", {}) == 1.0
@@ -943,8 +946,12 @@ def test_every_family_honors_or_rejects_custom_radius_and_units():
         "robin": "+proj=robin",
         "laea": "+proj=laea +lat_0=52 +lon_0=10",
     }
-    guarded = ["+proj=geos +h=35785831", "+proj=utm +zone=33",
-               "+proj=tmerc +lat_0=0 +lon_0=9"]
+    # r17: geos/tmerc/utm consume the radius INSIDE their kernels
+    # (rg = 1 + h/R; rk = R·k with the false easting added after) —
+    # previously loud guards, now honored like every other sphere
+    honored["geos"] = "+proj=geos +h=35785831"
+    honored["tmerc"] = "+proj=tmerc +lat_0=0 +lon_0=9"
+    honored["utm"] = "+proj=utm +zone=33"
     x, y = 1.1e6, 0.9e6
     for fam, base in honored.items():
         inv_d = C.inverse_scalar(base)
@@ -958,6 +965,25 @@ def test_every_family_honors_or_rejects_custom_radius_and_units():
         lk = inv_km(x / 1000.0, y / 1000.0)
         assert lk[0] == pytest.approx(ld[0], abs=1e-9), fam
         assert lk[1] == pytest.approx(ld[1], abs=1e-9), fam
-    for base in guarded:
-        with pytest.raises(NotImplementedError, match="radius"):
-            C.inverse(base + " +R=6371229")
+    # the fitted omerc analog (track-fit constants baked into the
+    # frame) is the one family where a custom radius stays loud
+    with pytest.raises(NotImplementedError, match="radius"):
+        C._sphere_scale("omerc", {"R": "6371229"})
+    # spot-check the kernel-honored values against the closed forms:
+    # tmerc x at the central meridian's equator scales with R·k
+    import math as _m
+
+    R2 = 6371229.0
+    fwdsql = C.forward_sql("+proj=tmerc +lon_0=9 +R=6371229")
+    import duckdb
+
+    gx, gy = duckdb.sql("SELECT " + ", ".join(
+        fwdsql("10.0", "0.0"))).fetchone()
+    b = _m.cos(0.0) * _m.sin(_m.radians(1.0))
+    assert gx == pytest.approx(R2 * 0.5 * _m.log((1 + b) / (1 - b)),
+                               rel=1e-12)
+    assert gy == pytest.approx(0.0, abs=1e-9)
+    # geos: rg = 1 + h/R — the disc radius genuinely moves with R
+    inv_g = C.inverse_scalar("+proj=geos +h=35785831 +R=6371229")
+    inv_gd = C.inverse_scalar("+proj=geos +h=35785831")
+    assert inv_g(1.1e6, 0.9e6) != inv_gd(1.1e6, 0.9e6)
