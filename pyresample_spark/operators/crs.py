@@ -215,7 +215,12 @@ def _declared_sphere_radius(p: dict) -> float:
     the false easting / satellite-height terms — so the radius rides
     the kernel keyword instead (r17; previously a loud guard)."""
     r = p.get("R", p.get("a"))
-    return float(r) if r is not None else R_EARTH
+    if r is None:
+        return R_EARTH
+    r = float(r)
+    if not r > 0.0:
+        raise ValueError(f"sphere radius {r} must be positive")
+    return r
 
 
 def tmerc_crs_params(crs: str) -> dict:
@@ -515,6 +520,8 @@ def _sphere_scale(fam: str, p: dict) -> float:
     if r is None:
         return 1.0
     r = float(r)
+    if not r > 0.0:
+        raise ValueError(f"sphere radius {r} must be positive")
     if r == R_EARTH or fam in ("longlat", "laea", "tmerc", "geos"):
         # laea/tmerc/geos consume the radius inside their own kernels
         # (laea dispatch, tmerc_crs_params/_declared_sphere_radius)

