@@ -384,9 +384,10 @@ def q_cog_ingest(spark, sf_dir):
            CAST(r % 40 AS BIGINT) AS col,
            CAST(((((r // 40) - (r // 40) % 8) * 31
                   + ((r % 40) - (r % 40) % 8) * 17) % 97)
-                * (CASE WHEN r >= 3840 THEN 41 ELSE 1 END) AS DOUBLE)
+                * (CASE WHEN r >= 3840 AND r < 5120
+                        THEN 41 ELSE 1 END) AS DOUBLE)
              AS value
-    FROM (SELECT range AS r FROM range(5120))
+    FROM (SELECT range AS r FROM range(6400))
     """,
 )
 def q_jpeg_ingest(spark, sf_dir):
@@ -395,9 +396,11 @@ def q_jpeg_ingest(spark, sf_dir):
     compression (tag 7) in three organizations (8-row strips, 16x16
     tiles, 16-row strips) — plus a FOURTH 12-bit granule (SOF1
     extended sequential, BitsPerSample 12, values scaled 41x beyond
-    the 8-bit range so silent depth truncation cannot pass) —
+    the 8-bit range so silent depth truncation cannot pass) and a
+    FIFTH progressive granule (SOF2, r17: per-strip multi-scan
+    streams with spectral selection + successive approximation) —
     through the SAME distributed binaryFile +
-    mapInPandas ingest — per strip/tile a complete baseline T.81
+    mapInPandas ingest — per strip/tile a complete T.81
     stream decoded by the native codec (sources/jpeg.py: Huffman
     entropy decode, dequantize, matrix IDCT). Values are constant per
     8x8 JPEG block, so the whole path — marker walk, canonical-table

@@ -1802,12 +1802,15 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     import zlib
 
     arr = np.ascontiguousarray(arr)
-    jpeg = compress == "jpeg"
+    jprog = compress == "jpeg_progressive"
+    jpeg = compress == "jpeg" or jprog
     if jpeg:
         # new-style JPEG (compression 7): 8-bit unsigned only (what
         # the T.81 baseline process defines); self-contained stream
         # per strip/tile (no JPEGTables hoisting — spec-legal and
-        # readable by any consumer)
+        # readable by any consumer). "jpeg_progressive" writes SOF2
+        # streams (T.81 Annex G) into the same tag-7 container —
+        # libjpeg-backed readers decode any DCT process per strip.
         if arr.dtype == np.uint8:
             jprec = 8
         elif arr.dtype == np.uint16:
@@ -1867,11 +1870,16 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
         lh, lw = lv.shape[:2]
         out = []
         if jpeg:
-            from pyresample_spark.sources.jpeg import encode_baseline_jpeg
+            from pyresample_spark.sources.jpeg import (
+                encode_baseline_jpeg,
+                encode_progressive_jpeg,
+            )
+            jpeg_encode = (encode_progressive_jpeg if jprog
+                           else encode_baseline_jpeg)
 
             def jenc(blk):  # (rows, width, spp) samples -> stream
                 img = blk[:, :, 0] if spp == 1 else blk
-                return encode_baseline_jpeg(
+                return jpeg_encode(
                     np.ascontiguousarray(img), precision=jprec)
 
             if tile is not None:
@@ -2363,15 +2371,16 @@ def demo_cog_granule_dir() -> str:
 
 # JPEG-granule fixture dims: 8x8-blockwise-constant values so the
 # baseline-JPEG roundtrip is VALUE-EXACT against the integer formula
-JPEG_ROWS, JPEG_COLS, JPEG_BANDS = 32, 40, 4
+JPEG_ROWS, JPEG_COLS, JPEG_BANDS = 32, 40, 5
 
 
 def demo_jpeg_granule_dir() -> str:
-    """JPEG-compressed twin of :func:`demo_tiff_granule_dir`: three
-    uint8 granules with compression tag 7 (new-style JPEG, baseline
-    T.81 streams per strip/tile from sources/jpeg.py) in three
-    organizations — 8-row strips, 16x16 tiles, 16-row strips. Values
-    are constant per 8x8 JPEG block (v = ((row−row%8)·31 +
+    """JPEG-compressed twin of :func:`demo_tiff_granule_dir`: five
+    granules with compression tag 7 (new-style JPEG, T.81 streams per
+    strip/tile from sources/jpeg.py) — baseline in three
+    organizations (8-row strips, 16x16 tiles, 16-row strips), a
+    12-bit SOF1 granule, and a progressive SOF2 granule. Values are
+    constant per 8x8 JPEG block (v = ((row−row%8)·31 +
     (col−col%8)·17) % 97 over the GLOBAL row), so with the writer's
     all-ones quantization table the decode is value-exact and the
     driver-gated q_jpeg_ingest can pin the whole path against an
@@ -2394,6 +2403,15 @@ def demo_jpeg_granule_dir() -> str:
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
                     compress="jpeg", rows_per_strip=8,
                 )
+            elif band == 4:
+                # progressive granule (SOF2, r17): per-strip
+                # multi-scan streams — interleaved DC first/refine and
+                # AC first/refine with successive approximation — must
+                # reassemble to the same value-exact grid
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress="jpeg_progressive", rows_per_strip=8,
+                )
             elif band == 1:
                 buf = geotiff_bytes(
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
@@ -2414,7 +2432,7 @@ def demo_jpeg_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_jpeg_granules_v2_{JPEG_BANDS}x"
+        f"pyresample_spark_jpeg_granules_v3_{JPEG_BANDS}x"
         f"{JPEG_ROWS}x{JPEG_COLS}",
         write,
     )

@@ -55,7 +55,6 @@ ZIGZAG = [
 ]
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT (SOF2)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
@@ -143,12 +142,18 @@ class _BitReader:
                 return v
         raise ValueError("invalid Huffman code in entropy data")
 
-    def receive_extend(self, t: int) -> int:
-        if t == 0:
-            return 0
+    def receive(self, t: int) -> int:
+        """t raw MSB-first bits (no sign extension — EOB-run length
+        extras in progressive scans, T.81 G.1.2.2)."""
         v = 0
         for _ in range(t):
             v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, t: int) -> int:
+        if t == 0:
+            return 0
+        v = self.receive(t)
         if v < (1 << (t - 1)):
             v -= (1 << t) - 1
         return v
@@ -249,22 +254,24 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                 q += 17 + nv
         elif m == 0xDD:  # DRI
             state["dri"] = struct.unpack_from(">H", body, 0)[0]
-        elif m in (0xC0, 0xC1, 0xC3):  # SOF0/SOF1/SOF3
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/SOF1/SOF2/SOF3
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             lossless = m == 0xC3
+            progressive = m == 0xC2
             if lossless:
                 # T.81 Annex H: lossless allows 2..16-bit samples
                 if not 2 <= prec <= 16:
                     raise ValueError(
                         f"lossless precision {prec} outside 2..16")
-            elif not (prec == 8 or (prec == 12 and m == 0xC1)):
+            elif not (prec == 8 or (prec == 12 and m in (0xC1, 0xC2))):
                 # T.81 Table B.2: baseline (SOF0) is 8-bit; 12-bit
-                # samples are the extended sequential process (SOF1)
-                # — the depth archived GOES imagery ships
+                # samples are the extended sequential (SOF1) and
+                # progressive (SOF2) processes — the depth archived
+                # GOES imagery ships
                 raise NotImplementedError(
                     f"{prec}-bit precision in SOF{m - 0xC0} outside "
-                    "the supported subset (8-bit SOF0/SOF1, "
-                    "12-bit SOF1)"
+                    "the supported subset (8-bit SOF0/SOF1/SOF2, "
+                    "12-bit SOF1/SOF2)"
                 )
             if h == 0 or w == 0:
                 raise ValueError("zero frame dimension")
@@ -288,7 +295,8 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                     )
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             state["frame"] = {"h": h, "w": w, "comps": comps,
-                              "prec": prec, "lossless": lossless}
+                              "prec": prec, "lossless": lossless,
+                              "progressive": progressive}
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[m]} outside the baseline subset"
@@ -297,7 +305,15 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
             ns = body[0]
             if state["frame"] is None:
                 raise ValueError("SOS before SOF")
-            if ns != len(state["frame"]["comps"]):
+            if state["frame"].get("progressive"):
+                # progressive scans legally select any non-empty
+                # subset of the frame components (T.81 G.1.1.1.1)
+                if not 1 <= ns <= len(state["frame"]["comps"]):
+                    raise ValueError(
+                        f"scan selects {ns} of "
+                        f"{len(state['frame']['comps'])} components"
+                    )
+            elif ns != len(state["frame"]["comps"]):
                 raise NotImplementedError(
                     "non-interleaved multi-scan streams outside the "
                     "baseline subset"
@@ -309,8 +325,11 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
             state["scan"] = sel
             # spectral-selection bytes: baseline fixes them at
             # (0, 63, 0); lossless reuses Ss as the predictor
-            # selector and Al as the point transform (T.81 H.1)
+            # selector and Al as the point transform (T.81 H.1);
+            # progressive uses all four (Ss, Se, Ah, Al — T.81 G.1)
             state["scan_ss"] = body[1 + 2 * ns]
+            state["scan_se"] = body[2 + 2 * ns]
+            state["scan_ah"] = body[3 + 2 * ns] >> 4
             state["scan_al"] = body[3 + 2 * ns] & 0x0F
             return pos, "sos"
         # APPn (E0-EF), COM (FE), others with lengths: skipped
@@ -349,6 +368,8 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
     fr, scan = state["frame"], state["scan"]
     if fr.get("lossless"):
         return _decode_lossless_scan(state, data, pos)
+    if fr.get("progressive"):
+        return _decode_progressive(state, data, pos, color_transform)
     h, w, comps = fr["h"], fr["w"], fr["comps"]
     prec = fr.get("prec", 8)
     center = float(1 << (prec - 1))          # level-shift (T.81 A.3.1)
@@ -421,6 +442,21 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
                     y0 = (my * c["v"] + byi) * 8
                     x0 = (mx * c["h"] + bxi) * 8
                     planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+    return _planes_to_output(fr, planes, color_transform)
+
+
+def _planes_to_output(fr: dict, planes: dict,
+                      color_transform: bool | None) -> np.ndarray:
+    """Upsample component planes to frame resolution, crop, color
+    transform, clip/round to the output dtype — the shared tail of
+    the sequential and progressive DCT decoders."""
+    h, w, comps = fr["h"], fr["w"], fr["comps"]
+    prec = fr.get("prec", 8)
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    odtype = np.uint8 if prec == 8 else np.uint16
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -439,6 +475,316 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
     else:
         rgb = np.stack([y, cb, cr], axis=2)
     return np.clip(np.round(rgb), 0, maxval).astype(odtype)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT process (SOF2, T.81 Annex G — spectral selection +
+# successive approximation, Huffman entropy coding). Coefficients for
+# every block accumulate across scans; dequantization + IDCT run once
+# at EOI. Reference path: rasterio/libjpeg (jdphuff) behind
+# pyresample/utils/rasterio.py — reimplemented from the T.81 spec.
+# ---------------------------------------------------------------------------
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Byte offset of the next marker (FF followed by a non-stuffing
+    byte) at or after ``pos`` — used to step from the end of one
+    scan's entropy data to the next marker segment."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("missing marker after progressive scan data")
+
+
+def _dc_scan_unit(rd, blk, hdc, ah: int, al: int, preds: dict, cs: int,
+                  max_dc_t: int):
+    """One block of a progressive DC scan (T.81 G.1.2.1)."""
+    if ah == 0:
+        t = rd.huff(hdc)
+        if t > max_dc_t:
+            raise ValueError(f"DC category {t} > {max_dc_t}")
+        preds[cs] += rd.receive_extend(t)
+        blk[0] = preds[cs] << al
+    elif rd.read_bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first_unit(rd, hac, blk, ss: int, se: int, al: int,
+                   eobrun: int) -> int:
+    """One block of a first-pass AC scan (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(hac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[ZIGZAG[k]] = rd.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(rd, hac, blk, ss: int, se: int, p1: int, m1: int,
+                    eobrun: int) -> int:
+    """One block of an AC refinement scan (T.81 G.1.2.3): newly
+    significant coefficients arrive as magnitude-1 symbols; every
+    already-nonzero coefficient passed over contributes one
+    correction bit."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(hac)
+            r, s = rs >> 4, rs & 0x0F
+            sval = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement magnitude must be 1")
+                sval = p1 if rd.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.receive(r)
+                break
+            # advance over r zero-history coefficients, reading one
+            # correction bit at each nonzero-history one in between
+            while k <= se:
+                z = ZIGZAG[k]
+                v = int(blk[z])
+                if v != 0:
+                    if rd.read_bit() and not (v & p1):
+                        blk[z] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval:
+                if k > se:
+                    raise ValueError(
+                        "refinement position past band end")
+                blk[ZIGZAG[k]] = sval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run the block still carries correction bits
+        # for its remaining nonzero-history coefficients
+        while k <= se:
+            z = ZIGZAG[k]
+            v = int(blk[z])
+            if v != 0:
+                if rd.read_bit() and not (v & p1):
+                    blk[z] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(state: dict, data: bytes, pos: int,
+                             coefs: dict, nbdims: dict, by_id: dict,
+                             mcux: int, mcuy: int, dc_al: dict,
+                             ac_al: dict, max_dc_t: int) -> int:
+    """Decode one progressive scan's entropy data; returns the byte
+    position where decoding stopped. ``dc_al`` / ``ac_al`` track the
+    successive-approximation state per component (and per coefficient
+    for AC) so out-of-order or overlapping scan scripts fail loudly
+    instead of corrupting coefficients."""
+    scan = state["scan"]
+    ss, se = state["scan_ss"], state["scan_se"]
+    ah, al = state["scan_ah"], state["scan_al"]
+    ns = len(scan)
+    dri = state["dri"]
+    rd = _BitReader(data, pos)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        order = []
+        for s in scan:
+            c = by_id.get(s["cs"])
+            if c is None:
+                raise ValueError(
+                    f"scan references unknown component {s['cs']}")
+            if ah == 0:
+                if dc_al[c["id"]] is not None:
+                    raise ValueError(
+                        f"component {c['id']} DC coded twice at Ah=0")
+                hdc = state["huff_dc"].get(s["td"])
+                if hdc is None:
+                    raise ValueError(
+                        f"scan references undefined DC table {s['td']}")
+            else:
+                if dc_al[c["id"]] != ah or al != ah - 1:
+                    raise ValueError(
+                        f"DC refinement out of order for component "
+                        f"{c['id']}: have Al={dc_al[c['id']]}, scan "
+                        f"says Ah={ah} Al={al}")
+                hdc = None
+            dc_al[c["id"]] = al
+            order.append((c, hdc))
+        preds = {s["cs"]: 0 for s in scan}
+        if ns > 1:  # interleaved: MCU order over the padded grid
+            nunits = mcux * mcuy
+        else:  # non-interleaved: raster over the component's blocks
+            nbh, nbw = nbdims[order[0][0]["id"]]
+            nunits = nbh * nbw
+        rst = 0
+        for ui in range(nunits):
+            if dri and ui and ui % dri == 0:
+                rd.restart(rst)
+                rst = (rst + 1) & 7
+                preds = {s["cs"]: 0 for s in scan}
+            if ns > 1:
+                my, mx = divmod(ui, mcux)
+                for (c, hdc), s in zip(order, scan):
+                    co = coefs[c["id"]]
+                    for byi in range(c["v"]):
+                        for bxi in range(c["h"]):
+                            _dc_scan_unit(
+                                rd, co[my * c["v"] + byi,
+                                       mx * c["h"] + bxi],
+                                hdc, ah, al, preds, s["cs"], max_dc_t)
+            else:
+                c, hdc = order[0]
+                nbh, nbw = nbdims[c["id"]]
+                by, bx = divmod(ui, nbw)
+                _dc_scan_unit(rd, coefs[c["id"]][by, bx], hdc, ah, al,
+                              preds, scan[0]["cs"], max_dc_t)
+    else:  # AC scan
+        if ns != 1:
+            raise ValueError(
+                "progressive AC scan must select one component")
+        if not ss <= se <= 63:
+            raise ValueError(f"AC band Ss={ss}..Se={se} invalid")
+        s0 = scan[0]
+        c = by_id.get(s0["cs"])
+        if c is None:
+            raise ValueError(
+                f"scan references unknown component {s0['cs']}")
+        cid = c["id"]
+        if dc_al[cid] is None:
+            raise ValueError(
+                f"AC scan for component {cid} before its DC scan")
+        for k in range(ss, se + 1):
+            if ah == 0:
+                if ac_al[cid][k] is not None:
+                    raise ValueError(
+                        f"AC coefficient {k} of component {cid} coded "
+                        "twice at Ah=0")
+            elif ac_al[cid][k] != ah or al != ah - 1:
+                raise ValueError(
+                    f"AC refinement out of order at coefficient {k} "
+                    f"of component {cid}: have "
+                    f"Al={ac_al[cid][k]}, scan says Ah={ah} Al={al}")
+            ac_al[cid][k] = al
+        hac = state["huff_ac"].get(s0["ta"])
+        if hac is None:
+            raise ValueError(
+                f"scan references undefined AC table {s0['ta']}")
+        co = coefs[cid]
+        nbh, nbw = nbdims[cid]
+        eobrun = 0
+        rst = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for ui in range(nbh * nbw):
+            if dri and ui and ui % dri == 0:
+                rd.restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            by, bx = divmod(ui, nbw)
+            blk = co[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_unit(rd, hac, blk, ss, se, al,
+                                        eobrun)
+            else:
+                eobrun = _ac_refine_unit(rd, hac, blk, ss, se, p1, m1,
+                                         eobrun)
+    return rd.pos
+
+
+def _decode_progressive(state: dict, data: bytes, pos: int,
+                        color_transform: bool | None) -> np.ndarray:
+    """Multi-scan progressive decode loop: scans accumulate into
+    per-component coefficient arrays until EOI, then one vectorized
+    dequantize + IDCT pass reconstructs the planes. Raises on
+    truncated/partial streams (any coefficient not refined to Al=0):
+    a partial progressive decode is an approximation, outside this
+    codec's value-exact ingest contract."""
+    fr = state["frame"]
+    h, w, comps = fr["h"], fr["w"], fr["comps"]
+    prec = fr.get("prec", 8)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    if len(by_id) != len(comps):
+        raise ValueError("duplicate component ids")
+    coefs, nbdims = {}, {}
+    for c in comps:
+        # interleaved DC scans cover the MCU-padded grid; AC and
+        # non-interleaved scans cover ceil(comp_size/8) (T.81 A.2.4)
+        coefs[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        ch = -(-(h * c["v"]) // vmax)
+        cw = -(-(w * c["h"]) // hmax)
+        nbdims[c["id"]] = (-(-ch // 8), -(-cw // 8))
+    dc_al = {c["id"]: None for c in comps}
+    ac_al = {c["id"]: [None] * 64 for c in comps}
+    max_dc_t = 11 if prec == 8 else 15
+    while True:
+        pos = _decode_progressive_scan(
+            state, data, pos, coefs, nbdims, by_id, mcux, mcuy,
+            dc_al, ac_al, max_dc_t)
+        pos = _next_marker_pos(data, pos)
+        pos, kind = _parse_segments(data, state, pos)
+        if kind != "sos":
+            break
+    gaps = []
+    for c in comps:
+        cid = c["id"]
+        if dc_al[cid] != 0:
+            gaps.append(f"component {cid} DC stops at Al={dc_al[cid]}")
+        missing = [k for k in range(1, 64) if ac_al[cid][k] != 0]
+        if missing:
+            al_set = {ac_al[cid][k] for k in missing}
+            gaps.append(
+                f"component {cid} AC coefficients {missing[0]}.."
+                f"{missing[-1]} stop at Al in {sorted(map(str, al_set))}")
+    if gaps:
+        raise ValueError(
+            "truncated/partial progressive stream ("
+            + "; ".join(gaps)
+            + ") — partial decode is an approximation, outside the "
+            "value-exact subset")
+    center = float(1 << (prec - 1))
+    planes = {}
+    for c in comps:
+        q = state["quant"].get(c["tq"])
+        if q is None:
+            raise ValueError(
+                f"frame references undefined quant table {c['tq']}")
+        nbh, nbw = nbdims[c["id"]]
+        blk = coefs[c["id"]][:nbh, :nbw].astype(float).reshape(
+            nbh * nbw, 8, 8) * q
+        # IDCT per block (_DCT.T @ S @ _DCT), batched via matmul
+        # broadcasting — the same dgemm the sequential path runs
+        # per block, so both processes reconstruct bit-identically
+        px = _DCT.T @ blk @ _DCT
+        planes[c["id"]] = (px.reshape(nbh, nbw, 8, 8)
+                           .transpose(0, 2, 1, 3)
+                           .reshape(nbh * 8, nbw * 8) + center)
+    return _planes_to_output(fr, planes, color_transform)
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +1027,374 @@ def encode_baseline_jpeg(arr: np.ndarray, quant=None,
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder twin (SOF2): spec-builds fixture streams
+# exercising all four scan kinds (DC first/refine, AC first/refine
+# with EOB runs and buffered correction bits — T.81 G.1.2 / the
+# algorithm libjpeg's jcphuff.c implements from Annex G).
+# ---------------------------------------------------------------------------
+
+
+def _default_scan_script(ncomp: int) -> list:
+    """A libjpeg-style scan script covering every scan kind:
+    (component indices, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),    # DC first, Al=1
+            ([0], 1, 5, 0, 2),    # AC band 1-5 first, Al=2
+            ([0], 6, 63, 0, 2),   # AC band 6-63 first, Al=2
+            ([0], 1, 63, 2, 1),   # AC refine to Al=1
+            ([0], 0, 0, 1, 0),    # DC refine to Al=0
+            ([0], 1, 63, 1, 0),   # AC refine to Al=0
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),  # interleaved DC first
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),  # interleaved DC refine
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_progressive_jpeg(arr: np.ndarray, quant=None,
+                            subsampling: str = "444",
+                            scans=None, restart_interval: int = 0,
+                            precision: int = 8) -> bytes:
+    """Encode u8 (h, w)/(h, w, 3) — or u16 < 4096 with
+    ``precision=12`` — to a progressive (SOF2) JPEG stream.
+
+    ``scans``: optional scan script as (comp_indices, Ss, Se, Ah, Al)
+    tuples; the default exercises DC first/refine and AC first/refine
+    with successive approximation. Quantized coefficients are computed
+    with the exact expression the baseline encoder uses, so with the
+    same ``quant`` a progressive stream decodes bit-identically to
+    the equivalent baseline stream."""
+    arr = np.asarray(arr)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    expect = np.uint8 if precision == 8 else np.uint16
+    if arr.dtype != expect:
+        raise ValueError(
+            f"{precision}-bit encoder takes {np.dtype(expect).name} "
+            "samples")
+    if precision == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be < 4096")
+    center = float(1 << (precision - 1))
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444/420, got {subsampling!r}")
+    if gray:
+        subsampling = "444"
+    h, w = arr.shape[:2]
+    q = np.ones((8, 8)) if quant is None else (
+        np.full((8, 8), float(quant)) if np.isscalar(quant)
+        else np.asarray(quant, dtype=float))
+    qmax = 255 if precision == 8 else 65535
+    if q.shape != (8, 8) or (q < 1).any() or (q > qmax).any():
+        raise ValueError(f"quant table must be 8x8 in [1, {qmax}]")
+
+    if gray:
+        planes = [arr.astype(float)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(float)
+        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+             + 0.114 * rgb[:, :, 2])
+        cb = (center - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+              + 0.5 * rgb[:, :, 2])
+        cr = (center + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+              - 0.081312 * rgb[:, :, 2])
+        if subsampling == "420":
+            def down(p):
+                ph = (p.shape[0] + 1) // 2 * 2
+                pw = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                            mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2]
+                        + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # quantized coefficient store, MCU-padded, natural order — the
+    # same per-block expression as encode_baseline_jpeg pass 1
+    coefs = []
+    nbdims = []
+    for p, (hs, vs) in zip(planes, samp):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        co = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - center
+                co[by, bx] = np.round(
+                    (_DCT @ blk @ _DCT.T) / q).astype(np.int64).ravel()
+        coefs.append(co)
+        # the plane is already subsampled: its own ceil(size/8) block
+        # grid is the non-interleaved scan coverage (T.81 A.2.4)
+        nbdims.append((-(-p.shape[0] // 8), -(-p.shape[1] // 8)))
+
+    if scans is None:
+        scans = _default_scan_script(len(planes))
+    _validate_scan_script(scans, len(planes))
+
+    out = bytearray(b"\xff\xd8")
+    zz_vals = [int(q.flat[ZIGZAG[i]]) for i in range(64)]
+    pq = 1 if max(zz_vals) > 255 else 0
+    zz_q = struct.pack(">64H", *zz_vals) if pq else bytes(zz_vals)
+    out += (b"\xff\xdb" + struct.pack(">H", 3 + len(zz_q))
+            + bytes([pq << 4]) + zz_q)
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
+    for ci, (hs, vs) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for comp_idx, ss, se, ah, al in scans:
+        # pass 1: count symbols (slot per scan component position)
+        freqs = [dict() for _ in comp_idx]
+        _encode_prog_scan(coefs, nbdims, samp, mcux, mcuy, comp_idx,
+                          ss, se, ah, al, restart_interval,
+                          sym=lambda sl, s, f=freqs: f[sl].__setitem__(
+                              s, f[sl].get(s, 0) + 1),
+                          bits=lambda v, n: None, rst=lambda i: None)
+        needs_huff = not (ss == 0 and ah > 0)
+        tabs = [_encode_table(f) for f in freqs] if needs_huff else []
+        if needs_huff:
+            tc = 0 if ss == 0 else 1
+            for ti, (tbits, tvals, _enc) in enumerate(tabs):
+                body = bytes([(tc << 4) | ti]) + bytes(tbits) + bytes(tvals)
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        sos = bytes([len(comp_idx)])
+        for sl, ci in enumerate(comp_idx):
+            tsel = sl if needs_huff else 0
+            td, ta = (tsel, 0) if ss == 0 else (0, tsel)
+            sos += struct.pack(">BB", ci + 1, (td << 4) | ta)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        # pass 2: emit entropy data with restart splitting
+        bw = _BitWriter()
+        chunks = []
+
+        def emit_rst(idx):
+            nonlocal bw
+            bw.align()
+            chunks.append(bytes(bw.out))
+            chunks.append(bytes([0xFF, 0xD0 + (idx & 7)]))
+            bw = _BitWriter()
+
+        def emit_sym(sl, s):
+            ln, code = tabs[sl][2][s]
+            bw.put(code, ln)
+
+        _encode_prog_scan(coefs, nbdims, samp, mcux, mcuy, comp_idx,
+                          ss, se, ah, al, restart_interval,
+                          sym=emit_sym,
+                          bits=lambda v, n: bw.put(v, n) if n else None,
+                          rst=emit_rst)
+        bw.align()
+        chunks.append(bytes(bw.out))
+        out += b"".join(chunks)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _validate_scan_script(scans, ncomp: int):
+    """Reject scripts the decoder would reject: every coefficient of
+    every component must be first-coded exactly once and refined in
+    unit Al steps down to 0 (mirrors the decoder's dc_al/ac_al
+    tracking)."""
+    dc_al = [None] * ncomp
+    ac_al = [[None] * 64 for _ in range(ncomp)]
+    for comp_idx, ss, se, ah, al in scans:
+        if not comp_idx or any(not 0 <= ci < ncomp for ci in comp_idx):
+            raise ValueError(f"bad component list {comp_idx}")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan requires Se=0")
+            for ci in comp_idx:
+                if ah == 0:
+                    if dc_al[ci] is not None:
+                        raise ValueError(f"component {ci} DC coded twice")
+                elif dc_al[ci] != ah or al != ah - 1:
+                    raise ValueError("DC refinement out of order")
+                dc_al[ci] = al
+        else:
+            if len(comp_idx) != 1:
+                raise ValueError("AC scan must select one component")
+            if not ss <= se <= 63:
+                raise ValueError(f"bad AC band {ss}..{se}")
+            ci = comp_idx[0]
+            for k in range(ss, se + 1):
+                if ah == 0:
+                    if ac_al[ci][k] is not None:
+                        raise ValueError(
+                            f"AC coefficient {k} coded twice")
+                elif ac_al[ci][k] != ah or al != ah - 1:
+                    raise ValueError("AC refinement out of order")
+                ac_al[ci][k] = al
+    bad = [ci for ci in range(ncomp)
+           if dc_al[ci] != 0 or any(ac_al[ci][k] != 0
+                                    for k in range(1, 64))]
+    if bad:
+        raise ValueError(
+            f"scan script leaves components {bad} incomplete "
+            "(every coefficient must reach Al=0)")
+
+
+def _encode_prog_scan(coefs, nbdims, samp, mcux, mcuy, comp_idx,
+                      ss, se, ah, al, dri, sym, bits, rst):
+    """Walk one progressive scan emitting (slot, symbol) via ``sym``
+    and raw bits via ``bits`` — shared by the counting and writing
+    passes. ``rst`` fires at restart boundaries (writer aligns and
+    emits the RST marker; counter ignores)."""
+    interleaved = len(comp_idx) > 1
+    if ss == 0 and ah == 0:  # DC first
+        preds = {ci: 0 for ci in comp_idx}
+        nunits = (mcux * mcuy if interleaved
+                  else nbdims[comp_idx[0]][0] * nbdims[comp_idx[0]][1])
+        rsti = 0
+        for ui in range(nunits):
+            if dri and ui and ui % dri == 0:
+                rst(rsti)
+                rsti = (rsti + 1) & 7
+                preds = {ci: 0 for ci in comp_idx}
+            for sl, ci in enumerate(comp_idx):
+                hs, vs = samp[ci]
+                if interleaved:
+                    my, mx = divmod(ui, mcux)
+                    blocks = [(my * vs + byi, mx * hs + bxi)
+                              for byi in range(vs) for bxi in range(hs)]
+                else:
+                    nbh, nbw = nbdims[ci]
+                    blocks = [divmod(ui, nbw)]
+                for by, bx in blocks:
+                    v = int(coefs[ci][by, bx, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _category(diff)
+                    sym(sl, t)
+                    if t:
+                        bits(diff if diff >= 0 else
+                             diff + (1 << t) - 1, t)
+    elif ss == 0:  # DC refine: one raw bit per block, no symbols
+        nunits = (mcux * mcuy if interleaved
+                  else nbdims[comp_idx[0]][0] * nbdims[comp_idx[0]][1])
+        rsti = 0
+        for ui in range(nunits):
+            if dri and ui and ui % dri == 0:
+                rst(rsti)
+                rsti = (rsti + 1) & 7
+            for ci in comp_idx:
+                hs, vs = samp[ci]
+                if interleaved:
+                    my, mx = divmod(ui, mcux)
+                    blocks = [(my * vs + byi, mx * hs + bxi)
+                              for byi in range(vs) for bxi in range(hs)]
+                else:
+                    nbh, nbw = nbdims[ci]
+                    blocks = [divmod(ui, nbw)]
+                for by, bx in blocks:
+                    bits((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+    else:  # AC scans: single component, raster over its blocks
+        ci = comp_idx[0]
+        nbh, nbw = nbdims[ci]
+        eobrun = 0
+        bebits: list = []  # correction bits buffered behind an EOB run
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                sym(0, nb << 4)
+                if nb:
+                    bits(eobrun - (1 << nb), nb)
+                for b in bebits:
+                    bits(b, 1)
+                bebits.clear()
+                eobrun = 0
+
+        rsti = 0
+        for ui in range(nbh * nbw):
+            if dri and ui and ui % dri == 0:
+                flush_eob()
+                rst(rsti)
+                rsti = (rsti + 1) & 7
+            by, bx = divmod(ui, nbw)
+            zz = [int(coefs[ci][by, bx, ZIGZAG[k]])
+                  for k in range(ss, se + 1)]
+            if ah == 0:  # first pass: point transform |v| >> Al
+                vals = [(abs(v) >> al) * (1 if v >= 0 else -1)
+                        for v in zz]
+                r = 0
+                for v in vals:
+                    if v == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        sym(0, 0xF0)  # ZRL
+                        r -= 16
+                    s = _category(v)
+                    sym(0, (r << 4) | s)
+                    bits(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            else:  # refinement pass (jcphuff encode_mcu_AC_refine)
+                absv = [abs(v) >> al for v in zz]
+                eob = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                r = 0
+                pending: list = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob()
+                        sym(0, 0xF0)
+                        r -= 16
+                        for b in pending:
+                            bits(b, 1)
+                        pending = []
+                    if t > 1:  # already significant: correction bit
+                        pending.append(t & 1)
+                        continue
+                    flush_eob()
+                    sym(0, (r << 4) | 1)
+                    bits(0 if zz[i] < 0 else 1, 1)
+                    for b in pending:
+                        bits(b, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    eobrun += 1
+                    bebits.extend(pending)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
 
 
 # ---------------------------------------------------------------------------

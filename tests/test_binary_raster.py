@@ -3040,12 +3040,15 @@ def test_old_style_jpeg_complete_streams_decode():
     np.testing.assert_array_equal(tiff_pixels(buf), img.astype("f8"))
 
 
-def test_jpeg_progressive_raises_loudly():
+def test_jpeg_progressive_headers_parse_but_need_scans():
+    """Progressive (SOF2) decodes natively as of r17; a frame with no
+    scan at all still fails loudly (arithmetic stays the loud guard —
+    tests/test_jpeg.py::test_unsupported_processes_raise)."""
     from pyresample_spark.sources.jpeg import decode_baseline_jpeg
 
     stream = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
               + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="no scan"):
         decode_baseline_jpeg(stream)
 
 

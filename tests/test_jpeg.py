@@ -14,6 +14,7 @@ from pyresample_spark.sources.jpeg import (
     ZIGZAG,
     decode_baseline_jpeg,
     encode_baseline_jpeg,
+    encode_progressive_jpeg,
 )
 
 
@@ -88,10 +89,10 @@ def test_abbreviated_stream_tables_merge():
 
 
 def test_unsupported_processes_raise():
-    # SOF3 (lossless) decodes natively as of r16; progressive and
-    # arithmetic stay loud
+    # SOF3 (lossless) decodes natively as of r16, progressive (SOF2)
+    # as of r17; arithmetic and differential stay loud
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    for marker, what in ((0xC2, "progressive"), (0xC9, "arithmetic"),
+    for marker, what in ((0xC9, "arithmetic"),
                          (0xC7, "differential")):
         stream = (b"\xff\xd8" + bytes([0xFF, marker])
                   + struct.pack(">H", 2 + len(sof)) + sof)
@@ -575,3 +576,162 @@ def test_lossless_sof3_roundtrip_battery():
     bad[i + 11] = 0x22
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_baseline_jpeg(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# Progressive process (SOF2, T.81 Annex G) — r17
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_battery():
+    """With the same quant table the progressive encoder produces the
+    same quantized coefficients as the baseline encoder, so both
+    streams must decode BIT-IDENTICALLY — gray/RGB, 4:4:4/4:2:0,
+    lossless and lossy quant, restart intervals, odd dims."""
+    rng = np.random.default_rng(11)
+    cases = [
+        ((21, 37), "444", None, 0),
+        ((19, 26, 3), "444", 12, 0),
+        ((24, 40, 3), "420", None, 3),   # padded Y blocks beyond AC
+        ((16, 16), "444", 50, 2),        # heavy quant -> long EOB runs
+        ((1, 1), "444", None, 0),        # single-pixel frame
+        ((8, 8), "444", None, 1),
+    ]
+    for shape, sub, q, ri in cases:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        b = decode_baseline_jpeg(encode_baseline_jpeg(
+            a, quant=q, subsampling=sub, restart_interval=ri))
+        p = decode_baseline_jpeg(encode_progressive_jpeg(
+            a, quant=q, subsampling=sub, restart_interval=ri))
+        assert np.array_equal(b, p), (shape, sub, q, ri)
+
+
+def test_progressive_scan_script_battery():
+    """Different legal scan scripts must all reconstruct the same
+    image: per-coefficient spectral bands, deep successive
+    approximation, and mixed band/SA splits."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, (33, 45)).astype(np.uint8)
+    base = decode_baseline_jpeg(encode_baseline_jpeg(a))
+    scripts = [
+        [([0], 0, 0, 0, 0)] + [([0], k, k, 0, 0) for k in range(1, 64)],
+        [([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+         ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2),
+         ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)],
+        [([0], 0, 0, 0, 1), ([0], 1, 2, 0, 1), ([0], 3, 63, 0, 2),
+         ([0], 3, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 2, 1, 0),
+         ([0], 3, 63, 1, 0)],
+    ]
+    for si, sc in enumerate(scripts):
+        p = decode_baseline_jpeg(encode_progressive_jpeg(a, scans=sc))
+        assert np.array_equal(base, p), si
+
+
+def test_progressive_12bit():
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 4096, (17, 23)).astype(np.uint16)
+    b = decode_baseline_jpeg(encode_baseline_jpeg(a, precision=12))
+    p = decode_baseline_jpeg(encode_progressive_jpeg(a, precision=12))
+    assert p.dtype == np.uint16
+    assert np.array_equal(b, p)
+
+
+def _prog_hand_stream():
+    """Hand-assembled 8x8 grayscale progressive stream (quant=ones)
+    coding DC=5, S[0,1]=-3, S[0,2]=2 through four scans — built
+    byte-by-byte from T.81 Annex G, independent of the encoder twin:
+
+    1. DC first  (Ah=0, Al=1): category 2, bits '10'   -> 5>>1 = 2
+    2. AC first  (Ss=1..63, Al=1): (0,1)ext0 -> -1; ZRL-free run of 3
+       then (3,1)ext1 -> +1; EOB                       (zigzag 1, 5)
+    3. DC refine (Ah=1, Al=0): one raw bit 1           -> DC = 5
+    4. AC refine (Ah=1, Al=0): EOB(1) then correction bits 1,0
+                                                       -> -3, +2
+    """
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sof2 = b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, bits16, vals):
+        body = bytes([tc << 4]) + bytes(bits16) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_tab = dht(0, [1] + [0] * 15, [2])              # '0' -> cat 2
+    ac_tab = dht(1, [0, 3] + [0] * 14, [0x00, 0x01, 0x31])
+    ac_ref = dht(1, [1] + [0] * 15, [0x00])           # '0' -> EOB
+    return (b"\xff\xd8" + dqt + sof2
+            + dc_tab + sos(0, 0, 0, 1) + b"\x5f"      # 0 10 | 11111
+            + ac_tab + sos(1, 63, 0, 1) + b"\x54"     # 01 0 10 1 00
+            + sos(0, 0, 1, 0) + b"\xff\x00"           # 1 | 1111111
+            + ac_ref + sos(1, 63, 1, 0) + b"\x5f"     # 0 1 0 | 11111
+            + b"\xff\xd9")
+
+
+def test_progressive_hand_vector():
+    """Pin the successive-approximation bit semantics against a
+    stream built by hand from the spec (not by the encoder twin)."""
+    out = decode_baseline_jpeg(_prog_hand_stream())
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 5.0
+    coef[0, 1] = -3.0   # natural position of zigzag index 1
+    coef[0, 2] = 2.0    # natural position of zigzag index 5
+    m = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    want = np.clip(np.round(m.T @ coef @ m + 128.0), 0, 255)
+    assert np.array_equal(out, want.astype(np.uint8))
+
+
+def test_progressive_guards():
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 256, (10, 12)).astype(np.uint8)
+    # encoder rejects incomplete scripts
+    with pytest.raises(ValueError, match="incomplete"):
+        encode_progressive_jpeg(a, scans=[([0], 0, 0, 0, 1),
+                                          ([0], 1, 63, 0, 0)])
+    with pytest.raises(ValueError, match="out of order"):
+        encode_progressive_jpeg(a, scans=[([0], 0, 0, 0, 2),
+                                          ([0], 0, 0, 1, 0),
+                                          ([0], 1, 63, 0, 0)])
+    with pytest.raises(ValueError, match="coded twice"):
+        encode_progressive_jpeg(a, scans=[([0], 0, 0, 0, 0),
+                                          ([0], 0, 0, 0, 0),
+                                          ([0], 1, 63, 0, 0)])
+    # decoder rejects a truncated stream (final refinement missing)
+    full = encode_progressive_jpeg(a)
+    trunc = full[:full.rfind(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated/partial"):
+        decode_baseline_jpeg(trunc)
+    # decoder rejects AC scans arriving before the component's DC scan
+    s = _prog_hand_stream()
+    i_dc = s.find(b"\xff\xda")
+    i_ac = s.find(b"\xff\xda", i_dc + 1)
+    # splice: drop the first (DC) scan, keep its DHT, start at AC DHT
+    i_ac_dht = s.find(b"\xff\xc4", i_dc)
+    reordered = s[:s.find(b"\xff\xc4")] + s[i_ac_dht:]
+    with pytest.raises(ValueError, match="before its DC scan"):
+        decode_baseline_jpeg(reordered)
+
+
+def test_progressive_inside_tiff_granule():
+    """A tag-7 TIFF whose strips hold SOF2 streams decodes through
+    the same read path as baseline JPEG-in-TIFF (value-exact on
+    blockwise-constant content, strips AND tiles)."""
+    from pyresample_spark.sources.binary_raster import (
+        geotiff_bytes,
+        tiff_pixels,
+    )
+    img = np.repeat(np.repeat(
+        np.arange(12).reshape(3, 4) * 17 % 251, 8, 0), 8, 1
+    ).astype(np.uint8)
+    for kw in ({"rows_per_strip": 8}, {"tile": (16, 16)}):
+        buf = geotiff_bytes(img, sx=1.0, sy=1.0, x0=0.0, y0=0.0,
+                            compress="jpeg_progressive", **kw)
+        arr = tiff_pixels(buf)
+        assert np.array_equal(arr, img), kw

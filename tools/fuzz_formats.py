@@ -135,6 +135,17 @@ def main():
         b[i + 8:i + 10] = struct.pack("<H", 2)  # photometric RGB
         return bytes(b)
 
+    from pyresample_spark.sources.jpeg import (
+        decode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    def _prog_rst_fixture() -> bytes:
+        img = ((np.arange(24)[:, None] * 13
+                + np.arange(24)[None, :] * 7) % 251).astype("u1")
+        return encode_progressive_jpeg(img, quant=16,
+                                       restart_interval=2)
+
     from pyresample_spark.operators.multimodal import (
         decode_ppm,
         decode_ppm_container,
@@ -241,6 +252,18 @@ def main():
         # per-component predictors/Pt + per-component DC tables (r17)
         ("tiff-oldjpeg-lossless-percomp", _oldjpeg_percomp_fixture(),
             tiff_pixels),
+        # progressive (SOF2, r17): multi-scan segment loop, EOB runs,
+        # successive-approximation state tracking under corruption
+        ("tiff-jpeg-progressive", geotiff_bytes(
+            np.repeat(np.repeat(
+                (np.arange(12).reshape(3, 4) * 20) % 256, 8, 0), 8, 1
+            ).astype("u1"), 1.0, 1.0, 0.0, 0.0,
+            compress="jpeg_progressive", rows_per_strip=8),
+            tiff_pixels),
+        # raw progressive stream with quantization + restart markers:
+        # RST/EOB-run resets and AC refinement correction bits
+        ("jpeg-progressive-rst", _prog_rst_fixture(),
+            decode_baseline_jpeg),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
             tiff_pixels),
