@@ -553,9 +553,15 @@ def _sphere_scale(fam: str, p: dict) -> float:
 #     output (easting, northing) is permuted/negated into the
 #     declared pair, inverse un-permutes first; the vertical char
 #     must be 'u' — a 2-D transform cannot honor 'd').
+#   honored generically (r17, continued) — +geoc (latitudes in the LP
+#     frame are GEOCENTRIC): forward pre-converts to the geodetic
+#     latitude the kernels take, φ ← atan(tan(φ)/(1−e²)), and inverse
+#     post-converts back, φ ← atan((1−e²)·tan(φ)) — exactly PROJ's
+#     pj_fwd/pj_inv geoc hooks. On a spherical CRS e²=0 makes both
+#     the identity (PROJ: one_es == 1), so the fast path is kept and
+#     plans stay byte-identical.
 #   loud guards — +over (suppresses longitude wrapping inside family
-#     kernels that wrap structurally), +geoc (geocentric latitude
-#     input), +axis with a vertical flip.
+#     kernels that wrap structurally), +axis with a vertical flip.
 #   inert, deliberately ignored — +no_defs, +wktext, +type=crs,
 #     +vunits/+vto_meter (vertical only; these transforms are 2-D).
 # Everything short-circuits when absent so existing plans are
@@ -619,9 +625,13 @@ def _axis_inv(axis: str, c1, c2, neg):
 
 
 def _frame_params(fam: str, p: dict):
-    """(pm_degrees, to_meter, lon_wrap_center_or_None, axis) for a
-    token dict, with loud guards for the frame parameters that cannot
-    be honored generically. See the block comment above."""
+    """(pm_degrees, to_meter, lon_wrap_center_or_None, axis,
+    geoc_es_or_None) for a token dict, with loud guards for the frame
+    parameters that cannot be honored generically. See the block
+    comment above. ``geoc_es`` is the e² of the declared ellipsoid
+    when +geoc is present and the CRS is genuinely ellipsoidal;
+    None otherwise (absent, or spherical where the conversion is the
+    identity)."""
     axis = p.get("axis", "enu")
     if axis != "enu":
         horiz = {axis[0] if len(axis) == 3 else "",
@@ -643,11 +653,16 @@ def _frame_params(fam: str, p: dict):
             "kernels wrap structurally — drop +over and post-shift "
             "x by n*2*pi*R for repeated worlds"
         )
-    if "geoc" in p:
-        raise NotImplementedError(
-            "+geoc (geocentric latitude input) is not supported — "
-            "convert to geodetic latitude first"
-        )
+    geoc_es = None
+    if "geoc" in p and fam != "longlat":
+        ab = _ellipsoid_ab(p)
+        if ab is not None:
+            a, b = ab
+            es = 1.0 - (b * b) / (a * a)
+            if es != 0.0:
+                geoc_es = es
+        # spherical: atan((1-0)·tan φ) is the identity — PROJ's
+        # one_es == 1 path; keep the fast path (geoc_es None)
     pm_tok = p.get("pm", "0")
     if pm_tok in _PRIME_MERIDIANS:
         pm = _PRIME_MERIDIANS[pm_tok]
@@ -678,13 +693,13 @@ def _frame_params(fam: str, p: dict):
         to_meter = 1.0
     lon_wrap = float(p["lon_wrap"]) if "lon_wrap" in p else None
     if fam == "longlat" and (pm != 0.0 or to_meter != 1.0
-                             or axis != "enu"):
+                             or axis != "enu" or "geoc" in p):
         raise NotImplementedError(
-            "+pm/+units/+axis on a longlat CRS: the passthrough "
-            "family keeps Greenwich degrees — apply the shift "
-            "explicitly"
+            "+pm/+units/+axis/+geoc on a longlat CRS: the "
+            "passthrough family keeps Greenwich geodetic degrees — "
+            "apply the shift explicitly"
         )
-    return pm, to_meter, lon_wrap, axis
+    return pm, to_meter, lon_wrap, axis, geoc_es
 
 
 def forward(crs: str):
@@ -694,14 +709,22 @@ def forward(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, _, ax = _frame_params(fam, p)
-    if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 or ax != "enu":
+    pm, to_m, _, ax, gc = _frame_params(fam, p)
+    if (x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0
+            or ax != "enu" or gc is not None):
         fwd = _forward_centered(crs)
 
         def _shifted(lon, lat):
             if pm != 0.0:
                 lon = (F.col(lon) if isinstance(lon, str) else lon
                        ) - F.lit(pm)
+            if gc is not None:
+                # +geoc: input latitude is geocentric; the kernels
+                # take geodetic — PROJ pj_fwd: φ ← atan(tanφ/(1−e²))
+                lat = F.degrees(F.atan(
+                    F.tan(F.radians(
+                        F.col(lat) if isinstance(lat, str) else lat
+                    )) / F.lit(1.0 - gc)))
             x, y = fwd(lon, lat)
             if s != 1.0:
                 x, y = x * F.lit(s), y * F.lit(s)
@@ -855,9 +878,9 @@ def inverse(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, lon_wrap, ax = _frame_params(fam, p)
+    pm, to_m, lon_wrap, ax, gc = _frame_params(fam, p)
     if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 \
-            or lon_wrap is not None or ax != "enu":
+            or lon_wrap is not None or ax != "enu" or gc is not None:
         inv = _inverse_centered(crs)
 
         def _shifted(x, y):
@@ -878,6 +901,11 @@ def inverse(crs: str):
                            - 180.0)
                 lon = ((lon - lo) % F.lit(360.0) + F.lit(360.0)) \
                     % F.lit(360.0) + lo
+            if gc is not None:
+                # +geoc: output latitude is geocentric — PROJ pj_inv:
+                # φ ← atan((1−e²)·tanφ)
+                lat = F.degrees(F.atan(
+                    F.lit(1.0 - gc) * F.tan(F.radians(lat))))
             return lon, lat
 
         return _shifted
@@ -1073,16 +1101,19 @@ def forward_sql(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, _, ax = _frame_params(fam, p)
+    pm, to_m, _, ax, gc = _frame_params(fam, p)
 
     def offset(fn):
         if not (x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0
-                or ax != "enu"):
+                or ax != "enu" or gc is not None):
             return fn
 
         def _sh(lon, lat):
             if pm != 0.0:
                 lon = f"(({lon}) - {pm!r})"
+            if gc is not None:
+                lat = (f"(degrees(atan(tan(radians({lat})) / "
+                       f"{1.0 - gc!r})))")
             x, y = fn(lon, lat)
             if s != 1.0:
                 x, y = f"({x} * {s!r})", f"({y} * {s!r})"
@@ -1413,21 +1444,28 @@ def inverse_scalar(crs: str):
     fam, p = _family(crs), _params(crs)
     x0, y0 = _xy_offsets(fam, p)
     s = _sphere_scale(fam, p)
-    pm, to_m, lon_wrap, ax = _frame_params(fam, p)
+    pm, to_m, lon_wrap, ax, gc = _frame_params(fam, p)
     if x0 or y0 or s != 1.0 or pm != 0.0 or to_m != 1.0 \
-            or lon_wrap is not None or ax != "enu":
+            or lon_wrap is not None or ax != "enu" or gc is not None:
+        import math as _math
+
         inv = _inverse_scalar_centered(crs)
 
         def _scalar_shifted(x, y):
             if ax != "enu":
                 x, y = _axis_inv(ax, x, y, lambda v: -v)
             out = inv((x * to_m - x0) / s, (y * to_m - y0) / s)
-            if out is None or (pm == 0.0 and lon_wrap is None):
+            if out is None or (pm == 0.0 and lon_wrap is None
+                               and gc is None):
                 return out
             lon, lat = out
-            lon += pm
-            lo = (lon_wrap if lon_wrap is not None else 0.0) - 180.0
-            lon = ((lon - lo) % 360.0 + 360.0) % 360.0 + lo
+            if pm != 0.0 or lon_wrap is not None:
+                lon += pm
+                lo = (lon_wrap if lon_wrap is not None else 0.0) - 180.0
+                lon = ((lon - lo) % 360.0 + 360.0) % 360.0 + lo
+            if gc is not None:
+                lat = _math.degrees(_math.atan(
+                    (1.0 - gc) * _math.tan(_math.radians(lat))))
             return lon, lat
 
         return _scalar_shifted

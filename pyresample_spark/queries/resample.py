@@ -2982,6 +2982,63 @@ def q_regrid_axis(spark, sf_dir):
     return regrid_nearest(_AXIS_AREA, EQC_AREA, src)
 
 
+# --- q_regrid_geoc: +geoc geocentric-latitude frame (r17) ------------
+
+def _geoc_area():
+    from pyresample_spark.geometry import AreaDefinition
+
+    # WGS84 polar stereographic declaring +geoc (latitudes in the LP
+    # frame are GEOCENTRIC) composed with +units=km: exercises the
+    # r17 generic geoc handling (PROJ pj_fwd/pj_inv hooks: forward
+    # pre-converts to geodetic, inverse post-converts back) stacked
+    # with the unit machinery on an ellipsoidal family.
+    return AreaDefinition(
+        "stere_wgs84_geoc_km",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=15 +ellps=WGS84 "
+        "+geoc +units=km",
+        width=56, height=44,
+        area_extent=(-2240.0, -4692.0, 2240.0, -1500.0),
+    )
+
+
+_GEOC_AREA = _geoc_area()
+
+
+def _geoc_oracle() -> str:
+    from pyresample_spark.functions.geo import stere_ell_polar_inv_sql
+
+    # replay the engine wrapper's exact op order: km -> m, ellipsoidal
+    # polar stereographic inverse (geodetic lat), then the geoc
+    # post-step lat <- atan((1-e^2) tan(lat))
+    a = 6378137.0
+    b = a * (1.0 - 1.0 / 298.257223563)
+    es = 1.0 - (b * b) / (a * a)
+    lon, lat = stere_ell_polar_inv_sql(
+        "(cx * 1000.0)", "(cy * 1000.0)",
+        lat_ts=70.0, a=a, b=b, lon_0=15.0, north=True,
+    )
+    lat = f"(degrees(atan({1.0 - es!r} * tan(radians({lat})))))"
+    return _regrid_oracle(_GEOC_AREA, (lon, lat))
+
+
+@register("q_regrid_geoc", oracle=_geoc_oracle())
+def q_regrid_geoc(spark, sf_dir):
+    """Regrid onto a CRS declaring +geoc +units=km — latitudes in the
+    LP frame are GEOCENTRIC. Previously a loud guard; r17 honors
+    +geoc generically in every twin (operators/crs.py _frame_params:
+    forward pre-converts to the geodetic latitude the kernels take,
+    φ ← atan(tanφ/(1−e²)); inverse post-converts back,
+    φ ← atan((1−e²)·tanφ) — PROJ's pj_fwd/pj_inv geoc hooks),
+    composing with +units on an ellipsoidal family; spherical CRSs
+    keep the fast path (the conversion is the identity). Reference:
+    pyresample delegates this entirely to pyproj/PROJ."""
+    from pyresample_spark.operators.crs import regrid_nearest
+    from pyresample_spark.operators.resample_grid import synth_image
+
+    src = synth_image(spark, EQC_AREA)
+    return regrid_nearest(_GEOC_AREA, EQC_AREA, src)
+
+
 # --- q_regrid_krovak: S-JTSK / Krovak (EPSG 5514, method 9819) -------
 
 def _krovak_areas():

@@ -854,24 +854,78 @@ def test_frame_params_pm_units_lon_wrap_and_guards():
         10.0 + 43.0 / 60 + 22.5 / 3600)
     with pytest.raises(NotImplementedError, match="prime meridian"):
         C.forward("+proj=eqc +pm=atlantis")
-    # loud guards: vertical axis flip / malformed axis, +over, +geoc,
-    # unknown unit
+    # loud guards: vertical axis flip / malformed axis, +over,
+    # unknown unit (+geoc is HONORED as of r17 — see
+    # test_geoc_latitude_honored)
     for bad, msg in [
         ("+proj=eqc +axis=end", "axis"),       # 'd' vertical flip
         ("+proj=eqc +axis=eeu", "axis"),       # two horizontals same
         ("+proj=eqc +axis=ne", "axis"),        # not 3 chars
         ("+proj=eqc +over", "over"),
-        ("+proj=eqc +geoc", "geoc"),
         ("+proj=eqc +units=parsec", "unit"),
         ("+proj=longlat +pm=paris", "longlat"),
         ("+proj=longlat +axis=neu", "longlat"),
+        ("+proj=longlat +geoc", "longlat"),
     ]:
         with pytest.raises(NotImplementedError, match=msg):
             C.inverse(bad)
     # inert flags keep the fast path (no wrapper, byte-identical plans)
     assert C._frame_params(
         "eqc", C._params("+proj=eqc +no_defs +wktext +type=crs")
-    ) == (0.0, 1.0, None, "enu")
+    ) == (0.0, 1.0, None, "enu", None)
+
+
+def test_geoc_latitude_honored():
+    """r17 (VERDICT r16 'residual loud-guard corners'): +geoc —
+    latitudes in the LP frame are GEOCENTRIC. Forward pre-converts to
+    geodetic (PROJ pj_fwd: φ ← atan(tanφ/(1−e²))), inverse
+    post-converts back (pj_inv: φ ← atan((1−e²)·tanφ)), identically
+    in the scalar and SQL twins; a spherical CRS keeps the fast path
+    (the conversion is the identity — PROJ one_es == 1)."""
+    import math
+
+    import duckdb
+
+    from pyresample_spark.operators import crs as C
+
+    es = 1.0 - (6356752.314245179 / 6378137.0) ** 2  # WGS84
+    crs_g = "+proj=merc +ellps=WGS84 +geoc"
+    crs_n = "+proj=merc +ellps=WGS84"
+    # inverse_scalar: geodetic → geocentric post-step
+    x, y = 1.2e6, 5.3e6
+    lon_n, lat_n = C.inverse_scalar(crs_n)(x, y)
+    lon_g, lat_g = C.inverse_scalar(crs_g)(x, y)
+    assert lon_g == lon_n
+    assert lat_g == pytest.approx(math.degrees(math.atan(
+        (1.0 - es) * math.tan(math.radians(lat_n)))), abs=1e-12)
+    assert lat_g < lat_n  # geocentric < geodetic in the N hemisphere
+    # forward SQL twin: geocentric input pre-converted to geodetic
+    fx_g, fy_g = C.forward_sql(crs_g)("10.0", "45.0")
+    gx, gy = duckdb.sql(f"SELECT {fx_g}, {fy_g}").fetchone()
+    lat_gd = math.degrees(math.atan(
+        math.tan(math.radians(45.0)) / (1.0 - es)))
+    fx_n, fy_n = C.forward_sql(crs_n)("10.0", repr(lat_gd))
+    hx, hy = duckdb.sql(f"SELECT {fx_n}, {fy_n}").fetchone()
+    assert gx == pytest.approx(hx, abs=1e-9)
+    assert gy == pytest.approx(hy, abs=1e-6)
+    # the equator is a fixed point; poles survive the tan() in
+    # doubles (tan(π/2) is huge-but-finite, atan folds it back)
+    assert C.inverse_scalar(crs_g)(0.0, 0.0)[1] == pytest.approx(0.0)
+    for sgn in (1.0, -1.0):
+        pole = math.degrees(math.atan(
+            (1.0 - es) * math.tan(math.radians(sgn * 90.0))))
+        assert pole == pytest.approx(sgn * 90.0, abs=1e-9)
+    # spherical CRS: +geoc is the identity — fast path kept
+    assert C._frame_params(
+        "eqc", C._params("+proj=eqc +geoc")) == (
+        0.0, 1.0, None, "enu", None)
+    # composes with +pm/+units in the same wrapper
+    lon_c, lat_c = C.inverse_scalar(
+        "+proj=merc +ellps=WGS84 +geoc +units=km +pm=paris")(
+        x / 1000.0, y / 1000.0)
+    assert lat_c == pytest.approx(lat_g, abs=1e-12)
+    assert lon_c == pytest.approx(
+        lon_n + C._PRIME_MERIDIANS["paris"], abs=1e-12)
 
 
 def test_axis_order_orientation_honored():
