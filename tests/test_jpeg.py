@@ -735,3 +735,52 @@ def test_progressive_inside_tiff_granule():
                             compress="jpeg_progressive", **kw)
         arr = tiff_pixels(buf)
         assert np.array_equal(arr, img), kw
+
+
+def test_progressive_hand_vector_eobrun_buffered_bits():
+    """Second spec-built vector (2 blocks, no encoder involvement):
+    an EOB run of length 2 (EOB1 symbol + 1 extra bit) whose
+    correction bit for an already-significant coefficient is BUFFERED
+    behind the EOB symbol — the G.1.2.3 ordering that a naive
+    encoder/decoder mirror gets wrong first."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    sof2 = b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, bits16, vals):
+        body = bytes([tc << 4]) + bytes(bits16) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    stream = (
+        b"\xff\xd8" + dqt + sof2
+        # scan 1 — DC first Al=0: diffs 4, 4 (cat 3): '0 100 0 100'
+        + dht(0, [1] + [0] * 15, [3]) + sos(0, 0, 0, 0) + b"\x44"
+        # scan 2 — AC first 1..63 Al=1: blk0 zz1 = 2 (sym 0x02 '00',
+        # bits '10'), then EOB run of 2 blocks (sym 0x10 '01',
+        # 1 extra bit '0'): '00 10 01 0' + pad -> 0x25
+        + dht(1, [0, 2] + [0] * 14, [0x02, 0x10])
+        + sos(1, 63, 0, 1) + b"\x25"
+        # scan 3 — AC refine Ah=1 Al=0: EOB run of 2 ('0' + extra '0')
+        # then the BUFFERED correction bit '1' for blk0 zz1 (4 -> 5):
+        # '0 0 1' + pad -> 0x3f
+        + dht(1, [1] + [0] * 15, [0x10])
+        + sos(1, 63, 1, 0) + b"\x3f"
+        + b"\xff\xd9")
+    out = decode_baseline_jpeg(stream)
+    assert out.shape == (8, 16)
+    m = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    blk0 = np.zeros((8, 8))
+    blk0[0, 0], blk0[0, 1] = 4.0, 5.0   # DC, zigzag-1 refined 4 -> 5
+    blk1 = np.zeros((8, 8))
+    blk1[0, 0] = 8.0                     # DC diff 4 accumulates to 8
+    want = np.clip(np.round(np.concatenate(
+        [m.T @ blk0 @ m, m.T @ blk1 @ m], axis=1) + 128.0), 0, 255)
+    assert np.array_equal(out, want.astype(np.uint8))
