@@ -516,6 +516,49 @@ def test_streaming_granule_ingest_filtered_hdf5_matches_batch(spark):
         assert got == batch, tag
 
 
+def test_streaming_granule_ingest_jpeg_matches_batch(spark):
+    """JPEG-in-TIFF twin (r17): the five-granule mix — baseline
+    strips/tiles, 12-bit SOF1, and the progressive SOF2 granule —
+    streams through the SAME shared raster_decode_fn as the batch
+    ingest, so every T.81 process must reproduce the batch per-file
+    summaries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyresample_spark.sources.binary_raster import (
+        JPEG_BANDS,
+        demo_jpeg_granule_dir,
+        read_raster_pixels,
+    )
+    from pyresample_spark.streaming.windows import (
+        run_to_memory,
+        streaming_granule_ingest,
+    )
+
+    d = demo_jpeg_granule_dir()
+    glob = os.path.join(d, "*.tif")
+    stream = streaming_granule_ingest(spark, glob, "geotiff")
+    got = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in run_to_memory(stream, "jpeg_granule_ingest").collect()
+    }
+    batch = {
+        r["file"].rsplit("/", 1)[-1]: (r["n_pixels"], r["value_sum_u"])
+        for r in read_raster_pixels(spark, glob, "geotiff")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("value_sum_u"),
+        )
+        .collect()
+    }
+    assert len(got) == JPEG_BANDS  # incl. 12-bit and progressive
+    assert got == batch
+
+
 def test_streaming_granule_ingest_multiband_matches_batch(spark):
     """Multiband twin: the (file, channel)-keyed streaming summaries
     must equal the batch ingest's over the chunky/planar granule mix."""
