@@ -2405,9 +2405,11 @@ def demo_jpeg_granule_dir() -> str:
                 )
             elif band == 4:
                 # progressive granule (SOF2, r17): per-strip
-                # multi-scan streams — interleaved DC first/refine and
+                # multi-scan grayscale streams — DC first/refine and
                 # AC first/refine with successive approximation — must
-                # reassemble to the same value-exact grid
+                # reassemble to the same value-exact grid (the
+                # interleaved multi-component DC path is pinned by the
+                # tests/test_jpeg.py equivalence battery)
                 buf = geotiff_bytes(
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
                     compress="jpeg_progressive", rows_per_strip=8,

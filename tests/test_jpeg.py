@@ -711,7 +711,6 @@ def test_progressive_guards():
     # decoder rejects AC scans arriving before the component's DC scan
     s = _prog_hand_stream()
     i_dc = s.find(b"\xff\xda")
-    i_ac = s.find(b"\xff\xda", i_dc + 1)
     # splice: drop the first (DC) scan, keep its DHT, start at AC DHT
     i_ac_dht = s.find(b"\xff\xc4", i_dc)
     reordered = s[:s.find(b"\xff\xc4")] + s[i_ac_dht:]
