@@ -144,3 +144,54 @@ def test_aeqd_preserves_center_distance(lon, lat):
     )
     dist = 2.0 * R_EARTH * math.asin(min(1.0, math.sqrt(hav)))
     assert math.hypot(x, y) == pytest.approx(dist, abs=1e-3)
+
+
+# --- progressive JPEG (r17): random images x random legal scan scripts
+
+
+@st.composite
+def _prog_scan_scripts(draw):
+    """A random LEGAL grayscale scan script: DC and the 1..63 AC band
+    split at a random point, each started at a random Al and refined
+    in unit steps to 0, scan order shuffled subject to DC-before-AC
+    and descending-Al legality."""
+    dc_al = draw(st.integers(0, 3))
+    split = draw(st.integers(1, 63))
+    ac1_al = draw(st.integers(0, 2))
+    ac2_al = draw(st.integers(0, 2))
+    scans = [([0], 0, 0, 0, dc_al)]
+    scans += [([0], 0, 0, al + 1, al) for al in range(dc_al - 1, -1, -1)]
+    bands = [(1, split, ac1_al)]
+    if split < 63:
+        bands.append((split + 1, 63, ac2_al))
+    for ss, se, al0 in bands:
+        scans.append(([0], ss, se, 0, al0))
+        scans += [([0], ss, se, al + 1, al)
+                  for al in range(al0 - 1, -1, -1)]
+    return scans
+
+
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    seed=st.integers(0, 2**31), quant=st.integers(1, 64),
+    ri=st.integers(0, 4), scans=_prog_scan_scripts(),
+)
+@settings(max_examples=60, deadline=None)
+def test_progressive_decodes_bit_identical_to_baseline(
+        h, w, seed, quant, ri, scans):
+    import numpy as np
+
+    from pyresample_spark.sources.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    base = decode_baseline_jpeg(encode_baseline_jpeg(
+        img, quant=quant, restart_interval=ri))
+    prog = decode_baseline_jpeg(encode_progressive_jpeg(
+        img, quant=quant, restart_interval=ri, scans=scans))
+    assert prog.dtype == base.dtype and prog.shape == base.shape
+    assert (prog == base).all()
