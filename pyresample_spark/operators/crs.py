@@ -1061,6 +1061,23 @@ def crs_datum_spec(crs: str):
 _WGS84_LIKE = {(6378137.0, _ELLPS["WGS84"][1]), (6378137.0, _ELLPS["GRS80"][1])}
 
 
+def _guard_geoc_datum(*crss: str):
+    """A +geoc CRS cannot enter a datum pipeline here: the Helmert /
+    grid-shift legs consume GEODETIC latitude, and PROJ converts
+    geocentric→geodetic BEFORE the datum step (pj_transform) — this
+    engine applies the geoc conversion at the LP boundary only, so
+    composing would shift the wrong latitude silently. Decide, don't
+    default."""
+    for crs in crss:
+        if "geoc" in _params(crs):
+            raise NotImplementedError(
+                f"{crs!r}: +geoc combined with a datum shift "
+                "(+towgs84/+datum/+nadgrids on either side) is "
+                "outside the subset — the shift legs take geodetic "
+                "latitude; drop +geoc and convert explicitly"
+            )
+
+
 def datum_specs_between(src_crs: str, dst_crs: str):
     """(src DatumSpec, dst DatumSpec) when a Helmert shift applies
     between the two CRSs, else None. Enforces the loud guard (see
@@ -1076,6 +1093,7 @@ def datum_specs_between(src_crs: str, dst_crs: str):
         return None
     if s.same_datum(d):
         return None
+    _guard_geoc_datum(src_crs, dst_crs)
     for spec, crs in ((s, src_crs), (d, dst_crs)):
         if spec.towgs84 is None and (spec.a, spec.b) not in _WGS84_LIKE:
             raise NotImplementedError(
@@ -1354,6 +1372,7 @@ def gridshift_pipeline(tgt_crs: str, src_crs: str):
     tg, sg = crs_nadgrids(tgt_crs), crs_nadgrids(src_crs)
     if tg is None and sg is None:
         return None
+    _guard_geoc_datum(tgt_crs, src_crs)
     out = {"tgt_subs": None, "src_subs": None,
            "tgt_helmert": None, "src_helmert": None}
     for side, names, crs in (("tgt", tg, tgt_crs), ("src", sg, src_crs)):

@@ -926,6 +926,18 @@ def test_geoc_latitude_honored():
     assert lat_c == pytest.approx(lat_g, abs=1e-12)
     assert lon_c == pytest.approx(
         lon_n + C._PRIME_MERIDIANS["paris"], abs=1e-12)
+    # a +geoc CRS cannot enter a datum pipeline (either side, either
+    # mechanism): the Helmert/grid legs take geodetic latitude
+    with pytest.raises(NotImplementedError, match="geoc"):
+        C.datum_specs_between(
+            "+proj=merc +ellps=bessel +geoc +towgs84=598.1,73.7,418.2",
+            crs_n)
+    with pytest.raises(NotImplementedError, match="geoc"):
+        C.datum_specs_between(
+            "+proj=merc +ellps=bessel +towgs84=598.1,73.7,418.2",
+            crs_n + " +geoc")
+    # ...but with no shift in play, +geoc alone composes fine
+    assert C.datum_specs_between(crs_g, crs_n) is None
 
 
 def test_axis_order_orientation_honored():
