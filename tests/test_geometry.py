@@ -1072,6 +1072,8 @@ def test_crs_string_parser_loud_error_contract():
         "+proj=utm +zone=33 +R=6371229",
         "+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80",
         "+proj=eqc +axis=swu +units=km",
+        "+proj=merc +ellps=WGS84 +geoc",
+        "+proj=stere +lat_0=90 +lat_ts=70 +ellps=WGS84 +geoc +units=km",
     ]
     rnd = random.Random(17)
     allowed = (ValueError, NotImplementedError, KeyError)
