@@ -74,6 +74,19 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 chunk_index="fixed_array" if fmt == "hdf5_fa"
                 else "btree1",
             )
+        elif fmt in ("jpeg", "jpeg_progressive"):
+            # uint8 tag-7 JPEG strips (baseline vs progressive SOF2,
+            # r17): the per-bit entropy walk is the per-core cost
+            # center — measure its per-file amortization and the
+            # progressive multi-scan overhead at granule scale
+            from pyresample_spark.sources.binary_raster import (
+                geotiff_bytes,
+            )
+
+            buf = geotiff_bytes(
+                (data % 251).astype("u1"), 1.0, 1.0, 0.0,
+                float(-i * H), compress=fmt, rows_per_strip=64,
+            )
         elif fmt in ("tiff_pred3", "tiff_plain"):
             # float32 DEFLATE, with/without floating-point predictor 3
             # — the byte-plane transform adds a per-row numpy pass on
@@ -125,7 +138,8 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 ],
             )
         ext = ("tif" if fmt in ("mbtiff", "mbtiff_planar", "tiff_pred3",
-                                "tiff_plain", "cog")
+                                "tiff_plain", "cog", "jpeg",
+                                "jpeg_progressive")
                else "nc")
         with open(os.path.join(d, f"g{i:04d}.{ext}"), "wb") as f:
             f.write(buf)
@@ -145,11 +159,13 @@ def main():
     if fmt == "cog":
         return cog_main(ns)
     multi = fmt in ("mbtiff", "mbtiff_planar")
-    tiff1 = fmt in ("tiff_pred3", "tiff_plain")
+    tiff1 = fmt in ("tiff_pred3", "tiff_plain", "jpeg",
+                    "jpeg_progressive")
     ingest_fmt = ("geotiff_multiband" if multi
                   else "geotiff" if tiff1 else "netcdf3")
     px_per_file = (3 if multi else 1) * H * W
-    bytes_per_px = (4 if (multi or tiff1)
+    bytes_per_px = (4 if (multi or fmt in ("tiff_pred3", "tiff_plain"))
+                    else 1 if fmt in ("jpeg", "jpeg_progressive")
                     else 2 if fmt in ("szip", "nbit") else 8)
     for n in ns:
         d = make_granules(n, fmt)
