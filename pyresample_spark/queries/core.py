@@ -294,6 +294,48 @@ def q_hdf5_nbit_ingest(spark, sf_dir):
 
 
 @register(
+    "q_hdf5_lzf_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 37 + (r % 40) * 11) % 251 AS DOUBLE)
+               AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_hdf5_lzf_ingest(spark, sf_dir):
+    """LZF-compressed HDF5 ingest (filter 32000 — h5py's
+    ``compression='lzf'``, the registered-plugin filter real archives
+    actually ship, r17): uint16 grids whose chunks decode through the
+    native LZF codec (sources/lzf.py — liblzf's three-rule LZ77 byte
+    grammar) — band 0 lzf alone, band 1 riding shuffle (h5py's
+    shuffle=True recipe), band 2 with fletcher32 in the HDF5 >=1.10
+    Fixed-Array container — via the SAME distributed binaryFile +
+    mapInPandas ingest as every other granule format. The oracle
+    regenerates the grid, so the decode must be value-exact.
+    Reference path: h5py/libhdf5 + the h5py lzf filter plugin behind
+    pyresample's swath loading."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import demo_hdf5_lzf_granule_dir
+
+    d = demo_hdf5_lzf_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_geotiff_ingest",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

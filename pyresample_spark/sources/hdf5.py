@@ -949,6 +949,21 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int,
         fid, cds = filters[idx]
         if fid == 1:
             raw = zlib.decompress(raw)
+        elif fid == 32000:
+            from pyresample_spark.sources.lzf import lzf_decompress
+
+            # bound the output by the chunk's TRUE byte size from the
+            # dataset layout (+4 for a possible fletcher32 riding
+            # under the compressor); the cd bufsize hint (h5py
+            # cd_values[2]) is untrusted and only consulted when the
+            # layout count is unavailable
+            if nelmts is not None:
+                cap = nelmts * itemsize + 64
+            elif len(cds) >= 3 and 0 < cds[2] <= (1 << 28):
+                cap = int(cds[2]) + 64
+            else:
+                cap = 1 << 28
+            raw = lzf_decompress(raw, cap)
         elif fid == 2:
             raw = _unshuffle(raw, itemsize)
         elif fid == 4:
@@ -1493,12 +1508,14 @@ def parse_hdf5(buf: bytes) -> dict:
                     # szip (id 4) decodes against its client-data
                     # values, so the pipeline carries (fid, cds) pairs
                     filters.append((fid, cds))
-                unknown = {f for f, _ in filters} - {1, 2, 3, 4, 5, 6}
+                unknown = ({f for f, _ in filters}
+                           - {1, 2, 3, 4, 5, 6, 32000})
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
                         "(deflate=1, shuffle=2, fletcher32=3, szip=4, "
-                        "nbit=5 and scaleoffset=6 decode natively; "
+                        "nbit=5, scaleoffset=6 and lzf=32000 — h5py's "
+                        "compression='lzf' — decode natively; other "
                         "registered plugins need the libs)"
                     )
             elif t == 0x0008:
@@ -2046,6 +2063,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     szip: dict | None = None,
                     scaleoffset: dict | None = None,
                     nbit: dict | None = None,
+                    lzf: bool = False,
                     superblock: int = 0,
                     dense_links: bool = False,
                     chunk_index: str = "btree1") -> bytes:
@@ -2078,6 +2096,9 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     if szip and deflate:
         raise ValueError("szip and deflate are alternative compressors "
                          "— pass deflate=False with szip")
+    if lzf and (deflate or szip):
+        raise ValueError("lzf is an alternative compressor — pass "
+                         "deflate=False (and no szip) with lzf=True")
     if scaleoffset is not None and not isinstance(scaleoffset, dict):
         raise ValueError("scaleoffset must be a dict like "
                          "{'factor': 2, 'fill': -999.0}")
@@ -2127,7 +2148,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             snod += struct.pack("<QQII", heap_off[n], 0, 0, 0) + b"\x00" * 16
         place("snod", snod)
 
-    if deflate or shuffle or fletcher32 or szip or scaleoffset or nbit:
+    if (deflate or shuffle or fletcher32 or szip or scaleoffset
+            or nbit or lzf):
         fspecs = []
         if scaleoffset:
             # h5py/libhdf5 apply scale-offset FIRST (position 0) so
@@ -2144,6 +2166,11 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             fspecs.append((2, 0, [0]))  # cd value patched per-var below
         if deflate:
             fspecs.append((1, 1, [6]))
+        if lzf:
+            # h5py's lzf_filter.c registers OPTIONAL (flag 1) with
+            # cd = (filter version 4, LZF_VERSION 0x0105, chunk
+            # bytes); the bufsize is patched per-variable below
+            fspecs.append((32000, 1, [4, 0x0105, 0]))
         if szip:
             # H5Pset_szip registers the filter OPTIONAL (flag 1 —
             # encoder may be license-absent); cds per-var below
@@ -2159,6 +2186,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     cds = list(_nbit_cds(nbit, dtype, npoints))
                 elif fid == 6:
                     cds = list(_so_cds(scaleoffset, dtype, npoints))
+                elif fid == 32000:
+                    cds = [cds[0], cds[1], npoints * dtype.itemsize]
                 else:
                     cds = [dtype.itemsize if fid == 2 else c
                            for c in cds]
@@ -2211,7 +2240,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         if n in chunks:
             cr, cc = chunks[n]
             if (deflate or shuffle or fletcher32 or szip
-                    or scaleoffset or nbit):
+                    or scaleoffset or nbit or lzf):
                 msgs.append(
                     _w_msg(0x000B, _w_filters(arr.dtype, cc, cr * cc))
                 )
@@ -2246,6 +2275,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         raw = _shuffle_bytes(raw, arr.dtype.itemsize)
                     if deflate:
                         raw = zlib.compress(raw, 6)
+                    elif lzf:
+                        from pyresample_spark.sources.lzf import (
+                            lzf_compress,
+                        )
+
+                        raw = lzf_compress(raw)
                     elif szip:
                         from pyresample_spark.sources.szip import (
                             h5_szip_encode,
@@ -2313,7 +2348,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 place(("chunk", n, i), raw)
             blobs = chunk_blobs[n]
             if chunk_index == "fixed_array":
-                filtered = bool(deflate or shuffle or fletcher32)
+                filtered = bool(deflate or shuffle or fletcher32
+                                or szip or scaleoffset or nbit or lzf)
                 cr, cc = chunks[n]
                 nominal = cr * cc * variables[n][0].dtype.itemsize
                 # libhdf5's chunk-size field width (H5Dfarray.c):
@@ -2358,7 +2394,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 place(("fadb", n), fadb)
                 continue
             if chunk_index == "extensible_array":
-                filtered = bool(deflate or shuffle or fletcher32)
+                filtered = bool(deflate or shuffle or fletcher32
+                                or szip or scaleoffset or nbit or lzf)
                 cr, cc = chunks[n]
                 nominal = cr * cc * variables[n][0].dtype.itemsize
                 size_len = min(8, 1 + (nominal.bit_length() + 7) // 8)
@@ -2900,6 +2937,59 @@ def demo_hdf5_nbit_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_nbit_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+def demo_hdf5_lzf_granule_dir() -> str:
+    """LZF twin (filter 32000 — h5py's ``compression='lzf'``, the
+    most common registered-plugin filter in the wild, r17): uint16
+    grids — band 0 lzf alone, band 1 riding shuffle (h5py's
+    shuffle=True recipe), band 2 with fletcher32 in the HDF5 ≥1.10
+    Fixed-Array container (which also pins the per-entry chunk-size
+    flag for registered filters) — for the driver-gated
+    q_hdf5_lzf_ingest."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 37 + cols * 11) % 251).astype("<u2")
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (5, 16)},
+                deflate=False,
+                lzf=True,
+                shuffle=band == 1,
+                fletcher32=band == 2,
+                superblock=2 if band == 2 else 0,
+                chunk_index="fixed_array" if band == 2 else "btree1",
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_lzf_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

@@ -317,6 +317,14 @@ def main():
                        ).astype("u1"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             nbit={"precision": 4, "offset": 2}), h5_parse),
+        # lzf chunks (filter 32000, r17): the three-rule LZ77 byte
+        # grammar + bounded output under corruption
+        ("hdf5-lzf", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 37
+                        + np.arange(16)[None, :] * 11) % 251
+                       ).astype("<u2"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            lzf=True, shuffle=True), h5_parse),
         ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
             {"band": (((np.arange(12)[:, None] * 31
                         + np.arange(16)[None, :] * 17) % 97
