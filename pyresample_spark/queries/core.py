@@ -336,6 +336,48 @@ def q_hdf5_lzf_ingest(spark, sf_dir):
 
 
 @register(
+    "q_hdf5_lz4_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 41 + (r % 40) * 19) % 509 AS DOUBLE)
+               AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_hdf5_lz4_ingest(spark, sf_dir):
+    """LZ4-compressed HDF5 ingest (filter 32004 — the
+    Dectris-registered plugin hdf5plugin/h5py expose, r17): uint16
+    grids whose chunks decode through the native LZ4 codec
+    (sources/lz4.py — the public block grammar under the plugin's
+    big-endian framing with raw-stored incompressible blocks) —
+    band 0 lz4 alone, band 1 riding shuffle, band 2 with fletcher32
+    in the HDF5 >=1.10 Fixed-Array container — via the SAME
+    distributed binaryFile + mapInPandas ingest as every other
+    granule format. The oracle regenerates the grid, so the decode
+    must be value-exact. Reference path: h5py + hdf5plugin behind
+    pyresample's swath loading."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import demo_hdf5_lz4_granule_dir
+
+    d = demo_hdf5_lz4_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_geotiff_ingest",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

@@ -964,6 +964,12 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int,
             else:
                 cap = 1 << 28
             raw = lzf_decompress(raw, cap)
+        elif fid == 32004:
+            from pyresample_spark.sources.lz4 import h5_lz4_decode
+
+            cap = (nelmts * itemsize + 64 if nelmts is not None
+                   else 1 << 28)
+            raw = h5_lz4_decode(raw, cap)
         elif fid == 2:
             raw = _unshuffle(raw, itemsize)
         elif fid == 4:
@@ -1509,14 +1515,15 @@ def parse_hdf5(buf: bytes) -> dict:
                     # values, so the pipeline carries (fid, cds) pairs
                     filters.append((fid, cds))
                 unknown = ({f for f, _ in filters}
-                           - {1, 2, 3, 4, 5, 6, 32000})
+                           - {1, 2, 3, 4, 5, 6, 32000, 32004})
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
                         "(deflate=1, shuffle=2, fletcher32=3, szip=4, "
-                        "nbit=5, scaleoffset=6 and lzf=32000 — h5py's "
-                        "compression='lzf' — decode natively; other "
-                        "registered plugins need the libs)"
+                        "nbit=5, scaleoffset=6, lzf=32000 — h5py's "
+                        "compression='lzf' — and lz4=32004 decode "
+                        "natively; other registered plugins need the "
+                        "libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -2064,6 +2071,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     scaleoffset: dict | None = None,
                     nbit: dict | None = None,
                     lzf: bool = False,
+                    lz4: bool = False,
                     superblock: int = 0,
                     dense_links: bool = False,
                     chunk_index: str = "btree1") -> bytes:
@@ -2099,6 +2107,10 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
     if lzf and (deflate or szip):
         raise ValueError("lzf is an alternative compressor — pass "
                          "deflate=False (and no szip) with lzf=True")
+    if lz4 and (deflate or szip or lzf):
+        raise ValueError("lz4 is an alternative compressor — pass "
+                         "deflate=False (and no szip/lzf) with "
+                         "lz4=True")
     if scaleoffset is not None and not isinstance(scaleoffset, dict):
         raise ValueError("scaleoffset must be a dict like "
                          "{'factor': 2, 'fill': -999.0}")
@@ -2149,7 +2161,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         place("snod", snod)
 
     if (deflate or shuffle or fletcher32 or szip or scaleoffset
-            or nbit or lzf):
+            or nbit or lzf or lz4):
         fspecs = []
         if scaleoffset:
             # h5py/libhdf5 apply scale-offset FIRST (position 0) so
@@ -2171,6 +2183,10 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             # cd = (filter version 4, LZF_VERSION 0x0105, chunk
             # bytes); the bufsize is patched per-variable below
             fspecs.append((32000, 1, [4, 0x0105, 0]))
+        if lz4:
+            # the Dectris plugin registers one optional cd value:
+            # the framing block size (0 = the plugin default)
+            fspecs.append((32004, 1, [1 << 20]))
         if szip:
             # H5Pset_szip registers the filter OPTIONAL (flag 1 —
             # encoder may be license-absent); cds per-var below
@@ -2240,7 +2256,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         if n in chunks:
             cr, cc = chunks[n]
             if (deflate or shuffle or fletcher32 or szip
-                    or scaleoffset or nbit or lzf):
+                    or scaleoffset or nbit or lzf or lz4):
                 msgs.append(
                     _w_msg(0x000B, _w_filters(arr.dtype, cc, cr * cc))
                 )
@@ -2281,6 +2297,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         )
 
                         raw = lzf_compress(raw)
+                    elif lz4:
+                        from pyresample_spark.sources.lz4 import (
+                            h5_lz4_encode,
+                        )
+
+                        raw = h5_lz4_encode(raw)
                     elif szip:
                         from pyresample_spark.sources.szip import (
                             h5_szip_encode,
@@ -2349,7 +2371,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             blobs = chunk_blobs[n]
             if chunk_index == "fixed_array":
                 filtered = bool(deflate or shuffle or fletcher32
-                                or szip or scaleoffset or nbit or lzf)
+                                or szip or scaleoffset or nbit
+                                or lzf or lz4)
                 cr, cc = chunks[n]
                 nominal = cr * cc * variables[n][0].dtype.itemsize
                 # libhdf5's chunk-size field width (H5Dfarray.c):
@@ -2395,7 +2418,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                 continue
             if chunk_index == "extensible_array":
                 filtered = bool(deflate or shuffle or fletcher32
-                                or szip or scaleoffset or nbit or lzf)
+                                or szip or scaleoffset or nbit
+                                or lzf or lz4)
                 cr, cc = chunks[n]
                 nominal = cr * cc * variables[n][0].dtype.itemsize
                 size_len = min(8, 1 + (nominal.bit_length() + 7) // 8)
@@ -2990,6 +3014,56 @@ def demo_hdf5_lzf_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_lzf_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+def demo_hdf5_lz4_granule_dir() -> str:
+    """LZ4 twin (filter 32004 — the Dectris-registered plugin
+    hdf5plugin/h5py expose, r17): uint16 grids — band 0 lz4 alone,
+    band 1 riding shuffle, band 2 with fletcher32 in the HDF5 ≥1.10
+    Fixed-Array container — for the driver-gated q_hdf5_lz4_ingest."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 41 + cols * 19) % 509).astype("<u2")
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (5, 16)},
+                deflate=False,
+                lz4=True,
+                shuffle=band == 1,
+                fletcher32=band == 2,
+                superblock=2 if band == 2 else 0,
+                chunk_index="fixed_array" if band == 2 else "btree1",
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_lz4_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

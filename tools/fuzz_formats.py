@@ -325,6 +325,14 @@ def main():
                        ).astype("<u2"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             lzf=True, shuffle=True), h5_parse),
+        # lz4 chunks (filter 32004, r17): block grammar + BE framing
+        # + raw-stored-block dispatch under corruption
+        ("hdf5-lz4", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 41
+                        + np.arange(16)[None, :] * 19) % 509
+                       ).astype("<u2"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            lz4=True), h5_parse),
         ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
             {"band": (((np.arange(12)[:, None] * 31
                         + np.arange(16)[None, :] * 17) % 97
