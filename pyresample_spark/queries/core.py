@@ -378,6 +378,52 @@ def q_hdf5_lz4_ingest(spark, sf_dir):
 
 
 @register(
+    "q_hdf5_bitshuffle_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 43 + (r % 40) * 23) % 769 AS DOUBLE)
+               AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_hdf5_bitshuffle_ingest(spark, sf_dir):
+    """Bitshuffle-filtered HDF5 ingest (filter 32008 — the
+    hdf5plugin/Masui filter modern detector and L1 archives ship,
+    r17): uint16 grids whose chunks decode through the native
+    bit-transpose codec (sources/bitshuffle.py — the transform is
+    pinned to the bitshuffle project's own published numpy
+    reference) — band 0 bitshuffle+LZ4 (the shipped combination),
+    band 1 plain bitshuffle, band 2 bitshuffle+LZ4 with fletcher32
+    in the HDF5 >=1.10 Fixed-Array container; the 5x17 chunks
+    exercise the %8 leftover tail in every chunk — via the SAME
+    distributed binaryFile + mapInPandas ingest as every other
+    granule format. The oracle regenerates the grid, so the decode
+    must be value-exact. Reference path: h5py + hdf5plugin behind
+    pyresample's swath loading."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import (
+        demo_hdf5_bitshuffle_granule_dir,
+    )
+
+    d = demo_hdf5_bitshuffle_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_geotiff_ingest",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

@@ -970,6 +970,25 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int,
             cap = (nelmts * itemsize + 64 if nelmts is not None
                    else 1 << 28)
             raw = h5_lz4_decode(raw, cap)
+        elif fid == 32008:
+            from pyresample_spark.sources.bitshuffle import (
+                bitshuffle_decode,
+            )
+
+            # cd = (major, minor, elem_size, block_elems, compression)
+            # — the element size must agree with the datatype; the
+            # block size rides the chunk header in the LZ4 variant
+            if len(cds) >= 3 and cds[2] and cds[2] != itemsize:
+                raise ValueError(
+                    f"bitshuffle cd element size {cds[2]} disagrees "
+                    f"with the datatype's {itemsize}")
+            cap = (nelmts * itemsize + 64 if nelmts is not None
+                   else 1 << 28)
+            raw = bitshuffle_decode(
+                raw, itemsize,
+                int(cds[3]) if len(cds) >= 4 else 0,
+                int(cds[4]) if len(cds) >= 5 else 0,
+                cap)
         elif fid == 2:
             raw = _unshuffle(raw, itemsize)
         elif fid == 4:
@@ -1515,15 +1534,15 @@ def parse_hdf5(buf: bytes) -> dict:
                     # values, so the pipeline carries (fid, cds) pairs
                     filters.append((fid, cds))
                 unknown = ({f for f, _ in filters}
-                           - {1, 2, 3, 4, 5, 6, 32000, 32004})
+                           - {1, 2, 3, 4, 5, 6, 32000, 32004, 32008})
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
                         "(deflate=1, shuffle=2, fletcher32=3, szip=4, "
                         "nbit=5, scaleoffset=6, lzf=32000 — h5py's "
-                        "compression='lzf' — and lz4=32004 decode "
-                        "natively; other registered plugins need the "
-                        "libs)"
+                        "compression='lzf' — lz4=32004 and "
+                        "bitshuffle=32008 decode natively; other "
+                        "registered plugins need the libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -2072,6 +2091,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     nbit: dict | None = None,
                     lzf: bool = False,
                     lz4: bool = False,
+                    bitshuffle: dict | None = None,
                     superblock: int = 0,
                     dense_links: bool = False,
                     chunk_index: str = "btree1") -> bytes:
@@ -2111,6 +2131,9 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         raise ValueError("lz4 is an alternative compressor — pass "
                          "deflate=False (and no szip/lzf) with "
                          "lz4=True")
+    if bitshuffle is not None and (deflate or szip or lzf or lz4):
+        raise ValueError("bitshuffle composes its own LZ4 stage — "
+                         "pass deflate=False and no other compressor")
     if scaleoffset is not None and not isinstance(scaleoffset, dict):
         raise ValueError("scaleoffset must be a dict like "
                          "{'factor': 2, 'fill': -999.0}")
@@ -2161,7 +2184,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         place("snod", snod)
 
     if (deflate or shuffle or fletcher32 or szip or scaleoffset
-            or nbit or lzf or lz4):
+            or nbit or lzf or lz4 or bitshuffle is not None):
         fspecs = []
         if scaleoffset:
             # h5py/libhdf5 apply scale-offset FIRST (position 0) so
@@ -2187,6 +2210,11 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             # the Dectris plugin registers one optional cd value:
             # the framing block size (0 = the plugin default)
             fspecs.append((32004, 1, [1 << 20]))
+        if bitshuffle is not None:
+            # bshuf_h5filter cd layout: (major, minor, elem_size,
+            # block_elems, compression); elem_size/block patched
+            # per-variable below
+            fspecs.append((32008, 1, [0, 3, 0, 0, 0]))
         if szip:
             # H5Pset_szip registers the filter OPTIONAL (flag 1 —
             # encoder may be license-absent); cds per-var below
@@ -2204,6 +2232,10 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     cds = list(_so_cds(scaleoffset, dtype, npoints))
                 elif fid == 32000:
                     cds = [cds[0], cds[1], npoints * dtype.itemsize]
+                elif fid == 32008:
+                    blk = int(bitshuffle.get("block", 64))
+                    comp = (2 if bitshuffle.get("lz4", True) else 0)
+                    cds = [0, 3, dtype.itemsize, blk, comp]
                 else:
                     cds = [dtype.itemsize if fid == 2 else c
                            for c in cds]
@@ -2256,7 +2288,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         if n in chunks:
             cr, cc = chunks[n]
             if (deflate or shuffle or fletcher32 or szip
-                    or scaleoffset or nbit or lzf or lz4):
+                    or scaleoffset or nbit or lzf or lz4
+                    or bitshuffle is not None):
                 msgs.append(
                     _w_msg(0x000B, _w_filters(arr.dtype, cc, cr * cc))
                 )
@@ -2303,6 +2336,15 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         )
 
                         raw = h5_lz4_encode(raw)
+                    elif bitshuffle is not None:
+                        from pyresample_spark.sources.bitshuffle import (
+                            bitshuffle_encode,
+                        )
+
+                        raw = bitshuffle_encode(
+                            raw, arr.dtype.itemsize,
+                            int(bitshuffle.get("block", 64)),
+                            2 if bitshuffle.get("lz4", True) else 0)
                     elif szip:
                         from pyresample_spark.sources.szip import (
                             h5_szip_encode,
@@ -2372,7 +2414,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             if chunk_index == "fixed_array":
                 filtered = bool(deflate or shuffle or fletcher32
                                 or szip or scaleoffset or nbit
-                                or lzf or lz4)
+                                or lzf or lz4
+                                or bitshuffle is not None)
                 cr, cc = chunks[n]
                 nominal = cr * cc * variables[n][0].dtype.itemsize
                 # libhdf5's chunk-size field width (H5Dfarray.c):
@@ -2419,7 +2462,8 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             if chunk_index == "extensible_array":
                 filtered = bool(deflate or shuffle or fletcher32
                                 or szip or scaleoffset or nbit
-                                or lzf or lz4)
+                                or lzf or lz4
+                                or bitshuffle is not None)
                 cr, cc = chunks[n]
                 nominal = cr * cc * variables[n][0].dtype.itemsize
                 size_len = min(8, 1 + (nominal.bit_length() + 7) // 8)
@@ -3064,6 +3108,58 @@ def demo_hdf5_lz4_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_lz4_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+def demo_hdf5_bitshuffle_granule_dir() -> str:
+    """Bitshuffle twin (filter 32008 — the hdf5plugin/Masui filter
+    modern detector and L1 archives ship, r17): uint16 grids — band 0
+    bitshuffle+LZ4 (the shipped combination), band 1 plain bitshuffle
+    (explicit block size), band 2 bitshuffle+LZ4 with fletcher32 in
+    the HDF5 ≥1.10 Fixed-Array container. The 5x17 chunks are NOT a
+    multiple of 8 elements, so every chunk exercises the %8 leftover
+    tail. For the driver-gated q_hdf5_bitshuffle_ingest."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 43 + cols * 23) % 769).astype("<u2")
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (5, 17)},
+                deflate=False,
+                bitshuffle={"block": 32, "lz4": band != 1},
+                fletcher32=band == 2,
+                superblock=2 if band == 2 else 0,
+                chunk_index="fixed_array" if band == 2 else "btree1",
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_bshuf_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

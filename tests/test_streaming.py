@@ -479,6 +479,7 @@ def test_streaming_granule_ingest_filtered_hdf5_matches_batch(spark):
         read_raster_pixels,
     )
     from pyresample_spark.sources.hdf5 import (
+        demo_hdf5_bitshuffle_granule_dir,
         demo_hdf5_lz4_granule_dir,
         demo_hdf5_lzf_granule_dir,
         demo_hdf5_nbit_granule_dir,
@@ -496,6 +497,7 @@ def test_streaming_granule_ingest_filtered_hdf5_matches_batch(spark):
         ("nbit", demo_hdf5_nbit_granule_dir()),
         ("lzf", demo_hdf5_lzf_granule_dir()),
         ("lz4", demo_hdf5_lz4_granule_dir()),
+        ("bitshuffle", demo_hdf5_bitshuffle_granule_dir()),
     ):
         glob = os.path.join(d, "*.nc")
         stream = streaming_granule_ingest(spark, glob)

@@ -333,6 +333,14 @@ def main():
                        ).astype("<u2"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             lz4=True), h5_parse),
+        # bitshuffle chunks (filter 32008, r17): bit-transpose blocks
+        # + LZ4 framing + %8 leftover tail under corruption
+        ("hdf5-bitshuffle", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 43
+                        + np.arange(16)[None, :] * 23) % 769
+                       ).astype("<u2"), {})},
+            chunks={"band": (5, 7)}, deflate=False,
+            bitshuffle={"block": 16}), h5_parse),
         ("hdf5-szip-ec-fletcher", hdf5_grid_bytes(
             {"band": (((np.arange(12)[:, None] * 31
                         + np.arange(16)[None, :] * 17) % 97
