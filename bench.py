@@ -78,6 +78,13 @@ HEADLINE = [
     # round 16: the vectorized nbit decode path joins the tracked set
     # like every other new ingest family
     "q_hdf5_nbit_ingest",
+    # round 17 (continuation): the registered-plugin filter decoders
+    # (lzf / lz4 / bitshuffle+lz4) and the progressive-JPEG granule
+    # set join the tracked ingests
+    "q_hdf5_lzf_ingest",
+    "q_hdf5_lz4_ingest",
+    "q_hdf5_bitshuffle_ingest",
+    "q_jpeg_ingest",
 ]
 
 # The original round-1 headline set, unchanged across rounds — its
