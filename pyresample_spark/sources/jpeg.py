@@ -98,57 +98,113 @@ def _build_decoder(bits, vals) -> dict:
 
 
 class _BitReader:
-    """MSB-first entropy-coded-segment reader with byte-unstuffing
-    (FF 00 → FF) and restart-marker handling."""
+    """MSB-first entropy-coded-segment reader.
 
-    __slots__ = ("b", "pos", "bit", "marker")
+    The raw stream is pre-split ONCE into restart-delimited segments
+    with the byte stuffing removed (FF 00 -> FF, a C-speed
+    ``bytes.replace``), so the per-bit hot path is a plain
+    accumulator refill with no stuffing/marker branches — the entropy
+    walk dominates every JPEG decode. The public contract
+    (read_bit/receive/receive_extend/huff/restart, the ``pos``/
+    ``bit`` raw-stream cursor, the ``marker`` attribute and the error
+    messages) is unchanged from the per-byte reader it replaces."""
+
+    __slots__ = ("b", "_segs", "_si", "_buf", "_raw0", "_mbyte",
+                 "_mpos", "_i", "_acc", "_nacc", "marker")
 
     def __init__(self, b: bytes, pos: int):
         self.b = b
-        self.pos = pos
-        self.bit = 0
+        segs = []
+        n = len(b)
+        start = pos
+        while True:
+            j = start
+            while True:  # find the segment-terminating marker
+                k = b.find(b"\xff", j)
+                if k < 0 or k + 1 >= n:
+                    end, mbyte, mpos = n, None, n
+                    break
+                nxt = b[k + 1]
+                if nxt == 0x00:  # stuffed data byte
+                    j = k + 2
+                    continue
+                # a real marker, possibly preceded by FF fill bytes
+                m = k
+                while m + 1 < n and b[m + 1] == 0xFF:
+                    m += 1
+                if m + 1 >= n:
+                    end, mbyte, mpos = k, None, n
+                else:
+                    end, mbyte, mpos = k, b[m + 1], m
+                break
+            clean = b[start:end].replace(b"\xff\x00", b"\xff")
+            segs.append((clean, start, mbyte, mpos))
+            if mbyte is not None and 0xD0 <= mbyte <= 0xD7:
+                start = mpos + 2
+                continue
+            break
+        self._segs = segs
         self.marker = None  # marker byte that ended the segment
+        self._load(0)
 
-    def read_bit(self) -> int:
+    def _load(self, si: int):
+        self._si = si
+        self._buf, self._raw0, self._mbyte, self._mpos = self._segs[si]
+        self._i = 0
+        self._acc = 0
+        self._nacc = 0
+
+    def _exhausted(self):
         if self.marker is not None:
             raise ValueError(
                 f"entropy data exhausted at marker 0x{self.marker:02x}"
             )
-        if self.pos >= len(self.b):
+        if self._mbyte is None:
             raise ValueError("truncated entropy-coded segment")
-        byte = self.b[self.pos]
-        if byte == 0xFF and self.bit == 0:
-            nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else None
-            if nxt is None:
-                raise ValueError("truncated entropy-coded segment")
-            if nxt != 0x00:
-                self.marker = nxt
-                raise ValueError(
-                    f"entropy data exhausted at marker 0x{nxt:02x}"
-                )
-        out = (byte >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1 + (1 if byte == 0xFF else 0)  # skip stuffed 00
-        return out
+        self.marker = self._mbyte
+        raise ValueError(
+            f"entropy data exhausted at marker 0x{self._mbyte:02x}"
+        )
 
-    def huff(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid Huffman code in entropy data")
+    @property
+    def pos(self) -> int:
+        """Raw-stream offset of the byte holding the next unread bit
+        (compatibility cursor, computed on demand: each clean 0xFF
+        data byte consumed one extra raw stuffed 0x00)."""
+        ci = (8 * self._i - self._nacc) >> 3
+        return self._raw0 + ci + self._buf[:ci].count(0xFF)
+
+    @property
+    def bit(self) -> int:
+        return (8 * self._i - self._nacc) & 7
+
+    def read_bit(self) -> int:
+        nacc = self._nacc
+        if not nacc:
+            i, buf = self._i, self._buf
+            if i >= len(buf):
+                self._exhausted()
+            self._acc = buf[i]
+            self._i = i + 1
+            nacc = 8
+        nacc -= 1
+        self._nacc = nacc
+        return (self._acc >> nacc) & 1
 
     def receive(self, t: int) -> int:
         """t raw MSB-first bits (no sign extension — EOB-run length
         extras in progressive scans, T.81 G.1.2.2)."""
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.read_bit()
-        return v
+        acc, nacc = self._acc, self._nacc
+        i, buf = self._i, self._buf
+        while nacc < t:
+            if i >= len(buf):
+                self._exhausted()
+            acc = (acc << 8) | buf[i]
+            i += 1
+            nacc += 8
+        nacc -= t
+        self._acc, self._nacc, self._i = acc, nacc, i
+        return (acc >> nacc) & ((1 << t) - 1)
 
     def receive_extend(self, t: int) -> int:
         if t == 0:
@@ -158,29 +214,49 @@ class _BitReader:
             v -= (1 << t) - 1
         return v
 
+    def huff(self, table: dict) -> int:
+        acc, nacc = self._acc, self._nacc
+        i, buf = self._i, self._buf
+        get = table.get
+        code = 0
+        for length in range(1, 17):
+            if not nacc:
+                if i >= len(buf):
+                    self._acc, self._nacc, self._i = acc, nacc, i
+                    self._exhausted()
+                acc = buf[i]
+                i += 1
+                nacc = 8
+            nacc -= 1
+            code = (code << 1) | ((acc >> nacc) & 1)
+            v = get((length, code))
+            if v is not None:
+                self._acc, self._nacc, self._i = acc, nacc, i
+                return v
+        self._acc, self._nacc, self._i = acc, nacc, i
+        raise ValueError("invalid Huffman code in entropy data")
+
     def restart(self, n: int):
-        """Consume the byte-aligned RSTn marker (T.81 E.2.4)."""
-        if self.bit:
-            # discard the 1-padded remainder of the current byte; if
-            # that byte is 0xFF its stuffed 0x00 follows (B.1.1.5) and
-            # must be skipped too — read_bit does this at bit==8, the
-            # aligned path here must match (code-review r13 finding 1)
-            byte = self.b[self.pos]
-            self.bit = 0
-            self.pos += 1 + (1 if byte == 0xFF else 0)
-        # optional 0xFF fill bytes may precede any marker (B.1.1.2)
-        while (self.pos + 1 < len(self.b)
-               and self.b[self.pos] == 0xFF
-               and self.b[self.pos + 1] == 0xFF):
-            self.pos += 1
-        if (self.pos + 1 >= len(self.b)
-                or self.b[self.pos] != 0xFF
-                or self.b[self.pos + 1] != 0xD0 + (n & 7)):
-            got = self.b[self.pos:self.pos + 2].hex()
+        """Consume the byte-aligned RSTn marker (T.81 E.2.4): the
+        1-padded remainder of the current byte is discarded, the
+        segment must then be exhausted (whole data bytes before the
+        marker are an error), the marker must be the expected RSTn,
+        and decoding continues in the next pre-split segment (fill
+        bytes and stuffing were handled at split time)."""
+        self._nacc -= self._nacc & 7  # discard pad bits
+        if self._nacc or self._i < len(self._buf):
+            ci = self._i - (self._nacc >> 3)
+            got = bytes(self._buf[ci:ci + 2]).hex()
             raise ValueError(
                 f"expected restart marker RST{n & 7}, got 0x{got}"
             )
-        self.pos += 2
+        mb = self._mbyte
+        if mb != 0xD0 + (n & 7):
+            got = "" if mb is None else bytes([0xFF, mb]).hex()
+            raise ValueError(
+                f"expected restart marker RST{n & 7}, got 0x{got}"
+            )
+        self._load(self._si + 1)
 
 
 def _parse_segments(data: bytes, state: dict, pos: int = 0):
