@@ -75,44 +75,67 @@ def _bytes_per_pixel(bpp: int) -> int:
 
 
 class _BitReader:
-    __slots__ = ("buf", "pos", "end")
+    """MSB-first accumulator reader: bytes refill 8 at a time, ``get``
+    is one shift/mask, and the fundamental-sequence decode consumes
+    whole zero runs per refill via ``int.bit_length`` instead of
+    walking bit-by-bit — the szip Rice walk is the ingest path's
+    per-core cost center (PERF.md), and this is its hot loop."""
+
+    __slots__ = ("buf", "_i", "_acc", "_nacc")
 
     def __init__(self, buf: bytes):
         self.buf = buf
-        self.pos = 0
-        self.end = 8 * len(buf)
+        self._i = 0
+        self._acc = 0
+        self._nacc = 0
+
+    def _refill(self, need: int):
+        buf, i = self.buf, self._i
+        take = buf[i:i + 8]
+        if not take:
+            raise ValueError("szip stream truncated")
+        # trim consumed high bits so the accumulator stays small
+        acc = self._acc & ((1 << self._nacc) - 1)
+        self._acc = (acc << (8 * len(take))) | int.from_bytes(take, "big")
+        self._nacc += 8 * len(take)
+        self._i = i + len(take)
+        if self._nacc < need:
+            raise ValueError("szip stream truncated")
 
     def get(self, n: int) -> int:
-        p = self.pos
-        if p + n > self.end:
-            raise ValueError("szip stream truncated")
-        self.pos = p + n
-        lo = p // 8
-        hi = (p + n + 7) // 8
-        word = int.from_bytes(self.buf[lo:hi], "big")
-        return (word >> (hi * 8 - p - n)) & ((1 << n) - 1)
+        nacc = self._nacc
+        if nacc < n:
+            self._refill(n)
+            nacc = self._nacc
+        nacc -= n
+        self._nacc = nacc
+        return (self._acc >> nacc) & ((1 << n) - 1)
 
     def fs(self) -> int:
         """Fundamental-sequence decode: count 0-bits before the 1."""
-        buf, p = self.buf, self.pos
         count = 0
         while True:
-            if p >= self.end:
-                raise ValueError("szip stream truncated inside FS code")
-            byte = buf[p // 8]
-            bit = (byte >> (7 - p % 8)) & 1
-            if bit:
-                self.pos = p + 1
-                return count
-            # fast path: a whole zero byte from a byte boundary
-            if p % 8 == 0 and byte == 0:
-                count += 8
-                p += 8
-            else:
-                count += 1
-                p += 1
-            if count > 1 << 26:
-                raise ValueError("szip FS run implausibly long")
+            nacc = self._nacc
+            if not nacc:
+                buf, i = self.buf, self._i
+                take = buf[i:i + 8]
+                if not take:
+                    raise ValueError(
+                        "szip stream truncated inside FS code")
+                self._acc = int.from_bytes(take, "big")
+                nacc = self._nacc = 8 * len(take)
+                self._i = i + len(take)
+            chunk = self._acc & ((1 << nacc) - 1)
+            if chunk == 0:  # all remaining buffered bits are zeros
+                count += nacc
+                self._nacc = 0
+                if count > 1 << 26:
+                    raise ValueError("szip FS run implausibly long")
+                continue
+            hb = chunk.bit_length()  # the 1 sits at bit hb-1
+            count += nacc - hb
+            self._nacc = hb - 1  # consume the zeros AND the 1
+            return count
 
 
 class _BitWriter:
