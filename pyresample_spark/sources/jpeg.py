@@ -58,8 +58,6 @@ _SOF_UNSUPPORTED = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
-    0xC9: "arithmetic-coded sequential (SOF9)",
-    0xCA: "arithmetic-coded progressive (SOF10)",
     0xCB: "arithmetic-coded lossless (SOF11)",
     0xCD: "differential arithmetic sequential (SOF13)",
     0xCE: "differential arithmetic progressive (SOF14)",
@@ -330,24 +328,52 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                 q += 17 + nv
         elif m == 0xDD:  # DRI
             state["dri"] = struct.unpack_from(">H", body, 0)[0]
-        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/SOF1/SOF2/SOF3
+        elif m == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            cond = state.setdefault("arith_cond", {})
+            q = 0
+            while q + 2 <= len(body):
+                tc, tb = body[q] >> 4, body[q] & 0x0F
+                cs = body[q + 1]
+                if tc > 1 or tb > 3:
+                    raise ValueError(
+                        f"corrupt DAC segment (Tc={tc} Tb={tb})")
+                if tc == 0:  # DC: Cs = (U << 4) | L, 0 <= L <= U
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise ValueError(
+                            f"DAC DC conditioning L={low} > U={up}")
+                    cond[("dc", tb)] = (low, up)
+                else:  # AC: Cs = Kx in 1..63
+                    if not 1 <= cs <= 63:
+                        raise ValueError(
+                            f"DAC AC conditioning Kx={cs} outside 1..63")
+                    cond[("ac", tb)] = cs
+                q += 2
+            if q != len(body):
+                raise ValueError("odd DAC segment length")
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1/2/3 (Huffman) and SOF9/10 (arithmetic-coded
+            # sequential/progressive, T.81 Table B.1) — the entropy
+            # layer differs, the frame grammar is shared
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             lossless = m == 0xC3
-            progressive = m == 0xC2
+            progressive = m in (0xC2, 0xCA)
+            arith = m in (0xC9, 0xCA)
             if lossless:
                 # T.81 Annex H: lossless allows 2..16-bit samples
                 if not 2 <= prec <= 16:
                     raise ValueError(
                         f"lossless precision {prec} outside 2..16")
-            elif not (prec == 8 or (prec == 12 and m in (0xC1, 0xC2))):
+            elif not (prec == 8
+                      or (prec == 12 and m in (0xC1, 0xC2, 0xC9, 0xCA))):
                 # T.81 Table B.2: baseline (SOF0) is 8-bit; 12-bit
-                # samples are the extended sequential (SOF1) and
-                # progressive (SOF2) processes — the depth archived
-                # GOES imagery ships
+                # samples are the extended sequential (SOF1/SOF9) and
+                # progressive (SOF2/SOF10) processes — the depth
+                # archived GOES imagery ships
                 raise NotImplementedError(
                     f"{prec}-bit precision in SOF{m - 0xC0} outside "
-                    "the supported subset (8-bit SOF0/SOF1/SOF2, "
-                    "12-bit SOF1/SOF2)"
+                    "the supported subset (8-bit SOF0/1/2/9/10, "
+                    "12-bit SOF1/2/9/10)"
                 )
             if h == 0 or w == 0:
                 raise ValueError("zero frame dimension")
@@ -372,7 +398,8 @@ def _parse_segments(data: bytes, state: dict, pos: int = 0):
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             state["frame"] = {"h": h, "w": w, "comps": comps,
                               "prec": prec, "lossless": lossless,
-                              "progressive": progressive}
+                              "progressive": progressive,
+                              "arith": arith}
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[m]} outside the baseline subset"
@@ -457,27 +484,50 @@ def decode_baseline_jpeg(data: bytes, tables: bytes | None = None,
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
+    arith = fr.get("arith", False)
     by_id = {c["id"]: c for c in comps}
     order = []
     for s in scan:
         if s["cs"] not in by_id:
             raise ValueError(f"scan references unknown component {s['cs']}")
         c = by_id[s["cs"]]
-        for k in ("td", "ta"):
-            tsel = s[k]
-            tbl = state["huff_dc" if k == "td" else "huff_ac"].get(tsel)
-            if tbl is None:
-                raise ValueError(f"scan references undefined Huffman table {tsel}")
+        if not arith:
+            for k in ("td", "ta"):
+                tsel = s[k]
+                tbl = state["huff_dc" if k == "td" else "huff_ac"].get(tsel)
+                if tbl is None:
+                    raise ValueError(
+                        f"scan references undefined Huffman table {tsel}")
         q = state["quant"].get(c["tq"])
         if q is None:
             raise ValueError(f"frame references undefined quant table {c['tq']}")
-        order.append((c, state["huff_dc"][s["td"]],
-                      state["huff_ac"][s["ta"]], q))
+        if arith:
+            # td/ta select arithmetic conditioning slots (defaults
+            # L=0 U=1 Kx=5 when no DAC defined them — F.1.4.4.1.4)
+            order.append((c, s["td"], s["ta"], q))
+        else:
+            order.append((c, state["huff_dc"][s["td"]],
+                          state["huff_ac"][s["ta"]], q))
 
     coefs = {
         c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64))
         for c in comps
     }
+    if arith:
+        from .jpeg_arith import decode_sequential_into
+        decode_sequential_into(
+            state, data, pos,
+            [(c, td, ta) for c, td, ta, _q in order],
+            coefs, mcux, mcuy)
+        planes = {}
+        for c, _td, _ta, q in order:
+            bh, bw = mcuy * c["v"], mcux * c["h"]
+            blk = coefs[c["id"]].reshape(bh * bw, 8, 8) * q
+            px = _DCT.T @ blk @ _DCT
+            planes[c["id"]] = (px.reshape(bh, bw, 8, 8)
+                               .transpose(0, 2, 1, 3)
+                               .reshape(bh * 8, bw * 8) + center)
+        return _planes_to_output(fr, planes, color_transform)
     rd = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
     dri = state["dri"]
@@ -688,7 +738,8 @@ def _decode_progressive_scan(state: dict, data: bytes, pos: int,
     ah, al = state["scan_ah"], state["scan_al"]
     ns = len(scan)
     dri = state["dri"]
-    rd = _BitReader(data, pos)
+    arith = state["frame"].get("arith", False)
+    rd = None if arith else _BitReader(data, pos)
     if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("progressive DC scan requires Se=0")
@@ -702,8 +753,8 @@ def _decode_progressive_scan(state: dict, data: bytes, pos: int,
                 if dc_al[c["id"]] is not None:
                     raise ValueError(
                         f"component {c['id']} DC coded twice at Ah=0")
-                hdc = state["huff_dc"].get(s["td"])
-                if hdc is None:
+                hdc = None if arith else state["huff_dc"].get(s["td"])
+                if hdc is None and not arith:
                     raise ValueError(
                         f"scan references undefined DC table {s['td']}")
             else:
@@ -715,6 +766,13 @@ def _decode_progressive_scan(state: dict, data: bytes, pos: int,
                 hdc = None
             dc_al[c["id"]] = al
             order.append((c, hdc))
+        if arith:
+            from .jpeg_arith import decode_progressive_scan_arith
+            return decode_progressive_scan_arith(
+                state, data, pos, coefs, nbdims,
+                [(c, s["td"], s["ta"])
+                 for (c, _hdc), s in zip(order, scan)],
+                mcux, mcuy)
         preds = {s["cs"]: 0 for s in scan}
         if ns > 1:  # interleaved: MCU order over the padded grid
             nunits = mcux * mcuy
@@ -770,6 +828,11 @@ def _decode_progressive_scan(state: dict, data: bytes, pos: int,
                     f"of component {cid}: have "
                     f"Al={ac_al[cid][k]}, scan says Ah={ah} Al={al}")
             ac_al[cid][k] = al
+        if arith:
+            from .jpeg_arith import decode_progressive_scan_arith
+            return decode_progressive_scan_arith(
+                state, data, pos, coefs, nbdims,
+                [(c, s0["td"], s0["ta"])], mcux, mcuy)
         hac = state["huff_ac"].get(s0["ta"])
         if hac is None:
             raise ValueError(
@@ -1146,19 +1209,13 @@ def _default_scan_script(ncomp: int) -> list:
     ]
 
 
-def encode_progressive_jpeg(arr: np.ndarray, quant=None,
-                            subsampling: str = "444",
-                            scans=None, restart_interval: int = 0,
-                            precision: int = 8) -> bytes:
-    """Encode u8 (h, w)/(h, w, 3) — or u16 < 4096 with
-    ``precision=12`` — to a progressive (SOF2) JPEG stream.
-
-    ``scans``: optional scan script as (comp_indices, Ss, Se, Ah, Al)
-    tuples; the default exercises DC first/refine and AC first/refine
-    with successive approximation. Quantized coefficients are computed
-    with the exact expression the baseline encoder uses, so with the
-    same ``quant`` a progressive stream decodes bit-identically to
-    the equivalent baseline stream."""
+def _coef_prep(arr, quant, subsampling: str, precision: int):
+    """Shared encoder front end: validate, color-convert, pad and
+    quantize into per-component natural-order coefficient stores
+    (MCU-padded int64 (bh, bw, 64)) — the same per-block expression
+    as encode_baseline_jpeg pass 1, so every encoder process emits
+    bit-identical coefficients for the same input and quant table.
+    Returns (coefs, nbdims, samp, mcux, mcuy, h, w, q)."""
     arr = np.asarray(arr)
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
@@ -1214,8 +1271,6 @@ def encode_progressive_jpeg(arr: np.ndarray, quant=None,
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # quantized coefficient store, MCU-padded, natural order — the
-    # same per-block expression as encode_baseline_jpeg pass 1
     coefs = []
     nbdims = []
     for p, (hs, vs) in zip(planes, samp):
@@ -1232,10 +1287,27 @@ def encode_progressive_jpeg(arr: np.ndarray, quant=None,
         # the plane is already subsampled: its own ceil(size/8) block
         # grid is the non-interleaved scan coverage (T.81 A.2.4)
         nbdims.append((-(-p.shape[0] // 8), -(-p.shape[1] // 8)))
+    return coefs, nbdims, samp, mcux, mcuy, h, w, q
 
+
+def encode_progressive_jpeg(arr: np.ndarray, quant=None,
+                            subsampling: str = "444",
+                            scans=None, restart_interval: int = 0,
+                            precision: int = 8) -> bytes:
+    """Encode u8 (h, w)/(h, w, 3) — or u16 < 4096 with
+    ``precision=12`` — to a progressive (SOF2) JPEG stream.
+
+    ``scans``: optional scan script as (comp_indices, Ss, Se, Ah, Al)
+    tuples; the default exercises DC first/refine and AC first/refine
+    with successive approximation. Quantized coefficients are computed
+    with the exact expression the baseline encoder uses, so with the
+    same ``quant`` a progressive stream decodes bit-identically to
+    the equivalent baseline stream."""
+    coefs, nbdims, samp, mcux, mcuy, h, w, q = _coef_prep(
+        arr, quant, subsampling, precision)
     if scans is None:
-        scans = _default_scan_script(len(planes))
-    _validate_scan_script(scans, len(planes))
+        scans = _default_scan_script(len(coefs))
+    _validate_scan_script(scans, len(coefs))
 
     out = bytearray(b"\xff\xd8")
     zz_vals = [int(q.flat[ZIGZAG[i]]) for i in range(64)]
@@ -1243,7 +1315,7 @@ def encode_progressive_jpeg(arr: np.ndarray, quant=None,
     zz_q = struct.pack(">64H", *zz_vals) if pq else bytes(zz_vals)
     out += (b"\xff\xdb" + struct.pack(">H", 3 + len(zz_q))
             + bytes([pq << 4]) + zz_q)
-    sof = struct.pack(">BHHB", precision, h, w, len(planes))
+    sof = struct.pack(">BHHB", precision, h, w, len(coefs))
     for ci, (hs, vs) in enumerate(samp):
         sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0)
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof

@@ -90,9 +90,10 @@ def test_abbreviated_stream_tables_merge():
 
 def test_unsupported_processes_raise():
     # SOF3 (lossless) decodes natively as of r16, progressive (SOF2)
-    # as of r17; arithmetic and differential stay loud
+    # and arithmetic sequential/progressive (SOF9/SOF10) as of r17;
+    # arithmetic lossless and differential stay loud
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    for marker, what in ((0xC9, "arithmetic"),
+    for marker, what in ((0xCB, "arithmetic"),
                          (0xC7, "differential")):
         stream = (b"\xff\xd8" + bytes([0xFF, marker])
                   + struct.pack(">H", 2 + len(sof)) + sof)

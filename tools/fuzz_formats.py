@@ -20,6 +20,7 @@ loud set.
 from __future__ import annotations
 
 import os
+import pathlib
 import signal
 import struct
 import sys
@@ -146,6 +147,22 @@ def main():
         return encode_progressive_jpeg(img, quant=16,
                                        restart_interval=2)
 
+    def _arith_seq_rst_fixture() -> bytes:
+        from pyresample_spark.sources.jpeg_arith import \
+            encode_sequential_arith
+        img = ((np.arange(24)[:, None] * 13
+                + np.arange(24)[None, :] * 7) % 251).astype("u1")
+        return encode_sequential_arith(img, quant=16,
+                                       restart_interval=2)
+
+    def _arith_prog_fixture() -> bytes:
+        from pyresample_spark.sources.jpeg_arith import \
+            encode_progressive_arith
+        img = ((np.arange(24)[:, None] * 11
+                + np.arange(24)[None, :] * 5) % 253).astype("u1")
+        return encode_progressive_arith(
+            img, quant=16, cond={("dc", 0): (1, 2), ("ac", 0): 12})
+
     from pyresample_spark.operators.multimodal import (
         decode_ppm,
         decode_ppm_container,
@@ -263,6 +280,21 @@ def main():
         # raw progressive stream with quantization + restart markers:
         # RST/EOB-run resets and AC refinement correction bits
         ("jpeg-progressive-rst", _prog_rst_fixture(),
+            decode_baseline_jpeg),
+        # arithmetic-coded streams (SOF9/SOF10, r17 continuation):
+        # DAC grammar, QM-coder zero-feed at truncation, statistics
+        # resets at restarts, magnitude-walk overflow guards
+        ("jpeg-arith-seq-rst", _arith_seq_rst_fixture(),
+            decode_baseline_jpeg),
+        ("jpeg-arith-prog", _arith_prog_fixture(),
+            decode_baseline_jpeg),
+        # a libjpeg-turbo-authored arithmetic stream: independent
+        # encoder grammar (zero-dropped flushes, empty restart
+        # segments) under corruption
+        ("jpeg-arith-turbo", (pathlib.Path(__file__).parent.parent
+                              / "tests" / "fixtures" / "jpeg_thirdparty"
+                              / "rgb_h2v2_rst_prog_arith.jpg"
+                              ).read_bytes(),
             decode_baseline_jpeg),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
