@@ -336,6 +336,49 @@ def q_hdf5_lzf_ingest(spark, sf_dir):
 
 
 @register(
+    "q_hdf5_zstd_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 37 + (r % 40) * 23) % 521 AS DOUBLE)
+               AS value
+    FROM (SELECT range AS r FROM range(960))
+    """,
+)
+def q_hdf5_zstd_ingest(spark, sf_dir):
+    """Zstd-compressed HDF5 ingest (filter 32015 — the registered
+    plugin hdf5plugin exposes and netcdf-c >=4.9 writes for its
+    quantize/zstd pipeline, r17 continuation): uint16 grids whose
+    chunks decode through the native RFC 8878 decoder
+    (sources/zstd.py — FSE, 1/4-stream Huffman literals, repeat
+    offsets, xxhash64 checksums, CLI-fixture-validated) — band 0
+    zstd alone, band 1 riding shuffle, band 2 with fletcher32 in the
+    HDF5 >=1.10 Fixed-Array container — via the SAME distributed
+    binaryFile + mapInPandas ingest as every other granule format.
+    The oracle regenerates the grid, so the decode must be
+    value-exact. Reference path: h5py + hdf5plugin behind
+    pyresample's swath loading."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_ROWS,
+        read_raster_pixels,
+    )
+    from pyresample_spark.sources.hdf5 import demo_hdf5_zstd_granule_dir
+
+    d = demo_hdf5_zstd_granule_dir()
+    px = read_raster_pixels(spark, os.path.join(d, "*.nc"), "netcdf3")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.nc", 1).cast(
+        "long"
+    )
+    return px.select(
+        (band * GRANULE_ROWS + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_hdf5_lz4_ingest",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,

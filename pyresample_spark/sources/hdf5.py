@@ -970,6 +970,14 @@ def _apply_filters(raw: bytes, fmask: int, filters, itemsize: int,
             cap = (nelmts * itemsize + 64 if nelmts is not None
                    else 1 << 28)
             raw = h5_lz4_decode(raw, cap)
+        elif fid == 32015:
+            from pyresample_spark.sources.zstd import h5_zstd_decode
+
+            # the registered zstd filter stores a plain zstd frame;
+            # output bounded by the chunk's true byte size
+            cap = (nelmts * itemsize + 64 if nelmts is not None
+                   else 1 << 28)
+            raw = h5_zstd_decode(raw, cap)
         elif fid == 32008:
             from pyresample_spark.sources.bitshuffle import (
                 bitshuffle_decode,
@@ -1534,15 +1542,17 @@ def parse_hdf5(buf: bytes) -> dict:
                     # values, so the pipeline carries (fid, cds) pairs
                     filters.append((fid, cds))
                 unknown = ({f for f, _ in filters}
-                           - {1, 2, 3, 4, 5, 6, 32000, 32004, 32008})
+                           - {1, 2, 3, 4, 5, 6, 32000, 32004, 32008,
+                              32015})
                 if unknown:
                     raise NotImplementedError(
                         f"HDF5 filters {sorted(unknown)} unsupported "
                         "(deflate=1, shuffle=2, fletcher32=3, szip=4, "
                         "nbit=5, scaleoffset=6, lzf=32000 — h5py's "
-                        "compression='lzf' — lz4=32004 and "
-                        "bitshuffle=32008 decode natively; other "
-                        "registered plugins need the libs)"
+                        "compression='lzf' — lz4=32004, "
+                        "bitshuffle=32008 and zstd=32015 decode "
+                        "natively; other registered plugins need the "
+                        "libs)"
                     )
             elif t == 0x0008:
                 layout = b
@@ -2091,6 +2101,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                     nbit: dict | None = None,
                     lzf: bool = False,
                     lz4: bool = False,
+                    zstd: bool = False,
                     bitshuffle: dict | None = None,
                     superblock: int = 0,
                     dense_links: bool = False,
@@ -2131,7 +2142,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         raise ValueError("lz4 is an alternative compressor — pass "
                          "deflate=False (and no szip/lzf) with "
                          "lz4=True")
-    if bitshuffle is not None and (deflate or szip or lzf or lz4):
+    if zstd and (deflate or szip or lzf or lz4):
+        raise ValueError("zstd is an alternative compressor — pass "
+                         "deflate=False (and no szip/lzf/lz4) with "
+                         "zstd=True")
+    if bitshuffle is not None and (deflate or szip or lzf or lz4
+                                   or zstd):
         raise ValueError("bitshuffle composes its own LZ4 stage — "
                          "pass deflate=False and no other compressor")
     if scaleoffset is not None and not isinstance(scaleoffset, dict):
@@ -2184,7 +2200,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         place("snod", snod)
 
     if (deflate or shuffle or fletcher32 or szip or scaleoffset
-            or nbit or lzf or lz4 or bitshuffle is not None):
+            or nbit or lzf or lz4 or zstd or bitshuffle is not None):
         fspecs = []
         if scaleoffset:
             # h5py/libhdf5 apply scale-offset FIRST (position 0) so
@@ -2210,6 +2226,10 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
             # the Dectris plugin registers one optional cd value:
             # the framing block size (0 = the plugin default)
             fspecs.append((32004, 1, [1 << 20]))
+        if zstd:
+            # hdf5plugin's Zstd filter stores one optional cd value:
+            # the compression level (payload is a plain zstd frame)
+            fspecs.append((32015, 1, [3]))
         if bitshuffle is not None:
             # bshuf_h5filter cd layout: (major, minor, elem_size,
             # block_elems, compression); elem_size/block patched
@@ -2288,7 +2308,7 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
         if n in chunks:
             cr, cc = chunks[n]
             if (deflate or shuffle or fletcher32 or szip
-                    or scaleoffset or nbit or lzf or lz4
+                    or scaleoffset or nbit or lzf or lz4 or zstd
                     or bitshuffle is not None):
                 msgs.append(
                     _w_msg(0x000B, _w_filters(arr.dtype, cc, cr * cc))
@@ -2336,6 +2356,12 @@ def hdf5_grid_bytes(variables: dict, chunks: dict | None = None,
                         )
 
                         raw = h5_lz4_encode(raw)
+                    elif zstd:
+                        from pyresample_spark.sources.zstd import (
+                            zstd_compress_store,
+                        )
+
+                        raw = zstd_compress_store(raw)
                     elif bitshuffle is not None:
                         from pyresample_spark.sources.bitshuffle import (
                             bitshuffle_encode,
@@ -3108,6 +3134,58 @@ def demo_hdf5_lz4_granule_dir() -> str:
 
     return _write_once_fixture(
         f"pyresample_spark_h5_lz4_granules_v1_{GRANULE_BANDS}x"
+        f"{GRANULE_ROWS}x{GRANULE_COLS}",
+        write,
+    )
+
+
+def demo_hdf5_zstd_granule_dir() -> str:
+    """Zstd twin (filter 32015 — the registered plugin hdf5plugin and
+    netcdf-c ≥4.9 quantize/zstd pipelines ship, r17 continuation):
+    uint16 grids — band 0 zstd alone, band 1 riding shuffle, band 2
+    with fletcher32 in the HDF5 ≥1.10 Fixed-Array container — for the
+    driver-gated q_hdf5_zstd_ingest. Chunks are store-mode frames
+    (zstd_compress_store) so real zstd tooling reads them back."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        GRANULE_BANDS,
+        GRANULE_COLS,
+        GRANULE_ROWS,
+        _write_once_fixture,
+    )
+
+    def write(tmp):
+        xs = np.array([c + 0.5 for c in range(GRANULE_COLS)])
+        for band in range(GRANULE_BANDS):
+            r0 = band * GRANULE_ROWS
+            ys = np.array(
+                [-(r0 + r) - 0.5 for r in range(GRANULE_ROWS)],
+                dtype=float,
+            )
+            rows = np.arange(r0, r0 + GRANULE_ROWS)[:, None]
+            cols = np.arange(GRANULE_COLS)[None, :]
+            data = ((rows * 37 + cols * 23) % 521).astype("<u2")
+            buf = hdf5_grid_bytes(
+                {
+                    "x": (xs, {"CLASS": "DIMENSION_SCALE"}),
+                    "y": (ys, {"CLASS": "DIMENSION_SCALE"}),
+                    "crs": (None, {"proj4": "eqc"}),
+                    "band": (data, {"grid_mapping": "crs"}),
+                },
+                chunks={"band": (5, 16)},
+                deflate=False,
+                zstd=True,
+                shuffle=band == 1,
+                fletcher32=band == 2,
+                superblock=2 if band == 2 else 0,
+                chunk_index="fixed_array" if band == 2 else "btree1",
+            )
+            with open(os.path.join(tmp, f"granule_{band}.nc"), "wb") as f:
+                f.write(buf)
+
+    return _write_once_fixture(
+        f"pyresample_spark_h5_zstd_granules_v1_{GRANULE_BANDS}x"
         f"{GRANULE_ROWS}x{GRANULE_COLS}",
         write,
     )

@@ -333,6 +333,24 @@ def main():
                        - 9.25).astype("<f8"), {})},
             chunks={"band": (5, 7)}, deflate=False,
             scaleoffset={"factor": 2, "fill": -999.0}), h5_parse),
+        # zstd chunks (filter 32015, r17 continuation): frame/block
+        # headers, FSE table descriptions, Huffman weights, backward
+        # bitstreams and xxhash64 checksums under corruption
+        ("hdf5-zstd", hdf5_grid_bytes(
+            {"band": (((np.arange(12)[:, None] * 37
+                        + np.arange(16)[None, :] * 23) % 521
+                       ).astype("<u2"), {})},
+            chunks={"band": (5, 7)}, deflate=False, zstd=True),
+            h5_parse),
+        # a reference-CLI zstd frame (real FSE/Huffman sections)
+        # driven through the raw decoder
+        ("zstd-cli-frame",
+            (pathlib.Path(__file__).parent.parent / "tests"
+             / "fixtures" / "zstd" / "mixed_l9.zst").read_bytes(),
+            lambda b: __import__(
+                "pyresample_spark.sources.zstd",
+                fromlist=["zstd_decompress"]
+            ).zstd_decompress(b, 1 << 20)),
         # nbit chunks: cd-values datatype tree + fixed-stride bit
         # matrix under corruption (r16, VERDICT item 3/8)
         ("hdf5-nbit", hdf5_grid_bytes(
