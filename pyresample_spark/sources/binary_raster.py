@@ -821,11 +821,11 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             f"{len(buf)}-byte file — corrupt or unsupported input"
         )
     comp = t.get(259, [1])[0]
-    if comp not in (1, 5, 6, 7, 8, 32773, 32946):
+    if comp not in (1, 5, 6, 7, 8, 32773, 32946, 50000):
         raise ValueError(
             f"unsupported TIFF compression {comp} (baseline, LZW, "
-            "DEFLATE, PackBits and new-style JPEG decoded natively; "
-            "others need rasterio)"
+            "DEFLATE, PackBits, new-style JPEG and ZSTD decoded "
+            "natively; others need rasterio)"
         )
     planar = t.get(284, [1])[0]
     if spp > 1 and planar not in (1, 2):
@@ -1159,6 +1159,12 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             return lzw_decode(chunk)
         if comp == 32773:
             return packbits_decode(chunk)
+        if comp == 50000:  # GDAL-registered ZSTD (libtiff ≥4.0.10)
+            from pyresample_spark.sources.zstd import zstd_decompress
+
+            return zstd_decompress(
+                chunk, max_out=h * w * spp * max(1, bits_guard // 8)
+                + (1 << 16))
         return chunk
 
     def block(raw: bytes, rows: int, width_: int) -> np.ndarray:
@@ -1804,6 +1810,7 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     arr = np.ascontiguousarray(arr)
     jprog = compress == "jpeg_progressive"
     jpeg = compress == "jpeg" or jprog
+    zstdc = compress == "zstd"  # GDAL COMPRESS=ZSTD (tag 50000)
     if jpeg:
         # new-style JPEG (compression 7): 8-bit unsigned only (what
         # the T.81 baseline process defines); self-contained stream
@@ -1920,12 +1927,28 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                     rs, cs = min(th, lh - r0), min(tw, lw - c0)
                     blk[:rs, :cs] = lv[r0:r0 + rs, c0:c0 + cs]
                     raw = enc(blk)
-                    out.append(zlib.compress(raw, 6) if compress else raw)
+                    if zstdc:
+                        from pyresample_spark.sources.zstd import (
+                            zstd_compress_store,
+                        )
+
+                        raw = zstd_compress_store(raw)
+                    elif compress:
+                        raw = zlib.compress(raw, 6)
+                    out.append(raw)
         else:
             rps = max(1, min(rows_per_strip, lh))
             for r0 in range(0, lh, rps):
                 raw = enc(lv[r0:r0 + rps])
-                out.append(zlib.compress(raw, 6) if compress else raw)
+                if zstdc:
+                    from pyresample_spark.sources.zstd import (
+                        zstd_compress_store,
+                    )
+
+                    raw = zstd_compress_store(raw)
+                elif compress:
+                    raw = zlib.compress(raw, 6)
+                out.append(raw)
         return out
 
     # level 0 = full resolution; level k = every 2^k-th pixel (GDAL
@@ -1983,7 +2006,9 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             (256, 4, 1, lw, None),
             (257, 4, 1, lh, None),
             (258, 3, spp, bits_inline, bits_ext),
-            (259, 3, 1, 7 if jpeg else (8 if compress else 1), None),
+            (259, 3, 1,
+             7 if jpeg else (50000 if zstdc
+                             else (8 if compress else 1)), None),
             (262, 3, 1, 6 if (jpeg and spp == 3) else 1, None),
             (off_tag, long_t, nch, "OFFS",
              None if nch == 1 else b"\x00" * osz * nch),

@@ -296,6 +296,11 @@ def main():
                               / "rgb_h2v2_rst_prog_arith.jpg"
                               ).read_bytes(),
             decode_baseline_jpeg),
+        # GDAL-registered ZSTD compression (tag 50000, r17 cont.)
+        ("tiff-zstd", geotiff_bytes(arr, 1.0, 1.0, 0.0, 6.0,
+                                    compress="zstd",
+                                    rows_per_strip=3),
+            tiff_pixels),
         ("tiff-packbits", tiff_bytes_strips(
             (arr * 0).astype("u2"), rows_per_strip=3, compress=32773),
             tiff_pixels),
