@@ -485,6 +485,7 @@ def test_streaming_granule_ingest_filtered_hdf5_matches_batch(spark):
         demo_hdf5_nbit_granule_dir,
         demo_hdf5_scaleoffset_granule_dir,
         demo_hdf5_szip_granule_dir,
+        demo_hdf5_zstd_granule_dir,
     )
     from pyresample_spark.streaming.windows import (
         run_to_memory,
@@ -498,6 +499,7 @@ def test_streaming_granule_ingest_filtered_hdf5_matches_batch(spark):
         ("lzf", demo_hdf5_lzf_granule_dir()),
         ("lz4", demo_hdf5_lz4_granule_dir()),
         ("bitshuffle", demo_hdf5_bitshuffle_granule_dir()),
+        ("zstd", demo_hdf5_zstd_granule_dir()),
     ):
         glob = os.path.join(d, "*.nc")
         stream = streaming_granule_ingest(spark, glob)
