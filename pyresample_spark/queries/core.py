@@ -557,10 +557,10 @@ def q_cog_ingest(spark, sf_dir):
            CAST(r % 40 AS BIGINT) AS col,
            CAST(((((r // 40) - (r // 40) % 8) * 31
                   + ((r % 40) - (r % 40) % 8) * 17) % 97)
-                * (CASE WHEN r >= 3840 AND r < 5120
+                * (CASE WHEN (r >= 3840 AND r < 5120) OR r >= 7680
                         THEN 41 ELSE 1 END) AS DOUBLE)
              AS value
-    FROM (SELECT range AS r FROM range(6400))
+    FROM (SELECT range AS r FROM range(8960))
     """,
 )
 def q_jpeg_ingest(spark, sf_dir):
@@ -569,9 +569,13 @@ def q_jpeg_ingest(spark, sf_dir):
     compression (tag 7) in three organizations (8-row strips, 16x16
     tiles, 16-row strips) — plus a FOURTH 12-bit granule (SOF1
     extended sequential, BitsPerSample 12, values scaled 41x beyond
-    the 8-bit range so silent depth truncation cannot pass) and a
+    the 8-bit range so silent depth truncation cannot pass), a
     FIFTH progressive granule (SOF2, r17: per-strip multi-scan
-    streams with spectral selection + successive approximation) —
+    streams with spectral selection + successive approximation), a
+    SIXTH arithmetic sequential granule (SOF9, r17 continuation:
+    QM-coded streams through the libjpeg-turbo-verified decoder in
+    sources/jpeg_arith.py) and a SEVENTH 12-bit arithmetic
+    progressive granule (SOF10, scaled 41x) —
     through the SAME distributed binaryFile +
     mapInPandas ingest — per strip/tile a complete T.81
     stream decoded by the native codec (sources/jpeg.py: Huffman

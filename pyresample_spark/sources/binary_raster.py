@@ -1809,7 +1809,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
 
     arr = np.ascontiguousarray(arr)
     jprog = compress == "jpeg_progressive"
-    jpeg = compress == "jpeg" or jprog
+    jarith = compress in ("jpeg_arith", "jpeg_arith_progressive")
+    jpeg = compress == "jpeg" or jprog or jarith
     zstdc = compress == "zstd"  # GDAL COMPRESS=ZSTD (tag 50000)
     if jpeg:
         # new-style JPEG (compression 7): 8-bit unsigned only (what
@@ -1881,8 +1882,21 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                 encode_baseline_jpeg,
                 encode_progressive_jpeg,
             )
-            jpeg_encode = (encode_progressive_jpeg if jprog
-                           else encode_baseline_jpeg)
+            if jarith:
+                # arithmetic-coded processes (SOF9/SOF10) into the
+                # same tag-7 container — spec-legal; libjpeg-backed
+                # readers with the arithmetic codecs decode them
+                from pyresample_spark.sources.jpeg_arith import (
+                    encode_progressive_arith,
+                    encode_sequential_arith,
+                )
+                jpeg_encode = (
+                    encode_progressive_arith
+                    if compress.endswith("progressive")
+                    else encode_sequential_arith)
+            else:
+                jpeg_encode = (encode_progressive_jpeg if jprog
+                               else encode_baseline_jpeg)
 
             def jenc(blk):  # (rows, width, spp) samples -> stream
                 img = blk[:, :, 0] if spp == 1 else blk
@@ -2396,15 +2410,18 @@ def demo_cog_granule_dir() -> str:
 
 # JPEG-granule fixture dims: 8x8-blockwise-constant values so the
 # baseline-JPEG roundtrip is VALUE-EXACT against the integer formula
-JPEG_ROWS, JPEG_COLS, JPEG_BANDS = 32, 40, 5
+JPEG_ROWS, JPEG_COLS, JPEG_BANDS = 32, 40, 7
 
 
 def demo_jpeg_granule_dir() -> str:
-    """JPEG-compressed twin of :func:`demo_tiff_granule_dir`: five
+    """JPEG-compressed twin of :func:`demo_tiff_granule_dir`: seven
     granules with compression tag 7 (new-style JPEG, T.81 streams per
     strip/tile from sources/jpeg.py) — baseline in three
     organizations (8-row strips, 16x16 tiles, 16-row strips), a
-    12-bit SOF1 granule, and a progressive SOF2 granule. Values are
+    12-bit SOF1 granule, a progressive SOF2 granule, and (r17
+    continuation) an arithmetic-coded SOF9 granule plus a 12-bit
+    arithmetic progressive SOF10 granule decoded by the
+    turbo-verified QM coder in sources/jpeg_arith.py. Values are
     constant per 8x8 JPEG block (v = ((row−row%8)·31 +
     (col−col%8)·17) % 97 over the GLOBAL row), so with the writer's
     all-ones quantization table the decode is value-exact and the
@@ -2439,6 +2456,24 @@ def demo_jpeg_granule_dir() -> str:
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
                     compress="jpeg_progressive", rows_per_strip=8,
                 )
+            elif band == 5:
+                # arithmetic sequential granule (SOF9, r17 cont.):
+                # per-strip QM-coded streams through the
+                # turbo-verified decoder
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress="jpeg_arith", rows_per_strip=8,
+                )
+            elif band == 6:
+                # 12-bit arithmetic progressive granule (SOF10):
+                # both the depth and the scan-script machinery of
+                # the arithmetic path, values scaled past 8 bits
+                data = (data.astype("<u2") * 41)
+                buf = geotiff_bytes(
+                    data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
+                    compress="jpeg_arith_progressive",
+                    rows_per_strip=8,
+                )
             elif band == 1:
                 buf = geotiff_bytes(
                     data, sx=1.0, sy=1.0, x0=0.0, y0=float(-r0),
@@ -2459,7 +2494,7 @@ def demo_jpeg_granule_dir() -> str:
                 f.write(buf)
 
     return _write_once_fixture(
-        f"pyresample_spark_jpeg_granules_v3_{JPEG_BANDS}x"
+        f"pyresample_spark_jpeg_granules_v4_{JPEG_BANDS}x"
         f"{JPEG_ROWS}x{JPEG_COLS}",
         write,
     )

@@ -525,8 +525,9 @@ def test_streaming_granule_ingest_filtered_hdf5_matches_batch(spark):
 
 
 def test_streaming_granule_ingest_jpeg_matches_batch(spark):
-    """JPEG-in-TIFF twin (r17): the five-granule mix — baseline
-    strips/tiles, 12-bit SOF1, and the progressive SOF2 granule —
+    """JPEG-in-TIFF twin (r17): the seven-granule mix — baseline
+    strips/tiles, 12-bit SOF1, progressive SOF2, arithmetic SOF9 and
+    12-bit arithmetic progressive SOF10 granules —
     streams through the SAME shared raster_decode_fn as the batch
     ingest, so every T.81 process must reproduce the batch per-file
     summaries."""
@@ -563,7 +564,7 @@ def test_streaming_granule_ingest_jpeg_matches_batch(spark):
         )
         .collect()
     }
-    assert len(got) == JPEG_BANDS  # incl. 12-bit and progressive
+    assert len(got) == JPEG_BANDS  # incl. 12-bit/progressive/arith
     assert got == batch
 
 
