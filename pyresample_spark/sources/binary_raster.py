@@ -623,6 +623,75 @@ def _crs_from_user_geokeys(kv: dict, kd: dict) -> str:
     return out + datum
 
 
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor (TIFF 6.0 §13) — the writer twin
+    of :func:`lzw_decode`: MSB-first packed codes, 9→12 bit widths
+    with EARLY CHANGE, ClearCode emitted first and again whenever the
+    table reaches 4094 entries (libtiff's reset point), EOI last.
+    Cross-validated both directions against the system libtiff
+    (tests/test_tiff_thirdparty.py)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict = {}
+
+    def reset():
+        table.clear()
+        table.update({bytes([i]): i for i in range(256)})
+
+    width = 9
+    nxt = 258
+    reset()
+    emit(256, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        w = c
+        # width sync: the decoder appends its mirror entry one code
+        # LATER (while processing the next emitted code), and under
+        # early change widens once its table size reaches
+        # (1<<width)-1 — which is this encoder's nxt-1; so the bump
+        # lands when nxt fills the width
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        elif nxt == 4090:
+            # reset before the 12-bit space fills (libtiff's decoder,
+            # like ours, accepts any clear point; width is already 12
+            # here so the in-between appends cannot widen further)
+            emit(table[w], width)
+            emit(256, width)
+            reset()
+            width = 9
+            nxt = 258
+            w = b""
+    if w:
+        emit(table[w], width)
+    # the decoder appends one last entry while processing that final
+    # code; if that append reaches the early-change threshold it
+    # widens before reading EOI
+    if nxt >= (1 << width) - 1 and width < 12:
+        width += 1
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def lzw_decode(data: bytes) -> bytes:
     """TIFF-variant LZW decompressor (TIFF 6.0 §13): MSB-first packed
     codes, 9→12 bit widths with EARLY CHANGE (width bumps one code
@@ -1812,6 +1881,7 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     jarith = compress in ("jpeg_arith", "jpeg_arith_progressive")
     jpeg = compress == "jpeg" or jprog or jarith
     zstdc = compress == "zstd"  # GDAL COMPRESS=ZSTD (tag 50000)
+    lzwc = compress == "lzw"
     if jpeg:
         # new-style JPEG (compression 7): 8-bit unsigned only (what
         # the T.81 baseline process defines); self-contained stream
@@ -1947,6 +2017,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                         )
 
                         raw = zstd_compress_store(raw)
+                    elif lzwc:
+                        raw = lzw_encode(raw)
                     elif compress:
                         raw = zlib.compress(raw, 6)
                     out.append(raw)
@@ -1960,6 +2032,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                     )
 
                     raw = zstd_compress_store(raw)
+                elif lzwc:
+                    raw = lzw_encode(raw)
                 elif compress:
                     raw = zlib.compress(raw, 6)
                 out.append(raw)
@@ -2021,8 +2095,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             (257, 4, 1, lh, None),
             (258, 3, spp, bits_inline, bits_ext),
             (259, 3, 1,
-             7 if jpeg else (50000 if zstdc
-                             else (8 if compress else 1)), None),
+             7 if jpeg else (50000 if zstdc else (
+                 5 if lzwc else (8 if compress else 1))), None),
             (262, 3, 1, 6 if (jpeg and spp == 3) else 1, None),
             (off_tag, long_t, nch, "OFFS",
              None if nch == 1 else b"\x00" * osz * nch),

@@ -6,7 +6,7 @@ libtiff.so.6 is absent); every file geotiff_bytes produces must read
 back value-exact through TIFFReadEncodedStrip/Tile, with libtiff
 undoing predictors and codecs itself. This is the independent-reader
 evidence the rasterio importorskip twins were waiting on (VERDICT
-r16 item 6): LZW-free writer surface — none/DEFLATE/ZSTD/JPEG —
+r16 item 6): the writer surface — none/LZW/DEFLATE/ZSTD/JPEG —
 across predictors, organizations, containers, dtypes, multiband
 interleave, overview chains, and all four JPEG processes the writer
 emits (baseline, progressive, arithmetic sequential/progressive via
@@ -108,7 +108,7 @@ BASE = ((np.arange(13)[:, None] * 7
 
 
 @pytest.mark.parametrize("dtype", ["u2", "i2", "u4", "f4", "f8"])
-@pytest.mark.parametrize("compress", [False, True, "zstd"])
+@pytest.mark.parametrize("compress", [False, True, "zstd", "lzw"])
 def test_strip_dtypes(dtype, compress, tmp_path):
     arr = BASE.astype("<" + dtype)
     buf = geotiff_bytes(arr, 1.0, 1.0, 0.0, 13.0, compress=compress,
@@ -117,7 +117,7 @@ def test_strip_dtypes(dtype, compress, tmp_path):
     assert np.array_equal(got[:, :, 0], arr)
 
 
-@pytest.mark.parametrize("compress", [True, "zstd"])
+@pytest.mark.parametrize("compress", [True, "zstd", "lzw"])
 @pytest.mark.parametrize("pred,dtype", [(2, "u2"), (2, "i4"),
                                         (3, "f4"), (3, "f8")])
 def test_predictors(compress, pred, dtype, tmp_path):
@@ -128,7 +128,7 @@ def test_predictors(compress, pred, dtype, tmp_path):
     assert np.array_equal(got[:, :, 0], arr)
 
 
-@pytest.mark.parametrize("compress", [False, True, "zstd"])
+@pytest.mark.parametrize("compress", [False, True, "zstd", "lzw"])
 def test_tiles(compress, tmp_path):
     arr = ((np.arange(20)[:, None] * 11
             + np.arange(37)[None, :] * 5) % 251).astype("<f4")
@@ -236,3 +236,18 @@ def test_reader_vs_libtiff_tiled(comp, tmp_path):
             + np.arange(37)[None, :] * 5) % 251).astype("<u2")
     out = _libtiff_write(tmp_path, arr, comp, tiled=1)
     assert np.array_equal(out, arr.astype(out.dtype))
+
+
+def test_lzw_width_growth_and_clear(tmp_path):
+    """A strip large enough to walk the LZW code width 9→12 bits and
+    trigger the encoder's mid-stream Clear reset — libtiff must
+    decode it exactly (the width-sync rules are where TIFF LZW
+    implementations classically disagree)."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 11, (190, 190)).astype("<u1") * 20
+    buf = geotiff_bytes(arr, 1.0, 1.0, 0.0, 190.0, compress="lzw",
+                        rows_per_strip=190)
+    (_hdr, got), = _libtiff_read(buf, tmp_path)
+    assert np.array_equal(got[:, :, 0], arr)
+    from pyresample_spark.sources.binary_raster import tiff_pixels
+    assert np.array_equal(tiff_pixels(buf), arr.astype("f8"))
