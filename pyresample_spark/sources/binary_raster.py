@@ -742,6 +742,40 @@ def lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits writer twin (TIFF 6.0 §9): greedy runs — repeats of
+    ≥3 (or 2 at a boundary between literals) become repeat packets,
+    the rest literal packets of ≤128. libtiff-cross-validated
+    (tests/test_tiff_thirdparty.py); per TIFF spec each row is
+    packed independently by the caller when predictors matter (this
+    writer packs whole strip/tile buffers, which every conforming
+    reader — including libtiff — accepts)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out.append(257 - run)  # -(run-1) as unsigned
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until a run of >= 3 starts (2-byte runs
+        # inside literals cost the same either way; 3 always wins)
+        lit = i
+        while j < n and j - lit < 128:
+            if (j + 2 < n and data[j] == data[j + 1] == data[j + 2]):
+                break
+            j += 1
+        out.append(j - lit - 1)
+        out += data[lit:j]
+        i = j
+    return bytes(out)
+
+
 def packbits_decode(data: bytes) -> bytes:
     """TIFF PackBits (compression 32773 — Apple RLE, TIFF 6.0 §9):
     control byte n ∈ [0, 127] copies n+1 literal bytes, n ∈ [-127, -1]
@@ -1882,6 +1916,7 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
     jpeg = compress == "jpeg" or jprog or jarith
     zstdc = compress == "zstd"  # GDAL COMPRESS=ZSTD (tag 50000)
     lzwc = compress == "lzw"
+    pbc = compress == "packbits"
     if jpeg:
         # new-style JPEG (compression 7): 8-bit unsigned only (what
         # the T.81 baseline process defines); self-contained stream
@@ -2019,6 +2054,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                         raw = zstd_compress_store(raw)
                     elif lzwc:
                         raw = lzw_encode(raw)
+                    elif pbc:
+                        raw = packbits_encode(raw)
                     elif compress:
                         raw = zlib.compress(raw, 6)
                     out.append(raw)
@@ -2034,6 +2071,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
                     raw = zstd_compress_store(raw)
                 elif lzwc:
                     raw = lzw_encode(raw)
+                elif pbc:
+                    raw = packbits_encode(raw)
                 elif compress:
                     raw = zlib.compress(raw, 6)
                 out.append(raw)
@@ -2096,7 +2135,8 @@ def geotiff_bytes(arr, sx: float, sy: float, x0: float, y0: float,
             (258, 3, spp, bits_inline, bits_ext),
             (259, 3, 1,
              7 if jpeg else (50000 if zstdc else (
-                 5 if lzwc else (8 if compress else 1))), None),
+                 5 if lzwc else (32773 if pbc
+                                 else (8 if compress else 1)))), None),
             (262, 3, 1, 6 if (jpeg and spp == 3) else 1, None),
             (off_tag, long_t, nch, "OFFS",
              None if nch == 1 else b"\x00" * osz * nch),

@@ -108,7 +108,7 @@ BASE = ((np.arange(13)[:, None] * 7
 
 
 @pytest.mark.parametrize("dtype", ["u2", "i2", "u4", "f4", "f8"])
-@pytest.mark.parametrize("compress", [False, True, "zstd", "lzw"])
+@pytest.mark.parametrize("compress", [False, True, "zstd", "lzw", "packbits"])
 def test_strip_dtypes(dtype, compress, tmp_path):
     arr = BASE.astype("<" + dtype)
     buf = geotiff_bytes(arr, 1.0, 1.0, 0.0, 13.0, compress=compress,
@@ -128,7 +128,7 @@ def test_predictors(compress, pred, dtype, tmp_path):
     assert np.array_equal(got[:, :, 0], arr)
 
 
-@pytest.mark.parametrize("compress", [False, True, "zstd", "lzw"])
+@pytest.mark.parametrize("compress", [False, True, "zstd", "lzw", "packbits"])
 def test_tiles(compress, tmp_path):
     arr = ((np.arange(20)[:, None] * 11
             + np.arange(37)[None, :] * 5) % 251).astype("<f4")
