@@ -36,7 +36,7 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
         rows = np.arange(H)[:, None] + i * H
         cols = np.arange(W)[None, :]
         data = ((rows * 31 + cols * 17) % 97 + 0.5).astype(float)
-        if fmt in ("szip", "scaleoffset", "nbit"):
+        if fmt in ("szip", "scaleoffset", "nbit", "zstd"):
             # the r15/r16 filters: uint16 NN-szip (the NASA L1B
             # shape, sequential Rice decode) vs float64 D-scaled
             # scale-offset vs 12-of-16-bit nbit (both vectorized
@@ -54,6 +54,7 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 deflate=False,
                 szip={"ppb": 16, "option": "nn"} if fmt == "szip"
                 else None,
+                zstd=fmt == "zstd",
                 scaleoffset={"factor": 2} if fmt == "scaleoffset"
                 else None,
                 nbit={"precision": 12} if fmt == "nbit" else None,
@@ -74,7 +75,8 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
                 chunk_index="fixed_array" if fmt == "hdf5_fa"
                 else "btree1",
             )
-        elif fmt in ("jpeg", "jpeg_progressive"):
+        elif fmt in ("jpeg", "jpeg_progressive", "jpeg_arith",
+                     "jpeg_arith_progressive"):
             # uint8 tag-7 JPEG strips (baseline vs progressive SOF2,
             # r17): the per-bit entropy walk is the per-core cost
             # center — measure its per-file amortization and the
@@ -139,7 +141,8 @@ def make_granules(n: int, fmt: str = "nc3") -> str:
             )
         ext = ("tif" if fmt in ("mbtiff", "mbtiff_planar", "tiff_pred3",
                                 "tiff_plain", "cog", "jpeg",
-                                "jpeg_progressive")
+                                "jpeg_progressive", "jpeg_arith",
+                                "jpeg_arith_progressive")
                else "nc")
         with open(os.path.join(d, f"g{i:04d}.{ext}"), "wb") as f:
             f.write(buf)
@@ -160,13 +163,16 @@ def main():
         return cog_main(ns)
     multi = fmt in ("mbtiff", "mbtiff_planar")
     tiff1 = fmt in ("tiff_pred3", "tiff_plain", "jpeg",
-                    "jpeg_progressive")
+                    "jpeg_progressive", "jpeg_arith",
+                    "jpeg_arith_progressive")
     ingest_fmt = ("geotiff_multiband" if multi
                   else "geotiff" if tiff1 else "netcdf3")
     px_per_file = (3 if multi else 1) * H * W
     bytes_per_px = (4 if (multi or fmt in ("tiff_pred3", "tiff_plain"))
-                    else 1 if fmt in ("jpeg", "jpeg_progressive")
-                    else 2 if fmt in ("szip", "nbit") else 8)
+                    else 1 if fmt in ("jpeg", "jpeg_progressive",
+                                      "jpeg_arith",
+                                      "jpeg_arith_progressive")
+                    else 2 if fmt in ("szip", "nbit", "zstd") else 8)
     for n in ns:
         d = make_granules(n, fmt)
         try:
