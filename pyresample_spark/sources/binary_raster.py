@@ -924,12 +924,19 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             f"{len(buf)}-byte file — corrupt or unsupported input"
         )
     comp = t.get(259, [1])[0]
-    if comp not in (1, 5, 6, 7, 8, 32773, 32946, 50000):
+    if comp not in (1, 5, 6, 7, 8, 32773, 32946, 50000, 34887):
         raise ValueError(
             f"unsupported TIFF compression {comp} (baseline, LZW, "
-            "DEFLATE, PackBits, new-style JPEG and ZSTD decoded "
-            "natively; others need rasterio)"
+            "DEFLATE, PackBits, new-style JPEG, ZSTD and LERC "
+            "decoded natively; others need rasterio)"
         )
+    # LercParameters (tag 50674): [codec version, additional
+    # compression: 0 none, 1 deflate, 2 zstd]
+    lerc_add = t.get(50674, [4, 0])[1] if comp == 34887 else 0
+    if lerc_add not in (0, 1, 2):
+        raise ValueError(
+            f"LERC additional compression {lerc_add} outside the "
+            "registered set (0 none, 1 deflate, 2 zstd)")
     planar = t.get(284, [1])[0]
     if spp > 1 and planar not in (1, 2):
         raise ValueError(f"unsupported PlanarConfiguration {planar}")
@@ -1268,6 +1275,30 @@ def tiff_pixels(buf: bytes, ifd: int = 0) -> np.ndarray:
             return zstd_decompress(
                 chunk, max_out=h * w * spp * max(1, bits_guard // 8)
                 + (1 << 16))
+        if comp == 34887:  # LERC (libtiff ≥4.3 / GDAL COMPRESS=LERC)
+            from pyresample_spark.sources.lerc import lerc_decode_blob
+
+            if lerc_add == 1:
+                chunk = zlib.decompress(chunk)
+            elif lerc_add == 2:
+                from pyresample_spark.sources.zstd import (
+                    zstd_decompress,
+                )
+
+                chunk = zstd_decompress(
+                    chunk, max_out=h * w * spp
+                    * max(1, bits_guard // 8) + (1 << 16))
+            vals, vmask = lerc_decode_blob(chunk)
+            if not vmask.all():
+                raise NotImplementedError(
+                    "LERC strip with invalid pixels — masked "
+                    "LERC-in-TIFF needs the alpha-band plumbing"
+                )
+            if spp != 1:
+                raise NotImplementedError(
+                    "multiband LERC strips outside the subset")
+            return np.ascontiguousarray(
+                vals.astype(dtype.newbyteorder("<"))).tobytes()
         return chunk
 
     def block(raw: bytes, rows: int, width_: int) -> np.ndarray:

@@ -251,3 +251,25 @@ def test_lzw_width_growth_and_clear(tmp_path):
     assert np.array_equal(got[:, :, 0], arr)
     from pyresample_spark.sources.binary_raster import tiff_pixels
     assert np.array_equal(tiff_pixels(buf), arr.astype("f8"))
+
+
+@pytest.mark.parametrize("dtype,bits,fmt", [
+    ("u1", 8, 1), ("i2", 16, 2), ("i4", 32, 2), ("f4", 32, 3),
+    ("f8", 64, 3)])
+@pytest.mark.parametrize("tiled", [0, 1])
+def test_reader_vs_libtiff_lerc(dtype, bits, fmt, tiled, tmp_path):
+    """LERC compression (tag 34887): files the system libtiff+libLerc
+    encode decode value-exact through the pure-python Lerc2 decoder
+    behind tiff_pixels."""
+    from pyresample_spark.sources.binary_raster import tiff_pixels
+
+    arr = ((np.arange(20)[:, None] * 7
+            + np.arange(37)[None, :] * 3) % 251).astype("<" + dtype)
+    p = tmp_path / "l.tif"
+    d = subprocess.run(
+        [str(_harness()), "write", str(p), "37", "20", "1",
+         str(bits), str(fmt), "34887", "1", "6", str(tiled)],
+        input=arr.tobytes(), capture_output=True)
+    assert d.returncode == 0, d.stderr.decode()
+    out = tiff_pixels(p.read_bytes())
+    assert np.array_equal(out, arr.astype(out.dtype))

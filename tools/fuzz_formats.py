@@ -296,6 +296,26 @@ def main():
                               / "rgb_h2v2_rst_prog_arith.jpg"
                               ).read_bytes(),
             decode_baseline_jpeg),
+        # LERC blobs (r17 continuation): Lerc2 header grammar, RLE
+        # masks, microblock/LUT/Huffman sections, per-version layout
+        ("lerc-v2-huff",
+            (pathlib.Path(__file__).parent.parent / "tests"
+             / "fixtures" / "lerc" / "v2_u1_huff.lerc").read_bytes(),
+            lambda b: __import__(
+                "pyresample_spark.sources.lerc",
+                fromlist=["lerc_decode_blob"]).lerc_decode_blob(b)),
+        ("lerc-v5-f4",
+            (pathlib.Path(__file__).parent.parent / "tests"
+             / "fixtures" / "lerc" / "v5_f4_q.lerc").read_bytes(),
+            lambda b: __import__(
+                "pyresample_spark.sources.lerc",
+                fromlist=["lerc_decode_blob"]).lerc_decode_blob(b)),
+        # a libtiff-written LERC TIFF through the raster reader
+        ("tiff-lerc",
+            (pathlib.Path(__file__).parent.parent / "tests"
+             / "fixtures" / "lerc" / "libtiff_lerc_f4.tif"
+             ).read_bytes(),
+            tiff_pixels),
         # GDAL-registered ZSTD compression (tag 50000, r17 cont.)
         ("tiff-zstd", geotiff_bytes(arr, 1.0, 1.0, 0.0, 6.0,
                                     compress="zstd",
