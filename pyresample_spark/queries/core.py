@@ -336,6 +336,48 @@ def q_hdf5_lzf_ingest(spark, sf_dir):
 
 
 @register(
+    "q_lerc_ingest",
+    oracle="""
+    SELECT CAST(r // 40 AS BIGINT) AS row,
+           CAST(r % 40 AS BIGINT) AS col,
+           CAST(((r // 40) * 43 + (r % 40) * 29) % 487 AS DOUBLE)
+               AS value
+    FROM (SELECT range AS r FROM range(3840))
+    """,
+)
+def q_lerc_ingest(spark, sf_dir):
+    """LERC-compressed-TIFF ingest (tag 34887 — GDAL's COMPRESS=LERC,
+    the codec elevation COGs and Esri image services ship; the
+    reference reads it through rasterio/GDAL/libLerc). The three
+    committed granules were written by the SYSTEM libtiff+libLerc
+    (tools/tiff_thirdparty.c write mode), so the pure-python Lerc2
+    decoder (sources/lerc.py — microblock tiles, Huffman modes, RLE
+    masks, v2-v6 layouts) is pinned against genuinely independent
+    encoder output inside the SAME distributed binaryFile +
+    mapInPandas ingest as every other granule format: 8-row strips,
+    16x16 tiles and 16-row strips, float32 payloads. The oracle
+    regenerates the grid so the decode must be value-exact."""
+    import os
+
+    from pyresample_spark.sources.binary_raster import (
+        read_raster_pixels,
+    )
+
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "..", "tests", "fixtures",
+        "lerc_granules")
+    px = read_raster_pixels(spark, os.path.abspath(d) + "/*.tif",
+                            "geotiff")
+    band = F.regexp_extract(F.col("file"), r"granule_(\d+)\.tif", 1
+                            ).cast("long")
+    return px.select(
+        (band * 32 + F.col("row")).alias("row"),
+        "col",
+        "value",
+    )
+
+
+@register(
     "q_hdf5_zstd_ingest",
     oracle="""
     SELECT CAST(r // 40 AS BIGINT) AS row,
