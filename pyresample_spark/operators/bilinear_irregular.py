@@ -460,10 +460,25 @@ def bilinear_irregular(
         "tgt_id", F.col("lon").alias("xx"), F.col("lat").alias("yy")
     )
     g = g0.join(tcoords.hint("shuffle_hash"), "tgt_id")
+    # The corner picks and the (t, s) chain below are gated behind an
+    # always-true NON-DETERMINISTIC condition (rand() < 2.0 — rand is
+    # [0,1), so the gate never fails and the value is bit-identical).
+    # Why: Catalyst's predicate pushdown substitutes deterministic
+    # aliases into pushed filters with no cost guard — profiled here
+    # (r17-opt), the two IS NOT NULL filters were merged into the
+    # tgt_id join CONDITION, where every x1..v4 reference re-expanded
+    # to a full interpreted filter(ks, …) corner pick and the whole
+    # let-bound chain ran twice more per row: the final stage burned
+    # ~6 ms/row, ~80% of the query. A non-deterministic project field
+    # blocks that substitution (PushPredicateThroughNonJoin requires
+    # deterministic fields), so each pick and the chain evaluate
+    # exactly ONCE per row, and the filters run where written, on the
+    # materialized columns.
     corners = g.selectExpr(
         "tgt_id", "xx", "yy",
         *[
-            f"try_element_at(filter(ks, x -> {cond}), 1) AS {name}"
+            f"CASE WHEN rand() < 2.0 THEN"
+            f" try_element_at(filter(ks, x -> {cond}), 1) END AS {name}"
             for name, cond in QUAD_CONDS
         ],
     ).filter(
@@ -483,7 +498,9 @@ def bilinear_irregular(
     )
     solved = wide.selectExpr(
         "tgt_id", "id1", "id2", "id3", "id4",
-        _ts_chain_expr() + " AS r",
+        # same non-deterministic gate as the corner picks above: keeps
+        # the r-filter from being substituted+pushed into the join
+        "CASE WHEN rand() < 2.0 THEN " + _ts_chain_expr() + " END AS r",
     ).filter("r.t IS NOT NULL AND r.s IS NOT NULL")
     return solved.selectExpr(
         "tgt_id",

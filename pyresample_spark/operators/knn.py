@@ -192,11 +192,19 @@ def _radius_pairs(
         tk = _shift2_cells(with_geocentric(tgt, tgt_lon, tgt_lat))
         offsets = None
     elif neighbor_scheme == "c27":
-        offsets = F.expr(
-            "explode(flatten(transform(sequence(-1,1), dx -> "
-            "flatten(transform(sequence(-1,1), dy -> "
-            "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))))"
+        # literal 27-struct array, NOT nested transform() lambdas: the
+        # higher-order-function form is CodegenFallback — Spark
+        # evaluates the whole lambda tree interpreted PER PROBE ROW
+        # (profiled r17-opt: the explode stage alone was 9.8 of
+        # q_knn_join's 12.3 cpu-s). A literal array constant-folds
+        # once at plan time and the Generate stays codegen'd.
+        cells27 = ", ".join(
+            f"named_struct('dx', {dx}L, 'dy', {dy}L, 'dz', {dz}L)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
         )
+        offsets = F.expr(f"explode(array({cells27}))")
         tk = with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), cell)
     else:
         # per axis: 0 plus the signed step toward the nearer wall —
@@ -212,11 +220,17 @@ def _radius_pairs(
                     F.col(g) - F.col(f"c{ax[1]}3") * cell < eff, F.lit(-1)
                 ).otherwise(F.lit(1)).cast("long"),
             )
-        offsets = F.expr(
-            "explode(flatten(transform(array(0L, bx), dx -> "
-            "flatten(transform(array(0L, by), dy -> "
-            "transform(array(0L, bz), dz -> struct(dx, dy, dz)))))))"
+        # literal 8-pick array for the same CodegenFallback reason as
+        # c27 above: pick ∈ {0,1} per axis selects 0 or the signed
+        # step (dx = px·bx below) instead of building the row-dependent
+        # array inside an interpreted lambda tree
+        picks8 = ", ".join(
+            f"named_struct('px', {px}L, 'py', {py}L, 'pz', {pz}L)"
+            for px in (0, 1)
+            for py in (0, 1)
+            for pz in (0, 1)
         )
+        offsets = F.expr(f"explode(array({picks8}))")
     base_cols = [
         F.col(tgt_id).alias("tgt_id"),
         F.col("gx").alias("t_gx"),
@@ -228,12 +242,20 @@ def _radius_pairs(
     if offsets is None:
         t = tk.select(*base_cols)
     else:
+        if neighbor_scheme == "2c8":
+            sel_extra = [F.col("bx"), F.col("by"), F.col("bz")]
+            dx = F.col("o.px") * F.col("bx")
+            dy = F.col("o.py") * F.col("by")
+            dz = F.col("o.pz") * F.col("bz")
+        else:
+            sel_extra = []
+            dx, dy, dz = F.col("o.dx"), F.col("o.dy"), F.col("o.dz")
         t = (
-            tk.select(*base_cols, offsets.alias("o"))
-            .withColumn("cx3", F.col("cx3") + F.col("o.dx"))
-            .withColumn("cy3", F.col("cy3") + F.col("o.dy"))
-            .withColumn("cz3", F.col("cz3") + F.col("o.dz"))
-            .drop("o")
+            tk.select(*base_cols, *sel_extra, offsets.alias("o"))
+            .withColumn("cx3", F.col("cx3") + dx)
+            .withColumn("cy3", F.col("cy3") + dy)
+            .withColumn("cz3", F.col("cz3") + dz)
+            .drop("o", "bx", "by", "bz")
         )
         # Box-distance prune (VERDICT r15 item 4): drop exploded
         # neighbor cells whose axis-aligned distance from the probe to
