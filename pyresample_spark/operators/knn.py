@@ -32,6 +32,7 @@ build side and avoids the shuffle entirely.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +45,43 @@ from pyresample_spark.functions.geo import R_EARTH, lonlat2xyz
 # A/B plans inside one session (removes the box-state time trend that
 # poisons run-to-run bench comparisons). Production value: True.
 BOX_PRUNE = True
+
+# Broadcast the BUILD side of the cell join when its parquet footprint
+# is small (guide §3.1: replace the shuffle of both sides with a
+# broadcast of the side that fits). Size is estimated from the scan's
+# input files — zero Spark jobs, deterministic, and conservative: the
+# in-memory hash relation of a (id, 3 doubles, cells, extras) row set
+# is ≤ ~10× the compressed parquet bytes, so 32 MiB of parquet stays
+# far under driver/executor comfort and the 8 GB broadcast cap. At
+# production scale (a multi-TB source) the estimate exceeds the bound
+# and the plan falls back to the shuffle join unchanged — the switch
+# is data-adaptive, not tuned to local mode.
+BROADCAST_SRC_BYTES = int(
+    os.environ.get("PYRESAMPLE_SPARK_KNN_BCAST_BYTES", str(32 << 20))
+)
+
+
+def _scan_bytes_hint(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the DataFrame's input files, or None when
+    the inputs are not file scans (e.g. range-generated grids)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
 
 
 def chord_length(radius_m: float, r_earth: float = R_EARTH) -> float:
@@ -292,12 +330,28 @@ def _radius_pairs(
             "salt", F.explode(F.expr(f"sequence(0, {salt_factor - 1})"))
         )
         join_keys = join_keys + ["salt"]
-    # shuffle_hash hint: static stats undervalue the exploded probe
-    # side (range-generated grids look tiny pre-explode) and would
-    # broadcast the 27×-amplified side. A hash shuffle on the cell key
-    # is the correct 100 TB plan — no sort of the pair input — and AQE
-    # still converts to broadcast at runtime when a side is truly small.
-    pairs = t.hint("shuffle_hash").join(s, join_keys, "inner")
+    # Join strategy (guide §3.1, chosen deliberately):
+    # - When the BUILD side's scan footprint is provably small
+    #   (≤ BROADCAST_SRC_BYTES of parquet, no salting requested),
+    #   broadcast it: NEITHER side shuffles, and because the probe
+    #   explode preserves the probe side's partitioning, every
+    #   candidate pair of a given target is produced in the target's
+    #   own task — the downstream groupBy(tgt_id) partial aggregation
+    #   collapses to ONE row per matched target before its exchange
+    #   (measured at sf0.1: 439,766 → ~4.6k shuffle records for
+    #   q_knn_join, identical pair sets).
+    # - Otherwise shuffle_hash: static stats undervalue the exploded
+    #   probe side (range-generated grids look tiny pre-explode) and
+    #   would broadcast the 27×-amplified side. A hash shuffle on the
+    #   cell key is the correct 100 TB plan — no sort of the pair
+    #   input — and AQE still converts to broadcast at runtime when a
+    #   side is truly small.
+    salted = bool(salt_factor and salt_factor > 1)
+    nbytes = None if salted else _scan_bytes_hint(src)
+    if nbytes is not None and nbytes <= BROADCAST_SRC_BYTES:
+        pairs = t.join(F.broadcast(s), join_keys, "inner")
+    else:
+        pairs = t.hint("shuffle_hash").join(s, join_keys, "inner")
     # floor(x + 0.5), not round(x, 0): identical for non-negative
     # distances, but floor is pure arithmetic while Spark's round on
     # doubles allocates a BigDecimal PER ROW — on the multi-million-row

@@ -345,6 +345,36 @@ def test_knn_salted_equals_unsalted(spark):
     assert a == b and len(a) > 0
 
 
+def test_knn_broadcast_src_strategy(spark, tmp_path, monkeypatch):
+    """A parquet-backed source under BROADCAST_SRC_BYTES plans a
+    broadcast hash join (no exchange of either join input); forcing
+    the threshold to 0 restores the shuffle_hash plan; both strategies
+    return identical rows (r17-opt join-strategy switch)."""
+    import pyresample_spark.operators.knn as knn_mod
+
+    p = str(tmp_path / "src.parquet")
+    _pts(
+        spark,
+        [(i, float(-170 + 0.3 * i), float(-50 + 0.2 * i)) for i in range(300)],
+    ).write.mode("overwrite").parquet(p)
+    src = spark.read.parquet(p)
+    tgt = _pts(
+        spark,
+        [(j, float(-169.5 + 0.5 * j), float(-49.5 + 0.4 * j)) for j in range(60)],
+        id_col="tgt_id",
+    )
+    bc = knn_join(src, tgt, 400_000.0, k=2)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    monkeypatch.setattr(knn_mod, "BROADCAST_SRC_BYTES", 0)
+    sh = knn_join(src, tgt, 400_000.0, k=2)
+    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in sh_plan
+    a = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in bc.collect())
+    b = sorted((r.tgt_id, r.src_id, r.nn_rank) for r in sh.collect())
+    assert a == b and len(a) > 0
+
+
 def test_parse_legacy_cfg():
     from pyresample_spark.sources.area_yaml import parse_legacy_cfg
 
