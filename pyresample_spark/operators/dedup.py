@@ -46,11 +46,16 @@ def shingle_concat_expr(n: int, ws_var: str = "ws") -> str:
     """SQL text of one word-``n``-gram at lambda index ``i`` over the
     word array ``ws_var`` — THE single definition of the shingle text
     that shingles(), minhash_bands_inrow() and (via shingles_sql's
-    DuckDB twin) every oracle must agree on. One copy, zero drift."""
-    return "concat(" + ", ".join(
-        f"element_at({ws_var}, i + {k + 1})" + (", ' '" if k < n - 1 else "")
-        for k in range(n)
-    ) + ")"
+    DuckDB twin) every oracle must agree on. One copy, zero drift.
+
+    ``array_join(slice(...))`` rather than ``concat`` over 2·n−1
+    ``element_at`` nodes: higher-order ``transform()`` lambdas are
+    CodegenFallback, so every node in the lambda body is evaluated
+    interpreted PER SHINGLE (guide §4.1); this form has 2 interpreted
+    nodes instead of 2·n−1 and produces the byte-identical
+    space-joined string (split() never yields NULL elements, so
+    array_join's null-skip can never diverge from concat)."""
+    return f"array_join(slice({ws_var}, i + 1, {n}), ' ')"
 
 
 def band_stack_expr(

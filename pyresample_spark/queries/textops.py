@@ -772,14 +772,19 @@ def q_dup_span(spark, sf_dir):
     keys, never the n-gram strings (at 100 TB the string shuffle is
     the cost; the hash collision rate at 60 bits is negligible for
     counting)."""
+    from pyspark.sql.window import Window as W
+
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, 5).select(
         "doc_id", md5_bigint(F.col("shingle")).alias("h")
     )
-    c = sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus count as a WINDOW over h (one exchange of (doc_id, h) int
+    # rows, shingle pass computed once) instead of groupBy + join,
+    # whose count side re-runs the whole split + shingle + md5 subtree
+    # (same restructure as q_dedup_span_mask, r17-opt)
     dup = F.when(F.col("cnt") >= 2, 1).otherwise(0)
     return (
-        sh.join(c, "h")
+        sh.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("total_shingles"),
@@ -1485,12 +1490,18 @@ def q_dedup_span_mask(spark, sf_dir):
     count vs doc length. Shuffles carry only (8-byte hash) and
     (doc_id, pos) ints — never text; the positions explode is 5× rows
     of ints, collapsed by the distinct's map-side partial."""
+    from pyspark.sql.window import Window as W
+
     d = table(spark, sf_dir, "documents")
     wl = words_col()
     base = d.select("doc_id", wl.alias("wl"))
     tok = base.select(
         "doc_id", F.size("wl").cast("long").alias("n_tokens")
     )
+    # array_join(slice(...)) builds the identical 'w1 w2 w3 w4 w5'
+    # string with 2 interpreted lambda nodes instead of 9 (higher-order
+    # transform() is CodegenFallback, so every node inside the lambda
+    # is evaluated interpreted per shingle — guide §4.1/r17-opt)
     sh = (
         base.filter(F.size("wl") >= 5)
         .select(
@@ -1498,17 +1509,22 @@ def q_dedup_span_mask(spark, sf_dir):
             F.posexplode(
                 F.expr(
                     "transform(sequence(0, size(wl) - 5), i -> "
-                    "concat(element_at(wl, i + 1), ' ', element_at(wl, i + 2),"
-                    " ' ', element_at(wl, i + 3), ' ', element_at(wl, i + 4),"
-                    " ' ', element_at(wl, i + 5)))"
+                    "array_join(slice(wl, i + 1, 5), ' '))"
                 )
             ).alias("s", "shingle"),
         )
         .select("doc_id", "s", md5_bigint(F.col("shingle")).alias("h"))
     )
-    c = sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus-wide shingle count as a WINDOW over h, not groupBy + join:
+    # the join form plans the count side as an independent subtree that
+    # re-scans documents and re-runs the whole split + shingle + md5
+    # pass (the query's dominant cost — guide §2.4 "duplicated
+    # subtrees"); the window computes shingles ONCE behind a single
+    # exchange of (doc_id, s, h) int rows. COUNT(*) OVER (PARTITION BY
+    # h) equals the joined groupBy count row-for-row.
+    cnt_w = F.count(F.lit(1)).over(W.partitionBy("h"))
     covered = (
-        sh.join(c, "h")
+        sh.withColumn("cnt", cnt_w)
         .filter(F.col("cnt") >= 2)
         .select(
             "doc_id",
