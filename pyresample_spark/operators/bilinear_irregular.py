@@ -394,6 +394,131 @@ def _ts_chain_expr() -> str:
     return body
 
 
+def _barrier_stage(df: DataFrame, keep: list, named_exprs: list,
+                   alias: str) -> DataFrame:
+    """One solve stage materialized behind a Generate barrier:
+    ``explode(array(named_struct(...)))`` of a one-element array is
+    row-preserving, keeps every stage a plain codegen'd Project
+    (no higher-order functions), and — because generator output cannot
+    be substituted below its Generate — stops both CollapseProject's
+    exponential alias expansion (the reason the chain was previously
+    one let-bound interpreted expression; see SNIPPETS 'let_expr') and
+    predicate-pushdown re-evaluation. Returns the frame with each
+    named expression flattened to a top-level column."""
+    struct_items = ", ".join(f"'{n}', {e}" for n, e in named_exprs)
+    gen = df.selectExpr(
+        *keep, f"explode(array(named_struct({struct_items}))) AS {alias}"
+    )
+    return gen.selectExpr(
+        *keep, *[f"{alias}.{n} AS {n}" for n, _ in named_exprs]
+    )
+
+
+def _ts_chain_staged(wide: DataFrame) -> DataFrame:
+    """The closed-form (t, s, value) solve as STAGED codegen'd
+    projects over the wide corner columns (x1..y4, v1..v4, xx, yy) —
+    formula-for-formula the same arithmetic, gates and try_divide
+    semantics as :func:`_ts_chain_expr` (the single let-bound
+    expression it replaces), hence bit-identical output; the let form
+    is a higher-order ``transform`` lambda tree, which Spark evaluates
+    interpreted per row (CodegenFallback), measured at ~0.4 ms/row —
+    the staged form runs entirely inside WholeStageCodegen. Emits the
+    result struct column ``r`` (t, s, v) behind a final barrier so the
+    caller's IS NOT NULL filter checks materialized fields."""
+    dv = _try_div
+    ids = ["tgt_id", "id1", "id2", "id3", "id4"]
+    geo = ["x1", "x2", "x3", "x4", "y1", "y2", "y3", "y4",
+           "v1", "v2", "v3", "v4", "xx", "yy"]
+    # S1: the six quadratic coefficients (oracle CTE g1)
+    s1 = _barrier_stage(wide, ids + geo, list(ABC_SQL), "qs")
+    qcols = [n for n, _ in ABC_SQL]
+    # S2: discriminants (g2)
+    s2 = _barrier_stage(
+        s1, ids + geo + qcols,
+        [("qd1", "qb1 * qb1 - 4.0 * qa1 * qc1"),
+         ("qd2", "qb2 * qb2 - 4.0 * qa2 * qc2")],
+        "ds",
+    )
+    # S3: the six root candidates
+    s3 = _barrier_stage(
+        s2, ids + geo + qcols + ["qd1", "qd2"],
+        [("r1a", dv("-(qb1) + sqrt(GREATEST(qd1, 0.0))", "2.0 * qa1")),
+         ("r2a", dv("-(qb1) - sqrt(GREATEST(qd1, 0.0))", "2.0 * qa1")),
+         ("r3a", dv("-(qc1)", "qb1")),
+         ("r1b", dv("-(qb2) + sqrt(GREATEST(qd2, 0.0))", "2.0 * qa2")),
+         ("r2b", dv("-(qb2) - sqrt(GREATEST(qd2, 0.0))", "2.0 * qa2")),
+         ("r3b", dv("-(qc2)", "qb2"))],
+        "rs",
+    )
+
+    def _root(qa, qd, qb, r1, r2, r3):
+        return (
+            f"CASE WHEN {qa} <> 0.0 AND {qd} >= 0.0"
+            f" AND {r1} >= 0.0 AND {r1} <= 1.0 THEN {r1}"
+            f" WHEN {qa} <> 0.0 AND {qd} >= 0.0"
+            f" AND {r2} >= 0.0 AND {r2} <= 1.0 THEN {r2}"
+            f" WHEN {qb} <> 0.0 AND {r3} >= 0.0 AND {r3} <= 1.0 THEN {r3}"
+            f" END"
+        )
+
+    # S4: first fractional distances (g3)
+    s4 = _barrier_stage(
+        s3, ids + geo,
+        [("t_irr", _root("qa1", "qd1", "qb1", "r1a", "r2a", "r3a")),
+         ("s_up", _root("qa2", "qd2", "qb2", "r1b", "r2b", "r3b"))],
+        "fs",
+    )
+    # S5: the other fractional distances + the parallelogram t0 (g4/g5)
+    den_si = "y2 + (y4 - y2) * t_irr - y1 - (y3 - y1) * t_irr"
+    den_tu = "y3 + (y4 - y3) * s_up - y1 - (y2 - y1) * s_up"
+    g_si = dv("yy - y1 - (y3 - y1) * t_irr", den_si)
+    g_tu = dv("yy - y1 - (y2 - y1) * s_up", den_tu)
+    par_den = "(x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)"
+    pt0 = dv("(x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1)", par_den)
+    s5 = _barrier_stage(
+        s4, ids + geo + ["t_irr", "s_up"],
+        [("s_irr",
+          f"CASE WHEN t_irr IS NOT NULL AND ({den_si}) <> 0.0"
+          f" AND {g_si} >= 0.0 AND {g_si} <= 1.0 THEN {g_si} END"),
+         ("t_up",
+          f"CASE WHEN s_up IS NOT NULL AND ({den_tu}) <> 0.0"
+          f" AND {g_tu} >= 0.0 AND {g_tu} <= 1.0 THEN {g_tu} END"),
+         ("t_par0",
+          f"CASE WHEN ({par_den}) <> 0.0 AND (x2 - x1) <> 0.0"
+          f" AND {pt0} >= 0.0 AND {pt0} <= 1.0 THEN {pt0} END")],
+        "gs",
+    )
+    # S6: parallelogram (t, s) gate (g6)
+    sq = dv("xx - x1 + (x3 - x1) * t_par0", "x2 - x1")
+    s6 = _barrier_stage(
+        s5,
+        ids + ["v1", "v2", "v3", "v4", "t_irr", "s_up", "s_irr", "t_up"],
+        [("t_par",
+          f"CASE WHEN t_par0 IS NOT NULL"
+          f" AND {sq} >= 0.0 AND {sq} <= 1.0 THEN t_par0 END"),
+         ("s_par",
+          f"CASE WHEN t_par0 IS NOT NULL"
+          f" AND {sq} >= 0.0 AND {sq} <= 1.0 THEN {sq} END")],
+        "ps",
+    )
+    # S7: fallback-chain resolution + interpolation (fin), emitted as
+    # the final ``r`` struct behind its own barrier
+    tf = ("CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr"
+          " WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up"
+          " ELSE t_par END")
+    sf = ("CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN s_irr"
+          " WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN s_up"
+          " ELSE s_par END")
+    s7 = s6.selectExpr(
+        *ids,
+        f"explode(array(named_struct("
+        f"'t', {tf}, 's', {sf}, 'v',"
+        f" v1 * (1.0 - {sf}) * (1.0 - {tf}) + v2 * {sf} * (1.0 - {tf})"
+        f" + v3 * (1.0 - {sf}) * {tf} + v4 * {sf} * {tf}))) AS r",
+    )
+    return s7
+
+
 def bilinear_irregular(
     src: DataFrame,
     tgt: DataFrame,
@@ -437,71 +562,181 @@ def bilinear_irregular(
         "src_id", "lon", "lat",
         F.col("lon").alias("s_lon"), F.col("lat").alias("s_lat"), "value",
     )
-    tgt2 = tgt.select("tgt_id", "lon", "lat")
-    from pyresample_spark.operators.knn import _radius_pairs
+    from pyresample_spark.operators.knn import (
+        BROADCAST_SRC_BYTES,
+        _radius_pairs,
+        _scan_bytes_hint,
+    )
 
-    pairs = _radius_pairs(
-        src2, tgt2, c,
-        extra_src_cols=("s_lon", "s_lat", "value"),
-        neighbor_scheme=neighbor_scheme,
-    )
-    collect = F.collect_set if neighbor_scheme == "shift2" else F.collect_list
-    g0 = pairs.groupBy("tgt_id").agg(
-        F.slice(
-            F.array_sort(
-                collect(
-                    F.struct("dist_mm", "src_id", "s_lon", "s_lat", "value")
-                )
-            ),
-            1, k,
-        ).alias("ks"),
-    )
+    from pyspark.sql.window import Window as W
+
+    nbytes = _scan_bytes_hint(src)
+    small_src = nbytes is not None and nbytes <= BROADCAST_SRC_BYTES
+    if small_src:
+        # Broadcast-src topology (r17-opt): _radius_pairs broadcasts
+        # the build side, so the probe side never shuffles — the
+        # target's own lon/lat ride the 27× explode for free (in-task
+        # bytes, no exchange) and the post-selection tcoords join (an
+        # extra scan of the target table + two exchanges) disappears.
+        # The pre-explode repartition hash-partitions the (1×-sized)
+        # target rows by tgt_id so that (a) the downstream per-target
+        # window/aggregation needs NO pair-level exchange (the
+        # partitioning flows through explode, broadcast join and
+        # projections) and (b) the probe stage parallelizes even when
+        # the target scan is a single input split. Explicit partition
+        # count (defaultParallelism) so AQE cannot coalesce the tiny
+        # pre-explode exchange to one task.
+        npart = tgt.sparkSession.sparkContext.defaultParallelism
+        tgt2 = tgt.select(
+            "tgt_id", "lon", "lat",
+            F.col("lon").alias("xx"), F.col("lat").alias("yy"),
+        ).repartition(npart, F.col("tgt_id"))
+        pairs = _radius_pairs(
+            src2, tgt2, c,
+            extra_src_cols=("s_lon", "s_lat", "value"),
+            extra_tgt_cols=("xx", "yy"),
+            neighbor_scheme=neighbor_scheme,
+        )
+    else:
+        # Shuffle topology (large source): keep xx/yy OFF the 27×
+        # probe exchange (16 bytes/row on the widest shuffles) and
+        # hash-join them back from the 1×-sized target table onto the
+        # already rank-cut rows (round-8 A/B: 1.81 → 1.63 s).
+        tgt2 = tgt.select("tgt_id", "lon", "lat")
+        pairs = _radius_pairs(
+            src2, tgt2, c,
+            extra_src_cols=("s_lon", "s_lat", "value"),
+            neighbor_scheme=neighbor_scheme,
+        )
     tcoords = tgt.select(
         "tgt_id", F.col("lon").alias("xx"), F.col("lat").alias("yy")
     )
-    g = g0.join(tcoords.hint("shuffle_hash"), "tgt_id")
-    # The corner picks and the (t, s) chain below are gated behind an
-    # always-true NON-DETERMINISTIC condition (rand() < 2.0 — rand is
-    # [0,1), so the gate never fails and the value is bit-identical).
-    # Why: Catalyst's predicate pushdown substitutes deterministic
-    # aliases into pushed filters with no cost guard — profiled here
-    # (r17-opt), the two IS NOT NULL filters were merged into the
-    # tgt_id join CONDITION, where every x1..v4 reference re-expanded
-    # to a full interpreted filter(ks, …) corner pick and the whole
-    # let-bound chain ran twice more per row: the final stage burned
-    # ~6 ms/row, ~80% of the query. A non-deterministic project field
-    # blocks that substitution (PushPredicateThroughNonJoin requires
-    # deterministic fields), so each pick and the chain evaluate
-    # exactly ONCE per row, and the filters run where written, on the
-    # materialized columns.
-    corners = g.selectExpr(
-        "tgt_id", "xx", "yy",
-        *[
-            f"CASE WHEN rand() < 2.0 THEN"
-            f" try_element_at(filter(ks, x -> {cond}), 1) END AS {name}"
+    if neighbor_scheme == "shift2":
+        # shift2 emits duplicate pairs (one per co-located grid);
+        # collect_set collapses them in-aggregate before the top-k
+        # slice, so the selection stays the fused-aggregate form (a
+        # row_number rank would count duplicates as distinct ranks)
+        keys = (
+            ["tgt_id", "xx", "yy"] if small_src else ["tgt_id"]
+        )
+        g = pairs.groupBy(*keys).agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(
+                        F.struct(
+                            "dist_mm", "src_id", "s_lon", "s_lat", "value"
+                        )
+                    )
+                ),
+                1, k,
+            ).alias("ks"),
+        )
+        if not small_src:
+            g = g.join(tcoords.hint("shuffle_hash"), "tgt_id")
+        # picks materialized as GENERATOR OUTPUT — see the barrier
+        # rationale below
+        pick_struct = ", ".join(
+            f"'{name}', try_element_at(filter(ks, x -> {cond}), 1)"
             for name, cond in QUAD_CONDS
-        ],
-    ).filter(
-        "p1 IS NOT NULL AND p2 IS NOT NULL "
-        "AND p3 IS NOT NULL AND p4 IS NOT NULL"
-    )
-    wide = corners.selectExpr(
-        "tgt_id", "xx", "yy",
-        *[
-            e
-            for i in (1, 2, 3, 4)
-            for e in (
-                f"p{i}.s_lon AS x{i}", f"p{i}.s_lat AS y{i}",
-                f"p{i}.value AS v{i}", f"p{i}.src_id AS id{i}",
+        )
+        corners = g.selectExpr(
+            "tgt_id", "xx", "yy",
+            f"explode(array(named_struct({pick_struct}))) AS pk",
+        ).filter(
+            "pk.p1 IS NOT NULL AND pk.p2 IS NOT NULL "
+            "AND pk.p3 IS NOT NULL AND pk.p4 IS NOT NULL"
+        )
+        wide = corners.selectExpr(
+            "tgt_id", "xx", "yy",
+            *[
+                e
+                for i in (1, 2, 3, 4)
+                for e in (
+                    f"pk.p{i}.s_lon AS x{i}", f"pk.p{i}.s_lat AS y{i}",
+                    f"pk.p{i}.value AS v{i}", f"pk.p{i}.src_id AS id{i}",
+                )
+            ],
+        )
+    else:
+        # Exact schemes (r17-opt): the candidate set is large next to k
+        # (measured 617 candidates/target at sf0.1 for 4 surviving
+        # corners), so collect-everything-then-sort was the query's
+        # dominant cost — an ObjectHashAggregate materializing 3.1M
+        # five-field structs and sorting them with an interpreted
+        # comparator. The selection is now fully codegen'd:
+        #   1. top-k cut: row_number over (tgt_id | dist_mm, src_id) —
+        #      a codegen'd sort; no exchange, the pair rows are already
+        #      clustered by tgt_id in both topologies;
+        #   2. strict-sign quadrant index per row (rows on an axis get
+        #      NULL and drop, as in the oracle);
+        #   3. nearest-per-quadrant: row_number over ((tgt_id, q) |
+        #      dist_mm, src_id) = 1 — a re-sort of only the ≤k·|tgt|
+        #      surviving rows;
+        #   4. corner pivot: MAX(CASE WHEN q = i …) per field in one
+        #      hash aggregate; all-4-quadrants enforced by the id NULL
+        #      checks (≡ the oracle's HAVING COUNT(*) = 4).
+        w1 = W.partitionBy("tgt_id").orderBy(
+            F.col("dist_mm").asc(), F.col("src_id").asc()
+        )
+        top = pairs.withColumn("rn", F.row_number().over(w1)).filter(
+            F.col("rn") <= k
+        )
+        if not small_src:
+            top = top.join(tcoords.hint("shuffle_hash"), "tgt_id")
+        qex = (
+            F.when(
+                (F.col("s_lon") < F.col("xx")) & (F.col("s_lat") > F.col("yy")), 1
             )
-        ],
+            .when(
+                (F.col("s_lon") > F.col("xx")) & (F.col("s_lat") > F.col("yy")), 2
+            )
+            .when(
+                (F.col("s_lon") < F.col("xx")) & (F.col("s_lat") < F.col("yy")), 3
+            )
+            .when(
+                (F.col("s_lon") > F.col("xx")) & (F.col("s_lat") < F.col("yy")), 4
+            )
+        )
+        topq = top.withColumn("q", qex).filter(F.col("q").isNotNull())
+        w2 = W.partitionBy("tgt_id", "q").orderBy(
+            F.col("dist_mm").asc(), F.col("src_id").asc()
+        )
+        best = topq.withColumn("rn2", F.row_number().over(w2)).filter(
+            F.col("rn2") == 1
+        )
+        aggs = []
+        for i in (1, 2, 3, 4):
+            cond = F.col("q") == i
+            aggs += [
+                F.max(F.when(cond, F.col("s_lon"))).alias(f"x{i}"),
+                F.max(F.when(cond, F.col("s_lat"))).alias(f"y{i}"),
+                F.max(F.when(cond, F.col("value"))).alias(f"v{i}"),
+                F.max(F.when(cond, F.col("src_id"))).alias(f"id{i}"),
+            ]
+        wide = (
+            best.groupBy("tgt_id", "xx", "yy")
+            .agg(*aggs)
+            .filter(
+                "id1 IS NOT NULL AND id2 IS NOT NULL "
+                "AND id3 IS NOT NULL AND id4 IS NOT NULL"
+            )
+        )
+    # The (t, s) chain is materialized behind Generate barriers
+    # (_ts_chain_staged / _barrier_stage). Why: Catalyst's predicate
+    # pushdown substitutes deterministic project aliases into pushed
+    # filters with no cost guard — profiled here (r17-opt), the
+    # IS NOT NULL filters were merged into a join condition, where
+    # every x1..v4 reference re-expanded and the chain ran twice more
+    # per row (~38 ms/row, ~95% of the query). An earlier fix gated
+    # the picks behind `CASE WHEN rand() < 2.0` — Spark 4.1's
+    # optimizer folds that tautology away, so the gate was inert. A
+    # Generate is a hard barrier: filters referencing generator output
+    # cannot be pushed below the Generate, so the chain evaluates
+    # exactly ONCE per row and the filters run on the materialized
+    # struct.
+    solved = _ts_chain_staged(wide).filter(
+        "r.t IS NOT NULL AND r.s IS NOT NULL"
     )
-    solved = wide.selectExpr(
-        "tgt_id", "id1", "id2", "id3", "id4",
-        # same non-deterministic gate as the corner picks above: keeps
-        # the r-filter from being substituted+pushed into the join
-        "CASE WHEN rand() < 2.0 THEN " + _ts_chain_expr() + " END AS r",
-    ).filter("r.t IS NOT NULL AND r.s IS NOT NULL")
     return solved.selectExpr(
         "tgt_id",
         "CAST(id3 AS LONG) AS c00",
