@@ -773,29 +773,59 @@ def knn_gauss_fold(
     pairs = _radius_pairs(
         src_in, tgt, c, src_id, tgt_id, extra_src_cols=("value",),
         neighbor_scheme=neighbor_scheme,
-    ).select("tgt_id", F.struct("dist_mm", "src_id", "value").alias("p"))
-    # shift2's duplicate pairs carry identical (dist, src_id, value)
-    # structs — collect_set collapses them in-aggregate so the fold
-    # never double-counts a weight (collect_list would); exact schemes
-    # keep collect_list (no dedup hashing on the hot path)
-    collect = (
-        F.collect_set("p") if neighbor_scheme == "shift2"
-        else F.collect_list("p")
     )
-    g = pairs.groupBy("tgt_id").agg(
-        F.slice(F.array_sort(collect), 1, k).alias("ks")
+    if neighbor_scheme == "shift2":
+        # shift2's duplicate pairs carry identical (dist, src_id,
+        # value) structs — collect_set collapses them in-aggregate so
+        # the fold never double-counts a weight (a row_number rank
+        # would count duplicates as distinct ranks)
+        g = pairs.select(
+            "tgt_id", F.struct("dist_mm", "src_id", "value").alias("p")
+        ).groupBy("tgt_id").agg(
+            F.slice(F.array_sort(F.collect_set("p")), 1, k).alias("ks")
+        )
+        ss = repr(sigma * sigma)
+        w_of = f"exp(-(x.dist_mm/1000.0D)*(x.dist_mm/1000.0D)/{ss}D)"
+        return g.select(
+            "tgt_id",
+            F.expr(f"aggregate(ks, 0.0D, (a, x) -> a + {w_of})").alias("v1"),
+            F.expr(
+                f"aggregate(ks, 0.0D, (a, x) -> a + {w_of}*{w_of})"
+            ).alias("v2"),
+            F.expr(
+                f"aggregate(ks, 0.0D, (a, x) -> a + {w_of}*x.value)"
+            ).alias("swv"),
+            F.expr(
+                f"aggregate(ks, 0.0D, (a, x) -> a + {w_of}*x.value*x.value)"
+            ).alias("swv2"),
+            F.size("ks").alias("n_neighbours"),
+        )
+    # Exact schemes (r17-opt): top-k as a codegen'd row_number window
+    # (no exchange — pair rows are clustered by tgt_id under both join
+    # topologies) + plain SUM aggregates over the ≤k survivors, instead
+    # of collecting every candidate pair into a struct list and
+    # interpreted-sorting it (ObjectHashAggregate + CodegenFallback
+    # aggregate() folds; measured 1.47M candidates for ~4.6k targets
+    # at sf0.1). Summation order is unchanged: the window emits rows
+    # sorted by (dist_mm, src_id) — exactly the fold order of the
+    # array form — and each target's partial accumulates in one task.
+    w1 = W.partitionBy("tgt_id").orderBy(
+        F.col("dist_mm").asc(), F.col("src_id").asc()
     )
-    ss = repr(sigma * sigma)
-    w_of = f"exp(-(x.dist_mm/1000.0D)*(x.dist_mm/1000.0D)/{ss}D)"
-    return g.select(
-        "tgt_id",
-        F.expr(f"aggregate(ks, 0.0D, (a, x) -> a + {w_of})").alias("v1"),
-        F.expr(f"aggregate(ks, 0.0D, (a, x) -> a + {w_of}*{w_of})").alias("v2"),
-        F.expr(f"aggregate(ks, 0.0D, (a, x) -> a + {w_of}*x.value)").alias("swv"),
-        F.expr(
-            f"aggregate(ks, 0.0D, (a, x) -> a + {w_of}*x.value*x.value)"
-        ).alias("swv2"),
-        F.size("ks").alias("n_neighbours"),
+    top = pairs.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= k
+    )
+    d_m = F.col("dist_mm") / 1000.0
+    wgt = F.exp(-(d_m * d_m) / (sigma * sigma))
+    v = F.col("value")
+    top = top.withColumn("w", wgt)
+    wc = F.col("w")
+    return top.groupBy("tgt_id").agg(
+        F.sum(wc).alias("v1"),
+        F.sum(wc * wc).alias("v2"),
+        F.sum(wc * v).alias("swv"),
+        F.sum(wc * v * v).alias("swv2"),
+        F.count(F.lit(1)).cast("int").alias("n_neighbours"),
     )
 
 

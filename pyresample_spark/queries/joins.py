@@ -671,30 +671,32 @@ def q_gauss_multi_sigma(spark, sf_dir):
     pairs = _radius_pairs(
         _src(spark, sf_dir), _tgt(spark), chord_length(RADIUS_M),
         extra_src_cols=("value",),
-    ).select("tgt_id", F.struct("dist_mm", "src_id", "value").alias("p"))
-    g = pairs.groupBy("tgt_id").agg(
-        F.slice(F.array_sort(F.collect_list("p")), 1, 8).alias("ks")
     )
-
-    def w_of(sig):
-        ss = repr(sig * sig)
-        return (f"exp(-(x.dist_mm/1000.0D)*(x.dist_mm/1000.0D)/{ss}D)")
-
+    # top-8 as a codegen'd row_number window + plain SUM aggregates
+    # (the knn_gauss_fold r17-opt idiom — no collected struct lists,
+    # no interpreted folds; summation order is the window's
+    # (dist_mm, src_id) order, exactly the old fold order)
+    w1 = W.partitionBy("tgt_id").orderBy(
+        F.col("dist_mm").asc(), F.col("src_id").asc()
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= 8
+    )
+    d_m = F.col("dist_mm") / 1000.0
+    v = F.col("value")
     chans = [
-        ("gauss_s50", _S50, "x.value"),
-        ("gauss_s100", _S100, "(2.0D*x.value + 1.0D)"),
-        ("gauss_s200", _S200, "(100.0D - x.value)"),
+        ("gauss_s50", _S50, v),
+        ("gauss_s100", _S100, 2.0 * v + 1.0),
+        ("gauss_s200", _S200, 100.0 - v),
     ]
     aggs = []
     for name, sig, vx in chans:
-        w = w_of(sig)
-        aggs.append(F.expr(
-            f"aggregate(ks, 0.0D, (a, x) -> a + {w}*{vx})"
-        ).alias(f"swv_{name}"))
-        aggs.append(F.expr(
-            f"aggregate(ks, 0.0D, (a, x) -> a + {w})"
-        ).alias(f"sw_{name}"))
-    out = g.select("tgt_id", F.size("ks").alias("n_neighbours"), *aggs)
+        w = F.exp(-(d_m * d_m) / (sig * sig))
+        aggs.append(F.sum(w * vx).alias(f"swv_{name}"))
+        aggs.append(F.sum(w).alias(f"sw_{name}"))
+    out = top.groupBy("tgt_id").agg(
+        F.count(F.lit(1)).alias("n_neighbours"), *aggs
+    )
     return out.filter(F.col("n_neighbours") > 1).select(
         "tgt_id",
         *[
