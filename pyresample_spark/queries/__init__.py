@@ -59,8 +59,83 @@ def register(name: str, oracle: str | None = None, tags: tuple = ()):
     return deco
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# Scan-spread (r17-opt, guide §2.5 "input skew: one huge unsplittable
+# file … repartition immediately after the read" + §6): the test tables
+# are single-row-group parquet files, and a parquet row group is the
+# atomic split unit — every scan yields ONE task no matter how many
+# cores the session has, so per-row compute (shingling, ADC scoring,
+# projection math) serializes onto one core. When the file provably
+# cannot split to the session's parallelism, round-robin repartition
+# right after the read. The decision reads the parquet footer on the
+# driver (no Spark job, memoized by path+mtime+size) and is
+# data-adaptive, NOT tuned to local mode: a production-scale input has
+# many row groups / files, the gate never fires, and the plan is
+# byte-identical to today's. Results are unaffected — the registry-wide
+# hash-stability rules above make every aggregate order-insensitive,
+# and round-robin repartition is deterministic (sort-before-repartition
+# is on by default).
+_SPREAD_ENABLED = os.environ.get("PYRESAMPLE_SPARK_SCAN_SPREAD", "1") != "0"
+# A task should own at least this many rows before a spread is worth
+# its scheduling overhead (env-overridable).
+_SPREAD_MIN_ROWS = int(
+    os.environ.get("PYRESAMPLE_SPARK_SCAN_SPREAD_MIN_ROWS", "64")
+)
+# Tables whose downstream per-row work is heavy enough to pay for the
+# repartition (text shingling/hashing, vector scoring). Measured at
+# sf0.1: spreading these cut q_pq_search wall 2.38→1.14 s and
+# q_dedup_minhash 1.49→1.10 s, while spreading lineitem REGRESSED
+# q_scan_lineitem 0.71→1.54 s (an immediate high-reduction aggregate:
+# the round-robin exchange shipped 600k rows that map-side partial
+# aggregation would have reduced to 6) — so spread is opt-in by table,
+# not blanket.
+_SPREAD_TABLES = frozenset(
+    os.environ.get(
+        "PYRESAMPLE_SPARK_SCAN_SPREAD_TABLES", "documents,embeddings"
+    ).split(",")
+)
+_SPREAD_META: dict = {}
+
+
+def _spread_parts(path: str, cores: int) -> int:
+    """Target partition count for an unsplittable small scan, or 0 to
+    leave the scan alone (multi-row-group file, directory source,
+    unreadable footer, or too few rows to be worth tasks)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return 0
+    key = (path, st.st_mtime_ns, st.st_size)
+    meta = _SPREAD_META.get(key)
+    if meta is None:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            meta = (md.num_rows, md.num_row_groups)
+        except Exception:
+            meta = (0, 1 << 30)  # not a single parquet file: never spread
+        _SPREAD_META[key] = meta
+    rows, row_groups = meta
+    target = min(cores, rows // _SPREAD_MIN_ROWS)
+    if target < 2 or row_groups >= target:
+        return 0
+    return target
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
+    """``spread=None`` (default) spreads only the payload-heavy tables
+    in ``_SPREAD_TABLES``; True/False force it per call site."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread and _SPREAD_ENABLED:
+        n = _spread_parts(path, spark.sparkContext.defaultParallelism)
+        if n:
+            df = df.repartition(n)
+    return df
 
 
 # WINDOW (generated by tools/window_plan.py --through 16

@@ -32,12 +32,29 @@ PTS_SQL = (
 )
 
 
-def _pts(spark, sf_dir):
+def _pts(spark, sf_dir, spread: bool = True):
+    """Events-derived points. ``spread=True`` applies the adaptive
+    scan-spread (queries.table r17-opt): the events file is a single
+    parquet row group, so without it every per-row projection in this
+    module runs as ONE task. The kNN family opts out (joins._src) —
+    its source feeds a broadcast build where a repartition would only
+    add an exchange."""
     from pyresample_spark.operators.bucket import events_points
+    from pyresample_spark.queries import _spread_parts
 
-    return events_points(spark, sf_dir).select(
+    pts = events_points(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value", "lon", "lat"
     )
+    if spread:
+        import os as _os
+
+        n = _spread_parts(
+            _os.path.join(sf_dir, "events.parquet"),
+            spark.sparkContext.defaultParallelism,
+        )
+        if n:
+            pts = pts.repartition(n)
+    return pts
 
 
 @register(

@@ -112,7 +112,10 @@ PAIRS_SQL = pairs_sql(KNN_AREA, RADIUS_M)
 def _src(spark, sf_dir):
     from pyresample_spark.queries.geo_scalar import _pts
 
-    return _pts(spark, sf_dir).select(
+    # spread=False: this source feeds the cell join's broadcast build
+    # (operators/knn.py) — a repartition here would only add an
+    # exchange in front of the BroadcastExchange collect
+    return _pts(spark, sf_dir, spread=False).select(
         F.col("event_id").alias("src_id"), "value", "lon", "lat"
     )
 

@@ -35,7 +35,10 @@ def q_dedup_exact(spark, sf_dir):
     """Exact dedup: groupBy(sha256(text)) keeping the min doc_id as
     representative. At 100 TB: hash map-side so the shuffle carries
     8-byte keys, not documents."""
-    d = table(spark, sf_dir, "documents")
+    # spread=False: one sha256 per row then a high-reduction agg — the
+    # spread exchange ships full text the map-side partial would have
+    # reduced to 8-byte keys (measured 0.27→0.50 s wall at sf0.1)
+    d = table(spark, sf_dir, "documents", spread=False)
     return d.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
         F.min("doc_id").alias("rep_doc"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -168,7 +171,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_text_stats(spark, sf_dir):
     """Per-language corpus stats: doc counts, char/word sums, exact
     integer-sum average length (SURVEY §2.10 q_text_stats)."""
-    d = table(spark, sf_dir, "documents")
+    # spread=False: two length() calls per row then a 5-group agg —
+    # cheaper to reduce map-side in the scan task than to exchange
+    # full text first (measured 0.31→0.43 s wall at sf0.1)
+    d = table(spark, sf_dir, "documents", spread=False)
     n_words = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
     )
