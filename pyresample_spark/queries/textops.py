@@ -852,10 +852,14 @@ def q_bigram_logprob(spark, sf_dir):
         ).alias("bg"),
     )
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    # prefix counts derived from the bigram-count table — c(w1·) is
+    # exactly Σ_w2 c(w1 w2), an integer sum over the ~|distinct
+    # bigrams| aggregate instead of a SECOND full tokenize+zip_with
+    # pass over every document (r17-opt: was one of this query's three
+    # corpus bigram walks)
     c1 = (
-        bg.withColumn("w1", F.substring_index("bg", " ", 1))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("cnt1"))
+        c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("cnt2").alias("cnt1"))
     )
     scored = (
         bg.join(F.broadcast(c2), "bg")
@@ -1423,10 +1427,13 @@ def q_ngram_lm_ppl(spark, sf_dir):
         ).alias("bg"),
     )
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    # prefix counts from the bigram-count table (c(w1·) = Σ_w2
+    # c(w1 w2)) — replaces a full tokenize+zip_with corpus pass with an
+    # integer sum over the distinct-bigram aggregate (r17-opt; same
+    # derivation as q_bigram_logprob)
     c1 = (
-        bg.withColumn("w1", F.substring_index("bg", " ", 1))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("cnt1"))
+        c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("cnt2").alias("cnt1"))
     )
     v = (
         d.select(F.explode(wl).alias("word"))
