@@ -135,7 +135,8 @@ def cosine_topk(
 
 
 def ivf_assign(
-    corpus: DataFrame, centroids: DataFrame, vec_col="embedding"
+    corpus: DataFrame, centroids: DataFrame, vec_col="embedding",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid. Deterministic:
     (round(cos,9) DESC, centroid_id ASC).
@@ -144,7 +145,13 @@ def ivf_assign(
     HashAggregate, NOT a row_number window: the window plan shuffle+
     sorts all N×C assignment pairs by vec_id (VERDICT r1 "What's wrong"
     #1); the min() plan reduces each vector's C candidates to one row
-    inside the scan task, so only N rows reach the shuffle."""
+    inside the scan task, so only N rows reach the shuffle.
+
+    ``carry_vec=True`` also returns the vector and its norm
+    (``vec_col``, ``vnorm``) via first() — constant within the vec_id
+    group, so deterministic — letting callers that need the embedding
+    next to the assignment (SemDeDup's in-cluster pair search) skip a
+    whole second corpus pass + re-join on vec_id (r17-opt)."""
     c = with_norm(corpus, vec_col).select(
         "vec_id", F.col(vec_col).alias("v"), F.col("vnorm").alias("vn")
     )
@@ -157,16 +164,23 @@ def ivf_assign(
     cos = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
     c9 = F.round(cos * _COS_SCALE, 0).cast("bigint")
     key = (F.lit(_COS_SCALE) - c9) * F.lit(_COS_PACK) + F.col("centroid_id")
+    extra = (
+        [F.first("v").alias(vec_col), F.first("vn").alias("vnorm")]
+        if carry_vec
+        else []
+    )
     best = pairs.groupBy("vec_id").agg(
         F.min(key).alias("bk"),
         F.min("centroid_id").alias("_id_lo"),
         F.max("centroid_id").alias("_id_hi"),
+        *extra,
     )
     ok = (F.col("_id_lo") >= 0) & (F.col("_id_hi") < F.lit(_COS_PACK))
     guard = F.assert_true(ok, F.lit(_COS_ERR))
     return best.select(
         "vec_id",
         F.when(guard.isNull(), F.col("bk") % _COS_PACK).alias("centroid_id"),
+        *([vec_col, "vnorm"] if carry_vec else []),
     )
 
 

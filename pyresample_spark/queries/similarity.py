@@ -940,13 +940,17 @@ def q_semdedup(spark, sf_dir):
     the paper's pre-clustering recipe."""
     emb = _emb(spark, sf_dir)
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
-    assign = ivf_assign(emb, centroids)
-    embn = with_norm(emb).select("vec_id", "embedding", "vnorm")
-    # shuffle_hash: both sides are corpus-sized and the join is pure
-    # equi — a hash join on vec_id / centroid_id needs no sort of
-    # either stream (SortMergeJoin would sort both); AQE still
-    # broadcasts at runtime when a side turns out small
-    cl = embn.join(assign.hint("shuffle_hash"), "vec_id")
+    # r17-opt: carry_vec rides the embedding+norm through the argmax
+    # aggregate, so the corpus is normalized and assigned in ONE pass
+    # (previously: a second with_norm pass re-joined on vec_id by
+    # shuffle_hash — two exchanges, a duplicated scan subtree). The
+    # explicit repartition on centroid_id is computed once and REUSED
+    # by both self-join sides and the verdict join (ReusedExchange):
+    # the a/b aliases hash-partition identically, so the in-cluster
+    # pair join adds no exchange of its own.
+    cl = ivf_assign(emb, centroids, carry_vec=True).repartition(
+        "centroid_id"
+    )
     a = cl.select(
         F.col("vec_id").alias("v1"), F.col("centroid_id").alias("c1"),
         F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
@@ -966,7 +970,7 @@ def q_semdedup(spark, sf_dir):
         .distinct()
     )
     return (
-        assign.join(
+        cl.join(
             F.broadcast(dup.withColumn("_d", F.lit(1))), "vec_id", "left"
         )
         .select("vec_id", "centroid_id", F.col("_d").isNull().alias("keep"))
