@@ -738,9 +738,11 @@ def q_curation_pipeline(spark, sf_dir):
         .select("shingle")
         .distinct()
     )
-    contaminated = (
-        sh_kept.join(F.broadcast(ev), "shingle").select("doc_id").distinct()
-    )
+    # no .distinct() before the anti join (r17-opt): LEFT ANTI drops a
+    # doc on ANY match, and the shuffle_hash build dedups keys in its
+    # hash relation anyway — the explicit distinct only added an
+    # exchange + aggregate of the same doc_id stream
+    contaminated = sh_kept.join(F.broadcast(ev), "shingle").select("doc_id")
     final = kept.join(
         contaminated.hint("shuffle_hash"), "doc_id", "left_anti"
     )
