@@ -148,10 +148,15 @@ def ivf_assign(
     inside the scan task, so only N rows reach the shuffle.
 
     ``carry_vec=True`` also returns the vector and its norm
-    (``vec_col``, ``vnorm``) via first() — constant within the vec_id
-    group, so deterministic — letting callers that need the embedding
+    (``vec_col``, ``vnorm``), letting callers that need the embedding
     next to the assignment (SemDeDup's in-cluster pair search) skip a
-    whole second corpus pass + re-join on vec_id (r17-opt)."""
+    whole second corpus pass + re-join on vec_id (r17-opt). The vector
+    rides as an extra GROUP KEY, not an aggregate: it is constant
+    within the vec_id group (so the groups are identical), and array
+    columns are valid UnsafeRow grouping keys while a first(array)
+    AGGREGATE has no mutable buffer and would demote the whole
+    aggregate to SortAggregate — the key form keeps the map-side
+    partial a codegen'd HashAggregate."""
     c = with_norm(corpus, vec_col).select(
         "vec_id", F.col(vec_col).alias("v"), F.col("vnorm").alias("vn")
     )
@@ -164,23 +169,22 @@ def ivf_assign(
     cos = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
     c9 = F.round(cos * _COS_SCALE, 0).cast("bigint")
     key = (F.lit(_COS_SCALE) - c9) * F.lit(_COS_PACK) + F.col("centroid_id")
-    extra = (
-        [F.first("v").alias(vec_col), F.first("vn").alias("vnorm")]
-        if carry_vec
-        else []
-    )
-    best = pairs.groupBy("vec_id").agg(
+    group_keys = ["vec_id", "v", "vn"] if carry_vec else ["vec_id"]
+    best = pairs.groupBy(*group_keys).agg(
         F.min(key).alias("bk"),
         F.min("centroid_id").alias("_id_lo"),
         F.max("centroid_id").alias("_id_hi"),
-        *extra,
     )
     ok = (F.col("_id_lo") >= 0) & (F.col("_id_hi") < F.lit(_COS_PACK))
     guard = F.assert_true(ok, F.lit(_COS_ERR))
     return best.select(
         "vec_id",
         F.when(guard.isNull(), F.col("bk") % _COS_PACK).alias("centroid_id"),
-        *([vec_col, "vnorm"] if carry_vec else []),
+        *(
+            [F.col("v").alias(vec_col), F.col("vn").alias("vnorm")]
+            if carry_vec
+            else []
+        ),
     )
 
 
