@@ -574,11 +574,8 @@ def bilinear_irregular(
     small_src = nbytes is not None and nbytes <= BROADCAST_SRC_BYTES
     if small_src:
         # Broadcast-src topology (r17-opt): _radius_pairs broadcasts
-        # the build side, so the probe side never shuffles — the
-        # target's own lon/lat ride the 27× explode for free (in-task
-        # bytes, no exchange) and the post-selection tcoords join (an
-        # extra scan of the target table + two exchanges) disappears.
-        # The pre-explode repartition hash-partitions the (1×-sized)
+        # the build side, so the probe side never shuffles. The
+        # pre-explode repartition hash-partitions the (1×-sized)
         # target rows by tgt_id so that (a) the downstream per-target
         # window/aggregation needs NO pair-level exchange (the
         # partitioning flows through explode, broadcast join and
@@ -591,35 +588,33 @@ def bilinear_irregular(
             "tgt_id", "lon", "lat",
             F.col("lon").alias("xx"), F.col("lat").alias("yy"),
         ).repartition(npart, F.col("tgt_id"))
-        pairs = _radius_pairs(
-            src2, tgt2, c,
-            extra_src_cols=("s_lon", "s_lat", "value"),
-            extra_tgt_cols=("xx", "yy"),
-            neighbor_scheme=neighbor_scheme,
-        )
     else:
-        # Shuffle topology (large source): keep xx/yy OFF the 27×
-        # probe exchange (16 bytes/row on the widest shuffles) and
-        # hash-join them back from the 1×-sized target table onto the
-        # already rank-cut rows (round-8 A/B: 1.81 → 1.63 s).
-        tgt2 = tgt.select("tgt_id", "lon", "lat")
-        pairs = _radius_pairs(
-            src2, tgt2, c,
-            extra_src_cols=("s_lon", "s_lat", "value"),
-            neighbor_scheme=neighbor_scheme,
+        # Shuffle topology (large source): the probe explode carries
+        # xx/yy (16 bytes/row on the 27× probe exchange) so the
+        # strict-sign quadrant is computable at pair level — the r18
+        # narrow-sort selection needs it BEFORE the top-k cut, and in
+        # exchange the pair-level window shuffles rows that are ~40%
+        # narrower (the quadrant byte replaces xx/yy/dist/src on the
+        # sorted rows) and the old post-rank tcoords hash join (an
+        # extra scan + two exchanges on the pair-heavy side) is
+        # replaced by one join against the already-aggregated
+        # (≤|tgt|-row) corner table.
+        tgt2 = tgt.select(
+            "tgt_id", "lon", "lat",
+            F.col("lon").alias("xx"), F.col("lat").alias("yy"),
         )
-    tcoords = tgt.select(
-        "tgt_id", F.col("lon").alias("xx"), F.col("lat").alias("yy")
+    pairs = _radius_pairs(
+        src2, tgt2, c,
+        extra_src_cols=("s_lon", "s_lat", "value"),
+        extra_tgt_cols=("xx", "yy"),
+        neighbor_scheme=neighbor_scheme,
     )
     if neighbor_scheme == "shift2":
         # shift2 emits duplicate pairs (one per co-located grid);
         # collect_set collapses them in-aggregate before the top-k
         # slice, so the selection stays the fused-aggregate form (a
         # row_number rank would count duplicates as distinct ranks)
-        keys = (
-            ["tgt_id", "xx", "yy"] if small_src else ["tgt_id"]
-        )
-        g = pairs.groupBy(*keys).agg(
+        g = pairs.groupBy("tgt_id", "xx", "yy").agg(
             F.slice(
                 F.array_sort(
                     F.collect_set(
@@ -631,8 +626,6 @@ def bilinear_irregular(
                 1, k,
             ).alias("ks"),
         )
-        if not small_src:
-            g = g.join(tcoords.hint("shuffle_hash"), "tgt_id")
         # picks materialized as GENERATOR OUTPUT — see the barrier
         # rationale below
         pick_struct = ", ".join(
@@ -658,31 +651,53 @@ def bilinear_irregular(
             ],
         )
     else:
-        # Exact schemes (r17-opt): the candidate set is large next to k
-        # (measured 617 candidates/target at sf0.1 for 4 surviving
-        # corners), so collect-everything-then-sort was the query's
-        # dominant cost — an ObjectHashAggregate materializing 3.1M
-        # five-field structs and sorting them with an interpreted
-        # comparator. The selection is now fully codegen'd:
-        #   1. top-k cut: row_number over (tgt_id | dist_mm, src_id) —
-        #      a codegen'd sort; no exchange, the pair rows are already
-        #      clustered by tgt_id in both topologies;
-        #   2. strict-sign quadrant index per row (rows on an axis get
-        #      NULL and drop, as in the oracle);
-        #   3. nearest-per-quadrant: row_number over ((tgt_id, q) |
-        #      dist_mm, src_id) = 1 — a re-sort of only the ≤k·|tgt|
-        #      surviving rows;
-        #   4. corner pivot: MAX(CASE WHEN q = i …) per field in one
-        #      hash aggregate; all-4-quadrants enforced by the id NULL
-        #      checks (≡ the oracle's HAVING COUNT(*) = 4).
-        w1 = W.partitionBy("tgt_id").orderBy(
-            F.col("dist_mm").asc(), F.col("src_id").asc()
+        # Exact schemes (r18-opt narrow-sort selection; replaces the
+        # r17 two-window + MAX(CASE) pivot): the pair-level top-k sort
+        # was the query's dominant cost (stage-isolated at sf0.1:
+        # +2.05 of 3.46 cpu-s — tools/probe_bilinear_r18.py), so the
+        # sorted rows are cut to the minimum the selection needs:
+        #   1. pack (dist_mm, src_id) into ONE bigint key (the
+        #      knn_join idiom; order-isomorphic to the window's
+        #      (dist_mm, src_id) given 0 ≤ src_id < pack, which a
+        #      per-row assert enforces — an out-of-range id would
+        #      silently mis-sort, so it must raise, not survive);
+        #   2. compute the strict-sign quadrant BEFORE the cut (rows
+        #      on an axis get NULL — they still occupy top-k slots,
+        #      exactly as in the r17 plan where the q filter ran after
+        #      the rank, so they ride the window and drop after);
+        #   3. top-k cut: row_number over (tgt_id | k_) on rows of
+        #      (tgt_id, q, k_, s_lon, s_lat, value) — ~40% narrower
+        #      than the r17 sort input (xx/yy/dist_mm/src_id dropped)
+        #      and a single-long comparator; no exchange in the
+        #      broadcast topology (rows are clustered by tgt_id);
+        #   4. nearest-per-quadrant + corner pivot fused into ONE
+        #      hash aggregate of primitive min()/min_by() — both
+        #      DeclarativeAggregates with flat buffers, so the plan
+        #      stays a codegen'd HashAggregate (no second window, no
+        #      16-expression MAX(CASE) pivot); all-4-quadrants is
+        #      enforced by the bᵢ NULL checks (≡ the oracle's HAVING
+        #      COUNT(*) = 4);
+        #   5. xx/yy re-attach from the 1×-sized target table onto the
+        #      ≤|tgt|-row corner table (broadcast when its scan
+        #      footprint is provably small, else shuffle_hash — the
+        #      corner side is already partitioned by tgt_id).
+        # Equivalence with the window pair (r17 plan): per (tgt, q)
+        # the window's rn2=1 row is the min of q ∩ top-k in
+        # (dist_mm, src_id) order; since every q-candidate larger than
+        # min(q) ranks strictly worse, q ∩ top-k is non-empty iff
+        # min(q) is in the top-k, and then equals min(q) — which is
+        # exactly min(k_ | q) over the rank-cut survivors. Verified
+        # row-identical at sf0.1/sf0.01/sf0.001 (probe + oracle).
+        max_dist_mm = round(c * 1000.0)
+        pack = (1 << 62) // max(max_dist_mm + 1, 1)
+        ok = (F.col("src_id") >= 0) & (F.col("src_id") < F.lit(pack))
+        guard = F.assert_true(ok, F.lit(
+            "bilinear_irregular: src_id outside the packable range "
+            "[0, pack) — remap ids with operators.ids.with_compact_id"
+        ))
+        key = F.when(
+            guard.isNull(), F.col("dist_mm") * pack + F.col("src_id")
         )
-        top = pairs.withColumn("rn", F.row_number().over(w1)).filter(
-            F.col("rn") <= k
-        )
-        if not small_src:
-            top = top.join(tcoords.hint("shuffle_hash"), "tgt_id")
         qex = (
             F.when(
                 (F.col("s_lon") < F.col("xx")) & (F.col("s_lat") > F.col("yy")), 1
@@ -697,29 +712,48 @@ def bilinear_irregular(
                 (F.col("s_lon") > F.col("xx")) & (F.col("s_lat") < F.col("yy")), 4
             )
         )
-        topq = top.withColumn("q", qex).filter(F.col("q").isNotNull())
-        w2 = W.partitionBy("tgt_id", "q").orderBy(
-            F.col("dist_mm").asc(), F.col("src_id").asc()
+        pairs_n = pairs.select(
+            "tgt_id", qex.alias("q"), key.alias("k_"),
+            "s_lon", "s_lat", "value",
         )
-        best = topq.withColumn("rn2", F.row_number().over(w2)).filter(
-            F.col("rn2") == 1
+        w1 = W.partitionBy("tgt_id").orderBy(F.col("k_").asc())
+        top = (
+            pairs_n.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .filter(F.col("q").isNotNull())
         )
         aggs = []
         for i in (1, 2, 3, 4):
             cond = F.col("q") == i
+            kq = F.when(cond, F.col("k_"))
             aggs += [
-                F.max(F.when(cond, F.col("s_lon"))).alias(f"x{i}"),
-                F.max(F.when(cond, F.col("s_lat"))).alias(f"y{i}"),
-                F.max(F.when(cond, F.col("value"))).alias(f"v{i}"),
-                F.max(F.when(cond, F.col("src_id"))).alias(f"id{i}"),
+                F.min(kq).alias(f"b{i}"),
+                F.min_by(F.when(cond, F.col("s_lon")), kq).alias(f"x{i}"),
+                F.min_by(F.when(cond, F.col("s_lat")), kq).alias(f"y{i}"),
+                F.min_by(F.when(cond, F.col("value")), kq).alias(f"v{i}"),
             ]
-        wide = (
-            best.groupBy("tgt_id", "xx", "yy")
-            .agg(*aggs)
-            .filter(
-                "id1 IS NOT NULL AND id2 IS NOT NULL "
-                "AND id3 IS NOT NULL AND id4 IS NOT NULL"
-            )
+        g = top.groupBy("tgt_id").agg(*aggs).filter(
+            "b1 IS NOT NULL AND b2 IS NOT NULL "
+            "AND b3 IS NOT NULL AND b4 IS NOT NULL"
+        )
+        tco = tgt.select(
+            "tgt_id", F.col("lon").alias("xx"), F.col("lat").alias("yy")
+        )
+        tbytes = _scan_bytes_hint(tgt)
+        if tbytes is not None and tbytes <= BROADCAST_SRC_BYTES:
+            joined = g.join(F.broadcast(tco), "tgt_id")
+        else:
+            joined = g.join(tco.hint("shuffle_hash"), "tgt_id")
+        wide = joined.select(
+            "tgt_id", "xx", "yy",
+            *[
+                e
+                for i in (1, 2, 3, 4)
+                for e in (
+                    F.col(f"x{i}"), F.col(f"y{i}"), F.col(f"v{i}"),
+                    (F.col(f"b{i}") % pack).alias(f"id{i}"),
+                )
+            ],
         )
     # The (t, s) chain is materialized behind Generate barriers
     # (_ts_chain_staged / _barrier_stage). Why: Catalyst's predicate

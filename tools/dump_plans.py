@@ -27,7 +27,7 @@ def main():
     spark = get_spark("dump_plans", ui_port=4052)
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r17",
+        "plans", "r18",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
