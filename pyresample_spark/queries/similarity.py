@@ -940,17 +940,35 @@ def q_semdedup(spark, sf_dir):
     the paper's pre-clustering recipe."""
     emb = _emb(spark, sf_dir)
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
-    # r17-opt: carry_vec rides the embedding+norm through the argmax
-    # aggregate, so the corpus is normalized and assigned in ONE pass
-    # (previously: a second with_norm pass re-joined on vec_id by
-    # shuffle_hash — two exchanges, a duplicated scan subtree). The
-    # explicit repartition on centroid_id is computed once and REUSED
-    # by both self-join sides and the verdict join (ReusedExchange):
-    # the a/b aliases hash-partition identically, so the in-cluster
-    # pair join adds no exchange of its own.
+    # r17-opt: carry_vec rides the embedding+norm through the
+    # assignment so the corpus is normalized and assigned in ONE pass;
+    # r18-opt: the assignment itself is the literal-centroid map-only
+    # tier (ivf_assign — zero joins), and the verdict is folded INTO
+    # the pair search: instead of inner-join → DISTINCT dup ids →
+    # broadcast-join the verdict back onto a THIRD plan of `cl`
+    # (three `cl` subtrees, plan dump r17 showed none reused), the
+    # v2 side LEFT-joins its lower-id cluster-mates with the cosine
+    # gate inside the join condition and the verdict is
+    # count(matches) == 0 per v2 — the distinct exchange, the
+    # broadcast, and the whole third `cl` subtree disappear. The
+    # explicit repartition on centroid_id co-partitions both
+    # self-join sides (one exchange each at worst, ReusedExchange
+    # when the planner dedups them).
     cl = ivf_assign(emb, centroids, carry_vec=True).repartition(
         "centroid_id"
     )
+    # Generate barrier ABOVE the exchange: the left join pushes
+    # IsNotNull filters into its build side only, and a filter that
+    # descends into one side's exchange subtree makes the two
+    # subtrees non-identical — no ReusedExchange, assignment computed
+    # twice (r17 plan dump / ADVICE). Pushed predicates cannot cross
+    # a Generate, so both consumers now sit on byte-identical
+    # exchange subtrees and the planner reuses one.
+    cl = cl.selectExpr(
+        "explode(array(named_struct("
+        "'vec_id', vec_id, 'centroid_id', centroid_id, "
+        "'embedding', embedding, 'vnorm', vnorm))) AS z"
+    ).select("z.vec_id", "z.centroid_id", "z.embedding", "z.vnorm")
     a = cl.select(
         F.col("vec_id").alias("v1"), F.col("centroid_id").alias("c1"),
         F.col("embedding").alias("e1"), F.col("vnorm").alias("n1"),
@@ -959,21 +977,34 @@ def q_semdedup(spark, sf_dir):
         F.col("vec_id").alias("v2"), F.col("centroid_id").alias("c2"),
         F.col("embedding").alias("e2"), F.col("vnorm").alias("n2"),
     )
-    cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
-    dup = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("c1") == F.col("c2")) & (F.col("v1") < F.col("v2")),
-        )
-        .filter(cos >= 0.4)
-        .select(F.col("v2").alias("vec_id"))
-        .distinct()
+    # Unrolled 64-dim dot (the embeddings table contract, as in the
+    # PQ family's 8×8 subspaces): bit-identical to operators.dot's
+    # sequential fold — same left-associative IEEE adds over the same
+    # float→double casts; the fold's leading `0.0 +` is exact — but
+    # codegen'd instead of an interpreted higher-order lambda
+    # (zip_with+aggregate are CodegenFallback, ~0.4 µs/element over
+    # every in-cluster candidate pair).
+    import functools
+    import operator as _aop
+
+    cos = functools.reduce(_aop.add, [
+        F.element_at(F.col("e1"), i + 1).cast("double")
+        * F.element_at(F.col("e2"), i + 1).cast("double")
+        for i in range(64)
+    ]) / (F.col("n1") * F.col("n2"))
+    pairs = b.join(
+        a.hint("shuffle_hash"),
+        (F.col("c1") == F.col("c2"))
+        & (F.col("v1") < F.col("v2"))
+        & (cos >= 0.4),
+        "left",
     )
-    return (
-        cl.join(
-            F.broadcast(dup.withColumn("_d", F.lit(1))), "vec_id", "left"
-        )
-        .select("vec_id", "centroid_id", F.col("_d").isNull().alias("keep"))
+    return pairs.groupBy("v2", "c2").agg(
+        (F.count(F.col("v1")) == 0).alias("keep")
+    ).select(
+        F.col("v2").alias("vec_id"),
+        F.col("c2").alias("centroid_id"),
+        "keep",
     )
 
 
