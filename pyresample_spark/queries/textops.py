@@ -725,16 +725,50 @@ def q_curation_pipeline(spark, sf_dir):
             & (F.length(text) >= 120)
         )
     )
-    survivors = filt.groupBy(F.sha2("text", 256).alias("_h")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    # shuffle_hash: both sides derive from the same scan and survivors
-    # is ~corpus-sized at scale (one row per distinct content), so
-    # neither broadcasts — but nothing needs a sort either
-    kept = filt.join(survivors.hint("shuffle_hash"), "doc_id")
+    # Exact-dedup survivors as a WINDOW over one content-hash exchange
+    # (r18-opt, the span-dedup idiom; replaces groupBy(sha2) + a
+    # shuffle_hash join back onto filt): `kept` is consumed twice
+    # below (the shingle branch and the final anti-join), and the
+    # join form re-planned the whole scan → filter → sha256 → agg →
+    # join subtree once per consumer (profiled: three ~2 cpu-s
+    # 1743-row stages at sf0.1). The window form leaves both
+    # consumers sitting on byte-identical exchange subtrees — the
+    # planner computes the exchange once (ReusedExchange) and only
+    # the cheap window + filter replays per consumer. min() over the
+    # unordered hash partition is order-insensitive, so results are
+    # engine-exact as before.
+    from pyspark.sql.window import Window as W
+
+    kept = (
+        filt.withColumn(
+            "_mn",
+            F.min("doc_id").over(W.partitionBy(F.sha2("text", 256))),
+        )
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .drop("_mn")
+    )
+    # Pin the column set with a Generate barrier: without it, column
+    # pruning projects DIFFERENT schemas into the two consumers'
+    # exchanges (the shingle branch drops source/n_words) and the
+    # subtrees stop being byte-identical — no ReusedExchange, the
+    # scan + hash exchange run twice. The barrier makes both
+    # consumers read the same 4 columns, so the exchange plans once;
+    # only the cheap window + rank filter replay per consumer.
+    kept = kept.selectExpr(
+        "explode(array(named_struct("
+        "'doc_id', doc_id, 'text', text, "
+        "'source', source, 'n_words', n_words))) AS z"
+    ).select("z.doc_id", "z.text", "z.source", "z.n_words")
     sh_kept = shingles(kept, 3).select("doc_id", "shingle")
+    # ev reads an UNSPREAD scan (r18-opt): the eval set is ~1/37 of the
+    # corpus (136 docs at sf0.1), and spreading it over the session's
+    # cores made the distinct's partial HashAggregate pay its per-task
+    # setup 32× for ~4 rows each — measured 3.5-4.7 cpu-s for the
+    # spread+distinct branch vs 0.07-0.11 unspread (50×). The heavy
+    # branches (sha256 window, kept-side shingles) keep the spread.
+    d_ev = table(spark, sf_dir, "documents", spread=False)
     ev = (
-        shingles(d.filter(F.col("doc_id") % 37 == 0), 3)
+        shingles(d_ev.filter(F.col("doc_id") % 37 == 0), 3)
         .select("shingle")
         .distinct()
     )
@@ -985,8 +1019,14 @@ def q_decontaminate(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, 3)
+    # eval branch reads an UNSPREAD scan (r18-opt): ~1/37 of the
+    # corpus spread over 32 tasks paid the distinct partial-agg's
+    # per-task setup 32× for a handful of rows each (measured 3.5-4.7
+    # vs 0.07-0.11 cpu-s at sf0.1 — see q_curation_pipeline)
+    d_ev = table(spark, sf_dir, "documents", spread=False)
     ev = (
-        sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
+        shingles(d_ev.filter(F.col("doc_id") % 37 == 0), 3)
+        .select("shingle").distinct()
     )
     return (
         sh.filter(F.col("doc_id") % 37 != 0)
@@ -2075,8 +2115,15 @@ def q_bloom_decontaminate(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, 3)
+    # eval branch reads an UNSPREAD scan (r18-opt; see
+    # q_curation_pipeline): the spread+distinct combination paid
+    # ~0.1 cpu-s of per-task aggregate setup × 32 tasks for ~4 rows
+    # each — and here the branch ALSO runs as a plan-time collect job
+    # on every build, so the overhead was paid twice per run
+    d_ev = table(spark, sf_dir, "documents", spread=False)
     ev = (
-        sh.filter(F.col("doc_id") % 37 == 0).select("shingle").distinct()
+        shingles(d_ev.filter(F.col("doc_id") % 37 == 0), 3)
+        .select("shingle").distinct()
     )
     # plan-time: collect the eval set's portable hashes (tiny by
     # construction) and embed the packed Bloom words as plan literals
