@@ -321,6 +321,14 @@ def main():
                     if have_cpu
                     else None
                 ),
+                # Per-query WALL minima (r18, VERDICT r17 item 7):
+                # the host-noise-resistant wall anchor next to
+                # cpu_best — round-over-round comparison can use the
+                # best rep per query instead of medians that absorb
+                # external load. Additions-only field.
+                "queries_best": {
+                    n: round(min(v), 3) for n, v in samples.items()
+                },
                 # rep timeline so degradation is visible at a glance
                 "rep_totals": [round(t, 3) for t in rep_totals],
                 "sf": sf,

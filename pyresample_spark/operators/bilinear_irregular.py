@@ -563,15 +563,14 @@ def bilinear_irregular(
         F.col("lon").alias("s_lon"), F.col("lat").alias("s_lat"), "value",
     )
     from pyresample_spark.operators.knn import (
-        BROADCAST_SRC_BYTES,
         _radius_pairs,
         _scan_bytes_hint,
+        broadcast_bound,
     )
 
-    from pyspark.sql.window import Window as W
-
     nbytes = _scan_bytes_hint(src)
-    small_src = nbytes is not None and nbytes <= BROADCAST_SRC_BYTES
+    bound = broadcast_bound(src.sparkSession)
+    small_src = nbytes is not None and bound and nbytes <= bound
     if small_src:
         # Broadcast-src topology (r17-opt): _radius_pairs broadcasts
         # the build side, so the probe side never shuffles. The
@@ -688,70 +687,63 @@ def bilinear_irregular(
         # min(q) is in the top-k, and then equals min(q) — which is
         # exactly min(k_ | q) over the rank-cut survivors. Verified
         # row-identical at sf0.1/sf0.01/sf0.001 (probe + oracle).
+        # SQL-text construction throughout (r18-opt): every DataFrame
+        # transformation eagerly re-analyzes the whole accumulated
+        # plan, so the former Column-API chains (~150 py4j calls at
+        # ~0.6 ms each plus repeated analyses) made BUILD time rival
+        # execution inside the bench's timed region. Same expressions,
+        # same plan — just fewer, bigger selectExpr calls.
         max_dist_mm = round(c * 1000.0)
         pack = (1 << 62) // max(max_dist_mm + 1, 1)
-        ok = (F.col("src_id") >= 0) & (F.col("src_id") < F.lit(pack))
-        guard = F.assert_true(ok, F.lit(
-            "bilinear_irregular: src_id outside the packable range "
-            "[0, pack) — remap ids with operators.ids.with_compact_id"
-        ))
-        key = F.when(
-            guard.isNull(), F.col("dist_mm") * pack + F.col("src_id")
+        key_sql = (
+            f"CASE WHEN assert_true(src_id >= 0 AND src_id < {pack}L, "
+            f"'bilinear_irregular: src_id outside the packable range "
+            f"[0, pack) — remap ids with operators.ids.with_compact_id'"
+            f") IS NULL THEN dist_mm * {pack}L + src_id END"
         )
-        qex = (
-            F.when(
-                (F.col("s_lon") < F.col("xx")) & (F.col("s_lat") > F.col("yy")), 1
-            )
-            .when(
-                (F.col("s_lon") > F.col("xx")) & (F.col("s_lat") > F.col("yy")), 2
-            )
-            .when(
-                (F.col("s_lon") < F.col("xx")) & (F.col("s_lat") < F.col("yy")), 3
-            )
-            .when(
-                (F.col("s_lon") > F.col("xx")) & (F.col("s_lat") < F.col("yy")), 4
-            )
+        q_sql = (
+            "CASE WHEN s_lon < xx AND s_lat > yy THEN 1"
+            " WHEN s_lon > xx AND s_lat > yy THEN 2"
+            " WHEN s_lon < xx AND s_lat < yy THEN 3"
+            " WHEN s_lon > xx AND s_lat < yy THEN 4 END"
         )
-        pairs_n = pairs.select(
-            "tgt_id", qex.alias("q"), key.alias("k_"),
+        top = pairs.selectExpr(
+            "tgt_id", f"{q_sql} AS q", f"{key_sql} AS k_",
             "s_lon", "s_lat", "value",
-        )
-        w1 = W.partitionBy("tgt_id").orderBy(F.col("k_").asc())
-        top = (
-            pairs_n.withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") <= k)
-            .filter(F.col("q").isNotNull())
-        )
+        ).selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY tgt_id ORDER BY k_ ASC)"
+            " AS rn",
+        ).filter(f"rn <= {int(k)} AND q IS NOT NULL")
         aggs = []
         for i in (1, 2, 3, 4):
-            cond = F.col("q") == i
-            kq = F.when(cond, F.col("k_"))
-            aggs += [
-                F.min(kq).alias(f"b{i}"),
-                F.min_by(F.when(cond, F.col("s_lon")), kq).alias(f"x{i}"),
-                F.min_by(F.when(cond, F.col("s_lat")), kq).alias(f"y{i}"),
-                F.min_by(F.when(cond, F.col("value")), kq).alias(f"v{i}"),
-            ]
+            kq = f"CASE WHEN q = {i} THEN k_ END"
+            aggs.append(F.expr(f"min({kq})").alias(f"b{i}"))
+            for nm, src_c in (("x", "s_lon"), ("y", "s_lat"),
+                              ("v", "value")):
+                aggs.append(
+                    F.expr(
+                        f"min_by(CASE WHEN q = {i} THEN {src_c} END, {kq})"
+                    ).alias(f"{nm}{i}")
+                )
         g = top.groupBy("tgt_id").agg(*aggs).filter(
             "b1 IS NOT NULL AND b2 IS NOT NULL "
             "AND b3 IS NOT NULL AND b4 IS NOT NULL"
         )
-        tco = tgt.select(
-            "tgt_id", F.col("lon").alias("xx"), F.col("lat").alias("yy")
-        )
+        tco = tgt.selectExpr("tgt_id", "lon AS xx", "lat AS yy")
         tbytes = _scan_bytes_hint(tgt)
-        if tbytes is not None and tbytes <= BROADCAST_SRC_BYTES:
+        if tbytes is not None and bound and tbytes <= bound:
             joined = g.join(F.broadcast(tco), "tgt_id")
         else:
             joined = g.join(tco.hint("shuffle_hash"), "tgt_id")
-        wide = joined.select(
+        wide = joined.selectExpr(
             "tgt_id", "xx", "yy",
             *[
                 e
                 for i in (1, 2, 3, 4)
                 for e in (
-                    F.col(f"x{i}"), F.col(f"y{i}"), F.col(f"v{i}"),
-                    (F.col(f"b{i}") % pack).alias(f"id{i}"),
+                    f"x{i}", f"y{i}", f"v{i}",
+                    f"b{i} % {pack}L AS id{i}",
                 )
             ],
         )

@@ -61,6 +61,35 @@ BROADCAST_SRC_BYTES = int(
 )
 
 
+def broadcast_bound(spark) -> int:
+    """Effective parquet-bytes bound for broadcasting the cell-join
+    build side (ADVICE r17): the env-tunable BROADCAST_SRC_BYTES,
+    additionally capped by the session's own
+    ``spark.sql.autoBroadcastJoinThreshold`` so an explicit broadcast
+    never ignores the cluster operator's sizing/disable decision —
+    the ~10× in-memory inflation of parquet bytes is held to ≤ 32×
+    the threshold (default 10 MiB threshold → 320 MiB in-memory →
+    exactly the 32 MiB parquet default, so default behavior is
+    unchanged), and a threshold of -1 (broadcast disabled) disables
+    this gate too."""
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        u = raw.strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("b", 1)):
+            if u.endswith(suf):
+                u, mult = u[: -len(suf)], m
+                break
+        thr = int(float(u)) * mult
+    except Exception:
+        thr = 10 << 20
+    if thr <= 0:
+        return 0
+    return min(BROADCAST_SRC_BYTES, (thr * 16) // 5)
+
+
 def _scan_bytes_hint(df: DataFrame) -> int | None:
     """Total on-disk bytes of the DataFrame's input files, or None when
     the inputs are not file scans (e.g. range-generated grids)."""
@@ -106,18 +135,36 @@ def cell_side(c: float) -> float:
     return (round(c * 1000.0) + 0.5) / 1000.0
 
 
-def with_geocentric(df: DataFrame, lon_col="lon", lat_col="lat") -> DataFrame:
-    gx, gy, gz = lonlat2xyz(lon_col, lat_col, radius=R_EARTH)
+def _xyz_sql(lon: str, lat: str) -> tuple:
+    """SQL-text twin of lonlat2xyz(..., radius=R_EARTH) — same ops in
+    the same order (left-associative products, D-suffixed double
+    literal), so the expressions are plan-identical to the Column
+    form. Builders use the text form to cut DataFrame-transformation
+    count: every transformation call eagerly re-analyzes the whole
+    accumulated plan, so long withColumn chains made query BUILD time
+    (driver-side, inside the bench's timed region) rival execution —
+    profiled r18: 7.0 s of the 19.3 s headline total was builder time,
+    ~0.6 s per kNN-family query."""
     return (
-        df.withColumn("gx", gx).withColumn("gy", gy).withColumn("gz", gz)
+        f"cos(radians({lat})) * cos(radians({lon})) * {R_EARTH!r}D",
+        f"cos(radians({lat})) * sin(radians({lon})) * {R_EARTH!r}D",
+        f"sin(radians({lat})) * {R_EARTH!r}D",
+    )
+
+
+def with_geocentric(df: DataFrame, lon_col="lon", lat_col="lat") -> DataFrame:
+    gx, gy, gz = _xyz_sql(lon_col, lat_col)
+    return df.selectExpr(
+        "*", f"{gx} AS gx", f"{gy} AS gy", f"{gz} AS gz"
     )
 
 
 def with_cells(df: DataFrame, cell_m: float) -> DataFrame:
-    return (
-        df.withColumn("cx3", F.floor(F.col("gx") / cell_m))
-        .withColumn("cy3", F.floor(F.col("gy") / cell_m))
-        .withColumn("cz3", F.floor(F.col("gz") / cell_m))
+    return df.selectExpr(
+        "*",
+        f"FLOOR(gx / {cell_m!r}D) AS cx3",
+        f"FLOOR(gy / {cell_m!r}D) AS cy3",
+        f"FLOOR(gz / {cell_m!r}D) AS cz3",
     )
 
 
@@ -203,12 +250,16 @@ def _radius_pairs(
         cell = eff if neighbor_scheme == "c27" else 2.0 * eff
     def _shift2_cells(df):
         # two half-cell-shifted grids; IEEE op order (g/cell then
-        # + grid·0.5 then floor) mirrored verbatim in the SQL oracles
-        return (
-            df.withColumn("grid", F.explode(F.array(F.lit(0), F.lit(1))))
-            .withColumn("cx3", F.floor(F.col("gx") / cell + F.col("grid") * 0.5))
-            .withColumn("cy3", F.floor(F.col("gy") / cell + F.col("grid") * 0.5))
-            .withColumn("cz3", F.floor(F.col("gz") / cell + F.col("grid") * 0.5))
+        # + grid·0.5 then floor) mirrored verbatim in the SQL oracles.
+        # Two selectExpr (the explode must bind `grid` first), not
+        # four withColumn — see _xyz_sql on builder-time analysis cost.
+        return df.selectExpr(
+            "*", "explode(array(0, 1)) AS grid"
+        ).selectExpr(
+            "*",
+            f"FLOOR(gx / {cell!r}D + grid * 0.5D) AS cx3",
+            f"FLOOR(gy / {cell!r}D + grid * 0.5D) AS cy3",
+            f"FLOOR(gz / {cell!r}D + grid * 0.5D) AS cz3",
         )
 
     sg = with_geocentric(src, src_lon, src_lat)
@@ -251,13 +302,14 @@ def _radius_pairs(
         # into C−1, else only into C+1 (c_eff bounds are what the mm
         # filter accepts, see cell_side())
         tk = with_cells(with_geocentric(tgt, tgt_lon, tgt_lat), cell)
-        for ax, g in (("bx", "gx"), ("by", "gy"), ("bz", "gz")):
-            tk = tk.withColumn(
-                ax,
-                F.when(
-                    F.col(g) - F.col(f"c{ax[1]}3") * cell < eff, F.lit(-1)
-                ).otherwise(F.lit(1)).cast("long"),
-            )
+        tk = tk.selectExpr(
+            "*",
+            *[
+                f"CAST(CASE WHEN (g{ax} - c{ax}3 * {cell!r}D) < {eff!r}D"
+                f" THEN -1 ELSE 1 END AS BIGINT) AS b{ax}"
+                for ax in ("x", "y", "z")
+            ],
+        )
         # literal 8-pick array for the same CodegenFallback reason as
         # c27 above: pick ∈ {0,1} per axis selects 0 or the signed
         # step (dx = px·bx below) instead of building the row-dependent
@@ -281,19 +333,24 @@ def _radius_pairs(
         t = tk.select(*base_cols)
     else:
         if neighbor_scheme == "2c8":
-            sel_extra = [F.col("bx"), F.col("by"), F.col("bz")]
-            dx = F.col("o.px") * F.col("bx")
-            dy = F.col("o.py") * F.col("by")
-            dz = F.col("o.pz") * F.col("bz")
+            sel_extra = ["bx", "by", "bz"]
+            dx, dy, dz = "o.px * bx", "o.py * by", "o.pz * bz"
         else:
             sel_extra = []
-            dx, dy, dz = F.col("o.dx"), F.col("o.dy"), F.col("o.dz")
-        t = (
-            tk.select(*base_cols, *sel_extra, offsets.alias("o"))
-            .withColumn("cx3", F.col("cx3") + dx)
-            .withColumn("cy3", F.col("cy3") + dy)
-            .withColumn("cz3", F.col("cz3") + dz)
-            .drop("o", "bx", "by", "bz")
+            dx, dy, dz = "o.dx", "o.dy", "o.dz"
+        keep = [
+            "tgt_id", "t_gx", "t_gy", "t_gz",
+            *[k for k in cell_keys if k not in ("cx3", "cy3", "cz3")],
+            *[str(c) if not isinstance(c, str) else c
+              for c in extra_tgt_cols],
+        ]
+        # one selectExpr instead of 3 withColumn + drop: every
+        # transformation re-analyzes the whole plan (see _xyz_sql)
+        t = tk.select(*base_cols, *sel_extra, offsets.alias("o")).selectExpr(
+            *keep,
+            f"cx3 + {dx} AS cx3",
+            f"cy3 + {dy} AS cy3",
+            f"cz3 + {dz} AS cz3",
         )
         # Box-distance prune (VERDICT r15 item 4): drop exploded
         # neighbor cells whose axis-aligned distance from the probe to
@@ -311,17 +368,18 @@ def _radius_pairs(
         # shuffle; no new exchange. BOX_PRUNE is the A/B switch
         # (tools/ab_box_prune.py) — leave True.
         if BOX_PRUNE:
-            def _box_gap(g: str, cidx: str):
-                lo = F.col(cidx) * cell
-                return F.greatest(
-                    lo - F.col(g), F.col(g) - lo - cell, F.lit(0.0)
+            def _box_gap(g: str, cidx: str) -> str:
+                lo = f"{cidx} * {cell!r}D"
+                return (
+                    f"greatest({lo} - {g}, {g} - {lo} - {cell!r}D, 0.0D)"
                 )
 
             bx = _box_gap("t_gx", "cx3")
             by = _box_gap("t_gy", "cy3")
             bz = _box_gap("t_gz", "cz3")
             t = t.filter(
-                bx * bx + by * by + bz * bz <= F.lit((eff + 1e-6) ** 2)
+                f"{bx} * {bx} + {by} * {by} + {bz} * {bz}"
+                f" <= {((eff + 1e-6) ** 2)!r}D"
             )
     join_keys = list(cell_keys)
     if salt_factor and salt_factor > 1:
@@ -348,7 +406,8 @@ def _radius_pairs(
     #   side is truly small.
     salted = bool(salt_factor and salt_factor > 1)
     nbytes = None if salted else _scan_bytes_hint(src)
-    if nbytes is not None and nbytes <= BROADCAST_SRC_BYTES:
+    bound = broadcast_bound(src.sparkSession)
+    if nbytes is not None and bound and nbytes <= bound:
         pairs = t.join(F.broadcast(s), join_keys, "inner")
     else:
         pairs = t.hint("shuffle_hash").join(s, join_keys, "inner")
@@ -358,18 +417,23 @@ def _radius_pairs(
     # candidate table that was ~30% of the whole join's runtime. The
     # DuckDB oracles use the same FLOOR(x + 0.5) text, so both engines
     # quantize bit-identically (+, *, floor are exact IEEE ops).
-    dist_mm = F.floor(chord_dist_m("t_", "s_") * 1000.0 + 0.5)
+    dist_sql = (
+        "FLOOR(SQRT((t_gx - s_gx) * (t_gx - s_gx)"
+        " + (t_gy - s_gy) * (t_gy - s_gy)"
+        " + (t_gz - s_gz) * (t_gz - s_gz)) * 1000.0D + 0.5D)"
+    )
     # Project to (tgt, src, dist) immediately: the downstream top-k
     # exchange (window sort or min-agg) should shuffle 24 bytes/row,
     # not the six geocentric doubles used only for the distance.
-    return (
-        pairs.withColumn("dist_mm", dist_mm)
-        .filter(F.col("dist_mm") <= round(c * 1000.0))
-        .select(
-            "tgt_id", "src_id", "dist_mm",
-            *extra_src_cols, *extra_tgt_cols,
-        )
-    )
+    # One selectExpr + filter instead of withColumn/filter/select —
+    # the analyzed plan here is the query's biggest (see _xyz_sql).
+    extras = [
+        str(c) if not isinstance(c, str) else c
+        for c in (*extra_src_cols, *extra_tgt_cols)
+    ]
+    return pairs.selectExpr(
+        "tgt_id", "src_id", f"{dist_sql} AS dist_mm", *extras
+    ).filter(f"dist_mm <= {round(c * 1000.0)}L")
 
 
 def knn_join(

@@ -32,6 +32,15 @@ def get_spark(app_name: str = "pyresample_spark", ui_port: int | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DataFrame-debugging call-site capture costs ~4 py4j round
+        # trips (~2.4 ms) on EVERY DataFrame/Column API call — with
+        # ~250 calls per complex query builder that is ~0.6-1 s of
+        # driver-side build time per query, all inside the bench's
+        # timed region (r18 profile: 7 s of the 19 s headline total
+        # was builder time). Off: error messages lose the Python
+        # call-site line, nothing else. This is driver-side Python
+        # overhead identical on any cluster, not a local-mode knob.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "true" if ui_port else "false")
         .config("spark.ui.port", str(ui_port or 4040))
