@@ -394,8 +394,25 @@ def _ts_chain_expr() -> str:
     return body
 
 
+import re as _re
+
+
+def _qualify(expr: str, mapping: dict) -> str:
+    """Rewrite bare prior-stage output names in a stage text into
+    alias-qualified struct-field references (``qd1`` → ``ds.qd1``).
+    Token-boundary safe (the stage texts contain no string literals;
+    longest-name-first alternation keeps ``t_par`` from matching
+    inside ``t_par0``)."""
+    if not mapping:
+        return expr
+    pat = _re.compile(
+        r"\b(" + "|".join(sorted(mapping, key=len, reverse=True)) + r")\b"
+    )
+    return pat.sub(lambda m: mapping[m.group(1)], expr)
+
+
 def _barrier_stage(df: DataFrame, keep: list, named_exprs: list,
-                   alias: str) -> DataFrame:
+                   alias: str, mapping: dict | None = None) -> DataFrame:
     """One solve stage materialized behind a Generate barrier:
     ``explode(array(named_struct(...)))`` of a one-element array is
     row-preserving, keeps every stage a plain codegen'd Project
@@ -403,14 +420,18 @@ def _barrier_stage(df: DataFrame, keep: list, named_exprs: list,
     be substituted below its Generate — stops both CollapseProject's
     exponential alias expansion (the reason the chain was previously
     one let-bound interpreted expression; see SNIPPETS 'let_expr') and
-    predicate-pushdown re-evaluation. Returns the frame with each
-    named expression flattened to a top-level column."""
-    struct_items = ", ".join(f"'{n}', {e}" for n, e in named_exprs)
-    gen = df.selectExpr(
-        *keep, f"explode(array(named_struct({struct_items}))) AS {alias}"
+    predicate-pushdown re-evaluation.
+
+    r18: ONE selectExpr per stage — prior-stage fields are consumed
+    through ``mapping``-qualified struct references instead of a
+    second flatten select (every transformation call eagerly
+    re-analyzes the whole accumulated plan, so the 7 flatten selects
+    were ~0.3 s of driver build time per query build)."""
+    struct_items = ", ".join(
+        f"'{n}', {_qualify(e, mapping or {})}" for n, e in named_exprs
     )
-    return gen.selectExpr(
-        *keep, *[f"{alias}.{n} AS {n}" for n, _ in named_exprs]
+    return df.selectExpr(
+        *keep, f"explode(array(named_struct({struct_items}))) AS {alias}"
     )
 
 
@@ -429,26 +450,36 @@ def _ts_chain_staged(wide: DataFrame) -> DataFrame:
     ids = ["tgt_id", "id1", "id2", "id3", "id4"]
     geo = ["x1", "x2", "x3", "x4", "y1", "y2", "y3", "y4",
            "v1", "v2", "v3", "v4", "xx", "yy"]
+    # Per-stage qualifier maps: a stage's texts reference prior-stage
+    # outputs by their bare names; _qualify rewrites them into the
+    # struct-field form (see _barrier_stage r18 note).
+    m_qs = {n: f"qs.{n}" for n, _ in ABC_SQL}
+    m_ds = {**m_qs, "qd1": "ds.qd1", "qd2": "ds.qd2"}
+    m_rs = {**m_ds, **{n: f"rs.{n}" for n in
+                       ("r1a", "r2a", "r3a", "r1b", "r2b", "r3b")}}
+    m_fs = {"t_irr": "fs.t_irr", "s_up": "fs.s_up"}
+    m_gs = {**m_fs, "s_irr": "gs.s_irr", "t_up": "gs.t_up",
+            "t_par0": "gs.t_par0"}
+    m_ps = {**m_gs, "t_par": "ps.t_par", "s_par": "ps.s_par"}
     # S1: the six quadratic coefficients (oracle CTE g1)
     s1 = _barrier_stage(wide, ids + geo, list(ABC_SQL), "qs")
-    qcols = [n for n, _ in ABC_SQL]
     # S2: discriminants (g2)
     s2 = _barrier_stage(
-        s1, ids + geo + qcols,
+        s1, ids + geo + ["qs"],
         [("qd1", "qb1 * qb1 - 4.0 * qa1 * qc1"),
          ("qd2", "qb2 * qb2 - 4.0 * qa2 * qc2")],
-        "ds",
+        "ds", m_qs,
     )
     # S3: the six root candidates
     s3 = _barrier_stage(
-        s2, ids + geo + qcols + ["qd1", "qd2"],
+        s2, ids + geo + ["qs", "ds"],
         [("r1a", dv("-(qb1) + sqrt(GREATEST(qd1, 0.0))", "2.0 * qa1")),
          ("r2a", dv("-(qb1) - sqrt(GREATEST(qd1, 0.0))", "2.0 * qa1")),
          ("r3a", dv("-(qc1)", "qb1")),
          ("r1b", dv("-(qb2) + sqrt(GREATEST(qd2, 0.0))", "2.0 * qa2")),
          ("r2b", dv("-(qb2) - sqrt(GREATEST(qd2, 0.0))", "2.0 * qa2")),
          ("r3b", dv("-(qc2)", "qb2"))],
-        "rs",
+        "rs", m_ds,
     )
 
     def _root(qa, qd, qb, r1, r2, r3):
@@ -466,7 +497,7 @@ def _ts_chain_staged(wide: DataFrame) -> DataFrame:
         s3, ids + geo,
         [("t_irr", _root("qa1", "qd1", "qb1", "r1a", "r2a", "r3a")),
          ("s_up", _root("qa2", "qd2", "qb2", "r1b", "r2b", "r3b"))],
-        "fs",
+        "fs", m_rs,
     )
     # S5: the other fractional distances + the parallelogram t0 (g4/g5)
     den_si = "y2 + (y4 - y2) * t_irr - y1 - (y3 - y1) * t_irr"
@@ -476,7 +507,7 @@ def _ts_chain_staged(wide: DataFrame) -> DataFrame:
     par_den = "(x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)"
     pt0 = dv("(x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1)", par_den)
     s5 = _barrier_stage(
-        s4, ids + geo + ["t_irr", "s_up"],
+        s4, ids + geo + ["fs"],
         [("s_irr",
           f"CASE WHEN t_irr IS NOT NULL AND ({den_si}) <> 0.0"
           f" AND {g_si} >= 0.0 AND {g_si} <= 1.0 THEN {g_si} END"),
@@ -486,29 +517,33 @@ def _ts_chain_staged(wide: DataFrame) -> DataFrame:
          ("t_par0",
           f"CASE WHEN ({par_den}) <> 0.0 AND (x2 - x1) <> 0.0"
           f" AND {pt0} >= 0.0 AND {pt0} <= 1.0 THEN {pt0} END")],
-        "gs",
+        "gs", m_fs,
     )
     # S6: parallelogram (t, s) gate (g6)
     sq = dv("xx - x1 + (x3 - x1) * t_par0", "x2 - x1")
     s6 = _barrier_stage(
         s5,
-        ids + ["v1", "v2", "v3", "v4", "t_irr", "s_up", "s_irr", "t_up"],
+        ids + ["v1", "v2", "v3", "v4", "fs", "gs"],
         [("t_par",
           f"CASE WHEN t_par0 IS NOT NULL"
           f" AND {sq} >= 0.0 AND {sq} <= 1.0 THEN t_par0 END"),
          ("s_par",
           f"CASE WHEN t_par0 IS NOT NULL"
           f" AND {sq} >= 0.0 AND {sq} <= 1.0 THEN {sq} END")],
-        "ps",
+        "ps", m_gs,
     )
     # S7: fallback-chain resolution + interpolation (fin), emitted as
     # the final ``r`` struct behind its own barrier
-    tf = ("CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr"
-          " WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up"
-          " ELSE t_par END")
-    sf = ("CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN s_irr"
-          " WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN s_up"
-          " ELSE s_par END")
+    tf = _qualify(
+        "CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN t_irr"
+        " WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN t_up"
+        " ELSE t_par END", m_ps,
+    )
+    sf = _qualify(
+        "CASE WHEN t_irr IS NOT NULL AND s_irr IS NOT NULL THEN s_irr"
+        " WHEN s_up IS NOT NULL AND t_up IS NOT NULL THEN s_up"
+        " ELSE s_par END", m_ps,
+    )
     s7 = s6.selectExpr(
         *ids,
         f"explode(array(named_struct("

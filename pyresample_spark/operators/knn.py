@@ -153,15 +153,20 @@ def _xyz_sql(lon: str, lat: str) -> tuple:
 
 
 def with_geocentric(df: DataFrame, lon_col="lon", lat_col="lat") -> DataFrame:
+    # keep-list instead of "*": withColumn REPLACED a pre-existing
+    # gx/gy/gz (e.g. knn_join_broadcast's fallback feeds frames that
+    # already carry them); a bare "*" would duplicate the names
     gx, gy, gz = _xyz_sql(lon_col, lat_col)
+    keep = [c for c in df.columns if c not in ("gx", "gy", "gz")]
     return df.selectExpr(
-        "*", f"{gx} AS gx", f"{gy} AS gy", f"{gz} AS gz"
+        *keep, f"{gx} AS gx", f"{gy} AS gy", f"{gz} AS gz"
     )
 
 
 def with_cells(df: DataFrame, cell_m: float) -> DataFrame:
+    keep = [c for c in df.columns if c not in ("cx3", "cy3", "cz3")]
     return df.selectExpr(
-        "*",
+        *keep,
         f"FLOOR(gx / {cell_m!r}D) AS cx3",
         f"FLOOR(gy / {cell_m!r}D) AS cy3",
         f"FLOOR(gz / {cell_m!r}D) AS cz3",
@@ -253,8 +258,12 @@ def _radius_pairs(
         # + grid·0.5 then floor) mirrored verbatim in the SQL oracles.
         # Two selectExpr (the explode must bind `grid` first), not
         # four withColumn — see _xyz_sql on builder-time analysis cost.
+        keep = [
+            c for c in df.columns
+            if c not in ("grid", "cx3", "cy3", "cz3")
+        ]
         return df.selectExpr(
-            "*", "explode(array(0, 1)) AS grid"
+            *keep, "explode(array(0, 1)) AS grid"
         ).selectExpr(
             "*",
             f"FLOOR(gx / {cell!r}D + grid * 0.5D) AS cx3",
